@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime session settings every entry point applies defensively (the
+  * driver may hand us a session we didn't build).
+  *
+  * - ANSI off: `to_date` must return null on unparseable input — the
+  *   reference's strptime-fails→None semantics (SURVEY.md §7.4.5,
+  *   /root/reference/dags/global_dag.py:111-118).
+  * - nanosAsLong: the driver's `events.parquet` carries INT64 nanosecond
+  *   timestamps, which Spark otherwise refuses to read; as a long we keep
+  *   full precision and convert explicitly.
+  * - UTC + 32 shuffle partitions: oracle parity and local[32] sizing.
+  */
+object Prep {
+  def ensure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,656 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.functions.Geo
+
+/** One driver-checkable query: a Spark plan + (optionally) the ANSI SQL the
+  * DuckDB oracle runs over the same parquet tables. Both sides must produce
+  * identical column names, identical types, identical values, and a
+  * deterministic row order (every query ends in an explicit ORDER BY on both
+  * sides).
+  *
+  * Numeric discipline (why every aggregate looks the way it does):
+  *  - sums of money-ish doubles go through DECIMAL so the result is exact
+  *    and independent of summation order (Spark and DuckDB add partitions in
+  *    different orders; double addition is not associative, decimal is);
+  *    the final value is cast back to DOUBLE, which is a deterministic
+  *    conversion of an exact value.
+  *  - counts are cast to BIGINT on the DuckDB side (DuckDB sums/counts of
+  *    INTEGER widen to HUGEINT).
+  *  - event timestamps are nanosecond INT64 (read as long via
+  *    `nanosAsLong`); all event queries work in integer microseconds
+  *    (`ts div 1000` == DuckDB `epoch_us(ts)`), never float seconds.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  // ------------------------------------------------------------------
+  // Derived deterministic geo points (the testdata has no coordinates; the
+  // reference's flagship is a spatial radius join, so we derive stable
+  // lat/lon from integer keys — identical integer arithmetic in both
+  // engines, exact decimal-by-integer division).
+  // lat ∈ [-60, 60), lon ∈ [-150, 150), 0.1° grid.
+  // ------------------------------------------------------------------
+  private def custPoints(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey"),
+      ((col("c_custkey") * 7 % 1200) / lit(10.0) - 60.0).as("lat"),
+      ((col("c_custkey") * 13 % 3000) / lit(10.0) - 150.0).as("lon"))
+
+  private def suppPoints(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier").select(col("s_suppkey"),
+      ((col("s_suppkey") * 91 % 1200) / lit(10.0) - 60.0).as("lat"),
+      ((col("s_suppkey") * 53 % 3000) / lit(10.0) - 150.0).as("lon"))
+
+  private val custPointsSql =
+    "SELECT c_custkey, (c_custkey * 7 % 1200) / 10.0 - 60.0 AS lat, (c_custkey * 13 % 3000) / 10.0 - 150.0 AS lon FROM customer"
+  private val suppPointsSql =
+    "SELECT s_suppkey, (s_suppkey * 91 % 1200) / 10.0 - 60.0 AS lat, (s_suppkey * 53 % 3000) / 10.0 - 150.0 AS lon FROM supplier"
+
+  private val RadiusKm = 300.0
+  private def havSql(a1: String, o1: String, a2: String, o2: String) =
+    Geo.haversineKmSql(a1, o1, a2, o2)
+
+  /** sum(DECIMAL(p,s))::DOUBLE both sides — see numeric discipline above. */
+  private def dsum(c: Column, p: Int = 24, sc: Int = 6): Column =
+    sum(c.cast(s"decimal($p,$sc)")).cast("double")
+  private def dsumSql(e: String, p: Int = 24, s: Int = 6): String =
+    s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)"
+
+  /** events with ts converted to exact integer microseconds. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  // ------------------------------------------------------------------
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- headline relational aggregations (TPC-H-shaped) ----
+    QueryDef("q1_pricing",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice"), 20, 2).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        ${dsumSql("l_extendedprice", 20, 2)} AS sum_base,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc,
+        sum(l_quantity) / count(*) AS avg_qty,
+        count(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q3_priority",
+      (s, d) => {
+        val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").where(col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        val l = t(s, d, "lineitem").where(col("l_shipdate") > expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    QueryDef("q5_volume",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders").where(
+          col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        val c = t(s, d, "customer")
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- §2.1 sources ----
+    QueryDef("op05_fixed_width",
+      (s, d) => {
+        val lines = t(s, d, "customer").select(
+          concat(rpad(col("c_name"), 30, " "),
+            lpad(col("c_custkey").cast("string"), 12, "0"),
+            lpad(col("c_nationkey").cast("string"), 5, "0")).as("value"))
+        Sources.fixedWidth(lines, "value", Seq(
+            Sources.FixedField("name", 1, 30),
+            Sources.FixedField("custkey_s", 31, 12),
+            Sources.FixedField("natkey_s", 43, 5)))
+          .select(col("name"), col("custkey_s").cast("long").as("custkey"),
+            col("natkey_s").cast("int").as("natkey"))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT trim(substring(value, 1, 30)) AS name,
+        CAST(trim(substring(value, 31, 12)) AS BIGINT) AS custkey,
+        CAST(trim(substring(value, 43, 5)) AS INTEGER) AS natkey
+        FROM (SELECT rpad(c_name, 30, ' ') || lpad(CAST(c_custkey AS VARCHAR), 12, '0')
+          || lpad(CAST(c_nationkey AS VARCHAR), 5, '0') AS value FROM customer)
+        ORDER BY custkey""")),
+
+    // ---- §2.2 transforms ----
+    QueryDef("op09_dateparse",
+      (s, d) => {
+        val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyyMMdd"))
+          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .otherwise(lit("00000000"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), raw.as("raw"),
+            date_format(Transforms.parseDateMulti(raw), "yyyy-MM-dd").as("parsed"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, raw,
+        strftime(coalesce(try_strptime(raw, '%Y%m%d'), try_strptime(raw, '%Y-%m-%d')), '%Y-%m-%d') AS parsed
+        FROM (SELECT o_orderkey, CASE
+            WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+            WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+            ELSE '00000000' END AS raw
+          FROM orders) ORDER BY o_orderkey""")),
+
+    QueryDef("op10_filter_valid",
+      (s, d) => {
+        val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyyMMdd"))
+          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .otherwise(lit("00000000"))
+        val parsed = t(s, d, "orders").select(Transforms.parseDateMulti(raw).as("parsed"))
+        Transforms.filterValid(parsed, Seq("parsed"))
+          .groupBy(year(col("parsed")).as("yr")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("yr"))
+      },
+      Some("""SELECT CAST(year(parsed) AS INTEGER) AS yr, count(*) AS cnt FROM (
+        SELECT CAST(coalesce(try_strptime(raw, '%Y%m%d'), try_strptime(raw, '%Y-%m-%d')) AS DATE) AS parsed
+        FROM (SELECT CASE
+            WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+            WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+            ELSE '00000000' END AS raw
+          FROM orders)) WHERE parsed IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op11_split_point",
+      (s, d) => {
+        val pos = concat((col("c_custkey") * 7 % 1200).cast("string"), lit(","),
+          (col("c_custkey") * 13 % 3000).cast("string"))
+        val (la, lo) = Transforms.splitPoint(pos)
+        t(s, d, "customer")
+          .select(col("c_custkey"), (la / 10.0 - 60.0).as("lat"), (lo / 10.0 - 150.0).as("lon"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        CAST(split_part(pos, ',', 1) AS DOUBLE) / 10.0 - 60.0 AS lat,
+        CAST(split_part(pos, ',', 2) AS DOUBLE) / 10.0 - 150.0 AS lon
+        FROM (SELECT c_custkey, CAST(c_custkey * 7 % 1200 AS VARCHAR) || ',' ||
+          CAST(c_custkey * 13 % 3000 AS VARCHAR) AS pos FROM customer)
+        ORDER BY c_custkey""")),
+
+    QueryDef("op12_hash_id",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          Transforms.hashId(Seq(col("c_name"), col("c_custkey").cast("string")), algo = "md5").as("id"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, md5(c_name || '|' || CAST(c_custkey AS VARCHAR)) AS id
+        FROM customer ORDER BY c_custkey""")),
+
+    QueryDef("op13_19_union_tag",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val open = Transforms.tag(o.where(col("o_orderstatus") === "O"), "tag", "OPEN")
+        val done = Transforms.tag(o.where(col("o_orderstatus") === "F"), "tag", "DONE")
+        Aggregates.unionAligned(Seq(open, done))
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 20, 2).as("total"))
+          .orderBy(col("tag"))
+      },
+      Some(s"""SELECT tag, count(*) AS n, ${dsumSql("o_totalprice", 20, 2)} AS total FROM (
+        SELECT 'OPEN' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'DONE' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op14_json",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          to_json(struct(col("event_id"))).as("enc"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        '{"event_id":' || CAST(event_id AS VARCHAR) || '}' AS enc
+        FROM events ORDER BY event_id""")),
+
+    // ---- §2.3 joins ----
+    QueryDef("op15_broadcast_lookup",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        Joins.broadcastLookup(
+            Joins.broadcastLookup(c, n, col("c_nationkey") === col("n_nationkey")),
+            r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 20, 2).as("total_bal"))
+          .orderBy(col("r_name"))
+      },
+      Some(s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal", 20, 2)} AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op16_radius_join",
+      (s, d) => {
+        val c = custPoints(s, d)
+        val su = suppPoints(s, d)
+        Joins.radiusJoin(c, su,
+            c("lat"), c("lon"), su("lat"), su("lon"),
+            radiusKm = RadiusKm, latCellDeg = 3.0, lonCellDeg = 6.0)
+          .select(col("c_custkey"), col("s_suppkey"))
+          .orderBy(col("c_custkey"), col("s_suppkey"))
+      },
+      Some(s"""SELECT c_custkey, s_suppkey
+        FROM ($custPointsSql) c CROSS JOIN ($suppPointsSql) s
+        WHERE ${havSql("c.lat", "c.lon", "s.lat", "s.lon")} <= 300.0
+        ORDER BY 1, 2""")),
+
+    QueryDef("op_asof_join",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+        val probe = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val build = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us"))
+        Joins.asofLastPrior(probe, build, "user_id", "ts_us", "signup_us")
+          .select(col("event_id"), col("signup_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, b.bts AS signup_us
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS bts FROM events WHERE event_type = 'signup') b
+        ON p.user_id = b.user_id AND b.bts <= p.pts
+        ORDER BY p.event_id""")),
+
+    // ---- §2.4 aggregates / dedup / set ops ----
+    QueryDef("op17_dedup_first",
+      (s, d) => Aggregates.dedupFirst(t(s, d, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, o_orderkey FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        ORDER BY o_custkey""")),
+
+    QueryDef("op18_idempotent_insert",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val existing = o.where(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
+        val batch0 = o.where(col("o_orderkey") % 2 === 0).select(col("o_orderkey"))
+        val batch = batch0.unionAll(batch0) // within-batch duplicates
+        Aggregates.idempotentNewRows(batch, existing, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        ORDER BY 1""")),
+
+    QueryDef("op20_anti_ledger",
+      (s, d) => {
+        val discovered = t(s, d, "orders").select(col("o_custkey")).distinct()
+        val imported = t(s, d, "customer").where(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("o_custkey"))
+        Joins.antiJoin(discovered, imported, Seq("o_custkey")).orderBy(col("o_custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+        ORDER BY 1""")),
+
+    QueryDef("op21_topk",
+      (s, d) => Aggregates.topK(t(s, d, "orders"), 10,
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    QueryDef("op_window_rank",
+      (s, d) => Analytics.rankTopN(t(s, d, "orders"),
+          Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2, "rnk")
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk")),
+      Some("""SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT o_custkey, o_orderkey,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) WHERE rnk <= 2 ORDER BY o_custkey, rnk""")),
+
+    QueryDef("op_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"))
+        .orderBy(col("flag"), col("status")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2""")),
+
+    QueryDef("op_intersect",
+      (s, d) => t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(t(s, d, "customer").where(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey")),
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY 1""")),
+
+    QueryDef("op_except",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey")),
+      Some("""SELECT c_custkey AS custkey FROM customer
+        EXCEPT SELECT o_custkey FROM orders ORDER BY 1""")),
+
+    QueryDef("op_count_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- §3.3 production analytics ----
+    QueryDef("q_plant_deaths",
+      (s, d) => {
+        val c = custPoints(s, d)
+        val su = suppPoints(s, d)
+        val pairs = Joins.radiusJoin(c, su, c("lat"), c("lon"), su("lat"), su("lon"),
+            RadiusKm, 3.0, 6.0)
+          .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+        t(s, d, "supplier").select(col("s_suppkey"))
+          .join(pairs, Seq("s_suppkey"), "left_outer")
+          .select(col("s_suppkey"), coalesce(col("n"), lit(0L)).as("n_deaths"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""SELECT s_suppkey, coalesce(n, 0) AS n_deaths FROM supplier
+        LEFT JOIN (SELECT s.s_suppkey AS k, count(*) AS n
+          FROM ($custPointsSql) c CROSS JOIN ($suppPointsSql) s
+          WHERE ${havSql("c.lat", "c.lon", "s.lat", "s.lon")} <= 300.0
+          GROUP BY 1) sub ON s_suppkey = k
+        ORDER BY s_suppkey""")),
+
+    QueryDef("q_yearly",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), (lit(1995) + col("c_custkey") % 5).as("active_year"))
+        Analytics.yearlyActive(
+            o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+            col("o_orderdate"), col("active_year"), Seq(col("o_orderstatus")))
+          .orderBy(col("yr"), col("o_orderstatus"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus, count(*) AS cnt
+        FROM orders JOIN (SELECT c_custkey, 1995 + c_custkey % 5 AS active_year FROM customer) c
+        ON o_custkey = c_custkey
+        WHERE year(o_orderdate) >= active_year
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q_heatmap",
+      (s, d) => Analytics.heatmap(custPoints(s, d), col("lat"), col("lon"), 3.0, 6.0)
+        .orderBy(col("cell_x"), col("cell_y")),
+      Some(s"""SELECT CAST(floor(lat / 3.0) AS BIGINT) AS cell_x,
+        CAST(floor(lon / 6.0) AS BIGINT) AS cell_y, count(*) AS cnt
+        FROM ($custPointsSql) GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- events: sessionization + windows (batch forms of §2.6) ----
+    QueryDef("op_sessionize",
+      (s, d) => Analytics.sessionizeNumeric(eventsUs(s, d),
+          col("user_id"), col("ts_us"), 1800L * 1000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        m AS (SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+            OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        t AS (SELECT user_id, ts_us,
+          CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM m)
+        SELECT user_id, session_id, count(*) AS n_events FROM t
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("events_window",
+      (s, d) => eventsUs(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 18, 2).as("total_value"))
+        .orderBy(col("bucket"), col("event_type")),
+      Some(s"""SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+        count(*) AS n, ${dsumSql("value", 18, 2)} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- text analysis (north star) ----
+    QueryDef("txt_word_counts",
+      (s, d) => t(s, d, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20),
+      Some("""SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        FROM documents) GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""")),
+
+    QueryDef("txt_language_guess",
+      (s, d) => t(s, d, "documents")
+        .select(TextAnalysis.languageGuess(col("text")).as("guess"), col("lang"))
+        .groupBy(col("guess"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("guess"), col("lang")),
+      Some {
+        def hits(words: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
+        val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(l => hits(TextAnalysis.stopwords(l)))
+        s"""SELECT guess, lang, count(*) AS cnt FROM (
+          SELECT CASE
+            WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+            WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+            WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+            WHEN $es > 0 THEN 'es'
+            ELSE 'unknown' END AS guess, lang
+          FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks, lang
+            FROM documents))
+          GROUP BY 1, 2 ORDER BY 1, 2"""
+      }),
+
+    QueryDef("txt_quality",
+      (s, d) => {
+        val toks = Dedup.tokens(col("text"))
+        val nToks = size(toks)
+        t(s, d, "documents").select(
+          col("doc_id"),
+          nToks.as("n_tokens"),
+          (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+            length(col("text")).cast("double")).as("punct_ratio"),
+          (length(col("text")).cast("double") / nToks.cast("double")).as("avg_token_len"),
+          TextAnalysis.stopwordRatio(col("text"), TextAnalysis.stopwords("en")).as("stopword_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
+        CAST(len(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+          ELSE 0.0 END AS stopword_ratio
+        FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents) ORDER BY doc_id""")),
+
+    QueryDef("txt_fingerprint_dedup",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+        .orderBy(col("fp")),
+      Some("""SELECT fp, min(doc_id) AS keeper, count(*) AS n_docs FROM (
+        SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents) GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("dedup_exact",
+      (s, d) => t(s, d, "documents")
+        .agg(count(lit(1)).as("total"), countDistinct(col("text")).as("n_distinct")),
+      Some("""SELECT count(*) AS total, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        FROM documents""")),
+
+    QueryDef("dedup_minhash_jaccard",
+      (s, d) => Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(minhashOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1))),
+
+    QueryDef("dedup_simhash",
+      (s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(simhashOracleSql(maxHamming = 3))),
+
+    // ---- similarity search (north star) ----
+    QueryDef("ann_cosine_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+        s AS (SELECT qid, vec_id AS nid,
+          list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+           sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS sim
+          FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+        SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    QueryDef("ann_ivf_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding",
+            "label", k = 5, nprobe = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None), // IVF routing depends on float centroid math — rows-only check; recall vs brute force is asserted in ScalaTest
+
+    QueryDef("emb_near_dup",
+      (s, d) => Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          numPlanes = 8, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b")),
+      None), // SRP bucket bits flip on 1-ulp projection differences across engines — rows-only; verified in ScalaTest
+
+    // ---- multimodal plumbing (north star; decode is STUBBED, see Multimodal) ----
+    QueryDef("mm_binary_meta",
+      (s, d) => Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        md5(text) AS checksum FROM documents ORDER BY doc_id""")),
+
+    QueryDef("mm_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain"),
+          "doc_id", frameBytes = 100, everyNth = 2)
+        .select(col("doc_id"), col("frame_no"), col("frame").cast("string").as("frame"))
+        .orderBy(col("doc_id"), col("frame_no")),
+      Some("""SELECT doc_id, CAST(fn AS INTEGER) AS frame_no, substring(text, CAST(fn AS INTEGER) * 100 + 1, 100) AS frame
+        FROM documents, unnest(generate_series(0, CAST(ceil(len(text) / 100.0) AS INTEGER) - 1)) AS t(fn)
+        WHERE fn % 2 = 0 ORDER BY doc_id, frame_no"""))
+  )
+
+  // ------------------------------------------------------------------
+  // Programmatically generated oracle SQL for the hash-heavy dedup ops —
+  // the SQL mirrors the Spark expressions definitionally (same md5 inputs,
+  // same band layout, same ascii-nibble bit extraction).
+  // ------------------------------------------------------------------
+
+  def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String = {
+    val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    val mhCols = (0 until numHashes)
+      .map(s => s"min(md5('$s' || '|' || shingle)) AS mh$s").mkString(", ")
+    val numBands = numHashes / rowsPerBand
+    val bandRows = (0 until numBands).map { b =>
+      val cc = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cc) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+      FROM documents),
+    shl AS (SELECT doc_id, [$shingleExpr FOR i IN generate_series(1, len(toks) - ${shingleN - 1})] AS shingles
+      FROM tk WHERE len(toks) >= $shingleN),
+    sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+    sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+    buckets AS ($bandRows),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
+    FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold
+    ORDER BY doc_a, doc_b"""
+  }
+
+  def simhashOracleSql(maxHamming: Int): String = {
+    val sums = (0 until 32).map { i =>
+      s"CAST(sum(2 * ((nib${i / 4} // ${1 << (i % 4)}) % 2) - 1) AS BIGINT) AS s$i"
+    }.mkString(", ")
+    val nibs = (0 until 8).map { k =>
+      s"CASE WHEN ascii(substring(hex8, ${k + 1}, 1)) <= 57 THEN ascii(substring(hex8, ${k + 1}, 1)) - 48 ELSE ascii(substring(hex8, ${k + 1}, 1)) - 87 END AS nib$k"
+    }.mkString(", ")
+    val hash = (0 until 32).map(i => s"CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok0 AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tokk
+      FROM documents),
+    tok AS (SELECT doc_id, substring(md5(tokk), 1, 8) AS hex8 FROM tok0),
+    nib AS (SELECT doc_id, $nibs FROM tok),
+    sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+    hashes AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+    ORDER BY doc_a, doc_b"""
+  }
+}

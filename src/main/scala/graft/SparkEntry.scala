@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * `queries` holds one entry per implemented operator from SURVEY.md §2 (and
+  * the north-star extensions); `oracleSql` holds the DuckDB-equivalent SQL
+  * for every hash-checkable one. Definitions live in [[Queries]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query (Q-PLANT-DEATHS analog, SURVEY.md §3.3): per-"plant"
+    * counts of in-radius points via the grid-bucketed haversine join.
+    * Driver smoke-checks rows > 0 on sf0.001 — the left-outer form always
+    * returns one row per supplier.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Prep.ensure(spark)
+    queries("q_plant_deaths")(spark, "/root/testdata/sf0.001")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / dedup / set operators (SURVEY.md §2.4, ops 17-19). */
+object Aggregates {
+
+  /** Op 17 — first-wins dedup by key subset, deterministic variant. The
+    * reference's `drop_duplicates(subset=['plant'])` keeps the first row in
+    * file order (global_dag.py:190,194); `dropDuplicates` keeps an arbitrary
+    * row, so for oracle-able output we pin "first" with an explicit ordering
+    * (SURVEY.md §7.4.2).
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Op 17, pandas-faithful variant: any-wins (no ordering guarantee). */
+  def dedupAny(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
+
+  /** Op 18 — idempotent append: `INSERT ... ON CONFLICT DO NOTHING`
+    * (global_dag.py:144, PK at create_death_table.sql:5). Returns only the
+    * batch rows whose keys are absent from the existing sink, deduplicated
+    * within the batch; appending the result is a no-op on re-run.
+    */
+  def idempotentNewRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    batch.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Op 19 — schema-aligning UNION ALL (global_dag.py:199-213). */
+  def unionAligned(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Top-k by an explicit total order — Spark plans this as
+    * TakeOrderedAndProject (no full sort, no full shuffle of the data).
+    */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (north star): exact,
+  * normalized-fingerprint, MinHash+LSH n-gram Jaccard, and SimHash.
+  *
+  * Everything is built from deterministic, engine-portable primitives
+  * (`md5` over strings, integer bit arithmetic, `ascii`) so the DuckDB
+  * oracle can evaluate the *same* definition — no JVM-specific hashing
+  * (murmur3 `hash()` would not be reproducible outside Spark).
+  *
+  * Scale design: no operator here ever cross-joins the corpus. Candidate
+  * pairs come from LSH band buckets (MinHash) or simhash chunk buckets
+  * (pigeonhole guarantee), so the only shuffles are groupBy(doc) for
+  * signatures and groupBy(bucket) for candidates — both linear in corpus
+  * size. This is the standard web-scale near-dedup layout (one pass to
+  * sign, one bucketed self-join, one verify join).
+  */
+object Dedup {
+
+  /** Whitespace tokens with empties removed (mirrors the oracle's
+    * `string_split_regex` + filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct n-token shingles joined by single spaces; empty array when the
+    * document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    val idx = when(count >= 1, sequence(lit(1), count)).otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+  }
+
+  /** Exploded (id, shingle) table — the unit of Jaccard similarity. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** One MinHash value: the lexicographic min of `md5(seed || '|' || shingle)`
+    * over a doc's shingles. A hex-string min is engine-portable (no 64-bit
+    * unsigned arithmetic needed) and just as uniform.
+    */
+  def minhashAgg(seed: Int): Column =
+    min(md5(concat(lit(seed.toString), lit("|"), col("shingle")))).as(s"mh$seed")
+
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1}. */
+  def minhashSignatures(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    shingleTbl.groupBy(col(idCol)).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
+
+  /** LSH band buckets: band b hashes `rowsPerBand` consecutive signature
+    * entries into one bucket id. Docs sharing any (band, bucket) are
+    * candidates. Output: (id, band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the candidate pairs; keeps pairs with
+    * jaccard >= threshold. Output: (doc_a, doc_b, jac).
+    */
+  def jaccardVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sizes = shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sa = shingleTbl.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = shingleTbl.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jac", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jac") >= lit(threshold))
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** End-to-end MinHash-LSH near-dedup: (doc_a, doc_b, jac) pairs. */
+  def minhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    val cand = lshCandidatePairs(lshBuckets(sig, idCol, numHashes, rowsPerBand), idCol)
+    jaccardVerify(cand, sh, idCol, threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** Hex digit (as a 1-char column) → 0..15, via ascii arithmetic — portable
+    * to the oracle (`ascii` exists in both engines; md5 hex is lowercase in
+    * both).
+    */
+  private def nibble(c: Column): Column = {
+    val a = ascii(c)
+    when(a <= 57, a - 48).otherwise(a - 87)
+  }
+
+  /** 32-bit SimHash per doc over md5-hashed tokens (term frequency weighted:
+    * duplicate tokens count). Bit i of the hash is set iff the sum over
+    * tokens of (2·bit_i(md5_32(token)) − 1) is >= 0.
+    * One explode + one groupBy(doc) — single shuffle, linear.
+    */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("hex8", substring(md5(col("tok")), 1, 8))
+    val contribs = (0 until 32).map { i =>
+      val nib = nibble(substring(col("hex8"), i / 4 + 1, 1))
+      val bit = shiftright(nib, i % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$i")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(contribs.head, contribs.tail: _*)
+    val hash = (0 until 32).map { i =>
+      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming (default 3).
+    *
+    * Candidates come from 4 × 8-bit chunk buckets: any pair with hamming <= 3
+    * must agree on at least one of the 4 chunks (pigeonhole), so the bucketed
+    * equi-join is *exact* — identical result to the O(N²) scan the oracle
+    * runs, at O(N·bucket) cost.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x8-bit chunking only guarantees hamming <= 3")
+    val sh = simhash32(docs, idCol, textCol)
+    val chunks = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255)).as("chunk"))): _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
+    val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
+    val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("k", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("bit_count", col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Exact dedup (first-wins deterministic) — see also Aggregates.dedupFirst. */
+  def exactDedup(docs: DataFrame, textCol: String, orderCol: String): DataFrame =
+    Aggregates.dedupFirst(docs, Seq(textCol), Seq(col(orderCol).asc))
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+
+/** Join operators (SURVEY.md §2.3 ops 15-16, §2.4 op 20, plus the §2.7
+  * extensions: semi/anti and as-of).
+  */
+object Joins {
+
+  /** Op 15 — broadcast hash lookup join. The reference builds an in-memory
+    * dict `INSEE → (lat, lon)` and probes it per row (global_dag.py:129-134);
+    * the scalable equivalent is an explicit broadcast of the small side so no
+    * shuffle of the big side is ever needed.
+    */
+  def broadcastLookup(big: DataFrame, small: DataFrame, joinExpr: Column, joinType: String = "inner"): DataFrame =
+    big.join(broadcast(small), joinExpr, joinType)
+
+  /** Op 20 — incremental ledger anti-join: `discovered − imported`
+    * (global_dag.py:83-91). Generic left-anti on a key set.
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** Op 16 — spatial radius θ-join, the reference's flagship analytic
+    * ("deaths within 10 km of a power plant", docs/Report.md:85-89).
+    *
+    * A naive formulation is a cross join with a haversine predicate —
+    * O(|left|·|right|) and a broadcast nested loop at scale. This version
+    * grid-buckets both sides: each right row is replicated into its cell and
+    * the 8 neighbors, the join becomes an equi hash join on the cell id, and
+    * the exact haversine predicate filters candidates. Cell sizes must satisfy
+    * latCellDeg ≥ radiusKm/110.57 and lonCellDeg ≥ radiusKm/(111.32·cos(maxLat))
+    * so that ±1-cell neighborhoods cover the radius; callers pick them for
+    * their data's latitude range.
+    *
+    * At 100 TB: the left (big) side shuffles once on the cell key (or not at
+    * all when the right side is broadcast-small); replication factor of the
+    * right side is a constant 9.
+    */
+  def radiusJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftLat: Column, leftLon: Column,
+      rightLat: Column, rightLon: Column,
+      radiusKm: Double,
+      latCellDeg: Double,
+      lonCellDeg: Double,
+      broadcastRight: Boolean = true): DataFrame = {
+    require(latCellDeg >= radiusKm / 110.57, s"latCellDeg $latCellDeg too small for radius $radiusKm km")
+    val l = left
+      .withColumn("_cell_lat", floor(leftLat / latCellDeg))
+      .withColumn("_cell_lon", floor(leftLon / lonCellDeg))
+    val r0 = right
+      .withColumn("_d_lat", explode(sequence(lit(-1), lit(1))))
+      .withColumn("_d_lon", explode(sequence(lit(-1), lit(1))))
+      .withColumn("_cell_lat", floor(rightLat / latCellDeg) + col("_d_lat"))
+      .withColumn("_cell_lon", floor(rightLon / lonCellDeg) + col("_d_lon"))
+      .drop("_d_lat", "_d_lon")
+    val r = if (broadcastRight) broadcast(r0) else r0
+    l.join(r, Seq("_cell_lat", "_cell_lon"))
+      .where(Geo.haversineKm(leftLat, leftLon, rightLat, rightLon) <= lit(radiusKm))
+      .drop("_cell_lat", "_cell_lon")
+  }
+
+  /** As-of join (§2.7): for each probe row, attach the greatest build-side
+    * timestamp ≤ the probe timestamp within the same key (ties: build row
+    * wins, i.e. `<=` semantics).
+    *
+    * Scalable formulation: union both sides, one window sort per key, carry
+    * the last non-null build timestamp forward. One shuffle on the key, no
+    * N×M candidate blowup, no per-key collect.
+    */
+  def asofLastPrior(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      ts: String,
+      asofCol: String): DataFrame = {
+    val tsType = build.schema(ts).dataType
+    val b = build
+      .select(col(key), col(ts))
+      .withColumn("_side", lit(0))
+      .withColumn("_asof_ts", col(ts))
+    val p = probe
+      .withColumn("_side", lit(1))
+      .withColumn("_asof_ts", lit(null).cast(tsType))
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn(asofCol, last(col("_asof_ts"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .drop("_side", "_asof_ts")
+  }
+}

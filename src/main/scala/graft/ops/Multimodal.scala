@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads as opaque
+  * `BinaryType` columns with typed metadata.
+  *
+  * The real decode step (JPEG decode, audio resample, video frame-sample)
+  * needs native codec libraries that are NOT in this container — it is
+  * STUBBED with a deterministic fake (`fakeDecodeFeatures`). Everything
+  * around the stub — schema, batching, partition-parallel execution, the
+  * mapPartitions plumbing a Pandas-UDF/`mapInArrow` equivalent would use —
+  * is real and tested. Swapping the stub for a codec call changes one
+  * function body, not the plan.
+  */
+object Multimodal {
+
+  /** Typed metadata every payload carries. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("checksum", StringType)))
+
+  /** Wrap a string column as a binary payload with metadata — stands in for
+    * reading real media bytes; pure expressions, codegen'd.
+    */
+  def attachPayload(df: DataFrame, srcCol: String, mime: String): DataFrame =
+    df.withColumn("payload", col(srcCol).cast("binary"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        octet_length(col(srcCol).cast("binary")).as("n_bytes"),
+        md5(col(srcCol)).as("checksum")))
+
+  /** Feature-extraction over payload batches via mapPartitions — the Scala
+    * analogue of `mapInPandas`: one iterator per partition, vectorizable
+    * batch shape, no driver involvement.
+    *
+    * STUB: emits a deterministic 4-bucket byte histogram + length instead of
+    * decoded image features. Replace the body with a codec call in
+    * production.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("feat", ArrayType(DoubleType))))
+    val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        // STUB decode: byte-value histogram over 4 buckets, L1-normalized.
+        val hist = new Array[Double](4)
+        bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
+        val n = math.max(bytes.length, 1).toDouble
+        Row(id, bytes.length, hist.map(_ / n).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sampling plumbing: split a payload into fixed-size "frames"
+    * (chunks) and explode one row per sampled frame — the partitioning shape
+    * a video pipeline needs (payload → n frame rows), all expressions.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int")
+    df.select(col(idCol), col("payload"), posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as(Seq("frame_no", "f")))
+      .where(col("frame_no") % everyNth === 0)
+      .select(col(idCol), col("frame_no"),
+        col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame"))
+  }
+}

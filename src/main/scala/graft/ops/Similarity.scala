@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * All vector math is higher-order-function expressions (`zip_with` /
+  * `aggregate` / `transform`) evaluated in double precision — codegen'd,
+  * no UDFs, no driver-side collect. Brute-force top-k is the correctness
+  * baseline; IVF (cluster-routed) and random-hyperplane LSH are the scale
+  * paths: both turn the all-pairs scan into a bucketed equi-join.
+  */
+object Similarity {
+
+  /** Dot product in double precision, summed left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-match excluded), ranked by (similarity desc, id asc).
+    *
+    * The query side is broadcast (queries << corpus), so the corpus streams
+    * through one pass with no shuffle until the per-query top-k window — and
+    * that window shuffles only |Q|·|C| *scored ids*, not vectors. At 100 TB
+    * the same plan holds as long as |Q| is bounded; unbounded Q → use
+    * [[ivfTopK]].
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Cluster centroids as mean vectors (positional explode + re-assemble —
+    * two narrow shuffles over |C|·dim scalars, exact).
+    */
+  def centroids(corpus: DataFrame, clusterCol: String, vecCol: String): DataFrame =
+    corpus.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(clusterCol), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col(clusterCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: route each query to its `nprobe` nearest centroids, then
+    * brute-force only within those clusters. The corpus never cross-joins the
+    * query set — the join key is the cluster id, so cost is
+    * |Q|·nprobe·avgClusterSize. Cluster assignments come from `clusterCol`
+    * (here: the precomputed `label`; in production: k-means output).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              clusterCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, clusterCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("q_vec"), col("centroid")))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col(clusterCol).asc)
+    val probes = routed.withColumn("_pr", row_number().over(wr)).where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col(clusterCol))
+    val c = corpus.select(col(clusterCol), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(probes), Seq(clusterCol))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim),
+    * derived from md5 — reproducible across engines and runs.
+    */
+  private def planeSign(plane: Int, dim: Column): Column = {
+    val a = ascii(substring(md5(concat(lit(plane.toString), lit("_"), dim.cast("string"))), 1, 1))
+    val nib = when(a <= 57, a - 48).otherwise(a - 87)
+    when(nib.bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Random-hyperplane (SRP) LSH bucket id: `numPlanes` sign bits of the
+    * vector projected onto deterministic ±1 planes. Vectors in the same
+    * bucket are near-duplicate candidates (cosine-similar with probability
+    * 1 − θ/π per bit).
+    */
+  def srpBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs: SRP-bucketed candidates verified by exact
+    * cosine >= threshold. Linear in corpus size; no cross join.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            numPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol), srpBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source operators (SURVEY.md §2.1, ops 2-6).
+  *
+  * The reference lands raw files (fixed-width death txt, `;`-CSV plant exports,
+  * JSON API catalogs) and scans them permissively with pandas
+  * (/root/reference/dags/global_dag.py:51-52,61-62,94-104,171-185). Here every
+  * scan is a declarative Spark source so column pruning and predicate pushdown
+  * reach the file reader.
+  */
+object Sources {
+
+  /** Op 4 — permissive `;`-separated CSV scan; malformed lines silently dropped,
+    * matching pandas `error_bad_lines=False` (global_dag.py:51-52,61-62).
+    */
+  def csvPermissive(
+      spark: SparkSession,
+      path: String,
+      sep: String = ";",
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** One fixed-width field: 1-based start byte + length (SQL substring convention). */
+  final case class FixedField(name: String, start1: Int, len: Int, trimmed: Boolean = true)
+
+  /** Op 5 — fixed-width text projection. The reference slices death records by
+    * byte offsets (global_dag.py:96-103); note Python slice `[81:89]` is SQL
+    * `substring(col, 82, 8)` (1-based).
+    */
+  def fixedWidth(lines: DataFrame, valueCol: String, fields: Seq[FixedField]): DataFrame = {
+    val cols = fields.map { f =>
+      val raw = substring(col(valueCol), f.start1, f.len)
+      (if (f.trimmed) trim(raw) else raw).as(f.name)
+    }
+    lines.select(cols: _*)
+  }
+
+  /** The reference's death-record layout (global_dag.py:96-103; FIXTURES.md A1). */
+  val deathRecordFields: Seq[FixedField] = Seq(
+    FixedField("name_raw", 1, 80),
+    FixedField("birth_raw", 82, 8),
+    FixedField("death_raw", 155, 8),
+    FixedField("insee", 163, 5)
+  )
+
+  /** Op 6 — glob file discovery with provenance, replacing the reference's
+    * `os.walk` + prefix filter (global_dag.py:77-80).
+    */
+  def globText(spark: SparkSession, pattern: String): DataFrame =
+    spark.read.text(pattern).withColumn("src_file", input_file_name())
+
+  /** Op 2 — JSON catalog → resource selection: parse a data.gouv-style dataset
+    * catalog, explode `resources`, keep a format, take the first n
+    * (global_dag.py:171-185, 236-255).
+    */
+  def selectResources(catalog: DataFrame, format: String, maxResources: Int): DataFrame =
+    catalog
+      .select(explode(col("resources")).as("r"))
+      .select(col("r.format").as("format"), col("r.latest").as("url"), col("r.title").as("title"))
+      .filter(col("format") === format)
+      .limit(maxResources)
+}

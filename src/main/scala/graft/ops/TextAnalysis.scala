@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north star: language ID,
+  * quality scoring, token counting, fingerprinting). All pure column
+  * expressions over `documents.text` — they stay in whole-stage codegen and
+  * scale linearly with no shuffle until the final aggregate.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization with empty tokens removed (leading whitespace
+    * would otherwise yield a "" token; the DuckDB oracle filters the same
+    * way).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count without materializing the array when only the count is needed. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Deterministic document fingerprint: md5 of normalized text (lowercase,
+    * punctuation stripped, whitespace collapsed). The basis for exact
+    * near-normalization dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text))
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Tiny per-language stopword marker sets used by the n-gram-heuristic
+    * language scorer. Deterministic and oracle-expressible (IN-lists).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es")
+  )
+
+  /** Fraction of tokens that are members of `words` (0.0 when no tokens). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(words.map(lit(_): Any): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts, with a
+    * fixed preference order (en > de > fr > es > unknown) on ties.
+    */
+  def languageGuess(text: Column): Column = {
+    val toks = tokens(text)
+    def hits(lang: String): Column =
+      size(filter(toks, t => t.isin(stopwords(lang).map(lit(_): Any): _*)))
+    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+    when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
+      .when(de >= fr && de >= es && de > 0, lit("de"))
+      .when(fr >= es && fr > 0, lit("fr"))
+      .when(es > 0, lit("es"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Quality signals: token count, mean token length, punctuation ratio,
+    * stopword ratio — the standard cheap pre-filters for LLM corpora.
+    */
+  def qualityScored(df: DataFrame, text: Column): DataFrame = {
+    val nToks = tokenCount(text)
+    val nChars = length(text)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val swRatio = stopwordRatio(text, stopwords("en"))
+    df.withColumn("n_tokens", nToks)
+      .withColumn("avg_token_len", when(nToks > 0, (nChars - nToks + 1).cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
+      .withColumn("punct_ratio", punct.cast("double") / nChars.cast("double"))
+      .withColumn("stopword_ratio", swRatio)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Row-level transforms (SURVEY.md §2.2, ops 7-14). All pure column
+  * expressions — codegen-friendly, no UDFs.
+  */
+object Transforms {
+
+  /** Op 7 — manual column pruning (global_dag.py:53-54,63-64). */
+  def dropCols(df: DataFrame, cols: Seq[String]): DataFrame = df.drop(cols: _*)
+
+  /** Op 8 — bulk rename (global_dag.py:55-56,65-66). */
+  def renameCols(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** Op 9 — multi-format date parse with null fallback: try `yyyyMMdd`, then
+    * `yyyy-MM-dd`, else null (global_dag.py:111-118). Requires ANSI off so
+    * `to_date` nulls instead of throwing — exactly the strptime-fails→None
+    * semantics, including day/month `00` dates (SURVEY.md §7.4.5).
+    */
+  def parseDateMulti(c: Column, formats: Seq[String] = Seq("yyyyMMdd", "yyyy-MM-dd")): Column =
+    coalesce(formats.map(f => to_date(c, f)): _*)
+
+  /** Op 10 — validity filter: drop rows where any required column is null/NaN
+    * (global_dag.py:140-143,203-204,210-211).
+    */
+  def filterValid(df: DataFrame, required: Seq[String]): DataFrame =
+    required.foldLeft(df) { (d, c) =>
+      val cl = col(c)
+      if (d.schema(c).dataType.typeName == "double")
+        d.filter(cl.isNotNull && !isnan(cl))
+      else d.filter(cl.isNotNull)
+    }
+
+  /** Op 11 — split a `"lat,lon"` string into typed columns (global_dag.py:205,212). */
+  def splitPoint(c: Column, sep: String = ","): (Column, Column) = {
+    val parts = split(c, sep)
+    (element_at(parts, 1).cast("double"), element_at(parts, 2).cast("double"))
+  }
+
+  /** Op 12 — deterministic hash id over business columns. The reference uses
+    * sha1 of the raw name field (deaths, global_dag.py:99) and sha1(str(row))
+    * (plants, :200,208 — unstable; re-specified as a concat of business columns,
+    * SURVEY.md §7.4.1). `md5` variant provided because the DuckDB oracle has no
+    * sha1.
+    */
+  def hashId(cols: Seq[Column], algo: String = "sha1", sep: String = "|"): Column = {
+    val payload = concat_ws(sep, cols: _*)
+    algo match {
+      case "sha1" => sha1(payload)
+      case "md5"  => md5(payload)
+      case "sha256" => sha2(payload, 256)
+      case other  => throw new IllegalArgumentException(s"unknown hash algo: $other")
+    }
+  }
+
+  /** Op 13 — constant discriminator column (global_dag.py:206,213). */
+  def tag(df: DataFrame, name: String, value: String): DataFrame =
+    df.withColumn(name, lit(value))
+
+  /** Op 14 — JSON encode/decode of records (global_dag.py:104,125-126). */
+  def toJsonCol(cols: Seq[Column]): Column = to_json(struct(cols: _*))
+  def fromJsonCol(c: Column, schema: DataType): Column = from_json(c, schema)
+}

@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Sources, Transforms, Joins}
+
+/** The reference's death staging pipeline as ONE lazy DataFrame expression
+  * (SURVEY.md §3.2; /root/reference/dags/global_dag.py:94-148).
+  *
+  * Raw fixed-width `death_*` files → byte-sliced fields → sha1 privacy id →
+  * multi-format date parse (nulls on `00` months, exactly like strptime
+  * failure) → broadcast INSEE→geo lookup (inner: unknown communes dropped)
+  * → validity filter → within-batch dedup on id.
+  *
+  * Scale: the only non-narrow step is the final dropDuplicates (one hash
+  * shuffle on id); the geo lookup broadcasts (~35k communes in the real
+  * data). At 100 TB the txt scan parallelizes per file-split and the plan is
+  * unchanged.
+  */
+object StageDeaths {
+
+  def cityGeo(spark: SparkSession, path: String): DataFrame =
+    Sources.csvPermissive(spark, path, sep = ",")
+      .select(col("code_commune_INSEE").cast("string").as("insee"),
+        col("latitude").cast("double"),
+        col("longitude").cast("double"))
+
+  def apply(spark: SparkSession, deathGlob: String, cityGeoPath: String): DataFrame = {
+    graft.Prep.ensure(spark)
+    val raw = Sources.fixedWidth(spark.read.text(deathGlob), "value", Sources.deathRecordFields)
+    val parsed = raw
+      .withColumn("id", sha1(col("name_raw")))
+      .withColumn("date_of_birth", Transforms.parseDateMulti(col("birth_raw")))
+      .withColumn("date_of_death", Transforms.parseDateMulti(col("death_raw")))
+    val geo = cityGeo(spark, cityGeoPath)
+      .where(col("latitude").isNotNull && !isnan(col("latitude")) &&
+        col("longitude").isNotNull && !isnan(col("longitude")))
+    Joins.broadcastLookup(parsed, geo, parsed("insee") === geo("insee"))
+      .where(col("date_of_birth").isNotNull && col("date_of_death").isNotNull)
+      .select(parsed("id"), col("date_of_birth"), col("date_of_death"),
+        col("latitude"), col("longitude"))
+      .dropDuplicates("id")
+  }
+}

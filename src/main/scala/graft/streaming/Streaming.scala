@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Sources
+
+/** Structured Streaming restatement of the reference's incremental batch
+  * machinery (SURVEY.md §2.6, ops 20-22):
+  *
+  *  - Redis ledger `imported_death_files` (global_dag.py:83-91) → the file
+  *    source's checkpointed seen-files log: each file is ingested exactly
+  *    once across restarts.
+  *  - Redis buffer drain (global_dag.py:124,161-167) → continuous
+  *    micro-batches; no intermediate store.
+  *  - `INSERT ... ON CONFLICT DO NOTHING` (global_dag.py:144) →
+  *    `dropDuplicates` over a watermark-bounded id state.
+  *
+  * Plus the windowed-aggregation surface the north star needs on the
+  * `events` table (tumbling windows, late-data watermarks).
+  */
+object Streaming {
+
+  /** Incremental fixed-width death-file stream: every file matching
+    * `death_*` under `dir` is parsed once; ids deduped within the watermark.
+    */
+  def deathFileStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.Prep.ensure(spark)
+    val lines = spark.readStream
+      .format("text")
+      .option("pathGlobFilter", "death_*")
+      .option("maxFilesPerTrigger", 16)
+      .load(dir)
+    Sources.fixedWidth(lines, "value", Sources.deathRecordFields)
+      .withColumn("id", sha1(col("name_raw")))
+      .withColumn("date_of_birth",
+        coalesce(to_date(col("birth_raw"), "yyyyMMdd"), to_date(col("birth_raw"), "yyyy-MM-dd")))
+      .withColumn("date_of_death",
+        coalesce(to_date(col("death_raw"), "yyyyMMdd"), to_date(col("death_raw"), "yyyy-MM-dd")))
+      .where(col("date_of_birth").isNotNull && col("date_of_death").isNotNull)
+      .select("id", "date_of_birth", "date_of_death", "insee")
+      .dropDuplicates("id")
+  }
+
+  /** Tumbling-window event counts with a late-data watermark — the streaming
+    * form of the batch `events_window` query. `ts` must be TimestampType.
+    */
+  def windowedEventCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Watermarked streaming dedup by id — exactly-once-per-id within the
+    * lateness bound; state is pruned by the watermark, so memory is bounded
+    * regardless of stream length (the 100-TB-stream concern).
+    */
+  def dedupByIdWithWatermark(df: DataFrame, tsCol: String, watermark: String, idCols: String*): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+}
