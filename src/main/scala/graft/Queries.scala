@@ -571,7 +571,7 @@ object Queries {
 
     QueryDef("emb_near_dup",
       (s, d) => Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          numPlanes = 8, threshold = 0.4)
+          numTables = 8, planesPerTable = 3, threshold = 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b")),
       None), // SRP bucket bits flip on 1-ulp projection differences across engines — rows-only; verified in ScalaTest

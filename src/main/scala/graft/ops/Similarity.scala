@@ -84,31 +84,43 @@ object Similarity {
     when(nib.bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** Random-hyperplane (SRP) LSH bucket id: `numPlanes` sign bits of the
-    * vector projected onto deterministic ±1 planes. Vectors in the same
-    * bucket are near-duplicate candidates (cosine-similar with probability
-    * 1 − θ/π per bit).
+  /** Random-hyperplane (SRP) LSH bucket id for one hash table: `numPlanes`
+    * sign bits of the vector projected onto deterministic ±1 planes (plane
+    * ids are namespaced by table so tables are independent). Same-bucket
+    * probability per bit is 1 − θ/π.
     */
-  def srpBucket(vec: Column, numPlanes: Int): Column = {
+  def srpBucket(vec: Column, numPlanes: Int, table: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * planeSign(p, i)),
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * planeSign(table * 1000 + p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Embedding near-dup pairs: SRP-bucketed candidates verified by exact
-    * cosine >= threshold. Linear in corpus size; no cross join.
+  /** Embedding near-dup pairs: multi-table SRP-bucketed candidates verified
+    * by exact cosine >= threshold. Banding matters: one k-bit table has
+    * recall (1−θ/π)^k (2.5% at cos 0.4 for k=8); `numTables` independent
+    * tables of `planesPerTable` bits lift it to 1−(1−p^k)^L (~90% at the
+    * defaults). Precision is exact — every candidate is re-scored. Linear in
+    * corpus size; no cross join; candidate pairs dedupe across tables before
+    * the (more expensive) cosine verify.
     */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            numPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
-    val bucketed = corpus.select(col(idCol), col(vecCol), srpBucket(col(vecCol), numPlanes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("bucket"))
+                            numTables: Int = 8, planesPerTable: Int = 3,
+                            threshold: Double = 0.9): DataFrame = {
+    val buckets = corpus.select(col(idCol), explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("tbl"), srpBucket(col(vecCol), planesPerTable, t).as("bucket"))): _*)).as("b"))
+      .select(col(idCol), col("b.tbl"), col("b.bucket"))
+    val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }

@@ -21,7 +21,9 @@ object StageDeaths {
 
   def cityGeo(spark: SparkSession, path: String): DataFrame =
     Sources.csvPermissive(spark, path, sep = ",")
-      .select(col("code_commune_INSEE").cast("string").as("insee"),
+      // INSEE codes are 5 chars with leading zeros; schema inference may have
+      // read them as ints (pandas has the same hazard), so re-pad.
+      .select(lpad(col("code_commune_INSEE").cast("string"), 5, "0").as("insee"),
         col("latitude").cast("double"),
         col("longitude").cast("double"))
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Aggregates
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("op17: dedupFirst keeps the first row per key under the given order (pandas first-wins)") {
+    val df = Seq(("BELLEVILLE", 1, 620.0), ("BELLEVILLE", 2, 655.0), ("CIVAUX", 1, 700.0))
+      .toDF("plant", "unit", "mw")
+    val got = Aggregates.dedupFirst(df, Seq("plant"), Seq(col("unit").asc))
+      .select("plant", "mw").as[(String, Double)].collect().toMap
+    // plant power = FIRST unit's MW, not the sum — faithful reference semantics (SURVEY §7.4.3)
+    assert(got == Map("BELLEVILLE" -> 620.0, "CIVAUX" -> 700.0))
+  }
+
+  test("op18: idempotent insert — appending the returned rows twice is a no-op (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val existing = List.fill(rnd.nextInt(20))(rnd.nextInt(30))
+      val batch = List.fill(rnd.nextInt(20))(rnd.nextInt(30))
+      val e = existing.toDF("id")
+      val b = batch.toDF("id")
+      val newRows = Aggregates.idempotentNewRows(b, e, Seq("id")).as[Int].collect().toSet
+      // new rows are exactly batch-minus-existing, deduped
+      assert(newRows == (batch.toSet -- existing.toSet))
+      // re-running against existing+newRows yields nothing
+      val after = existing.toSet ++ newRows
+      val again = Aggregates.idempotentNewRows(b, after.toSeq.toDF("id"), Seq("id")).count()
+      assert(again == 0)
+    }
+  }
+
+  test("op19: unionAligned aligns schemas by name and fills missing with null") {
+    val a = Seq((1, "x")).toDF("id", "a_only")
+    val b = Seq((2, 9.0)).toDF("id", "b_only")
+    val u = Aggregates.unionAligned(Seq(a, b))
+    assert(u.columns.toSet == Set("id", "a_only", "b_only") && u.count() == 2)
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort)") {
+    val o = Tables.load(spark, sf0001, "orders")
+    val plan = Aggregates.topK(o, 10, Seq(col("o_totalprice").desc)).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

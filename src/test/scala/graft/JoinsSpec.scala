@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+import graft.functions.Geo
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("op16: grid-bucketed radius join == brute-force haversine filter") {
+    val left = Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", (($"c_custkey" * 7 % 1200) / 10.0 - 60.0).as("lat"),
+        (($"c_custkey" * 13 % 3000) / 10.0 - 150.0).as("lon"))
+    val right = Tables.load(spark, sf0001, "supplier")
+      .select($"s_suppkey", (($"s_suppkey" * 91 % 1200) / 10.0 - 60.0).as("lat"),
+        (($"s_suppkey" * 53 % 3000) / 10.0 - 150.0).as("lon"))
+    val bucketed = Joins.radiusJoin(left, right, left("lat"), left("lon"), right("lat"), right("lon"),
+        300.0, 3.0, 6.0)
+      .select("c_custkey", "s_suppkey").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .where(Geo.haversineKm(left("lat"), left("lon"), right("lat"), right("lon")) <= 300.0)
+      .select("c_custkey", "s_suppkey").as[(Long, Long)].collect().toSet
+    assert(bucketed == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("asof join attaches greatest build ts <= probe ts per key, ties build-wins, null when none") {
+    val probe = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 40L), (4L, 99L, 10L))
+      .toDF("event_id", "user_id", "ts_us")
+    val build = Seq((10L, 90L), (10L, 40L), (10L, 100L)).toDF("user_id", "ts_us")
+    val got = Joins.asofLastPrior(probe, build, "user_id", "ts_us", "asof")
+      .select("event_id", "asof").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(40L), 3L -> Some(40L), 4L -> None))
+  }
+
+  test("op20: anti-join ledger = discovered minus imported") {
+    val discovered = Seq("a", "b", "c").toDF("path")
+    val imported = Seq("b").toDF("path")
+    assert(Joins.antiJoin(discovered, imported, Seq("path")).as[String].collect().toSet == Set("a", "c"))
+  }
+
+  test("op15: broadcast lookup join drops unmatched keys (inner) and plan broadcasts") {
+    val big = Seq(("01007", 1), ("99999", 2)).toDF("insee", "v")
+    val small = Seq(("01007", 47.0)).toDF("code", "lat")
+    val joined = Joins.broadcastLookup(big, small, $"insee" === $"code")
+    assert(joined.count() == 1)
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}

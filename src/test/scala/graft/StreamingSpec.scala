@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed event counts aggregate a memory stream by tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventCounts(df, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").select("w_start", "n", "total_value")
+      .as[(java.sql.Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    q.stop()
+    assert(rows.map(r => (r._2, r._3)).toSeq == Seq((2L, 3.0), (1L, 4.0)))
+  }
+
+  test("death file stream ingests incrementally: new files only, parsed and deduped") {
+    val dir = Files.createTempDirectory("graft-stream")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    val sink = Files.createTempDirectory("graft-sink")
+    def line(name: String, insee: String) =
+      name.padTo(80, ' ') + "1" + "19250404" + " ".padTo(65, ' ') + "20220804" + insee + "1"
+    Files.writeString(dir.resolve("death_a.txt"), Seq(line("A/", "01007"), line("A/", "01007")).mkString("\n"))
+    def runOnce(): Unit = {
+      val q = Streaming.deathFileStream(spark, dir.toString).writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", sink.toString)
+        .outputMode("append").format("parquet")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink.toString).count() == 1) // in-file duplicate deduped
+
+    Files.writeString(dir.resolve("death_b.txt"), line("B/", "01053"))
+    runOnce()
+    // checkpoint = the reference's Redis file ledger: only death_b is new
+    val out = spark.read.parquet(sink.toString)
+    assert(out.count() == 2)
+    assert(out.select("insee").as[String].collect().toSet == Set("01007", "01053"))
+  }
+
+  test("watermarked dedup bounds state while deduping within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = Streaming.dedupByIdWithWatermark(input.toDF().toDF("ts", "id"), "ts", "1 hour", "id")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "x"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:45:00"), "y"))
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2)
+  }
+}

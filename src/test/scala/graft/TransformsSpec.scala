@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Transforms, Sources}
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("op9: multi-format date parse nulls month-00 dates (reference strptime-fail semantics)") {
+    val df = Seq("19250404", "1925-04-04", "19250004", "00000000", "garbage")
+      .toDF("raw")
+      .select(Transforms.parseDateMulti(col("raw")).cast("string").as("d"))
+    assert(df.as[Option[String]].collect().toSeq ==
+      Seq(Some("1925-04-04"), Some("1925-04-04"), None, None, None))
+  }
+
+  test("op5: fixed-width slicing matches the reference's byte offsets (Report.md sample row)") {
+    // Python slices [0:80],[81:89],[154:162],[162:167] == SQL substring (1,80),(82,8),(155,8),(163,5)
+    val name = "THERON*JEANNINE EMILIENNE MARIA/"
+    val line = name.padTo(80, ' ') + "2" + "19250404" + "51582TRIGNY".padTo(65, ' ') + "20220804" + "01007" + "19"
+    val out = Sources.fixedWidth(Seq(line).toDF("value"), "value", Sources.deathRecordFields)
+      .as[(String, String, String, String)].head()
+    assert(out == ((name, "19250404", "20220804", "01007")))
+  }
+
+  test("op11: lat,lon split and cast") {
+    val (la, lo) = Transforms.splitPoint(lit("47.733,-1.38"))
+    val (a, b) = Seq(1).toDF("x").select(la, lo).as[(Double, Double)].head()
+    assert(a == 47.733 && b == -1.38)
+  }
+
+  test("op12: hash id is deterministic and algo-selectable") {
+    val df = Seq(("BELLEVILLE", 1200.0)).toDF("plant", "mw")
+    val id1 = df.select(Transforms.hashId(Seq(col("plant"), col("mw").cast("string"))).as("id")).head().getString(0)
+    val id2 = df.select(Transforms.hashId(Seq(col("plant"), col("mw").cast("string"))).as("id")).head().getString(0)
+    assert(id1 == id2 && id1.length == 40) // sha1 hex
+    val md = df.select(Transforms.hashId(Seq(col("plant")), algo = "md5").as("id")).head().getString(0)
+    assert(md.length == 32)
+  }
+
+  test("op10: validity filter drops null and NaN") {
+    val df = Seq((Some(1.0), "a"), (Some(Double.NaN), "b"), (None, "c")).toDF("v", "k")
+    val kept = Transforms.filterValid(df, Seq("v")).select("k").as[String].collect().toSet
+    assert(kept == Set("a"))
+  }
+}
