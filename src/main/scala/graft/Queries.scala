@@ -471,8 +471,7 @@ object Queries {
         FROM documents) GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""")),
 
     QueryDef("txt_language_guess",
-      (s, d) => t(s, d, "documents")
-        .select(TextAnalysis.languageGuess(col("text")).as("guess"), col("lang"))
+      (s, d) => TextAnalysis.languageGuessed(t(s, d, "documents"), "text")
         .groupBy(col("guess"), col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("guess"), col("lang")),
       Some {
@@ -493,15 +492,19 @@ object Queries {
 
     QueryDef("txt_quality",
       (s, d) => {
-        val toks = Dedup.tokens(col("text"))
-        val nToks = size(toks)
-        t(s, d, "documents").select(
-          col("doc_id"),
-          nToks.as("n_tokens"),
-          (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
-            length(col("text")).cast("double")).as("punct_ratio"),
-          (length(col("text")).cast("double") / nToks.cast("double")).as("avg_token_len"),
-          TextAnalysis.stopwordRatio(col("text"), TextAnalysis.stopwords("en")).as("stopword_ratio"))
+        val swEn = TextAnalysis.stopwords("en")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+              length(col("text")).cast("double")).as("punct_ratio"),
+            (length(col("text")).cast("double") / size(col("toks")).cast("double")).as("avg_token_len"),
+            when(size(col("toks")) > 0,
+              size(filter(col("toks"), t => t.isin(swEn.map(lit(_): Any): _*))).cast("double") /
+                size(col("toks")).cast("double"))
+              .otherwise(lit(0.0)).as("stopword_ratio"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,

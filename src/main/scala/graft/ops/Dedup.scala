@@ -27,18 +27,24 @@ object Dedup {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Distinct n-token shingles joined by single spaces; empty array when the
-    * document has fewer than n tokens.
+    * document has fewer than n tokens. `toks` MUST be a materialized column
+    * (an attribute), not a `tokens(text)` expression tree: every
+    * `element_at` inside the lambda re-evaluates its argument, so passing
+    * the raw expression re-splits the text once per shingle per gram (3× the
+    * tokenizer cost per shingle — measured ~8× slowdown on the corpus).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     val idx = when(count >= 1, sequence(lit(1), count)).otherwise(array().cast("array<int>"))
     array_distinct(transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
   }
 
-  /** Exploded (id, shingle) table — the unit of Jaccard similarity. */
+  /** Exploded (id, shingle) table — the unit of Jaccard similarity. The
+    * tokenizer runs exactly once per document (projection before explode).
+    */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("_toks"), n)).as("shingle"))
 
   /** One MinHash value: the lexicographic min of `md5(seed || '|' || shingle)`
     * over a doc's shingles. A hex-string min is engine-portable (no 64-bit
@@ -91,12 +97,20 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
-  /** End-to-end MinHash-LSH near-dedup: (doc_a, doc_b, jac) pairs. */
+  /** End-to-end MinHash-LSH near-dedup: (doc_a, doc_b, jac) pairs.
+    *
+    * The shingle table feeds four downstream consumers (signatures, sizes,
+    * and both sides of the intersection join); without persisting it, Spark
+    * re-tokenizes and re-explodes the corpus once per consumer. At 100 TB
+    * this intermediate would be checkpointed to distributed storage; locally
+    * MEMORY_AND_DISK.
+    */
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol, numHashes)
     val cand = lshCandidatePairs(lshBuckets(sig, idCol, numHashes, rowsPerBand), idCol)
     jaccardVerify(cand, sh, idCol, threshold)

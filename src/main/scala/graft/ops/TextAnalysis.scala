@@ -49,11 +49,28 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax of per-language stopword hit counts, with a
     * fixed preference order (en > de > fr > es > unknown) on ties.
+    *
+    * Column form — convenient but re-evaluates the tokenizer per hit-count
+    * reference; prefer [[languageGuessed]] on hot paths.
     */
-  def languageGuess(text: Column): Column = {
-    val toks = tokens(text)
-    def hits(lang: String): Column =
-      size(filter(toks, t => t.isin(stopwords(lang).map(lit(_): Any): _*)))
+  def languageGuess(text: Column): Column =
+    guessFromHits(h => size(filter(tokens(text), t => t.isin(stopwords(h).map(lit(_): Any): _*))))
+
+  /** DataFrame form: tokenizes once, materializes the four hit counts as
+    * attributes, then applies the argmax — each stage is a projection, so
+    * nothing is recomputed.
+    */
+  def languageGuessed(df: DataFrame, textCol: String, outCol: String = "guess"): DataFrame = {
+    val withToks = df.withColumn("_toks", tokens(col(textCol)))
+    val withHits = stopwords.keys.foldLeft(withToks) { (d, lang) =>
+      d.withColumn(s"_hits_$lang",
+        size(filter(col("_toks"), t => t.isin(stopwords(lang).map(lit(_): Any): _*))))
+    }
+    withHits.withColumn(outCol, guessFromHits(lang => col(s"_hits_$lang")))
+      .drop(("_toks" +: stopwords.keys.toSeq.map(l => s"_hits_$l")): _*)
+  }
+
+  private def guessFromHits(hits: String => Column): Column = {
     val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
     when(en >= de && en >= fr && en >= es && en > 0, lit("en"))
       .when(de >= fr && de >= es && de > 0, lit("de"))
