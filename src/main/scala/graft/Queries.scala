@@ -284,6 +284,24 @@ object Queries {
         WHERE ${havSql("c.lat", "c.lon", "s.lat", "s.lon")} <= 300.0
         ORDER BY 1, 2""")),
 
+    QueryDef("op16_radius_naive",
+      // the same radius join written the naive way (crossJoin + haversine
+      // filter); graft.plans.RadiusJoinRule rewrites it to the banded hash
+      // join at optimization time — same oracle as op16_radius_join
+      (s, d) => {
+        graft.plans.Graft.install(s)
+        val c = custPoints(s, d)
+        val su = suppPoints(s, d)
+        c.crossJoin(su)
+          .where(Geo.haversineKm(c("lat"), c("lon"), su("lat"), su("lon")) <= lit(RadiusKm))
+          .select(col("c_custkey"), col("s_suppkey"))
+          .orderBy(col("c_custkey"), col("s_suppkey"))
+      },
+      Some(s"""SELECT c_custkey, s_suppkey
+        FROM ($custPointsSql) c CROSS JOIN ($suppPointsSql) s
+        WHERE ${havSql("c.lat", "c.lon", "s.lat", "s.lon")} <= 300.0
+        ORDER BY 1, 2""")),
+
     QueryDef("op_asof_join",
       (s, d) => {
         val ev = eventsUs(s, d)
