@@ -382,6 +382,28 @@ object Queries {
         count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2""")),
 
+    QueryDef("op_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 20, 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"), col("qty"))
+        .orderBy(col("flag"), col("status")),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        count(*) AS cnt, ${dsumSql("l_quantity", 20, 2)} AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY 1, 2""")),
+
+    QueryDef("op_approx_distinct",
+      // HLL++ sketch — implementations differ across engines, so this is a
+      // rows-only check; the exact variant is op_count_distinct
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     QueryDef("op_intersect",
       (s, d) => t(s, d, "orders").where(col("o_orderstatus") === "O")
         .select(col("o_custkey").as("custkey"))

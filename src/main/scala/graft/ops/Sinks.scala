@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sink operators (SURVEY.md §2.5, ops 21-25).
+  *
+  * The reference renders per-row INSERT statements into a .sql file and
+  * replays them against Postgres with `ON CONFLICT DO NOTHING`
+  * (/root/reference/dags/global_dag.py:144-148,197-221) — a SQL-injection-
+  * prone, single-threaded sink. Here the production store is partitioned
+  * parquet with the same idempotence contract done relationally (anti-join
+  * on the key before append).
+  */
+object Sinks {
+
+  /** Op 23 — CSV staging sink (global_dag.py:57,67; the pandas index column
+    * quirk is intentionally not replicated).
+    */
+  def csvSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Op 21 — non-empty gate: the reference's BranchPythonOperator skip
+    * (global_dag.py:151-159). `isEmpty` costs a limit(1) job, not a full
+    * scan. Returns whether the write happened.
+    */
+  def writeIfNonEmpty(df: DataFrame, write: DataFrame => Unit): Boolean =
+    if (df.isEmpty) false else { write(df); true }
+
+  /** Ops 18+24+25 — idempotent append to a parquet table: dedup within the
+    * batch, anti-join against the existing table on the key (the PK +
+    * `ON CONFLICT DO NOTHING` semantics), append only the new rows.
+    * Re-running with the same batch is a no-op. Creates the table on first
+    * write (op 25's CREATE IF NOT EXISTS).
+    *
+    * `partitionBy` should be a low-cardinality derived column (the deaths
+    * table partitions by death year) so a 100-TB table prunes on read.
+    */
+  def idempotentParquetAppend(
+      spark: SparkSession, batch: DataFrame, path: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    val deduped = batch.dropDuplicates(keys)
+    val newRows =
+      if (existsNonEmpty(spark, path))
+        deduped.join(spark.read.parquet(path).select(keys.head, keys.tail: _*), keys, "left_anti")
+      else deduped
+    val w = newRows.write.mode(SaveMode.Append)
+    val n = newRows.count()
+    if (n > 0) (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    n
+  }
+
+  private def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

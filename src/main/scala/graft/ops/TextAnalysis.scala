@@ -81,15 +81,20 @@ object TextAnalysis {
 
   /** Quality signals: token count, mean token length, punctuation ratio,
     * stopword ratio — the standard cheap pre-filters for LLM corpora.
+    * Tokenizes once (materialized column) before deriving the ratios.
     */
   def qualityScored(df: DataFrame, text: Column): DataFrame = {
-    val nToks = tokenCount(text)
+    val withToks = df.withColumn("_toks", tokens(text))
+    val nToks = size(col("_toks"))
     val nChars = length(text)
     val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
-    val swRatio = stopwordRatio(text, stopwords("en"))
-    df.withColumn("n_tokens", nToks)
-      .withColumn("avg_token_len", when(nToks > 0, (nChars - nToks + 1).cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
+    val swHits = size(filter(col("_toks"), t => t.isin(stopwords("en").map(lit(_): Any): _*)))
+    withToks
+      .withColumn("n_tokens", nToks)
+      .withColumn("avg_token_len", when(nToks > 0, nChars.cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
       .withColumn("punct_ratio", punct.cast("double") / nChars.cast("double"))
-      .withColumn("stopword_ratio", swRatio)
+      .withColumn("stopword_ratio",
+        when(nToks > 0, swHits.cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
+      .drop("_toks")
   }
 }

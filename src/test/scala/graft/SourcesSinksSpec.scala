@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Sources, Sinks}
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("op2: JSON catalog -> resource selection (explode, format filter, limit)") {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("catalog.json"),
+      """{"title": "deces", "resources": [
+        |{"format": "csv", "latest": "http://x/a.csv", "title": "a"},
+        |{"format": "txt", "latest": "http://x/b.txt", "title": "b"},
+        |{"format": "csv", "latest": "http://x/c.csv", "title": "c"},
+        |{"format": "csv", "latest": "http://x/d.csv", "title": "d"}]}""".stripMargin.replace("\n", " "))
+    val catalog = spark.read.json(dir.toString)
+    val picked = Sources.selectResources(catalog, "csv", maxResources = 2)
+      .select("url").as[String].collect()
+    assert(picked.length == 2 && picked.forall(_.endsWith(".csv")))
+  }
+
+  test("op4: permissive ;-CSV scan drops malformed lines (pandas error_bad_lines=False)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("x.csv"),
+      "a;b;c\n1;2;3\nbroken;line;with;extra;fields\n4;5;6\n")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", IntegerType), StructField("c", IntegerType)))
+    val df = Sources.csvPermissive(spark, dir.toString + "/x.csv", schema = Some(schema))
+    // note: a bare count() parses no columns (CSV column pruning), so
+    // malformed rows are only dropped when fields are actually read
+    assert(df.select("a", "b", "c").as[(Int, Int, Int)].collect().toSeq == Seq((1, 2, 3), (4, 5, 6)))
+  }
+
+  test("op6: glob discovery with provenance keeps only matching files") {
+    val dir = Files.createTempDirectory("graft-glob")
+    Files.writeString(dir.resolve("death_1.txt"), "row1\nrow2")
+    Files.writeString(dir.resolve("other.txt"), "nope")
+    val df = Sources.globText(spark, s"$dir/death_*")
+    assert(df.count() == 2)
+    assert(df.select("src_file").distinct().as[String].collect().forall(_.contains("death_1")))
+  }
+
+  test("op21+24+25: idempotent parquet append with partitioning; re-run is a no-op") {
+    val path = Files.createTempDirectory("graft-sink").toString + "/table"
+    val batch1 = Seq((1, "2022", "a"), (2, "2022", "b"), (2, "2022", "b")).toDF("id", "yr", "v")
+    assert(Sinks.idempotentParquetAppend(spark, batch1, path, Seq("id"), Seq("yr")) == 2)
+    // overlapping re-run: only the genuinely new row lands
+    val batch2 = Seq((2, "2022", "b"), (3, "2023", "c")).toDF("id", "yr", "v")
+    assert(Sinks.idempotentParquetAppend(spark, batch2, path, Seq("id"), Seq("yr")) == 1)
+    assert(Sinks.idempotentParquetAppend(spark, batch2, path, Seq("id"), Seq("yr")) == 0)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 3)
+    // partition pruning is available on the year column
+    assert(stored.where($"yr" === "2023").count() == 1)
+  }
+
+  test("op21: writeIfNonEmpty skips the write for empty frames") {
+    var written = 0
+    assert(!Sinks.writeIfNonEmpty(Seq.empty[Int].toDF("x"), _ => written += 1))
+    assert(Sinks.writeIfNonEmpty(Seq(1).toDF("x"), _ => written += 1))
+    assert(written == 1)
+  }
+
+  test("op23: csv sink roundtrip") {
+    val path = Files.createTempDirectory("graft-csvsink").toString + "/out"
+    Sinks.csvSink(Seq((1, "x"), (2, "y")).toDF("id", "v"), path)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
+  }
+}
