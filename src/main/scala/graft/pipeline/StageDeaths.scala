@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Death
 import graft.ops.{Sources, Transforms, Joins}
 
 /** The reference's death staging pipeline as ONE lazy DataFrame expression
@@ -43,4 +44,8 @@ object StageDeaths {
         col("latitude"), col("longitude"))
       .dropDuplicates("id")
   }
+
+  /** Typed serve-layer view (SURVEY.md §1.4). */
+  def typed(spark: SparkSession, deathGlob: String, cityGeoPath: String): Dataset[Death] =
+    apply(spark, deathGlob, cityGeoPath).as(Encoders.product[Death])
 }

@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.PowerPlant
 import graft.ops.{Sources, Transforms, Aggregates}
 
 /** The reference's power-plant staging pipeline as one expression
@@ -59,4 +60,8 @@ object StagePlants {
       nuclearDrops, nuclearRenames, "NUCLEAR", "tranche")
     Aggregates.unionAligned(Seq(thermal, nuclear))
   }
+
+  /** Typed serve-layer view (SURVEY.md §1.4). */
+  def typed(spark: SparkSession, thermalCsv: String, nuclearCsv: String): Dataset[PowerPlant] =
+    apply(spark, thermalCsv, nuclearCsv).as(Encoders.product[PowerPlant])
 }

@@ -133,11 +133,41 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => RadiusJoinRule)
 }
 
+/** The haversine formula as a raw Catalyst tree (same shape as
+  * graft.functions.Geo.haversineKm builds via Columns) — needed where a
+  * resolved Expression is required, e.g. FunctionRegistry lambdas.
+  */
+object GeoExprs {
+  def haversineKm(lat1: Expression, lon1: Expression, lat2: Expression, lon2: Expression): Expression = {
+    val dLat = Divide(ToRadians(Subtract(lat2, lat1)), Literal(2.0))
+    val dLon = Divide(ToRadians(Subtract(lon2, lon1)), Literal(2.0))
+    val a = Add(
+      Pow(Sin(dLat), Literal(2.0)),
+      Multiply(Multiply(Cos(ToRadians(lat1)), Cos(ToRadians(lat2))), Pow(Sin(dLon), Literal(2.0))))
+    Multiply(Literal(2 * graft.functions.Geo.EarthRadiusKm), Asin(Sqrt(a)))
+  }
+}
+
 object Graft {
   def install(spark: SparkSession): SparkSession = {
     if (!spark.experimental.extraOptimizations.contains(RadiusJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RadiusJoinRule
+    registerSqlFunctions(spark)
     spark
+  }
+
+  /** Expose the engine's scalar functions to `spark.sql` users:
+    * `graft_cosine_sim(a, b)`, `graft_dot(a, b)`,
+    * `graft_haversine_km(lat1, lon1, lat2, lon2)`.
+    */
+  def registerSqlFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine_sim",
+      es => graft.functions.CosineSimExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => graft.functions.DotProductExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_haversine_km",
+      es => GeoExprs.haversineKm(es(0), es(1), es(2), es(3)), "built-in")
   }
 }

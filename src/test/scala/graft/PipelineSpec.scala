@@ -66,4 +66,11 @@ class PipelineSpec extends SparkSpec {
     assert(bell.getAs[String]("plant_type") == "NUCLEAR")
     assert(bell.getAs[java.sql.Date]("creation_date").toString == "1988-06-01")
   }
+
+  test("typed serve layer: Dataset[Death] / Dataset[PowerPlant] round-trip the schemas") {
+    val deaths = StageDeaths.typed(spark, s"$dir/death_*", s"$dir/city_geo.csv").collect()
+    assert(deaths.length == 1 && deaths.head.latitude == 46.005)
+    val plants = StagePlants.typed(spark, s"$dir/thermal.csv", s"$dir/nuclear.csv").collect()
+    assert(plants.map(_.plant_type).sorted.toSeq == Seq("NUCLEAR", "THERMAL"))
+  }
 }

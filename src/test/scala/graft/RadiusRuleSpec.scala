@@ -49,4 +49,15 @@ class RadiusRuleSpec extends SparkSpec {
     val eq = l.join(r, $"lid" === $"rid").where($"lat" > -100)
     assert(eq.count() === 50) // just exercises the path; no rewrite crash
   }
+
+  test("SQL surface: graft_haversine_km / graft_cosine_sim / graft_dot registered by install") {
+    Graft.install(spark)
+    val km = spark.sql(
+      "SELECT graft_haversine_km(48.8566, 2.3522, 45.764, 4.8357) AS km").head().getDouble(0)
+    assert(math.abs(km - 392.0) < 5.0) // Paris -> Lyon ~ 392 km
+    val sim = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s, " +
+      "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(math.abs(sim.getDouble(0) - 1.0) < 1e-12 && sim.getDouble(1) == 11.0)
+  }
 }
