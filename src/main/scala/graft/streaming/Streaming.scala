@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Sources
+
+/** Running aggregate carried in keyed stream state. */
+final case class UserStats(user_id: Long, n_events: Long, last_value: Double)
 
 /** Structured Streaming restatement of the reference's incremental batch
   * machinery (SURVEY.md §2.6, ops 20-22):
@@ -58,4 +61,25 @@ object Streaming {
     */
   def dedupByIdWithWatermark(df: DataFrame, tsCol: String, watermark: String, idCols: String*): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event count
+    * and last-seen value, emitted once per micro-batch per active key — the
+    * §2.7 stateful-processing surface (GroupState is partition-local; state
+    * volume is O(distinct keys), shuffled once on the grouping key).
+    */
+  def runningUserStats(events: Dataset[(Long, Double)]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+          var n = prev.n_events
+          var last = prev.last_value
+          batch.foreach { case (_, v) => n += 1; last = v }
+          val next = UserStats(user, n, last)
+          state.update(next)
+          next
+      }
+  }
 }

@@ -69,4 +69,16 @@ class SourcesSinksSpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(path)
     assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
   }
+
+  test("multimodal: stubbed decodeFeatures runs partition-parallel with the real schema") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(20)
+    val withPayload = graft.ops.Multimodal.attachPayload(docs, "text", "text/plain")
+    val feats = graft.ops.Multimodal.decodeFeatures(withPayload, "doc_id").collect()
+    assert(feats.length == 20)
+    feats.foreach { r =>
+      val hist = r.getSeq[Double](2)
+      assert(hist.length == 4 && math.abs(hist.sum - 1.0) < 1e-9) // L1-normalized stub features
+      assert(r.getInt(1) > 0)
+    }
+  }
 }

@@ -67,4 +67,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(n == 2)
   }
+
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val out = graft.streaming.Streaming.runningUserStats(input.toDS())
+    val q = out.writeStream.outputMode("update").format("memory").queryName("stats_out").start()
+    input.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, 30.0))
+    q.processAllAvailable()
+    val rows = spark.table("stats_out")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+        org.apache.spark.sql.functions.last("last_value"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows == Map(1L -> 3L, 2L -> 1L)) // state carried across batches
+  }
 }
