@@ -68,6 +68,24 @@ object Joins {
       .drop("_cell_lat", "_cell_lon")
   }
 
+  /** Skew-salted equi-join: when a handful of hot keys would overload single
+    * reducers in a shuffled join, split each big-side key into `saltFactor`
+    * sub-keys (deterministic hash of the whole row, so results are stable)
+    * and replicate the small side once per salt. The shuffle then spreads a
+    * hot key over `saltFactor` tasks. AQE's skew-join handles moderate skew
+    * automatically; this is the explicit form for extreme generator-style
+    * skew, and composes with `broadcast()` being impossible (small side too
+    * big to broadcast, too skewed to shuffle naively).
+    */
+  def skewSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val bigSalted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+    val smallSalted = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    bigSalted.join(smallSalted, keys :+ "_salt").drop("_salt")
+  }
+
   /** As-of join (§2.7): for each probe row, attach the greatest build-side
     * timestamp ≤ the probe timestamp within the same key (ties: build row
     * wins, i.e. `<=` semantics).

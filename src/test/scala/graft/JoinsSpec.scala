@@ -46,4 +46,24 @@ class JoinsSpec extends SparkSpec {
     assert(joined.count() == 1)
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("skew-salted join matches the plain equi-join result under extreme key skew") {
+    val big = spark.range(0, 10000).select((($"id" % 3) === 0).cast("int").as("k"), $"id".as("v"))
+    val small = Seq((0, "cold"), (1, "hot")).toDF("k", "tag")
+    val salted = Joins.skewSaltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    val plain = big.join(small, Seq("k"))
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("pipeline stages compose lazily in order") {
+    import graft.pipeline.Pipeline
+    val p = Pipeline.start
+      .stage("filter")(_.where($"id" % 2 === 0))
+      .stage("double")(_.withColumn("v", $"id" * 2))
+    assert(p.names == Seq("filter", "double"))
+    val out = p.run(spark.range(0, 10).toDF())(_.agg(sum($"v")).as[Long].head())
+    assert(out == 40) // 0+4+8+12+16
+  }
 }
