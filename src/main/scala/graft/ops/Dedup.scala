@@ -163,12 +163,16 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
     val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
     val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
+    // hamming-filter BEFORE the distinct: duplicate candidates (one per
+    // shared chunk) only cost an integer bit_count each, while a distinct
+    // over the raw candidate set shuffles millions of pairs when simhashes
+    // correlate (similar corpora make chunk buckets large).
     a.join(b, Seq("k", "chunk"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         call_function("bit_count", col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= lit(maxHamming))
+      .distinct()
   }
 
   /** Exact dedup (first-wins deterministic) — see also Aggregates.dedupFirst. */
