@@ -647,7 +647,7 @@ object Queries {
   def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String = {
     val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     val mhCols = (0 until numHashes)
-      .map(s => s"min(md5('$s' || '|' || shingle)) AS mh$s").mkString(", ")
+      .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s").mkString(", ")
     val numBands = numHashes / rowsPerBand
     val bandRows = (0 until numBands).map { b =>
       val cc = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || ")

@@ -46,16 +46,23 @@ object Dedup {
     docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(shinglesFromTokens(col("_toks"), n)).as("shingle"))
 
-  /** One MinHash value: the lexicographic min of `md5(seed || '|' || shingle)`
-    * over a doc's shingles. A hex-string min is engine-portable (no 64-bit
-    * unsigned arithmetic needed) and just as uniform.
+  /** One MinHash value: the lexicographic min over a doc's shingles of the
+    * s-th 4-hex-char slice of md5(shingle). One digest per shingle serves
+    * all (up to 8) hash functions — md5 bits are independent, so disjoint
+    * slices act as independent hashes; a hex-string min is engine-portable
+    * (no 64-bit unsigned arithmetic needed). 16-bit slices collide for
+    * unrelated docs with probability ~n/2·2⁻¹⁶ per hash, which the exact
+    * Jaccard verify absorbs.
     */
   def minhashAgg(seed: Int): Column =
-    min(md5(concat(lit(seed.toString), lit("|"), col("shingle")))).as(s"mh$seed")
+    min(substring(col("_md5"), seed * 4 + 1, 4)).as(s"mh$seed")
 
-  /** MinHash signatures: one row per doc, columns mh0..mh{k-1}. */
-  def minhashSignatures(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    shingleTbl.groupBy(col(idCol)).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8). */
+  def minhashSignatures(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    require(numHashes <= 8, "md5 yields 8 disjoint 4-hex-char slices")
+    shingleTbl.withColumn("_md5", md5(col("shingle")))
+      .groupBy(col(idCol)).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
+  }
 
   /** LSH band buckets: band b hashes `rowsPerBand` consecutive signature
     * entries into one bucket id. Docs sharing any (band, bucket) are
