@@ -49,6 +49,20 @@ object Sinks {
     n
   }
 
+  /** Bucketed table sink: pre-shuffles once at write time so every later
+    * equi-join or aggregation on `keys` between co-bucketed tables runs with
+    * NO exchange — the decisive layout choice for repeated 100-TB fact-to-
+    * fact joins (shuffle once at ingest, never again). Uses the session
+    * catalog (`saveAsTable`; bucket metadata doesn't survive a plain
+    * `.parquet(path)` write).
+    */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   private def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

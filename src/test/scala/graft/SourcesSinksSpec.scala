@@ -81,4 +81,22 @@ class SourcesSinksSpec extends SparkSpec {
       assert(r.getInt(1) > 0)
     }
   }
+
+  test("bucketed co-located join: no shuffle exchange on either side") {
+    val o = Tables.load(spark, sf0001, "orders")
+    val l = Tables.load(spark, sf0001, "lineitem")
+    Sinks.bucketedTable(o.select($"o_orderkey", $"o_totalprice"), "orders_b", 4, Seq("o_orderkey"))
+    Sinks.bucketedTable(l.select($"l_orderkey", $"l_quantity"), "lineitem_b", 4, Seq("l_orderkey"))
+    // force the shuffled-join path (at real scale neither fact side
+    // broadcasts); co-bucketing must then avoid the exchange entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == l.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
