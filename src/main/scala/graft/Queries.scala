@@ -556,6 +556,17 @@ object Queries {
         FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
           FROM documents) ORDER BY doc_id""")),
 
+    QueryDef("txt_bpe_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
     QueryDef("txt_fingerprint_dedup",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -20,6 +20,18 @@ object TextAnalysis {
   /** Token count without materializing the array when only the count is needed. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization (GPT-2-style split simplified to what
+    * RE2 also supports — no lookahead, ASCII classes): a token is an
+    * optionally-space-prefixed letter run, digit run, or punctuation run.
+    * Counts approximate byte-pair-encoder token counts well enough for
+    * corpus budgeting.
+    */
+  val bpeSplitPattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(bpeSplitPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Deterministic document fingerprint: md5 of normalized text (lowercase,
     * punctuation stripped, whitespace collapsed). The basis for exact
     * near-normalization dedup.
