@@ -577,6 +577,26 @@ object Queries {
         SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM documents) GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("txt_winnow_fingerprints",
+      // winnowing selects ~2/(w+1) of gram hashes as local fingerprints;
+      // output is summarized per doc (count + extrema) to keep the compare
+      // payload small while still pinning every selected hash
+      (s, d) => TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+          md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("fp_digest"))
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (SELECT doc_id,
+          [substring(md5(substring(text, i, 8)), 1, 8) FOR i IN generate_series(1, len(text) - 7)] AS hashes
+        FROM documents WHERE len(text) >= 11),
+      f AS (SELECT doc_id,
+          list_distinct([list_aggregate(hashes[j:j+3], 'min') FOR j IN generate_series(1, len(hashes) - 3)]) AS fps
+        FROM g),
+      e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+      SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp,
+        md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
+      FROM e GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("dedup_exact",
       (s, d) => t(s, d, "documents")
         .agg(count(lit(1)).as("total"), countDistinct(col("text")).as("n_distinct")),

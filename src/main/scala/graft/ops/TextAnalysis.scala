@@ -42,6 +42,25 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
+  /** Winnowing (rolling k-gram) fingerprints: hash every k-char gram, then
+    * keep the minimum hash of each w-wide window — the standard local
+    * document fingerprint (Schleimer et al.'s winnowing) that is robust to
+    * insertions/reordering, unlike a whole-document digest. Two chained
+    * projections so the gram-hash array materializes once before the window
+    * lambda reads it. Emits (idCol, fp) rows for docs of length >= k+w-1.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val text = col(textCol)
+    docs.where(length(text) >= k + w - 1)
+      .select(col(idCol),
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => substring(md5(text.substr(i, lit(k))), 1, 8)).as("_hashes"))
+      .select(col(idCol),
+        explode(array_distinct(transform(sequence(lit(1), size(col("_hashes")) - (w - 1)),
+          j => array_min(slice(col("_hashes"), j, lit(w)))))).as("fp"))
+  }
+
   /** Tiny per-language stopword marker sets used by the n-gram-heuristic
     * language scorer. Deterministic and oracle-expressible (IN-lists).
     */
