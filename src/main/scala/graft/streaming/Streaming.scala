@@ -62,6 +62,18 @@ object Streaming {
   def dedupByIdWithWatermark(df: DataFrame, tsCol: String, watermark: String, idCols: String*): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Session windows (gap-based) on a stream — the streaming form of
+    * Analytics.sessionizeNumeric, using the built-in session_window state
+    * machine: a session closes once the watermark passes lastEvent + gap.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
   /** Custom keyed state via mapGroupsWithState: running per-user event count
     * and last-seen value, emitted once per micro-batch per active key — the
     * §2.7 stateful-processing surface (GroupState is partition-local; state

@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape assertions: the 100-TB posture is only real if filters and
+  * projections reach the parquet scan and joins pick the intended strategy.
+  * These tests pin the plans so a regression (e.g. an accidental UDF or a
+  * cast blocking pushdown) fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.all.find(_.name == name).get.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q5_volume: date filter and column pruning reach the orders scan; all dims broadcast") {
+    val p = plan("q5_volume")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"pushdown missing:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate:timestamp_ntz>"),
+      s"orders scan reads more than needed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"expected all-broadcast join tree:\n$p")
+  }
+
+  test("q1_pricing: lineitem scan prunes to the 5 needed columns; partial aggregation map-side") {
+    val p = plan("q1_pricing")
+    assert(p.contains("FileScan parquet [l_quantity"), s"lineitem scan not pruned:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("op16_radius_join: banded join is a hash join, not a nested loop") {
+    val p = plan("op16_radius_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("q3_priority: shipdate filter pushed to the lineitem scan; top-10 is TakeOrdered") {
+    val p = plan("q3_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("op15_broadcast_lookup: dimension chain joins by broadcast") {
+    val p = plan("op15_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}

@@ -84,4 +84,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows == Map(1L -> 3L, 2L -> 1L)) // state carried across batches
   }
+
+  test("streaming session windows close after the gap and count per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val out = graft.streaming.Streaming.sessionWindowCounts(df, "10 minutes", "1 minute")
+    val q = out.writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1L),  // same session (gap < 10m)
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L))  // new session
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").select("user_id", "n_events")
+      .as[(Long, Long)].collect().sorted.toSeq
+    q.stop()
+    assert(rows == Seq((1L, 1L), (1L, 2L)))
+  }
 }
