@@ -421,6 +421,40 @@ object Queries {
       Some("""SELECT c_custkey AS custkey FROM customer
         EXCEPT SELECT o_custkey FROM orders ORDER BY 1""")),
 
+    QueryDef("op_percentile",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.95)).as("p95"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.95) AS p95
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_grouping_sets",
+      (s, d) => t(s, d, "orders")
+        .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("-")).as("status"),
+          coalesce(col("o_orderpriority"), lit("-")).as("prio"), col("cnt"))
+        .orderBy(col("status"), col("prio")),
+      Some("""SELECT coalesce(o_orderstatus, '-') AS status, coalesce(o_orderpriority, '-') AS prio,
+        count(*) AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY 1, 2""")),
+
+    QueryDef("op_except_all",
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .exceptAll(t(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("custkey")),
+      Some("""SELECT custkey, count(*) AS n FROM (
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_count_distinct",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
