@@ -47,14 +47,13 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Cluster centroids as mean vectors (positional explode + re-assemble —
-    * two narrow shuffles over |C|·dim scalars, exact).
+  /** Cluster centroids as mean vectors, via the single-pass
+    * [[graft.functions.VectorAvg]] typed aggregate: one buffer per cluster
+    * shuffles (with map-side partial aggregation), not |C|·dim scalars.
     */
   def centroids(corpus: DataFrame, clusterCol: String, vecCol: String): DataFrame =
-    corpus.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col(clusterCol), col("pos")).agg(avg(col("v")).as("m"))
-      .groupBy(col(clusterCol))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("centroid"))
+    corpus.groupBy(col(clusterCol))
+      .agg(graft.functions.VectorAvg(col(vecCol)).as("centroid"))
 
   /** IVF-style ANN: route each query to its `nprobe` nearest centroids, then
     * brute-force only within those clusters. The corpus never cross-joins the

@@ -60,7 +60,14 @@ class SimilaritySpec extends SparkSpec {
 
   test("centroids are per-dimension means with full dimensionality") {
     val c = Similarity.centroids(emb, "label", "embedding")
-    val rows = c.select($"label", size($"centroid")).as[(Int, Int)].collect()
-    assert(rows.nonEmpty && rows.forall(_._2 == 64))
+    val rows = c.select($"label", $"centroid").as[(Int, Seq[Double])].collect()
+    assert(rows.nonEmpty && rows.forall(_._2.length == 64))
+    // cross-check one cluster against an independent positional-explode mean
+    val (lbl, cent) = rows.head
+    val expected = emb.where($"label" === lbl)
+      .select(posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"pos").agg(avg($"v").as("m"))
+      .orderBy($"pos").select($"m").as[Double].collect()
+    cent.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 }
