@@ -302,6 +302,25 @@ object Queries {
         WHERE ${havSql("c.lat", "c.lon", "s.lat", "s.lon")} <= 300.0
         ORDER BY 1, 2""")),
 
+    QueryDef("op_range_join",
+      // point-in-interval join over derived integer attributes: customers
+      // carry a point, suppliers an interval; banded equi-join + exact filter
+      (s, d) => {
+        val p = t(s, d, "customer").select(col("c_custkey"),
+          (col("c_custkey") * 17 % 10000).as("pt"))
+        val iv = t(s, d, "supplier").select(col("s_suppkey"),
+          (col("s_suppkey") * 97 % 9000).as("lo"),
+          (col("s_suppkey") * 97 % 9000 + 150).as("hi"))
+        Joins.rangeJoin(p, col("pt"), iv, col("lo"), col("hi"), 200.0)
+          .select(col("c_custkey"), col("s_suppkey"))
+          .orderBy(col("c_custkey"), col("s_suppkey"))
+      },
+      Some("""SELECT c_custkey, s_suppkey
+        FROM (SELECT c_custkey, c_custkey * 17 % 10000 AS pt FROM customer) c
+        JOIN (SELECT s_suppkey, s_suppkey * 97 % 9000 AS lo, s_suppkey * 97 % 9000 + 150 AS hi FROM supplier) s
+        ON c.pt >= s.lo AND c.pt <= s.hi
+        ORDER BY 1, 2""")),
+
     QueryDef("op_asof_join",
       (s, d) => {
         val ev = eventsUs(s, d)

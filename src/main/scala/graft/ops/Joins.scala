@@ -68,6 +68,26 @@ object Joins {
       .drop("_cell_lat", "_cell_lon")
   }
 
+  /** Range (interval) join: pair each point with every interval containing
+    * it, without a cross join. Points bucket once; each interval replicates
+    * into every bucket it overlaps (sequence(floor(lo/b), floor(hi/b)) —
+    * fully general, replication factor = intervalLen/bucketSize + 1), the
+    * join is an equi hash join on the bucket, and the exact BETWEEN filter
+    * prunes candidates. Pick bucketSize near the typical interval length so
+    * replication stays O(1).
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: Column,
+      intervals: DataFrame, loCol: Column, hiCol: Column,
+      bucketSize: Double): DataFrame = {
+    val p = points.withColumn("_rb", floor(pointCol / bucketSize))
+    val iv = intervals.withColumn("_rb",
+      explode(sequence(floor(loCol / bucketSize), floor(hiCol / bucketSize))))
+    p.join(iv, Seq("_rb"))
+      .where(pointCol >= loCol && pointCol <= hiCol)
+      .drop("_rb")
+  }
+
   /** Skew-salted equi-join: when a handful of hot keys would overload single
     * reducers in a shuffled join, split each big-side key into `saltFactor`
     * sub-keys (deterministic hash of the whole row, so results are stable)

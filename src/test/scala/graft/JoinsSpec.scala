@@ -66,4 +66,15 @@ class JoinsSpec extends SparkSpec {
     val out = p.run(spark.range(0, 10).toDF())(_.agg(sum($"v")).as[Long].head())
     assert(out == 40) // 0+4+8+12+16
   }
+
+  test("range join: banded point-in-interval == brute-force theta join") {
+    val p = spark.range(0, 500).select($"id", ($"id" * 17 % 1000).as("pt"))
+    val iv = spark.range(0, 30).select($"id".as("iid"),
+      ($"id" * 97 % 900).as("lo"), ($"id" * 97 % 900 + 80).as("hi"))
+    val banded = Joins.rangeJoin(p, $"pt", iv, $"lo", $"hi", 100.0)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    val brute = p.crossJoin(iv).where($"pt" >= $"lo" && $"pt" <= $"hi")
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
 }
