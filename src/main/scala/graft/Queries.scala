@@ -440,6 +440,37 @@ object Queries {
       Some("""SELECT c_custkey AS custkey FROM customer
         EXCEPT SELECT o_custkey FROM orders ORDER BY 1""")),
 
+    QueryDef("op_profile",
+      (s, d) => Analytics.profileNumeric(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM lineitem"""
+        ).mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
+    QueryDef("op_outer_join",
+      (s, d) => {
+        val a = t(s, d, "customer").where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k")).distinct().withColumn("in_a", lit(1))
+        val b = t(s, d, "orders").where(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey").as("k")).distinct().withColumn("in_b", lit(1))
+        a.join(b, Seq("k"), "full_outer")
+          .select(col("k"), coalesce(col("in_a"), lit(0)).as("in_a"),
+            coalesce(col("in_b"), lit(0)).as("in_b"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT coalesce(a.k, b.k) AS k,
+        CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS in_a,
+        CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0) a
+        FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 3 = 0) b
+        ON a.k = b.k ORDER BY k""")),
+
     QueryDef("op_percentile",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderstatus"))

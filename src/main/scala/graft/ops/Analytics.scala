@@ -52,6 +52,25 @@ object Analytics {
       .drop("_new_session")
   }
 
+  /** Single-pass numeric data profile in long format: one row per column
+    * with (n, n_null, min, max). The whole profile is ONE aggregate job —
+    * 4·|cols| accumulators — not a scan per column.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"_nn_$c"),
+        min(col(c)).cast("double").as(s"_mn_$c"),
+        max(col(c)).cast("double").as(s"_mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"_n_$c").as("n"), col(s"_nn_$c").as("n_null"),
+        col(s"_mn_$c").as("min_v"), col(s"_mx_$c").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Timestamp-typed convenience wrapper (second granularity). */
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame =
     sessionizeNumeric(df, key, unix_timestamp(ts), gapSeconds)
