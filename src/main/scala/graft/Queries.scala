@@ -615,25 +615,17 @@ object Queries {
       }),
 
     QueryDef("txt_quality",
-      (s, d) => {
-        val swEn = TextAnalysis.stopwords("en")
-        t(s, d, "documents")
-          .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
-          .select(
-            col("doc_id"),
-            size(col("toks")).as("n_tokens"),
-            (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
-              length(col("text")).cast("double")).as("punct_ratio"),
-            (length(col("text")).cast("double") / size(col("toks")).cast("double")).as("avg_token_len"),
-            when(size(col("toks")) > 0,
-              size(filter(col("toks"), t => t.isin(swEn.map(lit(_): Any): _*))).cast("double") /
-                size(col("toks")).cast("double"))
-              .otherwise(lit(0.0)).as("stopword_ratio"))
-          .orderBy(col("doc_id"))
-      },
+      // one definition: the library's qualityScored IS the query (the oracle
+      // mirrors its zero-token/zero-char guards)
+      (s, d) => TextAnalysis.qualityScored(t(s, d, "documents"), col("text"))
+        .select("doc_id", "n_tokens", "punct_ratio", "avg_token_len", "stopword_ratio")
+        .orderBy(col("doc_id")),
       Some("""SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
-        CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
-        CAST(len(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        CASE WHEN len(text) > 0 THEN
+          CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+          ELSE 0.0 END AS punct_ratio,
+        CASE WHEN len(toks) > 0 THEN CAST(len(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+          ELSE 0.0 END AS avg_token_len,
         CASE WHEN len(toks) > 0 THEN
           CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
           ELSE 0.0 END AS stopword_ratio

@@ -17,13 +17,15 @@ object VectorAvg extends Aggregator[Seq[Float], VecAvgBuf, Seq[Double]] {
 
   override def zero: VecAvgBuf = VecAvgBuf(Seq.empty, 0L)
 
+  // buffers grow to the max dimensionality seen (short vectors contribute to
+  // their leading dims) so ragged input neither crashes the merge nor makes
+  // the result depend on partition order
   override def reduce(b: VecAvgBuf, a: Seq[Float]): VecAvgBuf = {
     if (a == null) b
     else {
-      val sums = if (b.sums.isEmpty) new Array[Double](a.length) else b.sums.toArray
+      val sums = java.util.Arrays.copyOf(b.sums.toArray, math.max(b.sums.length, a.length))
       var i = 0
-      val n = math.min(sums.length, a.length)
-      while (i < n) { sums(i) += a(i); i += 1 }
+      while (i < a.length) { sums(i) += a(i); i += 1 }
       VecAvgBuf(sums.toSeq, b.n + 1)
     }
   }
@@ -32,9 +34,10 @@ object VectorAvg extends Aggregator[Seq[Float], VecAvgBuf, Seq[Double]] {
     if (x.sums.isEmpty) y
     else if (y.sums.isEmpty) x
     else {
-      val sums = x.sums.toArray
+      val (long, short) = if (x.sums.length >= y.sums.length) (x.sums, y.sums) else (y.sums, x.sums)
+      val sums = long.toArray
       var i = 0
-      while (i < sums.length) { sums(i) += y.sums(i); i += 1 }
+      while (i < short.length) { sums(i) += short(i); i += 1 }
       VecAvgBuf(sums.toSeq, x.n + y.n)
     }
 

@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens with empties removed (mirrors the oracle's
-    * `string_split_regex` + filter).
+  /** Whitespace tokens with empties removed — single shared definition so
+    * dedup fingerprints can never desynchronize from the text-analysis
+    * features (mirrors the oracle's `string_split_regex` + filter).
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Distinct n-token shingles joined by single spaces; empty array when the
     * document has fewer than n tokens. `toks` MUST be a materialized column

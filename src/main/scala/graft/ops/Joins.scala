@@ -53,14 +53,20 @@ object Joins {
       lonCellDeg: Double,
       broadcastRight: Boolean = true): DataFrame = {
     require(latCellDeg >= radiusKm / 110.57, s"latCellDeg $latCellDeg too small for radius $radiusKm km")
+    require(math.abs(360.0 / lonCellDeg - math.round(360.0 / lonCellDeg)) < 1e-9,
+      s"lonCellDeg $lonCellDeg must divide 360 so longitude cells wrap at the antimeridian")
+    val nLonCells = math.round(360.0 / lonCellDeg)
+    // pmod wraps the longitude band so pairs straddling lon=±180 still meet
+    def lonCell(lon: Column, delta: Column): Column =
+      pmod(floor(lon / lonCellDeg) + delta, lit(nLonCells))
     val l = left
       .withColumn("_cell_lat", floor(leftLat / latCellDeg))
-      .withColumn("_cell_lon", floor(leftLon / lonCellDeg))
+      .withColumn("_cell_lon", lonCell(leftLon, lit(0L)))
     val r0 = right
       .withColumn("_d_lat", explode(sequence(lit(-1), lit(1))))
       .withColumn("_d_lon", explode(sequence(lit(-1), lit(1))))
       .withColumn("_cell_lat", floor(rightLat / latCellDeg) + col("_d_lat"))
-      .withColumn("_cell_lon", floor(rightLon / lonCellDeg) + col("_d_lon"))
+      .withColumn("_cell_lon", lonCell(rightLon, col("_d_lon")))
       .drop("_d_lat", "_d_lon")
     val r = if (broadcastRight) broadcast(r0) else r0
     l.join(r, Seq("_cell_lat", "_cell_lon"))

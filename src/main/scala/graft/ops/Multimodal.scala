@@ -62,12 +62,18 @@ object Multimodal {
   }
 
   /** Frame-sampling plumbing: split a payload into fixed-size "frames"
-    * (chunks) and explode one row per sampled frame — the partitioning shape
-    * a video pipeline needs (payload → n frame rows), all expressions.
+    * (byte chunks) and explode one row per sampled frame — the partitioning
+    * shape a video pipeline needs (payload → n frame rows), all expressions.
+    * Empty payloads produce zero frames. Note frames are BYTE slices: for
+    * non-ASCII text payloads a frame boundary can split a multi-byte
+    * character (real media payloads are opaque bytes, where this is the
+    * correct unit).
     */
   def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int, everyNth: Int): DataFrame = {
     val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int")
-    df.select(col(idCol), col("payload"), posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as(Seq("frame_no", "f")))
+    val frameIdx = when(nFrames >= 1, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), col("payload"), posexplode(frameIdx).as(Seq("frame_no", "f")))
       .where(col("frame_no") % everyNth === 0)
       .select(col(idCol), col("frame_no"),
         col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame"))

@@ -38,15 +38,21 @@ object Sinks {
   def idempotentParquetAppend(
       spark: SparkSession, batch: DataFrame, path: String,
       keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
-    val deduped = batch.dropDuplicates(keys)
     val newRows =
-      if (existsNonEmpty(spark, path))
-        deduped.join(spark.read.parquet(path).select(keys.head, keys.tail: _*), keys, "left_anti")
-      else deduped
-    val w = newRows.write.mode(SaveMode.Append)
-    val n = newRows.count()
-    if (n > 0) (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-    n
+      (if (existsNonEmpty(spark, path))
+        Aggregates.idempotentNewRows(batch, spark.read.parquet(path), keys)
+      else batch.dropDuplicates(keys))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // persist so the count and the write share one evaluation of the
+      // dedup + anti-join (the anti-join rescans the existing table)
+      val n = newRows.count()
+      if (n > 0) {
+        val w = newRows.write.mode(SaveMode.Append)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      }
+      n
+    } finally newRows.unpersist()
   }
 
   /** Bucketed table sink: pre-shuffles once at write time so every later

@@ -123,7 +123,8 @@ object TextAnalysis {
     withToks
       .withColumn("n_tokens", nToks)
       .withColumn("avg_token_len", when(nToks > 0, nChars.cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
-      .withColumn("punct_ratio", punct.cast("double") / nChars.cast("double"))
+      .withColumn("punct_ratio",
+        when(nChars > 0, punct.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
         when(nToks > 0, swHits.cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
       .drop("_toks")

@@ -30,9 +30,11 @@ object Transforms {
   def filterValid(df: DataFrame, required: Seq[String]): DataFrame =
     required.foldLeft(df) { (d, c) =>
       val cl = col(c)
-      if (d.schema(c).dataType.typeName == "double")
-        d.filter(cl.isNotNull && !isnan(cl))
-      else d.filter(cl.isNotNull)
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          d.filter(cl.isNotNull && !isnan(cl))
+        case _ => d.filter(cl.isNotNull)
+      }
     }
 
   /** Op 11 — split a `"lat,lon"` string into typed columns (global_dag.py:205,212). */

@@ -31,18 +31,23 @@ import org.apache.spark.sql.types.LongType
   */
 object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val KmPerLatDegree = 111.0 // < 6371*pi/180 = 111.195 → safe cell size
+  // cell size is derived from the matched 2R multiplier (below), so the
+  // rewrite is unit-agnostic: whatever radius unit the formula uses, the
+  // latitude bound is r / (R·π/180) degrees
 
   /** Matches the canonical haversine tree built by graft.functions.Geo:
     * `2R * asin(sqrt(sin²(Δlat/2) + cos(lat1)cos(lat2)sin²(Δlon/2))) <= r`
     * (after analyzer type-coercion and constant folding).
     */
+  /** (lat1, lon1, lat2, lon2, radius, twoR): radius and the matched `2R`
+    * literal share whatever unit the user's formula uses.
+    */
   private object HaversinePredicate {
-    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double)] = e match {
-      case LessThanOrEqual(Haversine(lat1, lon1, lat2, lon2), DoubleLit(r)) => Some((lat1, lon1, lat2, lon2, r))
-      case LessThan(Haversine(lat1, lon1, lat2, lon2), DoubleLit(r)) => Some((lat1, lon1, lat2, lon2, r))
-      case GreaterThanOrEqual(DoubleLit(r), Haversine(lat1, lon1, lat2, lon2)) => Some((lat1, lon1, lat2, lon2, r))
-      case GreaterThan(DoubleLit(r), Haversine(lat1, lon1, lat2, lon2)) => Some((lat1, lon1, lat2, lon2, r))
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double, Double)] = e match {
+      case LessThanOrEqual(Haversine(lat1, lon1, lat2, lon2, twoR), DoubleLit(r)) => Some((lat1, lon1, lat2, lon2, r, twoR))
+      case LessThan(Haversine(lat1, lon1, lat2, lon2, twoR), DoubleLit(r)) => Some((lat1, lon1, lat2, lon2, r, twoR))
+      case GreaterThanOrEqual(DoubleLit(r), Haversine(lat1, lon1, lat2, lon2, twoR)) => Some((lat1, lon1, lat2, lon2, r, twoR))
+      case GreaterThan(DoubleLit(r), Haversine(lat1, lon1, lat2, lon2, twoR)) => Some((lat1, lon1, lat2, lon2, r, twoR))
       case _ => None
     }
   }
@@ -65,12 +70,12 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private object Haversine {
-    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression)] = e match {
-      case Multiply(DoubleLit(_), Asin(Sqrt(Add(
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double)] = e match {
+      case Multiply(DoubleLit(twoR), Asin(Sqrt(Add(
             HalfAngleSinSq(lat1, lat2),
             Multiply(Multiply(Cos(ToRadians(cl1)), Cos(ToRadians(cl2)), _), HalfAngleSinSq(lon1, lon2), _), _))), _)
           if cl1.semanticEquals(lat1) && cl2.semanticEquals(lat2) =>
-        Some((lat1, lon1, lat2, lon2))
+        Some((lat1, lon1, lat2, lon2, twoR))
       case _ => None
     }
   }
@@ -83,14 +88,16 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Cross | Inner, Some(cond), _) if !hasEquiCondition(left, right, cond) =>
       val hit = splitConjunctivePredicates(cond).collectFirst {
-        case p @ HaversinePredicate(lat1, lon1, lat2, lon2, r) if r > 0 &&
+        case p @ HaversinePredicate(lat1, lon1, lat2, lon2, r, twoR) if r > 0 && twoR > 0 &&
             lat1.references.subsetOf(left.outputSet) && lon1.references.subsetOf(left.outputSet) &&
             lat2.references.subsetOf(right.outputSet) && lon2.references.subsetOf(right.outputSet) =>
-          (lat1, lat2, r)
+          (lat1, lat2, r, twoR)
       }
       hit match {
-        case Some((lat1, lat2, r)) =>
-          val cellSize = Literal(math.max(r / KmPerLatDegree, 1e-9))
+        case Some((lat1, lat2, r, twoR)) =>
+          // great-circle distance >= (twoR/2)·Δlat_rad, so
+          // Δlat_deg <= 360·r / (π·twoR) regardless of the radius unit
+          val cellSize = Literal(math.max(360.0 * r / (math.Pi * twoR), 1e-9))
           val lCell = Alias(Floor(Divide(lat1, cellSize)), "_graft_band")()
           val newLeft = Project(left.output :+ lCell, left)
           val delta = AttributeReference("_graft_delta", LongType)()

@@ -25,9 +25,11 @@ final case class UserStats(user_id: Long, n_events: Long, last_value: Double)
 object Streaming {
 
   /** Incremental fixed-width death-file stream: every file matching
-    * `death_*` under `dir` is parsed once; ids deduped within the watermark.
+    * `death_*` under `dir` is parsed once; ids deduped within the watermark
+    * (event time = death date), so dedup state is pruned as the watermark
+    * advances instead of growing one entry per id forever.
     */
-  def deathFileStream(spark: SparkSession, dir: String): DataFrame = {
+  def deathFileStream(spark: SparkSession, dir: String, lateness: String = "30 days"): DataFrame = {
     graft.Prep.ensure(spark)
     val lines = spark.readStream
       .format("text")
@@ -36,13 +38,13 @@ object Streaming {
       .load(dir)
     Sources.fixedWidth(lines, "value", Sources.deathRecordFields)
       .withColumn("id", sha1(col("name_raw")))
-      .withColumn("date_of_birth",
-        coalesce(to_date(col("birth_raw"), "yyyyMMdd"), to_date(col("birth_raw"), "yyyy-MM-dd")))
-      .withColumn("date_of_death",
-        coalesce(to_date(col("death_raw"), "yyyyMMdd"), to_date(col("death_raw"), "yyyy-MM-dd")))
+      .withColumn("date_of_birth", graft.ops.Transforms.parseDateMulti(col("birth_raw")))
+      .withColumn("date_of_death", graft.ops.Transforms.parseDateMulti(col("death_raw")))
       .where(col("date_of_birth").isNotNull && col("date_of_death").isNotNull)
+      .withColumn("event_ts", col("date_of_death").cast("timestamp"))
+      .withWatermark("event_ts", lateness)
+      .dropDuplicatesWithinWatermark("id")
       .select("id", "date_of_birth", "date_of_death", "insee")
-      .dropDuplicates("id")
   }
 
   /** Tumbling-window event counts with a late-data watermark — the streaming
