@@ -673,6 +673,44 @@ object Queries {
         md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
       FROM e GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("pipeline_curation",
+      // the canonical training-data funnel as ONE lazy plan:
+      // quality score -> token floor -> language filter -> fingerprint dedup;
+      // output is the per-stage retention funnel (single row)
+      (s, d) => {
+        val scored = TextAnalysis.languageGuessed(
+          TextAnalysis.qualityScored(t(s, d, "documents"), col("text")), "text")
+        val quality = col("n_tokens") >= 20
+        val en = quality && col("guess") === "en"
+        scored
+          .withColumn("fp", when(en, TextAnalysis.fingerprint(col("text"))))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(quality, 1).otherwise(0)).cast("long").as("n_quality"),
+            sum(when(en, 1).otherwise(0)).cast("long").as("n_en"),
+            countDistinct(col("fp")).as("n_unique"))
+      },
+      Some {
+        def hits(words: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
+        val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(l => hits(TextAnalysis.stopwords(l)))
+        s"""WITH tk AS (SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+          g AS (SELECT doc_id, text, len(toks) AS n_tokens, CASE
+            WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+            WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+            WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+            WHEN $es > 0 THEN 'es'
+            ELSE 'unknown' END AS guess FROM tk),
+          m AS (SELECT *, n_tokens >= 20 AS q, n_tokens >= 20 AND guess = 'en' AS e FROM g)
+          SELECT count(*) AS n_total,
+            CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+            CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+            CAST(count(DISTINCT CASE WHEN e THEN
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+              END) AS BIGINT) AS n_unique
+          FROM m"""
+      }),
+
     QueryDef("dedup_exact",
       (s, d) => t(s, d, "documents")
         .agg(count(lit(1)).as("total"), countDistinct(col("text")).as("n_distinct")),

@@ -13,14 +13,20 @@ import org.apache.spark.sql.functions._
 object Geo {
   val EarthRadiusKm: Double = 6371.0
 
-  /** Great-circle distance in km between two (lat, lon) points in degrees. */
-  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+  /** Great-circle distance between two (lat, lon) points in degrees, on a
+    * sphere of the given radius (output unit = radius unit).
+    */
+  def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column, sphereRadius: Double): Column = {
     val dLat = radians(lat2 - lat1) / 2
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+    lit(2 * sphereRadius) * asin(sqrt(a))
   }
+
+  /** Great-circle distance in km between two (lat, lon) points in degrees. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    haversine(lat1, lon1, lat2, lon2, EarthRadiusKm)
 
   /** The same formula as ANSI SQL text (DuckDB-compatible), for oracle queries.
     * Keep the expression tree structurally identical to [[haversineKm]] so both

@@ -60,4 +60,23 @@ class RadiusRuleSpec extends SparkSpec {
       "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
     assert(math.abs(sim.getDouble(0) - 1.0) < 1e-12 && sim.getDouble(1) == 11.0)
   }
+
+  test("rule is unit-agnostic: a miles-based haversine gets a correspondingly wider band") {
+    Graft.install(spark)
+    val l = points(150, 7, 13).withColumnsRenamed(Map("id" -> "lid", "lat" -> "llat", "lon" -> "llon"))
+    val r = points(10, 91, 53).withColumnsRenamed(Map("id" -> "rid", "lat" -> "rlat", "lon" -> "rlon"))
+    val EarthMiles = 3958.8
+    def q = l.crossJoin(r)
+      .where(Geo.haversine($"llat", $"llon", $"rlat", $"rlon", EarthMiles) <= lit(200.0)) // 200 mi ~ 322 km
+      .select("lid", "rid")
+    assert(!q.queryExecution.executedPlan.toString.contains("NestedLoopJoin"))
+    val got = q.as[(Long, Long)].collect().toSet
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val brute = l.crossJoin(r)
+      .where(Geo.haversine($"llat", $"llon", $"rlat", $"rlon", EarthMiles) <= lit(200.0))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations = prev
+    assert(got == brute && brute.nonEmpty)
+  }
 }
