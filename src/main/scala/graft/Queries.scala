@@ -471,6 +471,40 @@ object Queries {
         FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 3 = 0) b
         ON a.k = b.k ORDER BY k""")),
 
+    QueryDef("op_nullsafe_join",
+      // null-safe equality (<=>): null keys match each other, unlike =
+      (s, d) => {
+        val a = t(s, d, "orders")
+          .select(when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_custkey")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+        val b = t(s, d, "customer")
+          .select(when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_custkey")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_b"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k"), col("n_a"), col("n_b"))
+          .orderBy(a("k").asc_nulls_first)
+      },
+      Some("""SELECT a.k, n_a, n_b FROM
+        (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS k, count(*) AS n_a
+          FROM orders GROUP BY 1) a
+        JOIN (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS k, count(*) AS n_b
+          FROM customer GROUP BY 1) b
+        ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY a.k NULLS FIRST""")),
+
+    QueryDef("op_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("yr")),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_percentile",
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
