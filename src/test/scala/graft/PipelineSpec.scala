@@ -73,4 +73,21 @@ class PipelineSpec extends SparkSpec {
     val plants = StagePlants.typed(spark, s"$dir/thermal.csv", s"$dir/nuclear.csv").collect()
     assert(plants.map(_.plant_type).sorted.toSeq == Seq("NUCLEAR", "THERMAL"))
   }
+
+  test("end-to-end: staged deaths land in a year-partitioned idempotent parquet store") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("graft-store").toString + "/deaths"
+    def staged = StageDeaths(spark, s"$dir/death_*", s"$dir/city_geo.csv")
+      .withColumn("death_year", year(col("date_of_death")).cast("string"))
+    val n1 = graft.ops.Sinks.idempotentParquetAppend(spark, staged, store,
+      keys = Seq("id"), partitionBy = Seq("death_year"))
+    assert(n1 == 1)
+    // re-running the whole pipeline against the same store is a no-op
+    val n2 = graft.ops.Sinks.idempotentParquetAppend(spark, staged, store,
+      keys = Seq("id"), partitionBy = Seq("death_year"))
+    assert(n2 == 0)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == 1)
+    assert(stored.where(col("death_year") === "2022").count() == 1) // partition pruning path
+  }
 }
