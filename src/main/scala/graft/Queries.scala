@@ -712,8 +712,12 @@ object Queries {
       // quality score -> token floor -> language filter -> fingerprint dedup;
       // output is the per-stage retention funnel (single row)
       (s, d) => {
-        val scored = TextAnalysis.languageGuessed(
-          TextAnalysis.qualityScored(t(s, d, "documents"), col("text")), "text")
+        // tokenize ONCE; both the token floor and the language hits read the
+        // materialized token column
+        val toked = t(s, d, "documents")
+          .withColumn("_tk", TextAnalysis.tokens(col("text")))
+        val scored = TextAnalysis.languageGuessed(toked, "text", toksCol = Some("_tk"))
+          .withColumn("n_tokens", size(col("_tk")))
         val quality = col("n_tokens") >= 20
         val en = quality && col("guess") === "en"
         scored

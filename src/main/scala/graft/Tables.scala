@@ -7,27 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * prune columns down to the file source.
   */
 object Tables {
-  // Memoized per (session, path): repeated loads of the same table across
-  // the 50+ registry queries reuse one analyzed relation instead of
-  // re-listing files and re-reading parquet footers every time. Weak keys so
-  // stopped sessions don't pin entries.
-  private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]())
-
+  // Deliberately NOT memoized: caching the DataFrame would pin the parquet
+  // file listing (stale reads after a rewrite), break Column-based
+  // self-joins (identical attribute ids), and leak sessions (a Dataset
+  // strongly references its session, defeating weak keys) — for a planning
+  // saving that measured within run noise.
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     Prep.ensure(spark)
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = new java.util.HashMap[String, DataFrame](); cache.put(spark, m) }
-      m
-    }
-    perSession.synchronized {
-      val key = s"$dir/$name.parquet"
-      var df = perSession.get(key)
-      if (df == null) { df = spark.read.parquet(key); perSession.put(key, df) }
-      df
-    }
+    spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -87,18 +87,22 @@ object TextAnalysis {
   def languageGuess(text: Column): Column =
     guessFromHits(h => size(filter(tokens(text), t => t.isin(stopwords(h).map(lit(_): Any): _*))))
 
-  /** DataFrame form: tokenizes once, materializes the four hit counts as
+  /** DataFrame form: tokenizes once (or reuses `toksCol` if the caller
+    * already materialized tokens), materializes the four hit counts as
     * attributes, then applies the argmax — each stage is a projection, so
     * nothing is recomputed.
     */
-  def languageGuessed(df: DataFrame, textCol: String, outCol: String = "guess"): DataFrame = {
-    val withToks = df.withColumn("_toks", tokens(col(textCol)))
+  def languageGuessed(df: DataFrame, textCol: String, outCol: String = "guess",
+                      toksCol: Option[String] = None): DataFrame = {
+    val tCol = toksCol.getOrElse("_toks")
+    val withToks = if (toksCol.isDefined) df else df.withColumn(tCol, tokens(col(textCol)))
     val withHits = stopwords.keys.foldLeft(withToks) { (d, lang) =>
       d.withColumn(s"_hits_$lang",
-        size(filter(col("_toks"), t => t.isin(stopwords(lang).map(lit(_): Any): _*))))
+        size(filter(col(tCol), t => t.isin(stopwords(lang).map(lit(_): Any): _*))))
     }
+    val dropCols = (if (toksCol.isDefined) Nil else Seq(tCol)) ++ stopwords.keys.map(l => s"_hits_$l")
     withHits.withColumn(outCol, guessFromHits(lang => col(s"_hits_$lang")))
-      .drop(("_toks" +: stopwords.keys.toSeq.map(l => s"_hits_$l")): _*)
+      .drop(dropCols: _*)
   }
 
   private def guessFromHits(hits: String => Column): Column = {

@@ -35,11 +35,10 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   // rewrite is unit-agnostic: whatever radius unit the formula uses, the
   // latitude bound is r / (R·π/180) degrees
 
-  /** Matches the canonical haversine tree built by graft.functions.Geo:
-    * `2R * asin(sqrt(sin²(Δlat/2) + cos(lat1)cos(lat2)sin²(Δlon/2))) <= r`
-    * (after analyzer type-coercion and constant folding).
-    */
-  /** (lat1, lon1, lat2, lon2, radius, twoR): radius and the matched `2R`
+  /** Matches the canonical haversine comparison built by graft.functions.Geo
+    * — `2R * asin(sqrt(sin²(Δlat/2) + cos(lat1)cos(lat2)sin²(Δlon/2))) <= r`
+    * after analyzer type-coercion and constant folding — yielding
+    * (lat1, lon1, lat2, lon2, radius, twoR); radius and the matched `2R`
     * literal share whatever unit the user's formula uses.
     */
   private object HaversinePredicate {
@@ -96,8 +95,10 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       hit match {
         case Some((lat1, lat2, r, twoR)) =>
           // great-circle distance >= (twoR/2)·Δlat_rad, so
-          // Δlat_deg <= 360·r / (π·twoR) regardless of the radius unit
-          val cellSize = Literal(math.max(360.0 * r / (math.Pi * twoR), 1e-9))
+          // Δlat_deg <= 360·r / (π·twoR) regardless of the radius unit;
+          // 0.1% slack absorbs last-ulp rounding in the evaluated haversine
+          // so a borderline pair can never land two bands apart
+          val cellSize = Literal(math.max(360.0 * r / (math.Pi * twoR) * 1.001, 1e-9))
           val lCell = Alias(Floor(Divide(lat1, cellSize)), "_graft_band")()
           val newLeft = Project(left.output :+ lCell, left)
           val delta = AttributeReference("_graft_delta", LongType)()

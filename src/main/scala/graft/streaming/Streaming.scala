@@ -25,9 +25,15 @@ final case class UserStats(user_id: Long, n_events: Long, last_value: Double)
 object Streaming {
 
   /** Incremental fixed-width death-file stream: every file matching
-    * `death_*` under `dir` is parsed once; ids deduped within the watermark
-    * (event time = death date), so dedup state is pruned as the watermark
-    * advances instead of growing one entry per id forever.
+    * `death_*` under `dir` is parsed once; ids deduped within a watermark on
+    * ARRIVAL time, so dedup state is pruned as ingestion progresses.
+    *
+    * Arrival time (not death date) is deliberate: a backfill of historical
+    * files must not be dropped as "late", and the duplicates this stage
+    * guards against — re-delivered/overlapping source files — arrive close
+    * together in time. Ids recurring beyond `lateness` apart are caught by
+    * the exact at-rest layer (`Sinks.idempotentParquetAppend`), mirroring
+    * the reference's split between the Redis ledger and the Postgres PK.
     */
   def deathFileStream(spark: SparkSession, dir: String, lateness: String = "30 days"): DataFrame = {
     graft.Prep.ensure(spark)
@@ -41,8 +47,8 @@ object Streaming {
       .withColumn("date_of_birth", graft.ops.Transforms.parseDateMulti(col("birth_raw")))
       .withColumn("date_of_death", graft.ops.Transforms.parseDateMulti(col("death_raw")))
       .where(col("date_of_birth").isNotNull && col("date_of_death").isNotNull)
-      .withColumn("event_ts", col("date_of_death").cast("timestamp"))
-      .withWatermark("event_ts", lateness)
+      .withColumn("arrival_ts", current_timestamp())
+      .withWatermark("arrival_ts", lateness)
       .dropDuplicatesWithinWatermark("id")
       .select("id", "date_of_birth", "date_of_death", "insee")
   }
