@@ -16,16 +16,22 @@ object Bench {
       .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     // noop sink: materializes every column of every row (a count() would let
     // Catalyst prune the whole projection away and under-report).
+    // A throwing query must surface in the JSON (a swallowed exception would
+    // record a near-zero timing and silently deflate the total).
+    var failed = 0
     val results = Queries.all.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[bench] FAIL ${q.name}: ${e.getMessage}")
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * - nanosAsLong: the driver's `events.parquet` carries INT64 nanosecond
   *   timestamps, which Spark otherwise refuses to read; as a long we keep
   *   full precision and convert explicitly.
-  * - UTC + 32 shuffle partitions: oracle parity and local[32] sizing.
+  * - UTC session timezone: oracle parity (DuckDB compares in UTC). Shuffle
+  *   partitioning is sized by the entry points themselves (Bench/Verify set
+  *   `spark.sql.shuffle.partitions` from SPARK_GRAFT_CPUS at session build).
   */
 object Prep {
   def ensure(spark: SparkSession): SparkSession = {

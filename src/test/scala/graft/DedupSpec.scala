@@ -31,7 +31,7 @@ class DedupSpec extends SparkSpec {
     val d = Tables.load(spark, sf0001, "documents").limit(200)
     val banded = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val h = Dedup.simhash32(d, "doc_id", "text")
+    val h = Dedup.simhash60(d, "doc_id", "text")
     val a = h.select($"doc_id".as("doc_a"), $"simhash".as("ha"))
     val b = h.select($"doc_id".as("doc_b"), $"simhash".as("hb"))
     val brute = a.crossJoin(b).where($"doc_a" < $"doc_b")
@@ -41,7 +41,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("identical texts get identical simhash; disjoint-vocab texts differ") {
-    val h = Dedup.simhash32(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val h = Dedup.simhash60(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(3L))
     assert(h(0L) != h(2L))
   }

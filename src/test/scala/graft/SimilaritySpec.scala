@@ -40,22 +40,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
-  test("multi-table SRP near-dup: precision 1.0 and recall >= 50% vs brute force at cos>=0.4") {
-    val brutePairs = {
-      val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
-      val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+  // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
+  // scaling → cos(v, v') ≈ 0.9997, while every natural pair is <= 0.48
+  private def planted(base: org.apache.spark.sql.DataFrame) = {
+    val b = base.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val p = base.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) => x * (lit(1.0) + lit(0.02) * sin($"vec_id" + i))).as("embedding"))
+    b.unionByName(p)
+  }
+
+  test("SRP near-dup on planted dups: precision 1.0 (vs brute) and recall >= 0.9") {
+    val corpus = planted(emb)
+    val got = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = {
+      val a = corpus.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = corpus.select($"vec_id".as("id_b"), $"embedding".as("vb"))
       a.crossJoin(b).where($"id_a" < $"id_b")
-        .where(Similarity.cosine($"va", $"vb") >= 0.4)
+        .where(Similarity.cosine($"va", $"vb") >= 0.9)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     }
-    val lsh = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
-        numTables = 8, planesPerTable = 3, threshold = 0.4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(brutePairs)) // verify step guarantees precision 1.0
-    if (brutePairs.nonEmpty) {
-      val recall = (brutePairs intersect lsh).size.toDouble / brutePairs.size
-      assert(recall >= 0.5, s"recall=$recall of ${brutePairs.size}")
-    }
+    assert(got.subsetOf(truth)) // verify step guarantees precision 1.0
+    assert(truth.nonEmpty)
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall of ${truth.size}")
+  }
+
+  test("SRP candidate volume grows ~linearly when the corpus doubles (not ~4x)") {
+    // the round-1 design (8-bucket tables) was quadratic-in-fact: doubling
+    // the corpus ~quadrupled candidates. With 20-bit tables the planted
+    // (linear) pairs dominate and junk collisions stay ~N²/2^20.
+    val half = planted(emb.where($"vec_id" % 2 === 0))
+    val full = planted(emb)
+    val cHalf = Similarity.srpCandidatePairs(half, "vec_id", "embedding", 8, 20).count()
+    val cFull = Similarity.srpCandidatePairs(full, "vec_id", "embedding", 8, 20).count()
+    assert(cHalf > 0)
+    assert(cFull <= 3 * cHalf, s"candidates $cHalf -> $cFull: super-linear growth")
   }
 
   test("centroids are per-dimension means with full dimensionality") {
