@@ -164,6 +164,49 @@ object Queries {
           || lpad(CAST(c_nationkey AS VARCHAR), 5, '0') AS value FROM customer)
         ORDER BY custkey""")),
 
+    QueryDef("op02_03_catalog_select",
+      // ops 2+3 — JSON catalog → resource selection, driver-checkable via the
+      // op05 construct-and-parse trick: build a data.gouv-style catalog JSON
+      // per nation (2 csv + 1 json resources, ordered), then REAL
+      // from_json parse → explode → format filter → bounded take. The bound
+      // (1000) exceeds the match count so the take is deterministic; the
+      // oracle mirrors the semantic output.
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val catalog = n.select(from_json(
+            concat(
+              lit("""{"resources":[{"format":"csv","latest":"https://f/"""),
+              col("n_nationkey"), lit("""-a.csv","title":""""), col("n_name"), lit(""" a"},"""),
+              lit("""{"format":"json","latest":"https://f/"""),
+              col("n_nationkey"), lit("""-x.json","title":""""), col("n_name"), lit(""" x"},"""),
+              lit("""{"format":"csv","latest":"https://f/"""),
+              col("n_nationkey"), lit("""-b.csv","title":""""), col("n_name"), lit(""" b"}]}""")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("resources",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("format", org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("latest", org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType))))))))
+          .as("c")).select(col("c.resources").as("resources"))
+        Sources.selectResources(catalog, "csv", 1000)
+          .orderBy(col("url"))
+      },
+      Some("""SELECT format, url, title FROM (
+          SELECT 'csv' AS format, 'https://f/' || n_nationkey || '-a.csv' AS url, n_name || ' a' AS title FROM nation
+          UNION ALL
+          SELECT 'csv', 'https://f/' || n_nationkey || '-b.csv', n_name || ' b' FROM nation)
+        ORDER BY url""")),
+
+    QueryDef("op07_08_drop_rename",
+      // ops 7+8 — column drop + bulk rename over a driver table
+      (s, d) => Transforms.renameCols(
+          Transforms.dropCols(t(s, d, "customer"), Seq("c_acctbal", "c_nationkey")),
+          Map("c_name" -> "customer_name", "c_mktsegment" -> "segment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name AS customer_name, c_mktsegment AS segment
+        FROM customer ORDER BY c_custkey""")),
+
     // ---- §2.2 transforms ----
     QueryDef("op09_dateparse",
       (s, d) => {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,9 +33,16 @@ object Multimodal {
         octet_length(col(srcCol).cast("binary")).as("n_bytes"),
         md5(col(srcCol)).as("checksum")))
 
-  /** Feature-extraction over payload batches via mapPartitions — the Scala
-    * analogue of `mapInPandas`: one iterator per partition, vectorizable
-    * batch shape, no driver involvement.
+  /** One decoded payload's features (the stub's output row type). */
+  final case class MediaFeatures(id: Long, n_bytes: Int, feat: Seq[Double])
+
+  /** Feature-extraction over payload batches via typed
+    * `Dataset.mapPartitions` — the Scala analogue of `mapInPandas`: one
+    * iterator per partition, vectorizable batch shape, no driver
+    * involvement. Typed (encoder-backed) rather than `.rdd` +
+    * `createDataFrame`: the plan stays Deserialize→MapPartitions→Serialize
+    * with column pruning intact up to the boundary and no `Row` boxing or
+    * `RDDScanExec` break in the middle.
     *
     * STUB: emits a deterministic 4-bucket byte histogram + length instead of
     * decoded image features. Replace the body with a codec call in
@@ -43,22 +50,19 @@ object Multimodal {
     */
   def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("n_bytes", IntegerType),
-      StructField("feat", ArrayType(DoubleType))))
-    val rdd = df.select(col(idCol).cast("long"), col("payload")).rdd.mapPartitions { it =>
-      it.map { row =>
-        val id = row.getLong(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        // STUB decode: byte-value histogram over 4 buckets, L1-normalized.
-        val hist = new Array[Double](4)
-        bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
-        val n = math.max(bytes.length, 1).toDouble
-        Row(id, bytes.length, hist.map(_ / n).toSeq)
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: byte-value histogram over 4 buckets, L1-normalized.
+          val hist = new Array[Double](4)
+          bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
+          val n = math.max(bytes.length, 1).toDouble
+          MediaFeatures(id, bytes.length, hist.map(_ / n).toSeq)
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF()
   }
 
   /** Frame-sampling plumbing: split a payload into fixed-size "frames"

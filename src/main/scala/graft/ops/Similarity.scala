@@ -27,14 +27,28 @@ object Similarity {
   /** One-pass cosine similarity (identical arithmetic to dot/(|a||b|)). */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorOps.cosineSim(a, b)
 
+  /** Two-stage top-k over (query_id, neighbor_id, sim) scored rows: the
+    * bounded [[graft.functions.TopK]] aggregator does map-side partial
+    * aggregation, so the exchange carries ≤ |Q|·k·partitions buffer rows
+    * instead of every scored row — the `row_number()` window formulation
+    * this replaces shuffled ALL |Q|·|C| scored ids. Rank semantics are
+    * identical (strict (sim desc, id asc) total order).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK(k)(col("sim"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("_pos", "_s")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_s.id").as("neighbor_id"), col("_s.sim").as("sim"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-match excluded), ranked by (similarity desc, id asc).
     *
     * The query side is broadcast (queries << corpus), so the corpus streams
-    * through one pass with no shuffle until the per-query top-k window — and
-    * that window shuffles only |Q|·|C| *scored ids*, not vectors. At 100 TB
-    * the same plan holds as long as |Q| is bounded; unbounded Q → use
-    * [[ivfTopK]].
+    * through one pass with no shuffle; the per-query top-k is two-stage
+    * (see [[topKPerQuery]]), so the only exchange is |Q|·k·partitions
+    * pre-reduced buffers. At 100 TB the same plan holds as long as |Q| is
+    * bounded; unbounded Q → use [[ivfTopK]].
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -42,9 +56,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** Cluster centroids as mean vectors, via the single-pass
@@ -74,9 +86,7 @@ object Similarity {
     val scored = c.join(broadcast(probes), Seq(clusterCol))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim),

@@ -5,23 +5,34 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Optimizer rule: rewrite a naive radius θ-join —
-  * `Filter(haversine(l, r) <= radius, CrossJoin(L, R))` — into a latitude-
-  * banded equi-join.
+  * `Filter(haversine(l, r) <= radius, CrossJoin(L, R))` — into a 2-D
+  * (latitude band × longitude ring cell) equi-join.
   *
   * The naive plan is a Cartesian/broadcast-nested-loop product: O(|L|·|R|)
   * haversine evaluations. Any two points within `radius` km differ in
   * latitude by at most radius/111.195 degrees (the great-circle angle is at
   * least the latitude delta), so banding both sides into
-  * `cell = floor(lat / cellSize)` with `cellSize >= radius/111.195` and
-  * replicating the right side into cells {c-1, c, c+1} guarantees every
-  * qualifying pair meets in an equi-join on the band — turning the product
-  * into a hash join with a constant 3× replication of one side. The exact
+  * `band = floor(lat / cellSize)` with `cellSize >= radius/111.195` and
+  * replicating the right side into bands {c-1, c, c+1} guarantees every
+  * qualifying pair meets in an equi-join on the band.
+  *
+  * Latitude alone is not enough at scale: a 300-km band is a ~2.7° strip
+  * containing EVERY longitude on Earth, so band populations grow with the
+  * whole planet's data. Each band is therefore further split into longitude
+  * ring cells whose width adapts to the band's latitude (a degree of
+  * longitude shrinks by cos(lat)): from the haversine identity
+  * `sin²(d/2R) ≥ cosφ₁·cosφ₂·sin²(Δλ/2)`, any in-radius pair reachable from
+  * band c satisfies `Δλ ≤ 2·asin(sin(r/2R)/cos_min(c))`, which is the ring
+  * width for that band. Both join sides derive the width from the SAME band
+  * index (the right side from its replicated band), so the keys agree by
+  * construction; rings wrap at the antimeridian via pmod, and a band whose
+  * ±1-band reach touches a pole degenerates to a single ring cell (lat-only
+  * banding exactly where longitude stops meaning anything). The exact
   * haversine filter is re-applied above, so the rewrite is semantics-
-  * preserving for ANY input (no longitude assumptions — unlike 2-D gridding,
-  * latitude banding needs no cos(lat) bound).
+  * preserving for ANY input — no caller-supplied latitude bound.
   *
   * This is the reference's flagship analytic (deaths within 10 km of a power
   * plant, docs/Report.md:85-89) made safe to write naively.
@@ -90,26 +101,70 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case p @ HaversinePredicate(lat1, lon1, lat2, lon2, r, twoR) if r > 0 && twoR > 0 &&
             lat1.references.subsetOf(left.outputSet) && lon1.references.subsetOf(left.outputSet) &&
             lat2.references.subsetOf(right.outputSet) && lon2.references.subsetOf(right.outputSet) =>
-          (lat1, lat2, r, twoR)
+          (lat1, lon1, lat2, lon2, r, twoR)
       }
       hit match {
-        case Some((lat1, lat2, r, twoR)) =>
+        case Some((lat1, lon1, lat2, lon2, r, twoR)) =>
           // great-circle distance >= (twoR/2)·Δlat_rad, so
           // Δlat_deg <= 360·r / (π·twoR) regardless of the radius unit;
           // 0.1% slack absorbs last-ulp rounding in the evaluated haversine
           // so a borderline pair can never land two bands apart
-          val cellSize = Literal(math.max(360.0 * r / (math.Pi * twoR) * 1.001, 1e-9))
-          val lCell = Alias(Floor(Divide(lat1, cellSize)), "_graft_band")()
-          val newLeft = Project(left.output :+ lCell, left)
-          val delta = AttributeReference("_graft_delta", LongType)()
-          val gen = Generate(
-            Explode(CreateArray(Seq(Literal(-1L), Literal(0L), Literal(1L)))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(delta), child = right)
-          val rCell = Alias(Add(Floor(Divide(lat2, cellSize)), delta), "_graft_band_r")()
-          val newRight = Project(right.output :+ rCell, gen)
+          val cellSize = math.max(360.0 * r / (math.Pi * twoR) * 1.001, 1e-9)
+          val sLit = Literal(cellSize)
+          // sin of the half great-circle angle the radius subtends — the
+          // exact haversine bound on longitude separation (clamped: a radius
+          // past the antipode bounds nothing)
+          val sinHalf = math.sin(math.min(r / twoR, math.Pi / 2))
+
+          def dbl(e: Expression): Expression = Cast(e, DoubleType)
+          def latBandOf(lat: Expression): Expression = Floor(Divide(dbl(lat), sLit))
+
+          // Ring width (deg) for band c: any in-radius pair whose joined
+          // band is c has both latitudes within the band's ±1 reach
+          // [(c−1)s, (c+2)s], so cos_min = cos(max |endpoint|) bounds both
+          // cosines and Δλ <= 2·asin(sinHalf/cos_min)·(1+slack). Reach
+          // touching a pole (cos_min <= sinHalf) → one 360° ring cell.
+          def ringWidthOf(band: Expression): Expression = {
+            val latLo = Multiply(dbl(Subtract(band, Literal(1L))), sLit)
+            val latHi = Multiply(dbl(Add(band, Literal(2L))), sLit)
+            val maxAbs = Least(Seq(Greatest(Seq(Abs(latLo), Abs(latHi))), Literal(90.0)))
+            val cosMin = Cos(ToRadians(maxAbs))
+            If(GreaterThan(cosMin, Literal(sinHalf)),
+              Least(Seq(Literal(360.0),
+                Multiply(
+                  ToDegrees(Multiply(Literal(2.0), Asin(Divide(Literal(sinHalf), cosMin)))),
+                  Literal(1.001)))),
+              Literal(360.0))
+          }
+          def ringCellOf(lon: Expression, band: Expression, dRing: Expression): Expression = {
+            val w = ringWidthOf(band)
+            val ring = Greatest(Seq(Ceil(Divide(Literal(360.0), w)), Literal(1L)))
+            val idx = Floor(Divide(Pmod(dbl(lon), Literal(360.0)), w))
+            Pmod(Add(idx, dRing), ring) // pmod wraps the seam at the antimeridian
+          }
+
+          val lBand = Alias(latBandOf(lat1), "_graft_band")()
+          val lRing = Alias(ringCellOf(lon1, latBandOf(lat1), Literal(0L)), "_graft_ring")()
+          val newLeft = Project(left.output ++ Seq(lBand, lRing), left)
+
+          val dLat = AttributeReference("_graft_dlat", LongType)()
+          val dRing = AttributeReference("_graft_dring", LongType)()
+          def deltas = Explode(CreateArray(Seq(Literal(-1L), Literal(0L), Literal(1L))))
+          val genLat = Generate(deltas, unrequiredChildIndex = Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(dLat), child = right)
+          val genRing = Generate(deltas, unrequiredChildIndex = Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(dRing), child = genLat)
+          // the replicated band feeds the ring width so both sides compute
+          // identical keys for the band they actually meet in
+          val rBandExpr = Add(latBandOf(lat2), dLat)
+          val rBand = Alias(rBandExpr, "_graft_band_r")()
+          val rRing = Alias(ringCellOf(lon2, rBandExpr, dRing), "_graft_ring_r")()
+          val newRight = Project(right.output ++ Seq(rBand, rRing), genRing)
+
           val banded = Join(newLeft, newRight, Inner,
-            Some(EqualTo(lCell.toAttribute, rCell.toAttribute)), JoinHint.NONE)
+            Some(And(
+              EqualTo(lBand.toAttribute, rBand.toAttribute),
+              EqualTo(lRing.toAttribute, rRing.toAttribute))), JoinHint.NONE)
           // exact original predicate above the banded join; restore output
           Project(j.output, Filter(cond, banded))
         case None => j

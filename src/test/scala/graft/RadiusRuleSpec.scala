@@ -25,6 +25,9 @@ class RadiusRuleSpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct") && !physical.contains("BroadcastNestedLoopJoin"),
       s"rule did not fire:\n$physical")
     assert(physical.contains("HashJoin"), s"expected a hash join:\n$physical")
+    // 2-D keys: latitude band AND longitude ring cell must both be join keys
+    assert(physical.contains("_graft_band") && physical.contains("_graft_ring"),
+      s"expected band+ring equi-keys:\n$physical")
 
     // ground truth from an uninstalled path: force the nested-loop by using
     // a fresh logical plan evaluated without the rule
@@ -40,6 +43,28 @@ class RadiusRuleSpec extends SparkSpec {
 
     assert(naive.as[(Long, Long)].collect().toSet == bruteSet)
     assert(bruteSet.nonEmpty)
+  }
+
+  test("2-D rewrite stays exact at poles and across the antimeridian") {
+    Graft.install(spark)
+    val l = spark.range(0, 300).select($"id".as("lid"),
+      (($"id" * 37 % 1799) / 10.0 - 89.9).as("llat"),
+      (($"id" * 53 % 3599) / 10.0 - 179.9).as("llon"))
+    val r = spark.range(0, 40).select($"id".as("rid"),
+      (($"id" * 91 % 1799) / 10.0 - 89.9).as("rlat"),
+      (($"id" * 13 % 3599) / 10.0 - 179.9).as("rlon"))
+    def q = l.crossJoin(r)
+      .where(Geo.haversineKm($"llat", $"llon", $"rlat", $"rlon") <= lit(500.0))
+      .select("lid", "rid")
+    assert(!q.queryExecution.executedPlan.toString.contains("NestedLoopJoin"))
+    val got = q.as[(Long, Long)].collect().toSet
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val brute = l.crossJoin(r)
+      .where(Geo.haversineKm($"llat", $"llon", $"rlat", $"rlon") <= lit(500.0))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations = prev
+    assert(got == brute && brute.nonEmpty)
   }
 
   test("rule leaves equi-joins and non-haversine filters untouched") {

@@ -26,6 +26,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-stage top-k plan: bounded partial aggregation before the exchange, no window") {
+    val plan = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk"),
+      "map-side bounded top-k must pre-reduce before the shuffle (|Q|·k·partitions rows, not |Q|·|C|)")
+    assert(!plan.contains("Window"),
+      "a global row_number window would shuffle every scored row")
+  }
+
   test("IVF with nprobe = all clusters is exactly brute force; partial nprobe ~ nprobe/nclusters recall") {
     val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
