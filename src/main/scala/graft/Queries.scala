@@ -750,6 +750,26 @@ object Queries {
         md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
       FROM e GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("txt_winnow_fast",
+      // the xxhash64 production form of winnowing (same algorithm; integer
+      // hashes, no hex strings). DuckDB cannot evaluate xxhash64 → rows-only
+      // here; algorithmic equivalence with the md5 form (dup/locality
+      // properties) is proven in DedupSpec
+      (s, d) => TextAnalysis.winnowFingerprintsFast(t(s, d, "documents"), "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .orderBy(col("doc_id")),
+      None),
+
+    QueryDef("dedup_minhash_fast",
+      // xxhash64 MinHash-LSH (production form; md5 form above is the
+      // oracle-checked one). Rows-only: final pair-set equivalence with the
+      // md5 pipeline is a DedupSpec property (both end in exact Jaccard)
+      (s, d) => Dedup.minhashNearDupPairsFast(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None),
+
     QueryDef("pipeline_curation",
       // the canonical training-data funnel as ONE lazy plan:
       // quality score -> token floor -> language filter -> fingerprint dedup;

@@ -107,6 +107,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Production-hash MinHash signatures via Kirsch-Mitzenmacher double
+    * hashing: TWO codegen'd xxhash64 passes over each shingle (h₁, h₂), then
+    * hash function s is the cheap combination h₁ + s·h₂ (wrapping long
+    * arithmetic). Hashing cost is constant in `numHashes` — the md5 form
+    * pays a digest + hex slicing per shingle, and a naive per-seed xxhash64
+    * would pay `numHashes` full passes. Not oracle-evaluable (DuckDB has no
+    * xxhash64); the END-RESULT equivalence with the md5 pipeline is a
+    * ScalaTest property — both feed the same exact-Jaccard verify, so
+    * wherever LSH recall holds the final pair sets coincide.
+    */
+  def minhashSignaturesFast(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val hashed = shingleTbl
+      .withColumn("_h1", xxhash64(col("shingle")))
+      .withColumn("_h2", xxhash64(col("shingle"), lit(1)))
+    hashed.groupBy(col(idCol)).agg(
+      min(col("_h1")).as("mh0"),
+      (1 until numHashes).map(s => min(col("_h1") + lit(s.toLong) * col("_h2")).as(s"mh$s")): _*)
+  }
+
+  /** Band buckets over integer signatures: bucket = xxhash64 of the band's
+    * signature slice (typed, no string concat). Same band layout as
+    * [[lshBuckets]].
+    */
+  def lshBucketsFast(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes $numHashes must be a multiple of rowsPerBand $rowsPerBand")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** [[minhashNearDupPairs]] with the xxhash64 signature/bucket path — the
+    * production form for 100-TB runs where oracle portability is not needed.
+    */
+  def minhashNearDupPairsFast(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFast(sh, idCol, numHashes)
+    val cand = lshCandidatePairs(lshBucketsFast(sig, idCol, numHashes, rowsPerBand), idCol)
+    jaccardVerify(cand, sh, idCol, threshold)
+  }
+
   /** End-to-end MinHash-LSH near-dedup: (doc_a, doc_b, jac) pairs.
     *
     * The shingle table feeds four downstream consumers (signatures, sizes,

@@ -50,12 +50,30 @@ object TextAnalysis {
     * lambda reads it. Emits (idCol, fp) rows for docs of length >= k+w-1.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 8, w: Int = 4): DataFrame = {
+                         k: Int = 8, w: Int = 4): DataFrame =
+    winnow(docs, idCol, textCol, k, w, g => substring(md5(g), 1, 8))
+
+  /** Production winnowing: the one-pass codegen kernel
+    * [[graft.functions.WinnowKernel]] (xxhash64 over byte grams in place,
+    * monotone-deque window minima) replaces the interpreted
+    * `transform`/`slice` lambda pipeline of the md5 form — same winnowing
+    * algorithm, measured ~10× cheaper. DuckDB cannot evaluate xxhash64, so
+    * this variant is verified by ScalaTest equivalence properties (exact
+    * dups share ALL fingerprints; locality under edits) rather than the SQL
+    * oracle — keep [[winnowFingerprints]] for oracle-checked parity.
+    */
+  def winnowFingerprintsFast(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.WinnowOps.winnow(col(textCol), k, w)).as("fp"))
+
+  private def winnow(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int, gramHash: Column => Column): DataFrame = {
     val text = col(textCol)
     docs.where(length(text) >= k + w - 1)
       .select(col(idCol),
         transform(sequence(lit(1), length(text) - (k - 1)),
-          i => substring(md5(text.substr(i, lit(k))), 1, 8)).as("_hashes"))
+          i => gramHash(text.substr(i, lit(k)))).as("_hashes"))
       .select(col(idCol),
         explode(array_distinct(transform(sequence(lit(1), size(col("_hashes")) - (w - 1)),
           j => array_min(slice(col("_hashes"), j, lit(w)))))).as("fp"))

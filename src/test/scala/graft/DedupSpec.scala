@@ -40,6 +40,30 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("xxhash64 minhash pipeline finds the same verified pair set as the md5 pipeline") {
+    val d = Tables.load(spark, sf0001, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val md5Pairs = pairs(Dedup.minhashNearDupPairs(d, "doc_id", "text", threshold = 0.1))
+    val fastPairs = pairs(Dedup.minhashNearDupPairsFast(d, "doc_id", "text", threshold = 0.1))
+    // both candidate generators feed the same exact-Jaccard verify; on this
+    // corpus (exact + heavy near-dups) recall holds for both hash families
+    assert(md5Pairs == fastPairs)
+    assert(md5Pairs.nonEmpty)
+  }
+
+  test("xxhash64 winnowing: exact dups share all fingerprints; edits preserve most") {
+    import graft.ops.TextAnalysis
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow"
+    val edited = "PREFIX " + base // winnowing is local: one edit perturbs only nearby windows
+    val docs3 = Seq((0L, base), (1L, base), (2L, edited)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintsFast(docs3, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(0L) == fps(1L)) // identical docs -> identical fingerprint sets
+    val overlap = (fps(0L) intersect fps(2L)).size.toDouble / fps(0L).size
+    assert(overlap >= 0.5, s"locality lost: overlap=$overlap")
+  }
+
   test("identical texts get identical simhash; disjoint-vocab texts differ") {
     val h = Dedup.simhash60(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(3L))

@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("insee").as[String].collect().toSet == Set("01007", "01053"))
   }
 
+  test("restart against the same checkpoint re-ingests no file (Redis-ledger contract)") {
+    val dir = Files.createTempDirectory("graft-stream-rs")
+    val ckpt = Files.createTempDirectory("graft-ckpt-rs")
+    val sink = Files.createTempDirectory("graft-sink-rs")
+    def line(name: String, insee: String) =
+      name.padTo(80, ' ') + "1" + "19250404" + " ".padTo(65, ' ') + "20220804" + insee + "1"
+    Files.writeString(dir.resolve("death_a.txt"), Seq(line("A/", "01007"), line("C/", "01009")).mkString("\n"))
+    def runOnce(): Long = {
+      val q = Streaming.deathFileStream(spark, dir.toString).writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", sink.toString)
+        .outputMode("append").format("parquet")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val ingested = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      ingested
+    }
+    assert(runOnce() == 2)
+    assert(spark.read.parquet(sink.toString).count() == 2)
+    // second run, same checkpoint, NO new files: the checkpointed seen-files
+    // log must prevent re-READING death_a entirely — zero input rows is the
+    // proof (a mere dedup of re-read rows would also yield count 2 below,
+    // but would show nonzero input)
+    assert(runOnce() == 0, "restart re-ingested an already-imported file")
+    assert(spark.read.parquet(sink.toString).count() == 2)
+  }
+
   test("watermarked dedup bounds state while deduping within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
