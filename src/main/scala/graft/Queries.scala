@@ -761,6 +761,71 @@ object Queries {
         .orderBy(col("doc_id")),
       None),
 
+    QueryDef("txt_chunk",
+      // token-window chunking with overlap (training-example splitter):
+      // 32-token chunks, stride 24; chunk text pinned by md5 digest
+      (s, d) => TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_no"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_digest"))
+        .orderBy(col("doc_id"), col("chunk_no")),
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start_i
+          FROM tk WHERE len(toks) >= 1)
+        SELECT doc_id, CAST((start_i - 1) // 24 AS INTEGER) AS chunk_no,
+          CAST(len(toks[start_i : start_i + 31]) AS INTEGER) AS n_chunk_tokens,
+          md5(array_to_string(toks[start_i : start_i + 31], ' ')) AS chunk_digest
+        FROM st ORDER BY doc_id, chunk_no""")),
+
+    QueryDef("txt_pii_scrub",
+      // PII redaction (emails/URLs/phones, RE2-class patterns): the corpus
+      // has no natural PII, so deterministic PII is injected per doc
+      // (op05-style construct-and-check), then counted and scrubbed
+      (s, d) => {
+        val withPii = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" see https://ex.com/"), col("doc_id")).as("text"))
+        val (emails, urls, phones) = TextAnalysis.piiCounts(col("text"))
+        withPii.select(col("doc_id"), emails.as("n_emails"), urls.as("n_urls"),
+            phones.as("n_phones"),
+            md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t2 AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' see https://ex.com/' || doc_id AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+          CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS INTEGER) AS n_phones,
+          md5(regexp_replace(regexp_replace(regexp_replace(text,
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_digest
+        FROM t2 ORDER BY doc_id""")),
+
+    QueryDef("txt_tfidf_topk",
+      // per-doc top-3 terms by a TF-IDF-monotone integer ranking
+      // (tf desc, df asc, token asc) — float idf scores would hash-flake on
+      // libm last-ulp differences; the integer keys order identically
+      (s, d) => TextAnalysis.topTermsByTfidf(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        r AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+            row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, idf.df ASC, tf.token ASC) AS rank
+          FROM tf JOIN idf USING (token))
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     QueryDef("dedup_minhash_fast",
       // xxhash64 MinHash-LSH (production form; md5 form above is the
       // oracle-checked one). Rows-only: final pair-set equivalence with the
@@ -769,6 +834,41 @@ object Queries {
           shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b")),
       None),
+
+    QueryDef("dedup_clusters",
+      // near-dup pairs → connected components → cluster representative per
+      // doc (the actual keep/drop decision). Spark: min-label propagation
+      // with pointer jumping; oracle: recursive CTE reachability — both
+      // compute "min id reachable", which is iteration-order independent
+      (s, d) => Dedup.dedupClusters(
+          Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+            shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1),
+          "doc_a", "doc_b")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE mp AS (${minhashOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)}),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM mp UNION SELECT doc_b, doc_a FROM mp),
+        vs AS (SELECT DISTINCT src AS v FROM e),
+        reach AS (
+          SELECT v, v AS r FROM vs
+          UNION
+          SELECT e.src AS v, reach.r FROM e JOIN reach ON reach.v = e.dst)
+        SELECT v AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY v ORDER BY doc_id""")),
+
+    QueryDef("op_sample_stratified",
+      // deterministic hash-stratified sampling (reproducible corpus mixes):
+      // keep-decision is md5(key) mod 100 < rate(stratum) — a pure filter,
+      // identical in any engine, stable under repartitioning
+      (s, d) => Sampling.stratifiedSampleByHash(t(s, d, "lineitem"),
+          col("l_returnflag"), concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          Map("A" -> 10, "N" -> 2, "R" -> 50))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), dsum(col("l_quantity"), 20, 2).as("sum_qty"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag, count(*) AS n_kept, ${dsumSql("l_quantity", 20, 2)} AS sum_qty
+        FROM lineitem
+        WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 2 WHEN 'R' THEN 50 ELSE 0 END
+        GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("pipeline_curation",
       // the canonical training-data funnel as ONE lazy plan:

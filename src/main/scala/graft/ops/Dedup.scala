@@ -243,4 +243,65 @@ object Dedup {
   /** Exact dedup (first-wins deterministic) — see also Aggregates.dedupFirst. */
   def exactDedup(docs: DataFrame, textCol: String, orderCol: String): DataFrame =
     Aggregates.dedupFirst(docs, Seq(textCol), Seq(col(orderCol).asc))
+
+  // ------------------------------------------------- cluster resolution
+
+  /** Resolve near-dup PAIRS into dedup CLUSTERS: every document that appears
+    * in a pair is labeled with the minimum id reachable through the pair
+    * graph (its connected component's representative) — the step that turns
+    * pairwise similarity into an actual keep/drop decision (keep the rep,
+    * drop the rest).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round is
+    * (a) label(v) ← min(label(v), min label over v's neighbors) — one
+    * shuffle on the edge key — then (b) label(v) ← label(label(v)) — one
+    * shuffle on the label — which halves the remaining label-tree depth, so
+    * convergence is O(log diameter) rounds rather than O(diameter). Rounds
+    * are driver-controlled with a scalar changed-count per round (no data
+    * ever collects to the driver) and `localCheckpoint` truncates the plan
+    * lineage so round N's plan does not embed rounds 1..N-1. The result —
+    * min reachable id — is iteration-order independent, hence
+    * deterministic and oracle-comparable.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                    maxRounds: Int = 30): DataFrame = {
+    // checkpoint the (possibly expensive — e.g. an LSH pipeline) pair set
+    // ONCE: both union branches and every propagation round then read the
+    // materialized rows instead of re-running the producer plan
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(eager = false)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // Per-round costs exactly ONE job: the changed-count. The old label
+      // rides along in the same plan (a separate compare-join would double
+      // the per-round jobs, which dominate wall time on small graphs), and
+      // the LAZY localCheckpoint below truncates lineage — the round's
+      // self-join references its input twice, so without the cut the
+      // logical plan doubles every round (exponential analyzer cost) —
+      // while deferring materialization to the count.
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("v")).agg(min(col("label")).as("_nbr"))
+      val stepped = labels.withColumnRenamed("label", "_old")
+        .join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("_old"),
+          least(col("_old"), coalesce(col("_nbr"), col("_old"))).as("label"))
+      val jumped = stepped
+        .join(stepped.select(col("v").as("label"), col("label").as("_parent")),
+          Seq("label"), "left")
+        .select(col("v"),
+          coalesce(col("_parent"), col("label")).as("label"),
+          (coalesce(col("_parent"), col("label")) =!= col("_old")).as("_chg"))
+        .localCheckpoint(eager = false)
+      changed = jumped.where(col("_chg")).count()
+      labels = jumped.select(col("v"), col("label"))
+      round += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
+  }
 }

@@ -79,6 +79,74 @@ object TextAnalysis {
           j => array_min(slice(col("_hashes"), j, lit(w)))))).as("fp"))
   }
 
+  /** Token-window chunking with overlap — the unit-of-training-example
+    * splitter every LLM data pipeline needs. Chunk i covers tokens
+    * [1 + i·stride, 1 + i·stride + chunkTokens); the final chunks are
+    * shorter. One tokenize, one posexplode — linear, no shuffle.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "stride must be in (0, chunkTokens] so chunks cover every token")
+    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(1), size(col("_toks")), lit(stride))).as(Seq("chunk_no", "_start")))
+      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
+        size(slice(col("_toks"), col("_start"), lit(chunkTokens))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start"), lit(chunkTokens))).as("chunk_text"))
+  }
+
+  /** PII patterns — RE2-class regexes (no lookahead) so the same definition
+    * runs in Spark, DuckDB, and RE2-based scanners.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://[^\\s]+"
+  val phonePattern: String = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  /** Redact emails/URLs/phones with typed placeholder tokens. URL first so
+    * an address inside a URL is not double-matched.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-kind PII hit counts over the ORIGINAL text (counts may overlap). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))),
+    size(regexp_extract_all(text, lit(urlPattern), lit(0))),
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))))
+
+  /** Per-doc top-k terms by a TF-IDF-monotone INTEGER ranking
+    * (tf desc, df asc, token asc): exact across engines — a float
+    * `tf·ln((N+1)/(df+1))` score would hash-flake on libm last-ulp
+    * differences, while the integer keys order identically wherever the
+    * float score orders strictly. [[tfidfScore]] provides the float score
+    * for in-engine use.
+    *
+    * Shuffle shape at scale: explode → (doc,term) count (map-side partial),
+    * term df (partial agg, auto-broadcast when vocab is small), one window
+    * over the doc's own terms — all linear in token count.
+    */
+  def topTermsByTfidf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
+  }
+
+  /** Smoothed TF-IDF: tf · (ln((N+1)/(df+1)) + 1). */
+  def tfidfScore(tf: Column, df: Column, nDocs: Column): Column =
+    tf.cast("double") * (log((nDocs.cast("double") + 1) / (df.cast("double") + 1)) + 1)
+
   /** Tiny per-language stopword marker sets used by the n-gram-heuristic
     * language scorer. Deterministic and oracle-expressible (IN-lists).
     */

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkByTokens: stride-overlap windows cover all tokens, tails shorten") {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(doc, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .select("chunk_no", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect().sortBy(_._1)
+    assert(chunks.map(_._2).toSeq == Seq(4, 4, 4, 1)) // starts 1,4,7,10
+    assert(chunks.head._3 == "t1 t2 t3 t4")
+    assert(chunks(1)._3 == "t4 t5 t6 t7") // one-token overlap at stride 3
+    assert(chunks.last._3 == "t10")
+  }
+
+  test("scrubPii redacts emails, urls, phones; counts match") {
+    val df = Seq((1L, "mail a.b@x.io and +1-555-0042 1234 at https://x.io/p?q=1 end"))
+      .toDF("id", "text")
+    val (e, u, p) = TextAnalysis.piiCounts(col("text"))
+    val row = df.select(TextAnalysis.scrubPii(col("text")).as("s"), e.as("e"), u.as("u"), p.as("p"))
+      .as[(String, Int, Int, Int)].head()
+    assert(row._1 == "mail <EMAIL> and <PHONE> at <URL> end")
+    assert((row._2, row._3, row._4) == (1, 1, 1))
+  }
+
+  test("hash-stratified sampling is deterministic, per-stratum sized, and a pure filter") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    def sample() = Sampling.stratifiedSampleByHash(li, $"l_returnflag",
+      concat_ws("-", $"l_orderkey", $"l_linenumber"), Map("A" -> 10, "N" -> 2, "R" -> 50))
+    val counts = sample().groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    val again = sample().groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == again) // reproducible, unlike rand()
+    val totals = li.groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    def rate(f: String) = counts.getOrElse(f, 0L).toDouble / totals(f)
+    assert(math.abs(rate("A") - 0.10) < 0.05)
+    assert(math.abs(rate("R") - 0.50) < 0.08)
+    assert(rate("N") < 0.07)
+    // a sample is a FILTER: no shuffle in the plan
+    assert(!sample().queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("topTermsByTfidf ranks rare-but-frequent terms above common ones") {
+    val docs = Seq(
+      (1L, "zebra zebra zebra the the a"),
+      (2L, "the a of and to"),
+      (3L, "the a of and to")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsByTfidf(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra") // tf 3 and df 1 beats the stopwords
+  }
+
+  test("dedupClusters labels every member with the component minimum") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters converges on a long path graph (pointer jumping)") {
+    val n = 40 // path 0-1-2-...-40: worst-case diameter for propagation
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == n + 1 && got.forall(_._2 == 0L))
+  }
+}
