@@ -192,8 +192,26 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   *   `experimental.extraOptimizations` (same optimizer batch).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RadiusJoinRule)
+    // same scalar surface Graft.install registers at runtime, but available
+    // to config-only users (spark.sql.extensions=graft.plans.GraftExtensions)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo("graft.functions.CosineSimExpr", "graft_cosine_sim"),
+      (es: Seq[Expression]) => graft.functions.CosineSimExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo("graft.functions.DotProductExpr", "graft_dot"),
+      (es: Seq[Expression]) => graft.functions.DotProductExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_haversine_km"),
+      new ExpressionInfo("graft.plans.GeoExprs", "graft_haversine_km"),
+      (es: Seq[Expression]) => GeoExprs.haversineKm(es(0), es(1), es(2), es(3))))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo("graft.functions.WinnowExpr", "graft_winnow"),
+      (es: Seq[Expression]) => graft.functions.WinnowExpr(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+  }
 }
 
 /** The haversine formula as a raw Catalyst tree (same shape as
@@ -232,5 +250,8 @@ object Graft {
       es => graft.functions.DotProductExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_haversine_km",
       es => GeoExprs.haversineKm(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      es => graft.functions.WinnowExpr(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

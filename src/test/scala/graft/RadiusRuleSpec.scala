@@ -84,6 +84,8 @@ class RadiusRuleSpec extends SparkSpec {
       "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s, " +
       "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
     assert(math.abs(sim.getDouble(0) - 1.0) < 1e-12 && sim.getDouble(1) == 11.0)
+    val fps = spark.sql("SELECT size(graft_winnow('abcdefghijklmnop', 8, 4)) AS n").head().getInt(0)
+    assert(fps >= 1) // winnow kernel reachable from SQL
   }
 
   test("rule is unit-agnostic: a miles-based haversine gets a correspondingly wider band") {
