@@ -89,4 +89,86 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
 object WinnowOps {
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowExpr(GraftBridge.expr(text), k, w))
+  def winnowMd5(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowMd5Expr(GraftBridge.expr(text), k, w))
+}
+
+/** The md5/hex winnowing DEFINITION (exactly
+  * `array_distinct(transform(windows, j -> array_min(transform(grams,
+  * i -> substring(md5(substr(text, i, k)), 1, 8)))))` — char-substring
+  * semantics, lowercase hex, lexicographic min) evaluated as a one-pass
+  * kernel instead of interpreted higher-order lambdas. Values are
+  * bit-identical to the expression form (property-tested), so the DuckDB
+  * oracle for the md5 winnowing query keeps matching; the kernel removes
+  * the per-gram Column-tree interpretation that dominated the query's cost.
+  */
+object WinnowMd5Kernel {
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numChars()
+    val numGrams = n - k + 1
+    val numWins = numGrams - w + 1
+    if (numWins <= 0) return new GenericArrayData(Array.empty[Any])
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val hashes = new Array[String](numGrams)
+    var i = 0
+    while (i < numGrams) {
+      // code-point substring == Spark's substr / DuckDB's substring
+      val digest = md.digest(s.substring(i, i + k).getBytes)
+      val cs = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        cs(2 * b) = hex((digest(b) >> 4) & 0xf)
+        cs(2 * b + 1) = hex(digest(b) & 0xf)
+        b += 1
+      }
+      hashes(i) = new String(cs)
+      i += 1
+    }
+    // monotone deque sliding minimum; lexicographic String order == the
+    // UTF8String binary order array_min/min use on lowercase hex
+    val deque = new Array[Int](numGrams)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[String]()
+    val out = new Array[AnyRef](numWins)
+    var outN = 0
+    i = 0
+    while (i < numGrams) {
+      while (tail > head && hashes(deque(tail - 1)).compareTo(hashes(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = hashes(deque(head))
+        if (seen.add(m)) { out(outN) = UTF8String.fromString(m); outN += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN).asInstanceOf[Array[Any]])
+  }
+}
+
+/** `winnow_md5(text, k, w)` → `array<string>` of distinct window-minimum
+  * 8-hex-char md5 prefixes (first-occurrence order). Full codegen.
+  */
+case class WinnowMd5Expr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_md5 expects a string column, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowMd5Kernel.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowMd5Kernel.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

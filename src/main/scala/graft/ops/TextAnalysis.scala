@@ -51,6 +51,16 @@ object TextAnalysis {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.WinnowOps.winnowMd5(col(textCol), k, w)).as("fp"))
+
+  /** The same md5 winnowing as a pure built-in-expression pipeline — kept as
+    * the executable SPECIFICATION for [[winnowFingerprints]]'s kernel (the
+    * equivalence is property-tested; the kernel exists because interpreted
+    * HOF lambdas made this form ~4× slower at identical output).
+    */
+  def winnowFingerprintsExpr(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 8, w: Int = 4): DataFrame =
     winnow(docs, idCol, textCol, k, w, g => substring(md5(g), 1, 8))
 
   /** Production winnowing: the one-pass codegen kernel

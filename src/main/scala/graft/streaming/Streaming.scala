@@ -82,6 +82,39 @@ object Streaming {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** Watermarked stream-stream inner join: each side keeps only
+    * `watermark`-bounded state, and the time-range condition
+    * (right.ts ∈ [left.ts, left.ts + joinWindow]) lets Spark expire buffered
+    * rows — the unbounded-state stream join made safe for 100-TB streams.
+    * Both sides must share the key column name `keyCol`.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, joinWindow: String): DataFrame = {
+    require(leftTs != rightTs, "timestamp columns must have distinct names")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(keyCol, "_rkey")
+    l.join(r,
+        col(keyCol) === col("_rkey") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $joinWindow"))
+      .drop("_rkey")
+  }
+
+  /** Stream → idempotent store bridge: lands every micro-batch through
+    * [[graft.ops.Sinks.idempotentParquetAppend]] (anti-join on `keys` before
+    * append), so the at-rest table holds exactly one row per key even when
+    * the stream re-delivers beyond the watermark horizon — checkpointed
+    * source progress (the file ledger) + keyed idempotence (the PK) is the
+    * reference's Redis + `ON CONFLICT DO NOTHING` split, end to end.
+    */
+  def idempotentStoreSink(df: DataFrame, path: String, keys: Seq[String],
+                          partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, batch, path, keys, partitionBy)
+      ()
+    }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event count
     * and last-seen value, emitted once per micro-batch per active key — the
     * §2.7 stateful-processing surface (GroupState is partition-local; state

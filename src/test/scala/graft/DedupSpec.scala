@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     assert(md5Pairs.nonEmpty)
   }
 
+  test("winnow md5 kernel == expression-form specification, including non-ASCII") {
+    import graft.ops.TextAnalysis
+    val d = Tables.load(spark, sf0001, "documents").limit(100)
+      .unionByName(Seq((9001L, "héllo wörld çafé naïve résumé over and over héllo wörld çafé"),
+        (9002L, "short"), (9003L, "elevenchars")).toDF("doc_id", "text")
+        .withColumn("lang", lit("xx")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length($"text")).select("doc_id", "text", "lang", "source", "n_chars"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fp").as[(Long, String)].collect().sorted.toSeq
+    assert(rows(TextAnalysis.winnowFingerprints(d, "doc_id", "text")) ==
+      rows(TextAnalysis.winnowFingerprintsExpr(d, "doc_id", "text")))
+  }
+
   test("xxhash64 winnowing: exact dups share all fingerprints; edits preserve most") {
     import graft.ops.TextAnalysis
     val base = "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow"

@@ -96,6 +96,45 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("stream-stream join pairs events within the join window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "user_id"),
+      buys.toDF().toDF("buy_ts", "user_id"),
+      "user_id", "click_ts", "buy_ts", watermark = "1 hour", joinWindow = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss_out").start()
+    clicks.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L))
+    buys.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1L), // within 10m of 1's click
+      (java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 2L)) // outside the window
+    q.processAllAvailable()
+    val rows = spark.table("ss_out").select("user_id").as[Long].collect().toSeq
+    q.stop()
+    assert(rows == Seq(1L))
+  }
+
+  test("stream -> idempotent store: re-delivered keys beyond the watermark land exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-idem-sink")
+    val ckpt = Files.createTempDirectory("graft-idem-ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.idempotentStoreSink(
+        input.toDF().toDF("id", "v"), dir.toString + "/tbl", keys = Seq("id"))
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "b"), (3L, "c")) // id 2 re-delivered in a LATER batch
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dir.toString + "/tbl")
+    assert(out.count() == 3) // one row per key, despite the re-delivery
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
