@@ -43,4 +43,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("txt_tfidf_topk: group-limit truncates to k BEFORE the window exchange") {
+    val p = plan("txt_tfidf_topk")
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed below the exchange:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("txt_chunk: linear plan — no join, only the output-sort exchange") {
+    val p = plan("txt_chunk")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.split("\n").count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected only the rangepartitioning sort exchange, got $exchanges:\n$p")
+  }
+
+  test("op_sample_stratified: sampling is a scan-level filter, not a shuffle stage") {
+    val p = plan("op_sample_stratified")
+    assert(!p.contains("Join"), p)
+    // filter sits directly on the scan (one projection/filter stage), then
+    // one agg exchange and the output sort — nothing else moves data
+    assert(p.contains("FileScan parquet"), p)
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("dedup/similarity pair generators never plan a cartesian product") {
+    Seq("dedup_simhash", "dedup_minhash_jaccard", "dedup_minhash_fast", "emb_near_dup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs product:\n$p")
+    }
+  }
 }
