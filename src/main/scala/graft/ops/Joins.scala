@@ -114,7 +114,7 @@ object Joins {
   def skewSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallSalted, keys :+ "_salt").drop("_salt")

@@ -55,6 +55,37 @@ object Sinks {
     } finally newRows.unpersist()
   }
 
+  /** Op 24 passthrough — the reference's relational store as a REAL JDBC
+    * write (global_dag.py:381-397 replays INSERTs against Postgres; here the
+    * batch lands in one distributed `df.write.jdbc`).
+    */
+  def jdbcSink(df: DataFrame, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Idempotent JDBC append: the same dedup + anti-join-on-key contract as
+    * [[idempotentParquetAppend]] (`ON CONFLICT DO NOTHING` done
+    * relationally) for stores without native upsert. The anti-join is
+    * materialized (persist + count) BEFORE the append so the write never
+    * scans the table it is inserting into. Creates the table on first write.
+    */
+  def idempotentJdbcAppend(
+      spark: SparkSession, batch: DataFrame, url: String, table: String,
+      keys: Seq[String], props: java.util.Properties = new java.util.Properties()): Long = {
+    val existing =
+      try { val t = spark.read.jdbc(url, table, props); t.schema; Some(t) }
+      catch { case _: Exception => None } // table absent -> fresh-table branch
+    val newRows = (existing match {
+      case Some(t) => Aggregates.idempotentNewRows(batch, t, keys)
+      case None => batch.dropDuplicates(keys)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newRows.count()
+      if (n > 0) newRows.write.mode(SaveMode.Append).jdbc(url, table, props)
+      n
+    } finally newRows.unpersist()
+  }
+
   /** Bucketed table sink: pre-shuffles once at write time so every later
     * equi-join or aggregation on `keys` between co-bucketed tables runs with
     * NO exchange — the decisive layout choice for repeated 100-TB fact-to-

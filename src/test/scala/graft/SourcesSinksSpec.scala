@@ -82,6 +82,19 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("op24: idempotent JDBC append against embedded Derby — re-run is a no-op") {
+    val db = Files.createTempDirectory("graft-derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v")
+    assert(Sinks.idempotentJdbcAppend(spark, batch, url, "t1", Seq("id")) == 2) // in-batch dup dropped
+    assert(Sinks.idempotentJdbcAppend(spark, batch, url, "t1", Seq("id")) == 0) // re-run no-op
+    val more = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(Sinks.idempotentJdbcAppend(spark, more, url, "t1", Seq("id")) == 1) // only the new key
+    val back = spark.read.jdbc(url, "t1", new java.util.Properties())
+    assert(back.count() == 3)
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("bucketed co-located join: no shuffle exchange on either side") {
     val o = Tables.load(spark, sf0001, "orders")
     val l = Tables.load(spark, sf0001, "lineitem")
