@@ -26,7 +26,12 @@ object Bench {
         failed += 1
         System.err.println(s"[bench] FAIL ${q.name}: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates (shingle tables, CC edges) would
+      // otherwise accumulate cache across all queries — GC pressure that
+      // shows up as run-to-run variance, not as any query's real cost
+      spark.catalog.clearCache()
+      q.name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
