@@ -89,43 +89,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim),
-    * derived from md5 — reproducible across runs and engines. The whole
-    * plane is materialized ONCE at plan-build time as a literal array (it
-    * depends only on (plane, dim), never on row data); the projection is
-    * then a single codegen'd dot product per row instead of per-row
-    * md5-per-dimension evaluation.
-    */
-  private def planeSign(plane: Int, dim: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${plane}_$dim".getBytes("UTF-8"))
-    val nib = (hex(0) >> 4) & 0xf
-    if ((nib & 1) == 1) 1.0 else -1.0
-  }
-
-  private def planeLit(plane: Int, dims: Int): Column =
-    typedlit((0 until dims).map(d => planeSign(plane, d)).toArray)
-
   /** Random-hyperplane (SRP) LSH bucket id for one hash table: `numPlanes`
-    * sign bits of the vector projected onto deterministic ±1 planes (plane
-    * ids are namespaced by table so tables are independent). Same-bucket
-    * probability per bit is 1 − θ/π.
+    * sign bits of the vector projected onto deterministic md5-derived ±1
+    * planes (plane ids are namespaced by table so tables are independent;
+    * see [[graft.functions.SrpKernel.planeSign]] for THE plane definition).
+    * Same-bucket probability per bit is 1 − θ/π.
+    *
+    * This expression-composition form (one codegen dot product + `when` per
+    * plane, plane vectors as plan-time literal arrays) is the executable
+    * SPEC for the fused [[graft.functions.SrpBucketsExpr]] kernel that the
+    * pipeline entry points use — bit-for-bit equivalence is property-tested.
     */
   def srpBucket(vec: Column, numPlanes: Int, table: Int = 0, dims: Int = 64): Column = {
     require(numPlanes <= 62, "bucket id is a signed long")
     val bits = (0 until numPlanes).map { p =>
-      val proj = dot(vec, planeLit(table * 1000 + p, dims))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedlit((0 until dims).map(d =>
+        graft.functions.SrpKernel.planeSign(table * 1000 + p, d)).toArray)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** (id, tbl, bucket) for every table — one row per (doc, table), linear. */
+  /** (id, tbl, bucket) for every table — one row per (doc, table), linear.
+    * All `numTables · planesPerTable` projections run in ONE fused kernel
+    * pass per row ([[graft.functions.SrpBucketsExpr]]); the composition
+    * form builds 160 expression nodes at the defaults and re-reads the
+    * vector per plane.
+    */
   def srpBuckets(corpus: DataFrame, idCol: String, vecCol: String,
                  numTables: Int, planesPerTable: Int, dims: Int = 64): DataFrame =
-    corpus.select(col(idCol), explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("tbl"), srpBucket(col(vecCol), planesPerTable, t, dims).as("bucket"))): _*)).as("b"))
-      .select(col(idCol), col("b.tbl"), col("b.bucket"))
+    corpus.select(col(idCol),
+      posexplode(graft.functions.SrpOps.srpBuckets(col(vecCol), numTables, planesPerTable, dims))
+        .as(Seq("tbl", "bucket")))
 
   /** Distinct SRP candidate pairs (id_a < id_b) before the cosine verify.
     *

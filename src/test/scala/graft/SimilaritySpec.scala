@@ -26,6 +26,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fused SRP kernel == expression-composition spec, bit for bit") {
+    val fused = Similarity.srpBuckets(emb, "vec_id", "embedding", numTables = 4, planesPerTable = 12)
+      .as[(Long, Int, Long)].collect().toSet
+    val spec = (0 until 4).map { t =>
+      emb.select($"vec_id", lit(t).as("tbl"),
+        Similarity.srpBucket($"embedding", 12, t).as("bucket"))
+        .as[(Long, Int, Long)].collect().toSet
+    }.reduce(_ union _)
+    assert(fused == spec)
+    assert(fused.size == emb.count() * 4)
+  }
+
   test("two-stage top-k plan: bounded partial aggregation before the exchange, no window") {
     val plan = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
       .queryExecution.executedPlan.toString

@@ -82,6 +82,14 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("orc source/sink roundtrip with predicate pushdown") {
+    val path = Files.createTempDirectory("graft-orc").toString + "/t"
+    Tables.load(spark, sf0001, "nation").write.orc(path)
+    val back = spark.read.orc(path).where($"n_nationkey" > 20)
+    assert(back.count() == 4)
+    assert(back.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,20)]"))
+  }
+
   test("op24: idempotent JDBC append against embedded Derby — re-run is a no-op") {
     val db = Files.createTempDirectory("graft-derby").toString + "/db"
     val url = s"jdbc:derby:$db;create=true"
