@@ -965,11 +965,14 @@ object Queries {
       // now exercises the operator in its design regime: plant a
       // deterministic near-dup of every vector (±2% per-dim scaling →
       // cos ≈ 0.9997) and find the planted pairs at threshold 0.9 with the
-      // scale-correct defaults (20-bit tables, 1-bit multiprobe).
+      // scale-correct defaults (20-bit tables, 1-bit multiprobe). Planted
+      // ids are −id−1: collision-free with the nonnegative real ids at ANY
+      // scale factor (a fixed +offset would collide once the table outgrows
+      // it).
       (s, d) => {
         val e = t(s, d, "embeddings")
         val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        val pert = e.select((col("vec_id") + lit(100000L)).as("vec_id"),
+        val pert = e.select((-col("vec_id") - lit(1L)).as("vec_id"),
           transform(col("embedding"),
             (x, i) => x * (lit(1.0) + lit(0.02) * sin(col("vec_id") + i))).as("embedding"))
         Similarity.embeddingNearDupPairs(base.unionByName(pert), "vec_id", "embedding",

@@ -29,8 +29,15 @@ final case class Scored(sim: Double, id: Long)
 final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k > 0)
 
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  // Spark's double sort order: NaN greater than everything (and equal to
+  // itself), -0.0 == 0.0. A plain `>` would leave NaN unordered (never
+  // beats, never beaten) and the result partition-dependent; Double.compare
+  // gets NaN right but splits ±0.0, so zeros are normalized first.
+  @inline private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(norm(a.sim), norm(b.sim))
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[Scored] = Vector.empty
 

@@ -304,4 +304,14 @@ object Dedup {
     }
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
+
+  /** The final dedup decision: drop every clustered doc except its cluster
+    * representative; docs in no pair pass through untouched (each is its
+    * own cluster). One anti-join on the id — the complete near-dedup chain
+    * is `pairs → dedupClusters → applyClusterDedup`.
+    */
+  def applyClusterDedup(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(col("doc_id") =!= col("cluster_rep")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

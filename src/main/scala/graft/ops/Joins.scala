@@ -58,11 +58,17 @@ object Joins {
       s"lonCellDeg $lonCellDeg must divide 360 so longitude cells wrap at the antimeridian")
     // A degree of longitude shrinks by cos(lat): an undersized lonCellDeg
     // would silently DROP qualifying pairs at high latitude, so it must be
-    // validated against the data's latitude bound, not assumed.
-    require(maxAbsLatDeg < 90.0 &&
-      lonCellDeg >= radiusKm / (111.32 * math.cos(math.toRadians(maxAbsLatDeg))),
+    // validated against the data's latitude bound — with the EXACT haversine
+    // bound Δλ <= 2·asin(sin(r/2R)/cos(lat)), not the linear approximation
+    // r/(111.32·cos lat), which understates the requirement near its edge.
+    val sinHalf = math.sin(radiusKm / (2 * Geo.EarthRadiusKm))
+    val cosLat = math.cos(math.toRadians(maxAbsLatDeg))
+    require(maxAbsLatDeg < 90.0 && cosLat > sinHalf,
+      s"radius $radiusKm km spans all longitudes at latitude ±$maxAbsLatDeg° — no lon banding possible")
+    val minLonCell = math.toDegrees(2 * math.asin(sinHalf / cosLat))
+    require(lonCellDeg >= minLonCell,
       s"lonCellDeg $lonCellDeg too small for radius $radiusKm km at latitude ±$maxAbsLatDeg°" +
-        s" (need >= ${radiusKm / (111.32 * math.cos(math.toRadians(maxAbsLatDeg)))})")
+        s" (need >= $minLonCell)")
     val nLonCells = math.round(360.0 / lonCellDeg)
     // pmod wraps the longitude band so pairs straddling lon=±180 still meet
     def lonCell(lon: Column, delta: Column): Column =

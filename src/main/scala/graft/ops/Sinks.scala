@@ -72,18 +72,31 @@ object Sinks {
   def idempotentJdbcAppend(
       spark: SparkSession, batch: DataFrame, url: String, table: String,
       keys: Seq[String], props: java.util.Properties = new java.util.Properties()): Long = {
-    val existing =
-      try { val t = spark.read.jdbc(url, table, props); t.schema; Some(t) }
-      catch { case _: Exception => None } // table absent -> fresh-table branch
-    val newRows = (existing match {
-      case Some(t) => Aggregates.idempotentNewRows(batch, t, keys)
-      case None => batch.dropDuplicates(keys)
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Existence is probed via JDBC metadata, NOT by catching a failed read:
+    // a transient failure (connection, auth, lock) misread as "table absent"
+    // would skip the anti-join and append duplicates — the exact violation
+    // this function exists to prevent. Real failures propagate.
+    val newRows = (if (jdbcTableExists(url, table, props))
+      Aggregates.idempotentNewRows(batch, spark.read.jdbc(url, table, props), keys)
+    else batch.dropDuplicates(keys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = newRows.count()
       if (n > 0) newRows.write.mode(SaveMode.Append).jdbc(url, table, props)
       n
     } finally newRows.unpersist()
+  }
+
+  private def jdbcTableExists(url: String, table: String, props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    } finally conn.close()
   }
 
   /** Bucketed table sink: pre-shuffles once at write time so every later

@@ -138,8 +138,15 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           }
           def ringCellOf(lon: Expression, band: Expression, dRing: Expression): Expression = {
             val w = ringWidthOf(band)
-            val ring = Greatest(Seq(Ceil(Divide(Literal(360.0), w)), Literal(1L)))
-            val idx = Floor(Divide(Pmod(dbl(lon), Literal(360.0)), w))
+            // cells must be EVENLY sized: floor (not ceil) picks the cell
+            // count so every cell is 360/ring >= w wide — a ceil'd count
+            // leaves a truncated final cell narrower than w, and a pair
+            // straddling the lon=0 seam through that sliver lands 2 cells
+            // apart, invisible to the ±1 probe (silently dropped rows)
+            val ring = Greatest(Seq(Floor(Divide(Literal(360.0), w)), Literal(1L)))
+            val idx = Floor(Divide(
+              Multiply(Pmod(dbl(lon), Literal(360.0)), Cast(ring, DoubleType)),
+              Literal(360.0)))
             Pmod(Add(idx, dRing), ring) // pmod wraps the seam at the antimeridian
           }
 
@@ -198,19 +205,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // to config-only users (spark.sql.extensions=graft.plans.GraftExtensions)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    e.injectFunction((FunctionIdentifier("graft_cosine_sim"),
-      new ExpressionInfo("graft.functions.CosineSimExpr", "graft_cosine_sim"),
-      (es: Seq[Expression]) => graft.functions.CosineSimExpr(es(0), es(1))))
-    e.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo("graft.functions.DotProductExpr", "graft_dot"),
-      (es: Seq[Expression]) => graft.functions.DotProductExpr(es(0), es(1))))
-    e.injectFunction((FunctionIdentifier("graft_haversine_km"),
-      new ExpressionInfo("graft.plans.GeoExprs", "graft_haversine_km"),
-      (es: Seq[Expression]) => GeoExprs.haversineKm(es(0), es(1), es(2), es(3))))
-    e.injectFunction((FunctionIdentifier("graft_winnow"),
-      new ExpressionInfo("graft.functions.WinnowExpr", "graft_winnow"),
-      (es: Seq[Expression]) => graft.functions.WinnowExpr(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+    Graft.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
   }
 }
 
@@ -238,20 +236,22 @@ object Graft {
     spark
   }
 
-  /** Expose the engine's scalar functions to `spark.sql` users:
-    * `graft_cosine_sim(a, b)`, `graft_dot(a, b)`,
-    * `graft_haversine_km(lat1, lon1, lat2, lon2)`.
+  /** The engine's SQL scalar surface — ONE definition list consumed by both
+    * registration paths ([[GraftExtensions]] at session build,
+    * [[install]] at runtime) so the two can never drift.
     */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine_sim" -> ((es: Seq[Expression]) => graft.functions.CosineSimExpr(es(0), es(1))),
+    "graft_dot" -> ((es: Seq[Expression]) => graft.functions.DotProductExpr(es(0), es(1))),
+    "graft_haversine_km" -> ((es: Seq[Expression]) => GeoExprs.haversineKm(es(0), es(1), es(2), es(3))),
+    "graft_winnow" -> ((es: Seq[Expression]) => graft.functions.WinnowExpr(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+
+  /** Expose the engine's scalar functions to `spark.sql` users. */
   def registerSqlFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine_sim",
-      es => graft.functions.CosineSimExpr(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => graft.functions.DotProductExpr(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_haversine_km",
-      es => GeoExprs.haversineKm(es(0), es(1), es(2), es(3)), "built-in")
-    reg.createOrReplaceTempFunction("graft_winnow",
-      es => graft.functions.WinnowExpr(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

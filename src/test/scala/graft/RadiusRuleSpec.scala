@@ -67,6 +67,19 @@ class RadiusRuleSpec extends SparkSpec {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("regression: in-radius pair through the narrow lon-seam sliver is not dropped") {
+    // with ceil-based ring sizing the final cell was narrower than the ring
+    // width; this exact pair (10.78 km apart at r=11) straddled it and
+    // vanished from the rewritten join
+    Graft.install(spark)
+    val l = Seq((1L, 1.0, 359.954)).toDF("lid", "llat", "llon")
+    val r = Seq((2L, 1.0, 0.050)).toDF("rid", "rlat", "rlon")
+    val got = l.crossJoin(r)
+      .where(Geo.haversineKm($"llat", $"llon", $"rlat", $"rlon") <= lit(11.0))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("rule leaves equi-joins and non-haversine filters untouched") {
     Graft.install(spark)
     val l = points(50, 7, 13).withColumnsRenamed(Map("id" -> "lid"))

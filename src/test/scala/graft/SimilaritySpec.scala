@@ -26,6 +26,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("top-k matches the window formulation when NaN sims exist (zero vector)") {
+    import org.apache.spark.sql.expressions.Window
+    // a zero vector makes cosine 0/0 = NaN for all its pairs; Spark's sort
+    // puts NaN above every double, and the bounded aggregator must agree
+    val corpus = emb.limit(20).select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionByName(Seq((999L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding"))
+    val qs = corpus.where($"vec_id" === 0 || $"vec_id" === 999)
+    val got = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val scored = corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
+      .crossJoin(broadcast(qs.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))))
+      .where($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", Similarity.cosine($"q_vec", $"c_vec").as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    val expected = scored.withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.exists(_._1 == 999L)) // the NaN-scoring query still returns ranks
+  }
+
   test("fused SRP kernel == expression-composition spec, bit for bit") {
     val fused = Similarity.srpBuckets(emb, "vec_id", "embedding", numTables = 4, planesPerTable = 12)
       .as[(Long, Int, Long)].collect().toSet
@@ -62,10 +82,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
-  // scaling → cos(v, v') ≈ 0.9997, while every natural pair is <= 0.48
+  // scaling → cos(v, v') ≈ 0.9997, while every natural pair is <= 0.48;
+  // planted ids are −id−1 (collision-free with real nonnegative ids)
   private def planted(base: org.apache.spark.sql.DataFrame) = {
     val b = base.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-    val p = base.select(($"vec_id" + 100000L).as("vec_id"),
+    val p = base.select((-$"vec_id" - 1L).as("vec_id"),
       transform($"embedding", (x, i) => x * (lit(1.0) + lit(0.02) * sin($"vec_id" + i))).as("embedding"))
     b.unionByName(p)
   }

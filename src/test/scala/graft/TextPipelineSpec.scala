@@ -62,6 +62,16 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("applyClusterDedup keeps one representative per cluster plus all singletons") {
+    val docs = Seq((1L, "a"), (3L, "b"), (5L, "c"), (9L, "d"), (20L, "e"), (21L, "f"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyClusterDedup(docs, "doc_id",
+        Dedup.dedupClusters(pairs, "doc_a", "doc_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 20L)) // singleton 1; reps 3 and 20 survive
+  }
+
   test("dedupClusters converges on a long path graph (pointer jumping)") {
     val n = 40 // path 0-1-2-...-40: worst-case diameter for propagation
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
