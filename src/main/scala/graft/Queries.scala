@@ -809,6 +809,45 @@ object Queries {
             '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_digest
         FROM t2 ORDER BY doc_id""")),
 
+    QueryDef("txt_repetition",
+      // Gopher-style repetition quality signals over 2-gram occurrences
+      // (duplicates kept, unlike dedup shingles)
+      (s, d) => TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+          FROM tk WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, count(*) AS n_distinct,
+          CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_frac,
+          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("txt_contamination",
+      // eval-benchmark decontamination: per-doc fraction of distinct
+      // 3-gram shingles appearing anywhere in the benchmark subset
+      // (every 37th doc stands in for the eval set)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationScores(docs, docs.where(col("doc_id") % 37 === 0),
+            "doc_id", "text", shingleN = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+        bn AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN bn.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(sum(CASE WHEN bn.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        FROM sh LEFT JOIN bn ON sh.shingle = bn.shingle
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("txt_tfidf_topk",
       // per-doc top-3 terms by a TF-IDF-monotone integer ranking
       // (tf desc, df asc, token asc) — float idf scores would hash-flake on

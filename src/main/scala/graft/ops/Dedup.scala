@@ -305,6 +305,27 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Benchmark decontamination: for every corpus doc, the fraction of its
+    * distinct n-gram shingles that also appear ANYWHERE in the benchmark
+    * set — the standard eval-contamination check run before training. The
+    * benchmark's distinct shingle set is typically tiny next to the corpus,
+    * so the semi-join broadcasts; per-doc aggregation is map-side partial.
+    * Docs with no shingles (shorter than n tokens) are excluded.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN)
+    val benchSh = shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(col("shingle")).distinct()
+    corpusSh
+      .join(broadcast(benchSh).withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** The final dedup decision: drop every clustered doc except its cluster
     * representative; docs in no pair pass through untouched (each is its
     * own cluster). One anti-join on the id — the complete near-dedup chain

@@ -157,6 +157,30 @@ object TextAnalysis {
   def tfidfScore(tf: Column, df: Column, nDocs: Column): Column =
     tf.cast("double") * (log((nDocs.cast("double") + 1) / (df.cast("double") + 1)) + 1)
 
+  /** Repetition signals (Gopher-style quality rules) over token n-grams,
+    * keeping DUPLICATE occurrences (unlike the dedup shingle table):
+    * `dup_frac` = fraction of n-gram occurrences that repeat an earlier one,
+    * `top_frac` = occurrence share of the single most frequent n-gram.
+    * Degenerate docs (fewer than n tokens) are excluded. One explode + two
+    * aggregations, both with map-side partials — linear.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = docs.select(col(idCol), toks.as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_toks")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("_toks"), i + lit(j))): _*))).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("_cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("_cnt")).as("_top"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams").cast("double")).as("dup_frac"),
+        (col("_top").cast("double") / col("n_grams").cast("double")).as("top_frac"))
+  }
+
   /** Tiny per-language stopword marker sets used by the n-gram-heuristic
     * language scorer. Deterministic and oracle-expressible (IN-lists).
     */

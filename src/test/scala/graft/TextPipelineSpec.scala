@@ -55,6 +55,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(top(1L) == "zebra") // tf 3 and df 1 beats the stopwords
   }
 
+  test("repetitionSignals: dup and top-gram fractions on a constructed repeater") {
+    val docs = Seq((1L, "a b a b a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "n_distinct", "dup_frac", "top_frac")
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 0.5, 0.5))) // "a b","b a","a b","b a"
+    assert(got(2L) == ((2L, 3L, 3L, 0.0, 1.0 / 3.0)))
+  }
+
+  test("contaminationScores: benchmark member scores 1.0, disjoint doc scores 0.0") {
+    val corpus = Seq((1L, "p q r s t u"), (2L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val bench = Seq((9L, "p q r s t u and more")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(corpus, bench, "doc_id", "text", shingleN = 3)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0) // every 3-gram of doc 1 appears in the benchmark
+    assert(got(2L) == 0.0)
+  }
+
   test("dedupClusters labels every member with the component minimum") {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
     val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
