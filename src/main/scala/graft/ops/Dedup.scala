@@ -26,18 +26,24 @@ object Dedup {
     */
   def tokens(text: Column): Column = TextAnalysis.tokens(text)
 
-  /** Distinct n-token shingles joined by single spaces; empty array when the
-    * document has fewer than n tokens. `toks` MUST be a materialized column
-    * (an attribute), not a `tokens(text)` expression tree: every
-    * `element_at` inside the lambda re-evaluates its argument, so passing
-    * the raw expression re-splits the text once per shingle per gram (3× the
-    * tokenizer cost per shingle — measured ~8× slowdown on the corpus).
+  /** ALL n-token grams (duplicates kept, document order) joined by single
+    * spaces; empty array when the document has fewer than n tokens. `toks`
+    * MUST be a materialized column (an attribute), not a `tokens(text)`
+    * expression tree: every `element_at` inside the lambda re-evaluates its
+    * argument, so passing the raw expression re-splits the text once per
+    * gram (measured ~8× slowdown on the corpus). The single gram-builder
+    * shared by dedup shingles and repetition signals — one definition, one
+    * oracle contract.
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
+  def gramsFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     val idx = when(count >= 1, sequence(lit(1), count)).otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
   }
+
+  /** Distinct n-token shingles — the unit of Jaccard similarity. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(gramsFromTokens(toks, n))
 
   /** Exploded (id, shingle) table — the unit of Jaccard similarity. The
     * tokenizer runs exactly once per document (projection before explode).

@@ -65,7 +65,11 @@ object Joins {
     val cosLat = math.cos(math.toRadians(maxAbsLatDeg))
     require(maxAbsLatDeg < 90.0 && cosLat > sinHalf,
       s"radius $radiusKm km spans all longitudes at latitude ±$maxAbsLatDeg° — no lon banding possible")
-    val minLonCell = math.toDegrees(2 * math.asin(sinHalf / cosLat))
+    // 0.1% slack absorbs last-ulp rounding through sin/asin/toDegrees and
+    // the evaluated haversine, so "exactly at the minimum" callers cannot
+    // land a borderline pair two cells apart (same margin RadiusJoinRule
+    // applies to its ring widths)
+    val minLonCell = math.toDegrees(2 * math.asin(sinHalf / cosLat)) * 1.001
     require(lonCellDeg >= minLonCell,
       s"lonCellDeg $lonCellDeg too small for radius $radiusKm km at latitude ±$maxAbsLatDeg°" +
         s" (need >= $minLonCell)")

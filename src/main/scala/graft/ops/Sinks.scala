@@ -87,17 +87,8 @@ object Sinks {
     } finally newRows.unpersist()
   }
 
-  private def jdbcTableExists(url: String, table: String, props: java.util.Properties): Boolean = {
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-      try {
-        var found = false
-        while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-        found
-      } finally rs.close()
-    } finally conn.close()
-  }
+  private def jdbcTableExists(url: String, table: String, props: java.util.Properties): Boolean =
+    org.apache.spark.sql.GraftBridge.jdbcTableExists(url, table, props)
 
   /** Bucketed table sink: pre-shuffles once at write time so every later
     * equi-join or aggregation on `keys` between co-bucketed tables runs with

@@ -168,9 +168,7 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val grams = docs.select(col(idCol), toks.as("_toks"))
       .where(size(col("_toks")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("_toks")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(col("_toks"), i + lit(j))): _*))).as("gram"))
+      .select(col(idCol), explode(Dedup.gramsFromTokens(col("_toks"), n)).as("gram"))
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("_cnt"))
       .groupBy(col(idCol)).agg(
         sum(col("_cnt")).as("n_grams"),

@@ -205,9 +205,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // to config-only users (spark.sql.extensions=graft.plans.GraftExtensions)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    Graft.sqlFunctions.foreach { case (name, builder) =>
+    Graft.sqlFunctions.foreach { case (name, className, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name), builder))
+        new ExpressionInfo(className, name), builder))
     }
   }
 }
@@ -236,21 +236,26 @@ object Graft {
     spark
   }
 
-  /** The engine's SQL scalar surface — ONE definition list consumed by both
-    * registration paths ([[GraftExtensions]] at session build,
+  /** The engine's SQL scalar surface — ONE definition list
+    * (name, implementing class for DESCRIBE FUNCTION, builder) consumed by
+    * both registration paths ([[GraftExtensions]] at session build,
     * [[install]] at runtime) so the two can never drift.
     */
-  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine_sim" -> ((es: Seq[Expression]) => graft.functions.CosineSimExpr(es(0), es(1))),
-    "graft_dot" -> ((es: Seq[Expression]) => graft.functions.DotProductExpr(es(0), es(1))),
-    "graft_haversine_km" -> ((es: Seq[Expression]) => GeoExprs.haversineKm(es(0), es(1), es(2), es(3))),
-    "graft_winnow" -> ((es: Seq[Expression]) => graft.functions.WinnowExpr(es(0),
-      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine_sim", "graft.functions.CosineSimExpr",
+      (es: Seq[Expression]) => graft.functions.CosineSimExpr(es(0), es(1))),
+    ("graft_dot", "graft.functions.DotProductExpr",
+      (es: Seq[Expression]) => graft.functions.DotProductExpr(es(0), es(1))),
+    ("graft_haversine_km", "graft.plans.GeoExprs",
+      (es: Seq[Expression]) => GeoExprs.haversineKm(es(0), es(1), es(2), es(3))),
+    ("graft_winnow", "graft.functions.WinnowExpr",
+      (es: Seq[Expression]) => graft.functions.WinnowExpr(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
 
   /** Expose the engine's scalar functions to `spark.sql` users. */
   def registerSqlFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    sqlFunctions.foreach { case (name, builder) =>
+    sqlFunctions.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }

@@ -9,4 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Table existence through Spark's own JDBC machinery — the connection
+    * comes from the dialect's factory (which consults Spark's
+    * DriverRegistry, so drivers shipped via `--jars` + the `driver`
+    * property work) and the probe is the dialect's table-exists query
+    * (`SELECT 1 FROM <table> WHERE 1=0`), which resolves schema-qualified
+    * names and the connection's search path exactly like the subsequent
+    * read/write will. A raw `DriverManager` + `getMetaData.getTables(null,
+    * null, null)` probe gets all three wrong.
+    */
+  def jdbcTableExists(url: String, table: String, props: java.util.Properties): Boolean = {
+    import org.apache.spark.sql.execution.datasources.jdbc.{JdbcOptionsInWrite, JdbcUtils}
+    import scala.jdk.CollectionConverters._
+    val params = props.asScala.map { case (k, v) => k.toString -> v.toString }.toMap ++
+      Map("url" -> url, "dbtable" -> table)
+    val opts = new JdbcOptionsInWrite(params)
+    JdbcUtils.withConnection(opts)(conn => JdbcUtils.tableExists(conn, opts))
+  }
 }
