@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Scored, TopK}
+import graft.ops.{Dedup, Joins}
+import graft.functions.Geo
+
+/** Seeded randomized equivalence properties for the invariants that carry
+  * the engine's correctness arguments — the places where fixed-example
+  * tests missed real bugs in review (TopK NaN ordering, radius banding
+  * seams). Seeds are FIXED so failures reproduce.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowTopK(xs: Seq[Scored], k: Int): Seq[Scored] = {
+    // the row_number() reference order: sim desc (NaN above all, ±0.0
+    // equal), id asc
+    def key(s: Scored) = (if (s.sim == 0.0) 0.0 else s.sim, s.id)
+    xs.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(key(b)._1, key(a)._1)
+      c < 0 || (c == 0 && a.id < b.id)
+    }.take(k)
+  }
+
+  test("TopK aggregator == sorted-take under random inputs, splits, and merge orders") {
+    val rnd = new scala.util.Random(42)
+    val special = Seq(Double.NaN, 0.0, -0.0, 1.0, -1.0)
+    for (trial <- 1 to 60) {
+      val n = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(8)
+      val xs = (0 until n).map { i =>
+        val sim = if (rnd.nextInt(4) == 0) special(rnd.nextInt(special.length))
+          else math.rint(rnd.nextDouble() * 10) / 10.0 // coarse grid forces ties
+        Scored(sim, rnd.nextInt(12).toLong)
+      }
+      val agg = new TopK(k)
+      // random partitioning + random merge nesting
+      val parts = xs.grouped(1 + rnd.nextInt(n)).toSeq
+      val buffers = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = windowTopK(xs, k)
+      // compare on the (normalized sim, id) keys: NaN != NaN under ==
+      def keys(s: Seq[Scored]) = s.map(x => (java.lang.Double.doubleToLongBits(
+        if (x.sim == 0.0) 0.0 else x.sim), x.id))
+      assert(keys(got) == keys(want), s"trial $trial: $xs k=$k\n got=$got\nwant=$want")
+    }
+  }
+
+  test("grid radius join == brute force on random point clouds incl. high latitude and the seam") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val maxLat = 88.0
+      def pts(n: Int, tag: String) = (0 until n).map { i =>
+        // cluster some points near the antimeridian and poles deliberately
+        val lon = rnd.nextInt(3) match {
+          case 0 => 179.0 + rnd.nextDouble() * 2.0 - 1.0
+          case 1 => rnd.nextDouble() * 0.2 - 0.1
+          case _ => rnd.nextDouble() * 360.0 - 180.0
+        }
+        val lat = rnd.nextInt(3) match {
+          case 0 => maxLat - rnd.nextDouble() * 2.0
+          case 1 => -maxLat + rnd.nextDouble() * 2.0
+          case _ => rnd.nextDouble() * 2 * maxLat - maxLat
+        }
+        (i.toLong, lat, (lon + 180.0) % 360.0 - 180.0)
+      }.toDF(s"${tag}_id", s"${tag}_lat", s"${tag}_lon")
+      val l = pts(120, "l")
+      val r = pts(25, "r")
+      val radius = 60.0
+      val banded = Joins.radiusJoin(l, r, $"l_lat", $"l_lon", $"r_lat", $"r_lon",
+          radiusKm = radius, latCellDeg = 1.0, lonCellDeg = 20.0, maxAbsLatDeg = maxLat)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val brute = l.crossJoin(r)
+        .where(Geo.haversineKm($"l_lat", $"l_lon", $"r_lat", $"r_lon") <= radius)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"trial $trial: banded ${banded.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("simhash banded candidates == brute hamming scan on random word-soup docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("spark", "scan", "row", "key", "agg", "hash", "sort", "join", "page", "cell")
+    val docs = (0L until 60L).map { i =>
+      val base = (0 until 8 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+      (i, base.mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val h = Dedup.simhash60(docs, "doc_id", "text")
+    val a = h.select($"doc_id".as("doc_a"), $"simhash".as("ha"))
+    val b = h.select($"doc_id".as("doc_b"), $"simhash".as("hb"))
+    val brute = a.crossJoin(b).where($"doc_a" < $"doc_b")
+      .where(call_function("bit_count", $"ha".bitwiseXOR($"hb")) <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+}
