@@ -893,6 +893,19 @@ object Queries {
           SELECT e.src AS v, reach.r FROM e JOIN reach ON reach.v = e.dst)
         SELECT v AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY v ORDER BY doc_id""")),
 
+    QueryDef("op_collect_ordered",
+      // deterministic ordered collect (the string_agg/array_agg reporting
+      // surface): first 5 event ids per type, sorted — collect_list alone is
+      // partition-order-dependent; array_sort makes it exact
+      (s, d) => eventsUs(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          array_join(slice(array_sort(collect_list(col("event_id"))), 1, 5), ",").as("first_ids"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+          array_to_string(list_sort(list(event_id))[1:5], ',') AS first_ids
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_sample_stratified",
       // deterministic hash-stratified sampling (reproducible corpus mixes):
       // keep-decision is md5(key) mod 100 < rate(stratum) — a pure filter,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** Sink operators (SURVEY.md §2.5, ops 21-25).
   *
@@ -89,6 +90,34 @@ object Sinks {
 
   private def jdbcTableExists(url: String, table: String, props: java.util.Properties): Boolean =
     org.apache.spark.sql.GraftBridge.jdbcTableExists(url, table, props)
+
+  /** Batch-incremental partition processing — the daily-batch form of the
+    * streaming file ledger (ops 20/26): transform and append ONLY the
+    * source partitions whose partition value is absent from the
+    * destination. The probe reads the destination's partition COLUMN only
+    * (partition pruning makes it a directory listing, not a scan), and the
+    * source filter prunes unprocessed partitions at the scan. Re-running is
+    * a no-op. Returns the number of newly processed partition values.
+    */
+  def processNewPartitions(
+      spark: SparkSession, src: DataFrame, destPath: String, partitionBy: String)(
+      transform: DataFrame => DataFrame): Long = {
+    val done: Option[DataFrame] =
+      if (existsNonEmpty(spark, destPath)) Some(spark.read.parquet(destPath)) else None
+    val newVals = done match {
+      case Some(d) => src.select(partitionBy).distinct()
+        .join(d.select(partitionBy).distinct(), Seq(partitionBy), "left_anti")
+      case None => src.select(partitionBy).distinct()
+    }
+    val vals = newVals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vals.count()
+      if (n > 0)
+        transform(src.join(broadcast(vals), Seq(partitionBy), "left_semi"))
+          .write.mode(SaveMode.Append).partitionBy(partitionBy).parquet(destPath)
+      n
+    } finally vals.unpersist()
+  }
 
   /** Bucketed table sink: pre-shuffles once at write time so every later
     * equi-join or aggregation on `keys` between co-bucketed tables runs with

@@ -82,6 +82,19 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("processNewPartitions transforms only unseen partition values; re-run is a no-op") {
+    val dest = Files.createTempDirectory("graft-incr").toString + "/t"
+    def double(df: org.apache.spark.sql.DataFrame) = df.withColumn("x", $"v" * 2)
+    val src1 = Seq((2020, 1L), (2020, 2L)).toDF("year", "v")
+    assert(graft.ops.Sinks.processNewPartitions(spark, src1, dest, "year")(double) == 1)
+    val src2 = src1.unionByName(Seq((2021, 3L)).toDF("year", "v"))
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(double) == 1) // 2021 only
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(double) == 0) // ledger holds
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 3)
+    assert(back.select("x").as[Long].collect().toSet == Set(2L, 4L, 6L))
+  }
+
   test("orc source/sink roundtrip with predicate pushdown") {
     val path = Files.createTempDirectory("graft-orc").toString + "/t"
     Tables.load(spark, sf0001, "nation").write.orc(path)
