@@ -11,9 +11,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb session startup cost.
-    Queries.all.find(_.name == "q1_pricing")
+    // doesn't absorb session startup cost — one representative per hot
+    // family (relational agg, tokenizer/regex, vector kernels).
+    Seq("q1_pricing", "txt_quality", "ann_cosine_topk")
+      .flatMap(n => Queries.all.find(_.name == n))
       .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
     // noop sink: materializes every column of every row (a count() would let
     // Catalyst prune the whole projection away and under-report).
     // A throwing query must surface in the JSON (a swallowed exception would
