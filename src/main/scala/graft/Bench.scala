@@ -13,9 +13,15 @@ object Bench {
     // Warm up JIT/codegen/parquet-footer paths so the first timed query
     // doesn't absorb session startup cost — one representative per hot
     // family (relational agg, tokenizer/regex, vector kernels).
+    // A warmup failure must NOT kill the bench before any timing is
+    // emitted — the timed loop below will surface the same failure in the
+    // JSON's failed count.
     Seq("q1_pricing", "txt_quality", "ann_cosine_topk")
       .flatMap(n => Queries.all.find(_.name == n))
-      .foreach(q => q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      .foreach { q =>
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup ${q.name}: ${e.getMessage}") }
+      }
     spark.catalog.clearCache()
     // noop sink: materializes every column of every row (a count() would let
     // Catalyst prune the whole projection away and under-report).

@@ -895,16 +895,21 @@ object Queries {
 
     QueryDef("op_collect_ordered",
       // deterministic ordered collect (the string_agg/array_agg reporting
-      // surface): first 5 event ids per type, sorted — collect_list alone is
-      // partition-order-dependent; array_sort makes it exact
+      // surface): collect_list alone is partition-order-dependent;
+      // array_sort makes it exact. The group domain is pre-filtered small
+      // BY DESIGN: an ordered collect buffers its whole group, which is the
+      // string_agg semantic — bounded "first k per group" extraction
+      // belongs to the TopK aggregator (see ann_cosine_topk), not to a
+      // collect that is then sliced
       (s, d) => eventsUs(s, d)
+        .where(col("event_id") % 199 === 0)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          array_join(slice(array_sort(collect_list(col("event_id"))), 1, 5), ",").as("first_ids"))
+          array_join(array_sort(collect_list(col("event_id"))), ",").as("ids_csv"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, count(*) AS n,
-          array_to_string(list_sort(list(event_id))[1:5], ',') AS first_ids
-        FROM events GROUP BY 1 ORDER BY 1""")),
+          array_to_string(list_sort(list(event_id)), ',') AS ids_csv
+        FROM events WHERE event_id % 199 = 0 GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("op_sample_stratified",
       // deterministic hash-stratified sampling (reproducible corpus mixes):

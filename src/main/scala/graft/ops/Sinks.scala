@@ -94,29 +94,53 @@ object Sinks {
   /** Batch-incremental partition processing — the daily-batch form of the
     * streaming file ledger (ops 20/26): transform and append ONLY the
     * source partitions whose partition value is absent from the
-    * destination. The probe reads the destination's partition COLUMN only
-    * (partition pruning makes it a directory listing, not a scan), and the
-    * source filter prunes unprocessed partitions at the scan. Re-running is
-    * a no-op. Returns the number of newly processed partition values.
+    * destination. Returns the number of newly processed partition values;
+    * re-running is a no-op.
+    *
+    * The "done" ledger is the destination's partition DIRECTORY names — a
+    * pure filesystem listing (reading the partition column through the
+    * parquet reader would open every data file's footer, defeating the
+    * point at a 100-TB store). Values compare in canonical string form on
+    * BOTH sides, exactly as Spark writes directory names, so type
+    * inference on read-back can never conflate distinct source values
+    * (e.g. string "01" vs "1"); a NULL partition value maps to Hive's
+    * default-partition directory and round-trips like any other value.
+    * Partition values are metadata-cardinality by contract (see
+    * [[idempotentParquetAppend]]), so the driver-side value sets are small.
     */
   def processNewPartitions(
       spark: SparkSession, src: DataFrame, destPath: String, partitionBy: String)(
       transform: DataFrame => DataFrame): Long = {
-    val done: Option[DataFrame] =
-      if (existsNonEmpty(spark, destPath)) Some(spark.read.parquet(destPath)) else None
-    val newVals = done match {
-      case Some(d) => src.select(partitionBy).distinct()
-        .join(d.select(partitionBy).distinct(), Seq(partitionBy), "left_anti")
-      case None => src.select(partitionBy).distinct()
+    import org.apache.spark.sql.functions.{col, lit}
+    val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+    def unescapePath(s: String): String =
+      "%([0-9A-Fa-f]{2})".r.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.group(1), 16).toChar.toString))
+    val done: Set[Option[String]] = {
+      val p = new org.apache.hadoop.fs.Path(destPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionBy="))
+        .map(_.getPath.getName.substring(partitionBy.length + 1))
+        .map(v => if (v == HiveDefaultPartition) None else Some(unescapePath(v)))
+        .toSet
     }
-    val vals = newVals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = vals.count()
-      if (n > 0)
-        transform(src.join(broadcast(vals), Seq(partitionBy), "left_semi"))
-          .write.mode(SaveMode.Append).partitionBy(partitionBy).parquet(destPath)
-      n
-    } finally vals.unpersist()
+    val srcVals = src.select(col(partitionBy).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
+    val newVals = srcVals -- done
+    if (newVals.nonEmpty) {
+      val nonNull = newVals.flatten.toSeq
+      val inNonNull =
+        if (nonNull.isEmpty) lit(false)
+        else col(partitionBy).cast("string").isin(nonNull.map(x => x: Any): _*)
+      val keep = inNonNull ||
+        (if (newVals.contains(None)) col(partitionBy).isNull else lit(false))
+      transform(src.where(keep))
+        .write.mode(SaveMode.Append).partitionBy(partitionBy).parquet(destPath)
+    }
+    newVals.size.toLong
   }
 
   /** Bucketed table sink: pre-shuffles once at write time so every later

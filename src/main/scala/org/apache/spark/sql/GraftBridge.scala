@@ -25,6 +25,23 @@ object GraftBridge {
     val params = props.asScala.map { case (k, v) => k.toString -> v.toString }.toMap ++
       Map("url" -> url, "dbtable" -> table)
     val opts = new JdbcOptionsInWrite(params)
-    JdbcUtils.withConnection(opts)(conn => JdbcUtils.tableExists(conn, opts))
+    JdbcUtils.withConnection(opts) { conn =>
+      // dialect probe first; but its not-found classifier keys on SQLState
+      // class 42, which also covers ACCESS violations (e.g. SELECT denied
+      // to a write-only account) — a false "absent" would skip the
+      // idempotence anti-join. The metadata catalog still lists tables the
+      // account cannot SELECT, so it arbitrates before we report absence.
+      JdbcUtils.tableExists(conn, opts) || {
+        val (schemaPat, namePat) = table.split("\\.") match {
+          case Array(s, t) => (s, t)
+          case _ => (null, table)
+        }
+        Seq[String => String](identity, _.toUpperCase, _.toLowerCase).exists { f =>
+          val rs = conn.getMetaData.getTables(null,
+            Option(schemaPat).map(f).orNull, f(namePat), Array("TABLE"))
+          try rs.next() finally rs.close()
+        }
+      }
+    }
   }
 }

@@ -95,6 +95,20 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.select("x").as[Long].collect().toSet == Set(2L, 4L, 6L))
   }
 
+  test("processNewPartitions: NULL partition values and inference-colliding strings round-trip") {
+    val dest = Files.createTempDirectory("graft-incr2").toString + "/t"
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    // string partition values "1" and "01" would coerce to the same int
+    // under read-back type inference; nulls land in the Hive default dir
+    val src1 = Seq((Some("1"), 10L), (None, 11L)).toDF("k", "v")
+    assert(graft.ops.Sinks.processNewPartitions(spark, src1, dest, "k")(id) == 2)
+    assert(graft.ops.Sinks.processNewPartitions(spark, src1, dest, "k")(id) == 0) // null converges
+    val src2 = src1.unionByName(Seq((Some("01"), 12L)).toDF("k", "v"))
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "k")(id) == 1) // "01" is NEW
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "k")(id) == 0)
+    assert(spark.read.parquet(dest).select("v").as[Long].collect().toSet == Set(10L, 11L, 12L))
+  }
+
   test("orc source/sink roundtrip with predicate pushdown") {
     val path = Files.createTempDirectory("graft-orc").toString + "/t"
     Tables.load(spark, sf0001, "nation").write.orc(path)
