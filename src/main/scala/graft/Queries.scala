@@ -848,6 +848,68 @@ object Queries {
         FROM sh LEFT JOIN bn ON sh.shingle = bn.shingle
         GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("pipeline_curation_v2",
+      // the COMPLETE curation pipeline as one declarative chain:
+      // repetition filter → benchmark decontamination → MinHash-LSH cluster
+      // dedup (keep one representative per component) → chunking. Output is
+      // the per-stage retention funnel; every stage's definition is the
+      // same one its standalone query uses, so the whole chain is
+      // oracle-checkable end to end (recursive-CTE CC included).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 2)
+          .where(col("dup_frac") < 0.4).select("doc_id")
+        val cont = Dedup.contaminationScores(docs, docs.where(col("doc_id") % 37 === 0),
+            "doc_id", "text", shingleN = 3)
+          .where(col("contamination") < 0.5).select("doc_id")
+        val surviving = docs.join(rep, "doc_id").join(cont, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = Dedup.minhashNearDupPairs(surviving, "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+        val deduped = Dedup.applyClusterDedup(surviving, "doc_id",
+          Dedup.dedupClusters(pairs, "doc_a", "doc_b"))
+        val chunks = TextAnalysis.chunkByTokens(deduped, "doc_id", "text",
+          chunkTokens = 32, stride = 24)
+        docs.agg(count(lit(1)).as("n_total"))
+          .crossJoin(surviving.agg(count(lit(1)).as("n_quality")))
+          .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+          .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+      },
+      Some(s"""WITH RECURSIVE
+        tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+          FROM tk WHERE len(toks) >= 2),
+        gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        rep AS (SELECT doc_id FROM gc GROUP BY doc_id
+          HAVING CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) < 0.4),
+        shl0 AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl0),
+        bn AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 37 = 0),
+        cont AS (SELECT sh0.doc_id FROM sh0 LEFT JOIN bn ON sh0.shingle = bn.shingle
+          GROUP BY 1
+          HAVING CAST(sum(CASE WHEN bn.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) < 0.5),
+        surv AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN rep ON d.doc_id = rep.doc_id JOIN cont ON d.doc_id = cont.doc_id),
+        mp AS (${minhashOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1, from = "surv")}),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM mp UNION SELECT doc_b, doc_a FROM mp),
+        vs AS (SELECT DISTINCT src AS v FROM e),
+        reach AS (
+          SELECT v, v AS r FROM vs
+          UNION
+          SELECT e.src AS v, reach.r FROM e JOIN reach ON reach.v = e.dst),
+        lab AS (SELECT v AS doc_id, min(r) AS rep FROM reach GROUP BY v),
+        dropped AS (SELECT doc_id FROM lab WHERE doc_id <> rep),
+        keep AS (SELECT surv.doc_id FROM surv LEFT JOIN dropped ON surv.doc_id = dropped.doc_id
+          WHERE dropped.doc_id IS NULL),
+        ch AS (SELECT k.doc_id, unnest(generate_series(1, len(tk.toks), 24)) AS start_i
+          FROM keep k JOIN tk ON tk.doc_id = k.doc_id WHERE len(tk.toks) >= 1)
+        SELECT (SELECT count(*) FROM documents) AS n_total,
+          (SELECT count(*) FROM surv) AS n_quality,
+          (SELECT count(*) FROM keep) AS n_dedup,
+          (SELECT count(*) FROM ch) AS n_chunks""")),
+
     QueryDef("txt_tfidf_topk",
       // per-doc top-3 terms by a TF-IDF-monotone integer ranking
       // (tf desc, df asc, token asc) — float idf scores would hash-flake on
@@ -1064,7 +1126,8 @@ object Queries {
   // same band layout, same ascii-nibble bit extraction).
   // ------------------------------------------------------------------
 
-  def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String = {
+  def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+                       from: String = "documents"): String = {
     val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     val mhCols = (0 until numHashes)
       .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s").mkString(", ")
@@ -1075,7 +1138,7 @@ object Queries {
     }.mkString(" UNION ALL ")
     s"""WITH tk AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
-      FROM documents),
+      FROM $from),
     shl AS (SELECT doc_id, [$shingleExpr FOR i IN generate_series(1, len(toks) - ${shingleN - 1})] AS shingles
       FROM tk WHERE len(toks) >= $shingleN),
     sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
