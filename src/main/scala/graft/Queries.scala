@@ -936,6 +936,15 @@ object Queries {
         .orderBy(col("doc_a"), col("doc_b")),
       None),
 
+    QueryDef("dedup_simhash_fast",
+      // 64-bit xxhash64 simhash with 4x16-bit pigeonhole chunks — the
+      // production form without the md5/60-bit oracle ceiling. Rows-only
+      // (DuckDB lacks xxhash64); banded==brute property in DedupSpec
+      (s, d) => Dedup.simhashNearDupPairsFast(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      None),
+
     QueryDef("dedup_clusters",
       // near-dup pairs → connected components → cluster representative per
       // doc (the actual keep/drop decision). Spark: min-label propagation

@@ -250,6 +250,47 @@ object Dedup {
   def exactDedup(docs: DataFrame, textCol: String, orderCol: String): DataFrame =
     Aggregates.dedupFirst(docs, Seq(textCol), Seq(col(orderCol).asc))
 
+  /** Production SimHash: all 64 bits of `xxhash64(token)` directly — no
+    * digest-to-hex parsing and no 60-bit portable-oracle ceiling — with
+    * 4×16-bit pigeonhole chunks (4·65,536 buckets; exact for hamming ≤ 3).
+    * This is the SCALE.md path for corpora where the md5 form's bucket
+    * space binds; not oracle-evaluable (DuckDB lacks xxhash64), so
+    * banded==brute equivalence is a ScalaTest property like the md5 form's.
+    */
+  def simhash64Fast(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val contribs = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(contribs.head, contribs.tail: _*)
+    // bitwise OR, not +: bit 63 is Long.MinValue as an addend
+    val hash = (0 until 64).map { i =>
+      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** [[simhashNearDupPairs]] over the 64-bit xxhash64 hash. */
+  def simhashNearDupPairsFast(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit chunking only guarantees hamming <= 3")
+    val sh = simhash64Fast(docs, idCol, textCol)
+    val chunks = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
+    val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
+    val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("k", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("bit_count", col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .where(col("hamming") <= lit(maxHamming))
+      .distinct()
+  }
+
   // ------------------------------------------------- cluster resolution
 
   /** Resolve near-dup PAIRS into dedup CLUSTERS: every document that appears

@@ -65,6 +65,28 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize/resample plumbing — the image-resize / audio-resample analog:
+    * keep every `factor`-th byte of the payload. The byte-decimation body is
+    * a deterministic STUB (a real scaler needs codec libraries this
+    * container lacks); the distributed shape — typed `mapPartitions`,
+    * encoder-backed, no driver involvement — is the real part, as with
+    * [[decodeFeatures]].
+    */
+  def resampleStub(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        (id, out)
+      })
+      .toDF(idCol, "payload_resampled")
+  }
+
   /** Frame-sampling plumbing: split a payload into fixed-size "frames"
     * (byte chunks) and explode one row per sampled frame — the partitioning
     * shape a video pipeline needs (payload → n frame rows), all expressions.

@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 0.5, s"locality lost: overlap=$overlap")
   }
 
+  test("64-bit xxhash64 simhash: banded candidates == brute hamming scan") {
+    val d = Tables.load(spark, sf0001, "documents").limit(200)
+    val banded = Dedup.simhashNearDupPairsFast(d, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val h = Dedup.simhash64Fast(d, "doc_id", "text")
+    val a = h.select($"doc_id".as("doc_a"), $"simhash".as("ha"))
+    val b = h.select($"doc_id".as("doc_b"), $"simhash".as("hb"))
+    val brute = a.crossJoin(b).where($"doc_a" < $"doc_b")
+      .where(call_function("bit_count", $"ha".bitwiseXOR($"hb")) <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
   test("identical texts get identical simhash; disjoint-vocab texts differ") {
     val h = Dedup.simhash60(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(3L))

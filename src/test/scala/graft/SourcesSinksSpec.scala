@@ -109,6 +109,15 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dest).select("v").as[Long].collect().toSet == Set(10L, 11L, 12L))
   }
 
+  test("multimodal resample stub decimates payload bytes partition-parallel") {
+    val df = graft.ops.Multimodal.attachPayload(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "text", "text/plain")
+    val out = graft.ops.Multimodal.resampleStub(df, "doc_id", factor = 3)
+    val row = out.select("payload_resampled").as[Array[Byte]].head()
+    assert(new String(row) == "adgj") // every 3rd byte, ceil(10/3)=4 bytes
+    assert(!out.queryExecution.executedPlan.toString.contains("RDDScan"))
+  }
+
   test("orc source/sink roundtrip with predicate pushdown") {
     val path = Files.createTempDirectory("graft-orc").toString + "/t"
     Tables.load(spark, sf0001, "nation").write.orc(path)
