@@ -349,6 +349,12 @@ object Dedup {
       labels = jumped.select(col("v"), col("label"))
       round += 1
     }
+    // Unconverged labels are silent data corruption downstream (wrong
+    // keep/drop decisions in applyClusterDedup) — fail loudly instead.
+    // Practically unreachable: pointer jumping covers diameter ~2^maxRounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters: $changed labels still changing after $maxRounds rounds — raise maxRounds")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -77,13 +77,23 @@ object Joins {
     // pmod wraps the longitude band so pairs straddling lon=±180 still meet
     def lonCell(lon: Column, delta: Column): Column =
       pmod(floor(lon / lonCellDeg) + delta, lit(nLonCells))
+    // maxAbsLatDeg is a DECLARED data bound — a row beyond it would silently
+    // lose qualifying pairs (its lon cells are too narrow at that latitude),
+    // so verify it per row and fail loudly. NULL latitudes keep their
+    // pre-existing behavior (null cell id → row joins nothing).
+    def checkedLat(lat: Column): Column =
+      when(lat.isNull || abs(lat) <= lit(maxAbsLatDeg), lat)
+        .otherwise(raise_error(concat(
+          lit(s"radiusJoin: row latitude "), lat.cast("string"),
+          lit(s" exceeds declared maxAbsLatDeg=$maxAbsLatDeg — raise maxAbsLatDeg" +
+            " (and lonCellDeg accordingly) or route high-latitude rows via the exact path"))))
     val l = left
-      .withColumn("_cell_lat", floor(leftLat / latCellDeg))
+      .withColumn("_cell_lat", floor(checkedLat(leftLat) / latCellDeg))
       .withColumn("_cell_lon", lonCell(leftLon, lit(0L)))
     val r0 = right
       .withColumn("_d_lat", explode(sequence(lit(-1), lit(1))))
       .withColumn("_d_lon", explode(sequence(lit(-1), lit(1))))
-      .withColumn("_cell_lat", floor(rightLat / latCellDeg) + col("_d_lat"))
+      .withColumn("_cell_lat", floor(checkedLat(rightLat) / latCellDeg) + col("_d_lat"))
       .withColumn("_cell_lon", lonCell(rightLon, col("_d_lon")))
       .drop("_d_lat", "_d_lon")
     val r = if (broadcastRight) broadcast(r0) else r0

@@ -122,7 +122,12 @@ object Sinks {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Set.empty
       else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionBy="))
+        // A directory alone is NOT proof of a completed write: a crashed
+        // run (or committer v2 partial output) can leave a partition dir
+        // with no visible data file, and counting it "done" would skip it
+        // forever. Require at least one non-hidden data file inside.
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionBy=") &&
+          hasVisibleFile(fs, st.getPath))
         .map(_.getPath.getName.substring(partitionBy.length + 1))
         .map(v => if (v == HiveDefaultPartition) None else Some(unescapePath(v)))
         .toSet
@@ -165,13 +170,19 @@ object Sinks {
   private def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return false
-    val base = p.toUri.getPath
-    val it = fs.listFiles(p, /* recursive = */ true)
+    fs.exists(p) && hasVisibleFile(fs, p)
+  }
+
+  /** True iff `root` contains at least one file that is not hidden — where
+    * hidden means the file itself or any directory between it and `root` is
+    * a marker (_SUCCESS, _temporary, .crc, ...).
+    */
+  private def hasVisibleFile(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Boolean = {
+    val base = root.toUri.getPath
+    val it = fs.listFiles(root, /* recursive = */ true)
     while (it.hasNext) {
       val f = it.next().getPath
-      // hidden if the file itself or any directory between it and the table
-      // root is a marker (_SUCCESS, _temporary, .crc, ...)
       val anyHidden = Iterator.iterate(f)(_.getParent)
         .takeWhile(q => q != null && q.toUri.getPath != base)
         .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))

@@ -36,9 +36,19 @@ object GraftBridge {
           case Array(s, t) => (s, t)
           case _ => (null, table)
         }
+        // getTables treats its arguments as LIKE patterns, so a literal '_'
+        // (ubiquitous in table names) is a single-char wildcard — 'my_table'
+        // would match a sibling 'my1table' and report a false "exists".
+        // Escape pattern metacharacters with the driver's own escape string.
+        val md = conn.getMetaData
+        // some drivers (Derby) report an EMPTY escape string yet honor the
+        // JDBC-conventional backslash — fall back to it on null/blank
+        val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty).getOrElse("\\")
+        def literal(s: String): String =
+          s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
         Seq[String => String](identity, _.toUpperCase, _.toLowerCase).exists { f =>
-          val rs = conn.getMetaData.getTables(null,
-            Option(schemaPat).map(f).orNull, f(namePat), Array("TABLE"))
+          val rs = md.getTables(null,
+            Option(schemaPat).map(f andThen literal).orNull, literal(f(namePat)), Array("TABLE"))
           try rs.next() finally rs.close()
         }
       }

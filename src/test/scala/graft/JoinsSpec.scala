@@ -24,6 +24,20 @@ class JoinsSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("op16: radius join fails loudly when a row's latitude exceeds the declared bound") {
+    val left = Seq((1L, 70.5, 10.0)).toDF("id", "lat", "lon")   // beyond default maxAbsLatDeg=60
+    val right = Seq((2L, 59.0, 10.0)).toDF("id2", "lat", "lon")
+    val joined = Joins.radiusJoin(left, right, left("lat"), left("lon"),
+      right("lat"), right("lon"), 300.0, 3.0, 6.0)
+    val e = intercept[Exception](joined.collect())
+    assert(e.getMessage.contains("maxAbsLatDeg") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxAbsLatDeg")))
+    // NULL latitude keeps its semantics: joins nothing, raises nothing
+    val withNull = Seq((1L, Option.empty[Double], Option(10.0))).toDF("id", "lat", "lon")
+    assert(Joins.radiusJoin(withNull, right, withNull("lat"), withNull("lon"),
+      right("lat"), right("lon"), 300.0, 3.0, 6.0).count() == 0)
+  }
+
   test("asof join attaches greatest build ts <= probe ts per key, ties build-wins, null when none") {
     val probe = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 40L), (4L, 99L, 10L))
       .toDF("event_id", "user_id", "ts_us")

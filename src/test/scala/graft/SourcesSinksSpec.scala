@@ -109,6 +109,32 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dest).select("v").as[Long].collect().toSet == Set(10L, 11L, 12L))
   }
 
+  test("processNewPartitions: a partition dir with no visible data file is NOT done (crash recovery)") {
+    val dest = Files.createTempDirectory("graft-incr3").toString + "/t"
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    val src = Seq((2020, 1L), (2021, 2L)).toDF("year", "v")
+    assert(graft.ops.Sinks.processNewPartitions(spark, src, dest, "year")(id) == 2)
+    // simulate a crashed writer: partition dir exists but holds only marker files
+    val crashed = new java.io.File(s"$dest/year=2022")
+    assert(crashed.mkdirs())
+    assert(new java.io.File(crashed, "_temporary").createNewFile())
+    val src2 = src.unionByName(Seq((2022, 3L)).toDF("year", "v"))
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(id) == 1) // 2022 re-runs
+    assert(spark.read.parquet(dest).select("v").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("jdbc existence probe does not treat '_' in table names as a LIKE wildcard") {
+    val db = Files.createTempDirectory("graft-derby2").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    Sinks.jdbcSink(Seq((1L, "a")).toDF("id", "v"), url, "my1table")
+    val props = new java.util.Properties()
+    // before escaping, the metadata LIKE pattern 'my_table' matched 'my1table'
+    assert(!org.apache.spark.sql.GraftBridge.jdbcTableExists(url, "my_table", props))
+    assert(org.apache.spark.sql.GraftBridge.jdbcTableExists(url, "my1table", props))
+    // and the idempotent append therefore CREATES my_table instead of failing
+    assert(Sinks.idempotentJdbcAppend(spark, Seq((7L, "x")).toDF("id", "v"), url, "my_table", Seq("id")) == 1)
+  }
+
   test("multimodal resample stub decimates payload bytes partition-parallel") {
     val df = graft.ops.Multimodal.attachPayload(
       Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "text", "text/plain")

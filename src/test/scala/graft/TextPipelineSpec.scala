@@ -97,4 +97,11 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.length == n + 1 && got.forall(_._2 == 0L))
   }
+
+  test("dedupClusters throws rather than return unconverged labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 0))
+    assert(e.getMessage.contains("still changing"))
+  }
 }
