@@ -848,6 +848,20 @@ object Queries {
         FROM sh LEFT JOIN bn ON sh.shingle = bn.shingle
         GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("txt_contamination_bloom",
+      // the beyond-broadcast decontamination path: benchmark shingles
+      // collapse to a driver-built Bloom filter probed map-side. The
+      // sketch's false positives are Spark-implementation-defined, so this
+      // is a rows-only driver check; the no-false-negative containment vs
+      // the exact scores is proven in ScalaTest.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationFlagsBloom(docs, docs.where(col("doc_id") % 37 === 0),
+            "doc_id", "text", shingleN = 3)
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     QueryDef("pipeline_curation_v2",
       // the COMPLETE curation pipeline as one declarative chain:
       // repetition filter → benchmark decontamination → MinHash-LSH cluster
@@ -1074,6 +1088,46 @@ object Queries {
           FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
         SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id FROM (
           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    QueryDef("emb_quantize_int8",
+      // symmetric per-vector int8 quantization, exploded to scalar rows so
+      // the hash compare sees every quantized component; floor(·+0.5)
+      // halfway semantics are engine-exact (Queries scaladoc / Similarity)
+      (s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("idx", "qval")), col("scale"))
+        .orderBy(col("vec_id"), col("idx")),
+      Some("""SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS idx,
+          unnest([CASE WHEN m = 0 THEN 0 ELSE CAST(floor(CAST(x AS DOUBLE)/m*127 + 0.5) AS INTEGER) END
+            FOR x IN embedding]) AS qval,
+          m AS scale
+        FROM (SELECT vec_id, embedding,
+            CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+          FROM embeddings)
+        ORDER BY vec_id, idx""")),
+
+    QueryDef("ann_quantized_topk",
+      // int8-quantized cosine top-k: scales cancel in the cosine, so the
+      // score is pure integer arithmetic in double — bit-identical across
+      // engines, making this the ONE fully hash-checkable ANN variant
+      // (float-cosine ann_cosine_topk checks ids only; IVF is rows-only).
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.quantizedTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH qz AS (
+          SELECT vec_id, CASE WHEN m = 0 THEN [0 FOR x IN embedding]
+            ELSE [CAST(floor(CAST(x AS DOUBLE)/m*127 + 0.5) AS INTEGER) FOR x IN embedding] END AS q
+          FROM (SELECT vec_id, embedding,
+              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+            FROM embeddings)),
+        s AS (SELECT qz.vec_id AS qid, c.vec_id AS nid,
+            list_inner_product(qz.q, c.q) /
+              (sqrt(list_inner_product(qz.q, qz.q)) * sqrt(list_inner_product(c.q, c.q))) AS sim
+          FROM qz CROSS JOIN qz c WHERE qz.vec_id % 10 = 0 AND c.vec_id <> qz.vec_id)
+        SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id, sim FROM (
+          SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("ann_ivf_topk",

@@ -379,6 +379,39 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** [[contaminationScores]] at the scale where the benchmark shingle set no
+    * longer broadcasts exactly: the benchmark side collapses to a Bloom
+    * filter — a fixed ~1.44·log₂(1/fpp) bits per distinct shingle (~14 bits
+    * at the 0.1% default) instead of the full strings, a 10-50× smaller
+    * broadcast — and the corpus probes it map-side with NO join and NO
+    * shuffle of the shingle table at all (the only exchange is the per-doc
+    * aggregation). The filter is one-sided by construction: every truly
+    * contaminated shingle is flagged (no false negatives — safe for
+    * decontamination, which must never *miss*), and false positives inflate
+    * the score by at most fpp in expectation, so `contamination_ub` is an
+    * upper bound on the exact fraction. The probe is a Scala UDF by
+    * necessity (no built-in bloom probe exists for a driver-built sketch);
+    * it sits on a linear scan stage where the codegen break costs far less
+    * than the exchange it removes.
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String, shingleN: Int = 3,
+                              expectedShingles: Long = 1 << 20,
+                              fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    val bf = shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(col("shingle")).distinct()
+      .stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    shingleTable(corpus, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(mightContain(col("shingle")), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("contamination_ub",
+        col("n_flagged").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** The final dedup decision: drop every clustered doc except its cluster
     * representative; docs in no pair pass through untouched (each is its
     * own cluster). One anti-join on the id — the complete near-dedup chain

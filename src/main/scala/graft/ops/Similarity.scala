@@ -59,6 +59,60 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-vector symmetric int8 quantization: `q_i = floor(x_i/scale·127 + ½)`
+    * with `scale = max|x_i|` — the standard memory-bandwidth lever for
+    * billion-vector ANN (4× smaller than float32, and similarity becomes
+    * EXACT integer arithmetic, see [[quantizedTopK]]). `floor(·+½)` instead
+    * of `round()`: halfway-case conventions differ across engines while
+    * floor is IEEE-exact everywhere, so quantized values are deterministic
+    * and oracle-portable bit for bit. Zero vectors quantize to zeros.
+    *
+    * Output: idCol, `q` (array<int>, values in [-127,127]), `scale` double.
+    * Linear, no shuffle; the transform lambdas keep this off the codegen
+    * hot path, acceptable for a once-per-corpus preprocessing pass.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol).as("_v"),
+        array_max(transform(col(vecCol), v => abs(v))).cast("double").as("scale"))
+      .select(col(idCol),
+        when(col("scale") === 0, transform(col("_v"), _ => lit(0)))
+          .otherwise(transform(col("_v"),
+            v => floor(v.cast("double") / col("scale") * 127 + 0.5).cast("int")))
+          .as("q"),
+        col("scale"))
+
+  /** Inverse of [[quantizeInt8]]: `x̂_i = q_i·scale/127` (max abs error
+    * scale/254 per component).
+    */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale / 127)
+
+  /** Brute-force top-k over int8-quantized vectors: both sides quantize via
+    * [[quantizeInt8]], similarity is the quantized cosine
+    * `dot(qa,qb)/(|qa|·|qb|)` — the per-vector scales cancel, so no float
+    * payload survives into scoring. Every term is a product/sum of integers
+    * ≤ 127² over the vector length: exact in double arithmetic, hence
+    * bit-identical across engines — unlike float cosine, the quantized
+    * ranking is fully oracle-checkable. Same broadcast-queries /
+    * two-stage-top-k plan as [[bruteForceTopK]].
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    // int arrays ride through the double-typed codegen dot kernel: every
+    // intermediate (|q_i| ≤ 127, dim-bounded sums ≪ 2^53) is exact
+    def qd(df: DataFrame, as: String) =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col(idCol).as(as), col("q").cast("array<double>").as(s"_${as}_v"))
+    val q = qd(queries, "query_id")
+    val c = qd(corpus, "neighbor_id")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_query_id_v"), col("_neighbor_id_v")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Cluster centroids as mean vectors, via the single-pass
     * [[graft.functions.VectorAvg]] typed aggregate: one buffer per cluster
     * shuffles (with map-side partial aggregation), not |C|·dim scalars.

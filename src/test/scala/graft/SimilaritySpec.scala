@@ -26,6 +26,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: values bounded, dequantize error within scale/254, zero vector exact") {
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = emb.join(q, "vec_id")
+      .select($"vec_id", $"embedding", $"scale",
+        Similarity.dequantizeInt8($"q", $"scale").as("deq"),
+        array_max(transform($"q", v => abs(v))).as("qmax"))
+    val rows = joined.select(
+        array_max(zip_with($"embedding".cast("array<double>"), $"deq",
+          (a, b) => abs(a - b))).as("maxErr"),
+        $"scale", $"qmax")
+      .as[(Double, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (maxErr, scale, qmax) =>
+      assert(qmax <= 127)
+      assert(maxErr <= scale / 254 + 1e-12)
+    }
+    val zero = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(zero, "vec_id", "embedding")
+      .select($"scale", $"q").as[(Double, Seq[Int])].head()
+    assert(zq._1 == 0.0 && zq._2.forall(_ == 0))
+  }
+
+  test("quantized top-k ranks track full-precision top-k (recall@5 >= 0.8)") {
+    val full = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(quant.size == full.size)
+    val recall = full.intersect(quant).size.toDouble / full.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("top-k matches the window formulation when NaN sims exist (zero vector)") {
     import org.apache.spark.sql.expressions.Window
     // a zero vector makes cosine 0/0 = NaN for all its pairs; Spark's sort

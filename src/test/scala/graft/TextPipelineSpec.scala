@@ -73,6 +73,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(2L) == 0.0)
   }
 
+  test("bloom contamination: superset of exact flags (no false negatives), same shingle counts") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val bench = docs.where($"doc_id" % 37 === 0)
+    val exact = Dedup.contaminationScores(docs, bench, "doc_id", "text", shingleN = 3)
+      .select($"doc_id", $"n_shingles".as("ns_exact"), $"n_contaminated")
+    val bloom = Dedup.contaminationFlagsBloom(docs, bench, "doc_id", "text", shingleN = 3)
+      .select($"doc_id", $"n_shingles".as("ns_bloom"), $"n_flagged")
+    val j = exact.join(bloom, "doc_id")
+      .select($"doc_id", $"ns_exact" === $"ns_bloom", $"n_flagged" >= $"n_contaminated",
+        $"n_flagged" - $"n_contaminated")
+      .as[(Long, Boolean, Boolean, Long)].collect()
+    assert(j.nonEmpty)
+    assert(j.forall(_._2), "n_shingles must match the exact path")
+    assert(j.forall(_._3), "bloom must never miss a truly contaminated shingle")
+    // false positives bounded: at fpp=0.1% the aggregate inflation stays tiny
+    assert(j.map(_._4).sum <= math.max(5L, j.length / 10L), "too many bloom false positives")
+  }
+
   test("dedupClusters labels every member with the component minimum") {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
     val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
