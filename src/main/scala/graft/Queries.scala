@@ -1012,6 +1012,55 @@ object Queries {
           < CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 2 WHEN 'R' THEN 50 ELSE 0 END
         GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("mix_sources",
+      // token-budget corpus mixture: per-source keep rates derived from
+      // mixture weights and the measured per-source token mass, then a
+      // deterministic hash-unit filter — the whole mix decision is
+      // engine-portable (exact md5 bits / 2^60, IEEE-identical rate math)
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        Sampling.mixByTokenBudget(docs, col("doc_id"), col("source"), col("n_tok"),
+            Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+            tokenBudget = 3000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        tot AS (SELECT source AS msrc, sum(n_tok) AS st FROM tk GROUP BY 1),
+        r AS (SELECT msrc, least(CAST(1.0 AS DOUBLE),
+            CAST(3000 AS DOUBLE) * (CASE msrc WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+              WHEN 'src1' THEN CAST(0.3 AS DOUBLE) WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+              WHEN 'src3' THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+            / CAST(st AS DOUBLE)) AS rate FROM tot)
+        SELECT tk.doc_id, tk.source, tk.n_tok FROM tk JOIN r ON tk.source = r.msrc
+        WHERE CAST(('0x' || substring(md5(CAST(tk.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+          / 1152921504606846976.0 < r.rate
+        ORDER BY tk.doc_id""")),
+
+    QueryDef("txt_pack_sequences",
+      // GPT-style concat-then-split sequence packing, sharded by source:
+      // per-doc starting offset, pack id, and in-pack offset — exact
+      // integer window math, hash-checkable end to end
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        TextAnalysis.packSequences(docs, col("source"), Seq(col("doc_id")), col("n_tok"), seqLen = 256)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        w AS (SELECT doc_id, source, n_tok,
+            CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+          FROM tk)
+        SELECT doc_id, source, n_tok, start_off,
+          CAST(floor(start_off / 256) AS BIGINT) AS pack_id,
+          start_off % 256 AS pack_off
+        FROM w ORDER BY source, doc_id""")),
+
     QueryDef("pipeline_curation",
       // the canonical training-data funnel as ONE lazy plan:
       // quality score -> token floor -> language filter -> fingerprint dedup;

@@ -41,4 +41,42 @@ object Sampling {
     }
     df.where(hashBucket(key) < pct)
   }
+
+  /** Uniform double in [0, 1) from the row key: 60 md5 bits over 2⁶⁰. The
+    * divisor is a power of two, so the scaling is exact and the value is
+    * engine-portable bit for bit (15 hex chars keep the integer inside a
+    * signed 64-bit range everywhere).
+    */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit((1L << 60).toDouble)
+
+  /** Token-budget corpus mixture — the "sample each source to hit a target
+    * token composition" step of assembling a training mix. Each source s
+    * with mixture weight w_s is kept at rate
+    * `r_s = min(1, budget·w_s / tokens_s)`, i.i.d. per row by [[hashUnit]]
+    * of the row key, so the expected kept token mass is budget·w_s (capped
+    * by what the source has — an undersized source keeps everything rather
+    * than inventing data). Sources without a weight are dropped.
+    *
+    * Scale shape: one map-side partial aggregation for the per-source token
+    * totals (source cardinality is metadata-small), broadcast back, then a
+    * pure filter — the corpus itself never shuffles, and the decision is
+    * reproducible row-for-row across runs, engines, and repartitionings.
+    */
+  def mixByTokenBudget(docs: DataFrame, key: Column, source: Column, tokensCol: Column,
+                       weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0), "mixture weights must be nonnegative")
+    val totals = docs.groupBy(source.as("_mix_src"))
+      .agg(sum(tokensCol.cast("long")).as("_src_tokens"))
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+      when(col("_mix_src") === lit(s), lit(p)).otherwise(acc)
+    }
+    val rate = least(lit(1.0),
+      lit(tokenBudget).cast("double") * w / col("_src_tokens").cast("double"))
+    docs.join(broadcast(totals.select(col("_mix_src"), rate.as("_keep_rate"))),
+        source === col("_mix_src"))
+      .where(hashUnit(key) < col("_keep_rate"))
+      .drop("_mix_src", "_keep_rate")
+  }
 }

@@ -107,6 +107,32 @@ object TextAnalysis {
         concat_ws(" ", slice(col("_toks"), col("_start"), lit(chunkTokens))).as("chunk_text"))
   }
 
+  /** GPT-style sequence packing, shard-parallel: within a shard, documents'
+    * tokens are laid head to tail in a deterministic order and the training
+    * sequences are the consecutive `seqLen`-token windows of that layout —
+    * documents cross sequence boundaries (the standard concat-then-split
+    * packing; no padding waste). Emits, per row: its starting token offset
+    * in the shard layout, the pack (sequence) id its first token lands in,
+    * and the offset within that pack.
+    *
+    * The running total is a window sum PARTITIONED BY the shard — per-shard
+    * work is sequential by nature (each offset depends on every predecessor)
+    * but shards pack independently, which is exactly how a 100-TB corpus is
+    * laid out anyway (per-source/per-shard files). An unsharded global
+    * packing would serialize the whole corpus through one partition: always
+    * pass a real shard column.
+    */
+  def packSequences(df: DataFrame, shard: Column, order: Seq[Column],
+                    tokensCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("start_off", coalesce(sum(tokensCol.cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("start_off") / lit(seqLen)).cast("long"))
+      .withColumn("pack_off", pmod(col("start_off"), lit(seqLen.toLong)))
+  }
+
   /** PII patterns — RE2-class regexes (no lookahead) so the same definition
     * runs in Spark, DuckDB, and RE2-based scanners.
     */

@@ -73,6 +73,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(2L) == 0.0)
   }
 
+  test("packSequences: offsets are the exclusive running totals, packs partition the token stream") {
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 50L), ("b", 1L, 300L))
+      .toDF("shard", "id", "n_tok")
+    val got = TextAnalysis.packSequences(df, $"shard", Seq($"id"), $"n_tok", seqLen = 128)
+      .select("shard", "id", "start_off", "pack_id", "pack_off")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 0L, 0L),      // first doc starts pack 0
+      ("a", 2L, 100L, 0L, 100L),  // crosses into pack 1 but STARTS in 0
+      ("a", 3L, 300L, 2L, 44L),   // 300 = 2*128 + 44
+      ("b", 1L, 0L, 0L, 0L)))     // shards pack independently
+  }
+
+  test("mixByTokenBudget: kept token mass tracks budget*weight; zero-weight sources drop; oversample caps at 1") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", size(TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
+    val weights = Map("src0" -> 0.5, "src1" -> 0.5)
+    val kept = Sampling.mixByTokenBudget(docs, $"doc_id", $"source", $"n_tok", weights, 800L)
+      .groupBy($"source").agg(sum($"n_tok").as("kept_tok")).as[(String, Long)].collect().toMap
+    assert(kept.keySet.subsetOf(Set("src0", "src1")), "unweighted sources must be dropped")
+    // expected kept mass per source is 400 tokens; hash sampling is i.i.d.
+    // so allow wide slack, but it must be a strict subsample
+    kept.values.foreach(t => assert(t > 0))
+    val totals = docs.where($"source".isin("src0", "src1"))
+      .groupBy($"source").agg(sum($"n_tok")).as[(String, Long)].collect().toMap
+    kept.foreach { case (s, t) => assert(t <= totals(s)) }
+    // a budget far above the corpus keeps EVERYTHING (rate caps at 1)
+    val all = Sampling.mixByTokenBudget(docs, $"doc_id", $"source", $"n_tok", weights, 10000000L)
+    assert(all.count() == docs.where($"source".isin("src0", "src1")).count())
+    // determinism: the same call yields the same rows
+    val ids1 = Sampling.mixByTokenBudget(docs, $"doc_id", $"source", $"n_tok", weights, 800L)
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.mixByTokenBudget(docs, $"doc_id", $"source", $"n_tok", weights, 800L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("bloom contamination: superset of exact flags (no false negatives), same shingle counts") {
     val docs = Tables.load(spark, sf0001, "documents")
     val bench = docs.where($"doc_id" % 37 === 0)
