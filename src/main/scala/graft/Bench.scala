@@ -58,7 +58,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    spark.stop()
+    // stop() can itself throw (shutdown-hook / filesystem close) — the
+    // result line must print regardless, or the whole run's timings vanish.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -121,16 +121,29 @@ object Sinks {
       val p = new org.apache.hadoop.fs.Path(destPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq
+      else {
         // A directory alone is NOT proof of a completed write: a crashed
         // run (or committer v2 partial output) can leave a partition dir
         // with no visible data file, and counting it "done" would skip it
-        // forever. Require at least one non-hidden data file inside.
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionBy=") &&
-          hasVisibleFile(fs, st.getPath))
-        .map(_.getPath.getName.substring(partitionBy.length + 1))
-        .map(v => if (v == HiveDefaultPartition) None else Some(unescapePath(v)))
-        .toSet
+        // forever. Require at least one non-hidden data file inside — found
+        // via ONE recursive listing from the table root (a listing per
+        // partition directory is O(#partitions) round trips on an object
+        // store; a single LIST stream is one).
+        val base = p.toUri.getPath
+        val it = fs.listFiles(p, /* recursive = */ true)
+        val names = scala.collection.mutable.Set.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          // components strictly below the root, file included, top-down
+          val comps = Iterator.iterate(f)(_.getParent)
+            .takeWhile(q => q != null && q.toUri.getPath != base)
+            .map(_.getName).toList.reverse
+          val hidden = comps.exists(n => n.startsWith("_") || n.startsWith("."))
+          if (!hidden && comps.nonEmpty && comps.head.startsWith(s"$partitionBy="))
+            names += comps.head.substring(partitionBy.length + 1)
+        }
+        names.map(v => if (v == HiveDefaultPartition) None else Some(unescapePath(v))).toSet
+      }
     }
     val srcVals = src.select(col(partitionBy).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0))).toSet

@@ -121,6 +121,12 @@ object TextAnalysis {
     * laid out anyway (per-source/per-shard files). An unsharded global
     * packing would serialize the whole corpus through one partition: always
     * pass a real shard column.
+    *
+    * `order` MUST totally order the rows within every shard (i.e. include a
+    * unique key such as the doc id as its last column): a window sum over
+    * tied rows is partition-order dependent, so with a non-unique `order`
+    * the emitted offsets silently vary run to run — breaking the
+    * hash-checkable-end-to-end property this operator is built for.
     */
   def packSequences(df: DataFrame, shard: Column, order: Seq[Column],
                     tokensCol: Column, seqLen: Int): DataFrame = {
