@@ -321,6 +321,11 @@ object Dedup {
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint()
+    // Checkpoint-storage hygiene: once round N is materialized, round N-1's
+    // blocks are dead — free them, or block storage grows with rounds ×
+    // calls for the session lifetime (clearCache never touches checkpoint
+    // RDDs). Bounded live set: the pair set + the last two rounds.
+    var prevCp: DataFrame = labels
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -346,9 +351,15 @@ object Dedup {
           (coalesce(col("_parent"), col("label")) =!= col("_old")).as("_chg"))
         .localCheckpoint(eager = false)
       changed = jumped.where(col("_chg")).count()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(prevCp)
+      prevCp = jumped
       labels = jumped.select(col("v"), col("label"))
       round += 1
     }
+    // The pair-set checkpoint is dead too: the final labels read only the
+    // last round's blocks. (Those last blocks back the RETURNED DataFrame
+    // and must stay; they are freed when the session drops the reference.)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
     // Unconverged labels are silent data corruption downstream (wrong
     // keep/drop decisions in applyClusterDedup) — fail loudly instead.
     // Practically unreachable: pointer jumping covers diameter ~2^maxRounds.
@@ -393,15 +404,32 @@ object Dedup {
     * necessity (no built-in bloom probe exists for a driver-built sketch);
     * it sits on a linear scan stage where the codegen break costs far less
     * than the exchange it removes.
+    *
+    * `expectedShingles` defaults to auto (-1): the filter is sized from an
+    * exact distinct count of the benchmark shingles — one extra pass over
+    * the benchmark (small) side, sharing its scan via persist — because an
+    * under-sized filter silently degrades the achieved fpp and the
+    * "inflated by at most fpp" bound above would no longer hold. Callers
+    * that already know the cardinality can pass it to skip the count.
+    *
+    * Broadcast lifetime: the filter is captured in the returned plan's UDF
+    * closure and stays on executors until Spark's ContextCleaner reclaims
+    * it after the last reference to the returned DataFrame is dropped. A
+    * long-lived session issuing many decontamination passes should drop
+    * those references promptly rather than accumulate plans.
     */
   def contaminationFlagsBloom(corpus: DataFrame, benchmark: DataFrame,
                               idCol: String, textCol: String, shingleN: Int = 3,
-                              expectedShingles: Long = 1 << 20,
+                              expectedShingles: Long = -1L,
                               fpp: Double = 0.001): DataFrame = {
     val spark = corpus.sparkSession
-    val bf = shingleTable(benchmark, idCol, textCol, shingleN)
+    val distinctSh = shingleTable(benchmark, idCol, textCol, shingleN)
       .select(col("shingle")).distinct()
-      .stat.bloomFilter("shingle", expectedShingles, fpp)
+    val sized =
+      if (expectedShingles > 0) expectedShingles
+      else { distinctSh.persist(); math.max(1L, distinctSh.count()) }
+    val bf = distinctSh.stat.bloomFilter("shingle", sized, fpp)
+    distinctSh.unpersist() // bloomFilter is an action; the sketch is built
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
     shingleTable(corpus, idCol, textCol, shingleN)

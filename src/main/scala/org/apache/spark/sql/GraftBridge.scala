@@ -10,6 +10,18 @@ object GraftBridge {
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Release the block-manager storage behind a `localCheckpoint`ed Dataset.
+    * `catalog.clearCache` does NOT touch checkpoint RDD blocks, so an
+    * iterative algorithm that checkpoints per round leaks every round's
+    * blocks for the session lifetime unless it frees them explicitly.
+    * Collects the `LogicalRDD` leaves of the analyzed plan (the node a
+    * checkpoint rewrites the Dataset to) and unpersists their RDDs.
+    */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Table existence through Spark's own JDBC machinery — the connection
     * comes from the dialect's factory (which consults Spark's
     * DriverRegistry, so drivers shipped via `--jars` + the `driver`

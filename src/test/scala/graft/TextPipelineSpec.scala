@@ -159,4 +159,17 @@ class TextPipelineSpec extends SparkSpec {
       Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 0))
     assert(e.getMessage.contains("still changing"))
   }
+
+  test("dedupClusters frees intermediate checkpoint blocks (bounded live set)") {
+    // the long-path graph runs ~7 pointer-jumping rounds; without per-round
+    // frees every round's localCheckpoint RDD stays persisted for the
+    // session lifetime (clearCache does not touch them)
+    val n = 40
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 12).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"expected at most the final round's checkpoint to stay persisted, got ${after - before}")
+  }
 }
