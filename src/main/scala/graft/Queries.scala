@@ -54,6 +54,28 @@ object Queries {
   private val suppPointsSql =
     "SELECT s_suppkey, (s_suppkey * 91 % 1200) / 10.0 - 60.0 AS lat, (s_suppkey * 53 % 3000) / 10.0 - 150.0 AS lon FROM supplier"
 
+  // URL-bearing document text, constructed deterministically (the corpus
+  // has no URLs — same construct-and-parse trick as op05): every doc cites
+  // a subdomain of its source's .org and a mixed-case .net mirror. The SQL
+  // fragment defines CTEs d2 (text2) / h (lowercased hosts) / rd (eTLD+1),
+  // mirroring Web.urlHosts + Web.registeredDomain exactly.
+  private def urlDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("text2",
+      concat(col("text"),
+        lit(" see https://sub"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("."), col("source"), lit(".org/d/"), col("doc_id").cast("string"),
+        lit(" and http://Mirror."), col("source"), lit(".net/x")))
+
+  private val urlDocsSql: String =
+    """d2 AS (SELECT doc_id, source,
+        text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/d/'
+          || CAST(doc_id AS VARCHAR) || ' and http://Mirror.' || source || '.net/x' AS text2
+      FROM documents),
+    h AS (SELECT doc_id, lower(unnest(regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1))) AS host
+      FROM d2),
+    rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+        ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
+
   private val RadiusKm = 300.0
   private def havSql(a1: String, o1: String, a2: String, o2: String) =
     Geo.haversineKmSql(a1, o1, a2, o2)
@@ -1061,6 +1083,69 @@ object Queries {
           start_off % 256 AS pack_off
         FROM w ORDER BY source, doc_id""")),
 
+    QueryDef("web_domain_counts",
+      // registered-domain reach (C4/RefinedWeb-style head-domain ranking).
+      // The corpus text has no URLs, so the op05 construct-and-parse trick
+      // applies: every doc cites a subdomain of its source's .org plus a
+      // mixed-case mirror on .net — exercising extraction, lowercasing,
+      // and the eTLD+1 rollup against the same regex in both engines
+      (s, d) => Web.domainDocCounts(urlDocs(s, d), "doc_id", "text2")
+        .orderBy(col("domain")),
+      Some(s"""WITH $urlDocsSql
+        SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM rd GROUP BY domain ORDER BY domain""")),
+
+    QueryDef("web_blocklist_filter",
+      // domain-blocklist curation: a doc with ANY blocked-domain mention
+      // drops (subdomain mentions roll up to the registered domain).
+      // Output is the per-source survivor count — src3/src15 vanish via
+      // their .org domains, src7 via its .net mirror
+      (s, d) => {
+        import s.implicits._
+        val blocklist = Seq("src3.org", "src7.net", "src15.org").toDF("domain")
+        Web.domainBlocklistFilter(urlDocs(s, d), "doc_id", "text2", blocklist)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $urlDocsSql,
+        hit AS (SELECT DISTINCT doc_id FROM rd
+          WHERE domain IN ('src3.org', 'src7.net', 'src15.org'))
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        WHERE hit.doc_id IS NULL GROUP BY d.source ORDER BY d.source""")),
+
+    QueryDef("txt_vocab_coverage",
+      // tokenizer-vocab head curve: top-100 tokens with the cumulative
+      // share of all token occurrences they cover; integer counts, one
+      // exact double division at the end
+      (s, d) => TextAnalysis.vocabCoverage(t(s, d, "documents"), "text", k = 100)
+        .orderBy(col("rank")),
+      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents),
+        c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+          token, CAST(cnt AS BIGINT) AS cnt,
+          CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.total AS cum_frac
+        FROM top, t ORDER BY rank""")),
+
+    QueryDef("txt_oov_frac",
+      // per-doc out-of-vocabulary fraction vs the corpus's own top-15
+      // vocab — the "gibberish/wrong-tokenizer" quality signal; integer
+      // counts, one exact double division
+      (s, d) => TextAnalysis.oovFraction(t(s, d, "documents"), "doc_id", "text", vocabK = 15)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents),
+        v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+          ORDER BY cnt DESC, token LIMIT 15) q),
+        j AS (SELECT tok.doc_id, v.token AS vt FROM tok LEFT JOIN v ON tok.token = v.token)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("pipeline_curation",
       // the canonical training-data funnel as ONE lazy plan:
       // quality score -> token floor -> language filter -> fingerprint dedup;
@@ -1212,6 +1297,25 @@ object Queries {
           .orderBy(col("id_a"), col("id_b"))
       },
       None), // SRP bucket bits flip on 1-ulp projection differences across engines — rows-only; recall/precision/linearity proven in SimilaritySpec
+
+    QueryDef("emb_semantic_dedup",
+      // SemDeDup end to end: corpus PLUS one planted EXACT copy of every
+      // vector at id −v−1 (collision-free at any scale, as emb_near_dup).
+      // Identical vectors share every SRP bucket and verify at cos 1.0, so
+      // each {v, −v−1} pair clusters and the min-id (negative) survives —
+      // the oracle is therefore the exact expected survivor set: the hash
+      // check asserts 100% recall on planted copies AND zero false merges
+      // among the naturals (max natural pairwise cosine 0.479 ≪ 0.9).
+      // Float-safe to oracle BECAUSE copies are exact: bucket bits and the
+      // cos=1 verify cannot flip on engine ulp differences.
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = e.select((-col("vec_id") - lit(1L)).as("vec_id"), col("embedding"))
+        Similarity.semanticDedup(e.unionByName(planted), "vec_id", "embedding",
+            threshold = 0.9)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some("SELECT -vec_id - 1 AS vec_id FROM embeddings ORDER BY vec_id")),
 
     // ---- multimodal plumbing (north star; decode is STUBBED, see Multimodal) ----
     QueryDef("mm_binary_meta",

@@ -234,4 +234,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): documents
+    * whose EMBEDDINGS are near-identical are redundant even when their
+    * text is not — keep one representative per semantic-duplicate group.
+    *
+    * Composition of the engine's scale-correct parts: SRP-LSH candidate
+    * pairs at a high cosine threshold ([[embeddingNearDupPairs]] — bucketed,
+    * ~linear candidate volume, exact-cosine verified), resolved into
+    * connected components ([[Dedup.dedupClusters]] — O(log diameter)
+    * min-label rounds), min-id representative kept
+    * ([[Dedup.applyClusterDedup]] — one anti-join). The paper's k-means
+    * partitioning plays the same role as the SRP bucketing here: both bound
+    * the pair search to semantically-close groups; SRP needs no iterative
+    * fit and its per-table collision math is the documented candidate
+    * bound. LSH is only sound in the near-dup regime (threshold ≳ 0.8) —
+    * see [[embeddingNearDupPairs]] for why low thresholds go ~N^1.66.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, numTables: Int = 8,
+                    planesPerTable: Int = 20, dims: Int = 64): DataFrame = {
+    val pairs = embeddingNearDupPairs(
+      corpus, idCol, vecCol, numTables, planesPerTable, threshold, probeRadius = 1, dims)
+    Dedup.applyClusterDedup(corpus, idCol, Dedup.dedupClusters(pairs, "id_a", "id_b"))
+  }
 }

@@ -139,6 +139,53 @@ object TextAnalysis {
       .withColumn("pack_off", pmod(col("start_off"), lit(seqLen.toLong)))
   }
 
+  /** Corpus vocabulary head: the top-k tokens by occurrence count, with
+    * rank and the cumulative share of ALL token occurrences the head covers
+    * — the curve a tokenizer-vocab or stopword-list decision reads.
+    *
+    * Scale shape: the token count is one hash aggregation (map-side
+    * partial); the top-k is `TakeOrderedAndProject` (per-partition top-k,
+    * merged on the driver — never a global sort of the vocabulary); the
+    * rank/cumulative window then runs over the k SURVIVORS only, so its
+    * single-partition ordering is over k rows by construction, never the
+    * corpus. The one-row total joins in as a broadcast.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    val ord = w.orderBy(col("cnt").desc, col("token").asc)
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("cum_frac",
+        sum(col("cnt")).over(ord.rowsBetween(w.unboundedPreceding, w.currentRow)).cast("double")
+          / col("_total").cast("double"))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_frac"))
+  }
+
+  /** Per-document out-of-vocabulary fraction against the corpus's own
+    * top-`vocabK` vocabulary — the classic "gibberish / wrong-tokenizer"
+    * quality signal (high OOV share → boilerplate, code, mojibake, or the
+    * wrong language for the vocab). The vocabulary is top-k by
+    * construction, so it broadcasts no matter the corpus size; the probe
+    * side is one linear pass over the exploded tokens with map-side
+    * partial aggregation per doc. Docs with no tokens have no rows.
+    */
+  def oovFraction(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabK)
+      .select(col("token"))
+    tok.join(broadcast(vocab).withColumn("_in", lit(1)), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** PII patterns — RE2-class regexes (no lookahead) so the same definition
     * runs in Spark, DuckDB, and RE2-based scanners.
     */

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain operators for web-corpus curation: host extraction from raw
+  * text, registered-domain rollup, and domain-blocklist filtering — the
+  * standard first-pass hygiene steps of a C4/RefinedWeb-style pipeline.
+  * (No reference analog; north-star text-analysis family, SURVEY.md §2.7.)
+  *
+  * Everything is an RE2-class regex column expression (no lookahead, no
+  * backreferences) so the exact same pattern runs in Spark codegen, DuckDB,
+  * and RE2-based scanners; extraction is a linear scan with no shuffle
+  * before the final aggregate/join.
+  */
+object Web {
+
+  /** Matches http(s) URLs; capture group 1 is the host (authority). The
+    * character class stops at `:` and `/`, so ports, paths, and query
+    * strings are excluded by construction.
+    */
+  val urlHostPattern: String = "https?://([A-Za-z0-9.-]+)"
+
+  /** Hosts of every URL mentioned in the text, lowercased (DNS names are
+    * case-insensitive; canonicalizing here makes downstream joins exact).
+    */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(urlHostPattern), lit(1)), h => lower(h))
+
+  /** Simplified eTLD+1: the last two dot-labels of the host ("sub.a.org" →
+    * "a.org"); single-label hosts ("localhost") pass through unchanged. A
+    * production system consults the public-suffix list instead — a ~10k-row
+    * broadcast lookup with the identical join shape, swapped in here.
+    */
+  def registeredDomain(host: Column): Column = {
+    val rd = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(rd === "", host).otherwise(rd)
+  }
+
+  /** (doc, host, registered domain) — one row per URL mention, linear scan,
+    * no shuffle. The shared base of the domain aggregations and filters.
+    */
+  def docHosts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(urlHosts(col(textCol))).as("host"))
+      .withColumn("domain", registeredDomain(col("host")))
+
+  /** Per-registered-domain document reach: how many distinct documents
+    * mention the domain — the ranking a curation pipeline reads to decide
+    * head-domain treatment. The distinct dedupes (domain, doc) map-side
+    * before the count's partial aggregation, so the exchange carries
+    * deduped pairs, never raw mentions.
+    */
+  def domainDocCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docHosts(docs, idCol, textCol).select(col("domain"), col(idCol)).distinct()
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+
+  /** Drop every document that mentions a blocklisted registered domain.
+    * `blocklist` is a one-column ("domain") DataFrame: a hand-curated list
+    * broadcasts; a full production blocklist (millions of rows) falls back
+    * to a shuffled join on the domain key — Catalyst/AQE picks, and the
+    * document side streams either way. Keying the final anti-join on the
+    * doc id makes the semantics "ANY blocked mention drops the doc".
+    */
+  def domainBlocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                            blocklist: DataFrame): DataFrame = {
+    val hit = docHosts(docs, idCol, textCol)
+      .join(blocklist.select(col("domain")), Seq("domain"))
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Dedup, Similarity}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -150,6 +150,24 @@ class SimilaritySpec extends SparkSpec {
     val cFull = Similarity.srpCandidatePairs(full, "vec_id", "embedding", 8, 20).count()
     assert(cHalf > 0)
     assert(cFull <= 3 * cHalf, s"candidates $cHalf -> $cFull: super-linear growth")
+  }
+
+  test("semanticDedup drops planted near-dup copies, keeps min-id reps and all singletons") {
+    val corpus = planted(emb) // every vector + a cos≈0.9997 copy at -id-1
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val pairs = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val inPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val all = corpus.select("vec_id").as[Long].collect().toSet
+    // singletons (no near-dup found) all survive
+    assert((all diff inPair).subsetOf(kept))
+    // every found pair loses its non-min member; exactly one rep per component survives
+    val reps = Dedup.dedupClusters(
+        pairs.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("cluster_rep").as[Long].collect().toSet
+    assert(kept == ((all diff inPair) union reps))
+    assert(kept.size < all.size, "planted copies must actually be dropped")
   }
 
   test("centroids are per-dimension means with full dimensionality") {

@@ -160,6 +160,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("still changing"))
   }
 
+  test("vocabCoverage: ranks by (count desc, token), cum_frac reaches 1.0 at full vocab") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", k = 10)
+      .select("rank", "token", "cnt", "cum_frac")
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 1L), (4, "d", 1L)))
+    assert(math.abs(got.last._4 - 1.0) < 1e-12) // full vocab covers everything
+    assert(math.abs(got.head._4 - 4.0 / 9.0) < 1e-12)
+    // k truncates below the full vocabulary
+    assert(TextAnalysis.vocabCoverage(docs, "text", k = 2).count() == 2L)
+  }
+
+  test("oovFraction: tokens outside the top-k vocab count as OOV, per doc") {
+    val docs = Seq(
+      (1L, "a a b b"),            // all in a 2-token vocab
+      (2L, "a rare1 rare2 rare3") // 3 of 4 outside it
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovFraction(docs, "doc_id", "text", vocabK = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 0L, 0.0)))
+    assert(got(1)._3 == 3L && math.abs(got(1)._4 - 0.75) < 1e-12)
+  }
+
   test("dedupClusters frees intermediate checkpoint blocks (bounded live set)") {
     // the long-path graph runs ~7 pointer-jumping rounds; without per-round
     // frees every round's localCheckpoint RDD stays persisted for the

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Web
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "plain text with no links at all"),
+    (2L, "see HTTPS is not a url but https://Sub.Example.ORG/path?q=1 is"),
+    (3L, "two hosts http://a.b.example.net:8080/x and https://example.net"),
+    (4L, "blocked mention https://evil.bad.org/malware plus ok https://ok.org"),
+    (5L, "single-label http://localhost/admin and ftp://ignored.org/file")
+  ).toDF("doc_id", "text")
+
+  test("urlHosts extracts lowercased hosts, excluding ports/paths and non-http schemes") {
+    val hosts = docs.select(col("doc_id"), Web.urlHosts(col("text")).as("h"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(hosts(1L) == Seq())
+    assert(hosts(2L) == Seq("sub.example.org"))
+    assert(hosts(3L) == Seq("a.b.example.net", "example.net")) // port stripped by the class
+    assert(hosts(5L) == Seq("localhost")) // ftp:// is not matched
+  }
+
+  test("registeredDomain keeps the last two labels; single-label hosts pass through") {
+    val got = Seq("sub.a.example.org", "example.net", "localhost")
+      .toDF("host").select(Web.registeredDomain(col("host"))).as[String].collect()
+    assert(got.toSeq == Seq("example.org", "example.net", "localhost"))
+  }
+
+  test("domainDocCounts counts distinct docs per registered domain") {
+    val got = Web.domainDocCounts(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    // doc 3 mentions example.net twice but counts once
+    assert(got("example.net") == 1L)
+    assert(got("example.org") == 1L)
+    assert(got("bad.org") == 1L && got("ok.org") == 1L && got("localhost") == 1L)
+  }
+
+  test("blocklist filter drops any doc with a blocked mention, rolled up from subdomains") {
+    val blocklist = Seq("bad.org", "example.net").toDF("domain")
+    val kept = Web.domainBlocklistFilter(docs, "doc_id", "text", blocklist)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 3 hits example.net via subdomain a.b.example.net; doc 4 via evil.bad.org
+    assert(kept == Set(1L, 2L, 5L))
+  }
+}
