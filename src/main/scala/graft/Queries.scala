@@ -893,18 +893,30 @@ object Queries {
       // oracle-checkable end to end (recursive-CTE CC included).
       (s, d) => {
         val docs = t(s, d, "documents")
-        val rep = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 2)
-          .where(col("dup_frac") < 0.4).select("doc_id")
-        val cont = Dedup.contaminationScores(docs, docs.where(col("doc_id") % 37 === 0),
-            "doc_id", "text", shingleN = 3)
-          .where(col("contamination") < 0.5).select("doc_id")
-        val surviving = docs.join(rep, "doc_id").join(cont, "doc_id")
+        // tokenize ONCE: every stage (repetition grams, contamination
+        // shingles, MinHash shingles, chunking) reads the same cached token
+        // arrays instead of re-scanning parquet + re-splitting text — at
+        // 100 TB this materialized column is the difference between one
+        // tokenizer pass and five
+        val toksDF = docs
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = Dedup.minhashNearDupPairs(surviving, "doc_id", "text",
-          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+        val rep = TextAnalysis.repetitionSignalsFromTokens(toksDF, "doc_id", "_toks", n = 2)
+          .where(col("dup_frac") < 0.4).select("doc_id")
+        val corpusSh = Dedup.shingleTableFromTokens(toksDF, "doc_id", "_toks", 3)
+        val benchSh = Dedup.shingleTableFromTokens(
+          toksDF.where(col("doc_id") % 37 === 0), "doc_id", "_toks", 3)
+        val cont = Dedup.contaminationScoresFromShingles(corpusSh, benchSh, "doc_id")
+          .where(col("contamination") < 0.5).select("doc_id")
+        val surviving = toksDF.join(rep, "doc_id").join(cont, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val survSh = Dedup.shingleTableFromTokens(surviving, "doc_id", "_toks", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = Dedup.minhashNearDupPairsFromShingles(survSh, "doc_id",
+          numHashes = 8, rowsPerBand = 2, threshold = 0.1)
         val deduped = Dedup.applyClusterDedup(surviving, "doc_id",
           Dedup.dedupClusters(pairs, "doc_a", "doc_b"))
-        val chunks = TextAnalysis.chunkByTokens(deduped, "doc_id", "text",
+        val chunks = TextAnalysis.chunkFromTokens(deduped, "doc_id", "_toks",
           chunkTokens = 32, stride = 24)
         docs.agg(count(lit(1)).as("n_total"))
           .crossJoin(surviving.agg(count(lit(1)).as("n_quality")))

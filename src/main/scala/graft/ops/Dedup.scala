@@ -49,8 +49,14 @@ object Dedup {
     * tokenizer runs exactly once per document (projection before explode).
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), explode(shinglesFromTokens(col("_toks"), n)).as("shingle"))
+    shingleTableFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("_toks")), idCol, "_toks", n)
+
+  /** [[shingleTable]] over an already-materialized token-array column — for
+    * pipelines that tokenize the corpus once and feed several consumers.
+    */
+  def shingleTableFromTokens(df: DataFrame, idCol: String, toksCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shinglesFromTokens(col(toksCol), n)).as("shingle"))
 
   /** One MinHash value: the lexicographic min over a doc's shingles of the
     * s-th 4-hex-char slice of md5(shingle). One digest per shingle serves
@@ -172,9 +178,20 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    minhashNearDupPairsFromShingles(
+      shingleTable(docs, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, numHashes, rowsPerBand, threshold)
+
+  /** The LSH sign→bucket→verify chain over a prebuilt shingle table. The
+    * caller owns the table's persistence — it is read by four consumers
+    * (signatures, sizes, and both sides of the intersection join), so pass
+    * it persisted unless it is itself a cheap cached projection.
+    */
+  def minhashNearDupPairsFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol, numHashes)
     val cand = lshCandidatePairs(lshBuckets(sig, idCol, numHashes, rowsPerBand), idCol)
     jaccardVerify(cand, sh, idCol, threshold)
@@ -299,24 +316,91 @@ object Dedup {
     * pairwise similarity into an actual keep/drop decision (keep the rep,
     * drop the rest).
     *
-    * Algorithm: min-label propagation with pointer jumping. Each round is
-    * (a) label(v) ← min(label(v), min label over v's neighbors) — one
-    * shuffle on the edge key — then (b) label(v) ← label(label(v)) — one
-    * shuffle on the label — which halves the remaining label-tree depth, so
-    * convergence is O(log diameter) rounds rather than O(diameter). Rounds
-    * are driver-controlled with a scalar changed-count per round (no data
-    * ever collects to the driver) and `localCheckpoint` truncates the plan
-    * lineage so round N's plan does not embed rounds 1..N-1. The result —
-    * min reachable id — is iteration-order independent, hence
-    * deterministic and oracle-comparable.
+    * Two physical strategies behind one contract, picked by the measured
+    * edge count (the pair set is materialized exactly once either way):
+    *
+    *  - **small graph** (≤ `smallGraphEdges`, the overwhelmingly common
+    *    case: LSH near-dup pairs are a sliver of corpus size): a
+    *    single-pass union-find by min id inside ONE executor task
+    *    (`coalesce(1).mapPartitions`). One job, no per-round shuffles, no
+    *    driver materialization — the edge rows never leave executor space.
+    *  - **large graph**: min-label propagation with pointer jumping. Each
+    *    round is (a) label(v) ← min(label(v), min label over v's
+    *    neighbors) — one shuffle on the edge key — then (b) label(v) ←
+    *    label(label(v)) — one shuffle on the label — which halves the
+    *    remaining label-tree depth, so convergence is O(log diameter)
+    *    rounds rather than O(diameter). Rounds are driver-controlled with
+    *    a scalar changed-count per round (no data ever collects to the
+    *    driver) and `localCheckpoint` truncates the plan lineage so round
+    *    N's plan does not embed rounds 1..N-1.
+    *
+    * Both compute "min id reachable", which is iteration-order
+    * independent, hence deterministic and oracle-comparable, and both keep
+    * every row on executors. The adaptive switch is the 100-TB design: a
+    * per-round distributed loop pays ~4 shuffles × scheduling latency per
+    * round, which dwarfs the actual work unless the pair graph itself is
+    * cluster-scale; the threshold (default 4M edges ≈ a few hundred MB of
+    * union-find state in one task) is where that trade flips.
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                    maxRounds: Int = 30): DataFrame = {
+                    maxRounds: Int = 30,
+                    smallGraphEdges: Long = 4L * 1000 * 1000): DataFrame = {
     // checkpoint the (possibly expensive — e.g. an LSH pipeline) pair set
-    // ONCE: both union branches and every propagation round then read the
-    // materialized rows instead of re-running the producer plan
+    // ONCE: the edge count, both union branches, and every propagation
+    // round then read the materialized rows instead of re-running the
+    // producer plan
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
+    val small = p.count() <= smallGraphEdges
+    if (small) {
+      val out = clustersByUnionFind(p).localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
+      return out
+    }
+    clustersByLabelPropagation(p, maxRounds)
+  }
+
+  /** Small-graph strategy: union-find by min id, one executor task. */
+  private def clustersByUnionFind(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val dt = p.schema("src").dataType
+    val outSchema = StructType(Seq(
+      StructField("doc_id", dt, nullable = false),
+      StructField("cluster_rep", dt, nullable = false)))
+    p.coalesce(1).mapPartitions { it =>
+      // parent-pointer forest with path compression; union points the
+      // LARGER root at the smaller, so each final root is its component's
+      // minimum id — exactly "min reachable id"
+      val parent = new java.util.HashMap[Any, Any]()
+      def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def findRoot(x0: Any): Any = {
+        var x = x0
+        while (parent.get(x) != x) {
+          val gp = parent.get(parent.get(x))
+          parent.put(x, gp); x = gp
+        }
+        x
+      }
+      it.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        parent.putIfAbsent(a, a) // seed as own root
+        parent.putIfAbsent(b, b)
+        val ra = findRoot(a); val rb = findRoot(b)
+        if (ra != rb) {
+          if (cmp(ra, rb) < 0) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ks = parent.keySet().iterator()
+      new Iterator[Row] {
+        def hasNext: Boolean = ks.hasNext
+        def next(): Row = { val v = ks.next(); Row(v, findRoot(v)) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Large-graph strategy: pointer-jumping min-label propagation. */
+  private def clustersByLabelPropagation(p: DataFrame, maxRounds: Int): DataFrame = {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
@@ -377,10 +461,17 @@ object Dedup {
     * Docs with no shingles (shorter than n tokens) are excluded.
     */
   def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
-                          idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    val corpusSh = shingleTable(corpus, idCol, textCol, shingleN)
-    val benchSh = shingleTable(benchmark, idCol, textCol, shingleN)
-      .select(col("shingle")).distinct()
+                          idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+    contaminationScoresFromShingles(
+      shingleTable(corpus, idCol, textCol, shingleN),
+      shingleTable(benchmark, idCol, textCol, shingleN), idCol)
+
+  /** [[contaminationScores]] over prebuilt (id, shingle) tables — for
+    * pipelines that build the shingle table once for several consumers.
+    */
+  def contaminationScoresFromShingles(corpusSh: DataFrame, benchmarkSh: DataFrame,
+                                      idCol: String): DataFrame = {
+    val benchSh = benchmarkSh.select(col("shingle")).distinct()
     corpusSh
       .join(broadcast(benchSh).withColumn("_hit", lit(1)), Seq("shingle"), "left")
       .groupBy(col(idCol)).agg(

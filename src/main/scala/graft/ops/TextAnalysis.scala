@@ -95,10 +95,16 @@ object TextAnalysis {
     * shorter. One tokenize, one posexplode — linear, no shuffle.
     */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
-                    chunkTokens: Int, stride: Int): DataFrame = {
+                    chunkTokens: Int, stride: Int): DataFrame =
+    chunkFromTokens(docs.select(col(idCol), tokens(col(textCol)).as("_toks")),
+      idCol, "_toks", chunkTokens, stride)
+
+  /** [[chunkByTokens]] over an already-materialized token-array column. */
+  def chunkFromTokens(df: DataFrame, idCol: String, toksCol: String,
+                      chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       "stride must be in (0, chunkTokens] so chunks cover every token")
-    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    df.select(col(idCol), col(toksCol).as("_toks"))
       .where(size(col("_toks")) > 0)
       .select(col(idCol), col("_toks"),
         posexplode(sequence(lit(1), size(col("_toks")), lit(stride))).as(Seq("chunk_no", "_start")))
@@ -243,11 +249,15 @@ object TextAnalysis {
     * Degenerate docs (fewer than n tokens) are excluded. One explode + two
     * aggregations, both with map-side partials — linear.
     */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = docs.select(col(idCol), toks.as("_toks"))
-      .where(size(col("_toks")) >= n)
-      .select(col(idCol), explode(Dedup.gramsFromTokens(col("_toks"), n)).as("gram"))
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    repetitionSignalsFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("_toks")), idCol, "_toks", n)
+
+  /** [[repetitionSignals]] over an already-materialized token-array column. */
+  def repetitionSignalsFromTokens(df: DataFrame, idCol: String, toksCol: String, n: Int = 2): DataFrame = {
+    val grams = df
+      .where(size(col(toksCol)) >= n)
+      .select(col(idCol), explode(Dedup.gramsFromTokens(col(toksCol), n)).as("gram"))
     grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("_cnt"))
       .groupBy(col(idCol)).agg(
         sum(col("_cnt")).as("n_grams"),

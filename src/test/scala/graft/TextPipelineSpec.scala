@@ -147,8 +147,10 @@ class TextPipelineSpec extends SparkSpec {
 
   test("dedupClusters converges on a long path graph (pointer jumping)") {
     val n = 40 // path 0-1-2-...-40: worst-case diameter for propagation
+    // smallGraphEdges = 0 forces the iterative strategy — the union-find
+    // path would otherwise absorb any graph this size
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
-    val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 12)
+    val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 12, smallGraphEdges = 0)
       .as[(Long, Long)].collect()
     assert(got.length == n + 1 && got.forall(_._2 == 0L))
   }
@@ -156,8 +158,25 @@ class TextPipelineSpec extends SparkSpec {
   test("dedupClusters throws rather than return unconverged labels") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException](
-      Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 0))
+      Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 0, smallGraphEdges = 0))
     assert(e.getMessage.contains("still changing"))
+  }
+
+  test("dedupClusters union-find and label-propagation strategies agree") {
+    // a mix of cliques, a path, and singleton-free isolated edges, with a
+    // seeded shuffle so edge order exercises arbitrary union orders
+    val rnd = new scala.util.Random(42)
+    val edges = rnd.shuffle(
+      (0 until 30).map(i => (i.toLong, (i + 1).toLong)) ++            // path
+        (for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (b, a)) ++ // clique, reversed
+        Seq((200L, 201L), (300L, 301L), (301L, 300L)))                // dup/iso edges
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val small = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val large = Dedup.dedupClusters(pairs, "doc_a", "doc_b", smallGraphEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(small == large)
+    assert(small(30L) == 0L && small(104L) == 100L && small(201L) == 200L)
   }
 
   test("vocabCoverage: ranks by (count desc, token), cum_frac reaches 1.0 at full vocab") {
@@ -192,7 +211,7 @@ class TextPipelineSpec extends SparkSpec {
     val n = 40
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
     val before = spark.sparkContext.getPersistentRDDs.size
-    Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 12).count()
+    Dedup.dedupClusters(pairs, "doc_a", "doc_b", maxRounds = 12, smallGraphEdges = 0).count()
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= 1,
       s"expected at most the final round's checkpoint to stay persisted, got ${after - before}")
