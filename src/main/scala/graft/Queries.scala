@@ -1337,6 +1337,64 @@ object Queries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         md5(text) AS checksum FROM documents ORDER BY doc_id""")),
 
+    QueryDef("txt_substring_dups",
+      // exact repeated-substring signal (window-hash form of suffix-array
+      // substring dedup): per doc, how many of its 8-token windows occur
+      // more than once anywhere in the corpus, and where the first one is
+      (s, d) => TextAnalysis.substringDupStats(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        win AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+            toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS w
+          FROM tk, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+          WHERE len(toks) >= 8),
+        c AS (SELECT w, count(*) AS cnt FROM win GROUP BY 1)
+        SELECT win.doc_id, count(*) AS n_windows,
+          CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+          CAST(coalesce(min(CASE WHEN c.cnt > 1 THEN win.pos END), 0) AS INTEGER) AS first_dup_pos,
+          CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM win JOIN c USING (w)
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("txt_unigram_freq",
+      // corpus-frequency quality score: mean corpus frequency of each doc's
+      // tokens. Integer sums + one final multiply/divide — bit-identical
+      // across engines by construction (no logs)
+      (s, d) => TextAnalysis.unigramFreqScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents),
+        c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+          CAST(sum(cnt) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST((SELECT total FROM tt) AS DOUBLE)) AS avg_unigram_freq
+        FROM tok JOIN c USING (token)
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("mm_image_dims",
+      // header-metadata extraction from opaque binary with NO codec: build
+      // a real big-endian PNG IHDR from each row's ids, then parse the
+      // bytes back with substring/hex/conv expressions (construct-and-parse
+      // — the op05_fixed_width trick applied to binary). The oracle derives
+      // the dims arithmetically; matching proves the byte round-trip.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val withPng = e.select(col("vec_id"),
+          Multimodal.pngHeader(col("vec_id") % 1024 + 16, (col("vec_id") * 7) % 768 + 16)
+            .as("payload"))
+        Multimodal.imageDims(withPng, "payload")
+          .select(col("vec_id"), col("width"), col("height"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, CAST(vec_id % 1024 + 16 AS INTEGER) AS width,
+        CAST((vec_id * 7) % 768 + 16 AS INTEGER) AS height
+        FROM embeddings ORDER BY vec_id""")),
+
     QueryDef("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain"),

@@ -87,6 +87,40 @@ object Multimodal {
       .toDF(idCol, "payload_resampled")
   }
 
+  /** Big-endian 4-byte encoding of a non-negative 32-bit value — the byte
+    * order PNG/network formats use. `hex` of a long pads to 16 nibbles at
+    * most; `lpad(..., 8)` keeps exactly the low 4 bytes.
+    */
+  private def be4(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(lpad(hex(v.cast("long")), 8, "0"))
+
+  /** A minimal syntactically-valid PNG header (8-byte signature + IHDR
+    * length/type + 13-byte IHDR data) carrying the given dimensions —
+    * the test-vector builder for [[imageDims]]. Trailing IHDR fields: bit
+    * depth 8, color type 6 (RGBA), deflate, no filter, no interlace.
+    */
+  def pngHeader(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be4(width), be4(height),
+      unhex(lit("0806000000")))
+
+  /** Image-dimension extraction from an opaque binary payload WITHOUT any
+    * codec: a PNG's width and height live at fixed big-endian offsets in
+    * the IHDR chunk (bytes 17-24, 1-based), so the parse is pure
+    * `substring`/`hex`/`conv` expressions — codegen'd, linear, no UDF.
+    * Non-PNG payloads (signature mismatch) yield null dims. This is the
+    * header-metadata half of multimodal ingest that genuinely does not
+    * need a decoder; pixel work stays behind [[decodeFeatures]]'s stub.
+    */
+  def imageDims(df: DataFrame, payloadCol: String): DataFrame = {
+    val isPng = hex(substring(col(payloadCol), 1, 8)) === lit("89504E470D0A1A0A")
+    def beInt(off: Int) =
+      conv(hex(substring(col(payloadCol), off, 4)), 16, 10).cast("int")
+    df.withColumn("width", when(isPng, beInt(17)))
+      .withColumn("height", when(isPng, beInt(21)))
+  }
+
   /** Frame-sampling plumbing: split a payload into fixed-size "frames"
     * (byte chunks) and explode one row per sampled frame — the partitioning
     * shape a video pipeline needs (payload → n frame rows), all expressions.

@@ -268,6 +268,72 @@ object TextAnalysis {
         (col("_top").cast("double") / col("n_grams").cast("double")).as("top_frac"))
   }
 
+  /** Cross-document repeated-substring detection — the window-hash form of
+    * exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499, which uses suffix
+    * arrays; a distributed engine gets the same signal from rolling k-token
+    * windows). A window is *duplicated* when its exact token sequence occurs
+    * more than once anywhere in the corpus (other docs or elsewhere in the
+    * same doc). Per doc: total windows, duplicated windows, the first
+    * duplicated window's 1-based token position (0 when none), and the
+    * duplicated fraction — the inputs to a cut-the-span or drop-the-doc
+    * policy. Docs shorter than `windowTokens` have no windows and are
+    * excluded.
+    *
+    * Scale: one explode (linear), one groupBy(window) with map-side
+    * partials, one equi-join back — the same shuffle budget as the shingle
+    * pipeline; never quadratic. The corpus-wide window-count table is the
+    * only wide intermediate and it shrinks under aggregation.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 1)
+    val wins = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        posexplode(Dedup.gramsFromTokens(col("_toks"), windowTokens)).as(Seq("_p0", "w")))
+      .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winCounts = wins.groupBy(col("w")).agg(count(lit(1)).as("_cnt"))
+    wins.join(winCounts, Seq("w"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+        min(when(col("_cnt") > 1, col("pos"))).as("_first"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("_first"), lit(0)).cast("int").as("first_dup_pos"),
+        (col("n_dup_windows").cast("double") / col("n_windows").cast("double")).as("dup_frac"))
+  }
+
+  /** Corpus-frequency quality score (the CCNet-family "common-wordness"
+    * signal): the mean corpus frequency of a doc's tokens,
+    * Σ corpus_cnt(token) / (n_doc_tokens · corpus_total_tokens). Rare-word
+    * salad scores low; natural prose built from frequent tokens scores
+    * high. Deliberately log-free: every aggregate is an exact integer sum
+    * and the only floating point is one multiply + one divide at the end,
+    * so the result is bit-identical across engines (a log-prob variant
+    * would flake on libm last-ulp differences).
+    *
+    * Scale: token explode → vocab groupBy (map-side partials; vocab is
+    * tiny next to the corpus) → broadcast-join corpus counts back → per-doc
+    * aggregation. The corpus-total is a one-row frame cross-joined in, not
+    * a driver-side collect.
+    */
+  def unigramFreqScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = cnts.agg(sum(col("cnt")).as("_total"))
+    tok.join(broadcast(cnts), Seq("token"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("sum_cnt"),
+        (col("sum_cnt").cast("double") /
+          (col("n_tokens").cast("double") * col("_total").cast("double")))
+          .as("avg_unigram_freq"))
+  }
+
   /** Tiny per-language stopword marker sets used by the n-gram-heuristic
     * language scorer. Deterministic and oracle-expressible (IN-lists).
     */

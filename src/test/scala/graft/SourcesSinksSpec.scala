@@ -82,6 +82,30 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("imageDims parses real PNG IHDR bytes; non-PNG payloads yield null dims") {
+    // a genuine byte-literal PNG header (1-pixel-wide examples from the PNG
+    // spec layout), NOT built by pngHeader — so the test catches a builder
+    // and parser that are wrong in the same way
+    val pngBytes = Array[Int](
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52, // len 13 + "IHDR"
+      0x00, 0x00, 0x01, 0x00, // width 256
+      0x00, 0x00, 0x02, 0x01, // height 513
+      0x08, 0x06, 0x00, 0x00, 0x00).map(_.toByte)
+    val df = Seq((1L, pngBytes), (2L, "not a png".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = graft.ops.Multimodal.imageDims(df, "payload")
+      .select("id", "width", "height").collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(1) == 256 && rows(1L).getInt(2) == 513)
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2))
+    // and the builder round-trips through the parser
+    val built = Seq((7L, 640, 480)).toDF("id", "w", "h")
+      .select($"id", graft.ops.Multimodal.pngHeader($"w", $"h").as("payload"))
+    val back = graft.ops.Multimodal.imageDims(built, "payload")
+      .select("width", "height").as[(Int, Int)].head()
+    assert(back == ((640, 480)))
+  }
+
   test("processNewPartitions transforms only unseen partition values; re-run is a no-op") {
     val dest = Files.createTempDirectory("graft-incr").toString + "/t"
     def double(df: org.apache.spark.sql.DataFrame) = df.withColumn("x", $"v" * 2)

@@ -204,6 +204,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1)._3 == 3L && math.abs(got(1)._4 - 0.75) < 1e-12)
   }
 
+  test("substringDupStats finds cross-doc and within-doc repeated windows") {
+    val docs = Seq(
+      (1L, "a b c d e x1 x2 x3"),   // window "a b c" shared with doc 2
+      (2L, "z1 a b c z2 z3 z4"),
+      (3L, "r r r r s1 s2"),        // within-doc repeat: "r r r" at pos 1 and 2
+      (4L, "u1 u2 u3 u4 u5 u6"),    // all unique
+      (5L, "short doc")             // < windowTokens: excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDupStats(docs, "doc_id", "text", windowTokens = 3)
+      .select("doc_id", "n_windows", "n_dup_windows", "first_dup_pos", "dup_frac")
+      .as[(Long, Long, Long, Int, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // doc 5 has no windows
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == 1L && byId(1L)._4 == 1)      // "a b c" at pos 1
+    assert(byId(2L)._3 == 1L && byId(2L)._4 == 2)      // "a b c" at pos 2
+    assert(byId(3L)._3 == 2L && byId(3L)._4 == 1)      // "r r r" twice, first at 1
+    assert(byId(4L)._3 == 0L && byId(4L)._4 == 0 && byId(4L)._5 == 0.0)
+    assert(byId(1L)._2 == 6L && math.abs(byId(1L)._5 - 1.0 / 6.0) < 1e-12)
+  }
+
+  test("unigramFreqScore: integer-sum mean corpus frequency per doc") {
+    val docs = Seq(
+      (1L, "the the cat"),  // corpus: the=3, cat=2, rare=1 -> total 6
+      (2L, "the cat rare")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramFreqScore(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sum_cnt", "avg_unigram_freq")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 8L, 8.0 / 18.0)))  // 3+3+2 over 3*6
+    assert(got(1) == ((2L, 3L, 6L, 6.0 / 18.0)))  // 3+2+1 over 3*6
+  }
+
   test("dedupClusters frees intermediate checkpoint blocks (bounded live set)") {
     // the long-path graph runs ~7 pointer-jumping rounds; without per-round
     // frees every round's localCheckpoint RDD stays persisted for the
