@@ -49,20 +49,25 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> dt
     }
-    // The harness that consumes this line keeps only the last ~2000 chars of
-    // output, and sbt appends a "[success] Total time" trailer after us — so
-    // the WHOLE line must stay well under that window or the head (with the
-    // total) gets cut off. 3-decimal timings keep 66 queries at ~1.7 KB.
+    // The harness that consumes this line keeps only the LAST ~2000 chars
+    // of output, and sbt appends a "[success] Total time" trailer after us
+    // — so the whole line must stay under that window or the HEAD (with
+    // the total) gets cut off. Defenses, in order: 2-decimal per-query
+    // timings (~1.8 KB at 80 queries), per-query map sorted ASCENDING so
+    // the hottest queries sit nearest the guaranteed-visible end, and the
+    // total/failed duplicated as the line's FINAL keys (valid JSON —
+    // last-wins on duplicate keys — and survives any head truncation).
     // Stop Spark BEFORE printing so no shutdown log lands after the JSON.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // stop() can itself throw (shutdown-hook / filesystem close) — the
     // result line must print regardless, or the whole run's timings vanish.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"total_sec":${f3(total)}}""")
     System.out.flush()
   }
 }
