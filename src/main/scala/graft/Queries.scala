@@ -164,6 +164,151 @@ object Queries {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("q4_priority_check",
+      // TPC-H Q4 shape (order priority checking): EXISTS-correlated
+      // subquery planned as a LEFT SEMI hash join — the late-lineitem
+      // predicate adapts Q4's commitdate/receiptdate (absent here)
+      (s, d) => {
+        val o = t(s, d, "orders").where(
+          col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        val late = t(s, d, "lineitem")
+          .where(col("l_shipdate") > expr("TIMESTAMP_NTZ '1997-06-01 00:00:00'"))
+          .select(col("l_orderkey"))
+        o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-06-01')
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q6_forecast",
+      // TPC-H Q6 (forecasting revenue change): a pure scan-side query —
+      // every predicate pushes to the parquet reader, zero joins, one
+      // map-side-partial aggregation. The plan IS the point.
+      (s, d) => t(s, d, "lineitem")
+        .where(
+          col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some(s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    QueryDef("q10_returned",
+      // TPC-H Q10 shape (returned-item reporting): revenue lost to
+      // returns per customer, dims broadcast, top 20 by revenue
+      (s, d) => {
+        val l = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        val o = t(s, d, "orders").where(
+          col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    QueryDef("q14_promo",
+      // TPC-H Q14 (promotion effect): conditional aggregation over a
+      // lineitem-part join; the promo share is ONE final division of two
+      // decimal-exact sums, so the double is deterministic
+      (s, d) => {
+        val l = t(s, d, "lineitem").where(
+          col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-03-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+        val p = t(s, d, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            dsum(when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+              .as("promo_revenue"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (col("promo_revenue") / col("total_revenue")).as("promo_share"))
+      },
+      Some(s"""WITH a AS (SELECT
+          ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT promo_revenue, total_revenue, promo_revenue / total_revenue AS promo_share FROM a""")),
+
+    QueryDef("q18_large_orders",
+      // TPC-H Q18 shape (large-volume customers): HAVING over a fact-side
+      // pre-aggregation, then joins — the pre-agg shrinks the fact table
+      // BEFORE any join touches it (the order that survives 100 TB)
+      (s, d) => {
+        val bigOrders = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .where(col("sum_qty") > 300)
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        bigOrders.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+          GROUP BY 1 HAVING sum(l_quantity) > 300) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    QueryDef("q19_disjunct",
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+      // OR of brand×size×quantity bands — Catalyst extracts the common
+      // join key so this plans as a hash join with residual filter, NOT a
+      // cartesian product
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        val bands =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey") && bands)
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
+
     // ---- §2.1 sources ----
     QueryDef("op05_fixed_width",
       (s, d) => {

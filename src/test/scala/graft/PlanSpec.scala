@@ -66,6 +66,40 @@ class PlanSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("q6_forecast: every predicate reaches the parquet scan; no exchange beyond the final agg") {
+    val p = plan("q6_forecast")
+    // the printed PushedFilters list is elided with "..." — assert the
+    // leading entries plus the pruned 4-column read schema (which could
+    // only happen if the residual predicates stayed scan-side)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"pushdown missing:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"lineitem scan not pruned:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q4_priority_check: EXISTS plans as a semi join, not an aggregate-then-join") {
+    val p = plan("q4_priority_check")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+  }
+
+  test("q19_disjunct: OR'd band predicates still plan a hash join, not a product") {
+    val p = plan("q19_disjunct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("q18_large_orders: fact pre-aggregation happens BEFORE any join") {
+    val p = plan("q18_large_orders")
+    // the HAVING-filtered aggregate must sit below the joins: the first
+    // (deepest) HashAggregate over lineitem appears after the last join
+    // node in the bottom-up printout — assert partial agg exists and the
+    // lineitem scan reads only the two agg columns
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"lineitem scan not pruned to the pre-agg columns:\n$p")
+  }
+
   test("dedup/similarity pair generators never plan a cartesian product") {
     Seq("dedup_simhash", "dedup_minhash_jaccard", "dedup_minhash_fast", "emb_near_dup").foreach { q =>
       val p = plan(q)
