@@ -164,6 +164,48 @@ object Queries {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("op_unpivot",
+      // wide→long melt of per-customer numeric measures via stack() — the
+      // inverse surface of op_pivot; pure projection, zero shuffles
+      (s, d) => Transforms.unpivot(
+          t(s, d, "customer").select(col("c_custkey"),
+            col("c_acctbal").as("acctbal"),
+            col("c_nationkey").cast("double").as("nation_d")),
+          ids = Seq("c_custkey"), measures = Seq("acctbal", "nation_d"))
+        .orderBy(col("c_custkey"), col("measure")),
+      Some("""SELECT c_custkey, measure, value FROM (
+          SELECT c_custkey, acctbal, nation_d FROM (
+            SELECT c_custkey, c_acctbal AS acctbal, CAST(c_nationkey AS DOUBLE) AS nation_d
+            FROM customer))
+        UNPIVOT (value FOR measure IN (acctbal, nation_d))
+        ORDER BY c_custkey, measure""")),
+
+    QueryDef("op_upsert",
+      // MERGE semantics (update-or-insert, last write wins): orders with
+      // key%10=0 get a re-priced update batch plus synthetic new keys; the
+      // result must contain exactly the updated, inserted, and untouched
+      // rows. anti-join + union — one shuffle each side.
+      (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val updates = base.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+              lit(1.0).as("o_totalprice")))
+        Aggregates.upsert(base, updates, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)
+        SELECT b.o_orderkey, b.o_totalprice FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM upd
+        ORDER BY o_orderkey""")),
+
     QueryDef("q4_priority_check",
       // TPC-H Q4 shape (order priority checking): EXISTS-correlated
       // subquery planned as a LEFT SEMI hash join — the late-lineitem

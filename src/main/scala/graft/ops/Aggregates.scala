@@ -26,6 +26,18 @@ object Aggregates {
     * batch rows whose keys are absent from the existing sink, deduplicated
     * within the batch; appending the result is a no-op on re-run.
     */
+  /** MERGE/upsert semantics relationally: rows of `updates` replace
+    * same-key rows of `base`; unmatched update rows insert. One anti-join
+    * + one union — the last-write-wins half of a MERGE statement (the
+    * insert-only half is [[idempotentNewRows]]). Columns must align.
+    * At 100 TB both sides shuffle once on the key; with `base` stored
+    * bucketed on the key (`Sinks.bucketedTable`) the base side's exchange
+    * disappears entirely.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
   def idempotentNewRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     batch.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti")
 

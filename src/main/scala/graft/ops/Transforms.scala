@@ -66,4 +66,16 @@ object Transforms {
   /** Op 14 — JSON encode/decode of records (global_dag.py:104,125-126). */
   def toJsonCol(cols: Seq[Column]): Column = to_json(struct(cols: _*))
   def fromJsonCol(c: Column, schema: DataType): Column = from_json(c, schema)
+
+  /** Wide→long unpivot (melt): one output row per (id, measure) pair via
+    * `stack` — a generated projection, zero shuffles, linear. The inverse
+    * of `op_pivot`'s groupBy().pivot().
+    */
+  def unpivot(df: DataFrame, ids: Seq[String], measures: Seq[String],
+              nameCol: String = "measure", valueCol: String = "value"): DataFrame = {
+    require(measures.nonEmpty)
+    val stackArgs = measures.map(m => s"'$m', `$m`").mkString(", ")
+    df.selectExpr(ids.map(i => s"`$i`") :+
+      s"stack(${measures.length}, $stackArgs) AS (`$nameCol`, `$valueCol`)": _*)
+  }
 }

@@ -44,4 +44,16 @@ class AggregatesSpec extends SparkSpec {
     val plan = Aggregates.topK(o, 10, Seq(col("o_totalprice").desc)).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("upsert: updates replace same-key rows, inserts append, untouched rows survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (9L, "NEW")).toDF("k", "v")
+    val got = Aggregates.upsert(base, updates, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "NEW"))
+    // idempotent under re-application of the same update batch
+    val again = Aggregates.upsert(Aggregates.upsert(base, updates, Seq("k")), updates, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(again == got)
+  }
 }

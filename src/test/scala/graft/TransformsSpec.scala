@@ -43,4 +43,18 @@ class TransformsSpec extends SparkSpec {
     val kept = Transforms.filterValid(df, Seq("v")).select("k").as[String].collect().toSet
     assert(kept == Set("a"))
   }
+
+  test("unpivot melts wide measures to long rows; round-trips through pivot") {
+    val wide = Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)).toDF("id", "m1", "m2")
+    val long = Transforms.unpivot(wide, ids = Seq("id"), measures = Seq("m1", "m2"))
+    assert(long.columns.toSeq == Seq("id", "measure", "value"))
+    val got = long.as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "m1", 10.0), (1L, "m2", 100.0), (2L, "m1", 20.0), (2L, "m2", 200.0)))
+    // pivoting back restores the wide shape
+    val back = long.groupBy("id").pivot("measure", Seq("m1", "m2")).sum("value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(back == Set((1L, 10.0, 100.0), (2L, 20.0, 200.0)))
+    // melt is a pure projection: no exchange in the plan
+    assert(!long.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
