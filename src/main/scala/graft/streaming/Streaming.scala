@@ -101,6 +101,16 @@ object Streaming {
       .drop("_rkey")
   }
 
+  /** Stream-static enrichment join: a streaming fact joined to a bounded
+    * dimension, broadcast explicitly — per micro-batch this plans exactly
+    * like the batch broadcast lookup (op 15), so the stream side never
+    * shuffles and no join state accumulates (unlike stream-stream joins,
+    * a static side needs no watermark). The standard shape for decorating
+    * a 100-TB/day event stream with reference data.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Stream → idempotent store bridge: lands every micro-batch through
     * [[graft.ops.Sinks.idempotentParquetAppend]] (anti-join on `keys` before
     * append), so the at-rest table holds exactly one row per key even when

@@ -168,4 +168,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows == Seq((1L, 1L), (1L, 2L)))
   }
+
+  test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val facts = input.toDF().toDF("k", "v")
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "label")
+    val q = Streaming.enrichStream(facts, dim, "k")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    input.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    input.addData((2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out")
+      .as[(Long, Double, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10.0, Some("one")), (2L, 20.0, Some("two")), (3L, 30.0, None)))
+  }
 }
