@@ -1547,6 +1547,41 @@ object Queries {
         FROM win JOIN c USING (w)
         GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("txt_dedup_spans",
+      // the APPLY half of substring dedup: every duplicated 8-token window
+      // occurrence except the globally-first is cut, text rebuilt from the
+      // surviving tokens (greedy overlap policy; see scaladoc)
+      (s, d) => TextAnalysis.removeDupWindowSpans(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        win AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+            toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS w
+          FROM tk, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+          WHERE len(toks) >= 8),
+        fo AS (SELECT w, min(doc_id * 100000 + pos) AS mk FROM win GROUP BY 1),
+        rem AS (SELECT win.doc_id, win.pos FROM win JOIN fo USING (w)
+          WHERE win.doc_id * 100000 + win.pos <> fo.mk),
+        cov AS (SELECT DISTINCT doc_id, CAST(pos + i AS INTEGER) AS tokpos
+          FROM rem, unnest(generate_series(0, 7)) AS g(i)),
+        tok AS (SELECT doc_id, CAST(i AS INTEGER) AS tokpos, toks[i] AS tok
+          FROM tk, unnest(generate_series(1, len(toks))) AS g(i)),
+        kept AS (SELECT t.doc_id, t.tokpos, t.tok FROM tok t
+          LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.tokpos = cov.tokpos
+          WHERE cov.doc_id IS NULL),
+        reb AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(tok, ' ' ORDER BY tokpos) AS clean_text
+          FROM kept GROUP BY 1),
+        tt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk WHERE len(toks) > 0)
+        SELECT tt.doc_id, tt.n_tokens,
+          tt.n_tokens - coalesce(reb.n_kept, 0) AS n_removed,
+          coalesce(reb.clean_text, '') AS clean_text
+        FROM tt LEFT JOIN reb ON tt.doc_id = reb.doc_id
+        ORDER BY tt.doc_id""")),
+
     QueryDef("txt_unigram_freq",
       // corpus-frequency quality score: mean corpus frequency of each doc's
       // tokens. Integer sums + one final multiply/divide — bit-identical

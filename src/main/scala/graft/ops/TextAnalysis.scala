@@ -304,6 +304,57 @@ object TextAnalysis {
         (col("n_dup_windows").cast("double") / col("n_windows").cast("double")).as("dup_frac"))
   }
 
+  /** The APPLY half of exact substring dedup: remove every duplicated
+    * k-token window occurrence except the globally-first one, and rebuild
+    * each document's text from the surviving tokens. "First" is the minimum
+    * (doc id, position) occurrence, encoded as the integer
+    * `id·maxDocTokens + pos` so both engines order occurrences identically
+    * (requires a numeric id and docs shorter than `maxDocTokens`). The
+    * policy is greedy: a removed occurrence blanks ALL k of its token
+    * positions, even where they overlap a kept occurrence — deterministic
+    * and engine-mirrorable, which is what a reproducible corpus cut needs.
+    *
+    * Scale: windows explode linearly; the first-occurrence table is one
+    * groupBy(window) with map-side partials; covered positions explode k×
+    * the (small) removed set; the rebuild is one per-doc ordered collect —
+    * group-bounded (a doc's own tokens), never corpus-bounded.
+    */
+  def removeDupWindowSpans(docs: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int = 8,
+                           maxDocTokens: Long = 100000L): DataFrame = {
+    require(windowTokens >= 1)
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occKey = col(idCol) * maxDocTokens + col("pos")
+    val wins = base
+      .select(col(idCol),
+        posexplode(Dedup.gramsFromTokens(col("_toks"), windowTokens)).as(Seq("_p0", "w")))
+      .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"), col("w"))
+    val firstOcc = wins.groupBy(col("w")).agg(min(occKey).as("_mk"))
+    val removed = wins.join(firstOcc, Seq("w"))
+      .where(occKey =!= col("_mk"))
+      .select(col(idCol), col("pos"))
+    val covered = removed
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (windowTokens - 1))).as("tokpos"))
+      .distinct()
+    val tokTbl = base
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_p0", "tok")))
+      .select(col(idCol), (col("_p0") + 1).cast("int").as("tokpos"), col("tok"))
+    val kept = tokTbl.join(covered, Seq(idCol, "tokpos"), "left_anti")
+    val totals = base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+        s => s.getField("tok"))).as("clean_text"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-frequency quality score (the CCNet-family "common-wordness"
     * signal): the mean corpus frequency of a doc's tokens,
     * Σ corpus_cnt(token) / (n_doc_tokens · corpus_total_tokens). Rare-word

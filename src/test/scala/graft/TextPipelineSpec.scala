@@ -224,6 +224,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(byId(1L)._2 == 6L && math.abs(byId(1L)._5 - 1.0 / 6.0) < 1e-12)
   }
 
+  test("removeDupWindowSpans cuts non-first duplicate windows, rebuilds text in order") {
+    val docs = Seq(
+      (1L, "a b c x1 x2"),        // "a b c" first occurrence (doc 1, pos 1) survives
+      (2L, "y1 a b c y2"),        // duplicate at (2,2): tokens 2,3,4 removed
+      (3L, "u1 u2 u3 u4"),        // untouched
+      (4L, "r r r r")             // within-doc: "r r r" at pos 2 removed -> covers 2,3,4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeDupWindowSpans(docs, "doc_id", "text", windowTokens = 3)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 0L, "a b c x1 x2")))
+    assert(got(2L) == ((2L, 5L, 3L, "y1 y2")))
+    assert(got(3L) == ((3L, 4L, 0L, "u1 u2 u3 u4")))
+    // greedy overlap: kept first window spans 1-3, removed occurrence at 2
+    // blanks 2,3,4 -> only token 1 survives
+    assert(got(4L) == ((4L, 4L, 3L, "r")))
+  }
+
   test("unigramFreqScore: integer-sum mean corpus frequency per doc") {
     val docs = Seq(
       (1L, "the the cat"),  // corpus: the=3, cat=2, rare=1 -> total 6
