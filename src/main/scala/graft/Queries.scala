@@ -869,6 +869,84 @@ object Queries {
         count(*) AS n, ${dsumSql("value", 18, 2)} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("op_regression",
+      // distributed OLS + correlation from EXACT moments: every sum is a
+      // decimal (order-independent partial aggregation), and the slope/
+      // intercept/corr formulas are evaluated as the same IEEE double
+      // expression tree in both engines (+,-,*,/,sqrt are exactly rounded,
+      // so identical operands + identical shape = identical bits). The
+      // built-in corr()/regr_slope() are float-accumulation order-dependent
+      // and would hash-flake — this is the deterministic form.
+      // Cast scales are chosen so NO decimal cast ever rounds near a
+      // boundary: quantity is integer-valued, price has exactly 2dp, so
+      // x·y has 2dp, x² is integer, y² has 4dp — and each product's double
+      // ulp (≤2e-6 at y²~1e10) is far below the half-step of its cast
+      // scale. A uniform decimal(30,6) here actually FAILED: y²'s ulp sits
+      // AT the 6dp quantum, so HALF_UP (Spark) vs HALF_EVEN (DuckDB)
+      // diverged on boundary rows.
+      (s, d) => {
+        val m = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("l_quantity").cast("decimal(12,0)")).cast("double").as("sx"),
+            sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(16,2)")).cast("double").as("sxy"),
+            sum((col("l_quantity") * col("l_quantity")).cast("decimal(10,0)")).cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(18,4)")).cast("double").as("syy"))
+        m.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                   (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"), col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+            col("corr"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(10,0))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1),
+        r AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+          (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr,
+          sx, sy, n FROM m)
+        SELECT l_returnflag, n_rows, slope,
+          (sy - slope * sx) / n AS intercept, corr
+        FROM r ORDER BY 1""")),
+
+    QueryDef("op_gapfill",
+      // time-series densification: per event type, every hourly bucket
+      // between that type's first and last event exists in the output with
+      // a zero count where no events landed — sequence+explode generates
+      // the grid distributively (no driver-side range materialization)
+      (s, d) => {
+        val counts = eventsUs(s, d)
+          .groupBy(col("event_type"), expr("ts_us div 3600000000").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val spans = counts.groupBy(col("event_type"))
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        val grid = spans.select(col("event_type"),
+          explode(sequence(col("b0"), col("b1"))).as("bucket"))
+        grid.join(counts, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM c GROUP BY 1),
+        g AS (SELECT event_type, unnest(generate_series(b0, b1)) AS bucket FROM s)
+        SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+        FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bucket = c.bucket
+        ORDER BY 1, 2""")),
+
     // ---- text analysis (north star) ----
     QueryDef("txt_word_counts",
       (s, d) => t(s, d, "documents")
