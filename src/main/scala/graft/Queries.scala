@@ -884,27 +884,13 @@ object Queries {
       // scale. A uniform decimal(30,6) here actually FAILED: y²'s ulp sits
       // AT the 6dp quantum, so HALF_UP (Spark) vs HALF_EVEN (DuckDB)
       // diverged on boundary rows.
-      (s, d) => {
-        val m = t(s, d, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(
-            count(lit(1)).cast("double").as("n"),
-            sum(col("l_quantity").cast("decimal(12,0)")).cast("double").as("sx"),
-            sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sy"),
-            sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(16,2)")).cast("double").as("sxy"),
-            sum((col("l_quantity") * col("l_quantity")).cast("decimal(10,0)")).cast("double").as("sxx"),
-            sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(18,4)")).cast("double").as("syy"))
-        m.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                   (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
-          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"), col("slope"),
-            ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
-            col("corr"))
-          .orderBy("l_returnflag")
-      },
+      // (decimal widths differ from the SQL mirror's — both are exact for
+      // this data, and exact sums cast to double identically)
+      (s, d) => Analytics.regressionByGroup(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          xScale = 0, yScale = 2)
+        .withColumnRenamed("grp", "l_returnflag")
+        .orderBy("l_returnflag"),
       Some("""WITH m AS (SELECT l_returnflag,
           CAST(count(*) AS DOUBLE) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS sx,

@@ -74,4 +74,41 @@ object Analytics {
   /** Timestamp-typed convenience wrapper (second granularity). */
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame =
     sessionizeNumeric(df, key, unix_timestamp(ts), gapSeconds)
+
+  /** Per-group OLS regression (y = slope·x + intercept) and Pearson
+    * correlation from EXACT moments: each Σx, Σy, Σxy, Σx², Σy² is a
+    * decimal sum — order-independent under partial (map-side) aggregation,
+    * so the result is identical however Spark schedules the merge — and
+    * the closed-form formulas then run in IEEE doubles whose every op
+    * (+,-,*,/,sqrt) is exactly rounded. The built-in `corr`/`regr_slope`
+    * accumulate in floating point and give run-to-run different last bits
+    * at scale; this form is bit-reproducible.
+    *
+    * Cast scales: `xScale`/`yScale` must cover the inputs' true decimal
+    * widths, and the product scales (x·y, x², y²) are their sums. CAUTION:
+    * a product's double ulp must sit well below its cast scale's half-step
+    * (ulp(y²)≈2e-6 at 1e10), or the decimal rounding lands on engine-
+    * dependent HALF_UP/HALF_EVEN boundaries. Precisions are sized for
+    * ~1e9-row groups.
+    */
+  def regressionByGroup(df: DataFrame, group: Column, x: Column, y: Column,
+                        xScale: Int = 0, yScale: Int = 2): DataFrame = {
+    val m = df.groupBy(group.as("grp"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast(s"decimal(20,$xScale)")).cast("double").as("sx"),
+        sum(y.cast(s"decimal(22,$yScale)")).cast("double").as("sy"),
+        sum((x * y).cast(s"decimal(24,${xScale + yScale})")).cast("double").as("sxy"),
+        sum((x * x).cast(s"decimal(24,${2 * xScale})")).cast("double").as("sxx"),
+        sum((y * y).cast(s"decimal(26,${2 * yScale})")).cast("double").as("syy"))
+    m.select(col("grp"), col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .select(col("grp"), col("n").cast("long").as("n_rows"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        col("corr"))
+  }
 }

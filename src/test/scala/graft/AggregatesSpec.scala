@@ -56,4 +56,16 @@ class AggregatesSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(again == got)
   }
+
+  test("regressionByGroup recovers an exact line and its correlation sign") {
+    // y = 2x + 1 exactly: slope 2, intercept 1, corr 1 (all representable)
+    val pts = (1 to 100).map(i => ("g", i.toDouble, 2.0 * i + 1.0)) ++
+      (1 to 100).map(i => ("h", i.toDouble, -3.0 * i + 50.0))
+    val df = pts.toDF("g", "x", "y")
+    val got = graft.ops.Analytics.regressionByGroup(df, col("g"), col("x"), col("y"))
+      .select("grp", "n_rows", "slope", "intercept", "corr")
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 100L, 2.0, 1.0, 1.0)))
+    assert(got("h")._3 == -3.0 && got("h")._4 == 50.0 && got("h")._5 == -1.0)
+  }
 }
