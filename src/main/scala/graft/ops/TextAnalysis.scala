@@ -304,6 +304,35 @@ object TextAnalysis {
         (col("n_dup_windows").cast("double") / col("n_windows").cast("double")).as("dup_frac"))
   }
 
+  /** [[substringDupStats]] with windows keyed by `xxhash64(window)` instead
+    * of the window string — the production form: the corpus-wide groupBy
+    * and join-back shuffle 8-byte keys instead of multi-hundred-byte token
+    * strings (a 10-50× exchange-volume cut at 100 TB). A 64-bit collision
+    * falsely marks a window duplicated with probability ~n²/2⁶⁴ — fine for
+    * *stats/filtering*; the span-removal APPLY path and the oracle-checked
+    * exact form key on the string itself. Equivalence on collision-free
+    * corpora is a ScalaTest property.
+    */
+  def substringDupStatsFast(docs: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 1)
+    val wins = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        posexplode(Dedup.gramsFromTokens(col("_toks"), windowTokens)).as(Seq("_p0", "w")))
+      .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"),
+        xxhash64(col("w")).as("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winCounts = wins.groupBy(col("wh")).agg(count(lit(1)).as("_cnt"))
+    wins.join(winCounts, Seq("wh"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+        min(when(col("_cnt") > 1, col("pos"))).as("_first"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("_first"), lit(0)).cast("int").as("first_dup_pos"),
+        (col("n_dup_windows").cast("double") / col("n_windows").cast("double")).as("dup_frac"))
+  }
+
   /** The APPLY half of exact substring dedup: remove every duplicated
     * k-token window occurrence except the globally-first one, and rebuild
     * each document's text from the surviving tokens. "First" is the minimum

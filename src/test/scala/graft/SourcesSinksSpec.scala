@@ -168,6 +168,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("RDDScan"))
   }
 
+  test("parquet zstd compression roundtrips and actually produces zstd files") {
+    // codec choice is a real 100-TB knob (zstd ≈ snappy speed at gzip-class
+    // ratios); assert the option takes effect rather than silently falling
+    // back to the default codec
+    val path = Files.createTempDirectory("graft-zstd").toString + "/t"
+    val src = Tables.load(spark, sf0001, "orders")
+    src.write.option("compression", "zstd").parquet(path)
+    val files = new java.io.File(path).listFiles.map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+      s"expected zstd-suffixed parquet parts, got ${files.toSeq}")
+    assert(spark.read.parquet(path).count() == src.count())
+  }
+
   test("orc source/sink roundtrip with predicate pushdown") {
     val path = Files.createTempDirectory("graft-orc").toString + "/t"
     Tables.load(spark, sf0001, "nation").write.orc(path)

@@ -224,6 +224,17 @@ class TextPipelineSpec extends SparkSpec {
     assert(byId(1L)._2 == 6L && math.abs(byId(1L)._5 - 1.0 / 6.0) < 1e-12)
   }
 
+  test("substringDupStatsFast (xxhash64 keys) matches the exact string-keyed form") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val exact = TextAnalysis.substringDupStats(docs, "doc_id", "text", windowTokens = 5)
+      .select("doc_id", "n_windows", "n_dup_windows", "first_dup_pos")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val fast = TextAnalysis.substringDupStatsFast(docs, "doc_id", "text", windowTokens = 5)
+      .select("doc_id", "n_windows", "n_dup_windows", "first_dup_pos")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(fast == exact)
+  }
+
   test("removeDupWindowSpans cuts non-first duplicate windows, rebuilds text in order") {
     val docs = Seq(
       (1L, "a b c x1 x2"),        // "a b c" first occurrence (doc 1, pos 1) survives
