@@ -185,4 +185,27 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double, Option[String])].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, 10.0, Some("one")), (2L, 20.0, Some("two")), (3L, 30.0, None)))
   }
+
+  test("streaming text curation: fingerprint dedup within watermark on a doc stream") {
+    // the text ops are pure projections, so they stream as-is; the stateful
+    // piece is exactly-once-per-fingerprint within the lateness bound -
+    // near-dup re-deliveries (same normalized text, different ids) collapse
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+    val deduped = Streaming.dedupByIdWithWatermark(docs, "ts", "1 hour", "fp")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("cur_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "Hello  World"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "hello world"), // same fingerprint
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "different doc"))
+    q.processAllAvailable()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 4L, "HELLO   world"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("cur_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"near-dup re-deliveries must collapse, got $kept")
+  }
 }
