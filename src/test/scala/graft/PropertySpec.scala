@@ -96,4 +96,47 @@ class PropertySpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(banded == brute)
   }
+
+  test("upsert == reference map semantics under random batches") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 20) {
+      val base = (0 until 30).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(100)))
+        .distinctBy(_._1)
+      val updates = (0 until 12).map(i => (rnd.nextInt(30).toLong, 1000 + rnd.nextInt(100)))
+        .distinctBy(_._1)
+      val got = graft.ops.Aggregates.upsert(
+          base.toDF("k", "v"), updates.toDF("k", "v"), Seq("k"))
+        .as[(Long, Int)].collect().toMap
+      val want = base.toMap ++ updates.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("substringDupStats == brute window-multiset scan on random repetitive corpora") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val k = 2 + rnd.nextInt(2) // windows of 2-3 tokens over a tiny vocab
+      val docs = (0L until 25L).map { i =>
+        (i, (0 until 3 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // reference: count every k-window occurrence across the whole corpus
+      val allWins = docs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        t.sliding(k).filter(_.length == k).zipWithIndex.map { case (w, p) => (id, p + 1, w.mkString(" ")) }
+      }
+      val counts = allWins.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = allWins.groupBy(_._1).map { case (id, ws) =>
+        val dups = ws.filter(w => counts(w._3) > 1)
+        id -> (ws.size.toLong, dups.size.toLong,
+          if (dups.isEmpty) 0 else dups.map(_._2).min)
+      }
+      val got = graft.ops.TextAnalysis.substringDupStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", windowTokens = k)
+        .select("doc_id", "n_windows", "n_dup_windows", "first_dup_pos")
+        .as[(Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == want, s"trial $trial k=$k")
+    }
+  }
 }
