@@ -1681,6 +1681,42 @@ object Queries {
         CAST((vec_id * 7) % 768 + 16 AS INTEGER) AS height
         FROM embeddings ORDER BY vec_id""")),
 
+    QueryDef("mm_decode_real",
+      // REAL codec roundtrip, oracle-checked: encode a solid-color PNG per
+      // row with the JDK's ImageIO (executor-side, partition-parallel),
+      // decode it back with Multimodal.decodeImageFeatures, and emit
+      // dims + channel means. PNG is lossless and the color is solid, so
+      // the decoded means equal the constructed channel values EXACTLY —
+      // lettng a SQL oracle verify an actual image-codec path arithmetically.
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 25 === 0).as[Long]
+        val png = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 13 + 3).toInt; val h = (id % 7 + 2).toInt
+            val rgb = (((id % 256) << 16) | (((id * 3) % 256) << 8) | ((id * 7) % 256)).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, rgb); y += 1 }; x += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.decodeImageFeatures(png, "vec_id")
+          .select(col("id").as("vec_id"), col("width"), col("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, CAST(vec_id % 13 + 3 AS INTEGER) AS width,
+        CAST(vec_id % 7 + 2 AS INTEGER) AS height,
+        CAST(vec_id % 256 AS DOUBLE) AS mean_r,
+        CAST((vec_id * 3) % 256 AS DOUBLE) AS mean_g,
+        CAST((vec_id * 7) % 256 AS DOUBLE) AS mean_b
+        FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""")),
+
     QueryDef("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain"),

@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `BinaryType` columns with typed metadata.
   *
-  * The real decode step (JPEG decode, audio resample, video frame-sample)
-  * needs native codec libraries that are NOT in this container — it is
-  * STUBBED with a deterministic fake (`fakeDecodeFeatures`). Everything
-  * around the stub — schema, batching, partition-parallel execution, the
-  * mapPartitions plumbing a Pandas-UDF/`mapInArrow` equivalent would use —
-  * is real and tested. Swapping the stub for a codec call changes one
-  * function body, not the plan.
+  * IMAGE decode, feature extraction, and resize are REAL: `javax.imageio`
+  * (PNG/JPEG/BMP/GIF) ships with the JDK, so [[decodeImageFeatures]] and
+  * [[resizeImages]] run actual codecs inside typed `Dataset.mapPartitions`
+  * — one iterator per partition, no driver involvement, the Scala analogue
+  * of `mapInPandas`. VIDEO remains the one stubbed modality (no video
+  * codec exists in the JDK or this container): [[decodeFeatures]] keeps a
+  * deterministic byte-histogram body with the same partition-parallel
+  * plumbing, and [[sampleFrames]]/[[resampleStub]] model the reshape
+  * without decoding. Swapping a video codec in changes one function body,
+  * not the plan.
   */
 object Multimodal {
 
@@ -44,9 +47,9 @@ object Multimodal {
     * with column pruning intact up to the boundary and no `Row` boxing or
     * `RDDScanExec` break in the middle.
     *
-    * STUB: emits a deterministic 4-bucket byte histogram + length instead of
-    * decoded image features. Replace the body with a codec call in
-    * production.
+    * Byte-level form for payloads with NO JDK codec (video, proprietary
+    * formats): emits a deterministic 4-bucket byte histogram + length.
+    * For images use [[decodeImageFeatures]], which runs a real decoder.
     */
   def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -85,6 +88,92 @@ object Multimodal {
         (id, out)
       })
       .toDF(idCol, "payload_resampled")
+  }
+
+  /** One decoded image's features: dimensions, per-channel means, and a
+    * 4-bucket luminance histogram (L1-normalized). `ok = false` rows carry
+    * zero dims/features (payload did not decode as an image).
+    */
+  final case class ImageFeatures(id: Long, ok: Boolean, width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double, mean_b: Double,
+                                 luma_hist: Seq[Double])
+
+  /** REAL image decode + feature extraction via the JDK's `javax.imageio`
+    * (PNG/JPEG/BMP/GIF), partition-parallel through typed `mapPartitions`.
+    * Features are computed in a fixed pixel order with integer channel
+    * extraction, so results are deterministic. Undecodable payloads come
+    * back with `ok = false` rather than failing the task — at 100 TB a
+    * corrupt image must never kill a stage.
+    */
+  def decodeImageFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) ImageFeatures(id, ok = false, 0, 0, 0.0, 0.0, 0.0, Seq(0.0, 0.0, 0.0, 0.0))
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            val hist = new Array[Long](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                // integer Rec.601-ish luma; bucket by top 2 bits
+                hist(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            ImageFeatures(id, ok = true, w, h, sr / n, sg / n, sb / n,
+              hist.map(_ / n).toSeq)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL image resize (area-averaging scaler, the right kernel for
+    * downscale) + PNG re-encode, partition-parallel. Undecodable payloads
+    * are dropped (flatMap) — the 100-TB ingest posture is "quarantine,
+    * don't crash"; pair with [[decodeImageFeatures]]'s `ok` flag to audit
+    * what was dropped.
+    */
+  def resizeImages(df: DataFrame, idCol: String, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) Iterator.empty
+          else {
+            val scaled = img.getScaledInstance(outW, outH, java.awt.Image.SCALE_AREA_AVERAGING)
+            val out = new java.awt.image.BufferedImage(outW, outH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = out.getGraphics
+            gfx.drawImage(scaled, 0, 0, null)
+            gfx.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Iterator.single((id, bos.toByteArray, outW, outH))
+          }
+        }
+      }
+      .toDF(idCol, "payload_resized", "width", "height")
   }
 
   /** Big-endian 4-byte encoding of a non-negative 32-bit value — the byte

@@ -106,6 +106,50 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back == ((640, 480)))
   }
 
+  test("decodeImageFeatures runs a REAL JDK decoder: exact dims and colors for PNG, JPEG decodes, junk flagged") {
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, ((x * 9) % 256) << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    val df = Seq(
+      (1L, solidPng(16, 9, 0xCC8844)),
+      (2L, jpeg(20, 10)),
+      (3L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload").repartition(3)
+    val rows = graft.ops.Multimodal.decodeImageFeatures(df, "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // PNG is lossless: solid 0xCC8844 decodes to exact channel means
+    val p = rows(1L)
+    assert(p.getBoolean(1) && p.getInt(2) == 16 && p.getInt(3) == 9)
+    assert(p.getDouble(4) == 0xCC.toDouble && p.getDouble(5) == 0x88.toDouble && p.getDouble(6) == 0x44.toDouble)
+    assert(math.abs(p.getSeq[Double](7).sum - 1.0) < 1e-12)
+    val j = rows(2L)
+    assert(j.getBoolean(1) && j.getInt(2) == 20 && j.getInt(3) == 10)
+    assert(!rows(3L).getBoolean(1), "junk bytes must flag ok=false, not throw")
+  }
+
+  test("resizeImages area-averages to the target box and re-encodes decodable PNG") {
+    val img = new java.awt.image.BufferedImage(32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 16) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = graft.ops.Multimodal.resizeImages(df, "id", 8, 4).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L) // junk dropped, not crashed
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]]("payload_resized")))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    assert((back.getRGB(3, 2) & 0xFFFFFF) == 0x336699) // solid color survives area averaging
+  }
+
   test("processNewPartitions transforms only unseen partition values; re-run is a no-op") {
     val dest = Files.createTempDirectory("graft-incr").toString + "/t"
     def double(df: org.apache.spark.sql.DataFrame) = df.withColumn("x", $"v" * 2)
