@@ -1717,6 +1717,46 @@ object Queries {
         CAST((vec_id * 7) % 256 AS DOUBLE) AS mean_b
         FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""")),
 
+    QueryDef("mm_audio_real",
+      // REAL audio codec roundtrip, oracle-checked (mm_decode_real's
+      // pattern for sound): encode constant-amplitude 16-bit PCM WAVs with
+      // the JDK's AudioSystem executor-side, decode with
+      // decodeAudioFeatures — constant samples make peak and mean |amp|
+      // equal the constructed amplitude exactly
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 37 === 0).as[Long]
+        val wav = ids.mapPartitions { it =>
+          it.map { id =>
+            val amp = (id % 3000 + 100).toShort
+            val nFrames = (id % 500 + 50).toInt
+            val pcm = new Array[Byte](nFrames * 2)
+            var i = 0
+            while (i < nFrames) {
+              pcm(2 * i) = (amp & 0xff).toByte; pcm(2 * i + 1) = (amp >> 8).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.decodeAudioFeatures(wav, "vec_id")
+          .select(col("id").as("vec_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("peak"), col("mean_abs"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, 8000 AS sample_rate, 1 AS channels,
+        CAST(vec_id % 500 + 50 AS BIGINT) AS n_frames,
+        CAST(vec_id % 3000 + 100 AS INTEGER) AS peak,
+        CAST(vec_id % 3000 + 100 AS DOUBLE) AS mean_abs
+        FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id""")),
+
     QueryDef("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain"),

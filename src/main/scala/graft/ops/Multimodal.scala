@@ -176,6 +176,97 @@ object Multimodal {
       .toDF(idCol, "payload_resized", "width", "height")
   }
 
+  /** One decoded audio payload's features. `ok = false` (with zeroed
+    * fields) marks payloads that did not parse as WAV/PCM.
+    */
+  final case class AudioFeatures(id: Long, ok: Boolean, sample_rate: Int, channels: Int,
+                                 n_frames: Long, peak: Int, mean_abs: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM,
+    * AIFF, AU), partition-parallel through typed `mapPartitions`. Emits
+    * format metadata plus signal stats over 16-bit little-endian samples
+    * (peak |amplitude| and mean |amplitude| across all channels) —
+    * integer accumulation in stream order, so deterministic. Undecodable
+    * or non-16-bit payloads flag `ok = false` rather than failing the
+    * task.
+    */
+  def decodeAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val none = AudioFeatures(id, ok = false, 0, 0, 0L, 0, 0.0)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) none
+            else {
+              val data = in.readAllBytes()
+              var i = 0; var peak = 0; var sumAbs = 0L; var nSamples = 0L
+              while (i + 1 < data.length) {
+                val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumAbs += a; nSamples += 1; i += 2
+              }
+              AudioFeatures(id, ok = true, fmt.getSampleRate.toInt, fmt.getChannels,
+                in.getFrameLength, peak,
+                if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples.toDouble)
+            }
+          } catch { case _: Throwable => none }
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL audio downsample by integer factor: decode WAV/PCM, keep every
+    * `factor`-th FRAME (all channels of it — frame-aligned, unlike naive
+    * byte decimation), re-encode WAV at rate/factor. Plain decimation
+    * (no low-pass) — documented aliasing tradeoff; the distributed shape
+    * and the codec are real. Undecodable payloads are dropped.
+    */
+  def downsampleAudio(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val frameSz = fmt.getFrameSize
+            val data = in.readAllBytes()
+            val nFrames = data.length / frameSz
+            val outFrames = (nFrames + factor - 1) / factor
+            val outData = new Array[Byte](outFrames * frameSz)
+            var f = 0
+            while (f < outFrames) {
+              System.arraycopy(data, f * factor * frameSz, outData, f * frameSz, frameSz)
+              f += 1
+            }
+            val outFmt = new javax.sound.sampled.AudioFormat(
+              fmt.getSampleRate / factor, fmt.getSampleSizeInBits, fmt.getChannels,
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              fmt.isBigEndian)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(outData), outFmt, outFrames.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Iterator.single((id, bos.toByteArray, outFmt.getSampleRate.toInt, outFrames.toLong))
+          } catch { case _: Throwable => Iterator.empty }
+        }
+      }
+      .toDF(idCol, "payload_resampled", "sample_rate", "n_frames")
+  }
+
   /** Big-endian 4-byte encoding of a non-negative 32-bit value — the byte
     * order PNG/network formats use. `hex` of a long pads to 16 nibbles at
     * most; `lpad(..., 8)` keeps exactly the low 4 bytes.

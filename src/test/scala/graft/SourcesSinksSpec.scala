@@ -150,6 +150,39 @@ class SourcesSinksSpec extends SparkSpec {
     assert((back.getRGB(3, 2) & 0xFFFFFF) == 0x336699) // solid color survives area averaging
   }
 
+  test("decodeAudioFeatures parses real WAV/PCM; downsampleAudio halves rate and frames") {
+    def wav(nFrames: Int, amp: Short, rate: Float = 8000f): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val v: Short = if (i % 2 == 0) amp else (-amp).toShort
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = (v >> 8).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, wav(200, 1234)), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = graft.ops.Multimodal.decodeAudioFeatures(df, "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = rows(1L)
+    assert(a.getBoolean(1) && a.getInt(2) == 8000 && a.getInt(3) == 1 && a.getLong(4) == 200L)
+    assert(a.getInt(5) == 1234 && a.getDouble(6) == 1234.0) // |±amp| square wave: peak == mean|amp|
+    assert(!rows(2L).getBoolean(1), "junk bytes must flag ok=false")
+
+    val down = graft.ops.Multimodal.downsampleAudio(df, "id", factor = 2).collect()
+    assert(down.length == 1 && down(0).getInt(2) == 4000 && down(0).getLong(3) == 100L)
+    // the decimated stream kept every even frame: constant +amp
+    val back = graft.ops.Multimodal.decodeAudioFeatures(
+      Seq((9L, down(0).getAs[Array[Byte]]("payload_resampled"))).toDF("id", "payload"), "id")
+      .collect()(0)
+    assert(back.getBoolean(1) && back.getLong(4) == 100L && back.getInt(5) == 1234)
+  }
+
   test("processNewPartitions transforms only unseen partition values; re-run is a no-op") {
     val dest = Files.createTempDirectory("graft-incr").toString + "/t"
     def double(df: org.apache.spark.sql.DataFrame) = df.withColumn("x", $"v" * 2)
