@@ -1757,6 +1757,49 @@ object Queries {
         CAST(vec_id % 3000 + 100 AS DOUBLE) AS mean_abs
         FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id""")),
 
+    QueryDef("pipeline_multimodal",
+      // multimodal curation in one chain: per doc, a REAL PNG (dims derived
+      // from the row, encoded+decoded with actual codecs executor-side)
+      // joined back to text-side token counts, then filtered on BOTH
+      // modalities (image area + text length) — the image-and-caption
+      // curation shape, with the codec path inside the oracle check
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val base = docs.select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val png = base.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nChars) =>
+              val w = (nChars % 20 + 4).toInt; val h = (id % 10 + 2).toInt
+              val rgb = ((id % 256) << 16).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var x = 0
+              while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, rgb); y += 1 }; x += 1 }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("doc_id", "payload")
+        val feats = Multimodal.decodeImageFeatures(png, "doc_id")
+          .select(col("id").as("doc_id"), col("width"), col("height"), col("mean_r"))
+        base.join(feats, "doc_id")
+          .where(col("width") * col("height") >= 50 && col("n_tokens") >= 30)
+          .select(col("doc_id"), col("n_tokens"), col("width"), col("height"), col("mean_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, n_chars,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM documents),
+        f AS (SELECT doc_id, n_tokens,
+          CAST(n_chars % 20 + 4 AS INTEGER) AS width,
+          CAST(doc_id % 10 + 2 AS INTEGER) AS height,
+          CAST(doc_id % 256 AS DOUBLE) AS mean_r FROM tk)
+        SELECT doc_id, n_tokens, width, height, mean_r FROM f
+        WHERE width * height >= 50 AND n_tokens >= 30
+        ORDER BY doc_id""")),
+
     QueryDef("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
           Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain"),
