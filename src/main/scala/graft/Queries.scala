@@ -869,6 +869,27 @@ object Queries {
         count(*) AS n, ${dsumSql("value", 18, 2)} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("op_zorder",
+      // Z-order (Morton) clustering key over the customer grid points —
+      // the write-time layout primitive for 2-D range pruning; the bit
+      // interleave is a pure shift/mask chain mirrored exactly in SQL
+      (s, d) => {
+        val pts = custPoints(s, d)
+        pts.select(col("c_custkey"),
+            Layout.scaleToGrid(col("lat"), -60.0, 60.0, bits = 8).as("gx"),
+            Layout.scaleToGrid(col("lon"), -150.0, 150.0, bits = 8).as("gy"))
+          .select(col("c_custkey"), col("gx"), col("gy"),
+            Layout.zValue(col("gx"), col("gy"), bits = 8).as("zval"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""WITH p AS ($custPointsSql),
+        g AS (SELECT c_custkey,
+          CAST(floor((lat - -60.0) / 120.0 * 255.0) AS BIGINT) AS gx,
+          CAST(floor((lon - -150.0) / 300.0 * 255.0) AS BIGINT) AS gy
+        FROM p)
+        SELECT c_custkey, gx, gy, ${Layout.zValueSql("gx", "gy", bits = 8)} AS zval
+        FROM g ORDER BY c_custkey""")),
+
     QueryDef("op_regression",
       // distributed OLS + correlation from EXACT moments: every sum is a
       // decimal (order-independent partial aggregation), and the slope/

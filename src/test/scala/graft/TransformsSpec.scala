@@ -57,4 +57,34 @@ class TransformsSpec extends SparkSpec {
     // melt is a pure projection: no exchange in the plan
     assert(!long.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("zValue interleaves bits (reference impl), quadrants order, z-write clusters files") {
+    // reference interleave in plain Scala
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", graft.ops.Layout.zValue($"x", $"y", bits = 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y, 4), s"($x,$y)") }
+    // quadrant dominance: every lower-left point sorts before every upper-right point
+    val zs = got.map { case (x, y, z) => ((x, y), z) }.toMap
+    for (a <- pts if a._1 < 8 && a._2 < 8; b <- Seq((8L, 8L), (15L, 15L)))
+      assert(zs(a) < zs(b))
+    // z-ordered write partitions by z-range and round-trips
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    graft.ops.Layout.writeZOrdered(pts.toDF("x", "y"), dir, $"x", $"y", bits = 4, numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == pts.length)
+    // each file covers a disjoint z-range: per-file z-spans must not overlap
+    val perFile = back
+      .select(graft.ops.Layout.zValue($"x", $"y", bits = 4).as("z"),
+        input_file_name().as("f"))
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2, s"file z-ranges overlap: $a vs $b")
+      case _ =>
+    }
+  }
 }
