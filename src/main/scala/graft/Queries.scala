@@ -869,6 +869,47 @@ object Queries {
         count(*) AS n, ${dsumSql("value", 18, 2)} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("op_fuzzy_join",
+      // entity resolution: edit-distance join of customer vs supplier name
+      // suffixes with prefix blocking (equi-join on the first 7 chars —
+      // never a cross join), codegen'd levenshtein verify
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), substring(col("c_name"), 10, 9).as("ckey"))
+        val su = t(s, d, "supplier")
+          .select(col("s_suppkey"), substring(col("s_name"), 10, 9).as("skey"))
+        Joins.fuzzyJoin(c, su, col("ckey"), col("skey"), maxDist = 1, blockLen = 7)
+          .select(col("c_custkey"), col("s_suppkey"),
+            col("edit_dist").cast("int").as("edit_dist"))
+          .orderBy(col("c_custkey"), col("s_suppkey"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, substring(c_name, 10, 9) AS ckey FROM customer),
+        s AS (SELECT s_suppkey, substring(s_name, 10, 9) AS skey FROM supplier)
+        SELECT c_custkey, s_suppkey, CAST(levenshtein(ckey, skey) AS INTEGER) AS edit_dist
+        FROM c JOIN s ON substring(ckey, 1, 7) = substring(skey, 1, 7)
+        WHERE abs(len(ckey) - len(skey)) <= 1 AND levenshtein(ckey, skey) <= 1
+        ORDER BY c_custkey, s_suppkey""")),
+
+    QueryDef("op_funnel",
+      // ordered conversion funnel signup→click→purchase per user: stage k
+      // counts only if its FIRST occurrence is strictly after stage k-1's.
+      // One conditional aggregation — single shuffle, no per-stage joins
+      (s, d) => Analytics.funnelStages(eventsUs(s, d), col("user_id"),
+          col("event_type"), col("ts_us"), Seq("signup", "click", "purchase"))
+        .withColumnRenamed("entity", "user_id")
+        .orderBy(col("user_id")),
+      Some("""WITH f AS (SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+          min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        FROM events GROUP BY 1)
+        SELECT user_id, t0, t1, t2,
+          CASE WHEN t0 IS NULL THEN 0
+               WHEN t1 IS NULL OR t0 >= t1 THEN 1
+               WHEN t2 IS NULL OR t1 >= t2 THEN 2
+               ELSE 3 END AS reached
+        FROM f ORDER BY user_id""")),
+
     QueryDef("op_zorder",
       // Z-order (Morton) clustering key over the customer grid points —
       // the write-time layout primitive for 2-D range pruning; the bit

@@ -75,6 +75,30 @@ object Analytics {
   def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame =
     sessionizeNumeric(df, key, unix_timestamp(ts), gapSeconds)
 
+  /** Ordered funnel analysis: per entity, how far through the stage
+    * sequence it progressed, where stage k counts only if its FIRST
+    * occurrence is strictly after stage k-1's first occurrence (the
+    * standard conversion-funnel semantic). One conditional aggregation on
+    * the entity key — a single shuffle, no joins, no re-scans per stage.
+    * `tsNum` must be a numeric (e.g. integer-µs) event time.
+    */
+  def funnelStages(df: DataFrame, entity: Column, eventType: Column, tsNum: Column,
+                   stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val firsts = df.groupBy(entity.as("entity"))
+      .agg(min(when(eventType === stages.head, tsNum)).as("t0"),
+        stages.tail.zipWithIndex.map { case (s, i) =>
+          min(when(eventType === s, tsNum)).as(s"t${i + 1}")
+        }: _*)
+    // reached = length of the longest prefix with strictly increasing firsts
+    val reached = stages.indices.tail.foldLeft(
+        when(col("t0").isNotNull, lit(1)).otherwise(lit(0))) { (acc, i) =>
+      when(acc === i && col(s"t${i - 1}") < col(s"t$i"), lit(i + 1)).otherwise(acc)
+    }
+    firsts.select(col("entity") +: (col("t0") +:
+      stages.indices.tail.map(i => col(s"t$i")) :+ reached.as("reached")): _*)
+  }
+
   /** Per-group OLS regression (y = slope·x + intercept) and Pearson
     * correlation from EXACT moments: each Σx, Σy, Σxy, Σx², Σy² is a
     * decimal sum — order-independent under partial (map-side) aggregation,

@@ -171,4 +171,26 @@ object Joins {
       .where(col("_side") === 1)
       .drop("_side", "_asof_ts")
   }
+
+  /** Fuzzy (edit-distance) join with prefix blocking — the entity-
+    * resolution primitive. Candidates are generated by an EQUI-join on the
+    * first `blockLen` characters of each key (never a cross join), then
+    * verified with codegen'd `levenshtein(l, r) <= maxDist`. Blocking is
+    * the standard recall tradeoff: pairs whose keys already differ inside
+    * the block prefix are missed — run multiple passes with different
+    * blocking functions (prefix, suffix, phonetic) to recover them.
+    * At 100 TB the block key is the only shuffle key; block-size skew is
+    * the thing to watch (a degenerate block reintroduces the quadratic).
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, lKey: Column, rKey: Column,
+                maxDist: Int, blockLen: Int): DataFrame = {
+    require(maxDist >= 0 && blockLen >= 1)
+    val l = left.withColumn("_lk", lKey).withColumn("_blk", substring(lKey, 1, blockLen))
+    val r = right.withColumn("_rk", rKey).withColumn("_blk", substring(rKey, 1, blockLen))
+    l.join(r, Seq("_blk"))
+      .where(abs(length(col("_lk")) - length(col("_rk"))) <= maxDist)
+      .where(levenshtein(col("_lk"), col("_rk")) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("_lk"), col("_rk")))
+      .drop("_blk", "_lk", "_rk")
+  }
 }

@@ -68,4 +68,18 @@ class AggregatesSpec extends SparkSpec {
     assert(got("g") == (("g", 100L, 2.0, 1.0, 1.0)))
     assert(got("h")._3 == -3.0 && got("h")._4 == 50.0 && got("h")._5 == -1.0)
   }
+
+  test("funnelStages: strict first-occurrence ordering gates each stage") {
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),  // full funnel
+      (2L, "click", 5L), (2L, "signup", 10L), (2L, "purchase", 30L),   // click BEFORE signup -> stuck at 1
+      (2L, "click", 15L), // a later click does not resurrect the funnel (first occurrence rules)
+      (3L, "signup", 10L),                                             // only stage 1
+      (4L, "purchase", 1L)                                             // never signed up -> 0
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Analytics.funnelStages(ev, col("user_id"), col("event_type"),
+        col("ts"), Seq("signup", "click", "purchase"))
+      .select("entity", "reached").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
 }

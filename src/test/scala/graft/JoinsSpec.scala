@@ -91,4 +91,21 @@ class JoinsSpec extends SparkSpec {
       .select("id", "iid").as[(Long, Long)].collect().toSet
     assert(banded == brute && brute.nonEmpty)
   }
+
+  test("fuzzyJoin matches within edit distance via prefix blocks; cross-block pairs missed by design") {
+    val l = Seq((1L, "smith"), (2L, "smyth"), (3L, "jones"), (4L, "zzzzz")).toDF("lid", "name")
+    val r = Seq((10L, "smith"), (11L, "jonez"), (12L, "asmith")).toDF("rid", "rname")
+    val got = Joins.fuzzyJoin(l, r, col("name"), col("rname"), maxDist = 1, blockLen = 2)
+      .select("lid", "rid", "edit_dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 0), // exact
+      (2L, 10L, 1), // "smyth" ~ "smith": one substitution inside the "sm" block
+      (3L, 11L, 1)  // "jones" ~ "jonez", same "jo" block
+    ))
+    val wide = Joins.fuzzyJoin(l, r, col("name"), col("rname"), maxDist = 2, blockLen = 2)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // ...but "asmith" vs "smith" (distance 1, different first chars) is
+    // missed at any blockLen >= 1: the documented blocking recall tradeoff
+    assert(!got.exists(g => g._1 == 1L && g._2 == 12L) && !wide.contains((1L, 12L)))
+  }
 }
