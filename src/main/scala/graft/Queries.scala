@@ -910,6 +910,22 @@ object Queries {
                ELSE 3 END AS reached
         FROM f ORDER BY user_id""")),
 
+    QueryDef("op_cohort",
+      // weekly cohort retention: users bucketed by first-event week, every
+      // event counts its user into (cohort week, weeks since) — two aggs
+      // and one entity-key join, the standard retention-matrix shape
+      (s, d) => Analytics.cohortRetention(eventsUs(s, d), col("user_id"), col("ts_us"),
+          periodLen = 7L * 86400L * 1000000L)
+        .orderBy(col("cohort"), col("periods_since")),
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        f AS (SELECT user_id, CAST(floor(min(ts_us) / 604800000000) AS BIGINT) AS cohort
+          FROM ev GROUP BY 1)
+        SELECT f.cohort,
+          CAST(floor(ev.ts_us / 604800000000) AS BIGINT) - f.cohort AS periods_since,
+          count(DISTINCT ev.user_id) AS n_entities
+        FROM ev JOIN f ON ev.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("op_zorder",
       // Z-order (Morton) clustering key over the customer grid points —
       // the write-time layout primitive for 2-D range pruning; the bit

@@ -99,6 +99,26 @@ object Analytics {
       stages.indices.tail.map(i => col(s"t$i")) :+ reached.as("reached")): _*)
   }
 
+  /** Cohort retention matrix: entities are bucketed by the period of their
+    * FIRST event (the cohort), and every event then counts its entity into
+    * (cohort, periods-since-cohort). Two aggregations — first-event per
+    * entity (map-side partial), then distinct entities per cell; the join
+    * back is on the entity key and broadcasts when the entity dimension is
+    * small. `tsNum` is numeric event time; `periodLen` the bucket width in
+    * the same unit (e.g. 7·86400·10⁶ µs for weekly).
+    */
+  def cohortRetention(df: DataFrame, entity: Column, tsNum: Column,
+                      periodLen: Long): DataFrame = {
+    require(periodLen > 0)
+    val ev = df.select(entity.as("entity"), tsNum.as("_ts"))
+    val firsts = ev.groupBy(col("entity"))
+      .agg(floor(min(col("_ts")) / periodLen).cast("long").as("cohort"))
+    ev.join(firsts, "entity")
+      .groupBy(col("cohort"),
+        (floor(col("_ts") / periodLen).cast("long") - col("cohort")).as("periods_since"))
+      .agg(count_distinct(col("entity")).as("n_entities"))
+  }
+
   /** Per-group OLS regression (y = slope·x + intercept) and Pearson
     * correlation from EXACT moments: each Σx, Σy, Σxy, Σx², Σy² is a
     * decimal sum — order-independent under partial (map-side) aggregation,

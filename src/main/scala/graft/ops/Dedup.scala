@@ -453,6 +453,48 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** PageRank over an edge list (fixed iteration count, damping d):
+    * pr ← (1−d)/N + d·Σ_in pr/outdeg. The per-node contribution sum runs
+    * in DECIMAL(38,18) so it is order-independent under partial
+    * aggregation — the same double result whatever Spark's merge order —
+    * then one double expression per round. Dangling-node mass is dropped
+    * (the simplified variant; ranks still order correctly), documented.
+    * Per-round lineage is cut with `localCheckpoint` exactly like the
+    * label-propagation loop; the returned frame reads only the last
+    * round's blocks. Complements [[dedupClusters]]: components give the
+    * keep/drop partition, PageRank gives a centrality WITHIN a component
+    * (e.g. pick the most-linked representative instead of min-id).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var pr = nodes.select(col("v"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var prevCp = pr
+    for (_ <- 1 to iters) {
+      val contribs = e.join(pr.select(col("v").as("src"), col("pr")), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("v"), (col("pr") / col("outdeg")).as("_c"))
+        .groupBy(col("v"))
+        .agg(sum(col("_c").cast("decimal(38,18)")).cast("double").as("_sum"))
+      val next = nodes.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_sum"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(prevCp)
+      prevCp = next
+      pr = next
+    }
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(outDeg)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
+    pr
+  }
+
   /** Benchmark decontamination: for every corpus doc, the fraction of its
     * distinct n-gram shingles that also appear ANYWHERE in the benchmark
     * set — the standard eval-contamination check run before training. The

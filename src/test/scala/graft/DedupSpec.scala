@@ -95,4 +95,26 @@ class DedupSpec extends SparkSpec {
     assert(h(0L) == h(3L))
     assert(h(0L) != h(2L))
   }
+
+  test("pageRank: cycle is the exact uniform fixed point; hubs outrank spokes; repartition-invariant") {
+    // 3-cycle: pr = 1/3 each is exact at any damping (verify to double ulp)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cpr = Dedup.pageRank(cycle, "src", "dst", iters = 8)
+      .as[(Long, Double)].collect().toMap
+    cpr.values.foreach(v => assert(math.abs(v - 1.0 / 3.0) < 1e-15))
+    // star: everyone links to the hub -> hub outranks all spokes. The
+    // 1<->9 back-edge makes rank oscillate with period 2, decaying as
+    // (d^2)^k - 40 iterations put it within ~1e-5 of the fixed point
+    // (true values: hub 0.4797, back-spoke 0.4452, leaf spokes 0.0375)
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    val spr = Dedup.pageRank(star, "src", "dst", iters = 40)
+      .as[(Long, Double)].collect().toMap
+    assert(spr(9L) == spr.values.max && spr(9L) > spr(1L))
+    assert(spr(1L) > spr(2L)) // the back-spoke receives the hub's mass
+    assert(spr(2L) == spr(3L)) // symmetric leaves tie exactly
+    // decimal contribution sums make the result partitioning-invariant
+    val spr8 = Dedup.pageRank(star.repartition(8), "src", "dst", iters = 40)
+      .as[(Long, Double)].collect().toMap
+    assert(spr8 == spr)
+  }
 }
