@@ -910,6 +910,38 @@ object Queries {
                ELSE 3 END AS reached
         FROM f ORDER BY user_id""")),
 
+    QueryDef("op_skew_profile",
+      // pre-join skew diagnostic: per-key count distribution reduced to
+      // the straggler predictors (max/avg ratio, exact heaviest key)
+      (s, d) => Analytics.skewProfile(t(s, d, "lineitem"), col("l_orderkey")),
+      Some("""WITH c AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_key_rows FROM c)
+        SELECT s.n_keys, s.n_rows, s.max_key_rows, min(c.k) AS heaviest_key,
+          CAST(s.max_key_rows AS DOUBLE) / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)) AS skew_factor
+        FROM c, s WHERE c.n = s.max_key_rows
+        GROUP BY 1, 2, 3""")),
+
+    QueryDef("op_winsorize",
+      // robust-stats outlier clamp: per-returnflag [p05, p95] percentile
+      // band (exact linear interpolation), then decimal-exact sums of the
+      // raw vs winsorized measure
+      (s, d) => Analytics.winsorize(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"), pLo = 0.05, pHi = 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice"), 20, 2).as("sum_raw"),
+          dsum(col("_wins"), 24, 6).as("sum_winsorized"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH b AS (SELECT l_returnflag AS g,
+          quantile_cont(l_extendedprice, 0.05) AS lo,
+          quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, count(*) AS n_rows,
+          ${dsumSql("l_extendedprice", 20, 2)} AS sum_raw,
+          ${dsumSql("least(greatest(l_extendedprice, lo), hi)", 24, 6)} AS sum_winsorized
+        FROM lineitem JOIN b ON l_returnflag = b.g
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_cohort",
       // weekly cohort retention: users bucketed by first-event week, every
       // event counts its user into (cohort week, weeks since) — two aggs

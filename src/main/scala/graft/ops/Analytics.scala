@@ -99,6 +99,43 @@ object Analytics {
       stages.indices.tail.map(i => col(s"t$i")) :+ reached.as("reached")): _*)
   }
 
+  /** Key-skew profile: the diagnostic to run BEFORE a big join or groupBy
+    * at scale — per-key row counts reduced to the stats that predict
+    * reducer imbalance (max/avg ratio ≈ straggler factor; the top-1 key's
+    * share ≈ how much salting helps). One groupBy + one small aggregation;
+    * heavy-hitter keys come back exactly via max_by, not a sketch.
+    */
+  def skewProfile(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"), max(col("n")).as("max_key_rows"))
+    // heaviest key reported deterministically: the SMALLEST key among those
+    // at the max count (ties broken the same way in any engine)
+    counts.crossJoin(broadcast(stats))
+      .where(col("n") === col("max_key_rows"))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_key_rows"))
+      .agg(min(col("k")).as("heaviest_key"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"), col("heaviest_key"),
+        (col("max_key_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double"))).as("skew_factor"))
+  }
+
+  /** Winsorization: clamp a measure into its per-group [pLo, pHi]
+    * percentile band — the standard robust-stats outlier treatment. The
+    * group percentile table is tiny (one row per group) and broadcast back;
+    * exact linear-interpolation percentiles, no sketch.
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0)
+    val bounds = df.groupBy(group.as("_g"))
+      .agg(percentile(value, lit(pLo)).as("_lo"), percentile(value, lit(pHi)).as("_hi"))
+    df.join(broadcast(bounds), group === col("_g"))
+      .withColumn("_wins", least(greatest(value, col("_lo")), col("_hi")))
+      .drop("_g")
+  }
+
   /** Cohort retention matrix: entities are bucketed by the period of their
     * FIRST event (the cohort), and every event then counts its entity into
     * (cohort, periods-since-cohort). Two aggregations — first-event per
