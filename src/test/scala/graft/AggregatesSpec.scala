@@ -82,4 +82,19 @@ class AggregatesSpec extends SparkSpec {
       .select("entity", "reached").as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
   }
+
+  test("skewProfile flags the hot key; winsorize clamps to the exact percentile band") {
+    val df = (Seq.fill(70)(7L) ++ (1L to 30L)).toDF("k") // key 7 holds 70 of 100 rows
+    val p = graft.ops.Analytics.skewProfile(df, col("k")).collect()(0)
+    assert(p.getLong(0) == 30L && p.getLong(1) == 100L && p.getLong(2) == 71L)
+    assert(p.getLong(3) == 7L)
+    assert(math.abs(p.getDouble(4) - 71.0 / (100.0 / 30.0)) < 1e-12)
+
+    val vals = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val w = graft.ops.Analytics.winsorize(vals, col("g"), col("v"), 0.10, 0.90)
+      .select(col("_wins")).as[Double].collect()
+    // exact linear-interp percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert(math.abs(w.min - 10.9) < 1e-12 && math.abs(w.max - 90.1) < 1e-12)
+    assert(w.count(x => math.abs(x - 10.9) < 1e-12) == 10) // values 1..10 clamp up to p10
+  }
 }
