@@ -103,7 +103,10 @@ object Analytics {
     * at scale — per-key row counts reduced to the stats that predict
     * reducer imbalance (max/avg ratio ≈ straggler factor; the top-1 key's
     * share ≈ how much salting helps). One groupBy + one small aggregation;
-    * heavy-hitter keys come back exactly via max_by, not a sketch.
+    * heavy-hitter keys come back exactly, not via a sketch. The per-key
+    * count table persists for its two consumers (stats + heaviest-key
+    * filter); callers in long-lived sessions release it via
+    * unpersist/clearCache.
     */
   def skewProfile(df: DataFrame, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))

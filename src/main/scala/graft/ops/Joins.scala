@@ -185,12 +185,18 @@ object Joins {
   def fuzzyJoin(left: DataFrame, right: DataFrame, lKey: Column, rKey: Column,
                 maxDist: Int, blockLen: Int): DataFrame = {
     require(maxDist >= 0 && blockLen >= 1)
-    val l = left.withColumn("_lk", lKey).withColumn("_blk", substring(lKey, 1, blockLen))
-    val r = right.withColumn("_rk", rKey).withColumn("_blk", substring(rKey, 1, blockLen))
-    l.join(r, Seq("_blk"))
-      .where(abs(length(col("_lk")) - length(col("_rk"))) <= maxDist)
-      .where(levenshtein(col("_lk"), col("_rk")) <= maxDist)
-      .withColumn("edit_dist", levenshtein(col("_lk"), col("_rk")))
-      .drop("_blk", "_lk", "_rk")
+    val l = left.withColumn("_graft_lk", lKey)
+      .withColumn("_graft_blk", substring(lKey, 1, blockLen))
+    val r = right.withColumn("_graft_rk", rKey)
+      .withColumn("_graft_blk", substring(rKey, 1, blockLen))
+    l.join(r, Seq("_graft_blk"))
+      // cheap length prune first, then levenshtein computed ONCE and both
+      // filtered and emitted (filter + projection are separate codegen
+      // stages, so a second levenshtein call would run the quadratic
+      // kernel twice per candidate)
+      .where(abs(length(col("_graft_lk")) - length(col("_graft_rk"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("_graft_lk"), col("_graft_rk")))
+      .where(col("edit_dist") <= maxDist)
+      .drop("_graft_blk", "_graft_lk", "_graft_rk")
   }
 }

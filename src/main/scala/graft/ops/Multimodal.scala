@@ -267,12 +267,13 @@ object Multimodal {
       .toDF(idCol, "payload_resampled", "sample_rate", "n_frames")
   }
 
-  /** Big-endian 4-byte encoding of a non-negative 32-bit value — the byte
-    * order PNG/network formats use. `hex` of a long pads to 16 nibbles at
-    * most; `lpad(..., 8)` keeps exactly the low 4 bytes.
+  /** Big-endian 4-byte encoding of the LOW 32 bits of a value — the byte
+    * order PNG/network formats use. The mask matters: `lpad` TRUNCATES to
+    * the leftmost 8 hex chars, so an unmasked value ≥ 2³² (or negative)
+    * would silently encode its HIGH bytes instead.
     */
   private def be4(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    unhex(lpad(hex(v.cast("long")), 8, "0"))
+    unhex(lpad(hex(v.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
 
   /** A minimal syntactically-valid PNG header (8-byte signature + IHDR
     * length/type + 13-byte IHDR data) carrying the given dimensions —

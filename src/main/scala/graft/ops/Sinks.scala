@@ -118,8 +118,14 @@ object Sinks {
         java.util.regex.Matcher.quoteReplacement(
           Integer.parseInt(m.group(1), 16).toChar.toString))
     val done: Set[Option[String]] = {
-      val p = new org.apache.hadoop.fs.Path(destPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p0 = new org.apache.hadoop.fs.Path(destPath)
+      val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // qualify BEFORE comparing against listed paths: fs.listFiles returns
+      // fully-qualified paths (scheme + working dir), so an unqualified
+      // relative destPath would never equal any listed parent — the done
+      // ledger would silently come back empty and every partition would
+      // re-append on every run
+      val p = fs.makeQualified(p0)
       if (!fs.exists(p)) Set.empty
       else {
         // A directory alone is NOT proof of a completed write: a crashed

@@ -158,8 +158,13 @@ object TextAnalysis {
     */
   def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    // the count table feeds two consumers (top-k and the corpus total);
+    // persisted so the corpus is tokenized + aggregated once, not twice.
+    // Vocab-sized (bounded), but still cached for the session: callers in a
+    // long-lived session release it via unpersist/clearCache.
     val counts = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("_total"))
     val ord = w.orderBy(col("cnt").desc, col("token").asc)
     counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
@@ -180,7 +185,10 @@ object TextAnalysis {
     * partial aggregation per doc. Docs with no tokens have no rows.
     */
   def oovFraction(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    // exploded tokens feed the vocab build AND the probe side - persist so
+    // the corpus tokenizes once (cache lifetime: see vocabCoverage note)
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(vocabK)
       .select(col("token"))
@@ -284,6 +292,11 @@ object TextAnalysis {
     * partials, one equi-join back — the same shuffle budget as the shingle
     * pipeline; never quadratic. The corpus-wide window-count table is the
     * only wide intermediate and it shrinks under aggregation.
+    *
+    * Cache lifetime: the window table persists (two consumers) until the
+    * caller unpersists/clearCaches — long-lived sessions issuing many
+    * passes should release promptly (same contract as the shingle table
+    * in minhashNearDupPairs).
     */
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
                         windowTokens: Int = 8): DataFrame = {
@@ -352,7 +365,17 @@ object TextAnalysis {
                            windowTokens: Int = 8,
                            maxDocTokens: Long = 100000L): DataFrame = {
     require(windowTokens >= 1)
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    // the occ-key encoding is only injective under the documented bounds;
+    // violating them would silently cut the WRONG spans (and both engines
+    // would agree, so the oracle could not catch it) - fail loudly in-plan
+    val guarded = when(col(idCol) < 0,
+        raise_error(concat(lit("removeDupWindowSpans: negative id "), col(idCol))))
+      .when(size(col("_t")) >= maxDocTokens,
+        raise_error(concat(lit(s"removeDupWindowSpans: doc of "), size(col("_t")),
+          lit(s" tokens exceeds maxDocTokens=$maxDocTokens"))))
+      .otherwise(col("_t"))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), guarded.as("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occKey = col(idCol) * maxDocTokens + col("pos")
     val wins = base
@@ -403,7 +426,10 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = cnts.agg(sum(col("cnt")).as("_total"))
-    tok.join(broadcast(cnts), Seq("token"))
+    // no broadcast hint: the corpus vocabulary is unbounded (hashes, URLs,
+    // typos), so the count table must be allowed to shuffle-join; AQE will
+    // still broadcast it when it measures small
+    tok.join(cnts, Seq("token"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("sum_cnt"))

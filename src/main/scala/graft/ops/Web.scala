@@ -23,9 +23,15 @@ object Web {
 
   /** Hosts of every URL mentioned in the text, lowercased (DNS names are
     * case-insensitive; canonicalizing here makes downstream joins exact).
+    * Trailing '.'/'-' are stripped: in real prose a URL at sentence end
+    * ("see https://a.org.") would otherwise capture "a.org." — and the
+    * registered-domain regex (anchored at $, no trailing dot) would then
+    * fall back to the malformed full host, silently missing blocklist
+    * matches.
     */
   def urlHosts(text: Column): Column =
-    transform(regexp_extract_all(text, lit(urlHostPattern), lit(1)), h => lower(h))
+    transform(regexp_extract_all(text, lit(urlHostPattern), lit(1)),
+      h => lower(regexp_replace(h, "[.-]+$", "")))
 
   /** Simplified eTLD+1: the last two dot-labels of the host ("sub.a.org" →
     * "a.org"); single-label hosts ("localhost") pass through unchanged. A

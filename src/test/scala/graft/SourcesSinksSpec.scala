@@ -183,6 +183,22 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.getBoolean(1) && back.getLong(4) == 100L && back.getInt(5) == 1234)
   }
 
+  test("processNewPartitions honors the ledger for a RELATIVE dest path (qualified-path regression)") {
+    // fs.listFiles returns qualified paths; an unqualified relative root
+    // used to never match them, emptying the ledger and re-appending every
+    // partition on every run
+    val rel = s"target/graft-incr-rel-${System.nanoTime()}/t"
+    try {
+      val src = Seq((2020, 1L), (2020, 2L)).toDF("year", "v")
+      assert(graft.ops.Sinks.processNewPartitions(spark, src, rel, "year")(identity) == 1)
+      assert(graft.ops.Sinks.processNewPartitions(spark, src, rel, "year")(identity) == 0)
+      assert(spark.read.parquet(rel).count() == 2) // no duplicate append
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(rel).getParent
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("processNewPartitions transforms only unseen partition values; re-run is a no-op") {
     val dest = Files.createTempDirectory("graft-incr").toString + "/t"
     def double(df: org.apache.spark.sql.DataFrame) = df.withColumn("x", $"v" * 2)

@@ -45,4 +45,11 @@ class WebSpec extends SparkSpec {
     // doc 3 hits example.net via subdomain a.b.example.net; doc 4 via evil.bad.org
     assert(kept == Set(1L, 2L, 5L))
   }
+
+  test("sentence-end URLs: trailing dot stripped so the registered domain still matches") {
+    val docs = Seq((1L, "visit https://evil.bad.org. today or http://a.b.net-")).toDF("doc_id", "text")
+    val got = Web.docHosts(docs, "doc_id", "text")
+      .select("host", "domain").as[(String, String)].collect().toSet
+    assert(got == Set(("evil.bad.org", "bad.org"), ("a.b.net", "b.net")))
+  }
 }
