@@ -100,6 +100,19 @@ class PlanSpec extends SparkSpec {
       s"lineitem scan not pruned to the pre-agg columns:\n$p")
   }
 
+  test("op_fuzzy_join: prefix blocking plans a hash join, never a product") {
+    val p = plan("op_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("op_unpivot: melt is exchange-free up to the output sort") {
+    val p = plan("op_unpivot")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.split("\n").count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected only the rangepartitioning sort exchange, got $exchanges:\n$p")
+  }
+
   test("dedup/similarity pair generators never plan a cartesian product") {
     Seq("dedup_simhash", "dedup_minhash_jaccard", "dedup_minhash_fast", "emb_near_dup").foreach { q =>
       val p = plan(q)
