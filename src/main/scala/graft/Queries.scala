@@ -910,6 +910,37 @@ object Queries {
                ELSE 3 END AS reached
         FROM f ORDER BY user_id""")),
 
+    QueryDef("op_event_deltas",
+      // lead/lag surface: per-user inter-event gaps in µs (lag over one
+      // shuffle on the user key) — the latency/recency building block
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        eventsUs(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events ORDER BY user_id, ts_us, event_id""")),
+
+    QueryDef("op_ntile",
+      // decile bucketing of order values per priority class — ntile is the
+      // per-group quantile-assignment surface (one window shuffle)
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(10).over(w).as("decile"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        CAST(ntile(10) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        FROM orders ORDER BY o_orderkey""")),
+
     QueryDef("op_skew_profile",
       // pre-join skew diagnostic: per-key count distribution reduced to
       // the straggler predictors (max/avg ratio, exact heaviest key)
