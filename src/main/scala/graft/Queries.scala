@@ -1678,6 +1678,23 @@ object Queries {
       },
       None), // IVF routing depends on float centroid math — rows-only check; recall vs brute force is asserted in ScalaTest
 
+    QueryDef("ann_ivf_fit",
+      // the END-TO-END fresh-corpus IVF path: Lloyd's k-means fit
+      // (deterministic seeds, one job per iteration, centroids broadcast
+      // back as expression literals) → fitted cluster routing → ivfTopK.
+      // Rows-only like ann_ivf_topk (float centroid means); the fit's
+      // determinism and recall-vs-brute-force are SimilaritySpec properties
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val labeled = Similarity.kmeansAssign(e, "vec_id", "embedding",
+          k = 16, iters = 3)
+        Similarity.ivfTopK(labeled.where(col("vec_id") % 10 === 0), labeled,
+            "vec_id", "embedding", "cluster", k = 5, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     QueryDef("emb_near_dup",
       // The driver embeddings have NO true near-dups (measured max pairwise
       // cosine 0.479), and at cos 0.4 SRP-LSH is ~N^1.66 for ANY parameters
@@ -1949,7 +1966,26 @@ object Queries {
         .orderBy(col("doc_id"), col("frame_no")),
       Some("""SELECT doc_id, CAST(fn AS INTEGER) AS frame_no, substring(text, CAST(fn AS INTEGER) * 100 + 1, 100) AS frame
         FROM documents, unnest(generate_series(0, CAST(ceil(len(text) / 100.0) AS INTEGER) - 1)) AS t(fn)
-        WHERE fn % 2 = 0 ORDER BY doc_id, frame_no"""))
+        WHERE fn % 2 = 0 ORDER BY doc_id, frame_no""")),
+
+    QueryDef("mm_video_meta",
+      // video-CONTAINER metadata without a codec: a deterministic minimal
+      // MP4 (ftyp+moov[mvhd]+mdat) is constructed per doc, then the ISO-BMFF
+      // box walk parses brand/box inventory/timescale/duration back out —
+      // the same construct-and-check pattern as op05/txt_pii_scrub, so the
+      // byte-level parser is hash-checked against the analytic oracle
+      (s, d) => {
+        val vids = t(s, d, "documents").select(col("doc_id"),
+          Multimodal.mp4Sample(lit(1000L), pmod(col("doc_id") * 37, lit(86400000L))).as("payload"))
+        Multimodal.mp4Meta(vids, "doc_id")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, true AS ok, 'isom' AS major_brand,
+          CAST(3 AS INTEGER) AS n_boxes, 'ftyp,moov,mdat' AS box_types,
+          CAST(1000 AS BIGINT) AS timescale,
+          CAST(doc_id * 37 % 86400000 AS BIGINT) AS duration
+        FROM documents ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------------------

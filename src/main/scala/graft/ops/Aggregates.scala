@@ -33,10 +33,20 @@ object Aggregates {
     * At 100 TB both sides shuffle once on the key; with `base` stored
     * bucketed on the key (`Sinks.bucketedTable`) the base side's exchange
     * disappears entirely.
+    *
+    * Duplicate keys WITHIN `updates` are resolved any-wins
+    * (`dropDuplicates` on the keys) so the result upholds the MERGE
+    * invariant of at most one surviving row per key — a SQL MERGE would
+    * raise on a multi-match; a relational emulation can't detect it
+    * without an extra aggregation, so it resolves deterministically
+    * instead. Callers needing a specific winner should pre-reduce with
+    * [[dedupFirst]].
     */
-  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates)
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val u = updates.dropDuplicates(keys)
+    base.join(u.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(u)
+  }
 
   def idempotentNewRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     batch.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti")

@@ -126,17 +126,57 @@ object Analytics {
 
   /** Winsorization: clamp a measure into its per-group [pLo, pHi]
     * percentile band — the standard robust-stats outlier treatment. The
-    * group percentile table is tiny (one row per group) and broadcast back;
-    * exact linear-interpolation percentiles, no sketch.
+    * group percentile table is tiny (one row per group) and broadcast back.
+    *
+    * The percentiles are EXACT linear-interpolation quantiles computed by
+    * RANK, not by the built-in `percentile` aggregate: that aggregate
+    * buffers every (value, count) of a group inside one aggregation buffer,
+    * which is unbounded memory on a single task at fact-table scale (and
+    * was the single most expensive query in the round-4 bench). Here the
+    * group is sorted once (spillable sort, one shuffle), each row learns
+    * its row_number and group size from the same window pass, and the two
+    * straddling rows per bound reduce in an ordinary hash aggregation. The
+    * interpolation `v_lo + frac·(v_hi − v_lo)` is the same IEEE expression
+    * the built-in evaluates, so results are bit-identical.
+    *
+    * NULL measures are excluded from the percentile computation (matching
+    * the built-in aggregate, which ignores nulls); NULL groups are
+    * preserved (null-safe join), and a group whose measures are all NULL
+    * gets NULL bounds, i.e. passes through unclamped. Helper columns do
+    * not leak: the output is the input schema plus `_wins`.
     */
   def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0)
-    val bounds = df.groupBy(group.as("_g"))
-      .agg(percentile(value, lit(pLo)).as("_lo"), percentile(value, lit(pHi)).as("_hi"))
-    df.join(broadcast(bounds), group === col("_g"))
+    val byG = Window.partitionBy(col("_g"))
+    val ranked = df.where(value.isNotNull)
+      .select(group.as("_g"), value.cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(byG.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(byG))
+    // 0-based fractional position p·(n−1); k1 = 1-based index of the lower
+    // straddling row, f = the interpolation fraction — per-group constants
+    def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
+    def k1(p: Double): Column = floor(pos(p)).cast("long") + 1
+    def frac(p: Double): Column = pos(p) - floor(pos(p))
+    def interp(v: Column, v1: Column, f: Column): Column =
+      v + (coalesce(v1, v) - v) * f
+    val bounds = ranked
+      .withColumn("_klo", k1(pLo)).withColumn("_flo", frac(pLo))
+      .withColumn("_khi", k1(pHi)).withColumn("_fhi", frac(pHi))
+      .groupBy(col("_g"))
+      .agg(
+        max(when(col("_rn") === col("_klo"), col("_v"))).as("_lo_v"),
+        max(when(col("_rn") === col("_klo") + 1, col("_v"))).as("_lo_v1"),
+        max(col("_flo")).as("_flo_c"),
+        max(when(col("_rn") === col("_khi"), col("_v"))).as("_hi_v"),
+        max(when(col("_rn") === col("_khi") + 1, col("_v"))).as("_hi_v1"),
+        max(col("_fhi")).as("_fhi_c"))
+      .select(col("_g"),
+        interp(col("_lo_v"), col("_lo_v1"), col("_flo_c")).as("_lo"),
+        interp(col("_hi_v"), col("_hi_v1"), col("_fhi_c")).as("_hi"))
+    df.join(broadcast(bounds), group <=> col("_g"), "left")
       .withColumn("_wins", least(greatest(value, col("_lo")), col("_hi")))
-      .drop("_g")
+      .drop("_g", "_lo", "_hi")
   }
 
   /** Cohort retention matrix: entities are bucketed by the period of their

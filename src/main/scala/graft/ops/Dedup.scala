@@ -348,11 +348,27 @@ object Dedup {
     // checkpoint the (possibly expensive — e.g. an LSH pipeline) pair set
     // ONCE: the edge count, both union branches, and every propagation
     // round then read the materialized rows instead of re-running the
-    // producer plan
+    // producer plan. The checkpoint is LAZY so the count() both
+    // materializes it and measures it in a single job (an eager checkpoint
+    // followed by a count is two jobs over the same rows — scheduling
+    // latency per job is the dominant cost of this operator on a loaded
+    // host, not the work itself).
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val small = p.count() <= smallGraphEdges
-    if (small) {
+    // the single-task union-find needs runtime-Comparable ids (String,
+    // numerics, date/timestamp map to Comparable JVM types); exotic key
+    // types (struct/array/binary) fall back to the shuffle-based path,
+    // which orders via Spark's own `least` semantics instead
+    val comparableKey = {
+      import org.apache.spark.sql.types._
+      p.schema("src").dataType match {
+        case _: NumericType => true
+        case StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    if (small && comparableKey) {
       val out = clustersByUnionFind(p).localCheckpoint()
       org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
       return out
@@ -360,7 +376,11 @@ object Dedup {
     clustersByLabelPropagation(p, maxRounds)
   }
 
-  /** Small-graph strategy: union-find by min id, one executor task. */
+  /** Small-graph strategy: union-find by min id, one executor task.
+    * Edges with a NULL endpoint are ignored (a null id identifies no
+    * document — the label-propagation path drops them identically, since
+    * its equi-joins never match null keys).
+    */
   private def clustersByUnionFind(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{StructField, StructType}
@@ -384,11 +404,13 @@ object Dedup {
       }
       it.foreach { r =>
         val a = r.get(0); val b = r.get(1)
-        parent.putIfAbsent(a, a) // seed as own root
-        parent.putIfAbsent(b, b)
-        val ra = findRoot(a); val rb = findRoot(b)
-        if (ra != rb) {
-          if (cmp(ra, rb) < 0) parent.put(rb, ra) else parent.put(ra, rb)
+        if (a != null && b != null) {
+          parent.putIfAbsent(a, a) // seed as own root
+          parent.putIfAbsent(b, b)
+          val ra = findRoot(a); val rb = findRoot(b)
+          if (ra != rb) {
+            if (cmp(ra, rb) < 0) parent.put(rb, ra) else parent.put(ra, rb)
+          }
         }
       }
       val ks = parent.keySet().iterator()

@@ -112,9 +112,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          // NonFatal only: an OutOfMemoryError / InterruptedException here is
+          // an executor resource problem that must FAIL the task, not be
+          // silently reported as "undecodable payload" data
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Throwable => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageFeatures(id, ok = false, 0, 0, 0.0, 0.0, 0.0, Seq(0.0, 0.0, 0.0, 0.0))
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -147,6 +150,14 @@ object Multimodal {
     * are dropped (flatMap) — the 100-TB ingest posture is "quarantine,
     * don't crash"; pair with [[decodeImageFeatures]]'s `ok` flag to audit
     * what was dropped.
+    *
+    * The scaler is a hand-rolled exact box filter (fractional source-pixel
+    * coverage weights) rather than `Image.getScaledInstance`: that API
+    * returns an ASYNCHRONOUSLY produced image, and `drawImage(..., null)`
+    * can return before production completes on some JDK pipelines —
+    * partially blank output, nondeterministically. This loop is
+    * synchronous, deterministic (fixed pixel order, double weights), and
+    * the correct kernel for arbitrary downscale ratios.
     */
   def resizeImages(df: DataFrame, idCol: String, outW: Int, outH: Int): DataFrame = {
     require(outW >= 1 && outH >= 1)
@@ -158,15 +169,10 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Throwable => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty
           else {
-            val scaled = img.getScaledInstance(outW, outH, java.awt.Image.SCALE_AREA_AVERAGING)
-            val out = new java.awt.image.BufferedImage(outW, outH,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val gfx = out.getGraphics
-            gfx.drawImage(scaled, 0, 0, null)
-            gfx.dispose()
+            val out = areaAverage(img, outW, outH)
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             Iterator.single((id, bos.toByteArray, outW, outH))
@@ -174,6 +180,51 @@ object Multimodal {
         }
       }
       .toDF(idCol, "payload_resized", "width", "height")
+  }
+
+  /** Exact area-averaging downscale/upscale: output pixel (ox, oy) is the
+    * coverage-weighted mean of the source rectangle it maps onto, with
+    * fractional edge pixels weighted by their overlap area. Deterministic
+    * by construction.
+    */
+  private def areaAverage(src: java.awt.image.BufferedImage,
+                          outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = src.getWidth; val sh = src.getHeight
+    val xr = sw.toDouble / outW; val yr = sh.toDouble / outH
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * yr; val y1 = (oy + 1) * yr
+      val syEnd = math.min(math.ceil(y1).toInt, sh)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * xr; val x1 = (ox + 1) * xr
+        val sxEnd = math.min(math.ceil(x1).toInt, sw)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var area = 0.0
+        var sy = math.floor(y0).toInt
+        while (sy < syEnd) {
+          val wy = math.min(y1, sy + 1.0) - math.max(y0, sy.toDouble)
+          var sx = math.floor(x0).toInt
+          while (sx < sxEnd) {
+            val wx = math.min(x1, sx + 1.0) - math.max(x0, sx.toDouble)
+            val rgb = src.getRGB(sx, sy)
+            val w = wx * wy
+            sr += ((rgb >> 16) & 0xff) * w
+            sg += ((rgb >> 8) & 0xff) * w
+            sb += (rgb & 0xff) * w
+            area += w
+            sx += 1
+          }
+          sy += 1
+        }
+        def ch(s: Double): Int = math.max(0, math.min(255, math.round(s / area).toInt))
+        out.setRGB(ox, oy, (ch(sr) << 16) | (ch(sg) << 8) | ch(sb))
+        ox += 1
+      }
+      oy += 1
+    }
+    out
   }
 
   /** One decoded audio payload's features. `ok = false` (with zeroed
@@ -217,7 +268,7 @@ object Multimodal {
                 in.getFrameLength, peak,
                 if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples.toDouble)
             }
-          } catch { case _: Throwable => none }
+          } catch { case scala.util.control.NonFatal(_) => none }
         }
       }
       .toDF()
@@ -261,7 +312,7 @@ object Multimodal {
                 new java.io.ByteArrayInputStream(outData), outFmt, outFrames.toLong),
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
             Iterator.single((id, bos.toByteArray, outFmt.getSampleRate.toInt, outFrames.toLong))
-          } catch { case _: Throwable => Iterator.empty }
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
         }
       }
       .toDF(idCol, "payload_resampled", "sample_rate", "n_frames")
@@ -301,6 +352,114 @@ object Multimodal {
     df.withColumn("width", when(isPng, beInt(17)))
       .withColumn("height", when(isPng, beInt(21)))
   }
+
+  /** One parsed MP4 container's metadata ([[mp4Meta]]'s row type). */
+  final case class Mp4Meta(id: Long, ok: Boolean, major_brand: String, n_boxes: Int,
+                           box_types: String, timescale: Long, duration: Long)
+
+  /** REAL MP4/ISO-BMFF container-metadata parse WITHOUT a codec: an MP4
+    * file is a sequence of length-prefixed boxes (4-byte big-endian size +
+    * 4-char type; size 1 → 64-bit largesize follows; size 0 → to EOF — the
+    * public ISO/IEC 14496-12 layout), so the major brand (`ftyp`), the
+    * movie timescale/duration (`moov`→`mvhd`, version 0 and 1 layouts),
+    * and the box inventory parse with pure byte arithmetic. This extends
+    * the multimodal surface beyond image/audio to video CONTAINERS while
+    * staying honest: pixels still need a codec this container lacks
+    * ([[decodeFeatures]]' documented stub); header metadata genuinely does
+    * not. Partition-parallel `mapPartitions` like every decoder here;
+    * malformed payloads flag `ok = false` (with whatever fields parsed)
+    * rather than failing the task.
+    */
+  def mp4Meta(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val len = bytes.length.toLong
+          def be32(o: Long): Long =
+            ((bytes(o.toInt) & 0xffL) << 24) | ((bytes(o.toInt + 1) & 0xffL) << 16) |
+              ((bytes(o.toInt + 2) & 0xffL) << 8) | (bytes(o.toInt + 3) & 0xffL)
+          def be64(o: Long): Long =
+            (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (bytes(o.toInt + i) & 0xffL))
+          def typ4(o: Long): String =
+            new String(bytes, o.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          var ok = len >= 8
+          var brand: String = ""
+          var ts = 0L; var dur = 0L
+          val boxes = scala.collection.mutable.ArrayBuffer.empty[String]
+          // returns (payloadStart, boxEnd) or null on malformed header
+          def boxBounds(off: Long, end: Long): (Long, Long) = {
+            if (off + 8 > end) return null
+            val size0 = be32(off)
+            var hdr = 8L; var size = size0
+            if (size0 == 1L) {
+              if (off + 16 > end) return null
+              size = be64(off + 8); hdr = 16L
+            } else if (size0 == 0L) size = end - off
+            if (size < hdr || off + size > end) null else (off + hdr, off + size)
+          }
+          def parseMvhd(p: Long, end: Long): Unit = {
+            if (p + 4 > end) { ok = false; return }
+            (bytes(p.toInt) & 0xff) match {
+              case 0 if p + 20 <= end => ts = be32(p + 12); dur = be32(p + 16)
+              case 1 if p + 32 <= end => ts = be32(p + 20); dur = be64(p + 24)
+              case _ => ok = false
+            }
+          }
+          var off = 0L
+          while (ok && off < len) {
+            boxBounds(off, len) match {
+              case null => ok = false
+              case (pStart, boxEnd) =>
+                val t = typ4(off + 4)
+                boxes += t
+                if (t == "ftyp" && pStart + 4 <= boxEnd) brand = typ4(pStart)
+                if (t == "moov") {
+                  var c = pStart
+                  while (ok && c < boxEnd) {
+                    boxBounds(c, boxEnd) match {
+                      case null => ok = false
+                      case (cStart, cEnd) =>
+                        if (typ4(c + 4) == "mvhd") parseMvhd(cStart, cEnd)
+                        c = cEnd
+                    }
+                  }
+                }
+                off = boxEnd
+            }
+          }
+          Mp4Meta(id, ok && boxes.nonEmpty, brand, boxes.length,
+            boxes.mkString(","), ts, dur)
+        }
+      }
+      .toDF()
+  }
+
+  /** A minimal syntactically-valid MP4 (ftyp[isom] + moov[mvhd v0] + empty
+    * mdat) carrying the given timescale/duration — the construct-and-check
+    * test-vector builder for [[mp4Meta]], pure expressions like
+    * [[pngHeader]]. mvhd's rate/volume/matrix fields hold their spec
+    * defaults (0x00010000, 0x0100, unity matrix).
+    */
+  def mp4Sample(timescale: org.apache.spark.sql.Column,
+                duration: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      // ftyp (16): size + 'ftyp' + major 'isom' + minor_version 0x200
+      unhex(lit("00000010" + "66747970" + "69736F6D" + "00000200")),
+      // moov (116 = 0x74) wrapping mvhd (108 = 0x6C), v0: size+type,
+      // version/flags, creation, modification
+      unhex(lit("00000074" + "6D6F6F76" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000")),
+      be4(timescale), be4(duration),
+      // rate 1.0, volume 1.0, 10 reserved bytes, unity matrix, 24 bytes
+      // pre_defined, next_track_ID 1
+      unhex(lit("00010000" + "0100" + "0000" + "00" * 8 +
+        "00010000" + "00" * 12 + "00010000" + "00" * 12 + "40000000" +
+        "00" * 24 + "00000001")),
+      // empty mdat (8)
+      unhex(lit("00000008" + "6D646174")))
 
   /** Frame-sampling plumbing: split a payload into fixed-size "frames"
     * (byte chunks) and explode one row per sampled frame — the partitioning

@@ -121,11 +121,83 @@ object Similarity {
     corpus.groupBy(col(clusterCol))
       .agg(graft.functions.VectorAvg(col(vecCol)).as("centroid"))
 
+  /** Lloyd's k-means over an embedding column — the trainer that makes
+    * [[ivfTopK]] usable on a fresh corpus (its `clusterCol` contract says
+    * "in production: k-means output"; this is that output).
+    *
+    * Fully deterministic:
+    *  - seeds are the k vectors with the smallest `(xxhash64(id), id)` — a
+    *    pseudo-random but reproducible draw, independent of partitioning
+    *    (TakeOrdered, never a full sort);
+    *  - assignment is argmax cosine against the current centroids with ties
+    *    to the LOWEST centroid id (struct-max over `(sim, −j)`);
+    *  - new centroids are [[graft.functions.VectorAvg]] means — per-cluster
+    *    (sums, n) buffers with map-side partial aggregation. Double sums
+    *    are partition-order dependent in the last ulp, so cluster means can
+    *    differ across runs at that magnitude — irrelevant for routing (the
+    *    assignment argmax is robust to ≪ulp centroid wiggle) but the reason
+    *    this op is rows-only for the oracle, like every float-embedding op.
+    *
+    * Scale shape: per iteration exactly ONE distributed job — the
+    * assignment is a pure expression (k fused-codegen cosines per row, no
+    * shuffle, no crossJoin), and the centroid update is one aggregation
+    * whose result (k·dims doubles) collects to the driver to become the
+    * next iteration's broadcast literals. This is the textbook distributed
+    * Lloyd's layout (centroids are metadata-sized; the corpus never
+    * shuffles). Clusters that lose all members keep their previous
+    * centroid. `k · iters` stays metadata-sized; the corpus is scanned
+    * `iters` times — persist it for multi-iteration fits at scale.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 5): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0)
+    val seedRows = corpus
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(k)
+      .collect()
+    var cents: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(
+        nearestCentroid(col(vecCol), cents).as("_c"), col(vecCol).as("_v"))
+      val updated = assigned.groupBy(col("_c"))
+        .agg(graft.functions.VectorAvg(col("_v")).as("_mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(j => updated.getOrElse(j, cents(j))).toArray
+    }
+    cents
+  }
+
+  /** Argmax-cosine centroid id (ties → lowest id) as a pure expression:
+    * one fused codegen dot-product per centroid, reduced by struct-max
+    * over `(sim, −j)` so no shuffle and no join touch the corpus.
+    */
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    require(cents.nonEmpty)
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      struct(cosine(vec, typedlit(c)).as("sim"), lit(-j).as("nj"))
+    }
+    (-array_max(array(entries: _*)).getField("nj")).cast("int")
+  }
+
+  /** [[kmeansFit]] + assignment in one call: the corpus with a `cluster`
+    * column routed by the fitted centroids — exactly the shape
+    * [[ivfTopK]]'s `clusterCol` consumes. The assignment column is a lazy
+    * expression (no extra job beyond the fit's `iters + 1`).
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5, clusterCol: String = "cluster"): DataFrame = {
+    val cents = kmeansFit(corpus, idCol, vecCol, k, iters)
+    corpus.withColumn(clusterCol, nearestCentroid(col(vecCol), cents))
+  }
+
   /** IVF-style ANN: route each query to its `nprobe` nearest centroids, then
     * brute-force only within those clusters. The corpus never cross-joins the
     * query set — the join key is the cluster id, so cost is
-    * |Q|·nprobe·avgClusterSize. Cluster assignments come from `clusterCol`
-    * (here: the precomputed `label`; in production: k-means output).
+    * |Q|·nprobe·avgClusterSize. Cluster assignments come from `clusterCol` —
+    * either a precomputed label or [[kmeansAssign]]'s fitted output (the
+    * end-to-end fresh-corpus path).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               clusterCol: String, k: Int, nprobe: Int): DataFrame = {

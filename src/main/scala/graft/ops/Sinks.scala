@@ -109,7 +109,8 @@ object Sinks {
     * [[idempotentParquetAppend]]), so the driver-side value sets are small.
     */
   def processNewPartitions(
-      spark: SparkSession, src: DataFrame, destPath: String, partitionBy: String)(
+      spark: SparkSession, src: DataFrame, destPath: String, partitionBy: String,
+      maxPartitionValues: Int = 1000000)(
       transform: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -151,8 +152,20 @@ object Sinks {
         names.map(v => if (v == HiveDefaultPartition) None else Some(unescapePath(v))).toSet
       }
     }
-    val srcVals = src.select(col(partitionBy).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0))).toSet
+    // The distinct partition values land on the driver BY DESIGN (they are
+    // metadata-cardinality: dates, sources, shards) — but a mis-keyed call
+    // (partitioning by an id column) would try to collect the whole key
+    // domain and OOM the driver with no useful error. The limit bounds the
+    // collect to one row past the cap (same single job), and anything over
+    // the cap fails loudly: the default 1M distinct partition values is
+    // already far beyond what a filesystem listing tolerates.
+    val collected = src.select(col(partitionBy).cast("string")).distinct()
+      .limit(maxPartitionValues + 1).collect()
+    require(collected.length <= maxPartitionValues,
+      s"processNewPartitions: column '$partitionBy' has over $maxPartitionValues " +
+        "distinct values — that is not a partition column; pick a " +
+        "metadata-cardinality key (date/source/shard)")
+    val srcVals = collected.map(r => Option(r.getString(0))).toSet
     val newVals = srcVals -- done
     if (newVals.nonEmpty) {
       val nonNull = newVals.flatten.toSeq

@@ -55,6 +55,12 @@ class AggregatesSpec extends SparkSpec {
     val again = Aggregates.upsert(Aggregates.upsert(base, updates, Seq("k")), updates, Seq("k"))
       .as[(Long, String)].collect().toMap
     assert(again == got)
+    // duplicate keys WITHIN updates resolve to ONE surviving row per key
+    // (the MERGE invariant) instead of leaking both duplicates
+    val dupUpdates = Seq((2L, "B2"), (2L, "B3"), (9L, "NEW")).toDF("k", "v")
+    val merged = Aggregates.upsert(base, dupUpdates, Seq("k")).collect()
+    assert(merged.length == 4, "at most one row per key must survive")
+    assert(merged.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 9L))
   }
 
   test("regressionByGroup recovers an exact line and its correlation sign") {
@@ -96,5 +102,18 @@ class AggregatesSpec extends SparkSpec {
     // exact linear-interp percentiles of 1..100: p10 = 10.9, p90 = 90.1
     assert(math.abs(w.min - 10.9) < 1e-12 && math.abs(w.max - 90.1) < 1e-12)
     assert(w.count(x => math.abs(x - 10.9) < 1e-12) == 10) // values 1..10 clamp up to p10
+  }
+
+  test("winsorize: NULL groups survive (null-safe join) and no helper columns leak") {
+    val vals = ((1 to 10).map(i => (Some("g"), i.toDouble)) ++
+      (1 to 10).map(i => (None: Option[String], i.toDouble + 100))).toDF("g", "v")
+    val w = graft.ops.Analytics.winsorize(vals, col("g"), col("v"), 0.10, 0.90)
+    assert(w.columns.toSeq == Seq("g", "v", "_wins"),
+      s"helper columns leaked: ${w.columns.mkString(",")}")
+    val byG = w.collect().groupBy(r => Option(r.getString(0)))
+    assert(byG(None).length == 10, "NULL-group rows must not be dropped")
+    // the NULL group clamps within its own percentile band (p10 = 101.9)
+    val nullWins = byG(None).map(_.getDouble(2))
+    assert(math.abs(nullWins.min - 101.9) < 1e-12)
   }
 }

@@ -113,6 +113,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("kmeansFit is deterministic, covers the corpus, and keeps empty-cluster centroids") {
+    val c1 = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val c2 = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "same data + same params must fit identical centroids")
+    // every row routes to a valid cluster id
+    val labels = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .select($"cluster").as[Int].collect()
+    assert(labels.length == emb.count() && labels.forall(l => l >= 0 && l < 8))
+    // k > distinct vectors: surplus clusters keep their seed centroid
+    // (no NPE / no missing rows), and assignment still covers all rows
+    val tiny = emb.limit(3)
+    val cTiny = Similarity.kmeansFit(tiny, "vec_id", "embedding", k = 8, iters = 2)
+    assert(cTiny.length == 3, "seeds are capped by corpus size via limit(k)")
+  }
+
+  test("kmeans-fitted IVF: full-probe == brute force; partial probe beats random routing") {
+    val labeled = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val qs = labeled.where($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(qs, labeled, "vec_id", "embedding", "cluster", 5, 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "probing every fitted cluster must reproduce brute force")
+    val part = Similarity.ivfTopK(qs, labeled, "vec_id", "embedding", "cluster", 5, 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect part).size.toDouble / brute.size
+    // fitted geometric clusters at nprobe 2/8 must beat the random-label
+    // baseline (~nprobe/k = 0.25) because near neighbors co-cluster
+    assert(recall >= 0.3, s"fitted-IVF recall=$recall")
+  }
+
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
   // scaling → cos(v, v') ≈ 0.9997, while every natural pair is <= 0.48;
   // planted ids are −id−1 (collision-free with real nonnegative ids)

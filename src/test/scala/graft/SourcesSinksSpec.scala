@@ -150,6 +150,38 @@ class SourcesSinksSpec extends SparkSpec {
     assert((back.getRGB(3, 2) & 0xFFFFFF) == 0x336699) // solid color survives area averaging
   }
 
+  test("mp4Meta walks ISO-BMFF boxes: v0 builder roundtrip, v1 mvhd + largesize, junk flagged") {
+    // v0 via the expression builder (the mm_video_meta construct-and-check path)
+    val built = spark.range(1).select(lit(7L).as("id"),
+      graft.ops.Multimodal.mp4Sample(lit(600L), lit(123456L)).as("payload"))
+    val m = graft.ops.Multimodal.mp4Meta(built, "id").collect()(0)
+    assert(m.getBoolean(1) && m.getString(2) == "isom" && m.getInt(3) == 3)
+    assert(m.getString(4) == "ftyp,moov,mdat" && m.getLong(5) == 600L && m.getLong(6) == 123456L)
+    // hand-built v1 mvhd (64-bit duration) + 64-bit-largesize mdat
+    def be4(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be8(v: Long) = be4(v >>> 32) ++ be4(v & 0xFFFFFFFFL)
+    def box(typ: String, payload: Array[Byte]) =
+      be4(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val bigDur = (1L << 33) + 5L
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be8(0) ++ be8(0) ++ be4(90000) ++ be8(bigDur) ++
+        Array.fill[Byte](80)(0))
+    val mdatLarge = be4(1) ++ "mdat".getBytes("ISO-8859-1") ++ be8(16L + 5) ++
+      Array.fill[Byte](5)(9)
+    val bytes = box("ftyp", "mp42".getBytes("ISO-8859-1") ++ be4(0)) ++
+      box("moov", mvhd1) ++ mdatLarge
+    val v1 = graft.ops.Multimodal.mp4Meta(
+      Seq((1L, bytes)).toDF("id", "payload"), "id").collect()(0)
+    assert(v1.getBoolean(1) && v1.getString(2) == "mp42")
+    assert(v1.getString(4) == "ftyp,moov,mdat" && v1.getLong(5) == 90000L && v1.getLong(6) == bigDur)
+    // junk and truncated payloads flag ok=false, never throw
+    val junk = Seq((2L, "definitely not an mp4".getBytes("UTF-8")),
+      (3L, bytes.take(20))).toDF("id", "payload")
+    val bad = graft.ops.Multimodal.mp4Meta(junk, "id").collect()
+    assert(bad.forall(!_.getBoolean(1)))
+  }
+
   test("decodeAudioFeatures parses real WAV/PCM; downsampleAudio halves rate and frames") {
     def wav(nFrames: Int, amp: Short, rate: Float = 8000f): Array[Byte] = {
       val pcm = new Array[Byte](nFrames * 2)
@@ -238,6 +270,18 @@ class SourcesSinksSpec extends SparkSpec {
     val src2 = src.unionByName(Seq((2022, 3L)).toDF("year", "v"))
     assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(id) == 1) // 2022 re-runs
     assert(spark.read.parquet(dest).select("v").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("processNewPartitions fails loudly on a key-cardinality partition column") {
+    val dest = Files.createTempDirectory("graft-incr4").toString + "/t"
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    val src = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sinks.processNewPartitions(spark, src, dest, "k", maxPartitionValues = 10)(id)
+    }
+    assert(e.getMessage.contains("not a partition column"))
+    // nothing was written — the guard fires before any append
+    assert(!new java.io.File(dest).exists())
   }
 
   test("jdbc existence probe does not treat '_' in table names as a LIKE wildcard") {
