@@ -7,14 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * prune columns down to the file source.
   */
 object Tables {
-  // Deliberately NOT memoized: caching the DataFrame would pin the parquet
-  // file listing (stale reads after a rewrite), break Column-based
+  // The DataFrame is deliberately NOT memoized: caching it would pin the
+  // parquet file listing (stale reads after a rewrite), break Column-based
   // self-joins (identical attribute ids), and leak sessions (a Dataset
-  // strongly references its session, defeating weak keys) — for a planning
-  // saving that measured within run noise.
+  // strongly references its session, defeating weak keys). The SCHEMA is
+  // memoized per path: the testdata schemas are immutable, schema carries
+  // no session or file-listing state, and passing it via `.schema(...)`
+  // skips a footer-inference pass per read — a fixed cost paid on every
+  // one of the ~150 table reads of a bench run, and several times that
+  // under driver-host load.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     Prep.ensure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

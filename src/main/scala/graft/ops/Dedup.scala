@@ -69,11 +69,16 @@ object Dedup {
   def minhashAgg(seed: Int): Column =
     min(substring(col("_md5"), seed * 4 + 1, 4)).as(s"mh$seed")
 
-  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8). */
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8),
+    * plus `n_sh` — the doc's distinct-shingle count, folded into the SAME
+    * aggregation so the Jaccard verify's size table costs no extra shuffle
+    * over the corpus-sized shingle table.
+    */
   def minhashSignatures(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes <= 8, "md5 yields 8 disjoint 4-hex-char slices")
     shingleTbl.withColumn("_md5", md5(col("shingle")))
-      .groupBy(col(idCol)).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
+      .groupBy(col(idCol)).agg(minhashAgg(0),
+        (1 until numHashes).map(minhashAgg) :+ count(lit(1)).as("n_sh"): _*)
   }
 
   /** LSH band buckets: band b hashes `rowsPerBand` consecutive signature
@@ -104,9 +109,16 @@ object Dedup {
 
   /** Exact Jaccard over shingle sets for the candidate pairs; keeps pairs with
     * jaccard >= threshold. Output: (doc_a, doc_b, jac).
+    *
+    * `sizesOpt`: per-doc distinct-shingle counts `(idCol, n_sh)` if the
+    * caller already has them (both signature builders fold `n_sh` into
+    * their aggregation); when absent they cost one more aggregation over
+    * the shingle table.
     */
-  def jaccardVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val sizes = shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+  def jaccardVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String, threshold: Double,
+                    sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(
+      shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     val sa = shingleTbl.select(col(idCol).as("doc_a"), col("shingle"))
     val sb = shingleTbl.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
@@ -135,7 +147,8 @@ object Dedup {
       .withColumn("_h2", xxhash64(col("shingle"), lit(1)))
     hashed.groupBy(col(idCol)).agg(
       min(col("_h1")).as("mh0"),
-      (1 until numHashes).map(s => min(col("_h1") + lit(s.toLong) * col("_h2")).as(s"mh$s")): _*)
+      (1 until numHashes).map(s => min(col("_h1") + lit(s.toLong) * col("_h2")).as(s"mh$s"))
+        :+ count(lit(1)).as("n_sh"): _*)
   }
 
   /** Band buckets over integer signatures: bucket = xxhash64 of the band's
@@ -163,8 +176,10 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignaturesFast(sh, idCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(lshBucketsFast(sig, idCol, numHashes, rowsPerBand), idCol)
-    jaccardVerify(cand, sh, idCol, threshold)
+    jaccardVerify(cand, sh, idCol, threshold,
+      sizesOpt = Some(sig.select(col(idCol), col("n_sh"))))
   }
 
   /** End-to-end MinHash-LSH near-dedup: (doc_a, doc_b, jac) pairs.
@@ -193,8 +208,10 @@ object Dedup {
       sh: DataFrame, idCol: String, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(sh, idCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(lshBuckets(sig, idCol, numHashes, rowsPerBand), idCol)
-    jaccardVerify(cand, sh, idCol, threshold)
+    jaccardVerify(cand, sh, idCol, threshold,
+      sizesOpt = Some(sig.select(col(idCol), col("n_sh"))))
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -35,6 +35,17 @@ object Sinks {
     *
     * `partitionBy` should be a low-cardinality derived column (the deaths
     * table partitions by death year) so a 100-TB table prunes on read.
+    *
+    * CONCURRENCY LIMIT (documented, by design of plain parquet): the
+    * anti-join reads a snapshot of the table, so two writers appending the
+    * same keys CONCURRENTLY can both see them absent and both append —
+    * plain parquet paths have no commit protocol to serialize against.
+    * Single-writer (or externally serialized) usage is the contract here,
+    * which matches the reference's single-threaded Airflow task. The scale
+    * form of this operator is a table format with an atomic-commit log
+    * (Delta/Iceberg `MERGE`) — not addable in this dependency-closed
+    * build; the relational semantics above are exactly what that MERGE
+    * would execute.
     */
   def idempotentParquetAppend(
       spark: SparkSession, batch: DataFrame, path: String,

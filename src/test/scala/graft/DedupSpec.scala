@@ -117,4 +117,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(spr8 == spr)
   }
+
+  test("dedup family job counts stay bounded (scheduling-latency audit)") {
+    // Per-query wall time on a loaded multi-tenant host is dominated by job
+    // scheduling rounds, not per-row work — so the job count IS the perf
+    // contract here. With AQE on, each materialized exchange submits as its
+    // own job, so these bounds also cap shuffle counts. Measured (round 5):
+    // minhash_fast 6, simhash_fast 3, clusters ~14; bounds leave +2 slack
+    // for AQE stage-count variance.
+    val corpus = Tables.load(spark, sf0001, "documents")
+    def jobsOf(f: => Unit): Int = {
+      val st = spark.sparkContext.statusTracker
+      val before = st.getJobIdsForGroup(null).length
+      f
+      Thread.sleep(500) // status store updates asynchronously
+      st.getJobIdsForGroup(null).length - before
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warm codegen/parquet paths so first-use jobs don't pollute the counts
+    noop(Dedup.minhashNearDupPairsFast(corpus, "doc_id", "text", 3, 8, 2, 0.1))
+    val nMinhash = jobsOf(noop(
+      Dedup.minhashNearDupPairsFast(corpus, "doc_id", "text", 3, 8, 2, 0.1)))
+    assert(nMinhash <= 8, s"minhashNearDupPairsFast ran $nMinhash jobs (bound 8)")
+    val nSimhash = jobsOf(noop(
+      Dedup.simhashNearDupPairsFast(corpus, "doc_id", "text", 3)))
+    assert(nSimhash <= 5, s"simhashNearDupPairsFast ran $nSimhash jobs (bound 5)")
+    val nClusters = jobsOf(noop(
+      Dedup.dedupClusters(
+        Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 8, 2, 0.1),
+        "doc_a", "doc_b")))
+    assert(nClusters <= 16, s"pairs→dedupClusters ran $nClusters jobs (bound 16)")
+  }
 }
