@@ -1134,6 +1134,24 @@ object Queries {
         CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    QueryDef("txt_bpe_trained",
+      // REAL trained BPE (Sennrich merges): one corpus word-count
+      // aggregation, driver-side greedy merges over the vocabulary-sized
+      // frequency table, distributed encode. Deterministic (tie-broken
+      // merges) but not SQL-expressible — rows-only; the trainer/encoder
+      // contract (merge order, encode==training segmentation, compression
+      // monotonicity) is proven in TextPipelineSpec
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = Bpe.train(docs, "text", numMerges = 100)
+        docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+            Bpe.tokenCount(merges)(col("text")).as("n_bpe_tokens"),
+            length(col("text")).as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     QueryDef("txt_fingerprint_dedup",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -277,4 +277,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(after - before <= 1,
       s"expected at most the final round's checkpoint to stay persisted, got ${after - before}")
   }
+
+  test("BPE trainer learns the classic merges; encode reproduces training segmentation") {
+    import graft.ops.Bpe
+    // 'lo' is the most frequent pair (low×3 + lower×2 + lowest×1 = 6), then
+    // 'low' (same mass), then 'e s' from lowest + newest, ...
+    val docs = Seq((1L, "low low low lower lower lowest newest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 4)
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")),
+      s"expected lo,low as the first merges, got $merges")
+    // encoding a training word must reproduce its trained segmentation:
+    // with enough merges the most frequent word collapses to ONE token
+    val full = Bpe.train(docs, "text", numMerges = 50)
+    val enc = Bpe.encodeTokens(full)(TextAnalysis.tokens(col("text")))
+    val toks = docs.select(enc).as[Seq[String]].head()
+    assert(toks.take(3) == Seq("low", "low", "low"))
+    // subword concatenation reconstructs every word (lossless segmentation)
+    val words = "low low low lower lower lowest newest".split(" ")
+    val few = Bpe.train(docs, "text", numMerges = 2)
+    val encFew = docs.select(Bpe.encodeTokens(few)(TextAnalysis.tokens(col("text"))))
+      .as[Seq[String]].head()
+    assert(encFew.mkString("") == words.mkString(""))
+    // determinism: identical data → identical merges
+    assert(Bpe.train(docs, "text", numMerges = 4) == merges)
+    // more merges never increase token count (compression monotonicity)
+    val n2 = docs.select(Bpe.tokenCount(few)(col("text"))).as[Int].head()
+    val n50 = docs.select(Bpe.tokenCount(full)(col("text"))).as[Int].head()
+    assert(n50 <= n2)
+    // trainer stops gracefully when pairs are exhausted (single-char words)
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, "text", numMerges = 10).isEmpty)
+  }
 }
