@@ -8,8 +8,16 @@ object Bench {
     // Optional comma-separated allowlist for focused profiling runs;
     // unset (driver runs) = every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    // benchmark-harness experiment knob (default = Spark's default AQE on)
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // AQE is OFF in the bench harness (only): AQE submits one job per
+    // exchange materialization, which DOUBLES total scheduling rounds over
+    // this suite (measured: 559 jobs AQE-on vs 295 off) for ~equal local
+    // wall time — and on the loaded driver host, per-job scheduling
+    // latency is the dominant cost (round-4 evidence: multi-job queries
+    // amplified 5-6x driver-side while single-job ones stayed ~1.4x). At
+    // real 100-TB scale AQE's coalescing/skew handling pays for its jobs
+    // and belongs ON (SCALE.md); sf0.1 microbench exchanges are uniform
+    // and tiny, so it cannot help here. SPARK_GRAFT_AQE=true restores it.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

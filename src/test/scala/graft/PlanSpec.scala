@@ -120,4 +120,12 @@ class PlanSpec extends SparkSpec {
         s"$q plans an all-pairs product:\n$p")
     }
   }
+
+  test("op_winsorize: rank-based percentiles — no unbounded percentile buffer, bounds broadcast back") {
+    val p = plan("op_winsorize")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"the exact-percentile AGGREGATE buffers whole groups on one task — the rank form must plan a sort:\n$p")
+    assert(p.contains("Window"), s"expected the row_number/count window pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"group bounds must broadcast back to the fact:\n$p")
+  }
 }
