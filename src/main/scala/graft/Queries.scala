@@ -1324,14 +1324,24 @@ object Queries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = Dedup.minhashNearDupPairsFromShingles(survSh, "doc_id",
           numHashes = 8, rowsPerBand = 2, threshold = 0.1)
-        val deduped = Dedup.applyClusterDedup(surviving, "doc_id",
-          Dedup.dedupClusters(pairs, "doc_a", "doc_b"))
-        val chunks = TextAnalysis.chunkFromTokens(deduped, "doc_id", "_toks",
-          chunkTokens = 32, stride = 24)
-        docs.agg(count(lit(1)).as("n_total"))
-          .crossJoin(surviving.agg(count(lit(1)).as("n_quality")))
-          .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
-          .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+        val dropped = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+          .where(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id"), lit(1).as("_drop"))
+        // the funnel is ONE aggregation over flag columns: quality/kept are
+        // left-join flags and the per-doc chunk count is a pure expression
+        // (size of the stride-start sequence — identical to counting the
+        // exploded chunk rows, without materializing them). The round-4
+        // form crossJoined four independent single-row aggregates, which
+        // cost a broadcast job each; this is 3 left joins + 1 agg.
+        surviving.select(col("doc_id"), lit(1).as("_q"), col("_toks")).join(dropped, Seq("doc_id"), "left")
+          .select(col("_q"), (col("_q") === 1 && col("_drop").isNull).as("_kept"),
+            when(col("_drop").isNull && size(col("_toks")) >= 1,
+              size(sequence(lit(1), size(col("_toks")), lit(24)))).otherwise(lit(0)).as("_nch"))
+          .agg(sum(col("_q")).cast("long").as("_nq"),
+            sum(when(col("_kept"), 1L).otherwise(0L)).as("n_dedup"),
+            sum(col("_nch")).cast("long").as("n_chunks"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+          .select(col("n_total"), col("_nq").as("n_quality"), col("n_dedup"), col("n_chunks"))
       },
       Some(s"""WITH RECURSIVE
         tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
