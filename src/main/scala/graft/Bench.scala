@@ -34,7 +34,10 @@ object Bench {
     // A warmup failure must NOT kill the bench before any timing is
     // emitted — the timed loop below will surface the same failure in the
     // JSON's failed count.
-    Seq("q1_pricing", "txt_quality", "ann_cosine_topk", "dedup_clusters")
+    // (+ the typed-mapPartitions codec family and the UDF-encode BPE path,
+    // whose first run pays encoder/class-loading costs)
+    Seq("q1_pricing", "txt_quality", "ann_cosine_topk", "dedup_clusters",
+        "mm_decode_real", "txt_bpe_trained")
       .flatMap(n => selected.find(_.name == n))
       .foreach { q =>
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
