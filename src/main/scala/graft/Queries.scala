@@ -573,6 +573,51 @@ object Queries {
         ON c.pt >= s.lo AND c.pt <= s.hi
         ORDER BY 1, 2""")),
 
+    QueryDef("op_interval_join",
+      // interval × interval overlap join (range_join is point × interval):
+      // banded equi-join; each overlapping pair emitted exactly once at the
+      // bucket holding max(start) — no distinct pass. Oracle runs the plain
+      // quadratic join; results must coincide exactly
+      (s, d) => {
+        val a = t(s, d, "supplier").select(col("s_suppkey"),
+          (col("s_suppkey") * 13 % 2000).as("a_lo"),
+          (col("s_suppkey") * 13 % 2000 + 5 + col("s_suppkey") % 7).as("a_hi"))
+        val b = t(s, d, "customer").select(col("c_custkey"),
+          (col("c_custkey") * 11 % 2000).as("b_lo"),
+          (col("c_custkey") * 11 % 2000 + 3 + col("c_custkey") % 5).as("b_hi"))
+        Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+            b, col("b_lo"), col("b_hi"), bucketSize = 8.0)
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_overlaps"), sum(col("c_custkey")).as("sum_cust"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_overlaps, CAST(sum(c_custkey) AS BIGINT) AS sum_cust
+        FROM (SELECT s_suppkey, s_suppkey * 13 % 2000 AS a_lo,
+                s_suppkey * 13 % 2000 + 5 + s_suppkey % 7 AS a_hi FROM supplier) a
+        JOIN (SELECT c_custkey, c_custkey * 11 % 2000 AS b_lo,
+                c_custkey * 11 % 2000 + 3 + c_custkey % 5 AS b_hi FROM customer) b
+        ON greatest(a_lo, b_lo) <= least(a_hi, b_hi)
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_zscore",
+      // per-group standardization stats from exact decimal moments (the
+      // feature-scaling primitive): mean/std are one shared IEEE expression
+      // over exact sums, outliers an integer count — hash-stable without
+      // emitting per-row doubles
+      (s, d) => Analytics.standardizeStats(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"), zCut = 2.0, scale = 2)
+        .withColumnRenamed("grp", "l_returnflag")
+        .orderBy(col("l_returnflag")),
+      Some("""WITH m AS (SELECT l_returnflag AS g, CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS s,
+            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS ss
+          FROM lineitem GROUP BY 1),
+        st AS (SELECT g, s / n AS mean, sqrt((ss - s * s / n) / n) AS std FROM m)
+        SELECT l_returnflag, count(*) AS n_rows, max(mean) AS mean, max(std) AS std,
+          CAST(sum(CASE WHEN abs(l_extendedprice - mean) > 2.0 * std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM lineitem JOIN st ON l_returnflag = st.g
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_asof_join",
       (s, d) => {
         val ev = eventsUs(s, d)

@@ -136,8 +136,11 @@ object Analytics {
     * group is sorted once (spillable sort, one shuffle), each row learns
     * its row_number and group size from the same window pass, and the two
     * straddling rows per bound reduce in an ordinary hash aggregation. The
-    * interpolation `v_lo + frac·(v_hi − v_lo)` is the same IEEE expression
-    * the built-in evaluates, so results are bit-identical.
+    * interpolation `(1−frac)·v_lo + frac·v_hi` is the built-in Percentile
+    * aggregate's EXACT expression shape (`(higher−pos)·lower +
+    * (pos−lower)·higher`; `1−frac` and `higher−pos` are bit-equal for
+    * every reachable position), so clamped results are bit-identical to
+    * the built-in — a PropertySpec invariant under random data.
     *
     * NULL measures are excluded from the percentile computation (matching
     * the built-in aggregate, which ignores nulls); NULL groups are
@@ -159,7 +162,7 @@ object Analytics {
     def k1(p: Double): Column = floor(pos(p)).cast("long") + 1
     def frac(p: Double): Column = pos(p) - floor(pos(p))
     def interp(v: Column, v1: Column, f: Column): Column =
-      v + (coalesce(v1, v) - v) * f
+      (lit(1.0) - f) * v + f * coalesce(v1, v)
     val bounds = ranked
       .withColumn("_klo", k1(pLo)).withColumn("_flo", frac(pLo))
       .withColumn("_khi", k1(pHi)).withColumn("_fhi", frac(pHi))
@@ -177,6 +180,34 @@ object Analytics {
     df.join(broadcast(bounds), group <=> col("_g"), "left")
       .withColumn("_wins", least(greatest(value, col("_lo")), col("_hi")))
       .drop("_g", "_lo", "_hi")
+  }
+
+  /** Per-group standardization (z-score) stats from EXACT moments — the
+    * feature-scaling primitive. Like [[regressionByGroup]], Σx and Σx² are
+    * DECIMAL sums (order-independent under partial aggregation), and
+    * mean/std are then one shared IEEE double expression — bit-identical
+    * across engines. Population std (`/n`). Returns one row per group:
+    * (grp, n_rows, mean, std, n_outliers) where an outlier is
+    * |x − mean| > zCut·std — an integer count, so the output stays
+    * hash-comparable without emitting per-row doubles. `scale` must cover
+    * the measure's true decimal width.
+    */
+  def standardizeStats(df: DataFrame, group: Column, value: Column,
+                       zCut: Double = 2.0, scale: Int = 2): DataFrame = {
+    val m = df.groupBy(group.as("grp"))
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(value.cast(s"decimal(24,$scale)")).cast("double").as("_s"),
+        sum((value * value).cast(s"decimal(30,${2 * scale})")).cast("double").as("_ss"))
+      .select(col("grp"), col("_n"),
+        (col("_s") / col("_n")).as("mean"),
+        sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("std"))
+    df.join(broadcast(m), group <=> col("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("mean")).as("mean"), max(col("std")).as("std"),
+        sum(when(abs(value.cast("double") - col("mean")) > lit(zCut) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
   }
 
   /** Cohort retention matrix: entities are bucketed by the period of their

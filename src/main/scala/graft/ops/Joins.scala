@@ -122,6 +122,31 @@ object Joins {
       .drop("_rb")
   }
 
+  /** Interval-overlap join (interval × interval, where [[rangeJoin]] is
+    * point × interval): pair every a-interval with every b-interval it
+    * overlaps (`max(start) <= min(end)`), without a cross join. Both sides
+    * replicate into the buckets they span; the join is an equi hash join
+    * on the bucket; each overlapping pair is emitted EXACTLY ONCE — at the
+    * bucket containing `max(aStart, bStart)`, which both sides provably
+    * cover iff they overlap — so no distinct pass is needed afterwards.
+    * Replication factor is span/bucketSize + 1 per side: pick bucketSize
+    * near the typical interval length, same guidance as [[rangeJoin]].
+    */
+  def intervalOverlapJoin(
+      a: DataFrame, aStart: Column, aEnd: Column,
+      b: DataFrame, bStart: Column, bEnd: Column,
+      bucketSize: Double): DataFrame = {
+    require(bucketSize > 0)
+    val av = a.withColumn("_ib",
+      explode(sequence(floor(aStart / bucketSize), floor(aEnd / bucketSize))))
+    val bv = b.withColumn("_ib",
+      explode(sequence(floor(bStart / bucketSize), floor(bEnd / bucketSize))))
+    av.join(bv, Seq("_ib"))
+      .where(greatest(aStart, bStart) <= least(aEnd, bEnd) &&
+        col("_ib") === floor(greatest(aStart, bStart) / bucketSize))
+      .drop("_ib")
+  }
+
   /** Skew-salted equi-join: when a handful of hot keys would overload single
     * reducers in a shuffled join, split each big-side key into `saltFactor`
     * sub-keys (deterministic hash of the whole row, so results are stable)

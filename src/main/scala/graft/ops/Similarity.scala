@@ -145,28 +145,33 @@ object Similarity {
     * next iteration's broadcast literals. This is the textbook distributed
     * Lloyd's layout (centroids are metadata-sized; the corpus never
     * shuffles). Clusters that lose all members keep their previous
-    * centroid. `k · iters` stays metadata-sized; the corpus is scanned
-    * `iters` times — persist it for multi-iteration fits at scale.
+    * centroid. `k · iters` stays metadata-sized; the (id, vec) projection
+    * is persisted for the fit's `iters + 1` scans and released before
+    * returning.
     */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int = 5): Array[Array[Double]] = {
     require(k >= 1 && iters >= 0)
-    val seedRows = corpus
-      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-      .orderBy(xxhash64(col("_id")), col("_id")).limit(k)
-      .collect()
-    var cents: Array[Array[Double]] =
-      seedRows.map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to iters) {
-      val assigned = corpus.select(
-        nearestCentroid(col(vecCol), cents).as("_c"), col(vecCol).as("_v"))
-      val updated = assigned.groupBy(col("_c"))
-        .agg(graft.functions.VectorAvg(col("_v")).as("_mean"))
+    val proj = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = proj
+        .select(col("_id"), col("_v").cast("array<double>").as("_vd"))
+        .orderBy(xxhash64(col("_id")), col("_id")).limit(k)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      cents = cents.indices.map(j => updated.getOrElse(j, cents(j))).toArray
-    }
-    cents
+      var cents: Array[Array[Double]] =
+        seedRows.map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to iters) {
+        val assigned = proj.select(
+          nearestCentroid(col("_v"), cents).as("_c"), col("_v"))
+        val updated = assigned.groupBy(col("_c"))
+          .agg(graft.functions.VectorAvg(col("_v")).as("_mean"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.indices.map(j => updated.getOrElse(j, cents(j))).toArray
+      }
+      cents
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Argmax-cosine centroid id (ties → lowest id) as a pure expression:

@@ -108,4 +108,25 @@ class JoinsSpec extends SparkSpec {
     // missed at any blockLen >= 1: the documented blocking recall tradeoff
     assert(!got.exists(g => g._1 == 1L && g._2 == 12L) && !wide.contains((1L, 12L)))
   }
+
+  test("intervalOverlapJoin: banded == brute force, each pair exactly once, across bucket sizes") {
+    val rnd = new scala.util.Random(7)
+    val as = (1 to 60).map(i => (i.toLong, rnd.nextInt(300).toLong))
+      .map { case (id, lo) => (id, lo, lo + rnd.nextInt(25)) }
+    val bs = (1 to 80).map(i => (i.toLong, rnd.nextInt(300).toLong))
+      .map { case (id, lo) => (id, lo, lo + rnd.nextInt(15)) }
+    val a = as.toDF("a_id", "a_lo", "a_hi")
+    val b = bs.toDF("b_id", "b_lo", "b_hi")
+    val brute = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if math.max(alo, blo) <= math.min(ahi, bhi)
+    } yield (ai, bi)).toSet
+    for (bucket <- Seq(1.0, 8.0, 50.0, 1000.0)) {
+      val got = Joins.intervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), bucket)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"bucket $bucket emitted duplicate pairs")
+      assert(got.toSet == brute, s"bucket $bucket: banded != brute")
+    }
+  }
 }

@@ -139,4 +139,34 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial k=$k")
     }
   }
+
+  test("rank-based winsorize == built-in percentile clamp, bit for bit, under random data") {
+    // the round-5 rewrite's whole claim: the sort+straddle formulation
+    // computes EXACTLY the built-in Percentile aggregate's interpolation
+    // (same IEEE expression shape), so clamped values are bit-identical
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 8) {
+      val nG = 1 + rnd.nextInt(4)
+      val rows = (0 until 50 + rnd.nextInt(200)).map { _ =>
+        val g = s"g${rnd.nextInt(nG)}"
+        // mix of smooth values, duplicates, and negatives
+        val v = if (rnd.nextInt(5) == 0) rnd.nextInt(10).toDouble
+          else (rnd.nextDouble() - 0.5) * 1e6
+        (g, v)
+      }
+      val df = rows.toDF("g", "v")
+      val (pLo, pHi) = (0.05 + rnd.nextDouble() * 0.3, 0.6 + rnd.nextDouble() * 0.4)
+      val got = graft.ops.Analytics.winsorize(df, col("g"), col("v"), pLo, pHi)
+        .select("g", "v", "_wins").as[(String, Double, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sorted.toList).toMap
+      val bounds = df.groupBy(col("g"))
+        .agg(percentile(col("v"), lit(pLo)).as("lo"), percentile(col("v"), lit(pHi)).as("hi"))
+        .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val (lo, hi) = bounds(g)
+        g -> rs.map { case (_, v) => (v, math.min(math.max(v, lo), hi)) }.sorted.toList
+      }
+      assert(got == want, s"trial $trial pLo=$pLo pHi=$pHi")
+    }
+  }
 }
