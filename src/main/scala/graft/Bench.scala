@@ -18,9 +18,17 @@ object Bench {
     // and belongs ON (SCALE.md); sf0.1 microbench exchanges are uniform
     // and tiny, so it cannot help here. SPARK_GRAFT_AQE=true restores it.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // Shuffle partitions are decoupled from thread count: with AQE off,
+    // every exchange runs exactly this many tasks, and at sf0.1 the
+    // per-task data is tiny (largest table 600k rows → 75k rows/task at
+    // 8) — task-scheduling rounds, not data volume, bound wall time (same
+    // loaded-host argument as the AQE choice; measured ~80 s at 8 vs
+    // ~91 s at 32, local[32]). Scale the knob with the input when
+    // benching beyond sf0.1.
+    val sp = sys.env.getOrElse("SPARK_GRAFT_SP", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", sp)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
