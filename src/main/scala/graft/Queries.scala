@@ -1382,9 +1382,11 @@ object Queries {
           .select(col("_q"), (col("_q") === 1 && col("_drop").isNull).as("_kept"),
             when(col("_drop").isNull && size(col("_toks")) >= 1,
               size(sequence(lit(1), size(col("_toks")), lit(24)))).otherwise(lit(0)).as("_nch"))
-          .agg(sum(col("_q")).cast("long").as("_nq"),
-            sum(when(col("_kept"), 1L).otherwise(0L)).as("n_dedup"),
-            sum(col("_nch")).cast("long").as("n_chunks"))
+          // coalesce: sum over ZERO rows is NULL where the oracle's
+          // count(*) over an empty funnel stage is 0
+          .agg(coalesce(sum(col("_q")).cast("long"), lit(0L)).as("_nq"),
+            coalesce(sum(when(col("_kept"), 1L).otherwise(0L)), lit(0L)).as("n_dedup"),
+            coalesce(sum(col("_nch")).cast("long"), lit(0L)).as("n_chunks"))
           .crossJoin(docs.agg(count(lit(1)).as("n_total")))
           .select(col("n_total"), col("_nq").as("n_quality"), col("n_dedup"), col("n_chunks"))
       },

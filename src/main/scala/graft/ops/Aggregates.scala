@@ -34,13 +34,14 @@ object Aggregates {
     * bucketed on the key (`Sinks.bucketedTable`) the base side's exchange
     * disappears entirely.
     *
-    * Duplicate keys WITHIN `updates` are resolved any-wins
+    * Duplicate keys WITHIN `updates` are resolved ANY-WINS
     * (`dropDuplicates` on the keys) so the result upholds the MERGE
     * invariant of at most one surviving row per key — a SQL MERGE would
     * raise on a multi-match; a relational emulation can't detect it
-    * without an extra aggregation, so it resolves deterministically
-    * instead. Callers needing a specific winner should pre-reduce with
-    * [[dedupFirst]].
+    * without an extra aggregation. Which duplicate survives is
+    * partitioning-dependent (NOT deterministic across runs): callers
+    * needing a specific or reproducible winner must pre-reduce with
+    * [[dedupFirst]] and an explicit order.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val u = updates.dropDuplicates(keys)

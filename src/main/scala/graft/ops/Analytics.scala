@@ -143,10 +143,13 @@ object Analytics {
     * the built-in — a PropertySpec invariant under random data.
     *
     * NULL measures are excluded from the percentile computation (matching
-    * the built-in aggregate, which ignores nulls); NULL groups are
-    * preserved (null-safe join), and a group whose measures are all NULL
-    * gets NULL bounds, i.e. passes through unclamped. Helper columns do
-    * not leak: the output is the input schema plus `_wins`.
+    * the built-in aggregate, which ignores nulls) and pass through with
+    * `_wins` = NULL — `greatest`/`least` SKIP nulls, so without the
+    * explicit guard a NULL measure would fabricate the low bound as its
+    * clamped value. NULL groups are preserved (null-safe join), and a
+    * group whose measures are all NULL gets NULL bounds, i.e. passes
+    * through unclamped. Helper columns do not leak: the output is the
+    * input schema plus `_wins`.
     */
   def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double, pHi: Double): DataFrame = {
@@ -178,7 +181,8 @@ object Analytics {
         interp(col("_lo_v"), col("_lo_v1"), col("_flo_c")).as("_lo"),
         interp(col("_hi_v"), col("_hi_v1"), col("_fhi_c")).as("_hi"))
     df.join(broadcast(bounds), group <=> col("_g"), "left")
-      .withColumn("_wins", least(greatest(value, col("_lo")), col("_hi")))
+      .withColumn("_wins",
+        when(value.isNotNull, least(greatest(value, col("_lo")), col("_hi"))))
       .drop("_g", "_lo", "_hi")
   }
 

@@ -35,6 +35,15 @@ object Bpe {
   /** Train `numMerges` BPE merges from the corpus's word-frequency table.
     * One distributed aggregation; the greedy loop is driver-side over at
     * most `maxWords` (vocabulary-sized) entries.
+    *
+    * Pair statistics are maintained INCREMENTALLY (the reference
+    * `learn_bpe` layout): each merge touches only the words that contain
+    * the merged pair — via a pair→word-indices occurrence index — instead
+    * of rescanning every symbol of every word per iteration, which at the
+    * 1M-word cap would be ~8M hash updates × numMerges. The max-pair
+    * selection is a fold over the pair-count map with a total order
+    * (count desc, pair lex asc), so it is iteration-order independent and
+    * the learned merges are identical to the naive rescan's.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 1000000): Merges = {
@@ -43,37 +52,55 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Array[String], Long)] =
-      wf.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val words: Array[Array[String]] = wf.map(_._1.map(_.toString).toArray)
+    val freqs: Array[Long] = wf.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    // delta = ±1: add/remove word wi's adjacent-pair contributions. The
+    // occurrence index only grows here; stale entries (a word that no
+    // longer contains the pair after other merges) are skipped at merge
+    // time by the containment re-check.
+    def contribute(wi: Int, delta: Long): Unit = {
+      val syms = words(wi); val n = freqs(wi)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val c = counts.getOrElse(p, 0L) + delta * n
+        if (c <= 0L) counts.remove(p) else counts.update(p, c)
+        if (delta > 0) occurs.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+        j += 1
+      }
+    }
+    def containsPair(syms: Array[String], m: (String, String)): Boolean = {
+      var j = 0
+      while (j < syms.length - 1) {
+        if (syms(j) == m._1 && syms(j + 1) == m._2) return true
+        j += 1
+      }
+      false
+    }
+    words.indices.foreach(contribute(_, 1L))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
-    var exhausted = false
-    while (i < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      var wi = 0
-      while (wi < words.length) {
-        val (syms, n) = words(wi)
-        var j = 0
-        while (j < syms.length - 1) {
-          val p = (syms(j), syms(j + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + n)
-          j += 1
+    while (i < numMerges && counts.nonEmpty) {
+      // deterministic: max count, ties to the lexicographically least pair
+      val best = counts.foldLeft(null: ((String, String), Long)) { (acc, e) =>
+        if (acc == null) e
+        else if (e._2 > acc._2 ||
+          (e._2 == acc._2 && Ordering[(String, String)].lt(e._1, acc._1))) e
+        else acc
+      }._1
+      merges += best
+      occurs.remove(best).getOrElse(scala.collection.mutable.Set.empty[Int])
+        .foreach { wi =>
+          if (containsPair(words(wi), best)) {
+            contribute(wi, -1L)
+            words(wi) = applyMerge(words(wi), best)
+            contribute(wi, 1L)
+          }
         }
-        wi += 1
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        // deterministic: max count, ties to the lexicographically least pair
-        val best = counts.foldLeft(null: ((String, String), Long)) { (acc, e) =>
-          if (acc == null) e
-          else if (e._2 > acc._2 ||
-            (e._2 == acc._2 && Ordering[(String, String)].lt(e._1, acc._1))) e
-          else acc
-        }._1
-        merges += best
-        words = words.map { case (syms, n) => (applyMerge(syms, best), n) }
-        i += 1
-      }
+      i += 1
     }
     merges.toSeq
   }

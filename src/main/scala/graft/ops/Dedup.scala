@@ -168,6 +168,13 @@ object Dedup {
 
   /** [[minhashNearDupPairs]] with the xxhash64 signature/bucket path — the
     * production form for 100-TB runs where oracle portability is not needed.
+    *
+    * Persistence lifetime (both the shingle table and the signature table,
+    * here and in the md5 form): cached for the returned plan's consumers
+    * and released by the session's next `catalog.clearCache()` (the bench
+    * clears per query) or `unpersist` — long-lived sessions issuing many
+    * dedup passes should clear between passes, same convention as
+    * [[graft.ops.Analytics.skewProfile]] / `vocabCoverage`.
     */
   def minhashNearDupPairsFast(
       docs: DataFrame, idCol: String, textCol: String,

@@ -377,7 +377,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val len = bytes.length.toLong
+          try mp4MetaOne(id, bytes)
+          catch { case scala.util.control.NonFatal(_) => Mp4Meta(id, ok = false, "", 0, "", 0L, 0L) }
+        }
+      }
+      .toDF()
+  }
+
+  /** Parse one payload; NULL or malformed input flags ok=false (same
+    * quarantine contract as every decoder here).
+    */
+  private def mp4MetaOne(id: Long, bytes: Array[Byte]): Mp4Meta = {
+    if (bytes == null) Mp4Meta(id, ok = false, "", 0, "", 0L, 0L)
+    else {
+      val len = bytes.length.toLong
           def be32(o: Long): Long =
             ((bytes(o.toInt) & 0xffL) << 24) | ((bytes(o.toInt + 1) & 0xffL) << 16) |
               ((bytes(o.toInt + 2) & 0xffL) << 8) | (bytes(o.toInt + 3) & 0xffL)
@@ -430,11 +443,9 @@ object Multimodal {
                 off = boxEnd
             }
           }
-          Mp4Meta(id, ok && boxes.nonEmpty, brand, boxes.length,
-            boxes.mkString(","), ts, dur)
-        }
-      }
-      .toDF()
+      Mp4Meta(id, ok && boxes.nonEmpty, brand, boxes.length,
+        boxes.mkString(","), ts, dur)
+    }
   }
 
   /** A minimal syntactically-valid MP4 (ftyp[isom] + moov[mvhd v0] + empty

@@ -125,18 +125,20 @@ object Similarity {
     * [[ivfTopK]] usable on a fresh corpus (its `clusterCol` contract says
     * "in production: k-means output"; this is that output).
     *
-    * Fully deterministic:
+    * Deterministic up to the last ulp of the centroid means:
     *  - seeds are the k vectors with the smallest `(xxhash64(id), id)` — a
     *    pseudo-random but reproducible draw, independent of partitioning
-    *    (TakeOrdered, never a full sort);
+    *    (TakeOrdered, never a full sort) — exact;
     *  - assignment is argmax cosine against the current centroids with ties
-    *    to the LOWEST centroid id (struct-max over `(sim, −j)`);
+    *    to the LOWEST centroid id (struct-max over `(sim, −j)`) — exact
+    *    given the centroids;
     *  - new centroids are [[graft.functions.VectorAvg]] means — per-cluster
     *    (sums, n) buffers with map-side partial aggregation. Double sums
     *    are partition-order dependent in the last ulp, so cluster means can
     *    differ across runs at that magnitude — irrelevant for routing (the
     *    assignment argmax is robust to ≪ulp centroid wiggle) but the reason
-    *    this op is rows-only for the oracle, like every float-embedding op.
+    *    this op is rows-only for the oracle, like every float-embedding op,
+    *    and why the SimilaritySpec determinism check uses a tolerance.
     *
     * Scale shape: per iteration exactly ONE distributed job — the
     * assignment is a pure expression (k fused-codegen cosines per row, no
