@@ -104,6 +104,20 @@ class AggregatesSpec extends SparkSpec {
     assert(w.count(x => math.abs(x - 10.9) < 1e-12) == 10) // values 1..10 clamp up to p10
   }
 
+  test("winsorize: NULL measures yield NULL _wins, never a fabricated bound") {
+    // greatest/least SKIP nulls, so without the explicit guard a NULL
+    // measure would clamp to the LOW bound — invented data
+    val vals = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+ ("g", None: Option[Double]))
+      .toDF("g", "v")
+    val w = graft.ops.Analytics.winsorize(vals, col("g"), col("v"), 0.10, 0.90)
+      .select(col("v"), col("_wins")).collect()
+    val nullRow = w.filter(_.isNullAt(0))
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(1),
+      "NULL measure must pass through with NULL _wins")
+    // and the non-null rows' percentiles ignore the null (n=10, p10=1.9)
+    assert(math.abs(w.filter(!_.isNullAt(1)).map(_.getDouble(1)).min - 1.9) < 1e-12)
+  }
+
   test("winsorize: NULL groups survive (null-safe join) and no helper columns leak") {
     val vals = ((1 to 10).map(i => (Some("g"), i.toDouble)) ++
       (1 to 10).map(i => (None: Option[String], i.toDouble + 100))).toDF("g", "v")

@@ -175,11 +175,11 @@ class SourcesSinksSpec extends SparkSpec {
       Seq((1L, bytes)).toDF("id", "payload"), "id").collect()(0)
     assert(v1.getBoolean(1) && v1.getString(2) == "mp42")
     assert(v1.getString(4) == "ftyp,moov,mdat" && v1.getLong(5) == 90000L && v1.getLong(6) == bigDur)
-    // junk and truncated payloads flag ok=false, never throw
+    // junk, truncated, and NULL payloads flag ok=false, never throw
     val junk = Seq((2L, "definitely not an mp4".getBytes("UTF-8")),
-      (3L, bytes.take(20))).toDF("id", "payload")
+      (3L, bytes.take(20)), (4L, null: Array[Byte])).toDF("id", "payload")
     val bad = graft.ops.Multimodal.mp4Meta(junk, "id").collect()
-    assert(bad.forall(!_.getBoolean(1)))
+    assert(bad.length == 3 && bad.forall(!_.getBoolean(1)))
   }
 
   test("decodeAudioFeatures parses real WAV/PCM; downsampleAudio halves rate and frames") {
