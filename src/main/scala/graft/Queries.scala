@@ -71,7 +71,7 @@ object Queries {
         text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/d/'
           || CAST(doc_id AS VARCHAR) || ' and http://Mirror.' || source || '.net/x' AS text2
       FROM documents),
-    h AS (SELECT doc_id, regexp_replace(lower(unnest(regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1))), '[.-]+$', '') AS host
+    h AS (SELECT doc_id, regexp_replace(lower(unnest(regexp_extract_all(text2, '(?i)https?://(?:[A-Za-z0-9._%+-]*@)?([A-Za-z0-9.-]+)', 1))), '[.-]+$', '') AS host
       FROM d2),
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
@@ -1536,8 +1536,8 @@ object Queries {
               WHEN 'src3' THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
             / CAST(st AS DOUBLE)) AS rate FROM tot)
         SELECT tk.doc_id, tk.source, tk.n_tok FROM tk JOIN r ON tk.source = r.msrc
-        WHERE CAST(('0x' || substring(md5(CAST(tk.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
-          / 1152921504606846976.0 < r.rate
+        WHERE CAST(('0x' || substring(md5(CAST(tk.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+          / 4503599627370496.0 < r.rate
         ORDER BY tk.doc_id""")),
 
     QueryDef("txt_pack_sequences",

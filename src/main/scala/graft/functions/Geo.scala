@@ -21,7 +21,12 @@ object Geo {
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    lit(2 * sphereRadius) * asin(sqrt(a))
+    // clamp: near-antipodal points can round a to 1 + ulp, and
+    // asin(sqrt(a > 1)) = NaN — which silently FAILS every <= radius
+    // predicate instead of returning ~half the circumference. least() is a
+    // no-op bit-for-bit whenever a <= 1, so oracle parity is unchanged
+    // (the SQL mirror clamps identically).
+    lit(2 * sphereRadius) * asin(sqrt(least(a, lit(1.0))))
   }
 
   /** Great-circle distance in km between two (lat, lon) points in degrees. */
@@ -33,7 +38,7 @@ object Geo {
     * engines evaluate the same float operations in the same order.
     */
   def haversineKmSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
-    s"2 * 6371.0 * asin(sqrt(" +
+    s"2 * 6371.0 * asin(sqrt(least(" +
       s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
-      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2)))"
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2), 1.0)))"
 }

@@ -55,6 +55,10 @@ object SrpKernel {
     val vec = new Array[Double](dims)
     var d = 0
     while (d < dims) {
+      // a NULL element would read as 0.0 — fail like VectorKernels does
+      if (v.isNullAt(d))
+        throw new IllegalArgumentException(
+          s"null vector element at index $d — a mis-joined or corrupt embedding must fail, not read as 0.0")
       vec(d) = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
       d += 1
     }

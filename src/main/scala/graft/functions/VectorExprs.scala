@@ -15,8 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle's `list_sum(list_transform(...))` formulation.
   */
 object VectorKernels {
-  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+  /** A NULL element would read as 0.0 through Unsafe/Generic ArrayData
+    * getters — a plausible-but-wrong similarity no parity test can catch
+    * (same fail-don't-corrupt contract as [[checkDims]]).
+    */
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"null vector element at index $i — a mis-joined or corrupt embedding must fail, not read as 0.0")
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  }
 
   /** Ragged or mis-joined embeddings must FAIL, not silently truncate to the
     * shorter vector — a truncated dot product is a plausible-but-wrong
@@ -60,6 +68,21 @@ object VectorKernels {
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  // analysis-time type error (like the SRP/winnow expressions) instead of
+  // an opaque IllegalArgumentException from codegen mid-stage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   protected def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * row is in or out forever, the sample is a pure filter (predicate
   * pushdown applies, no shuffle), and the exact definition runs in any
   * engine with md5.
+  *
+  * NULL keys: md5(NULL) is NULL, so a NULL-keyed row fails every `< pct`
+  * comparison and is DROPPED at any rate, including 100% — identically in
+  * Spark and the SQL mirror (both engines' NULL comparison semantics
+  * agree). Pass a non-null key (concat key parts with a separator, or
+  * coalesce) when null-keyed rows must participate.
   */
 object Sampling {
 
@@ -42,14 +48,17 @@ object Sampling {
     df.where(hashBucket(key) < pct)
   }
 
-  /** Uniform double in [0, 1) from the row key: 60 md5 bits over 2⁶⁰. The
-    * divisor is a power of two, so the scaling is exact and the value is
-    * engine-portable bit for bit (15 hex chars keep the integer inside a
-    * signed 64-bit range everywhere).
+  /** Uniform double in [0, 1) from the row key: 52 md5 bits over 2⁵². 52
+    * bits — not 60 — because every integer below 2⁵³ converts to double
+    * EXACTLY: a 60-bit numerator would round on the int→double cast, and
+    * values in the top rounding window would land on 2⁶⁰ exactly, making
+    * the unit value 1.0 — outside the documented range, and a row a
+    * keep-rate-1.0 mix would wrongly drop. The divisor is a power of two,
+    * so the scaling is exact and engine-portable bit for bit.
     */
   def hashUnit(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
-      lit((1L << 60).toDouble)
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double") /
+      lit((1L << 52).toDouble)
 
   /** Token-budget corpus mixture — the "sample each source to hit a target
     * token composition" step of assembling a training mix. Each source s

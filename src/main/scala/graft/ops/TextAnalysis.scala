@@ -18,7 +18,10 @@ object TextAnalysis {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Token count without materializing the array when only the count is needed. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** NULL text → NULL count: with ANSI off (Prep.ensure), `size(null)` is
+    * the legacy −1, which would silently skew any token-count sum negative.
+    */
+  def tokenCount(text: Column): Column = when(text.isNotNull, size(tokens(text)))
 
   /** BPE-ish subword pre-tokenization (GPT-2-style split simplified to what
     * RE2 also supports — no lookahead, ASCII classes): a token is an
@@ -299,23 +302,8 @@ object TextAnalysis {
     * in minhashNearDupPairs).
     */
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
-                        windowTokens: Int = 8): DataFrame = {
-    require(windowTokens >= 1)
-    val wins = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        posexplode(Dedup.gramsFromTokens(col("_toks"), windowTokens)).as(Seq("_p0", "w")))
-      .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"), col("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val winCounts = wins.groupBy(col("w")).agg(count(lit(1)).as("_cnt"))
-    wins.join(winCounts, Seq("w"))
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
-        min(when(col("_cnt") > 1, col("pos"))).as("_first"))
-      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
-        coalesce(col("_first"), lit(0)).cast("int").as("first_dup_pos"),
-        (col("n_dup_windows").cast("double") / col("n_windows").cast("double")).as("dup_frac"))
-  }
+                        windowTokens: Int = 8): DataFrame =
+    substringDupStatsKeyed(docs, idCol, textCol, windowTokens, identity)
 
   /** [[substringDupStats]] with windows keyed by `xxhash64(window)` instead
     * of the window string — the production form: the corpus-wide groupBy
@@ -327,16 +315,24 @@ object TextAnalysis {
     * corpora is a ScalaTest property.
     */
   def substringDupStatsFast(docs: DataFrame, idCol: String, textCol: String,
-                            windowTokens: Int = 8): DataFrame = {
+                            windowTokens: Int = 8): DataFrame =
+    substringDupStatsKeyed(docs, idCol, textCol, windowTokens, xxhash64(_))
+
+  /** The shared stats pipeline, parameterized by the corpus-wide grouping
+    * key (window string for the oracle-exact form, `xxhash64` for the
+    * production form) — one definition, like the `winnow` gram-hash
+    * parameterization.
+    */
+  private def substringDupStatsKeyed(docs: DataFrame, idCol: String, textCol: String,
+                                     windowTokens: Int, key: Column => Column): DataFrame = {
     require(windowTokens >= 1)
     val wins = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         posexplode(Dedup.gramsFromTokens(col("_toks"), windowTokens)).as(Seq("_p0", "w")))
-      .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"),
-        xxhash64(col("w")).as("wh"))
+      .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"), key(col("w")).as("wk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val winCounts = wins.groupBy(col("wh")).agg(count(lit(1)).as("_cnt"))
-    wins.join(winCounts, Seq("wh"))
+    val winCounts = wins.groupBy(col("wk")).agg(count(lit(1)).as("_cnt"))
+    wins.join(winCounts, Seq("wk"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_windows"),
         sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
@@ -370,6 +366,9 @@ object TextAnalysis {
     // would agree, so the oracle could not catch it) - fail loudly in-plan
     val guarded = when(col(idCol) < 0,
         raise_error(concat(lit("removeDupWindowSpans: negative id "), col(idCol))))
+      .when(col(idCol).cast("long") >= Long.MaxValue / maxDocTokens,
+        raise_error(concat(lit("removeDupWindowSpans: id "), col(idCol),
+          lit(s" would overflow the id*$maxDocTokens occurrence key — lower maxDocTokens or re-key"))))
       .when(size(col("_t")) >= maxDocTokens,
         raise_error(concat(lit(s"removeDupWindowSpans: doc of "), size(col("_t")),
           lit(s" tokens exceeds maxDocTokens=$maxDocTokens"))))

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Web {
 
-  /** Matches http(s) URLs; capture group 1 is the host (authority). The
-    * character class stops at `:` and `/`, so ports, paths, and query
-    * strings are excluded by construction.
+  /** Matches http(s) URLs; capture group 1 is the host. The scheme is
+    * case-insensitive (`(?i)` — schemes are case-insensitive per RFC 3986,
+    * and 'HTTPS://BLOCKED.COM' must not bypass the blocklist), an optional
+    * `userinfo@` prefix is skipped (otherwise 'https://login@blocked.com'
+    * would capture 'login' as the host — a silent blocklist bypass), and
+    * the host class stops at `:` and `/`, so ports, paths, and query
+    * strings are excluded by construction. Still RE2-class: no lookahead.
     */
-  val urlHostPattern: String = "https?://([A-Za-z0-9.-]+)"
+  val urlHostPattern: String = "(?i)https?://(?:[A-Za-z0-9._%+-]*@)?([A-Za-z0-9.-]+)"
 
   /** Hosts of every URL mentioned in the text, lowercased (DNS names are
     * case-insensitive; canonicalizing here makes downstream joins exact).

@@ -79,12 +79,26 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The haversine sum-of-squares term, with or without the antipodal
+    * `least(a, 1.0)` NaN clamp Geo.haversine now emits — both shapes must
+    * rewrite (users may write the textbook unclamped form in raw SQL).
+    */
+  private object HaversineSum {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression)] = e match {
+      case Least(Seq(HaversineSum(lat1, lon1, lat2, lon2), DoubleLit(one))) if one == 1.0 =>
+        Some((lat1, lon1, lat2, lon2))
+      case Add(
+            HalfAngleSinSq(lat1, lat2),
+            Multiply(Multiply(Cos(ToRadians(cl1)), Cos(ToRadians(cl2)), _), HalfAngleSinSq(lon1, lon2), _), _)
+          if cl1.semanticEquals(lat1) && cl2.semanticEquals(lat2) =>
+        Some((lat1, lon1, lat2, lon2))
+      case _ => None
+    }
+  }
+
   private object Haversine {
     def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double)] = e match {
-      case Multiply(DoubleLit(twoR), Asin(Sqrt(Add(
-            HalfAngleSinSq(lat1, lat2),
-            Multiply(Multiply(Cos(ToRadians(cl1)), Cos(ToRadians(cl2)), _), HalfAngleSinSq(lon1, lon2), _), _))), _)
-          if cl1.semanticEquals(lat1) && cl2.semanticEquals(lat2) =>
+      case Multiply(DoubleLit(twoR), Asin(Sqrt(HaversineSum(lat1, lon1, lat2, lon2))), _) =>
         Some((lat1, lon1, lat2, lon2, twoR))
       case _ => None
     }
@@ -223,7 +237,10 @@ object GeoExprs {
     val a = Add(
       Pow(Sin(dLat), Literal(2.0)),
       Multiply(Multiply(Cos(ToRadians(lat1)), Cos(ToRadians(lat2))), Pow(Sin(dLon), Literal(2.0))))
-    Multiply(Literal(2 * graft.functions.Geo.EarthRadiusKm), Asin(Sqrt(a)))
+    // same antipodal NaN clamp as Geo.haversine — the rewritten join's
+    // exact predicate must evaluate bit-identically to the Column form
+    Multiply(Literal(2 * graft.functions.Geo.EarthRadiusKm),
+      Asin(Sqrt(Least(Seq(a, Literal(1.0))))))
   }
 }
 

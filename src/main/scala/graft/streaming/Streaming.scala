@@ -126,9 +126,16 @@ object Streaming {
     }
 
   /** Custom keyed state via mapGroupsWithState: running per-user event count
-    * and last-seen value, emitted once per micro-batch per active key — the
-    * §2.7 stateful-processing surface (GroupState is partition-local; state
-    * volume is O(distinct keys), shuffled once on the grouping key).
+    * and representative value, emitted once per micro-batch per active key —
+    * the §2.7 stateful-processing surface (GroupState is partition-local;
+    * state volume is O(distinct keys), shuffled once on the grouping key).
+    *
+    * `last_value` is the MAX of the most recent batch containing the key,
+    * carried across batches: a micro-batch's group Iterator has NO defined
+    * intra-batch order (it reflects shuffle-fetch order), so a literal
+    * "last element seen" would vary run to run — breaking the repo's
+    * determinism contract. Sources with real event time should carry it in
+    * the value and max-by it instead.
     */
   def runningUserStats(events: Dataset[(Long, Double)]): Dataset[UserStats] = {
     import events.sparkSession.implicits._
@@ -138,9 +145,12 @@ object Streaming {
         (user: Long, batch: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
           val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
           var n = prev.n_events
-          var last = prev.last_value
-          batch.foreach { case (_, v) => n += 1; last = v }
-          val next = UserStats(user, n, last)
+          var batchMax = Double.NaN
+          batch.foreach { case (_, v) =>
+            n += 1
+            if (batchMax.isNaN || v > batchMax) batchMax = v
+          }
+          val next = UserStats(user, n, if (batchMax.isNaN) prev.last_value else batchMax)
           state.update(next)
           next
       }
