@@ -7,6 +7,23 @@ import graft.functions.Geo
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("haversine is finite at (near-)antipodal points — clamp prevents asin(>1) NaN") {
+    // antipodal pairs push the sum-of-squares term to 1 ± ulp; unclamped,
+    // asin(sqrt(1+ulp)) = NaN and every <= radius predicate silently fails
+    val pts = Seq(
+      (10.0, 20.0, -10.0, -160.0),   // exactly antipodal
+      (45.0, 30.0, -45.0, -150.0),   // exactly antipodal
+      (89.99, 0.0, -89.99, 180.0),   // near-antipodal pole pair
+      (0.0, 0.0, 0.0, 180.0)).toDF("lat1", "lon1", "lat2", "lon2")
+    val d = pts.select(Geo.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .as[Double].collect()
+    val halfCircumference = math.Pi * Geo.EarthRadiusKm
+    assert(d.forall(x => !x.isNaN && x <= halfCircumference + 1e-6),
+      s"expected finite distances <= half circumference, got ${d.mkString(",")}")
+    assert(d.forall(x => math.abs(x - halfCircumference) < 1.0),
+      "antipodal distance must be ~half the circumference")
+  }
+
   test("op16: grid-bucketed radius join == brute-force haversine filter") {
     val left = Tables.load(spark, sf0001, "customer")
       .select($"c_custkey", (($"c_custkey" * 7 % 1200) / 10.0 - 60.0).as("lat"),

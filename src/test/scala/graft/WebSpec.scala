@@ -52,4 +52,17 @@ class WebSpec extends SparkSpec {
       .select("host", "domain").as[(String, String)].collect().toSet
     assert(got == Set(("evil.bad.org", "bad.org"), ("a.b.net", "b.net")))
   }
+
+  test("uppercase schemes and userinfo@ cannot bypass host extraction (blocklist hardening)") {
+    val docs = Seq(
+      (1L, "see HTTPS://BLOCKED.COM/x"),
+      (2L, "see https://login@blocked.com/y"),
+      (3L, "see HtTp://user.name%40corp@sub.blocked.com:8080/z")).toDF("doc_id", "text")
+    val got = Web.docHosts(docs, "doc_id", "text")
+      .select(col("doc_id"), col("domain")).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "blocked.com"), (2L, "blocked.com"), (3L, "blocked.com")))
+    val kept = Web.domainBlocklistFilter(docs, "doc_id", "text",
+      Seq("blocked.com").toDF("domain")).collect()
+    assert(kept.isEmpty, "every doc mentions a blocked domain and must drop")
+  }
 }
