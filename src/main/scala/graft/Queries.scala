@@ -608,7 +608,7 @@ object Queries {
           col("l_returnflag"), col("l_extendedprice"), zCut = 2.0, scale = 2)
         .withColumnRenamed("grp", "l_returnflag")
         .orderBy(col("l_returnflag")),
-      Some("""WITH m AS (SELECT l_returnflag AS g, CAST(count(*) AS DOUBLE) AS n,
+      Some("""WITH m AS (SELECT l_returnflag AS g, CAST(count(l_extendedprice) AS DOUBLE) AS n,
             CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS s,
             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS ss
           FROM lineitem GROUP BY 1),

@@ -200,7 +200,10 @@ object Analytics {
                        zCut: Double = 2.0, scale: Int = 2): DataFrame = {
     val m = df.groupBy(group.as("grp"))
       .agg(
-        count(lit(1)).cast("double").as("_n"),
+        // count(value), not count(*): the sums ignore NULL measures, so a
+        // count over all rows would silently deflate mean/std for any
+        // group containing NULLs (same exclusion winsorize applies)
+        count(value).cast("double").as("_n"),
         sum(value.cast(s"decimal(24,$scale)")).cast("double").as("_s"),
         sum((value * value).cast(s"decimal(30,${2 * scale})")).cast("double").as("_ss"))
       .select(col("grp"), col("_n"),

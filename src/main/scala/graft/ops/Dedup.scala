@@ -179,12 +179,25 @@ object Dedup {
   def minhashNearDupPairsFast(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
+      threshold: Double = 0.5): DataFrame =
+    lshSignBucketVerify(
+      shingleTable(docs, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, minhashSignaturesFast(_, idCol, numHashes),
+      lshBucketsFast(_, idCol, numHashes, rowsPerBand), threshold)
+
+  /** The shared sign → band-bucket → exact-verify chain of both MinHash
+    * forms, parameterized by the signature and bucket builders so the md5
+    * (oracle-portable) and xxhash64 (production) variants cannot drift.
+    * Persists the signature table for its two consumers (buckets + sizes).
+    */
+  private def lshSignBucketVerify(sh: DataFrame, idCol: String,
+                                  signatures: DataFrame => DataFrame,
+                                  buckets: DataFrame => DataFrame,
+                                  threshold: Double): DataFrame = {
+    val sig = signatures(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignaturesFast(sh, idCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatePairs(lshBucketsFast(sig, idCol, numHashes, rowsPerBand), idCol)
+    val cand = lshCandidatePairs(buckets(sig), idCol)
     jaccardVerify(cand, sh, idCol, threshold,
       sizesOpt = Some(sig.select(col(idCol), col("n_sh"))))
   }
@@ -213,13 +226,9 @@ object Dedup {
     */
   def minhashNearDupPairsFromShingles(
       sh: DataFrame, idCol: String, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(sh, idCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatePairs(lshBuckets(sig, idCol, numHashes, rowsPerBand), idCol)
-    jaccardVerify(cand, sh, idCol, threshold,
-      sizesOpt = Some(sig.select(col(idCol), col("n_sh"))))
-  }
+      threshold: Double = 0.5): DataFrame =
+    lshSignBucketVerify(sh, idCol, minhashSignatures(_, idCol, numHashes),
+      lshBuckets(_, idCol, numHashes, rowsPerBand), threshold)
 
   // ---------------------------------------------------------------- SimHash
 
@@ -267,11 +276,22 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimhashChunks, s"$SimhashChunks-chunk pigeonhole only guarantees hamming <= ${SimhashChunks - 1}")
-    val sh = simhash60(docs, idCol, textCol)
+    simhashPairsByChunks(simhash60(docs, idCol, textCol), idCol,
+      SimhashChunks, SimhashChunkBits, maxHamming)
+  }
+
+  /** The shared chunk-bucket → hamming-verify half of both simhash forms,
+    * over a (idCol, simhash) frame — parameterized by the chunk layout so
+    * the md5/60-bit and xxhash64/64-bit variants cannot drift.
+    */
+  private def simhashPairsByChunks(sh: DataFrame, idCol: String,
+                                   numChunks: Int, chunkBits: Int,
+                                   maxHamming: Int): DataFrame = {
+    val chunkMask = (1L << chunkBits) - 1
     val chunks = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until SimhashChunks).map(k =>
+      explode(array((0 until numChunks).map(k =>
         struct(lit(k).as("k"),
-          shiftright(col("simhash"), k * SimhashChunkBits).bitwiseAND(lit(SimhashChunkMask)).as("chunk"))): _*)).as("c"))
+          shiftright(col("simhash"), k * chunkBits).bitwiseAND(lit(chunkMask)).as("chunk"))): _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
     val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
     val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
@@ -316,20 +336,8 @@ object Dedup {
   def simhashNearDupPairsFast(docs: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit chunking only guarantees hamming <= 3")
-    val sh = simhash64Fast(docs, idCol, textCol)
-    val chunks = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"),
-          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
-    val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
-    val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("k", "chunk"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        call_function("bit_count", col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .where(col("hamming") <= lit(maxHamming))
-      .distinct()
+    simhashPairsByChunks(simhash64Fast(docs, idCol, textCol), idCol,
+      numChunks = 4, chunkBits = 16, maxHamming)
   }
 
   // ------------------------------------------------- cluster resolution
@@ -377,20 +385,28 @@ object Dedup {
     // followed by a count is two jobs over the same rows — scheduling
     // latency per job is the dominant cost of this operator on a loaded
     // host, not the work itself).
+    // null-endpoint edges identify no document pair — filter them ONCE
+    // here so BOTH strategies see the same edge set (union-find would skip
+    // them; label propagation would otherwise seed labels for the non-null
+    // endpoint and a spurious null node — divergent outputs across the
+    // adaptive switch)
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(eager = false)
     val small = p.count() <= smallGraphEdges
     // the single-task union-find needs runtime-Comparable ids (String,
-    // numerics, date/timestamp map to Comparable JVM types); exotic key
-    // types (struct/array/binary) fall back to the shuffle-based path,
-    // which orders via Spark's own `least` semantics instead
+    // numerics, date/timestamp map to Comparable JVM types) and BOTH
+    // columns of the same type (Integer.compareTo(Long) throws); exotic
+    // or mixed key types fall back to the shuffle-based path, which
+    // orders via Spark's own `least` semantics instead
     val comparableKey = {
       import org.apache.spark.sql.types._
-      p.schema("src").dataType match {
+      val srcDt = p.schema("src").dataType
+      srcDt == p.schema("dst").dataType && (srcDt match {
         case _: NumericType => true
         case StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
         case _ => false
-      }
+      })
     }
     if (small && comparableKey) {
       val out = clustersByUnionFind(p).localCheckpoint()
@@ -401,9 +417,8 @@ object Dedup {
   }
 
   /** Small-graph strategy: union-find by min id, one executor task.
-    * Edges with a NULL endpoint are ignored (a null id identifies no
-    * document — the label-propagation path drops them identically, since
-    * its equi-joins never match null keys).
+    * Null-endpoint edges were already filtered by [[dedupClusters]]; the
+    * null check here is belt-and-braces for direct callers.
     */
   private def clustersByUnionFind(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}

@@ -158,8 +158,19 @@ object Joins {
     */
   def skewSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
+    // salt only over hash()-supported columns: Spark's hash() rejects
+    // MapType inputs (analysis error), and an irrelevant map column must
+    // not break the salting of a join that never touches it
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty, "skewSaltedJoin: no hashable columns to derive a salt from")
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
+      pmod(hash(saltCols.toIndexedSeq: _*), lit(saltFactor)))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallSalted, keys :+ "_salt").drop("_salt")

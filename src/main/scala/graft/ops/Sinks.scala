@@ -176,7 +176,14 @@ object Sinks {
       s"processNewPartitions: column '$partitionBy' has over $maxPartitionValues " +
         "distinct values — that is not a partition column; pick a " +
         "metadata-cardinality key (date/source/shard)")
-    val srcVals = collected.map(r => Option(r.getString(0))).toSet
+    // EMPTY STRING canonicalizes to None like null does: Spark writes both
+    // a null and an empty-string partition value to the SAME
+    // __HIVE_DEFAULT_PARTITION__ directory (ExternalCatalogUtils treats
+    // null OR empty as the default partition), so a Some("") source value
+    // would never match the ledger's None and its rows would re-append —
+    // duplicate — on EVERY run. The two values are conflated into one
+    // partition by the storage layout itself; this operator mirrors that.
+    val srcVals = collected.map(r => Option(r.getString(0)).filter(_.nonEmpty)).toSet
     val newVals = srcVals -- done
     if (newVals.nonEmpty) {
       val nonNull = newVals.flatten.toSeq
@@ -184,7 +191,9 @@ object Sinks {
         if (nonNull.isEmpty) lit(false)
         else col(partitionBy).cast("string").isin(nonNull.map(x => x: Any): _*)
       val keep = inNonNull ||
-        (if (newVals.contains(None)) col(partitionBy).isNull else lit(false))
+        (if (newVals.contains(None))
+          col(partitionBy).isNull || col(partitionBy).cast("string") === ""
+        else lit(false))
       transform(src.where(keep))
         .write.mode(SaveMode.Append).partitionBy(partitionBy).parquet(destPath)
     }

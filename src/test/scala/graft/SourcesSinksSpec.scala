@@ -284,6 +284,20 @@ class SourcesSinksSpec extends SparkSpec {
     assert(!new java.io.File(dest).exists())
   }
 
+  test("processNewPartitions: empty-string partition values converge (no re-append duplication)") {
+    // Spark writes null AND "" to the same __HIVE_DEFAULT_PARTITION__
+    // directory; a Some("") source value that never matched the ledger's
+    // None would re-append — duplicate — on every run
+    val dest = Files.createTempDirectory("graft-incr5").toString + "/t"
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    val src = Seq((Some("a"), 1L), (Some(""), 2L), (None: Option[String], 3L)).toDF("k", "v")
+    val first = graft.ops.Sinks.processNewPartitions(spark, src, dest, "k")(id)
+    assert(first == 2, s"expected {a} + {default: '' and null conflated}, got $first")
+    assert(graft.ops.Sinks.processNewPartitions(spark, src, dest, "k")(id) == 0,
+      "re-run must be a no-op — '' re-appending was the duplication bug")
+    assert(spark.read.parquet(dest).select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("jdbc existence probe does not treat '_' in table names as a LIKE wildcard") {
     val db = Files.createTempDirectory("graft-derby2").toString + "/db"
     val url = s"jdbc:derby:$db;create=true"
