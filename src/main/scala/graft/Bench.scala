@@ -34,6 +34,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = Queries.all.filter(q => only.forall(_.contains(q.name)))
+    // a typo'd allowlist would otherwise emit a healthy-looking
+    // {"total":0,"failed":0} — indistinguishable from a perfect run
+    if (only.nonEmpty && selected.isEmpty)
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY=${only.get.mkString(",")} " +
+        "matches NO query — the totals below cover zero queries")
     // Warm up JIT/codegen/parquet-footer paths so the first timed query
     // doesn't absorb session startup cost — one representative per hot
     // family (relational agg, tokenizer/regex, vector kernels, iterative

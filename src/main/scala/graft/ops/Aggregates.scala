@@ -15,7 +15,11 @@ object Aggregates {
     */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    // collision-safe helper name: withColumn REPLACES an existing column,
+    // so a hardcoded "_rn" would silently drop a business column of that
+    // name from the output
+    val rn = Iterator.from(0).map(i => s"_rn$i").filterNot(df.columns.contains).next()
+    df.withColumn(rn, row_number().over(w)).where(col(rn) === 1).drop(rn)
   }
 
   /** Op 17, pandas-faithful variant: any-wins (no ordering guarantee). */
@@ -45,7 +49,18 @@ object Aggregates {
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val u = updates.dropDuplicates(keys)
-    base.join(u.select(keys.map(col): _*), keys, "left_anti")
+    // NULL-SAFE anti join: with plain equality a null-key base row never
+    // matches a null-key update, so BOTH would survive the union — two
+    // rows for one key, violating the MERGE invariant. `<=>` treats null
+    // as a join value, so a null-key update replaces the null-key base
+    // row like any other key. Both sides are alias-qualified so the
+    // condition resolves even when `updates` derives from `base` (shared
+    // attribute ids would otherwise make the join self-ambiguous).
+    val b = base.alias("_upsert_b")
+    val uk = u.select(keys.map(col): _*).alias("_upsert_u")
+    val cond = keys.map(k => col(s"_upsert_b.$k") <=> col(s"_upsert_u.$k"))
+      .reduce(_ && _)
+    b.join(uk, cond, "left_anti")
       .unionByName(u)
   }
 
@@ -53,8 +68,10 @@ object Aggregates {
     batch.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti")
 
   /** Op 19 — schema-aligning UNION ALL (global_dag.py:199-213). */
-  def unionAligned(dfs: Seq[DataFrame]): DataFrame =
+  def unionAligned(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionAligned: no input frames")
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Top-k by an explicit total order — Spark plans this as
     * TakeOrderedAndProject (no full sort, no full shuffle of the data).

@@ -37,9 +37,13 @@ object Transforms {
       }
     }
 
-  /** Op 11 — split a `"lat,lon"` string into typed columns (global_dag.py:205,212). */
+  /** Op 11 — split a `"lat,lon"` string into typed columns (global_dag.py:205,212).
+    * `sep` is a LITERAL separator: Spark's `split` takes a regex, so it is
+    * quoted here — an unquoted "|" would be the empty-alternation regex and
+    * silently split between every character.
+    */
   def splitPoint(c: Column, sep: String = ","): (Column, Column) = {
-    val parts = split(c, sep)
+    val parts = split(c, java.util.regex.Pattern.quote(sep))
     (element_at(parts, 1).cast("double"), element_at(parts, 2).cast("double"))
   }
 
@@ -50,7 +54,13 @@ object Transforms {
     * sha1.
     */
   def hashId(cols: Seq[Column], algo: String = "sha1", sep: String = "|"): Column = {
-    val payload = concat_ws(sep, cols: _*)
+    // concat_ws SKIPS null columns, so (a, null, b) and (a, b, null) would
+    // hash identically — distinct rows silently merging under one id. Each
+    // column is sentinel-coalesced (NUL byte: absent from real field data);
+    // non-null payloads stay byte-identical to plain concat_ws, so SQL
+    // mirrors keep matching. CAVEAT: a field VALUE containing `sep` can
+    // still alias adjacent fields — pick a separator absent from the data.
+    val payload = concat_ws(sep, cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
     algo match {
       case "sha1" => sha1(payload)
       case "md5"  => md5(payload)
@@ -74,8 +84,13 @@ object Transforms {
   def unpivot(df: DataFrame, ids: Seq[String], measures: Seq[String],
               nameCol: String = "measure", valueCol: String = "value"): DataFrame = {
     require(measures.nonEmpty)
-    val stackArgs = measures.map(m => s"'$m', `$m`").mkString(", ")
-    df.selectExpr(ids.map(i => s"`$i`") :+
-      s"stack(${measures.length}, $stackArgs) AS (`$nameCol`, `$valueCol`)": _*)
+    // names are interpolated into generated SQL — escape string-literal
+    // quotes and identifier backticks or a name containing either breaks
+    // (or worse, reshapes) the parse
+    def lt(s: String) = s.replace("'", "''")
+    def id(s: String) = "`" + s.replace("`", "``") + "`"
+    val stackArgs = measures.map(m => s"'${lt(m)}', ${id(m)}").mkString(", ")
+    df.selectExpr(ids.map(id) :+
+      s"stack(${measures.length}, $stackArgs) AS (${id(nameCol)}, ${id(valueCol)})": _*)
   }
 }

@@ -35,11 +35,13 @@ object StageDeaths {
       .withColumn("id", sha1(col("name_raw")))
       .withColumn("date_of_birth", Transforms.parseDateMulti(col("birth_raw")))
       .withColumn("date_of_death", Transforms.parseDateMulti(col("death_raw")))
-    val geo = cityGeo(spark, cityGeoPath)
-      .where(col("latitude").isNotNull && !isnan(col("latitude")) &&
-        col("longitude").isNotNull && !isnan(col("longitude")))
-    Joins.broadcastLookup(parsed, geo, parsed("insee") === geo("insee"))
-      .where(col("date_of_birth").isNotNull && col("date_of_death").isNotNull)
+    // the op-10 helper IS this filter (null + NaN per dtype) — one
+    // definition, no drift
+    val geo = Transforms.filterValid(cityGeo(spark, cityGeoPath),
+      Seq("latitude", "longitude"))
+    Transforms.filterValid(
+        Joins.broadcastLookup(parsed, geo, parsed("insee") === geo("insee")),
+        Seq("date_of_birth", "date_of_death"))
       .select(parsed("id"), col("date_of_birth"), col("date_of_death"),
         col("latitude"), col("longitude"))
       .dropDuplicates("id")

@@ -24,7 +24,12 @@ object StagePlants {
   def stageOne(raw: DataFrame, dropList: Seq[String], renames: Map[String, String],
                plantType: String, orderCol: String): DataFrame = {
     val staged = Transforms.renameCols(Transforms.dropCols(raw, dropList), renames)
-    val deduped = Aggregates.dedupFirst(staged, Seq("plant"), Seq(col(orderCol).asc))
+    // the ORDER must be total within a plant group or the surviving row —
+    // and therefore its hash id — is partition-order dependent (dedupFirst's
+    // documented contract): every remaining column joins as a tiebreaker
+    val tieBreak = staged.columns.filterNot(c => c == orderCol || c == "plant")
+      .sorted.map(c => staged(c).asc)
+    val deduped = Aggregates.dedupFirst(staged, Seq("plant"), col(orderCol).asc +: tieBreak)
     val (lat, lon) = Transforms.splitPoint(col("position"))
     deduped
       .withColumn("creation_date", Transforms.parseDateMulti(col("start_date"), Seq("yyyy-MM-dd", "yyyyMMdd")))
@@ -61,7 +66,14 @@ object StagePlants {
     Aggregates.unionAligned(Seq(thermal, nuclear))
   }
 
-  /** Typed serve-layer view (SURVEY.md §1.4). */
+  /** Typed serve-layer view (SURVEY.md §1.4). The typed layer only admits
+    * fully-valid rows: `PowerPlant`'s numeric fields are primitive Doubles,
+    * so a row with unparseable power or position (NULL after the permissive
+    * casts) would NPE inside the deserializer mid-stage — same validity
+    * gate StageDeaths applies before typing.
+    */
   def typed(spark: SparkSession, thermalCsv: String, nuclearCsv: String): Dataset[PowerPlant] =
-    apply(spark, thermalCsv, nuclearCsv).as(Encoders.product[PowerPlant])
+    Transforms.filterValid(apply(spark, thermalCsv, nuclearCsv),
+        Seq("plant_power", "latitude", "longitude"))
+      .as(Encoders.product[PowerPlant])
 }
