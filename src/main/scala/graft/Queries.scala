@@ -206,6 +206,42 @@ object Queries {
         SELECT o_orderkey, o_totalprice FROM upd
         ORDER BY o_orderkey""")),
 
+    QueryDef("op_merge_acid",
+      // the ACID form of op_upsert: the SAME last-write-wins MERGE, but
+      // executed through the versioned-manifest commit protocol
+      // (ops.ManifestTable) — base committed as v0, updates merged
+      // copy-on-write as v1, result read back from the committed snapshot.
+      // The oracle is the relational MERGE: the commit protocol must be
+      // invisible in the data. Table root is per-sfdir+pid in tmp so
+      // verify/bench runs never collide; wiped at entry so re-runs start
+      // from a fresh log.
+      (s, d) => {
+        val root = System.getProperty("java.io.tmpdir") + "/graft_acid_" +
+          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val updates = base.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+              lit(1.0).as("o_totalprice")))
+        val mt = ManifestTable(s, root)
+        mt.overwrite(base)
+        mt.merge(updates, Seq("o_orderkey"))
+        mt.snapshot().orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)
+        SELECT b.o_orderkey, b.o_totalprice FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM upd
+        ORDER BY o_orderkey""")),
+
     QueryDef("q4_priority_check",
       // TPC-H Q4 shape (order priority checking): EXISTS-correlated
       // subquery planned as a LEFT SEMI hash join — the late-lineitem

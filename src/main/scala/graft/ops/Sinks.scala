@@ -41,11 +41,10 @@ object Sinks {
     * same keys CONCURRENTLY can both see them absent and both append —
     * plain parquet paths have no commit protocol to serialize against.
     * Single-writer (or externally serialized) usage is the contract here,
-    * which matches the reference's single-threaded Airflow task. The scale
-    * form of this operator is a table format with an atomic-commit log
-    * (Delta/Iceberg `MERGE`) — not addable in this dependency-closed
-    * build; the relational semantics above are exactly what that MERGE
-    * would execute.
+    * which matches the reference's single-threaded Airflow task. For
+    * multi-writer use, [[ManifestTable]] provides the commit protocol
+    * (versioned manifests + CAS locks): its `merge` executes exactly the
+    * relational semantics above, atomically.
     */
   def idempotentParquetAppend(
       spark: SparkSession, batch: DataFrame, path: String,

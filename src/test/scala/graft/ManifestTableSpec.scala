@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, ManifestTable}
+
+/** Commit-protocol contract of [[graft.ops.ManifestTable]]: atomic CAS
+  * commits, snapshot isolation, time travel, serializable concurrent
+  * appends/merges, orphan-lock failure mode, vacuum retention.
+  */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-mt").resolve("tbl").toString
+
+  private def kv(rows: (Long, Double)*) =
+    rows.toSeq.toDF("k", "v")
+
+  test("overwrite + snapshot roundtrip, empty table readable via manifest schema") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0))
+    // zero-row commit: parquet dir has no data files; the manifest's schema
+    // DDL must keep the snapshot readable
+    t.overwrite(kv().where(lit(false)))
+    assert(t.snapshot().count() == 0)
+    assert(t.snapshot().columns.toList == List("k", "v"))
+  }
+
+  test("append accumulates; versions are contiguous; time travel pins history") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0))
+    t.append(kv(2L -> 2.0))
+    t.append(kv(3L -> 3.0))
+    assert(t.versions() == Seq(0L, 1L, 2L))
+    assert(t.snapshot().count() == 3)
+    // a snapshot taken BEFORE a later commit must not see it (isolation)
+    val pinned = t.snapshotAt(1)
+    t.append(kv(4L -> 4.0))
+    assert(pinned.count() == 2)
+    assert(t.snapshotAt(0).as[(Long, Double)].collect().toList == List(1L -> 1.0))
+    assert(t.snapshot().count() == 4)
+  }
+
+  test("merge has last-write-wins upsert semantics and serializes with the log") {
+    val t = ManifestTable(spark, freshRoot())
+    val base = kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+    t.overwrite(base)
+    val updates = kv(2L -> 20.0, 9L -> 9.0)
+    val v = t.merge(updates, Seq("k"))
+    assert(v == 1L)
+    val got = t.snapshot().orderBy("k").as[(Long, Double)].collect().toList
+    val want = Aggregates.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, Double)].collect().toList
+    assert(got == want)
+    assert(got == List(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 9L -> 9.0))
+    // merge into an EMPTY table is just the key-deduped updates
+    val t2 = ManifestTable(spark, freshRoot())
+    t2.merge(kv(1L -> 1.0, 1L -> 1.5), Seq("k"))
+    assert(t2.snapshot().count() == 1)
+  }
+
+  test("concurrent appends all survive — the CAS serializes writers") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(0L -> 0.0))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() => {
+        try (1 to 3).foreach { i => t.append(kv((w * 100 + i).toLong -> i.toDouble)) }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    // 1 base + 12 appends, no lost update, contiguous log
+    assert(t.versions() == (0L to 12L))
+    assert(t.snapshot().count() == 13)
+  }
+
+  test("concurrent merges serialize: both updates present in the final state") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => {
+        try t.merge(kv(1L -> 10.0), Seq("k"))
+        catch { case e: Throwable => errs.add(e) }
+      }),
+      new Thread(() => {
+        try t.merge(kv(5L -> 5.0), Seq("k"))
+        catch { case e: Throwable => errs.add(e) }
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent merge failed: ${errs.peek()}")
+    val got = t.snapshot().orderBy("k").as[(Long, Double)].collect().toList
+    // whichever merge won the race, the loser recomputed on top of it:
+    // k=1 updated, k=2 untouched, k=5 inserted
+    assert(got == List(1L -> 10.0, 2L -> 2.0, 5L -> 5.0))
+  }
+
+  test("orphan lock (crashed writer) fails loudly naming the lock to remove") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0))
+    // simulate a writer that reserved v1 and died before publishing
+    val lock = new java.io.File(s"$root/_log/v${"%020d".format(1)}.lock")
+    assert(lock.createNewFile())
+    val e = intercept[java.io.IOException] { t.append(kv(2L -> 2.0), maxRetries = 1) }
+    assert(e.getMessage.contains("v00000000000000000001.lock"))
+    // removing the orphan unblocks the log exactly where it stopped
+    assert(lock.delete())
+    assert(t.append(kv(2L -> 2.0)) == 1L)
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("op_merge_acid equals the relational op_upsert row for row") {
+    val byName = Queries.all.map(q => q.name -> q.fn).toMap
+    val acid = byName("op_merge_acid")(spark, sf0001).collect().toList
+    val rel = byName("op_upsert")(spark, sf0001).collect().toList
+    assert(acid == rel)
+    assert(acid.nonEmpty)
+  }
+
+  test("vacuum drops data outside the retained window; latest stays readable") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))
+    t.merge(kv(2L -> 20.0), Seq("k"))      // COW: v1 references only its own dir
+    val dataDirs = new java.io.File(s"$root/data").list()
+    assert(dataDirs.length == 2)
+    val dead = t.vacuum(retainLast = 1)
+    assert(dead.length == 1)
+    assert(new java.io.File(s"$root/data").list().length == 1)
+    // the retained snapshot is intact; the vacuumed version is gone by contract
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 20.0))
+    intercept[Exception] { t.snapshotAt(0).collect() }
+  }
+}
