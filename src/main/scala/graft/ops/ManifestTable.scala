@@ -1,10 +1,12 @@
 package graft.ops
 
+import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+import org.apache.spark.sql.types._
 
 /** A minimal versioned-manifest table format: the commit-protocol answer to
   * the documented concurrency limit of plain parquet paths (see
@@ -38,14 +40,26 @@ import org.apache.spark.sql.types.StructType
   *  - `append`: new dirs = old dirs + one; conflicts retry cheaply (the
   *    data dir is already written; only the manifest CAS re-runs).
   *  - `overwrite`: new dirs = exactly one.
-  *  - `merge`: copy-on-write MERGE (last-write-wins upsert on a key): the
-  *    rewritten table lands in one new dir. A conflict means the base
-  *    snapshot changed, so the rewrite itself recomputes against the new
-  *    snapshot before retrying — the result is always a serializable
-  *    history. At 100 TB the rewrite set should be pruned to affected
-  *    partitions/files via min-max stats; this implementation rewrites the
-  *    full table (correct, pessimistic) and documents that as the scale
-  *    follow-up.
+  *  - `merge`: copy-on-write MERGE (last-write-wins upsert on a key): see
+  *    below. A conflict means the base snapshot changed, so the rewrite
+  *    itself recomputes against the new snapshot before retrying — the
+  *    result is always a serializable history.
+  *
+  * **Stats-pruned merge** (the 100-TB form — same plan Delta/Iceberg use):
+  * when the table is built with `statsCols`, each commit records per-dir
+  * min/max + has-null for those columns (one tiny aggregation over the
+  * just-written files), and `merge` rewrites ONLY the dirs whose key range
+  * can overlap the update batch's hull — every provably-disjoint dir
+  * survives into the new manifest untouched. Pruning is conservative by
+  * construction:
+  *  - a dir is skipped only if SOME key column's ranges are disjoint AND
+  *    the null populations cannot meet (`<=>` matches null to null, and
+  *    min/max ignore nulls — so has-null is tracked separately);
+  *  - stats are kept for integral/floating/decimal columns only (string
+  *    ordering differs between JVM compare and Spark's binary collation,
+  *    and a wrong prune is a lost update, so strings never prune);
+  *  - unparseable bounds (NaN/Infinity), missing stats, or a type-changing
+  *    upsert (schema coercion) all fall back to rewriting.
   *
   * Failure notes (documented trade-offs, mirrored in ManifestTableSpec):
   *  - A writer that dies between reserving `vN.lock` and publishing
@@ -59,7 +73,8 @@ import org.apache.spark.sql.types.StructType
   *  - Object stores without atomic exclusive-create (S3 pre-conditional-PUT)
   *    need a coordinator; same caveat as every log-structured format.
   */
-final class ManifestTable private (spark: SparkSession, rootStr: String) {
+final class ManifestTable private (
+    spark: SparkSession, rootStr: String, statsCols: Seq[String]) {
   import ManifestTable._
 
   private val root = new Path(rootStr)
@@ -89,50 +104,68 @@ final class ManifestTable private (spark: SparkSession, rootStr: String) {
     * is pinned from that one manifest, so later commits (or concurrent
     * writers) cannot change what this DataFrame reads.
     */
-  def snapshotAt(version: Long): DataFrame = {
-    val m = readManifest(version)
-    val reader = spark.read.schema(StructType.fromDDL(m.schemaDdl))
-    if (m.dirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType.fromDDL(m.schemaDdl))
-    else reader.parquet(m.dirs.map(d => new Path(dataDir, d).toString): _*)
+  def snapshotAt(version: Long): DataFrame =
+    readDirs(readManifest(version), readManifest(version).dirs)
+
+  private def readDirs(m: Manifest, dirs: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs.map(d => new Path(dataDir, d).toString): _*)
   }
 
   // --------------------------------------------------------------- writes
 
   /** Replace the table contents atomically. Returns the committed version. */
   def overwrite(df: DataFrame, maxRetries: Int = DefaultRetries): Long = {
-    val dir = writeData(df)
-    commitWithRetry(maxRetries, "overwrite", df.schema.toDDL, _ => Seq(dir))
+    val (dir, stats) = writeData(df)
+    commitWithRetry(maxRetries, "overwrite", normDdl(df.schema), _ => Seq(dir), stats)
   }
 
   /** Append a batch atomically. The data is written once; only the manifest
     * CAS re-runs on a conflict. Returns the committed version.
     */
   def append(df: DataFrame, maxRetries: Int = DefaultRetries): Long = {
-    val dir = writeData(df)
-    commitWithRetry(maxRetries, "append", df.schema.toDDL,
-      prev => prev.map(_.dirs).getOrElse(Seq.empty) :+ dir)
+    val (dir, stats) = writeData(df)
+    commitWithRetry(maxRetries, "append", normDdl(df.schema),
+      prev => prev.map(_.dirs).getOrElse(Seq.empty) :+ dir, stats)
   }
 
   /** Copy-on-write MERGE: last-write-wins upsert of `updates` by `keys`
     * (exactly [[Aggregates.upsert]]'s semantics, including null-safe key
-    * matching), committed atomically. On a CAS conflict the rewrite is
-    * recomputed against the winner's snapshot, so concurrent merges
-    * serialize instead of losing updates. Returns the committed version.
+    * matching), committed atomically. With `statsCols` covering a key, only
+    * range-overlapping dirs are rewritten (see class doc); without, the
+    * whole table rewrites. On a CAS conflict the rewrite is recomputed
+    * against the winner's snapshot. Returns the committed version.
     */
   def merge(updates: DataFrame, keys: Seq[String], maxRetries: Int = DefaultRetries): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion()
-      val merged = base match {
-        case Some(v) => Aggregates.upsert(snapshotAt(v), updates, keys)
-        case None    => updates.dropDuplicates(keys)
+      val (survivors, merged) = base match {
+        case None => (Seq.empty[String], updates.dropDuplicates(keys))
+        case Some(v) =>
+          val m = readManifest(v)
+          val hull = updatesHull(updates, keys.filter(c =>
+            m.stats.values.exists(_.contains(c))))
+          val (keep, rewrite) = m.dirs.partition(d => provablyDisjoint(m.stats.getOrElse(d, Map.empty), hull))
+          val mergedAll =
+            if (rewrite.isEmpty) updates.dropDuplicates(keys)
+            else Aggregates.upsert(readDirs(m, rewrite), updates, keys)
+          // a type-coercing upsert (e.g. decimal base × double updates) would
+          // give surviving dirs a schema their parquet can't serve — fall
+          // back to a full rewrite in that case (nullability is excluded
+          // from the comparison: file reads are always nullable)
+          if (keep.nonEmpty && normDdl(mergedAll.schema) != m.schemaDdl)
+            (Seq.empty[String], Aggregates.upsert(snapshotAt(v), updates, keys))
+          else (keep, mergedAll)
       }
-      val dir = writeData(merged)
+      val (dir, stats) = writeData(merged)
       // single-shot commit: a conflict must re-derive the merge input, not
       // just re-CAS the same rewrite (that would silently drop the
       // conflicting winner's rows)
-      commitOnce("merge", merged.schema.toDDL, _ => Seq(dir), parentGuard = Some(base)) match {
+      commitOnce("merge", normDdl(merged.schema), prev => survivors :+ dir, stats,
+          parentGuard = Some(base)) match {
         case Some(v) => return v
         case None =>
           attempt += 1
@@ -158,19 +191,99 @@ final class ManifestTable private (spark: SparkSession, rootStr: String) {
     dead
   }
 
+  // ------------------------------------------------- stats-pruned merge
+
+  /** Min/max/has-null of the update batch per prunable key column — ONE tiny
+    * aggregation job, only run when the manifest actually has stats to
+    * prune against. Bounds use the batch's HULL, so a batch spanning the
+    * whole key space prunes nothing (coarse but never wrong).
+    */
+  private def updatesHull(updates: DataFrame, cols: Seq[String]): Map[String, ColStat] = {
+    val prunable = cols.filter(c =>
+      updates.schema.fields.exists(f => f.name == c && isPrunableType(f.dataType)))
+    if (prunable.isEmpty) return Map.empty
+    val aggs = prunable.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c"),
+      count(when(col(c).isNull, lit(1))).as(s"nulls_$c")))
+    val r = updates.agg(aggs.head, aggs.tail: _*).collect()(0)
+    prunable.map { c =>
+      c -> ColStat(
+        Option(r.getAs[String](s"min_$c")),
+        Option(r.getAs[String](s"max_$c")),
+        r.getAs[Long](s"nulls_$c") > 0)
+    }.toMap
+  }
+
+  /** True only when NO row of the dir can key-match ANY update row: some key
+    * column's value ranges are disjoint and its null populations cannot
+    * meet. Any missing or unparseable bound ⇒ not provable ⇒ rewrite.
+    */
+  private def provablyDisjoint(dirStats: Map[String, ColStat],
+                               hull: Map[String, ColStat]): Boolean =
+    hull.exists { case (c, u) =>
+      dirStats.get(c).exists { d =>
+        val nullsCantMeet = !(d.hasNull && u.hasNull)
+        val rangesDisjoint = (for {
+          dMin <- d.min.flatMap(num); dMax <- d.max.flatMap(num)
+          uMin <- u.min.flatMap(num); uMax <- u.max.flatMap(num)
+        } yield dMax.compareTo(uMin) < 0 || uMax.compareTo(dMin) < 0)
+          .getOrElse(
+            // a side with NO non-null values (bounds absent) has an empty
+            // value range — disjoint from anything; parse failures land
+            // here too via num=None on a PRESENT bound, so distinguish:
+            (d.min.isEmpty && d.max.isEmpty) || (u.min.isEmpty && u.max.isEmpty))
+        nullsCantMeet && rangesDisjoint
+      }
+    }
+
+  /** Manifest schemas are stored top-level-nullable: the DDL's only job is
+    * READING the dirs, and file sources force nullable anyway — keeping the
+    * writer's NOT NULL markers would make every schema-equality check
+    * (merge's coercion guard) spuriously fail against read-back schemas.
+    */
+  private def normDdl(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+
+  private def num(s: String): Option[java.math.BigDecimal] =
+    try Some(new java.math.BigDecimal(s)) catch { case _: NumberFormatException => None }
+
+  /** Only types whose string round-trip orders identically to Spark's own
+    * comparison. Strings/dates/timestamps are excluded on purpose — a
+    * collation mismatch would prune a dir that overlaps, losing updates.
+    */
+  private def isPrunableType(t: DataType): Boolean = t match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
   // ------------------------------------------------------------ internals
 
-  private def writeData(df: DataFrame): String = {
+  /** Writes the batch to a fresh dir; when stats are enabled, reads the
+    * WRITTEN files back for min/max/has-null (immune to a nondeterministic
+    * input plan re-executing differently — the stats describe the bytes on
+    * disk, nothing else).
+    */
+  private def writeData(df: DataFrame): (String, Map[String, ColStat]) = {
     val dir = java.util.UUID.randomUUID().toString
-    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dataDir, dir).toString)
-    dir
+    val path = new Path(dataDir, dir).toString
+    df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    val prunable = statsCols.filter(c =>
+      df.schema.fields.exists(f => f.name == c && isPrunableType(f.dataType)))
+    if (prunable.isEmpty) (dir, Map.empty)
+    else {
+      val written = spark.read.schema(df.schema).parquet(path)
+      (dir, updatesHull(written, prunable))
+    }
   }
 
   private def commitWithRetry(maxRetries: Int, action: String, schemaDdl: String,
-                              dirs: Option[Manifest] => Seq[String]): Long = {
+                              dirs: Option[Manifest] => Seq[String],
+                              newStats: Map[String, ColStat]): Long = {
     var attempt = 0
     while (true) {
-      commitOnce(action, schemaDdl, dirs, parentGuard = None) match {
+      commitOnce(action, schemaDdl, dirs, newStats, parentGuard = None) match {
         case Some(v) => return v
         case None =>
           attempt += 1
@@ -185,10 +298,13 @@ final class ManifestTable private (spark: SparkSession, rootStr: String) {
     * `parentGuard`, the latest version is no longer the guarded one —
     * including a fresh table that gained its first commit): re-derive and
     * retry. `parentGuard = Some(p)` means "commit only on top of exactly
-    * p"; plain None means "on top of whatever is latest".
+    * p"; plain None means "on top of whatever is latest". `newStats` are
+    * the stats of the LAST dir the callback returns (the freshly written
+    * one); surviving dirs inherit their stats from the parent manifest.
     */
   private def commitOnce(action: String, schemaDdl: String,
                          dirs: Option[Manifest] => Seq[String],
+                         newStats: Map[String, ColStat],
                          parentGuard: Option[Option[Long]]): Option[Long] = {
     fs.mkdirs(logDir)
     val prevV = latestVersion()
@@ -200,12 +316,24 @@ final class ManifestTable private (spark: SparkSession, rootStr: String) {
       // (or is slow); the retry loop re-lands here until retries exhaust
       return None
     }
+    val allDirs = dirs(prev)
+    val inherited = prev.map(_.stats).getOrElse(Map.empty)
+    val statsByDir: Map[String, Map[String, ColStat]] =
+      allDirs.map { d =>
+        d -> (if (d == allDirs.last && newStats.nonEmpty) newStats
+              else inherited.getOrElse(d, Map.empty))
+      }.filter(_._2.nonEmpty).toMap
     val body = new StringBuilder()
       .append(Magic).append('\n')
       .append(s"version=$next\n")
       .append(s"action=$action\n")
       .append(s"schema=$schemaDdl\n")
-    dirs(prev).foreach(d => body.append(s"dir=$d\n"))
+    allDirs.foreach(d => body.append(s"dir=$d\n"))
+    for ((d, cols) <- statsByDir; (c, st) <- cols) {
+      val mn = st.min.map(enc).getOrElse(NullMark)
+      val mx = st.max.map(enc).getOrElse(NullMark)
+      body.append(s"dirstat=$d|${enc(c)}|$mn|$mx|${st.hasNull}\n")
+    }
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, /* overwrite = */ false)
     try out.write(body.toString.getBytes(UTF_8)) finally out.close()
@@ -258,20 +386,50 @@ final class ManifestTable private (spark: SparkSession, rootStr: String) {
     def field(k: String): String = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
     }.getOrElse(sys.error(s"ManifestTable $rootStr: v$v missing field '$k'"))
+    val stats = lines.toSeq.collect {
+      case l if l.startsWith("dirstat=") => l.substring(8).split('|') match {
+        case Array(d, c, mn, mx, hn) =>
+          (d, dec(c), ColStat(
+            if (mn == NullMark) None else Some(dec(mn)),
+            if (mx == NullMark) None else Some(dec(mx)),
+            hn.toBoolean))
+        case other => sys.error(s"ManifestTable $rootStr: v$v bad dirstat line '$l'")
+      }
+    }.groupBy(_._1).map { case (d, rows) =>
+      d -> rows.map(r => r._2 -> r._3).toMap
+    }
     Manifest(field("version").toLong, field("action"), field("schema"),
-      lines.toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) })
+      lines.toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) },
+      stats)
   }
 }
 
 object ManifestTable {
   private val Magic = "graft-manifest-v1"
+  private val NullMark = " null"
   private val DefaultRetries = 10
   private val RetrySleepMs = 50L
   private val ManifestName = """v(\d{20})\.txt""".r
 
-  private final case class Manifest(
-      version: Long, action: String, schemaDdl: String, dirs: Seq[String])
+  /** Per-column bounds of one data dir (or of an update batch): string-cast
+    * min/max of the NON-NULL values (absent ⇒ no non-null rows) plus
+    * whether any null exists — `<=>` key matching makes nulls joinable, so
+    * they prune separately from the value range.
+    */
+  private final case class ColStat(min: Option[String], max: Option[String], hasNull: Boolean)
 
-  def apply(spark: SparkSession, root: String): ManifestTable =
-    new ManifestTable(spark, root)
+  private final case class Manifest(
+      version: Long, action: String, schemaDdl: String, dirs: Seq[String],
+      stats: Map[String, Map[String, ColStat]])
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  /** `statsCols`: columns to record per-dir min/max for at write time —
+    * list the MERGE key(s) of the table to enable stats-pruned merges.
+    * Stats cost one small aggregation per commit and only numeric-family
+    * columns participate (see [[ManifestTable.isPrunableType]]).
+    */
+  def apply(spark: SparkSession, root: String, statsCols: Seq[String] = Nil): ManifestTable =
+    new ManifestTable(spark, root, statsCols)
 }

@@ -116,6 +116,52 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 2)
   }
 
+  test("stats-pruned merge rewrites only range-overlapping dirs") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root, statsCols = Seq("k"))
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))          // dir A: k ∈ [1,2]
+    t.append(kv(100L -> 100.0, 101L -> 101.0))     // dir B: k ∈ [100,101]
+    t.append(kv(200L -> 200.0))                    // dir C: k ∈ [200,200]
+    def dirsOf(v: Long): Set[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_log/v${"%020d".format(v)}.txt")), "UTF-8")
+      txt.split('\n').toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) }.toSet
+    }
+    val before = dirsOf(2)
+    assert(before.size == 3)
+    // updates hull [100,101]: dirs A and C are provably disjoint and must
+    // survive by NAME (no rewrite); only B is replaced
+    t.merge(kv(100L -> -1.0), Seq("k"))
+    val after = dirsOf(3)
+    assert(after.size == 3)
+    assert((before & after).size == 2, s"expected 2 surviving dirs, got ${before & after}")
+    val got = t.snapshot().orderBy("k").as[(Long, Double)].collect().toList
+    assert(got == List(1L -> 1.0, 2L -> 2.0, 100L -> -1.0, 101L -> 101.0, 200L -> 200.0))
+    // insert-only merge (keys beyond every range): ALL dirs survive
+    t.merge(kv(999L -> 9.0), Seq("k"))
+    assert((after & dirsOf(4)).size == 3)
+    assert(t.snapshot().count() == 6)
+  }
+
+  test("stats pruning is null-safe: a null-key update reaches null-key dirs") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root, statsCols = Seq("k"))
+    val nullRow = Seq((Option.empty[Long], 0.0)).toDF("k", "v")
+    t.overwrite(Seq((Some(1L), 1.0)).toDF("k", "v"))   // dir A: k ∈ [1,1], no nulls
+    t.append(nullRow)                                   // dir B: null key only
+    // null-key update must match dir B's null row (<=> semantics), so B
+    // cannot be pruned even though its value range is empty
+    t.merge(Seq((Option.empty[Long], -1.0)).toDF("k", "v"), Seq("k"))
+    val got = t.snapshot().orderBy(asc_nulls_first("k")).as[(Option[Long], Double)]
+      .collect().toList
+    assert(got == List((None, -1.0), (Some(1L), 1.0)))
+    // and a non-null update disjoint from A's range skips BOTH (B has an
+    // empty value range and no null can meet a non-null update)
+    val vBefore = t.latestVersion().get
+    t.merge(Seq((Some(50L), 5.0)).toDF("k", "v"), Seq("k"))
+    assert(t.snapshot().count() == 3)
+  }
+
   test("op_merge_acid equals the relational op_upsert row for row") {
     val byName = Queries.all.map(q => q.name -> q.fn).toMap
     val acid = byName("op_merge_acid")(spark, sf0001).collect().toList
