@@ -26,12 +26,18 @@ object Bench {
     // ~91 s at 32, local[32]). Scale the knob with the input when
     // benching beyond sf0.1.
     val sp = sys.env.getOrElse("SPARK_GRAFT_SP", "8")
-    val spark = SparkSession.builder()
+    val countJobs = sys.env.get("SPARK_GRAFT_JOBCOUNT").contains("true")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sp)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // job-count mode reads statusTracker, whose store evicts past
+    // spark.ui.retainedJobs (default 1000) — the suite can exceed that
+    // (measured 559 jobs with AQE on), which would silently zero the
+    // per-query deltas for late queries
+    if (countJobs) builder.config("spark.ui.retainedJobs", "1000000")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = Queries.all.filter(q => only.forall(_.contains(q.name)))
     // a typo'd allowlist would otherwise emit a healthy-looking
@@ -66,7 +72,6 @@ object Bench {
     // is scheduling rounds, not row work — see AQE comment above). The
     // status store is fed asynchronously, so each sample needs a settle
     // sleep; gated off in timed runs.
-    val countJobs = sys.env.get("SPARK_GRAFT_JOBCOUNT").contains("true")
     def jobsSoFar(): Int = {
       if (countJobs) Thread.sleep(300)
       spark.sparkContext.statusTracker.getJobIdsForGroup(null).length

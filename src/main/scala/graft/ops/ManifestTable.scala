@@ -62,11 +62,12 @@ import org.apache.spark.sql.types._
   *    upsert (schema coercion) all fall back to rewriting.
   *
   * Failure notes (documented trade-offs, mirrored in ManifestTableSpec):
-  *  - A writer that dies between reserving `vN.lock` and publishing
-  *    `vN.txt` leaves an orphan lock; later writers exhaust retries and
-  *    fail loudly naming the lock to remove. (Delta has the same class of
-  *    issue with orphaned staging state; a TTL-based breaker needs a clock
-  *    authority this build doesn't assume.)
+  *  - A writer whose PROCESS dies between reserving `vN.lock` and
+  *    publishing `vN.txt` leaves an orphan lock; later writers exhaust
+  *    retries and fail loudly naming the lock to remove. (A live writer
+  *    hitting an IO failure releases its own lock on the way out.) Delta
+  *    has the same class of issue with orphaned staging state; a TTL-based
+  *    breaker needs a clock authority this build doesn't assume.
   *  - `vacuum(retainLast)` deletes data dirs unreferenced by the newest K
   *    manifests; time travel older than that stops working, like Delta's
   *    `VACUUM` past the retention window.
@@ -104,8 +105,10 @@ final class ManifestTable private (
     * is pinned from that one manifest, so later commits (or concurrent
     * writers) cannot change what this DataFrame reads.
     */
-  def snapshotAt(version: Long): DataFrame =
-    readDirs(readManifest(version), readManifest(version).dirs)
+  def snapshotAt(version: Long): DataFrame = {
+    val m = readManifest(version)
+    readDirs(m, m.dirs)
+  }
 
   private def readDirs(m: Manifest, dirs: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -123,12 +126,22 @@ final class ManifestTable private (
   }
 
   /** Append a batch atomically. The data is written once; only the manifest
-    * CAS re-runs on a conflict. Returns the committed version.
+    * CAS re-runs on a conflict. The batch's schema must equal the table's
+    * (modulo nullability): schema evolution is NOT supported, and silently
+    * committing a drifted schema would make every existing dir unreadable
+    * (or silently drop a column from the whole table) — `overwrite` is the
+    * schema-changing operation. Returns the committed version.
     */
   def append(df: DataFrame, maxRetries: Int = DefaultRetries): Long = {
+    val ddl = normDdl(df.schema)
     val (dir, stats) = writeData(df)
-    commitWithRetry(maxRetries, "append", normDdl(df.schema),
-      prev => prev.map(_.dirs).getOrElse(Seq.empty) :+ dir, stats)
+    commitWithRetry(maxRetries, "append", ddl,
+      prev => {
+        prev.foreach(p => require(p.schemaDdl == ddl,
+          s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
+          s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
+        prev.map(_.dirs).getOrElse(Seq.empty) :+ dir
+      }, stats)
   }
 
   /** Copy-on-write MERGE: last-write-wins upsert of `updates` by `keys`
@@ -142,25 +155,41 @@ final class ManifestTable private (
     var attempt = 0
     while (true) {
       val base = latestVersion()
-      val (survivors, merged) = base match {
-        case None => (Seq.empty[String], updates.dropDuplicates(keys))
+      val (survivors, merged, scratch) = base match {
+        case None => (Seq.empty[String], updates.dropDuplicates(keys), None)
         case Some(v) =>
           val m = readManifest(v)
-          val hull = updatesHull(updates, keys.filter(c =>
-            m.stats.values.exists(_.contains(c))))
-          val (keep, rewrite) = m.dirs.partition(d => provablyDisjoint(m.stats.getOrElse(d, Map.empty), hull))
-          val mergedAll =
-            if (rewrite.isEmpty) updates.dropDuplicates(keys)
-            else Aggregates.upsert(readDirs(m, rewrite), updates, keys)
-          // a type-coercing upsert (e.g. decimal base × double updates) would
-          // give surviving dirs a schema their parquet can't serve — fall
-          // back to a full rewrite in that case (nullability is excluded
-          // from the comparison: file reads are always nullable)
-          if (keep.nonEmpty && normDdl(mergedAll.schema) != m.schemaDdl)
-            (Seq.empty[String], Aggregates.upsert(snapshotAt(v), updates, keys))
-          else (keep, mergedAll)
+          val statKeys = keys.filter(c => m.stats.values.exists(_.contains(c)))
+          if (statKeys.isEmpty)
+            (Seq.empty[String], Aggregates.upsert(readDirs(m, m.dirs), updates, keys), None)
+          else {
+            // The prune decision and the written rows MUST come from the
+            // same execution of the updates plan: a nondeterministic source
+            // (sampling, files changing between jobs) could otherwise write
+            // keys the hull never saw, landing duplicates in a pruned dir.
+            // So the batch is materialized to a scratch dir first and both
+            // the hull and the upsert read those bytes. The scratch dir is
+            // never referenced by a manifest; it is deleted after commit.
+            val updDir = writeRaw(updates)
+            val updRead = spark.read.schema(updates.schema)
+              .parquet(new Path(dataDir, updDir).toString)
+            val hull = updatesHull(updRead, statKeys)
+            val (keep, rewrite) =
+              m.dirs.partition(d => provablyDisjoint(m.stats.getOrElse(d, Map.empty), hull))
+            val mergedAll =
+              if (rewrite.isEmpty) updRead.dropDuplicates(keys)
+              else Aggregates.upsert(readDirs(m, rewrite), updRead, keys)
+            // a type-coercing upsert (e.g. decimal base × double updates)
+            // would give surviving dirs a schema their parquet can't serve —
+            // fall back to a full rewrite in that case (nullability is
+            // excluded from the comparison: file reads are always nullable)
+            if (keep.nonEmpty && normDdl(mergedAll.schema) != m.schemaDdl)
+              (Seq.empty[String], Aggregates.upsert(readDirs(m, m.dirs), updRead, keys), Some(updDir))
+            else (keep, mergedAll, Some(updDir))
+          }
       }
       val (dir, stats) = writeData(merged)
+      scratch.foreach(d => fs.delete(new Path(dataDir, d), /* recursive = */ true))
       // single-shot commit: a conflict must re-derive the merge input, not
       // just re-CAS the same rewrite (that would silently drop the
       // conflicting winner's rows)
@@ -179,14 +208,23 @@ final class ManifestTable private (
   /** Delete data directories not referenced by the newest `retainLast`
     * manifests. Time travel older than the retained window stops working
     * (same contract as Delta VACUUM past retention). Returns deleted dirs.
+    *
+    * `graceMs` protects IN-FLIGHT commits: a writer creates its data dir
+    * BEFORE winning the manifest CAS, so an unreferenced-but-fresh dir may
+    * be a commit about to publish — deleting it would let the commit
+    * succeed pointing at vanished files. Dirs modified within the grace
+    * window are skipped (Delta's retention-hours guard plays the same
+    * role). Pass 0 only when no writer can be live.
     */
-  def vacuum(retainLast: Int = 1): Seq[String] = {
+  def vacuum(retainLast: Int = 1, graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     require(retainLast >= 1, "vacuum: must retain at least the latest version")
     val keep = versions().takeRight(retainLast)
       .flatMap(v => readManifest(v).dirs).toSet
     if (!fs.exists(dataDir)) return Seq.empty
-    val dead = fs.listStatus(dataDir).iterator.map(_.getPath.getName)
-      .filterNot(keep).toSeq
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = fs.listStatus(dataDir).iterator
+      .filter(st => !keep(st.getPath.getName) && st.getModificationTime < cutoff)
+      .map(_.getPath.getName).toSeq
     dead.foreach(d => fs.delete(new Path(dataDir, d), /* recursive = */ true))
     dead
   }
@@ -265,15 +303,23 @@ final class ManifestTable private (
     * input plan re-executing differently — the stats describe the bytes on
     * disk, nothing else).
     */
-  private def writeData(df: DataFrame): (String, Map[String, ColStat]) = {
+  /** Writes a batch to a fresh dir with NO stats pass (used for merge's
+    * scratch materialization of the update batch).
+    */
+  private def writeRaw(df: DataFrame): String = {
     val dir = java.util.UUID.randomUUID().toString
-    val path = new Path(dataDir, dir).toString
-    df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dataDir, dir).toString)
+    dir
+  }
+
+  private def writeData(df: DataFrame): (String, Map[String, ColStat]) = {
+    val dir = writeRaw(df)
     val prunable = statsCols.filter(c =>
       df.schema.fields.exists(f => f.name == c && isPrunableType(f.dataType)))
     if (prunable.isEmpty) (dir, Map.empty)
     else {
-      val written = spark.read.schema(df.schema).parquet(path)
+      val written = spark.read.schema(df.schema)
+        .parquet(new Path(dataDir, dir).toString)
       (dir, updatesHull(written, prunable))
     }
   }
@@ -311,11 +357,9 @@ final class ManifestTable private (
     if (parentGuard.exists(_ != prevV)) return None
     val prev = prevV.map(readManifest)
     val next = prevV.getOrElse(-1L) + 1
-    if (!tryReserve(next)) {
-      // a reserved-but-never-published version means a writer died mid-commit
-      // (or is slow); the retry loop re-lands here until retries exhaust
-      return None
-    }
+    // everything that can fail for non-race reasons (schema validation in
+    // the callback, manifest assembly) happens BEFORE the lock is taken —
+    // a throw while holding the lock would wedge the whole table
     val allDirs = dirs(prev)
     val inherited = prev.map(_.stats).getOrElse(Map.empty)
     val statsByDir: Map[String, Map[String, ColStat]] =
@@ -327,24 +371,41 @@ final class ManifestTable private (
       .append(Magic).append('\n')
       .append(s"version=$next\n")
       .append(s"action=$action\n")
-      .append(s"schema=$schemaDdl\n")
+      // URL-encoded: a backticked column name may legally contain a newline,
+      // which would otherwise corrupt the line-oriented manifest
+      .append(s"schema=${enc(schemaDdl)}\n")
     allDirs.foreach(d => body.append(s"dir=$d\n"))
     for ((d, cols) <- statsByDir; (c, st) <- cols) {
       val mn = st.min.map(enc).getOrElse(NullMark)
       val mx = st.max.map(enc).getOrElse(NullMark)
       body.append(s"dirstat=$d|${enc(c)}|$mn|$mx|${st.hasNull}\n")
     }
-    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, /* overwrite = */ false)
-    try out.write(body.toString.getBytes(UTF_8)) finally out.close()
-    // no contention on the final name — the lock made us the sole writer of
-    // this version; the rename is only for atomic reader visibility
-    if (!fs.rename(tmp, manifestPath(next))) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"ManifestTable $rootStr: rename to ${manifestPath(next)} failed while holding its lock")
+    if (!tryReserve(next)) {
+      // a reserved-but-never-published version means a writer died mid-commit
+      // (or is slow); the retry loop re-lands here until retries exhaust
+      return None
     }
-    Some(next)
+    // holding the lock now: any failure before the manifest publishes MUST
+    // release it, or this live writer's transient IO error (disk full,
+    // rename refusal) turns into a permanent outage for every writer
+    try {
+      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, /* overwrite = */ false)
+      try out.write(body.toString.getBytes(UTF_8)) finally out.close()
+      // no contention on the final name — the lock made us the sole writer of
+      // this version; the rename is only for atomic reader visibility
+      if (!fs.rename(tmp, manifestPath(next))) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"ManifestTable $rootStr: rename to ${manifestPath(next)} failed while holding its lock")
+      }
+      Some(next)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(lockPath(next), false)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
+    }
   }
 
   /** The CAS primitive: create-if-absent of the version's lock file.
@@ -398,7 +459,7 @@ final class ManifestTable private (
     }.groupBy(_._1).map { case (d, rows) =>
       d -> rows.map(r => r._2 -> r._3).toMap
     }
-    Manifest(field("version").toLong, field("action"), field("schema"),
+    Manifest(field("version").toLong, field("action"), dec(field("schema")),
       lines.toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) },
       stats)
   }
@@ -406,9 +467,10 @@ final class ManifestTable private (
 
 object ManifestTable {
   private val Magic = "graft-manifest-v1"
-  private val NullMark = " null"
+  private val NullMark = " null"
   private val DefaultRetries = 10
   private val RetrySleepMs = 50L
+  private val DefaultVacuumGraceMs = 10 * 60 * 1000L
   private val ManifestName = """v(\d{20})\.txt""".r
 
   /** Per-column bounds of one data dir (or of an update batch): string-cast

@@ -156,10 +156,41 @@ class ManifestTableSpec extends SparkSpec {
       .collect().toList
     assert(got == List((None, -1.0), (Some(1L), 1.0)))
     // and a non-null update disjoint from A's range skips BOTH (B has an
-    // empty value range and no null can meet a non-null update)
+    // empty value range and no null can meet a non-null update) — pinned by
+    // dir NAME so a regression to full rewrite fails here, not just on rows
+    def dirsAt(v: Long): Set[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_log/v${"%020d".format(v)}.txt")), "UTF-8")
+      txt.split('\n').toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) }.toSet
+    }
     val vBefore = t.latestVersion().get
     t.merge(Seq((Some(50L), 5.0)).toDF("k", "v"), Seq("k"))
+    val vAfter = t.latestVersion().get
+    assert((dirsAt(vBefore) & dirsAt(vAfter)).size == dirsAt(vBefore).size,
+      "expected every pre-merge dir to survive a disjoint-range merge")
     assert(t.snapshot().count() == 3)
+  }
+
+  test("append rejects a schema-drifting batch instead of corrupting reads") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0))
+    val drifted = Seq((2, 2.0)).toDF("k", "v") // k INT, table has k BIGINT
+    val e = intercept[IllegalArgumentException] { t.append(drifted) }
+    assert(e.getMessage.contains("schema evolution is not supported"))
+    // the failed append must not wedge the log: the next good commit lands
+    assert(t.append(kv(2L -> 2.0)) == 1L)
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("vacuum grace window protects fresh (possibly in-flight) dirs") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0))
+    t.overwrite(kv(2L -> 2.0)) // v0's dir is now unreferenced by latest
+    // seconds-old dirs sit inside the default grace window → kept
+    assert(t.vacuum(retainLast = 1).isEmpty)
+    assert(new java.io.File(s"$root/data").list().length == 2)
+    assert(t.vacuum(retainLast = 1, graceMs = 0).length == 1)
   }
 
   test("op_merge_acid equals the relational op_upsert row for row") {
@@ -177,7 +208,9 @@ class ManifestTableSpec extends SparkSpec {
     t.merge(kv(2L -> 20.0), Seq("k"))      // COW: v1 references only its own dir
     val dataDirs = new java.io.File(s"$root/data").list()
     assert(dataDirs.length == 2)
-    val dead = t.vacuum(retainLast = 1)
+    // graceMs=0: the default grace window protects in-flight commits, but
+    // this single-writer test has none and its dirs are seconds old
+    val dead = t.vacuum(retainLast = 1, graceMs = 0)
     assert(dead.length == 1)
     assert(new java.io.File(s"$root/data").list().length == 1)
     // the retained snapshot is intact; the vacuumed version is gone by contract
