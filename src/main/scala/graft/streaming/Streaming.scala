@@ -125,6 +125,24 @@ object Streaming {
       ()
     }
 
+  /** Stream → ACID table bridge: every micro-batch lands as one atomic
+    * last-write-wins MERGE commit on a [[graft.ops.ManifestTable]]. Versus
+    * [[idempotentStoreSink]] (insert-only idempotence on a plain path),
+    * this gives UPDATE semantics — a re-delivered or late row REPLACES the
+    * key's row instead of being dropped — plus snapshot-isolated readers
+    * while the stream writes, and safe coexistence with other writers on
+    * the same table (the commit CAS serializes them). Replayed micro-batches
+    * after a restart re-merge the same rows; last-write-wins makes that a
+    * no-op at rest — exactly-once per key without sink-side dedup state.
+    */
+  def acidMergeSink(df: DataFrame, table: graft.ops.ManifestTable, keys: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // an empty micro-batch must not spend a version (and a fresh table
+      // must not be created from a zero-row batch with no key coverage)
+      if (!batch.isEmpty) { table.merge(batch, keys); () }
+    }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event count
     * and representative value, emitted once per micro-batch per active key —
     * the §2.7 stateful-processing surface (GroupState is partition-local;

@@ -135,6 +135,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("stream -> ACID merge sink: late rows UPDATE their key; versions commit per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-acid-sink")
+    val ckpt = Files.createTempDirectory("graft-acid-ckpt")
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/tbl")
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.acidMergeSink(
+        input.toDF().toDF("id", "v"), table, keys = Seq("id"))
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "B2"), (3L, "c")) // id 2 re-delivered with a NEW value
+    q.processAllAvailable()
+    q.stop()
+    val out = table.snapshot().as[(Long, String)].collect().toMap
+    // versus the insert-only sink, the late row REPLACED its key's value
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(table.versions() == Seq(0L, 1L)) // one atomic commit per micro-batch
+    // a reader pinned before the second batch would have seen the first only
+    assert(table.snapshotAt(0).count() == 2)
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
