@@ -201,6 +201,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(acid.nonEmpty)
   }
 
+  test("op_merge_acid job count stays bounded (driver-gate cost model)") {
+    // the loaded driver host amplifies Spark JOB submissions, not row work
+    // (see DedupSpec's audit) — pin the whole commit+merge+read cycle
+    val byName = Queries.all.map(q => q.name -> q.fn).toMap
+    byName("op_merge_acid")(spark, sf0001)
+      .write.format("noop").mode("overwrite").save() // warm codec/codegen paths
+    spark.catalog.clearCache()
+    val st = spark.sparkContext.statusTracker
+    val before = st.getJobIdsForGroup(null).length
+    byName("op_merge_acid")(spark, sf0001)
+      .write.format("noop").mode("overwrite").save()
+    Thread.sleep(500) // status store updates asynchronously
+    val n = st.getJobIdsForGroup(null).length - before
+    assert(n <= 9, s"op_merge_acid ran $n jobs (bound 9): overwrite write + merge " +
+      "(broadcast + rewrite write) + snapshot read with sort-sample + noop")
+  }
+
   test("vacuum drops data outside the retained window; latest stays readable") {
     val root = freshRoot()
     val t = ManifestTable(spark, root)
