@@ -216,10 +216,21 @@ object Queries {
       // verify/bench runs never collide; wiped at entry so re-runs start
       // from a fresh log.
       (s, d) => {
-        val root = System.getProperty("java.io.tmpdir") + "/graft_acid_" +
-          d.replaceAll("[^A-Za-z0-9]", "_") + "_" + ProcessHandle.current().pid()
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_acid_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
         val rp = new org.apache.hadoop.fs.Path(root)
-        rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // pid-suffixed roots from FINISHED JVMs never get re-entered, so
+        // without a sweep each verify/bench run would leak two orders-table
+        // copies in tmp forever; the 1h age guard keeps a concurrently
+        // LIVE run's table safe from the sweep
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
         val updates = base.where(col("o_orderkey") % 10 === 0)

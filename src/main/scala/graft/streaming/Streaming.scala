@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Sources
@@ -60,7 +60,11 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal sum, exactly like the batch twin: double addition is not
+      // associative, so a raw double sum varies with partial-agg order —
+      // across triggers AND versus the batch result for the same data
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Watermarked streaming dedup by id — exactly-once-per-id within the
@@ -134,13 +138,26 @@ object Streaming {
     * the same table (the commit CAS serializes them). Replayed micro-batches
     * after a restart re-merge the same rows; last-write-wins makes that a
     * no-op at rest — exactly-once per key without sink-side dedup state.
+    *
+    * `intraBatchOrder` resolves duplicate keys WITHIN one micro-batch: pass
+    * the event-time (or sequence) column descending and the surviving row
+    * is the latest — true last-write-wins even when one trigger carries
+    * several updates to a key, and deterministic under replay. Left empty,
+    * within-batch duplicates resolve arbitrarily (partition-fetch order) —
+    * only safe when the upstream guarantees at most one row per key per
+    * trigger (e.g. a windowed aggregate in update mode).
     */
-  def acidMergeSink(df: DataFrame, table: graft.ops.ManifestTable, keys: Seq[String])
+  def acidMergeSink(df: DataFrame, table: graft.ops.ManifestTable, keys: Seq[String],
+                    intraBatchOrder: Seq[Column] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val resolved =
+        if (intraBatchOrder.isEmpty) batch
+        else graft.ops.Aggregates.dedupFirst(batch, keys, intraBatchOrder)
       // an empty micro-batch must not spend a version (and a fresh table
       // must not be created from a zero-row batch with no key coverage)
-      if (!batch.isEmpty) { table.merge(batch, keys); () }
+      graft.ops.Sinks.writeIfNonEmpty(resolved, b => { table.merge(b, keys); () })
+      ()
     }
 
   /** Custom keyed state via mapGroupsWithState: running per-user event count
@@ -163,12 +180,18 @@ object Streaming {
         (user: Long, batch: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
           val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
           var n = prev.n_events
-          var batchMax = Double.NaN
+          // an explicit seen flag, NOT a NaN sentinel: a batch of all-NaN
+          // values must surface as NaN (math.max propagates it, matching
+          // Spark's max-treats-NaN-as-greatest), not silently keep the
+          // previous batch's value
+          var seen = false
+          var batchMax = Double.NegativeInfinity
           batch.foreach { case (_, v) =>
             n += 1
-            if (batchMax.isNaN || v > batchMax) batchMax = v
+            seen = true
+            batchMax = math.max(batchMax, v)
           }
-          val next = UserStats(user, n, if (batchMax.isNaN) prev.last_value else batchMax)
+          val next = UserStats(user, n, if (seen) batchMax else prev.last_value)
           state.update(next)
           next
       }

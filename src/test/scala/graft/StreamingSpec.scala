@@ -142,16 +142,21 @@ class StreamingSpec extends SparkSpec {
     val table = graft.ops.ManifestTable(spark, dir.toString + "/tbl")
     val input = MemoryStream[(Long, String)]
     val q = Streaming.acidMergeSink(
-        input.toDF().toDF("id", "v"), table, keys = Seq("id"))
+        input.toDF().toDF("id", "v"), table, keys = Seq("id"),
+        // intra-batch duplicates resolve by the ordering column, not
+        // partition-fetch order: latest (max v) wins deterministically
+        intraBatchOrder = Seq(org.apache.spark.sql.functions.col("v").desc))
       .option("checkpointLocation", ckpt.toString).start()
     input.addData((1L, "a"), (2L, "b"))
     q.processAllAvailable()
-    input.addData((2L, "B2"), (3L, "c")) // id 2 re-delivered with a NEW value
+    // id 2 re-delivered with a NEW value; id 3 arrives TWICE in one trigger
+    input.addData((2L, "B2"), (3L, "c1"), (3L, "c2"))
     q.processAllAvailable()
     q.stop()
     val out = table.snapshot().as[(Long, String)].collect().toMap
-    // versus the insert-only sink, the late row REPLACED its key's value
-    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // versus the insert-only sink, the late row REPLACED its key's value,
+    // and the within-batch pair kept its ordered winner
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c2"))
     assert(table.versions() == Seq(0L, 1L)) // one atomic commit per micro-batch
     // a reader pinned before the second batch would have seen the first only
     assert(table.snapshotAt(0).count() == 2)
