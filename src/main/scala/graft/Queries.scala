@@ -651,10 +651,14 @@ object Queries {
       // feature-scaling primitive): mean/std are one shared IEEE expression
       // over exact sums, outliers an integer count — hash-stable without
       // emitting per-row doubles
+      // coalesce(1)+sortWithinPartitions instead of orderBy: the output is
+      // one row per returnflag (3 rows), and a range exchange would cost a
+      // separate sampling job that re-runs the whole aggregation — the
+      // single-partition sort gives the same total order in the one job
       (s, d) => Analytics.standardizeStats(t(s, d, "lineitem"),
           col("l_returnflag"), col("l_extendedprice"), zCut = 2.0, scale = 2)
         .withColumnRenamed("grp", "l_returnflag")
-        .orderBy(col("l_returnflag")),
+        .coalesce(1).sortWithinPartitions(col("l_returnflag")),
       Some("""WITH m AS (SELECT l_returnflag AS g, CAST(count(l_extendedprice) AS DOUBLE) AS n,
             CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS s,
             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS ss

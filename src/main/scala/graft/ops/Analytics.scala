@@ -151,6 +151,20 @@ object Analytics {
     * through unclamped. Helper columns do not leak: the output is the
     * input schema plus `_wins`.
     */
+  /** Helper-column names that cannot collide with the input schema: prefix
+    * underscores until the name is unused (also reserving against the other
+    * fresh names minted in the same call).
+    */
+  private def freshNames(df: DataFrame, bases: String*): Seq[String] = {
+    val used = scala.collection.mutable.Set[String](df.columns: _*)
+    bases.map { b =>
+      var n = b
+      while (used(n)) n = "_" + n
+      used += n
+      n
+    }
+  }
+
   def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0)
@@ -180,10 +194,16 @@ object Analytics {
       .select(col("_g"),
         interp(col("_lo_v"), col("_lo_v1"), col("_flo_c")).as("_lo"),
         interp(col("_hi_v"), col("_hi_v1"), col("_fhi_c")).as("_hi"))
-    df.join(broadcast(bounds), group <=> col("_g"), "left")
+    // the join side's column names are minted fresh against df.columns, so an
+    // input that already contains `_g`/`_lo`/`_hi` neither turns the join
+    // condition ambiguous nor loses a user column in the final drop (`_wins`
+    // itself is the documented output column and replaces any same-named input)
+    val Seq(gN, loN, hiN) = freshNames(df, "_g", "_lo", "_hi")
+    val keyed = bounds.select(col("_g").as(gN), col("_lo").as(loN), col("_hi").as(hiN))
+    df.join(broadcast(keyed), group <=> col(gN), "left")
       .withColumn("_wins",
-        when(value.isNotNull, least(greatest(value, col("_lo")), col("_hi"))))
-      .drop("_g", "_lo", "_hi")
+        when(value.isNotNull, least(greatest(value, col(loN)), col(hiN))))
+      .drop(gN, loN, hiN)
   }
 
   /** Per-group standardization (z-score) stats from EXACT moments — the
@@ -195,26 +215,68 @@ object Analytics {
     * |x − mean| > zCut·std — an integer count, so the output stays
     * hash-comparable without emitting per-row doubles. `scale` must cover
     * the measure's true decimal width.
+    *
+    * Execution: two passes are semantically unavoidable (the outlier test
+    * needs the group's mean/std), but when the group cardinality is at most
+    * `maxLiteralGroups` the stats are pulled to the driver (a BOUNDED
+    * collect) and inlined as literal CASE expressions, so each pass is one
+    * job and the plan has no join or broadcast-build step. Above the bound
+    * it degrades gracefully to the distributed broadcast-join form. NOTE:
+    * the driver probe makes this operator EAGER (it submits a job when
+    * called, like [[Similarity]]'s k-means fit), and the literal path
+    * requires the group column to be a `lit()`-able atomic type.
     */
   def standardizeStats(df: DataFrame, group: Column, value: Column,
-                       zCut: Double = 2.0, scale: Int = 2): DataFrame = {
-    val m = df.groupBy(group.as("grp"))
+                       zCut: Double = 2.0, scale: Int = 2,
+                       maxLiteralGroups: Int = 1024): DataFrame = {
+    // both passes run over the same fresh 2-column projection, so helper
+    // names can never collide with (or drop) user columns
+    val proj = df.select(group.as("grp"), value.as("_v"))
+    val v = col("_v")
+    val moments = proj.groupBy(col("grp"))
       .agg(
         // count(value), not count(*): the sums ignore NULL measures, so a
         // count over all rows would silently deflate mean/std for any
         // group containing NULLs (same exclusion winsorize applies)
-        count(value).cast("double").as("_n"),
-        sum(value.cast(s"decimal(24,$scale)")).cast("double").as("_s"),
-        sum((value * value).cast(s"decimal(30,${2 * scale})")).cast("double").as("_ss"))
+        count(v).cast("double").as("_n"),
+        sum(v.cast(s"decimal(24,$scale)")).cast("double").as("_s"),
+        sum((v * v).cast(s"decimal(30,${2 * scale})")).cast("double").as("_ss"))
       .select(col("grp"), col("_n"),
         (col("_s") / col("_n")).as("mean"),
         sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("std"))
-    df.join(broadcast(m), group <=> col("grp"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_rows"),
-        max(col("mean")).as("mean"), max(col("std")).as("std"),
-        sum(when(abs(value.cast("double") - col("mean")) > lit(zCut) * col("std"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+    // The group-stats table is one row per group. For the common case
+    // (bounded group cardinality — feature keys, flags, categories) it is
+    // collected to the driver (coalesce(1) keeps the probe to ONE job; a
+    // bare limit().collect() scale-up would submit up to log₄(partitions)
+    // jobs) and folded into literal CASE expressions, making the outlier
+    // pass a single self-contained aggregation: 1 job for the moments, 1
+    // for the final agg, no broadcast-build job, no join. The collect is
+    // BOUNDED by maxLiteralGroups + 1 rows; above the bound we fall back to
+    // the distributed broadcast-join form (never an unbounded driver pull).
+    val head = moments.coalesce(1).limit(maxLiteralGroups + 1).collect()
+    if (head.length <= maxLiteralGroups) {
+      val nullD = lit(null).cast("double")
+      val (meanE, stdE) = head.foldLeft((nullD, nullD)) { case ((mAcc, sAcc), r) =>
+        val g = lit(r.get(0))
+        (when(col("grp") <=> g, lit(r.get(2))).otherwise(mAcc),
+         when(col("grp") <=> g, lit(r.get(3))).otherwise(sAcc))
+      }
+      proj.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(abs(v.cast("double") - meanE) > lit(zCut) * stdE, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("grp"), col("n_rows"),
+          meanE.cast("double").as("mean"), stdE.cast("double").as("std"),
+          col("n_outliers"))
+    } else {
+      val m = moments.select(col("grp").as("_mg"), col("mean"), col("std"))
+      proj.join(broadcast(m), col("grp") <=> col("_mg"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("mean")).as("mean"), max(col("std")).as("std"),
+          sum(when(abs(v.cast("double") - col("mean")) > lit(zCut) * col("std"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }
   }
 
   /** Cohort retention matrix: entities are bucketed by the period of their

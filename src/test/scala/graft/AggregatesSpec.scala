@@ -130,4 +130,68 @@ class AggregatesSpec extends SparkSpec {
     val nullWins = byG(None).map(_.getDouble(2))
     assert(math.abs(nullWins.min - 101.9) < 1e-12)
   }
+
+  test("winsorize: input columns named _g/_lo/_hi don't break the join or get dropped") {
+    // the join-side helper names are minted fresh against df.columns —
+    // without that, `group <=> col("_g")` is ambiguous (AnalysisException)
+    // and the final drop would eat the user's columns
+    val vals = (1 to 20).map(i => ("g", i.toDouble, i, i, i))
+      .toDF("_g", "v", "_lo", "_hi", "_wins")
+    val w = graft.ops.Analytics.winsorize(vals, col("_g"), col("v"), 0.10, 0.90)
+    // user columns survive; `_wins` is the documented output and replaces
+    // any same-named input
+    assert(w.columns.toSeq == Seq("_g", "v", "_lo", "_hi", "_wins"))
+    val wins = w.select(col("_wins")).as[Double].collect()
+    assert(math.abs(wins.min - 2.9) < 1e-12 && math.abs(wins.max - 18.1) < 1e-12)
+  }
+
+  test("standardizeStats: exact moments, null handling, literal == broadcast fallback") {
+    val rows = (1 to 9).map(i => ("a", Some(0.0))) ++ Seq(("a", Some(100.0))) ++
+      Seq(("c", None: Option[Double]), ("c", Some(1.0)), ("c", Some(2.0)), ("c", Some(3.0)))
+    val df = rows.toDF("g", "v")
+    def checkResult(out: Array[org.apache.spark.sql.Row]): Unit = {
+      val byG = out.map(r => r.getString(0) -> r).toMap
+      // group a: n=10, mean=10, pop std=30, cut=60 -> exactly the 100 is out
+      assert(byG("a").getLong(1) == 10L)
+      assert(math.abs(byG("a").getDouble(2) - 10.0) < 1e-12)
+      assert(math.abs(byG("a").getDouble(3) - 30.0) < 1e-12)
+      assert(byG("a").getLong(4) == 1L)
+      // group c: n_rows counts the NULL row (4), moments ignore it (mean 2)
+      assert(byG("c").getLong(1) == 4L)
+      assert(math.abs(byG("c").getDouble(2) - 2.0) < 1e-12)
+      assert(byG("c").getLong(4) == 0L)
+    }
+    val litPath = graft.ops.Analytics.standardizeStats(df, col("g"), col("v")).collect()
+    checkResult(litPath)
+    // maxLiteralGroups = 0 forces the distributed broadcast-join fallback;
+    // both paths must agree bit for bit
+    val bcPath = graft.ops.Analytics.standardizeStats(df, col("g"), col("v"),
+      maxLiteralGroups = 0).collect()
+    checkResult(bcPath)
+    assert(litPath.map(_.toString).sorted.toSeq == bcPath.map(_.toString).sorted.toSeq)
+  }
+
+  test("standardizeStats: job count stays pinned (no broadcast-build, no limit scale-up)") {
+    // the literal path is the zscore perf contract: one bounded driver probe
+    // + one self-contained final aggregation. The coalesce(1) before the
+    // probe's limit matters — a bare limit().collect() scale-up submits up
+    // to log4(partitions) probe jobs on a group-sparse aggregate.
+    val df = (1 to 1000).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    def noop(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    // measure under the bench's AQE-off posture (AQE materializes each
+    // exchange as its own job — same pipeline measures 4 there)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      noop(graft.ops.Analytics.standardizeStats(df, col("g"), col("v"))) // warm codegen
+      spark.catalog.clearCache()
+      val st = spark.sparkContext.statusTracker
+      val before = st.getJobIdsForGroup(null).length
+      noop(graft.ops.Analytics.standardizeStats(df, col("g"), col("v")))
+      Thread.sleep(500) // status store updates asynchronously
+      val jobs = st.getJobIdsForGroup(null).length - before
+      assert(jobs <= 2, s"standardizeStats ran $jobs jobs (bound 2: probe + final agg)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
