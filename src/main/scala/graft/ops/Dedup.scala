@@ -98,14 +98,57 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
-  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
+  /** Candidate pairs (a < b) sharing at least one LSH bucket.
+    *
+    * The self-join is hinted sort-merge: both sides are the corpus-sized
+    * bucket table, so a broadcast is never the right plan — but at bench SF
+    * the static size estimator undercounts the derived side and would
+    * broadcast it, which both breaks the 100-TB posture and costs a
+    * broadcast-build JOB per join (the r5 driver regression on the md5
+    * form was exactly these builds: 5 broadcast jobs across the LSH
+    * pipeline on a host where scheduling rounds, not rows, set the price).
+    */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String): DataFrame =
+    lshCandidatePairsCapped(buckets, idCol, Int.MaxValue)
+
+  /** [[lshCandidatePairs]] with a bucket-width cap — the 100-TB form. A
+    * degenerate band value (empty-string fingerprints, boilerplate pages)
+    * puts B docs in one bucket and the self-join emits B² candidate pairs:
+    * at web scale a single 10⁷-doc bucket is 10¹⁴ pairs — the last
+    * quadratic corner in the family. Buckets wider than `maxBucketSize`
+    * are DROPPED from pair generation (members usually share several
+    * bands, so narrower buckets still recover most true pairs; recall
+    * impact is bounded in `DedupSpec`). Dropped buckets are observable via
+    * [[lshOversizedBuckets]] — run it alongside and alert on its count, so
+    * the cap is an explicit, monitored recall trade instead of a silent
+    * one. The width count rides the SAME hash partitioning as the join
+    * (window over the join keys), so the cap costs no extra shuffle of the
+    * bucket table.
+    */
+  def lshCandidatePairsCapped(buckets: DataFrame, idCol: String,
+                              maxBucketSize: Int): DataFrame = {
+    val kept =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+        buckets.withColumn("_bn", count(lit(1)).over(w))
+          .where(col("_bn") <= maxBucketSize).drop("_bn")
+      }
+    val a = kept.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+    val b = kept.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
+    a.join(b.hint("merge"), Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** The (band, bucket, width) rows that [[lshCandidatePairsCapped]] drops
+    * at the given cap — the monitoring side-output for the recall trade.
+    */
+  def lshOversizedBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("width"))
+      .where(col("width") > maxBucketSize)
 
   /** Exact Jaccard over shingle sets for the candidate pairs; keeps pairs with
     * jaccard >= threshold. Output: (doc_a, doc_b, jac).
@@ -121,11 +164,16 @@ object Dedup {
       shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     val sa = shingleTbl.select(col(idCol).as("doc_a"), col("shingle"))
     val sb = shingleTbl.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+    // every side of these joins is corpus-sized (candidate pairs, the
+    // shingle table, one row per doc for sizes) — sort-merge hints keep the
+    // small-SF static estimator from broadcasting them (wrong at 100 TB,
+    // and each broadcast build is a scheduling-round job on the driver)
+    val inter = pairs.join(sa.hint("merge"), "doc_a")
+      .join(sb.hint("merge"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_a", "n_sh" -> "n_a")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_a", "n_sh" -> "n_a")).hint("merge"), "doc_a")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_b", "n_sh" -> "n_b")).hint("merge"), "doc_b")
       .withColumn("jac", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .where(col("jac") >= lit(threshold))
       .select("doc_a", "doc_b", "jac")
@@ -179,12 +227,12 @@ object Dedup {
   def minhashNearDupPairsFast(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame =
     lshSignBucketVerify(
       shingleTable(docs, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       idCol, minhashSignaturesFast(_, idCol, numHashes),
-      lshBucketsFast(_, idCol, numHashes, rowsPerBand), threshold)
+      lshBucketsFast(_, idCol, numHashes, rowsPerBand), threshold, maxBucketSize)
 
   /** The shared sign → band-bucket → exact-verify chain of both MinHash
     * forms, parameterized by the signature and bucket builders so the md5
@@ -194,10 +242,11 @@ object Dedup {
   private def lshSignBucketVerify(sh: DataFrame, idCol: String,
                                   signatures: DataFrame => DataFrame,
                                   buckets: DataFrame => DataFrame,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double,
+                                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sig = signatures(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatePairs(buckets(sig), idCol)
+    val cand = lshCandidatePairsCapped(buckets(sig), idCol, maxBucketSize)
     jaccardVerify(cand, sh, idCol, threshold,
       sizesOpt = Some(sig.select(col(idCol), col("n_sh"))))
   }
@@ -213,11 +262,11 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame =
     minhashNearDupPairsFromShingles(
       shingleTable(docs, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      idCol, numHashes, rowsPerBand, threshold)
+      idCol, numHashes, rowsPerBand, threshold, maxBucketSize)
 
   /** The LSH sign→bucket→verify chain over a prebuilt shingle table. The
     * caller owns the table's persistence — it is read by four consumers
@@ -226,9 +275,9 @@ object Dedup {
     */
   def minhashNearDupPairsFromShingles(
       sh: DataFrame, idCol: String, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame =
     lshSignBucketVerify(sh, idCol, minhashSignatures(_, idCol, numHashes),
-      lshBuckets(_, idCol, numHashes, rowsPerBand), threshold)
+      lshBuckets(_, idCol, numHashes, rowsPerBand), threshold, maxBucketSize)
 
   // ---------------------------------------------------------------- SimHash
 

@@ -40,6 +40,35 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("bucket-width cap kills the quadratic mega-bucket; narrow buckets unaffected") {
+    // planted layout: one degenerate bucket holding 1000 docs (the
+    // boilerplate/empty-fingerprint case) + 3 narrow 2-doc buckets. Uncapped,
+    // the mega-bucket alone emits 1000·999/2 pairs; capped, pair generation
+    // must be EXACTLY the narrow buckets' pairs — O(bucket²) never happens.
+    val mega = (0L until 1000L).map(i => (0, "DEGENERATE", i))
+    val narrow = Seq((1, "x", 2000L), (1, "x", 2001L), (2, "y", 2002L),
+      (2, "y", 2003L), (3, "z", 2004L), (3, "z", 2005L))
+    val buckets = (mega ++ narrow).toDF("band", "bucket", "doc_id")
+    val capped = Dedup.lshCandidatePairsCapped(buckets, "doc_id", maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((2000L, 2001L), (2002L, 2003L), (2004L, 2005L)))
+    // the monitoring side-output surfaces exactly the dropped bucket + width
+    val dropped = Dedup.lshOversizedBuckets(buckets, maxBucketSize = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(dropped == Seq((0, "DEGENERATE", 1000L)))
+    // uncapped keeps the default behavior (spot-check a mega-bucket pair)
+    val uncapped = Dedup.lshCandidatePairs(buckets, "doc_id")
+    assert(uncapped.where($"doc_a" === 0L && $"doc_b" === 1L).count() == 1)
+    // recall is a monitored trade, not silent loss: end-to-end, a cap wide
+    // enough for the corpus' real dup groups changes nothing
+    val all = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cappedE2e = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cappedE2e == all)
+  }
+
   test("xxhash64 minhash pipeline finds the same verified pair set as the md5 pipeline") {
     val d = Tables.load(spark, sf0001, "documents")
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -121,12 +150,16 @@ class DedupSpec extends SparkSpec {
   test("dedup family job counts stay bounded (scheduling-latency audit)") {
     // Per-query wall time on a loaded multi-tenant host is dominated by job
     // scheduling rounds, not per-row work — so the job count IS the perf
-    // contract here. With AQE on (this suite's session default), each
-    // materialized exchange submits as its own job, so these bounds also
-    // cap shuffle counts. Measured COLD (round 5, cache cleared before
-    // each run): minhash_fast 12, simhash_fast 3, clusters 15; bounds
-    // leave +2 slack for AQE stage-count variance. (The bench itself runs
-    // AQE off, where the same pipelines measure 6/3/7.)
+    // contract here. Measured under the BENCH posture (AQE off): with AQE
+    // on, every materialized exchange is its own job, so counts track
+    // exchange counts instead of scheduling rounds and the sort-merge
+    // pipelines would look WORSE than the broadcast ones they replaced
+    // (r6 measured: fast form 10 AQE-on vs 2 AQE-off). The r5 driver
+    // regression on the md5 form was 5 broadcast-build jobs — the small-SF
+    // static estimator broadcasting corpus-sized join sides
+    // (pairs/shingles/sizes); merge hints in lshCandidatePairs and
+    // jaccardVerify pin those to sort-merge, which is also the only join
+    // shape that survives 100 TB. Bounds = measured + 1 slack.
     val corpus = Tables.load(spark, sf0001, "documents")
     def jobsOf(f: => Unit): Int = {
       // measure the COLD path (what the bench times): the warm-up pass
@@ -141,18 +174,25 @@ class DedupSpec extends SparkSpec {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // warm codegen/parquet paths so first-use jobs don't pollute the counts
-    noop(Dedup.minhashNearDupPairsFast(corpus, "doc_id", "text", 3, 8, 2, 0.1))
-    val nMinhash = jobsOf(noop(
-      Dedup.minhashNearDupPairsFast(corpus, "doc_id", "text", 3, 8, 2, 0.1)))
-    assert(nMinhash <= 14, s"minhashNearDupPairsFast ran $nMinhash jobs (bound 14)")
-    val nSimhash = jobsOf(noop(
-      Dedup.simhashNearDupPairsFast(corpus, "doc_id", "text", 3)))
-    assert(nSimhash <= 5, s"simhashNearDupPairsFast ran $nSimhash jobs (bound 5)")
-    val nClusters = jobsOf(noop(
-      Dedup.dedupClusters(
-        Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 8, 2, 0.1),
-        "doc_a", "doc_b")))
-    assert(nClusters <= 17, s"pairs→dedupClusters ran $nClusters jobs (bound 17)")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // warm codegen/parquet paths so first-use jobs don't pollute the counts
+      noop(Dedup.minhashNearDupPairsFast(corpus, "doc_id", "text", 3, 8, 2, 0.1))
+      val nMinhash = jobsOf(noop(
+        Dedup.minhashNearDupPairsFast(corpus, "doc_id", "text", 3, 8, 2, 0.1)))
+      assert(nMinhash <= 3, s"minhashNearDupPairsFast ran $nMinhash jobs (bound 3)")
+      val nSimhash = jobsOf(noop(
+        Dedup.simhashNearDupPairsFast(corpus, "doc_id", "text", 3)))
+      assert(nSimhash <= 4, s"simhashNearDupPairsFast ran $nSimhash jobs (bound 4)")
+      val nClusters = jobsOf(noop(
+        Dedup.dedupClusters(
+          Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 8, 2, 0.1),
+          "doc_a", "doc_b")))
+      assert(nClusters <= 5, s"pairs→dedupClusters ran $nClusters jobs (bound 5)")
+      val nMd5 = jobsOf(noop(
+        Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 8, 2, 0.1)))
+      assert(nMd5 <= 3, s"minhashNearDupPairs (md5) ran $nMd5 jobs (bound 3)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }
