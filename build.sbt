@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness keeps only the last ~2000 chars of combined output and
+// parses the final line as JSON. sbt's default LoggedOutput re-tags the
+// forked JVM's stdout as "[info] ..." and appends a "[success] Total time"
+// trailer — either is enough to defeat that parser. Direct passthrough +
+// no success banner makes graft.Bench's metric line the true final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
