@@ -46,10 +46,16 @@ object Bpe {
     * the learned merges are identical to the naive rescan's.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            maxWords: Int = 1000000): Merges = {
-    require(numMerges >= 0 && maxWords >= 1)
+            maxWords: Int = 1000000, minFreq: Long = 1L): Merges = {
+    require(numMerges >= 0 && maxWords >= 1 && minFreq >= 1)
+    // driver memory is DOUBLY bounded: minFreq prunes the frequency tail
+    // inside the aggregation (at web scale most distinct words are
+    // hapax noise — typos, ids, binary junk — that can never win a merge),
+    // and the orderBy+limit plans as TakeOrderedAndProject (a bounded
+    // per-partition top-N heap, never a full sort or an unbounded collect)
     val wf = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minFreq)
       .orderBy(col("n").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val words: Array[Array[String]] = wf.map(_._1.map(_.toString).toArray)

@@ -308,4 +308,33 @@ class TextPipelineSpec extends SparkSpec {
     val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, "text", numMerges = 10).isEmpty)
   }
+
+  test("BPE trainer driver collect is bounded: minFreq/maxWords prune the heavy tail") {
+    import graft.ops.Bpe
+    // synthetic heavy-tail corpus: a head vocabulary that dominates pair
+    // mass + a long hapax tail (unique junk words, the web-scale shape).
+    // Pruning the tail must leave the learned merges IDENTICAL, because
+    // the tail words are exactly the ones that cannot win a merge.
+    // head pair mass (>= 4000 per winning pair) must dominate the tail's
+    // aggregate shared-prefix mass (300 occurrences of (z,q)) — the prune
+    // is mass-safe, not magic: it assumes the tail is the frequency tail
+    val head = Seq.fill(2000)("low lower lowest").mkString(" ")
+    val tail = (0 until 300).map(i => s"zq${i}x${i % 7}").mkString(" ")
+    val docs = Seq((1L, s"$head $tail")).toDF("doc_id", "text")
+    val full = Bpe.train(docs, "text", numMerges = 6)
+    val prunedFreq = Bpe.train(docs, "text", numMerges = 6, minFreq = 2L)
+    assert(prunedFreq == full,
+      s"minFreq prune changed covered-vocab merges: $prunedFreq vs $full")
+    val prunedTopN = Bpe.train(docs, "text", numMerges = 6, maxWords = 3)
+    assert(prunedTopN == full,
+      s"maxWords prune changed covered-vocab merges: $prunedTopN vs $full")
+    // and the plan the collect runs is a bounded top-N, never a full sort
+    val wfPlan = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L)
+      .orderBy(col("n").desc, col("w").asc).limit(100)
+      .queryExecution.executedPlan.toString
+    assert(wfPlan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$wfPlan")
+  }
 }
