@@ -18,6 +18,9 @@ run / fork := true
 // no success banner makes graft.Bench's metric line the true final line.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by a task — exclude it
+// from the unused-key lint so every sbt invocation doesn't warn
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,8 +57,11 @@ object Aggregates {
     // condition resolves even when `updates` derives from `base` (shared
     // attribute ids would otherwise make the join self-ambiguous).
     val b = base.alias("_upsert_b")
-    val uk = u.select(keys.map(col): _*).alias("_upsert_u")
-    val cond = keys.map(k => col(s"_upsert_b.$k") <=> col(s"_upsert_u.$k"))
+    val uk = u.select(keys.map(k => col(s"`$k`")): _*).alias("_upsert_u")
+    // keys are backtick-quoted in the qualified reference: an unquoted
+    // dotted key name ("a.b") would parse as a nested-field path and fail
+    // to resolve, a regression the plain Seq-based join never had
+    val cond = keys.map(k => col(s"_upsert_b.`$k`") <=> col(s"_upsert_u.`$k`"))
       .reduce(_ && _)
     b.join(uk, cond, "left_anti")
       .unionByName(u)

@@ -197,6 +197,10 @@ final class ManifestTable private (
           parentGuard = Some(base)) match {
         case Some(v) => return v
         case None =>
+          // the losing attempt's rewrite dir is referenced by no manifest —
+          // delete it now rather than leaving a table-sized orphan per
+          // retry for vacuum to find
+          fs.delete(new Path(dataDir, dir), /* recursive = */ true)
           attempt += 1
           if (attempt > maxRetries) failRetries(maxRetries)
           Thread.sleep(RetrySleepMs * attempt)

@@ -61,6 +61,13 @@ class AggregatesSpec extends SparkSpec {
     val merged = Aggregates.upsert(base, dupUpdates, Seq("k")).collect()
     assert(merged.length == 4, "at most one row per key must survive")
     assert(merged.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 9L))
+    // a key name containing a dot must resolve as a COLUMN, not a
+    // nested-field path (the qualified references are backtick-quoted)
+    val dottedBase = Seq((1L, "a"), (2L, "b")).toDF("user.id", "v")
+    val dottedUpd = Seq((2L, "B2"), (3L, "c")).toDF("user.id", "v")
+    val dotted = Aggregates.upsert(dottedBase, dottedUpd, Seq("user.id"))
+      .as[(Long, String)].collect().toMap
+    assert(dotted == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
   test("regressionByGroup recovers an exact line and its correlation sign") {
