@@ -118,8 +118,11 @@ object Queries {
         val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
         val o = t(s, d, "orders").where(col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
         val l = t(s, d, "lineitem").where(col("l_shipdate") > expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // fact×fact and fact×customer are SF-growing both sides: sort-merge
+        // is the only join shape that survives 100 TB, and each avoided
+        // broadcast build is one fewer scheduling round on the driver
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -144,9 +147,13 @@ object Queries {
         val su = t(s, d, "supplier")
         val n = t(s, d, "nation")
         val r = t(s, d, "region")
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-          .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        // growing tables (lineitem/orders/customer/supplier) sort-merge —
+        // supplier is SF-proportional, so its former broadcast dies at
+        // scale; nation (25 rows) and region (5) are FIXED-size and stay
+        // broadcast at any SF
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(c.hint("merge"), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
@@ -303,8 +310,8 @@ object Queries {
           col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
         val c = t(s, d, "customer")
         val n = t(s, d, "nation")
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
@@ -330,7 +337,9 @@ object Queries {
           col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-03-01 00:00:00'") &&
           col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
         val p = t(s, d, "part")
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // part is SF-proportional (2M rows at SF10 is already marginal for
+        // a broadcast) — sort-merge on the part key is the scale shape
+        l.join(p.hint("merge"), col("l_partkey") === col("p_partkey"))
           .agg(
             dsum(when(col("p_type").startsWith("PROMO"),
               col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
@@ -388,7 +397,7 @@ object Queries {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
             col("l_quantity").between(20, 30))
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey") && bands)
+        l.join(p.hint("merge"), col("l_partkey") === col("p_partkey") && bands)
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items"))
       },
@@ -921,7 +930,7 @@ object Queries {
         val c = t(s, d, "customer")
           .select(col("c_custkey"), (lit(1995) + col("c_custkey") % 5).as("active_year"))
         Analytics.yearlyActive(
-            o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+            o.join(c.hint("merge"), col("o_custkey") === col("c_custkey")),
             col("o_orderdate"), col("active_year"), Seq(col("o_orderstatus")))
           .orderBy(col("yr"), col("o_orderstatus"))
       },

@@ -286,7 +286,9 @@ object Similarity {
       else array((col("bucket") +: (0 until planesPerTable)
         .map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val b = buckets.select(col("tbl"), explode(probes).as("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    // corpus-sized self-join: sort-merge, never a broadcast (same static-
+    // estimator trap and 100-TB argument as Dedup.lshCandidatePairs)
+    a.join(b.hint("merge"), Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -309,7 +311,8 @@ object Similarity {
     val cand = srpCandidatePairs(corpus, idCol, vecCol, numTables, planesPerTable, probeRadius, dims)
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    // candidate pairs and the vector table are both corpus-sized
+    cand.join(va.hint("merge"), "id_a").join(vb.hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }

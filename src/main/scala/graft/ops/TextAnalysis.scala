@@ -243,7 +243,9 @@ object TextAnalysis {
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(df, "token")
+    // df is vocabulary-sized — unbounded at corpus scale, so sort-merge
+    // (see unigramFreqScore for the static-estimator/broadcast-job trap)
+    tf.join(df.hint("merge"), "token")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
@@ -332,7 +334,10 @@ object TextAnalysis {
       .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"), key(col("w")).as("wk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winCounts = wins.groupBy(col("wk")).agg(count(lit(1)).as("_cnt"))
-    wins.join(winCounts, Seq("wk"))
+    // window table × window counts: both corpus-sized — sort-merge, never
+    // a broadcast (the small-SF static estimator would otherwise build one
+    // and pay a driver job for a join shape that dies at 100 TB)
+    wins.join(winCounts.hint("merge"), Seq("wk"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_windows"),
         sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
@@ -382,7 +387,7 @@ object TextAnalysis {
         posexplode(Dedup.gramsFromTokens(col("_toks"), windowTokens)).as(Seq("_p0", "w")))
       .select(col(idCol), (col("_p0") + 1).cast("int").as("pos"), col("w"))
     val firstOcc = wins.groupBy(col("w")).agg(min(occKey).as("_mk"))
-    val removed = wins.join(firstOcc, Seq("w"))
+    val removed = wins.join(firstOcc.hint("merge"), Seq("w"))
       .where(occKey =!= col("_mk"))
       .select(col(idCol), col("pos"))
     val covered = removed
@@ -392,7 +397,7 @@ object TextAnalysis {
     val tokTbl = base
       .select(col(idCol), posexplode(col("_toks")).as(Seq("_p0", "tok")))
       .select(col(idCol), (col("_p0") + 1).cast("int").as("tokpos"), col("tok"))
-    val kept = tokTbl.join(covered, Seq(idCol, "tokpos"), "left_anti")
+    val kept = tokTbl.join(covered.hint("merge"), Seq(idCol, "tokpos"), "left_anti")
     val totals = base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
     val rebuilt = kept.groupBy(col(idCol)).agg(
@@ -400,7 +405,7 @@ object TextAnalysis {
       concat_ws(" ", transform(
         array_sort(collect_list(struct(col("tokpos"), col("tok")))),
         s => s.getField("tok"))).as("clean_text"))
-    totals.join(rebuilt, Seq(idCol), "left")
+    totals.join(rebuilt.hint("merge"), Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
@@ -425,10 +430,11 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = cnts.agg(sum(col("cnt")).as("_total"))
-    // no broadcast hint: the corpus vocabulary is unbounded (hashes, URLs,
-    // typos), so the count table must be allowed to shuffle-join; AQE will
-    // still broadcast it when it measures small
-    tok.join(cnts, Seq("token"))
+    // the corpus vocabulary is unbounded (hashes, URLs, typos), so the
+    // count table must never broadcast — pinned sort-merge, because the
+    // small-SF static estimator would otherwise choose a broadcast that
+    // both costs a driver build job and dies at corpus scale
+    tok.join(cnts.hint("merge"), Seq("token"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("sum_cnt"))

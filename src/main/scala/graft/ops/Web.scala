@@ -79,6 +79,8 @@ object Web {
     val hit = docHosts(docs, idCol, textCol)
       .join(blocklist.select(col("domain")), Seq("domain"))
       .select(col(idCol)).distinct()
-    docs.join(hit, Seq(idCol), "left_anti")
+    // the hit set is corpus-sized (worst case every doc) — the anti-join
+    // must sort-merge; only the blocklist side above may broadcast
+    docs.join(hit.hint("merge"), Seq(idCol), "left_anti")
   }
 }
