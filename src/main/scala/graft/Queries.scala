@@ -76,6 +76,72 @@ object Queries {
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
 
+  // ---- integer-lattice embedding construct (shared by the IVF oracles) --
+  // An 8-dim derivation of vec_id with values in [-5,7]: small integers are
+  // exact in float32 AND double, so per-dim centroid sums are exact in any
+  // partition order, means are one correctly-rounded division, and every
+  // cosine is exactly-rounded (*,/,sqrt) arithmetic both engines hash-agree
+  // on. Dim 0 is id%7+1 >= 1, so no zero-norm vector at any SF; multipliers
+  // are coprime to the 11 modulus.
+  private val LatDims = 8
+  private val LatMults = Seq(3, 5, 7, 9, 13, 15, 17)
+  private def latticeVec: Column =
+    array((pmod(col("vec_id"), lit(7L)) + 1).cast("double") +:
+        LatMults.map(m => (pmod(col("vec_id") * lit(m.toLong), lit(11L)) - 5).cast("double")): _*)
+      .cast("array<float>")
+  private val latticeSqlList: String =
+    ("CAST(vec_id % 7 + 1 AS DOUBLE)" +:
+      LatMults.map(m => s"CAST((vec_id * $m) % 11 - 5 AS DOUBLE)")).mkString("[", ",\n       ", "]")
+  private val latticeBaseCte: String =
+    s"base AS (SELECT vec_id, label, $latticeSqlList AS v FROM embeddings)"
+  /** The DuckDB spelling of [[Similarity.cosine]]'s exact arithmetic. */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $LatDims), i -> $a[i] * $b[i])) / " +
+      s"(sqrt(list_sum(list_transform(generate_series(1, $LatDims), i -> $a[i] * $a[i]))) * " +
+      s"sqrt(list_sum(list_transform(generate_series(1, $LatDims), i -> $b[i] * $b[i]))))"
+  /** Per-`grp` exact mean vectors of `src`(vec list col `v`) as CTE `out`. */
+  private def meanCteSql(src: String, grp: String, out: String): String =
+    s"""$out AS (SELECT $grp, list(cv ORDER BY dim) AS c FROM (
+          SELECT $grp, dim, sum(val) / count(*) AS cv FROM (
+            SELECT $grp, unnest(generate_series(1, $LatDims)) AS dim, unnest(v) AS val FROM $src)
+          GROUP BY 1, 2) GROUP BY 1)"""
+  /** The route → probe → score → rank tail shared by both IVF oracles:
+    * queries (vec_id % 10 = 0) from `src` against centroid CTE `cent`
+    * keyed by `lbl`, nprobe probes, top-5 by (sim desc, id).
+    */
+  private def ivfTailSql(src: String, lbl: String, nprobe: Int): String =
+    s"""routed AS (SELECT s.vec_id AS qid, s.v AS qv, cent.$lbl,
+            ${cosSql("s.v", "cent.c")} AS c_sim
+          FROM $src s CROSS JOIN cent WHERE s.vec_id % 10 = 0),
+        probes AS (SELECT qid, qv, $lbl FROM (
+            SELECT qid, qv, $lbl,
+              row_number() OVER (PARTITION BY qid ORDER BY c_sim DESC, $lbl ASC) AS pr
+            FROM routed) WHERE pr <= $nprobe),
+        scored AS (SELECT p.qid, s.vec_id AS nid, ${cosSql("p.qv", "s.v")} AS sim
+          FROM probes p JOIN $src s ON p.$lbl = s.$lbl WHERE s.vec_id <> p.qid)
+        SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"""
+  /** `iters` unrolled Lloyd's rounds over `base` (seeds: k smallest
+    * `(md5(id), id)` — the engine-portable seedKey the query passes), each
+    * round = assign (argmax cosine, ties lowest centroid) + exact lattice
+    * means with empty-cluster carryover. Produces CTEs c0..c`iters`.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
+    val c0 = s"""c0 AS (SELECT j, v AS c FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, v
+        FROM base) WHERE j < $k)"""
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, v, j FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c${i - 1} c) WHERE rn = 1),
+        ${meanCteSql(s"a$i", "j", s"m$i")},
+        c$i AS (SELECT p.j, COALESCE(m.c, p.c) AS c FROM c${i - 1} p LEFT JOIN m$i m ON p.j = m.j)"""
+    }
+    (c0 +: rounds).mkString(",\n        ")
+  }
+
   private val RadiusKm = 300.0
   private def havSql(a1: String, o1: String, a2: String, o2: String) =
     Geo.haversineKmSql(a1, o1, a2, o2)
@@ -1804,31 +1870,60 @@ object Queries {
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("ann_ivf_topk",
+      // construct-and-check (the mm_video_meta/op05 pattern, applied to
+      // IVF): the real embeddings' float centroid means are partition-
+      // order dependent in the last ulp, so this key was rows-only. The
+      // vectors here are an INTEGER-LATTICE derivation of vec_id (values
+      // in [-5,7], exactly representable in float32): per-dim centroid
+      // sums are then exact in double REGARDLESS of partition order, the
+      // mean is one correctly-rounded division, and every cosine is the
+      // same exactly-rounded (*,/,sqrt) arithmetic both engines already
+      // hash-agree on for ann_cosine_topk — so the full route→probe→rank
+      // pipeline (the REAL ivfTopK operator, centroids included) is
+      // hash-checkable. Multipliers are coprime to the 11 modulus (no
+      // degenerate constant dims except none); dim 0 is id%7+1 >= 1 so no
+      // zero-norm vector exists at any scale factor.
       (s, d) => {
-        val e = t(s, d, "embeddings")
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          latticeVec.as("embedding"))
         Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding",
             "label", k = 5, nprobe = 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None), // IVF routing depends on float centroid math — rows-only check; recall vs brute force is asserted in ScalaTest
+      Some(s"""WITH $latticeBaseCte,
+        ${meanCteSql("base", "label", "cent")},
+        ${ivfTailSql("base", "label", nprobe = 3)}""")),
 
     QueryDef("ann_ivf_fit",
       // the END-TO-END fresh-corpus IVF path: Lloyd's k-means fit
       // (deterministic seeds, one job per iteration, centroids broadcast
       // back as expression literals) → fitted cluster routing → ivfTopK.
-      // Rows-only like ann_ivf_topk (float centroid means); the fit's
-      // determinism and recall-vs-brute-force are SimilaritySpec properties
+      // Hash-checked via the same integer-lattice construct as
+      // ann_ivf_topk: lattice means are exact in any partition order, so
+      // the oracle can replay the ENTIRE iterative fit — seeds drawn by
+      // the engine-portable (md5(id), id) key (DuckDB has no xxhash64),
+      // then 3 unrolled assign/mean rounds with empty-cluster carryover,
+      // then the fitted routing. Float-embedding recall-vs-brute-force
+      // stays a SimilaritySpec property.
       (s, d) => {
-        val e = t(s, d, "embeddings")
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          latticeVec.as("embedding"))
         val labeled = Similarity.kmeansAssign(e, "vec_id", "embedding",
-          k = 16, iters = 3)
+          k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
         Similarity.ivfTopK(labeled.where(col("vec_id") % 10 === 0), labeled,
             "vec_id", "embedding", "cluster", k = 5, nprobe = 4)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""WITH $latticeBaseCte,
+        ${kmeansCtesSql(k = 16, iters = 3)},
+        lab AS (SELECT vec_id, v, j AS lbl FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
+        ${meanCteSql("lab", "lbl", "cent")},
+        ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("emb_near_dup",
       // The driver embeddings have NO true near-dups (measured max pairwise

@@ -126,9 +126,11 @@ object Similarity {
     * "in production: k-means output"; this is that output).
     *
     * Deterministic up to the last ulp of the centroid means:
-    *  - seeds are the k vectors with the smallest `(xxhash64(id), id)` — a
+    *  - seeds are the k vectors with the smallest `(seedKey(id), id)` — a
     *    pseudo-random but reproducible draw, independent of partitioning
-    *    (TakeOrdered, never a full sort) — exact;
+    *    (TakeOrdered, never a full sort) — exact. `seedKey` defaults to
+    *    xxhash64; pass an engine-portable key (e.g. `md5(id::string)`) when
+    *    an external oracle must reproduce the draw;
     *  - assignment is argmax cosine against the current centroids with ties
     *    to the LOWEST centroid id (struct-max over `(sim, −j)`) — exact
     *    given the centroids;
@@ -152,14 +154,15 @@ object Similarity {
     * returning.
     */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int = 5): Array[Array[Double]] = {
+                k: Int, iters: Int = 5,
+                seedKey: Column => Column = xxhash64(_)): Array[Array[Double]] = {
     require(k >= 1 && iters >= 0)
     val proj = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seedRows = proj
         .select(col("_id"), col("_v").cast("array<double>").as("_vd"))
-        .orderBy(xxhash64(col("_id")), col("_id")).limit(k)
+        .orderBy(seedKey(col("_id")), col("_id")).limit(k)
         .collect()
       var cents: Array[Array[Double]] =
         seedRows.map(_.getSeq[Double](1).toArray)
@@ -194,8 +197,9 @@ object Similarity {
     * expression (no extra job beyond the fit's `iters + 1`).
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int = 5, clusterCol: String = "cluster"): DataFrame = {
-    val cents = kmeansFit(corpus, idCol, vecCol, k, iters)
+                   k: Int, iters: Int = 5, clusterCol: String = "cluster",
+                   seedKey: Column => Column = xxhash64(_)): DataFrame = {
+    val cents = kmeansFit(corpus, idCol, vecCol, k, iters, seedKey)
     corpus.withColumn(clusterCol, nearestCentroid(col(vecCol), cents))
   }
 
