@@ -1936,6 +1936,17 @@ object Queries {
       // ids are −id−1: collision-free with the nonnegative real ids at ANY
       // scale factor (a fixed +offset would collide once the table outgrows
       // it).
+      //
+      // Oracle = the analytically-expected planted pair set (the
+      // emb_semantic_dedup pattern): the ±2% per-dim perturbation bounds
+      // the planted angle (cos >= ~0.9996 > 0.9 for EVERY vector), while
+      // naturals top out at cos 0.479 and natural×planted at ~0.49 — so
+      // the exact expected output is one (−id−1, id) pair per vector, and
+      // the hash check asserts 100% LSH recall on the planted pairs AND
+      // zero false positives. (The LSH mechanics need no SQL mirror; at
+      // cos 0.9997 the 8-table/1-bit-multiprobe miss probability is ~1e-16
+      // per pair, and on the driver's FIXED corpus recall is a determinism,
+      // verified by this very hash compare.)
       (s, d) => {
         val e = t(s, d, "embeddings")
         val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -1947,7 +1958,8 @@ object Queries {
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None), // SRP bucket bits flip on 1-ulp projection differences across engines — rows-only; recall/precision/linearity proven in SimilaritySpec
+      Some("""SELECT CAST(-vec_id - 1 AS BIGINT) AS id_a, vec_id AS id_b
+        FROM embeddings ORDER BY 1, 2""")),
 
     QueryDef("emb_semantic_dedup",
       // SemDeDup end to end: corpus PLUS one planted EXACT copy of every
