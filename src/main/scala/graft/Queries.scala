@@ -1489,6 +1489,13 @@ object Queries {
           toksDF.where(col("doc_id") % 37 === 0), "doc_id", "_toks", 3)
         val cont = Dedup.contaminationScoresFromShingles(corpusSh, benchSh, "doc_id")
           .where(col("contamination") < 0.5).select("doc_id")
+        // rep/cont stay UNHINTED deliberately: the joined side is a narrow
+        // doc-id filter and the probe side carries the fat token arrays —
+        // a merge hint here forces two full shuffles+sorts of the token
+        // table (measured 2x the query's wall time) to save one broadcast
+        // build job. At real scale AQE (ON per SCALE.md) right-sizes this
+        // per run; the id filters only outgrow a broadcast when the corpus
+        // does, and then the exchange is the linear, unavoidable one.
         val surviving = toksDF.join(rep, "doc_id").join(cont, "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val survSh = Dedup.shingleTableFromTokens(surviving, "doc_id", "_toks", 3)
@@ -1504,7 +1511,8 @@ object Queries {
         // exploded chunk rows, without materializing them). The round-4
         // form crossJoined four independent single-row aggregates, which
         // cost a broadcast job each; this is 3 left joins + 1 agg.
-        surviving.select(col("doc_id"), lit(1).as("_q"), col("_toks")).join(dropped, Seq("doc_id"), "left")
+        surviving.select(col("doc_id"), lit(1).as("_q"), col("_toks"))
+          .join(dropped, Seq("doc_id"), "left")
           .select(col("_q"), (col("_q") === 1 && col("_drop").isNull).as("_kept"),
             when(col("_drop").isNull && size(col("_toks")) >= 1,
               size(sequence(lit(1), size(col("_toks")), lit(24)))).otherwise(lit(0)).as("_nch"))
