@@ -19,6 +19,15 @@ object Verify {
     // unset = full dump); oracle_sql.json is always written in full so a
     // filtered dump still checks against the right SQL
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a typo'd or empty allowlist would dump nothing and exit 0 — name the
+    // entries that matched no query so the focused run can't silently
+    // check nothing (same guard as Bench)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY entries match no query: " +
+          unknown.mkString(", "))
+    }
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

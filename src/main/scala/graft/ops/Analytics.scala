@@ -124,6 +124,22 @@ object Analytics {
           (col("n_rows").cast("double") / col("n_keys").cast("double"))).as("skew_factor"))
   }
 
+  /** Helper-column names that cannot collide with the input schema: prefix
+    * underscores until the name is unused (also reserving against the other
+    * fresh names minted in the same call). Collision checks are
+    * case-INSENSITIVE, matching Spark's default column resolution — an
+    * input column "_G" must still force "_g" to be renamed.
+    */
+  private def freshNames(df: DataFrame, bases: String*): Seq[String] = {
+    val used = scala.collection.mutable.Set[String](df.columns.map(_.toLowerCase): _*)
+    bases.map { b =>
+      var n = b
+      while (used(n.toLowerCase)) n = "_" + n
+      used += n.toLowerCase
+      n
+    }
+  }
+
   /** Winsorization: clamp a measure into its per-group [pLo, pHi]
     * percentile band — the standard robust-stats outlier treatment. The
     * group percentile table is tiny (one row per group) and broadcast back.
@@ -151,20 +167,6 @@ object Analytics {
     * through unclamped. Helper columns do not leak: the output is the
     * input schema plus `_wins`.
     */
-  /** Helper-column names that cannot collide with the input schema: prefix
-    * underscores until the name is unused (also reserving against the other
-    * fresh names minted in the same call).
-    */
-  private def freshNames(df: DataFrame, bases: String*): Seq[String] = {
-    val used = scala.collection.mutable.Set[String](df.columns: _*)
-    bases.map { b =>
-      var n = b
-      while (used(n)) n = "_" + n
-      used += n
-      n
-    }
-  }
-
   def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0)
@@ -253,8 +255,24 @@ object Analytics {
     // for the final agg, no broadcast-build job, no join. The collect is
     // BOUNDED by maxLiteralGroups + 1 rows; above the bound we fall back to
     // the distributed broadcast-join form (never an unbounded driver pull).
-    val head = moments.coalesce(1).limit(maxLiteralGroups + 1).collect()
-    if (head.length <= maxLiteralGroups) {
+    // The literal path also requires a lit()-able group type — composite
+    // keys (struct/array/map) always take the join path, like the old
+    // implementation. Persisting moments makes the fallback reuse the
+    // probe's aggregation instead of recomputing it (released by the
+    // session's next clearCache, the skewProfile convention).
+    val literalTyped = proj.schema("grp").dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    val probeLimit = math.min(maxLiteralGroups.toLong + 1L, Int.MaxValue.toLong).toInt
+    lazy val cachedMoments =
+      moments.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head =
+      if (literalTyped) cachedMoments.coalesce(1).limit(probeLimit).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (literalTyped && head.length <= maxLiteralGroups) {
       val nullD = lit(null).cast("double")
       val (meanE, stdE) = head.foldLeft((nullD, nullD)) { case ((mAcc, sAcc), r) =>
         val g = lit(r.get(0))
@@ -269,7 +287,12 @@ object Analytics {
           meanE.cast("double").as("mean"), stdE.cast("double").as("std"),
           col("n_outliers"))
     } else {
-      val m = moments.select(col("grp").as("_mg"), col("mean"), col("std"))
+      // composite-key groups or cardinality above the bound: distributed
+      // broadcast-join form; cachedMoments serves the probe's aggregation
+      // from cache when the probe ran (cardinality overflow), and is the
+      // plain lazy plan when it didn't (composite keys, no probe paid)
+      val m = (if (literalTyped) cachedMoments else moments)
+        .select(col("grp").as("_mg"), col("mean"), col("std"))
       proj.join(broadcast(m), col("grp") <=> col("_mg"))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_rows"),

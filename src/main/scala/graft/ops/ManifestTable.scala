@@ -199,8 +199,14 @@ final class ManifestTable private (
         case None =>
           // the losing attempt's rewrite dir is referenced by no manifest —
           // delete it now rather than leaving a table-sized orphan per
-          // retry for vacuum to find
-          fs.delete(new Path(dataDir, dir), /* recursive = */ true)
+          // retry for vacuum to find. Cleanup is best-effort: a transient
+          // FS error here must not abort a merge the retry loop would
+          // complete (the orphan is still vacuum's to collect, as before)
+          try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
+              s"conflict-losing dir $dir failed (vacuum will collect it): ${e.getMessage}")
+          }
           attempt += 1
           if (attempt > maxRetries) failRetries(maxRetries)
           Thread.sleep(RetrySleepMs * attempt)

@@ -178,6 +178,29 @@ class AggregatesSpec extends SparkSpec {
     assert(litPath.map(_.toString).sorted.toSeq == bcPath.map(_.toString).sorted.toSeq)
   }
 
+  test("standardizeStats: composite group keys and sentinel bounds take the join path safely") {
+    // struct keys are not lit()-able — they must route to the broadcast-join
+    // fallback instead of crashing the literal fold (regression vs the
+    // pre-literal implementation, which handled any key type)
+    val df = (1 to 20).map(i => (s"a${i % 2}", i % 2, i.toDouble)).toDF("g1", "g2", "v")
+    val got = graft.ops.Analytics.standardizeStats(
+        df, org.apache.spark.sql.functions.struct(col("g1"), col("g2")), col("v"))
+      .collect()
+    assert(got.length == 2 && got.forall(_.getLong(1) == 10L))
+    // Int.MaxValue means "no bound", not an overflowed negative limit
+    val one = graft.ops.Analytics.standardizeStats(df, col("g1"), col("v"),
+      maxLiteralGroups = Int.MaxValue).collect()
+    assert(one.length == 2)
+  }
+
+  test("winsorize: helper-name collision check is case-insensitive like Spark resolution") {
+    val vals = (1 to 20).map(i => ("g", i.toDouble, i)).toDF("_G", "v", "_LO")
+    val w = graft.ops.Analytics.winsorize(vals, col("_G"), col("v"), 0.10, 0.90)
+    assert(w.columns.toSeq == Seq("_G", "v", "_LO", "_wins"))
+    val wins = w.select(col("_wins")).as[Double].collect()
+    assert(math.abs(wins.min - 2.9) < 1e-12 && math.abs(wins.max - 18.1) < 1e-12)
+  }
+
   test("standardizeStats: job count stays pinned (no broadcast-build, no limit scale-up)") {
     // the literal path is the zscore perf contract: one bounded driver probe
     // + one self-contained final aggregation. The coalesce(1) before the
