@@ -32,6 +32,22 @@ object Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** ORDER BY for results whose cardinality is BOUNDED BY CONSTRUCTION —
+    * fixed group domains (returnflag, priority, nation, grid cells, years)
+    * or operator contracts that already bound the output (top-k over a
+    * bounded query set). A range-exchange `orderBy` costs a separate
+    * sampling JOB that re-executes the child plan (the per-query 2-job
+    * floor on the driver); for a result that stays metadata-sized at ANY
+    * scale factor, a single-partition sort is the plan you'd want at
+    * 100 TB too — the distributed work all happens below the coalesce.
+    * NOT for SF-growing outputs (per-doc scores, pair lists): those keep
+    * the parallel range sort.
+    */
+  private implicit class BoundedResultOps(df: DataFrame) {
+    def orderBySmall(cols: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+  }
+
   // ------------------------------------------------------------------
   // Derived deterministic geo points (the testdata has no coordinates; the
   // reference's flagship is a spatial radius join, so we derive stable
@@ -170,7 +186,7 @@ object Queries {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")),
+        .orderBySmall(col("l_returnflag"), col("l_linestatus")),
       Some(s"""SELECT l_returnflag, l_linestatus,
         sum(l_quantity) AS sum_qty,
         ${dsumSql("l_extendedprice", 20, 2)} AS sum_base,
@@ -225,7 +241,7 @@ object Queries {
           .groupBy(col("r_name"), col("n_name"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("r_name"), col("n_name"))
+          .orderBySmall(col("r_name"), col("n_name"))
       },
       Some(s"""SELECT r_name, n_name,
         ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_items
@@ -340,7 +356,7 @@ object Queries {
         o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("order_count"))
-          .orderBy(col("o_orderpriority"))
+          .orderBySmall(col("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -565,7 +581,7 @@ object Queries {
         val parsed = t(s, d, "orders").select(Transforms.parseDateMulti(raw).as("parsed"))
         Transforms.filterValid(parsed, Seq("parsed"))
           .groupBy(year(col("parsed")).as("yr")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("yr"))
+          .orderBySmall(col("yr"))
       },
       Some("""SELECT CAST(year(parsed) AS INTEGER) AS yr, count(*) AS cnt FROM (
         SELECT CAST(coalesce(try_strptime(raw, '%Y%m%d'), try_strptime(raw, '%Y-%m-%d')) AS DATE) AS parsed
@@ -607,7 +623,7 @@ object Queries {
         Aggregates.unionAligned(Seq(open, done))
           .groupBy(col("tag"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 20, 2).as("total"))
-          .orderBy(col("tag"))
+          .orderBySmall(col("tag"))
       },
       Some(s"""SELECT tag, count(*) AS n, ${dsumSql("o_totalprice", 20, 2)} AS total FROM (
         SELECT 'OPEN' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'O'
@@ -636,7 +652,7 @@ object Queries {
             r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 20, 2).as("total_bal"))
-          .orderBy(col("r_name"))
+          .orderBySmall(col("r_name"))
       },
       Some(s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal", 20, 2)} AS total_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -819,7 +835,7 @@ object Queries {
         .agg(count(lit(1)).as("cnt"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"))
-        .orderBy(col("flag"), col("status")),
+        .orderBySmall(col("flag"), col("status")),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
         count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2""")),
@@ -830,7 +846,7 @@ object Queries {
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 20, 2).as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"), col("qty"))
-        .orderBy(col("flag"), col("status")),
+        .orderBySmall(col("flag"), col("status")),
       Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
         count(*) AS cnt, ${dsumSql("l_quantity", 20, 2)} AS qty
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -843,7 +859,7 @@ object Queries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-        .orderBy(col("l_returnflag")),
+        .orderBySmall(col("l_returnflag")),
       None),
 
     QueryDef("op_intersect",
@@ -866,7 +882,7 @@ object Queries {
     QueryDef("op_profile",
       (s, d) => Analytics.profileNumeric(t(s, d, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy(col("col_name")),
+        .orderBySmall(col("col_name")),
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         cols.map(c =>
@@ -921,7 +937,7 @@ object Queries {
         .pivot("o_orderstatus", Seq("O", "F", "P"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy(col("yr")),
+        .orderBySmall(col("yr")),
       Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
@@ -933,7 +949,7 @@ object Queries {
         .groupBy(col("o_orderstatus"))
         .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
           percentile(col("o_totalprice"), lit(0.95)).as("p95"))
-        .orderBy(col("o_orderstatus")),
+        .orderBySmall(col("o_orderstatus")),
       Some("""SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         quantile_cont(o_totalprice, 0.95) AS p95
         FROM orders GROUP BY 1 ORDER BY 1""")),
@@ -945,7 +961,7 @@ object Queries {
         .agg(count(lit(1)).as("cnt"))
         .select(coalesce(col("o_orderstatus"), lit("-")).as("status"),
           coalesce(col("o_orderpriority"), lit("-")).as("prio"), col("cnt"))
-        .orderBy(col("status"), col("prio")),
+        .orderBySmall(col("status"), col("prio")),
       Some("""SELECT coalesce(o_orderstatus, '-') AS status, coalesce(o_orderpriority, '-') AS prio,
         count(*) AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         ORDER BY 1, 2""")),
@@ -966,7 +982,7 @@ object Queries {
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus")),
+        .orderBySmall(col("o_orderstatus")),
       Some("""SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
         count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""")),
 
@@ -998,7 +1014,7 @@ object Queries {
         Analytics.yearlyActive(
             o.join(c.hint("merge"), col("o_custkey") === col("c_custkey")),
             col("o_orderdate"), col("active_year"), Seq(col("o_orderstatus")))
-          .orderBy(col("yr"), col("o_orderstatus"))
+          .orderBySmall(col("yr"), col("o_orderstatus"))
       },
       Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus, count(*) AS cnt
         FROM orders JOIN (SELECT c_custkey, 1995 + c_custkey % 5 AS active_year FROM customer) c
@@ -1008,7 +1024,7 @@ object Queries {
 
     QueryDef("q_heatmap",
       (s, d) => Analytics.heatmap(custPoints(s, d), col("lat"), col("lon"), 3.0, 6.0)
-        .orderBy(col("cell_x"), col("cell_y")),
+        .orderBySmall(col("cell_x"), col("cell_y")),
       Some(s"""SELECT CAST(floor(lat / 3.0) AS BIGINT) AS cell_x,
         CAST(floor(lon / 6.0) AS BIGINT) AS cell_y, count(*) AS cnt
         FROM ($custPointsSql) GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -1133,7 +1149,7 @@ object Queries {
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_extendedprice"), 20, 2).as("sum_raw"),
           dsum(col("_wins"), 24, 6).as("sum_winsorized"))
-        .orderBy(col("l_returnflag")),
+        .orderBySmall(col("l_returnflag")),
       Some(s"""WITH b AS (SELECT l_returnflag AS g,
           quantile_cont(l_extendedprice, 0.05) AS lo,
           quantile_cont(l_extendedprice, 0.95) AS hi
@@ -1150,7 +1166,7 @@ object Queries {
       // and one entity-key join, the standard retention-matrix shape
       (s, d) => Analytics.cohortRetention(eventsUs(s, d), col("user_id"), col("ts_us"),
           periodLen = 7L * 86400L * 1000000L)
-        .orderBy(col("cohort"), col("periods_since")),
+        .orderBySmall(col("cohort"), col("periods_since")),
       Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         f AS (SELECT user_id, CAST(floor(min(ts_us) / 604800000000) AS BIGINT) AS cohort
           FROM ev GROUP BY 1)
@@ -1202,7 +1218,7 @@ object Queries {
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
           xScale = 0, yScale = 2)
         .withColumnRenamed("grp", "l_returnflag")
-        .orderBy("l_returnflag"),
+        .orderBySmall(col("l_returnflag")),
       Some("""WITH m AS (SELECT l_returnflag,
           CAST(count(*) AS DOUBLE) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS sx,
@@ -1259,7 +1275,7 @@ object Queries {
     QueryDef("txt_language_guess",
       (s, d) => TextAnalysis.languageGuessed(t(s, d, "documents"), "text")
         .groupBy(col("guess"), col("lang")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("guess"), col("lang")),
+        .orderBySmall(col("guess"), col("lang")),
       Some {
         def hits(words: Seq[String]) =
           s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
@@ -1626,7 +1642,7 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           array_join(array_sort(collect_list(col("event_id"))), ",").as("ids_csv"))
-        .orderBy(col("event_type")),
+        .orderBySmall(col("event_type")),
       Some("""SELECT event_type, count(*) AS n,
           array_to_string(list_sort(list(event_id)), ',') AS ids_csv
         FROM events WHERE event_id % 199 = 0 GROUP BY 1 ORDER BY 1""")),
@@ -1640,7 +1656,7 @@ object Queries {
           Map("A" -> 10, "N" -> 2, "R" -> 50))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_kept"), dsum(col("l_quantity"), 20, 2).as("sum_qty"))
-        .orderBy(col("l_returnflag")),
+        .orderBySmall(col("l_returnflag")),
       Some(s"""SELECT l_returnflag, count(*) AS n_kept, ${dsumSql("l_quantity", 20, 2)} AS sum_qty
         FROM lineitem
         WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100
@@ -1732,7 +1748,7 @@ object Queries {
       // share of all token occurrences they cover; integer counts, one
       // exact double division at the end
       (s, d) => TextAnalysis.vocabCoverage(t(s, d, "documents"), "text", k = 100)
-        .orderBy(col("rank")),
+        .orderBySmall(col("rank")),
       Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
           FROM documents),
         c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
@@ -1825,7 +1841,7 @@ object Queries {
         val e = t(s, d, "embeddings")
         Similarity.bruteForceTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
-          .orderBy(col("query_id"), col("rank"))
+          .orderBySmall(col("query_id"), col("rank"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
         s AS (SELECT qid, vec_id AS nid,
@@ -1861,7 +1877,7 @@ object Queries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.quantizedTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
-          .orderBy(col("query_id"), col("rank"))
+          .orderBySmall(col("query_id"), col("rank"))
       },
       Some("""WITH qz AS (
           SELECT vec_id, CASE WHEN m = 0 THEN [0 FOR x IN embedding]
@@ -1897,7 +1913,7 @@ object Queries {
         Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding",
             "label", k = 5, nprobe = 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
-          .orderBy(col("query_id"), col("rank"))
+          .orderBySmall(col("query_id"), col("rank"))
       },
       Some(s"""WITH $latticeBaseCte,
         ${meanCteSql("base", "label", "cent")},
@@ -1922,7 +1938,7 @@ object Queries {
         Similarity.ivfTopK(labeled.where(col("vec_id") % 10 === 0), labeled,
             "vec_id", "embedding", "cluster", k = 5, nprobe = 4)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
-          .orderBy(col("query_id"), col("rank"))
+          .orderBySmall(col("query_id"), col("rank"))
       },
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},
