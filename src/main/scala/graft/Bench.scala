@@ -59,8 +59,7 @@ object Bench {
     // tables first (limit(1) triggers the listing without a full scan) so
     // that job lands here, untimed, instead of inflating whichever timed
     // query reads the table first.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
+    Tables.all
       .foreach { tn =>
         try Tables.load(spark, sfDir, tn).limit(1).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] table warmup $tn: ${e.getMessage}") }

@@ -40,8 +40,13 @@ object Queries {
     * floor on the driver); for a result that stays metadata-sized at ANY
     * scale factor, a single-partition sort is the plan you'd want at
     * 100 TB too — the distributed work all happens below the coalesce.
-    * NOT for SF-growing outputs (per-doc scores, pair lists): those keep
-    * the parallel range sort.
+    * NOT for SF-growing outputs (per-doc scores, pair lists, ANN results
+    * over a %-sampled query set), NOT for SF-growing per-row payloads
+    * (collect_list CSVs — group count bounded but sum-of-groups memory in
+    * one task is not), and NOT above aggregates with unbounded per-group
+    * buffers (built-in `percentile`) where the single final-merge task
+    * would hold every group's buffer at once: all of those keep the
+    * parallel range sort.
     */
   private implicit class BoundedResultOps(df: DataFrame) {
     def orderBySmall(cols: Column*): DataFrame =
@@ -742,14 +747,10 @@ object Queries {
       // feature-scaling primitive): mean/std are one shared IEEE expression
       // over exact sums, outliers an integer count — hash-stable without
       // emitting per-row doubles
-      // coalesce(1)+sortWithinPartitions instead of orderBy: the output is
-      // one row per returnflag (3 rows), and a range exchange would cost a
-      // separate sampling job that re-runs the whole aggregation — the
-      // single-partition sort gives the same total order in the one job
       (s, d) => Analytics.standardizeStats(t(s, d, "lineitem"),
           col("l_returnflag"), col("l_extendedprice"), zCut = 2.0, scale = 2)
         .withColumnRenamed("grp", "l_returnflag")
-        .coalesce(1).sortWithinPartitions(col("l_returnflag")),
+        .orderBySmall(col("l_returnflag")),
       Some("""WITH m AS (SELECT l_returnflag AS g, CAST(count(l_extendedprice) AS DOUBLE) AS n,
             CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS s,
             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS ss
@@ -949,7 +950,7 @@ object Queries {
         .groupBy(col("o_orderstatus"))
         .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
           percentile(col("o_totalprice"), lit(0.95)).as("p95"))
-        .orderBySmall(col("o_orderstatus")),
+        .orderBy(col("o_orderstatus")),
       Some("""SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         quantile_cont(o_totalprice, 0.95) AS p95
         FROM orders GROUP BY 1 ORDER BY 1""")),
@@ -1642,7 +1643,7 @@ object Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           array_join(array_sort(collect_list(col("event_id"))), ",").as("ids_csv"))
-        .orderBySmall(col("event_type")),
+        .orderBy(col("event_type")),
       Some("""SELECT event_type, count(*) AS n,
           array_to_string(list_sort(list(event_id)), ',') AS ids_csv
         FROM events WHERE event_id % 199 = 0 GROUP BY 1 ORDER BY 1""")),
@@ -1841,7 +1842,7 @@ object Queries {
         val e = t(s, d, "embeddings")
         Similarity.bruteForceTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
-          .orderBySmall(col("query_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
         s AS (SELECT qid, vec_id AS nid,
@@ -1877,7 +1878,7 @@ object Queries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.quantizedTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
-          .orderBySmall(col("query_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH qz AS (
           SELECT vec_id, CASE WHEN m = 0 THEN [0 FOR x IN embedding]
@@ -1913,7 +1914,7 @@ object Queries {
         Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding",
             "label", k = 5, nprobe = 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
-          .orderBySmall(col("query_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH $latticeBaseCte,
         ${meanCteSql("base", "label", "cent")},
@@ -1938,7 +1939,7 @@ object Queries {
         Similarity.ivfTopK(labeled.where(col("vec_id") % 10 === 0), labeled,
             "vec_id", "embedding", "cluster", k = 5, nprobe = 4)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
-          .orderBySmall(col("query_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},

@@ -26,6 +26,12 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Every driver table — THE list warmup/tooling loops must iterate so a
+    * table added here can never be silently skipped.
+    */
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
