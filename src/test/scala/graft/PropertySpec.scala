@@ -169,4 +169,40 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial pLo=$pLo pHi=$pHi")
     }
   }
+
+  test("standardizeStats == built-in avg/stddev_pop + brute outlier count under random data") {
+    // the literal-fold rewrite must preserve the operator's math: decimal-
+    // exact moments agree with the built-in float aggregates to float
+    // tolerance, and the outlier count matches a driver-side brute count
+    // computed from the operator's OWN mean/std (the count is exact given
+    // the stats; the stats match the built-ins within ulp-scale error)
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 6) {
+      val nG = 1 + rnd.nextInt(3)
+      val rows = (0 until 100 + rnd.nextInt(300)).map { _ =>
+        val g = s"g${rnd.nextInt(nG)}"
+        val v: Option[Double] =
+          if (rnd.nextInt(10) == 0) None
+          else Some(math.round((rnd.nextDouble() - 0.5) * 1e6) / 100.0) // 2-dec values
+        (g, v)
+      }
+      val df = rows.toDF("g", "v")
+      val zCut = 1.0 + rnd.nextDouble() * 2
+      val got = graft.ops.Analytics.standardizeStats(df, col("g"), col("v"), zCut, scale = 2)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+      val ref = df.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("m"), stddev_pop(col("v")).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      for ((g, (n, mean, std, nOut)) <- got) {
+        val (rn, rm, rs) = ref(g)
+        assert(n == rn)
+        assert(math.abs(mean - rm) <= 1e-9 * math.max(1.0, math.abs(rm)), s"$g mean")
+        assert(math.abs(std - rs) <= 1e-6 * math.max(1.0, rs), s"$g std")
+        val brute = rows.filter(_._1 == g).flatMap(_._2)
+          .count(v => math.abs(v - mean) > zCut * std)
+        assert(nOut == brute, s"$g outliers: got $nOut brute $brute")
+      }
+    }
+  }
 }
