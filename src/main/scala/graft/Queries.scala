@@ -1691,6 +1691,38 @@ object Queries {
           / 4503599627370496.0 < r.rate
         ORDER BY tk.doc_id""")),
 
+    QueryDef("mix_temperature",
+      // temperature-flattened mixture at the engine-portable α = 1/2 point
+      // (sqrt is exactly rounded; general pow is libm): share ∝ sqrt(mass),
+      // capped keep rates, deterministic hash-unit filter. Output is the
+      // per-source funnel (bounded: one row per source at any SF). The
+      // normalization sum's ADDITION ORDER is pinned on both sides (sorted
+      // driver fold / ORDER BY'd list_sum) — double + is order-dependent
+      // in the last ulp and a rate boundary must not wobble between
+      // engines.
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        Sampling.mixByTemperature(docs, col("doc_id"), col("source"), col("n_tok"),
+            alpha = 0.5, tokenBudget = 3000L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBySmall(col("source"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        tot AS (SELECT source AS msrc, sum(n_tok) AS st FROM tk GROUP BY 1),
+        z AS (SELECT list_sum(list(sqrt(CAST(st AS DOUBLE)) ORDER BY msrc)) AS zz FROM tot),
+        r AS (SELECT msrc, least(CAST(1.0 AS DOUBLE),
+            CAST(3000 AS DOUBLE) * (sqrt(CAST(st AS DOUBLE)) / z.zz) / CAST(st AS DOUBLE)) AS rate
+          FROM tot CROSS JOIN z)
+        SELECT tk.source, count(*) AS n_docs, CAST(sum(tk.n_tok) AS BIGINT) AS n_tokens
+        FROM tk JOIN r ON tk.source = r.msrc
+        WHERE CAST(('0x' || substring(md5(CAST(tk.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+          / 4503599627370496.0 < r.rate
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("txt_pack_sequences",
       // GPT-style concat-then-split sequence packing, sharded by source:
       // per-doc starting offset, pack id, and in-pack offset — exact

@@ -73,6 +73,37 @@ object Sampling {
     * pure filter — the corpus itself never shuffles, and the decision is
     * reproducible row-for-row across runs, engines, and repartitionings.
     */
+  /** Temperature-flattened source mixture (the XLM-R / GPT-3 α-sampling
+    * standard for balancing multilingual / multi-source corpora): target
+    * share p_s ∝ n_s^α over the measured per-source token masses, then the
+    * same capped keep-rate construction as [[mixByTokenBudget]]
+    * (r_s = min(1, budget·p_s / n_s)). α = 1 reproduces natural
+    * proportions; α → 0 approaches a uniform mix; α = 1/2 is the common
+    * flattening point — and the engine-portable one: `sqrt` is IEEE
+    * exactly-rounded in every engine, while general `pow` is libm
+    * (last-ulp differences), so α = 1/2 is computed via sqrt and the
+    * DuckDB oracle can replay the whole mix decision.
+    *
+    * Source totals are metadata-small (one row per source) and collected
+    * SORTED: the normalization Σ n^α is a double fold whose result depends
+    * on addition order, so a deterministic order is part of the
+    * reproducibility contract (the oracle mirrors it with an ORDER BY'd
+    * list fold). Sources are keyed by their string form.
+    */
+  def mixByTemperature(docs: DataFrame, key: Column, source: Column, tokensCol: Column,
+                       alpha: Double, tokenBudget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0,1]")
+    val totals = docs.groupBy(source.cast("string").as("_s"))
+      .agg(sum(tokensCol.cast("long")).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def powA(n: Double): Double =
+      if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
+    val powed = totals.map { case (s, n) => (s, powA(n.toDouble)) }
+    val z = powed.foldLeft(0.0)(_ + _._2)
+    val weights = powed.map { case (s, p) => s -> p / z }.toMap
+    mixByTokenBudget(docs, key, source, tokensCol, weights, tokenBudget)
+  }
+
   def mixByTokenBudget(docs: DataFrame, key: Column, source: Column, tokensCol: Column,
                        weights: Map[String, Double], tokenBudget: Long): DataFrame = {
     require(weights.values.forall(_ >= 0), "mixture weights must be nonnegative")

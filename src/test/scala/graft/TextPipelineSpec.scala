@@ -110,6 +110,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("mixByTemperature: alpha flattens shares toward uniform; alpha=1 is natural; deterministic") {
+    // two sources with a 9:1 mass ratio; a generous budget makes rates
+    // proportional to the target shares (before the min(1,·) cap bites)
+    val docs = ((1 to 180).map(i => (i.toLong, "big", 10L)) ++
+      (1001 to 1020).map(i => (i.toLong, "small", 10L))).toDF("doc_id", "source", "n_tok")
+    def keptBySource(alpha: Double, budget: Long): Map[String, Long] =
+      Sampling.mixByTemperature(docs, $"doc_id", $"source", $"n_tok", alpha, budget)
+        .groupBy($"source").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    // alpha=1: target shares are the natural 9:1 -> both sources sampled at
+    // the SAME rate (budget/total), so the kept ratio tracks 9:1 loosely
+    val nat = keptBySource(1.0, 1000L)
+    // alpha=0: shares are uniform (1/2 each) -> the small source's rate
+    // caps at 1 (budget/2 = 500 tokens > its 200-token mass): ALL small
+    // docs survive while big is subsampled
+    val flat = keptBySource(0.0, 1000L)
+    assert(flat("small") == 20L, s"uniform share must keep all of small, got $flat")
+    assert(flat("big") < 180L, "big must be downsampled under the flattened share")
+    // alpha=0.5 sits between: small keeps more than its natural share
+    val half = keptBySource(0.5, 1000L)
+    assert(half("small") >= nat.getOrElse("small", 0L))
+    // determinism: identical calls keep identical rows
+    val a = Sampling.mixByTemperature(docs, $"doc_id", $"source", $"n_tok", 0.5, 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.mixByTemperature(docs, $"doc_id", $"source", $"n_tok", 0.5, 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("bloom contamination: superset of exact flags (no false negatives), same shingle counts") {
     val docs = Tables.load(spark, sf0001, "documents")
     val bench = docs.where($"doc_id" % 37 === 0)
