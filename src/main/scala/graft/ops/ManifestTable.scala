@@ -110,6 +110,30 @@ final class ManifestTable private (
     readDirs(m, m.dirs)
   }
 
+  /** CDC between two committed versions: full-row changes from `fromV` to
+    * `toV`, tagged `_change` = "insert" (row present only in `toV`) or
+    * "delete" (only in `fromV`); an update surfaces as delete + insert of
+    * the key's old/new rows. Row identity is the WHOLE row (the table
+    * format stores plain rows, not keys), so exactly-repeated rows that
+    * merely change multiplicity are reported once per direction.
+    *
+    * Scale: two snapshot reads + two null-safe EXCEPT ALL-style anti-joins
+    * on all columns — each a single shuffle on the row hash, never a
+    * driver materialization. Version pruning does NOT apply (a diff must
+    * read both full snapshots; incremental CDC would require key metadata
+    * the manifest deliberately doesn't carry).
+    */
+  def diff(fromV: Long, toV: Long): DataFrame = {
+    val before = snapshotAt(fromV)
+    val after = snapshotAt(toV)
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq == cols,
+      s"ManifestTable $rootStr: diff across a schema change ($fromV -> $toV) is not defined")
+    val ins = after.exceptAll(before).withColumn("_change", lit("insert"))
+    val del = before.exceptAll(after).withColumn("_change", lit("delete"))
+    ins.unionByName(del)
+  }
+
   private def readDirs(m: Manifest, dirs: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     if (dirs.isEmpty) spark.createDataFrame(

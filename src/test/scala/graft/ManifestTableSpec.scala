@@ -141,6 +141,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(orphans.isEmpty, s"contention left orphan data dirs: $orphans")
   }
 
+  test("diff: CDC rows between versions — update = delete+insert, append = inserts") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))          // v0
+    t.merge(kv(2L -> 20.0, 9L -> 9.0), Seq("k"))              // v1: update 2, insert 9
+    t.append(kv(10L -> 10.0))                                 // v2: append
+    def changes(a: Long, b: Long): Set[(Long, Double, String)] =
+      t.diff(a, b).as[(Long, Double, String)].collect().toSet
+    assert(changes(0, 1) == Set((2L, 20.0, "insert"), (9L, 9.0, "insert"), (2L, 2.0, "delete")))
+    assert(changes(1, 2) == Set((10L, 10.0, "insert")))
+    // full-range diff composes; identical versions diff to empty
+    assert(changes(0, 2) == Set((2L, 20.0, "insert"), (9L, 9.0, "insert"),
+      (10L, 10.0, "insert"), (2L, 2.0, "delete")))
+    assert(changes(1, 1).isEmpty)
+    // reverse direction swaps the change tags
+    assert(changes(2, 1) == Set((10L, 10.0, "delete")))
+  }
+
   test("orphan lock (crashed writer) fails loudly naming the lock to remove") {
     val root = freshRoot()
     val t = ManifestTable(spark, root)
