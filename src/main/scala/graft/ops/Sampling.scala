@@ -100,8 +100,18 @@ object Sampling {
       if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
     val powed = totals.map { case (s, n) => (s, powA(n.toDouble)) }
     val z = powed.foldLeft(0.0)(_ + _._2)
-    val weights = powed.map { case (s, p) => s -> p / z }.toMap
-    mixByTokenBudget(docs, key, source, tokensCol, weights, tokenBudget)
+    // the per-source rates are fully determined once the (metadata-small)
+    // totals are on the driver — inline them as a literal CASE so the mix
+    // is ONE pure filter pass: re-deriving the totals distributed for a
+    // broadcast join (the explicit-weights path) would re-aggregate the
+    // corpus a second time for values already in hand. Arithmetic order
+    // matches the oracle exactly: min(1, (budget · (p/z)) / n).
+    val rate = totals.zip(powed).foldLeft(lit(0.0)) {
+      case (acc, ((s, n), (_, p))) =>
+        val r = math.min(1.0, tokenBudget.toDouble * (p / z) / n.toDouble)
+        when(source.cast("string") === lit(s), lit(r)).otherwise(acc)
+    }
+    docs.where(hashUnit(key) < rate)
   }
 
   def mixByTokenBudget(docs: DataFrame, key: Column, source: Column, tokensCol: Column,
