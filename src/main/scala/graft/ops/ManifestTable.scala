@@ -114,21 +114,33 @@ final class ManifestTable private (
     * `toV`, tagged `_change` = "insert" (row present only in `toV`) or
     * "delete" (only in `fromV`); an update surfaces as delete + insert of
     * the key's old/new rows. Row identity is the WHOLE row (the table
-    * format stores plain rows, not keys), so exactly-repeated rows that
-    * merely change multiplicity are reported once per direction.
+    * format stores plain rows, not keys), and MULTIPLICITY is part of the
+    * change: EXCEPT ALL emits the count delta, so a row going 2× → 5×
+    * yields three "insert" rows — apply-once consumers get the exact
+    * multiset difference, not a deduplicated summary.
     *
-    * Scale: two snapshot reads + two null-safe EXCEPT ALL-style anti-joins
-    * on all columns — each a single shuffle on the row hash, never a
-    * driver materialization. Version pruning does NOT apply (a diff must
-    * read both full snapshots; incremental CDC would require key metadata
-    * the manifest deliberately doesn't carry).
+    * The tag column name `_change` is reserved: a table that already has
+    * it is rejected (the same stance Delta takes with `_change_type` —
+    * silently replacing the user's column would corrupt the CDC output).
+    * Schema changes between the versions are rejected by comparing the
+    * manifests' schema DDL (names AND types — a type-widening overwrite
+    * must not silently coerce into an empty diff).
+    *
+    * Scale: two snapshot reads + two EXCEPT ALL set-ops on all columns —
+    * each a single shuffle on the row hash, never a driver
+    * materialization. Version pruning does NOT apply (a diff must read
+    * both full snapshots; incremental CDC would require key metadata the
+    * manifest deliberately doesn't carry).
     */
   def diff(fromV: Long, toV: Long): DataFrame = {
-    val before = snapshotAt(fromV)
-    val after = snapshotAt(toV)
-    val cols = after.columns.toSeq
-    require(before.columns.toSeq == cols,
-      s"ManifestTable $rootStr: diff across a schema change ($fromV -> $toV) is not defined")
+    val (mFrom, mTo) = (readManifest(fromV), readManifest(toV))
+    require(mFrom.schemaDdl == mTo.schemaDdl,
+      s"ManifestTable $rootStr: diff across a schema change ($fromV [${mFrom.schemaDdl}] -> " +
+        s"$toV [${mTo.schemaDdl}]) is not defined")
+    val before = readDirs(mFrom, mFrom.dirs)
+    val after = readDirs(mTo, mTo.dirs)
+    require(!after.columns.map(_.toLowerCase).contains("_change"),
+      s"ManifestTable $rootStr: diff reserves the _change column; the table already has one")
     val ins = after.exceptAll(before).withColumn("_change", lit("insert"))
     val del = before.exceptAll(after).withColumn("_change", lit("delete"))
     ins.unionByName(del)

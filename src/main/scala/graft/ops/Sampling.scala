@@ -93,9 +93,17 @@ object Sampling {
   def mixByTemperature(docs: DataFrame, key: Column, source: Column, tokensCol: Column,
                        alpha: Double, tokenBudget: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0,1]")
-    val totals = docs.groupBy(source.cast("string").as("_s"))
+    // NULL sources carry no weight and are dropped (the object-level NULL
+    // contract covers keys; the same stance applies to the stratum here),
+    // and a source whose token masses are all NULL sums to NULL — both
+    // would otherwise NPE the driver-side getString/getLong/sort below
+    val totals = docs.where(source.isNotNull)
+      .groupBy(source.cast("string").as("_s"))
       .agg(sum(tokensCol.cast("long")).as("_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect()
+      .flatMap(r => if (r.isNullAt(1) || r.getLong(1) <= 0L) None
+                    else Some((r.getString(0), r.getLong(1))))
+      .sortBy(_._1)
     def powA(n: Double): Double =
       if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
     val powed = totals.map { case (s, n) => (s, powA(n.toDouble)) }

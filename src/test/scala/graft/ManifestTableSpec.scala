@@ -156,6 +156,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(changes(1, 1).isEmpty)
     // reverse direction swaps the change tags
     assert(changes(2, 1) == Set((10L, 10.0, "delete")))
+    // multiplicity is part of the change: 1x -> 3x emits TWO insert rows
+    val t2 = ManifestTable(spark, freshRoot())
+    t2.overwrite(kv(7L -> 7.0))
+    t2.overwrite(kv(7L -> 7.0, 7L -> 7.0, 7L -> 7.0))
+    assert(t2.diff(0, 1).collect().length == 2, "EXCEPT ALL must emit the count delta")
+    // a type-changing overwrite is a schema change even with equal names
+    val t3 = ManifestTable(spark, freshRoot())
+    t3.overwrite(kv(1L -> 1.0))
+    t3.overwrite(Seq((1, 1.0)).toDF("k", "v")) // k: INT, was BIGINT
+    val e = intercept[IllegalArgumentException] { t3.diff(0, 1) }
+    assert(e.getMessage.contains("schema change"))
+    // the _change tag column is reserved, never silently replaced
+    val t4 = ManifestTable(spark, freshRoot())
+    t4.overwrite(Seq((1L, "x")).toDF("k", "_change"))
+    t4.append(Seq((2L, "y")).toDF("k", "_change"))
+    val e2 = intercept[IllegalArgumentException] { t4.diff(0, 1) }
+    assert(e2.getMessage.contains("_change"))
   }
 
   test("orphan lock (crashed writer) fails loudly naming the lock to remove") {

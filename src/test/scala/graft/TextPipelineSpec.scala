@@ -136,6 +136,14 @@ class TextPipelineSpec extends SparkSpec {
     val b = Sampling.mixByTemperature(docs, $"doc_id", $"source", $"n_tok", 0.5, 1000L)
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
+    // NULL sources and all-NULL token masses drop instead of NPE-ing the
+    // driver-side totals collect
+    val messy = (Seq((1L, Some("big"), Some(10L)), (2L, None: Option[String], Some(10L)),
+      (3L, Some("nullmass"), None: Option[Long]), (4L, Some("big"), Some(10L))))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.mixByTemperature(messy, $"doc_id", $"source", $"n_tok", 0.5, 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"null source/mass rows must drop, got $kept")
   }
 
   test("bloom contamination: superset of exact flags (no false negatives), same shingle counts") {
