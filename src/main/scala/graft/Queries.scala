@@ -163,6 +163,35 @@ object Queries {
     (c0 +: rounds).mkString(",\n        ")
   }
 
+  /** Unrolled batch-perceptron oracle: pure INTEGER arithmetic end to end
+    * (weights, margins, updates), so parity needs no float reasoning at
+    * all — each round is one CTE carrying the weight triple forward.
+    * Mirrors [[graft.ops.Analytics.perceptronFit]] exactly: update
+    * w += Σ y·x over rows with y·margin <= 0, bias as a constant feature.
+    */
+  private def perceptronOracleSql(iters: Int): String = {
+    val f = """f AS (SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS f1,
+        CAST(doc_id % 11 AS BIGINT) AS f2,
+        CASE WHEN 2 * (doc_id % 7) - (doc_id % 11) + 1 > 0 THEN 1 ELSE -1 END AS y
+      FROM documents)"""
+    val w0 = "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c)"
+    val ws = (1 to iters).map { i =>
+      val p = i - 1
+      s"""w$i AS (SELECT
+          w$p.a + COALESCE(sum(CASE WHEN y * (w$p.a * f1 + w$p.b * f2 + w$p.c) <= 0 THEN y * f1 END), 0) AS a,
+          w$p.b + COALESCE(sum(CASE WHEN y * (w$p.a * f1 + w$p.b * f2 + w$p.c) <= 0 THEN y * f2 END), 0) AS b,
+          w$p.c + COALESCE(sum(CASE WHEN y * (w$p.a * f1 + w$p.b * f2 + w$p.c) <= 0 THEN y END), 0) AS c
+        FROM f CROSS JOIN w$p GROUP BY w$p.a, w$p.b, w$p.c)"""
+    }
+    s"""WITH $f,
+        $w0,
+        ${ws.mkString(",\n        ")}
+      SELECT y AS label,
+        CASE WHEN w$iters.a * f1 + w$iters.b * f2 + w$iters.c > 0 THEN 1 ELSE -1 END AS pred,
+        count(*) AS n
+      FROM f CROSS JOIN w$iters GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   private val RadiusKm = 300.0
   private def havSql(a1: String, o1: String, a2: String, o2: String) =
     Geo.haversineKmSql(a1, o1, a2, o2)
@@ -1722,6 +1751,27 @@ object Queries {
         WHERE CAST(('0x' || substring(md5(CAST(tk.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
           / 4503599627370496.0 < r.rate
         GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("ml_perceptron_quality",
+      // trainable quality-classifier stage: integer-feature batch
+      // perceptron fit (3 rounds, one exact long-sum agg each) + literal-
+      // expression predict, reported as the confusion matrix (bounded: at
+      // most 4 cells at any SF). Labels are a planted separable rule, so
+      // the hash check pins the ENTIRE iterative fit — every weight update
+      // is integer arithmetic both engines agree on exactly.
+      (s, d) => {
+        val f = t(s, d, "documents").select(col("doc_id"),
+          (col("doc_id") % 7).cast("long").as("f1"),
+          (col("doc_id") % 11).cast("long").as("f2"),
+          when(lit(2) * (col("doc_id") % 7) - (col("doc_id") % 11) + 1 > 0, 1)
+            .otherwise(-1).as("y"))
+        val w = Analytics.perceptronFit(f, Seq(col("f1"), col("f2")), col("y"), iters = 3)
+        f.select(col("y").as("label"),
+            Analytics.perceptronPredict(Seq(col("f1"), col("f2")), w).as("pred"))
+          .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+          .orderBySmall(col("label"), col("pred"))
+      },
+      Some(perceptronOracleSql(iters = 3))),
 
     QueryDef("txt_pack_sequences",
       // GPT-style concat-then-split sequence packing, sharded by source:

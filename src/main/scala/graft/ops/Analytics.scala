@@ -302,6 +302,52 @@ object Analytics {
     }
   }
 
+  /** Distributed batch perceptron — the trainable half of a quality-
+    * classifier curation stage (label a seed set, fit, filter the corpus
+    * by prediction). Features and labels must be INTEGER-valued and the
+    * label ±1; weights then stay integer (long) forever: each round's
+    * update is w += Σ y·x over the currently-misclassified rows — ONE
+    * aggregation job of long sums with map-side partials, EXACT in any
+    * partition order, so the fit is bit-reproducible and replayable by an
+    * external engine (no learning rate is needed: integer perceptron
+    * updates are scale-free). The classic convergence guarantee applies:
+    * for linearly separable data the loop reaches a separating plane in
+    * finitely many rounds. Bias is the last weight (constant-1 feature).
+    *
+    * Like [[graft.ops.Similarity.kmeansFit]] this is an EAGER driver loop
+    * (`iters` jobs); weights are metadata-sized and return as plain longs
+    * for [[perceptronPredict]] to fold into a literal expression.
+    */
+  def perceptronFit(df: DataFrame, features: Seq[Column], label: Column,
+                    iters: Int): Array[Long] = {
+    require(features.nonEmpty && iters >= 0)
+    var w = Array.fill(features.length + 1)(0L)
+    for (_ <- 1 to iters) {
+      val margin = features.zipWithIndex
+        .map { case (f, i) => f.cast("long") * lit(w(i)) }
+        .reduce(_ + _) + lit(w.last)
+      val mis = label.cast("long") * margin <= 0
+      val aggs = (features.map(f => when(mis, label.cast("long") * f.cast("long"))) :+
+          when(mis, label.cast("long")))
+        .map(c => coalesce(sum(c), lit(0L)))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      w = w.indices.map(i => w(i) + r.getLong(i)).toArray
+    }
+    w
+  }
+
+  /** Sign prediction (+1 / −1) from [[perceptronFit]] weights as a pure
+    * literal expression — applying the classifier to the full corpus is a
+    * filter pass, no join, no shuffle.
+    */
+  def perceptronPredict(features: Seq[Column], w: Array[Long]): Column = {
+    require(w.length == features.length + 1)
+    val margin = features.zipWithIndex
+      .map { case (f, i) => f.cast("long") * lit(w(i)) }
+      .reduce(_ + _) + lit(w.last)
+    when(margin > 0, lit(1)).otherwise(lit(-1))
+  }
+
   /** Cohort retention matrix: entities are bucketed by the period of their
     * FIRST event (the cohort), and every event then counts its entity into
     * (cohort, periods-since-cohort). Two aggregations — first-event per

@@ -201,6 +201,29 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(wins.min - 2.9) < 1e-12 && math.abs(wins.max - 18.1) < 1e-12)
   }
 
+  test("perceptronFit converges on separable integer data; predict is a pure expression") {
+    // plane 3*x1 - 2*x2 + 1 > 0 with integer lattice points off the margin
+    val pts = for (x1 <- -5 to 5; x2 <- -5 to 5
+                   if 3 * x1 - 2 * x2 + 1 != 0)
+      yield (x1.toLong, x2.toLong, if (3 * x1 - 2 * x2 + 1 > 0) 1 else -1)
+    val df = pts.toDF("x1", "x2", "y")
+    val feats = Seq(col("x1"), col("x2"))
+    val w = graft.ops.Analytics.perceptronFit(df, feats, col("y"), iters = 25)
+    val preds = df.select(col("y"),
+        graft.ops.Analytics.perceptronPredict(feats, w).as("p"))
+      .as[(Int, Int)].collect()
+    assert(preds.forall { case (y, p) => y == p },
+      s"perceptron failed to separate separable data, w=${w.toList}")
+    // determinism: identical fit under a different partitioning (long sums
+    // are exact in any partition order)
+    val w2 = graft.ops.Analytics.perceptronFit(df.repartition(7), feats, col("y"), iters = 25)
+    assert(w.toList == w2.toList)
+    // the prediction is a literal expression: no join/exchange in the plan
+    val plan = df.select(graft.ops.Analytics.perceptronPredict(feats, w))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("standardizeStats: job count stays pinned (no broadcast-build, no limit scale-up)") {
     // the literal path is the zscore perf contract: one bounded driver probe
     // + one self-contained final aggregation. The coalesce(1) before the
