@@ -160,6 +160,79 @@ object Streaming {
       ()
     }
 
+  /** Streaming near-dedup against HISTORY — "dedupe the firehose against
+    * the corpus so far", the layout a continuously-ingesting training-data
+    * pipeline needs. Each micro-batch's documents are MinHash-signed and
+    * LSH-checked against every previously-ACCEPTED document before they
+    * are admitted; accepted signatures land in a [[graft.ops.ManifestTable]]
+    * via an atomic MERGE. The dedup state is deliberately NOT stream-engine
+    * state: table state is unbounded-corpus-sized (stream state must stay
+    * bounded), restart-safe, snapshot-isolated for concurrent readers, and
+    * shared with batch jobs writing the same table.
+    *
+    * Per micro-batch (all bounded by batch × matching-bucket width, never
+    * history²): sign + band-bucket the batch; bucket equi-join against the
+    * history snapshot; a candidate is a duplicate when the fraction of
+    * agreeing signature slots — the textbook MinHash Jaccard estimator —
+    * reaches `threshold`. Estimation (not exact shingle verify) is the
+    * deliberate trade: exact verify would require storing per-doc shingle
+    * SETS in the state table (corpus token mass) instead of fixed-width
+    * signatures; with 8 slots the estimator's σ ≈ 0.17, so thresholds
+    * well above the corpus' background similarity are safe — raise
+    * `numHashes` to tighten it.
+    *
+    * Exactly-once: the state MERGE keys on (id, band), so a replayed
+    * micro-batch re-merges its own rows as a no-op, and the candidate
+    * join's `id =!= id` guard keeps a replayed doc from being flagged as a
+    * duplicate of its own previous append. Within-trigger near-dups are
+    * NOT deduped against each other (run the batch pipeline inside the
+    * trigger if that matters); they resolve on the next trigger when one
+    * of them is history.
+    *
+    * `onAccepted` receives each batch's surviving rows (original schema) —
+    * route them to the corpus sink of your choice inside the same
+    * foreachBatch for per-batch atomicity of "state + corpus".
+    */
+  def nearDupFilterSink(docs: DataFrame, idCol: String, textCol: String,
+                        sigTable: graft.ops.ManifestTable,
+                        shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                        threshold: Double = 0.5,
+                        onAccepted: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.ops.Dedup
+      val sig = Dedup.minhashSignatures(
+        Dedup.shingleTable(batch, idCol, textCol, shingleN), idCol, numHashes)
+      val sigArr = sig.select(col(idCol),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      val state = Dedup.lshBuckets(sig, idCol, numHashes, rowsPerBand)
+        .join(sigArr, Seq(idCol))
+        .select(col(idCol), col("band"), col("bucket"), col("sig"))
+      val dupIds = sigTable.latestVersion() match {
+        case None => state.select(col(idCol)).where(lit(false))
+        case Some(_) =>
+          val hist = sigTable.snapshot()
+          val agree = (0 until numHashes).map(i =>
+              when(element_at(col("_bs"), i + 1) === element_at(col("_hs"), i + 1), 1)
+                .otherwise(0))
+            .reduce(_ + _)
+          state.alias("b").join(hist.alias("h"),
+              col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket") &&
+                col(s"b.`$idCol`") =!= col(s"h.`$idCol`"))
+            .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
+              col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
+            .distinct()
+            .where(agree.cast("double") / numHashes >= threshold)
+            .select(col("_bid").as(idCol)).distinct()
+      }
+      val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
+      val acceptedState = state.join(dupIds, Seq(idCol), "left_anti")
+      graft.ops.Sinks.writeIfNonEmpty(acceptedState,
+        st => { sigTable.merge(st, Seq(idCol, "band")); () })
+      onAccepted(accepted)
+      ()
+    }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event count
     * and representative value, emitted once per micro-batch per active key —
     * the §2.7 stateful-processing surface (GroupState is partition-local;
