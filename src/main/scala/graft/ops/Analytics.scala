@@ -317,6 +317,14 @@ object Analytics {
     * Like [[graft.ops.Similarity.kmeansFit]] this is an EAGER driver loop
     * (`iters` jobs); weights are metadata-sized and return as plain longs
     * for [[perceptronPredict]] to fold into a literal expression.
+    *
+    * OVERFLOW CONTRACT: everything is 64-bit long arithmetic, and Spark
+    * wraps silently (non-ANSI) where an external oracle may widen — the
+    * exactness claim holds only while every intermediate stays under 2⁶³:
+    * |feature| ≤ F and n rows give per-round weight growth ≤ n·F and
+    * margin magnitude ≤ d·(iters·n·F)·F, so keep features small-integer
+    * (F ≲ 2¹⁰, e.g. bucketed/clipped scores) at web-scale row counts
+    * rather than raw large-magnitude values.
     */
   def perceptronFit(df: DataFrame, features: Seq[Column], label: Column,
                     iters: Int): Array[Long] = {

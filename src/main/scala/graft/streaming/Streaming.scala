@@ -170,24 +170,31 @@ object Streaming {
     * bounded), restart-safe, snapshot-isolated for concurrent readers, and
     * shared with batch jobs writing the same table.
     *
-    * Per micro-batch (all bounded by batch × matching-bucket width, never
-    * history²): sign + band-bucket the batch; bucket equi-join against the
-    * history snapshot; a candidate is a duplicate when the fraction of
-    * agreeing signature slots — the textbook MinHash Jaccard estimator —
-    * reaches `threshold`. Estimation (not exact shingle verify) is the
-    * deliberate trade: exact verify would require storing per-doc shingle
-    * SETS in the state table (corpus token mass) instead of fixed-width
-    * signatures; with 8 slots the estimator's σ ≈ 0.17, so thresholds
-    * well above the corpus' background similarity are safe — raise
-    * `numHashes` to tighten it.
+    * Per micro-batch: sign + band-bucket the batch; bucket equi-join
+    * against the history snapshot; a candidate is a duplicate when the
+    * fraction of agreeing signature slots — the textbook MinHash Jaccard
+    * estimator — reaches `threshold`. Estimation (not exact shingle
+    * verify) is the deliberate trade: exact verify would require storing
+    * per-doc shingle SETS in the state table (corpus token mass) instead
+    * of fixed-width signatures; with 8 slots the estimator's σ ≈ 0.17, so
+    * thresholds well above the corpus' background similarity are safe —
+    * raise `numHashes` to tighten it. Cost shape: per batch, history is
+    * SCANNED once for the bucket join (linear, shared with batch writers
+    * via the snapshot) and only batch-sized rows are WRITTEN — state grows
+    * by appends, never a table rewrite. Documents shorter than `shingleN`
+    * tokens sign their whole text as a single shingle (the batch operators
+    * exclude them, but in a firehose short boilerplate is precisely the
+    * highest-frequency duplicate class — it must not bypass the filter).
     *
-    * Exactly-once: the state MERGE keys on (id, band), so a replayed
-    * micro-batch re-merges its own rows as a no-op, and the candidate
-    * join's `id =!= id` guard keeps a replayed doc from being flagged as a
-    * duplicate of its own previous append. Within-trigger near-dups are
-    * NOT deduped against each other (run the batch pipeline inside the
-    * trigger if that matters); they resolve on the next trigger when one
-    * of them is history.
+    * Exactly-once: accepted state rows land via idempotent-insert + APPEND
+    * — a replayed micro-batch finds its rows already present and appends
+    * nothing — and candidate matching EXCLUDES history rows whose id is in
+    * the current batch: a replayed doc must not be flagged against its own
+    * (or a replayed batch-mate's) half-committed state rows from the
+    * crashed attempt, which would otherwise drop docs the first run
+    * accepted. Within-trigger near-dups are NOT deduped against each other
+    * — both are admitted (and stay; run the batch pipeline inside the
+    * trigger when intra-trigger dedup matters).
     *
     * `onAccepted` receives each batch's surviving rows (original schema) —
     * route them to the corpus sink of your choice inside the same
@@ -200,36 +207,62 @@ object Streaming {
                         onAccepted: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      import graft.ops.Dedup
-      val sig = Dedup.minhashSignatures(
-        Dedup.shingleTable(batch, idCol, textCol, shingleN), idCol, numHashes)
+      import graft.ops.{Aggregates, Dedup}
+      // short docs (< shingleN tokens, incl. empty text) sign their whole
+      // text as one shingle instead of vanishing from the filter
+      val toks = batch.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
+      val sh = toks.select(col(idCol), explode(
+          when(size(col("_toks")) >= shingleN,
+            Dedup.shinglesFromTokens(col("_toks"), shingleN))
+            .otherwise(array(concat_ws(" ", col("_toks"))))).as("shingle"))
+      val sig = Dedup.minhashSignatures(sh, idCol, numHashes)
       val sigArr = sig.select(col(idCol),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      // batch-bounded and consumed by three sinks (dup probe, state
+      // append, acceptance) — persist so the sign/join pipeline runs once
       val state = Dedup.lshBuckets(sig, idCol, numHashes, rowsPerBand)
         .join(sigArr, Seq(idCol))
         .select(col(idCol), col("band"), col("bucket"), col("sig"))
-      val dupIds = sigTable.latestVersion() match {
-        case None => state.select(col(idCol)).where(lit(false))
-        case Some(_) =>
-          val hist = sigTable.snapshot()
-          val agree = (0 until numHashes).map(i =>
-              when(element_at(col("_bs"), i + 1) === element_at(col("_hs"), i + 1), 1)
-                .otherwise(0))
-            .reduce(_ + _)
-          state.alias("b").join(hist.alias("h"),
-              col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket") &&
-                col(s"b.`$idCol`") =!= col(s"h.`$idCol`"))
-            .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
-              col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
-            .distinct()
-            .where(agree.cast("double") / numHashes >= threshold)
-            .select(col("_bid").as(idCol)).distinct()
-      }
-      val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
-      val acceptedState = state.join(dupIds, Seq(idCol), "left_anti")
-      graft.ops.Sinks.writeIfNonEmpty(acceptedState,
-        st => { sigTable.merge(st, Seq(idCol, "band")); () })
-      onAccepted(accepted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val histOpt = sigTable.latestVersion().map(_ => sigTable.snapshot())
+        val dupIds = histOpt match {
+          case None => state.select(col(idCol)).where(lit(false))
+          case Some(hist) =>
+            val agree = (0 until numHashes).map(i =>
+                when(element_at(col("_bs"), i + 1) === element_at(col("_hs"), i + 1), 1)
+                  .otherwise(0))
+              .reduce(_ + _)
+            // exclude history rows of ANY id in this batch, not just the
+            // probing doc's own: after a crash between the state commit
+            // and the stream checkpoint, the replayed batch finds its
+            // batch-mates' half-committed rows in history and would
+            // otherwise drop docs the first run accepted
+            val freshHist = hist.join(state.select(col(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            state.alias("b").join(freshHist.alias("h"),
+                col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket"))
+              .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
+                col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
+              .distinct()
+              .where(agree.cast("double") / numHashes >= threshold)
+              .select(col("_bid").as(idCol)).distinct()
+        }
+        val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
+        // idempotent-insert + APPEND: only rows whose (id, band) is not
+        // already in history are written — a replay appends nothing, and
+        // state never pays a copy-on-write table rewrite (merge without
+        // prunable stats rewrites the WHOLE table per trigger)
+        val acceptedState = state.join(dupIds, Seq(idCol), "left_anti")
+        val newState = histOpt match {
+          case None => acceptedState
+          case Some(hist) =>
+            Aggregates.idempotentNewRows(acceptedState, hist, Seq(idCol, "band"))
+        }
+        graft.ops.Sinks.writeIfNonEmpty(newState,
+          st => { sigTable.append(st); () })
+        onAccepted(accepted)
+      } finally state.unpersist(blocking = false)
       ()
     }
 

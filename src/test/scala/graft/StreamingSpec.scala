@@ -203,12 +203,40 @@ class StreamingSpec extends SparkSpec {
         onAccepted = b => accepted2.synchronized {
           accepted2 += b.select("doc_id").as[Long].collect().toSet })
       .option("checkpointLocation", ckpt2.toString).start()
-    input2.addData((1L, textA)) // same id, same text: its own history row
+    // crashed-replay shape: batch 1's docs 1 AND 2 replay TOGETHER after
+    // their state rows committed — neither may be flagged against its own
+    // or its batch-mate's half-committed rows, and the idempotent append
+    // writes nothing (no new version)
+    val vBefore = table.versions().length
+    input2.addData((1L, textA), (2L, textB))
     q2.processAllAvailable()
     q2.stop()
-    assert(accepted2.toList == List(Set(1L)),
-      "a replayed doc must not be flagged as a dup of its own state rows")
+    assert(accepted2.toList == List(Set(1L, 2L)),
+      "a replayed batch must re-accept exactly what the first run accepted")
     assert(table.snapshot().select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 12L))
+    assert(table.versions().length == vBefore, "replay must not spend a version")
+  }
+
+  test("streaming near-dedup: short docs sign whole-text shingles instead of bypassing the filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-short")
+    val ckpt = Files.createTempDirectory("graft-neardup-short-ckpt")
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/sigs")
+    val accepted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupFilterSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
+        threshold = 0.5,
+        onAccepted = b => accepted.synchronized {
+          accepted += b.select("doc_id").as[Long].collect().toSet })
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData((1L, "click here")) // 2 tokens < shingleN=3: whole-text shingle
+    q.processAllAvailable()
+    input.addData((2L, "click here"), (3L, "subscribe now maybe")) // re-delivered boilerplate
+    q.processAllAvailable()
+    q.stop()
+    assert(accepted.toList == List(Set(1L), Set(3L)),
+      s"short boilerplate must dedup against history, got $accepted")
   }
 
   test("mapGroupsWithState running stats accumulate across micro-batches") {
