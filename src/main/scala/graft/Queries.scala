@@ -2016,10 +2016,15 @@ object Queries {
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
           latticeVec.as("embedding"))
-        val labeled = Similarity.kmeansAssign(e, "vec_id", "embedding",
+        // route with the FITTED centroids (the FAISS-standard design): the
+        // fit already holds them as driver values, so routing costs no
+        // centroid re-aggregation pass and no broadcast build
+        val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
           k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
-        Similarity.ivfTopK(labeled.where(col("vec_id") % 10 === 0), labeled,
-            "vec_id", "embedding", "cluster", k = 5, nprobe = 4)
+        val labeled = e.withColumn("cluster",
+          Similarity.nearestCentroid(col("embedding"), cents))
+        Similarity.ivfTopKFitted(labeled.where(col("vec_id") % 10 === 0), labeled,
+            "vec_id", "embedding", "cluster", k = 5, nprobe = 4, cents)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
@@ -2029,7 +2034,7 @@ object Queries {
             SELECT b.vec_id, b.v, c.j,
               row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
             FROM base b CROSS JOIN c3 c) WHERE rn = 1),
-        ${meanCteSql("lab", "lbl", "cent")},
+        cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("emb_near_dup",

@@ -211,8 +211,43 @@ object Similarity {
     * end-to-end fresh-corpus path).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              clusterCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(corpus, clusterCol, vecCol)
+              clusterCol: String, k: Int, nprobe: Int): DataFrame =
+    ivfTopKRouted(queries, corpus, idCol, vecCol, clusterCol, k, nprobe,
+      centroids(corpus, clusterCol, vecCol))
+
+  /** [[ivfTopK]] routing against ALREADY-KNOWN centroids — the FAISS-style
+    * path for a fitted index: [[kmeansFit]]'s centroids are metadata-sized
+    * driver values, so the probe selection is a PURE EXPRESSION per query
+    * row (k fused cosines + one literal-array sort, like
+    * [[nearestCentroid]] generalized to the top nprobe) — no centroid
+    * aggregation pass, no centroid broadcast build, no routing window.
+    * Probe ranking is (c_sim desc, cluster id asc), the same total order
+    * [[ivfTopK]] uses. `cents(j)` must be cluster j's centroid under
+    * `clusterCol`'s assignment.
+    */
+  def ivfTopKFitted(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, k: Int, nprobe: Int,
+                    cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // struct sort key (−sim, j): ascending struct order = sim desc, id asc
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (cvec, j) =>
+      struct((-cosine(col("q_vec"), typedlit(cvec))).as("ns"), lit(j).as("j"))
+    }: _*))
+    val probes = q
+      .select(col("query_id"), col("q_vec"),
+        explode(slice(ranked, 1, nprobe)).as("_p"))
+      .select(col("query_id"), col("q_vec"), col("_p.j").as(clusterCol))
+    val c = corpus.select(col(clusterCol), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(probes), Seq(clusterCol))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  private def ivfTopKRouted(queries: DataFrame, corpus: DataFrame, idCol: String,
+                            vecCol: String, clusterCol: String, k: Int, nprobe: Int,
+                            cents: DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("c_sim", cosine(col("q_vec"), col("centroid")))

@@ -148,6 +148,16 @@ class SimilaritySpec extends SparkSpec {
     // fitted geometric clusters at nprobe 2/8 must beat the random-label
     // baseline (~nprobe/k = 0.25) because near neighbors co-cluster
     assert(recall >= 0.3, s"fitted-IVF recall=$recall")
+    // the expression-routed fitted path (literal centroids, no routing
+    // window/broadcast) is the same operator: full probe == brute force
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val labeledE = emb.withColumn("cluster",
+      Similarity.nearestCentroid($"embedding", cents))
+    val qsE = labeledE.where($"vec_id" % 50 === 0)
+    val fullE = Similarity.ivfTopKFitted(qsE, labeledE, "vec_id", "embedding",
+        "cluster", 5, 8, cents)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(fullE == brute, "fitted expression routing at full probe must reproduce brute force")
   }
 
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
