@@ -1078,10 +1078,12 @@ object Queries {
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QueryDef("events_window",
+      // hourly buckets × event types over the data's fixed time span —
+      // bounded output, single-partition sort (see orderBySmall)
       (s, d) => eventsUs(s, d)
         .groupBy(expr("ts_us div 3600000000").as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value"), 18, 2).as("total_value"))
-        .orderBy(col("bucket"), col("event_type")),
+        .orderBySmall(col("bucket"), col("event_type")),
       Some(s"""SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
         count(*) AS n, ${dsumSql("value", 18, 2)} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -1278,10 +1280,13 @@ object Queries {
           .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
         val grid = spans.select(col("event_type"),
           explode(sequence(col("b0"), col("b1"))).as("bucket"))
+        // grid cardinality = types × hourly buckets of the data's FIXED
+        // time span — bounded at any SF, so the single-partition sort
+        // applies (the heavy per-event aggregation sits below the join)
         grid.join(counts, Seq("event_type", "bucket"), "left")
           .select(col("event_type"), col("bucket"),
             coalesce(col("n"), lit(0L)).as("n"))
-          .orderBy(col("event_type"), col("bucket"))
+          .orderBySmall(col("event_type"), col("bucket"))
       },
       Some("""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
           FROM events GROUP BY 1, 2),
