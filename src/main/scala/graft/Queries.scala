@@ -1733,7 +1733,10 @@ object Queries {
       // normalization sum's ADDITION ORDER is pinned on both sides (sorted
       // driver fold / ORDER BY'd list_sum) — double + is order-dependent
       // in the last ulp and a rate boundary must not wobble between
-      // engines.
+      // engines. The oracle's HAVING st > 0 mirrors the operator's
+      // zero-mass-source drop (sqrt(0)/0 would otherwise be IEEE NaN,
+      // which DuckDB's least() treats as greatest → rate 1.0, keeping
+      // docs Spark drops).
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
@@ -1746,7 +1749,8 @@ object Queries {
       Some("""WITH tk AS (SELECT doc_id, source,
             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
           FROM documents),
-        tot AS (SELECT source AS msrc, sum(n_tok) AS st FROM tk GROUP BY 1),
+        tot AS (SELECT source AS msrc, sum(n_tok) AS st FROM tk GROUP BY 1
+          HAVING sum(n_tok) > 0),
         z AS (SELECT list_sum(list(sqrt(CAST(st AS DOUBLE)) ORDER BY msrc)) AS zz FROM tot),
         r AS (SELECT msrc, least(CAST(1.0 AS DOUBLE),
             CAST(3000 AS DOUBLE) * (sqrt(CAST(st AS DOUBLE)) / z.zz) / CAST(st AS DOUBLE)) AS rate

@@ -223,14 +223,18 @@ object Analytics {
     * `maxLiteralGroups` the stats are pulled to the driver (a BOUNDED
     * collect) and inlined as literal CASE expressions, so each pass is one
     * job and the plan has no join or broadcast-build step. Above the bound
-    * it degrades gracefully to the distributed broadcast-join form. NOTE:
-    * the driver probe makes this operator EAGER (it submits a job when
-    * called, like [[Similarity]]'s k-means fit), and the literal path
-    * requires the group column to be a `lit()`-able atomic type.
+    * it degrades gracefully to the distributed broadcast-join form. The
+    * default bound is deliberately modest: the literal fold evaluates an
+    * O(groups) CASE chain per input row, so the 2-job win only beats the
+    * join's O(1) hash probe while the chain stays small and codegen-
+    * friendly — raise it only with measurement. NOTE: the driver probe
+    * makes this operator EAGER (it submits a job when called, like
+    * [[Similarity]]'s k-means fit), and the literal path requires the
+    * group column to be a `lit()`-able atomic type.
     */
   def standardizeStats(df: DataFrame, group: Column, value: Column,
                        zCut: Double = 2.0, scale: Int = 2,
-                       maxLiteralGroups: Int = 1024): DataFrame = {
+                       maxLiteralGroups: Int = 128): DataFrame = {
     // both passes run over the same fresh 2-column projection, so helper
     // names can never collide with (or drop) user columns
     val proj = df.select(group.as("grp"), value.as("_v"))

@@ -192,9 +192,15 @@ object Streaming {
     * the current batch: a replayed doc must not be flagged against its own
     * (or a replayed batch-mate's) half-committed state rows from the
     * crashed attempt, which would otherwise drop docs the first run
-    * accepted. Within-trigger near-dups are NOT deduped against each other
-    * — both are admitted (and stay; run the batch pipeline inside the
-    * trigger when intra-trigger dedup matters).
+    * accepted. A consequence of keying that guard on ID: an at-least-once
+    * upstream that REDELIVERS an already-accepted id in a later trigger
+    * re-emits it to `onAccepted` — that is the same document identity (an
+    * update/no-op), so route `onAccepted` to an id-keyed idempotent sink
+    * ([[idempotentStoreSink]] / [[acidMergeSink]] semantics); the CONTENT
+    * dedup this sink provides guards different-id duplicates. Within-
+    * trigger near-dups are NOT deduped against each other — both are
+    * admitted (and stay; run the batch pipeline inside the trigger when
+    * intra-trigger dedup matters).
     *
     * `onAccepted` receives each batch's surviving rows (original schema) —
     * route them to the corpus sink of your choice inside the same
@@ -226,7 +232,10 @@ object Streaming {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val histOpt = sigTable.latestVersion().map(_ => sigTable.snapshot())
-        val dupIds = histOpt match {
+        // persisted like `state`: dupIds is batch-bounded but its lineage
+        // is the corpus-sized history bucket join, which would otherwise
+        // re-execute for each of the three consumers below
+        val dupIds = (histOpt match {
           case None => state.select(col(idCol)).where(lit(false))
           case Some(hist) =>
             val agree = (0 until numHashes).map(i =>
@@ -247,7 +256,7 @@ object Streaming {
               .distinct()
               .where(agree.cast("double") / numHashes >= threshold)
               .select(col("_bid").as(idCol)).distinct()
-        }
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
         // idempotent-insert + APPEND: only rows whose (id, band) is not
         // already in history are written — a replay appends nothing, and
@@ -259,9 +268,11 @@ object Streaming {
           case Some(hist) =>
             Aggregates.idempotentNewRows(acceptedState, hist, Seq(idCol, "band"))
         }
-        graft.ops.Sinks.writeIfNonEmpty(newState,
-          st => { sigTable.append(st); () })
-        onAccepted(accepted)
+        try {
+          graft.ops.Sinks.writeIfNonEmpty(newState,
+            st => { sigTable.append(st); () })
+          onAccepted(accepted)
+        } finally dupIds.unpersist(blocking = false)
       } finally state.unpersist(blocking = false)
       ()
     }
