@@ -7,6 +7,16 @@ import graft.ops.{Sources, Sinks}
 class SourcesSinksSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Tables.all names every driver table and each loads (warmup-list contract)") {
+    // the bench warmup iterates Tables.all so first-touch listing jobs
+    // never land on timed queries — a table missing from the list would
+    // silently regress whichever query touches it first
+    assert(graft.Tables.all.size == 10)
+    graft.Tables.all.foreach { t =>
+      assert(graft.Tables.load(spark, sf0001, t).columns.nonEmpty, s"table $t failed to load")
+    }
+  }
+
   test("op2: JSON catalog -> resource selection (explode, format filter, limit)") {
     val dir = Files.createTempDirectory("graft-json")
     Files.writeString(dir.resolve("catalog.json"),
