@@ -131,6 +131,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_jaccard: every LSH join sort-merges — no corpus-sized broadcast") {
+    // the r5 driver regression was FIVE broadcast-build jobs from the
+    // small-SF static estimator broadcasting corpus-sized join sides
+    // (candidate self-join, both intersection joins, both size joins);
+    // the merge hints must keep every one of them a SortMergeJoin at any
+    // estimate, because a broadcast there dies at 100 TB
+    val p = plan("dedup_minhash_jaccard")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-sized LSH join side must never broadcast:\n$p")
+    val smj = p.split("\n").count(_.contains("SortMergeJoin"))
+    assert(smj >= 5, s"expected >= 5 sort-merge joins in the LSH chain, got $smj:\n$p")
+  }
+
   test("op_winsorize: rank-based percentiles — no unbounded percentile buffer, bounds broadcast back") {
     val p = plan("op_winsorize")
     assert(!p.toLowerCase.contains("percentile"),
