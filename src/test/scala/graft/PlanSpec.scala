@@ -151,4 +151,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the row_number/count window pass:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"group bounds must broadcast back to the fact:\n$p")
   }
+
+  test("r6-regressed bench queries: job counts stay at the floor (host-noise audit)") {
+    // These three queries jumped 3-6x in the r6 driver bench while their
+    // local timings and plans were unchanged. Per the driver-host cost
+    // model, scheduling rounds (Spark jobs) are the controlled metric —
+    // pin them so a real plan regression (added probe/broadcast/sampling
+    // jobs) can never hide behind host noise again. Measured r7 under the
+    // bench posture (AQE off): op_sample_stratified 1 (pure filter + one
+    // agg, orderBySmall adds no range-sampling job), txt_fingerprint_dedup
+    // 2 (hash agg + the oracle-parity ORDER BY's range-sampling job).
+    // dedup_clusters (3) is pinned in DedupSpec (bound 5). Bounds are
+    // measured + 1 slack.
+    def jobsOf(name: String): Int = {
+      val fn = Queries.all.find(_.name == name).get.fn
+      def noop(): Unit =
+        fn(spark, sf0001).write.format("noop").mode("overwrite").save()
+      noop() // warm codegen/parquet-footer paths
+      spark.catalog.clearCache()
+      val st = spark.sparkContext.statusTracker
+      val before = st.getJobIdsForGroup(null).length
+      noop()
+      Thread.sleep(500) // status store updates asynchronously
+      st.getJobIdsForGroup(null).length - before
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nStrat = jobsOf("op_sample_stratified")
+      assert(nStrat <= 2, s"op_sample_stratified ran $nStrat jobs (bound 2: filter+agg)")
+      val nFp = jobsOf("txt_fingerprint_dedup")
+      assert(nFp <= 3, s"txt_fingerprint_dedup ran $nFp jobs (bound 3: agg + sort sampling)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
