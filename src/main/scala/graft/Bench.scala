@@ -77,6 +77,11 @@ object Bench {
     // A throwing query must surface in the JSON (a swallowed exception would
     // record a near-zero timing and silently deflate the total).
     var failed = 0
+    // names, not just a count: the stderr FAIL lines are outside the
+    // harness's tail window, so a nonzero count in the JSON was
+    // undiagnosable from the artifact alone (round 8: "failed":8 with no
+    // way to tell WHICH eight without a local re-run)
+    val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     // Profiling mode: per-query Spark JOB counts (the driver-host cost model
     // is scheduling rounds, not row work — see AQE comment above). The
     // status store is fed asynchronously, so each sample needs a settle
@@ -91,6 +96,7 @@ object Bench {
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += 1
+        failedNames += q.name
         System.err.println(s"[bench] FAIL ${q.name}: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -146,7 +152,12 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     System.err.println(s"""[bench] all queries: ${jmap(results.sortBy(_._2))}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(top20)},"sf":"$sfDir","n_queries":${results.size},"r1_subset_sec":${f3(r1Hits.map(_._2).sum)},"r1_subset_n":${r1Hits.size},"failed":$failed,"total_sec":${f3(total)}}""")
+    // failed names ride INSIDE the tail window (they sit at the line's end,
+    // right before the duplicated total keys); bounded at 8 names so a
+    // catastrophic all-fail run cannot push the total out of the window
+    val failedJson = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      (if (failedNames.size > 8) s",\"failed_more\":${failedNames.size - 8}" else "")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(top20)},"sf":"$sfDir","n_queries":${results.size},"r1_subset_sec":${f3(r1Hits.map(_._2).sum)},"r1_subset_n":${r1Hits.size},"failed":$failed,"failed_names":$failedJson,"total_sec":${f3(total)}}""")
     System.out.flush()
   }
 }

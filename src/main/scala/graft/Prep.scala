@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   *   reference's strptime-fails→None semantics (SURVEY.md §7.4.5,
   *   /root/reference/dags/global_dag.py:111-118).
   * - nanosAsLong: the driver's `events.parquet` carries INT64 nanosecond
-  *   timestamps, which Spark otherwise refuses to read; as a long we keep
-  *   full precision and convert explicitly.
+  *   timestamps. On Spark builds that honor this legacy conf they read as
+  *   LongType nanos; on builds that ignore it they read as TIMESTAMP_NTZ
+  *   (micros truncation). Consumers branch on the resolved schema
+  *   (Queries.eventsUs) — setting the conf is harmless where ignored.
   * - UTC session timezone: oracle parity (DuckDB compares in UTC). Shuffle
   *   partitioning is sized by the entry points themselves (Bench/Verify set
   *   `spark.sql.shuffle.partitions` from SPARK_GRAFT_CPUS at session build).

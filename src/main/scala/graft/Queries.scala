@@ -202,9 +202,25 @@ object Queries {
   private def dsumSql(e: String, p: Int = 24, s: Int = 6): String =
     s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)"
 
-  /** events with ts converted to exact integer microseconds. */
-  private def eventsUs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+  /** events with ts converted to exact integer microseconds.
+    *
+    * The driver's events.parquet carries nanosecond timestamps; depending on
+    * the Spark build, `spark.sql.legacy.parquet.nanosAsLong` either maps them
+    * to LongType nanos (older behavior) or is ignored and they arrive as
+    * TIMESTAMP_NTZ truncated to micros (current behavior — the round-8 bench
+    * lost all 8 event queries to the unhandled second shape). Branch on the
+    * RESOLVED schema so both read paths yield the same integer microseconds:
+    * `unix_micros` needs TIMESTAMP_LTZ, and the NTZ→LTZ cast is identity
+    * because Prep pins the session timezone to UTC.
+    */
+  private def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("ts_us", tsUs)
+  }
 
   // ------------------------------------------------------------------
 
