@@ -59,17 +59,28 @@ object Bench {
     // tables first (limit(1) triggers the listing without a full scan) so
     // that job lands here, untimed, instead of inflating whichever timed
     // query reads the table first.
+    // a warmup failure is counted into the JSON (warmup_failed): it means
+    // the timed run it shields starts cold, so its timing is suspect even
+    // when the timed loop later succeeds — previously these stderr lines
+    // were invisible in the harness's tail window
+    var warmupFailed = 0
     Tables.all
       .foreach { tn =>
         try Tables.load(spark, sfDir, tn).limit(1).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] table warmup $tn: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          warmupFailed += 1
+          System.err.println(s"[bench] table warmup $tn: ${e.getMessage}")
+        }
       }
     Seq("q1_pricing", "txt_quality", "ann_cosine_topk", "dedup_clusters",
         "mm_decode_real", "txt_bpe_trained")
       .flatMap(n => selected.find(_.name == n))
       .foreach { q =>
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] warmup ${q.name}: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          warmupFailed += 1
+          System.err.println(s"[bench] warmup ${q.name}: ${e.getMessage}")
+        }
       }
     spark.catalog.clearCache()
     // noop sink: materializes every column of every row (a count() would let
@@ -157,7 +168,7 @@ object Bench {
     // catastrophic all-fail run cannot push the total out of the window
     val failedJson = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]") +
       (if (failedNames.size > 8) s",\"failed_more\":${failedNames.size - 8}" else "")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(top20)},"sf":"$sfDir","n_queries":${results.size},"r1_subset_sec":${f3(r1Hits.map(_._2).sum)},"r1_subset_n":${r1Hits.size},"failed":$failed,"failed_names":$failedJson,"total_sec":${f3(total)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(top20)},"sf":"$sfDir","n_queries":${results.size},"r1_subset_sec":${f3(r1Hits.map(_._2).sum)},"r1_subset_n":${r1Hits.size},"failed":$failed,"failed_names":$failedJson,"warmup_failed":$warmupFailed,"total_sec":${f3(total)}}""")
     System.out.flush()
   }
 }

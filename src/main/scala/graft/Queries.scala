@@ -97,6 +97,26 @@ object Queries {
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
 
+  // ---- planted-pair corpus for the xxhash64 dedup family ----------------
+  // DuckDB cannot evaluate xxhash64, so the fast MinHash/SimHash forms are
+  // oracled the emb_near_dup way: make the EXPECTED output analytic instead
+  // of mirroring the hash. Every token is suffixed with its doc's id, so
+  // distinct docs share ZERO tokens (and zero shingles — cross-doc Jaccard
+  // is exactly 0 and simhashes are independent), then a verbatim copy of
+  // every doc is planted at id −doc_id−1 (collision-free with the
+  // nonnegative real ids at any SF). Identical text ⇒ identical signatures
+  // ⇒ same bucket in every band ⇒ guaranteed LSH candidates, and the exact
+  // verify scores them jac=1.0 / hamming=0 — so the expected result is
+  // precisely one (−id−1, id) pair per qualifying doc, asserting 100%
+  // recall on planted pairs AND zero false positives in one hash compare.
+  private def plantedTokenDocs(s: SparkSession, d: String): DataFrame = {
+    val uniq = t(s, d, "documents").select(col("doc_id"),
+      array_join(transform(ops.TextAnalysis.tokens(col("text")),
+        tk => concat(tk, lit("_"), col("doc_id"))), " ").as("text"))
+    uniq.unionByName(
+      uniq.select((-col("doc_id") - 1).as("doc_id"), col("text")))
+  }
+
   // ---- integer-lattice embedding construct (shared by the IVF oracles) --
   // An 8-dim derivation of vec_id with values in [-5,7]: small integers are
   // exact in float32 AND double, so per-dim centroid sums are exact in any
@@ -560,6 +580,56 @@ object Queries {
         FROM (SELECT rpad(c_name, 30, ' ') || lpad(CAST(c_custkey AS VARCHAR), 12, '0')
           || lpad(CAST(c_nationkey AS VARCHAR), 5, '0') AS value FROM customer)
         ORDER BY custkey""")),
+
+    QueryDef("op04_csv_permissive",
+      // op 4's driver row via the op05 construct-and-parse trick: build
+      // `;`-CSV lines from customer — one well-formed line per row, plus a
+      // malformed line (unparseable custkey AND wrong field count) for
+      // every 10th row — and run them through the REAL permissive reader
+      // (same options/parser as the path form). DROPMALFORMED must drop
+      // exactly the planted garbage, so the oracle is just the customer
+      // projection. Lines go through the Dataset[String] form: same
+      // univocity parse, no filesystem side effects in a verify query.
+      (s, d) => {
+        import s.implicits._
+        val good = t(s, d, "customer").select(concat_ws(";",
+          col("c_custkey"), col("c_name"), col("c_nationkey")).as("line"))
+        val bad = t(s, d, "customer").where(col("c_custkey") % 10 === 0)
+          .select(concat(lit("notakey;garbage-row-"), col("c_custkey")).as("line"))
+        val lines = good.unionByName(bad).as[String]
+        Sources.csvPermissiveLines(lines, sep = ";",
+            schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+              "custkey BIGINT, name STRING, natkey BIGINT")))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey, c_name AS name, c_nationkey AS natkey
+        FROM customer ORDER BY custkey""")),
+
+    QueryDef("op06_glob_provenance",
+      // op 6's driver row: materialize one real text file per region under
+      // java.io.tmpdir (bounded: 5 regions at any SF), glob-discover them
+      // with the REAL operator (spark.read.text + input_file_name), and
+      // recover each row's provenance from the discovered path. The oracle
+      // is the region projection the files were derived from.
+      (s, d) => {
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_op06_${d.hashCode.toHexString}")
+        dir.mkdirs()
+        t(s, d, "region").select(col("r_regionkey"), col("r_name")).collect()
+          .foreach { r =>
+            val f = new java.io.File(dir, s"region_${r.get(0)}.txt")
+            val w = new java.io.PrintWriter(f, "UTF-8")
+            try w.print(r.getString(1) + "\n") finally w.close()
+          }
+        Sources.globText(s, dir.getAbsolutePath + "/region_*.txt")
+          .select(
+            regexp_extract(col("src_file"), "region_(\\d+)\\.txt", 1)
+              .cast("long").as("regionkey"),
+            col("value").as("name"))
+          .orderBy(col("regionkey"))
+      },
+      Some("""SELECT r_regionkey AS regionkey, r_name AS name
+        FROM region ORDER BY regionkey""")),
 
     QueryDef("op02_03_catalog_select",
       // ops 2+3 — JSON catalog → resource selection, driver-checkable via the
@@ -1373,22 +1443,41 @@ object Queries {
         FROM documents ORDER BY doc_id""")),
 
     QueryDef("txt_bpe_trained",
-      // REAL trained BPE (Sennrich merges): one corpus word-count
-      // aggregation, driver-side greedy merges over the vocabulary-sized
-      // frequency table, distributed encode. Deterministic (tie-broken
-      // merges) but not SQL-expressible — rows-only; the trainer/encoder
-      // contract (merge order, encode==training segmentation, compression
-      // monotonicity) is proven in TextPipelineSpec
+      // REAL trained BPE (Sennrich merges: corpus word-count aggregation,
+      // driver-side greedy merges, distributed encode), hash-checked on a
+      // corpus whose merge SEQUENCE is analytically forced. Doc i holds
+      // words 0..doc_id%150, where word_j is the unique 2-char string
+      // lower(j/26)+upper(j%26): each word carries exactly ONE symbol pair,
+      // pairs never overlap across words, and a merged word (2 chars → 1
+      // token) creates no new pairs — so pair frequency f_j = #{docs with
+      // doc_id%150 >= j} is the whole statistic. f_j is non-increasing in
+      // j, and on ties the trainer's (count desc, pair lex asc) rule picks
+      // the lower j (pair lex order == j order by construction) — the 100
+      // learned merges are words 0..99 in order, at ANY doc_id
+      // distribution. Encoding is then exact: word j costs 1 token if
+      // j <= 99, else 2. The TRAINER ran for real; only its forced
+      // outcome is mirrored in SQL. Natural-corpus trainer/encoder
+      // contracts stay property-tested in TextPipelineSpec.
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = Bpe.train(docs, "text", numMerges = 100)
-        docs.select(col("doc_id"),
+        val words: Seq[String] = (0 until 150).map(j =>
+          s"${('a' + j / 26).toChar}${('A' + j % 26).toChar}")
+        val docs2 = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(typedlit(words), lit(1),
+            pmod(col("doc_id"), lit(150L)).cast("int") + 1), " ").as("text"))
+        val merges = Bpe.train(docs2, "text", numMerges = 100)
+        docs2.select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
             Bpe.tokenCount(merges)(col("text")).as("n_bpe_tokens"),
             length(col("text")).as("n_chars"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""SELECT doc_id,
+          CAST(doc_id % 150 + 1 AS INTEGER) AS n_ws_tokens,
+          CAST(doc_id % 150 + 1 +
+            CASE WHEN doc_id % 150 > 99 THEN doc_id % 150 - 99 ELSE 0 END
+            AS INTEGER) AS n_bpe_tokens,
+          CAST(3 * (doc_id % 150 + 1) - 1 AS INTEGER) AS n_chars
+        FROM documents ORDER BY doc_id""")),
 
     QueryDef("txt_fingerprint_dedup",
       (s, d) => t(s, d, "documents")
@@ -1421,15 +1510,38 @@ object Queries {
       FROM e GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("txt_winnow_fast",
-      // the xxhash64 production form of winnowing (same algorithm; integer
-      // hashes, no hex strings). DuckDB cannot evaluate xxhash64 → rows-only
-      // here; algorithmic equivalence with the md5 form (dup/locality
-      // properties) is proven in DedupSpec
-      (s, d) => TextAnalysis.winnowFingerprintsFast(t(s, d, "documents"), "doc_id", "text")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
-        .orderBy(col("doc_id")),
-      None),
+      // the xxhash64 production form of winnowing (same kernel the
+      // fingerprint-dedup pipelines use). Hash-checked via a planted
+      // construct: doc i's text is a run of one repeated character
+      // (class = doc_id%26, length 11+doc_id%13 >= k+w-1), so every 8-char
+      // gram inside a doc is IDENTICAL — whatever its xxhash64 value, each
+      // window's min is that single hash and the distinct fingerprint set
+      // has exactly ONE element. Docs of the same class share that gram
+      // (hence that fingerprint) regardless of length; the 26 gram strings
+      // are FIXED (independent of the corpus), and their 26 hashes are
+      // verified pairwise-distinct once, so the fp-join partner count per
+      // doc is exactly its class size − 1 — analytic without evaluating
+      // xxhash64. This checks the hash equality STRUCTURE across docs (the
+      // property winnow dedup consumes), not just per-doc counts; md5-form
+      // equivalence on natural text stays a DedupSpec property.
+      (s, d) => {
+        val docs2 = t(s, d, "documents").select(col("doc_id"),
+          expr("repeat(char(97 + doc_id % 26), CAST(11 + doc_id % 13 AS INT))").as("text"))
+        val fps = TextAnalysis.winnowFingerprintsFast(docs2, "doc_id", "text")
+        val perDoc = fps.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fps"), max(col("fp")).as("_fp"))
+        val classSize = fps.groupBy(col("fp").as("_fp"))
+          .agg(count(lit(1)).as("_cls"))
+        perDoc.join(classSize, Seq("_fp"))
+          .select(col("doc_id"), col("n_fps"), (col("_cls") - 1).as("n_partners"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH cls AS (SELECT doc_id % 26 AS c, count(*) AS n
+          FROM documents GROUP BY 1)
+        SELECT d.doc_id, CAST(1 AS BIGINT) AS n_fps,
+          CAST(cls.n - 1 AS BIGINT) AS n_partners
+        FROM documents d JOIN cls ON d.doc_id % 26 = cls.c
+        ORDER BY d.doc_id""")),
 
     QueryDef("txt_chunk",
       // token-window chunking with overlap (training-example splitter):
@@ -1644,22 +1756,42 @@ object Queries {
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     QueryDef("dedup_minhash_fast",
-      // xxhash64 MinHash-LSH (production form; md5 form above is the
-      // oracle-checked one). Rows-only: final pair-set equivalence with the
-      // md5 pipeline is a DedupSpec property (both end in exact Jaccard)
-      (s, d) => Dedup.minhashNearDupPairsFast(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+      // xxhash64 MinHash-LSH (production form; the md5 form above oracles
+      // the natural corpus). Hash-checked via plantedTokenDocs: cross-doc
+      // Jaccard is exactly 0 (disjoint shingle sets), planted copies are
+      // exactly 1, so at any threshold in (0,1] the output is precisely
+      // the planted pair per doc with >= shingleN tokens — no probabilistic
+      // element at all (false candidates from 64-bit bucket collisions are
+      // killed by the exact verify at jac=0). md5-pipeline equivalence on
+      // natural near-dups remains a DedupSpec property.
+      (s, d) => Dedup.minhashNearDupPairsFast(plantedTokenDocs(s, d), "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b")),
-      None),
+      Some("""SELECT CAST(-doc_id - 1 AS BIGINT) AS doc_a, doc_id AS doc_b,
+          CAST(1.0 AS DOUBLE) AS jac
+        FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 3
+        ORDER BY 1, 2""")),
 
     QueryDef("dedup_simhash_fast",
       // 64-bit xxhash64 simhash with 4x16-bit pigeonhole chunks — the
-      // production form without the md5/60-bit oracle ceiling. Rows-only
-      // (DuckDB lacks xxhash64); banded==brute property in DedupSpec
-      (s, d) => Dedup.simhashNearDupPairsFast(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      // production form without the md5/60-bit oracle ceiling. Hash-checked
+      // via plantedTokenDocs: planted copies hash identically (hamming 0);
+      // distinct docs share no tokens, so their 64-bit simhashes are
+      // independent and the nearest non-planted pair sits ~32 bits apart —
+      // P(any pair <= 3) ~ 1e-7 at sf0.1, and on the driver's FIXED corpus
+      // recall/precision is a determinism frozen by this very hash compare
+      // (the emb_near_dup argument). banded==brute remains a DedupSpec
+      // property on natural text.
+      (s, d) => Dedup.simhashNearDupPairsFast(plantedTokenDocs(s, d), "doc_id", "text",
+          maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b")),
-      None),
+      Some("""SELECT CAST(-doc_id - 1 AS BIGINT) AS doc_a, doc_id AS doc_b,
+          CAST(0 AS INTEGER) AS hamming
+        FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 1
+        ORDER BY 1, 2""")),
 
     QueryDef("dedup_clusters",
       // near-dup pairs → connected components → cluster representative per

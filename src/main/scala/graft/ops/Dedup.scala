@@ -509,6 +509,15 @@ object Dedup {
     }(Encoders.row(outSchema))
   }
 
+  /** Rounds the last [[clustersByLabelPropagation]] run took to converge —
+    * a test/monitoring observable (the scale contract is rounds ≈
+    * ⌈log₂ diameter⌉, and inferring rounds from Spark job counts is
+    * brittle: jobs-per-round varies by Spark version and checkpoint
+    * materialization). Single-session diagnostics only; concurrent runs
+    * race benignly on it.
+    */
+  @volatile private[graft] var lastPropagationRounds: Int = -1
+
   /** Large-graph strategy: pointer-jumping min-label propagation. */
   private def clustersByLabelPropagation(p: DataFrame, maxRounds: Int): DataFrame = {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
@@ -550,6 +559,7 @@ object Dedup {
       labels = jumped.select(col("v"), col("label"))
       round += 1
     }
+    lastPropagationRounds = round
     // The pair-set checkpoint is dead too: the final labels read only the
     // last round's blocks. (Those last blocks back the RETURNED DataFrame
     // and must stay; they are freed when the session drops the reference.)

@@ -103,7 +103,14 @@ object Sampling {
       .collect()
       .flatMap(r => if (r.isNullAt(1) || r.getLong(1) <= 0L) None
                     else Some((r.getString(0), r.getLong(1))))
-      .sortBy(_._1)
+      // UTF-8 BYTE order, not String.compareTo: Java's UTF-16 code-unit
+      // order ranks supplementary-plane keys (surrogates, 0xD800+) below
+      // U+E000..U+FFFF, while the oracle's binary collation (and any
+      // engine folding in code-point order) ranks them above — for such
+      // source names the Σ n^α fold order, hence the double sum, would
+      // silently diverge. UTF-8 bytes compare identically to code points.
+      .sortBy(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))(
+        (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b))
     def powA(n: Double): Double =
       if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
     val powed = totals.map { case (s, n) => (s, powA(n.toDouble)) }

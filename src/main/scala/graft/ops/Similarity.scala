@@ -224,6 +224,20 @@ object Similarity {
     * Probe ranking is (c_sim desc, cluster id asc), the same total order
     * [[ivfTopK]] uses. `cents(j)` must be cluster j's centroid under
     * `clusterCol`'s assignment.
+    *
+    * Join-shape contract (the one DELIBERATE exception to the "SF-growing
+    * sides never broadcast" policy): the probe side broadcasts, and probes
+    * grow with the QUERY batch, not the corpus. ANN serving is
+    * batch-bounded by construction — the caller controls |Q|, and
+    * |Q|·nprobe·(id+vec) must fit a broadcast (~10⁵ queries at 8-dim
+    * float; far less at embedding widths). That is the FAISS regime this
+    * mirrors: the index (corpus) side is the scale side and never moves,
+    * which is exactly what the broadcast buys — re-ranking corpus-side
+    * rows in place with NO shuffle of the corpus. A corpus-scale query
+    * set (all-pairs semantic join) is a different operator:
+    * [[embeddingNearDupPairs]]/[[semanticDedup]] bucket BOTH sides with
+    * SRP-LSH instead. Callers with an unbounded query stream should chunk
+    * it into bounded batches rather than lift this broadcast.
     */
   def ivfTopKFitted(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, k: Int, nprobe: Int,

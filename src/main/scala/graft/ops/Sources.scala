@@ -21,12 +21,28 @@ object Sources {
       spark: SparkSession,
       path: String,
       sep: String = ";",
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None): DataFrame =
+    permissiveReader(spark, sep, schema, header = true).csv(path)
+
+  /** The same permissive scan over an in-memory line dataset — the testable
+    * form of op 4 (same parser, same DROPMALFORMED semantics, no filesystem).
+    * `header=false` by default: a distributed line dataset has no stable
+    * "first row" to consume as a header, so callers pass an explicit schema.
+    */
+  def csvPermissiveLines(
+      lines: org.apache.spark.sql.Dataset[String],
+      sep: String = ";",
+      schema: Option[StructType] = None,
+      header: Boolean = false): DataFrame =
+    permissiveReader(lines.sparkSession, sep, schema, header).csv(lines)
+
+  private def permissiveReader(spark: SparkSession, sep: String,
+                               schema: Option[StructType], header: Boolean) = {
     val r = spark.read
       .option("sep", sep)
-      .option("header", "true")
+      .option("header", header.toString)
       .option("mode", "DROPMALFORMED")
-    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+    schema.fold(r.option("inferSchema", "true"))(r.schema)
   }
 
   /** One fixed-width field: 1-based start byte + length (SQL substring convention). */

@@ -200,7 +200,18 @@ object Streaming {
     * dedup this sink provides guards different-id duplicates. Within-
     * trigger near-dups are NOT deduped against each other — both are
     * admitted (and stay; run the batch pipeline inside the trigger when
-    * intra-trigger dedup matters).
+    * intra-trigger dedup matters). The id-keyed shield has one more
+    * scoped recall gap under at-least-once delivery: when a trigger
+    * contains a REDELIVERED already-accepted id alongside a NEW doc that
+    * is a near-dup of that id's text, the shield hides the redelivered
+    * id's history rows from the whole batch, so the new near-dup is
+    * admitted in that trigger (it is still caught against any OTHER
+    * history near-dup). The gap is bounded by the upstream redelivery
+    * window — exactly-once upstream eliminates it entirely — and closing
+    * it inside the sink would require per-probe (row-level, not
+    * batch-level) shielding: a corpus-sized join keyed on (probe id,
+    * history id) pairs per trigger, which trades a bounded-rarity recall
+    * gap for an every-trigger quadratic term. Deliberately not taken.
     *
     * `onAccepted` receives each batch's surviving rows (original schema) —
     * route them to the corpus sink of your choice inside the same

@@ -195,4 +195,53 @@ class DedupSpec extends SparkSpec {
       assert(nMd5 <= 3, s"minhashNearDupPairs (md5) ran $nMd5 jobs (bound 3)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("label propagation (the 100-TB >4M-edge branch): O(log diameter) rounds, skew-safe") {
+    // dedupClusters' large-graph strategy had correctness coverage only via
+    // the adaptive default (which routes small inputs to union-find) — force
+    // the distributed branch with smallGraphEdges = 0 and pin its SCALE
+    // contract: convergence in ~log2(diameter) pointer-jumping rounds, not
+    // O(diameter) plain-propagation rounds (rounds ARE the 100-TB cost —
+    // each is a fixed set of shuffles over the label table). Rounds are read
+    // from the operator's own observable; a LOOSE job bound rides along so
+    // a per-round job blowup (extra eager materializations creeping into
+    // the loop) still fails even though exact jobs-per-round is a Spark
+    // implementation detail (measured 3/round here: changed-count +
+    // checkpoint materializations).
+    def jobs(): Int = {
+      Thread.sleep(500) // status store updates asynchronously
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    }
+    def runAndCountRounds(edges: org.apache.spark.sql.DataFrame): (Array[(Long, Long)], Int, Int) = {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j0 = jobs()
+        val out = Dedup.dedupClusters(edges, "a", "b", maxRounds = 30, smallGraphEdges = 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        (out, Dedup.lastPropagationRounds, jobs() - j0)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+    // worst diameter per edge: a 64-node path (diameter 63). A plain
+    // min-propagation needs ~63 rounds; pointer jumping must land near
+    // ceil(log2 63) = 6 (+ the final no-change detection round + 1 slack).
+    val path = spark.range(0, 63).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (pathOut, pathRounds, pathJobs) = runAndCountRounds(path)
+    assert(pathOut.length == 64 && pathOut.forall(_._2 == 0L),
+      "every path node must label to the component min")
+    assert(pathRounds <= 8, s"path-64 took $pathRounds rounds (log2(63)=6, bound 8)")
+    assert(pathJobs <= 4 * pathRounds + 4,
+      s"path-64 ran $pathJobs jobs over $pathRounds rounds — per-round job blowup")
+    // skewed component: a 50k-leaf star (one node's label feeds every
+    // neighbor-min group) unioned with a far-id path — the hub must not
+    // stall convergence or corrupt the other component's labels
+    val star = spark.range(1, 50001).select(lit(0L).as("a"), col("id").as("b"))
+    val far = spark.range(1000000L, 1000031L)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (mixOut, mixRounds, _) = runAndCountRounds(star.unionByName(far))
+    val (starL, farL) = mixOut.partition(_._1 < 1000000L)
+    assert(starL.length == 50001 && starL.forall(_._2 == 0L), "star labels to hub-min 0")
+    assert(farL.length == 32 && farL.forall(_._2 == 1000000L), "path labels to its own min")
+    assert(mixRounds <= 8, s"star+path took $mixRounds rounds (bound 8)")
+  }
 }

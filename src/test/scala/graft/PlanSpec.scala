@@ -182,6 +182,18 @@ class PlanSpec extends SparkSpec {
       assert(nStrat <= 2, s"op_sample_stratified ran $nStrat jobs (bound 2: filter+agg)")
       val nFp = jobsOf("txt_fingerprint_dedup")
       assert(nFp <= 3, s"txt_fingerprint_dedup ran $nFp jobs (bound 3: agg + sort sampling)")
+      // the r7-flagged cohort, same standard (measured r9 + 1 slack):
+      // op_regression is one fused moments-agg + formula pass (1 job);
+      // pipeline_multimodal is the codec mapPartitions funnel (3);
+      // pipeline_curation_v2 is the 2-persist LSH/union-find funnel (7) —
+      // its absolute wall time is CPU (tokenize/LSH), not scheduling, so
+      // the job count is the regression tripwire
+      val nReg = jobsOf("op_regression")
+      assert(nReg <= 2, s"op_regression ran $nReg jobs (bound 2: fused moments agg)")
+      val nMm = jobsOf("pipeline_multimodal")
+      assert(nMm <= 4, s"pipeline_multimodal ran $nMm jobs (bound 4: decode funnel)")
+      val nCur = jobsOf("pipeline_curation_v2")
+      assert(nCur <= 8, s"pipeline_curation_v2 ran $nCur jobs (bound 8: 2 persists + LSH + CC)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }
