@@ -969,14 +969,31 @@ object Queries {
         ORDER BY 1, 2""")),
 
     QueryDef("op_approx_distinct",
-      // HLL++ sketch — implementations differ across engines, so this is a
-      // rows-only check; the exact variant is op_count_distinct
+      // HLL++ sketch with a CERTIFIED-ACCURACY oracle: raw estimates are
+      // implementation-defined across engines (DuckDB's HLL differs), so
+      // instead of emitting them the query emits the exact distinct counts
+      // plus per-group flags certifying |approx − exact| ≤ 3·rsd·exact —
+      // the sketch's contract, checked deterministically (Spark's HLL++ is
+      // deterministic for a given input, so the flags are stable at every
+      // SF). The oracle asserts the exact counts and literal TRUE flags: a
+      // broken sketch flips a flag and hash-mismatches.
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("_a_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("_a_parts"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("_a_orders") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.15)).as("orders_within_3rsd"),
+          (abs(col("_a_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.03)).as("parts_within_3rsd"))
         .orderBySmall(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+          CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          TRUE AS orders_within_3rsd, TRUE AS parts_within_3rsd
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("op_intersect",
       (s, d) => t(s, d, "orders").where(col("o_orderstatus") === "O")
@@ -1631,18 +1648,32 @@ object Queries {
         GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("txt_contamination_bloom",
-      // the beyond-broadcast decontamination path: benchmark shingles
-      // collapse to a driver-built Bloom filter probed map-side. The
-      // sketch's false positives are Spark-implementation-defined, so this
-      // is a rows-only driver check; the no-false-negative containment vs
-      // the exact scores is proven in ScalaTest.
+      // the beyond-broadcast decontamination path, HASH-CHECKED: the
+      // driver-built Bloom filter is a map-side PREFILTER whose false
+      // positives are killed by an exact verify join over the flagged
+      // sliver only, so the output EQUALS the exact contamination scores —
+      // the sketch accelerates the plan but no longer appears in the
+      // answer, and the oracle is the same SQL as txt_contamination. The
+      // raw one-sided upper-bound form (contaminationFlagsBloom) remains
+      // ScalaTest-proven (no-false-negative containment in TextPipelineSpec).
       (s, d) => {
         val docs = t(s, d, "documents")
-        Dedup.contaminationFlagsBloom(docs, docs.where(col("doc_id") % 37 === 0),
+        Dedup.contaminationScoresBloomVerified(docs, docs.where(col("doc_id") % 37 === 0),
             "doc_id", "text", shingleN = 3)
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+        bn AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN bn.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(sum(CASE WHEN bn.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        FROM sh LEFT JOIN bn ON sh.shingle = bn.shingle
+        GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("pipeline_curation_v2",
       // the COMPLETE curation pipeline as one declarative chain:
@@ -2074,6 +2105,56 @@ object Queries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(simhashOracleSql(maxHamming = 3))),
+
+    QueryDef("dedup_ngram_jaccard",
+      // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
+      // generation (shingles in > maxDf docs never generate candidates —
+      // the cap is mirrored in the oracle, so results match exactly), then
+      // exact Jaccard over the FULL shingle sets. The deterministic
+      // complement to the probabilistic MinHash family: any shared shingle
+      // with df <= maxDf guarantees the pair is found.
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5, maxDf = 10)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+        kept AS (SELECT doc_id, shingle FROM (
+          SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+          WHERE df <= 10),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
+        FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    QueryDef("op_salted_join",
+      // explicit skew-salted shuffle join (Joins.skewSaltedJoin): the salt
+      // never changes the answer — the oracle is the PLAIN join — it only
+      // spreads each hot key over saltFactor reducers. The driver row
+      // proves result-invariance; the salting plan shape (probe-side
+      // deterministic salt, build-side saltFactor replication) is asserted
+      // in JoinsSpec.
+      (s, d) => Joins.skewSaltedJoin(
+          t(s, d, "lineitem").select(col("l_orderkey").as("okey"), col("l_quantity")),
+          t(s, d, "orders").select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+          Seq("okey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 20, 2).as("qty"))
+        .orderBySmall(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt, ${dsumSql("l_quantity", 20, 2)} AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
 
     // ---- similarity search (north star) ----
     QueryDef("ann_cosine_topk",

@@ -179,6 +179,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs — the deterministic member of the
+    * dedup family (MinHash trades recall for cost probabilistically; this
+    * trades it EXPLICITLY via a document-frequency cap). Candidates come
+    * from a df-capped inverted index: shingles appearing in more than
+    * `maxDf` documents — boilerplate, stopword runs — are excluded from
+    * candidate GENERATION (never from the Jaccard itself), so the self-join
+    * emits at most `maxDf · |shingle table|` pairs instead of Σ df² — the
+    * quadratic hot-shingle corner is capped exactly like the LSH bucket cap
+    * in [[lshCandidatePairsCapped]]. A pair is missed only when EVERY
+    * common shingle is hotter than `maxDf`; with any rare shingle shared,
+    * recall is 1 — strictly stronger than MinHash banding on the same
+    * candidates. The verify then computes exact Jaccard over the FULL
+    * shingle sets, so emitted `jac` values are exact regardless of the cap.
+    * The df count rides a window over the same shingle partitioning the
+    * join needs — no extra shuffle of the corpus-sized table; both
+    * self-join sides are corpus-sized and merge-hinted (broadcast would be
+    * wrong at 100 TB).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val kept = sh.withColumn("_df", count(lit(1)).over(w))
+      .where(col("_df") <= maxDf).drop("_df")
+    val a = kept.select(col("shingle"), col(idCol).as("doc_a"))
+    val b = kept.select(col("shingle"), col(idCol).as("doc_b"))
+    val cand = a.join(b.hint("merge"), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardVerify(cand, sh, idCol, threshold)
+  }
+
   /** Production-hash MinHash signatures via Kirsch-Mitzenmacher double
     * hashing: TWO codegen'd xxhash64 passes over each shingle (h₁, h₂), then
     * hash function s is the cheap combination h₁ + s·h₂ (wrapping long
@@ -691,6 +723,57 @@ object Dedup {
         sum(when(mightContain(col("shingle")), 1L).otherwise(0L)).as("n_flagged"))
       .withColumn("contamination_ub",
         col("n_flagged").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** EXACT contamination scores at beyond-broadcast benchmark scale: the
+    * Bloom prefilter of [[contaminationFlagsBloom]] followed by an exact
+    * verify join that kills its false positives — the production
+    * decontamination shape. One pass over the corpus shingle stream
+    * computes, per doc, the total shingle count AND the (tiny) list of
+    * Bloom-flagged shingles in the same aggregation; only that flagged
+    * sliver — true hits plus an fpp fraction of the rest — is then
+    * re-exploded and joined against the true benchmark shingle set. The
+    * corpus-sized table is never joined and never shuffled by shingle: the
+    * only corpus-wide exchange is the per-doc aggregation (map-side
+    * partial), and the verify join's left side is |contaminated| +
+    * fpp·|corpus| rows. Output is IDENTICAL to [[contaminationScores]] —
+    * `(idCol, n_shingles, n_contaminated, contamination)` — the sketch
+    * only accelerates, it no longer appears in the answer, so the result
+    * is deterministic and oracle-checkable.
+    *
+    * The per-doc flagged buffer in `collect_list` is bounded by the doc's
+    * own distinct-shingle count (a fully-contaminated doc holds its whole
+    * shingle set once), i.e. by document length — not by corpus size.
+    */
+  def contaminationScoresBloomVerified(corpus: DataFrame, benchmark: DataFrame,
+                                       idCol: String, textCol: String, shingleN: Int = 3,
+                                       expectedShingles: Long = -1L,
+                                       fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchSh = shingleTable(benchmark, idCol, textCol, shingleN)
+      .select(col("shingle")).distinct()
+    val sized =
+      if (expectedShingles > 0) expectedShingles
+      else { benchSh.persist(); math.max(1L, benchSh.count()) }
+    val bf = benchSh.stat.bloomFilter("shingle", sized, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val perDoc = shingleTable(corpus, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        // collect_list drops nulls: only Bloom-flagged shingles survive
+        collect_list(when(mightContain(col("shingle")), col("shingle"))).as("_flagged"))
+    // explode_outer keeps zero-flag docs (null shingle → no verify hit)
+    val verified = perDoc
+      .select(col(idCol), col("n_shingles"), explode_outer(col("_flagged")).as("shingle"))
+      .join(benchSh.withColumn("_hit", lit(1L)).hint("merge"), Seq("shingle"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"), col("contamination"))
+    benchSh.unpersist()
+    verified
   }
 
   /** The final dedup decision: drop every clustered doc except its cluster

@@ -21,6 +21,52 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("ngramJaccardPairs == brute-force exact jaccard when no shingle is df-capped") {
+    val d = Tables.load(spark, sf0001, "documents").limit(300)
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleN = 3, threshold = 0.3, maxDf = Int.MaxValue)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect().toSet
+    // brute: every pair sharing any shingle, exact jaccard, same threshold
+    val sh = Dedup.shingleTable(d, "doc_id", "text", 3)
+    val allCand = sh.select($"shingle", $"doc_id".as("doc_a"))
+      .join(sh.select($"shingle", $"doc_id".as("doc_b")), Seq("shingle"))
+      .where($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+    val brute = Dedup.jaccardVerify(allCand, sh, "doc_id", threshold = 0.3)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == brute)
+  }
+
+  test("ngramJaccardPairs df cap: pair missed only when EVERY common shingle is hot") {
+    // 12 docs all sharing one hot boilerplate sentence (shingles with
+    // df=12), plus docs 0/1 sharing a rare edit. At maxDf=4 the hot
+    // shingles generate no candidates: the boilerplate-only pairs vanish,
+    // but (0,1) survives via its rare shared shingles — and its jac is
+    // still computed over the FULL shingle sets (cap never biases the value).
+    val boiler = "this document is provided as is without warranty of any kind"
+    val d = (0 until 12).map { i =>
+      val tail = if (i <= 1) s"unique alpha beta gamma delta content nr$i" else s"own w$i x$i y$i z$i q$i r$i"
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3, Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3, maxDf = 4)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect()
+    assert(uncapped.size > 1 && uncapped.contains((0L, 1L)))
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    val jacCapped = capped.head._3
+    val jacFull = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3, Int.MaxValue)
+      .where($"doc_a" === 0 && $"doc_b" === 1).select("jac").as[Double].head()
+    assert(jacCapped == jacFull)
+  }
+
+  test("ngramJaccardPairs plans sort-merge self-join, never a cartesian/broadcast") {
+    val d = Tables.load(spark, sf0001, "documents").limit(100)
+    val plan = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(plan.contains("SortMergeJoin"))
+  }
+
   test("jaccard of the exact-dup pair is 1.0") {
     val jac = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .where($"doc_a" === 0 && $"doc_b" === 3).select("jac").as[Double].head()

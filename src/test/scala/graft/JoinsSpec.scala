@@ -86,6 +86,16 @@ class JoinsSpec extends SparkSpec {
     val plain = big.join(small, Seq("k"))
       .groupBy("tag").count().as[(String, Long)].collect().toMap
     assert(salted == plain)
+    // the plan actually salts: the join's shuffle key set includes _salt,
+    // so a hot key spreads over saltFactor reducers instead of one
+    val plan = Joins.skewSaltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), "join keys must include the salt column")
+    // and the big side's hot key really lands in >1 partition post-salt
+    val spread = Joins.skewSaltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .where($"tag" === "cold")
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    assert(spread > 1, s"hot key stayed in $spread partition(s)")
   }
 
   test("pipeline stages compose lazily in order") {

@@ -164,6 +164,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(j.map(_._4).sum <= math.max(5L, j.length / 10L), "too many bloom false positives")
   }
 
+  test("bloom-verified contamination EQUALS the exact path (sketch leaves the answer)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val bench = docs.where($"doc_id" % 37 === 0)
+    val exact = Dedup.contaminationScores(docs, bench, "doc_id", "text", shingleN = 3)
+    val verified = Dedup.contaminationScoresBloomVerified(docs, bench, "doc_id", "text", shingleN = 3)
+    assert(verified.columns.toSeq == exact.columns.toSeq)
+    val mismatches = exact.unionByName(verified)
+      .groupBy("doc_id", "n_shingles", "n_contaminated", "contamination")
+      .count().where($"count" =!= 2).count()
+    assert(exact.count() > 0 && mismatches == 0)
+    // and the corpus-sized shingle table is never joined: the only joins in
+    // the plan sit above the per-doc aggregation (flagged-sliver verify)
+    val agg = verified.queryExecution.executedPlan.toString
+    assert(!agg.contains("CartesianProduct") && !agg.contains("BroadcastNestedLoop"))
+  }
+
   test("dedupClusters labels every member with the component minimum") {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
     val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
