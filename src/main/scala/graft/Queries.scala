@@ -1095,6 +1095,33 @@ object Queries {
         quantile_cont(o_totalprice, 0.95) AS p95
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_approx_quantile",
+      // Greenwald-Khanna rank sketch (percentile_approx) with a CERTIFIED-
+      // accuracy oracle, same technique as op_approx_distinct: the sketch's
+      // contract is that its answer is a real data value within rank-ε of
+      // the target (ε = 1/accuracy = 0.001 here), certified by bracketing
+      // between the exact percentiles at p ± 0.01 (10× margin). The query
+      // emits the exact percentiles plus the bracket flags; raw sketch
+      // values are engine-specific and never appear in the output.
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+          percentile(col("o_totalprice"), lit(0.49)).as("_lo50"),
+          percentile(col("o_totalprice"), lit(0.51)).as("_hi50"),
+          percentile(col("o_totalprice"), lit(0.94)).as("_lo95"),
+          percentile(col("o_totalprice"), lit(0.96)).as("_hi95"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("_a50"),
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("_a95"))
+        .select(col("o_orderstatus"), col("p50"), col("p95"),
+          (col("_a50") >= col("_lo50") && col("_a50") <= col("_hi50")).as("p50_within_eps"),
+          (col("_a95") >= col("_lo95") && col("_a95") <= col("_hi95")).as("p95_within_eps"))
+        .orderBySmall(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.95) AS p95,
+        TRUE AS p50_within_eps, TRUE AS p95_within_eps
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_grouping_sets",
       (s, d) => t(s, d, "orders")
         .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
@@ -2114,6 +2141,24 @@ object Queries {
         .orderBy(col("doc_a"), col("doc_b")),
       Some(simhashOracleSql(maxHamming = 3))),
 
+    QueryDef("op_pagerank",
+      // iterative graph centrality (the cluster-representative picker that
+      // complements dedupClusters) on a deterministic 37-node multigraph
+      // derived from orders; 4 unrolled iterations replayed exactly in the
+      // oracle. The FIXED-POINT form is the oracled one: scaled-long
+      // arithmetic is bit-identical across engines and partition orders,
+      // where the float form's double→decimal contribution rounding
+      // diverges in the last ulp between Spark (exact HALF_UP) and DuckDB
+      // (cast via double multiply) — measured ~1e-17, enough to flip a
+      // hash. Float/fixed agreement is pinned in DedupSpec instead.
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
+        Dedup.pageRankFixedPoint(edges, "src", "dst", iters = 4)
+          .orderBySmall(col("v"))
+      },
+      Some(pageRankOracleSql(iters = 4, mod = 37))),
+
     QueryDef("dedup_ngram_jaccard",
       // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
       // generation (shingles in > maxDf docs never generate candidates —
@@ -2593,6 +2638,34 @@ object Queries {
   // the SQL mirrors the Spark expressions definitionally (same md5 inputs,
   // same band layout, same ascii-nibble bit extraction).
   // ------------------------------------------------------------------
+
+  /** Unrolled-CTE FIXED-POINT PageRank mirror (the ml_perceptron_quality
+    * technique for iterative driver loops). Every operation is integer
+    * floor division / multiplication / exact sum on non-negative scaled
+    * longs — DuckDB `//` and Spark `div` agree exactly on non-negatives,
+    * so the replay is bit-identical with no float anywhere. Sums are cast
+    * back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    */
+  def pageRankOracleSql(iters: Int, mod: Int, dampNum: Long = 17L, dampDen: Long = 20L,
+                        scale: Long = 1000000000000000L): String = {
+    require(iters >= 1)
+    val body = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS v, CAST(sum(p.pr // od.outdeg) AS BIGINT) AS s
+        FROM edges e JOIN pr${k - 1} p ON p.v = e.src JOIN outdeg od ON od.src = e.src
+        GROUP BY 1),
+      pr$k AS (SELECT nodes.v,
+          CAST(($scale - $scale * $dampNum // $dampDen) // nn.n
+            + coalesce(c$k.s, 0) * $dampNum // $dampDen AS BIGINT) AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN c$k ON c$k.v = nodes.v)"""
+    }.mkString(",\n      ")
+    s"""WITH edges AS (SELECT o_custkey % $mod AS src, o_orderkey % $mod AS dst FROM orders),
+      nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      pr0 AS (SELECT v, CAST($scale // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn),
+      $body
+      SELECT v, pr FROM pr$iters ORDER BY v"""
+  }
 
   def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
                        from: String = "documents"): String = {

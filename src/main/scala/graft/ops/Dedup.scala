@@ -647,6 +647,53 @@ object Dedup {
     pr
   }
 
+  /** FIXED-POINT PageRank: the [[pageRank]] recurrence with every value a
+    * scaled long (units of 1/`scale`) and every operation integer-exact —
+    * per-edge contribution is `pr div outdeg`, damping is `· dampNum div
+    * dampDen` — so the result is BIT-IDENTICAL across engines, partition
+    * orders, and replays. Floating PageRank accumulates order-dependent
+    * rounding that makes "same rank, different run" impossible to assert;
+    * for a dedup pipeline that uses centrality to pick cluster
+    * representatives, reproducibility is a correctness property (a
+    * representative that flips between runs invalidates downstream
+    * incremental state). Quantization error per iteration is ≤ 1/scale per
+    * edge (floor division), i.e. ≤ outdeg·10⁻¹⁵ absolute — far below any
+    * ranking decision. Overflow-safe by construction: total mass stays ≤
+    * `scale` = 10¹⁵, so a node's contribution sum ≤ 10¹⁵ and the damping
+    * product ≤ dampNum·10¹⁵ ≪ 2⁶³.
+    */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int = 10, dampNum: Long = 17L, dampDen: Long = 20L,
+                         scale: Long = 1000000000000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && scale > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = (scale - scale * dampNum / dampDen) / n
+    var pr = nodes.select(col("v"), lit(scale / n).as("pr")).localCheckpoint()
+    var prevCp = pr
+    for (_ <- 1 to iters) {
+      val contribs = e.join(pr.select(col("v").as("src"), col("pr")), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("v"), expr("pr div outdeg").as("_c"))
+        .groupBy(col("v"))
+        .agg(sum(col("_c")).as("_sum"))
+      val next = nodes.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr(s"coalesce(_sum, 0L) * ${dampNum}L div ${dampDen}L")).as("pr"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(prevCp)
+      prevCp = next
+      pr = next
+    }
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(outDeg)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
+    pr
+  }
+
   /** Benchmark decontamination: for every corpus doc, the fraction of its
     * distinct n-gram shingles that also appear ANYWHERE in the benchmark
     * set — the standard eval-contamination check run before training. The

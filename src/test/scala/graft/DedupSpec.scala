@@ -193,6 +193,27 @@ class DedupSpec extends SparkSpec {
     assert(spr8 == spr)
   }
 
+  test("pageRankFixedPoint tracks float pageRank within quantization error; bit-stable under repartition") {
+    // same star graph: scaled-long ranks must agree with the float ranks
+    // to ~iters·maxOutdeg/scale (floor-division loss per iteration)
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    val fl = Dedup.pageRank(star, "src", "dst", iters = 20)
+      .as[(Long, Double)].collect().toMap
+    val fp = Dedup.pageRankFixedPoint(star, "src", "dst", iters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(fp.keySet == fl.keySet)
+    fp.foreach { case (v, p) =>
+      assert(math.abs(p / 1e15 - fl(v)) < 1e-9, s"node $v: fixed ${p / 1e15} vs float ${fl(v)}")
+    }
+    // ordering decisions agree (the property dedup representative-picking needs)
+    assert(fp.toSeq.sortBy(_._2).map(_._1) == fl.toSeq.sortBy(_._2).map(_._1))
+    // and the fixed-point result is BIT-identical across partitionings —
+    // not just close: equal longs
+    val fp8 = Dedup.pageRankFixedPoint(star.repartition(8), "src", "dst", iters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(fp8 == fp)
+  }
+
   test("dedup family job counts stay bounded (scheduling-latency audit)") {
     // Per-query wall time on a loaded multi-tenant host is dominated by job
     // scheduling rounds, not per-row work — so the job count IS the perf
