@@ -194,6 +194,21 @@ class PlanSpec extends SparkSpec {
       assert(nMm <= 4, s"pipeline_multimodal ran $nMm jobs (bound 4: decode funnel)")
       val nCur = jobsOf("pipeline_curation_v2")
       assert(nCur <= 8, s"pipeline_curation_v2 ran $nCur jobs (bound 8: 2 persists + LSH + CC)")
+      // round-9 additions, measured at their floor under the bench posture
+      // (+1 slack each): dedup_ngram_jaccard 2 (shingle shuffle reused by
+      // window + self-join + verify, one result sort), op_salted_join 2,
+      // txt_contamination_bloom 4 (benchmark count + bloom build + agg +
+      // verify), op_approx_distinct 2 (two aggs + broadcast build),
+      // op_approx_quantile 1 (one ObjectHashAggregate pass),
+      // op_pagerank 18 (iterative: setup checkpoints + 1 eager
+      // localCheckpoint job per iteration — jobs scale with iters by
+      // design, the pin catches a per-iteration job-count regression)
+      for ((name, bound) <- Seq("dedup_ngram_jaccard" -> 3, "op_salted_join" -> 3,
+          "txt_contamination_bloom" -> 5, "op_approx_distinct" -> 3,
+          "op_approx_quantile" -> 2, "op_pagerank" -> 20)) {
+        val n = jobsOf(name)
+        assert(n <= bound, s"$name ran $n jobs (bound $bound)")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }
