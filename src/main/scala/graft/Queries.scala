@@ -2191,6 +2191,41 @@ object Queries {
         WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    QueryDef("op_train_split",
+      // deterministic 80/10/10 train/val/test assignment — a pure
+      // projection over the hash bucket, identically replayable in SQL;
+      // the per-split counts and id ranges are the audit a corpus release
+      // ships with
+      (s, d) => t(s, d, "documents")
+        .withColumn("split", Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBySmall(col("split")),
+      Some("""SELECT CASE
+          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split,
+          count(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("dedup_incremental",
+      // the daily-batch dedup shape: incoming (odd doc_ids) near-dup-paired
+      // against history (even doc_ids) via a cross-side LSH bucket join —
+      // history is NEVER self-paired, the per-batch cost the production
+      // ledger pays. Same minhash arithmetic as dedup_minhash_jaccard,
+      // mirrored cross-side in the oracle.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalNearDupPairs(
+            docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+            "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+          .orderBy(col("doc_new"), col("doc_old"))
+      },
+      Some(minhashIncrementalOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.1))),
+
     QueryDef("op_salted_join",
       // explicit skew-salted shuffle join (Joins.skewSaltedJoin): the salt
       // never changes the answer — the oracle is the PLAIN join — it only
@@ -2665,6 +2700,44 @@ object Queries {
       pr0 AS (SELECT v, CAST($scale // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn),
       $body
       SELECT v, pr FROM pr$iters ORDER BY v"""
+  }
+
+  /** [[minhashOracleSql]] for the INCREMENTAL pairing: same shingle/
+    * signature/band arithmetic, but candidates join the history side's
+    * buckets against the incoming side's (doc_id parity splits the
+    * documents table), never a self-join — mirroring
+    * `Dedup.incrementalNearDupPairs` definitionally.
+    */
+  def minhashIncrementalOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                                  threshold: Double): String = {
+    val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    val mhCols = (0 until numHashes)
+      .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s").mkString(", ")
+    val numBands = numHashes / rowsPerBand
+    val bandRows = (0 until numBands).map { b =>
+      val cc = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cc) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+      FROM documents),
+    shl AS (SELECT doc_id, [$shingleExpr FOR i IN generate_series(1, len(toks) - ${shingleN - 1})] AS shingles
+      FROM tk WHERE len(toks) >= $shingleN),
+    sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+    sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+    buckets AS ($bandRows),
+    cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+      FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_new, c.doc_old, count(*) AS n_inter
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_new JOIN sh sb ON sb.doc_id = c.doc_old AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT doc_new, doc_old,
+      CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
+    FROM inter JOIN sizes za ON za.doc_id = doc_new JOIN sizes zb ON zb.doc_id = doc_old
+    WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold
+    ORDER BY doc_new, doc_old"""
   }
 
   def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,

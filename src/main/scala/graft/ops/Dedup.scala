@@ -772,6 +772,56 @@ object Dedup {
         col("n_flagged").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Incremental near-dedup — the daily-batch shape: pair each INCOMING
+    * doc against the HISTORICAL corpus without ever re-pairing history
+    * against itself. Candidates come from a band-bucket equi-join of the
+    * two sides' LSH bucket tables (history × incoming, never a self-join),
+    * then the exact Jaccard verify runs over shingle tables PRUNED to the
+    * candidate doc ids — so per batch the full history contributes one
+    * signature pass plus only its matched docs' shingles. In production
+    * the history side's signature/bucket table is the persisted fingerprint
+    * store (build it once with [[minhashSignatures]]/[[lshBuckets]] and
+    * append each accepted batch); this entry point takes raw docs so the
+    * whole chain stays one declarative plan. Output: (doc_new, doc_old,
+    * jac) for every incoming doc near-duplicating a history doc —
+    * `applyIncrementalDedup` turns it into the filtered batch.
+    *
+    * Ids must be unique ACROSS the two sides (the verify reads one unioned
+    * shingle table) — true for any sane ingestion ledger; violations would
+    * silently merge two docs' shingle sets.
+    */
+  def incrementalNearDupPairs(history: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 8,
+                              rowsPerBand: Int = 2, threshold: Double = 0.5,
+                              maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val shOld = shingleTable(history, idCol, textCol, shingleN)
+    val shNew = shingleTable(incoming, idCol, textCol, shingleN)
+    val sigOld = minhashSignatures(shOld, idCol, numHashes)
+    val sigNew = minhashSignatures(shNew, idCol, numHashes)
+    val bOld = lshBuckets(sigOld, idCol, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("doc_old"))
+    val bNew = lshBuckets(sigNew, idCol, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("doc_new"))
+    // both bucket tables are corpus-sized derivations — merge-hinted for
+    // the same reason as lshCandidatePairs (broadcast is wrong at scale)
+    val cand = bNew.join(bOld.hint("merge"), Seq("band", "bucket"))
+      .select("doc_new", "doc_old").distinct()
+    // verify over shingles pruned to candidate docs: rename to the
+    // jaccardVerify pair contract (doc_a = new side, doc_b = old side)
+    val pairs = cand.select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+    val sizes = sigNew.select(col(idCol), col("n_sh"))
+      .union(sigOld.select(col(idCol), col("n_sh")))
+    jaccardVerify(pairs, shNew.union(shOld), idCol, threshold, Some(sizes))
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jac"))
+  }
+
+  /** The incremental dedup decision: drop every incoming doc with any
+    * near-dup in history (one anti-join on the incoming id).
+    */
+  def applyIncrementalDedup(incoming: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    incoming.join(pairs.select(col("doc_new").as(idCol)), Seq(idCol), "left_anti")
+
   /** EXACT contamination scores at beyond-broadcast benchmark scale: the
     * Bloom prefilter of [[contaminationFlagsBloom]] followed by an exact
     * verify join that kills its false positives — the production

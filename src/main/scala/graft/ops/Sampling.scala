@@ -48,6 +48,25 @@ object Sampling {
     df.where(hashBucket(key) < pct)
   }
 
+  /** Deterministic train/val/test assignment: named splits with integer
+    * percent weights summing to 100, assigned from the row key's
+    * [[hashBucket]] — a pure projection (no shuffle, no rand()), so the
+    * same row lands in the same split across runs, engines, partitionings,
+    * and incremental batches (the property that keeps eval sets
+    * uncontaminated as the corpus grows). NULL keys get a NULL split
+    * (consistent with the sampler's NULL semantics — route or fail them
+    * explicitly upstream).
+    */
+  def assignSplit(key: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      "split weights must be positive integer percents summing to 100")
+    val b = hashBucket(key)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    splits.tail.zip(cum.tail).foldLeft(when(b < cum.head, lit(splits.head._1))) {
+      case (acc, ((nm, _), hi)) => acc.when(b < hi, lit(nm))
+    }
+  }
+
   /** Uniform double in [0, 1) from the row key: 52 md5 bits over 2⁵². 52
     * bits — not 60 — because every integer below 2⁵³ converts to double
     * EXACTLY: a 60-bit numerator would round on the int→double cast, and

@@ -193,6 +193,31 @@ class DedupSpec extends SparkSpec {
     assert(spr8 == spr)
   }
 
+  test("incrementalNearDupPairs == cross-side slice of the full self-dedup; dedup drops exactly the matched") {
+    val d = Tables.load(spark, sf0001, "documents").limit(400)
+    val hist = d.where($"doc_id" % 2 === 0)
+    val inc = d.where($"doc_id" % 2 === 1)
+    val got = Dedup.incrementalNearDupPairs(hist, inc, "doc_id", "text", threshold = 0.1)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    // reference: full self-dedup over the union, restricted to cross pairs
+    val full = Dedup.minhashNearDupPairs(d, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    val cross = full.flatMap { case (a, b, _) =>
+      if (a % 2 == 0 && b % 2 == 1) Some((b, a))
+      else if (a % 2 == 1 && b % 2 == 0) Some((a, b))
+      else None
+    }.toSet
+    assert(got.nonEmpty && got == cross)
+    // the decision: matched incoming docs drop, the rest pass through
+    val kept = Dedup.applyIncrementalDedup(inc, "doc_id",
+        Dedup.incrementalNearDupPairs(hist, inc, "doc_id", "text", threshold = 0.1))
+      .select("doc_id").as[Long].collect().toSet
+    val incIds = inc.select("doc_id").as[Long].collect().toSet
+    assert(kept == incIds -- got.map(_._1))
+    // and never a history self-pair: no plan shape pairs old × old
+    assert(got.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
+
   test("pageRankFixedPoint tracks float pageRank within quantization error; bit-stable under repartition") {
     // same star graph: scaled-long ranks must agree with the float ranks
     // to ~iters·maxOutdeg/scale (floor-division loss per iteration)

@@ -205,7 +205,8 @@ class PlanSpec extends SparkSpec {
       // design, the pin catches a per-iteration job-count regression)
       for ((name, bound) <- Seq("dedup_ngram_jaccard" -> 3, "op_salted_join" -> 3,
           "txt_contamination_bloom" -> 5, "op_approx_distinct" -> 3,
-          "op_approx_quantile" -> 2, "op_pagerank" -> 20)) {
+          "op_approx_quantile" -> 2, "op_pagerank" -> 20,
+          "dedup_incremental" -> 3, "op_train_split" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -164,6 +164,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(j.map(_._4).sum <= math.max(5L, j.length / 10L), "too many bloom false positives")
   }
 
+  test("assignSplit: complete, weight-proportional, repartition-stable, shuffle-free") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    def split(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("split", Sampling.assignSplit($"doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    val counts = split(docs).groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test")) // complete: no null split
+    assert(math.abs(counts("train").toDouble / total - 0.80) < 0.05)
+    assert(math.abs(counts("val").toDouble / total - 0.10) < 0.04)
+    // the SAME rows land in the SAME split regardless of partitioning
+    val a = split(docs).select("doc_id", "split").as[(Long, String)].collect().toSet
+    val b = split(docs.repartition(7)).select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+    // pure projection: no exchange below the assignment
+    assert(!split(docs).queryExecution.executedPlan.toString.contains("Exchange"))
+    require(intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"doc_id", Seq("a" -> 50, "b" -> 40))
+    }.getMessage.contains("summing to 100"))
+  }
+
   test("bloom-verified contamination EQUALS the exact path (sketch leaves the answer)") {
     val docs = Tables.load(spark, sf0001, "documents")
     val bench = docs.where($"doc_id" % 37 === 0)
