@@ -173,7 +173,13 @@ object Joins {
       pmod(hash(saltCols.toIndexedSeq: _*), lit(saltFactor)))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
-    bigSalted.join(smallSalted, keys :+ "_salt").drop("_salt")
+    // shuffled HASH join, not sort-merge: salting exists precisely because
+    // the small side is modest enough to replicate saltFactor× (a
+    // fact-scale side would take the AQE skew path instead), so the
+    // per-partition build — |small|·saltFactor/shufflePartitions — is
+    // bounded by the caller's own sizing decision, and skipping both
+    // sides' sorts saves the dominant cost of the salted shuffle
+    bigSalted.join(smallSalted.hint("shuffle_hash"), keys :+ "_salt").drop("_salt")
   }
 
   /** As-of join (§2.7): for each probe row, attach the greatest build-side

@@ -91,11 +91,18 @@ class JoinsSpec extends SparkSpec {
     val plan = Joins.skewSaltedJoin(big, small, Seq("k"), saltFactor = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), "join keys must include the salt column")
-    // and the big side's hot key really lands in >1 partition post-salt
-    val spread = Joins.skewSaltedJoin(big, small, Seq("k"), saltFactor = 8)
-      .where($"tag" === "cold")
-      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
-    assert(spread > 1, s"hot key stayed in $spread partition(s)")
+    // and the big side's hot key really lands in >1 partition post-salt —
+    // measured with AQE off (on test-sized data AQE coalesces the tiny
+    // salted shuffle back into one partition, hiding the spread that is
+    // the operator's whole point at scale)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val spread = Joins.skewSaltedJoin(big, small, Seq("k"), saltFactor = 8)
+        .where($"tag" === "cold")
+        .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+      assert(spread > 1, s"hot key stayed in $spread partition(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("pipeline stages compose lazily in order") {
