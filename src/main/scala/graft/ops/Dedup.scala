@@ -199,6 +199,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double, maxDf: Int): DataFrame = {
+    // the shingle table feeds four consumers (df-capped index + both verify
+    // sides + sizes) but is deliberately NOT persisted: measured at the
+    // bench posture, caching the exploded string table costs MORE than
+    // recomputing the codegen'd tokenize+explode per consumer (13.7 s →
+    // 20.3 s with MEMORY_AND_DISK persist) — the opposite trade from
+    // minhashNearDupPairs, whose signature pass collapses the cached table
+    // before the joins. At 100 TB the same logic holds: re-reading parquet
+    // + re-exploding is a scan-local cost; a corpus-sized cache is not.
     val sh = shingleTable(docs, idCol, textCol, shingleN)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     val kept = sh.withColumn("_df", count(lit(1)).over(w))
@@ -795,8 +803,13 @@ object Dedup {
                               shingleN: Int = 3, numHashes: Int = 8,
                               rowsPerBand: Int = 2, threshold: Double = 0.5,
                               maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // each side's shingle table feeds its signature pass AND the verify
+    // union — persist both (the production form reads the history side's
+    // signatures from the persisted fingerprint store instead)
     val shOld = shingleTable(history, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shNew = shingleTable(incoming, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigOld = minhashSignatures(shOld, idCol, numHashes)
     val sigNew = minhashSignatures(shNew, idCol, numHashes)
     val bOld = lshBuckets(sigOld, idCol, numHashes, rowsPerBand)
