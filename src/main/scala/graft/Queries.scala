@@ -2226,6 +2226,35 @@ object Queries {
       Some(minhashIncrementalOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2,
         threshold = 0.1))),
 
+    QueryDef("pipeline_daily_batch",
+      // the production daily-batch chain end to end: incoming batch (odd
+      // doc_ids) → near-dedup against history (even doc_ids, cross-side
+      // LSH — never self-paired) → drop matched → deterministic split
+      // assignment → per-split release counts. Every stage is the same
+      // definition its standalone key checks, so the whole chain is
+      // oracle-checkable as one SQL expression.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val hist = docs.where(col("doc_id") % 2 === 0)
+        val inc = docs.where(col("doc_id") % 2 === 1)
+        val pairs = Dedup.incrementalNearDupPairs(hist, inc, "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+        Dedup.applyIncrementalDedup(inc, "doc_id", pairs)
+          .withColumn("split", Sampling.assignSplit(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+          .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+          .orderBySmall(col("split"))
+      },
+      Some(s"""WITH inc_pairs AS (
+          ${minhashIncrementalOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)})
+        SELECT CASE
+          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split, count(*) AS cnt
+        FROM documents d WHERE doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM inc_pairs p WHERE p.doc_new = d.doc_id)
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_salted_join",
       // explicit skew-salted shuffle join (Joins.skewSaltedJoin): the salt
       // never changes the answer — the oracle is the PLAIN join — it only

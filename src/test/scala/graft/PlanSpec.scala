@@ -152,6 +152,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"group bounds must broadcast back to the fact:\n$p")
   }
 
+  test("round-9 queries: column pruning reaches the parquet scans") {
+    // op_train_split touches ONLY doc_id — the text column (the table's
+    // bulk) must never leave the scan
+    val ts = plan("op_train_split")
+    assert(ts.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"op_train_split reads more than doc_id:\n$ts")
+    // the dedup family needs exactly (doc_id, text): metadata/label/lang
+    // columns stay pruned
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_incremental")) {
+      val p = plan(name)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scan not pruned to (doc_id, text):\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    }
+    // the salted join reads two columns per side
+    val sj = plan("op_salted_join")
+    assert(sj.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"op_salted_join lineitem scan not pruned:\n$sj")
+  }
+
   test("r6-regressed bench queries: job counts stay at the floor (host-noise audit)") {
     // These three queries jumped 3-6x in the r6 driver bench while their
     // local timings and plans were unchanged. Per the driver-host cost
@@ -206,7 +226,8 @@ class PlanSpec extends SparkSpec {
       for ((name, bound) <- Seq("dedup_ngram_jaccard" -> 3, "op_salted_join" -> 3,
           "txt_contamination_bloom" -> 5, "op_approx_distinct" -> 3,
           "op_approx_quantile" -> 2, "op_pagerank" -> 20,
-          "dedup_incremental" -> 3, "op_train_split" -> 2)) {
+          "dedup_incremental" -> 3, "op_train_split" -> 2,
+          "pipeline_daily_batch" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
