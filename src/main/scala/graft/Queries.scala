@@ -2513,6 +2513,21 @@ object Queries {
         FROM tt LEFT JOIN reb ON tt.doc_id = reb.doc_id
         ORDER BY tt.doc_id""")),
 
+    QueryDef("txt_heavy_hitters",
+      // count-min sketch heavy hitters with the certified-accuracy oracle
+      // (exact top-20 token counts + flags for exact ≤ est ≤ exact+⌈eps·N⌉);
+      // completes the sketch family: HLL, GK, Bloom, CMS
+      (s, d) => TextAnalysis.heavyHittersCertified(
+          t(s, d, "documents")
+            .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+          "token", k = 20)
+        .orderBySmall(col("cnt").desc, col("item")),
+      Some("""WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS item
+          FROM documents)
+        SELECT item, count(*) AS cnt, TRUE AS within_cms_bounds
+        FROM tok GROUP BY 1 ORDER BY cnt DESC, item LIMIT 20""")),
+
     QueryDef("txt_unigram_freq",
       // corpus-frequency quality score: mean corpus frequency of each doc's
       // tokens. Integer sums + one final multiply/divide — bit-identical

@@ -498,6 +498,37 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
+  /** Certified heavy hitters: the exact top-k item counts (bounded
+    * two-stage top-k via TakeOrdered, ties broken by item for a
+    * deterministic rank-k boundary) plus per-item flags certifying the
+    * count-min sketch contract `exact ≤ estimate ≤ exact + ⌈eps·N⌉` — the
+    * same certified-accuracy pattern as the HLL and GK keys: the sketch's
+    * raw cells are implementation-defined, its CONTRACT is deterministic
+    * for a fixed input and seed, so a broken sketch flips a flag. The
+    * sketch is Spark's built-in `stat.countMinSketch` (one corpus pass,
+    * fixed depth×width cells regardless of cardinality — the bounded-state
+    * form of frequency counting that exact groupBy cannot give a stream);
+    * N comes from the sketch's own totalCount, costing no extra pass.
+    */
+  def heavyHittersCertified(df: DataFrame, itemCol: String, k: Int,
+                            eps: Double = 0.001, confidence: Double = 0.99,
+                            seed: Int = 42): DataFrame = {
+    require(k > 0 && eps > 0 && confidence > 0 && confidence < 1)
+    val spark = df.sparkSession
+    val items = df.select(col(itemCol).as("item")).where(col("item").isNotNull)
+    val cms = items.stat.countMinSketch("item", eps, confidence, seed)
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val cmsB = spark.sparkContext.broadcast(cms)
+    val est = udf((s: String) => cmsB.value.estimateCount(s))
+    items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(k)
+      .withColumn("_est", est(col("item")))
+      .select(col("item"), col("cnt"),
+        (col("_est") >= col("cnt") && col("_est") <= col("cnt") + lit(bound))
+          .as("within_cms_bounds"))
+  }
+
   /** Quality signals: token count, mean token length, punctuation ratio,
     * stopword ratio — the standard cheap pre-filters for LLM corpora.
     * Tokenizes once (materialized column) before deriving the ratios.

@@ -164,6 +164,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(j.map(_._4).sum <= math.max(5L, j.length / 10L), "too many bloom false positives")
   }
 
+  test("heavyHittersCertified: exact counts, certified CMS bounds, deterministic rank-k boundary") {
+    // planted zipf-ish stream: token t_i appears (40-i) times, plus a tie
+    // cohort at the k boundary to exercise the (cnt desc, item) tie-break
+    val rows = (0 until 30).flatMap(i => Seq.fill(40 - i)(s"t$i")) ++
+      Seq("tie_a", "tie_b", "tie_c").flatMap(Seq.fill(5)(_))
+    val df = rows.toDF("token")
+    val hh = TextAnalysis.heavyHittersCertified(df, "token", k = 10)
+      .as[(String, Long, Boolean)].collect()
+    assert(hh.length == 10)
+    assert(hh.map(_._1).take(3).toSeq == Seq("t0", "t1", "t2"))
+    assert(hh.forall(_._3), s"CMS bound flag false: ${hh.mkString(", ")}")
+    val expected = (0 until 10).map(i => s"t$i" -> (40L - i)).toMap
+    assert(hh.map(r => r._1 -> r._2).toMap == expected)
+    // one-sided error: the estimate can never undercount (certified inside
+    // the flag, but assert the raw property on a fresh small stream too)
+    val small = Seq("x", "x", "y").toDF("token")
+    val got = TextAnalysis.heavyHittersCertified(small, "token", k = 2)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("x", 2L, true), ("y", 1L, true)))
+  }
+
   test("assignSplit: complete, weight-proportional, repartition-stable, shuffle-free") {
     val docs = Tables.load(spark, sf0001, "documents")
     def split(df: org.apache.spark.sql.DataFrame) = df
