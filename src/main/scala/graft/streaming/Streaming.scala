@@ -198,9 +198,14 @@ object Streaming {
     * update/no-op), so route `onAccepted` to an id-keyed idempotent sink
     * ([[idempotentStoreSink]] / [[acidMergeSink]] semantics); the CONTENT
     * dedup this sink provides guards different-id duplicates. Within-
-    * trigger near-dups are NOT deduped against each other — both are
-    * admitted (and stay; run the batch pipeline inside the trigger when
-    * intra-trigger dedup matters). The id-keyed shield has one more
+    * trigger near-dups ARE deduped against each other: the batch's bucket
+    * table self-joins (banded — linear in batch size, never quadratic),
+    * pairs meeting the same signature-agreement threshold resolve to
+    * min-id cluster representatives, and only representatives proceed to
+    * the history probe and the state append. Transitive members drop with
+    * their representative (if the rep near-dups history, the whole
+    * in-batch cluster is the same content class — the standard
+    * conservative choice). The id-keyed shield has one more
     * scoped recall gap under at-least-once delivery: when a trigger
     * contains a REDELIVERED already-accepted id alongside a NEW doc that
     * is a near-dup of that id's text, the shield hides the redelivered
@@ -242,11 +247,35 @@ object Streaming {
         .select(col(idCol), col("band"), col("bucket"), col("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // in-batch shielding FIRST: batch-mates dedup against each other
+        // with the same banded self-join + signature-agreement criterion
+        // as the history probe (linear in batch size — the LSH join, not
+        // a quadratic compare); min-id representatives survive, resolved
+        // transitively (union-find on the batch-bounded pair set, so A~B,
+        // B~C never admits A and C together). Deterministic (min-id), so
+        // a crash replay makes identical decisions.
+        val agreeSelf = (0 until numHashes).map(i =>
+            when(element_at(col("_as"), i + 1) === element_at(col("_bs"), i + 1), 1)
+              .otherwise(0))
+          .reduce(_ + _)
+        val inPairs = state.alias("x").join(state.alias("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col(s"x.`$idCol`") < col(s"y.`$idCol`"))
+          .select(col(s"x.`$idCol`").as("doc_a"), col("x.sig").as("_as"),
+            col(s"y.`$idCol`").as("doc_b"), col("y.sig").as("_bs"))
+          .distinct()
+          .where(agreeSelf.cast("double") / numHashes >= threshold)
+          .select("doc_a", "doc_b")
+        val inBatchDrops = Dedup.dedupClusters(inPairs, "doc_a", "doc_b")
+          .where(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").as(idCol))
+        val shielded = state.join(inBatchDrops, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val histOpt = sigTable.latestVersion().map(_ => sigTable.snapshot())
-        // persisted like `state`: dupIds is batch-bounded but its lineage
+        // persisted like `state`: histDups is batch-bounded but its lineage
         // is the corpus-sized history bucket join, which would otherwise
         // re-execute for each of the three consumers below
-        val dupIds = (histOpt match {
+        val histDups = (histOpt match {
           case None => state.select(col(idCol)).where(lit(false))
           case Some(hist) =>
             val agree = (0 until numHashes).map(i =>
@@ -260,7 +289,7 @@ object Streaming {
             // otherwise drop docs the first run accepted
             val freshHist = hist.join(state.select(col(idCol)).distinct(),
               Seq(idCol), "left_anti")
-            state.alias("b").join(freshHist.alias("h"),
+            shielded.alias("b").join(freshHist.alias("h"),
                 col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket"))
               .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
                 col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
@@ -268,12 +297,13 @@ object Streaming {
               .where(agree.cast("double") / numHashes >= threshold)
               .select(col("_bid").as(idCol)).distinct()
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dupIds = histDups.union(inBatchDrops)
         val accepted = batch.join(dupIds, Seq(idCol), "left_anti")
         // idempotent-insert + APPEND: only rows whose (id, band) is not
         // already in history are written — a replay appends nothing, and
         // state never pays a copy-on-write table rewrite (merge without
         // prunable stats rewrites the WHOLE table per trigger)
-        val acceptedState = state.join(dupIds, Seq(idCol), "left_anti")
+        val acceptedState = shielded.join(histDups, Seq(idCol), "left_anti")
         val newState = histOpt match {
           case None => acceptedState
           case Some(hist) =>
@@ -283,7 +313,10 @@ object Streaming {
           graft.ops.Sinks.writeIfNonEmpty(newState,
             st => { sigTable.append(st); () })
           onAccepted(accepted)
-        } finally dupIds.unpersist(blocking = false)
+        } finally {
+          histDups.unpersist(blocking = false)
+          shielded.unpersist(blocking = false)
+        }
       } finally state.unpersist(blocking = false)
       ()
     }

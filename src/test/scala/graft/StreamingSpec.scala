@@ -217,6 +217,39 @@ class StreamingSpec extends SparkSpec {
     assert(table.versions().length == vBefore, "replay must not spend a version")
   }
 
+  test("streaming near-dedup: batch-mates shield each other — one representative per in-batch cluster") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-mates")
+    val ckpt = Files.createTempDirectory("graft-neardup-mates-ckpt")
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/sigs")
+    val accepted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupFilterSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
+        threshold = 0.5,
+        onAccepted = b => accepted.synchronized {
+          accepted += b.select("doc_id").as[Long].collect().toSet })
+      .option("checkpointLocation", ckpt.toString).start()
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // ONE trigger: exact dup pair (5,6), a transitive chain near-dup (7),
+    // and an unrelated doc (8) — only the min-id representative 5 and the
+    // unrelated 8 may be admitted, transitively (7 ~ 6 ~ 5 must not
+    // resurrect 7)
+    input.addData((6L, textA), (5L, textA),
+      (7L, textA.replace("today", "tonight")),
+      (8L, "completely different words about spark query engines and parquet columnar formats"))
+    q.processAllAvailable()
+    // second trigger: a dup of the DROPPED batch-mate 6 still drops (its
+    // content lives in history under representative 5)
+    input.addData((20L, textA), (21L, "genuinely novel sentence with unique vocabulary tokens"))
+    q.processAllAvailable()
+    q.stop()
+    assert(accepted.toList == List(Set(5L, 8L), Set(21L)),
+      s"in-batch cluster must admit only min-id rep, got $accepted")
+    assert(table.snapshot().select("doc_id").as[Long].collect().toSet == Set(5L, 8L, 21L),
+      "state must hold only admitted docs' signatures")
+  }
+
   test("streaming near-dedup: short docs sign whole-text shingles instead of bypassing the filter") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-neardup-short")
