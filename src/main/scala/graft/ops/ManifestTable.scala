@@ -251,6 +251,49 @@ final class ManifestTable private (
     -1L // unreachable
   }
 
+  /** OPTIMIZE-style compaction: rewrites the whole current dir set into
+    * `numFiles` balanced files committed as ONE dir — the maintenance
+    * operation an append-per-trigger table needs, since every append adds
+    * a dir and small files accumulate without bound. The rows are
+    * byte-identical (readers cannot observe a compaction except through
+    * version numbers); prior versions still time-travel until [[vacuum]]
+    * reclaims their dirs. Committed with a parent guard like [[merge]]: a
+    * concurrent append/merge wins the CAS and the compaction RECOMPUTES
+    * from the winner's snapshot — never discards the winner's rows. Size
+    * `numFiles` at ~128-256 MB/file for the real table; per-column stats
+    * are recomputed over the combined data so merge pruning keeps working.
+    * Returns the committed version, or -1 when there is nothing to compact
+    * (empty table or a single dir already).
+    */
+  def compact(numFiles: Int = 1, maxRetries: Int = DefaultRetries): Long = {
+    require(numFiles >= 1)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      base match {
+        case None => return -1L
+        case Some(v) =>
+          val m = readManifest(v)
+          if (m.dirs.length < 2) return -1L
+          val (dir, stats) = writeData(readDirs(m, m.dirs).coalesce(numFiles))
+          commitOnce("compact", m.schemaDdl, _ => Seq(dir), stats,
+              parentGuard = Some(base)) match {
+            case Some(nv) => return nv
+            case None =>
+              try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
+                  s"conflict-losing compaction dir $dir failed (vacuum will collect it): ${e.getMessage}")
+              }
+              attempt += 1
+              if (attempt > maxRetries) failRetries(maxRetries)
+              Thread.sleep(RetrySleepMs * attempt)
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Delete data directories not referenced by the newest `retainLast`
     * manifests. Time travel older than the retained window stops working
     * (same contract as Delta VACUUM past retention). Returns deleted dirs.

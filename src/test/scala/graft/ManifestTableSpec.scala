@@ -45,6 +45,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 4)
   }
 
+  test("compact: rows identical, file count collapses, time travel intact, appends continue") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0))
+    t.append(kv(2L -> 2.0))
+    t.append(kv(3L -> 3.0))
+    val before = t.snapshot().orderBy("k").as[(Long, Double)].collect().toList
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, "data")).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles()
+    val v = t.compact(numFiles = 1)
+    assert(v == 3L, s"compact must commit a new version, got $v")
+    // readers cannot observe the compaction except through the version log
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList == before)
+    assert(t.snapshotAt(1).count() == 2, "pre-compact versions must still time-travel")
+    // vacuum now reclaims every pre-compaction dir; the data keeps reading
+    t.vacuum(retainLast = 1, graceMs = 0)
+    assert(dataFiles() < filesBefore, s"expected fewer files after compact+vacuum")
+    assert(t.snapshot().count() == 3)
+    // compacting a single-dir table is a no-op, not a version burn
+    assert(t.compact() == -1L)
+    t.append(kv(4L -> 4.0))
+    assert(t.snapshot().count() == 4)
+  }
+
   test("merge has last-write-wins upsert semantics and serializes with the log") {
     val t = ManifestTable(spark, freshRoot())
     val base = kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
