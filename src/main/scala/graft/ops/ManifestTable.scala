@@ -251,6 +251,18 @@ final class ManifestTable private (
     -1L // unreachable
   }
 
+  /** Number of data dirs a version's manifest references (default: the
+    * latest) — the small-file observable [[compact]] exists to bound; a
+    * monitoring loop alerts on its growth the same way it watches
+    * [[graft.ops.Dedup.lshOversizedBuckets]].
+    */
+  def dirCount(version: Long = -1L): Int = {
+    val v = if (version >= 0L) version
+      else latestVersion().getOrElse(
+        throw new IllegalStateException(s"ManifestTable $rootStr: no commits yet"))
+    readManifest(v).dirs.length
+  }
+
   /** OPTIMIZE-style compaction: rewrites the whole current dir set into
     * `numFiles` balanced files committed as ONE dir — the maintenance
     * operation an append-per-trigger table needs, since every append adds

@@ -181,7 +181,10 @@ object Streaming {
     * raise `numHashes` to tighten it. Cost shape: per batch, history is
     * SCANNED once for the bucket join (linear, shared with batch writers
     * via the snapshot) and only batch-sized rows are WRITTEN — state grows
-    * by appends, never a table rewrite. Documents shorter than `shingleN`
+    * by appends, never a table rewrite. `compactEvery = N` opts into
+    * periodic maintenance: every Nth committed version the state table
+    * compacts to balanced files and vacuums pre-compaction dirs, keeping
+    * the per-trigger history scan flat instead of one-dir-per-trigger. Documents shorter than `shingleN`
     * tokens sign their whole text as a single shingle (the batch operators
     * exclude them, but in a firehose short boilerplate is precisely the
     * highest-frequency duplicate class — it must not bypass the filter).
@@ -226,7 +229,8 @@ object Streaming {
                         sigTable: graft.ops.ManifestTable,
                         shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                         threshold: Double = 0.5,
-                        onAccepted: DataFrame => Unit = _ => ())
+                        onAccepted: DataFrame => Unit = _ => (),
+                        compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import graft.ops.{Aggregates, Dedup}
@@ -312,6 +316,16 @@ object Streaming {
         try {
           graft.ops.Sinks.writeIfNonEmpty(newState,
             st => { sigTable.append(st); () })
+          // append-per-trigger accumulates one dir per micro-batch — the
+          // small-file failure mode compact exists for. Opt-in periodic
+          // maintenance inside the trigger keeps the history probe's scan
+          // cost flat; vacuum reclaims the pre-compaction dirs past the
+          // grace window (never the in-flight ones)
+          if (compactEvery > 0 &&
+              sigTable.latestVersion().exists(v => (v + 1) % compactEvery == 0)) {
+            sigTable.compact()
+            sigTable.vacuum()
+          }
           onAccepted(accepted)
         } finally {
           histDups.unpersist(blocking = false)

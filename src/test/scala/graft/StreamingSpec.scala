@@ -250,6 +250,41 @@ class StreamingSpec extends SparkSpec {
       "state must hold only admitted docs' signatures")
   }
 
+  test("streaming near-dedup: compactEvery keeps the state table's dir count flat; dedup unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirRoot = Files.createTempDirectory("graft-neardup-compact")
+    val ckpt = Files.createTempDirectory("graft-neardup-compact-ckpt")
+    val tblPath = dirRoot.toString + "/sigs"
+    val table = graft.ops.ManifestTable(spark, tblPath)
+    val accepted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupFilterSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
+        threshold = 0.5,
+        onAccepted = b => accepted.synchronized {
+          accepted += b.select("doc_id").as[Long].collect().toSet },
+        compactEvery = 2)
+      .option("checkpointLocation", ckpt.toString).start()
+    // fully disjoint vocabularies — zero shared shingles between docs, so
+    // only the planted exact dup can match
+    val mk = (i: Long) => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")
+    (1L to 4L).foreach { i => input.addData(mk(i)); q.processAllAvailable() }
+    // a dup of trigger-1 content must still drop AFTER compactions
+    input.addData((99L, mk(1L)._2))
+    q.processAllAvailable()
+    q.stop()
+    assert(accepted.toList.map(_.toList).flatten.toSet == Set(1L, 2L, 3L, 4L),
+      s"compaction must not change dedup decisions, got $accepted")
+    assert(table.snapshot().select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // the LIVE dir set stays flat: the latest manifest references the one
+    // compacted dir (physical pre-compaction dirs linger until vacuum's
+    // grace window passes — deliberately not forced here)
+    assert(table.dirCount() == 1,
+      s"latest manifest should reference 1 compacted dir, got ${table.dirCount()}")
+    // and compaction spent versions: more versions than triggers
+    assert(table.versions().length > 5)
+  }
+
   test("streaming near-dedup: short docs sign whole-text shingles instead of bypassing the filter") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-neardup-short")
