@@ -1405,6 +1405,36 @@ object Queries {
           (sy - slope * sx) / n AS intercept, corr
         FROM r ORDER BY 1""")),
 
+    QueryDef("op_corr_matrix",
+      // one-pass pairwise correlation matrix (exact decimal moments,
+      // shared IEEE formula — the op_regression technique generalized to
+      // k columns / one aggregation). Scales: quantity integer, price 2dp,
+      // discount/tax 2dp. price² is capped to 0dp: its exact 4dp sum needs
+      // 19 significant digits, past the 2⁵³ window where the two engines'
+      // decimal→double conversions agree bitwise (measured 1-ulp split at
+      // sf0.1); the 0dp quantized moment converts exactly in both.
+      (s, d) => Analytics.correlationMatrix(t(s, d, "lineitem"),
+          Seq("l_quantity" -> 0, "l_extendedprice" -> 2, "l_discount" -> 2, "l_tax" -> 2),
+          productScaleOverride = Map(("l_extendedprice", "l_extendedprice") -> 0))
+        .orderBySmall(col("col_a"), col("col_b")),
+      Some {
+        val cols = Seq("l_quantity" -> 0, "l_extendedprice" -> 2, "l_discount" -> 2, "l_tax" -> 2)
+        val cap = Map((1, 1) -> 0)
+        val singles = cols.indices.map { i =>
+          s"CAST(sum(CAST(${cols(i)._1} AS DECIMAL(24,${cols(i)._2}))) AS DOUBLE) AS s$i" }
+        val prods = for { i <- cols.indices; j <- cols.indices if i <= j } yield
+          s"CAST(sum(CAST(${cols(i)._1} * ${cols(j)._1} AS DECIMAL(30,${cap.getOrElse((i, j), cols(i)._2 + cols(j)._2)}))) AS DOUBLE) AS p${i}_$j"
+        val pairRows = (for { i <- cols.indices; j <- cols.indices if i < j } yield
+          s"""SELECT '${cols(i)._1}' AS col_a, '${cols(j)._1}' AS col_b,
+            (n * p${i}_$j - s$i * s$j) /
+              sqrt((n * p${i}_$i - s$i * s$i) * (n * p${j}_$j - s$j * s$j)) AS corr
+          FROM m""").mkString(" UNION ALL ")
+        s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${(singles ++ prods).mkString(", ")}
+          FROM lineitem)
+          $pairRows ORDER BY 1, 2"""
+      }),
+
     QueryDef("op_gapfill",
       // time-series densification: per event type, every hourly bucket
       // between that type's first and last event exists in the output with

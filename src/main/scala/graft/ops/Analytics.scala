@@ -380,6 +380,55 @@ object Analytics {
       .agg(count_distinct(col("entity")).as("n_entities"))
   }
 
+  /** Pairwise Pearson correlation matrix over k numeric columns in ONE
+    * aggregation pass — the feature-correlation audit a training-data
+    * release runs before mixing signals. One agg computes every Σxᵢ and
+    * Σxᵢxⱼ as EXACT decimal sums (order-independent partial aggregation,
+    * same determinism argument as [[regressionByGroup]]), then the k(k−1)/2
+    * correlations evaluate as identical IEEE double expression trees —
+    * bit-reproducible where built-in `corr` per pair would both flake and
+    * cost k² scans. Each input declares its true decimal scale; product
+    * casts use the summed scales (see the boundary caution on
+    * [[regressionByGroup]] — a product's double ulp must sit far below its
+    * cast scale's half-step). Output long format: (col_a, col_b, corr).
+    *
+    * `productScaleOverride` caps a specific product's cast scale below
+    * si+sj. This exists because the final decimal→double conversion is
+    * only ENGINE-PORTABLE while the scaled sum stays under 2⁵³ (an exact
+    * integer in double); a wide product like price² can push the exact sum
+    * to 19 significant digits, where Spark's BigDecimal conversion and
+    * DuckDB's hugeint path round the SAME value to different neighboring
+    * doubles (measured: 1 ulp on Σprice² at sf0.1). Capping the scale
+    * rounds each per-row product deterministically (positive half-ties
+    * round away from zero in BOTH engines) and keeps the sum exactly
+    * convertible — a quantized moment, identical everywhere, with relative
+    * error ≤ rows·half-quantum / sum (~1e-10 here). Size caps so the
+    * target-SF sum stays < 2⁵³, the same sizing note as
+    * [[regressionByGroup]].
+    */
+  def correlationMatrix(df: DataFrame, inputs: Seq[(String, Int)],
+                        productScaleOverride: Map[(String, String), Int] = Map.empty): DataFrame = {
+    require(inputs.size >= 2, "need at least two columns to correlate")
+    val n = count(lit(1)).cast("double").as("_n")
+    val singles = inputs.indices.map { i =>
+      val (c, sc) = inputs(i)
+      sum(col(c).cast(s"decimal(24,$sc)")).cast("double").as(s"_s$i")
+    }
+    val products = for { i <- inputs.indices; j <- inputs.indices if i <= j } yield {
+      val (ci, si) = inputs(i); val (cj, sj) = inputs(j)
+      val sc = productScaleOverride.getOrElse((ci, cj), si + sj)
+      sum((col(ci) * col(cj)).cast(s"decimal(30,$sc)")).cast("double").as(s"_p${i}_$j")
+    }
+    val m = df.agg(n, singles ++ products: _*)
+    val rows = for { i <- inputs.indices; j <- inputs.indices if i < j } yield
+      struct(lit(inputs(i)._1).as("col_a"), lit(inputs(j)._1).as("col_b"),
+        ((col("_n") * col(s"_p${i}_$j") - col(s"_s$i") * col(s"_s$j")) /
+          sqrt((col("_n") * col(s"_p${i}_$i") - col(s"_s$i") * col(s"_s$i")) *
+               (col("_n") * col(s"_p${j}_$j") - col(s"_s$j") * col(s"_s$j")))).as("corr"))
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
+  }
+
   /** Per-group OLS regression (y = slope·x + intercept) and Pearson
     * correlation from EXACT moments: each Σx, Σy, Σxy, Σx², Σy² is a
     * decimal sum — order-independent under partial (map-side) aggregation,

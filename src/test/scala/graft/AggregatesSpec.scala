@@ -82,6 +82,23 @@ class AggregatesSpec extends SparkSpec {
     assert(got("h")._3 == -3.0 && got("h")._4 == 50.0 && got("h")._5 == -1.0)
   }
 
+  test("correlationMatrix: matches built-in corr per pair, one row per pair, repartition-stable") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val inputs = Seq("l_quantity" -> 0, "l_extendedprice" -> 2, "l_discount" -> 2)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Analytics.correlationMatrix(df, inputs)
+        .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val got = run(li)
+    assert(got.size == 3) // C(3,2) pairs, each exactly once
+    for (((a, b), c) <- got) {
+      val builtin = li.select(corr(col(a), col(b))).as[Double].head()
+      assert(math.abs(c - builtin) < 1e-9, s"($a,$b): $c vs builtin $builtin")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    // decimal moments make the result identical under any partitioning
+    assert(run(li.repartition(13)) == got)
+  }
+
   test("funnelStages: strict first-occurrence ordering gates each stage") {
     val ev = Seq(
       (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),  // full funnel

@@ -227,7 +227,8 @@ class PlanSpec extends SparkSpec {
           "txt_contamination_bloom" -> 5, "op_approx_distinct" -> 3,
           "op_approx_quantile" -> 2, "op_pagerank" -> 20,
           "dedup_incremental" -> 3, "op_train_split" -> 2,
-          "pipeline_daily_batch" -> 3, "txt_heavy_hitters" -> 4)) {
+          "pipeline_daily_batch" -> 3, "txt_heavy_hitters" -> 4,
+          "op_corr_matrix" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
