@@ -1377,16 +1377,21 @@ object Queries {
       // and would hash-flake — this is the deterministic form.
       // Cast scales are chosen so NO decimal cast ever rounds near a
       // boundary: quantity is integer-valued, price has exactly 2dp, so
-      // x·y has 2dp, x² is integer, y² has 4dp — and each product's double
-      // ulp (≤2e-6 at y²~1e10) is far below the half-step of its cast
+      // x·y has 2dp, x² is integer — and each product's double ulp
+      // (≤2e-6 at y²~1e10) is far below the half-step of its cast
       // scale. A uniform decimal(30,6) here actually FAILED: y²'s ulp sits
       // AT the 6dp quantum, so HALF_UP (Spark) vs HALF_EVEN (DuckDB)
       // diverged on boundary rows.
       // (decimal widths differ from the SQL mirror's — both are exact for
       // this data, and exact sums cast to double identically)
+      // yyScale capped to 0dp (round-9 hardening): Σprice² per group is
+      // ~19 significant digits at 4dp — outside the 2⁵³ window where the
+      // engines' decimal→double conversions agree bitwise. Passing today
+      // at 4dp was data-luck; the quantized 0dp moment is portable by
+      // construction and survives a testdata regeneration.
       (s, d) => Analytics.regressionByGroup(t(s, d, "lineitem"),
           col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-          xScale = 0, yScale = 2)
+          xScale = 0, yScale = 2, yyScale = 0)
         .withColumnRenamed("grp", "l_returnflag")
         .orderBySmall(col("l_returnflag")),
       Some("""WITH m AS (SELECT l_returnflag,
@@ -1395,7 +1400,7 @@ object Queries {
           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
           CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sxy,
           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(10,0))) AS DOUBLE) AS sxx,
-          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,0))) AS DOUBLE) AS syy
         FROM lineitem GROUP BY 1),
         r AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,

@@ -446,7 +446,14 @@ object Analytics {
     * ~1e9-row groups.
     */
   def regressionByGroup(df: DataFrame, group: Column, x: Column, y: Column,
-                        xScale: Int = 0, yScale: Int = 2): DataFrame = {
+                        xScale: Int = 0, yScale: Int = 2, yyScale: Int = -1): DataFrame = {
+    // syy is the widest moment (Σy² reaches ~19 significant digits on fact
+    // tables) and the decimal→double conversion is only engine-portable
+    // while the SCALED sum stays under 2⁵³ — see correlationMatrix's
+    // productScaleOverride note (measured 1-ulp Spark/DuckDB split past
+    // that window). yyScale caps the y² cast (default: full 2·yScale);
+    // per-row half-tie rounding agrees across engines on positives.
+    val yySc = if (yyScale >= 0) yyScale else 2 * yScale
     val m = df.groupBy(group.as("grp"))
       .agg(
         count(lit(1)).cast("double").as("n"),
@@ -454,7 +461,7 @@ object Analytics {
         sum(y.cast(s"decimal(22,$yScale)")).cast("double").as("sy"),
         sum((x * y).cast(s"decimal(24,${xScale + yScale})")).cast("double").as("sxy"),
         sum((x * x).cast(s"decimal(24,${2 * xScale})")).cast("double").as("sxx"),
-        sum((y * y).cast(s"decimal(26,${2 * yScale})")).cast("double").as("syy"))
+        sum((y * y).cast(s"decimal(26,$yySc)")).cast("double").as("syy"))
     m.select(col("grp"), col("n"), col("sx"), col("sy"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
