@@ -862,13 +862,14 @@ object Queries {
       // feature-scaling primitive): mean/std are one shared IEEE expression
       // over exact sums, outliers an integer count — hash-stable without
       // emitting per-row doubles
+      // sqScale 0dp: same 2⁵³-window hardening as op_regression/op_corr_matrix
       (s, d) => Analytics.standardizeStats(t(s, d, "lineitem"),
-          col("l_returnflag"), col("l_extendedprice"), zCut = 2.0, scale = 2)
+          col("l_returnflag"), col("l_extendedprice"), zCut = 2.0, scale = 2, sqScale = 0)
         .withColumnRenamed("grp", "l_returnflag")
         .orderBySmall(col("l_returnflag")),
       Some("""WITH m AS (SELECT l_returnflag AS g, CAST(count(l_extendedprice) AS DOUBLE) AS n,
             CAST(sum(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS s,
-            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS ss
+            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,0))) AS DOUBLE) AS ss
           FROM lineitem GROUP BY 1),
         st AS (SELECT g, s / n AS mean, sqrt((ss - s * s / n) / n) AS std FROM m)
         SELECT l_returnflag, count(*) AS n_rows, max(mean) AS mean, max(std) AS std,

@@ -234,7 +234,12 @@ object Analytics {
     */
   def standardizeStats(df: DataFrame, group: Column, value: Column,
                        zCut: Double = 2.0, scale: Int = 2,
-                       maxLiteralGroups: Int = 128): DataFrame = {
+                       maxLiteralGroups: Int = 128, sqScale: Int = -1): DataFrame = {
+    // sqScale caps the value² cast below 2·scale when the exact squared
+    // sum would exceed ~15 significant digits — outside that window the
+    // decimal→double conversion itself is engine-divergent (see
+    // correlationMatrix.productScaleOverride); the capped quantized moment
+    // converts exactly in both engines.
     // both passes run over the same fresh 2-column projection, so helper
     // names can never collide with (or drop) user columns
     val proj = df.select(group.as("grp"), value.as("_v"))
@@ -246,7 +251,7 @@ object Analytics {
         // group containing NULLs (same exclusion winsorize applies)
         count(v).cast("double").as("_n"),
         sum(v.cast(s"decimal(24,$scale)")).cast("double").as("_s"),
-        sum((v * v).cast(s"decimal(30,${2 * scale})")).cast("double").as("_ss"))
+        sum((v * v).cast(s"decimal(30,${if (sqScale >= 0) sqScale else 2 * scale})")).cast("double").as("_ss"))
       .select(col("grp"), col("_n"),
         (col("_s") / col("_n")).as("mean"),
         sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("std"))
