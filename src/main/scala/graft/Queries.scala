@@ -2782,46 +2782,12 @@ object Queries {
       SELECT v, pr FROM pr$iters ORDER BY v"""
   }
 
-  /** [[minhashOracleSql]] for the INCREMENTAL pairing: same shingle/
-    * signature/band arithmetic, but candidates join the history side's
-    * buckets against the incoming side's (doc_id parity splits the
-    * documents table), never a self-join — mirroring
-    * `Dedup.incrementalNearDupPairs` definitionally.
+  /** The shingle→signature→band CTE chain shared by every minhash oracle —
+    * ONE source of the md5-slice arithmetic, so the self-pair and
+    * incremental variants can never desynchronize from each other.
     */
-  def minhashIncrementalOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int,
-                                  threshold: Double): String = {
-    val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
-    val mhCols = (0 until numHashes)
-      .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s").mkString(", ")
-    val numBands = numHashes / rowsPerBand
-    val bandRows = (0 until numBands).map { b =>
-      val cc = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($cc) AS bucket FROM sig"
-    }.mkString(" UNION ALL ")
-    s"""WITH tk AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
-      FROM documents),
-    shl AS (SELECT doc_id, [$shingleExpr FOR i IN generate_series(1, len(toks) - ${shingleN - 1})] AS shingles
-      FROM tk WHERE len(toks) >= $shingleN),
-    sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
-    sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
-    buckets AS ($bandRows),
-    cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-      FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
-      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-    inter AS (SELECT c.doc_new, c.doc_old, count(*) AS n_inter
-      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_new JOIN sh sb ON sb.doc_id = c.doc_old AND sb.shingle = sa.shingle
-      GROUP BY 1, 2)
-    SELECT doc_new, doc_old,
-      CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
-    FROM inter JOIN sizes za ON za.doc_id = doc_new JOIN sizes zb ON zb.doc_id = doc_old
-    WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold
-    ORDER BY doc_new, doc_old"""
-  }
-
-  def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
-                       from: String = "documents"): String = {
+  private def minhashCtePrefix(shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                               from: String): String = {
     val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     val mhCols = (0 until numHashes)
       .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s").mkString(", ")
@@ -2837,20 +2803,45 @@ object Queries {
       FROM tk WHERE len(toks) >= $shingleN),
     sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
     sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
-    buckets AS ($bandRows),
+    buckets AS ($bandRows)"""
+  }
+
+  /** The candidate→verify tail shared by the minhash oracles: exact
+    * Jaccard over full shingle sets for the `cand` CTE's (aCol, bCol)
+    * pairs. The prefix must define `sh` and `cand`.
+    */
+  private def minhashVerifyTail(aCol: String, bCol: String, threshold: Double): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT c.$aCol, c.$bCol, count(*) AS n_inter
+      FROM cand c JOIN sh sa ON sa.doc_id = c.$aCol JOIN sh sb ON sb.doc_id = c.$bCol AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT $aCol, $bCol,
+      CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
+    FROM inter JOIN sizes za ON za.doc_id = $aCol JOIN sizes zb ON zb.doc_id = $bCol
+    WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold
+    ORDER BY $aCol, $bCol"""
+
+  /** [[minhashOracleSql]] for the INCREMENTAL pairing: same shingle/
+    * signature/band arithmetic (shared prefix), but candidates join the
+    * history side's buckets against the incoming side's (doc_id parity
+    * splits the documents table), never a self-join — mirroring
+    * `Dedup.incrementalNearDupPairs` definitionally.
+    */
+  def minhashIncrementalOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                                  threshold: Double): String =
+    s"""${minhashCtePrefix(shingleN, numHashes, rowsPerBand, "documents")},
+    cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+      FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+    ${minhashVerifyTail("doc_new", "doc_old", threshold)}"""
+
+  def minhashOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+                       from: String = "documents"): String =
+    s"""${minhashCtePrefix(shingleN, numHashes, rowsPerBand, from)},
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-      CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
-    FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold
-    ORDER BY doc_a, doc_b"""
-  }
+    ${minhashVerifyTail("doc_a", "doc_b", threshold)}"""
 
   def simhashOracleSql(maxHamming: Int): String = {
     // mirrors Dedup.simhash60 definitionally: same 15-hex-char (60-bit) md5

@@ -678,6 +678,8 @@ object Dedup {
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint: empty edge set — no nodes to rank " +
+      "(an upstream pair generator produced no pairs?)")
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val base = (scale - scale * dampNum / dampDen) / n
     var pr = nodes.select(col("v"), lit(scale / n).as("pr")).localCheckpoint()
@@ -882,7 +884,10 @@ object Dedup {
       .withColumn("contamination",
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
       .select(col(idCol), col("n_shingles"), col("n_contaminated"), col("contamination"))
-    benchSh.unpersist()
+    // benchSh stays persisted: the RETURNED plan's verify join reads it, so
+    // an eager unpersist here would recompute the benchmark shingle table
+    // on every downstream action. Freed when the session drops the
+    // reference (same lifetime note as the Bloom broadcast above).
     verified
   }
 

@@ -182,9 +182,11 @@ object Streaming {
     * SCANNED once for the bucket join (linear, shared with batch writers
     * via the snapshot) and only batch-sized rows are WRITTEN — state grows
     * by appends, never a table rewrite. `compactEvery = N` opts into
-    * periodic maintenance: every Nth committed version the state table
-    * compacts to balanced files and vacuums pre-compaction dirs, keeping
-    * the per-trigger history scan flat instead of one-dir-per-trigger. Documents shorter than `shingleN`
+    * maintenance: whenever the state table's live manifest references N or
+    * more dirs, it compacts to one and vacuums pre-compaction dirs past
+    * the grace window — bounding the per-trigger history scan's dir count
+    * at N. Each firing rewrites the whole state once, so N is the
+    * amortization knob (N=16 ≈ one rewrite per 15 appends). Documents shorter than `shingleN`
     * tokens sign their whole text as a single shingle (the batch operators
     * exclude them, but in a firehose short boilerplate is precisely the
     * highest-frequency duplicate class — it must not bypass the filter).
@@ -258,17 +260,22 @@ object Streaming {
         // transitively (union-find on the batch-bounded pair set, so A~B,
         // B~C never admits A and C together). Deterministic (min-id), so
         // a crash replay makes identical decisions.
-        val agreeSelf = (0 until numHashes).map(i =>
-            when(element_at(col("_as"), i + 1) === element_at(col("_bs"), i + 1), 1)
-              .otherwise(0))
-          .reduce(_ + _)
+        // the ONE signature-agreement criterion (estimated jaccard =
+        // matching-hash fraction) shared by the in-batch shield and the
+        // history probe — two hand-maintained copies could silently
+        // diverge on the threshold semantics
+        def sigAgreement(a: String, b: String) =
+          (0 until numHashes).map(i =>
+              when(element_at(col(a), i + 1) === element_at(col(b), i + 1), 1)
+                .otherwise(0))
+            .reduce(_ + _).cast("double") / numHashes
         val inPairs = state.alias("x").join(state.alias("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
               col(s"x.`$idCol`") < col(s"y.`$idCol`"))
           .select(col(s"x.`$idCol`").as("doc_a"), col("x.sig").as("_as"),
             col(s"y.`$idCol`").as("doc_b"), col("y.sig").as("_bs"))
           .distinct()
-          .where(agreeSelf.cast("double") / numHashes >= threshold)
+          .where(sigAgreement("_as", "_bs") >= threshold)
           .select("doc_a", "doc_b")
         val inBatchDrops = Dedup.dedupClusters(inPairs, "doc_a", "doc_b")
           .where(col("doc_id") =!= col("cluster_rep"))
@@ -282,10 +289,6 @@ object Streaming {
         val histDups = (histOpt match {
           case None => state.select(col(idCol)).where(lit(false))
           case Some(hist) =>
-            val agree = (0 until numHashes).map(i =>
-                when(element_at(col("_bs"), i + 1) === element_at(col("_hs"), i + 1), 1)
-                  .otherwise(0))
-              .reduce(_ + _)
             // exclude history rows of ANY id in this batch, not just the
             // probing doc's own: after a crash between the state commit
             // and the stream checkpoint, the replayed batch finds its
@@ -298,7 +301,7 @@ object Streaming {
               .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
                 col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
               .distinct()
-              .where(agree.cast("double") / numHashes >= threshold)
+              .where(sigAgreement("_bs", "_hs") >= threshold)
               .select(col("_bid").as(idCol)).distinct()
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dupIds = histDups.union(inBatchDrops)
@@ -317,12 +320,15 @@ object Streaming {
           graft.ops.Sinks.writeIfNonEmpty(newState,
             st => { sigTable.append(st); () })
           // append-per-trigger accumulates one dir per micro-batch — the
-          // small-file failure mode compact exists for. Opt-in periodic
-          // maintenance inside the trigger keeps the history probe's scan
-          // cost flat; vacuum reclaims the pre-compaction dirs past the
-          // grace window (never the in-flight ones)
-          if (compactEvery > 0 &&
-              sigTable.latestVersion().exists(v => (v + 1) % compactEvery == 0)) {
+          // small-file failure mode compact exists for. Opt-in maintenance
+          // keyed on the LIVE DIR COUNT (not version parity: compact's own
+          // committed version would re-align a modulo check and fire every
+          // trigger): when the manifest references >= compactEvery dirs,
+          // compact to one and vacuum past the grace window. Each firing
+          // is an O(state) rewrite, so the threshold is the amortization
+          // knob — ~16 means one rewrite per 15 appends.
+          if (compactEvery > 0 && sigTable.latestVersion().isDefined &&
+              sigTable.dirCount() >= compactEvery) {
             sigTable.compact()
             sigTable.vacuum()
           }
