@@ -2745,7 +2745,132 @@ object Queries {
           CAST(3 AS INTEGER) AS n_boxes, 'ftyp,moov,mdat' AS box_types,
           CAST(1000 AS BIGINT) AS timescale,
           CAST(doc_id * 37 % 86400000 AS BIGINT) AS duration
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("op_histogram",
+      // fixed-bound equi-width histogram: one map-side-combined agg, ≤24
+      // output rows at any SF; bucket index is exactly-rounded IEEE floor
+      // arithmetic (identical in both engines even on edge values)
+      (s, d) => Analytics.histogramFixed(
+          t(s, d, "lineitem"), col("l_extendedprice"), 0.0, 5000.0, 24)
+        .orderBySmall(col("bucket")),
+      Some("""WITH b AS (SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0.0), 23.0) AS INTEGER) AS bucket
+          FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice))
+        SELECT bucket, 0.0 + CAST(bucket AS DOUBLE) * 5000.0 AS lo_edge, count(*) AS n
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_group_sample",
+      // deterministic k-per-group inspection sample: the portable
+      // (md5(key), key) shuffle order k-means seeding already uses; output
+      // bounded by k·|groups| at any SF, stable across runs and engines
+      (s, d) => Sampling.groupSample(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), 5)
+        .orderBySmall(col("source"), col("doc_id")),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 5 ORDER BY source, doc_id""")),
+
+    QueryDef("op_expectations",
+      // Deequ-style data-quality report: ALL row-level checks in one
+      // aggregation pass (adding a rule adds zero scans), plus the two
+      // checks that need a shuffle by nature — key uniqueness and
+      // referential integrity (anti-join orphans) — unioned into the same
+      // long-format (check_name, n_violations, n_rows, passed) report
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val rowChecks = Analytics.expectations(o, Seq(
+          "custkey_not_null" -> col("o_custkey").isNull,
+          "orderdate_not_null" -> col("o_orderdate").isNull,
+          "priority_in_domain" -> !col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          "totalprice_positive" -> (col("o_totalprice").isNull || col("o_totalprice") <= 0.0)))
+        rowChecks
+          .unionByName(Analytics.uniquenessViolations(o, Seq(col("o_orderkey")), "orderkey_unique"))
+          .unionByName(Analytics.orphanCount(o, col("o_custkey"),
+            t(s, d, "customer"), col("c_custkey"), "custkey_references_customer"))
+          .orderBySmall(col("check_name"))
+      },
+      Some("""WITH rep AS (
+          SELECT 'custkey_not_null' AS check_name,
+            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+            count(*) AS n_rows FROM orders
+          UNION ALL SELECT 'orderdate_not_null',
+            CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders
+          UNION ALL SELECT 'priority_in_domain',
+            CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+              THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders
+          UNION ALL SELECT 'totalprice_positive',
+            CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+            count(*) FROM orders
+          UNION ALL SELECT 'orderkey_unique',
+            (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM (
+              SELECT count(*) AS k FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+            count(*) FROM orders
+          UNION ALL SELECT 'custkey_references_customer',
+            (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+            count(*) FROM orders)
+        SELECT check_name, n_violations, n_rows, n_violations = 0 AS passed
+        FROM rep ORDER BY check_name""")),
+
+    QueryDef("op_rolling",
+      // sliding-frame moving average per user: the rolling sum is a
+      // DECIMAL sum cast back to double because sliding engines add the
+      // frame in different orders (DuckDB segment tree vs Spark
+      // add/retract) — decimal is the only representation where that
+      // difference is invisible; (ts_us, event_id) totally orders the key
+      (s, d) => Analytics.rollingStats(
+          eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+          col("user_id"), Seq(col("ts_us"), col("event_id")), col("value"), 3)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("roll_sum"), col("roll_n"), col("roll_avg"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id")),
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS roll_sum,
+          count(value) OVER w AS roll_n,
+          CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE)
+            / CAST(count(value) OVER w AS DOUBLE) AS roll_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id""")),
+
+    QueryDef("op_mad_outliers",
+      // robust (median/MAD) outlier stats — the heavy-tail-safe cousin of
+      // op_zscore: exact rank-interpolation medians (winsorize's spillable
+      // shape, no unbounded percentile buffer); l_quantity is integral so
+      // every interp (halves/quarters) and the 3·MAD compare are exact in
+      // both engines
+      (s, d) => Analytics.madStats(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_quantity"), 3.0)
+        .orderBySmall(col("grp")),
+      Some("""WITH v AS (SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem WHERE l_quantity IS NOT NULL),
+        m AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM v GROUP BY 1),
+        d AS (SELECT v.grp AS grp, x, med, abs(x - med) AS ad FROM v JOIN m ON v.grp = m.grp),
+        md AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        SELECT d.grp AS grp, count(*) AS n_rows, max(med) AS median, max(md.mad) AS mad,
+          CAST(sum(CASE WHEN ad > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN md ON d.grp = md.grp GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_contingency",
+      // χ²/mutual-information feed: contingency cells with integer
+      // marginals (expected counts derivable downstream as exact
+      // rationals); one SF-scale shuffle (the cell groupBy) — the marginal
+      // windows run over the ≤|A|·|B| cell table, not the fact table
+      (s, d) => Analytics.contingency(
+          t(s, d, "orders"), col("o_orderpriority"), col("o_orderstatus"))
+        .orderBySmall(col("a"), col("b")),
+      Some("""WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+            count(*) AS n_obs FROM orders GROUP BY 1, 2)
+        SELECT a, b, n_obs,
+          CAST(sum(n_obs) OVER (PARTITION BY a) AS BIGINT) AS row_total,
+          CAST(sum(n_obs) OVER (PARTITION BY b) AS BIGINT) AS col_total,
+          CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
+        FROM cells ORDER BY a, b"""))
   )
 
   // ------------------------------------------------------------------

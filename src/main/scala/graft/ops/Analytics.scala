@@ -477,4 +477,178 @@ object Analytics {
         ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
         col("corr"))
   }
+
+  /** Equi-width histogram with FIXED bounds — the profiling primitive that
+    * stays one map-side-combined aggregation at any SF (unlike quantile
+    * binning, which needs a rank pass first). Bucket = ⌊(v − lo)/width⌋
+    * clamped into [0, nBuckets): every step ((−), (/), floor, clamp) is an
+    * exactly-rounded IEEE double op, so the bucket index is bit-identical
+    * in any engine — no tie ambiguity even for values exactly on an edge.
+    * NULL/NaN values are excluded (a NaN bucket would be engine-dependent).
+    * Output: (bucket, lo_edge, n) — empty buckets are absent (the caller
+    * left-joins a `sequence` grid if a dense axis is needed, as gapfill
+    * does). lo_edge = lo + bucket·width recomputed from the index: exact,
+    * and keeps the output independent of which rows landed in the bucket.
+    */
+  def histogramFixed(df: DataFrame, value: Column, lo: Double, width: Double,
+                     nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0)
+    val v = value.cast("double")
+    val bucket = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    df.where(v.isNotNull && !isnan(v))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast("double") * lit(width)).as("lo_edge"),
+        col("n"))
+  }
+
+  /** Data-quality expectation suite (Deequ-style) — ALL row-level checks in
+    * ONE aggregation pass over the table: each check is a violation
+    * predicate counted under the same `groupBy()`, so adding a check adds
+    * zero scans and zero shuffles (the failure mode of naive quality
+    * frameworks at 100 TB is one pass per rule). Returns the long-format
+    * report (check, n_violations, n_rows, passed): integer counts only, so
+    * the report is hash-stable, and `passed` is simply n_violations == 0.
+    * Compose with [[uniquenessViolations]] / [[orphanCount]] (which need a
+    * shuffle by nature) by unioning their report rows.
+    */
+  def expectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty)
+    val aggs = checks.map { case (nm, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"_c_$nm")
+    } :+ count(lit(1)).as("_n")
+    val wide = df.groupBy().agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (nm, _) =>
+      struct(lit(nm).as("check_name"), col(s"_c_$nm").as("n_violations"))
+    }
+    wide.select(explode(array(stacked: _*)).as("_e"), col("_n"))
+      .select(col("_e.check_name").as("check_name"), col("_e.n_violations").as("n_violations"),
+        col("_n").as("n_rows"), (col("_e.n_violations") === 0L).as("passed"))
+  }
+
+  /** Uniqueness expectation: rows whose `keys` tuple occurs more than once
+    * (counting ALL members of a duplicated tuple, i.e. n − distinct would
+    * under-report by one per clique). One hash aggregation on the key.
+    */
+  def uniquenessViolations(df: DataFrame, keys: Seq[Column], checkName: String): DataFrame =
+    df.groupBy(keys: _*).agg(count(lit(1)).as("_k"))
+      .groupBy()
+      .agg(coalesce(sum(when(col("_k") > 1L, col("_k"))), lit(0L)).as("n_violations"),
+        coalesce(sum(col("_k")), lit(0L)).as("n_rows"))
+      .select(lit(checkName).as("check_name"), col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0L).as("passed"))
+
+  /** Referential-integrity expectation: child rows whose `fk` has no match
+    * in the parent's `pk` (NULL fks are not orphans — they are a
+    * completeness check's business). Anti-join, broadcast-able when the
+    * parent is a dimension; counted, never materialized.
+    */
+  def orphanCount(child: DataFrame, fk: Column, parent: DataFrame, pk: Column,
+                  checkName: String): DataFrame = {
+    val orphans = child.where(fk.isNotNull)
+      .join(parent.select(pk.as("_pk")), fk === col("_pk"), "left_anti")
+    val n = child.groupBy().agg(count(lit(1)).as("n_rows"))
+    orphans.groupBy().agg(count(lit(1)).as("n_violations"))
+      .crossJoin(n)
+      .select(lit(checkName).as("check_name"), col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
+  /** Rolling (sliding-frame) stats over an ordered per-key series — the
+    * moving-average primitive. Frame = the current row and `nPreceding`
+    * rows before it in `order` within `key`. The rolling sum is a DECIMAL
+    * sum cast back to double: sliding-window engines are free to evaluate
+    * the frame via segment trees (DuckDB) or incremental add/retract
+    * (Spark), i.e. in DIFFERENT addition orders — decimal is the only
+    * representation where that difference is invisible. One shuffle (the
+    * window partition); `order` must be a total order within the key for
+    * the result to be well-defined. Adds `roll_sum`, `roll_n`, `roll_avg`
+    * (= exact sum / exact count, one correctly-rounded division).
+    */
+  def rollingStats(df: DataFrame, key: Column, order: Seq[Column], value: Column,
+                   nPreceding: Int, scale: Int = 6): DataFrame = {
+    require(nPreceding >= 0)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(-nPreceding.toLong, Window.currentRow)
+    val d = value.cast(s"decimal(24,$scale)")
+    df.withColumn("roll_sum", sum(d).over(w).cast("double"))
+      .withColumn("roll_n", count(d).over(w))
+      .withColumn("roll_avg", col("roll_sum") / col("roll_n").cast("double"))
+  }
+
+  /** Robust per-group outlier stats: median, MAD (median absolute
+    * deviation), and the count of |x − median| > zCut·MAD — the
+    * heavy-tail-safe alternative to [[standardizeStats]]'s mean/std (one
+    * corrupt value moves a mean arbitrarily; it moves a median not at
+    * all). Both medians are EXACT rank-interpolation quantiles computed by
+    * window row_number + one hash aggregation per pass — the same
+    * spillable-sort shape as [[winsorize]], never the built-in
+    * `percentile`'s unbounded per-group buffer. Two rank passes are
+    * semantically unavoidable (the deviation needs the group's median);
+    * the tiny per-group median tables are broadcast back. Output:
+    * (grp, n_rows, median, mad, n_outliers). NULL measures are excluded;
+    * exactness of the outlier comparison is the CALLER's contract (integer
+    * or low-scale-decimal measures make every interp/compare exact).
+    */
+  def madStats(df: DataFrame, group: Column, value: Column,
+               zCut: Double = 3.0): DataFrame = {
+    val meds = rankMedian(
+      df.where(value.isNotNull).select(group.as("_g"), value.cast("double").as("_v")))
+    val dev = df.where(value.isNotNull)
+      .select(group.as("_g"), value.cast("double").as("_v"))
+      .join(broadcast(meds.select(col("_g").as("_gm"), col("_q").as("_med"))),
+        col("_g") <=> col("_gm"))
+      .select(col("_g"), col("_v"), col("_med"), abs(col("_v") - col("_med")).as("_ad"))
+    val mads = rankMedian(dev.select(col("_g"), col("_ad").as("_v")))
+      .select(col("_g").as("_gd"), col("_q").as("_mad"))
+    dev.join(broadcast(mads), col("_g") <=> col("_gd"))
+      .groupBy(col("_g").as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("_med")).as("median"),
+        max(col("_mad")).as("mad"),
+        sum(when(col("_ad") > lit(zCut) * col("_mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Exact interpolated median per `_g` of `_v` via rank — (1−f)·v_lo +
+    * f·v_hi with the straddling rows found by row_number, [[winsorize]]'s
+    * expression shape at p = 0.5 (so f is 0.0 or 0.5 exactly).
+    */
+  private def rankMedian(pairs: DataFrame): DataFrame = {
+    val byG = Window.partitionBy(col("_g"))
+    val ranked = pairs
+      .withColumn("_rn", row_number().over(byG.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(byG))
+    val pos = lit(0.5) * (col("_n") - 1).cast("double")
+    val k1 = floor(pos).cast("long") + 1
+    val frac = pos - floor(pos)
+    ranked
+      .withColumn("_k1", k1).withColumn("_f", frac)
+      .groupBy(col("_g"))
+      .agg(max(when(col("_rn") === col("_k1"), col("_v"))).as("_q0"),
+        max(when(col("_rn") === col("_k1") + 1, col("_v"))).as("_q1"),
+        max(col("_f")).as("_fc"))
+      .select(col("_g"),
+        ((lit(1.0) - col("_fc")) * col("_q0") +
+          col("_fc") * coalesce(col("_q1"), col("_q0"))).as("_q"))
+  }
+
+  /** Contingency table with marginals — the χ²/mutual-information feed for
+    * categorical feature association, kept ENTIRELY in integers so the
+    * output is hash-stable and any statistic can be derived downstream
+    * with controlled rounding (expected count = row_total·col_total /
+    * n_total is exact rational arithmetic over these columns). One shuffle
+    * (the cell groupBy); the marginal window sums run over the already-
+    * aggregated cell table, which is bounded by |A|·|B|, not by SF.
+    * Output: (a, b, n_obs, row_total, col_total, n_total).
+    */
+  def contingency(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.as("a"), b.as("b")).agg(count(lit(1)).as("n_obs"))
+    cells
+      .withColumn("row_total", sum(col("n_obs")).over(Window.partitionBy(col("a"))))
+      .withColumn("col_total", sum(col("n_obs")).over(Window.partitionBy(col("b"))))
+      .withColumn("n_total", sum(col("n_obs")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+  }
 }

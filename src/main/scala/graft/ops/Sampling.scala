@@ -48,6 +48,25 @@ object Sampling {
     df.where(hashBucket(key) < pct)
   }
 
+  /** Deterministic k-per-group sample — "show me k examples from every
+    * source", the inspection/debugging primitive that replaces
+    * `ORDER BY rand() LIMIT k` loops at corpus scale. Rows are ranked
+    * inside each group by `(md5(key), key)` — a uniform, engine-portable
+    * shuffle of the group (the same portable seed draw k-means uses for
+    * its centroid seeds) — and the first k survive. One shuffle (the
+    * window partition); output is bounded by k·|groups| regardless of SF,
+    * and the choice is stable across runs, partitionings, and engines
+    * (no `rand()`, no `TABLESAMPLE`). NULL keys sort after all md5 hex
+    * strings (nulls last) so they are only drawn from groups with fewer
+    * than k non-null keys.
+    */
+  def groupSample(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(key.cast("string")).asc_nulls_last, key.asc_nulls_last)
+    df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
+  }
+
   /** Deterministic train/val/test assignment: named splits with integer
     * percent weights summing to 100, assigned from the row key's
     * [[hashBucket]] — a pure projection (no shuffle, no rand()), so the

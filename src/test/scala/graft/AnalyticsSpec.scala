@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Sampling}
+
+/** Semantics of the round-9 profiling/quality additions: fixed-bound
+  * histogram, Deequ-style expectations, rolling-frame stats, MAD outlier
+  * stats, contingency marginals, deterministic k-per-group sampling.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogramFixed: clamps under/overflow into end buckets, excludes null/NaN, exact edges") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0), Some(99.0),
+      Some(1e9), None, Some(Double.NaN)).toDF("v")
+    val got = Analytics.histogramFixed(df, col("v"), 0.0, 10.0, 5)
+      .orderBy("bucket").as[(Int, Double, Long)].collect().toList
+    // -5 clamps to bucket 0; 1e9 clamps to bucket 4; null/NaN dropped
+    assert(got == List((0, 0.0, 3L), (1, 10.0, 1L), (2, 20.0, 1L), (4, 40.0, 2L)))
+  }
+
+  test("expectations: one pass, per-check violation counts and passed flags") {
+    val df = Seq((1, Some(10.0)), (2, None), (3, Some(-1.0)), (4, Some(2.0)))
+      .toDF("id", "price")
+    val got = Analytics.expectations(df, Seq(
+        "price_not_null" -> col("price").isNull,
+        "price_positive" -> (col("price").isNull || col("price") <= 0.0),
+        "id_positive" -> (col("id") <= 0)))
+      .as[(String, Long, Long, Boolean)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      ("id_positive", 0L, 4L, true),
+      ("price_not_null", 1L, 4L, false),
+      ("price_positive", 2L, 4L, false)))
+  }
+
+  test("uniquenessViolations counts ALL members of duplicated cliques; orphanCount skips null fks") {
+    val child = Seq((Some(1), "a"), (Some(1), "b"), (Some(1), "c"), (Some(2), "d"),
+      (None, "e"), (Some(9), "f")).toDF("fk", "payload")
+    val uniq = Analytics.uniquenessViolations(child, Seq(col("fk")), "fk_unique")
+      .as[(String, Long, Long, Boolean)].head()
+    // the fk=1 clique has 3 members — all 3 are violations, not 3−1
+    assert(uniq == (("fk_unique", 3L, 6L, false)))
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val orph = Analytics.orphanCount(child, col("fk"), parent, col("pk"), "fk_refs")
+      .as[(String, Long, Long, Boolean)].head()
+    // fk=9 is the only orphan; the NULL fk is completeness's business
+    assert(orph == (("fk_refs", 1L, 6L, false)))
+  }
+
+  test("rollingStats: frame is (nPreceding, current], sums exact, repartition-invariant") {
+    val df = Seq((1L, 1L, 1.5), (1L, 2L, 2.5), (1L, 3L, 4.0), (1L, 4L, 8.0), (2L, 1L, 100.0))
+      .toDF("k", "seq", "v")
+    def run(parts: Int) = Analytics.rollingStats(
+        df.repartition(parts), col("k"), Seq(col("seq")), col("v"), 2)
+      .orderBy("k", "seq")
+      .select("k", "seq", "roll_sum", "roll_n", "roll_avg")
+      .as[(Long, Long, Double, Long, Double)].collect().toList
+    val got = run(1)
+    assert(got == List(
+      (1L, 1L, 1.5, 1L, 1.5), (1L, 2L, 4.0, 2L, 2.0), (1L, 3L, 8.0, 3L, 8.0 / 3.0),
+      (1L, 4L, 14.5, 3L, 14.5 / 3.0), (2L, 1L, 100.0, 1L, 100.0)))
+    assert(run(7) == got)
+  }
+
+  test("madStats: exact median/MAD, and a wild outlier moves them not at all (vs mean/std)") {
+    // group g: symmetric 1..5 plus a 1e6 corruption — median stays 3-ish,
+    // MAD stays small, and exactly the corrupt row is flagged
+    val df = (Seq.tabulate(5)(i => ("g", (i + 1).toDouble)) :+ (("g", 1e6)))
+      .toDF("grp", "v")
+    val (g, n, med, mad, out) = Analytics.madStats(df, col("grp"), col("v"), 3.0)
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(g == "g" && n == 6L)
+    assert(med == 3.5 && mad == 1.5) // interp at p=.5 over 6 and the deviations
+    assert(out == 1L)                // only the 1e6 row exceeds 3·MAD
+  }
+
+  test("contingency: marginals are exact row/col/total sums over the cells") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "y"))
+      .toDF("p", "q")
+    val got = Analytics.contingency(df, col("p"), col("q"))
+      .orderBy("a", "b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("a", "x", 2L, 3L, 3L, 6L), ("a", "y", 1L, 3L, 3L, 6L),
+      ("b", "x", 1L, 3L, 3L, 6L), ("b", "y", 2L, 3L, 3L, 6L)))
+  }
+
+  test("groupSample: exactly min(k, |group|) rows per group, a subset of the input, stable under repartition") {
+    val df = (1 to 50).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    def run(parts: Int) = Sampling.groupSample(df.repartition(parts), col("src"), col("id"), 4)
+      .as[(Long, String)].collect().toSet
+    val got = run(1)
+    assert(got.groupBy(_._2).values.forall(_.size == 4))
+    assert(got.subsetOf((1 to 50).map(i => (i.toLong, s"s${i % 3}")).toSet))
+    assert(run(9) == got)
+    // a group smaller than k returns the whole group
+    val tiny = Seq((1L, "only"), (2L, "only")).toDF("id", "src")
+    assert(Sampling.groupSample(tiny, col("src"), col("id"), 4).count() == 2)
+  }
+}
