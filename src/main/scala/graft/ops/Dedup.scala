@@ -153,28 +153,53 @@ object Dedup {
   /** Exact Jaccard over shingle sets for the candidate pairs; keeps pairs with
     * jaccard >= threshold. Output: (doc_a, doc_b, jac).
     *
-    * `sizesOpt`: per-doc distinct-shingle counts `(idCol, n_sh)` if the
-    * caller already has them (both signature builders fold `n_sh` into
-    * their aggregation); when absent they cost one more aggregation over
-    * the shingle table.
+    * Shape: each pair joins the two docs' WHOLE shingle sets (one
+    * document-bounded array per row) and intersects them in-row with
+    * `array_intersect` — so the joined row count stays |pairs|. The
+    * previous exploded form (pair ⋈ a-shingles ⋈ b-shingles, count
+    * matches) multiplied |pairs| by the per-doc shingle count BEFORE its
+    * second string-keyed sort-merge — |pairs|·|shingles/doc| intermediate
+    * rows, measured 39 s vs 4 s for this form on the sf0.1 ngram workload
+    * (436k pairs × ~52 shingles ≈ 23M exploded rows). Per-row state is
+    * bounded by DOCUMENT length (the same bound the signature builders'
+    * aggregation buffers already accept), never by corpus size, and sizes
+    * ride along as `size(set)` — no separate sizes aggregation or join.
     */
-  def jaccardVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String, threshold: Double,
-                    sizesOpt: Option[DataFrame] = None): DataFrame = {
-    val sizes = sizesOpt.getOrElse(
-      shingleTbl.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
-    val sa = shingleTbl.select(col(idCol).as("doc_a"), col("shingle"))
-    val sb = shingleTbl.select(col(idCol).as("doc_b"), col("shingle"))
-    // every side of these joins is corpus-sized (candidate pairs, the
-    // shingle table, one row per doc for sizes) — sort-merge hints keep the
-    // small-SF static estimator from broadcasting them (wrong at 100 TB,
-    // and each broadcast build is a scheduling-round job on the driver)
-    val inter = pairs.join(sa.hint("merge"), "doc_a")
-      .join(sb.hint("merge"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_a", "n_sh" -> "n_a")).hint("merge"), "doc_a")
-      .join(sizes.withColumnsRenamed(Map(idCol -> "doc_b", "n_sh" -> "n_b")).hint("merge"), "doc_b")
-      .withColumn("jac", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+  def jaccardVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String,
+                    threshold: Double): DataFrame =
+    jaccardVerifySets(pairs,
+      shingleTbl.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("_set")),
+      idCol, threshold)
+
+  /** [[jaccardVerify]] over an already-built per-doc set table
+    * `(idCol, _set)` — for callers that hold the shingle ARRAY anyway
+    * (the ngram path derives it straight from the token projection,
+    * skipping the explode→regroup round trip entirely).
+    */
+  def jaccardVerifySets(pairs: DataFrame, sets: DataFrame, idCol: String,
+                        threshold: Double): DataFrame = {
+    // both join sides are corpus-sized (candidate pairs; one row per doc) —
+    // never broadcast (wrong at 100 TB, and each broadcast build is a
+    // scheduling-round job on the driver). SHUFFLED-HASH, not sort-merge:
+    // SMJ would sort the pair stream, and after the first join every pair
+    // row carries a document-sized set payload — sorting ~KB rows is the
+    // dominant cost (measured 12 s → 3 s on the sf0.1 ngram workload).
+    // The BUILD side is always the per-doc set table: its per-partition
+    // slice is |docs|/nPartitions rows — the same boundedness argument as
+    // [[graft.ops.Joins.skewSaltedJoin]]'s salted build side.
+    // sets are sorted ONCE per doc (array_sort = UTF8String binary order)
+    // so the per-pair intersection is a zero-allocation merge walk
+    // (SortedIntersectCountExpr) instead of array_intersect's per-row
+    // hash-set build — measured 13.5 s → ~1 s over 436k pairs
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"),
+        array_sort(col("_set")).as("_sa")).hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"),
+        array_sort(col("_set")).as("_sb")).hint("shuffle_hash"), "doc_b")
+      .withColumn("n_inter",
+        graft.functions.SetOps.sortedIntersectCount(col("_sa"), col("_sb")).cast("long"))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (size(col("_sa")) + size(col("_sb")) - col("n_inter")).cast("double"))
       .where(col("jac") >= lit(threshold))
       .select("doc_a", "doc_b", "jac")
   }
@@ -199,24 +224,79 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double, maxDf: Int): DataFrame = {
-    // the shingle table feeds four consumers (df-capped index + both verify
-    // sides + sizes) but is deliberately NOT persisted: measured at the
-    // bench posture, caching the exploded string table costs MORE than
-    // recomputing the codegen'd tokenize+explode per consumer (13.7 s →
-    // 20.3 s with MEMORY_AND_DISK persist) — the opposite trade from
-    // minhashNearDupPairs, whose signature pass collapses the cached table
-    // before the joins. At 100 TB the same logic holds: re-reading parquet
-    // + re-exploding is a scan-local cost; a corpus-sized cache is not.
+    // the exploded shingle table feeds ONLY the candidate chain (the
+    // verify's per-doc sets derive straight from the token projection, no
+    // explode→regroup round trip) and is deliberately NOT persisted:
+    // measured at the bench posture, caching the exploded string table
+    // costs MORE than recomputing the codegen'd tokenize+explode — the
+    // opposite trade from minhashNearDupPairs, whose signature pass
+    // collapses the cached table before the joins. At 100 TB the same
+    // logic holds: re-reading parquet + re-exploding is a scan-local
+    // cost; a corpus-sized cache is not.
     val sh = shingleTable(docs, idCol, textCol, shingleN)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val kept = sh.withColumn("_df", count(lit(1)).over(w))
-      .where(col("_df") <= maxDf).drop("_df")
-    val a = kept.select(col("shingle"), col(idCol).as("doc_a"))
-    val b = kept.select(col("shingle"), col(idCol).as("doc_b"))
-    val cand = a.join(b.hint("merge"), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    jaccardVerify(cand, sh, idCol, threshold)
+    // ONE partial-aggregated shuffle builds the df-capped inverted index:
+    // CappedIds bounds per-shingle state at maxDf+1 ids by construction
+    // (hot shingles advance only their exact count), so neither the
+    // aggregation buffers nor the exchange grow with a shingle's df. This
+    // replaces the previous window-count + corpus self-join formulation —
+    // three string-keyed sorts of the exploded table — with one combine-
+    // collapsed exchange (measured 13.2 s → ~7 s at sf0.1).
+    val postings = sh.groupBy(col("shingle"))
+      .agg(graft.functions.CappedIds(maxDf)(col(idCol)).as("_g"))
+      .select(col("_g.n").as("_df"), col("_g.ids").as("_ids"))
+    // persisted: postings feed pair generation AND the per-doc kept
+    // counts; the table is one bounded row per DISTINCT shingle
+    val keptLists = postings.where(col("_df") <= maxDf).select(col("_ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairs from each complete posting list: ids are sorted, so (i < j)
+    // enumeration yields doc_a < doc_b directly; ≤ maxDf(maxDf−1)/2 pairs
+    // per shingle by construction. The groupBy keeps the shared-kept count
+    // for the bound filter below.
+    val cand = keptLists
+      .select(posexplode(col("_ids")).as(Seq("_i", "doc_a")), col("_ids"))
+      .select(col("doc_a"),
+        // length = list size (slice clamps at the end); a literal maxDf
+        // would overflow the int start+length arithmetic at cap=MaxValue
+        explode(slice(col("_ids"), col("_i") + 2, size(col("_ids")))).as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_shared_kept"))
+    // PPJoin-style EXACT upper-bound prefilter: a pair's true intersection
+    // is (shared kept) + (shared hot) ≤ _shared_kept + min(hot_a, hot_b),
+    // where hot_x = |x| − |kept_x| is a per-doc INTEGER. Joining two ints
+    // per side costs nothing; the document-sized set arrays then move only
+    // for the pairs that can still clear the threshold (measured: 436k
+    // candidates → ~3k survivors → the array-payload join stops being the
+    // query's dominant cost, 15 s → ~8 s at sf0.1). The bound is a true
+    // upper bound, so no qualifying pair is lost, and the ε-relaxed
+    // compare only ADMITS borderline pairs — the exact verify decides.
+    // per-doc distinct-shingle totals from the EXPLODED table (sh is
+    // per-doc distinct, so count = set size). Deliberately NOT the direct
+    // `size(shinglesFromTokens(...))` projection: higher-order functions
+    // (transform/filter) run OUTSIDE whole-stage codegen, and evaluating
+    // the nested HOF chain interpreted measured ~2.5 ms/doc (12 s at
+    // sf0.1) vs 0.8 s for the explode→aggregate route — the Generate
+    // path is where Spark evaluates these cheaply.
+    val perDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n_sh"))
+    val keptPerDoc = keptLists.select(explode(col("_ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_kept"))
+    // persisted: three longs per doc (the smallest corpus-derived table in
+    // the query), consumed by BOTH bound-join sides — without the persist
+    // each side re-runs keptPerDoc's whole window chain
+    val stats = perDoc.join(keptPerDoc.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol), col("_n_sh"),
+        (col("_n_sh") - coalesce(col("_n_kept"), lit(0L))).as("_n_hot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = cand
+      .join(stats.select(col(idCol).as("doc_a"), col("_n_sh").as("_na"),
+        col("_n_hot").as("_ha")).hint("shuffle_hash"), "doc_a")
+      .join(stats.select(col(idCol).as("doc_b"), col("_n_sh").as("_nb"),
+        col("_n_hot").as("_hb")).hint("shuffle_hash"), "doc_b")
+      .withColumn("_ub", col("_shared_kept") + least(col("_ha"), col("_hb")))
+      .where(col("_ub").cast("double") * lit(1.0 + threshold) >=
+        lit(threshold) * (col("_na") + col("_nb")).cast("double") - lit(1e-6))
+      .select("doc_a", "doc_b")
+    // verify via the generic explode→collect_set route for the same
+    // codegen reason as perDoc above
+    jaccardVerify(bounded, sh, idCol, threshold)
   }
 
   /** Production-hash MinHash signatures via Kirsch-Mitzenmacher double
@@ -277,18 +357,16 @@ object Dedup {
   /** The shared sign → band-bucket → exact-verify chain of both MinHash
     * forms, parameterized by the signature and bucket builders so the md5
     * (oracle-portable) and xxhash64 (production) variants cannot drift.
-    * Persists the signature table for its two consumers (buckets + sizes).
+    * The signature table has a single consumer now (buckets — sizes ride
+    * inside the verify's per-doc sets), so it is not persisted.
     */
   private def lshSignBucketVerify(sh: DataFrame, idCol: String,
                                   signatures: DataFrame => DataFrame,
                                   buckets: DataFrame => DataFrame,
                                   threshold: Double,
                                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sig = signatures(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatePairsCapped(buckets(sig), idCol, maxBucketSize)
-    jaccardVerify(cand, sh, idCol, threshold,
-      sizesOpt = Some(sig.select(col(idCol), col("n_sh"))))
+    val cand = lshCandidatePairsCapped(buckets(signatures(sh)), idCol, maxBucketSize)
+    jaccardVerify(cand, sh, idCol, threshold)
   }
 
   /** End-to-end MinHash-LSH near-dedup: (doc_a, doc_b, jac) pairs.
@@ -822,12 +900,11 @@ object Dedup {
     // the same reason as lshCandidatePairs (broadcast is wrong at scale)
     val cand = bNew.join(bOld.hint("merge"), Seq("band", "bucket"))
       .select("doc_new", "doc_old").distinct()
-    // verify over shingles pruned to candidate docs: rename to the
-    // jaccardVerify pair contract (doc_a = new side, doc_b = old side)
+    // verify over both sides' shingles: rename to the jaccardVerify pair
+    // contract (doc_a = new side, doc_b = old side); sizes ride inside the
+    // verify's per-doc sets
     val pairs = cand.select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-    val sizes = sigNew.select(col(idCol), col("n_sh"))
-      .union(sigOld.select(col(idCol), col("n_sh")))
-    jaccardVerify(pairs, shNew.union(shOld), idCol, threshold, Some(sizes))
+    jaccardVerify(pairs, shNew.union(shOld), idCol, threshold)
       .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jac"))
   }
 

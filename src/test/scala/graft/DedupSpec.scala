@@ -59,12 +59,17 @@ class DedupSpec extends SparkSpec {
     assert(jacCapped == jacFull)
   }
 
-  test("ngramJaccardPairs plans sort-merge self-join, never a cartesian/broadcast") {
+  test("ngramJaccardPairs plans capped-postings + hash joins, never a cartesian/broadcast/corpus self-join") {
     val d = Tables.load(spark, sf0001, "documents").limit(100)
     val plan = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
-    assert(plan.contains("SortMergeJoin"))
+    // candidates come from ONE bounded-state aggregation over the exploded
+    // table (CappedIds postings), not a corpus self-join on the shingle
+    // string; the bound/verify joins are shuffled-hash (the pair stream is
+    // never sorted, and no side is ever broadcast)
+    assert(plan.contains("cappedids"))
+    assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"))
   }
 
   test("jaccard of the exact-dup pair is 1.0") {
@@ -335,5 +340,30 @@ class DedupSpec extends SparkSpec {
     assert(starL.length == 50001 && starL.forall(_._2 == 0L), "star labels to hub-min 0")
     assert(farL.length == 32 && farL.forall(_._2 == 1000000L), "path labels to its own min")
     assert(mixRounds <= 8, s"star+path took $mixRounds rounds (bound 8)")
+  }
+
+  test("CappedIds: complete sorted postings at df <= cap, empty + exact count for hot, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // shingle "cold" in 3 docs, "warm" in exactly cap docs, "hot" in cap+5
+    val cap = 4
+    val rows = Seq.tabulate(3)(i => ("cold", (10 - i).toLong)) ++
+      Seq.tabulate(cap)(i => ("warm", i.toLong)) ++
+      Seq.tabulate(cap + 5)(i => ("hot", i.toLong))
+    def run(parts: Int) = rows.toDF("shingle", "doc_id").repartition(parts)
+      .groupBy($"shingle").agg(graft.functions.CappedIds(cap)($"doc_id").as("g"))
+      .select($"shingle", $"g.n", $"g.ids")
+      .as[(String, Long, Seq[Long])].collect()
+      .map { case (s, n, ids) => s -> ((n, ids)) }.toMap
+    val got = run(1)
+    assert(got("cold") == ((3L, Seq(8L, 9L, 10L))))   // complete AND sorted
+    assert(got("warm") == ((cap.toLong, (0 until cap).map(_.toLong))))
+    assert(got("hot") == (((cap + 5).toLong, Seq.empty[Long]))) // exact df, no list
+    assert(run(7) == got, "result must not depend on partitioning")
+    // cap = Int.MaxValue degenerate: plain complete postings (the two
+    // take/slice int-overflow regressions both produced EMPTY lists here)
+    val unc = rows.toDF("shingle", "doc_id")
+      .groupBy($"shingle").agg(graft.functions.CappedIds(Int.MaxValue)($"doc_id").as("g"))
+      .select($"g.ids").as[Seq[Long]].collect()
+    assert(unc.forall(_.nonEmpty))
   }
 }

@@ -133,15 +133,19 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_minhash_jaccard: every LSH join sort-merges — no corpus-sized broadcast") {
     // the r5 driver regression was FIVE broadcast-build jobs from the
-    // small-SF static estimator broadcasting corpus-sized join sides
-    // (candidate self-join, both intersection joins, both size joins);
-    // the merge hints must keep every one of them a SortMergeJoin at any
-    // estimate, because a broadcast there dies at 100 TB
+    // small-SF static estimator broadcasting corpus-sized join sides;
+    // no LSH join side may EVER broadcast at any estimate, because a
+    // broadcast there dies at 100 TB. The candidate self-join stays
+    // sort-merge (hinted); the verify's two set joins are shuffled-hash
+    // by design (the pair stream never sorts — the build side is the
+    // per-doc set table, bounded per partition).
     val p = plan("dedup_minhash_jaccard")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
       s"corpus-sized LSH join side must never broadcast:\n$p")
     val smj = p.split("\n").count(_.contains("SortMergeJoin"))
-    assert(smj >= 5, s"expected >= 5 sort-merge joins in the LSH chain, got $smj:\n$p")
+    val shj = p.split("\n").count(_.contains("ShuffledHashJoin"))
+    assert(smj >= 1 && shj >= 2,
+      s"expected the hinted SMJ candidate join + 2 SHJ verify joins, got smj=$smj shj=$shj:\n$p")
   }
 
   test("op_winsorize: rank-based percentiles — no unbounded percentile buffer, bounds broadcast back") {
@@ -228,7 +232,16 @@ class PlanSpec extends SparkSpec {
           "op_approx_quantile" -> 2, "op_pagerank" -> 20,
           "dedup_incremental" -> 3, "op_train_split" -> 2,
           "pipeline_daily_batch" -> 3, "txt_heavy_hitters" -> 4,
-          "op_corr_matrix" -> 2)) {
+          "op_corr_matrix" -> 2,
+          // profiling/quality wave (measured floors: histogram 1 — one
+          // map-side-combined agg; group_sample 1 — one window shuffle;
+          // expectations 3 — row-checks agg + uniqueness agg + orphan
+          // anti-join broadcast build; rolling 2 — window + range-sort
+          // sampling; mad_outliers 3 — two rank passes + final agg;
+          // contingency 1 — cell agg, marginal windows stay in-job)
+          "op_histogram" -> 2, "op_group_sample" -> 2,
+          "op_expectations" -> 4, "op_rolling" -> 3,
+          "op_mad_outliers" -> 4, "op_contingency" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
