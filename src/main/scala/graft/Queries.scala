@@ -135,6 +135,14 @@ object Queries {
       LatMults.map(m => s"CAST((vec_id * $m) % 11 - 5 AS DOUBLE)")).mkString("[", ",\n       ", "]")
   private val latticeBaseCte: String =
     s"base AS (SELECT vec_id, label, $latticeSqlList AS v FROM embeddings)"
+  // product-grid PQ codebooks for ann_pq_topk: 4 × 2-dim subspaces, codes =
+  // the even lattice {-4,-2,0,2,4,6}² in lexicographic (a-major) order so
+  // "lowest code index" == "lexicographically smallest entry" — see the
+  // query's comment for why that makes the real argmin SQL-analytic
+  private val pqGrid = Seq(-4.0, -2.0, 0.0, 2.0, 4.0, 6.0)
+  private val pqGridBook: Array[Array[Double]] =
+    (for (a <- pqGrid; b <- pqGrid) yield Array(a, b)).toArray
+  private val pqGridBooks: Array[Array[Array[Double]]] = Array.fill(4)(pqGridBook)
   /** The DuckDB spelling of [[Similarity.cosine]]'s exact arithmetic. */
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $LatDims), i -> $a[i] * $b[i])) / " +
@@ -1368,6 +1376,35 @@ object Queries {
         SELECT c_custkey, gx, gy, ${Layout.zValueSql("gx", "gy", bits = 8)} AS zval
         FROM g ORDER BY c_custkey""")),
 
+    QueryDef("op_bucketed_join",
+      // bucketed co-located join: BOTH sides land bucketed+sorted on the
+      // join key (Layout.writeBucketed), so the join itself plans NO
+      // shuffle exchange — the write-once / join-many amortization that is
+      // the top lever for repeated 100-TB fact⋈fact joins. The oracle
+      // checks the JOIN RESULT against the original parquet; the
+      // exchange-free plan shape is pinned in PlanSpec (a result check
+      // can't see the shuffle). Bucket files live under the JVM tmpdir,
+      // keyed by SF dir so sf0.001 entry and sf0.01 verify never collide.
+      (s, d) => {
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_bucketed", new java.io.File(d).getName).toString
+        Layout.writeBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "graft_b_orders", s"$root/orders", numBuckets = 8, keys = Seq("o_custkey"))
+        Layout.writeBucketed(
+          t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+          "graft_b_customer", s"$root/customer", numBuckets = 8, keys = Seq("c_custkey"))
+        s.table("graft_b_orders")
+          .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+          .orderBySmall(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+          ${dsumSql("o_totalprice", 20, 2)} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_regression",
       // distributed OLS + correlation from EXACT moments: every sum is a
       // decimal (order-independent partial aggregation), and the slope/
@@ -2085,6 +2122,55 @@ object Queries {
         FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
         WHERE hit.doc_id IS NULL GROUP BY d.source ORDER BY d.source""")),
 
+    QueryDef("web_url_dedup",
+      // canonical-URL dedup (the crawl-frontier key): four planted
+      // spellings per doc — mixed-case host + default port + utm params +
+      // trailing slash + fragment vs the clean form, and a root URL whose
+      // `:80` / all-utm-query variants must also collapse — exercise every
+      // canonicalization rule; the oracle replays the identical regexp
+      // chain (see Web.canonicalizeUrl for the mirroring constraints)
+      (s, d) => {
+        val sevens = pmod(col("doc_id"), lit(7L)).cast("string")
+        val threes = pmod(col("doc_id"), lit(3L)).cast("string")
+        val urls = t(s, d, "documents").select(col("doc_id"), explode(array(
+          concat(lit("https://Sub"), sevens, lit("."), col("source"),
+            lit(".ORG:443/Path/"), col("doc_id").cast("string"),
+            lit("/?utm_source=feed&ref="), threes, lit("#frag")),
+          concat(lit("https://sub"), sevens, lit("."), col("source"),
+            lit(".org/Path/"), col("doc_id").cast("string"), lit("?ref="), threes),
+          concat(lit("http://"), col("source"), lit(".net:80/")),
+          concat(lit("HTTP://"), col("source"), lit(".NET/?utm_campaign=x")))).as("url"))
+        Web.urlDedup(urls, "doc_id", "url").orderBy(col("canonical_url"))
+      },
+      Some("""WITH u AS (SELECT doc_id, unnest([
+          'https://Sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.ORG:443/Path/' ||
+            CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR) || '#frag',
+          'https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/Path/' ||
+            CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 3 AS VARCHAR),
+          'http://' || source || '.net:80/',
+          'HTTP://' || source || '.NET/?utm_campaign=x']) AS url
+        FROM documents),
+        p AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+          FROM u),
+        q AS (SELECT doc_id, scheme,
+            CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END AS host,
+            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS p1,
+            regexp_replace(regexp_replace('&' || regexp_extract(rest, '\?(.*)$', 1),
+              '&utm_[A-Za-z_]*=[^&]*', '', 'g'), '^&+', '') AS qs
+          FROM p),
+        c AS (SELECT doc_id, scheme || '://' || host ||
+            CASE WHEN p1 = '' THEN '/' ELSE p1 END ||
+            CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+          FROM q)
+        SELECT canonical_url, count(*) AS n_mentions,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("txt_vocab_coverage",
       // tokenizer-vocab head curve: top-100 tokens with the cumulative
       // share of all token occurrences they cover; integer counts, one
@@ -2116,6 +2202,67 @@ object Queries {
           CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
         FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    QueryDef("txt_bigram_lm",
+      // bigram language-model corpus stats: how common are each doc's token
+      // TRANSITIONS corpus-wide (boilerplate detector), plus novel-bigram
+      // counts (memorization/uniqueness signal). Exact integer sums + one
+      // final double division — the unigramFreqScore discipline one n up
+      (s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t FROM documents),
+        bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+          FROM tok WHERE len(t) >= 2),
+        c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cnt) AS BIGINT) AS sum_bigram_cnt,
+          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_bigrams,
+          CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bigram_freq
+        FROM bg JOIN c USING (bigram) GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("txt_c4_filters",
+      // C4/Gopher rule battery over a constructed multi-line corpus (the
+      // testdata is single-line, so line structure is planted: a 2-word
+      // line always, a bullet line on doc_id%4, an ellipsis line on
+      // doc_id%7, a closing line whose terminal '.' lands on doc_id%3 —
+      // every branch of every rule fires at any SF). All counts integer,
+      // flags integer-compared; one exact double division for the mean
+      (s, d) => {
+        val d2 = t(s, d, "documents").select(col("doc_id"), concat(
+          col("text"),
+          lit("\nShort line"),
+          when(pmod(col("doc_id"), lit(4L)) === 0,
+            concat(lit("\n- bullet item "), col("doc_id").cast("string"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7L)) === 0, lit("\nto be continued...")).otherwise(lit("")),
+          concat(lit("\nThis is the closing line"),
+            when(pmod(col("doc_id"), lit(3L)) === 0, lit(".")).otherwise(lit("")))).as("text2"))
+        TextAnalysis.c4Filters(d2, "doc_id", "text2").orderBy(col("doc_id"))
+      },
+      Some("""WITH d2 AS (SELECT doc_id,
+          text || chr(10) || 'Short line' ||
+          CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet item ' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' ELSE '' END ||
+          chr(10) || 'This is the closing line' || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS t
+        FROM documents),
+        m AS (SELECT doc_id, string_split(t, chr(10)) AS lines,
+            list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS toks FROM d2),
+        c AS (SELECT doc_id,
+            CAST(len(lines) AS INTEGER) AS n_lines,
+            CAST(len(toks) AS INTEGER) AS n_words,
+            CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS INTEGER) AS n_end_punct_lines,
+            CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) AS INTEGER) AS n_bullet_lines,
+            CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS INTEGER) AS n_ellipsis_lines,
+            CAST(len(list_filter(lines, l -> len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) < 3)) AS INTEGER) AS n_short_lines,
+            CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha_words,
+            CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS wc
+          FROM m)
+        SELECT doc_id, n_lines, n_words, n_end_punct_lines, n_bullet_lines, n_ellipsis_lines,
+          n_short_lines, n_alpha_words,
+          CASE WHEN n_words > 0 THEN CAST(wc AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+          (n_words >= 50 AND wc >= n_words * 3 AND wc <= n_words * 10 AND n_bullet_lines * 10 <= n_lines * 9
+            AND n_ellipsis_lines * 10 <= n_lines * 3 AND n_alpha_words * 10 >= n_words * 8) AS gopher_pass,
+          (n_end_punct_lines * 2 >= n_lines) AS c4_terminal_punct_pass
+        FROM c ORDER BY doc_id""")),
 
     QueryDef("pipeline_curation",
       // the canonical training-data funnel as ONE lazy plan:
@@ -2427,6 +2574,41 @@ object Queries {
             FROM base b CROSS JOIN c3 c) WHERE rn = 1),
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
+
+    QueryDef("ann_pq_topk",
+      // Product quantization + ADC (the FAISS memory regime: vectors →
+      // m small codes, query↔code distance = m table lookups), on the
+      // integer lattice so the WHOLE pipeline is hash-exact. The codebooks
+      // here are the even product grid {-4,-2,0,2,4,6}² per 2-dim
+      // subspace, in lexicographic order: squared-L2 over an axis-aligned
+      // product grid minimizes PER COORDINATE, and the tie rule (lowest
+      // code index = lexicographically smallest entry) picks the LOWER
+      // even neighbor for odd values — so the real 36-way argmin the
+      // operator runs has the closed form per dim
+      //   q(v) = greatest(-4, least(6, v - abs(v % 2)))
+      // which is what the oracle replays (pqTrain's Lloyd's trainer is
+      // exercised in SimilaritySpec; grid books keep the SQL analytic).
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("v"))
+        val codes = Similarity.pqEncode(base, "vec_id", "v", pqGridBooks)
+        Similarity.pqAdcTopK(base.where(col("vec_id") % 10 === 0), codes,
+            "vec_id", "v", pqGridBooks, k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            (-col("sim")).cast("int").as("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        iv AS (SELECT vec_id, [CAST(v[i] AS INTEGER) FOR i IN generate_series(1, $LatDims)] AS w FROM base),
+        codes AS (SELECT vec_id,
+            [GREATEST(-4, LEAST(6, w[i] - ABS(w[i] % 2))) FOR i IN generate_series(1, $LatDims)] AS q
+          FROM iv),
+        scored AS (SELECT b.vec_id AS qid, c.vec_id AS nid,
+            list_sum([(b.w[i] - c.q[i]) * (b.w[i] - c.q[i]) FOR i IN generate_series(1, $LatDims)]) AS dist
+          FROM iv b JOIN codes c ON c.vec_id <> b.vec_id WHERE b.vec_id % 10 = 0)
+        SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id,
+          CAST(dist AS INTEGER) AS adc_dist FROM (
+          SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+          FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("emb_near_dup",
       // The driver embeddings have NO true near-dups (measured max pairwise

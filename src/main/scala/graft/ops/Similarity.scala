@@ -393,4 +393,89 @@ object Similarity {
       corpus, idCol, vecCol, numTables, planesPerTable, threshold, probeRadius = 1, dims)
     Dedup.applyClusterDedup(corpus, idCol, Dedup.dedupClusters(pairs, "id_a", "id_b"))
   }
+
+  // ---- product quantization (Jégou et al. 2011) ------------------------
+  // The memory-compression regime beyond int8: each vector becomes m small
+  // integer codes (one per dim/m-sized subspace), and query↔code distance
+  // is m table lookups instead of dim multiplies — the layout behind
+  // IVF-PQ/FAISS-scale billion-vector search. Codebooks are metadata-sized
+  // (m·ksub·dsub doubles) and always travel as plan-time literals: the
+  // corpus never shuffles for encoding or scoring.
+
+  /** Per-subspace codebooks for [[pqEncode]]/[[pqAdcTopK]]: `books(j)(c)`
+    * is sub-centroid `c` of subspace `j`, each of length `dims / books.length`.
+    * Trained with the same distributed Lloyd's as [[kmeansFit]], once per
+    * subspace over the sliced subvectors (m · (iters+1) bounded-output
+    * jobs; the corpus is scanned, never collected). L2 codebooks use
+    * mean-vector updates, so cosine-vs-L2 differences live only in the
+    * assignment step — [[kmeansFit]]'s argmax-cosine assignment is reused
+    * deliberately: PQ for cosine retrieval quantizes direction, and unit-
+    * normalizing upstream makes the two objectives coincide.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, dims: Int, iters: Int = 5,
+              seedKey: Column => Column = xxhash64(_)): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      // array<float>: the contract of kmeansFit's VectorAvg update
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).cast("array<float>").as("_sub"))
+      kmeansFit(sub, idCol, "_sub", ksub, iters, seedKey)
+    }.toArray
+  }
+
+  /** PQ encoding: `codes` = for each subspace, the index of the nearest
+    * (squared-L2, ties → lowest index) codebook entry. Pure expression —
+    * the argmin is a struct-min over ksub codegen dot products per
+    * subspace (the common `|a|²` term is dropped: argmin of
+    * `−2·a·c + |c|²` is the same minimizer, and `|c|²` is a plan-time
+    * constant) — so encoding is a linear scan with no shuffle, exactly the
+    * [[nearestCentroid]] layout per subspace.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty))
+    val dsub = books(0)(0).length
+    val codeCols = books.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>")
+      val entries = cb.zipWithIndex.map { case (c, ci) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((dot(sub, typedlit(c)) * -2 + lit(cNormSq)).as("d"), lit(ci).as("c"))
+      }
+      array_min(array(entries.toIndexedSeq: _*)).getField("c")
+    }
+    corpus.select(col(idCol), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each query precomputes its m×ksub
+    * distance table (exact squared L2 from the query's FULL subvectors to
+    * every codebook entry — the asymmetry that makes ADC more accurate
+    * than code-vs-code), then every corpus row costs m `element_at`
+    * lookups + a sum, independent of the vector dimension. Ranked by
+    * (ADC distance asc, id asc); `sim` in the output is the NEGATED
+    * distance so the shared two-stage [[topKPerQuery]] bounded aggregation
+    * applies unchanged — the only exchange is |Q|·k·partitions buffers.
+    * Queries broadcast (bounded by contract, as in [[bruteForceTopK]]);
+    * the encoded corpus streams one pass.
+    */
+  def pqAdcTopK(queries: DataFrame, corpusCodes: DataFrame,
+                idCol: String, vecCol: String,
+                books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val dsub = books(0)(0).length
+    val distTable = array(books.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>")
+      array(cb.toIndexedSeq.map { c =>
+        dot(sub, sub) - dot(sub, typedlit(c)) * 2 + lit(c.map(x => x * x).sum)
+      }: _*)
+    }.toIndexedSeq: _*)
+    val q = queries.select(col(idCol).as("query_id"), distTable.as("_tbl"))
+    val c = corpusCodes.select(col(idCol).as("neighbor_id"), col("codes").as("_codes"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-aggregate(zip_with(col("_tbl"), col("_codes"),
+          (t, cd) => element_at(t, cd + 1)), lit(0.0), (acc, x) => acc + x)).as("sim"))
+    topKPerQuery(scored, k)
+  }
 }

@@ -35,6 +35,82 @@ object TextAnalysis {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Adjacent-token bigrams of a token array: size-1 entries joined with a
+    * single space; empty for <2 tokens (the explicit guard matters —
+    * `sequence(1, 0)` would DESCEND, not stop).
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Bigram language-model corpus statistics per document — the
+    * memorization/boilerplate signal one step up from
+    * [[unigramFreqScore]]: how common are this document's token
+    * TRANSITIONS across the corpus. High mean bigram frequency flags
+    * templated/boilerplate text; a high novel-bigram count flags text no
+    * other document shares (both are standard pretraining-curation axes).
+    * All counts are exact integers; the single mean is one correctly-
+    * rounded double division — hash-portable with no float reasoning.
+    *
+    * Scale shape: tokenize+explode is a linear scan; the bigram count
+    * table is vocab-sized (≪ corpus rows but corpus-scale in the worst
+    * case, so the join back is UNHINTED — AQE broadcasts a small
+    * vocabulary and sort-merges a web-scale one); the per-doc aggregate
+    * is map-side combined on doc_id. Documents with <2 tokens have no
+    * bigrams and no output row, mirroring the SQL GROUP BY.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol),
+      explode(bigrams(tokens(col(textCol)))).as("bigram"))
+    val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    bg.join(counts, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cnt")).as("sum_bigram_cnt"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_novel_bigrams"))
+      .withColumn("avg_bigram_freq",
+        col("sum_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** C4/Gopher-style quality-rule battery (Raffel et al. 2020; Rae et al.
+    * 2021) in ONE linear pass: line-structure ratios (terminal
+    * punctuation, bullets, ellipses, too-short lines), word-shape ratios
+    * (mean word length, alphabetic-word fraction), and the two composite
+    * pass flags a curation pipeline filters on. Counts are exact integers
+    * and the flags compare integers cross-multiplied (never a float
+    * threshold), so every column is hash-portable. No shuffle at all —
+    * callers aggregate or filter downstream.
+    */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val toks = tokens(col(textCol))
+    val nLines = size(lines)
+    val nWords = size(toks)
+    def nLinesWhere(p: Column => Column) = size(filter(lines, p))
+    val endPunct = nLinesWhere(l => l.rlike("[.!?\"]$"))
+    val bullet = nLinesWhere(l => l.rlike("^[-*•] "))
+    val ellipsis = nLinesWhere(l => l.rlike("(\\.\\.\\.|…)$"))
+    val shortLines = nLinesWhere(l => size(filter(split(l, "\\s+"), w => length(w) > 0)) < 3)
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val wordChars = aggregate(toks, lit(0), (acc, w) => acc + length(w))
+    docs.select(col(idCol),
+      nLines.as("n_lines"), nWords.as("n_words"),
+      endPunct.as("n_end_punct_lines"), bullet.as("n_bullet_lines"),
+      ellipsis.as("n_ellipsis_lines"), shortLines.as("n_short_lines"),
+      alphaWords.as("n_alpha_words"),
+      when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      // Gopher rules: >=50 words, mean word length in [3,10], <=90% bullet
+      // lines, <=30% ellipsis lines, >=80% alphabetic words
+      (nWords >= 50 && wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+        bullet * 10 <= nLines * 9 && ellipsis * 10 <= nLines * 3 &&
+        alphaWords * 10 >= nWords * 8).as("gopher_pass"),
+      // C4's structural rule: most lines end in terminal punctuation
+      (endPunct * 2 >= nLines).as("c4_terminal_punct_pass"))
+  }
+
   /** Deterministic document fingerprint: md5 of normalized text (lowercase,
     * punctuation stripped, whitespace collapsed). The basis for exact
     * near-normalization dedup.

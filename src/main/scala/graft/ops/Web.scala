@@ -67,6 +67,55 @@ object Web {
     docHosts(docs, idCol, textCol).select(col("domain"), col(idCol)).distinct()
       .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
 
+  /** RFC-3986-flavored URL canonicalization — the crawl-frontier /
+    * URL-dedup key every web pipeline computes before anything else:
+    * lowercase scheme and host, strip the scheme's default port, drop the
+    * fragment, drop `utm_*` tracking parameters, collapse an emptied
+    * query, strip trailing slashes on non-root paths (root path
+    * normalizes to "/"). Non-URL input (no `scheme://` prefix) passes
+    * through unchanged.
+    *
+    * A chain of anchored RE2-class regexp extract/replace steps with NO
+    * replacement backreferences (Spark spells those `$1`, DuckDB `\1` —
+    * avoiding them keeps the chain mirrorable character for character;
+    * only the utm removal needs DuckDB's 'g' flag, Spark replaces
+    * globally by default). Pure expression: linear scan, codegen, no
+    * shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    // [^#]* stops the path+query capture at the fragment
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val p1 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val path = when(p1 === "", lit("/")).otherwise(p1)
+    // leading '&' sentinel makes every param (first included) match
+    // '&utm_...'; the anchored strip removes whatever sentinel survives
+    val q = regexp_replace(
+      regexp_replace(concat(lit("&"), regexp_extract(rest, "\\?(.*)$", 1)),
+        "&utm_[A-Za-z_]*=[^&]*", ""),
+      "^&+", "")
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** Canonical-URL dedup table: one row per canonical URL with its mention
+    * count, distinct-document reach, and minimum document id — the shape a
+    * crawl frontier or URL-level dedup consumes. One linear canonicalize
+    * pass, then a single map-side-combined aggregation on the canonical
+    * key.
+    */
+  def urlDedup(urls: DataFrame, idCol: String, urlCol: String): DataFrame =
+    urls.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("min_doc"))
+
   /** Drop every document that mentions a blocklisted registered domain.
     * `blocklist` is a one-column ("domain") DataFrame: a hand-curated list
     * broadcasts; a full production blocklist (millions of rows) falls back

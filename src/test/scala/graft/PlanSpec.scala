@@ -176,6 +176,32 @@ class PlanSpec extends SparkSpec {
       s"op_salted_join lineitem scan not pruned:\n$sj")
   }
 
+  test("bucketed co-located join: no exchange and no extra sort below the join") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_test").toString
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.load(spark, sf0001, "customer").select("c_custkey", "c_mktsegment")
+    graft.ops.Layout.writeBucketed(orders, "t_b_orders", s"$tmp/o", 4, Seq("o_custkey"))
+    graft.ops.Layout.writeBucketed(cust, "t_b_cust", s"$tmp/c", 4, Seq("c_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the test exercises the fact⋈fact regime the
+      // layout exists for (at sf0.001 the dim side would broadcast and
+      // hide the exchange question entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("t_b_orders")
+        .join(spark.table("t_b_cust"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed-bucketed join on the bucket key must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan did not use the bucket layout:\n$p")
+      assert(j.count() == orders.join(cust,
+        col("o_custkey") === col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("r6-regressed bench queries: job counts stay at the floor (host-noise audit)") {
     // These three queries jumped 3-6x in the r6 driver bench while their
     // local timings and plans were unchanged. Per the driver-host cost
@@ -241,7 +267,16 @@ class PlanSpec extends SparkSpec {
           // contingency 1 — cell agg, marginal windows stay in-job)
           "op_histogram" -> 2, "op_group_sample" -> 2,
           "op_expectations" -> 4, "op_rolling" -> 3,
-          "op_mad_outliers" -> 4, "op_contingency" -> 2)) {
+          "op_mad_outliers" -> 4, "op_contingency" -> 2,
+          // continuation wave (measured floors: ann_pq_topk 3 — broadcast
+          // query-table build + topk agg + result sort; txt_bigram_lm 3 —
+          // bigram-count agg + join + range sort; txt_c4_filters 2 — pure
+          // expression pass + sort; web_url_dedup 2 — canonical agg +
+          // sort; op_bucketed_join 4 — two bucketed table writes + the
+          // shuffle-free join's agg + bounded sort)
+          "ann_pq_topk" -> 4, "txt_bigram_lm" -> 4,
+          "txt_c4_filters" -> 3, "web_url_dedup" -> 3,
+          "op_bucketed_join" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

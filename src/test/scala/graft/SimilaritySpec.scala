@@ -229,4 +229,68 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"pos").select($"m").as[Double].collect()
     cent.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
+
+  test("pqEncode: nearest sub-centroid per subspace, ties to the lowest code") {
+    // 4-dim vectors, 2 subspaces; books chosen so v=(1,1) ties codes 0/1
+    // in subspace 0 (equidistant) and must pick 0
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)),
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 9.0f, 9.0f)),   // tie → 0; clearly 1
+      (2L, Seq(2.0f, 2.0f, 0.5f, 0.5f)),   // clearly 1; clearly 0
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val got = Similarity.pqEncode(df, "id", "v", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 1) && got(2L) == Seq(1, 0) && got(3L) == Seq(0, 0))
+  }
+
+  test("pqTrain + ADC top-k track brute force on clustered data (recall@5 >= 0.8)") {
+    // PQ is lossy by design, and on near-uniform random vectors the true
+    // top-5 are barely separated — no quantizer can rank them. The honest
+    // regime (and PQ's actual use case) is clustered data where true
+    // neighbors are well separated: 20 planted clusters of SIX jittered
+    // copies, so a query's top-5 is exactly its 5 cluster mates — the
+    // test demands cluster-level resolution, not sub-jitter ranking
+    // (mates sharing one code tie in ADC and the id tie-break would
+    // otherwise pick an arbitrary 5-of-9 subset).
+    val rnd = new scala.util.Random(42)
+    val seeds = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (s <- 0 until 20; j <- 0 until 6) yield {
+      val v = seeds(s).clone()
+      v(j % 16) = v(j % 16) + 0.05f * (j - 3)
+      ((s * 6 + j).toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where($"vec_id" % 6 === 0)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, dims = 16, iters = 3)
+    assert(books.length == 4 && books.forall(b => b.length == 8 && b.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+    val adc = Similarity.pqAdcTopK(qs, codes, "vec_id", "embedding", books, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, want) =>
+      adc.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size }
+    assert(recalls.nonEmpty)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean ADC recall@5 $mean < 0.8")
+  }
+
+  test("ADC distance equals exact squared L2 to the reconstructed (decoded) vector") {
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)),
+      Array(Array(1.0, 1.0), Array(5.0, 5.0)))
+    val corpus = Seq((10L, Seq(2.0f, 2.0f, 5.0f, 5.0f)), (11L, Seq(0.0f, 0.0f, 1.0f, 1.0f)))
+      .toDF("id", "v")
+    val qdf = Seq((1L, Seq(1.0f, 0.0f, 2.0f, 2.0f))).toDF("id", "v")
+    val codes = Similarity.pqEncode(corpus, "id", "v", books)
+    val got = Similarity.pqAdcTopK(qdf, codes, "id", "v", books, 2)
+      .select($"neighbor_id", -$"sim").as[(Long, Double)].collect().toMap
+    // q=(1,0,2,2); decode(10)=(2,2,5,5): d=1+4+9+9=23; decode(11)=(0,0,1,1): d=1+0+1+1=3
+    assert(got == Map(10L -> 23.0, 11L -> 3.0))
+  }
 }

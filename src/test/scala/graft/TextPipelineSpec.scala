@@ -431,4 +431,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(wfPlan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$wfPlan")
   }
+
+  test("bigrams: adjacent pairs in order; 0- and 1-token docs yield empty, never descend") {
+    val got = Seq("a b c d", "solo", "", "  x  y ")
+      .toDF("t").select(TextAnalysis.bigrams(TextAnalysis.tokens(col("t"))))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b", "b c", "c d"), Seq(), Seq(), Seq("x y")))
+  }
+
+  test("bigramLmScore: corpus-wide transition counts, novel bigrams, exact mean") {
+    val docs = Seq(
+      (1L, "the cat sat"),          // "the cat" ×2 corpus-wide, "cat sat" novel
+      (2L, "the cat ran"),
+      (3L, "one")                   // <2 tokens → no output row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    // doc 1: bigrams {the cat (cnt 2), cat sat (cnt 1)} → sum 3, novel 1
+    assert(got(0) == ((1L, 2L, 3L, 1L, 1.5)))
+    assert(got(1) == ((2L, 2L, 3L, 1L, 1.5)))
+  }
+
+  test("c4Filters: line-structure and word-shape rules fire per constructed doc") {
+    val good = ((1 to 60).map(i => s"word$i").mkString(" ") + ".") // 60 words, ends '.'
+    val docs = Seq(
+      (1L, good),                                     // one line, terminal punct
+      (2L, "- bullet one\n- bullet two\nshort"),      // all-bullet-ish, short doc
+      (3L, "trailing off...\nand more…"),             // ellipsis lines
+      (4L, "")                                        // empty text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_words", "n_end_punct_lines", "n_bullet_lines",
+        "n_ellipsis_lines", "n_short_lines", "gopher_pass", "c4_terminal_punct_pass")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1, 60, 1, 0, 0, 0, true, true)))
+    assert(got(2L)._5 == 2 && !got(2L)._8, "bullet lines counted; gopher fails (<50 words)")
+    // '...' also ends in '.', so exactly half the lines terminal-punct → passes at the boundary
+    assert(got(3L)._6 == 2 && got(3L)._4 == 1 && got(3L)._9,
+      "both ellipsis spellings counted; '…' line lacks terminal punct")
+    assert(got(4L)._3 == 0 && !got(4L)._8, "empty text: zero words, fails")
+  }
 }

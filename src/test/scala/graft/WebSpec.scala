@@ -70,4 +70,48 @@ class WebSpec extends SparkSpec {
       Seq("blocked.com").toDF("domain")).collect()
     assert(kept.isEmpty, "every doc mentions a blocked domain and must drop")
   }
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Web.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("canonicalizeUrl: scheme+host lowercase, path case preserved, fragment dropped") {
+    assert(canon("HTTPS://Example.ORG/CaseD/Path#frag") == Seq("https://example.org/CaseD/Path"))
+  }
+
+  test("canonicalizeUrl: default ports strip only for the matching scheme") {
+    assert(canon(
+      "http://a.org:80/x", "https://a.org:443/x",   // defaults → stripped
+      "http://a.org:443/x", "https://a.org:80/x",   // NOT the scheme's default → kept
+      "http://a.org:8080/x") ==
+      Seq("http://a.org/x", "https://a.org/x",
+        "http://a.org:443/x", "https://a.org:80/x", "http://a.org:8080/x"))
+  }
+
+  test("canonicalizeUrl: utm params drop in any position; other params keep order") {
+    assert(canon(
+      "https://a.org/p?utm_source=x&b=2&utm_campaign=y&c=3",
+      "https://a.org/p?b=2&c=3",
+      "https://a.org/p?utm_medium=z") ==
+      Seq("https://a.org/p?b=2&c=3", "https://a.org/p?b=2&c=3", "https://a.org/p"))
+  }
+
+  test("canonicalizeUrl: trailing slashes strip on non-root paths; root and empty → '/'") {
+    assert(canon("https://a.org", "https://a.org/", "https://a.org/x/", "https://a.org/x//") ==
+      Seq("https://a.org/", "https://a.org/", "https://a.org/x", "https://a.org/x"))
+  }
+
+  test("canonicalizeUrl: non-URL input passes through unchanged") {
+    assert(canon("not a url", "/relative/path") == Seq("not a url", "/relative/path"))
+  }
+
+  test("urlDedup groups spelling variants under one canonical url") {
+    val urls = Seq(
+      (1L, "https://A.org/x/?utm_source=f#z"),
+      (1L, "https://a.org/x"),
+      (2L, "https://a.org/x"),
+      (2L, "http://other.net/y")).toDF("doc_id", "url")
+    val got = Web.urlDedup(urls, "doc_id", "url")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("https://a.org/x", 3L, 2L, 1L), ("http://other.net/y", 1L, 1L, 2L)))
+  }
 }
