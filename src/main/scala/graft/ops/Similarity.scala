@@ -470,12 +470,29 @@ object Similarity {
       }: _*)
     }.toIndexedSeq: _*)
     val q = queries.select(col(idCol).as("query_id"), distTable.as("_tbl"))
+    // MATERIALIZE the codes (MEMORY_AND_DISK): the broadcast-nested-loop
+    // join's whole-stage codegen evaluates only the join-condition
+    // variables before the build loop and defers every other stream-side
+    // expression INTO it — a lazily-piped pqEncode would re-run its
+    // m·ksub-dot-product argmin once per PAIR instead of once per corpus
+    // row (measured 13×: 31 s → 2.4 s at sf0.1). Persisting is also the
+    // honest PQ regime: codes are the precomputed, stored artifact (m
+    // bytes-ish per vector — the whole point of the compression); a
+    // production corpus reads them from disk, it never re-encodes per
+    // query batch.
     val c = corpusCodes.select(col(idCol).as("neighbor_id"), col("codes").as("_codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the per-pair score is the hot loop (|Q|·|C| evaluations): m is a
+    // plan-time constant, so unroll the lookups into a codegen'd
+    // element_at sum — an aggregate(zip_with(...)) lambda here evaluates
+    // INTERPRETED per pair and measured ~10× slower at sf0.1
+    val adcDist = books.indices.map { j =>
+      element_at(element_at(col("_tbl"), j + 1),
+        element_at(col("_codes"), j + 1) + 1)
+    }.reduce(_ + _)
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (-aggregate(zip_with(col("_tbl"), col("_codes"),
-          (t, cd) => element_at(t, cd + 1)), lit(0.0), (acc, x) => acc + x)).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), (-adcDist).as("sim"))
     topKPerQuery(scored, k)
   }
 }
