@@ -97,6 +97,30 @@ object Queries {
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
 
+  /** DuckDB mirror of [[graft.ops.Web.canonicalizeUrl]] as chained CTEs
+    * over `src`(doc_id, url) → CTE `canon`(doc_id, canonical_url). One
+    * definition feeds every canonical-URL oracle (web_url_dedup, the web
+    * curation funnel) so the regexp chain can never drift between them.
+    */
+  private def canonicalCteSql(src: String): String =
+    s"""cp AS (SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        FROM $src),
+      cq AS (SELECT doc_id, scheme,
+          CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+               ELSE hostport END AS host,
+          regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS p1,
+          regexp_replace(regexp_replace('&' || regexp_extract(rest, '\\?(.*)$$', 1),
+            '&utm_[A-Za-z_]*=[^&]*', '', 'g'), '^&+', '') AS qs
+        FROM cp),
+      canon AS (SELECT doc_id, scheme || '://' || host ||
+          CASE WHEN p1 = '' THEN '/' ELSE p1 END ||
+          CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        FROM cq)"""
+
   // ---- planted-pair corpus for the xxhash64 dedup family ----------------
   // DuckDB cannot evaluate xxhash64, so the fast MinHash/SimHash forms are
   // oracled the emb_near_dup way: make the EXPECTED output analytic instead
@@ -2142,7 +2166,7 @@ object Queries {
           concat(lit("HTTP://"), col("source"), lit(".NET/?utm_campaign=x")))).as("url"))
         Web.urlDedup(urls, "doc_id", "url").orderBy(col("canonical_url"))
       },
-      Some("""WITH u AS (SELECT doc_id, unnest([
+      Some(s"""WITH u AS (SELECT doc_id, unnest([
           'https://Sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.ORG:443/Path/' ||
             CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR) || '#frag',
           'https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/Path/' ||
@@ -2150,26 +2174,10 @@ object Queries {
           'http://' || source || '.net:80/',
           'HTTP://' || source || '.NET/?utm_campaign=x']) AS url
         FROM documents),
-        p AS (SELECT doc_id,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
-          FROM u),
-        q AS (SELECT doc_id, scheme,
-            CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                 ELSE hostport END AS host,
-            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS p1,
-            regexp_replace(regexp_replace('&' || regexp_extract(rest, '\?(.*)$', 1),
-              '&utm_[A-Za-z_]*=[^&]*', '', 'g'), '^&+', '') AS qs
-          FROM p),
-        c AS (SELECT doc_id, scheme || '://' || host ||
-            CASE WHEN p1 = '' THEN '/' ELSE p1 END ||
-            CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
-          FROM q)
+        ${canonicalCteSql("u")}
         SELECT canonical_url, count(*) AS n_mentions,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
-        FROM c GROUP BY 1 ORDER BY 1""")),
+        FROM canon GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("txt_vocab_coverage",
       // tokenizer-vocab head curve: top-100 tokens with the cumulative
@@ -2437,6 +2445,80 @@ object Queries {
         FROM documents d WHERE doc_id % 2 = 1
           AND NOT EXISTS (SELECT 1 FROM inc_pairs p WHERE p.doc_new = d.doc_id)
         GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("pipeline_web_curation",
+      // RefinedWeb/CCNet-style WEB curation funnel as ONE oracled chain,
+      // composing this round's first-class ops end to end over the
+      // planted-URL corpus: domain blocklist (any blocked mention drops
+      // the doc) → word-count/alphabetic quality gate (the c4Filters
+      // columns) → bigram boilerplate cap (per-doc mean transition
+      // frequency ≤ 1.05× corpus mean) → canonical-URL inventory of the
+      // survivors. Output
+      // is the single-row retention funnel; every stage is the same
+      // definition its standalone key hash-checks.
+      (s, d) => {
+        import s.implicits._
+        val blocklist = Seq("src3.org", "src7.net", "src15.org").toDF("domain")
+        val docs = urlDocs(s, d)
+        val kept1 = Web.domainBlocklistFilter(docs, "doc_id", "text2", blocklist)
+        val c4ok = TextAnalysis.c4Filters(kept1, "doc_id", "text")
+          .where(col("n_words") >= 20 && col("n_alpha_words") * 10 >= col("n_words") * 8)
+          .select(col("doc_id"))
+        val kept2 = kept1.join(c4ok, Seq("doc_id"), "left_semi")
+        // boilerplate = unusually COMMON transitions relative to the corpus
+        // (scale-free: a fixed absolute threshold would stop firing as the
+        // corpus grows — mean bigram counts scale with it). Keep docs with
+        // per-doc mean bigram frequency ≤ 1.05× the corpus mean, compared
+        // as exact integer cross-products (this corpus is homogeneous —
+        // measured per-doc/corpus mean ratio spans 0.90..1.14 — so the cap
+        // sits inside the observed tail and provably fires at every SF).
+        val bs = TextAnalysis.bigramLmScore(kept2, "doc_id", "text")
+        val tot = bs.agg(sum(col("sum_bigram_cnt")).as("ts"), sum(col("n_bigrams")).as("tn"))
+        val bsOk = bs.crossJoin(tot)
+          .where(col("sum_bigram_cnt") * col("tn") * 100 <= col("n_bigrams") * col("ts") * 105)
+          .select(col("doc_id"))
+        val kept3 = kept2.join(bsOk, Seq("doc_id"), "left_semi")
+        val canon = kept3.select(col("doc_id"), explode(
+            regexp_extract_all(col("text2"), lit("(?i)https?://[^\\s]+"), lit(0))).as("url"))
+          .select(Web.canonicalizeUrl(col("url")).as("cu"))
+        docs.agg(count(lit(1)).as("n_total"))
+          .crossJoin(kept1.agg(count(lit(1)).as("n_after_blocklist")))
+          .crossJoin(kept2.agg(count(lit(1)).as("n_after_quality")))
+          .crossJoin(kept3.agg(count(lit(1)).as("n_after_boilerplate")))
+          .crossJoin(canon.agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("cu")).as("n_canonical_urls")))
+      },
+      Some(s"""WITH $urlDocsSql,
+        hit AS (SELECT DISTINCT doc_id FROM rd
+          WHERE domain IN ('src3.org', 'src7.net', 'src15.org')),
+        k1 AS (SELECT doc.doc_id, doc.text, d2.text2 FROM documents doc
+          JOIN d2 ON doc.doc_id = d2.doc_id
+          LEFT JOIN hit ON doc.doc_id = hit.doc_id WHERE hit.doc_id IS NULL),
+        kt AS (SELECT doc_id, text2,
+            list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM k1),
+        k2 AS (SELECT doc_id, text2, toks FROM kt
+          WHERE len(toks) >= 20
+            AND len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 10 >= len(toks) * 8),
+        bg AS (SELECT doc_id,
+            unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
+          FROM k2),
+        bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+        bs AS (SELECT doc_id, count(*) AS n_bigrams,
+            CAST(sum(cnt) AS BIGINT) AS sum_cnt
+          FROM bg JOIN bc USING (bigram) GROUP BY 1),
+        tot AS (SELECT CAST(sum(sum_cnt) AS BIGINT) AS ts,
+            CAST(sum(n_bigrams) AS BIGINT) AS tn FROM bs),
+        k3 AS (SELECT k2.doc_id, k2.text2 FROM k2 JOIN bs ON k2.doc_id = bs.doc_id
+          CROSS JOIN tot WHERE bs.sum_cnt * tot.tn * 100 <= bs.n_bigrams * tot.ts * 105),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text2, '(?i)https?://[^\\s]+', 0)) AS url
+          FROM k3),
+        ${canonicalCteSql("u")}
+        SELECT (SELECT count(*) FROM documents) AS n_total,
+          (SELECT count(*) FROM k1) AS n_after_blocklist,
+          (SELECT count(*) FROM k2) AS n_after_quality,
+          (SELECT count(*) FROM k3) AS n_after_boilerplate,
+          (SELECT count(*) FROM canon) AS n_urls,
+          (SELECT CAST(count(DISTINCT canonical_url) AS BIGINT) FROM canon) AS n_canonical_urls""")),
 
     QueryDef("op_salted_join",
       // explicit skew-salted shuffle join (Joins.skewSaltedJoin): the salt

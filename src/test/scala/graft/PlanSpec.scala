@@ -276,7 +276,10 @@ class PlanSpec extends SparkSpec {
           // shuffle-free join's agg + bounded sort)
           "ann_pq_topk" -> 4, "txt_bigram_lm" -> 4,
           "txt_c4_filters" -> 3, "web_url_dedup" -> 3,
-          "op_bucketed_join" -> 5)) {
+          "op_bucketed_join" -> 5,
+          // the web-curation funnel: 5 crossJoined scalar aggs (each a
+          // broadcast build + its agg over a successively-filtered side)
+          "pipeline_web_curation" -> 11)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
