@@ -1315,6 +1315,33 @@ object Queries {
         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         FROM events ORDER BY user_id, ts_us, event_id""")),
 
+    QueryDef("op_scd2",
+      // slowly-changing-dimension type-2 build: each per-user event is an
+      // attribute-change record; valid_to = lead(ts) closes the interval,
+      // NULL marks the current version (the warehouse dimension-versioning
+      // primitive behind every point-in-time join). One window shuffle on
+      // the natural key; output is the per-attribute interval audit with
+      // exact integer-µs active durations.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        eventsUs(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+          .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+            sum(when(col("valid_to").isNotNull, col("valid_to") - col("ts_us"))).as("active_us"))
+          .orderBySmall(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_us(ts) AS ts_us,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to
+        FROM events)
+        SELECT event_type, count(*) AS n_intervals,
+          CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+          CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - ts_us END) AS BIGINT) AS active_us
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_ntile",
       // decile bucketing of order values per priority class — ntile is the
       // per-group quantile-assignment surface (one window shuffle)

@@ -279,7 +279,9 @@ class PlanSpec extends SparkSpec {
           "op_bucketed_join" -> 5,
           // the web-curation funnel: 5 crossJoined scalar aggs (each a
           // broadcast build + its agg over a successively-filtered side)
-          "pipeline_web_curation" -> 11)) {
+          "pipeline_web_curation" -> 11,
+          // SCD2 interval build: one window shuffle + bounded-group agg
+          "op_scd2" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
