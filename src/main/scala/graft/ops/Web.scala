@@ -69,11 +69,13 @@ object Web {
 
   /** RFC-3986-flavored URL canonicalization — the crawl-frontier /
     * URL-dedup key every web pipeline computes before anything else:
-    * lowercase scheme and host, strip the scheme's default port, drop the
-    * fragment, drop `utm_*` tracking parameters, collapse an emptied
-    * query, strip trailing slashes on non-root paths (root path
-    * normalizes to "/"). Non-URL input (no `scheme://` prefix) passes
-    * through unchanged.
+    * lowercase scheme and host, drop `userinfo@` credentials, strip the
+    * scheme's default port, drop the fragment, drop `utm_*` tracking
+    * parameters, collapse an emptied query, strip trailing slashes on
+    * non-root paths (root path normalizes to "/"). Non-URL input (no
+    * `scheme://` prefix) passes through unchanged. Idempotent — the
+    * canonical form is a fixed point (pinned in WebSpec), so ingest-time
+    * and dedup-time canonicalization can never split groups.
     *
     * A chain of anchored RE2-class regexp extract/replace steps with NO
     * replacement backreferences (Spark spells those `$1`, DuckDB `\1` —
@@ -84,7 +86,11 @@ object Web {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // userinfo@ drops (same class as urlHostPattern): credentials are not
+    // identity for dedup, and 'u:p@host' variants must not split groups
+    val hostport = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^[a-z0-9._%+:-]*@", "")
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
