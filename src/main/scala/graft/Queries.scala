@@ -1343,6 +1343,40 @@ object Queries {
           CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - ts_us END) AS BIGINT) AS active_us
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_cooccurrence",
+      // market-basket co-occurrence with Jaccard affinity: distinct
+      // (user, item) pairs self-joined on the user key → support per item
+      // pair (a < b), plus per-item user counts and the exact-integer-fed
+      // Jaccard = support / (n_a + n_b − support). The item vocabulary is
+      // bounded, so the pair table is |items|²-bounded at ANY corpus size,
+      // the per-item count side broadcasts, and the self-join is an
+      // equi-join on user — never a cartesian (the same argument as the
+      // LSH band joins, specialized to a categorical vocabulary).
+      (s, d) => {
+        val ui = eventsUs(s, d).select(col("user_id"), col("event_type")).distinct()
+        val a = ui.select(col("user_id"), col("event_type").as("item_a"))
+        val b = ui.select(col("user_id"), col("event_type").as("item_b"))
+        val pairs = a.join(b, Seq("user_id")).where(col("item_a") < col("item_b"))
+          .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("support"))
+        val n = ui.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        pairs
+          .join(broadcast(n.select(col("event_type").as("item_a"), col("n").as("n_a"))), "item_a")
+          .join(broadcast(n.select(col("event_type").as("item_b"), col("n").as("n_b"))), "item_b")
+          .select(col("item_a"), col("item_b"), col("support"), col("n_a"), col("n_b"),
+            (col("support").cast("double") /
+              (col("n_a") + col("n_b") - col("support")).cast("double")).as("jaccard"))
+          .orderBySmall(col("item_a"), col("item_b"))
+      },
+      Some("""WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+        p AS (SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS support
+          FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+        n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY 1)
+        SELECT item_a, item_b, support, na.n AS n_a, nb.n AS n_b,
+          CAST(support AS DOUBLE) / CAST(na.n + nb.n - support AS DOUBLE) AS jaccard
+        FROM p JOIN n na ON p.item_a = na.event_type JOIN n nb ON p.item_b = nb.event_type
+        ORDER BY item_a, item_b""")),
+
     QueryDef("op_ntile",
       // decile bucketing of order values per priority class — ntile is the
       // per-group quantile-assignment surface (one window shuffle)

@@ -56,34 +56,18 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
-  /** Write `df` as a bucketed+sorted parquet table (external, at `path`):
-    * rows are hash-distributed into `numBuckets` files by `keys` and
-    * sorted by `keys` within each bucket. A join or aggregation on the
-    * bucket keys between two tables bucketed the SAME way then requires
-    * NO shuffle exchange — each task zips bucket i with bucket i — which
-    * is the single biggest lever for a 100-TB fact⋈fact join that runs
-    * repeatedly: the shuffle is paid ONCE at write time and amortized
-    * over every subsequent query (Spark's answer to Hive's CLUSTERED BY
-    * and to co-located storage in MPP warehouses). Asserted shuffle-free
-    * in PlanSpec ("bucketed co-located join plans no exchange").
-    *
-    * Bucket metadata lives in the session catalog (`saveAsTable` — plain
-    * `save` cannot record bucket specs), so readers must go through
-    * `spark.table(name)`. `numBuckets` sizes each bucket ≈ table/N: pick
-    * it so a bucket fits an executor's memory at the target scale — at
-    * 100 TB that means thousands of buckets, not 8; the default here is
-    * sized for the test SFs.
+  /** Write `df` as a bucketed+sorted external parquet table at `path`:
+    * rows hash-distribute into `numBuckets` files by `keys`, sorted by
+    * `keys` within each bucket, so a join or aggregation on the bucket
+    * keys between two tables bucketed the SAME way requires NO shuffle
+    * exchange — the shuffle is paid ONCE at write time and amortized over
+    * every subsequent query (Spark's answer to Hive's CLUSTERED BY and to
+    * co-located MPP storage). Thin layout-facing alias of
+    * [[Sinks.bucketedTable]] (one implementation — the drop-guard,
+    * catalog, and bucket-sizing notes live there); shuffle-freedom is
+    * asserted in PlanSpec and SourcesSinksSpec.
     */
   def writeBucketed(df: DataFrame, name: String, path: String,
-                    numBuckets: Int, keys: Seq[String]): Unit = {
-    require(keys.nonEmpty)
-    val s = df.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write.mode("overwrite")
-      .option("path", path)
-      .bucketBy(numBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-      .saveAsTable(name)
-  }
+                    numBuckets: Int, keys: Seq[String]): Unit =
+    Sinks.bucketedTable(df, name, numBuckets, keys, Some(path))
 }

@@ -204,14 +204,23 @@ object Sinks {
     * NO exchange — the decisive layout choice for repeated 100-TB fact-to-
     * fact joins (shuffle once at ingest, never again). Uses the session
     * catalog (`saveAsTable`; bucket metadata doesn't survive a plain
-    * `.parquet(path)` write).
+    * `.parquet(path)` write). Pass `path` to land the files at an explicit
+    * external location (the table is dropped first so a re-run against a
+    * DIFFERENT path — e.g. another scale-factor dir in the same session —
+    * can never read the stale location). `buckets` sizes each bucket
+    * ≈ table/N: at 100 TB that means thousands of buckets, not the
+    * test-SF single digits.
     */
-  def bucketedTable(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  def bucketedTable(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
+                    path: Option[String] = None): Unit = {
+    require(keys.nonEmpty)
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** True only when the table has at least one DATA file: a directory holding
     * nothing but markers (`_SUCCESS`, a `_temporary` left by a failed write)

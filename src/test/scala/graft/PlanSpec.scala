@@ -281,7 +281,9 @@ class PlanSpec extends SparkSpec {
           // broadcast build + its agg over a successively-filtered side)
           "pipeline_web_curation" -> 11,
           // SCD2 interval build: one window shuffle + bounded-group agg
-          "op_scd2" -> 2)) {
+          "op_scd2" -> 2,
+          // co-occurrence: distinct + pair agg + two broadcast builds
+          "op_cooccurrence" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
