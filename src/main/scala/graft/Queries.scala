@@ -1343,6 +1343,65 @@ object Queries {
           CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - ts_us END) AS BIGINT) AS active_us
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_time_travel",
+      // time travel + CDC through the driver gate: base commits as v0,
+      // a COW merge commits v1, then the query reads BOTH pinned
+      // snapshots (snapshotAt — later commits can't change what v0
+      // reads) plus the version diff, as one long-format audit. The
+      // oracle derives every stage relationally: v0 = base, v1 = the
+      // MERGE result, cdc_insert = exactly the update rows (keys are
+      // unique and every update changes the row), cdc_delete = the
+      // replaced old rows — the commit protocol, manifest pinning, and
+      // EXCEPT ALL diff must all be invisible in the data. Same
+      // tmp-root + stale-sweep pattern as op_merge_acid.
+      (s, d) => {
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_tt_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val updates = base.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+              lit(1.0).as("o_totalprice")))
+        val mt = ManifestTable(s, root)
+        val v0 = mt.overwrite(base)
+        val v1 = mt.merge(updates, Seq("o_orderkey"))
+        def stageAgg(df: DataFrame, stage: Column) = df.agg(
+          count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+          .select(stage.as("stage"), col("n_rows"), col("sum_price"))
+        stageAgg(mt.snapshotAt(v0), lit("v0"))
+          .unionByName(stageAgg(mt.snapshotAt(v1), lit("v1")))
+          .unionByName(mt.diff(v0, v1).groupBy(col("_change"))
+            .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+            .select(concat(lit("cdc_"), col("_change")).as("stage"),
+              col("n_rows"), col("sum_price")))
+          .orderBySmall(col("stage"))
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
+        v1 AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+          UNION ALL SELECT o_orderkey, o_totalprice FROM upd)
+        SELECT 'v0' AS stage, count(*) AS n_rows, ${dsumSql("o_totalprice", 20, 2)} AS sum_price FROM base
+        UNION ALL
+        SELECT 'v1', count(*), ${dsumSql("o_totalprice", 20, 2)} FROM v1
+        UNION ALL
+        SELECT 'cdc_insert', count(*), ${dsumSql("o_totalprice", 20, 2)} FROM upd
+        UNION ALL
+        SELECT 'cdc_delete', count(*), ${dsumSql("o_totalprice", 20, 2)} FROM base WHERE o_orderkey % 10 = 0
+        ORDER BY stage""")),
+
     QueryDef("op_cooccurrence",
       // market-basket co-occurrence with Jaccard affinity: distinct
       // (user, item) pairs self-joined on the user key → support per item

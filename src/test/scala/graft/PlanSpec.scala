@@ -283,7 +283,10 @@ class PlanSpec extends SparkSpec {
           // SCD2 interval build: one window shuffle + bounded-group agg
           "op_scd2" -> 2,
           // co-occurrence: distinct + pair agg + two broadcast builds
-          "op_cooccurrence" -> 4)) {
+          "op_cooccurrence" -> 4,
+          // time travel: v0 write + merge COW write + pruned-read jobs;
+          // the final union-of-aggs read is one job
+          "op_time_travel" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
