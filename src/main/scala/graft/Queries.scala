@@ -1436,6 +1436,39 @@ object Queries {
         FROM p JOIN n na ON p.item_a = na.event_type JOIN n nb ON p.item_b = nb.event_type
         ORDER BY item_a, item_b""")),
 
+    QueryDef("op_triangles",
+      // distributed triangle count + clustering coefficient
+      // (Analytics.triangleStats: degree-ordered orientation, two joins)
+      // on the circulant graph C_N(1,2) derived from the customer keys
+      // (edges c→c+1, c→c+2 mod N) — deterministic, SF-growing, known
+      // shape (~one triangle per vertex). The oracle replays the
+      // identical rank-relabel + path⋈edge enumeration.
+      (s, d) => {
+        val base = t(s, d, "customer").select(col("c_custkey").as("c"))
+        val mx = base.agg(max(col("c")).as("mx"))
+        def ring(step: Int) = base.crossJoin(broadcast(mx))
+          .select(col("c").as("src"), pmod(col("c") + step, col("mx") + 1).as("dst"))
+        Analytics.triangleStats(ring(1).unionByName(ring(2)), "src", "dst")
+      },
+      Some("""WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+        er0 AS (SELECT c_custkey AS u, (c_custkey + 1) % (m + 1) AS v FROM customer, mx
+          UNION ALL SELECT c_custkey, (c_custkey + 2) % (m + 1) FROM customer, mx),
+        e0 AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM er0 WHERE u <> v),
+        deg AS (SELECT x, count(*) AS d
+          FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) GROUP BY 1),
+        rk AS (SELECT x, row_number() OVER (ORDER BY d, x) AS r FROM deg),
+        er AS (SELECT LEAST(ra.r, rb.r) AS a, GREATEST(ra.r, rb.r) AS b
+          FROM e0 JOIN rk ra ON e0.u = ra.x JOIN rk rb ON e0.v = rb.x),
+        tri AS (SELECT count(*) AS t FROM er x JOIN er y ON x.b = y.a
+          JOIN er z ON z.a = x.a AND z.b = y.b),
+        w AS (SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(d) // 2 AS BIGINT) AS ne,
+            CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+        SELECT w.nv AS n_vertices, w.ne AS n_edges, w.w AS n_wedges,
+          CAST(tri.t AS BIGINT) AS n_triangles,
+          CASE WHEN w.w > 0 THEN CAST(3 * tri.t AS DOUBLE) / CAST(w.w AS DOUBLE)
+            ELSE 0.0 END AS clustering
+        FROM w, tri""")),
+
     QueryDef("op_ntile",
       // decile bucketing of order values per priority class — ntile is the
       // per-group quantile-assignment surface (one window shuffle)

@@ -97,4 +97,20 @@ class AnalyticsSpec extends SparkSpec {
     val tiny = Seq((1L, "only"), (2L, "only")).toDF("id", "src")
     assert(Sampling.groupSample(tiny, col("src"), col("id"), 4).count() == 2)
   }
+
+  test("triangleStats: K4 exact, circulant C8(1,2), dirty edges normalize") {
+    def stats(edges: Seq[(Long, Long)]) =
+      Analytics.triangleStats(edges.toDF("s", "t"), "s", "t")
+        .as[(Long, Long, Long, Long, Double)].head()
+    // K4: 4 vertices, 6 edges, 12 wedges, 4 triangles, clustering 1.0
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // C8(1,2): 8 vertices, 16 edges, deg 4 each → 48 wedges, exactly the
+    // 8 consecutive-triple triangles ({i,i+2,i+4} is NOT closed at N=8)
+    val c8 = (0L to 7L).flatMap(i => Seq((i, (i + 1) % 8), (i, (i + 2) % 8)))
+    assert(stats(c8) == ((8L, 16L, 48L, 8L, 0.5)))
+    // self-loops drop; duplicate and reversed copies collapse
+    val dirty = Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (1L, 2L), (2L, 0L))
+    assert(stats(dirty) == ((3L, 3L, 3L, 1L, 1.0)))
+  }
 }

@@ -286,7 +286,10 @@ class PlanSpec extends SparkSpec {
           "op_cooccurrence" -> 4,
           // time travel: v0 write + merge COW write + pruned-read jobs;
           // the final union-of-aggs read is one job
-          "op_time_travel" -> 5)) {
+          "op_time_travel" -> 5,
+          // triangles: max broadcast + canonicalize/degree/rank/relabel
+          // shuffles feed one counting job; 7 measured
+          "op_triangles" -> 8)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
