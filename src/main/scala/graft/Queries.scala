@@ -2426,6 +2426,45 @@ object Queries {
           (n_end_punct_lines * 2 >= n_lines) AS c4_terminal_punct_pass
         FROM c ORDER BY doc_id""")),
 
+    QueryDef("op_json_flatten",
+      // deep nested-JSON flatten (op14_json covers the FLAT roundtrip;
+      // real feeds nest): construct a two-level document — a struct field
+      // plus a variable-length array of structs — then from_json with the
+      // full nested schema → dot-path projection + explode back to
+      // relational rows. The item count varies per doc (doc_id%3+1) so
+      // the explode cardinality is data-dependent, and every leaf value
+      // derives from ids — exact in both engines (DuckDB replays via
+      // json_extract paths over the identically-constructed string).
+      (s, d) => {
+        val n = pmod(col("doc_id"), lit(3L)).cast("int") + 1
+        val itemsJson = concat_ws(",", transform(sequence(lit(0), n - 1),
+          k => concat(lit("{\"k\":"), k.cast("string"), lit(",\"v\":"),
+            pmod(col("doc_id") + k, lit(5L)).cast("string"), lit("}"))))
+        val js = concat(lit("{\"user\":{\"id\":"), col("doc_id").cast("string"),
+          lit(",\"lang\":\""), col("lang"), lit("\"},\"items\":["), itemsJson, lit("]}"))
+        t(s, d, "documents").select(from_json(js,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user struct<id: bigint, lang: string>, items array<struct<k: int, v: bigint>>"))
+            .as("p"))
+          .select(col("p.user.id").as("user_id"), col("p.user.lang").as("lang"),
+            explode(col("p.items")).as("it"))
+          .select(col("user_id"), col("lang"),
+            col("it.k").as("item_k"), col("it.v").as("item_v"))
+          .orderBy(col("user_id"), col("item_k"))
+      },
+      Some("""WITH j AS (SELECT doc_id,
+          '{"user":{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"},"items":[' ||
+          array_to_string([('{"k":' || CAST(k AS VARCHAR) || ',"v":' || CAST((doc_id + k) % 5 AS VARCHAR) || '}')
+            FOR k IN generate_series(0, doc_id % 3)], ',') || ']}' AS js
+        FROM documents),
+        e AS (SELECT js, unnest(generate_series(0,
+            CAST(json_array_length(js, '$.items') AS INTEGER) - 1)) AS i FROM j)
+        SELECT CAST(json_extract(js, '$.user.id') AS BIGINT) AS user_id,
+          json_extract_string(js, '$.user.lang') AS lang,
+          CAST(json_extract(js, '$.items[' || CAST(i AS VARCHAR) || '].k') AS INTEGER) AS item_k,
+          CAST(json_extract(js, '$.items[' || CAST(i AS VARCHAR) || '].v') AS BIGINT) AS item_v
+        FROM e ORDER BY user_id, item_k""")),
+
     QueryDef("pipeline_curation",
       // the canonical training-data funnel as ONE lazy plan:
       // quality score -> token floor -> language filter -> fingerprint dedup;
@@ -3254,6 +3293,32 @@ object Queries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id""")),
+
+    QueryDef("op_range_window",
+      // time-based RANGE frame (the other half of the sliding-window
+      // surface — op_rolling's frame is a ROW count, this one is defined
+      // by the VALUE of ts): per-user trailing-1-hour sum/count at each
+      // event. Ties in ts share the identical frame, so no tiebreak
+      // enters the frame definition and the aggregate is deterministic
+      // by construction; the frame sum is DECIMAL for the same
+      // evaluation-order reason as op_rolling.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .withColumn("hr_sum", sum(col("value").cast("decimal(24,6)")).over(w).cast("double"))
+          .withColumn("hr_n", count(col("value")).over(w))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+          CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS hr_sum,
+          count(value) OVER w AS hr_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, ts_us, event_id""")),
 
     QueryDef("op_mad_outliers",

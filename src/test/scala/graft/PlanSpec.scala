@@ -289,7 +289,10 @@ class PlanSpec extends SparkSpec {
           "op_time_travel" -> 5,
           // triangles: max broadcast + canonicalize/degree/rank/relabel
           // shuffles feed one counting job; 7 measured
-          "op_triangles" -> 8)) {
+          "op_triangles" -> 8,
+          // nested-JSON flatten and the RANGE-frame window: one pass +
+          // the output range sort each
+          "op_json_flatten" -> 3, "op_range_window" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
