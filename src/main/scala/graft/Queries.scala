@@ -1367,10 +1367,14 @@ object Queries {
           .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
         fs.delete(rp, true)
         val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        // brand-new keys are NEGATIVE (-k-1, the planted-pair convention):
+        // an additive offset would collide with real orderkeys once the SF
+        // grows past the offset (TPC-H keys are 1..6M·SF), silently
+        // breaking the analytic cdc_delete count below
         val updates = base.where(col("o_orderkey") % 10 === 0)
           .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
           .unionByName(base.where(col("o_orderkey") % 1000 === 1)
-            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            .select((-col("o_orderkey") - 1).as("o_orderkey"),
               lit(1.0).as("o_totalprice")))
         val mt = ManifestTable(s, root)
         val v0 = mt.overwrite(base)
@@ -1389,7 +1393,7 @@ object Queries {
       Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
         upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
           UNION ALL
-          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
+          SELECT -o_orderkey - 1, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
         v1 AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
             WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
           UNION ALL SELECT o_orderkey, o_totalprice FROM upd)
@@ -1441,8 +1445,11 @@ object Queries {
       // (Analytics.triangleStats: degree-ordered orientation, two joins)
       // on the circulant graph C_N(1,2) derived from the customer keys
       // (edges c→c+1, c→c+2 mod N) — deterministic, SF-growing, known
-      // shape (~one triangle per vertex). The oracle replays the
-      // identical rank-relabel + path⋈edge enumeration.
+      // shape (~one triangle per vertex). The oracle enumerates with the
+      // simpler id-ascending orientation: the COUNT is invariant to the
+      // orientation order (every triangle has exactly one ascending
+      // labeling under ANY total order), which is itself part of what the
+      // hash compare checks.
       (s, d) => {
         val base = t(s, d, "customer").select(col("c_custkey").as("c"))
         val mx = base.agg(max(col("c")).as("mx"))
@@ -1456,11 +1463,8 @@ object Queries {
         e0 AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM er0 WHERE u <> v),
         deg AS (SELECT x, count(*) AS d
           FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) GROUP BY 1),
-        rk AS (SELECT x, row_number() OVER (ORDER BY d, x) AS r FROM deg),
-        er AS (SELECT LEAST(ra.r, rb.r) AS a, GREATEST(ra.r, rb.r) AS b
-          FROM e0 JOIN rk ra ON e0.u = ra.x JOIN rk rb ON e0.v = rb.x),
-        tri AS (SELECT count(*) AS t FROM er x JOIN er y ON x.b = y.a
-          JOIN er z ON z.a = x.a AND z.b = y.b),
+        tri AS (SELECT count(*) AS t FROM e0 x JOIN e0 y ON x.v = y.u
+          JOIN e0 z ON z.u = x.u AND z.v = y.v),
         w AS (SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(d) // 2 AS BIGINT) AS ne,
             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
         SELECT w.nv AS n_vertices, w.ne AS n_edges, w.w AS n_wedges,
@@ -1562,10 +1566,22 @@ object Queries {
       // checks the JOIN RESULT against the original parquet; the
       // exchange-free plan shape is pinned in PlanSpec (a result check
       // can't see the shuffle). Bucket files live under the JVM tmpdir,
-      // keyed by SF dir so sf0.001 entry and sf0.01 verify never collide.
+      // keyed by SF dir AND pid (two concurrent harness processes on the
+      // same SF must not overwrite each other's in-flight bucket files);
+      // dead pids' roots are swept after the same 1h age guard as
+      // op_merge_acid/op_time_travel.
       (s, d) => {
-        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_bucketed", new java.io.File(d).getName).toString
+        val tmpDir = sys.props("java.io.tmpdir")
+        val prefix = "graft_bucketed_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getPath != root)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f.getPath)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          }
         Layout.writeBucketed(
           t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
           "graft_b_orders", s"$root/orders", numBuckets = 8, keys = Seq("o_custkey"))
@@ -2661,14 +2677,19 @@ object Queries {
         // boilerplate = unusually COMMON transitions relative to the corpus
         // (scale-free: a fixed absolute threshold would stop firing as the
         // corpus grows — mean bigram counts scale with it). Keep docs with
-        // per-doc mean bigram frequency ≤ 1.05× the corpus mean, compared
-        // as exact integer cross-products (this corpus is homogeneous —
-        // measured per-doc/corpus mean ratio spans 0.90..1.14 — so the cap
-        // sits inside the observed tail and provably fires at every SF).
+        // per-doc mean bigram frequency ≤ 1.05× the corpus mean (this
+        // corpus is homogeneous — measured per-doc/corpus mean ratio spans
+        // 0.90..1.14 — so the cap sits inside the observed tail and
+        // provably fires at every SF). The cross-products are compared in
+        // DOUBLE with the identical association both sides — long
+        // cross-products would overflow int64 at web scale (per-doc sum ×
+        // corpus total ≈ 1e20+), and an identically-sequenced chain of
+        // exactly-rounded double multiplies is engine-deterministic.
         val bs = TextAnalysis.bigramLmScore(kept2, "doc_id", "text")
         val tot = bs.agg(sum(col("sum_bigram_cnt")).as("ts"), sum(col("n_bigrams")).as("tn"))
         val bsOk = bs.crossJoin(tot)
-          .where(col("sum_bigram_cnt") * col("tn") * 100 <= col("n_bigrams") * col("ts") * 105)
+          .where(col("sum_bigram_cnt").cast("double") * col("tn").cast("double") * 100.0 <=
+            col("n_bigrams").cast("double") * col("ts").cast("double") * 105.0)
           .select(col("doc_id"))
         val kept3 = kept2.join(bsOk, Seq("doc_id"), "left_semi")
         val canon = kept3.select(col("doc_id"), explode(
@@ -2702,7 +2723,9 @@ object Queries {
         tot AS (SELECT CAST(sum(sum_cnt) AS BIGINT) AS ts,
             CAST(sum(n_bigrams) AS BIGINT) AS tn FROM bs),
         k3 AS (SELECT k2.doc_id, k2.text2 FROM k2 JOIN bs ON k2.doc_id = bs.doc_id
-          CROSS JOIN tot WHERE bs.sum_cnt * tot.tn * 100 <= bs.n_bigrams * tot.ts * 105),
+          CROSS JOIN tot
+          WHERE CAST(bs.sum_cnt AS DOUBLE) * CAST(tot.tn AS DOUBLE) * 100.0 <=
+            CAST(bs.n_bigrams AS DOUBLE) * CAST(tot.ts AS DOUBLE) * 105.0),
         u AS (SELECT doc_id, unnest(regexp_extract_all(text2, '(?i)https?://[^\\s]+', 0)) AS url
           FROM k3),
         ${canonicalCteSql("u")}

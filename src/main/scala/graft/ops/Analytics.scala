@@ -655,19 +655,24 @@ object Analytics {
   /** Distributed triangle count + global clustering coefficient over an
     * undirected edge list (self-loops dropped, duplicates and reversed
     * copies collapse). The classic two-join enumeration, made scale-safe
-    * by DEGREE-ORDERED orientation: every vertex is relabeled to its
-    * rank in (degree, id) order and each edge oriented low→high rank, so
-    * out-degree is O(√E) even on power-law graphs — the candidate-path
-    * join is Σ outdeg² ≈ E^1.5 worst case instead of the hub-quadratic
-    * Σ deg² of naive id-ordering (the same trick as Suri & Vassilvitskii's
-    * MR-friendly counting). Each triangle has exactly one rank-ascending
-    * labeling a<b<c, so the path⋈edge join counts it exactly once.
+    * by DEGREE-ORDERED orientation: each edge is oriented from its lower
+    * (degree, id) endpoint to its higher one — (degree, id) is already a
+    * total order, so NO global rank sort (and no single-partition window)
+    * exists anywhere in the plan; the orientation is decided edge-locally
+    * after two degree-lookup joins. Out-degree under this orientation is
+    * O(√E) even on power-law graphs — the candidate-path join is
+    * Σ outdeg² ≈ E^1.5 worst case instead of the hub-quadratic Σ deg² of
+    * naive id-ordering (Suri & Vassilvitskii's MR-friendly orientation).
+    * Each triangle has exactly one ascending labeling under the total
+    * order, so the path⋈edge join counts it exactly once.
     *
-    * Shuffles: edge canonicalize+distinct (1), degree agg (1), one global
-    * rank sort over the VERTEX table (range exchange — vertex-sized, not
-    * edge-sized), two relabel joins, then path⋈edge. Wedges come from the
-    * undirected degrees (Σ d(d−1)/2, exact integers); the clustering
-    * coefficient 3·T/W is the one double division.
+    * Shuffles: edge canonicalize+distinct (1), degree agg (1), two
+    * degree-lookup joins, then path⋈edge — every exchange
+    * hash-partitions; nothing is globally sorted or single-tasked.
+    * Wedges come from the undirected degrees (Σ d·(d−1) div 2 —
+    * INTEGRAL division: the double-valued `/` would round past 2⁵³ on
+    * power-law hub degrees); the clustering coefficient 3·T/W is the one
+    * double division.
     *
     * Output: one row (n_vertices, n_edges, n_wedges, n_triangles,
     * clustering).
@@ -680,11 +685,12 @@ object Analytics {
       .distinct()
     val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val rk = deg.withColumn("r", row_number().over(Window.orderBy(col("d"), col("x"))))
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val er = e0
-      .join(rk.select(col("x").as("u"), col("r").as("ru")), "u")
-      .join(rk.select(col("x").as("v"), col("r").as("rv")), "v")
-      .select(least(col("ru"), col("rv")).as("a"), greatest(col("ru"), col("rv")).as("b"))
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
     val tri = er.as("x")
       .join(er.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
@@ -692,8 +698,8 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
     val counts = deg.agg(
       count(lit(1)).as("n_vertices"),
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
-      sum((col("d") * (col("d") - 1) / 2).cast("long")).as("n_wedges"))
+      expr("sum(d) div 2").as("n_edges"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     counts.crossJoin(tri)
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") > 0,

@@ -29,16 +29,32 @@ object Dedup {
   /** ALL n-token grams (duplicates kept, document order) joined by single
     * spaces; empty array when the document has fewer than n tokens. `toks`
     * MUST be a materialized column (an attribute), not a `tokens(text)`
-    * expression tree: every `element_at` inside the lambda re-evaluates its
-    * argument, so passing the raw expression re-splits the text once per
-    * gram (measured ~8× slowdown on the corpus). The single gram-builder
-    * shared by dedup shingles and repetition signals — one definition, one
-    * oracle contract.
+    * expression tree (the lambdas re-evaluate their argument — passing the
+    * raw expression re-splits the text per element; measured ~8× slowdown
+    * on the corpus). The single gram-builder shared by dedup shingles,
+    * repetition signals, and bigram LM stats — one definition, one oracle
+    * contract.
+    *
+    * Formulated as a fold of shifted zips — `zip_with(acc, toks[j+1:],
+    * concat)` for j = 1..n−1 — one linear pass per shift: the index-lambda
+    * form this replaces (`transform(sequence(1, count), i ->
+    * element_at(toks, i+j)...)`) re-walks the array per element and
+    * measured 15-20× slower on extraction. The zip pads the shorter
+    * shifted side with null and `concat` null-propagates, so exactly the
+    * trailing `n−1` slots null out; the filter drops them WITHOUT
+    * disturbing the positions of surviving grams (posexplode consumers
+    * depend on gram position = window start).
     */
   def gramsFromTokens(toks: Column, n: Int): Column = {
-    val count = size(toks) - (n - 1)
-    val idx = when(count >= 1, sequence(lit(1), count)).otherwise(array().cast("array<int>"))
-    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    require(n >= 1)
+    val grams = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    // NULL toks → empty (the old form's size(null) = -1 branch), so
+    // size()-reading consumers never see the legacy -1 on a null doc
+    when(toks.isNotNull, filter(grams, g => g.isNotNull))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct n-token shingles — the unit of Jaccard similarity. */

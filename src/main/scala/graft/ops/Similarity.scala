@@ -470,18 +470,22 @@ object Similarity {
       }: _*)
     }.toIndexedSeq: _*)
     val q = queries.select(col(idCol).as("query_id"), distTable.as("_tbl"))
-    // MATERIALIZE the codes (MEMORY_AND_DISK): the broadcast-nested-loop
-    // join's whole-stage codegen evaluates only the join-condition
-    // variables before the build loop and defers every other stream-side
-    // expression INTO it — a lazily-piped pqEncode would re-run its
-    // m·ksub-dot-product argmin once per PAIR instead of once per corpus
-    // row (measured 13×: 31 s → 2.4 s at sf0.1). Persisting is also the
-    // honest PQ regime: codes are the precomputed, stored artifact (m
+    // MATERIALIZE the codes behind a shuffle barrier: the broadcast-
+    // nested-loop join's whole-stage codegen evaluates only the join-
+    // condition variables before the build loop and defers every other
+    // stream-side expression INTO it — a lazily-piped pqEncode would
+    // re-run its m·ksub-dot-product argmin once per PAIR instead of once
+    // per corpus row (measured 13×: 31 s → 2.4 s at sf0.1). A repartition
+    // evaluates the codes into shuffle files (released by the
+    // ContextCleaner with the plan — a `.persist` here would leak a
+    // CacheManager entry per call with no unpersist path, since the
+    // function returns a lazy frame). Materialized codes are also the
+    // honest PQ regime: they are the precomputed, stored artifact (m
     // bytes-ish per vector — the whole point of the compression); a
     // production corpus reads them from disk, it never re-encodes per
     // query batch.
     val c = corpusCodes.select(col(idCol).as("neighbor_id"), col("codes").as("_codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("neighbor_id"))
     // the per-pair score is the hot loop (|Q|·|C| evaluations): m is a
     // plan-time constant, so unroll the lookups into a codegen'd
     // element_at sum — an aggregate(zip_with(...)) lambda here evaluates

@@ -36,19 +36,11 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
   /** Adjacent-token bigrams of a token array: size-1 entries joined with a
-    * single space; empty for <2 tokens. Formulated as
-    * `zip_with(toks, toks[2:], concat)` — the zip pads the shorter shifted
-    * side with null, `concat` nulls that last slot out, and the filter
-    * drops it. An index-lambda formulation
-    * (`transform(sequence(1, n-1), i -> element_at(toks, i) ...)`) computes
-    * the same thing 15-20× slower: per-index `element_at` re-walks the
-    * array data per element, where zip_with is one linear pass.
+    * single space; empty for <2 tokens. Thin alias of the single shared
+    * gram-builder ([[Dedup.gramsFromTokens]] — the one-pass shifted-zip
+    * kernel and its oracle contract live there).
     */
-  def bigrams(toks: Column): Column =
-    filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
+  def bigrams(toks: Column): Column = Dedup.gramsFromTokens(toks, 2)
 
   /** Bigram language-model corpus statistics per document — the
     * memorization/boilerplate signal one step up from
@@ -100,20 +92,24 @@ object TextAnalysis {
     val shortLines = nLinesWhere(l => size(filter(split(l, "\\s+"), w => length(w) > 0)) < 3)
     val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
     val wordChars = aggregate(toks, lit(0), (acc, w) => acc + length(w))
+    // NULL text → NULL metrics (the tokenCount discipline at the top of
+    // this file): with ANSI off, size(null) is the legacy -1, which would
+    // silently skew any downstream sum/mean over the count columns
+    def g(c: Column) = when(col(textCol).isNotNull, c)
     docs.select(col(idCol),
-      nLines.as("n_lines"), nWords.as("n_words"),
-      endPunct.as("n_end_punct_lines"), bullet.as("n_bullet_lines"),
-      ellipsis.as("n_ellipsis_lines"), shortLines.as("n_short_lines"),
-      alphaWords.as("n_alpha_words"),
-      when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
-        .otherwise(lit(0.0)).as("mean_word_len"),
+      g(nLines).as("n_lines"), g(nWords).as("n_words"),
+      g(endPunct).as("n_end_punct_lines"), g(bullet).as("n_bullet_lines"),
+      g(ellipsis).as("n_ellipsis_lines"), g(shortLines).as("n_short_lines"),
+      g(alphaWords).as("n_alpha_words"),
+      g(when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0))).as("mean_word_len"),
       // Gopher rules: >=50 words, mean word length in [3,10], <=90% bullet
       // lines, <=30% ellipsis lines, >=80% alphabetic words
-      (nWords >= 50 && wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+      g(nWords >= 50 && wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
         bullet * 10 <= nLines * 9 && ellipsis * 10 <= nLines * 3 &&
         alphaWords * 10 >= nWords * 8).as("gopher_pass"),
       // C4's structural rule: most lines end in terminal punctuation
-      (endPunct * 2 >= nLines).as("c4_terminal_punct_pass"))
+      g(endPunct * 2 >= nLines).as("c4_terminal_punct_pass"))
   }
 
   /** Deterministic document fingerprint: md5 of normalized text (lowercase,

@@ -472,5 +472,11 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3L)._6 == 2 && got(3L)._4 == 1 && got(3L)._9,
       "both ellipsis spellings counted; '…' line lacks terminal punct")
     assert(got(4L)._3 == 0 && !got(4L)._8, "empty text: zero words, fails")
+    // NULL text → NULL metrics (the tokenCount discipline): the legacy
+    // size(null) = -1 must never leak into a count column
+    val nullRow = TextAnalysis.c4Filters(
+        Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_lines", "n_words", "n_alpha_words", "gopher_pass").head()
+    assert((0 to 3).forall(nullRow.isNullAt), s"NULL text must yield NULL metrics: $nullRow")
   }
 }
