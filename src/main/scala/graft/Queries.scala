@@ -1406,6 +1406,35 @@ object Queries {
         SELECT 'cdc_delete', count(*), ${dsumSql("o_totalprice", 20, 2)} FROM base WHERE o_orderkey % 10 = 0
         ORDER BY stage""")),
 
+    QueryDef("op_group_split",
+      // GROUP-INTEGRITY train/val/test split: the split key is the GROUP
+      // (source domain), not the document — every doc of a domain lands
+      // in ONE split, the leakage guard for near-duplicate-heavy groups
+      // (the C4/url-host practice; a doc-keyed split lets near-dups of
+      // one domain straddle train and eval). Same pure-projection
+      // assignSplit as op_train_split, keyed on source. Output pins the
+      // per-split doc/source counts AND the zero-violation check (no
+      // source spans two splits) in the same row.
+      (s, d) => {
+        val docs = t(s, d, "documents").withColumn("split",
+          Sampling.assignSplit(col("source"), Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        val per = docs.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+        val viol = docs.groupBy(col("source"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_violations"))
+        per.crossJoin(broadcast(viol)).orderBySmall(col("split"))
+      },
+      Some("""WITH a AS (SELECT source, CASE
+          WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+          WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split FROM documents),
+        v AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+          FROM (SELECT source, count(DISTINCT split) AS ns FROM a GROUP BY 1))
+        SELECT split, count(*) AS n_docs, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          v.n_violations
+        FROM a, v GROUP BY split, v.n_violations ORDER BY split""")),
+
     QueryDef("op_cooccurrence",
       // market-basket co-occurrence with Jaccard affinity: distinct
       // (user, item) pairs self-joined on the user key → support per item

@@ -292,7 +292,9 @@ class PlanSpec extends SparkSpec {
           "op_triangles" -> 8,
           // nested-JSON flatten and the RANGE-frame window: one pass +
           // the output range sort each
-          "op_json_flatten" -> 3, "op_range_window" -> 3)) {
+          "op_json_flatten" -> 3, "op_range_window" -> 3,
+          // group-integrity split: two aggs + violation broadcast
+          "op_group_split" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
