@@ -205,4 +205,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("triangleStats == brute triple scan on random graphs (dups/loops/reversals included)") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      // raw edge list with deliberate dirt: duplicates, reversals, loops
+      val raw = (for {
+        u <- 0L until n; v <- 0L until n
+        if u < v && rnd.nextDouble() < 0.2
+      } yield (u, v)).flatMap { case (u, v) =>
+        Seq((u, v)) ++ (if (rnd.nextBoolean()) Seq((v, u)) else Nil)
+      } ++ Seq((3L, 3L), (5L, 5L))
+      val got = graft.ops.Analytics.triangleStats(raw.toDF("s", "t"), "s", "t")
+        .as[(Long, Long, Long, Long, Double)].head()
+      // brute reference over the cleaned undirected edge set
+      val es = raw.collect { case (u, v) if u != v =>
+        (math.min(u, v), math.max(u, v)) }.toSet
+      val vs = es.flatMap(e => Seq(e._1, e._2))
+      val deg = vs.map(x => x -> es.count(e => e._1 == x || e._2 == x)).toMap
+      val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+      val vsSorted = vs.toSeq.sorted
+      val tri = (for {
+        i <- vsSorted.indices.iterator; j <- (i + 1 until vsSorted.size).iterator
+        if es.contains((vsSorted(i), vsSorted(j)))
+        k <- (j + 1 until vsSorted.size).iterator
+        if es.contains((vsSorted(j), vsSorted(k))) && es.contains((vsSorted(i), vsSorted(k)))
+      } yield 1).sum
+      assert(got == ((vs.size.toLong, es.size.toLong, wedges, tri.toLong,
+        if (wedges > 0) 3.0 * tri / wedges else 0.0)), s"seed $seed: got $got")
+    }
+  }
 }
