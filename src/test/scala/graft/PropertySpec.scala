@@ -236,4 +236,64 @@ class PropertySpec extends SparkSpec {
         if (wedges > 0) 3.0 * tri / wedges else 0.0)), s"seed $seed: got $got")
     }
   }
+
+  test("PQ: ADC distance == exact squared L2 to the decoded vector under random codebooks") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(31)
+    val (m, ksub, dsub) = (4, 6, 3)
+    val books: Array[Array[Array[Double]]] = Array.fill(m)(
+      Array.fill(ksub)(Array.fill(dsub)(rnd.nextInt(9) - 4.0)))
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(m * dsub)(rnd.nextInt(9) - 4.0f))).toDF("id", "v")
+    val qs = corpus.where($"id" % 8 === 0)
+    val codes = Similarity.pqEncode(corpus, "id", "v", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    def decode(cs: Seq[Int]): Seq[Double] =
+      cs.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    val got = Similarity.pqAdcTopK(qs, Similarity.pqEncode(corpus, "id", "v", books),
+        "id", "v", books, 40)
+      .select($"query_id", $"neighbor_id", -$"sim").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, adc) =>
+      val want = vecs(q).map(_.toDouble).zip(decode(codes(nb)))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(adc == want, s"q=$q n=$nb adc=$adc want=$want")
+    }
+  }
+
+  test("canonicalizeUrl: idempotent and variant-collapsing under random URL soup") {
+    import graft.ops.Web
+    val rnd = new scala.util.Random(77)
+    val urls = (0 until 200).map { i =>
+      val scheme = if (rnd.nextBoolean()) "http" else "https"
+      val schemeSpelled = if (rnd.nextBoolean()) scheme.toUpperCase else scheme
+      val user = if (rnd.nextInt(4) == 0) "u:p@" else ""
+      val host = Seq.fill(rnd.nextInt(2) + 1)(s"h${rnd.nextInt(5)}").mkString(".") + ".org"
+      val hostSpelled = if (rnd.nextBoolean()) host.toUpperCase else host
+      val port = rnd.nextInt(4) match {
+        case 0 => if (scheme == "http") ":80" else ":443" // default → strips
+        case 1 => ":8080"
+        case _ => ""
+      }
+      val path = Seq.fill(rnd.nextInt(3))(s"P${rnd.nextInt(9)}").mkString("/", "/", "") +
+        (if (rnd.nextBoolean()) "/" else "")
+      val params = Seq(s"utm_source=s$i", s"a=${rnd.nextInt(3)}", "utm_campaign=c")
+        .filter(_ => rnd.nextBoolean())
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = if (rnd.nextBoolean()) "#frag" else ""
+      s"$schemeSpelled://$user$hostSpelled$port$path$query$frag"
+    }
+    val c1 = urls.toDF("u").select(Web.canonicalizeUrl(col("u")).as("c"))
+    val pairs = c1.select($"c", Web.canonicalizeUrl($"c").as("c2"))
+      .as[(String, String)].collect()
+    pairs.foreach { case (a, b) => assert(a == b, s"not a fixed point: $a -> $b") }
+    // canonical forms carry no case-variant scheme/host, userinfo,
+    // default port, utm param, or fragment
+    pairs.map(_._1).foreach { c =>
+      assert(c.startsWith("http://") || c.startsWith("https://"), c)
+      assert(!c.contains("@") && !c.contains("#") && !c.contains("utm_"), c)
+      assert(!c.matches("https://[^/]*:443(/.*)?") && !c.matches("http://[^/]*:80(/.*)?"), c)
+    }
+  }
 }
