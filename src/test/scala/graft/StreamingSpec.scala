@@ -380,4 +380,41 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("cur_out").select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), s"near-dup re-deliveries must collapse, got $kept")
   }
+
+  test("streaming web curation: blocklist + quality gate + canonical-URL dedup on a doc stream") {
+    // the web-curation front end streams as pure projections: the batch
+    // anti-join blocklist becomes a per-row exists() over the extracted
+    // hosts (a stream cannot re-aggregate its own hit set), the quality
+    // gate is a scalar predicate, and the stateful tail is canonical-URL
+    // exactly-once within the watermark — spelling variants of one URL
+    // collapse across micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val blocklist = Seq("evil.org")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val unblocked = docs.where(!exists(graft.ops.Web.urlHosts(col("text")),
+      h => graft.ops.Web.registeredDomain(h).isInCollection(blocklist)))
+    val gated = unblocked
+      .where(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 2)
+      .withColumn("url", explode(regexp_extract_all(col("text"),
+        lit("(?i)https?://[^\\s]+"), lit(0))))
+      .withColumn("cu", graft.ops.Web.canonicalizeUrl(col("url")))
+    val deduped = Streaming.dedupByIdWithWatermark(gated, "ts", "1 hour", "cu")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("webcur_out").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "see https://A.org/x/?utm_source=f"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "see https://bad.evil.org/mal"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "see https://a.org/x"))  // variant of doc 1's URL
+    q.processAllAvailable()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 4L, "see HTTPS://a.ORG:443/x#z"), // same again
+      (java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 5L, "see http://other.net/y"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("webcur_out").select("doc_id").as[Long].collect().toSet
+    // doc 2 blocked; docs 3 and 4 are canonical dups of doc 1's URL
+    assert(kept == Set(1L, 5L), s"expected blocklist drop + canonical dedup, got $kept")
+  }
 }
