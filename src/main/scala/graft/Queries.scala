@@ -2937,6 +2937,40 @@ object Queries {
           SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
           FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    QueryDef("ann_pq_rerank",
+      // the production TWO-STAGE retrieval shape: coarse PQ/ADC recall
+      // (top-20 shortlist per query — compressed codes, m lookups per
+      // pair) → EXACT cosine re-rank of the shortlist (top-5). Both
+      // stages on the integer lattice, so the oracle replays the whole
+      // funnel: the ADC stage via the product-grid closed form (see
+      // ann_pq_topk) and the re-rank via the same exactly-rounded cosine
+      // arithmetic every ANN oracle hash-agrees on.
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("v"))
+        val codes = Similarity.pqEncode(base, "vec_id", "v", pqGridBooks)
+        val cand = Similarity.pqAdcTopK(base.where(pmod(col("vec_id"), lit(10L)) === 0),
+          codes, "vec_id", "v", pqGridBooks, k = 20)
+        Similarity.rerankExact(cand, base, "vec_id", "v", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        iv AS (SELECT vec_id, [CAST(v[i] AS INTEGER) FOR i IN generate_series(1, $LatDims)] AS w FROM base),
+        codes AS (SELECT vec_id,
+            [GREATEST(-4, LEAST(6, w[i] - ABS(w[i] % 2))) FOR i IN generate_series(1, $LatDims)] AS q
+          FROM iv),
+        scored AS (SELECT b.vec_id AS qid, c.vec_id AS nid,
+            list_sum([(b.w[i] - c.q[i]) * (b.w[i] - c.q[i]) FOR i IN generate_series(1, $LatDims)]) AS dist
+          FROM iv b JOIN codes c ON c.vec_id <> b.vec_id WHERE b.vec_id % 10 = 0),
+        cand AS (SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS r
+            FROM scored) WHERE r <= 20),
+        ex AS (SELECT c.qid, c.nid, ${cosSql("bq.v", "bn.v")} AS sim
+          FROM cand c JOIN base bq ON c.qid = bq.vec_id JOIN base bn ON c.nid = bn.vec_id)
+        SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          FROM ex) WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     QueryDef("emb_near_dup",
       // The driver embeddings have NO true near-dups (measured max pairwise
       // cosine 0.479), and at cos 0.4 SRP-LSH is ~N^1.66 for ANY parameters

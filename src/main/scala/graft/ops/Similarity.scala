@@ -499,4 +499,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), (-adcDist).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Exact-cosine re-rank of a candidate pair table — the second stage of
+    * the production retrieve→re-rank pattern (coarse PQ/IVF/LSH recall,
+    * exact precision on the shortlist). `candidates` carries
+    * (query_id, neighbor_id) and is BOUNDED by the first stage's k, so it
+    * broadcasts through both vector-lookup joins: the corpus streams once
+    * per lookup and never shuffles, and the final top-k is the same
+    * bounded [[topKPerQuery]] aggregation as every other ANN tail.
+    */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+    val withQ = q.join(broadcast(candidates.select(col("query_id"), col("neighbor_id"))),
+      "query_id")
+    val scored = c.join(broadcast(withQ), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_nv")).as("sim"))
+    topKPerQuery(scored, k)
+  }
 }

@@ -298,7 +298,10 @@ class PlanSpec extends SparkSpec {
           // winsorize printed 17.6s once in a noise window on its
           // untouched shape — pin the floor so noise can never be
           // mistaken for a plan regression (window sort + bounds agg)
-          "op_winsorize" -> 3)) {
+          "op_winsorize" -> 3,
+          // two-stage retrieve→re-rank: codes repartition + ADC topk +
+          // two broadcast builds + re-rank agg
+          "ann_pq_rerank" -> 6)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
