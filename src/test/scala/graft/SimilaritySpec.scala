@@ -280,6 +280,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"mean ADC recall@5 $mean < 0.8")
   }
 
+  test("retrieve->re-rank: exact re-rank of a PQ shortlist beats plain PQ top-5 recall") {
+    // same planted-cluster regime as the pqTrain test, but with TEN-member
+    // clusters: plain PQ top-5 picks an arbitrary 5-of-9 among code-tied
+    // mates, while re-ranking a top-9+ shortlist by exact cosine recovers
+    // the true top-5 — the measurable value of the second stage
+    val rnd = new scala.util.Random(4242)
+    val seeds = Array.fill(12)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (s <- 0 until 12; j <- 0 until 10) yield {
+      val v = seeds(s).clone()
+      v(j % 16) = v(j % 16) + 0.05f * (j - 5)
+      ((s * 10 + j).toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where($"vec_id" % 10 === 0)
+    val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8, dims = 16, iters = 3)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+    def recallOf(res: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+      val rs = want.map { case (q, w) => res.getOrElse(q, Set.empty).intersect(w).size.toDouble / w.size }
+      rs.sum / rs.size
+    }
+    def toSets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val exact = toSets(Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", 5))
+    val plain = toSets(Similarity.pqAdcTopK(qs, codes, "vec_id", "embedding", books, 5))
+    val shortlist = Similarity.pqAdcTopK(qs, codes, "vec_id", "embedding", books, 20)
+    val reranked = toSets(Similarity.rerankExact(shortlist, corpus, "vec_id", "embedding", 5))
+    val (rPlain, rRerank) = (recallOf(plain, exact), recallOf(reranked, exact))
+    assert(rRerank >= rPlain, s"re-rank recall $rRerank < plain PQ recall $rPlain")
+    assert(rRerank >= 0.95, s"re-ranked recall@5 $rRerank < 0.95")
+  }
+
   test("ADC distance equals exact squared L2 to the reconstructed (decoded) vector") {
     val books: Array[Array[Array[Double]]] = Array(
       Array(Array(0.0, 0.0), Array(2.0, 2.0)),
