@@ -1435,6 +1435,56 @@ object Queries {
           v.n_violations
         FROM a, v GROUP BY split, v.n_violations ORDER BY split""")),
 
+    QueryDef("op_view_maintenance",
+      // incremental materialized-view maintenance: a per-group
+      // (count, decimal-sum) rollup of the ACID table is refreshed from
+      // the v0→v1 CDC DIFF alone (Aggregates.maintainSumCount — cost
+      // O(changes), never a base rescan), and the oracle is the FULL
+      // recompute over v1: the delta-maintained aggregate must equal the
+      // from-scratch one bit for bit, which is the entire contract of
+      // view maintenance. Groups are pmod(o_orderkey, 7) so the negative
+      // planted keys land in well-defined buckets both engines agree on.
+      (s, d) => {
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_mv_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val updates = base.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
+            .select((-col("o_orderkey") - 1).as("o_orderkey"),
+              lit(1.0).as("o_totalprice")))
+        val mt = ManifestTable(s, root)
+        val v0 = mt.overwrite(base)
+        val v1 = mt.merge(updates, Seq("o_orderkey"))
+        val dec = (c: Column) => c.cast("decimal(20,2)")
+        val oldAgg = mt.snapshotAt(v0)
+          .groupBy(pmod(col("o_orderkey"), lit(7L)).as("g"))
+          .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sum_val"))
+        val cdc = mt.diff(v0, v1).withColumn("g", pmod(col("o_orderkey"), lit(7L)))
+        Aggregates.maintainSumCount(oldAgg, cdc, Seq("g"), dec(col("o_totalprice")))
+          .select(col("g"), col("cnt"), col("sum_val").cast("double").as("sum_price"))
+          .orderBySmall(col("g"))
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT -o_orderkey - 1, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
+        v1 AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+          UNION ALL SELECT o_orderkey, o_totalprice FROM upd)
+        SELECT ((o_orderkey % 7) + 7) % 7 AS g, count(*) AS cnt,
+          ${dsumSql("o_totalprice", 20, 2)} AS sum_price
+        FROM v1 GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_cooccurrence",
       // market-basket co-occurrence with Jaccard affinity: distinct
       // (user, item) pairs self-joined on the user key → support per item

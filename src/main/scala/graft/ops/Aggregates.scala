@@ -79,6 +79,36 @@ object Aggregates {
   /** Top-k by an explicit total order — Spark plans this as
     * TakeOrderedAndProject (no full sort, no full shuffle of the data).
     */
+  /** Incremental materialized-view maintenance for a per-group
+    * (count, sum) aggregate: apply a full-row CDC diff ([[ManifestTable.diff]]
+    * shape — `_change` ∈ insert|delete, updates arrive as delete+insert)
+    * to a previously-computed aggregate WITHOUT rescanning the base table
+    * — the delta-maintenance identity `new = old ⊎ (+inserts, −deletes)`
+    * that makes a 100-TB rollup refresh cost O(changes), not O(table).
+    *
+    * `oldAgg` carries the group keys plus `cnt` (long) and `sum_val`
+    * (DECIMAL — the caller keeps the sum in decimal between refreshes so
+    * the maintained value stays EXACTLY equal to a full recompute in any
+    * application order; a double sum would drift by reassociation).
+    * Groups may appear (full-outer + coalesce) and disappear (cnt 0 rows
+    * drop). One aggregation over the diff + one join against the old
+    * aggregate — both group-cardinality-sized, never table-sized.
+    */
+  def maintainSumCount(oldAgg: DataFrame, cdc: DataFrame,
+                       keys: Seq[String], valCol: Column): DataFrame = {
+    val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
+    val delta = cdc.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("_dn"),
+        sum(valCol * sign).as("_dsum"))
+    // lit(0) coerces to the decimal type of each side's sum column
+    val outCols = keys.map(col) ++ Seq(
+      (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("cnt"),
+      (coalesce(col("sum_val"), lit(0)) + coalesce(col("_dsum"), lit(0))).as("sum_val"))
+    oldAgg.join(delta, keys, "full_outer")
+      .select(outCols: _*)
+      .where(col("cnt") > 0)
+  }
+
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 }

@@ -264,4 +264,25 @@ class AggregatesSpec extends SparkSpec {
       assert(jobs <= 2, s"standardizeStats ran $jobs jobs (bound 2: probe + final agg)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("maintainSumCount: delta-maintained aggregate == full recompute; groups appear and disappear") {
+    import org.apache.spark.sql.functions._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,2)")
+    val before = Seq(("a", 10.0), ("a", 5.0), ("b", 2.0), ("c", 7.0)).toDF("g", "v")
+    val after = Seq(("a", 10.0), ("a", 20.0), ("d", 1.0)).toDF("g", "v")
+    // CDC in ManifestTable.diff shape: multiset difference, full rows
+    val cdc = Seq(
+      ("a", 20.0, "insert"), ("d", 1.0, "insert"),            // d APPEARS
+      ("a", 5.0, "delete"), ("b", 2.0, "delete"), ("c", 7.0, "delete")) // b, c VANISH
+      .toDF("g", "v", "_change")
+    val oldAgg = before.groupBy($"g").agg(count(lit(1)).as("cnt"), sum(dec($"v")).as("sum_val"))
+    val got = Aggregates.maintainSumCount(oldAgg, cdc, Seq("g"), dec($"v"))
+      .select($"g", $"cnt", $"sum_val".cast("double")).as[(String, Long, Double)]
+      .collect().toSet
+    val want = after.groupBy($"g").agg(count(lit(1)).as("cnt"), sum(dec($"v")).as("sum_val"))
+      .select($"g", $"cnt", $"sum_val".cast("double")).as[(String, Long, Double)]
+      .collect().toSet
+    assert(got == want, s"incremental $got != full $want")
+    assert(got.map(_._1) == Set("a", "d"), "b/c must drop at cnt 0; d must appear")
+  }
 }

@@ -301,7 +301,9 @@ class PlanSpec extends SparkSpec {
           "op_winsorize" -> 3,
           // two-stage retrieve→re-rank: codes repartition + ADC topk +
           // two broadcast builds + re-rank agg
-          "ann_pq_rerank" -> 6)) {
+          "ann_pq_rerank" -> 6,
+          // view maintenance: v0 write + COW merge + the delta-join read
+          "op_view_maintenance" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
