@@ -417,4 +417,40 @@ class StreamingSpec extends SparkSpec {
     // doc 2 blocked; docs 3 and 4 are canonical dups of doc 1's URL
     assert(kept == Set(1L, 5L), s"expected blocklist drop + canonical dedup, got $kept")
   }
+
+  test("streaming rollup maintenance: a CDC stream maintains the aggregate == full recompute") {
+    // foreachBatch + maintainSumCount: each micro-batch of change rows
+    // refreshes the rollup in O(changes) — the streaming materialized-view
+    // pattern; after any prefix of batches the maintained state must equal
+    // recomputing from the accumulated row multiset
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,2)")
+    val input = MemoryStream[(String, Double, String)]
+    var state = Seq.empty[(String, Long, java.math.BigDecimal)]
+      .toDF("g", "cnt", "sum_val").withColumn("sum_val", dec($"sum_val"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+    val q = input.toDF().toDF("g", "v", "_change").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+        rows ++= b
+        state = graft.ops.Aggregates.maintainSumCount(state, batch, Seq("g"), dec($"v"))
+          .localCheckpoint(true) // pin each refresh (real deployments write a table)
+        ()
+      }.start()
+    input.addData(("a", 1.0, "insert"), ("a", 2.0, "insert"), ("b", 5.0, "insert"))
+    q.processAllAvailable()
+    input.addData(("a", 1.0, "delete"), ("b", 5.0, "delete"), ("c", 7.0, "insert"))
+    q.processAllAvailable()
+    q.stop()
+    val got = state.select($"g", $"cnt", $"sum_val".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val live = rows.foldLeft(Map.empty[(String, Double), Int]) { case (m, (g, v, ch)) =>
+      m.updated((g, v), m.getOrElse((g, v), 0) + (if (ch == "insert") 1 else -1))
+    }.filter(_._2 > 0)
+    val want = live.groupBy(_._1._1).map { case (g, xs) =>
+      (g, xs.values.sum.toLong, xs.map { case ((_, v), n) => v * n }.sum) }.toSet
+    assert(got == want, s"maintained $got != recompute $want")
+    assert(got.map(_._1) == Set("a", "c"), "b must vanish at cnt 0")
+  }
 }
