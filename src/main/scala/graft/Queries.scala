@@ -97,6 +97,52 @@ object Queries {
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
 
+  /** Deterministically constructed HTML page per document (the corpus has
+    * no markup — the op05 construct-and-parse pattern): a head with title
+    * and style, a body-level script, an entity-bearing paragraph wrapping
+    * the document text, one anchor, and a comment. [[Web.stripHtml]] must
+    * recover exactly `"A & B: <text> more <doc_id>"` — head/script/style/
+    * comment content must vanish, the anchor text must survive, and
+    * `&amp;` must single-decode.
+    */
+  private def htmlDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("html",
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>" +
+          "<script>var x=1&amp;2;</script><p>A &amp; B: "),
+        col("text"),
+        lit("</p><a href=\"https://sub"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("."), col("source"), lit(".org/d/"), col("doc_id").cast("string"),
+        lit("\">more "), col("doc_id").cast("string"),
+        lit("</a><!-- tracker --></body></html>")))
+
+  private val htmlDocsSql: String =
+    """hd AS (SELECT doc_id, source, text,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>p{color:red}</style></head><body><script>var x=1&amp;2;</script><p>A &amp; B: ' ||
+        text || '</p><a href="https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
+        '.org/d/' || CAST(doc_id AS VARCHAR) || '">more ' || CAST(doc_id AS VARCHAR) ||
+        '</a><!-- tracker --></body></html>' AS html
+      FROM documents)"""
+
+  /** DuckDB mirror of [[graft.ops.Web.stripHtml]]: the identical pattern
+    * chain over an input CTE `$src`(…, $htmlCol) → CTE `ext` with every
+    * `$src` column plus `extracted`. Kept adjacent to the canonical-URL
+    * mirror for the same no-drift reason.
+    */
+  private def stripHtmlCteSql(src: String, htmlCol: String): String =
+    s"""sh1 AS (SELECT *, regexp_replace($htmlCol, '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g') AS sh_a FROM $src),
+      sh2 AS (SELECT *, regexp_replace(regexp_replace(sh_a, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS sh_b FROM sh1),
+      sh3 AS (SELECT *, regexp_replace(regexp_replace(sh_b, '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g') AS sh_c FROM sh2),
+      ext AS (SELECT *, trim(regexp_replace(
+          replace(replace(replace(replace(replace(sh_c,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS extracted
+        FROM sh3)"""
+
   /** DuckDB mirror of [[graft.ops.Web.canonicalizeUrl]] as chained CTEs
     * over `src`(doc_id, url) → CTE `canon`(doc_id, canonical_url). One
     * definition feeds every canonical-URL oracle (web_url_dedup, the web
@@ -2427,6 +2473,154 @@ object Queries {
         SELECT canonical_url, count(*) AS n_mentions,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
         FROM canon GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("web_html_extract",
+      // HTML → visible text (the crawl-to-corpus step): constructed markup
+      // wraps every document (htmlDocs — head/style/script/comment
+      // boilerplate, an entity-bearing paragraph, one anchor), and
+      // Web.stripHtml must recover exactly "A & B: <text> more <id>" —
+      // boilerplate CONTENT gone, anchor text kept, &amp; single-decoded.
+      // Per-source recovery audit: n_recovered == n_docs is the pinned
+      // invariant, sum_chars pins the exact extracted bytes. Linear
+      // regex chain in codegen; the only shuffle is the final bounded agg
+      (s, d) => {
+        val expected = concat(lit("A & B: "), col("text"),
+          lit(" more "), col("doc_id").cast("string"))
+        htmlDocs(s, d)
+          .withColumn("extracted", Web.stripHtml(col("html")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("extracted") === expected, 1L).otherwise(0L)).as("n_recovered"),
+            sum(length(col("extracted")).cast("long")).as("sum_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some(s"""WITH $htmlDocsSql,
+        ${stripHtmlCteSql("hd", "html")}
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN extracted = 'A & B: ' || text || ' more ' || CAST(doc_id AS VARCHAR)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+          CAST(sum(len(extracted)) AS BIGINT) AS sum_chars
+        FROM ext GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("web_link_graph",
+      // hyperlink graph + anchor-text corpus from markup: every page
+      // carries a self link (its source's .org domain) and a messy
+      // cross link (mixed case, www, default port, utm params) to a hub
+      // domain in the same namespace — so each srcK.org aggregates BOTH
+      // clean self links and canonicalization-normalized hub links.
+      // htmlLinks explodes anchors once; the canonical chain and eTLD+1
+      // rollup are linear projections; the per-domain agg is bounded by
+      // the domain vocabulary. Anchor chars pin the anchor-text side
+      (s, d) => {
+        val pages = t(s, d, "documents").withColumn("html", concat(
+          lit("<p>intro</p><a href=\"https://"), col("source"),
+          lit(".org/d/"), col("doc_id").cast("string"),
+          lit("\">self link "), col("doc_id").cast("string"),
+          lit("</a><div><A HREF=\"HTTP://www.src"), pmod(col("doc_id"), lit(5L)).cast("string"),
+          lit(".ORG:80/hub/?utm_source=crawl\">Hub  page</A></div>")))
+        val links = Web.htmlLinks(pages, "doc_id", "html")
+        val canon = links
+          .withColumn("curl", Web.canonicalizeUrl(col("href")))
+          .withColumn("domain", Web.registeredDomain(
+            regexp_extract(col("curl"), "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)))
+        canon.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("min_doc"),
+            sum(length(col("anchor")).cast("long")).as("anchor_chars"))
+          .orderBySmall(col("domain"))
+      },
+      Some(s"""WITH pg AS (SELECT doc_id, source,
+          '<p>intro</p><a href="https://' || source || '.org/d/' || CAST(doc_id AS VARCHAR) ||
+          '">self link ' || CAST(doc_id AS VARCHAR) ||
+          '</a><div><A HREF="HTTP://www.src' || CAST(doc_id % 5 AS VARCHAR) ||
+          '.ORG:80/hub/?utm_source=crawl">Hub  page</A></div>' AS html
+        FROM documents),
+        el AS (SELECT doc_id,
+          unnest(regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>', 0)) AS elem,
+          generate_subscripts(regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>', 0), 1) - 1 AS pos
+        FROM pg),
+        lk AS (SELECT doc_id, doc_id * 1000 + pos AS link_id,
+          regexp_extract(elem, '(?i)href="([^"]*)"', 1) AS url,
+          trim(regexp_replace(regexp_extract(elem, '(?is)^<a\\s[^>]*>(.*)</a>$$', 1), '\\s+', ' ', 'g')) AS anchor
+        FROM el),
+        cu AS (SELECT link_id AS doc_id, url FROM lk),
+        ${canonicalCteSql("cu")},
+        dm0 AS (SELECT l.doc_id, l.anchor,
+          regexp_extract(c.canonical_url, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host
+        FROM lk l JOIN canon c ON c.doc_id = l.link_id),
+        dm AS (SELECT doc_id, anchor,
+          CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+            ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+        FROM dm0)
+        SELECT domain, count(*) AS n_links,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc,
+          CAST(sum(len(anchor)) AS BIGINT) AS anchor_chars
+        FROM dm GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_record_linkage",
+      // blocked record linkage (entity resolution): a dirty copy of the
+      // customer table is constructed with four deterministic corruption
+      // classes (exact / '#'→'-' / 'Mr ' prefix / trailing char; every
+      // 11th record is scrambled beyond repair), candidates come from an
+      // EQUI-join on a corruption-stable blocking key (8 of the 9 name
+      // digits → blocks of ≤10 at ANY scale factor — candidate volume
+      // linear, never all-pairs), and block-mates verify by Levenshtein
+      // ≤ 3 with best-match-per-record resolution (min dist, min id).
+      // Output: per-distance match counts with the identity check
+      // (n_correct == n_pairs pins that every match found the TRUE
+      // entity) plus the dist=-1 unmatched row — exactly the scrambled
+      // records, the recall/cost trade made visible
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val clean = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+          substring(col("c_name"), 10, 8).as("block"))
+        val dirty = cust.select(col("c_custkey").as("id"),
+          when(pmod(col("c_custkey"), lit(11L)) === 0,
+            concat(lit("zz"), reverse(col("c_name"))))
+            .when(pmod(col("c_custkey"), lit(4L)) === 1,
+              replace(col("c_name"), lit("#"), lit("-")))
+            .when(pmod(col("c_custkey"), lit(4L)) === 2,
+              concat(lit("Mr "), col("c_name")))
+            .when(pmod(col("c_custkey"), lit(4L)) === 3,
+              concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("name"))
+          .withColumn("block",
+            substring(regexp_extract(col("name"), "[0-9]{5,}", 0), 1, 8))
+        val m = Linkage.bestMatch(clean, dirty, maxDist = 3)
+        val matched = m.groupBy(col("dist"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("clean_id") === col("dirty_id"), 1L).otherwise(0L)).as("n_correct"))
+        // the unmatched set is corpus-sized in the worst case — merge, not broadcast
+        val un = dirty
+          .join(m.select(col("dirty_id").as("id")).hint("merge"), Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(lit(-1).as("dist"), col("n_pairs"), lit(0L).as("n_correct"))
+        matched.unionByName(un).orderBySmall(col("dist"))
+      },
+      Some("""WITH clean AS (SELECT c_custkey AS id, c_name AS name,
+          substr(c_name, 10, 8) AS block FROM customer),
+        dirty AS (SELECT id, name, substr(regexp_extract(name, '[0-9]{5,}'), 1, 8) AS block
+          FROM (SELECT c_custkey AS id, CASE
+            WHEN c_custkey % 11 = 0 THEN 'zz' || reverse(c_name)
+            WHEN c_custkey % 4 = 1 THEN replace(c_name, '#', '-')
+            WHEN c_custkey % 4 = 2 THEN 'Mr ' || c_name
+            WHEN c_custkey % 4 = 3 THEN c_name || 'x'
+            ELSE c_name END AS name FROM customer)),
+        cand AS (SELECT d.id AS dirty_id, c.id AS clean_id,
+            levenshtein(d.name, c.name) AS dist
+          FROM dirty d JOIN clean c ON d.block = c.block
+          WHERE levenshtein(d.name, c.name) <= 3),
+        m AS (SELECT dirty_id, clean_id, dist FROM (SELECT dirty_id, clean_id, dist,
+            row_number() OVER (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn
+          FROM cand) WHERE rn = 1)
+        SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_pairs,
+          CAST(sum(CASE WHEN clean_id = dirty_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM m GROUP BY 1
+        UNION ALL
+        SELECT CAST(-1 AS INTEGER), count(*), CAST(0 AS BIGINT) FROM dirty d
+          WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.dirty_id = d.id)
+        ORDER BY dist""")),
 
     QueryDef("txt_vocab_coverage",
       // tokenizer-vocab head curve: top-100 tokens with the cumulative

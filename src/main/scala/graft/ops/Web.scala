@@ -138,4 +138,71 @@ object Web {
     // must sort-merge; only the blocklist side above may broadcast
     docs.join(hit.hint("merge"), Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // HTML processing — the step between "crawled bytes" and "document
+  // text" in every web-corpus pipeline (C4, RefinedWeb, CCNet all start
+  // from WET/WARC-extracted markup). A full extractor (trafilatura-class)
+  // carries a DOM; the distributed-pipeline reality is that 95% of the
+  // value is boilerplate removal + tag stripping + entity decoding, all
+  // of which are linear regex passes that stay in codegen with no
+  // shuffle. Patterns are RE2-class (inline (?is) flags, non-greedy
+  // quantifiers, no lookahead/backreferences) so the identical pattern
+  // text runs under Spark's java.util.regex and DuckDB's RE2.
+  // ------------------------------------------------------------------
+
+  /** Visible-text extraction from HTML markup. Order matters and each
+    * step is load-bearing:
+    *   1. `<head>…</head>` drops whole — title/meta/style/script in the
+    *      head are boilerplate, not document text;
+    *   2. body-level `<script>`/`<style>` elements drop with their
+    *      CONTENT (tag-stripping alone would leak javascript and CSS
+    *      into the corpus — the classic bad-extractor artifact);
+    *   3. comments drop;
+    *   4. every remaining tag becomes a space (block boundaries must
+    *      not glue words together);
+    *   5. the five predefined character entities decode, `&amp;` LAST so
+    *      `&amp;lt;` yields the literal text `&lt;` (single-decode,
+    *      never double);
+    *   6. whitespace collapses and trims.
+    * Pure expression chain: linear scan, whole-stage codegen, no
+    * shuffle, and embarrassingly parallel at any corpus size.
+    */
+  def stripHtml(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?is)<head\\b[^>]*>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Every complete `<a …>…</a>` element, in document order. Non-greedy
+    * body so adjacent anchors split correctly; (?is) tolerates attribute
+    * case and multi-line elements.
+    */
+  val anchorElemPattern: String = "(?is)<a\\s[^>]*>.*?</a>"
+
+  def htmlAnchors(html: Column): Column =
+    regexp_extract_all(html, lit(anchorElemPattern), lit(0))
+
+  /** (doc, link ordinal, href, anchor text) — one row per hyperlink: the
+    * raw material of a link graph AND of an anchor-text corpus (anchor
+    * text is the highest-signal free supervision the web offers — it is
+    * other authors describing the target). Linear extract + one explode;
+    * no shuffle. `idCol` must be numeric; link_id = id*1000+ordinal keys
+    * each link uniquely (an element count that would overflow 1000 links
+    * is itself a spam signal upstream).
+    */
+  def htmlLinks(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    docs.select(col(idCol), posexplode(htmlAnchors(col(htmlCol))).as(Seq("pos", "elem")))
+      .select(col(idCol),
+        (col(idCol) * 1000 + col("pos")).as("link_id"),
+        regexp_extract(col("elem"), "(?i)href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_replace(
+          regexp_extract(col("elem"), "(?is)^<a\\s[^>]*>(.*)</a>$", 1),
+          "\\s+", " ")).as("anchor"))
 }

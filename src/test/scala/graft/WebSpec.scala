@@ -133,4 +133,57 @@ class WebSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == Set(("https://a.org/x", 3L, 2L, 1L), ("http://other.net/y", 1L, 1L, 2L)))
   }
+
+  // ---------------- HTML extraction ----------------
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h").select(Web.stripHtml(col("h"))).as[String].head()
+
+  test("stripHtml drops head/script/style CONTENT, not just the tags") {
+    val html = "<html><head><title>Boiler</title><style>p{x}</style></head>" +
+      "<body><script type=\"text/javascript\">var leak = 1;</script>" +
+      "<p>keep me</p><style>.leak{}</style></body></html>"
+    assert(strip(html) == "keep me")
+  }
+
+  test("stripHtml: tags become word boundaries, comments vanish, whitespace collapses") {
+    assert(strip("<p>a</p><p>b</p>") == "a b") // block tags must not glue words
+    assert(strip("x<!-- hidden <b>bold</b> -->y") == "x y")
+    assert(strip("  a\n\t b   <br/>c ") == "a b c")
+  }
+
+  test("stripHtml decodes the five predefined entities exactly once") {
+    assert(strip("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;") ==
+      "a & b <tag> \"q\" 's'")
+    // &amp;lt; is the ESCAPED text "&lt;" — must not double-decode to "<"
+    assert(strip("literal &amp;lt;") == "literal &lt;")
+  }
+
+  test("stripHtml on case-variant and multi-line boilerplate") {
+    assert(strip("<SCRIPT>\nvar a = 2;\n</SCRIPT>ok<STYLE\n>b{}</STYLE>") == "ok")
+  }
+
+  test("htmlLinks: adjacent anchors split, href + collapsed anchor text per link") {
+    val pages = Seq((7L,
+      "<a href=\"https://a.org/1\">one</a><a  href=\"https://b.org/2\"><b>two\n words</b></a>" +
+        "<A HREF=\"https://c.org/3\">CAPS</A>")).toDF("doc_id", "html")
+    val got = Web.htmlLinks(pages, "doc_id", "html")
+      .select(col("link_id"), col("href"), col("anchor"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    // anchor text is the raw inner content, whitespace-collapsed — inner
+    // markup survives here (stripHtml composes on top when plain anchor
+    // text is wanted)
+    assert(got == Seq(
+      (7000L, "https://a.org/1", "one"),
+      (7001L, "https://b.org/2", "<b>two words</b>"),
+      (7002L, "https://c.org/3", "CAPS")))
+  }
+
+  test("htmlLinks: anchor without href yields empty href, no row is lost") {
+    val pages = Seq((1L, "<a name=\"x\" >no target</a> and <a href=\"https://y.org\">y</a>"))
+      .toDF("doc_id", "html")
+    val got = Web.htmlLinks(pages, "doc_id", "html")
+      .select(col("href"), col("anchor")).as[(String, String)].collect().toMap
+    assert(got == Map("" -> "no target", "https://y.org" -> "y"))
+  }
 }
