@@ -2622,6 +2622,51 @@ object Queries {
           WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.dirty_id = d.id)
         ORDER BY dist""")),
 
+    QueryDef("op_bfs",
+      // multi-source BFS hop distance (graph family: CC, PageRank,
+      // triangles, now shortest hops): the undirected customer–supplier
+      // bipartite graph from orders⋈lineitem, seeded at every 100th
+      // supplier. Level-synchronous frontier expansion (Analytics.bfsHops
+      // — one equi-join per hop, anti-join against the settled set,
+      // rounds ≤ min(diameter, 6)); the oracle replays it as a bounded-
+      // depth recursive CTE with min-distance resolution. Output: node
+      // counts per hop level plus the dist=-1 unreachable row
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = t(s, d, "supplier").where(col("s_suppkey") % 100 === 0)
+          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+        val dist = Analytics.bfsHops(e, seeds, maxHops = 6)
+        val nodes = e.select(col("src").as("node")).distinct()
+        val reached = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        val unreached = nodes
+          .join(dist.select(col("node")).hint("merge"), Seq("node"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(-1).as("dist"), col("n_nodes"))
+        reached.unionByName(unreached).orderBySmall(col("dist"))
+      },
+      Some("""WITH RECURSIVE e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+            's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        seeds AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey % 100 = 0),
+        r AS (SELECT node, 0 AS d FROM seeds
+          UNION
+          SELECT e.dst AS node, r.d + 1 AS d FROM r JOIN e ON e.src = r.node WHERE r.d < 6),
+        b AS (SELECT node, min(d) AS dist FROM r GROUP BY node),
+        nodes AS (SELECT DISTINCT src AS node FROM e)
+        SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_nodes FROM b GROUP BY 1
+        UNION ALL
+        SELECT CAST(-1 AS INTEGER), count(*) FROM nodes n
+          WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.node = n.node)
+        ORDER BY dist""")),
+
     QueryDef("txt_vocab_coverage",
       // tokenizer-vocab head curve: top-100 tokens with the cumulative
       // share of all token occurrences they cover; integer counts, one

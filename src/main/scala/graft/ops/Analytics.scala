@@ -706,4 +706,49 @@ object Analytics {
           (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Multi-source BFS hop distance: the minimum number of edges from any
+    * seed to each reachable node, level-synchronous (one frontier⋈edges
+    * round per hop — the Pregel iteration shape, same scale argument as
+    * `Dedup.dedupClusters`' pointer-jumping branch). Rounds are bounded
+    * by min(diameter, maxHops); each round is ONE equi-join on the edge
+    * key plus an anti-join against the settled set — never all-pairs, and
+    * the shuffle volume per round is |frontier adjacency|, not |graph|.
+    *
+    * `edges` is directed (src, dst) — callers wanting undirected reach
+    * union the reverse. Every round `localCheckpoint`s: the settled set
+    * and frontier are re-read each iteration, and without truncation the
+    * lineage (and the replayed join DAG) would double per hop. The
+    * per-round `isEmpty` early-stop is a driver-side COUNT of a
+    * frontier that is already materialized — bounded work, and the loop
+    * never runs a round past convergence.
+    *
+    * Returns (node, dist) for reached nodes only; dist 0 = the seeds.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val seed0 = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    // per-hop frontiers are DISJOINT by construction (each is anti-joined
+    // against everything before it), so the settled set is kept as the
+    // lazy union of the checkpointed frontiers — re-materializing the
+    // whole union every round would write O(rounds · |reached|) instead
+    // of O(|reached|) total, and the union-of-checkpoints plan stays flat
+    // (one leaf per hop, rounds ≤ maxHops)
+    var parts = List(seed0)
+    var frontier = seed0
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val settled = parts.reduce(_.unionByName(_))
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        // settled grows toward graph size — the anti-join must sort-merge
+        .join(settled.select(col("node")).hint("merge"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop)).localCheckpoint(true)
+      parts = parts :+ next
+      frontier = next
+    }
+    parts.reduce(_.unionByName(_))
+  }
 }

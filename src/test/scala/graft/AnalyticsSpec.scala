@@ -113,4 +113,36 @@ class AnalyticsSpec extends SparkSpec {
     val dirty = Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (1L, 2L), (2L, 0L))
     assert(stats(dirty) == ((3L, 3L, 3L, 1L, 1.0)))
   }
+
+  private def undirected(es: Seq[(String, String)]) =
+    (es ++ es.map(_.swap)).toDF("src", "dst")
+
+  test("bfsHops: path graph distances, disconnected component unreached") {
+    val e = undirected(Seq("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "y"))
+    val got = Analytics.bfsHops(e, Seq("a").toDF("node"), maxHops = 6)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3)) // x, y absent
+  }
+
+  test("bfsHops: multi-source takes the minimum over seeds; cycles terminate") {
+    // ring of 6 with seeds at opposite nodes → max dist must be 1..2, not 3+
+    val ring = (0 to 5).map(i => i.toString -> ((i + 1) % 6).toString)
+    val got = Analytics.bfsHops(undirected(ring), Seq("0", "3").toDF("node"), maxHops = 10)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("0" -> 0, "3" -> 0, "1" -> 1, "5" -> 1, "2" -> 1, "4" -> 1))
+  }
+
+  test("bfsHops: maxHops truncates the expansion; early-stop never exceeds diameter rounds") {
+    val e = undirected(Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    val got = Analytics.bfsHops(e, Seq("a").toDF("node"), maxHops = 2)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2)) // d beyond the budget
+  }
+
+  test("bfsHops: directed edges are respected (no free reverse traversal)") {
+    val e = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    val got = Analytics.bfsHops(e, Seq("c").toDF("node"), maxHops = 4)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("c" -> 0)) // nothing is reachable downstream of c
+  }
 }
