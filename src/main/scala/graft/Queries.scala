@@ -1389,6 +1389,40 @@ object Queries {
           CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - ts_us END) AS BIGINT) AS active_us
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_scd2_lookup",
+      // point-in-time lookup against the SCD2 dimension (op_scd2's
+      // intervals): for each user, "what was the attribute at time T?"
+      // with T = the integer-µs midpoint of the user's activity — the
+      // as-of semantics every warehouse fact⋈dimension join needs for
+      // non-current history. The probe joins the dimension on the USER
+      // key (equi-join; the interval predicate is a residual filter, so
+      // the join is never a cartesian and shuffles on the natural key
+      // both sides already share). Exactly one interval matches per user
+      // — [valid_from, valid_to) partitions the timeline — so n_users
+      // sums to the user count, pinned by construction
+      (s, d) => {
+        val ev = eventsUs(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val dim = ev.withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        val probes = ev.groupBy(col("user_id"))
+          .agg(expr("(min(ts_us) + max(ts_us)) div 2").as("t_probe"))
+        probes.join(dim, Seq("user_id"))
+          .where(col("ts_us") <= col("t_probe") &&
+            (col("valid_to").isNull || col("t_probe") < col("valid_to")))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+          .orderBySmall(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        dim AS (SELECT user_id, event_type, ts_us,
+            lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to FROM ev),
+        pr AS (SELECT user_id, (min(ts_us) + max(ts_us)) // 2 AS t_probe FROM ev GROUP BY 1)
+        SELECT d.event_type, count(*) AS n_users
+        FROM pr JOIN dim d ON d.user_id = pr.user_id
+          AND d.ts_us <= pr.t_probe AND (d.valid_to IS NULL OR pr.t_probe < d.valid_to)
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_time_travel",
       // time travel + CDC through the driver gate: base commits as v0,
       // a COW merge commits v1, then the query reads BOTH pinned
@@ -2409,6 +2443,37 @@ object Queries {
           CAST(floor(start_off / 256) AS BIGINT) AS pack_id,
           start_off % 256 AS pack_off
         FROM w ORDER BY source, doc_id""")),
+
+    QueryDef("txt_length_bucketing",
+      // padding accountant for batch assembly: sequences bucket to the
+      // smallest holding cap (32/64/128/256; longer = truncation at the
+      // max cap), per-bucket pad-token counts cap·n − Σlen, plus the
+      // one-bucket baseline row (bucket_cap = -1: everything padded to
+      // 256) — the saving that justifies length bucketing, all exact
+      // integers from one linear pass + two bounded aggs
+      (s, d) => {
+        val caps = Seq(32, 64, 128, 256)
+        val toks = t(s, d, "documents")
+          .select(TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        val buckets = TextAnalysis.lengthBucketPadding(toks, col("n_tok"), caps)
+        val single = toks.agg(count(lit(1)).as("n_seqs"),
+            sum(least(col("n_tok"), lit(256)).cast("long")).as("sum_len"))
+          .select(lit(-1).as("bucket_cap"), col("n_seqs"), col("sum_len"),
+            (lit(256L) * col("n_seqs") - col("sum_len")).as("padded"))
+        buckets.unionByName(single).orderBySmall(col("bucket_cap"))
+      },
+      Some("""WITH tk AS (SELECT CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tok
+          FROM documents),
+        e AS (SELECT CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+            WHEN n_tok <= 128 THEN 128 ELSE 256 END AS bucket_cap,
+          least(n_tok, 256) AS eff FROM tk)
+        SELECT bucket_cap, count(*) AS n_seqs, CAST(sum(eff) AS BIGINT) AS sum_len,
+          CAST(bucket_cap * count(*) - sum(eff) AS BIGINT) AS padded
+        FROM e GROUP BY 1
+        UNION ALL
+        SELECT -1, count(*), CAST(sum(eff) AS BIGINT), CAST(256 * count(*) - sum(eff) AS BIGINT)
+        FROM e
+        ORDER BY bucket_cap""")),
 
     QueryDef("web_domain_counts",
       // registered-domain reach (C4/RefinedWeb-style head-domain ranking).
@@ -3590,6 +3655,37 @@ object Queries {
           FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice))
         SELECT bucket, 0.0 + CAST(bucket AS DOUBLE) * 5000.0 AS lo_edge, count(*) AS n
         FROM b GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_quantile_grid",
+      // certified grid quantiles: ONE mergeable bounded-state agg (200
+      // counters) answers seven percentile queries with a deterministic
+      // interval guarantee (error ≤ width) — the sketch-free alternative
+      // to approx_percentile whose result is engine-replayable, so it
+      // hash-checks (a t-digest/KLL answer is implementation-defined and
+      // could not). Integer target ranks ⌈p·N/100⌉; the window cumsum and
+      // the rank-location θ-join run over the ≤202-row bucket table, so
+      // the single-partition window is metadata-sized at any SF
+      (s, d) => Analytics.quantileGrid(
+          t(s, d, "orders"), col("o_totalprice"), 0.0, 5000.0, 200,
+          Seq(1, 25, 50, 75, 90, 99, 100))
+        .orderBySmall(col("p")),
+      Some("""WITH b0 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+          WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+        b AS (SELECT CASE WHEN v < 0.0 THEN -1 WHEN v >= 1000000.0 THEN 200
+          ELSE CAST(least(floor((v - 0.0) / 5000.0), 199.0) AS INTEGER) END AS bucket FROM b0),
+        h AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        c AS (SELECT bucket, n,
+          sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h),
+        p AS (SELECT unnest([1, 25, 50, 75, 90, 99, 100]) AS p),
+        pt AS (SELECT p.p, t.n_total, (p.p * t.n_total + 99) // 100 AS target FROM p, t),
+        loc AS (SELECT p, n_total, target, min(bucket) AS bucket
+          FROM pt JOIN c ON c.cum >= pt.target GROUP BY 1, 2, 3)
+        SELECT p, n_total AS n_rows, target AS rank, bucket,
+          CASE WHEN bucket < 0 THEN NULL ELSE 0.0 + CAST(bucket AS DOUBLE) * 5000.0 END AS q_lo,
+          CASE WHEN bucket >= 200 THEN NULL ELSE 0.0 + CAST(bucket + 1 AS DOUBLE) * 5000.0 END AS q_hi,
+          bucket >= 0 AND bucket < 200 AS certified
+        FROM loc ORDER BY p""")),
 
     QueryDef("op_group_sample",
       // deterministic k-per-group inspection sample: the portable

@@ -504,6 +504,60 @@ object Analytics {
         col("n"))
   }
 
+  /** Certified quantile bounds from a fixed-grid histogram — the
+    * mergeable, bounded-state way to answer percentile queries at corpus
+    * scale: ONE map-side-combined aggregation builds the grid (state =
+    * nBuckets counters, mergeable across executors and micro-batches), a
+    * window cumsum over the BOUNDED bucket table locates each target
+    * rank, and the answer is an interval [q_lo, q_hi) GUARANTEED to
+    * contain the exact quantile, with deterministic error ≤ `width`.
+    * Exact rank-based quantiles (madStats/winsorize) need a full shuffle
+    * on the value; probabilistic sketches (t-digest/KLL) have
+    * implementation-defined merge order — this is the middle path with a
+    * certificate, same idea as heavyHittersCertified.
+    *
+    * Percentiles are INTEGER percents and the target rank is
+    * ⌈p·N/100⌉ = (p·N + 99) div 100 in integer arithmetic — no float
+    * rank anywhere. Values outside [lo, lo + width·nBuckets) land in
+    * sentinel buckets −1/nBuckets; a quantile located there gets a NULL
+    * open bound and `certified = false` — out-of-range data degrades the
+    * answer honestly instead of silently clamping.
+    *
+    * Output per percent: (p, n_rows, rank, bucket, q_lo, q_hi,
+    * certified).
+    */
+  def quantileGrid(df: DataFrame, value: Column, lo: Double, width: Double,
+                   nBuckets: Int, percents: Seq[Int]): DataFrame = {
+    require(width > 0 && nBuckets > 0 && percents.nonEmpty)
+    require(percents.forall(p => p >= 1 && p <= 100))
+    val v = value.cast("double")
+    val hi = lo + width * nBuckets
+    val bucket = when(v < lit(lo), lit(-1))
+      .when(v >= lit(hi), lit(nBuckets))
+      .otherwise(least(floor((v - lit(lo)) / lit(width)),
+        lit((nBuckets - 1).toDouble)).cast("int"))
+    val h = df.where(v.isNotNull && !isnan(v))
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    // single-partition window + θ-join are over the BOUNDED bucket table
+    // (≤ nBuckets+2 rows) — metadata-sized at any SF, never the data
+    val cum = h.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pexp = h.agg(sum(col("n")).as("n_total"))
+      .select(col("n_total"), explode(array(percents.map(p => lit(p)): _*)).as("p"))
+      .withColumn("target", expr("(p * n_total + 99) div 100"))
+    pexp.join(cum, col("cum") >= col("target"))
+      .groupBy(col("p"), col("target"), col("n_total"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("p"), col("n_total").as("n_rows"), col("target").as("rank"),
+        col("bucket"),
+        when(col("bucket") < 0, lit(null).cast("double"))
+          .otherwise(lit(lo) + col("bucket").cast("double") * lit(width)).as("q_lo"),
+        when(col("bucket") >= nBuckets, lit(null).cast("double"))
+          .otherwise(lit(lo) + (col("bucket") + 1).cast("double") * lit(width)).as("q_hi"),
+        (col("bucket") >= 0 && col("bucket") < nBuckets).as("certified"))
+  }
+
   /** Data-quality expectation suite (Deequ-style) — ALL row-level checks in
     * ONE aggregation pass over the table: each check is a violation
     * predicate counted under the same `groupBy()`, so adding a check adds

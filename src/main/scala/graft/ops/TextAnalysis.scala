@@ -225,6 +225,31 @@ object TextAnalysis {
       .withColumn("pack_off", pmod(col("start_off"), lit(seqLen.toLong)))
   }
 
+  /** Length-bucketed batching audit — the padding accountant for training
+    * batch assembly: each sequence goes to the SMALLEST cap in `caps`
+    * that holds it (longer sequences take the largest cap — upstream
+    * truncation, so the excess is not padding), and per bucket the audit
+    * reports how many pad tokens a fixed-shape batcher would emit
+    * (cap·n − Σ effective len). Compared against the one-bucket baseline
+    * (everything padded to the max cap) this quantifies what length
+    * bucketing saves — the standard compute-efficiency lever for
+    * variable-length corpora. Pure projection (a CASE chain over the
+    * bounded cap list) + one map-side-combined agg with ≤|caps| groups:
+    * no sort, no window, no per-sequence state at any corpus size.
+    */
+  def lengthBucketPadding(df: DataFrame, lenCol: Column, caps: Seq[Int]): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      "caps must be strictly increasing")
+    val maxCap = caps.last
+    val capCol = caps.init.reverse.foldLeft(lit(maxCap)) { (acc, c) =>
+      when(lenCol <= c, lit(c)).otherwise(acc)
+    }
+    df.select(capCol.as("bucket_cap"), least(lenCol, lit(maxCap)).as("eff_len"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("eff_len").cast("long")).as("sum_len"))
+      .withColumn("padded", col("bucket_cap") * col("n_seqs") - col("sum_len"))
+  }
+
   /** Corpus vocabulary head: the top-k tokens by occurrence count, with
     * rank and the cumulative share of ALL token occurrences the head covers
     * — the curve a tokenizer-vocab or stopword-list decision reads.

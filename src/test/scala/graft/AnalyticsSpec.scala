@@ -139,6 +139,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2)) // d beyond the budget
   }
 
+  test("quantileGrid: interval contains the exact quantile, error bounded by width") {
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val got = Analytics.quantileGrid(df, col("v"), 0.0, 10.0, 10, Seq(25, 50, 100))
+      .select(col("p"), col("rank"), col("bucket"), col("q_lo"), col("q_hi"), col("certified"))
+      .as[(Int, Long, Int, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // p50: target rank 50 → 50th smallest is 49.0 → bucket 4 = [40, 50)
+    assert(got(50) == ((50, 50L, 4, 40.0, 50.0, true)))
+    assert(got(25) == ((25, 25L, 2, 20.0, 30.0, true)))   // 25th smallest = 24.0
+    assert(got(100) == ((100, 100L, 9, 90.0, 100.0, true))) // max = 99.0
+  }
+
+  test("quantileGrid: out-of-range data degrades to open bounds, certified=false") {
+    val df = Seq(-5.0, 1.0, 2.0, 3.0, 250.0).toDF("v")
+    val got = Analytics.quantileGrid(df, col("v"), 0.0, 10.0, 10, Seq(1, 50, 100))
+      .select(col("p"), col("bucket"), col("q_lo"), col("q_hi"), col("certified"))
+      .as[(Int, Int, Option[Double], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1) == ((1, -1, None, Some(0.0), false)))        // below the grid
+    assert(got(50) == ((50, 0, Some(0.0), Some(10.0), true)))  // 3rd of 5 = 2.0
+    assert(got(100) == ((100, 10, Some(100.0), None, false)))  // above the grid
+  }
+
+  test("quantileGrid state is bounded: the grid has at most nBuckets+2 rows at any input size") {
+    val df = (0 until 10000).map(i => (i % 977).toDouble).toDF("v")
+    val q = Analytics.quantileGrid(df, col("v"), 0.0, 100.0, 5, Seq(50))
+    // 5 in-range buckets + overflow sentinel; answer still certified-correct shape
+    val r = q.as[(Int, Long, Long, Int, Option[Double], Option[Double], Boolean)].head()
+    assert(r._2 == 10000L && r._4 >= 0)
+  }
+
   test("bfsHops: directed edges are respected (no free reverse traversal)") {
     val e = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
     val got = Analytics.bfsHops(e, Seq("c").toDF("node"), maxHops = 4)

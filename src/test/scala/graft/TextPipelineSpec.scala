@@ -479,4 +479,21 @@ class TextPipelineSpec extends SparkSpec {
       .select("n_lines", "n_words", "n_alpha_words", "gopher_pass").head()
     assert((0 to 3).forall(nullRow.isNullAt), s"NULL text must yield NULL metrics: $nullRow")
   }
+
+  test("lengthBucketPadding: boundary lengths, truncation at the max cap, exact pad counts") {
+    val lens = Seq(1, 32, 33, 64, 100, 500).toDF("len") // 500 truncates to 256
+    val got = graft.ops.TextAnalysis
+      .lengthBucketPadding(lens, col("len"), Seq(32, 64, 128, 256))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // len == cap sits in that cap with zero pad for the exact fit
+    assert(got(32) == ((32, 2L, 33L, 31L)))   // 1 and 32 → pads 31 + 0
+    assert(got(64) == ((64, 2L, 97L, 31L)))   // 33 and 64 → pads 31 + 0
+    assert(got(128) == ((128, 1L, 100L, 28L)))
+    // truncated sequence: effective len clamps to 256, so padding is 0,
+    // never negative
+    assert(got(256) == ((256, 1L, 256L, 0L)))
+    val totalPad = got.values.map(_._4).sum
+    val baselinePad = 256L * 6 - got.values.map(_._3).sum
+    assert(totalPad < baselinePad, "bucketing must beat the one-bucket baseline")
+  }
 }
