@@ -2475,6 +2475,29 @@ object Queries {
         FROM e
         ORDER BY bucket_cap""")),
 
+    QueryDef("txt_inverted_index",
+      // inverted-index head (the IR-serving shape behind retrieval and
+      // TF-IDF): top-20 tokens by document frequency with df, collection
+      // frequency, and the first-10 posting prefix. Head-token posting
+      // lists are corpus-sized, so the prefix comes from a windowed
+      // rank ≤ 10 over (token, doc) pairs — bounded per-group state —
+      // never a full-list collect
+      (s, d) => TextAnalysis.invertedIndexHead(
+          t(s, d, "documents"), "doc_id", "text", k = 20, postingN = 10)
+        .orderBySmall(col("df").desc, col("token")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+          FROM documents),
+        td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        top AS (SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+          FROM td GROUP BY 1 ORDER BY df DESC, token LIMIT 20),
+        po AS (SELECT td.token, td.doc_id,
+            row_number() OVER (PARTITION BY td.token ORDER BY td.doc_id) AS rn
+          FROM td JOIN top ON td.token = top.token),
+        pl AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          FROM po WHERE rn <= 10 GROUP BY 1)
+        SELECT t.token, t.df, t.cf, pl.postings
+        FROM top t JOIN pl ON t.token = pl.token ORDER BY t.df DESC, t.token""")),
+
     QueryDef("web_domain_counts",
       // registered-domain reach (C4/RefinedWeb-style head-domain ranking).
       // The corpus text has no URLs, so the op05 construct-and-parse trick

@@ -225,6 +225,36 @@ object TextAnalysis {
       .withColumn("pack_off", pmod(col("start_off"), lit(seqLen.toLong)))
   }
 
+  /** Inverted-index head: for the top-`k` tokens by document frequency,
+    * the IR-serving triple (df, cf, posting-list prefix of the first
+    * `postingN` doc ids). The posting prefix is deliberately NOT a
+    * per-token `collect_list` of the full posting list — head tokens
+    * appear in nearly every document, so that buffer is corpus-sized; a
+    * per-token window `row_number ≤ postingN` over the distinct
+    * (token, doc) pairs bounds what reaches the collect to `postingN`
+    * rows per token. Top-k selection is TakeOrderedAndProject over the
+    * vocabulary (per-partition top-k, no global sort), and the postings
+    * pass joins the pairs against the broadcast k-row head.
+    */
+  def invertedIndexHead(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, postingN: Int): DataFrame = {
+    val td = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val top = td.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .orderBy(col("df").desc, col("token")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = td.join(broadcast(top.select(col("token"))), Seq("token"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= postingN)
+      .groupBy(col("token"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings"))
+    top.join(postings, Seq("token"))
+      .select(col("token"), col("df"), col("cf"), col("postings"))
+  }
+
   /** Length-bucketed batching audit — the padding accountant for training
     * batch assembly: each sequence goes to the SMALLEST cap in `caps`
     * that holds it (longer sequences take the largest cap — upstream

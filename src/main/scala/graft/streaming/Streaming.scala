@@ -8,6 +8,12 @@ import graft.ops.Sources
 /** Running aggregate carried in keyed stream state. */
 final case class UserStats(user_id: Long, n_events: Long, last_value: Double)
 
+/** One open session per key — the constant-size flatMapGroupsWithState state. */
+final case class OpenSession(user_id: Long, start_us: Long, last_us: Long, n_events: Long)
+
+/** A session emitted exactly once, when the gap after `end_us` is exceeded. */
+final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
 /** Structured Streaming restatement of the reference's incremental batch
   * machinery (SURVEY.md §2.6, ops 20-22):
   *
@@ -375,6 +381,51 @@ object Streaming {
           val next = UserStats(user, n, if (seen) batchMax else prev.last_value)
           state.update(next)
           next
+      }
+  }
+
+  /** Closed-session emitter via flatMapGroupsWithState — the custom-state
+    * shape `session_window` can't express: sessions are emitted EXACTLY
+    * when they close (the next event of the key arrives more than `gapUs`
+    * later), each exactly once, in append mode — the contract a
+    * downstream session store or billing pipeline needs. State per key is
+    * ONE open session (constant size — not the event list), shuffled once
+    * on the key; emission volume per batch is the number of sessions the
+    * batch closes.
+    *
+    * Event times are integer microseconds (the repo's event-time
+    * discipline). Batch events sort before merging, and a cross-batch
+    * out-of-order event within the gap MERGES into the open session
+    * (start/min, last/max) rather than spuriously closing it; an open
+    * session's tail rides in state until a later event closes it.
+    */
+  def closedSessionsStream(events: Dataset[(Long, Long)], gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          val ts = batch.map(_._2).toArray.sorted
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(o) if t - o.last_us <= gapUs =>
+                  cur = Some(OpenSession(user, math.min(o.start_us, t),
+                    math.max(o.last_us, t), o.n_events + 1))
+                case Some(o) =>
+                  closed += ClosedSession(user, o.start_us, o.last_us, o.n_events)
+                  cur = Some(OpenSession(user, t, t, 1L))
+                case None =>
+                  cur = Some(OpenSession(user, t, t, 1L))
+              }
+            }
+            cur.foreach(state.update)
+            closed.iterator
+          }
       }
   }
 }

@@ -324,6 +324,59 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 3L, 2L -> 1L)) // state carried across batches
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once, in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user, ts_us)
+    val out = graft.streaming.Streaming.closedSessionsStream(input.toDS(), gapUs = 10L)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("closed_out").start()
+    input.addData((1L, 0L), (1L, 5L), (2L, 100L))
+    q.processAllAvailable()
+    assert(spark.table("closed_out").isEmpty, "no gap exceeded yet — nothing may close")
+    // 4 is out-of-order but within the gap of last=5 → merges (no spurious
+    // close); 50 then closes the merged session [0, 5] with 3 events
+    input.addData((1L, 50L), (1L, 4L), (1L, 52L))
+    q.processAllAvailable()
+    val afterB2 = spark.table("closed_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterB2 == Set((1L, 0L, 5L, 3L)))
+    input.addData((1L, 200L), (2L, 300L)) // closes [50,52] and user 2's [100,100]
+    q.processAllAvailable()
+    val afterB3 = spark.table("closed_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(afterB3 == Set((1L, 0L, 5L, 3L), (1L, 50L, 52L, 2L), (2L, 100L, 100L, 1L)))
+    // exactly-once: the first session did not re-emit in batch 3
+    assert(spark.table("closed_out").count() == 3)
+  }
+
+  test("closedSessionsStream matches the batch sessionizer on the closed prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq((1L, 0L), (1L, 8L), (1L, 30L), (1L, 35L), (1L, 90L),
+      (2L, 10L), (2L, 50L), (2L, 200L))
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.Streaming.closedSessionsStream(input.toDS(), gapUs = 10L)
+    val ck = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_eq_out").option("checkpointLocation", ck).start()
+    events.grouped(3).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("sess_eq_out").as[(Long, Long, Long, Long)].collect().toSet
+    // batch reference: sessionizeNumeric over the same events; drop each
+    // user's LAST session (still open in the stream)
+    val batch = graft.ops.Analytics.sessionizeNumeric(
+        events.toDF("user_id", "ts"), col("user_id"), col("ts"), 10L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(org.apache.spark.sql.functions.min("ts").as("start_us"),
+        org.apache.spark.sql.functions.max("ts").as("end_us"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val lastSess = batch.groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.max("session_id").as("session_id"))
+    val closedBatch = batch.join(lastSess, Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "start_us", "end_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == closedBatch, s"stream=$streamed batch=$closedBatch")
+  }
+
   test("streaming session windows close after the gap and count per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]

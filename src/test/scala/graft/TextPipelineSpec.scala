@@ -480,6 +480,20 @@ class TextPipelineSpec extends SparkSpec {
     assert((0 to 3).forall(nullRow.isNullAt), s"NULL text must yield NULL metrics: $nullRow")
   }
 
+  test("invertedIndexHead: df/cf exact, posting prefix ordered and bounded") {
+    val docs = Seq(
+      (3L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "apple banana"),
+      (4L, "date")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.invertedIndexHead(docs, "doc_id", "text", k = 2, postingN = 2)
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // apple: df 3, cf 4 (doubled in doc 3); prefix = first 2 doc ids ascending
+    assert(got("apple") == (("apple", 3L, 4L, "1,2")))
+    assert(got("banana") == (("banana", 2L, 2L, "2,3")))
+    assert(got.size == 2, "k=2 keeps only the top tokens (cherry/date out)")
+  }
+
   test("lengthBucketPadding: boundary lengths, truncation at the max cap, exact pad counts") {
     val lens = Seq(1, 32, 33, 64, 100, 500).toDF("len") // 500 truncates to 256
     val got = graft.ops.TextAnalysis
