@@ -3555,6 +3555,52 @@ object Queries {
         CAST((vec_id * 7) % 256 AS DOUBLE) AS mean_b
         FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""")),
 
+    QueryDef("mm_image_ahash",
+      // perceptual average-hash through the REAL codec path, oracle-
+      // checked: encode a 16×16 PNG per row with the left `vec_id % 17`
+      // columns black and the rest white, then Multimodal.imageAHash
+      // (decode → integer 8×8 box luma → cross-multiplied mean
+      // threshold). The split construct makes every hash bit analytic —
+      // a cell is 1 iff it is white, or is the boundary cell of a
+      // majority-black image, or the image is all black — so the oracle
+      // derives the full 64-bit hash (8 identical row bytes) from
+      // vec_id alone, and the codec + hash pipeline must reproduce it
+      // bit for bit
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 19 === 0).as[Long]
+        val png = ids.mapPartitions { it =>
+          it.map { id =>
+            val lw = (id % 17).toInt
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < 16) {
+              var y = 0
+              val c = if (x < lw) 0x000000 else 0xffffff
+              while (y < 16) { img.setRGB(x, y, c); y += 1 }
+              x += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.imageAHash(png, "vec_id")
+          .select(col("id").as("vec_id"), col("ok"), col("ahash_hex"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH sel AS (SELECT vec_id, vec_id % 17 AS lw FROM embeddings WHERE vec_id % 19 = 0),
+        rb AS (SELECT vec_id, lw,
+          (SELECT CAST(sum(CASE WHEN lw = 16 OR 2 * cx >= lw
+              OR (lw % 2 = 1 AND 2 * cx + 1 = lw AND lw >= 8)
+            THEN 1 << (7 - cx) ELSE 0 END) AS BIGINT)
+           FROM generate_series(0, 7) AS t(cx)) AS rowbyte
+        FROM sel)
+        SELECT vec_id, true AS ok, repeat(printf('%02x', rowbyte), 8) AS ahash_hex
+        FROM rb ORDER BY vec_id""")),
+
     QueryDef("mm_audio_real",
       // REAL audio codec roundtrip, oracle-checked (mm_decode_real's
       // pattern for sound): encode constant-amplitude 16-bit PCM WAVs with

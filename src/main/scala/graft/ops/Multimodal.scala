@@ -145,6 +145,73 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ImageAHash(id: Long, ok: Boolean, ahash_hex: String)
+
+  /** 64-bit perceptual average-hash (aHash) — the image analog of
+    * simhash for near-duplicate detection: decode, box-average luma onto
+    * an 8×8 grid, threshold each cell against the global mean. Two
+    * images are perceptual near-dups when their hashes sit at small
+    * Hamming distance; corpus-scale pair generation then reuses the
+    * simhash machinery verbatim (chunk-banded equi-join over the 64-bit
+    * key — never all-pairs).
+    *
+    * Arithmetic is ALL integer: integer Rec.601 luma, cell boundaries
+    * `x·8 div w`, and the threshold via cross-multiplication
+    * (cellSum·totalArea ≥ totalSum·cellArea) — no double rounding
+    * anywhere, so constructed images have analytic hashes and the driver
+    * oracle can replay them (exact up to ~190 MPx before the cross
+    * product would overflow a long). Bit layout: MSB = cell (0,0),
+    * row-major; hex output avoids the signed-long pitfall in SQL
+    * mirrors. Degenerate cells (image narrower than 8px) have zero area
+    * and read 1 (0 ≥ 0). Undecodable payloads flag ok=false, hash "".
+    */
+  def imageAHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageAHash(id, ok = false, "")
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cellSum = new Array[Long](64)
+            val cellArea = new Array[Long](64)
+            var totalSum = 0L
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                val c = cy * 8 + x * 8 / w
+                cellSum(c) += luma
+                cellArea(c) += 1
+                totalSum += luma
+                x += 1
+              }
+              y += 1
+            }
+            val totalArea = w.toLong * h
+            var hash = 0L
+            var c = 0
+            while (c < 64) {
+              if (cellSum(c) * totalArea >= totalSum * cellArea(c))
+                hash |= (1L << (63 - c))
+              c += 1
+            }
+            ImageAHash(id, ok = true, f"$hash%016x")
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** REAL image resize (area-averaging scaler, the right kernel for
     * downscale) + PNG re-encode, partition-parallel. Undecodable payloads
     * are dropped (flatMap) — the 100-TB ingest posture is "quarantine,

@@ -380,4 +380,31 @@ class SourcesSinksSpec extends SparkSpec {
       assert(joined.count() == l.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("imageAHash: identical images collide, a small edit moves few bits, junk flags not-ok") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val checker = (x: Int, y: Int) => if (((x / 8) + (y / 8)) % 2 == 0) 0 else 0xffffff
+    val oneEdit = (x: Int, y: Int) => if (x == 0 && y == 0) 0x808080 else checker(x, y)
+    val inverse = (x: Int, y: Int) => if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0
+    val df = Seq(
+      (1L, png(checker)), (2L, png(checker)), (3L, png(oneEdit)),
+      (4L, png(inverse)), (5L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val got = graft.ops.Multimodal.imageAHash(df, "id")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    def ham(a: String, b: String): Int =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    assert(got(1L)._3 == got(2L)._3, "same pixels → same hash")
+    assert(ham(got(1L)._3, got(3L)._3) <= 2, "one-pixel edit is a perceptual near-dup")
+    assert(ham(got(1L)._3, got(4L)._3) == 64, "checkerboard inverse flips every cell")
+    assert(!got(5L)._2 && got(5L)._3 == "", "junk payload flags ok=false")
+  }
 }
