@@ -303,7 +303,21 @@ class PlanSpec extends SparkSpec {
           // two broadcast builds + re-rank agg
           "ann_pq_rerank" -> 6,
           // view maintenance: v0 write + COW merge + the delta-join read
-          "op_view_maintenance" -> 5)) {
+          "op_view_maintenance" -> 5,
+          // round-10 additions (measured floors + 1 slack): the web/HTML
+          // pair and length bucketing are single linear-pass aggs;
+          // record linkage is block join + window + anti-join; quantile
+          // grid / scd2 lookup / inverted index / image ahash are 2-3 job
+          // shapes. op_bfs is ITERATIVE (15 measured: edge+seed
+          // checkpoints, then per-hop next-checkpoint + isEmpty probe ×
+          // ~5 convergence rounds + the final agg) — bound 18 absorbs one
+          // extra diameter round at larger SFs while still catching a
+          // per-round job regression
+          "web_html_extract" -> 2, "web_link_graph" -> 2,
+          "op_record_linkage" -> 4, "op_quantile_grid" -> 3,
+          "txt_length_bucketing" -> 2, "op_scd2_lookup" -> 3,
+          "txt_inverted_index" -> 4, "mm_image_ahash" -> 3,
+          "op_bfs" -> 18)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
