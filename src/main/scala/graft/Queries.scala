@@ -97,6 +97,23 @@ object Queries {
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""
 
+  /** DuckDB mirror of [[graft.ops.Analytics.dyadicEwma]]'s BIGINT lag
+    * chain, generated from the same term count so the weights can never
+    * drift from the Spark side.
+    */
+  private def ewmaOracleSql(terms: Int): String = {
+    val num = (0 until terms).map { k =>
+      s"COALESCE(lag(v_milli, $k) OVER w, 0) * ${1L << (terms - 1 - k)}"
+    }.mkString(" + ")
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CAST(floor(value * 1000) AS BIGINT) AS v_milli FROM events)
+      SELECT user_id, event_id, ts_us, v_milli,
+        CAST($num AS BIGINT) AS ewma_num,
+        CAST($num AS DOUBLE) / ${(1L << terms) * 1000}.0 AS ewma
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      ORDER BY user_id, ts_us, event_id"""
+  }
+
   /** Deterministically constructed HTML page per document (the corpus has
     * no markup — the op05 construct-and-parse pattern): a head with title
     * and style, a body-level script, an entity-bearing paragraph wrapping
@@ -3834,6 +3851,44 @@ object Queries {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, ts_us, event_id""")),
+
+    QueryDef("op_ewma",
+      // dyadic EWMA (α = 1/2, 16-term truncation): exponential smoothing
+      // whose weighted numerator is PURE BIGINT — values pre-scale with
+      // floor(v·1000) (floor, not cast: double→long casts truncate in
+      // Spark but round in DuckDB), weights are powers of two, so the
+      // smoothed series is exact to the last bit with one deterministic
+      // double division at the end. One window sort per user; the 16-lag
+      // chain reads the same frame — no self-joins, no decimal-precision
+      // cliffs (see Analytics.dyadicEwma)
+      (s, d) => {
+        val ev = eventsUs(s, d).select(col("user_id"), col("event_id"), col("ts_us"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+        Analytics.dyadicEwma(ev, col("user_id"), Seq(col("ts_us"), col("event_id")),
+            col("v_milli"), terms = 16, scaleDiv = 1000.0)
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("v_milli"),
+            col("ewma_num"), col("ewma"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some(ewmaOracleSql(16))),
+
+    QueryDef("op_rank_normalize",
+      // percent-rank normalization (the rank-gauss / quantile-transform
+      // first stage): per-source percent_rank of document length under a
+      // TOTAL order (n_chars, doc_id — no ties, so the rank and the one
+      // (rank−1)/(n−1) double division are engine-identical rationals).
+      // One window shuffle on the group key; output is the per-doc
+      // normalized feature
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("pr", percent_rank().over(w))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, n_chars,
+          percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+        FROM documents ORDER BY source, doc_id""")),
 
     QueryDef("op_range_window",
       // time-based RANGE frame (the other half of the sliding-window

@@ -761,6 +761,33 @@ object Analytics {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Dyadic EWMA — exponential smoothing with α = 1/2 and a `terms`-term
+    * truncated tail, the anomaly-smoothing primitive with EXACT
+    * arithmetic: because the decay is a power of two and the input is
+    * integral, the weighted numerator Σₖ v₍ᵢ₋ₖ₎·2^(terms−1−k) is a pure
+    * BIGINT expression — no decimal-precision cliffs, no float summation
+    * order, engine-identical to the last bit; the one double division at
+    * the end (by 2^terms·scaleDiv) is a single deterministic IEEE op.
+    * Truncation error is bounded by 2^−terms·max|v| (the dropped tail's
+    * total weight). One window shuffle on the key; the lag chain is
+    * `terms` references into the SAME window frame — one sort, no
+    * self-joins. Missing leading lags contribute 0 (standard warm-up).
+    *
+    * `valueInt` must be integral (pre-scale doubles with floor(v·1000)
+    * and pass scaleDiv = 1000). Overflow bound: |v|·2^terms·terms < 2⁶³.
+    */
+  def dyadicEwma(df: DataFrame, key: Column, order: Seq[Column],
+                 valueInt: Column, terms: Int = 16, scaleDiv: Double = 1.0): DataFrame = {
+    require(terms >= 1 && terms <= 32)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val num = (0 until terms).map { k =>
+      coalesce(lag(valueInt, k).over(w), lit(0L)) * lit(1L << (terms - 1 - k))
+    }.reduce(_ + _)
+    df.withColumn("ewma_num", num)
+      .withColumn("ewma",
+        col("ewma_num").cast("double") / lit((1L << terms).toDouble * scaleDiv))
+  }
+
   /** Multi-source BFS hop distance: the minimum number of edges from any
     * seed to each reachable node, level-synchronous (one frontier⋈edges
     * round per hop — the Pregel iteration shape, same scale argument as

@@ -139,6 +139,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2)) // d beyond the budget
   }
 
+  test("dyadicEwma: geometric halving, warm-up zeros, exact integer numerator") {
+    val df = Seq((1L, 1L, 65536L), (1L, 2L, 0L), (1L, 3L, 0L), (1L, 4L, 65536L))
+      .toDF("k", "t", "v")
+    val got = graft.ops.Analytics.dyadicEwma(df, col("k"), Seq(col("t")), col("v"), terms = 16)
+      .select(col("t"), col("ewma")).as[(Long, Double)].collect().toMap
+    // impulse response: weight of lag k is 2^-(k+1)
+    assert(got(1L) == 65536.0 / 2)      // the impulse itself
+    assert(got(2L) == 65536.0 / 4)      // one step later
+    assert(got(3L) == 65536.0 / 8)
+    assert(got(4L) == 65536.0 / 2 + 65536.0 / 16) // new impulse + decayed old
+  }
+
   test("quantileGrid: interval contains the exact quantile, error bounded by width") {
     val df = (0 until 100).map(_.toDouble).toDF("v")
     val got = Analytics.quantileGrid(df, col("v"), 0.0, 10.0, 10, Seq(25, 50, 100))
