@@ -3948,7 +3948,194 @@ object Queries {
           CAST(sum(n_obs) OVER (PARTITION BY a) AS BIGINT) AS row_total,
           CAST(sum(n_obs) OVER (PARTITION BY b) AS BIGINT) AS col_total,
           CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
-        FROM cells ORDER BY a, b"""))
+        FROM cells ORDER BY a, b""")),
+
+    // ---- model-evaluation family (the measurement half of the quality-
+    // classifier curation loop: score → AUC / operating point /
+    // calibration / lift). Labels and scores are planted deterministic
+    // integer constructs over doc_id (correlated: positives shift +30),
+    // so every metric is analytic and the hash check pins the full
+    // computation, tie handling included. ----
+    QueryDef("ml_auc",
+      // exact ROC AUC via Mann–Whitney midranks: integer rank algebra
+      // over the per-score group table (the unpartitioned cumsum window
+      // sees |score domain| ≤ 101 rows, never the corpus), one IEEE
+      // division at the end
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          ((col("doc_id") * 37) % 71 +
+            when(col("doc_id") % 3 === 0, 30).otherwise(0)).as("score"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y"))
+        MlEval.aucExact(f, col("score"), col("y"))
+          .orderBySmall(col("n_pos"))
+      },
+      Some("""WITH f AS (SELECT (doc_id*37) % 71 + CASE WHEN doc_id%3=0 THEN 30 ELSE 0 END AS s,
+            CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END AS y FROM documents),
+        g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos FROM f GROUP BY 1),
+        w AS (SELECT s, cnt, pos, CAST(coalesce(sum(cnt) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM g),
+        a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(cnt-pos) AS BIGINT) AS n_neg,
+          CAST(sum(pos*(2*below+cnt+1)) AS BIGINT) AS r2 FROM w)
+        SELECT n_pos, n_neg, r2 - n_pos*(n_pos+1) AS u2,
+          CAST(r2 - n_pos*(n_pos+1) AS DOUBLE) / CAST(2*n_pos*n_neg AS DOUBLE) AS auc
+        FROM a ORDER BY n_pos""")),
+
+    QueryDef("ml_confusion",
+      // confusion matrix + accuracy/precision/recall/F1 at threshold 50
+      // — one aggregation, one row, each ratio a single division of
+      // exact integers (F1 via the 2·tp identity: no intermediate float)
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          ((col("doc_id") * 37) % 71 +
+            when(col("doc_id") % 3 === 0, 30).otherwise(0)).as("score"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y"))
+        MlEval.confusionReport(f, col("score"), col("y"), threshold = 50L)
+          .orderBySmall(col("tp"))
+      },
+      Some("""WITH f AS (SELECT (doc_id*37) % 71 + CASE WHEN doc_id%3=0 THEN 30 ELSE 0 END AS s,
+            CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END AS y FROM documents),
+        c AS (SELECT CAST(sum(CASE WHEN s>=50 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN s>=50 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN s<50 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN s<50 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn FROM f)
+        SELECT tp, fp, fn, tn,
+          CAST(tp+tn AS DOUBLE)/CAST(tp+fp+fn+tn AS DOUBLE) AS accuracy,
+          CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE) AS precision_,
+          CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) AS recall_,
+          CAST(2*tp AS DOUBLE)/CAST(2*tp+fp+fn AS DOUBLE) AS f1
+        FROM c ORDER BY tp""")),
+
+    QueryDef("ml_calibration",
+      // reliability table: centi-probability p buckets into 10 bins;
+      // mean predicted prob is an exact decimal sum → one division,
+      // empirical rate an integer ratio. Label depends on p plus a
+      // deterministic residue "noise" term so the curve is monotone but
+      // not degenerate
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          ((col("doc_id") * 13) % 100).as("p"),
+          when((col("doc_id") * 13) % 100 + (col("doc_id") % 7) * 5 >= 65, 1L)
+            .otherwise(0L).as("y"))
+        MlEval.calibrationBins(f, col("p"), col("y"), nBins = 10)
+          .orderBySmall(col("bin"))
+      },
+      Some("""WITH f AS (SELECT (doc_id*13) % 100 AS p,
+            CASE WHEN (doc_id*13)%100 + (doc_id%7)*5 >= 65 THEN 1 ELSE 0 END AS y FROM documents)
+        SELECT p//10 AS bin, count(*) AS n,
+          CAST(sum(CAST(p AS DECIMAL(20,0))) AS DOUBLE)/CAST(100*count(*) AS DOUBLE) AS mean_pred,
+          CAST(sum(y) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS pos_rate
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("ml_lift",
+      // per-source decile lift (gain chart): ntile within stratum
+      // (score desc, id tiebreak — deterministic), response rate and
+      // lift vs the stratum base rate; output bounded by 10·|sources|
+      (s, d) => {
+        val f = t(s, d, "documents").select(col("doc_id"), col("source"),
+          ((col("doc_id") * 37) % 71 +
+            when(col("doc_id") % 3 === 0, 30).otherwise(0)).as("score"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y"))
+        MlEval.liftDeciles(f, col("source"), col("score"), col("doc_id"), col("y"))
+          .orderBySmall(col("seg"), col("decile"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, (doc_id*37) % 71 + CASE WHEN doc_id%3=0 THEN 30 ELSE 0 END AS s,
+            CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END AS y FROM documents),
+        dd AS (SELECT source AS seg, CAST(ntile(10) OVER (PARTITION BY source ORDER BY s DESC, doc_id) AS INTEGER) AS decile, y FROM f),
+        g AS (SELECT seg, decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM dd GROUP BY 1, 2),
+        tt AS (SELECT seg, decile, n, n_pos, CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS seg_n,
+          CAST(sum(n_pos) OVER (PARTITION BY seg) AS BIGINT) AS seg_pos FROM g)
+        SELECT seg, decile, n, n_pos,
+          CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE) AS rate,
+          (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(seg_pos AS DOUBLE)/CAST(seg_n AS DOUBLE)) AS lift
+        FROM tt ORDER BY seg, decile""")),
+
+    QueryDef("ml_feature_hash",
+      // signed hashing trick (Weinberger'09): fixed-dim sparse features
+      // with NO vocabulary pass — md5 bucket + independent md5 sign bit,
+      // one explode + one map-side-combined agg; per-doc sparse vectors
+      // for a deterministic doc sample
+      (s, d) => Features.featureHash(
+          t(s, d, "documents").where(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), dim = 32)
+        .orderBy(col("id"), col("bucket")),
+      Some("""WITH tok AS (SELECT doc_id AS id,
+            unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+          FROM documents WHERE doc_id % 20 = 0)
+        SELECT id, ('0x' || substring(md5(tok), 1, 8))::BIGINT % 32 AS bucket,
+          CAST(sum(CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
+            THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        FROM tok GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("ml_pca_project",
+      // exact-moment PCA over an integer-lattice construct (the
+      // ann_ivf_fit technique): features x1=(id%4), x2=2·((id÷4)%4),
+      // x3=3·((id÷16)%4) over a ⌊N/64⌋·64-row prefix form COMPLETE
+      // residue systems mod 64, so the covariance is exactly diagonal
+      // with distinct eigenvalues {11.25, 5, 1.25} — the real code path
+      // (one moment agg → exact BigDecimal covariance → cyclic Jacobi →
+      // sign-pinned components → literal projection) produces an
+      // analytic, hash-checkable answer. Header row doc_id = −1 carries
+      // the top-2 eigenvalues
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val L = (docs.count() / 64L) * 64L
+        val feat = docs.where(col("doc_id") < L).select(col("doc_id"),
+          (col("doc_id") % 4).cast("double").as("x1"),
+          (expr("(doc_id div 4) % 4") * 2).cast("double").as("x2"),
+          (expr("(doc_id div 16) % 4") * 3).cast("double").as("x3"))
+        val fcols = Seq(col("x1"), col("x2"), col("x3"))
+        val model = Features.pcaFit(feat, fcols)
+        val pcs = Features.pcaProject(fcols, model, k = 2)
+        val perDoc = feat.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), pcs(0), pcs(1))
+        val header = s.range(1).select(lit(-1L).as("doc_id"),
+          lit(model.eigenvalues(0)).as("pc1"), lit(model.eigenvalues(1)).as("pc2"))
+        perDoc.unionByName(header).orderBy(col("doc_id"))
+      },
+      Some("""WITH nn AS (SELECT (count(*) // 64) * 64 AS L FROM documents),
+        f AS (SELECT doc_id, CAST(doc_id % 4 AS DOUBLE) AS x1,
+            CAST(((doc_id // 4) % 4) * 2 AS DOUBLE) AS x2,
+            CAST(((doc_id // 16) % 4) * 3 AS DOUBLE) AS x3
+          FROM documents, nn WHERE doc_id < nn.L),
+        m AS (SELECT count(*) AS n,
+            CAST(sum(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+            CAST(sum(CAST(x3 AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+            CAST(sum(CAST(x2*x2 AS DECIMAL(32,12))) AS DOUBLE) AS p2,
+            CAST(sum(CAST(x3*x3 AS DECIMAL(32,12))) AS DOUBLE) AS p3
+          FROM f),
+        mm AS (SELECT s2/n AS mu2, s3/n AS mu3,
+            (n*p3 - s3*s3)/(n*n) AS ev1, (n*p2 - s2*s2)/(n*n) AS ev2 FROM m)
+        SELECT doc_id, x3 - mu3 AS pc1, x2 - mu2 AS pc2
+        FROM f, mm WHERE doc_id % 10 = 0
+        UNION ALL SELECT CAST(-1 AS BIGINT), ev1, ev2 FROM mm
+        ORDER BY doc_id""")),
+
+    QueryDef("op_attribution",
+      // last-touch attribution: each purchase credits the user's most
+      // recent STRICTLY-PRIOR marketing touch (view/click/signup), via
+      // an ignore-nulls last() over the user timeline — one window
+      // shuffle on user_id, bounded channel-count output
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val touch = when(col("event_type").isin("view", "click", "signup"),
+          col("event_type"))
+        eventsUs(s, d)
+          .withColumn("channel",
+            coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
+          .where(col("event_type") === "purchase")
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_conversions"))
+          .orderBySmall(col("channel"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        a AS (SELECT event_type, coalesce(last_value(CASE WHEN event_type IN ('view','click','signup')
+            THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS channel FROM e)
+        SELECT channel, count(*) AS n_conversions
+        FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------------------

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation statistics for the quality-classifier loop of a
+  * training-data pipeline (label a seed set → fit → score the corpus →
+  * measure → filter). The reference pipeline stops at "fit and apply";
+  * any production curation loop also needs the measurement half: AUC of
+  * the quality scorer, the confusion matrix at the chosen operating
+  * point, a calibration (reliability) table, and per-segment decile
+  * lift. All four are EXACT here — integer/decimal arithmetic until a
+  * final IEEE division both engines perform identically — so the keys
+  * hash-check rather than "close enough".
+  *
+  * Scale notes (100 TB):
+  *  - [[aucExact]] takes INTEGER scores (a quantized probability, e.g.
+  *    0..100k). The rank statistic is computed over the per-score GROUP
+  *    table, so the unpartitioned cumulative window runs over at most
+  *    |score domain| rows (metadata-sized), never the corpus: the only
+  *    corpus-wide work is one map-side-combined groupBy. Exact AUC over
+  *    raw float scores would need a global sort; quantize first — that
+  *    is what serving systems log anyway.
+  *  - [[confusionReport]] and [[calibrationBins]] are single
+  *    aggregations (bounded output: 1 row / nBins rows).
+  *  - [[liftDeciles]] windows WITHIN a stratum (ntile per segment, the
+  *    op_ntile caveat applies: a stratum must fit a task's sort), then
+  *    aggregates to ≤ 10·|strata| rows.
+  */
+object MlEval {
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum statistic with midrank
+    * tie handling, on integer scores and {0,1} labels.
+    *
+    * For each distinct score s with `cnt` rows (`pos` positive), the
+    * 1-based midrank of every tied row is `below + (cnt+1)/2` where
+    * `below` is the number of rows with smaller score. To stay in
+    * integers, we carry 2·Σ(ranks of positives) =
+    * Σ pos·(2·below + cnt + 1), subtract n_pos·(n_pos+1) to get
+    * 2U, and divide once: AUC = 2U / (2·n_pos·n_neg). Every term up to
+    * the final division is a 64-bit integer (caller contract: n² fits —
+    * i.e. n < 3·10⁹ rows; shard by segment above that), and the final
+    * division of two exactly-represented integers rounds identically in
+    * any IEEE engine.
+    *
+    * Returns one row: n_pos, n_neg, u2 (= 2·U), auc.
+    */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val proj = df.select(score.cast("long").as("_s"),
+      label.cast("long").as("_y"))
+    val perScore = proj.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_pos"))
+    // cumulative count of strictly-smaller scores; the window is over the
+    // per-score table (bounded by the score domain), not the corpus
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("_below", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("_pos")).as("n_pos"),
+        sum(col("_cnt") - col("_pos")).as("n_neg"),
+        sum(col("_pos") * (lit(2L) * col("_below") + col("_cnt") + lit(1L)))
+          .as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).as("u2"))
+      .withColumn("auc",
+        col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+  }
+
+  /** Confusion matrix + operating-point metrics at an integer score
+    * threshold (predict positive when score ≥ threshold). One
+    * aggregation, one output row; the ratio metrics are each a single
+    * IEEE division of exact integers (f1 uses the 2·tp identity so no
+    * intermediate float product exists).
+    */
+  def confusionReport(df: DataFrame, score: Column, label: Column,
+                      threshold: Long): DataFrame = {
+    val pred = (score.cast("long") >= lit(threshold)).cast("long")
+    val y = label.cast("long")
+    df.agg(
+        sum(pred * y).as("tp"),
+        sum(pred * (lit(1L) - y)).as("fp"),
+        sum((lit(1L) - pred) * y).as("fn"),
+        sum((lit(1L) - pred) * (lit(1L) - y)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+          .as("accuracy"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision_"),
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall_"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+  }
+
+  /** Reliability (calibration) table: integer centi-probabilities 0..99
+    * bucket into `nBins` equal-width bins; per bin the support, the mean
+    * predicted probability (exact decimal sum → one division), and the
+    * empirical positive rate. A perfectly calibrated scorer has
+    * mean_pred ≈ pos_rate per bin; the table is the standard reliability-
+    * diagram input. Output bounded by nBins.
+    */
+  def calibrationBins(df: DataFrame, pCenti: Column, label: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins > 0 && 100 % nBins == 0, "nBins must divide 100")
+    val width = 100 / nBins
+    df.select((pCenti.cast("long") / lit(width)).cast("long").as("bin"),
+        pCenti.cast("long").as("_p"), label.cast("long").as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_p").cast("decimal(20,0)")).as("_sp"),
+        sum(col("_y")).as("_pos"))
+      .select(col("bin"), col("n"),
+        (col("_sp").cast("double") / (lit(100L) * col("n")).cast("double"))
+          .as("mean_pred"),
+        (col("_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /** Per-stratum decile lift table (gain chart): rows rank into score
+    * deciles within their stratum (ntile over score desc, id tiebreak —
+    * deterministic), and each (stratum, decile) reports support, positive
+    * count, response rate, and lift vs the stratum's base rate. Output
+    * bounded by 10·|strata|; the stratum window is the op_ntile shape
+    * (a stratum must fit a task's sort at the target scale — segment
+    * further if not).
+    */
+  def liftDeciles(df: DataFrame, stratum: Column, score: Column, id: Column,
+                  label: Column): DataFrame = {
+    val proj = df.select(stratum.as("seg"), score.cast("long").as("_s"),
+      id.as("_id"), label.cast("long").as("_y"))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("_s").desc, col("_id"))
+    val deciled = proj.withColumn("decile", ntile(10).over(w))
+    val base = Window.partitionBy(col("seg"))
+    deciled.groupBy(col("seg"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+      .withColumn("_segn", sum(col("n")).over(base))
+      .withColumn("_segpos", sum(col("n_pos")).over(base))
+      .select(col("seg"), col("decile"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
+        ((col("n_pos").cast("double") / col("n").cast("double")) /
+          (col("_segpos").cast("double") / col("_segn").cast("double")))
+          .as("lift"))
+  }
+}
