@@ -4135,7 +4135,114 @@ object Queries {
           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS channel FROM e)
         SELECT channel, count(*) AS n_conversions
-        FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
+        FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_markov",
+      // first-order Markov transition matrix over per-user event
+      // sequences (boilerplate/bot detection feed): (state → next) counts
+      // + exact conditional probability; one lead-window shuffle on
+      // user_id, ≤|states|² output cells
+      (s, d) => Analytics.markovTransitions(eventsUs(s, d), col("user_id"),
+          Seq(col("ts_us"), col("event_id")), col("event_type"))
+        .orderBySmall(col("from_state"), col("to_state")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        p AS (SELECT event_type AS from_state,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_state FROM e),
+        g AS (SELECT from_state, to_state, count(*) AS n FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        SELECT from_state, to_state, n,
+          CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS row_total,
+          CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+        FROM g ORDER BY 1, 2""")),
+
+    QueryDef("op_rfm",
+      // RFM customer segmentation: per-customer recency (days to the
+      // corpus horizon) / frequency / quantized monetary, each mapped to
+      // a ties-together quartile via the aucExact group-cumsum pattern
+      // (bounded distinct-value tables broadcast back — NEVER a global
+      // ntile, which would single-partition the corpus), segment =
+      // 100·R+10·F+M, bounded ≤64-row segment census
+      (s, d) => {
+        // persisted: the per-customer aggregate feeds THREE quartile maps
+        // plus the final join — unpersisted it would re-run the orders
+        // shuffle for every consumer (measured 6 jobs → this is the one
+        // SF-scale pass; released by the harness clearCache)
+        val per = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("_last"),
+            count(lit(1)).as("freq"),
+            dsum(col("o_totalprice"), 20, 2).as("_mon"))
+          .select(col("o_custkey"),
+            datediff(lit("2001-12-31").cast("date"), col("_last").cast("date"))
+              .cast("long").as("rec"),
+            col("freq"),
+            floor(col("_mon") / lit(1000.0)).cast("long").as("monk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def attach(df: DataFrame, c: String, q: String): DataFrame = {
+          val m = Analytics.tiedQuartileMap(df, col(c))
+            .select(col("v").as(s"_v_$q"), col("quartile").as(q))
+          df.join(broadcast(m), col(c) === col(s"_v_$q")).drop(s"_v_$q")
+        }
+        val seg = attach(attach(attach(per, "rec", "r_q"), "freq", "f_q"), "monk", "m_q")
+          .select((col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+        seg.groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+          .orderBySmall(col("segment"))
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+            date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS rec,
+            count(*) AS freq,
+            CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) / 1000.0) AS BIGINT) AS monk
+          FROM orders GROUP BY 1),
+        rg AS (SELECT rec AS v, count(*) AS c FROM per GROUP BY 1),
+        rq AS (SELECT v, least(4, (4 * CAST(coalesce(sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) // CAST(sum(c) OVER () AS BIGINT) + 1) AS q FROM rg),
+        fg AS (SELECT freq AS v, count(*) AS c FROM per GROUP BY 1),
+        fq AS (SELECT v, least(4, (4 * CAST(coalesce(sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) // CAST(sum(c) OVER () AS BIGINT) + 1) AS q FROM fg),
+        mg AS (SELECT monk AS v, count(*) AS c FROM per GROUP BY 1),
+        mq AS (SELECT v, least(4, (4 * CAST(coalesce(sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) // CAST(sum(c) OVER () AS BIGINT) + 1) AS q FROM mg)
+        SELECT rq.q * 100 + fq.q * 10 + mq.q AS segment, count(*) AS n_customers
+        FROM per JOIN rq ON per.rec = rq.v JOIN fq ON per.freq = fq.v JOIN mq ON per.monk = mq.v
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_impute",
+      // group-mean null imputation, reported: nulls planted
+      // deterministically (event_id % 11), per-type missing census, the
+      // imputation value, and the post-imputation total assembled as
+      // sum_nonnull + n_missing·mean (two deterministic double ops on
+      // exact inputs — per-row imputed-double summation would be
+      // partition-order-dependent)
+      (s, d) => Transforms.meanImputeReport(
+          t(s, d, "events").select(col("event_type"),
+            when(col("event_id") % 11 === 0, lit(null).cast("double"))
+              .otherwise(col("value")).as("v")),
+          col("event_type"), col("v"))
+        .orderBySmall(col("grp")),
+      Some("""WITH e AS (SELECT event_type AS grp,
+            CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v FROM events),
+        g AS (SELECT grp, count(*) AS n_rows,
+            CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+            count(v) AS nv, sum(CAST(v AS DECIMAL(28,6))) AS s FROM e GROUP BY 1)
+        SELECT grp, n_rows, n_missing,
+          CAST(s AS DOUBLE) / CAST(nv AS DOUBLE) AS mean_used,
+          CAST(s AS DOUBLE) + (CAST(s AS DOUBLE) / CAST(nv AS DOUBLE)) * CAST(n_missing AS DOUBLE) AS total_after
+        FROM g ORDER BY grp""")),
+
+    QueryDef("op_orc_roundtrip",
+      // columnar-format interchange: write the projected documents table
+      // as ORC (Spark-native source, predicate/pruning-capable like
+      // parquet), read it back, aggregate — proves the full encode/decode
+      // path; the oracle aggregates the original parquet, so any ORC
+      // corruption breaks the hash
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------------------

@@ -832,4 +832,50 @@ object Analytics {
     }
     parts.reduce(_.unionByName(_))
   }
+
+  /** First-order Markov transition stats over an ordered per-key event
+    * sequence: counts of (state → next state) plus the exact conditional
+    * probability (one IEEE division of integer counts). One window
+    * shuffle on the key (lead), one bounded aggregation (|states|² output
+    * cells). The end of each key's sequence contributes no pair.
+    */
+  def markovTransitions(df: DataFrame, key: Column, order: Seq[Column],
+                        state: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*)
+    df.select(state.as("from_state"), lead(state, 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_state"))))
+      .select(col("from_state"), col("to_state"), col("n"),
+        col("row_total").cast("long").as("row_total"),
+        (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+  }
+
+  /** Ties-together quartile of a QUANTIZED value: quartile =
+    * ⌊4·below/n⌋+1 (clamped to 4) assigned per distinct value, where
+    * `below` counts rows with strictly smaller value. Equal values always
+    * share a quartile — deterministic with no row-level tiebreak — and
+    * the corpus-wide work is one groupBy plus a broadcast join of the
+    * bounded distinct-value table back onto the rows (the aucExact scale
+    * contract: the unpartitioned cumsum window runs over |value domain|
+    * rows, so quantize first — NEVER a global ntile, which would move the
+    * corpus to one partition). Returns (value → quartile) to join back.
+    */
+  def tiedQuartileMap(df: DataFrame, value: Column): DataFrame = {
+    val per = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("_cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    per
+      .withColumn("_below", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over())
+      .select(col("v"),
+        // integer `div`, not double `/`+cast: at 2⁵³-scale counts the
+        // double quotient can round UP across a bucket boundary
+        least(lit(4L), expr("(4 * _below) div _n") + 1L).as("quartile"))
+  }
 }

@@ -93,4 +93,27 @@ object Transforms {
     df.selectExpr(ids.map(id) :+
       s"stack(${measures.length}, $stackArgs) AS (${id(nameCol)}, ${id(valueCol)})": _*)
   }
+
+  /** Group-mean null imputation, reported: per group the row count,
+    * missing count, the imputation value (exact decimal sum of the
+    * non-null measures → ONE IEEE division), and the group total after
+    * imputation. The total is assembled as
+    * `sum_nonnull + n_missing·mean` — two deterministic double ops on
+    * exact inputs — NOT by summing per-row imputed doubles, whose
+    * partition-order-dependent float addition would make the result
+    * engine- and run-varying. One aggregation, map-side partials, output
+    * bounded by |groups|.
+    */
+  def meanImputeReport(df: DataFrame, group: Column, value: Column,
+                       scale: Int = 6): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(value.isNull, 1L).otherwise(0L)).as("n_missing"),
+        count(value).as("_nv"),
+        sum(value.cast(s"decimal(28,$scale)")).as("_s"))
+      .select(col("grp"), col("n_rows"), col("n_missing"),
+        (col("_s").cast("double") / col("_nv").cast("double")).as("mean_used"),
+        (col("_s").cast("double") +
+          (col("_s").cast("double") / col("_nv").cast("double")) *
+            col("n_missing").cast("double")).as("total_after"))
 }

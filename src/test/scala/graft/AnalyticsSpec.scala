@@ -188,4 +188,51 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(got == Map("c" -> 0)) // nothing is reachable downstream of c
   }
+
+  // ---- markovTransitions ----
+
+  test("markovTransitions: exact pair counts, per-state probabilities sum to 1, tails excluded") {
+    // user 1: a b a b   user 2: a a c (c is terminal: contributes no from-pair)
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "c")).toDF("u", "t", "st")
+    val got = Analytics.markovTransitions(df, col("u"), Seq(col("t")), col("st"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("row_total"), r.getAs[Double]("p"))).toMap
+    assert(got(("a", "b")) === ((2L, 4L, 0.5)))
+    assert(got(("a", "a")) === ((1L, 4L, 0.25)))
+    assert(got(("a", "c")) === ((1L, 4L, 0.25)))
+    assert(got(("b", "a")) === ((1L, 1L, 1.0)))
+    assert(!got.keySet.exists(_._1 == "c")) // terminal state: no outgoing row
+    // probabilities per from_state sum to exactly 1 (integer ratios over a common denominator)
+    got.keys.map(_._1).toSet.foreach { s: String =>
+      assert(got.filter(_._1._1 == s).values.map(_._3).sum === 1.0)
+    }
+  }
+
+  test("markovTransitions never pairs across keys") {
+    val df = Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("u", "t", "st")
+    assert(Analytics.markovTransitions(df, col("u"), Seq(col("t")), col("st")).count() === 0L)
+  }
+
+  // ---- tiedQuartileMap ----
+
+  test("tiedQuartileMap: balanced quartiles on distinct values, ties share a bucket, clamped at 4") {
+    val df = (1 to 8).map(_.toLong).toDF("v")
+    val q = Analytics.tiedQuartileMap(df, col("v")).as[(Long, Long)].collect().toMap
+    assert(q === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+    // one dominant tie group: all equal values land in ONE quartile
+    val skew = (Seq.fill(97)(5L) ++ Seq(1L, 2L, 9L)).toDF("v")
+    val qs = Analytics.tiedQuartileMap(skew, col("v")).as[(Long, Long)].collect().toMap
+    assert(qs(5L) === 1L) // below=2 of 100 → floor(8/100)+1 = 1; never split
+    assert(qs(9L) === 4L) // below=99 → floor(396/100)+1 = 4 (clamp no-op)
+  }
+
+  test("tiedQuartileMap is a pure value→quartile map: row multiplicity weights the ranks") {
+    // 4 copies of 1 push the single 2 into the top quartile
+    val df = (Seq.fill(4)(1L) ++ Seq(2L)).toDF("v")
+    val q = Analytics.tiedQuartileMap(df, col("v")).as[(Long, Long)].collect().toMap
+    assert(q === Map(1L -> 1L, 2L -> 4L)) // below=4 of 5 → floor(16/5)+1=4
+  }
 }

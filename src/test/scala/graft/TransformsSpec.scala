@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Transforms, Sources}
+import org.apache.spark.sql.functions.{col, lit}
 
 class TransformsSpec extends SparkSpec {
   import spark.implicits._
@@ -86,5 +87,26 @@ class TransformsSpec extends SparkSpec {
       case Array(a, b) => assert(a._3 < b._2, s"file z-ranges overlap: $a vs $b")
       case _ =>
     }
+  }
+  // ---- meanImputeReport ----
+
+  test("meanImputeReport: exact mean, missing census, and assembled total") {
+    import spark.implicits._
+    val df = Seq(("a", Some(2.0)), ("a", None), ("a", Some(4.0)),
+      ("b", Some(10.0)), ("b", None), ("b", None)).toDF("g", "v")
+    val got = Transforms.meanImputeReport(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_missing"),
+         r.getAs[Double]("mean_used"), r.getAs[Double]("total_after"))).toMap
+    assert(got("a") === ((3L, 1L, 3.0, 9.0)))   // 6 + 1·3
+    assert(got("b") === ((3L, 2L, 10.0, 30.0))) // 10 + 2·10
+  }
+
+  test("meanImputeReport: an all-null group yields null mean and total, never a crash") {
+    import spark.implicits._
+    val df = Seq(("x", None: Option[Double]), ("x", None)).toDF("g", "v")
+    val r = Transforms.meanImputeReport(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("n_missing") === 2L)
+    assert(r.isNullAt(r.fieldIndex("mean_used")) && r.isNullAt(r.fieldIndex("total_after")))
   }
 }
