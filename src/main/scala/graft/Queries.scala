@@ -285,6 +285,31 @@ object Queries {
     * Mirrors [[graft.ops.Analytics.perceptronFit]] exactly: update
     * w += Σ y·x over rows with y·margin <= 0, bias as a constant feature.
     */
+  /** op_schema_drift oracle: per-column profile blocks are mechanical —
+    * generate them (null/distinct census per column per side, then the
+    * same full-outer shape the Spark side builds).
+    */
+  private def profileDriftOracleSql(v1Cols: Seq[String], v2Cols: Seq[String]): String = {
+    def side(name: String, cols: Seq[String]): String = cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM $name"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH v1 AS (SELECT ${v1Cols.mkString(", ")} FROM orders WHERE o_orderkey % 2 = 0),
+      v2 AS (SELECT orders.*, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE 'web' END AS o_channel
+        FROM orders WHERE o_orderkey % 3 <> 0),
+      p1 AS (${side("v1", v1Cols)}),
+      p2 AS (${side("v2", v2Cols)})
+      SELECT coalesce(p1.column_name, p2.column_name) AS column_name,
+        p1.column_name IS NOT NULL AS in_v1, p2.column_name IS NOT NULL AS in_v2,
+        coalesce(p1.n_rows, 0) AS n_rows_v1, coalesce(p1.n_nulls, 0) AS n_nulls_v1,
+        coalesce(p1.n_distinct, 0) AS n_distinct_v1,
+        coalesce(p2.n_rows, 0) AS n_rows_v2, coalesce(p2.n_nulls, 0) AS n_nulls_v2,
+        coalesce(p2.n_distinct, 0) AS n_distinct_v2
+      FROM p1 FULL OUTER JOIN p2 ON p1.column_name = p2.column_name
+      ORDER BY column_name"""
+  }
+
   private def perceptronOracleSql(iters: Int): String = {
     val f = """f AS (SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS f1,
         CAST(doc_id % 11 AS BIGINT) AS f2,
@@ -4242,7 +4267,68 @@ object Queries {
           .orderBySmall(col("source"))
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents GROUP BY 1 ORDER BY 1"""))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_chi_square",
+      // Pearson χ² decomposition over priority×status: per-cell expected
+      // count + contribution (exact long products → one square, one
+      // division), statistic folded in UTF-8 cell order over the bounded
+      // cell table (float addition is not associative — an unordered SUM
+      // would be engine-varying), mirrored by an ordered list_reduce
+      (s, d) => Analytics.chiSquare(t(s, d, "orders"),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .orderBySmall(col("a"), col("b")),
+      Some("""WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS n_obs
+          FROM orders GROUP BY 1, 2),
+        t AS (SELECT a, b, n_obs,
+            CAST(sum(n_obs) OVER (PARTITION BY a) AS BIGINT) AS r,
+            CAST(sum(n_obs) OVER (PARTITION BY b) AS BIGINT) AS c,
+            CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM cells),
+        e AS (SELECT a, b, n_obs,
+            CAST(r*c AS DOUBLE)/CAST(n AS DOUBLE) AS expected,
+            CAST(n_obs*n - r*c AS DOUBLE)*CAST(n_obs*n - r*c AS DOUBLE)/CAST(n*r*c AS DOUBLE) AS contrib
+          FROM t),
+        tot AS (SELECT list_reduce(list(contrib ORDER BY a, b), (x, y) -> x + y) AS chi2,
+            CAST((count(DISTINCT a)-1)*(count(DISTINCT b)-1) AS BIGINT) AS deg_free FROM e)
+        SELECT e.a, e.b, e.n_obs, e.expected, e.contrib, tot.chi2, tot.deg_free
+        FROM e, tot ORDER BY a, b""")),
+
+    QueryDef("op_schema_drift",
+      // vendor-drop acceptance check: column-level profile diff between
+      // two snapshots (v1 drops a column; v2 adds a nullable one) —
+      // added/removed columns surface as one-sided rows, null/distinct
+      // censuses as integer deltas; one linear pass + agg per side
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val v1 = o.where(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+        val v2 = o.where(col("o_orderkey") % 3 =!= 0)
+          .withColumn("o_channel", when(col("o_orderkey") % 5 === 0,
+            lit(null).cast("string")).otherwise(lit("web")))
+        Analytics.profileDrift(v1, v2).orderBySmall(col("column_name"))
+      },
+      Some(profileDriftOracleSql(
+        v1Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        v2Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority", "o_channel")))),
+
+    QueryDef("op_partition_pruning",
+      // partition-layout interchange: write documents partitioned by
+      // source (Hive-style directories), read back with a partition
+      // predicate — the scan must prune to the two matching directories
+      // (plan-asserted in PlanSpec); the oracle filters the original
+      // parquet, so a partition-placement bug breaks the hash
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+        t(s, d, "documents").write.mode("overwrite")
+          .partitionBy("source").parquet(dir)
+        s.read.parquet(dir)
+          .where(col("source").isin("src0", "src1"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------------------

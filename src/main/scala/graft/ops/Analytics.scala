@@ -878,4 +878,87 @@ object Analytics {
         // double quotient can round UP across a bucket boundary
         least(lit(4L), expr("(4 * _below) div _n") + 1L).as("quartile"))
   }
+
+  /** Pearson χ² decomposition over a contingency table: per cell the
+    * expected count and the χ² contribution (O·n − r·c)²/(n·r·c), plus
+    * the statistic and degrees of freedom as constant columns.
+    *
+    * Determinism: every long product stays exact (contract: n < 3·10⁹
+    * rows, the [[MlEval.aucExact]] bound — shard above that), the
+    * long→double conversions are exact (< 2⁵³), and each cell is then
+    * ONE square and ONE division — bit-identical in any IEEE engine. The
+    * statistic is folded on the driver over the BOUNDED cell table in
+    * (a, b) order (the [[Sampling]] order-pinned-fold convention;
+    * float addition is not associative, so an unordered SQL SUM would be
+    * engine-varying), mirrored externally by an ordered list_sum.
+    */
+  def chiSquare(df: DataFrame, a: Column, b: Column,
+                maxCells: Int = 4096): DataFrame = {
+    val cells = contingency(df, a, b)
+      .select(col("a"), col("b"), col("n_obs"),
+        col("row_total").cast("long").as("r"),
+        col("col_total").cast("long").as("c"),
+        col("n_total").cast("long").as("n"))
+      .withColumn("expected",
+        (col("r") * col("c")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib", {
+        val num = (col("n_obs") * col("n") - col("r") * col("c")).cast("double")
+        num * num / (col("n") * col("r") * col("c")).cast("double")
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = cells.select(col("a").cast("string"), col("b").cast("string"),
+        col("contrib"))
+      .coalesce(1).limit(maxCells + 1).collect()
+    require(head.length <= maxCells,
+      s"chiSquare: more than $maxCells cells — not a categorical×categorical input")
+    // UTF-8-byte cell order (Arrays.compareUnsigned), matching external
+    // binary collation for supplementary-plane labels — the
+    // mixByTemperature lesson
+    val byUtf8: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    implicit val pairOrd: Ordering[(String, String)] = Ordering.Tuple2(byUtf8, byUtf8)
+    val chi2 = head.map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val dfDeg = (head.map(_.getString(0)).distinct.length - 1).toLong *
+      (head.map(_.getString(1)).distinct.length - 1).toLong
+    cells.select(col("a"), col("b"), col("n_obs"), col("expected"),
+      col("contrib"), lit(chi2).as("chi2"), lit(dfDeg).as("deg_free"))
+  }
+
+  /** Schema/profile drift between two snapshots of "the same" table:
+    * per column the row count, null count, and distinct count in each
+    * side plus presence flags — the checks a pipeline runs before
+    * accepting a new vendor drop. Columns are profiled via one
+    * unpivoted pass per side (values stringified — drift detection
+    * compares shapes, not types), full-outer-joined on column name:
+    * added/removed columns surface as one-sided rows. Output bounded by
+    * |columns|; each side is one linear pass + one agg.
+    */
+  def profileDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def prof(df: DataFrame, side: String): DataFrame = {
+      val cols = df.columns.toSeq
+      val long = Transforms.unpivot(
+        df.select(cols.map(c => col(c).cast("string").as(c)): _*),
+        ids = Seq.empty, measures = cols, nameCol = "column_name", valueCol = "_v")
+      long.groupBy(col("column_name"))
+        .agg(count(lit(1)).as(s"n_rows_$side"),
+          sum(when(col("_v").isNull, 1L).otherwise(0L)).as(s"n_nulls_$side"),
+          // approx would break the oracle; distinct per column is
+          // bounded by the profiled snapshot's row count
+          countDistinct(col("_v")).as(s"n_distinct_$side"))
+    }
+    prof(v1, "v1").withColumnRenamed("column_name", "_c1")
+      .join(prof(v2, "v2").withColumnRenamed("column_name", "_c2"),
+        col("_c1") === col("_c2"), "full_outer")
+      .select(coalesce(col("_c1"), col("_c2")).as("column_name"),
+        col("_c1").isNotNull.as("in_v1"), col("_c2").isNotNull.as("in_v2"),
+        coalesce(col("n_rows_v1"), lit(0L)).as("n_rows_v1"),
+        coalesce(col("n_nulls_v1"), lit(0L)).as("n_nulls_v1"),
+        coalesce(col("n_distinct_v1"), lit(0L)).as("n_distinct_v1"),
+        coalesce(col("n_rows_v2"), lit(0L)).as("n_rows_v2"),
+        coalesce(col("n_nulls_v2"), lit(0L)).as("n_nulls_v2"),
+        coalesce(col("n_distinct_v2"), lit(0L)).as("n_distinct_v2"))
+  }
 }

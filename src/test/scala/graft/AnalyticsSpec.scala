@@ -235,4 +235,49 @@ class AnalyticsSpec extends SparkSpec {
     val q = Analytics.tiedQuartileMap(df, col("v")).as[(Long, Long)].collect().toMap
     assert(q === Map(1L -> 1L, 2L -> 4L)) // below=4 of 5 → floor(16/5)+1=4
   }
+
+  // ---- chiSquare ----
+
+  test("chiSquare: hand-computed 2×2 cells, statistic, and degrees of freedom") {
+    // cells: (a,x)=10 (a,y)=20 (b,x)=20 (b,y)=10 → n=60, all marginals 30
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val got = Analytics.chiSquare(rows.toDF("p", "q"), col("p"), col("q")).collect()
+    val byCell = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // expected = 30·30/60 = 15 everywhere; contrib = (10·60−900)²/(60·900) = 300²/54000
+    assert(byCell(("a", "x")).getAs[Double]("expected") === 15.0)
+    assert(byCell(("a", "x")).getAs[Double]("contrib") === 300.0 * 300.0 / 54000.0)
+    assert(got.forall(_.getAs[Long]("deg_free") === 1L))
+    // χ² = 4 · 5/3 = 20/3 (classic 2×2 formula n(ad−bc)²/(r1r2c1c2) = 60·(100−400)²/30⁴)
+    assert(math.abs(got.head.getAs[Double]("chi2") - 60.0 * 300.0 * 300.0 / (30.0 * 30.0 * 30.0 * 30.0)) < 1e-12)
+  }
+
+  test("chiSquare: perfectly proportional cells give exactly zero everywhere") {
+    val rows = Seq.fill(6)(("a", "x")) ++ Seq.fill(12)(("a", "y")) ++
+      Seq.fill(3)(("b", "x")) ++ Seq.fill(6)(("b", "y"))
+    val got = Analytics.chiSquare(rows.toDF("p", "q"), col("p"), col("q")).collect()
+    assert(got.forall(_.getAs[Double]("contrib") === 0.0)) // O·n == r·c exactly
+    assert(got.forall(_.getAs[Double]("chi2") === 0.0))
+  }
+
+  // ---- profileDrift ----
+
+  test("profileDrift: added/removed columns and null/distinct censuses") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "k")
+    val v2 = Seq((1L, Some("x")), (2L, None), (4L, Some("x")), (5L, None))
+      .toDF("id", "extra") // k removed, extra added (2 nulls, 1 distinct)
+    val got = Analytics.profileDrift(v1, v2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("id", "k", "extra"))
+    val k = got("k")
+    assert(k.getAs[Boolean]("in_v1") && !k.getAs[Boolean]("in_v2"))
+    assert(k.getAs[Long]("n_distinct_v1") === 2L && k.getAs[Long]("n_rows_v2") === 0L)
+    val e = got("extra")
+    assert(!e.getAs[Boolean]("in_v1") && e.getAs[Boolean]("in_v2"))
+    assert((e.getAs[Long]("n_rows_v2"), e.getAs[Long]("n_nulls_v2"),
+      e.getAs[Long]("n_distinct_v2")) === ((4L, 2L, 1L)))
+    val id = got("id")
+    assert(id.getAs[Long]("n_rows_v1") === 3L && id.getAs[Long]("n_rows_v2") === 4L)
+    assert(id.getAs[Long]("n_distinct_v1") === 3L && id.getAs[Long]("n_distinct_v2") === 4L)
+  }
 }

@@ -176,6 +176,17 @@ class PlanSpec extends SparkSpec {
       s"op_salted_join lineitem scan not pruned:\n$sj")
   }
 
+  test("op_partition_pruning: the partition predicate prunes directories at the scan") {
+    val p = plan("op_partition_pruning")
+    // Hive-style partition layout: the IN predicate must appear as a
+    // PartitionFilters entry on the scan (directory pruning — no data
+    // file of a non-matching source is ever opened), not a post-scan Filter
+    assert(p.contains("PartitionFilters: [source#") || p.contains("PartitionFilters: [In(source"),
+      s"partition predicate did not reach the scan:\n$p")
+    assert(!p.replaceAll("PartitionFilters[^\\n]*", "").contains("src0"),
+      s"source filter survives as a residual row filter:\n$p")
+  }
+
   test("bucketed co-located join: no exchange and no extra sort below the join") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_test").toString
