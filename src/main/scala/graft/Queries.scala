@@ -4328,7 +4328,113 @@ object Queries {
           .orderBySmall(col("source"))
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1 ORDER BY 1"""))
+        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("txt_sparse_cosine",
+      // exact tf-weighted pairwise cosine ≥ 4/5 with df-capped candidate
+      // generation (the multiset complement of dedup_ngram_jaccard's set
+      // Jaccard): integer-only threshold compare den²·dot² ≥ num²·‖a‖²‖b‖²
+      // in DECIMAL — no sqrt, no float anywhere
+      (s, d) => TextAnalysis.sparseCosinePairs(t(s, d, "documents"),
+          "doc_id", "text", thrNum = 4, thrDen = 5, maxDf = 10, shingleN = 3)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(shingles) AS tok FROM shl) GROUP BY 1, 2),
+        nm AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS nsq FROM tf GROUP BY 1),
+        kept AS (SELECT doc_id, tok FROM (
+            SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM tf) WHERE df <= 10),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        dt AS (SELECT c.doc_a, c.doc_b, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+          FROM cand c JOIN tf ta ON ta.doc_id = c.doc_a
+          JOIN tf tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+          GROUP BY 1, 2)
+        SELECT dt.doc_a, dt.doc_b, dt.dot, na.nsq AS norm_a_sq, nb.nsq AS norm_b_sq
+        FROM dt JOIN nm na ON na.doc_id = dt.doc_a JOIN nm nb ON nb.doc_id = dt.doc_b
+        WHERE 25 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+          >= 16 * CAST(na.nsq AS HUGEINT) * CAST(nb.nsq AS HUGEINT)
+        ORDER BY doc_a, doc_b""")),
+
+    QueryDef("op_kcore",
+      // k-core decomposition (k=3) on a planted graph whose core is
+      // analytic: a K6 clique (+a 3-edge pendant that SURVIVES only
+      // because its own pendant peels first — the cascade the iterative
+      // algorithm exists for), an 8-cycle (2-core, peels round 1), and a
+      // degree-1 tail. The Spark side runs the REAL fixpoint peel; the
+      // oracle unrolls two peel rounds (the construct's exact depth)
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+          .where(col("doc_id") < 48)
+        val edges = ids.select(
+          when(col("doc_id") < 36, expr("doc_id div 6"))
+            .when(col("doc_id") < 44, lit(100L) + (col("doc_id") - 36))
+            .when(col("doc_id") < 47, col("doc_id") - 44)
+            .otherwise(lit(300L)).as("src"),
+          when(col("doc_id") < 36, col("doc_id") % 6)
+            .when(col("doc_id") < 44, lit(100L) + ((col("doc_id") - 36 + 1) % 8))
+            .when(col("doc_id") < 47, lit(300L))
+            .otherwise(lit(301L)).as("dst"))
+        Analytics.kCore(edges, "src", "dst", k = 3)
+          .orderBySmall(col("node"))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        raw AS (SELECT
+            CASE WHEN doc_id < 36 THEN doc_id // 6
+                 WHEN doc_id < 44 THEN 100 + (doc_id - 36)
+                 WHEN doc_id < 47 THEN doc_id - 44
+                 ELSE 300 END AS s,
+            CASE WHEN doc_id < 36 THEN doc_id % 6
+                 WHEN doc_id < 44 THEN 100 + ((doc_id - 36 + 1) % 8)
+                 WHEN doc_id < 47 THEN 300
+                 ELSE 301 END AS t
+          FROM ids),
+        e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t),
+        d1 AS (SELECT node, count(*) AS deg FROM
+          (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        e1 AS (SELECT e0.a, e0.b FROM e0 JOIN k1 x ON e0.a = x.node JOIN k1 y ON e0.b = y.node),
+        d2 AS (SELECT node, count(*) AS deg FROM
+          (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        e2 AS (SELECT e1.a, e1.b FROM e1 JOIN k2 x ON e1.a = x.node JOIN k2 y ON e1.b = y.node)
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+          (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_survivorship",
+      // MDM golden-record merge: per customer each attribute survives
+      // from its most recent NON-NULL row (a fresher row with a null
+      // attribute must not erase an older value — statuses null out on
+      // a planted rule to force the skip), via max(struct(recency,
+      // value)) in ONE aggregation — no window, no join
+      (s, d) => {
+        val o = t(s, d, "orders").withColumn("status2",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        Aggregates.goldenRecord(o, col("o_custkey"),
+          recency = Seq(col("o_orderdate"), col("o_orderkey")),
+          payload = Seq("latest_status" -> col("status2"),
+            "latest_price" -> col("o_totalprice")),
+          extra = Seq(count(lit(1)).as("n_orders"),
+            unix_micros(min(col("o_orderdate")).cast("timestamp")).as("first_date_us")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH o AS (SELECT *, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE o_orderstatus END AS status2 FROM orders),
+        st AS (SELECT o_custkey, status2 AS latest_status FROM o WHERE status2 IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        pr AS (SELECT o_custkey, o_totalprice AS latest_price FROM o WHERE o_totalprice IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        ag AS (SELECT o_custkey, count(*) AS n_orders, epoch_us(min(o_orderdate)) AS first_date_us
+          FROM o GROUP BY 1)
+        SELECT ag.o_custkey, st.latest_status, pr.latest_price, ag.n_orders, ag.first_date_us
+        FROM ag LEFT JOIN st USING (o_custkey) LEFT JOIN pr USING (o_custkey)
+        ORDER BY o_custkey"""))
   )
 
   // ------------------------------------------------------------------

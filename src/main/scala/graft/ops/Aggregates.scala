@@ -111,4 +111,28 @@ object Aggregates {
 
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Survivorship / golden-record merge: per key, each payload column
+    * takes its value from the most recent row WHERE THAT COLUMN IS
+    * NON-NULL (per-attribute recency, the standard MDM survivorship
+    * rule — a fresher row with a null attribute must not erase an older
+    * value). One aggregation: each payload is max(struct(recency…,
+    * value)) over its non-null rows — struct ordering is lexicographic,
+    * so the recency columns decide and the value rides along; ties on
+    * the full recency vector resolve by the value itself (make the
+    * recency vector unique — add a row id — when that matters).
+    * Extra plain aggregates append as-is. Map-side partial aggregation,
+    * no window, no join.
+    */
+  def goldenRecord(df: DataFrame, key: Column, recency: Seq[Column],
+                   payload: Seq[(String, Column)],
+                   extra: Seq[Column] = Nil): DataFrame = {
+    require(recency.nonEmpty && payload.nonEmpty)
+    val picks = payload.map { case (name, c) =>
+      max(when(c.isNotNull, struct(recency :+ c.as("_v"): _*)))
+        .getField("_v").as(name)
+    }
+    val aggs = picks ++ extra
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
 }

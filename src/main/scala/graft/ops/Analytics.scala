@@ -961,4 +961,49 @@ object Analytics {
         coalesce(col("n_nulls_v2"), lit(0L)).as("n_nulls_v2"),
         coalesce(col("n_distinct_v2"), lit(0L)).as("n_distinct_v2"))
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k until stable; returns the surviving nodes with their degree
+    * WITHIN the core subgraph. Edges canonicalize first (undirected,
+    * self-loops dropped, duplicates/reverses collapse).
+    *
+    * Scale: each round is one degree aggregation + two sort-merge semi
+    * joins (the survivor set grows toward node count — never broadcast);
+    * rounds are bounded by the peeling depth (≤ maxRounds guard; a path
+    * graph peels from both ends, so depth can reach n/2 — that is the
+    * exact algorithm's frontier, not an implementation artifact).
+    * Per-round edge tables localCheckpoint so the plan stays flat (the
+    * [[bfsHops]] convention); the fixpoint test is the edge COUNT — a
+    * metadata-sized driver scalar per round.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    var cur = canon.localCheckpoint(true)
+    var nEdges = cur.count()
+    var rounds = 0
+    var stable = nEdges == 0L
+    while (!stable && rounds < maxRounds) {
+      rounds += 1
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.hint("merge"), cur("a") === keep("node"), "left_semi")
+        .join(keep.hint("merge"), cur("b") === keep("node"), "left_semi")
+        .localCheckpoint(true)
+      val m = next.count()
+      stable = m == nEdges
+      cur = next; nEdges = m
+    }
+    cur.select(col("a").as("node"))
+      .unionAll(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
 }

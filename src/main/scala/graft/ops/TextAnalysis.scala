@@ -680,4 +680,112 @@ object TextAnalysis {
         when(nToks > 0, swHits.cast("double") / nToks.cast("double")).otherwise(lit(0.0)))
       .drop("_toks")
   }
+
+  /** EXACT pairwise sparse-cosine document similarity (tf-weighted bag of
+    * words) with df-capped candidate generation — the multiset-weighted
+    * complement of [[graft.ops.Dedup.ngramJaccardPairs]] (same candidate
+    * contract: a qualifying pair sharing ONLY tokens with df > maxDf is
+    * not generated; any shared token with df ≤ maxDf guarantees the pair
+    * is found and verified exactly).
+    *
+    * The threshold is a RATIONAL num/den and the compare is integer-only:
+    * cos ≥ num/den  ⟺  den²·dot² ≥ num²·‖a‖²·‖b‖²  (dot ≥ 0 for tf
+    * weights), evaluated in DECIMAL(38,0) after casting each long factor
+    * — no sqrt, no float, hash-exact in any engine. Contract: dot < 10¹⁸
+    * (token-multiset dot products are bounded by document length², far
+    * below this for real corpora).
+    *
+    * Scale: candidates come from CappedIds posting lists (per-token state
+    * bounded at maxDf+1, pairs ≤ maxDf²/2 per token — linear in corpus);
+    * the exact-dot join moves only candidate pairs' tf rows; the tf table
+    * is persisted once and feeds norms, candidates, and the verify.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        thrNum: Int, thrDen: Int, maxDf: Int,
+                        shingleN: Int = 1): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen && maxDf >= 2)
+    // feature unit: unigrams, or n-gram MULTISETS (gramsFromTokens keeps
+    // duplicates — the tf weights are the point) when the corpus
+    // vocabulary is too small for unigram df to discriminate. Tokens
+    // materialize in a projection BEFORE the gram lambdas read them
+    // (gramsFromTokens contract: a raw tokens(text) argument re-splits
+    // the text per element — measured 3.8 s → 0.9 s for this tf build)
+    val toksed = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val feats =
+      if (shingleN <= 1) col("_toks")
+      else Dedup.gramsFromTokens(col("_toks"), shingleN)
+    val tf = toksed.select(col(idCol), explode(feats).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-token df decides kept (candidate-generating) vs hot tokens.
+    // The df annotates tf via ONE token-partitioned window (constant
+    // per-token state — a count), and the annotated table is the single
+    // persisted corpus-wide artifact: kept slice, hot slice, and norms
+    // all derive from it by pure filters, and its hash(_tok)
+    // partitioning is exactly what the kept self-join needs, so that
+    // join adds NO further exchange. The first formulation built a
+    // separate df table and re-joined it three times (three string-keyed
+    // corpus SMJs): 9.5 s at sf0.1 vs ~4 s for this plan.
+    val tf2 = tf
+      .withColumn("_dfc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_tok"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptTf = tf2.where(col("_dfc") <= maxDf)
+    // ONE self-join over the kept slice generates candidates AND their
+    // kept-token partial dot together (≤ maxDf²/2 pairs per token —
+    // linear in corpus); never a pair-list × full-token-list re-join
+    val a = keptTf.select(col("_tok"), col(idCol).as("doc_a"), col("_tf").as("_tfa"))
+    val b = keptTf.select(col("_tok").as("_tokb"), col(idCol).as("doc_b"),
+      col("_tf").as("_tfb"))
+    val pairsKept = a.join(b, col("_tok") === col("_tokb") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("_tfa") * col("_tfb")).as("_dot_kept"))
+    // per-doc norms: total ‖·‖² plus the hot slice ‖·‖²_hot — the
+    // Cauchy–Schwarz bound dot_hot ≤ √(hot_a·hot_b) turns the hot
+    // completion into a per-pair SCALAR prefilter
+    val norms = tf2.groupBy(col(idCol))
+      .agg(sum(col("_tf") * col("_tf")).as("_nsq"),
+        sum(when(col("_dfc") > maxDf, col("_tf") * col("_tf")).otherwise(0L))
+          .as("_hotsq"))
+    val na = norms.select(col(idCol).as("_naid"), col("_nsq").as("norm_a_sq"),
+      col("_hotsq").as("_hota"))
+    val nb = norms.select(col(idCol).as("_nbid"), col("_nsq").as("norm_b_sq"),
+      col("_hotsq").as("_hotb"))
+    val thrN = lit(thrNum.toLong * thrNum)
+    val thrD = lit(thrDen.toLong * thrDen)
+    // ε-relaxed ADMIT-ONLY prefilter (float sqrt can round either way;
+    // the relaxation only lets borderline pairs through to the exact
+    // verify, it never drops one)
+    val ub = col("_dot_kept").cast("double") +
+      sqrt(col("_hota").cast("double") * col("_hotb").cast("double"))
+    val pre = pairsKept
+      .join(na, col("doc_a") === col("_naid"))
+      .join(nb, col("doc_b") === col("_nbid"))
+      .where(thrD.cast("double") * ub * ub * lit(1.0 + 1e-9) >=
+        thrN.cast("double") * col("norm_a_sq").cast("double") *
+          col("norm_b_sq").cast("double"))
+      .drop("_hota", "_hotb", "_naid", "_nbid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact hot completion over the surviving sliver only: hot rows come
+    // straight from the cached annotated table; pre is the tiny side of
+    // both joins (AQE broadcasts it — the corpus never reshuffles)
+    val hotTf = tf2.where(col("_dfc") > maxDf)
+    val ha = hotTf.select(col("_tok"), col(idCol).as("_hida"), col("_tf").as("_htfa"))
+    val hb = hotTf.select(col("_tok").as("_htokb"), col(idCol).as("_hidb"),
+      col("_tf").as("_htfb"))
+    val hotDot = pre.select(col("doc_a"), col("doc_b"))
+      .join(ha, col("doc_a") === col("_hida"))
+      .join(hb, col("doc_b") === col("_hidb") && col("_tok") === col("_htokb"))
+      .groupBy(col("doc_a").as("_ha"), col("doc_b").as("_hb"))
+      .agg(sum(col("_htfa") * col("_htfb")).as("_dot_hot"))
+    def d(c: Column) = c.cast("decimal(19,0)")
+    pre
+      .join(hotDot, col("doc_a") === col("_ha") && col("doc_b") === col("_hb"),
+        "left_outer")
+      .withColumn("dot", col("_dot_kept") + coalesce(col("_dot_hot"), lit(0L)))
+      .where(thrD * (d(col("dot")) * d(col("dot"))) >=
+        thrN * (d(col("norm_a_sq")) * d(col("norm_b_sq"))))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("norm_a_sq"), col("norm_b_sq"))
+  }
 }

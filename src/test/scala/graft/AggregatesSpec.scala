@@ -285,4 +285,41 @@ class AggregatesSpec extends SparkSpec {
     assert(got == want, s"incremental $got != full $want")
     assert(got.map(_._1) == Set("a", "d"), "b/c must drop at cnt 0; d must appear")
   }
+  // ---- goldenRecord ----
+
+  test("goldenRecord: each attribute survives from its most recent NON-NULL row independently") {
+    import spark.implicits._
+    val rows = Seq(
+      // key, seq, name, phone
+      ("k", 1L, Some("old-name"), Some("111")),
+      ("k", 2L, Some("new-name"), None),       // fresher, but phone is null
+      ("k", 3L, None, Some("333")),            // freshest, but name is null
+      ("z", 1L, None, None)                    // no non-null values at all
+    ).toDF("key", "seq", "name", "phone")
+    val got = Aggregates.goldenRecord(rows, col("key"), Seq(col("seq")),
+        Seq("g_name" -> col("name"), "g_phone" -> col("phone")),
+        extra = Seq(count(lit(1)).as("n")))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), r.getAs[Long]("n"))).toMap
+    assert(got("k") === ((Some("new-name"), Some("333"), 3L)))
+    assert(got("z") === ((None, None, 1L)))
+  }
+
+  test("goldenRecord equals the window formulation on a larger deterministic input") {
+    import spark.implicits._
+    val df = spark.range(0, 500).select(
+      (col("id") % 37).as("key"), col("id").as("seq"),
+      when(col("id") % 3 === 0, concat(lit("v"), col("id"))).as("v"))
+    val got = Aggregates.goldenRecord(df, col("key"), Seq(col("seq")),
+        Seq("latest_v" -> col("v")))
+      .as[(Long, Option[String])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    val want = df.where(col("v").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("key"), col("v")).as[(Long, String)].collect().toMap
+    assert(got.size === 37)
+    got.foreach { case (k, v) => assert(v === want.get(k)) }
+  }
 }

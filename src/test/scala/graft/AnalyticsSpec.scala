@@ -280,4 +280,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(id.getAs[Long]("n_rows_v1") === 3L && id.getAs[Long]("n_rows_v2") === 4L)
     assert(id.getAs[Long]("n_distinct_v1") === 3L && id.getAs[Long]("n_distinct_v2") === 4L)
   }
+
+  // ---- kCore ----
+
+  test("kCore: a peel CASCADE needs iteration — a pendant chain unravels one node per round") {
+    // K4 clique {0,1,2,3} + chain 3-10-11-12: chain nodes have degree ≤ 2,
+    // but each round exposes only the current endpoint → 3 peel rounds
+    val clique = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val e = (clique ++ chain).toDF("s", "t")
+    val got = Analytics.kCore(e, "s", "t", k = 3).as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCore: a cycle is exactly a 2-core; at k=3 it vanishes entirely") {
+    val cyc = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong)).toDF("s", "t")
+    assert(Analytics.kCore(cyc, "s", "t", k = 2).count() === 6L)
+    assert(Analytics.kCore(cyc, "s", "t", k = 3).count() === 0L)
+  }
+
+  test("kCore canonicalizes: self-loops and reversed duplicates never inflate degrees") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    // triangle {1,2,3}: degrees exactly 2 despite the dupe and self-loop
+    val got = Analytics.kCore(e, "s", "t", k = 2).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

@@ -510,4 +510,49 @@ class TextPipelineSpec extends SparkSpec {
     val baselinePad = 256L * 6 - got.values.map(_._3).sum
     assert(totalPad < baselinePad, "bucketing must beat the one-bucket baseline")
   }
+  // ---- sparseCosinePairs ----
+
+  test("sparseCosinePairs: identical docs hit cosine 1; a tf-scaled copy ALSO hits 1 (multiset, not set, semantics)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fox jumps over dog"),
+      (2L, "red fox jumps over dog"),
+      // doc 3 = doc 1 repeated twice: every tf doubles → cosine with 1 is exactly 1
+      (3L, "red fox jumps over dog red fox jumps over dog"),
+      (4L, "entirely different words here now")).toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text",
+        thrNum = 99, thrDen = 100, maxDf = 10, shingleN = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("sparseCosinePairs: threshold boundary is EXACT — cos == num/den passes, just-below fails") {
+    import spark.implicits._
+    // a=(1,1,1,1) b=(1,1,1,0)-ish via tokens: dot=3, na=4, nb=3 → cos²=9/12=3/4
+    // num/den = 86/100: num²·na·nb = 7396·12 = 88752 > den²·dot² = 90000? compare directly:
+    // cos = 3/sqrt(12) = 0.8660…; at 86/100 it passes iff 100²·9 ≥ 86²·12 → 90000 ≥ 88752 ✓
+    // at 87/100: 90000 ≥ 90828 ✗
+    val docs = Seq((1L, "w x y z"), (2L, "w x y")).toDF("doc_id", "text")
+    def pairs(num: Int) = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text",
+      thrNum = num, thrDen = 100, maxDf = 5, shingleN = 1).count()
+    assert(pairs(86) === 1L)
+    assert(pairs(87) === 0L)
+  }
+
+  test("sparseCosinePairs: pairs sharing ONLY hot (df > maxDf) features are not generated — the documented cap contract") {
+    import spark.implicits._
+    // 'hot' appears in every doc (df=4 > maxDf=3); docs 1,2 share ONLY it
+    val docs = Seq((1L, "hot aaa"), (2L, "hot bbb"),
+      (3L, "hot ccc shared"), (4L, "hot ddd shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text",
+        thrNum = 1, thrDen = 10, maxDf = 3, shingleN = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val pairSet = got.map(r => (r._1, r._2)).toSet
+    assert(!pairSet.contains((1L, 2L)), "hot-only pair must not be generated")
+    assert(pairSet.contains((3L, 4L)), "'shared' (df=2) generates the pair")
+    // but the verify dot over a GENERATED pair counts hot features too
+    val d34 = got.find(r => (r._1, r._2) == ((3L, 4L))).get._3
+    assert(d34 === 2L) // hot·hot + shared·shared
+  }
 }
