@@ -4434,7 +4434,158 @@ object Queries {
           FROM o GROUP BY 1)
         SELECT ag.o_custkey, st.latest_status, pr.latest_price, ag.n_orders, ag.first_date_us
         FROM ag LEFT JOIN st USING (o_custkey) LEFT JOIN pr USING (o_custkey)
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // ---- TPC-H-shaped relational additions (q7/q12/q16/q22 analogs on
+    // the driver schema — no partsupp/shipmode/phone columns, so each
+    // keeps its original JOIN/AGG SHAPE with the available columns) ----
+    QueryDef("q7_nation_volume",
+      // q7: revenue volume between two specific nations by ship year —
+      // the 5-way join with a symmetric nation-pair predicate; growing
+      // tables sort-merge, the 25-row nation dim broadcasts twice
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val su = t(s, d, "supplier")
+        val n1 = t(s, d, "nation").select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation").select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"))
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("_snk"))
+          .join(broadcast(n2), col("c_nationkey") === col("_cnk"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate").cast("date")).cast("long").as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBySmall(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    QueryDef("q12_late_shipments",
+      // q12's shape (lineitem⋈orders, conditional priority counts) with
+      // lateness = shipped >90 days after order date standing in for the
+      // missing commit/receipt dates; integer day arithmetic
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val late = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")) > 90
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(late.as("is_late"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+          .orderBySmall(col("is_late"))
+      },
+      Some("""SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 AS is_late,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q16_supplier_reach",
+      // q16's shape without partsupp: supplier reach per (brand, size
+      // band) derived from SHIPPED pairs (distinct l_partkey×l_suppkey),
+      // excluding negative-balance suppliers via anti join — distinct
+      // count + NOT-IN-as-anti-join
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val bad = t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("_bad"))
+        val p = t(s, d, "part")
+        ps.join(bad.hint("merge"), col("l_suppkey") === col("_bad"), "left_anti")
+          .join(p.hint("merge"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), (col("p_size") / lit(10)).cast("long").as("size_band"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+            countDistinct(col("l_partkey")).as("part_cnt"))
+          .orderBySmall(col("p_brand"), col("size_band"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        ok AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+          WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = ps.l_suppkey AND s_acctbal < 0))
+        SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_band,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS part_cnt
+        FROM ok JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q22_dormant_value",
+      // q22's shape: above-average-balance customers with NO orders
+      // (scalar avg subquery → anti join), grouped by nation band;
+      // the avg is a decimal-exact sum → one division, and the balance
+      // compare runs against that single scalar
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val avgBal = c.where(col("c_acctbal") > 0)
+          .agg((dsum(col("c_acctbal"), 20, 2).cast("double") /
+            count(lit(1)).cast("double")).as("_avg"))
+        // dormant = no orders in the trailing window (every synthetic
+        // customer has SOME order, so the classic no-orders-ever form
+        // would return an empty — trivially matching — result)
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+          .select(col("o_custkey")).distinct()
+        c.crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal") > col("_avg"))
+          .join(o.hint("merge"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 10).as("nation_band"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 20, 2).as("totacctbal"))
+          .orderBySmall(col("nation_band"))
+      },
+      Some(s"""WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey % 10 AS nation_band, count(*) AS numcust,
+          ${dsumSql("c_acctbal", 20, 2)} AS totacctbal
+        FROM customer, a
+        WHERE c_acctbal > a.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_jdbc_roundtrip",
+      // relational-store interchange: write the projected documents table
+      // into an embedded Derby database over JDBC, read it back as a
+      // PARTITIONED JDBC scan (4 range partitions on doc_id — the
+      // parallel-ingest shape for production databases), aggregate; the
+      // oracle aggregates the original parquet, so a JDBC type-mapping
+      // or partition-boundary bug breaks the hash
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+        val url = s"jdbc:derby:$dir/db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").jdbc(url, "docs", props)
+        val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
+        s.read.format("jdbc")
+          .option("url", url).option("dbtable", "docs")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("partitionColumn", "doc_id")
+          .option("lowerBound", 0L).option("upperBound", math.max(maxId, 1L))
+          .option("numPartitions", 4)
+          .load()
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------------------

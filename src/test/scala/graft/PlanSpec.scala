@@ -176,6 +176,15 @@ class PlanSpec extends SparkSpec {
       s"op_salted_join lineitem scan not pruned:\n$sj")
   }
 
+  test("q7_nation_volume: growing tables sort-merge, both nation dims broadcast, no product") {
+    val p = plan("q7_nation_volume")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both 25-row nation dims must broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 3,
+      s"lineitem⋈orders⋈supplier⋈customer must sort-merge:\n$p")
+  }
+
   test("op_partition_pruning: the partition predicate prunes directories at the scan") {
     val p = plan("op_partition_pruning")
     // Hive-style partition layout: the IN predicate must appear as a
