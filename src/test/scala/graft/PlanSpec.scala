@@ -337,7 +337,27 @@ class PlanSpec extends SparkSpec {
           "op_record_linkage" -> 4, "op_quantile_grid" -> 3,
           "txt_length_bucketing" -> 2, "op_scd2_lookup" -> 3,
           "txt_inverted_index" -> 4, "mm_image_ahash" -> 3,
-          "op_bfs" -> 18)) {
+          "op_bfs" -> 18,
+          // continuation-session additions (measured floors + 1 slack).
+          // Single-agg shapes (1): the ML-eval quartet, attribution,
+          // markov, impute, schema drift, q12, q16. op_rfm 6 = per-
+          // customer agg persist + 3 quartile-map broadcast builds +
+          // final; ml_pca_project 4 = count + moment agg + header union +
+          // result; txt_sparse_cosine 6 = tf persist + df window + pair
+          // agg + prefilter persist + hot completion + sort;
+          // op_kcore 7 = canon checkpoint + 2 peel rounds × (checkpoint +
+          // count probe) + final agg — a deeper planted graph adds
+          // rounds BY DESIGN, so the pin is for THIS construct;
+          // roundtrips carry their write jobs
+          "ml_auc" -> 2, "ml_confusion" -> 2, "ml_calibration" -> 2,
+          "ml_lift" -> 2, "ml_feature_hash" -> 3, "ml_pca_project" -> 5,
+          "op_attribution" -> 2, "op_markov" -> 2, "op_rfm" -> 7,
+          "op_impute" -> 2, "op_orc_roundtrip" -> 3, "op_chi_square" -> 3,
+          "op_schema_drift" -> 2, "op_partition_pruning" -> 4,
+          "txt_sparse_cosine" -> 7, "op_kcore" -> 8, "op_survivorship" -> 3,
+          "q7_nation_volume" -> 3, "q12_late_shipments" -> 2,
+          "q16_supplier_reach" -> 2, "q22_dormant_value" -> 3,
+          "op_jdbc_roundtrip" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
