@@ -279,12 +279,23 @@ object Queries {
     (c0 +: rounds).mkString(",\n        ")
   }
 
-  /** Unrolled batch-perceptron oracle: pure INTEGER arithmetic end to end
-    * (weights, margins, updates), so parity needs no float reasoning at
-    * all — each round is one CTE carrying the weight triple forward.
-    * Mirrors [[graft.ops.Analytics.perceptronFit]] exactly: update
-    * w += Σ y·x over rows with y·margin <= 0, bias as a constant feature.
+  /** Deterministic per-(kind, sfDir) scratch directory for the
+    * write→read-back roundtrip queries. The path is FIXED for a given
+    * input dir and overwritten in place on every invocation, so repeated
+    * bench iterations reuse one directory (and, for JDBC, one embedded
+    * Derby database booted once per JVM) instead of accumulating fresh
+    * temp dirs and live database buffers without bound.
     */
+  private def scratchDir(kind: String, d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_rt_${kind}_$h")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** op_schema_drift oracle: per-column profile blocks are mechanical —
     * generate them (null/distinct census per column per side, then the
     * same full-outer shape the Spark side builds).
@@ -310,6 +321,12 @@ object Queries {
       ORDER BY column_name"""
   }
 
+  /** Unrolled batch-perceptron oracle: pure INTEGER arithmetic end to end
+    * (weights, margins, updates), so parity needs no float reasoning at
+    * all — each round is one CTE carrying the weight triple forward.
+    * Mirrors [[graft.ops.Analytics.perceptronFit]] exactly: update
+    * w += Σ y·x over rows with y·margin <= 0, bias as a constant feature.
+    */
   private def perceptronOracleSql(iters: Int): String = {
     val f = """f AS (SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS f1,
         CAST(doc_id % 11 AS BIGINT) AS f2,
@@ -4259,7 +4276,7 @@ object Queries {
       // path; the oracle aggregates the original parquet, so any ORC
       // corruption breaks the hash
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val dir = scratchDir("orc", d)
         t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
           .write.mode("overwrite").orc(dir)
         s.read.orc(dir).groupBy(col("source"))
@@ -4318,7 +4335,7 @@ object Queries {
       // (plan-asserted in PlanSpec); the oracle filters the original
       // parquet, so a partition-placement bug breaks the hash
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+        val dir = scratchDir("part", d)
         t(s, d, "documents").write.mode("overwrite")
           .partitionBy("source").parquet(dir)
         s.read.parquet(dir)
@@ -4566,7 +4583,7 @@ object Queries {
       // oracle aggregates the original parquet, so a JDBC type-mapping
       // or partition-boundary bug breaks the hash
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+        val dir = scratchDir("jdbc", d)
         val url = s"jdbc:derby:$dir/db;create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

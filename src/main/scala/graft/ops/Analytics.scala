@@ -913,9 +913,15 @@ object Analytics {
       s"chiSquare: more than $maxCells cells — not a categorical×categorical input")
     // UTF-8-byte cell order (Arrays.compareUnsigned), matching external
     // binary collation for supplementary-plane labels — the
-    // mixByTemperature lesson
+    // mixByTemperature lesson. NULL categories are legitimate cells
+    // (contingency keeps null groupBy keys) and sort first, mirroring
+    // ORDER BY ... NULLS FIRST — without the guard the fold NPEs on the
+    // first null label
     val byUtf8: Ordering[String] = (x: String, y: String) =>
-      java.util.Arrays.compareUnsigned(
+      if (x == null && y == null) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else java.util.Arrays.compareUnsigned(
         x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     implicit val pairOrd: Ordering[(String, String)] = Ordering.Tuple2(byUtf8, byUtf8)

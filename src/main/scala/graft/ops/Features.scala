@@ -22,31 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
-  /** Engine-portable token → bucket in [0, dim): first 8 md5 hex chars.
-    * (xxhash64 is the faster production form; md5 is the form every
-    * external engine can replay — same trade as [[Sampling.hashBucket]].)
+  /** Engine-portable token → bucket in [0, dim): first 8 md5 hex chars —
+    * delegates to the single md5/conv recipe ([[Sampling.hashBucketMod]];
+    * xxhash64 is the faster production form, md5 the one every external
+    * engine can replay).
     */
   def hashFeatureBucket(token: Column, dim: Int): Column =
-    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+    Sampling.hashBucketMod(token, dim.toLong)
 
   /** ±1 from the 9th md5 hex char — the signed hashing trick: an
     * independent hash bit decides each token's sign so colliding tokens
     * cancel in expectation instead of accumulating upward bias.
     */
   def hashFeatureSign(token: Column): Column =
-    when(conv(substring(md5(token), 9, 1), 16, 10).cast("long") % 2 === 0, lit(1L))
+    signFromHash(md5(token.cast("string")))
+
+  private def bucketFromHash(h: Column, dim: Int): Column =
+    Sampling.bucketFromMd5(h, dim.toLong)
+
+  private def signFromHash(h: Column): Column =
+    when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, lit(1L))
       .otherwise(lit(-1L))
 
   /** Sparse signed-hash features: one row per (id, bucket) with the
     * signed token-occurrence sum. Buckets a document never touches are
     * absent (sparse); cancelled buckets (weight 0) are kept — they carry
-    * the information that the bucket was touched.
+    * the information that the bucket was touched. The md5 digest is
+    * projected ONCE per token row; bucket and sign both read slices of
+    * that one hash (hashing is the dominant per-row cost of the pass).
     */
   def featureHash(df: DataFrame, id: Column, text: Column, dim: Int): DataFrame = {
     require(dim > 0)
     df.select(id.as("id"), explode(TextAnalysis.tokens(text)).as("_tok"))
-      .groupBy(col("id"), hashFeatureBucket(col("_tok"), dim).as("bucket"))
-      .agg(sum(hashFeatureSign(col("_tok"))).as("weight"))
+      .select(col("id"), md5(col("_tok").cast("string")).as("_h"))
+      .groupBy(col("id"), bucketFromHash(col("_h"), dim).as("bucket"))
+      .agg(sum(signFromHash(col("_h"))).as("weight"))
   }
 
   /** Fitted PCA: eigenvalues descending; components[j] is the j-th
@@ -115,11 +125,26 @@ object Features {
     val d = m.length
     val a = Array.tabulate(d, d)((i, j) => m(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // convergence is RELATIVE to the matrix's scale: an absolute cutoff
+    // would never fire for large-magnitude covariances (entries ~10¹⁸ at
+    // the documented |x| ≲ 10⁹ feature bound leave rounding noise far
+    // above any absolute epsilon) and would burn all sweeps every fit.
+    // Exactly-diagonal inputs still exit immediately (0 > anything is
+    // false), preserving the analytic-fixture passthrough.
+    val frob = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += m(i)(j) * m(i)(j)
+      math.sqrt(s)
+    }
+    val tol = {
+      val t = 1e-14 * frob
+      t * t
+    }
     var sweep = 0
     while (sweep < 64 && {
       var off = 0.0
       for (i <- 0 until d; j <- i + 1 until d) off += a(i)(j) * a(i)(j)
-      off > 1e-24
+      off > tol
     }) {
       for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))

@@ -20,12 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, 100) from the row key — the first 8 md5 hex chars
-    * parsed as an integer (engine-portable; `xxhash64` variant below for
-    * production).
+  /** Uniform bucket in [0, mod) from the row key — the first 8 md5 hex
+    * chars parsed as an integer (engine-portable; `xxhash64` variant
+    * below for production). The ONE definition of the md5/conv recipe —
+    * percent sampling (mod 100) and feature hashing (mod dim) both
+    * delegate here so the engine-portability-critical arithmetic can
+    * never diverge between them.
     */
-  def hashBucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"), lit(100L))
+  def hashBucketMod(key: Column, mod: Long): Column =
+    bucketFromMd5(md5(key.cast("string")), mod)
+
+  /** The recipe over an ALREADY-computed md5 hex column — for passes that
+    * project the digest once and read several slices of it.
+    */
+  def bucketFromMd5(h: Column, mod: Long): Column =
+    pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(mod))
+
+  /** Uniform bucket in [0, 100) from the row key. */
+  def hashBucket(key: Column): Column = hashBucketMod(key, 100L)
 
   /** Production form: xxhash64 bucket (codegen, no hex strings). */
   def hashBucketFast(key: Column): Column = pmod(xxhash64(key.cast("string")), lit(100L))

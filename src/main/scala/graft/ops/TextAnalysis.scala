@@ -691,9 +691,16 @@ object TextAnalysis {
     * The threshold is a RATIONAL num/den and the compare is integer-only:
     * cos ≥ num/den  ⟺  den²·dot² ≥ num²·‖a‖²·‖b‖²  (dot ≥ 0 for tf
     * weights), evaluated in DECIMAL(38,0) after casting each long factor
-    * — no sqrt, no float, hash-exact in any engine. Contract: dot < 10¹⁸
-    * (token-multiset dot products are bounded by document length², far
-    * below this for real corpora).
+    * — no sqrt, no float, hash-exact in any engine.
+    *
+    * OVERFLOW CONTRACT (a DECIMAL(38,0) product that overflows becomes
+    * NULL with ANSI off, and where(NULL) would silently DROP a
+    * qualifying pair): den²·dot² and num²·‖a‖²·‖b‖² must stay under
+    * 10³⁸, i.e. dot < 10¹⁹/den and ‖·‖² < 10¹⁹/num per side. The
+    * require below caps den at 10⁴ so the bound is ≥ 10¹⁵ — token-
+    * multiset dot products are bounded by document length², far below
+    * that for real corpora; finer thresholds than 1/10⁴ are
+    * indistinguishable for near-dup work anyway.
     *
     * Scale: candidates come from CappedIds posting lists (per-token state
     * bounded at maxDf+1, pairs ≤ maxDf²/2 per token — linear in corpus);
@@ -704,6 +711,7 @@ object TextAnalysis {
                         thrNum: Int, thrDen: Int, maxDf: Int,
                         shingleN: Int = 1): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen && maxDf >= 2)
+    require(thrDen <= 10000, "threshold denominator above 10^4 shrinks the decimal overflow headroom (see contract)")
     // feature unit: unigrams, or n-gram MULTISETS (gramsFromTokens keeps
     // duplicates — the tf weights are the point) when the corpus
     // vocabulary is too small for unigram df to discriminate. Tokens

@@ -252,6 +252,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got.head.getAs[Double]("chi2") - 60.0 * 300.0 * 300.0 / (30.0 * 30.0 * 30.0 * 30.0)) < 1e-12)
   }
 
+  test("chiSquare: NULL categories are legitimate cells, not a crash") {
+    val rows = Seq((Some("a"), "x"), (None, "x"), (Some("a"), "y"), (None, "y"),
+      (Some("b"), "x")).toDF("p", "q")
+    val got = Analytics.chiSquare(rows, col("p"), col("q")).collect()
+    assert(got.length === 5) // (a,x)(a,y)(null,x)(null,y)(b,x)
+    assert(got.exists(r => r.isNullAt(0)))
+    assert(got.forall(r => !r.isNullAt(r.fieldIndex("chi2"))))
+  }
+
   test("chiSquare: perfectly proportional cells give exactly zero everywhere") {
     val rows = Seq.fill(6)(("a", "x")) ++ Seq.fill(12)(("a", "y")) ++
       Seq.fill(3)(("b", "x")) ++ Seq.fill(6)(("b", "y"))
