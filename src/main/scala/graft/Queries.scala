@@ -4602,6 +4602,145 @@ object Queries {
           .orderBySmall(col("source"))
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_attribution_linear",
+      // linear (equal-split) multi-touch attribution: each purchase
+      // splits one unit of credit equally across ALL its strictly-prior
+      // touches, in INTEGER MILLIONTHS (10⁶ div n per touch, remainder
+      // to the most recent touch — totals stay exact integers; decimal
+      // division scales differ across engines, integer credit does not).
+      // Running per-channel touch counts + the last-touch channel come
+      // from one user-timeline window pass; per-channel totals follow
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        def touches(ch: String) =
+          sum(when(col("event_type") === ch, 1L).otherwise(0L)).over(w)
+        val lastTouch = last(when(col("event_type").isin("view", "click", "signup"),
+          col("event_type")), ignoreNulls = true).over(w)
+        val purchases = eventsUs(s, d)
+          .select(col("event_id"), col("event_type"),
+            touches("view").as("_tv"), touches("click").as("_tc"),
+            touches("signup").as("_ts"), lastTouch.as("_last"))
+          .where(col("event_type") === "purchase")
+          .withColumn("_n", col("_tv") + col("_tc") + col("_ts"))
+          .where(col("_n") > 0)
+          .withColumn("_base", expr("1000000 div _n"))
+          .withColumn("_rem", expr("1000000 % _n"))
+        val credits = Seq("view" -> "_tv", "click" -> "_tc", "signup" -> "_ts")
+          .map { case (ch, cnt) =>
+            purchases.select(lit(ch).as("channel"),
+              (col(cnt) * col("_base") +
+                when(col("_last") === ch, col("_rem")).otherwise(0L))
+                .as("_credit"))
+          }.reduce(_.unionByName(_))
+        credits.groupBy(col("channel"))
+          .agg(sum(col("_credit")).as("credit_millionths"))
+          .orderBySmall(col("channel"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        p AS (SELECT event_id, event_type,
+            CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              OVER w, 0) AS BIGINT) AS tv,
+            CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              OVER w, 0) AS BIGINT) AS tc,
+            CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER w, 0) AS BIGINT) AS tsg,
+            last_value(CASE WHEN event_type IN ('view','click','signup') THEN event_type END IGNORE NULLS)
+              OVER w AS lastt
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        pp AS (SELECT *, tv + tc + tsg AS n, 1000000 // (tv + tc + tsg) AS base,
+            1000000 % (tv + tc + tsg) AS rem
+          FROM p WHERE event_type = 'purchase' AND tv + tc + tsg > 0),
+        cr AS (
+          SELECT 'view' AS channel, tv * base + CASE WHEN lastt = 'view' THEN rem ELSE 0 END AS credit FROM pp
+          UNION ALL
+          SELECT 'click', tc * base + CASE WHEN lastt = 'click' THEN rem ELSE 0 END FROM pp
+          UNION ALL
+          SELECT 'signup', tsg * base + CASE WHEN lastt = 'signup' THEN rem ELSE 0 END FROM pp)
+        SELECT channel, CAST(sum(credit) AS BIGINT) AS credit_millionths
+        FROM cr GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_asof_nearest",
+      // nearest-event alignment (sensor-fusion shape): each purchase
+      // aligns to its temporally NEAREST signup in EITHER direction
+      // (strictly prior or strictly after, |Δ| tie → the earlier one) —
+      // two frames of one user-timeline window pass, no join
+      (s, d) => {
+        val base = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val wPrior = base.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wAfter = base.rowsBetween(1,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val sigTs = when(col("event_type") === "signup", col("ts_us"))
+        eventsUs(s, d)
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+            last(sigTs, ignoreNulls = true).over(wPrior).as("_prior"),
+            first(sigTs, ignoreNulls = true).over(wAfter).as("_after"))
+          .where(col("event_type") === "purchase")
+          .withColumn("nearest_signup_us",
+            when(col("_prior").isNull, col("_after"))
+              .when(col("_after").isNull, col("_prior"))
+              .when(col("ts_us") - col("_prior") <= col("_after") - col("ts_us"),
+                col("_prior"))
+              .otherwise(col("_after")))
+          .select(col("event_id"), col("nearest_signup_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        x AS (SELECT event_id, event_type, ts_us,
+            last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior,
+            first_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_
+          FROM e)
+        SELECT event_id,
+          CASE WHEN prior IS NULL THEN after_
+               WHEN after_ IS NULL THEN prior
+               WHEN ts_us - prior <= after_ - ts_us THEN prior
+               ELSE after_ END AS nearest_signup_us
+        FROM x WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    QueryDef("op_compaction",
+      // OPTIMIZE-style small-file compaction through the ACID commit
+      // protocol: five appends leave five data dirs; compact() rewrites
+      // them as ONE committed dir. The result pins the dir counts before
+      // and after AND the full content (the oracle recomputes it
+      // relationally — compaction must be invisible in the data)
+      (s, d) => {
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_compact_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
+        val mt = ManifestTable(s, root)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        for (i <- 0 until 5)
+          mt.append(docs.where(col("doc_id") % 5 === i))
+        val dirsBefore = mt.dirCount()
+        mt.compact(numFiles = 1)
+        val dirsAfter = mt.dirCount()
+        mt.snapshot()
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("dirs_before", lit(dirsBefore.toLong))
+          .withColumn("dirs_after", lit(dirsAfter.toLong))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(5 AS BIGINT) AS dirs_before, CAST(1 AS BIGINT) AS dirs_after
         FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 

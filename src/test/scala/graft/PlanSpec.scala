@@ -357,7 +357,11 @@ class PlanSpec extends SparkSpec {
           "txt_sparse_cosine" -> 7, "op_kcore" -> 8, "op_survivorship" -> 3,
           "q7_nation_volume" -> 3, "q12_late_shipments" -> 2,
           "q16_supplier_reach" -> 2, "q22_dormant_value" -> 3,
-          "op_jdbc_roundtrip" -> 4)) {
+          "op_jdbc_roundtrip" -> 4,
+          // wave-6: one window pass (1-2); compaction carries its 5
+          // append writes + compact + snapshot read
+          "op_attribution_linear" -> 2, "op_asof_nearest" -> 3,
+          "op_compaction" -> 9)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
