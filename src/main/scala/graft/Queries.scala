@@ -4741,7 +4741,75 @@ object Queries {
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           CAST(5 AS BIGINT) AS dirs_before, CAST(1 AS BIGINT) AS dirs_after
-        FROM documents GROUP BY 1 ORDER BY 1"""))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_window_funnel",
+      // ClickHouse-style windowFunnel (view→click→purchase within 24 h
+      // of the chain's FIRST event), exact via pure window algebra on
+      // the user timeline — no self-joins; result is the depth census
+      (s, d) => Analytics.windowFunnel3(eventsUs(s, d), col("user_id"),
+          col("ts_us"), col("event_id"), col("event_type"),
+          "view", "click", "purchase", windowUs = 86400L * 1000000L)
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBySmall(col("depth")),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        x AS (SELECT user_id, event_type, ts_us,
+            last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vbest
+          FROM e),
+        y AS (SELECT user_id, event_type, ts_us,
+            CASE WHEN event_type = 'click' AND vbest >= ts_us - 86400000000 THEN vbest END AS vok
+          FROM x),
+        z AS (SELECT user_id, event_type, ts_us, vok,
+            max(vok) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
+          FROM y),
+        per AS (SELECT user_id,
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d1,
+            max(CASE WHEN vok IS NOT NULL THEN 1 ELSE 0 END) AS d2,
+            max(CASE WHEN event_type = 'purchase' AND anchor >= ts_us - 86400000000
+              THEN 1 ELSE 0 END) AS d3
+          FROM z GROUP BY 1)
+        SELECT CAST(d1 + d1*d2 + d1*d2*d3 AS BIGINT) AS depth, count(*) AS n_users
+        FROM per GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("ml_decision_stump",
+      // exact 1-rule learner: argmin-error (feature, threshold,
+      // polarity) over integer features with a planted noisy rule —
+      // per-feature integer error curves from the group-cumsum pattern,
+      // global argmin as a bounded TakeOrdered; the ENTIRE fit is the
+      // hash-checked answer
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          (col("doc_id") % 17).cast("long").as("f1"),
+          (col("doc_id") % 23).cast("long").as("f2"),
+          when((col("doc_id") % 17 >= 9) =!= (col("doc_id") % 31 === 0), 1L)
+            .otherwise(0L).as("y"))
+        Analytics.decisionStumpFit(f,
+          Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y"))
+      },
+      Some("""WITH f AS (SELECT doc_id % 17 AS f1, doc_id % 23 AS f2,
+            CASE WHEN (doc_id % 17 >= 9) <> (doc_id % 31 = 0) THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g1 AS (SELECT f1 AS v, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos FROM f GROUP BY 1),
+        w1 AS (SELECT v, CAST(coalesce(sum(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS posBelow,
+            CAST(coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cntBelow,
+            CAST(sum(pos) OVER () AS BIGINT) AS posTot, CAST(sum(cnt) OVER () AS BIGINT) AS n FROM g1),
+        e1 AS (SELECT 'f1' AS feature, v AS threshold, n,
+            posBelow + ((n - cntBelow) - (posTot - posBelow)) AS errGe FROM w1),
+        g2 AS (SELECT f2 AS v, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos FROM f GROUP BY 1),
+        w2 AS (SELECT v, CAST(coalesce(sum(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS posBelow,
+            CAST(coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cntBelow,
+            CAST(sum(pos) OVER () AS BIGINT) AS posTot, CAST(sum(cnt) OVER () AS BIGINT) AS n FROM g2),
+        e2 AS (SELECT 'f2' AS feature, v AS threshold, n,
+            posBelow + ((n - cntBelow) - (posTot - posBelow)) AS errGe FROM w2),
+        u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+        p AS (SELECT feature, threshold, 'ge' AS polarity, errGe AS err, n AS n_rows FROM u
+          UNION ALL SELECT feature, threshold, 'lt', n - errGe, n FROM u)
+        SELECT feature, threshold, polarity, err, n_rows FROM p
+        ORDER BY err, feature, threshold, polarity LIMIT 1"""))
   )
 
   // ------------------------------------------------------------------

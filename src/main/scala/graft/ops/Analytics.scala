@@ -968,6 +968,100 @@ object Analytics {
         coalesce(col("n_distinct_v2"), lit(0L)).as("n_distinct_v2"))
   }
 
+  /** ClickHouse-style windowFunnel, exact for a 3-stage chain: per
+    * entity, the deepest stage s1→s2→s3 reachable with every step inside
+    * `windowUs` of the CHAIN'S FIRST event. Pure window algebra on the
+    * entity timeline — no self-joins:
+    *  - vbest(c) = latest s1 strictly before the s2 event c, nulled when
+    *    older than c − T (the only s1 that can anchor a chain through c
+    *    is the latest one);
+    *  - a running max of the surviving anchors over s2 events tells each
+    *    s3 event p whether SOME chain anchor v satisfies p ≤ v + T.
+    * Returns one row per entity: (entity, depth ∈ 0..3). One window
+    * shuffle on the entity key; constant per-row state.
+    */
+  def windowFunnel3(df: DataFrame, entity: Column, tsUs: Column,
+                    tiebreak: Column, eventType: Column,
+                    s1: String, s2: String, s3: String,
+                    windowUs: Long): DataFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_e")).orderBy(col("_ts"), col("_rk"))
+    val prior = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val upTo = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // tiebreak must be a STABLE row id (event id) — monotonically_
+    // increasing_id would order ts-ties by partition layout
+    val proj = df.select(entity.as("_e"), tsUs.cast("long").as("_ts"),
+      eventType.as("_et"), tiebreak.as("_rk"))
+    val vbest = last(when(col("_et") === s1, col("_ts")), ignoreNulls = true)
+      .over(prior)
+    val annotated = proj
+      .withColumn("_vok",
+        when(col("_et") === s2,
+          when(vbest >= col("_ts") - windowUs, vbest)))
+      .withColumn("_anchor", max(col("_vok")).over(upTo))
+    annotated.groupBy(col("_e").as("entity"))
+      .agg(
+        max(when(col("_et") === s1, 1L).otherwise(0L)).as("_d1"),
+        max(when(col("_vok").isNotNull, 1L).otherwise(0L)).as("_d2"),
+        max(when(col("_et") === s3 && col("_anchor") >= col("_ts") - windowUs,
+          1L).otherwise(0L)).as("_d3"))
+      .select(col("entity"),
+        (col("_d1") + col("_d1") * col("_d2") + col("_d1") * col("_d2") * col("_d3"))
+          .as("depth"))
+  }
+
+  /** Exact 1-rule learner (decision stump): over integer features,
+    * choose the (feature, threshold, polarity) minimizing
+    * misclassifications of the ±-free {0,1} label, with a fully
+    * deterministic tie-break (err, feature name, threshold, polarity).
+    * Per feature: ONE groupBy on the feature value + a cumulative window
+    * over the bounded distinct-value table (the [[MlEval.aucExact]]
+    * quantized-feature contract) computes every threshold's error from
+    * (pos_below, neg_below) in integers; the global argmin is a bounded
+    * TakeOrdered over the unioned error tables. Output: one row
+    * (feature, threshold, polarity, err, n_rows).
+    * Polarity 'ge' predicts 1 when v ≥ threshold; 'lt' the complement.
+    */
+  def decisionStumpFit(df: DataFrame, features: Seq[(String, Column)],
+                       label: Column): DataFrame = {
+    require(features.nonEmpty)
+    val errTables = features.map { case (name, f) =>
+      val per = df.select(f.cast("long").as("v"), label.cast("long").as("y"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("_cnt"), sum(col("y")).as("_pos"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      per
+        .withColumn("_posBelow", coalesce(sum(col("_pos")).over(w), lit(0L)))
+        .withColumn("_cntBelow", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+        .withColumn("_posTot", sum(col("_pos")).over(tot))
+        .withColumn("_n", sum(col("_cnt")).over(tot))
+        .select(lit(name).as("feature"), col("v").as("threshold"),
+          // predict 1 on v ≥ t: errors = positives below t + negatives at/above t
+          (col("_posBelow") +
+            ((col("_n") - col("_cntBelow")) - (col("_posTot") - col("_posBelow"))))
+            .as("_errGe"),
+          col("_n"))
+        .select(col("feature"), col("threshold"), col("_n"),
+          explode(array(
+            struct(lit("ge").as("polarity"), col("_errGe").as("err")),
+            struct(lit("lt").as("polarity"), (col("_n") - col("_errGe")).as("err"))))
+            .as("_pe"))
+        .select(col("feature"), col("threshold"),
+          col("_pe.polarity").as("polarity"), col("_pe.err").as("err"),
+          col("_n").as("n_rows"))
+    }
+    errTables.reduce(_.unionByName(_))
+      .orderBy(col("err"), col("feature"), col("threshold"), col("polarity"))
+      .limit(1)
+  }
+
   /** k-core decomposition (fixed k): iteratively peel nodes of degree
     * < k until stable; returns the surviving nodes with their degree
     * WITHIN the core subgraph. Edges canonicalize first (undirected,

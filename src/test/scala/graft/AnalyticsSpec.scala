@@ -290,6 +290,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(id.getAs[Long]("n_distinct_v1") === 3L && id.getAs[Long]("n_distinct_v2") === 4L)
   }
 
+  // ---- windowFunnel3 ----
+
+  test("windowFunnel3: depth semantics — in-window chain, window anchored at the FIRST stage") {
+    val T = 100L
+    val rows = Seq(
+      // u1: full chain inside the window → depth 3
+      (1L, 10L, 1L, "view"), (1L, 50L, 2L, "click"), (1L, 90L, 3L, "purchase"),
+      // u2: click in window, purchase past view+T (anchored at view!) → depth 2
+      (2L, 10L, 1L, "view"), (2L, 50L, 2L, "click"), (2L, 150L, 3L, "purchase"),
+      // u3: view then click too late → depth 1
+      (3L, 10L, 1L, "view"), (3L, 200L, 2L, "click"),
+      // u4: click/purchase with no view at all → depth 0
+      (4L, 10L, 1L, "click"), (4L, 20L, 2L, "purchase"),
+      // u5: a LATER view re-anchors the chain → depth 3
+      (5L, 10L, 1L, "view"), (5L, 500L, 2L, "view"),
+      (5L, 520L, 3L, "click"), (5L, 590L, 4L, "purchase"))
+      .toDF("u", "ts", "rk", "et")
+    val got = Analytics.windowFunnel3(rows, col("u"), col("ts"), col("rk"),
+        col("et"), "view", "click", "purchase", windowUs = T)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L))
+  }
+
+  test("windowFunnel3: stage order is mandatory — purchase before click does not count") {
+    val rows = Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "purchase"),
+      (1L, 30L, 3L, "click")).toDF("u", "ts", "rk", "et")
+    val got = Analytics.windowFunnel3(rows, col("u"), col("ts"), col("rk"),
+        col("et"), "view", "click", "purchase", windowUs = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L)) // view→click ok, no purchase AFTER the click
+  }
+
+  // ---- decisionStumpFit ----
+
+  test("decisionStumpFit recovers a planted exact rule with zero error and pins the tie-break") {
+    val df = spark.range(0, 200).select(
+      (col("id") % 10).cast("long").as("a"), (col("id") % 7).cast("long").as("b"),
+      when(col("id") % 10 >= 4, 1L).otherwise(0L).as("y"))
+    val r = Analytics.decisionStumpFit(df,
+      Seq("a" -> col("a"), "b" -> col("b")), col("y")).head()
+    assert((r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)) ===
+      (("a", 4L, "ge", 0L)))
+  }
+
+  test("decisionStumpFit: inverted rule selects the lt polarity") {
+    val df = spark.range(0, 100).select(
+      (col("id") % 10).cast("long").as("a"),
+      when(col("id") % 10 < 3, 1L).otherwise(0L).as("y"))
+    val r = Analytics.decisionStumpFit(df, Seq("a" -> col("a")), col("y")).head()
+    assert((r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)) ===
+      (("a", 3L, "lt", 0L)))
+  }
+
   // ---- kCore ----
 
   test("kCore: a peel CASCADE needs iteration — a pendant chain unravels one node per round") {

@@ -361,7 +361,9 @@ class PlanSpec extends SparkSpec {
           // wave-6: one window pass (1-2); compaction carries its 5
           // append writes + compact + snapshot read
           "op_attribution_linear" -> 2, "op_asof_nearest" -> 3,
-          "op_compaction" -> 9)) {
+          "op_compaction" -> 9,
+          // single-window / bounded-argmin shapes
+          "op_window_funnel" -> 2, "ml_decision_stump" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
