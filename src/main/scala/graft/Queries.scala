@@ -4809,7 +4809,53 @@ object Queries {
         p AS (SELECT feature, threshold, 'ge' AS polarity, errGe AS err, n AS n_rows FROM u
           UNION ALL SELECT feature, threshold, 'lt', n - errGe, n FROM u)
         SELECT feature, threshold, polarity, err, n_rows FROM p
-        ORDER BY err, feature, threshold, polarity LIMIT 1"""))
+        ORDER BY err, feature, threshold, polarity LIMIT 1""")),
+
+    QueryDef("op_seasonal_anomaly",
+      // hour-of-day seasonal baseline with EXACT |v−μ|>2σ flags: values
+      // floor-scale to millionths (the op_ewma convention), the z-test
+      // cross-multiplies to pure integers (n·v−s)² > k²(n·ss−s²) in
+      // DECIMAL — zero float in any flag decision; per-hour census out
+      (s, d) => {
+        val ev = eventsUs(s, d).select(
+          expr("(ts_us div 3600000000) % 24").as("hour"),
+          floor(col("value") * 1000000).cast("long").as("v_micro"))
+        Analytics.seasonalAnomaly(ev, col("hour"), col("v_micro"), k = 2)
+          .orderBySmall(col("season"))
+      },
+      Some("""WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+            CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+        m AS (SELECT hour, count(v) AS n, sum(CAST(v AS DECIMAL(28,0))) AS s,
+            sum(CAST(CAST(v AS HUGEINT) * v AS DECIMAL(38,0))) AS ss
+          FROM e GROUP BY 1)
+        SELECT e.hour AS season, count(*) AS n_rows,
+          CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS season_mean,
+          CAST(sum(CASE WHEN
+              (CAST(m.n AS HUGEINT) * e.v - CAST(m.s AS HUGEINT)) *
+              (CAST(m.n AS HUGEINT) * e.v - CAST(m.s AS HUGEINT))
+              > 4 * (CAST(m.n AS HUGEINT) * CAST(m.ss AS HUGEINT)
+                     - CAST(m.s AS HUGEINT) * CAST(m.s AS HUGEINT))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM e JOIN m ON e.hour = m.hour
+        GROUP BY 1, 3 ORDER BY 1""")),
+
+    QueryDef("op_json_roundtrip",
+      // JSON-lines FILE source (distinct from op14's to_json/from_json
+      // column codecs): write the projected documents table as JSON
+      // files, read it back through schema inference, aggregate — pins
+      // the full serializer/parser/inference path against the parquet
+      // truth
+      (s, d) => {
+        val dir = scratchDir("json", d)
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(dir)
+        s.read.json(dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------------------

@@ -968,6 +968,45 @@ object Analytics {
         coalesce(col("n_distinct_v2"), lit(0L)).as("n_distinct_v2"))
   }
 
+  /** Seasonal-baseline anomaly census with EXACT outlier flags and NO
+    * float anywhere in the decision: measures pre-scale to integers
+    * (caller passes an integral column, e.g. floor(v·10⁶) — the op_ewma
+    * convention), each season's mean/variance stay rational, and the
+    * z-style flag |v − μ| > k·σ cross-multiplies to pure integers:
+    *   (n·v − s)² > k² · (n·ss − s²)
+    * (both sides exact in DECIMAL(38,0); μ = s/n, σ² = ss/n − (s/n)²
+    * multiplied through by n²). Two passes over the fact table (moments,
+    * then flags — the standardizeStats literal-fold shape would fuse
+    * them; here the season count is bounded so a broadcast join back is
+    * one cheap exchange), output bounded by |seasons|.
+    */
+  def seasonalAnomaly(df: DataFrame, season: Column, valueInt: Column,
+                      k: Int = 2): DataFrame = {
+    val proj = df.select(season.as("season"), valueInt.cast("long").as("_v"))
+    val moments = proj.groupBy(col("season"))
+      .agg(count(col("_v")).as("_n"),
+        sum(col("_v").cast("decimal(28,0)")).as("_s"),
+        sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_ss"))
+    val m = moments.select(col("season").as("_ms"), col("_n"), col("_s"), col("_ss"))
+    // every product casts to decimal BEFORE multiplying — a long n·v
+    // would wrap silently near the contract edge. CONTRACT: n·|v|max
+    // < 10¹⁸ per season (e.g. 10⁹ rows of millionth-scaled values up
+    // to 10³) so (n·v − s)² stays inside DECIMAL(38,0) — the
+    // perceptron-style overflow window; shard seasons above it
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val lhs = {
+      val t = d38(col("_n")) * d38(col("_v")) - d38(col("_s"))
+      t * t
+    }
+    val rhs = lit(k.toLong * k) *
+      (d38(col("_n")) * d38(col("_ss")) - d38(col("_s")) * d38(col("_s")))
+    proj.join(broadcast(m), col("season") === col("_ms"))
+      .groupBy(col("season"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("_s").cast("double") / col("_n").cast("double")).as("season_mean"),
+        sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
   /** ClickHouse-style windowFunnel, exact for a 3-stage chain: per
     * entity, the deepest stage s1→s2→s3 reachable with every step inside
     * `windowUs` of the CHAIN'S FIRST event. Pure window algebra on the

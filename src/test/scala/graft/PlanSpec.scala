@@ -363,7 +363,8 @@ class PlanSpec extends SparkSpec {
           "op_attribution_linear" -> 2, "op_asof_nearest" -> 3,
           "op_compaction" -> 9,
           // single-window / bounded-argmin shapes
-          "op_window_funnel" -> 2, "ml_decision_stump" -> 2)) {
+          "op_window_funnel" -> 2, "ml_decision_stump" -> 2,
+          "op_seasonal_anomaly" -> 3, "op_json_roundtrip" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
