@@ -4855,7 +4855,32 @@ object Queries {
           .orderBySmall(col("source"))
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents GROUP BY 1 ORDER BY 1"""))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("mm_exif_meta",
+      // REAL EXIF/TIFF parse (JEITA CP-3451 layout) through the
+      // construct-and-check gate: per-doc JPEG+APP1 payloads built from
+      // analytic fields in BOTH byte orders (II for even ids, MM for
+      // odd — real camera files use both), walked by the real segment/
+      // IFD parser; the oracle states the planted fields directly
+      (s, d) => {
+        import s.implicits._
+        val withPayload = t(s, d, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Multimodal.exifSampleBytes(
+              "CAM_" + (id % 5), (id % 8 + 1).toInt,
+              (100 + id % 50).toInt, 200 + id % 30, id % 2 == 0))
+          }).toDF("doc_id", "payload")
+        Multimodal.exifMeta(withPayload, "doc_id").orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id, TRUE AS ok,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+          CAST(4 AS INTEGER) AS n_entries,
+          'CAM_' || CAST(doc_id % 5 AS VARCHAR) AS make,
+          CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+          100 + doc_id % 50 AS width, 200 + doc_id % 30 AS height
+        FROM documents ORDER BY id"""))
   )
 
   // ------------------------------------------------------------------

@@ -556,4 +556,140 @@ object Multimodal {
       .select(col(idCol), col("frame_no"),
         col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame"))
   }
+
+  /** One parsed JPEG/EXIF payload's metadata ([[exifMeta]]'s row type). */
+  final case class ExifMeta(id: Long, ok: Boolean, endian: String,
+                            n_entries: Int, make: String, orientation: Int,
+                            width: Long, height: Long)
+
+  /** REAL EXIF/TIFF metadata parse (public JEITA CP-3451 / TIFF 6.0
+    * layout, like [[mp4Meta]]'s ISO-BMFF walk): scan JPEG APP1 segments
+    * for the Exif header, honor the TIFF byte-order mark (II and MM both
+    * — real camera files use both), and walk IFD0's 12-byte entries for
+    * Make (0x010F, ASCII via offset or inline), Orientation (0x0112,
+    * SHORT), ImageWidth/Length (0x0100/0x0101, SHORT or LONG). Malformed
+    * payloads flag ok=false with whatever parsed (the decoder quarantine
+    * contract); partition-parallel typed mapPartitions.
+    */
+  def exifMeta(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try exifMetaOne(id, bytes)
+          catch { case scala.util.control.NonFatal(_) =>
+            ExifMeta(id, ok = false, "", 0, "", 0, 0L, 0L) }
+        }
+      }
+      .toDF()
+  }
+
+  private def exifMetaOne(id: Long, bytes: Array[Byte]): ExifMeta = {
+    val bad = ExifMeta(id, ok = false, "", 0, "", 0, 0L, 0L)
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return bad
+    def u8(o: Int) = bytes(o) & 0xff
+    // JPEG segment walk to APP1/Exif
+    var off = 2
+    var tiff = -1
+    var tiffEnd = -1
+    while (tiff < 0 && off + 4 <= bytes.length && u8(off) == 0xff) {
+      val marker = u8(off + 1)
+      if (marker == 0xd9 || marker == 0xda) return bad // EOI/SOS before APP1
+      val segLen = (u8(off + 2) << 8) | u8(off + 3)
+      if (segLen < 2 || off + 2 + segLen > bytes.length) return bad
+      if (marker == 0xe1 && segLen >= 8 &&
+          new String(bytes, off + 4, 6, java.nio.charset.StandardCharsets.ISO_8859_1) == "Exif\u0000\u0000") {
+        tiff = off + 10
+        tiffEnd = off + 2 + segLen
+      }
+      off += 2 + segLen
+    }
+    if (tiff < 0 || tiff + 8 > tiffEnd) return bad
+    val endian = new String(bytes, tiff, 2, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val little = endian match {
+      case "II" => true
+      case "MM" => false
+      case _ => return bad
+    }
+    def u16(o: Int): Int =
+      if (little) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+    def u32(o: Int): Long =
+      if (little) u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24)
+      else (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) | (u8(o + 2).toLong << 8) | u8(o + 3).toLong
+    if (u16(tiff + 2) != 42) return bad
+    val ifd0 = tiff + u32(tiff + 4).toInt
+    if (ifd0 + 2 > tiffEnd) return bad
+    val n = u16(ifd0)
+    if (ifd0 + 2 + 12 * n > tiffEnd) return bad
+    var make = ""; var orientation = 0; var width = 0L; var height = 0L
+    for (i <- 0 until n) {
+      val e = ifd0 + 2 + 12 * i
+      val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+      def shortOrLong: Long =
+        if (typ == 3) u16(e + 8).toLong else if (typ == 4) u32(e + 8) else -1L
+      tag match {
+        case 0x010F if typ == 2 && cnt >= 1 =>
+          // ASCII: inline when it fits the 4 value bytes, else via offset
+          val start = if (cnt <= 4) e + 8 else tiff + u32(e + 8).toInt
+          if (start + cnt.toInt <= tiffEnd) {
+            val raw = new String(bytes, start, cnt.toInt,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            make = raw.takeWhile(_ != '\u0000')
+          }
+        case 0x0112 if typ == 3 => orientation = u16(e + 8)
+        case 0x0100 => width = shortOrLong
+        case 0x0101 => height = shortOrLong
+        case _ =>
+      }
+    }
+    ExifMeta(id, ok = true, endian, n, make, orientation, width, height)
+  }
+
+  /** Deterministic EXIF test-vector builder (the [[mp4Sample]] pattern,
+    * driver/test side): a minimal JPEG with one APP1/Exif segment whose
+    * IFD0 carries Make (via offset), Orientation, ImageWidth (SHORT) and
+    * ImageLength (LONG), in either byte order.
+    */
+  def exifSampleBytes(make: String, orientation: Int, width: Int,
+                      height: Long, little: Boolean): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def w8(v: Int): Unit = bb += (v & 0xff).toByte
+    def w16(v: Int): Unit =
+      if (little) { w8(v); w8(v >> 8) } else { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit =
+      if (little) { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+      else { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+    val makeBytes = (make + "\u0000").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val nEntries = 4
+    // TIFF body: header(8) + count(2) + entries(12 each) + nextIFD(4) +
+    // the make value — which per TIFF 6.0 goes INLINE in the 4 value
+    // bytes when it fits, via offset only when longer
+    val inlineMake = makeBytes.length <= 4
+    val makeOff = 8 + 2 + 12 * nEntries + 4
+    val tiffLen = makeOff + (if (inlineMake) 0 else makeBytes.length)
+    // JPEG SOI + APP1 header
+    w8(0xff); w8(0xd8)
+    w8(0xff); w8(0xe1)
+    val segLen = 2 + 6 + tiffLen
+    w8(segLen >> 8); w8(segLen)
+    bb ++= "Exif\u0000\u0000".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // TIFF header
+    bb ++= (if (little) "II" else "MM").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    w16(42); w32(8L)
+    // IFD0 — entries must be ascending by tag per spec
+    w16(nEntries)
+    w16(0x0100); w16(3); w32(1L); w16(width); w16(0)        // ImageWidth SHORT
+    w16(0x0101); w16(4); w32(1L); w32(height)               // ImageLength LONG
+    w16(0x010F); w16(2); w32(makeBytes.length.toLong)      // Make ASCII
+    if (inlineMake) { bb ++= makeBytes; makeBytes.length.until(4).foreach(_ => w8(0)) }
+    else w32(makeOff.toLong)
+    w16(0x0112); w16(3); w32(1L); w16(orientation); w16(0)  // Orientation
+    w32(0L) // next IFD
+    if (!inlineMake) bb ++= makeBytes
+    w8(0xff); w8(0xd9) // EOI
+    bb.toArray
+  }
 }

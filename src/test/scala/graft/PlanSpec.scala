@@ -364,7 +364,8 @@ class PlanSpec extends SparkSpec {
           "op_compaction" -> 9,
           // single-window / bounded-argmin shapes
           "op_window_funnel" -> 2, "ml_decision_stump" -> 2,
-          "op_seasonal_anomaly" -> 3, "op_json_roundtrip" -> 4)) {
+          "op_seasonal_anomaly" -> 3, "op_json_roundtrip" -> 4,
+          "mm_exif_meta" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

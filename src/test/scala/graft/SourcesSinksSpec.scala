@@ -407,4 +407,33 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ham(got(1L)._3, got(4L)._3) == 64, "checkerboard inverse flips every cell")
     assert(!got(5L)._2 && got(5L)._3 == "", "junk payload flags ok=false")
   }
+  test("exifMeta: builder roundtrip in BOTH byte orders; inline short ASCII; junk and truncation flag ok=false") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val pay = Seq(
+      (1L, Multimodal.exifSampleBytes("NIKON", 6, 640, 480L, little = true)),
+      (2L, Multimodal.exifSampleBytes("CANON", 1, 31999, 4000000000L, little = false)),
+      // make "abc" + NUL = 4 bytes -> stored INLINE in the value field
+      (3L, Multimodal.exifSampleBytes("abc", 8, 1, 1L, little = true)),
+      (4L, "not a jpeg at all".getBytes),
+      (5L, Multimodal.exifSampleBytes("TRUNC", 2, 10, 10L, little = true).take(20)),
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.exifMeta(pay, "id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2), r.getInt(3),
+        r.getString(4), r.getInt(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got(1L) === ((true, "II", 4, "NIKON", 6, 640L, 480L)))
+    // MM path + a LONG height past the u32 sign bit
+    assert(got(2L) === ((true, "MM", 4, "CANON", 1, 31999L, 4000000000L)))
+    assert(got(3L) === ((true, "II", 4, "abc", 8, 1L, 1L)))
+    assert(!got(4L)._1 && !got(5L)._1 && !got(6L)._1)
+  }
+
+  test("exifMeta: a JPEG with no APP1 before image data is ok=false, not a scan past SOS") {
+    import spark.implicits._
+    // SOI + SOS marker immediately
+    val noExif = Seq((1L, Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x02)
+      .map(_.toByte))).toDF("id", "payload")
+    val r = graft.ops.Multimodal.exifMeta(noExif, "id").head()
+    assert(!r.getBoolean(1))
+  }
 }
