@@ -4880,7 +4880,55 @@ object Queries {
           'CAM_' || CAST(doc_id % 5 AS VARCHAR) AS make,
           CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
           100 + doc_id % 50 AS width, 200 + doc_id % 30 AS height
-        FROM documents ORDER BY id"""))
+        FROM documents ORDER BY id""")),
+
+    QueryDef("ml_naive_bayes",
+      // exact categorical Naive Bayes (Laplace α=1): posterior argmax
+      // cross-multiplied to pure integers, decided per (v1,v2) CELL on
+      // the driver in BigInteger and folded into a literal CASE chain —
+      // the whole fit AND every prediction are hash-checked via the
+      // confusion matrix
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          (col("doc_id") % 5).cast("long").as("f1"),
+          (col("doc_id") % 7).cast("long").as("f2"),
+          // monotone-plus-noise rule: NB's marginal factorization can
+          // actually learn it (an XOR-style parity label degenerates NB
+          // to the majority class — a 2-cell confusion pins far less)
+          when(col("doc_id") % 5 * 2 + col("doc_id") % 7 +
+              when(col("doc_id") % 11 === 0, 3).otherwise(0) >= 7, 1)
+            .otherwise(0).as("y"))
+        Analytics.naiveBayes2Classify(f, col("f1"), col("f2"), col("y"))
+          .groupBy(col("y").as("label"), col("nb_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBySmall(col("label"), col("nb_pred"))
+      },
+      Some("""WITH f AS (SELECT doc_id % 5 AS f1, doc_id % 7 AS f2,
+            CASE WHEN doc_id % 5 * 2 + doc_id % 7 +
+              CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END >= 7 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        cls AS (SELECT CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+            CAST(sum(y) AS HUGEINT) AS n1,
+            CAST(count(DISTINCT f1) AS HUGEINT) AS v1,
+            CAST(count(DISTINCT f2) AS HUGEINT) AS v2 FROM f),
+        c1 AS (SELECT f1 AS v, y, CAST(count(*) AS HUGEINT) AS c FROM f GROUP BY 1, 2),
+        c2 AS (SELECT f2 AS v, y, CAST(count(*) AS HUGEINT) AS c FROM f GROUP BY 1, 2),
+        cells AS (SELECT a.v AS v1v, b.v AS v2v,
+            CASE WHEN cls.n1 * (coalesce(a1.c, 0) + 1) * (coalesce(b1.c, 0) + 1)
+                   * (cls.n0 + cls.v1) * (cls.n0 + cls.v2)
+                 > cls.n0 * (coalesce(a0.c, 0) + 1) * (coalesce(b0.c, 0) + 1)
+                   * (cls.n1 + cls.v1) * (cls.n1 + cls.v2)
+              THEN 1 ELSE 0 END AS pred
+          FROM (SELECT DISTINCT f1 AS v FROM f) a
+          CROSS JOIN (SELECT DISTINCT f2 AS v FROM f) b
+          CROSS JOIN cls
+          LEFT JOIN c1 a1 ON a1.v = a.v AND a1.y = 1
+          LEFT JOIN c1 a0 ON a0.v = a.v AND a0.y = 0
+          LEFT JOIN c2 b1 ON b1.v = b.v AND b1.y = 1
+          LEFT JOIN c2 b0 ON b0.v = b.v AND b0.y = 0)
+        SELECT f.y AS label, CAST(cells.pred AS INTEGER) AS nb_pred, count(*) AS n
+        FROM f JOIN cells ON f.f1 = cells.v1v AND f.f2 = cells.v2v
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // ------------------------------------------------------------------

@@ -968,6 +968,69 @@ object Analytics {
         coalesce(col("n_distinct_v2"), lit(0L)).as("n_distinct_v2"))
   }
 
+  /** Exact 2-feature categorical Naive Bayes (Laplace α=1), binary
+    * class: the third trainable model next to the perceptron and the
+    * decision stump. The fit is two bounded count aggregations (per
+    * (feature value, class) — the categorical-NB contract: feature
+    * domains are bounded); the posterior comparison
+    *   n₁·(c₁₁+1)(c₂₁+1)(n₀+V₁)(n₀+V₂)  vs  n₀·(c₁₀+1)(c₂₀+1)(n₁+V₁)(n₁+V₂)
+    * is evaluated per (v₁, v₂) CELL on the driver in BigInteger — exact
+    * at any corpus size, no float, no overflow — and folded into a
+    * literal (f₁, f₂) → prediction CASE chain, so the distributed
+    * predict is a pure codegen projection (the perceptronPredict
+    * convention). Ties predict class 0 (pinned).
+    */
+  def naiveBayes2Fit(df: DataFrame, f1: Column, f2: Column, label: Column,
+                     maxCells: Int = 4096): Column = {
+    import java.math.BigInteger
+    val proj = df.select(f1.cast("long").as("_f1"), f2.cast("long").as("_f2"),
+      label.cast("int").as("_y"))
+    val rows1 = proj.groupBy(col("_f1"), col("_y")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows2 = proj.groupBy(col("_f2"), col("_y")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val v1s = rows1.keys.map(_._1).toSeq.distinct.sorted
+    val v2s = rows2.keys.map(_._1).toSeq.distinct.sorted
+    require(v1s.size.toLong * v2s.size <= maxCells,
+      s"naiveBayes2Fit: ${v1s.size}×${v2s.size} cells exceed $maxCells — not categorical input")
+    val n0 = BigInteger.valueOf(rows1.collect { case ((_, 0), c) => c }.sum)
+    val n1 = BigInteger.valueOf(rows1.collect { case ((_, 1), c) => c }.sum)
+    val d01 = n0.add(BigInteger.valueOf(v1s.size))
+    val d02 = n0.add(BigInteger.valueOf(v2s.size))
+    val d11 = n1.add(BigInteger.valueOf(v1s.size))
+    val d12 = n1.add(BigInteger.valueOf(v2s.size))
+    def cnt(m: Map[(Long, Int), Long], v: Long, y: Int): BigInteger =
+      BigInteger.valueOf(m.getOrElse((v, y), 0L) + 1L) // +1 = Laplace
+    // bounded (v1, v2) → prediction table, exact integer comparison
+    val nullP = lit(null).cast("int")
+    val pred = v1s.foldLeft(nullP) { (acc1, a) =>
+      val inner = v2s.foldLeft(nullP) { (acc2, b) =>
+        val s1 = n1.multiply(cnt(rows1, a, 1)).multiply(cnt(rows2, b, 1))
+          .multiply(d01).multiply(d02)
+        val s0 = n0.multiply(cnt(rows1, a, 0)).multiply(cnt(rows2, b, 0))
+          .multiply(d11).multiply(d12)
+        val p = if (s1.compareTo(s0) > 0) 1 else 0
+        when(col("_nbF2") === b, lit(p)).otherwise(acc2)
+      }
+      when(col("_nbF1") === a, inner).otherwise(acc1)
+    }
+    // callers select with the raw feature columns aliased to the probe names
+    pred
+  }
+
+  /** Convenience: fit on `df` and return it with an exact NB prediction
+    * column appended (unseen feature values predict null — surface them
+    * rather than silently guessing).
+    */
+  def naiveBayes2Classify(df: DataFrame, f1: Column, f2: Column,
+                          label: Column): DataFrame = {
+    val predExpr = naiveBayes2Fit(df, f1, f2, label)
+    df.withColumn("_nbF1", f1.cast("long"))
+      .withColumn("_nbF2", f2.cast("long"))
+      .withColumn("nb_pred", predExpr)
+      .drop("_nbF1", "_nbF2")
+  }
+
   /** Seasonal-baseline anomaly census with EXACT outlier flags and NO
     * float anywhere in the decision: measures pre-scale to integers
     * (caller passes an integral column, e.g. floor(v·10⁶) — the op_ewma

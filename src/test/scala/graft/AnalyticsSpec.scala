@@ -290,6 +290,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(id.getAs[Long]("n_distinct_v1") === 3L && id.getAs[Long]("n_distinct_v2") === 4L)
   }
 
+  // ---- naiveBayes2 ----
+
+  test("naiveBayes2: hand-computed Laplace posteriors on a 4-row corpus") {
+    // f1∈{0,1}, f2∈{0,1}; y perfectly tracks f1
+    val df = Seq((0L, 0L, 0), (0L, 1L, 0), (1L, 0L, 1), (1L, 1L, 1))
+      .toDF("f1", "f2", "y")
+    val got = Analytics.naiveBayes2Classify(df, col("f1"), col("f2"), col("y"))
+      .select(col("f1"), col("f2"), col("nb_pred")).as[(Long, Long, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // P(f1=0|y=1) = (0+1)/(2+2) vs P(f1=0|y=0) = (2+1)/(2+2): f1 decides;
+    // f2 is symmetric and cancels
+    assert(got === Map((0L, 0L) -> 0, (0L, 1L) -> 0, (1L, 0L) -> 1, (1L, 1L) -> 1))
+  }
+
+  test("naiveBayes2: exact posterior tie predicts class 0 (pinned)") {
+    // fully symmetric corpus: every cell's posteriors are equal
+    val df = Seq((0L, 0L, 0), (0L, 0L, 1), (1L, 1L, 0), (1L, 1L, 1))
+      .toDF("f1", "f2", "y")
+    val got = Analytics.naiveBayes2Classify(df, col("f1"), col("f2"), col("y"))
+      .select(col("nb_pred")).as[Int].collect()
+    assert(got.forall(_ === 0))
+  }
+
+  test("naiveBayes2: unseen feature values at predict time surface as null, never a silent guess") {
+    val train = Seq((0L, 0L, 0), (1L, 1L, 1)).toDF("f1", "f2", "y")
+    val predExpr = Analytics.naiveBayes2Fit(train, col("f1"), col("f2"), col("y"))
+    val probe = Seq((7L, 0L)).toDF("_nbF1", "_nbF2").withColumn("nb_pred", predExpr)
+    assert(probe.head().isNullAt(2))
+  }
+
   // ---- windowFunnel3 ----
 
   test("windowFunnel3: depth semantics — in-window chain, window anchored at the FIRST stage") {

@@ -365,7 +365,9 @@ class PlanSpec extends SparkSpec {
           // single-window / bounded-argmin shapes
           "op_window_funnel" -> 2, "ml_decision_stump" -> 2,
           "op_seasonal_anomaly" -> 3, "op_json_roundtrip" -> 4,
-          "mm_exif_meta" -> 3)) {
+          "mm_exif_meta" -> 3,
+          // NB fit: two bounded count-agg collects + final confusion agg
+          "ml_naive_bayes" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
