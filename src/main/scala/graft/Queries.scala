@@ -4928,7 +4928,54 @@ object Queries {
           LEFT JOIN c2 b0 ON b0.v = b.v AND b0.y = 0)
         SELECT f.y AS label, CAST(cells.pred AS INTEGER) AS nb_pred, count(*) AS n
         FROM f JOIN cells ON f.f1 = cells.v1v AND f.f2 = cells.v2v
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("op_csv_multiline",
+      // quoted-multiline CSV roundtrip: text fields carrying EMBEDDED
+      // NEWLINES and quotes (planted via construct) survive write →
+      // multiLine read — the parser path op04's permissive scan never
+      // exercises (a naive line-splitting reader breaks exactly here)
+      (s, d) => {
+        val dir = scratchDir("csvml", d)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          concat(lit("line1 \"q\" of "), col("doc_id"), lit("\nline2 of "),
+            col("doc_id")).as("note"))
+        docs.write.mode("overwrite").option("header", "true")
+          .option("quoteAll", "true").csv(dir)
+        s.read.option("header", "true").option("multiLine", "true")
+          .option("inferSchema", "true").csv(dir)
+          .select(col("doc_id").cast("long"), col("source"), col("note"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("note")).cast("long")).as("sum_note_chars"),
+            sum(when(col("note").contains("\nline2"), 1L).otherwise(0L))
+              .as("n_multiline"))
+          .orderBySmall(col("source"))
+      },
+      Some("""WITH c AS (SELECT doc_id, source,
+            'line1 "q" of ' || CAST(doc_id AS VARCHAR) || chr(10) || 'line2 of ' || CAST(doc_id AS VARCHAR) AS note
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(note)) AS BIGINT) AS sum_note_chars,
+          CAST(sum(CASE WHEN note LIKE '%' || chr(10) || 'line2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_binary_file_source",
+      // binaryFile source (the multimodal ingest surface: each file one
+      // row with its bytes): text-sink the corpus, read the files back
+      // as raw bytes, pin the TOTAL byte count (per-doc UTF-8 length +
+      // one newline per row — file/partition layout is nondeterministic,
+      // totals are not)
+      (s, d) => {
+        val dir = scratchDir("binf", d)
+        t(s, d, "documents").select(col("text")).write.mode("overwrite").text(dir)
+        s.read.format("binaryFile").load(dir)
+          .where(col("path").endsWith(".txt"))
+          .agg(sum(octet_length(col("content")).cast("long")).as("total_bytes"))
+          .orderBySmall(col("total_bytes"))
+      },
+      Some("""SELECT CAST(sum(octet_length(CAST(text AS BLOB)) + 1) AS BIGINT) AS total_bytes
+        FROM documents ORDER BY total_bytes"""))
   )
 
   // ------------------------------------------------------------------

@@ -367,7 +367,8 @@ class PlanSpec extends SparkSpec {
           "op_seasonal_anomaly" -> 3, "op_json_roundtrip" -> 4,
           "mm_exif_meta" -> 3,
           // NB fit: two bounded count-agg collects + final confusion agg
-          "ml_naive_bayes" -> 4)) {
+          "ml_naive_bayes" -> 4,
+          "op_csv_multiline" -> 5, "op_binary_file_source" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
