@@ -47,12 +47,25 @@ object Dedup {
     */
   def gramsFromTokens(toks: Column, n: Int): Column = {
     require(n >= 1)
+    // evaluated by the one-pass codegen kernel; the zip_with fold below
+    // ([[gramsFromTokensSpec]]) remains the executable DEFINITION and is
+    // property-tested equal — the WinnowKernel convention. NULL toks →
+    // empty (the old form's size(null) = -1 branch), so size()-reading
+    // consumers never see the legacy -1 on a null doc
+    when(toks.isNotNull, graft.functions.NGramsOps.ngrams(toks, n))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The n-gram DEFINITION as built-in expressions (shifted-zip fold) —
+    * kept as the spec the kernel is tested against, and as the form an
+    * engine without the kernel would run.
+    */
+  def gramsFromTokensSpec(toks: Column, n: Int): Column = {
+    require(n >= 1)
     val grams = (1 until n).foldLeft(toks) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    // NULL toks → empty (the old form's size(null) = -1 branch), so
-    // size()-reading consumers never see the legacy -1 on a null doc
     when(toks.isNotNull, filter(grams, g => g.isNotNull))
       .otherwise(array().cast("array<string>"))
   }

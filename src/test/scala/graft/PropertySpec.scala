@@ -296,4 +296,27 @@ class PropertySpec extends SparkSpec {
       assert(!c.matches("https://[^/]*:443(/.*)?") && !c.matches("http://[^/]*:80(/.*)?"), c)
     }
   }
+  test("NGrams kernel == zip_with-fold spec on random token soups (nulls, empties, unicode, n=1..5)") {
+    val rng = new scala.util.Random(20260814)
+    val alphabet = Seq("a", "bb", "ccc", "Ω≈ç", "z z", "", "x")
+    val rows = (0 until 300).map { i =>
+      val len = rng.nextInt(8)
+      val toks: Seq[String] = (0 until len).map { _ =>
+        if (rng.nextInt(10) == 0) null else alphabet(rng.nextInt(alphabet.length))
+      }
+      (i.toLong, toks)
+    }
+    val df = rows.toDF("id", "toks")
+    for (n <- 1 to 5) {
+      val got = df.select(col("id"), Dedup.gramsFromTokens(col("toks"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = df.select(col("id"), Dedup.gramsFromTokensSpec(col("toks"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got === want, s"kernel != spec at n=$n")
+    }
+    // null ARRAY → empty in both forms
+    val nullRow = Seq((1L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    assert(nullRow.select(Dedup.gramsFromTokens(col("toks"), 3)).head().getSeq[String](0).isEmpty)
+    assert(nullRow.select(Dedup.gramsFromTokensSpec(col("toks"), 3)).head().getSeq[String](0).isEmpty)
+  }
 }
