@@ -4975,7 +4975,130 @@ object Queries {
           .orderBySmall(col("total_bytes"))
       },
       Some("""SELECT CAST(sum(octet_length(CAST(text AS BLOB)) + 1) AS BIGINT) AS total_bytes
-        FROM documents ORDER BY total_bytes"""))
+        FROM documents ORDER BY total_bytes""")),
+
+    QueryDef("q8_market_share",
+      // q8 analog (national market share): NATION_1 suppliers' share of
+      // regional revenue by order year — nested agg over the 5-way join,
+      // share = one division of decimal-exact sums
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val su = t(s, d, "supplier")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("_snk"), col("n_name").as("_sn"))),
+            col("s_nationkey") === col("_snk"))
+          .join(broadcast(n.select(col("n_nationkey").as("_cnk"), col("n_regionkey").as("_crk"))),
+            col("c_nationkey") === col("_cnk"))
+          .join(broadcast(r), col("_crk") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .groupBy(year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+          .agg(dsum(when(col("_sn") === "NATION_1", rev).otherwise(lit(0.0))).as("nation_rev"),
+            dsum(rev).as("total_rev"))
+          .withColumn("mkt_share",
+            col("nation_rev").cast("double") / col("total_rev").cast("double"))
+          .orderBySmall(col("o_year"))
+      },
+      Some(s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+          ${dsumSql("CASE WHEN n1.n_name = 'NATION_1' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_rev,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_rev,
+          CAST(${dsumSql("CASE WHEN n1.n_name = 'NATION_1' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS DOUBLE)
+            / CAST(${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS DOUBLE) AS mkt_share
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q9_profit",
+      // q9 analog (product-line profit by supplier nation and year):
+      // profit = revenue − retailprice·quantity standing in for the
+      // missing ps_supplycost; 4-way join + nation broadcast
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val su = t(s, d, "supplier")
+        val p = t(s, d, "part")
+        val n = t(s, d, "nation")
+        val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.01)
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(p.hint("merge"), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+          .agg(dsum(profit).as("sum_profit"), count(lit(1)).as("n_items"))
+          .orderBy(col("nation"), col("o_year"))
+      },
+      Some(s"""SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.01")} AS sum_profit,
+          count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q13_order_dist",
+      // q13 (customer order-count distribution): LEFT join keeps
+      // zero-order customers; the outer histogram groups the per-customer
+      // counts — the classic two-level aggregation
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o.hint("merge"), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBySmall(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY 1)
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    QueryDef("q15_top_supplier",
+      // q15 (top supplier): revenue view + scalar-max subquery — every
+      // supplier achieving the maximum quarter revenue (ties kept, like
+      // the spec); max broadcasts as a 1-row cross join
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("_mx"))
+        // the max-achieving rev rows are the TINY side — broadcast THEM
+        // into the SF-growing supplier table, never the reverse
+        val top = rev.crossJoin(broadcast(mx))
+          .where(col("total_revenue") === col("_mx"))
+        t(s, d, "supplier")
+          .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBySmall(col("s_suppkey"))
+      },
+      Some(s"""WITH rev AS (SELECT l_suppkey,
+            ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey"""))
   )
 
   // ------------------------------------------------------------------

@@ -368,7 +368,12 @@ class PlanSpec extends SparkSpec {
           "mm_exif_meta" -> 3,
           // NB fit: two bounded count-agg collects + final confusion agg
           "ml_naive_bayes" -> 4,
-          "op_csv_multiline" -> 5, "op_binary_file_source" -> 4)) {
+          "op_csv_multiline" -> 5, "op_binary_file_source" -> 4,
+          // TPC-H analogs: q8 pays 3 broadcast builds + agg, q9 one
+          // nation broadcast + agg, q13 one fused two-level agg, q15
+          // max probe + top broadcast + final
+          "q8_market_share" -> 5, "q9_profit" -> 4,
+          "q13_order_dist" -> 2, "q15_top_supplier" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
