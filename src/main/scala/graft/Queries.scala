@@ -5098,7 +5098,45 @@ object Queries {
         SELECT s_suppkey, s_name, total_revenue
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    QueryDef("mm_image_whash",
+      // frequency-domain perceptual hash (pHash idea, Walsh–Hadamard
+      // instead of DCT → every coefficient an exact integer) through the
+      // REAL codec: 16×16 PNGs with left-half gray a (from vec_id) vs
+      // right-half 120 — the step construct's WHT is analytic (one AC
+      // coefficient 8192·(a−b), the rest zero; median 0), so the oracle
+      // states the full hash from vec_id alone
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 19 === 0).as[Long]
+        val png = ids.mapPartitions { it =>
+          it.map { id =>
+            val a = (120 + ((id % 5).toInt - 2) * 40)
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < 16) {
+              val g = if (x < 8) a else 120
+              val c = (g << 16) | (g << 8) | g
+              var y = 0
+              while (y < 16) { img.setRGB(x, y, c); y += 1 }
+              x += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.imageWHash(png, "vec_id")
+          .select(col("id").as("vec_id"), col("ok"), col("whash_hex"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, TRUE AS ok,
+          CASE WHEN 120 + (vec_id % 5 - 2) * 40 > 120
+            THEN '0800000000000000' ELSE '0000000000000000' END AS whash_hex
+        FROM embeddings WHERE vec_id % 19 = 0 ORDER BY vec_id"""))
   )
 
   // ------------------------------------------------------------------

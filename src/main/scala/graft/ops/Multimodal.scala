@@ -557,6 +557,95 @@ object Multimodal {
         col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame"))
   }
 
+  /** One Walsh–Hadamard perceptual hash row ([[imageWHash]]'s type). */
+  final case class ImageWHash(id: Long, ok: Boolean, whash_hex: String)
+
+  /** Frequency-domain perceptual hash with INTEGER-EXACT arithmetic: the
+    * pHash idea (hash the transform's low-frequency structure, not raw
+    * pixels) but with the Walsh–Hadamard transform instead of the DCT —
+    * H's entries are ±1, so every coefficient is an exact integer sum
+    * and the hash is bit-reproducible on any engine (a float DCT's
+    * rounding is library-dependent). Pipeline: real codec decode →
+    * 8×8 box-luma cells scaled to a common denominator
+    * (cellSum·totalArea/cellArea — exact for 8-divisible dims) → 2D
+    * Sylvester WHT (sign = (−1)^popcount(u&r)) → each of the 63 AC
+    * coefficients bits 1 iff strictly above their exact median (sorted
+    * index 31); the DC bit is always 0. Contract: images ≲ 4096² keep
+    * the scaled sums inside Long.
+    */
+  def imageWHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageWHash(id, ok = false, "")
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cellSum = new Array[Long](64)
+            val cellArea = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                val c = cy * 8 + x * 8 / w
+                cellSum(c) += luma
+                cellArea(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val totalArea = w.toLong * h
+            val v = Array.tabulate(64)(c =>
+              if (cellArea(c) == 0) 0L else cellSum(c) * totalArea / cellArea(c))
+            // 2D Sylvester WHT: W[u][t] = Σ (−1)^popcount(u&r) (−1)^popcount(t&c) V[r][c]
+            val coeff = new Array[Long](64)
+            var u = 0
+            while (u < 8) {
+              var t = 0
+              while (t < 8) {
+                var acc = 0L
+                var r = 0
+                while (r < 8) {
+                  var c = 0
+                  while (c < 8) {
+                    val s = java.lang.Integer.bitCount(u & r) +
+                      java.lang.Integer.bitCount(t & c)
+                    val x = v(r * 8 + c)
+                    acc += (if ((s & 1) == 0) x else -x)
+                    c += 1
+                  }
+                  r += 1
+                }
+                coeff(u * 8 + t) = acc
+                t += 1
+              }
+              u += 1
+            }
+            val ac = java.util.Arrays.copyOfRange(coeff, 1, 64)
+            val sortedAc = ac.clone(); java.util.Arrays.sort(sortedAc)
+            val median = sortedAc(31)
+            var hash = 0L
+            var p = 1
+            while (p < 64) {
+              if (coeff(p) > median) hash |= (1L << (63 - p))
+              p += 1
+            }
+            ImageWHash(id, ok = true, f"$hash%016x")
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** One parsed JPEG/EXIF payload's metadata ([[exifMeta]]'s row type). */
   final case class ExifMeta(id: Long, ok: Boolean, endian: String,
                             n_entries: Int, make: String, orientation: Int,

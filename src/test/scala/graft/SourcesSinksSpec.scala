@@ -436,4 +436,44 @@ class SourcesSinksSpec extends SparkSpec {
     val r = graft.ops.Multimodal.exifMeta(noExif, "id").head()
     assert(!r.getBoolean(1))
   }
+  test("imageWHash: constant image hashes to zero; quadrant image sets the analytic low-frequency bits; junk flags") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) { val g = f(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g) }
+      val bos = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val pay = Seq(
+      (1L, png((_, _) => 100)),                                   // constant
+      (2L, png((x, y) => if (x < 8 == y < 8) 200 else 40)),       // checkerboard quadrants
+      (3L, png((x, _) => if (x < 8) 200 else 40)),                // vertical step
+      (4L, "junk".getBytes)).toDF("id", "payload")
+    val got = Multimodal.imageWHash(pay, "id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) === ((true, "0000000000000000")))
+    // quadrants: V = s·sᵀ pattern → single coefficient at (u,t)=(4,4),
+    // positive → bit 63-(4*8+4) = bit 27
+    assert(got(2L) === ((true, f"${1L << 27}%016x")))
+    // vertical step, bright-left → (0,4) → bit 59 (the oracle construct)
+    assert(got(3L) === ((true, f"${1L << 59}%016x")))
+    assert(!got(4L)._1)
+  }
+
+  test("imageWHash: a small local edit is a perceptual near-dup (low hamming), unlike the exact fingerprint") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) { val g = f(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g) }
+      val bos = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val base: (Int, Int) => Int = (x, y) => (x * 13 + y * 7) % 200
+    val edited: (Int, Int) => Int = (x, y) => if (x == 3 && y == 3) 255 else base(x, y)
+    val pay = Seq((1L, png(base)), (2L, png(edited))).toDF("id", "payload")
+    val got = Multimodal.imageWHash(pay, "id").collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(2), 16)).toMap
+    val ham = java.lang.Long.bitCount(got(1L) ^ got(2L))
+    assert(ham <= 8, s"one-pixel edit moved $ham wHash bits")
+  }
 }
