@@ -384,6 +384,52 @@ object Streaming {
       }
   }
 
+  /** Per-user funnel progress ([[funnelDepthStream]]'s state/output). */
+  final case class FunnelProgress(user: Long, last_view_us: Long,
+                                  best_anchor_us: Long, depth: Int)
+
+  /** Streaming mirror of [[graft.ops.Analytics.windowFunnel3]]: per-user
+    * view→click→purchase depth with every step inside `windowUs` of the
+    * chain's FIRST event, maintained incrementally in CONSTANT per-key
+    * state (latest view ts + best surviving chain anchor + depth — never
+    * the event list). Each micro-batch sorts its events by (ts, stable
+    * id) before folding, so intra-batch arrival order is irrelevant;
+    * cross-batch LATE events fold in arrival order (the at-least-once
+    * trade [[nearDupFilterSink]] documents — an upstream watermark sort
+    * removes it). Emits the key's current progress once per batch it
+    * appears in (update semantics, the [[runningUserStats]] shape).
+    */
+  def funnelDepthStream(events: Dataset[(Long, Long, Long, String)],
+                        windowUs: Long): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val None_ = Long.MinValue
+    events.groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long, String)],
+         state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(user, None_, None_, 0))
+          batch.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, et) =>
+            et match {
+              case "view" =>
+                st = st.copy(last_view_us = math.max(st.last_view_us, ts),
+                  depth = math.max(st.depth, 1))
+              case "click" =>
+                if (st.last_view_us != None_ && st.last_view_us >= ts - windowUs) {
+                  st = st.copy(best_anchor_us = math.max(st.best_anchor_us, st.last_view_us),
+                    depth = math.max(st.depth, 2))
+                }
+              case "purchase" =>
+                if (st.best_anchor_us != None_ && st.best_anchor_us >= ts - windowUs)
+                  st = st.copy(depth = 3)
+              case _ =>
+            }
+          }
+          state.update(st)
+          st
+      }
+  }
+
   /** Closed-session emitter via flatMapGroupsWithState — the custom-state
     * shape `session_window` can't express: sessions are emitted EXACTLY
     * when they close (the next event of the key arrives more than `gapUs`

@@ -506,4 +506,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"maintained $got != recompute $want")
     assert(got.map(_._1) == Set("a", "c"), "b must vanish at cnt 0")
   }
+  test("streaming funnel depth == batch windowFunnel3 on the same ordered feed; state is constant-size") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val T = 100L
+    // (user, ts, id, type) — the batch-spec scenarios, split across THREE
+    // micro-batches at a batch boundary mid-chain, with intra-batch
+    // disorder (the fold sorts per batch)
+    val all = Seq(
+      (1L, 10L, 1L, "view"), (1L, 50L, 2L, "click"), (1L, 90L, 3L, "purchase"),
+      (2L, 10L, 1L, "view"), (2L, 50L, 2L, "click"), (2L, 150L, 3L, "purchase"),
+      (3L, 10L, 1L, "view"), (3L, 200L, 2L, "click"),
+      (4L, 10L, 1L, "click"), (4L, 20L, 2L, "purchase"),
+      (5L, 10L, 1L, "view"), (5L, 500L, 2L, "view"),
+      (5L, 520L, 3L, "click"), (5L, 590L, 4L, "purchase"))
+    val batches = Seq(
+      all.filter(_._2 <= 20).reverse,               // disordered within batch
+      all.filter(e => e._2 > 20 && e._2 <= 200),
+      all.filter(_._2 > 200))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streaming.funnelDepthStream(in.toDS(), windowUs = T)
+      .writeStream.outputMode("update").format("memory").queryName("funnel_out").start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    // depth is monotone nondecreasing, so the final depth is the MAX
+    // emitted (last() over an unordered sink table would be fragile)
+    val got = spark.table("funnel_out")
+      .groupBy(col("user")).agg(org.apache.spark.sql.functions.max(col("depth")).as("d"))
+      .as[(Long, Int)].collect().toMap
+    val want = graft.ops.Analytics.windowFunnel3(
+        all.toDF("u", "ts", "rk", "et"), col("u"), col("ts"), col("rk"),
+        col("et"), "view", "click", "purchase", windowUs = T)
+      .as[(Long, Long)].collect().toMap.map { case (k, v) => k -> v.toInt }
+    assert(got === want, s"stream $got != batch $want")
+  }
 }
