@@ -5136,7 +5136,31 @@ object Queries {
       Some("""SELECT vec_id, TRUE AS ok,
           CASE WHEN 120 + (vec_id % 5 - 2) * 40 > 120
             THEN '0800000000000000' ELSE '0000000000000000' END AS whash_hex
-        FROM embeddings WHERE vec_id % 19 = 0 ORDER BY vec_id"""))
+        FROM embeddings WHERE vec_id % 19 = 0 ORDER BY vec_id""")),
+
+    QueryDef("mix_epochs",
+      // fractional-epoch source schedule (Llama/GPT data recipes):
+      // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies
+      // plus a deterministic hash-selected partial epoch, each copy
+      // tagged with its epoch index; per-(source, epoch) census out
+      (s, d) => Sampling.mixByEpochs(t(s, d, "documents"), col("doc_id"),
+          col("source"),
+          centiEpochs = Map("src0" -> 230, "src1" -> 100, "src2" -> 50, "src3" -> 0))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBySmall(col("source"), col("epoch")),
+      Some("""WITH e AS (SELECT doc_id, source,
+            CASE source WHEN 'src0' THEN 230 WHEN 'src1' THEN 100
+              WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 100 END AS centi
+          FROM documents),
+        x AS (SELECT doc_id, source, centi,
+            unnest(range(0, centi // 100 + CASE WHEN centi % 100 > 0 THEN 1 ELSE 0 END)) AS epoch
+          FROM e)
+        SELECT source, CAST(epoch AS INTEGER) AS epoch, count(*) AS n_docs
+        FROM x
+        WHERE epoch < centi // 100
+           OR ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT % 100 < centi % 100
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // ------------------------------------------------------------------

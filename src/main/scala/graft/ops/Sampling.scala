@@ -194,4 +194,34 @@ object Sampling {
       .where(hashUnit(key) < col("_keep_rate"))
       .drop("_mix_src", "_keep_rate")
   }
+
+  /** Fractional-epoch mixing (the Llama/GPT data-recipe schedule): each
+    * source repeats `epochs(src)` times, where a fractional part keeps a
+    * deterministic hash-selected slice in the final partial epoch —
+    * e.g. 2.3 epochs = every doc twice, plus the ~30% of docs whose
+    * per-(doc, epoch-index) hash bucket falls under 30 (epochs quantize
+    * to CENTIEPOCHS: the rate is integer percent, engine-portable, and
+    * finer than 1/100 of an epoch is meaningless for a corpus mix).
+    * Each emitted copy carries its `epoch` index so downstream shuffling
+    * can interleave copies rather than replay the corpus back to back.
+    * A pure explode+filter projection: no shuffle, no join; the
+    * per-source cost is exactly the emitted volume.
+    */
+  def mixByEpochs(docs: DataFrame, key: Column, source: Column,
+                  centiEpochs: Map[String, Int], defaultCenti: Int = 100): DataFrame = {
+    require(centiEpochs.values.forall(_ >= 0) && defaultCenti >= 0)
+    val centi = centiEpochs.foldLeft(lit(defaultCenti)) { case (acc, (s, c)) =>
+      when(source === lit(s), lit(c)).otherwise(acc)
+    }
+    val fullCopies = (centi / 100).cast("int")
+    val frac = centi % 100
+    // epoch indices 0..⌈centi/100⌉−1; the LAST index is the partial one
+    val nIdx = fullCopies + when(frac > 0, 1).otherwise(0)
+    val idx = when(nIdx >= 1, sequence(lit(0), nIdx - 1))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .withColumn("epoch", explode(idx))
+      .where(col("epoch") < fullCopies ||
+        hashBucket(concat_ws("#", key.cast("string"), col("epoch").cast("string"))) < frac)
+  }
 }

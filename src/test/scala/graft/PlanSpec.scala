@@ -374,7 +374,7 @@ class PlanSpec extends SparkSpec {
           // max probe + top broadcast + final
           "q8_market_share" -> 5, "q9_profit" -> 4,
           "q13_order_dist" -> 2, "q15_top_supplier" -> 4,
-          "mm_image_whash" -> 3)) {
+          "mm_image_whash" -> 3, "mix_epochs" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

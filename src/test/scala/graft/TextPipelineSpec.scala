@@ -555,4 +555,27 @@ class TextPipelineSpec extends SparkSpec {
     val d34 = got.find(r => (r._1, r._2) == ((3L, 4L))).get._3
     assert(d34 === 2L) // hot·hot + shared·shared
   }
+  test("mixByEpochs: full copies exact, partial epoch ~fraction, zero drops, copies are epoch-tagged") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => (i.toLong, if (i < 500) "a" else "b")).toDF("doc_id", "source")
+    val out = Sampling.mixByEpochs(docs, col("doc_id"), col("source"),
+      Map("a" -> 250, "b" -> 0)).groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n")).as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", 0)) === 500L && out(("a", 1)) === 500L) // 2 full epochs exact
+    val partial = out(("a", 2))
+    assert(partial > 200 && partial < 300, s"~50% partial epoch, got $partial")
+    assert(!out.keySet.exists(_._1 == "b"), "0 centiepochs drops the source entirely")
+    // deterministic: the same call yields the same partial-slice count
+    val again = Sampling.mixByEpochs(docs, col("doc_id"), col("source"),
+      Map("a" -> 250, "b" -> 0)).where(col("epoch") === 2).count()
+    assert(again === partial)
+    // different epoch indices select DIFFERENT partial slices (the hash
+    // keys on (doc, epoch)): a 2.5-epoch partial is not a subset replay
+    val sliceDocs = Sampling.mixByEpochs(docs, col("doc_id"), col("source"), Map("a" -> 150))
+      .where(col("epoch") === 1).select(col("doc_id")).as[Long].collect().toSet
+    val slice2 = Sampling.mixByEpochs(docs, col("doc_id"), col("source"), Map("a" -> 250))
+      .where(col("epoch") === 2).select(col("doc_id")).as[Long].collect().toSet
+    assert(sliceDocs != slice2)
+  }
 }
