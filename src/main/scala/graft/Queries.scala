@@ -5160,7 +5160,35 @@ object Queries {
         FROM x
         WHERE epoch < centi // 100
            OR ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT % 100 < centi % 100
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("op_acid_delete",
+      // GDPR-style keyed DELETE through the ACID commit protocol:
+      // tombstones anti-join affected dirs copy-on-write (disjoint dirs
+      // survive via the stats prune), committed as a new version — the
+      // oracle is the relational complement, so the protocol must be
+      // invisible in the data
+      (s, d) => {
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_del_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val mt = ManifestTable(s, root)
+        mt.overwrite(base)
+        mt.deleteByKeys(base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey")), Seq("o_orderkey"))
+        mt.snapshot().orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""))
   )
 
   // ------------------------------------------------------------------

@@ -251,6 +251,61 @@ final class ManifestTable private (
     -1L // unreachable
   }
 
+  /** GDPR-style keyed DELETE through the same COW commit protocol:
+    * tombstone keys anti-join the affected dirs, dirs provably disjoint
+    * from the tombstone hull survive untouched (the merge prune), and
+    * the result commits as a new version — prior versions still serve
+    * the deleted rows (time travel) until [[vacuum]] reclaims them,
+    * which is exactly the audit-then-reclaim shape a right-to-be-
+    * forgotten pipeline needs. A delete that can touch nothing returns
+    * the current version without writing (no empty-dir churn).
+    */
+  def deleteByKeys(tombstones: DataFrame, keys: Seq[String],
+                   maxRetries: Int = DefaultRetries): Long = {
+    require(keys.nonEmpty)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      base match {
+        case None => return -1L
+        case Some(v) =>
+          val m = readManifest(v)
+          val statKeys = keys.filter(c => m.stats.values.exists(_.contains(c)))
+          // same single-execution discipline as merge: the prune hull and
+          // the anti join must read the SAME materialized tombstone bytes
+          val tombDir = writeRaw(tombstones.selectExpr(keys: _*).dropDuplicates(keys))
+          val tRead = spark.read.parquet(new Path(dataDir, tombDir).toString)
+          val (keep, rewrite) =
+            if (statKeys.isEmpty) (Seq.empty[String], m.dirs)
+            else {
+              val hull = updatesHull(tRead, statKeys)
+              m.dirs.partition(d => provablyDisjoint(m.stats.getOrElse(d, Map.empty), hull))
+            }
+          if (rewrite.isEmpty) {
+            fs.delete(new Path(dataDir, tombDir), /* recursive = */ true)
+            return v
+          }
+          val remaining = readDirs(m, rewrite).join(tRead, keys, "left_anti")
+          val (dir, stats) = writeData(remaining)
+          fs.delete(new Path(dataDir, tombDir), /* recursive = */ true)
+          commitOnce("delete", m.schemaDdl, _ => keep :+ dir, stats,
+              parentGuard = Some(base)) match {
+            case Some(nv) => return nv
+            case None =>
+              try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
+                  s"conflict-losing delete dir $dir failed (vacuum will collect it): ${e.getMessage}")
+              }
+              attempt += 1
+              if (attempt > maxRetries) failRetries(maxRetries)
+              Thread.sleep(RetrySleepMs * attempt)
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Number of data dirs a version's manifest references (default: the
     * latest) — the small-file observable [[compact]] exists to bound; a
     * monitoring loop alerts on its growth the same way it watches

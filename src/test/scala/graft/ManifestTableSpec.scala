@@ -337,4 +337,31 @@ class ManifestTableSpec extends SparkSpec {
       List(1L -> 1.0, 2L -> 20.0))
     intercept[Exception] { t.snapshotAt(0).collect() }
   }
+  test("deleteByKeys: COW delete, stats-pruned dir survival, time travel serves pre-delete, no-op returns same version") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root, statsCols = Seq("k"))
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))          // dir A: k ∈ [1,2]
+    t.append(kv(100L -> 100.0, 101L -> 101.0))     // dir B
+    t.append(kv(200L -> 200.0))                    // dir C
+    def dirsOf(v: Long): Set[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_log/v${"%020d".format(v)}.txt")), "UTF-8")
+      txt.split('\n').toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) }.toSet
+    }
+    val before = dirsOf(2)
+    val v = t.deleteByKeys(Seq(100L).toDF("k"), Seq("k"))
+    assert(v === 3L)
+    // A and C are provably disjoint from the tombstone hull → survive by name
+    assert((before & dirsOf(3)).size === 2)
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ===
+      List(1L -> 1.0, 2L -> 2.0, 101L -> 101.0, 200L -> 200.0))
+    // time travel still serves the deleted row (audit-then-vacuum)
+    assert(t.snapshotAt(2).where(col("k") === 100L).count() === 1L)
+    // a tombstone outside every range is a NO-OP: same version, no write
+    assert(t.deleteByKeys(Seq(999L).toDF("k"), Seq("k")) === 3L)
+    assert(t.latestVersion().get === 3L)
+    // deleting every remaining key leaves an empty, still-readable table
+    t.deleteByKeys(Seq(1L, 2L, 101L, 200L).toDF("k"), Seq("k"))
+    assert(t.snapshot().count() === 0L)
+  }
 }

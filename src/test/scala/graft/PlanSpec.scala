@@ -374,7 +374,9 @@ class PlanSpec extends SparkSpec {
           // max probe + top broadcast + final
           "q8_market_share" -> 5, "q9_profit" -> 4,
           "q13_order_dist" -> 2, "q15_top_supplier" -> 4,
-          "mm_image_whash" -> 3, "mix_epochs" -> 2)) {
+          "mm_image_whash" -> 3, "mix_epochs" -> 2,
+          // ACID delete: v0 write + tombstone scratch + COW rewrite + read
+          "op_acid_delete" -> 8)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
