@@ -5188,7 +5188,31 @@ object Queries {
         mt.snapshot().orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"""))
+        WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+
+    QueryDef("ann_filtered_topk",
+      // filtered vector search (the serving question "nearest WITH
+      // label=1"): the metadata predicate applies BEFORE scoring
+      // (pre-filter — exact recall by construction; post-filtering a
+      // top-k shortlist can starve below k), then the same bounded
+      // two-stage top-k as ann_cosine_topk over the thinned corpus
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.where(col("vec_id") % 10 === 0),
+            e.where(col("label") === 1), "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+        s AS (SELECT qid, vec_id AS nid,
+          list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+           sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS sim
+          FROM c CROSS JOIN q WHERE vec_id <> qid)
+        SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 
   // ------------------------------------------------------------------

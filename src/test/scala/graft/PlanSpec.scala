@@ -376,7 +376,7 @@ class PlanSpec extends SparkSpec {
           "q13_order_dist" -> 2, "q15_top_supplier" -> 4,
           "mm_image_whash" -> 3, "mix_epochs" -> 2,
           // ACID delete: v0 write + tombstone scratch + COW rewrite + read
-          "op_acid_delete" -> 8)) {
+          "op_acid_delete" -> 8, "ann_filtered_topk" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
