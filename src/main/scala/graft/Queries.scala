@@ -5100,6 +5100,198 @@ object Queries {
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         ORDER BY s_suppkey""")),
 
+    QueryDef("q2_min_cost_supplier",
+      // q2 analog (min-cost supplier per part, region-restricted): the
+      // "supply" relation is derived from shipped lineitems (no partsupp
+      // in the driver schema) — per (part, EUROPE supplier) min offer
+      // price, then the correlated-min decorrelated as an aggregate
+      // self-join (supply ⋈ per-part min on equality, ties kept like the
+      // spec); dims broadcast, SF-growing sides sort-merge
+      (s, d) => {
+        val eur = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val supply = t(s, d, "lineitem")
+          .join(eur.select(col("s_suppkey").as("_esk")).hint("merge"),
+            col("l_suppkey") === col("_esk"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice")).as("min_cost"))
+        val pmin = supply.groupBy(col("l_partkey").as("_pk"))
+          .agg(min(col("min_cost")).as("_pmin"))
+        supply
+          .join(pmin.hint("merge"),
+            col("l_partkey") === col("_pk") && col("min_cost") === col("_pmin"))
+          .join(t(s, d, "part").where(col("p_size") === 15)
+            .select(col("p_partkey"), col("p_name")).hint("merge"),
+            col("l_partkey") === col("p_partkey"))
+          .join(eur.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+            col("n_name").as("nation"), col("min_cost"))
+          .orderBy(col("p_partkey"), col("s_suppkey"))
+      },
+      Some("""WITH eur AS (SELECT s_suppkey, s_name, n_name FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+          supply AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_cost
+            FROM lineitem JOIN eur ON l_suppkey = s_suppkey GROUP BY 1, 2),
+          pmin AS (SELECT l_partkey, min(min_cost) AS pmin FROM supply GROUP BY 1)
+        SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS nation, supply.min_cost
+        FROM part JOIN supply ON p_partkey = supply.l_partkey
+        JOIN pmin ON pmin.l_partkey = supply.l_partkey AND supply.min_cost = pmin.pmin
+        JOIN eur ON s_suppkey = supply.l_suppkey
+        WHERE p_size = 15
+        ORDER BY p_partkey, s_suppkey""")),
+
+    QueryDef("q11_important_parts",
+      // q11 analog (important stock): per-part shipped value restricted
+      // to three nations' suppliers, kept where value > total/1000 — the
+      // HAVING-vs-scalar-fraction shape. The compare stays in DECIMAL
+      // (value·1000 > total, cross-multiplied — no float until the
+      // output cast), so the cut is exact and order-independent
+      (s, d) => {
+        val v = t(s, d, "lineitem")
+          .join(t(s, d, "supplier").hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .where(col("n_name").isin("NATION_7", "NATION_12", "NATION_19"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(24,6)")).as("vd"))
+        val tot = v.agg(sum(col("vd")).as("_total"))
+        v.crossJoin(broadcast(tot))
+          .where(col("vd").cast("decimal(30,6)") * lit(1000) > col("_total"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("vd").cast("double").as("part_value"))
+          .orderBy(col("part_value").desc, col("p_partkey"))
+      },
+      Some("""WITH val AS (SELECT l_partkey,
+            sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS vd
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_19') GROUP BY 1),
+        tot AS (SELECT sum(vd) AS total FROM val)
+        SELECT l_partkey AS p_partkey, CAST(vd AS DOUBLE) AS part_value
+        FROM val, tot WHERE CAST(vd AS DECIMAL(30,6)) * 1000 > total
+        ORDER BY part_value DESC, p_partkey""")),
+
+    QueryDef("q17_small_qty_revenue",
+      // q17 analog (small-quantity-order revenue): lineitems of one brand
+      // whose quantity is below 0.2× that part's average — the correlated
+      // per-part avg decorrelated as an aggregate join, the compare
+      // cross-multiplied to 5·qty·n < sum_qty in DECIMAL (never a float
+      // avg); revenue/7 is ONE final IEEE division of an exact sum
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "part").where(col("p_brand") === "Brand#23")
+            .select(col("p_partkey")).hint("merge"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast("decimal(20,6)").as("qd"), col("l_extendedprice"))
+        val pa = li.groupBy(col("l_partkey").as("_pk"))
+          .agg(sum(col("qd")).as("_sum_qty"), count(lit(1)).as("_n"))
+        li.join(pa.hint("merge"), col("l_partkey") === col("_pk"))
+          .where(col("qd") * lit(5) * col("_n").cast("decimal(12,0)") < col("_sum_qty"))
+          .agg(
+            (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+          .select(lit("Brand#23").as("p_brand"), col("avg_yearly"), col("n_lines"))
+          .orderBySmall(col("p_brand"))
+      },
+      Some(s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(20,6)) AS qd,
+            l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'),
+        pa AS (SELECT l_partkey, sum(qd) AS sum_qty, count(*) AS n FROM li GROUP BY 1)
+        SELECT 'Brand#23' AS p_brand,
+          ${dsumSql("li.l_extendedprice")} / 7.0 AS avg_yearly,
+          count(*) AS n_lines
+        FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+        WHERE li.qd * 5 * CAST(pa.n AS DECIMAL(12,0)) < pa.sum_qty
+        ORDER BY p_brand""")),
+
+    QueryDef("q20_excess_suppliers",
+      // q20 analog (suppliers with excess movement, nested-semi shape):
+      // per (supplier, 'small%' part), 1997 shipped quantity vs all-time —
+      // the correlated 0.5·threshold cross-multiplied in DECIMAL
+      // (2·q97 > q_all), computed in ONE conditional-sum aggregation;
+      // qualifying suppliers semi-join into the EUROPE supplier roster
+      (s, d) => {
+        val zero = lit(0).cast("decimal(20,6)")
+        val in97 = col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        val excess = t(s, d, "lineitem")
+          .join(t(s, d, "part").where(col("p_name").like("small%"))
+            .select(col("p_partkey")).hint("merge"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_suppkey"), col("l_partkey"),
+            col("l_quantity").cast("decimal(20,6)").as("qd"), in97.as("_in97"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("qd")).as("q_all"),
+            sum(when(col("_in97"), col("qd")).otherwise(zero)).as("q_97"))
+          .where(col("q_97") * lit(2) > col("q_all"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(excess.hint("merge"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH base AS (SELECT l_suppkey, l_partkey,
+            CAST(l_quantity AS DECIMAL(20,6)) AS qd, l_shipdate
+          FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_name LIKE 'small%'),
+        agg AS (SELECT l_suppkey, l_partkey, sum(qd) AS q_all,
+            sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              THEN qd ELSE CAST(0 AS DECIMAL(20,6)) END) AS q_97
+          FROM base GROUP BY 1, 2),
+        excess AS (SELECT DISTINCT l_suppkey FROM agg WHERE q_97 * 2 > q_all)
+        SELECT s_suppkey, s_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND EXISTS (SELECT 1 FROM excess WHERE excess.l_suppkey = s_suppkey)
+        ORDER BY s_suppkey""")),
+
+    QueryDef("q21_waiting_suppliers",
+      // q21 analog (suppliers who kept orders waiting): late = shipped
+      // >90 days after order date on finalized orders; keep late lines on
+      // multi-supplier orders where NO other supplier was late — the
+      // EXISTS as a residual-condition left_semi, the NOT EXISTS as the
+      // matching left_anti against the late set itself
+      (s, d) => {
+        val late = t(s, d, "lineitem")
+          .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")) > 90)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val li2 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val late3 = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+        late
+          .join(li2.hint("merge"),
+            col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+          .join(late3.hint("merge"),
+            col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+          .join(t(s, d, "supplier").hint("merge"), col("sk") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH late AS (SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90)
+        SELECT s_name, count(*) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1 ORDER BY numwait DESC, s_name""")),
+
     QueryDef("mm_image_whash",
       // frequency-domain perceptual hash (pHash idea, Walsh–Hadamard
       // instead of DCT → every coefficient an exact integer) through the

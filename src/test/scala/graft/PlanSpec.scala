@@ -376,7 +376,14 @@ class PlanSpec extends SparkSpec {
           "q13_order_dist" -> 2, "q15_top_supplier" -> 4,
           "mm_image_whash" -> 3, "mix_epochs" -> 2,
           // ACID delete: v0 write + tombstone scratch + COW rewrite + read
-          "op_acid_delete" -> 8, "ann_filtered_topk" -> 4)) {
+          "op_acid_delete" -> 8, "ann_filtered_topk" -> 4,
+          // TPC-H completion wave: q2 pays 2 dim broadcasts + supply agg
+          // + min self-join + sort, q11 supplier SMJ + scalar broadcast,
+          // q17 one fused correlated-agg chain, q20 conditional-sum agg
+          // + semi + 2 dim broadcasts, q21 semi/anti SMJ chain
+          "q2_min_cost_supplier" -> 6, "q11_important_parts" -> 5,
+          "q17_small_qty_revenue" -> 2, "q20_excess_suppliers" -> 5,
+          "q21_waiting_suppliers" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
