@@ -5330,6 +5330,65 @@ object Queries {
             THEN '0800000000000000' ELSE '0000000000000000' END AS whash_hex
         FROM embeddings WHERE vec_id % 19 = 0 ORDER BY vec_id""")),
 
+    QueryDef("mm_image_near_dup",
+      // END-TO-END image near-duplicate detection through the REAL codec:
+      // encode a 16×16 PNG per row whose 2×2 blocks draw a 64-bit pattern
+      // (white cells always threshold to 1, black to 0 — so aHash equals
+      // the pattern EXACTLY), decode+hash with Multimodal.imageAHash, then
+      // pair via the SAME 4×16-bit pigeonhole band join the text dedup
+      // family uses (Dedup.hammingNearDupPairs — exact for hamming ≤ 3).
+      // Patterns are planted: groups of 4 consecutive ids share a 60-bit
+      // md5 base with nested low-bit flips {0,1,3,7} → in-group hammings
+      // 1..3 all survive, cross-group md5 bases sit ~30 bits apart — and
+      // the oracle brute-forces the identical criterion over the analytic
+      // patterns, so codec, hash, and LSH must all agree bit for bit
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 7 === 0).as[Long]
+        val png = ids.mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val j = id / 7
+            val g = j / 4
+            val mask = Array(0L, 1L, 3L, 7L)((j % 4).toInt)
+            val hex = md.digest(g.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(15)
+            val pat = java.lang.Long.parseLong(hex, 16) ^ mask
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var cell = 0
+            while (cell < 64) {
+              val colr = if (((pat >>> (63 - cell)) & 1L) == 1L) 0xffffff else 0x000000
+              val bx = (cell % 8) * 2; val by = (cell / 8) * 2
+              img.setRGB(bx, by, colr); img.setRGB(bx + 1, by, colr)
+              img.setRGB(bx, by + 1, colr); img.setRGB(bx + 1, by + 1, colr)
+              cell += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        val sig = Multimodal.imageAHash(png, "vec_id")
+          .where(col("ok"))
+          .select(col("id"), conv(col("ahash_hex"), 16, 10).cast("long").as("h"))
+        Dedup.hammingNearDupPairs(sig, "id", "h", maxHamming = 3)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH sel AS (SELECT vec_id, (vec_id // 7) // 4 AS g, (vec_id // 7) % 4 AS r
+            FROM embeddings WHERE vec_id % 7 = 0),
+          pat AS (SELECT vec_id,
+            xor(('0x' || substring(md5(CAST(g AS VARCHAR)), 1, 15))::BIGINT,
+              CASE r WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END) AS p
+          FROM sel)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(bit_count(xor(a.p, b.p)) AS INTEGER) AS hamming
+        FROM pat a JOIN pat b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.p, b.p)) <= 3
+        ORDER BY id_a, id_b""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

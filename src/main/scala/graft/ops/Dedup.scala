@@ -536,6 +536,20 @@ object Dedup {
       numChunks = 4, chunkBits = 16, maxHamming)
   }
 
+  /** Near-dup pairs over an ARBITRARY 64-bit signature column (perceptual
+    * image hashes, audio fingerprints — anything already reduced to a
+    * 64-bit key): the same exact 4×16-bit pigeonhole band join as the
+    * simhash forms (any pair at hamming ≤ 3 agrees on ≥1 chunk), exposed
+    * so multimodal pipelines reuse the text-dedup machinery instead of
+    * growing a second pair generator. Returns (doc_a, doc_b, hamming).
+    */
+  def hammingNearDupPairs(sig: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit chunking only guarantees hamming <= 3")
+    simhashPairsByChunks(sig.select(col(idCol), col(hashCol).cast("long").as("simhash")),
+      idCol, numChunks = 4, chunkBits = 16, maxHamming)
+  }
+
   // ------------------------------------------------- cluster resolution
 
   /** Resolve near-dup PAIRS into dedup CLUSTERS: every document that appears

@@ -383,7 +383,9 @@ class PlanSpec extends SparkSpec {
           // + semi + 2 dim broadcasts, q21 semi/anti SMJ chain
           "q2_min_cost_supplier" -> 6, "q11_important_parts" -> 5,
           "q17_small_qty_revenue" -> 2, "q20_excess_suppliers" -> 5,
-          "q21_waiting_suppliers" -> 3)) {
+          "q21_waiting_suppliers" -> 3,
+          // codec encode+hash + band join + sort
+          "mm_image_near_dup" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

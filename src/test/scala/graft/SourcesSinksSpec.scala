@@ -407,6 +407,35 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ham(got(1L)._3, got(4L)._3) == 64, "checkerboard inverse flips every cell")
     assert(!got(5L)._2 && got(5L)._3 == "", "junk payload flags ok=false")
   }
+  test("hammingNearDupPairs over aHash: planted bit-pattern groups recover exactly, no cross-group pairs") {
+    import spark.implicits._
+    // 2x2-block pattern PNGs — aHash equals the drawn 64-bit pattern
+    def patPng(pat: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (cell <- 0 until 64) {
+        val c = if (((pat >>> (63 - cell)) & 1L) == 1L) 0xffffff else 0
+        val bx = (cell % 8) * 2; val by = (cell / 8) * 2
+        for (dx <- 0 to 1; dy <- 0 to 1) img.setRGB(bx + dx, by + dy, c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val baseA = 0x0123456789abcdL; val baseB = 0x0fedcba987654321L
+    val df = Seq(
+      (0L, patPng(baseA)), (1L, patPng(baseA ^ 1L)), (2L, patPng(baseA ^ 3L)),
+      (3L, patPng(baseA ^ 7L)), (10L, patPng(baseB))).toDF("id", "payload")
+    val sig = graft.ops.Multimodal.imageAHash(df, "id")
+      .select(col("id"), conv(col("ahash_hex"), 16, 10).cast("long").as("h"))
+    val got = graft.ops.Dedup.hammingNearDupPairs(sig, "id", "h", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // nested masks {0,1,3,7}: all 6 in-group pairs at hamming 1..3
+    assert(got === Map((0L, 1L) -> 1, (0L, 2L) -> 2, (0L, 3L) -> 3,
+      (1L, 2L) -> 1, (1L, 3L) -> 2, (2L, 3L) -> 1),
+      "exact in-group pair set with exact hammings; baseB never pairs")
+  }
+
   test("exifMeta: builder roundtrip in BOTH byte orders; inline short ASCII; junk and truncation flag ok=false") {
     import spark.implicits._
     import graft.ops.Multimodal
