@@ -5389,6 +5389,61 @@ object Queries {
         WHERE bit_count(xor(a.p, b.p)) <= 3
         ORDER BY id_a, id_b""")),
 
+    QueryDef("txt_normalize",
+      // Unicode normalization (the first transform of any mixed-source
+      // text ingest; Spark has NO built-in) via the codegen
+      // NormalizeExpr kernel: NFC, NFKC, and accent-strip (NFD → drop
+      // Mn → NFC) over text with planted suffixes covering the four
+      // interesting classes — combining sequence (Cafe+́ → Café),
+      // precomposed accents (Ångström ñ), compatibility forms (ﬁ
+      // ligature, fullwidth Ａ), and pure ASCII. The corpus itself is
+      // ASCII (normalization-invariant under every form), so every
+      // expected output is analytic and the oracle replays it
+      // constructively — no cross-engine normalizer needed
+      (s, d) => {
+        import graft.functions.NormalizeOps
+        val m = pmod(col("doc_id"), lit(4))
+        // explicit \u escapes: m==0 is the DECOMPOSED sequence e+U+0301
+        // (the whole point), and nothing depends on source-file encoding
+        val suff = when(m === 0, lit(" Cafe\u0301"))
+          .when(m === 1, lit(" \u00c5ngstr\u00f6m \u00f1"))
+          .when(m === 2, lit(" \ufb01n \uff21b"))
+          .otherwise(lit(""))
+        t(s, d, "documents")
+          .withColumn("raw", concat(col("text"), suff))
+          .select(col("doc_id"),
+            md5(NormalizeOps.nfc(col("raw"))).as("nfc_md5"),
+            md5(NormalizeOps.nfkc(col("raw"))).as("nfkc_md5"),
+            md5(NormalizeOps.stripAccents(col("raw"))).as("strip_md5"),
+            (length(col("raw")) - length(NormalizeOps.nfc(col("raw"))))
+              .as("nfc_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (SELECT doc_id, text,
+            CASE doc_id % 4 WHEN 0 THEN ' Cafe' || chr(769)
+              WHEN 1 THEN ' ' || chr(197) || 'ngstr' || chr(246) || 'm ' || chr(241)
+              WHEN 2 THEN ' ' || chr(64257) || 'n ' || chr(65313) || 'b'
+              ELSE '' END AS suff,
+            CASE doc_id % 4 WHEN 0 THEN ' Caf' || chr(233)
+              WHEN 1 THEN ' ' || chr(197) || 'ngstr' || chr(246) || 'm ' || chr(241)
+              WHEN 2 THEN ' ' || chr(64257) || 'n ' || chr(65313) || 'b'
+              ELSE '' END AS nfc_suff,
+            CASE doc_id % 4 WHEN 0 THEN ' Caf' || chr(233)
+              WHEN 1 THEN ' ' || chr(197) || 'ngstr' || chr(246) || 'm ' || chr(241)
+              WHEN 2 THEN ' fin Ab'
+              ELSE '' END AS nfkc_suff,
+            CASE doc_id % 4 WHEN 0 THEN ' Cafe'
+              WHEN 1 THEN ' Angstrom n'
+              WHEN 2 THEN ' ' || chr(64257) || 'n ' || chr(65313) || 'b'
+              ELSE '' END AS strip_suff
+          FROM documents)
+        SELECT doc_id,
+          md5(text || nfc_suff) AS nfc_md5,
+          md5(text || nfkc_suff) AS nfkc_md5,
+          md5(text || strip_suff) AS strip_md5,
+          CAST(length(text || suff) - length(text || nfc_suff) AS INTEGER) AS nfc_delta
+        FROM r ORDER BY doc_id""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

@@ -385,7 +385,9 @@ class PlanSpec extends SparkSpec {
           "q17_small_qty_revenue" -> 2, "q20_excess_suppliers" -> 5,
           "q21_waiting_suppliers" -> 3,
           // codec encode+hash + band join + sort
-          "mm_image_near_dup" -> 4)) {
+          "mm_image_near_dup" -> 4,
+          // pure codegen projection + sort
+          "txt_normalize" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -578,4 +578,34 @@ class TextPipelineSpec extends SparkSpec {
       .where(col("epoch") === 2).select(col("doc_id")).as[Long].collect().toSet
     assert(sliceDocs != slice2)
   }
+
+  test("normalizeText: UAX#15 forms + accent strip — composition, compatibility, idempotence, nulls") {
+    import spark.implicits._
+    import graft.functions.NormalizeOps
+    val rows = Seq(
+      (1L, "Cafe\u0301"),            // decomposed e + combining acute
+      (2L, "\u00c5ngstr\u00f6m"),   // precomposed
+      (3L, "\ufb01n \uff21"),       // fi ligature + fullwidth A (compat)
+      (4L, "\u1100\u1161"),         // Hangul jamo pair -> composes to U+AC00
+      (5L, "plain ascii"),
+      (6L, ""),
+      (7L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = rows.select(col("id"), NormalizeOps.nfc(col("s")).as("nfc"),
+        NormalizeOps.nfkc(col("s")).as("nfkc"),
+        NormalizeOps.stripAccents(col("s")).as("strip"))
+      .as[(Long, String, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "Caf\u00e9" && got(1L)._4 == "Cafe")
+    assert(got(2L)._2 == "\u00c5ngstr\u00f6m" && got(2L)._4 == "Angstrom")
+    // NFC leaves compatibility chars; NFKC folds them; strip does not touch them
+    assert(got(3L)._2 == "\ufb01n \uff21" && got(3L)._3 == "fin A" && got(3L)._4 == "\ufb01n \uff21")
+    assert(got(4L)._2 == "\uac00", "jamo compose under NFC")
+    assert(got(5L)._2 == "plain ascii" && got(5L)._4 == "plain ascii")
+    assert(got(6L)._2 == "" && got(7L)._2 == null, "empty identity, null propagates")
+    // idempotence: normalize twice == once (NFC over already-NFC output)
+    val twice = rows.where(col("s").isNotNull)
+      .select(NormalizeOps.nfc(NormalizeOps.nfc(col("s"))).as("a"),
+        NormalizeOps.nfc(col("s")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(twice == 0L)
+  }
 }
