@@ -5444,6 +5444,34 @@ object Queries {
           CAST(length(text || suff) - length(text || nfc_suff) AS INTEGER) AS nfc_delta
         FROM r ORDER BY doc_id""")),
 
+    QueryDef("op_ohlc_bars",
+      // time-bar resample (OHLC downsampling — the time-series face of
+      // aggregation): hourly bars per event type; open/close are
+      // min_by/max_by on the (ts, event_id) struct in ONE shuffle — no
+      // corpus-wide window pass — mirrored by the oracle's row_number
+      // window form; bar sum through DECIMAL
+      (s, d) => Analytics.ohlcBars(eventsUs(s, d), col("event_type"),
+          col("ts_us"), col("event_id"), col("value"), barUs = 3600000000L)
+        .withColumnRenamed("key", "event_type")
+        .orderBySmall(col("event_type"), col("bar_us")),
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+            FROM events),
+          b AS (SELECT event_type, ts_us - ts_us % 3600000000 AS bar_us,
+              ts_us, event_id, value FROM ev),
+          r AS (SELECT *,
+              row_number() OVER (PARTITION BY event_type, bar_us
+                ORDER BY ts_us, event_id) AS ra,
+              row_number() OVER (PARTITION BY event_type, bar_us
+                ORDER BY ts_us DESC, event_id DESC) AS rd
+            FROM b)
+        SELECT event_type, bar_us,
+          max(CASE WHEN ra = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rd = 1 THEN value END) AS close,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

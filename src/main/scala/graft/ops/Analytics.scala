@@ -1208,4 +1208,31 @@ object Analytics {
       .unionAll(cur.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Time-bar resample (OHLC): bucket a value stream into fixed bars per
+    * key — open/close via `min_by`/`max_by` on the (ts, tiebreak) struct
+    * (ONE shuffle, partial-aggregable — never a window pass over the
+    * corpus), high/low as plain min/max, the bar sum through DECIMAL so
+    * it is summation-order exact. `tiebreak` must be a stable unique row
+    * id (the [[windowFunnel3]] convention): min_by on a tied struct would
+    * otherwise pick by partition layout.
+    *
+    * Scale: bars×keys is time-domain-bounded (not SF-growing), but the
+    * aggregation itself distributes over the full stream — each executor
+    * folds its slice into per-(key, bar) partials before the exchange.
+    */
+  def ohlcBars(df: DataFrame, key: Column, tsUs: Column, tiebreak: Column,
+               value: Column, barUs: Long): DataFrame = {
+    require(barUs >= 1)
+    val ts = tsUs.cast("long")
+    val ord = struct(ts.as("t"), tiebreak.as("r"))
+    df.groupBy(key.as("key"), (ts - pmod(ts, lit(barUs))).as("bar_us"))
+      .agg(
+        min_by(value, ord).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(value.cast("decimal(24,6)")).cast("double").as("sum_value"))
+  }
 }

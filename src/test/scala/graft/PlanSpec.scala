@@ -387,7 +387,9 @@ class PlanSpec extends SparkSpec {
           // codec encode+hash + band join + sort
           "mm_image_near_dup" -> 4,
           // pure codegen projection + sort
-          "txt_normalize" -> 3)) {
+          "txt_normalize" -> 3,
+          // one min_by/max_by agg pass
+          "op_ohlc_bars" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
