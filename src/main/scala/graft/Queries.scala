@@ -2863,6 +2863,31 @@ object Queries {
           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bigram_freq
         FROM bg JOIN c USING (bigram) GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("txt_collocations",
+      // collocation mining by lift (PMI sans the monotone log): exact
+      // integer supports, deterministic float ranking key (identical
+      // multiply/divide tree both sides), support cut + bounded top-200
+      // head — phrase extraction for tokenizer/vocab curation
+      (s, d) => TextAnalysis.collocationsByLift(t(s, d, "documents"), "text",
+        minSupport = 10L, topK = 200),
+      Some("""WITH tok AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t FROM documents),
+          uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+          n AS (SELECT sum(c) AS n FROM uc),
+          bc AS (SELECT bigram, count(*) AS c_ab FROM (
+              SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]) AS bigram
+              FROM tok WHERE len(t) >= 2) GROUP BY 1),
+          b AS (SELECT sum(c_ab) AS b FROM bc)
+        SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, CAST(ua.c AS BIGINT) AS c_a,
+          CAST(ub.c AS BIGINT) AS c_b,
+          CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) /
+            (CAST(b.b AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+        FROM bc JOIN uc ua ON string_split(bigram, ' ')[1] = ua.w
+        JOIN uc ub ON string_split(bigram, ' ')[2] = ub.w
+        CROSS JOIN n CROSS JOIN b
+        WHERE c_ab >= 10
+        ORDER BY lift DESC, bigram LIMIT 200""")),
+
     QueryDef("txt_c4_filters",
       // C4/Gopher rule battery over a constructed multi-line corpus (the
       // testdata is single-line, so line structure is planted: a 2-word

@@ -71,6 +71,43 @@ object TextAnalysis {
         col("sum_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Collocation mining (phrase extraction): rank corpus bigrams by
+    * LIFT = p(a,b) / (p(a)·p(b)) — the association strength behind PMI
+    * without the log (same ordering; the log is monotone) — with a
+    * minimum-support cut and a bounded top-k head. Counts (c_ab, c_a,
+    * c_b) are exact integers; lift is a deterministic float SCORE
+    * (identical multiply/divide tree both engines — a ranking key, not a
+    * sum, so no accumulation-order hazard).
+    *
+    * Scale: tokenize+explode linear scans; bigram→unigram joins are
+    * UNHINTED over vocabulary-sized tables (the [[bigramLmScore]]
+    * posture: AQE broadcasts a small vocabulary, sort-merges a web-scale
+    * one); the two corpus totals attach as 1-row broadcasts; the top-k
+    * head is a TakeOrdered — never a full-result sort to the driver.
+    */
+  def collocationsByLift(docs: DataFrame, textCol: String,
+                         minSupport: Long = 10L, topK: Int = 200): DataFrame = {
+    val tk = docs.select(tokens(col(textCol)).as("toks"))
+    val uc = tk.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uc.agg(sum(col("c")).as("_n"))
+    val bc = tk.select(explode(Dedup.gramsFromTokens(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val bTot = bc.agg(sum(col("c_ab")).as("_b"))
+    val ua = uc.select(col("w").as("_wa"), col("c").as("c_a"))
+    val ub = uc.select(col("w").as("_wb"), col("c").as("c_b"))
+    bc.where(col("c_ab") >= minSupport)
+      .join(ua, split(col("bigram"), " ").getItem(0) === col("_wa"))
+      .join(ub, split(col("bigram"), " ").getItem(1) === col("_wb"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(bTot))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("_n").cast("double") * col("_n").cast("double") /
+          (col("_b").cast("double") * col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** C4/Gopher-style quality-rule battery (Raffel et al. 2020; Rae et al.
     * 2021) in ONE linear pass: line-structure ratios (terminal
     * punctuation, bullets, ellipses, too-short lines), word-shape ratios

@@ -389,7 +389,9 @@ class PlanSpec extends SparkSpec {
           // pure codegen projection + sort
           "txt_normalize" -> 3,
           // one min_by/max_by agg pass
-          "op_ohlc_bars" -> 2)) {
+          "op_ohlc_bars" -> 2,
+          // vocab joins + 2 scalar broadcasts + TakeOrdered head
+          "txt_collocations" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -608,4 +608,25 @@ class TextPipelineSpec extends SparkSpec {
       .where(col("a") =!= col("b")).count()
     assert(twice == 0L)
   }
+
+  test("collocationsByLift: hand-computed lifts, support cut, deterministic head") {
+    import spark.implicits._
+    // corpus: "x y" 3 times, "x z" 2 times, "w w" 5 times
+    // N=20 tokens, B=10 bigrams; c(x)=5 c(y)=3 c(z)=2 c(w)=10
+    val docs = (Seq.fill(3)("x y") ++ Seq.fill(2)("x z") ++ Seq.fill(5)("w w"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.collocationsByLift(docs, "text",
+        minSupport = 2L, topK = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("x y") === (("x y", 3L, 5L, 3L, 3.0 * 20 * 20 / (10.0 * 5 * 3))))
+    assert(m("x z") === (("x z", 2L, 5L, 2L, 2.0 * 20 * 20 / (10.0 * 5 * 2))))
+    assert(m("w w") === (("w w", 5L, 10L, 10L, 5.0 * 20 * 20 / (10.0 * 10 * 10))))
+    // ranking: x y and x z TIE at lift 8.0 -> bigram asc breaks it; w w 2.0
+    assert(got.map(_._1).toSeq === Seq("x y", "x z", "w w"))
+    // support cut: minSupport=4 keeps only "w w"
+    val cut = graft.ops.TextAnalysis.collocationsByLift(docs, "text",
+        minSupport = 4L, topK = 10).as[(String, Long, Long, Long, Double)].collect()
+    assert(cut.map(_._1).toSeq === Seq("w w"))
+  }
 }
