@@ -5497,6 +5497,41 @@ object Queries {
           CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
         FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("ml_knn",
+      // kNN classification COMPOSED from the exact ANN operator (the
+      // label-propagation serving shape): top-5 cosine neighbors per
+      // query → majority vote with a deterministic tie-break (max votes,
+      // then smallest label, via ONE max(struct) agg — no window), plus
+      // a per-query correctness flag against the query's own label
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val pred = Similarity.knnClassify(
+          e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", "label", 5)
+        val qlab = e.where(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("_qid"), col("label").as("_qlab"))
+        pred.join(qlab.hint("merge"), col("query_id") === col("_qid"))
+          .select(col("query_id"), col("pred_label"), col("votes"),
+            (col("pred_label") === col("_qlab")).as("is_correct"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+            FROM embeddings WHERE vec_id % 10 = 0),
+          s AS (SELECT qid, vec_id AS nid, label AS nlab,
+            list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+             sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS sim
+            FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+          r AS (SELECT qid, nlab FROM (
+              SELECT qid, nlab, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+              FROM s) WHERE rnk <= 5),
+          v AS (SELECT qid, nlab AS pred_label, count(*) AS votes FROM r GROUP BY 1, 2),
+          p AS (SELECT qid, pred_label, votes FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred_label) AS rr
+              FROM v) WHERE rr = 1)
+        SELECT p.qid AS query_id, CAST(p.pred_label AS INTEGER) AS pred_label,
+          votes, (p.pred_label = q.qlab) AS is_correct
+        FROM p JOIN q ON p.qid = q.qid ORDER BY query_id""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

@@ -519,4 +519,30 @@ object Similarity {
         cosine(col("_qv"), col("_nv")).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** kNN classification composed from [[bruteForceTopK]] (the
+    * label-propagation serving shape): top-k cosine neighbors per query,
+    * majority vote with a fully deterministic tie-break — max votes, then
+    * SMALLEST label — folded in ONE `max(struct)` aggregation (no window
+    * pass). Output: (query_id, pred_label, votes).
+    *
+    * Scale: the neighbor-label join and the two vote aggregations are
+    * sort-merge/partial-aggregable over the |Q|·k candidate table; the
+    * corpus itself only streams through the top-k scan. Bounded-|Q|
+    * contract inherited from [[bruteForceTopK]]; swap the first stage for
+    * [[ivfTopK]]/[[pqAdcTopK]] shortlists when |Q| is corpus-scale.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val lab = corpus.select(col(idCol).as("_nid"), col(labelCol).as("_nlab"))
+    topk.join(lab.hint("merge"), col("neighbor_id") === col("_nid"))
+      .groupBy(col("query_id"), col("_nlab"))
+      .agg(count(lit(1)).as("_votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("_votes").as("v"), (-col("_nlab")).as("negl"),
+        col("_nlab").as("lab"))).as("_w"))
+      .select(col("query_id"), col("_w.lab").as("pred_label"),
+        col("_w.v").as("votes"))
+  }
 }

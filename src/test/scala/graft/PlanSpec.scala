@@ -391,7 +391,9 @@ class PlanSpec extends SparkSpec {
           // one min_by/max_by agg pass
           "op_ohlc_bars" -> 2,
           // vocab joins + 2 scalar broadcasts + TakeOrdered head
-          "txt_collocations" -> 5)) {
+          "txt_collocations" -> 5,
+          // topk scan + label join/vote aggs + sort
+          "ml_knn" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

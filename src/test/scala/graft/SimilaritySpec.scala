@@ -326,4 +326,26 @@ class SimilaritySpec extends SparkSpec {
     // q=(1,0,2,2); decode(10)=(2,2,5,5): d=1+4+9+9=23; decode(11)=(0,0,1,1): d=1+0+1+1=3
     assert(got == Map(10L -> 23.0, 11L -> 3.0))
   }
+
+  test("knnClassify: planted clusters recover labels; vote tie breaks to the SMALLEST label") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; query 100 sits in cluster A
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(4)(0f); a(axis) = 1f; a((axis + 1) % 4) = eps; a
+    }
+    val corpus = Seq(
+      (0L, v(0, 0.01f), 7), (1L, v(0, 0.02f), 7), (2L, v(0, 0.03f), 7),
+      (3L, v(1, 0.01f), 3), (4L, v(1, 0.02f), 3), (5L, v(1, 0.03f), 3),
+      (100L, v(0, 0.0f), 7)).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.knnClassify(
+        corpus.where($"vec_id" === 100), corpus, "vec_id", "embedding", "label", 3)
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq === Seq((100L, 7, 3L)), "cluster-A query gets label 7 with 3/3 votes")
+    // forced 2-2 tie at k=4: labels {7,7,3,3} among top-4 -> smallest label 3 wins
+    val tied = graft.ops.Similarity.knnClassify(
+        corpus.where($"vec_id" === 100),
+        corpus.where($"vec_id".isin(0L, 1L, 3L, 4L)), "vec_id", "embedding", "label", 4)
+      .as[(Long, Int, Long)].collect()
+    assert(tied.toSeq === Seq((100L, 3, 2L)), "2-2 tie breaks to the smallest label")
+  }
 }
