@@ -5532,6 +5532,41 @@ object Queries {
           votes, (p.pred_label = q.qlab) AS is_correct
         FROM p JOIN q ON p.qid = q.qid ORDER BY query_id""")),
 
+    QueryDef("ml_kappa",
+      // inter-annotator agreement (Cohen's kappa) over two planted
+      // labelers: B disagrees with A exactly on doc_id%5==0 (shifted
+      // class) and abstains (NULL) on doc_id%11==0 — kappa reduces to
+      // ONE division of exact integers (n·agree − Σ nA·nB over n² − Σ),
+      // computed from the bounded |classes|² cell table
+      (s, d) => {
+        val a = pmod(col("doc_id"), lit(3L))
+        val b = when(pmod(col("doc_id"), lit(11L)) === 0, lit(null))
+          .when(pmod(col("doc_id"), lit(5L)) === 0, pmod(col("doc_id") + 1, lit(3L)))
+          .otherwise(a)
+        MlEval.cohenKappa(t(s, d, "documents").select(a.as("la"), b.as("lb")),
+          col("la"), col("lb"))
+          .orderBySmall(col("n"))
+      },
+      Some("""WITH lab AS (SELECT doc_id % 3 AS la,
+            CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 5 = 0 THEN (doc_id + 1) % 3
+              ELSE doc_id % 3 END AS lb
+          FROM documents),
+        v AS (SELECT la, lb FROM lab WHERE la IS NOT NULL AND lb IS NOT NULL),
+        tot AS (SELECT count(*) AS n,
+            CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM v),
+        na AS (SELECT la AS k, count(*) AS c FROM v GROUP BY 1),
+        nb AS (SELECT lb AS k, count(*) AS c FROM v GROUP BY 1),
+        pr AS (SELECT CAST(coalesce(sum(na.c * nb.c), 0) AS BIGINT) AS sum_prod
+          FROM na JOIN nb ON na.k = nb.k)
+        SELECT n, n_agree, sum_prod,
+          CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          CAST(sum_prod AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+          CASE WHEN n * n <> sum_prod THEN
+            CAST(n * n_agree - sum_prod AS DOUBLE) / CAST(n * n - sum_prod AS DOUBLE)
+          END AS kappa
+        FROM tot CROSS JOIN pr ORDER BY n""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

@@ -146,4 +146,35 @@ object MlEval {
           (col("_segpos").cast("double") / col("_segn").cast("double")))
           .as("lift"))
   }
+
+  /** Cohen's kappa — inter-annotator agreement, the labeling-QA statistic
+    * of any human-labeled training set. Computed from the bounded
+    * |classes|² cell table (ONE corpus shuffle, the contingency shape):
+    * with n = Σ cells, agree = Σ diagonal, and sum_prod = Σ_k nA_k·nB_k
+    * (marginal products), kappa algebraically reduces to
+    * `(n·agree − sum_prod) / (n² − sum_prod)` — a SINGLE IEEE division of
+    * exact integers (po and pe are reported as their own one-division
+    * ratios). Rows with a NULL on either side are excluded (unlabeled).
+    * Degenerate pe=1 (both annotators constant) yields NULL kappa rather
+    * than a 0/0.
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+    val na = cells.groupBy(col("_a").as("_ka")).agg(sum(col("_c")).as("_na"))
+    val nb = cells.groupBy(col("_b").as("_kb")).agg(sum(col("_c")).as("_nb"))
+    val tot = cells.agg(sum(col("_c")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(lit(0L))).as("n_agree"))
+    val prod = na.join(nb, col("_ka") === col("_kb"))
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("sum_prod"))
+    tot.crossJoin(prod)
+      .select(col("n"), col("n_agree"), col("sum_prod"),
+        (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+        (col("sum_prod").cast("double") / (col("n") * col("n")).cast("double")).as("pe"),
+        when(col("n") * col("n") =!= col("sum_prod"),
+          (col("n") * col("n_agree") - col("sum_prod")).cast("double") /
+            (col("n") * col("n") - col("sum_prod")).cast("double"))
+          .as("kappa"))
+  }
 }

@@ -190,4 +190,25 @@ class MlEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("pc1") === 4.5) // x3=9, μ=4.5
     assert(r.getAs[Double]("pc2") === 3.0) // x2=6, μ=3
   }
+
+  test("cohenKappa: hand-computed value, null exclusion, perfect/chance/degenerate edges") {
+    import spark.implicits._
+    // classic 2x2: A/B agree 20 yes + 15 no, disagree 10+5 -> kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y")) ++
+      Seq(("y", null), (null, "n"))
+    val got = MlEval.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    // n=50 agree=35 nA=(y30,n20) nB=(y25,n25) sum_prod=30*25+20*25=1250
+    assert(got._1 === 50L && got._2 === 35L && got._3 === 1250L)
+    assert(got._6 === Some((50.0 * 35 - 1250) / (50.0 * 50 - 1250))) // 0.4
+    // perfect agreement -> kappa 1
+    val perfect = MlEval.cohenKappa(Seq(("a","a"),("b","b"),("a","a")).toDF("a","b"),
+      col("a"), col("b")).as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(perfect._6 === Some(1.0))
+    // both annotators constant -> pe = 1 -> NULL kappa, not 0/0
+    val degen = MlEval.cohenKappa(Seq(("x","x"),("x","x")).toDF("a","b"),
+      col("a"), col("b")).as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
+    assert(degen._6 === None)
+  }
 }

@@ -393,7 +393,9 @@ class PlanSpec extends SparkSpec {
           // vocab joins + 2 scalar broadcasts + TakeOrdered head
           "txt_collocations" -> 5,
           // topk scan + label join/vote aggs + sort
-          "ml_knn" -> 4)) {
+          "ml_knn" -> 4,
+          // one cell-table shuffle + bounded marginal folds
+          "ml_kappa" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
