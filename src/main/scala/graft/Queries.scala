@@ -5567,6 +5567,34 @@ object Queries {
           END AS kappa
         FROM tot CROSS JOIN pr ORDER BY n""")),
 
+    QueryDef("op_cusum",
+      // CUSUM change-point detection per event type — the sequential
+      // drift detector as pure window algebra: the max(0, s+dev)
+      // recursion rewritten EXACTLY as S − min(0, running min S) over
+      // one partitioned sort; milli-scaled integers end to end
+      (s, d) => Analytics.cusumAlarms(eventsUs(s, d), col("event_type"),
+          col("ts_us"), col("event_id"),
+          floor(col("value") * 1000).cast("long"),
+          slackMilli = 0L, thresholdMilli = 2000000L)
+        .orderBySmall(col("key")),
+      Some("""WITH ev AS (SELECT event_type AS key, epoch_us(ts) AS ts_us, event_id,
+            CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+          tg AS (SELECT key, CAST(sum(v) // count(*) AS BIGINT) AS target_milli
+            FROM ev GROUP BY 1),
+          w AS (SELECT ev.key, ts_us, event_id, target_milli,
+              sum(v - target_milli) OVER (PARTITION BY ev.key
+                ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS s
+            FROM ev JOIN tg USING (key)),
+          cc AS (SELECT key, ts_us, target_milli,
+              s - least(min(s) OVER (PARTITION BY key
+                ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING), 0) AS cusum
+            FROM w)
+        SELECT key, count(*) AS n_points, CAST(max(target_milli) AS BIGINT) AS target_milli,
+          CAST(max(cusum) AS BIGINT) AS max_cusum,
+          CAST(sum(CASE WHEN cusum > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+          min(CASE WHEN cusum > 2000000 THEN ts_us END) AS first_alarm_ts
+        FROM cc GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

@@ -1209,6 +1209,44 @@ object Analytics {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** CUSUM change-point detection (one-sided upper), exactly, in ONE
+    * window pass: the textbook recursion s_k = max(0, s_{k−1} + dev_k) is
+    * not window-expressible, but it equals `S_k − min_{j≤k} S_j` for
+    * S = running sum of deviations — so two frames over one sort give the
+    * exact CUSUM statistic with NO iterative loop. Deviations are integer
+    * (caller pre-scales the measure to milli-units, the floor(v·1000)
+    * float discipline): dev = v − target − slack, with the per-key target
+    * the integer-floor mean (`sum div n` — exact in both engines).
+    * Output per key: n_points, target_milli, max_cusum, n_alarms
+    * (cusum > threshold), first_alarm_ts (NULL when none).
+    *
+    * Scale: one aggregation for targets (bounded key domain broadcasts
+    * back), one partitioned sort for the windows, one final bounded
+    * aggregate. A key's series must fit a task's sort — the op_ntile
+    * caveat; partition further by time range for unbounded series.
+    */
+  def cusumAlarms(df: DataFrame, key: Column, tsUs: Column, tiebreak: Column,
+                  valueMilli: Column, slackMilli: Long, thresholdMilli: Long): DataFrame = {
+    val base = df.select(key.as("key"), tsUs.cast("long").as("_ts"),
+      tiebreak.as("_rk"), valueMilli.cast("long").as("_v"))
+    val tgt = base.groupBy(col("key"))
+      .agg(sum(col("_v")).as("_sv"), count(lit(1)).as("_n"))
+      .select(col("key").as("_tk"), expr("_sv div _n").as("target_milli"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_ts"), col("_rk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = base.join(broadcast(tgt), col("key") === col("_tk"))
+      .withColumn("_s", sum(col("_v") - col("target_milli") - lit(slackMilli)).over(w))
+      // the empty prefix S_0 = 0 is a valid minimum candidate (s_1 =
+      // max(0, dev_1), not dev_1 − dev_1): clamp the running min at 0
+      .withColumn("_cusum", col("_s") - least(min(col("_s")).over(w), lit(0L)))
+    scored.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_points"),
+        first(col("target_milli")).as("target_milli"),
+        max(col("_cusum")).as("max_cusum"),
+        sum(when(col("_cusum") > thresholdMilli, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("_cusum") > thresholdMilli, col("_ts"))).as("first_alarm_ts"))
+  }
+
   /** Time-bar resample (OHLC): bucket a value stream into fixed bars per
     * key — open/close via `min_by`/`max_by` on the (ts, tiebreak) struct
     * (ONE shuffle, partial-aggregable — never a window pass over the

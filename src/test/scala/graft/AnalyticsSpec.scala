@@ -422,4 +422,29 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r._1, r._2) -> r).toMap
     assert(again === got)
   }
+
+  test("cusumAlarms: window identity == textbook recursion, empty-prefix clamp, alarm bookkeeping") {
+    import spark.implicits._
+    // series for key k: values (milli) 10,10,10,40,40,10 -> target = 120/6 = 20
+    // recursion s=max(0,s+v-20): 0,0,0,20,40,30 ; threshold 25 -> alarms at
+    // t=5 (40) and t=6 (30); first alarm ts=5; max_cusum=40
+    val ev = Seq((1L,1L,10L),(2L,2L,10L),(3L,3L,10L),(4L,4L,40L),(5L,5L,40L),(6L,6L,10L))
+      .map { case (ts, id, v) => ("k", ts, id, v) }.toDF("et", "ts", "id", "v")
+    val got = Analytics.cusumAlarms(ev, col("et"), col("ts"), col("id"), col("v"),
+        slackMilli = 0L, thresholdMilli = 25L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got === (("k", 6L, 20L, 40L, 2L, Some(5L))))
+    // strictly decreasing series: cusum pinned at 0 by the empty-prefix
+    // clamp (without it, s_k = S_k - S_1 would go positive)
+    val dec = Seq((1L,1L,30L),(2L,2L,20L),(3L,3L,10L))
+      .map { case (ts, id, v) => ("d", ts, id, v) }.toDF("et", "ts", "id", "v")
+    val g2 = Analytics.cusumAlarms(dec, col("et"), col("ts"), col("id"), col("v"), 0L, 1L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g2._4 === 10L && g2._5 === 2L && g2._6 === Some(1L),
+      "dev +10,0,-10: s = 10,10,0 -> max 10, two alarms over threshold 1")
+    // no alarms -> NULL first_alarm_ts
+    val g3 = Analytics.cusumAlarms(dec, col("et"), col("ts"), col("id"), col("v"), 0L, 100L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(g3._5 === 0L && g3._6 === None)
+  }
 }

@@ -395,7 +395,9 @@ class PlanSpec extends SparkSpec {
           // topk scan + label join/vote aggs + sort
           "ml_knn" -> 4,
           // one cell-table shuffle + bounded marginal folds
-          "ml_kappa" -> 4)) {
+          "ml_kappa" -> 4,
+          // target agg broadcast + one window sort
+          "op_cusum" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
