@@ -5595,6 +5595,39 @@ object Queries {
           min(CASE WHEN cusum > 2000000 THEN ts_us END) AS first_alarm_ts
         FROM cc GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_schema_evolution",
+      // schema-evolution-tolerant source: generation 1 lands WITHOUT the
+      // o_channel column, generation 2 adds it — `mergeSchema` unifies
+      // the footers and g1 rows surface NULL channel (the additive-drift
+      // contract every long-lived ingest needs; op_schema_drift PROFILES
+      // the drift, this key READS across it). The oracle replays the
+      // union relationally, so projection alignment must be exact
+      (s, d) => {
+        val dir = scratchDir("evo", d)
+        val base = t(s, d, "orders")
+        val g1 = base.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val g2 = base.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_orderkey") % 5 === 0, lit("web")).otherwise(lit("store"))
+              .as("o_channel"))
+        g1.write.mode("overwrite").parquet(dir + "/gen=1")
+        g2.write.mode("overwrite").parquet(dir + "/gen=2")
+        s.read.option("mergeSchema", "true").parquet(dir + "/gen=1", dir + "/gen=2")
+          .groupBy(col("o_channel"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+          .orderBySmall(col("o_channel"))
+      },
+      Some(s"""WITH u AS (
+          SELECT o_orderkey, o_totalprice, NULL AS o_channel FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice,
+            CASE WHEN o_orderkey % 5 = 0 THEN 'web' ELSE 'store' END AS o_channel
+          FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT o_channel, count(*) AS n_orders, ${dsumSql("o_totalprice", 20, 2)} AS sum_price
+        FROM u GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

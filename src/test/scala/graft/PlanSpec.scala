@@ -397,7 +397,9 @@ class PlanSpec extends SparkSpec {
           // one cell-table shuffle + bounded marginal folds
           "ml_kappa" -> 4,
           // target agg broadcast + one window sort
-          "op_cusum" -> 3)) {
+          "op_cusum" -> 3,
+          // two generation writes + merged-footer read + agg
+          "op_schema_evolution" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
