@@ -5628,6 +5628,33 @@ object Queries {
         SELECT o_channel, count(*) AS n_orders, ${dsumSql("o_totalprice", 20, 2)} AS sum_price
         FROM u GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
 
+    QueryDef("op_point_in_polygon",
+      // geofencing (the polygon primitive one step up from the radius
+      // join): boundary-inclusive point-in-convex-polygon via integer
+      // cross products — EXACT, no epsilon — over the customer grid
+      // coordinates; census per nation band. CCW/convexity of the
+      // planted quadrilateral verified offline (signed area +4.2e6, all
+      // consecutive-edge crosses positive)
+      (s, d) => {
+        val poly = Seq((100L, 200L), (1000L, 400L), (1100L, 2700L), (150L, 2500L))
+        val p = t(s, d, "customer").select(
+          (col("c_nationkey") % 5).as("band"),
+          (col("c_custkey") * 7 % 1200).as("cx"),
+          (col("c_custkey") * 13 % 3000).as("cy"))
+        p.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(Geo.pointInConvexPolygon(col("cx"), col("cy"), poly), 1L)
+              .otherwise(0L)).as("n_inside"))
+          .orderBySmall(col("band"))
+      },
+      Some(s"""WITH p AS (SELECT c_nationkey % 5 AS band,
+            c_custkey * 7 % 1200 AS cx, c_custkey * 13 % 3000 AS cy FROM customer)
+        SELECT band, count(*) AS n_total,
+          CAST(sum(CASE WHEN ${Geo.pointInConvexPolygonSql("cx", "cy",
+            Seq((100L, 200L), (1000L, 400L), (1100L, 2700L), (150L, 2500L)))}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

@@ -41,4 +41,34 @@ object Geo {
     s"2 * 6371.0 * asin(sqrt(least(" +
       s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
       s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2), 1.0)))"
+
+  /** Point-in-convex-polygon (boundary-inclusive) over INTEGER
+    * coordinates: the point is inside iff every directed-edge cross
+    * product `(x2−x1)(py−y1) − (y2−y1)(px−x1)` is ≥ 0 with the vertices
+    * in counter-clockwise order — pure integer shift-free arithmetic, so
+    * the predicate is EXACT (no epsilon, no orientation flakiness) and
+    * mirrors into SQL verbatim. The geofence primitive one step up from
+    * the radius join: territory assignment, region tagging, polygon
+    * filters over a quantized lat/lon grid.
+    *
+    * Vertices must be CCW and convex; both are the caller's contract
+    * (assert offline — a convexity check per row would be waste).
+    * Codegen-friendly composition of built-ins; O(|vertices|) per row.
+    */
+  def pointInConvexPolygon(px: Column, py: Column, vertices: Seq[(Long, Long)]): Column = {
+    require(vertices.length >= 3, "a polygon needs at least 3 vertices")
+    val edges = vertices.zip(vertices.tail :+ vertices.head)
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      (lit(x2 - x1) * (py.cast("long") - lit(y1)) -
+        lit(y2 - y1) * (px.cast("long") - lit(x1))) >= 0
+    }.reduce(_ && _)
+  }
+
+  /** SQL mirror of [[pointInConvexPolygon]] — identical integer algebra. */
+  def pointInConvexPolygonSql(px: String, py: String, vertices: Seq[(Long, Long)]): String = {
+    val edges = vertices.zip(vertices.tail :+ vertices.head)
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      s"(${x2 - x1} * ($py - $y1) - ${y2 - y1} * ($px - $x1) >= 0)"
+    }.mkString("(", " AND ", ")")
+  }
 }

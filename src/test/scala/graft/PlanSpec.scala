@@ -399,7 +399,9 @@ class PlanSpec extends SparkSpec {
           // target agg broadcast + one window sort
           "op_cusum" -> 3,
           // two generation writes + merged-footer read + agg
-          "op_schema_evolution" -> 5)) {
+          "op_schema_evolution" -> 5,
+          // one scan-side agg
+          "op_point_in_polygon" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -119,4 +119,29 @@ class RadiusRuleSpec extends SparkSpec {
     spark.experimental.extraOptimizations = prev
     assert(got == brute && brute.nonEmpty)
   }
+
+  test("pointInConvexPolygon: vertices and edge midpoints are inside (boundary-inclusive), outside points are not") {
+    import spark.implicits._
+    // unit-ish CCW square (0,0)(10,0)(10,10)(0,10)
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val pts = Seq(
+      (1L, 5L, 5L, true),    // interior
+      (2L, 0L, 0L, true),    // vertex on boundary
+      (3L, 5L, 0L, true),    // edge midpoint
+      (4L, 10L, 10L, true),  // far vertex
+      (5L, 11L, 5L, false),  // just outside east
+      (6L, 5L, -1L, false),  // just outside south
+      (7L, -1L, -1L, false)) // outside corner diagonal
+      .toDF("id", "x", "y", "want")
+    val got = pts.select($"id", $"want",
+        Geo.pointInConvexPolygon($"x", $"y", sq).as("in"))
+      .as[(Long, Boolean, Boolean)].collect()
+    got.foreach { case (id, want, in) => assert(in === want, s"point $id") }
+    // triangle (odd vertex count) sanity
+    val tri = Seq((0L, 0L), (4L, 0L), (0L, 4L))
+    val g2 = Seq((1L, 1L, 1L), (2L, 3L, 3L)).toDF("id", "x", "y")
+      .select($"id", Geo.pointInConvexPolygon($"x", $"y", tri).as("in"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(g2(1L) && !g2(2L))
+  }
 }
