@@ -5655,6 +5655,33 @@ object Queries {
             THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
         FROM p GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("txt_rake",
+      // RAKE keyword extraction: stopword-free runs as candidate
+      // phrases, word score = deg·10⁶ div freq (integer millionths —
+      // phrase scores become exact integer SUMS), bounded top-100 head;
+      // the phrase-splitting regex is RE2-class and mirrors verbatim
+      (s, d) => TextAnalysis.rakeKeywords(t(s, d, "documents"), "text",
+        stopwords = Seq("a", "the"), topK = 100),
+      Some("""WITH pad AS (SELECT ' ' || text || ' ' AS t FROM documents),
+          p0 AS (SELECT unnest(string_split_regex(t, '(?:\s+(?:a|the))+\s+')) AS raw FROM pad),
+          p1 AS (SELECT trim(regexp_replace(raw, '\s+', ' ', 'g')) AS phrase FROM p0),
+          p2 AS (SELECT regexp_replace(regexp_replace(phrase,
+              '^(?:(?:a|the) )+', ''), '( (?:a|the))+$', '') AS phrase
+            FROM p1 WHERE len(phrase) > 0),
+          inst AS (SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words
+            FROM p2 WHERE len(phrase) > 0),
+          words AS (SELECT unnest(string_split(phrase, ' ')) AS w, n_words FROM inst),
+          ws AS (SELECT w, CAST(sum(n_words) * 1000000 // count(*) AS BIGINT) AS sm
+            FROM words GROUP BY 1),
+          dp AS (SELECT phrase, max(n_words) AS n_words, count(*) AS n_occ
+            FROM inst GROUP BY 1),
+          pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp),
+          sc AS (SELECT pw.phrase, CAST(sum(ws.sm) AS BIGINT) AS score_micro
+            FROM pw JOIN ws USING (w) GROUP BY 1)
+        SELECT dp.phrase, dp.n_words, dp.n_occ, sc.score_micro
+        FROM dp JOIN sc USING (phrase)
+        ORDER BY score_micro DESC, phrase LIMIT 100""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

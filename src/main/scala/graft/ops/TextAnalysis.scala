@@ -71,6 +71,67 @@ object TextAnalysis {
         col("sum_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) — deg = Σ phrase-length over the word's phrase
+    * occurrences, freq = its occurrence count (both exact integers,
+    * counted WITH multiplicity over all phrase instances, per the
+    * paper) — and a phrase scores the sum of its words' scores. The
+    * division is quantized to integer millionths (`deg·10⁶ div freq`,
+    * the floor(v·10⁶) float discipline) so phrase scores are exact
+    * integer SUMS — no float accumulation order anywhere.
+    *
+    * The phrase splitter is an RE2-class regex (no lookarounds — the
+    * oracle-portability contract): runs of stopwords between whitespace
+    * collapse into one delimiter; leading/trailing stopwords trim.
+    *
+    * Scale: two linear explode passes + one vocabulary-sized word-score
+    * join (unhinted, the [[bigramLmScore]] posture) + a TakeOrdered
+    * head. Output: (phrase, n_words, n_occ, score_micro) top-k.
+    */
+  def rakeKeywords(docs: DataFrame, textCol: String, stopwords: Seq[String],
+                   topK: Int = 100): DataFrame = {
+    require(stopwords.nonEmpty)
+    // plain alternation (no \Q quoting) so the IDENTICAL pattern string
+    // mirrors into the RE2 oracle — hence the word-char restriction
+    require(stopwords.forall(_.matches("[A-Za-z0-9]+")),
+      "stopwords must be plain word tokens (the regex mirrors into SQL verbatim)")
+    val sw = stopwords.mkString("|")
+    // split ONLY on stopword runs (whitespace-delimited, padded so edge
+    // stopwords form runs too), then tokenize each surviving piece
+    val splitPat = s"(?:\\s+(?:$sw))+\\s+"
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val phrases0 = docs
+      .select(explode(split(padded, splitPat)).as("_raw"))
+      .select(trim(regexp_replace(col("_raw"), "\\s+", " ")).as("phrase"))
+      .where(length(col("phrase")) > 0)
+    // a document that ENDS with a stopword leaves it attached to the last
+    // piece (no trailing delimiter to consume it): strip edge stopwords
+    val phrases = phrases0
+      .select(regexp_replace(regexp_replace(col("phrase"),
+        s"^(?:(?:$sw) )+", ""), s"( (?:$sw))+$$", "").as("phrase"))
+      .where(length(col("phrase")) > 0)
+    val inst = phrases.select(col("phrase"),
+      size(split(col("phrase"), " ")).cast("long").as("n_words"))
+    val words = inst.select(explode(split(col("phrase"), " ")).as("w"),
+      col("n_words"))
+    val wscore = words.groupBy(col("w"))
+      .agg(sum(col("n_words")).as("_deg"), count(lit(1)).as("_freq"))
+      .select(col("w").as("_sw_w"),
+        expr("(_deg * 1000000) div _freq").as("_score_micro"))
+    val distinctPhr = inst.groupBy(col("phrase"))
+      .agg(first(col("n_words")).as("n_words"), count(lit(1)).as("n_occ"))
+    distinctPhr
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("_pw"))
+      .join(wscore, col("_pw") === col("_sw_w"))
+      .groupBy(col("phrase"))
+      .agg(first(col("n_words")).as("n_words"), first(col("n_occ")).as("n_occ"),
+        sum(col("_score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Collocation mining (phrase extraction): rank corpus bigrams by
     * LIFT = p(a,b) / (p(a)·p(b)) — the association strength behind PMI
     * without the log (same ordering; the log is monotone) — with a

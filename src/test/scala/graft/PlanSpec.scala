@@ -401,7 +401,9 @@ class PlanSpec extends SparkSpec {
           // two generation writes + merged-footer read + agg
           "op_schema_evolution" -> 5,
           // one scan-side agg
-          "op_point_in_polygon" -> 2)) {
+          "op_point_in_polygon" -> 2,
+          // word-score agg + phrase join + TakeOrdered head
+          "txt_rake" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -629,4 +629,24 @@ class TextPipelineSpec extends SparkSpec {
         minSupport = 4L, topK = 10).as[(String, Long, Long, Long, Double)].collect()
     assert(cut.map(_._1).toSeq === Seq("w w"))
   }
+
+  test("rakeKeywords: hand-computed deg/freq scores, stopword-run splitting, edge stripping") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y the z"), (2L, "x the w w"), (3L, "the x a")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.rakeKeywords(docs, "text", Seq("a", "the"), topK = 10)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // phrases: "x y","z" | "x","w w" | "x"  (edge stopwords stripped)
+    // word stats (with multiplicity): x deg=2+1+1=4 freq=3 -> 1333333
+    //   y 2/1 -> 2000000 ; z 1/1 -> 1000000 ; w (2+2)/2 -> 2000000
+    assert(got("x y") === (("x y", 2L, 1L, 1333333L + 2000000L)))
+    assert(got("z") === (("z", 1L, 1L, 1000000L)))
+    assert(got("x") === (("x", 1L, 2L, 1333333L)))
+    assert(got("w w") === (("w w", 2L, 1L, 4000000L)))
+    assert(got.size === 4)
+    // consecutive stopword runs collapse: "p a a the q" -> phrases p, q
+    val runs = graft.ops.TextAnalysis.rakeKeywords(
+        Seq((1L, "p a a the q")).toDF("doc_id", "text"), "text", Seq("a", "the"), 10)
+      .as[(String, Long, Long, Long)].collect().map(_._1).toSet
+    assert(runs === Set("p", "q"))
+  }
 }
