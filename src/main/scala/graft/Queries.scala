@@ -3049,6 +3049,19 @@ object Queries {
       },
       Some(pageRankOracleSql(iters = 4, mod = 37))),
 
+    QueryDef("op_hits",
+      // HITS hubs & authorities on the op_pagerank 37-node multigraph —
+      // the second classic link-analysis fixed point (hub = endorses
+      // good authorities, authority = endorsed by good hubs), 3 unrolled
+      // double-rounds replayed exactly in integer CTEs
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
+        Analytics.hitsFixedPoint(edges, "src", "dst", iters = 3)
+          .orderBySmall(col("v"))
+      },
+      Some(hitsOracleSql(iters = 3, mod = 37))),
+
     QueryDef("dedup_ngram_jaccard",
       // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
       // generation (shingles in > maxDf docs never generate candidates —
@@ -5791,6 +5804,35 @@ object Queries {
       pr0 AS (SELECT v, CAST($scale // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn),
       $body
       SELECT v, pr FROM pr$iters ORDER BY v"""
+  }
+
+  /** Unrolled-CTE FIXED-POINT HITS mirror ([[pageRankOracleSql]]'s
+    * technique for the two-score recurrence): raw sums over edges, then
+    * `x · scale // Σx` integer normalization per half-round — bit-exact
+    * on non-negative longs in both engines.
+    */
+  def hitsOracleSql(iters: Int, mod: Int, scale: Long = 1000000L): String = {
+    require(iters >= 1)
+    val body = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS v, CAST(sum(h.h) AS BIGINT) AS x
+        FROM edges e JOIN h${k - 1} h ON h.v = e.src GROUP BY 1),
+      af$k AS (SELECT nodes.v, coalesce(ar$k.x, 0) AS x
+        FROM nodes LEFT JOIN ar$k ON ar$k.v = nodes.v),
+      as$k AS (SELECT CAST(sum(x) AS BIGINT) AS s FROM af$k),
+      a$k AS (SELECT v, CAST(x * $scale // s AS BIGINT) AS a FROM af$k CROSS JOIN as$k),
+      hr$k AS (SELECT e.src AS v, CAST(sum(a.a) AS BIGINT) AS x
+        FROM edges e JOIN a$k a ON a.v = e.dst GROUP BY 1),
+      hf$k AS (SELECT nodes.v, coalesce(hr$k.x, 0) AS x
+        FROM nodes LEFT JOIN hr$k ON hr$k.v = nodes.v),
+      hs$k AS (SELECT CAST(sum(x) AS BIGINT) AS s FROM hf$k),
+      h$k AS (SELECT v, CAST(x * $scale // s AS BIGINT) AS h FROM hf$k CROSS JOIN hs$k)"""
+    }.mkString(",\n      ")
+    s"""WITH edges AS (SELECT o_custkey % $mod AS src, o_orderkey % $mod AS dst FROM orders),
+      nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+      h0 AS (SELECT v, CAST($scale AS BIGINT) AS h FROM nodes),
+      $body
+      SELECT h$iters.v AS v, h$iters.h AS hub, a$iters.a AS authority
+      FROM h$iters JOIN a$iters ON h$iters.v = a$iters.v ORDER BY h$iters.v"""
   }
 
   /** The shingle→signature→band CTE chain shared by every minhash oracle —

@@ -1209,6 +1209,62 @@ object Analytics {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** HITS (Kleinberg hubs & authorities) as a FIXED-POINT iteration —
+    * the [[graft.ops.Dedup.pageRankFixedPoint]] discipline applied to the
+    * two-score recurrence: every value is a scaled long, per-round
+    * sum-normalization is `x · scale div Σx` (integer floor), so hub and
+    * authority scores are BIT-IDENTICAL across engines, partition orders,
+    * and replays — replayable in unrolled SQL CTEs. Multigraph semantics:
+    * parallel edges contribute once each (the natural weight).
+    *
+    * Overflow contract: a raw authority sum is ≤ E·scale and the
+    * normalization multiplies by scale again, so E·scale² must stay
+    * < 2⁶³ — the default scale 10⁶ is safe to ~9·10⁶ edges; drop scale
+    * as E grows (precision 1/scale is a RANKING tolerance, not a sum).
+    *
+    * Scale shape: per round, two edge-keyed aggregations (sort-merge,
+    * partial-combined), two 1-row scalar sums broadcast back, and a
+    * localCheckpoint to keep the plan flat (freed per round — the
+    * pageRank convention). Rounds are driver-controlled; no data ever
+    * collects to the driver.
+    */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    require(nodes.count() > 0, "hitsFixedPoint: empty edge set")
+    def normalized(full: DataFrame, c: String, out: String): DataFrame = {
+      val s = full.agg(sum(col(c)).as("_s"))
+      full.crossJoin(broadcast(s))
+        .select(col("v"), expr(s"$c * ${scale}L div _s").as(out))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("v"), lit(scale).as("h")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.select(col("v").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("_a"))
+      val aFull = nodes.join(aRaw.select(col("dst").as("v"), col("_a")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("_a"), lit(0L)).as("_a"))
+      val aNorm = normalized(aFull, "_a", "a")
+      val hRaw = e.join(aNorm.select(col("v").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("_h"))
+      val hFull = nodes.join(hRaw.select(col("src").as("v"), col("_h")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("_h"), lit(0L)).as("_h"))
+      val hNorm = normalized(hFull, "_h", "h")
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(hub)
+      if (auth != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(auth)
+      hub = hNorm; auth = aNorm
+    }
+    val out = hub.join(auth, "v")
+      .select(col("v"), col("h").as("hub"), col("a").as("authority"))
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
+    out
+  }
+
   /** CUSUM change-point detection (one-sided upper), exactly, in ONE
     * window pass: the textbook recursion s_k = max(0, s_{k−1} + dev_k) is
     * not window-expressible, but it equals `S_k − min_{j≤k} S_j` for

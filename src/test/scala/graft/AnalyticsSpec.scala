@@ -447,4 +447,24 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
     assert(g3._5 === 0L && g3._6 === None)
   }
+
+  test("hitsFixedPoint: pure hubs and authorities separate exactly; better-endorsed authority ranks higher") {
+    import spark.implicits._
+    // 0 and 4 are pure hubs; 1,2,3 pure authorities; authority 1 is
+    // endorsed by BOTH hubs, 2 and 3 by one each
+    val e = Seq((0L,1L),(0L,2L),(4L,1L),(4L,3L)).toDF("s", "t")
+    val got = Analytics.hitsFixedPoint(e, "s", "t", iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // pure authorities never act as hubs and vice versa
+    assert(got(1L)._1 === 0L && got(2L)._1 === 0L && got(3L)._1 === 0L)
+    assert(got(0L)._2 === 0L && got(4L)._2 === 0L)
+    // doubly-endorsed authority strictly dominates singles; singles tie
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 === got(3L)._2)
+    // symmetric hubs tie
+    assert(got(0L)._1 === got(4L)._1 && got(0L)._1 > 0L)
+    // determinism across partition layouts
+    val again = Analytics.hitsFixedPoint(e.repartition(5), "s", "t", iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === got)
+  }
 }

@@ -403,7 +403,10 @@ class PlanSpec extends SparkSpec {
           // one scan-side agg
           "op_point_in_polygon" -> 2,
           // word-score agg + phrase join + TakeOrdered head
-          "txt_rake" -> 3)) {
+          "txt_rake" -> 3,
+          // iterative (23 measured: setup + 3 rounds × 2 normalized
+          // checkpoints + final join) — the op_pagerank regime
+          "op_hits" -> 25)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
