@@ -1776,6 +1776,39 @@ object Queries {
         SELECT c_custkey, gx, gy, ${Layout.zValueSql("gx", "gy", bits = 8)} AS zval
         FROM g ORDER BY c_custkey""")),
 
+    QueryDef("op_zorder_pruned",
+      // the READ half of the Z-order story (op_zorder computes the key;
+      // this key proves the LAYOUT pays): write the customer grid
+      // clustered by Morton z-value — repartitionByRange on z puts
+      // disjoint z-ranges in separate files, sorted within — then read
+      // back with a 2-D box predicate; both dimension filters push to
+      // the parquet scan (PushedFilters pinned in PlanSpec) where file/
+      // row-group min-max stats skip non-overlapping z-runs. The oracle
+      // replays the box over the source table, so clustering must be
+      // value-preserving
+      (s, d) => {
+        val dir = scratchDir("zord", d)
+        val pts = custPoints(s, d).select(col("c_custkey"),
+          Layout.scaleToGrid(col("lat"), -60.0, 60.0, bits = 8).as("gx"),
+          Layout.scaleToGrid(col("lon"), -150.0, 150.0, bits = 8).as("gy"))
+        Layout.writeZOrdered(pts, dir, col("gx"), col("gy"), bits = 8, numFiles = 8)
+        s.read.parquet(dir)
+          .where(col("gx").between(64, 127) && col("gy").between(32, 95))
+          .agg(count(lit(1)).as("n_inside"),
+            sum(col("c_custkey")).as("sum_key"),
+            min(col("gx")).as("min_gx"), max(col("gy")).as("max_gy"))
+          .orderBySmall(col("n_inside"))
+      },
+      Some(s"""WITH p AS ($custPointsSql),
+          g AS (SELECT c_custkey,
+            CAST(floor((lat - -60.0) / 120.0 * 255.0) AS BIGINT) AS gx,
+            CAST(floor((lon - -150.0) / 300.0 * 255.0) AS BIGINT) AS gy
+          FROM p)
+        SELECT count(*) AS n_inside, CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+          min(gx) AS min_gx, max(gy) AS max_gy
+        FROM g WHERE gx BETWEEN 64 AND 127 AND gy BETWEEN 32 AND 95
+        ORDER BY n_inside""")),
+
     QueryDef("op_bucketed_join",
       // bucketed co-located join: BOTH sides land bucketed+sorted on the
       // join key (Layout.writeBucketed), so the join itself plans NO

@@ -176,6 +176,17 @@ class PlanSpec extends SparkSpec {
       s"op_salted_join lineitem scan not pruned:\n$sj")
   }
 
+  test("op_zorder_pruned: both box dimensions push to the clustered parquet scan") {
+    val p = plan("op_zorder_pruned")
+    // the 2-D box must reach the scan as PushedFilters on gx AND gy —
+    // that is what lets min/max stats skip z-runs; a residual-only
+    // filter would read every file and the layout buys nothing
+    assert(p.contains("PushedFilters:") &&
+      "PushedFilters: \\[[^\\]]*gx".r.findFirstIn(p).isDefined &&
+      "PushedFilters: \\[[^\\]]*gy".r.findFirstIn(p).isDefined,
+      s"box predicates did not push to the z-ordered scan:\n$p")
+  }
+
   test("q7_nation_volume: growing tables sort-merge, both nation dims broadcast, no product") {
     val p = plan("q7_nation_volume")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
@@ -406,7 +417,9 @@ class PlanSpec extends SparkSpec {
           "txt_rake" -> 3,
           // iterative (23 measured: setup + 3 rounds × 2 normalized
           // checkpoints + final join) — the op_pagerank regime
-          "op_hits" -> 25)) {
+          "op_hits" -> 25,
+          // clustered write (range sampling + write) + pruned read agg
+          "op_zorder_pruned" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
