@@ -3095,6 +3095,31 @@ object Queries {
       },
       Some(hitsOracleSql(iters = 3, mod = 37))),
 
+    QueryDef("op_k_anonymity",
+      // k-anonymity / l-diversity audit (the release gate that pairs
+      // with op_acid_delete's GDPR path): QI = (nation, segment,
+      // balance band), sensitive = a derived category; census of
+      // group-size bands + groups failing 2-diversity
+      (s, d) => Analytics.kAnonymityAudit(
+          t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+            (col("c_custkey") % 7).as("sensitive")),
+          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")),
+          col("sensitive"), lMin = 2)
+        .orderBySmall(col("band")),
+      Some("""WITH qi AS (SELECT c_nationkey, c_mktsegment,
+            CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+            c_custkey % 7 AS sensitive
+          FROM customer),
+        g AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz,
+            count(DISTINCT sensitive) AS ldiv FROM qi GROUP BY 1, 2, 3)
+        SELECT CASE WHEN sz = 1 THEN '1' WHEN sz < 5 THEN '2-4'
+            WHEN sz < 10 THEN '5-9' ELSE '10+' END AS band,
+          count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN sz >= 2 AND ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_low_diversity
+        FROM g GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("dedup_ngram_jaccard",
       // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
       // generation (shingles in > maxDf docs never generate candidates —

@@ -1209,6 +1209,34 @@ object Analytics {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** k-anonymity / l-diversity audit — the privacy gate before a dataset
+    * leaves the pipeline (pairs with the GDPR delete path): group rows by
+    * the quasi-identifier tuple, then census the group-size bands
+    * (singletons are re-identifiable; k<5 is the classic release
+    * threshold) and count the groups that fail l-diversity (≥2 members
+    * but fewer than `lMin` distinct sensitive values — attribute
+    * disclosure even when k holds). ONE corpus shuffle to the QI group
+    * table; the census is a bounded second fold. All counts exact
+    * integers. countDistinct per group is the honest cost — the group
+    * table is corpus-sized in the worst case but each group's distinct
+    * set is tiny.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[Column], sensitive: Column,
+                      lMin: Int = 2): DataFrame = {
+    require(qiCols.nonEmpty && lMin >= 2)
+    val g = df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("_sz"), countDistinct(sensitive).as("_ldiv"))
+    val band = when(col("_sz") === 1, "1")
+      .when(col("_sz") < 5, "2-4")
+      .when(col("_sz") < 10, "5-9")
+      .otherwise("10+")
+    g.groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("_sz")).as("n_rows"),
+        sum(when(col("_sz") >= 2 && col("_ldiv") < lMin, 1L).otherwise(0L))
+          .as("n_low_diversity"))
+  }
+
   /** HITS (Kleinberg hubs & authorities) as a FIXED-POINT iteration —
     * the [[graft.ops.Dedup.pageRankFixedPoint]] discipline applied to the
     * two-score recurrence: every value is a scaled long, per-round

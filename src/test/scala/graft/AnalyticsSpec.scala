@@ -467,4 +467,21 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again === got)
   }
+
+  test("kAnonymityAudit: hand-built groups land in the right bands; l-diversity catches uniform-sensitive groups") {
+    import spark.implicits._
+    // QI (q): group a -> 1 row; b -> 3 rows all sensitive=X (k ok at 2-4,
+    // fails 2-diversity); c -> 3 rows with 2 distinct sensitives (passes);
+    // d -> 12 rows alternating sensitives
+    val rows = Seq(("a", "X")) ++
+      Seq.fill(3)(("b", "X")) ++
+      Seq(("c", "X"), ("c", "Y"), ("c", "X")) ++
+      (0 until 12).map(i => ("d", if (i % 2 == 0) "X" else "Y"))
+    val got = Analytics.kAnonymityAudit(rows.toDF("q", "sv"), Seq(col("q")), col("sv"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("1") === (("1", 1L, 1L, 0L)))
+    assert(got("2-4") === (("2-4", 2L, 6L, 1L)), "only group b fails 2-diversity")
+    assert(got("10+") === (("10+", 1L, 12L, 0L)))
+    assert(!got.contains("5-9"))
+  }
 }

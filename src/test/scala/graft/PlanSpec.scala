@@ -419,7 +419,9 @@ class PlanSpec extends SparkSpec {
           // checkpoints + final join) — the op_pagerank regime
           "op_hits" -> 25,
           // clustered write (range sampling + write) + pruned read agg
-          "op_zorder_pruned" -> 5)) {
+          "op_zorder_pruned" -> 5,
+          // one QI-group shuffle + bounded census fold
+          "op_k_anonymity" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
