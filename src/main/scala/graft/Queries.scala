@@ -5753,6 +5753,42 @@ object Queries {
         FROM dp JOIN sc USING (phrase)
         ORDER BY score_micro DESC, phrase LIMIT 100""")),
 
+    QueryDef("ml_hard_negatives",
+      // contrastive-training triplet mining: per query, the best-ranked
+      // same-label neighbor (positive) and best-ranked different-label
+      // neighbor (hard negative) from the exact top-10 shortlist — each
+      // one conditional min(struct) agg, NULL when the class is absent
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.hardNegatives(e.where(col("vec_id") % 10 === 0), e,
+            "vec_id", "embedding", "label", 10)
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+            FROM embeddings WHERE vec_id % 10 = 0),
+          s AS (SELECT qid, qlab, vec_id AS nid, label AS nlab,
+            list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+             sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS sim
+            FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+          r AS (SELECT qid, qlab, nid, nlab,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM s QUALIFY rnk <= 10),
+          pos AS (SELECT qid, rnk, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY rnk) AS rr
+            FROM r WHERE nlab = qlab),
+          neg AS (SELECT qid, rnk, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY rnk) AS rr
+            FROM r WHERE nlab <> qlab),
+          qq AS (SELECT DISTINCT qid FROM r)
+        SELECT qq.qid AS query_id,
+          CAST(pos.rnk AS INTEGER) AS pos_rank, pos.nid AS pos_id,
+          CAST(neg.rnk AS INTEGER) AS neg_rank, neg.nid AS neg_id
+        FROM qq
+        LEFT JOIN pos ON pos.qid = qq.qid AND pos.rr = 1
+        LEFT JOIN neg ON neg.qid = qq.qid AND neg.rr = 1
+        ORDER BY query_id""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

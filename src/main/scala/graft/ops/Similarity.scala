@@ -532,6 +532,33 @@ object Similarity {
     * contract inherited from [[bruteForceTopK]]; swap the first stage for
     * [[ivfTopK]]/[[pqAdcTopK]] shortlists when |Q| is corpus-scale.
     */
+  /** Hard-negative mining for contrastive/retrieval training: from each
+    * query's exact top-k shortlist, the best-ranked SAME-label neighbor
+    * (the positive) and the best-ranked DIFFERENT-label neighbor (the
+    * hard negative — the near-miss that carries the gradient). Each pick
+    * is one `min(struct(rank, id))` conditional aggregate — no window,
+    * NULL when the shortlist has no member of that class (mine deeper k
+    * or fall back to random negatives downstream).
+    * Output: (query_id, pos_rank, pos_id, neg_rank, neg_id).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val lab = corpus.select(col(idCol).as("_nid"), col(labelCol).as("_nlab"))
+    val qlab = queries.select(col(idCol).as("_qid"), col(labelCol).as("_qlab"))
+    topk.join(lab.hint("merge"), col("neighbor_id") === col("_nid"))
+      .join(qlab.hint("merge"), col("query_id") === col("_qid"))
+      .groupBy(col("query_id"))
+      .agg(
+        min(when(col("_nlab") === col("_qlab"),
+          struct(col("rank").as("r"), col("neighbor_id").as("id")))).as("_p"),
+        min(when(col("_nlab") =!= col("_qlab"),
+          struct(col("rank").as("r"), col("neighbor_id").as("id")))).as("_n"))
+      .select(col("query_id"),
+        col("_p.r").as("pos_rank"), col("_p.id").as("pos_id"),
+        col("_n.r").as("neg_rank"), col("_n.id").as("neg_id"))
+  }
+
   def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int): DataFrame = {
     val topk = bruteForceTopK(queries, corpus, idCol, vecCol, k)

@@ -421,7 +421,9 @@ class PlanSpec extends SparkSpec {
           // clustered write (range sampling + write) + pruned read agg
           "op_zorder_pruned" -> 5,
           // one QI-group shuffle + bounded census fold
-          "op_k_anonymity" -> 2)) {
+          "op_k_anonymity" -> 2,
+          // topk scan + two label joins + conditional-min agg
+          "ml_hard_negatives" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

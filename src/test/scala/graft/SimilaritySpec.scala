@@ -348,4 +348,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(tied.toSeq === Seq((100L, 3, 2L)), "2-2 tie breaks to the smallest label")
   }
+
+  test("hardNegatives: positive is nearest same-label, negative nearest other-label; absent class -> NULL") {
+    import spark.implicits._
+    def v(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    // query 100 at (1,0), label 7; corpus: 1 (label 7) closest, 2 (label 3)
+    // second, 3 (label 7) third; an all-7 corpus gives NULL negative
+    val corpus = Seq(
+      (1L, v(1f, 0.01f), 7), (2L, v(1f, 0.1f), 3), (3L, v(1f, 0.2f), 7),
+      (100L, v(1f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hardNegatives(
+        corpus.where($"vec_id" === 100), corpus, "vec_id", "embedding", "label", 3)
+      .as[(Long, Option[Int], Option[Long], Option[Int], Option[Long])].collect().head
+    assert(got === ((100L, Some(1), Some(1L), Some(2), Some(2L))))
+    val onlyPos = graft.ops.Similarity.hardNegatives(
+        corpus.where($"vec_id" === 100),
+        corpus.where($"label" === 7), "vec_id", "embedding", "label", 3)
+      .as[(Long, Option[Int], Option[Long], Option[Int], Option[Long])].collect().head
+    assert(onlyPos._2 === Some(1) && onlyPos._4 === None && onlyPos._5 === None)
+  }
 }
