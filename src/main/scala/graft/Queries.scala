@@ -5789,6 +5789,24 @@ object Queries {
         LEFT JOIN neg ON neg.qid = qq.qid AND neg.rr = 1
         ORDER BY query_id""")),
 
+    QueryDef("op_twap",
+      // time-weighted average over the irregular event series (the mean
+      // a plain avg() gets wrong off a regular grid): per type, each
+      // value holds until the next event — exact µs durations weight
+      // milli-scaled values in DECIMAL, one final division
+      (s, d) => Analytics.timeWeightedAvg(eventsUs(s, d), col("event_type"),
+          col("ts_us"), col("event_id"), floor(col("value") * 1000).cast("long"))
+        .orderBySmall(col("key")),
+      Some("""WITH ev AS (SELECT event_type AS key, epoch_us(ts) AS ts_us, event_id,
+            CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+          w AS (SELECT key, v,
+              lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us, event_id) - ts_us AS dur
+            FROM ev)
+        SELECT key, count(*) AS n_intervals, CAST(sum(dur) AS BIGINT) AS total_dur_us,
+          CAST(sum(CAST(v AS DECIMAL(18,0)) * CAST(dur AS DECIMAL(18,0))) AS DOUBLE) /
+            CAST(sum(dur) AS DOUBLE) AS twap_milli
+        FROM w WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

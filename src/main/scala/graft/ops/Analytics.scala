@@ -1209,6 +1209,30 @@ object Analytics {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Time-weighted average (TWAP) over an IRREGULAR series: each
+    * observation holds until the next one, so its weight is the exact
+    * integer-µs duration to the successor (one lead window per key; the
+    * final observation has no holding interval and drops — the standard
+    * convention). The weighted sum is DECIMAL (milli-scaled values ×
+    * µs durations — order-independent), and TWAP itself is one final
+    * IEEE division. The mean a plain avg() gets WRONG whenever sampling
+    * is irregular — sensor data, prices, any event stream.
+    * Output per key: n_intervals, total_dur_us, twap.
+    */
+  def timeWeightedAvg(df: DataFrame, key: Column, tsUs: Column, tiebreak: Column,
+                      valueMilli: Column): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("_ts"), col("_rk"))
+    df.select(key.as("key"), tsUs.cast("long").as("_ts"), tiebreak.as("_rk"),
+        valueMilli.cast("long").as("_v"))
+      .withColumn("_dur", lead(col("_ts"), 1).over(w) - col("_ts"))
+      .where(col("_dur").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_dur")).as("total_dur_us"),
+        (sum(col("_v").cast("decimal(18,0)") * col("_dur").cast("decimal(18,0)"))
+          .cast("double") / sum(col("_dur")).cast("double")).as("twap_milli"))
+  }
+
   /** k-anonymity / l-diversity audit — the privacy gate before a dataset
     * leaves the pipeline (pairs with the GDPR delete path): group rows by
     * the quasi-identifier tuple, then census the group-size bands

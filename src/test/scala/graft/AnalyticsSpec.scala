@@ -484,4 +484,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("10+") === (("10+", 1L, 12L, 0L)))
     assert(!got.contains("5-9"))
   }
+
+  test("timeWeightedAvg: durations weight values exactly; last observation drops; != plain avg on irregular series") {
+    import spark.implicits._
+    // value 10 held 1us, value 100 held 9us, value 0 terminal (drops):
+    // TWAP = (10*1 + 100*9) / 10 = 91.0; plain avg of {10,100,0} = 36.67
+    val ev = Seq(("k", 0L, 1L, 10L), ("k", 1L, 2L, 100L), ("k", 10L, 3L, 0L))
+      .toDF("et", "ts", "id", "v")
+    val got = Analytics.timeWeightedAvg(ev, col("et"), col("ts"), col("id"), col("v"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got === (("k", 2L, 10L, 91.0)))
+    // ts tie broken by the stable id: (5,id=1,v=2) precedes (5,id=2,v=4)
+    // so v=2 holds 0us and v=4 holds 5us -> TWAP 4.0
+    val tie = Seq(("t", 5L, 1L, 2L), ("t", 5L, 2L, 4L), ("t", 10L, 3L, 9L))
+      .toDF("et", "ts", "id", "v")
+    val g2 = Analytics.timeWeightedAvg(tie, col("et"), col("ts"), col("id"), col("v"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(g2 === (("t", 2L, 5L, 4.0)))
+    // single observation: no interval, no output row
+    val single = Seq(("s", 0L, 1L, 7L)).toDF("et", "ts", "id", "v")
+    assert(Analytics.timeWeightedAvg(single, col("et"), col("ts"), col("id"), col("v")).count() === 0L)
+  }
 }

@@ -423,7 +423,9 @@ class PlanSpec extends SparkSpec {
           // one QI-group shuffle + bounded census fold
           "op_k_anonymity" -> 2,
           // topk scan + two label joins + conditional-min agg
-          "ml_hard_negatives" -> 4)) {
+          "ml_hard_negatives" -> 4,
+          // one key-window pass + bounded agg
+          "op_twap" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
