@@ -5807,6 +5807,40 @@ object Queries {
             CAST(sum(dur) AS DOUBLE) AS twap_milli
         FROM w WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("emb_centroid_drift",
+      // embedding-distribution drift monitor: per label, cosine between
+      // even/odd-cohort centroid directions in QUANTIZED space — int8
+      // per-dim sums are exact integers (cosine of sums == cosine of
+      // means), DECIMAL products, ONE final float expression
+      (s, d) => Similarity.centroidDrift(t(s, d, "embeddings"), "vec_id",
+          "embedding", "label", pmod(col("vec_id"), lit(2)))
+        .orderBySmall(col("label")),
+      Some("""WITH qz AS (SELECT vec_id, label, vec_id % 2 AS coh,
+            CASE WHEN m = 0 THEN [0 FOR x IN embedding]
+              ELSE [CAST(floor(CAST(x AS DOUBLE)/m*127 + 0.5) AS INTEGER) FOR x IN embedding]
+            END AS q
+          FROM (SELECT vec_id, label, embedding,
+              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+            FROM embeddings)),
+          cells AS (SELECT label, coh,
+              unnest(generate_series(1, len(q))) - 1 AS pos, unnest(q) AS v FROM qz),
+          sums AS (SELECT label, coh, pos, CAST(sum(v) AS BIGINT) AS s
+            FROM cells GROUP BY 1, 2, 3),
+          j AS (SELECT a.label,
+              sum(CAST(a.s AS DECIMAL(18,0)) * CAST(b.s AS DECIMAL(18,0))) AS num,
+              sum(CAST(a.s AS DECIMAL(18,0)) * CAST(a.s AS DECIMAL(18,0))) AS na2,
+              sum(CAST(b.s AS DECIMAL(18,0)) * CAST(b.s AS DECIMAL(18,0))) AS nb2
+            FROM sums a JOIN sums b ON a.label = b.label AND a.pos = b.pos
+            WHERE a.coh = 0 AND b.coh = 1 GROUP BY 1),
+          cnt AS (SELECT label,
+              CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM embeddings GROUP BY 1)
+        SELECT cnt.label AS label, n_a, n_b,
+          CAST(num AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+            AS drift_cos
+        FROM cnt JOIN j ON cnt.label = j.label ORDER BY cnt.label""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

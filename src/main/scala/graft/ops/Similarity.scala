@@ -532,6 +532,48 @@ object Similarity {
     * contract inherited from [[bruteForceTopK]]; swap the first stage for
     * [[ivfTopK]]/[[pqAdcTopK]] shortlists when |Q| is corpus-scale.
     */
+  /** Embedding-distribution drift between two cohorts (model/data
+    * monitoring: did this week's embeddings move?): per label, the cosine
+    * between the two cohorts' centroid directions, computed ENTIRELY in
+    * exact integers until one final float expression — embeddings first
+    * quantize ([[quantizeInt8]]), per-dimension int sums accumulate per
+    * (label, cohort) — cosine of the SUM vector equals cosine of the mean
+    * (scale invariance), so no division happens before the final formula.
+    * This is drift in QUANTIZED space: a deterministic, hash-portable
+    * monitor (the float-centroid form would be partition-order noise).
+    *
+    * Scale: one posexplode aggregation (corpus → |labels|·2·d cells,
+    * map-side combined); everything after runs on the bounded cell table.
+    * DECIMAL products guard the Σ s_a·s_b terms past 2⁶³ at corpus n.
+    */
+  def centroidDrift(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, cohortB: Column): DataFrame = {
+    val lab = corpus.select(col(idCol).as("_lid"), col(labelCol).as("label"),
+      cohortB.cast("int").as("_coh"))
+    val cells = quantizeInt8(corpus, idCol, vecCol)
+      .join(lab.hint("merge"), col(idCol) === col("_lid"))
+      .select(col("label"), col("_coh"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("_coh"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+    val a = cells.where(col("_coh") === 0)
+      .select(col("label"), col("pos"), col("s").as("sa"))
+    val b = cells.where(col("_coh") === 1)
+      .select(col("label").as("_lb"), col("pos").as("_pb"), col("s").as("sb"))
+    val sums = a.join(b, col("label") === col("_lb") && col("pos") === col("_pb"))
+      .groupBy(col("label"))
+      .agg(sum(col("sa").cast("decimal(18,0)") * col("sb").cast("decimal(18,0)")).as("_num"),
+        sum(col("sa").cast("decimal(18,0)") * col("sa").cast("decimal(18,0)")).as("_na2"),
+        sum(col("sb").cast("decimal(18,0)") * col("sb").cast("decimal(18,0)")).as("_nb2"))
+    val counts = lab.groupBy(col("label"))
+      .agg(sum(when(col("_coh") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_coh") === 1, 1L).otherwise(0L)).as("n_b"))
+    counts.join(sums, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("_num").cast("double") /
+          (sqrt(col("_na2").cast("double")) * sqrt(col("_nb2").cast("double"))))
+          .as("drift_cos"))
+  }
+
   /** Hard-negative mining for contrastive/retrieval training: from each
     * query's exact top-k shortlist, the best-ranked SAME-label neighbor
     * (the positive) and the best-ranked DIFFERENT-label neighbor (the

@@ -425,7 +425,9 @@ class PlanSpec extends SparkSpec {
           // topk scan + two label joins + conditional-min agg
           "ml_hard_negatives" -> 4,
           // one key-window pass + bounded agg
-          "op_twap" -> 2)) {
+          "op_twap" -> 2,
+          // one posexplode cell agg + bounded folds
+          "emb_centroid_drift" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -367,4 +367,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Option[Int], Option[Long], Option[Int], Option[Long])].collect().head
     assert(onlyPos._2 === Some(1) && onlyPos._4 === None && onlyPos._5 === None)
   }
+
+  test("centroidDrift: identical cohorts give cosine 1; orthogonal-axis cohorts give 0; partition invariant") {
+    import spark.implicits._
+    def v(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    // label 1: both cohorts on +x (drift 1); label 2: cohort A on +x, B on +y (drift 0)
+    val rows = Seq(
+      (0L, v(1f, 0f), 1), (1L, v(2f, 0f), 1), (2L, v(3f, 0f), 1), (3L, v(1f, 0f), 1),
+      (10L, v(1f, 0f), 2), (12L, v(2f, 0f), 2), (11L, v(0f, 1f), 2), (13L, v(0f, 3f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.centroidDrift(rows, "vec_id", "embedding", "label",
+        pmod(col("vec_id"), lit(2)))
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1) === ((1, 2L, 2L, 1.0)))
+    assert(got(2) === ((2, 2L, 2L, 0.0)))
+    val again = graft.ops.Similarity.centroidDrift(rows.repartition(7), "vec_id",
+        "embedding", "label", pmod(col("vec_id"), lit(2)))
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
 }
