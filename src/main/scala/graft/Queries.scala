@@ -3120,6 +3120,18 @@ object Queries {
             AS n_low_diversity
         FROM g GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_label_propagation",
+      // deterministic synchronous LPA communities on the op_pagerank
+      // 37-node multigraph (argmax votes, smallest-label ties — no
+      // randomized visit order), 3 unrolled rounds replayed in CTEs
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
+        Analytics.labelPropagation(edges, "src", "dst", rounds = 3)
+          .orderBySmall(col("v"))
+      },
+      Some(lpaOracleSql(rounds = 3, mod = 37))),
+
     QueryDef("dedup_ngram_jaccard",
       // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
       // generation (shingles in > maxDf docs never generate candidates —
@@ -5979,6 +5991,27 @@ object Queries {
       $body
       SELECT h$iters.v AS v, h$iters.h AS hub, a$iters.a AS authority
       FROM h$iters JOIN a$iters ON h$iters.v = a$iters.v ORDER BY h$iters.v"""
+  }
+
+  /** Unrolled-CTE deterministic LPA mirror: per round, neighbor-label
+    * votes then argmax by (count desc, label asc) via row_number — the
+    * same total order as the Spark side's max(struct(cnt, −label)).
+    */
+  def lpaOracleSql(rounds: Int, mod: Int): String = {
+    require(rounds >= 1)
+    val body = (1 to rounds).map { k =>
+      s"""v$k AS (SELECT e.src AS v, l.label, count(*) AS cnt
+        FROM sym e JOIN l${k - 1} l ON l.v = e.dst GROUP BY 1, 2),
+      l$k AS (SELECT v, label FROM (
+          SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rr
+          FROM v$k) WHERE rr = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH edges AS (SELECT o_custkey % $mod AS src, o_orderkey % $mod AS dst FROM orders),
+      sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+      nodes AS (SELECT DISTINCT src AS v FROM sym),
+      l0 AS (SELECT v, v AS label FROM nodes),
+      $body
+      SELECT v, label AS community FROM l$rounds ORDER BY v"""
   }
 
   /** The shingle→signature→band CTE chain shared by every minhash oracle —

@@ -1209,6 +1209,47 @@ object Analytics {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Synchronous label-propagation community detection (LPA), made
+    * DETERMINISTIC: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors with ties broken
+    * by the SMALLEST label (one max(struct(cnt, −label)) per node — no
+    * randomized visit order, so the result is replayable in unrolled SQL
+    * and invariant to partitioning). Edges are treated as undirected;
+    * parallel edges weight the vote (multigraph semantics). Fixed round
+    * count — LPA oscillates on bipartite structures, so callers pick
+    * rounds (≈ diameter) rather than waiting on a fixpoint.
+    *
+    * Scale: per round one edge-keyed label join + one (node, label)
+    * count aggregation + the per-node argmax — all sort-merge/partial-
+    * aggregable; per-round localCheckpoint keeps the plan flat (the
+    * pageRank convention). Output: (v, community).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("v")).distinct().localCheckpoint()
+    var lab = nodes.select(col("v"), col("v").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(lab.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("_cnt"))
+      val next = votes.groupBy(col("v"))
+        .agg(max(struct(col("_cnt").as("c"), (-col("label")).as("nl"),
+          col("label").as("l"))).as("_w"))
+        .select(col("v"), col("_w.l").as("label"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(lab)
+      lab = next
+    }
+    val out = lab.select(col("v"), col("label").as("community"))
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(sym)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
+    out
+  }
+
   /** Time-weighted average (TWAP) over an IRREGULAR series: each
     * observation holds until the next one, so its weight is the exact
     * integer-µs duration to the successor (one lead window per key; the

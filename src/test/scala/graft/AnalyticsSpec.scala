@@ -505,4 +505,21 @@ class AnalyticsSpec extends SparkSpec {
     val single = Seq(("s", 0L, 1L, 7L)).toDF("et", "ts", "id", "v")
     assert(Analytics.timeWeightedAvg(single, col("et"), col("ts"), col("id"), col("v")).count() === 0L)
   }
+
+  test("labelPropagation: two cliques joined by a bridge resolve to min-id communities; deterministic across layouts") {
+    import spark.implicits._
+    // two DISCONNECTED K4s: no cross-community influence, so each clique
+    // converges to one label and the two communities stay distinct
+    val k1 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val k2 = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val e = (k1 ++ k2).toDF("s", "t")
+    val got = Analytics.labelPropagation(e, "s", "t", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L, 3L).map(got).size === 1, "left clique unifies")
+    assert(Set(10L, 11L, 12L, 13L).map(got).size === 1, "right clique unifies")
+    assert(got(0L) !== got(10L), "disconnected components never merge")
+    val again = Analytics.labelPropagation(e.repartition(5), "s", "t", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
 }

@@ -427,7 +427,9 @@ class PlanSpec extends SparkSpec {
           // one key-window pass + bounded agg
           "op_twap" -> 2,
           // one posexplode cell agg + bounded folds
-          "emb_centroid_drift" -> 3)) {
+          "emb_centroid_drift" -> 3,
+          // iterative (10 measured: setup + 3 rounds × checkpoint)
+          "op_label_propagation" -> 12)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
