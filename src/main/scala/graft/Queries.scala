@@ -3132,6 +3132,42 @@ object Queries {
       },
       Some(lpaOracleSql(rounds = 3, mod = 37))),
 
+    QueryDef("op_anonymize",
+      // k-suppression applied (the op_k_anonymity audit's enforcement
+      // half): rows in QI groups smaller than 5 are suppressed; the
+      // result pins the invariant directly — every surviving group ≥ 5
+      // (min_kept_group_size is IN the output)
+      (s, d) => {
+        val base = t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+        val sup = Analytics.kSuppress(base,
+          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")), k = 5)
+        val keptGroups = sup.where(!col("_suppress"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+          .agg(count(lit(1)).as("_sz"))
+          .agg(count(lit(1)).as("n_kept_groups"), min(col("_sz")).as("min_kept_group_size"))
+        sup.agg(count(lit(1)).as("n_total"),
+            sum(when(col("_suppress"), 1L).otherwise(0L)).as("n_suppressed"))
+          .crossJoin(broadcast(keptGroups))
+          .orderBySmall(col("n_total"))
+      },
+      Some("""WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+            CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band FROM customer),
+          g AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
+            FROM qi GROUP BY 1, 2, 3),
+          tagged AS (SELECT qi.*, g.sz < 5 AS suppress FROM qi
+            JOIN g USING (c_nationkey, c_mktsegment, bal_band)),
+          kept AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
+            FROM tagged WHERE NOT suppress GROUP BY 1, 2, 3),
+          kg AS (SELECT count(*) AS n_kept_groups,
+            CAST(min(sz) AS BIGINT) AS min_kept_group_size FROM kept)
+        SELECT count(*) AS n_total,
+          CAST(sum(CASE WHEN suppress THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+          (SELECT n_kept_groups FROM kg) AS n_kept_groups,
+          (SELECT min_kept_group_size FROM kg) AS min_kept_group_size
+        FROM tagged ORDER BY n_total""")),
+
     QueryDef("dedup_ngram_jaccard",
       // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
       // generation (shingles in > maxDf docs never generate candidates —

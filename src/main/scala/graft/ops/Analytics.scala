@@ -1209,6 +1209,26 @@ object Analytics {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** k-suppression — the APPLIED half of [[kAnonymityAudit]]: rows whose
+    * quasi-identifier group has fewer than k members are suppressed
+    * (flagged; callers null the QI columns on the flag) so every
+    * surviving group is ≥ k by construction. Implemented as the group
+    * census joined back on the QI tuple (sort-merge — the group table is
+    * corpus-sized in the worst case), ONE extra shuffle over the audit.
+    * Returns the input plus `_suppress`.
+    */
+  def kSuppress(df: DataFrame, qiCols: Seq[Column], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2)
+    val names = qiCols.indices.map(i => s"_qi$i")
+    val tagged = df.select(col("*") +: qiCols.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val small = tagged.groupBy(names.map(col): _*).agg(count(lit(1)).as("_sz"))
+      .where(col("_sz") < k)
+      .select(names.map(col) :+ lit(true).as("_suppress"): _*)
+    tagged.join(small.hint("merge"), names, "left")
+      .withColumn("_suppress", coalesce(col("_suppress"), lit(false)))
+      .drop(names: _*)
+  }
+
   /** Synchronous label-propagation community detection (LPA), made
     * DETERMINISTIC: labels start as node ids; each round every node
     * adopts the most frequent label among its neighbors with ties broken

@@ -522,4 +522,17 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again === got)
   }
+
+  test("kSuppress: exactly the under-k groups flag; survivors all >= k; non-QI columns untouched") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)("big") ++ Seq.fill(2)("small") ++ Seq("single"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    val got = Analytics.kSuppress(rows, Seq(col("grp")), k = 3)
+      .as[(Long, String, Boolean)].collect()
+    val byGrp = got.groupBy(_._2)
+    assert(byGrp("big").forall(!_._3) && byGrp("big").length === 5)
+    assert(byGrp("small").forall(_._3) && byGrp("single").forall(_._3))
+    // ids survive the round trip untouched
+    assert(got.map(_._1).sorted.toSeq === (0L to 7L))
+  }
 }

@@ -429,7 +429,9 @@ class PlanSpec extends SparkSpec {
           // one posexplode cell agg + bounded folds
           "emb_centroid_drift" -> 3,
           // iterative (10 measured: setup + 3 rounds × checkpoint)
-          "op_label_propagation" -> 12)) {
+          "op_label_propagation" -> 12,
+          // census + suppress-join fold
+          "op_anonymize" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
