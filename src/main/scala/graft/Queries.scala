@@ -5889,6 +5889,36 @@ object Queries {
             AS drift_cos
         FROM cnt JOIN j ON cnt.label = j.label ORDER BY cnt.label""")),
 
+    QueryDef("mm_gif_meta",
+      // REAL GIF container parse (4th container format: PNG dims, WAV,
+      // MP4 boxes, EXIF — now the GIF block grammar): builder-constructed
+      // GIFs with analytic logical-screen dims, global-color-table size,
+      // and frame count recovered by the block walk
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 29 === 0).as[Long]
+        val gifs = ids.mapPartitions { it =>
+          it.map { id =>
+            (id, Multimodal.gifSampleBytes(
+              width = (id % 300).toInt + 1, height = (id % 200).toInt + 1,
+              frames = (id % 4).toInt + 1, gctBits = (id % 7).toInt + 1,
+              v89 = id % 2 == 0))
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.gifMeta(gifs, "vec_id")
+          .select(col("id").as("vec_id"), col("ok"), col("version"),
+            col("width"), col("height"), col("gct_entries"), col("n_frames"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, TRUE AS ok,
+          CASE WHEN vec_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+          CAST(vec_id % 300 + 1 AS INTEGER) AS width,
+          CAST(vec_id % 200 + 1 AS INTEGER) AS height,
+          CAST(1 << CAST(vec_id % 7 + 1 AS INTEGER) AS INTEGER) AS gct_entries,
+          CAST(vec_id % 4 + 1 AS INTEGER) AS n_frames
+        FROM embeddings WHERE vec_id % 29 = 0 ORDER BY vec_id""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

@@ -781,4 +781,105 @@ object Multimodal {
     w8(0xff); w8(0xd9) // EOI
     bb.toArray
   }
+
+  final case class GifMeta(id: Long, ok: Boolean, version: String, width: Int,
+                           height: Int, gct_entries: Int, n_frames: Int)
+
+  /** REAL GIF container-metadata parse (the fourth real container format
+    * after PNG/WAV/MP4/EXIF): signature + version, logical-screen width/
+    * height (little-endian u16), global-color-table size from the packed
+    * byte (2^(n+1) entries when the flag bit is set), and the FRAME COUNT
+    * by walking the public GIF89a block grammar — extensions (0x21:
+    * label + length-prefixed sub-blocks to a 0 terminator), image
+    * descriptors (0x2C: 9-byte header, optional local color table, LZW
+    * min-code byte, sub-blocks), trailer (0x3B). Pure byte arithmetic,
+    * partition-parallel, quarantine contract: malformed/truncated
+    * payloads flag ok=false with whatever parsed.
+    */
+  def gifMeta(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try gifMetaOne(id, bytes)
+          catch { case scala.util.control.NonFatal(_) => GifMeta(id, ok = false, "", 0, 0, 0, 0) }
+        }
+      }
+      .toDF()
+  }
+
+  private def gifMetaOne(id: Long, bytes: Array[Byte]): GifMeta = {
+    if (bytes == null || bytes.length < 13) return GifMeta(id, ok = false, "", 0, 0, 0, 0)
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!sig.startsWith("GIF") || (sig != "GIF87a" && sig != "GIF89a"))
+      return GifMeta(id, ok = false, "", 0, 0, 0, 0)
+    val version = sig.substring(3)
+    val w = le16(6); val h = le16(8)
+    val packed = u8(10)
+    val gct = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    var off = 13 + gct * 3
+    var frames = 0
+    var ok = true
+    var done = false
+    // skip a length-prefixed sub-block chain; returns offset past the 0
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < bytes.length && u8(o) != 0) o += 1 + u8(o)
+      if (o >= bytes.length) -1 else o + 1
+    }
+    while (ok && !done && off < bytes.length) {
+      u8(off) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          val next = skipSubBlocks(off + 2)
+          if (next < 0) ok = false else off = next
+        case 0x2c => // image descriptor
+          if (off + 10 > bytes.length) ok = false
+          else {
+            val ipacked = u8(off + 9)
+            val lct = if ((ipacked & 0x80) != 0) 1 << ((ipacked & 0x07) + 1) else 0
+            val dataStart = off + 10 + lct * 3 + 1 // + LZW min-code byte
+            if (dataStart > bytes.length) ok = false
+            else {
+              val next = skipSubBlocks(dataStart)
+              if (next < 0) ok = false else { frames += 1; off = next }
+            }
+          }
+        case _ => ok = false
+      }
+    }
+    GifMeta(id, ok = ok && done, version, w, h, gct, frames)
+  }
+
+  /** Minimal VALID GIF builder for construct-and-check oracles (the
+    * [[exifSampleBytes]] pattern): logical screen + optional global
+    * color table + `frames` image descriptors (each one pixel of LZW-ish
+    * filler in a single sub-block — enough for the block WALK; decoding
+    * pixels is out of scope) + trailer.
+    */
+  def gifSampleBytes(width: Int, height: Int, frames: Int, gctBits: Int,
+                     v89: Boolean = true): Array[Byte] = {
+    require(width >= 1 && height >= 1 && frames >= 0 && gctBits >= 0 && gctBits <= 7)
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def w8(v: Int): Unit = bb += v.toByte
+    def w16(v: Int): Unit = { w8(v & 0xff); w8((v >> 8) & 0xff) }
+    (if (v89) "GIF89a" else "GIF87a").foreach(c => w8(c.toInt))
+    w16(width); w16(height)
+    val hasGct = gctBits > 0
+    w8((if (hasGct) 0x80 else 0) | (if (hasGct) gctBits - 1 else 0))
+    w8(0); w8(0) // background color index, pixel aspect
+    if (hasGct) (0 until (1 << gctBits) * 3).foreach(i => w8(i & 0xff))
+    for (f <- 0 until frames) {
+      w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0) // no LCT
+      w8(2)          // LZW min code size
+      w8(2); w8(f & 0xff); w8(0x44) // one 2-byte data sub-block
+      w8(0)          // sub-block terminator
+    }
+    w8(0x3b)
+    bb.toArray
+  }
 }

@@ -431,7 +431,9 @@ class PlanSpec extends SparkSpec {
           // iterative (10 measured: setup + 3 rounds × checkpoint)
           "op_label_propagation" -> 12,
           // census + suppress-join fold
-          "op_anonymize" -> 3)) {
+          "op_anonymize" -> 3,
+          // builder mapPartitions + parse + sort
+          "mm_gif_meta" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -505,4 +505,28 @@ class SourcesSinksSpec extends SparkSpec {
     val ham = java.lang.Long.bitCount(got(1L) ^ got(2L))
     assert(ham <= 8, s"one-pixel edit moved $ham wHash bits")
   }
+
+  test("gifMeta: builder roundtrip, REAL ImageIO-encoded GIF (extension blocks), junk/truncation flag not-ok") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // a real encoder output exercises the 0x21 extension path the builder omits
+    val img = new java.awt.image.BufferedImage(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val pay = Seq(
+      (1L, Multimodal.gifSampleBytes(320, 200, 3, 4, v89 = true)),
+      (2L, Multimodal.gifSampleBytes(1, 1, 0, 0, v89 = false)),
+      (3L, bos.toByteArray),
+      (4L, "definitely not a gif".getBytes),
+      (5L, Multimodal.gifSampleBytes(320, 200, 3, 4).dropRight(5)),
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.gifMeta(pay, "id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(got(1L) === ((true, "89a", 320, 200, 16, 3)))
+    assert(got(2L) === ((true, "87a", 1, 1, 0, 0)), "no GCT, zero frames")
+    assert(got(3L)._1 && got(3L)._3 === 17 && got(3L)._4 === 9 && got(3L)._6 === 1,
+      s"real encoder output parses: ${got(3L)}")
+    assert(!got(4L)._1 && !got(5L)._1 && !got(6L)._1)
+  }
 }
