@@ -5919,6 +5919,23 @@ object Queries {
           CAST(vec_id % 4 + 1 AS INTEGER) AS n_frames
         FROM embeddings WHERE vec_id % 29 = 0 ORDER BY vec_id""")),
 
+    QueryDef("op_table_checksum",
+      // order-independent table fingerprint (the replication/migration
+      // validator): SUM of 60-bit md5 row digests — no sort, one linear
+      // pass, identical across engines and partition layouts; float
+      // columns go through DECIMAL (float→string is not portable)
+      (s, d) => Aggregates.tableChecksum(t(s, d, "orders"),
+          Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice").cast("decimal(20,2)")))
+        .orderBySmall(col("n_rows")),
+      Some("""SELECT count(*) AS n_rows,
+          CAST(CAST(sum(('0x' || substring(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+            o_orderstatus || '|' || o_orderpriority || '|' ||
+            CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS VARCHAR)), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR)
+            AS checksum
+        FROM orders ORDER BY n_rows""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

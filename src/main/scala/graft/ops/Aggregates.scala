@@ -135,4 +135,31 @@ object Aggregates {
     val aggs = picks ++ extra
     df.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Order-independent table fingerprint for replication/migration
+    * validation: per-row digest = the first 60 bits of
+    * md5(concat_ws('|', cols)) as a long, folded with SUM — commutative
+    * and associative, so the checksum is identical across partition
+    * layouts, engines, and row orders WITHOUT any sort (one linear pass
+    * + a 1-row aggregate; the only honest way to compare two 100-TB
+    * copies). Collision posture: a row-level md5 collision or a
+    * sum-cancelling multi-row edit is negligible for validation (not
+    * adversarial integrity). Callers pass canonical STRING columns —
+    * cast floats through DECIMAL first (float→string formatting is not
+    * engine-portable); nulls encode as a sentinel distinct from the
+    * empty string via concat_ws skipping plus an explicit coalesce.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty)
+    val canon = concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    // the fold runs in DECIMAL(38,0): a 60-bit digest summed over even
+    // 10^9 rows reaches ~10^27 -- far past int64 (which Spark would
+    // silently WRAP while the SQL mirror widens), comfortably inside
+    // decimal. Emitted as a digit string (decimal-vs-hugeint dtypes
+    // don't compare portably; their digits do).
+    df.select(conv(substring(md5(canon), 1, 15), 16, 10)
+        .cast("decimal(38,0)").as("_d"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_d")).cast("decimal(38,0)").cast("string").as("checksum"))
+  }
 }

@@ -322,4 +322,21 @@ class AggregatesSpec extends SparkSpec {
     assert(got.size === 37)
     got.foreach { case (k, v) => assert(v === want.get(k)) }
   }
+
+  test("tableChecksum: row-order/partition invariant; any single-value edit moves it; null != empty string") {
+    import spark.implicits._
+    val base = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")).toDF("id", "u", "v")
+    def ck(df: org.apache.spark.sql.DataFrame): (Long, String) =
+      Aggregates.tableChecksum(df, Seq(col("id"), col("u"), col("v")))
+        .as[(Long, String)].collect().head
+    val c0 = ck(base)
+    assert(c0._1 === 3L)
+    assert(ck(base.repartition(7)) === c0, "partition-layout invariant")
+    assert(ck(base.orderBy(col("id").desc)) === c0, "row-order invariant")
+    val edited = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "Z")).toDF("id", "u", "v")
+    assert(ck(edited) !== c0, "a one-character edit moves the checksum")
+    val withNull = Seq((1L, null.asInstanceOf[String], "x")).toDF("id", "u", "v")
+    val withEmpty = Seq((1L, "", "x")).toDF("id", "u", "v")
+    assert(ck(withNull) !== ck(withEmpty), "null and empty string digest differently")
+  }
 }

@@ -433,7 +433,9 @@ class PlanSpec extends SparkSpec {
           // census + suppress-join fold
           "op_anonymize" -> 3,
           // builder mapPartitions + parse + sort
-          "mm_gif_meta" -> 3)) {
+          "mm_gif_meta" -> 3,
+          // one linear digest-fold pass
+          "op_table_checksum" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
