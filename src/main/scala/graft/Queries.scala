@@ -5936,6 +5936,35 @@ object Queries {
             AS checksum
         FROM orders ORDER BY n_rows""")),
 
+    QueryDef("ml_ab_test",
+      // two-proportion A/B readout per event type (variant = user parity,
+      // conversion = value > 100): exact integer exposure/conversion
+      // counts in ONE agg; rates/lift/pooled z are a single
+      // deterministic float expression over those integers
+      (s, d) => MlEval.abTest(eventsUs(s, d), col("event_type"),
+          col("user_id") % 2 === 1, col("value") > 100.0)
+        .orderBySmall(col("grp")),
+      Some("""WITH cells AS (SELECT event_type AS grp,
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+          FROM events GROUP BY 1)
+        SELECT grp, n_a, conv_a, n_b, conv_b,
+          CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+          CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+          CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+            CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+          CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+              AND conv_a + conv_b < n_a + n_b THEN
+            (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+            sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          END AS z_score
+        FROM cells ORDER BY grp""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

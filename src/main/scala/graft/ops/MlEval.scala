@@ -147,6 +147,38 @@ object MlEval {
           .as("lift"))
   }
 
+  /** Two-proportion A/B test per metric group: exposures and conversions
+    * for each variant (exact integer counts in ONE conditional-sum agg),
+    * conversion rates, absolute lift, and the pooled two-proportion
+    * z-score — the z formula is a single deterministic float expression
+    * over exact integers (identical op tree both engines; the decision
+    * threshold |z| ≥ 1.96 is the caller's). Degenerate pooled rates
+    * (p̂ ∈ {0,1}) or an empty variant yield NULL z rather than a 0/0.
+    * Variant and conversion are caller-supplied boolean columns, so any
+    * assignment scheme (hash split, holdout flag) plugs in.
+    */
+  def abTest(df: DataFrame, group: Column, isB: Column, converted: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), isB.as("_b"), converted.as("_c"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(!col("_b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_b") && col("_c"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_b") && col("_c"), 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    cells.select(col("grp"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      pa.as("rate_a"), pb.as("rate_b"), (pb - pa).as("lift"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        (pb - pa) / se).as("z_score"))
+  }
+
   /** Cohen's kappa — inter-annotator agreement, the labeling-QA statistic
     * of any human-labeled training set. Computed from the bounded
     * |classes|² cell table (ONE corpus shuffle, the contingency shape):

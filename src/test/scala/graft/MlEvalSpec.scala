@@ -211,4 +211,26 @@ class MlEvalSpec extends SparkSpec {
       col("a"), col("b")).as[(Long, Long, Long, Double, Double, Option[Double])].collect().head
     assert(degen._6 === None)
   }
+
+  test("abTest: hand-computed z on a classic 2x2; degenerate variants yield NULL z") {
+    import spark.implicits._
+    // A: 100 exposures 20 conv; B: 100 exposures 30 conv
+    val rows = (Seq.fill(20)((false, true)) ++ Seq.fill(80)((false, false)) ++
+      Seq.fill(30)((true, true)) ++ Seq.fill(70)((true, false)))
+      .map { case (b, c) => ("m", b, c) }
+    val got = MlEval.abTest(rows.toDF("g", "b", "c"), col("g"), col("b"), col("c"))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert((got._2, got._3, got._4, got._5) === ((100L, 20L, 100L, 30L)))
+    assert(got._6 === 0.2 && got._7 === 0.3)
+    val p = 50.0 / 200.0
+    val z = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1.0 / 100 + 1.0 / 100))
+    assert(got._9 === Some(z))
+    // all-converted pool -> NULL z (se would be 0)
+    val degen = Seq(("d", false, true), ("d", true, true)).toDF("g", "b", "c")
+    val g2 = MlEval.abTest(degen, col("g"), col("b"), col("c"))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(g2._9 === None)
+  }
 }

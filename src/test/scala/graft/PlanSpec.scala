@@ -435,7 +435,9 @@ class PlanSpec extends SparkSpec {
           // builder mapPartitions + parse + sort
           "mm_gif_meta" -> 3,
           // one linear digest-fold pass
-          "op_table_checksum" -> 2)) {
+          "op_table_checksum" -> 2,
+          // one conditional-sum agg
+          "ml_ab_test" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
