@@ -5965,6 +5965,80 @@ object Queries {
           END AS z_score
         FROM cells ORDER BY grp""")),
 
+    QueryDef("op_scd2_merge",
+      // SCD2 MERGE-apply (the write half: op_scd2 builds, op_scd2_lookup
+      // reads, this APPLIES a change batch): per-user updates bump the
+      // attribute at max(ts)+1000 — every 4th user re-sends its current
+      // attribute (noop idempotency), 7 synthetic keys insert — audited
+      // per action with exact interval durations
+      (s, d) => {
+        val ev = eventsUs(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val dim = ev.withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+          .select(col("user_id").as("key"), col("event_type").as("attr"),
+            col("ts_us").as("valid_from"), col("valid_to"))
+        val curAttr = ev.groupBy(col("user_id").as("k2"))
+          .agg(max(struct(col("ts_us"), col("event_id"),
+            col("event_type").as("et"))).getField("et").as("cur_attr"),
+            max(col("ts_us")).as("_mx"))
+        val updates = curAttr.select(col("k2").as("key"),
+            when(col("k2") % 4 === 0, col("cur_attr"))
+              .otherwise(concat(lit("v"), (col("k2") % 3).cast("string"))).as("attr"),
+            (col("_mx") + 1000).as("ts"))
+          .unionByName(ev.select((col("user_id") % 7 + 9000000).as("key")).distinct()
+            .select(col("key"), lit("new").as("attr"), lit(0L).as("ts")))
+        Transforms.scd2Apply(dim, updates)
+          .groupBy(col("_action"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+            sum(when(col("valid_to").isNotNull, col("valid_to") - col("valid_from")))
+              .as("dur_us"))
+          .orderBySmall(col("_action"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+            FROM events),
+          dim AS (SELECT user_id AS key, event_type AS attr, ts_us AS valid_from,
+            lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+            FROM ev),
+          cur AS (SELECT key, attr, valid_from FROM dim WHERE valid_to IS NULL),
+          la AS (SELECT user_id AS key, mx, event_type AS cur_attr FROM (
+              SELECT user_id, event_type, max(ts_us) OVER (PARTITION BY user_id) AS mx,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts_us DESC, event_id DESC) AS rn
+              FROM ev) WHERE rn = 1),
+          upd AS (SELECT key,
+              CASE WHEN key % 4 = 0 THEN cur_attr
+                ELSE 'v' || CAST(key % 3 AS VARCHAR) END AS uattr,
+              mx + 1000 AS uts
+            FROM la
+            UNION ALL
+            SELECT DISTINCT user_id % 7 + 9000000 AS key, 'new' AS uattr, 0 AS uts FROM ev),
+          j AS (SELECT coalesce(cur.key, upd.key) AS key, cur.attr, cur.valid_from,
+              upd.uattr, upd.uts
+            FROM cur FULL OUTER JOIN upd ON cur.key = upd.key),
+          merged AS (
+            SELECT key, attr, valid_from, valid_to, 'history' AS action
+              FROM dim WHERE valid_to IS NOT NULL
+            UNION ALL
+            SELECT key, attr, valid_from, NULL, 'noop' FROM j
+              WHERE uattr IS NULL OR (attr IS NOT NULL AND attr = uattr)
+            UNION ALL
+            SELECT key, attr, valid_from, uts, 'closed' FROM j
+              WHERE attr IS NOT NULL AND uattr IS NOT NULL AND attr <> uattr
+            UNION ALL
+            SELECT key, uattr, uts, NULL, 'opened' FROM j
+              WHERE attr IS NOT NULL AND uattr IS NOT NULL AND attr <> uattr
+            UNION ALL
+            SELECT key, uattr, uts, NULL, 'inserted' FROM j
+              WHERE attr IS NULL AND uattr IS NOT NULL)
+        SELECT action AS _action, count(*) AS n,
+          CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+          CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - valid_from END) AS BIGINT)
+            AS dur_us
+        FROM merged GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("mix_epochs",
       // fractional-epoch source schedule (Llama/GPT data recipes):
       // src0 2.3 epochs, src1 1.0, src2 0.5, src3 dropped — full copies

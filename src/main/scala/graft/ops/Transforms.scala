@@ -116,4 +116,43 @@ object Transforms {
         (col("_s").cast("double") +
           (col("_s").cast("double") / col("_nv").cast("double")) *
             col("n_missing").cast("double")).as("total_after"))
+
+  /** SCD2 MERGE-apply — the write half of the dimension-versioning
+    * family (op_scd2 BUILDS intervals from history, op_scd2_lookup reads
+    * them; this APPLIES a new change batch): given the dimension as
+    * (key, attr, valid_from, valid_to — NULL = current) and one update
+    * row per key as (key, attr, ts), a changed attribute closes the
+    * current interval at ts and opens a new current row; an unchanged
+    * attribute is a NO-OP (idempotent re-delivery); an unseen key
+    * inserts its first open row. One full-outer join on the natural key
+    * + unions — history rows pass through untouched, so the merge costs
+    * O(current + updates), never O(history).
+    * Returns the new dimension plus a per-row `_action` audit column
+    * (history | noop | closed | opened | inserted).
+    */
+  def scd2Apply(dim: DataFrame, updates: DataFrame): DataFrame = {
+    val cur = dim.where(col("valid_to").isNull)
+      .select(col("key"), col("attr"), col("valid_from"))
+    val hist = dim.where(col("valid_to").isNotNull)
+      .select(col("key"), col("attr"), col("valid_from"), col("valid_to"),
+        lit("history").as("_action"))
+    val u = updates.select(col("key"), col("attr").as("_uattr"), col("ts").as("_uts"))
+    val j = cur.join(u, Seq("key"), "full_outer")
+    val noop = j.where(col("_uattr").isNull ||
+        (col("attr").isNotNull && col("attr") === col("_uattr")))
+      .select(col("key"), col("attr"), col("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit("noop").as("_action"))
+    val closed = j.where(col("attr").isNotNull && col("_uattr").isNotNull &&
+        col("attr") =!= col("_uattr"))
+      .select(col("key"), col("attr"), col("valid_from"),
+        col("_uts").as("valid_to"), lit("closed").as("_action"))
+    val opened = j.where(col("attr").isNotNull && col("_uattr").isNotNull &&
+        col("attr") =!= col("_uattr"))
+      .select(col("key"), col("_uattr").as("attr"), col("_uts").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit("opened").as("_action"))
+    val inserted = j.where(col("attr").isNull && col("_uattr").isNotNull)
+      .select(col("key"), col("_uattr").as("attr"), col("_uts").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit("inserted").as("_action"))
+    hist.unionByName(noop).unionByName(closed).unionByName(opened).unionByName(inserted)
+  }
 }

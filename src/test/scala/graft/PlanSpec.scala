@@ -437,7 +437,9 @@ class PlanSpec extends SparkSpec {
           // one linear digest-fold pass
           "op_table_checksum" -> 2,
           // one conditional-sum agg
-          "ml_ab_test" -> 2)) {
+          "ml_ab_test" -> 2,
+          // dim window + update full-outer + census
+          "op_scd2_merge" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

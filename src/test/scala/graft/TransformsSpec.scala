@@ -109,4 +109,25 @@ class TransformsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_missing") === 2L)
     assert(r.isNullAt(r.fieldIndex("mean_used")) && r.isNullAt(r.fieldIndex("total_after")))
   }
+
+  test("scd2Apply: change closes+opens, same attr noops, new key inserts, history untouched; idempotent on re-apply") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "a", 0L, Some(10L)), (1L, "b", 10L, None),   // key 1: history + current b
+      (2L, "x", 0L, None)).map { case (k, a, f, t) => (k, a, f, t.map(Long.box).orNull) }
+      .toDF("key", "attr", "valid_from", "valid_to")
+      .select($"key", $"attr", $"valid_from", $"valid_to".cast("long"))
+    val upd = Seq((1L, "c", 20L), (2L, "x", 30L), (3L, "n", 5L)).toDF("key", "attr", "ts")
+    val out = graft.ops.Transforms.scd2Apply(dim, upd)
+    val rows = out.as[(Long, String, Long, Option[Long], String)].collect().toSet
+    assert(rows === Set(
+      (1L, "a", 0L, Some(10L), "history"),
+      (1L, "b", 10L, Some(20L), "closed"),
+      (1L, "c", 20L, None, "opened"),
+      (2L, "x", 0L, None, "noop"),
+      (3L, "n", 5L, None, "inserted")))
+    // idempotency: re-applying the same batch to the merged dim is all noops
+    val again = graft.ops.Transforms.scd2Apply(out.drop("_action"), upd)
+    assert(again.where($"_action".isin("closed", "opened", "inserted")).count() === 0L)
+  }
 }
