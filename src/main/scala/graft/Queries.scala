@@ -279,19 +279,32 @@ object Queries {
     (c0 +: rounds).mkString(",\n        ")
   }
 
-  /** Deterministic per-(kind, sfDir) scratch directory for the
+  /** Deterministic per-(kind, sfDir, PID) scratch directory for the
     * write→read-back roundtrip queries. The path is FIXED for a given
-    * input dir and overwritten in place on every invocation, so repeated
-    * bench iterations reuse one directory (and, for JDBC, one embedded
-    * Derby database booted once per JVM) instead of accumulating fresh
-    * temp dirs and live database buffers without bound.
+    * input dir WITHIN a JVM and overwritten in place on every
+    * invocation, so repeated bench iterations reuse one directory (and,
+    * for JDBC, one embedded Derby database booted once per JVM). The
+    * PID suffix keeps two concurrent driver/bench processes on the same
+    * host from clobbering each other's scratch mid-query (the
+    * op_merge_acid lesson); sibling PIDs' dirs older than 1h are swept
+    * so finished JVMs don't leak scratch forever.
     */
   private def scratchDir(kind: String, d: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_rt_${kind}_$h")
+    val tmp = sys.props("java.io.tmpdir")
+    val prefix = s"graft_rt_${kind}_${h}_"
+    val name = prefix + ProcessHandle.current().pid()
+    val stale = new java.io.File(tmp).listFiles()
+    if (stale != null) stale.iterator
+      .filter(f => f.getName.startsWith(prefix) && f.getName != name)
+      .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+      .foreach { f =>
+        java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    val p = java.nio.file.Paths.get(tmp, name)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

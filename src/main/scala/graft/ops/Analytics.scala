@@ -927,8 +927,12 @@ object Analytics {
     implicit val pairOrd: Ordering[(String, String)] = Ordering.Tuple2(byUtf8, byUtf8)
     val chi2 = head.map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
       .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
-    val dfDeg = (head.map(_.getString(0)).distinct.length - 1).toLong *
-      (head.map(_.getString(1)).distinct.length - 1).toLong
+    // Degrees of freedom count NON-NULL levels only — the count(DISTINCT)
+    // convention the DuckDB mirror uses (NULL cells still contribute to
+    // chi2 above; they just don't add a level to (r−1)(c−1), matching
+    // every SQL engine's DISTINCT semantics).
+    val dfDeg = (head.map(_.getString(0)).filter(_ != null).distinct.length - 1).toLong *
+      (head.map(_.getString(1)).filter(_ != null).distinct.length - 1).toLong
     cells.select(col("a"), col("b"), col("n_obs"), col("expected"),
       col("contrib"), lit(chi2).as("chi2"), lit(dfDeg).as("deg_free"))
   }
@@ -1215,18 +1219,26 @@ object Analytics {
     * surviving group is ≥ k by construction. Implemented as the group
     * census joined back on the QI tuple (sort-merge — the group table is
     * corpus-sized in the worst case), ONE extra shuffle over the audit.
-    * Returns the input plus `_suppress`.
+    * The join-back is NULL-SAFE (`<=>`): groupBy treats a NULL QI value
+    * as a real group key, so the enforcement must too — a null-unsafe
+    * join would silently leave every row of a sub-k NULL-QI group
+    * unsuppressed, disagreeing with [[kAnonymityAudit]] on exactly the
+    * privacy-sensitive rows. Returns the input plus `_suppress`.
     */
   def kSuppress(df: DataFrame, qiCols: Seq[Column], k: Int): DataFrame = {
     require(qiCols.nonEmpty && k >= 2)
     val names = qiCols.indices.map(i => s"_qi$i")
+    val sNames = qiCols.indices.map(i => s"_sqi$i")
     val tagged = df.select(col("*") +: qiCols.zip(names).map { case (c, n) => c.as(n) }: _*)
     val small = tagged.groupBy(names.map(col): _*).agg(count(lit(1)).as("_sz"))
       .where(col("_sz") < k)
-      .select(names.map(col) :+ lit(true).as("_suppress"): _*)
-    tagged.join(small.hint("merge"), names, "left")
+      .select(names.zip(sNames).map { case (n, sn) => col(n).as(sn) } :+
+        lit(true).as("_suppress"): _*)
+    val cond = names.zip(sNames).map { case (n, sn) => col(n) <=> col(sn) }
+      .reduce(_ && _)
+    tagged.join(small.hint("merge"), cond, "left")
       .withColumn("_suppress", coalesce(col("_suppress"), lit(false)))
-      .drop(names: _*)
+      .drop(names ++ sNames: _*)
   }
 
   /** Synchronous label-propagation community detection (LPA), made
@@ -1334,6 +1346,9 @@ object Analytics {
     * normalization multiplies by scale again, so E·scale² must stay
     * < 2⁶³ — the default scale 10⁶ is safe to ~9·10⁶ edges; drop scale
     * as E grows (precision 1/scale is a RANKING tolerance, not a sum).
+    * Lower bound: `scale` must also EXCEED the node count on
+    * near-uniform graphs, or per-node floors collapse the next round's
+    * sum to 0 — guarded in-plan (raise_error), never a silent NULL.
     *
     * Scale shape: per round, two edge-keyed aggregations (sort-merge,
     * partial-combined), two 1-row scalar sums broadcast back, and a
@@ -1350,8 +1365,18 @@ object Analytics {
     require(nodes.count() > 0, "hitsFixedPoint: empty edge set")
     def normalized(full: DataFrame, c: String, out: String): DataFrame = {
       val s = full.agg(sum(col(c)).as("_s"))
+      // Σx can floor to 0 when node count exceeds `scale` with
+      // near-uniform scores (each x·scale < Σx rounds to 0 the PREVIOUS
+      // round, then this round's sum is 0 and `div` would yield NULL,
+      // silently nulling every score). Fail loudly in-plan instead —
+      // no extra driver job; the fix is a larger `scale` (> node count).
       full.crossJoin(broadcast(s))
-        .select(col("v"), expr(s"$c * ${scale}L div _s").as(out))
+        .select(col("v"),
+          when(col("_s") > 0, expr(s"$c * ${scale}L div _s"))
+            .otherwise(raise_error(lit(
+              "hitsFixedPoint: normalization sum collapsed to 0 — " +
+                "scale must exceed the node count for near-uniform graphs")))
+            .as(out))
         .localCheckpoint()
     }
     var hub = nodes.select(col("v"), lit(scale).as("h")).localCheckpoint()

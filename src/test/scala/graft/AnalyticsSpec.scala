@@ -535,4 +535,26 @@ class AnalyticsSpec extends SparkSpec {
     // ids survive the round trip untouched
     assert(got.map(_._1).sorted.toSeq === (0L to 7L))
   }
+
+  test("kSuppress: NULL QI values form a real group — a sub-k NULL group is suppressed") {
+    import spark.implicits._
+    // groupBy counts the NULL-QI tuple as a group of 2 (< k=3); the
+    // join-back must be null-safe or these rows silently escape
+    // suppression while kAnonymityAudit counts them — the ADVICE r9 bug.
+    val rows = (Seq.fill(4)(Some("big")) ++ Seq.fill(2)(Option.empty[String]))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g.orNull) }.toDF("id", "grp")
+    val got = Analytics.kSuppress(rows, Seq(col("grp")), k = 3)
+      .as[(Long, Option[String], Boolean)].collect()
+    assert(got.filter(_._2.contains("big")).forall(!_._3))
+    val nullGrp = got.filter(_._2.isEmpty)
+    assert(nullGrp.length === 2 && nullGrp.forall(_._3),
+      "sub-k NULL-QI group must be flagged _suppress=true")
+    // and a NULL group of size >= k survives
+    val rows2 = (Seq.fill(3)(Option.empty[String]) ++ Seq.fill(1)(Some("x")))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g.orNull) }.toDF("id", "grp")
+    val got2 = Analytics.kSuppress(rows2, Seq(col("grp")), k = 3)
+      .as[(Long, Option[String], Boolean)].collect()
+    assert(got2.filter(_._2.isEmpty).forall(!_._3))
+    assert(got2.filter(_._2.nonEmpty).forall(_._3))
+  }
 }
