@@ -210,6 +210,38 @@ object TextAnalysis {
       g(endPunct * 2 >= nLines).as("c4_terminal_punct_pass"))
   }
 
+  /** [[c4Filters]] as ONE fused character-scan kernel
+    * ([[graft.functions.C4StatsKernel]]) instead of six interpreted
+    * regex/HOF passes per document — the WinnowExpr treatment applied to
+    * the suite's heaviest linear scan (~8 s → target <4 s at sf0.1).
+    * Output is BIT-IDENTICAL to [[c4Filters]] (schema included: counts
+    * int, mean double, flags boolean, NULL text → NULL row) — the
+    * equivalence is property-tested in TextPipelineSpec, so [[c4Filters]]
+    * stays as the executable specification and the DuckDB oracle keeps
+    * matching.
+    */
+  def c4FiltersFast(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.C4Ops.c4Stats(col(textCol))
+    // cast to int to reproduce the expression form's size()/aggregate(lit(0))
+    // Integer types exactly
+    def el(i: Int) = col("_c4").getItem(i).cast("int")
+    val nLines = el(0); val nWords = el(1); val endPunct = el(2)
+    val bullet = el(3); val ellipsis = el(4); val shortLines = el(5)
+    val alphaWords = el(6); val wordChars = el(7)
+    def g(c: Column) = when(col(textCol).isNotNull, c)
+    docs.withColumn("_c4", st).select(col(idCol),
+      g(nLines).as("n_lines"), g(nWords).as("n_words"),
+      g(endPunct).as("n_end_punct_lines"), g(bullet).as("n_bullet_lines"),
+      g(ellipsis).as("n_ellipsis_lines"), g(shortLines).as("n_short_lines"),
+      g(alphaWords).as("n_alpha_words"),
+      g(when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0))).as("mean_word_len"),
+      g(nWords >= 50 && wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+        bullet * 10 <= nLines * 9 && ellipsis * 10 <= nLines * 3 &&
+        alphaWords * 10 >= nWords * 8).as("gopher_pass"),
+      g(endPunct * 2 >= nLines).as("c4_terminal_punct_pass"))
+  }
+
   /** Deterministic document fingerprint: md5 of normalized text (lowercase,
     * punctuation stripped, whitespace collapsed). The basis for exact
     * near-normalization dedup.

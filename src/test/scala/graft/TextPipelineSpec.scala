@@ -480,6 +480,36 @@ class TextPipelineSpec extends SparkSpec {
     assert((0 to 3).forall(nullRow.isNullAt), s"NULL text must yield NULL metrics: $nullRow")
   }
 
+  test("c4FiltersFast kernel == c4Filters expression spec, incl. Java-regex $ corners") {
+    // the fused kernel must replicate java.util.regex exactly: `$` also
+    // matches BEFORE one final line terminator (\r, NEL, LS, PS), word
+    // length is code points (surrogate pair = 1), \s is the ASCII class
+    val edge = Seq(
+      (101L, "ends with dot.\r\nwindows line.\r"),        // CRLF: ".\r" lines still end-punct
+      (102L, "ellipsis then cr...\rplain..."),            // "...\r" and "..."
+      (103L, "a\u2026\u2028\nb\u2026\u2029\nc\u2026\u0085\nd.\u2028"), // \u2026 and . before LS/PS/NEL final terminators
+      (104L, "- bullet\n-nospace\n• dot bullet\n* star "),
+      (105L, "\ttab  split\u000bvtab\fformfeed one two three"),
+      (106L, "emoji 😀😀 counts two chars per word?"),
+      (107L, "\n\n\n"),                                   // empty lines only
+      (108L, ""), (109L, "…"), (110L, "."), (111L, ".\r"), (112L, "..\r"),
+      (113L, "a.. . "), (114L, "?\"!."), (115L, "x…\r"), (116L, "...\r"),
+      (117L, "word"), (118L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val real = Tables.load(spark, sf0001, "documents").limit(200)
+      .select($"doc_id", $"text")
+    val d = real.unionByName(edge)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val spec = rows(graft.ops.TextAnalysis.c4Filters(d, "doc_id", "text"))
+    val fast = rows(graft.ops.TextAnalysis.c4FiltersFast(d, "doc_id", "text"))
+    assert(fast.length == spec.length)
+    fast.zip(spec).foreach { case (f, s) => assert(f == s, s"mismatch:\nfast=$f\nspec=$s") }
+    // schemas (types included) must also agree for the hash gate
+    assert(graft.ops.TextAnalysis.c4FiltersFast(d, "doc_id", "text").schema ==
+      graft.ops.TextAnalysis.c4Filters(d, "doc_id", "text").schema)
+  }
+
   test("invertedIndexHead: df/cf exact, posting prefix ordered and bounded") {
     val docs = Seq(
       (3L, "apple banana apple"),
