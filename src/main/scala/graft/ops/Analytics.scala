@@ -800,16 +800,20 @@ object Analytics {
     * union the reverse. Every round `localCheckpoint`s: the settled set
     * and frontier are re-read each iteration, and without truncation the
     * lineage (and the replayed join DAG) would double per hop. The
-    * per-round `isEmpty` early-stop is a driver-side COUNT of a
-    * frontier that is already materialized — bounded work, and the loop
-    * never runs a round past convergence.
+    * checkpoints are LAZY, materialized by the per-round `count()` that
+    * also serves as the convergence probe — ONE job per hop (the
+    * [[graft.ops.Dedup.dedupClusters]] pattern), where the eager-
+    * checkpoint + `isEmpty` form paid two; on a loaded host scheduling
+    * latency per job dominates the per-round work. The edge checkpoint is
+    * freed when the loop exits — the result plan reads only the
+    * already-materialized frontiers, never the edges.
     *
     * Returns (node, dist) for reached nodes only; dist 0 = the seeds.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val seed0 = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
+      .withColumn("dist", lit(0)).localCheckpoint(eager = false)
     // per-hop frontiers are DISJOINT by construction (each is anti-joined
     // against everything before it), so the settled set is kept as the
     // lazy union of the checkpointed frontiers — re-materializing the
@@ -818,18 +822,24 @@ object Analytics {
     // (one leaf per hop, rounds ≤ maxHops)
     var parts = List(seed0)
     var frontier = seed0
+    // materializes the lazy seed checkpoint AND tests emptiness in 1 job
+    var frontierRows = seed0.count()
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0L) {
       hop += 1
       val settled = parts.reduce(_.unionByName(_))
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         // settled grows toward graph size — the anti-join must sort-merge
         .join(settled.select(col("node")).hint("merge"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(hop)).localCheckpoint(true)
+        .withColumn("dist", lit(hop)).localCheckpoint(eager = false)
+      // one job: checkpoint-materialize the frontier (and, on hop 1, the
+      // edge set it reads) + the convergence count
+      frontierRows = next.count()
       parts = parts :+ next
       frontier = next
     }
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
     parts.reduce(_.unionByName(_))
   }
 

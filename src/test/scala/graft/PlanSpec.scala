@@ -233,6 +233,50 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("txt_pii_scrub: linear regex projection — no join, no agg shuffle, only the output sort") {
+    val p = plan("txt_pii_scrub")
+    assert(!p.contains("Join"), s"pii scrub grew a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pii scrub grew an agg/repartition shuffle:\n$p")
+    val exchanges = p.split("\n").count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected only the output-sort range exchange, got $exchanges:\n$p")
+  }
+
+  test("unpartitioned-window lint: every partition-less Window sits above bounded cardinality") {
+    // The aucExact contract, enforced: a Window/WindowGroupLimit with an
+    // empty PARTITION BY funnels the whole input through one task, which
+    // is fine over a bounded-cardinality subtree (an aggregate over a
+    // quantized value domain, a limit, a local relation) and fatal over
+    // corpus-sized data at 100 TB. Until now the contract lived in
+    // comments; this sweep walks the optimized logical plan of EVERY
+    // registered query and fails if an unpartitioned window's subtree
+    // lacks a bounding node. (Logical plan, not physical: AQE wrapping
+    // makes the physical tree awkward to walk, and the partition spec is
+    // identical at both levels.)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation |
+           _: OneRowRelation => true
+      case _: Distinct => true
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case other if other.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for (q <- Queries.all) {
+      val plan = q.fn(spark, sf0001).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += s"${q.name}: unpartitioned Window over unbounded child:\n${w.child.treeString.take(800)}"
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += s"${q.name}: unpartitioned WindowGroupLimit over unbounded child"
+        case _ =>
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n---\n"))
+  }
+
   test("r6-regressed bench queries: job counts stay at the floor (host-noise audit)") {
     // These three queries jumped 3-6x in the r6 driver bench while their
     // local timings and plans were unchanged. Per the driver-host cost
@@ -348,7 +392,14 @@ class PlanSpec extends SparkSpec {
           "op_record_linkage" -> 4, "op_quantile_grid" -> 3,
           "txt_length_bucketing" -> 2, "op_scd2_lookup" -> 3,
           "txt_inverted_index" -> 4, "mm_image_ahash" -> 3,
-          "op_bfs" -> 18,
+          // re-measured r10 after the lazy-checkpoint+count rewrite
+          // (1 job/hop instead of eager-checkpoint + isEmpty = 2):
+          // 9 = seed count + ~5 hop counts + settled union + final sort
+          "op_bfs" -> 10,
+          // the r8→r9 driver-bench 2.1× mover: a pure regex-chain
+          // projection + the output range sort — 2 measured; the pin
+          // settles future moves as host noise vs plan regression
+          "txt_pii_scrub" -> 3,
           // continuation-session additions (measured floors + 1 slack).
           // Single-agg shapes (1): the ML-eval quartet, attribution,
           // markov, impute, schema drift, q12, q16. op_rfm 6 = per-
