@@ -216,18 +216,16 @@ object Streaming {
     * the history probe and the state append. Transitive members drop with
     * their representative (if the rep near-dups history, the whole
     * in-batch cluster is the same content class — the standard
-    * conservative choice). The id-keyed shield has one more
-    * scoped recall gap under at-least-once delivery: when a trigger
-    * contains a REDELIVERED already-accepted id alongside a NEW doc that
-    * is a near-dup of that id's text, the shield hides the redelivered
-    * id's history rows from the whole batch, so the new near-dup is
-    * admitted in that trigger (it is still caught against any OTHER
-    * history near-dup). The gap is bounded by the upstream redelivery
-    * window — exactly-once upstream eliminates it entirely — and closing
-    * it inside the sink would require per-probe (row-level, not
-    * batch-level) shielding: a corpus-sized join keyed on (probe id,
-    * history id) pairs per trigger, which trades a bounded-rarity recall
-    * gap for an every-trigger quadratic term. Deliberately not taken.
+    * conservative choice). The replay shield is PAIR-level (a probe
+    * ignores only its OWN history rows, via an inequality predicate on
+    * the banded probe join — see the inline proof), so a NEW doc
+    * arriving in the same trigger as a REDELIVERED already-accepted
+    * near-dup id is still caught against that id's history rows; the
+    * redelivered id itself either re-emits to `onAccepted` (when it is
+    * the in-batch cluster representative — the documented update/no-op)
+    * or drops with its cluster (when a smaller-id batch near-dup is the
+    * representative, which then drops against history) — either way no
+    * content class is admitted twice.
     *
     * `onAccepted` receives each batch's surviving rows (original schema) —
     * route them to the corpus sink of your choice inside the same
@@ -295,15 +293,24 @@ object Streaming {
         val histDups = (histOpt match {
           case None => state.select(col(idCol)).where(lit(false))
           case Some(hist) =>
-            // exclude history rows of ANY id in this batch, not just the
-            // probing doc's own: after a crash between the state commit
-            // and the stream checkpoint, the replayed batch finds its
-            // batch-mates' half-committed rows in history and would
-            // otherwise drop docs the first run accepted
-            val freshHist = hist.join(state.select(col(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-            shielded.alias("b").join(freshHist.alias("h"),
-                col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket"))
+            // the replay shield is PAIR-level: a probe doc ignores only its
+            // OWN history rows (the `=!=` on the banded join), never its
+            // batch-mates'. That is sufficient for crash-replay: between
+            // the state commit and the stream checkpoint, only ACCEPTED
+            // representatives' rows can be half-committed, and two docs
+            // accepted by the same attempt can never meet the agreement
+            // criterion against each other (the in-batch shield — the
+            // SAME banded join + threshold — would have dropped one
+            // first), so a replayed doc can only be mis-flagged by its
+            // own rows. Pair-level shielding also closes the batch-level
+            // shield's recall gap: a NEW doc arriving alongside a
+            // REDELIVERED already-accepted near-dup id now sees that id's
+            // history rows and drops, instead of being admitted because a
+            // batch-mate's id happened to hide them. Cost: an inequality
+            // predicate on the existing banded equi-join — no extra pass.
+            shielded.alias("b").join(hist.alias("h"),
+                col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket") &&
+                  col(s"b.`$idCol`") =!= col(s"h.`$idCol`"))
               .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
                 col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
               .distinct()

@@ -250,6 +250,45 @@ class StreamingSpec extends SparkSpec {
       "state must hold only admitted docs' signatures")
   }
 
+  test("streaming near-dedup: a redelivered accepted id cannot smuggle in a new near-dup batch-mate") {
+    // The at-least-once interleave the pair-level shield exists for: an
+    // upstream REDELIVERS already-accepted id 5 in the same trigger as a
+    // NEW doc 2 whose text near-dups it. Id 2 < 5, so 2 is the in-batch
+    // cluster representative (5 drops in-batch) — under the old
+    // batch-level shield, 5's presence in the batch hid 5's history rows
+    // from 2's probe and 2 was admitted; pair-level shielding keeps them
+    // visible (2 ≠ 5) and 2 drops. Nothing of the cluster is re-emitted
+    // or re-appended.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-redeliver")
+    val ckpt = Files.createTempDirectory("graft-neardup-redeliver-ckpt")
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/sigs")
+    val accepted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupFilterSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
+        threshold = 0.5,
+        onAccepted = b => accepted.synchronized {
+          accepted += b.select("doc_id").as[Long].collect().toSet })
+      .option("checkpointLocation", ckpt.toString).start()
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    input.addData((5L, textA),
+      (6L, "completely different words about spark query engines and parquet columnar formats"))
+    q.processAllAvailable()
+    // trigger 2: redelivered 5 + smaller-id near-dup 2 + an unrelated doc
+    input.addData((5L, textA), (2L, textA.replace("today", "tonight")),
+      (9L, "genuinely novel sentence with unique vocabulary tokens"))
+    q.processAllAvailable()
+    // trigger 3: the redelivered id ALONE re-emits (update/no-op contract)
+    input.addData((5L, textA))
+    q.processAllAvailable()
+    q.stop()
+    assert(accepted.toList == List(Set(5L, 6L), Set(9L), Set(5L)),
+      s"new near-dup 2 must drop against redelivered 5's history rows, got $accepted")
+    assert(table.snapshot().select("doc_id").as[Long].collect().toSet == Set(5L, 6L, 9L),
+      "state must never gain the smuggled near-dup's signatures")
+  }
+
   test("streaming near-dedup: compactEvery keeps the state table's dir count flat; dedup unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val dirRoot = Files.createTempDirectory("graft-neardup-compact")
