@@ -4737,22 +4737,38 @@ object Queries {
 
     QueryDef("op_jdbc_roundtrip",
       // relational-store interchange: write the projected documents table
-      // into an embedded Derby database over JDBC, read it back as a
+      // into a relational database over JDBC, read it back as a
       // PARTITIONED JDBC scan (4 range partitions on doc_id — the
       // parallel-ingest shape for production databases), aggregate; the
       // oracle aggregates the original parquet, so a JDBC type-mapping
-      // or partition-boundary bug breaks the hash
+      // or partition-boundary bug breaks the hash. The endpoint is
+      // ENV-GATED: set SPARK_GRAFT_JDBC_URL (e.g.
+      // "jdbc:postgresql://host/db") + SPARK_GRAFT_JDBC_DRIVER [+
+      // SPARK_GRAFT_JDBC_USER / SPARK_GRAFT_JDBC_PASSWORD] to run the
+      // SAME key against a real server (the reference serves from
+      // postgres:13 — /root/reference/docker-compose.yaml); the default
+      // is embedded Derby, which needs no server in this sandbox.
       (s, d) => {
         val dir = scratchDir("jdbc", d)
-        val url = s"jdbc:derby:$dir/db;create=true"
+        val url = sys.env.getOrElse("SPARK_GRAFT_JDBC_URL",
+          s"jdbc:derby:$dir/db;create=true")
+        val driver = sys.env.getOrElse("SPARK_GRAFT_JDBC_DRIVER",
+          "org.apache.derby.jdbc.EmbeddedDriver")
         val props = new java.util.Properties()
-        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        props.setProperty("driver", driver)
+        sys.env.get("SPARK_GRAFT_JDBC_USER").foreach(props.setProperty("user", _))
+        sys.env.get("SPARK_GRAFT_JDBC_PASSWORD").foreach(props.setProperty("password", _))
         t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
           .write.mode("overwrite").jdbc(url, "docs", props)
         val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
-        s.read.format("jdbc")
+        val reader = s.read.format("jdbc")
           .option("url", url).option("dbtable", "docs")
-          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("driver", driver)
+        sys.env.get("SPARK_GRAFT_JDBC_USER")
+          .foreach(u => reader.option("user", u))
+        sys.env.get("SPARK_GRAFT_JDBC_PASSWORD")
+          .foreach(pw => reader.option("password", pw))
+        reader
           .option("partitionColumn", "doc_id")
           .option("lowerBound", 0L).option("upperBound", math.max(maxId, 1L))
           .option("numPartitions", 4)
