@@ -223,6 +223,18 @@ object Queries {
       LatMults.map(m => s"CAST((vec_id * $m) % 11 - 5 AS DOUBLE)")).mkString("[", ",\n       ", "]")
   private val latticeBaseCte: String =
     s"base AS (SELECT vec_id, label, $latticeSqlList AS v FROM embeddings)"
+  /** The bounded ANN query-set contract, enforced: queries are the
+    * `vec_id % 10` decimation CAPPED at `vec_id < 2048`. At the driver SFs
+    * the cap is vacuous (max vec_id 1999 at sf0.1), so every gate hash is
+    * unchanged; at corpus scale it pins the query-side CARDINALITY to a
+    * constant so the exact / ADC / IVF-probe scans stay LINEAR in the
+    * corpus — an uncapped `% 10` query side made them O(corpus²/10), which
+    * the sf0.3→sf1 linearity sweep caught as ann_pq_topk growing 4.6× on
+    * 3.3× data (SCALE.md). A production serving path takes its (bounded)
+    * query batch from the caller; `% 10 < cap` is this suite's stand-in.
+    */
+  private def annQueryPred: Column =
+    col("vec_id") % 10 === 0 && col("vec_id") < 2048L
   // product-grid PQ codebooks for ann_pq_topk: 4 × 2-dim subspaces, codes =
   // the even lattice {-4,-2,0,2,4,6}² in lexicographic (a-major) order so
   // "lowest code index" == "lexicographically smallest entry" — see the
@@ -249,7 +261,7 @@ object Queries {
   private def ivfTailSql(src: String, lbl: String, nprobe: Int): String =
     s"""routed AS (SELECT s.vec_id AS qid, s.v AS qv, cent.$lbl,
             ${cosSql("s.v", "cent.c")} AS c_sim
-          FROM $src s CROSS JOIN cent WHERE s.vec_id % 10 = 0),
+          FROM $src s CROSS JOIN cent WHERE s.vec_id % 10 = 0 AND s.vec_id < 2048),
         probes AS (SELECT qid, qv, $lbl FROM (
             SELECT qid, qv, $lbl,
               row_number() OVER (PARTITION BY qid ORDER BY c_sim DESC, $lbl ASC) AS pr
@@ -3383,11 +3395,11 @@ object Queries {
     QueryDef("ann_cosine_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.bruteForceTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
+        Similarity.bruteForceTopK(e.where(annQueryPred), e, "vec_id", "embedding", 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2048),
         s AS (SELECT qid, vec_id AS nid,
           list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
           (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
@@ -3420,7 +3432,7 @@ object Queries {
       // (float-cosine ann_cosine_topk checks ids only; IVF is rows-only).
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.quantizedTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
+        Similarity.quantizedTopK(e.where(annQueryPred), e, "vec_id", "embedding", 5)
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH qz AS (
@@ -3432,7 +3444,7 @@ object Queries {
         s AS (SELECT qz.vec_id AS qid, c.vec_id AS nid,
             list_inner_product(qz.q, c.q) /
               (sqrt(list_inner_product(qz.q, qz.q)) * sqrt(list_inner_product(c.q, c.q))) AS sim
-          FROM qz CROSS JOIN qz c WHERE qz.vec_id % 10 = 0 AND c.vec_id <> qz.vec_id)
+          FROM qz CROSS JOIN qz c WHERE qz.vec_id % 10 = 0 AND qz.vec_id < 2048 AND c.vec_id <> qz.vec_id)
         SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id, sim FROM (
           SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
@@ -3454,7 +3466,7 @@ object Queries {
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
           latticeVec.as("embedding"))
-        Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding",
+        Similarity.ivfTopK(e.where(annQueryPred), e, "vec_id", "embedding",
             "label", k = 5, nprobe = 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
@@ -3484,7 +3496,7 @@ object Queries {
           k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
         val labeled = e.withColumn("cluster",
           Similarity.nearestCentroid(col("embedding"), cents))
-        Similarity.ivfTopKFitted(labeled.where(col("vec_id") % 10 === 0), labeled,
+        Similarity.ivfTopKFitted(labeled.where(annQueryPred), labeled,
             "vec_id", "embedding", "cluster", k = 5, nprobe = 4, cents)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
@@ -3514,7 +3526,7 @@ object Queries {
       (s, d) => {
         val base = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("v"))
         val codes = Similarity.pqEncode(base, "vec_id", "v", pqGridBooks)
-        Similarity.pqAdcTopK(base.where(col("vec_id") % 10 === 0), codes,
+        Similarity.pqAdcTopK(base.where(annQueryPred), codes,
             "vec_id", "v", pqGridBooks, k = 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             (-col("sim")).cast("int").as("adc_dist"))
@@ -3527,7 +3539,7 @@ object Queries {
           FROM iv),
         scored AS (SELECT b.vec_id AS qid, c.vec_id AS nid,
             list_sum([(b.w[i] - c.q[i]) * (b.w[i] - c.q[i]) FOR i IN generate_series(1, $LatDims)]) AS dist
-          FROM iv b JOIN codes c ON c.vec_id <> b.vec_id WHERE b.vec_id % 10 = 0)
+          FROM iv b JOIN codes c ON c.vec_id <> b.vec_id WHERE b.vec_id % 10 = 0 AND b.vec_id < 2048)
         SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id,
           CAST(dist AS INTEGER) AS adc_dist FROM (
           SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
@@ -3544,7 +3556,7 @@ object Queries {
       (s, d) => {
         val base = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("v"))
         val codes = Similarity.pqEncode(base, "vec_id", "v", pqGridBooks)
-        val cand = Similarity.pqAdcTopK(base.where(pmod(col("vec_id"), lit(10L)) === 0),
+        val cand = Similarity.pqAdcTopK(base.where(annQueryPred),
           codes, "vec_id", "v", pqGridBooks, k = 20)
         Similarity.rerankExact(cand, base, "vec_id", "v", k = 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -3557,7 +3569,7 @@ object Queries {
           FROM iv),
         scored AS (SELECT b.vec_id AS qid, c.vec_id AS nid,
             list_sum([(b.w[i] - c.q[i]) * (b.w[i] - c.q[i]) FOR i IN generate_series(1, $LatDims)]) AS dist
-          FROM iv b JOIN codes c ON c.vec_id <> b.vec_id WHERE b.vec_id % 10 = 0),
+          FROM iv b JOIN codes c ON c.vec_id <> b.vec_id WHERE b.vec_id % 10 = 0 AND b.vec_id < 2048),
         cand AS (SELECT qid, nid FROM (
             SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS r
             FROM scored) WHERE r <= 20),
@@ -5657,8 +5669,8 @@ object Queries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val pred = Similarity.knnClassify(
-          e.where(col("vec_id") % 10 === 0), e, "vec_id", "embedding", "label", 5)
-        val qlab = e.where(col("vec_id") % 10 === 0)
+          e.where(annQueryPred), e, "vec_id", "embedding", "label", 5)
+        val qlab = e.where(annQueryPred)
           .select(col("vec_id").as("_qid"), col("label").as("_qlab"))
         pred.join(qlab.hint("merge"), col("query_id") === col("_qid"))
           .select(col("query_id"), col("pred_label"), col("votes"),
@@ -5666,7 +5678,7 @@ object Queries {
           .orderBy(col("query_id"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
-            FROM embeddings WHERE vec_id % 10 = 0),
+            FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2048),
           s AS (SELECT qid, vec_id AS nid, label AS nlab,
             list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
             (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
@@ -5840,12 +5852,12 @@ object Queries {
       // one conditional min(struct) agg, NULL when the class is absent
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.hardNegatives(e.where(col("vec_id") % 10 === 0), e,
+        Similarity.hardNegatives(e.where(annQueryPred), e,
             "vec_id", "embedding", "label", 10)
           .orderBy(col("query_id"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
-            FROM embeddings WHERE vec_id % 10 = 0),
+            FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2048),
           s AS (SELECT qid, qlab, vec_id AS nid, label AS nlab,
             list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
             (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
@@ -6131,12 +6143,12 @@ object Queries {
       // two-stage top-k as ann_cosine_topk over the thinned corpus
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.bruteForceTopK(e.where(col("vec_id") % 10 === 0),
+        Similarity.bruteForceTopK(e.where(annQueryPred),
             e.where(col("label") === 1), "vec_id", "embedding", 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2048),
         c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
         s AS (SELECT qid, vec_id AS nid,
           list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * embedding[i]::DOUBLE)) /
