@@ -6157,7 +6157,131 @@ object Queries {
           FROM c CROSS JOIN q WHERE vec_id <> qid)
         SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, nid AS neighbor_id FROM (
           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- round-10 wave: frontier / sequence / diff / recall ----
+
+    QueryDef("op_skyline",
+      // 2-D Pareto frontier over parts (minimize p_size, maximize
+      // p_retailprice) via the bounded-cost-domain group-cumsum shape —
+      // one corpus agg + a 50-row window + a broadcast probe, never the
+      // quadratic NOT-EXISTS. The oracle replays the same analytic.
+      (s, d) => Analytics.skyline2D(
+          t(s, d, "part").select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+          "p_size", "p_retailprice")
+        .orderBy(col("p_size"), col("p_partkey")),
+      Some("""WITH pc AS (SELECT p_size, max(p_retailprice) AS vmax FROM part GROUP BY 1),
+        fr AS (SELECT p_size, vmax FROM (
+            SELECT p_size, vmax,
+              max(vmax) OVER (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+            FROM pc) WHERE prev IS NULL OR vmax > prev)
+        SELECT p.p_partkey, p.p_size, p.p_retailprice
+        FROM part p JOIN fr ON p.p_size = fr.p_size AND p.p_retailprice = fr.vmax
+        ORDER BY p.p_size, p.p_partkey""")),
+
+    QueryDef("op_sequence_patterns",
+      // contiguous 3-gram pattern mining over per-user event timelines
+      // (the candidate-free PrefixSpan special case): one user-window
+      // pass, one bounded agg (≤|types|³ = 125 cells at any SF)
+      (s, d) => Analytics.sequencePatterns(eventsUs(s, d), col("user_id"),
+          Seq(col("ts_us"), col("event_id")), col("event_type"), k = 3)
+        .orderBySmall(col("n").desc, col("s0"), col("s1"), col("s2")),
+      Some("""WITH g AS (SELECT event_type AS s0,
+            lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+          FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        SELECT s0, s1, s2, CAST(count(*) AS BIGINT) AS n FROM g
+        WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1, 2, 3
+        ORDER BY n DESC, s0, s1, s2""")),
+
+    QueryDef("op_table_diff",
+      // lakehouse version diff: v1 is a deterministic mutation of orders
+      // (doubled prices on %10, deletes on %1000=7, inserts on %1000=1);
+      // tableDiff classifies every key in ONE null-safe full-outer SMJ,
+      // then a bounded 4-row status census with exact decimal sums
+      (s, d) => {
+        val v0 = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val v1 = v0.where(col("o_orderkey") % 1000 =!= 7)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+          .unionByName(v0.where(col("o_orderkey") % 1000 === 1)
+            .select((-col("o_orderkey") - 1).as("o_orderkey"),
+              lit(1.0).as("o_totalprice"), lit("O").as("o_orderstatus")))
+        Transforms.tableDiff(v0, v1, Seq("o_orderkey"),
+            Seq("o_totalprice", "o_orderstatus"))
+          .groupBy(col("diff_status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice_old").cast("decimal(28,2)")).cast("double").as("sum_old"),
+            sum(col("o_totalprice_new").cast("decimal(28,2)")).cast("double").as("sum_new"))
+          .orderBySmall(col("diff_status"))
+      },
+      Some("""WITH v0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        v1 AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+            o_orderstatus
+          FROM orders WHERE o_orderkey % 1000 <> 7
+          UNION ALL SELECT -o_orderkey - 1, 1.0, 'O' FROM orders WHERE o_orderkey % 1000 = 1),
+        dd AS (SELECT a.o_totalprice AS po, b.o_totalprice AS pn,
+            CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                 WHEN b.o_orderkey IS NULL THEN 'removed'
+                 WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'changed'
+                 ELSE 'unchanged' END AS diff_status
+          FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey)
+        SELECT diff_status, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(po AS DECIMAL(28,2))) AS DOUBLE) AS sum_old,
+          CAST(sum(CAST(pn AS DECIMAL(28,2))) AS DOUBLE) AS sum_new
+        FROM dd GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("ann_recall_at_k",
+      // the ANN EVALUATION harness: recall@5 of the IVF route→probe path
+      // against exact brute force, per query, as exact integers (hits ∈
+      // 0..5, recall in millionths) — the metric a 100-TB index tuning
+      // loop actually monitors. Composes the two existing operators on
+      // the integer lattice so the full funnel is hash-replayable.
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          latticeVec.as("embedding"))
+        val q = e.where(annQueryPred)
+        val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", "label",
+            k = 5, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+        exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("_hit"), lit(0))).cast("int").as("hits"))
+          .select(col("query_id"), col("hits"),
+            expr("CAST((hits * 1000000) div 5 AS BIGINT)").as("recall_millionths"))
+          .orderBySmall(col("query_id"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        ${meanCteSql("base", "label", "cent")},
+        routed AS (SELECT s.vec_id AS qid, s.v AS qv, cent.label,
+            ${cosSql("s.v", "cent.c")} AS c_sim
+          FROM base s CROSS JOIN cent WHERE s.vec_id % 10 = 0 AND s.vec_id < 2048),
+        probes AS (SELECT qid, qv, label FROM (
+            SELECT qid, qv, label,
+              row_number() OVER (PARTITION BY qid ORDER BY c_sim DESC, label ASC) AS pr
+            FROM routed) WHERE pr <= 3),
+        iscored AS (SELECT p.qid, s.vec_id AS nid, ${cosSql("p.qv", "s.v")} AS sim
+          FROM probes p JOIN base s ON p.label = s.label WHERE s.vec_id <> p.qid),
+        ivf AS (SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+            FROM iscored) WHERE r <= 5),
+        qq AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id % 10 = 0 AND vec_id < 2048),
+        escored AS (SELECT qq.qid, s.vec_id AS nid, ${cosSql("qq.qv", "s.v")} AS sim
+          FROM base s CROSS JOIN qq WHERE s.vec_id <> qq.qid),
+        exact AS (SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+            FROM escored) WHERE r <= 5)
+        SELECT e.qid AS query_id, CAST(count(i.nid) AS INTEGER) AS hits,
+          CAST(count(i.nid) * 1000000 // 5 AS BIGINT) AS recall_millionths
+        FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.nid = e.nid
+        GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------------------

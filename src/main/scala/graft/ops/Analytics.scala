@@ -1251,6 +1251,62 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
+    * `cost`, maximize `value`) — row r is dominated iff some other row has
+    * cost ≤ r.cost ∧ value ≥ r.value with at least one strict. Classic
+    * OLAP operator (Börzsönyi et al., ICDE 2001); the naive form is the
+    * quadratic NOT-EXISTS self-join, which dies at corpus scale.
+    *
+    * This implementation requires `cost` to have a BOUNDED DISTINCT
+    * DOMAIN (quantized — sizes, grades, bucketed prices), which turns the
+    * frontier into the aucExact group-cumsum shape: ONE corpus
+    * aggregation to per-cost maxima (map-side combined, ≤|domain| rows),
+    * an unpartitioned running-max window over that bounded table (lint-
+    * compliant: sits above an aggregate), and a broadcast join of the
+    * surviving frontier back onto the corpus. A row is on the skyline iff
+    * its value equals its cost's maximum AND that maximum strictly
+    * exceeds the best value over all strictly smaller costs (ties on the
+    * frontier point all survive — neither dominates the other without a
+    * strict inequality).
+    *
+    * Scale: one shuffle (the bounded agg) + one broadcast probe; never
+    * all-pairs. Output: the input rows on the frontier.
+    */
+  def skyline2D(df: DataFrame, costCol: String, valueCol: String): DataFrame = {
+    val perCost = df.groupBy(col(costCol).as("_sk_cost"))
+      .agg(max(col(valueCol)).as("_sk_vmax"))
+    val w = Window.orderBy(col("_sk_cost"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perCost
+      .withColumn("_sk_prev", max(col("_sk_vmax")).over(w))
+      .where(col("_sk_prev").isNull || col("_sk_vmax") > col("_sk_prev"))
+      .select(col("_sk_cost"), col("_sk_vmax"))
+    df.join(broadcast(frontier),
+        col(costCol) === col("_sk_cost") && col(valueCol) === col("_sk_vmax"))
+      .drop("_sk_cost", "_sk_vmax")
+  }
+
+  /** Ordered k-gram pattern mining over per-key event sequences: counts
+    * every length-`k` run of consecutive `state` values within each key's
+    * `order`-sorted timeline (PrefixSpan's contiguous special case — the
+    * form that needs no candidate generation). ONE window shuffle on the
+    * key (the k−1 `lead`s share a single frame sort) and one bounded
+    * aggregation: the output is ≤|states|^k cells regardless of corpus
+    * size. Sequences shorter than k contribute nothing; counts are exact
+    * integers. Output: pattern element columns `s0..s{k-1}` + `n`.
+    */
+  def sequencePatterns(df: DataFrame, key: Column, order: Seq[Column],
+                       state: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 8, "pattern length must be in [2,8]")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val cols = (0 until k).map(i =>
+      (if (i == 0) state else lead(state, i).over(w)).as(s"s$i"))
+    df.select(cols: _*)
+      .where((1 until k).map(i => col(s"s$i").isNotNull).reduce(_ && _))
+      .groupBy((0 until k).map(i => col(s"s$i")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Synchronous label-propagation community detection (LPA), made
     * DETERMINISTIC: labels start as node ids; each round every node
     * adopts the most frequent label among its neighbors with ties broken

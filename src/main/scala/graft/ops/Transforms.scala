@@ -155,4 +155,42 @@ object Transforms {
         lit(null).cast("long").as("valid_to"), lit("inserted").as("_action"))
     hist.unionByName(noop).unionByName(closed).unionByName(opened).unionByName(inserted)
   }
+
+  /** Row-level table diff — the lakehouse "what changed between version
+    * v0 and v1" operator (the read-side complement of op_time_travel's
+    * COW merge): one null-safe full-outer join on the natural key,
+    * classifying every key as added (absent in v0), removed (absent in
+    * v1), changed (present in both, any compared column differing
+    * null-safely), or unchanged. Output: the key columns + each compared
+    * column twice (`<c>_old`, `<c>_new`) + `diff_status`.
+    *
+    * Scale: ONE sort-merge join on the key (both sides corpus-sized —
+    * never broadcast), linear output. Keys must be unique per side (the
+    * usual primary-key contract; duplicate keys would cross-multiply in
+    * the join, as in any MERGE).
+    */
+  def tableDiff(v0: DataFrame, v1: DataFrame, keys: Seq[String],
+                compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compare.nonEmpty)
+    val a = v0.select((keys ++ compare).map(col): _*).alias("a")
+    val b = v1.select((keys ++ compare).map(col): _*).alias("b")
+    // usingColumns full_outer coalesces the key columns. Presence flags:
+    // a key exists on a side iff the join found a row there — tracked via
+    // a literal marker column, not value nullness (a present row may have
+    // all-null compared values). Value comparison is <=> so null→value
+    // and value→null transitions classify as changed, not unchanged.
+    val am = a.withColumn("_a_present", lit(1)).alias("a2")
+    val bm = b.withColumn("_b_present", lit(1)).alias("b2")
+    val j2 = am.join(bm.hint("merge"), keys, "full_outer")
+    val changed = compare.map(c => !(col(s"a2.`$c`") <=> col(s"b2.`$c`")))
+      .reduce(_ || _)
+    j2.select(
+      keys.map(col) ++
+        compare.flatMap(c => Seq(col(s"a2.`$c`").as(s"${c}_old"),
+          col(s"b2.`$c`").as(s"${c}_new"))) :+
+        when(col("_a_present").isNull, lit("added"))
+          .when(col("_b_present").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")).as("diff_status"): _*)
+  }
 }

@@ -557,4 +557,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.isEmpty).forall(!_._3))
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
+
+  test("skyline2D == quadratic NOT-EXISTS dominance; frontier ties all survive") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1, 10.0), (2L, 1, 10.0),   // tied frontier point: both survive
+      (3L, 1, 5.0),                   // dominated at same cost
+      (4L, 2, 12.0),                  // frontier (higher cost, higher value)
+      (5L, 2, 10.0),                  // dominated by (1,10): cost strict
+      (6L, 3, 12.0),                  // dominated by (2,12): cost strict
+      (7L, 5, 15.0), (8L, 4, 1.0)     // frontier; dominated
+    ).toDF("id", "cost", "value")
+    val got = Analytics.skyline2D(rows, "cost", "value")
+      .select($"id").as[Long].collect().toSet
+    // reference: quadratic dominance check
+    val all = rows.as[(Long, Int, Double)].collect()
+    val want = all.filter { case (i, c, v) =>
+      !all.exists { case (j, c2, v2) =>
+        j != i && c2 <= c && v2 >= v && (c2 < c || v2 > v) }
+    }.map(_._1).toSet
+    assert(got === want && got === Set(1L, 2L, 4L, 7L))
+    // adversarial all-equal input: nothing dominates anything at ONE cost;
+    // every row of the minimal cost survives, higher costs are dominated
+    val flat = (1L to 20L).map(i => (i, (i % 4).toInt, 7.0)).toDF("id", "cost", "value")
+    val gotFlat = Analytics.skyline2D(flat, "cost", "value")
+      .select($"cost").distinct().as[Int].collect().toSeq
+    assert(gotFlat === Seq(0))
+  }
+
+  test("sequencePatterns: contiguous k-grams per key, exact counts, short keys drop") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "b"), (1L, 5L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y")  // shorter than k: contributes nothing
+    ).toDF("u", "t", "s")
+    val got = Analytics.sequencePatterns(ev, col("u"), Seq(col("t")), col("s"), k = 3)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", "c", 2L), ("b", "c", "b", 1L), ("c", "b", "c", 1L)))
+  }
 }

@@ -490,7 +490,14 @@ class PlanSpec extends SparkSpec {
           // one conditional-sum agg
           "ml_ab_test" -> 2,
           // dim window + update full-outer + census
-          "op_scd2_merge" -> 5)) {
+          "op_scd2_merge" -> 5,
+          // round-10 wave (measured floors + 1 slack): skyline = corpus
+          // agg + broadcast frontier build + output range sort (3);
+          // sequence patterns / table diff are single-shuffle bounded
+          // census shapes (1); recall eval pays the query broadcast +
+          // two topk aggs + final (4)
+          "op_skyline" -> 4, "op_sequence_patterns" -> 2,
+          "op_table_diff" -> 2, "ann_recall_at_k" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -130,4 +130,29 @@ class TransformsSpec extends SparkSpec {
     val again = graft.ops.Transforms.scd2Apply(out.drop("_action"), upd)
     assert(again.where($"_action".isin("closed", "opened", "inserted")).count() === 0L)
   }
+
+  test("tableDiff: added/removed/changed/unchanged classified; null transitions are changes") {
+    import spark.implicits._
+    val v0 = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+        (3L, None: Option[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "p", "s")
+    val v1 = Seq((1L, Some(10.0), "a"),          // unchanged
+        (2L, Some(99.0), "b"),                   // changed (value)
+        (3L, Some(30.0), "c"),                   // changed (null -> value)
+        (5L, Some(50.0), "e"))                   // added; 4 removed
+      .toDF("k", "p", "s")
+    val d = graft.ops.Transforms.tableDiff(v0, v1, Seq("k"), Seq("p", "s"))
+    val by = d.select($"k", $"diff_status").as[(Long, String)].collect().toMap
+    assert(by === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // old/new payloads: removed keys carry only _old, added only _new
+    val r4 = d.where($"k" === 4).head()
+    assert(r4.getAs[Double]("p_old") === 40.0 && r4.isNullAt(r4.fieldIndex("p_new")))
+    val r5 = d.where($"k" === 5).head()
+    assert(r5.isNullAt(r5.fieldIndex("p_old")) && r5.getAs[Double]("p_new") === 50.0)
+    // an all-null compared row present on both sides is unchanged (null <=> null)
+    val n0 = Seq((9L, None: Option[Double], null.asInstanceOf[String])).toDF("k", "p", "s")
+    assert(graft.ops.Transforms.tableDiff(n0, n0, Seq("k"), Seq("p", "s"))
+      .head().getAs[String]("diff_status") === "unchanged")
+  }
 }
