@@ -6281,7 +6281,94 @@ object Queries {
         SELECT e.qid AS query_id, CAST(count(i.nid) AS INTEGER) AS hits,
           CAST(count(i.nid) * 1000000 // 5 AS BIGINT) AS recall_millionths
         FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.nid = e.nid
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("txt_doc_surprisal",
+      // LM-based document quality: per-doc mean inverse bigram transition
+      // probability in exact integer millionths (the log-free perplexity
+      // stand-in — see TextAnalysis.docSurprisal's scaladoc), one final
+      // IEEE division per doc
+      (s, d) => TextAnalysis.docSurprisal(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        g AS (SELECT doc_id,
+            unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+          FROM tk WHERE len(toks) >= 2),
+        nb AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_xy FROM g GROUP BY 1),
+        nx AS (SELECT split_part(gram, ' ', 1) AS x, CAST(count(*) AS BIGINT) AS n_x
+          FROM g GROUP BY 1),
+        terms AS (SELECT g.doc_id, 1000000 * nx.n_x // nb.n_xy AS t
+          FROM g JOIN nb USING (gram) JOIN nx ON nx.x = split_part(g.gram, ' ', 1))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(t) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal
+        FROM terms GROUP BY 1 ORDER BY doc_id""")),
+
+    QueryDef("mm_audio_neardup",
+      // END-TO-END audio near-duplicate detection through the REAL codec
+      // (mm_image_near_dup's shape for sound): encode WAVs whose 64
+      // constant-amplitude 16-frame windows draw a deterministic energy
+      // contour — groups of 4 consecutive decimated ids share a base
+      // contour, members m>0 boost windows {5m, 5m+1} by 500, flipping at
+      // most the two boundary delta bits — fingerprint with
+      // Multimodal.audioFingerprint (63 sign-of-derivative bits), pair
+      // via the SAME 4×16-bit pigeonhole band join the image/text dedup
+      // families use. The oracle replays contour, bits, and the hamming
+      // criterion analytically, so codec, fingerprint, and LSH must all
+      // agree bit for bit.
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 7 === 0).as[Long]
+        val wav = ids.mapPartitions { it =>
+          it.map { id =>
+            val j = id / 7; val g = j / 4; val m = (j % 4).toInt
+            val pcm = new Array[Byte](64 * 16 * 2)
+            var w = 0
+            while (w < 64) {
+              val base = ((g * 31 + w * 17) % 997 + 10).toInt
+              val amp = (base +
+                (if (m > 0 && (w == 5 * m || w == 5 * m + 1)) 500 else 0)).toShort
+              var f = 0
+              while (f < 16) {
+                val i = w * 16 + f
+                pcm(2 * i) = (amp & 0xff).toByte; pcm(2 * i + 1) = (amp >> 8).toByte
+                f += 1
+              }
+              w += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, 1024L),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        val fp = Multimodal.audioFingerprint(wav, "vec_id", windows = 64)
+          .where(col("ok")).select(col("id"), col("fp"))
+        Dedup.hammingNearDupPairs(fp, "id", "fp", maxHamming = 3)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH sel AS (SELECT vec_id, (vec_id // 7) // 4 AS g, (vec_id // 7) % 4 AS m
+            FROM embeddings WHERE vec_id % 7 = 0),
+        amp AS (SELECT vec_id, w,
+            (g * 31 + w * 17) % 997 + 10 +
+              CASE WHEN m > 0 AND (w = 5 * m OR w = 5 * m + 1) THEN 500 ELSE 0 END AS a
+          FROM sel CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS w)),
+        dd AS (SELECT vec_id, w, a AS a0,
+            lead(a) OVER (PARTITION BY vec_id ORDER BY w) AS a1 FROM amp),
+        fp AS (SELECT vec_id,
+            CAST(sum(CASE WHEN a1 > a0 THEN 1::BIGINT << w ELSE 0 END) AS BIGINT) AS f
+          FROM dd WHERE a1 IS NOT NULL GROUP BY 1)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+        ORDER BY id_a, id_b"""))
   )
 
   // ------------------------------------------------------------------

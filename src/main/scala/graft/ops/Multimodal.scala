@@ -341,6 +341,68 @@ object Multimodal {
       .toDF()
   }
 
+  /** One audio fingerprint row. `ok = false` marks undecodable payloads. */
+  final case class AudioFp(id: Long, ok: Boolean, fp: Long)
+
+  /** 63-bit ENERGY-CONTOUR audio fingerprint — the audio member of the
+    * perceptual-hash family (aHash/wHash for images): decode 16-bit PCM,
+    * split the sample stream into `windows` equal windows, per-window
+    * integer energy Σ|amplitude| (exact, stream-ordered), then one bit
+    * per adjacent-window delta (`bit_k = energy_{k+1} > energy_k` — the
+    * sign-of-derivative contour, robust to uniform gain). Bits 0..w−2 of
+    * a long, so ≤ 64 windows keeps the value positive. Trailing samples
+    * beyond `windows·⌊n/windows⌋` are ignored; multi-channel samples fold
+    * into the same contour (channel-agnostic by construction). Feeds
+    * [[graft.ops.Dedup.hammingNearDupPairs]] for corpus-scale audio
+    * near-dup via the 4×16-bit pigeonhole band join — bucketed equi-join,
+    * never all-pairs. Undecodable / non-16-bit / too-short payloads flag
+    * `ok = false` rather than failing the stage.
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, windows: Int = 64): DataFrame = {
+    require(windows >= 2 && windows <= 64)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val none = AudioFp(id, ok = false, 0L)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) none
+            else {
+              val data = in.readAllBytes()
+              val nSamples = data.length / 2
+              val per = nSamples / windows
+              if (per == 0) none
+              else {
+                val e = new Array[Long](windows)
+                var w = 0
+                while (w < windows) {
+                  var i = w * per; val end = i + per; var s = 0L
+                  while (i < end) {
+                    val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+                    s += math.abs(v); i += 1
+                  }
+                  e(w) = s; w += 1
+                }
+                var fp = 0L; var k = 0
+                while (k < windows - 1) {
+                  if (e(k + 1) > e(k)) fp |= (1L << k)
+                  k += 1
+                }
+                AudioFp(id, ok = true, fp)
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => none }
+        }
+      }
+      .toDF()
+  }
+
   /** REAL audio downsample by integer factor: decode WAV/PCM, keep every
     * `factor`-th FRAME (all channels of it — frame-aligned, unlike naive
     * byte decimation), re-encode WAV at rate/factor. Plain decimation

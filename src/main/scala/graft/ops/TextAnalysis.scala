@@ -707,6 +707,47 @@ object TextAnalysis {
           .as("avg_unigram_freq"))
   }
 
+  /** Per-document bigram SURPRISAL score — the LM-based quality signal a
+    * training-data pipeline ranks documents by (high mean surprisal =
+    * improbable transitions = noise/garble; low = boilerplate): for every
+    * bigram occurrence (x,y), the inverse conditional transition
+    * probability `1/P(y|x) = n_x / n_xy` in integer MILLIONTHS
+    * (`10⁶·n_x div n_xy` — exact, engine-portable; the log-prob
+    * perplexity variant would flake on libm last-ulp differences, the
+    * [[unigramFreqScore]] lesson applied to transitions). `n_x` counts x
+    * as a bigram HEAD (= occurrences of x followed by anything), so every
+    * term is ≥ 10⁶ and a doc of pure corpus boilerplate scores exactly
+    * 10⁶·(distinct-continuation mass). The per-doc mean is one final
+    * IEEE division of exact integers.
+    *
+    * Scale: one bigram explode (kernel-built grams off a MATERIALIZED
+    * token column), two count aggregations over it, two SORT-MERGE joins
+    * back (bigram and head vocabularies are unbounded — never
+    * broadcast), one per-doc aggregation. Overflow contract: terms are
+    * longs, so 10⁶·max(n_x) must stay < 2⁶³ — good to ~9·10¹² occurrences
+    * of one head token; beyond that cast the term to DECIMAL first.
+    * Output: (id, n_bigrams, mean_surprisal); docs with < 2 tokens have
+    * no transitions and drop.
+    */
+  def docSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(Dedup.gramsFromTokens(col("_toks"), 2)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nXy = occ.groupBy(col("gram")).agg(count(lit(1)).as("n_xy"))
+    val nX = occ.groupBy(substring_index(col("gram"), " ", 1).as("_x"))
+      .agg(count(lit(1)).as("n_x"))
+    occ.join(nXy.hint("merge"), Seq("gram"))
+      .withColumn("_x", substring_index(col("gram"), " ", 1))
+      .join(nX.hint("merge"), Seq("_x"))
+      .withColumn("_t", expr("1000000 * n_x div n_xy"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_t")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("_s").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_surprisal"))
+  }
+
   /** Tiny per-language stopword marker sets used by the n-gram-heuristic
     * language scorer. Deterministic and oracle-expressible (IN-lists).
     */

@@ -497,7 +497,10 @@ class PlanSpec extends SparkSpec {
           // census shapes (1); recall eval pays the query broadcast +
           // two topk aggs + final (4)
           "op_skyline" -> 4, "op_sequence_patterns" -> 2,
-          "op_table_diff" -> 2, "ann_recall_at_k" -> 5)) {
+          "op_table_diff" -> 2, "ann_recall_at_k" -> 5,
+          // surprisal = bigram persist + census joins in one pass + range
+          // sort; audio neardup = codec funnel + band join + sort
+          "txt_doc_surprisal" -> 3, "mm_audio_neardup" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

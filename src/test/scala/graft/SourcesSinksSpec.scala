@@ -225,6 +225,38 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.getBoolean(1) && back.getLong(4) == 100L && back.getInt(5) == 1234)
   }
 
+  test("audioFingerprint: analytic contour bits; gain invariance; a window boost flips only boundary bits") {
+    // 4 windows × 4 frames of constant amplitudes — energies 4·a_w, so
+    // bit_k = (a_{k+1} > a_k) exactly
+    def wav(amps: Seq[Short]): Array[Byte] = {
+      val per = 4
+      val pcm = new Array[Byte](amps.length * per * 2)
+      for ((a, w) <- amps.zipWithIndex; f <- 0 until per) {
+        val i = w * per + f
+        pcm(2 * i) = (a & 0xff).toByte; pcm(2 * i + 1) = (a >> 8).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, (amps.length * per).toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = Seq[Short](100, 300, 200, 400)        // deltas: up, down, up → 0b101
+    val gain = base.map(a => (a * 2).toShort)        // uniform gain: same contour
+    val boost = Seq[Short](100, 300, 900, 400)       // window 2 boosted: flips both boundary bits
+    val df = Seq((1L, wav(base)), (2L, wav(gain)), (3L, wav(boost)),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = graft.ops.Multimodal.audioFingerprint(df, "id", windows = 4)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got(1L) === ((true, 5L)), s"contour bits wrong: ${got(1L)}")
+    assert(got(2L) === ((true, 5L)), "uniform gain must not change the contour")
+    assert(got(3L) === ((true, 3L)), "boost flips exactly the two boundary delta bits")  // up, up, down
+    assert(java.lang.Long.bitCount(got(1L)._2 ^ got(3L)._2) === 2)
+    assert(!got(4L)._1, "junk bytes must flag ok=false")
+  }
+
   test("processNewPartitions honors the ledger for a RELATIVE dest path (qualified-path regression)") {
     // fs.listFiles returns qualified paths; an unqualified relative root
     // used to never match them, emptying the ledger and re-appending every

@@ -510,6 +510,20 @@ class TextPipelineSpec extends SparkSpec {
       graft.ops.TextAnalysis.c4Filters(d, "doc_id", "text").schema)
   }
 
+  test("docSurprisal: hand-computed bigram head/transition counts; short docs drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // corpus bigrams: "a b"×3, "b a"×1, "b c"×1; heads: a→3, b→2
+    // d1 terms: 10⁶·3/3, 10⁶·2/1, 10⁶·3/3 → mean 4e6/3
+    // d2 terms: 10⁶·3/3, 10⁶·2/1 → mean 1.5e6
+    val got = graft.ops.TextAnalysis.docSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 4000000.0 / 3.0),
+      (2L, 2L, 1500000.0)))
+  }
+
   test("invertedIndexHead: df/cf exact, posting prefix ordered and bounded") {
     val docs = Seq(
       (3L, "apple banana apple"),
