@@ -6368,7 +6368,80 @@ object Queries {
           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
         FROM fp a JOIN fp b ON a.vec_id < b.vec_id
         WHERE bit_count(xor(a.f, b.f)) <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    QueryDef("op_gini_impurity",
+      // per-source Gini impurity of the language mix — the EXACT
+      // (log-free) diversity signal; decimal squares mirror HUGEINT,
+      // one final float division
+      (s, d) => Analytics.giniImpurity(t(s, d, "documents"),
+          col("source"), col("lang"))
+        .select(col("grp").as("source"), col("n"), col("gini"))
+        .orderBySmall(col("source")),
+      Some("""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+          g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, sum(c * c) AS ssq
+            FROM c GROUP BY 1)
+        SELECT source, n,
+          CAST(n::HUGEINT * n - ssq AS DOUBLE) / CAST(n::HUGEINT * n AS DOUBLE) AS gini
+        FROM g ORDER BY source""")),
+
+    QueryDef("op_benford",
+      // Benford first-digit audit over order totals (integer cents):
+      // exact observed shares vs the PRECOMPUTED log10(1+1/d) literal
+      // table — no query-time logs, so both engines agree bit for bit
+      (s, d) => Analytics.benfordAudit(t(s, d, "orders"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .orderBySmall(col("digit")),
+      Some("""WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+          c AS (SELECT CAST(substring(CAST(x AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+              CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+          e AS (SELECT digit, n,
+              CAST(1000000 * n // total AS BIGINT) AS observed_millionths,
+              CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+                WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757 END AS BIGINT)
+                AS expected_millionths
+            FROM c CROSS JOIN t)
+        SELECT digit, n, observed_millionths, expected_millionths,
+          abs(observed_millionths - expected_millionths) AS deviation_millionths
+        FROM e ORDER BY digit""")),
+
+    QueryDef("op_weighted_median",
+      // weighted median of quantity weighted by price, per returnflag —
+      // the aucExact group-cumsum shape for weighted quantiles: exact
+      // decimal weights over the bounded quantity domain, lower-median
+      // pick by exact comparison
+      (s, d) => Analytics.weightedMedianQuantized(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), scale = 2)
+        .select(col("grp").as("l_returnflag"), col("median"), col("total_weight"))
+        .orderBySmall(col("l_returnflag")),
+      Some("""WITH wq AS (SELECT l_returnflag AS g, l_quantity AS v,
+            sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS w
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT g, v, w,
+            sum(w) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(w) OVER (PARTITION BY g) AS tot
+          FROM wq)
+        SELECT g AS l_returnflag, min(CASE WHEN cum * 2 >= tot THEN v END) AS median,
+          CAST(max(tot) AS DOUBLE) AS total_weight
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("mix_curriculum",
+      // curriculum interleave: per-source difficulty rank (easy first,
+      // key ties) — sorting by (rank, source, key) is the round-robin
+      // schedule; no corpus-wide row_number is ever materialized
+      (s, d) => Sampling.curriculumInterleave(t(s, d, "documents"),
+          col("doc_id"), col("source"), col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("curriculum_rank"))
+        .orderBy(col("curriculum_rank"), col("source"), col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INTEGER)
+            AS curriculum_rank
+        FROM documents ORDER BY curriculum_rank, source, doc_id"""))
   )
 
   // ------------------------------------------------------------------

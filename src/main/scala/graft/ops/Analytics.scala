@@ -1251,6 +1251,81 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Per-group Gini impurity of a label distribution — the log-free
+    * diversity/purity signal (the entropy stand-in that stays EXACT:
+    * 1 − Σp² is pure rational arithmetic, while Shannon entropy's ln
+    * flakes on libm last-ulp differences across engines). Computed as
+    * `(n² − Σ n_l²) / n²` with the integer squares in DECIMAL(38,0)
+    * (mirrors DuckDB HUGEINT; n_l² overflows BIGINT near 3·10⁹ rows per
+    * label) and ONE final float division of two exactly-converted
+    * values. Two aggregations, both map-side combined; output bounded by
+    * |groups|. Output: (group, n, gini).
+    */
+  def giniImpurity(df: DataFrame, group: Column, label: Column): DataFrame =
+    df.groupBy(group.as("grp"), label.as("_lbl"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("_c")).as("n"),
+        sum(col("_c").cast("decimal(38,0)") * col("_c")).as("_ssq"))
+      .select(col("grp"), col("n"),
+        ((col("n").cast("decimal(38,0)") * col("n") - col("_ssq")).cast("double") /
+          (col("n").cast("decimal(38,0)") * col("n")).cast("double")).as("gini"))
+
+  /** Benford's-law first-digit audit — the classic fraud/data-quality
+    * screen: distribution of the leading digit of a positive integer
+    * measure vs the Benford expectation. The observed share is the exact
+    * integer `10⁶·count div total`; the expectation `log10(1+1/d)` is a
+    * PRECOMPUTED literal table in millionths (embedding the constants —
+    * not computing logs at query time — keeps both engines bit-identical;
+    * the docSurprisal/gini log-avoidance discipline). The leading digit
+    * comes from the value's decimal string (exact for integers; no float
+    * log10). One bounded aggregation (≤9 cells) + a broadcast scalar
+    * total. Output: (digit, n, observed_millionths, expected_millionths,
+    * deviation_millionths) for digits 1-9 present in the data.
+    */
+  val benfordExpectedMillionths: Map[Int, Long] = Map(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  def benfordAudit(df: DataFrame, valueInt: Column): DataFrame = {
+    val digit = substring(valueInt.cast("string"), 1, 1).cast("int")
+    val counts = df.where(valueInt > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    val expected = benfordExpectedMillionths.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("1000000 * n div _total").as("observed_millionths"),
+        expected.as("expected_millionths"))
+      .withColumn("deviation_millionths",
+        abs(col("observed_millionths") - col("expected_millionths")))
+  }
+
+  /** Weighted median over a QUANTIZED value domain — the aucExact
+    * group-cumsum shape applied to weighted quantiles: per (group,
+    * value) exact DECIMAL weight sums (ONE corpus shuffle, map-side
+    * combined, ≤|groups|·|domain| rows), then the running weight within
+    * each group's bounded value list and the smallest value whose
+    * doubled cumulative weight reaches the group total (the lower
+    * weighted median — deterministic, no interpolation, exact decimal
+    * comparisons). Output: (group, median, total_weight).
+    */
+  def weightedMedianQuantized(df: DataFrame, group: Column, value: Column,
+                              weight: Column, scale: Int = 2): DataFrame = {
+    val wq = df.groupBy(group.as("grp"), value.as("v"))
+      .agg(sum(weight.cast(s"decimal(38,$scale)")).as("w"))
+    val wc = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(col("grp"))
+    wq.withColumn("_cum", sum(col("w")).over(wc))
+      .withColumn("_tot", sum(col("w")).over(wt))
+      .groupBy(col("grp"))
+      .agg(min(when(col("_cum") * 2 >= col("_tot"), col("v"))).as("median"),
+        max(col("_tot")).cast("double").as("total_weight"))
+  }
+
   /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
     * `cost`, maximize `value`) — row r is dominated iff some other row has
     * cost ≤ r.cost ∧ value ≥ r.value with at least one strict. Classic

@@ -224,4 +224,23 @@ object Sampling {
       .where(col("epoch") < fullCopies ||
         hashBucket(concat_ws("#", key.cast("string"), col("epoch").cast("string"))) < frac)
   }
+
+  /** Curriculum interleave — the training-data ORDERING op: rank each
+    * document within its source by a difficulty measure (easy first;
+    * ties broken by key for determinism), so sorting the output by
+    * `(curriculum_rank, source, key)` yields a round-robin schedule that
+    * advances all sources through their difficulty curricula in lockstep
+    * (no source's hard tail is ever front-loaded). ONE window shuffle on
+    * the source; the rank is the schedule key — no corpus-wide
+    * row_number is ever materialized (a global position would be an
+    * unpartitioned window over the corpus, the exact shape the plan lint
+    * rejects). Callers write the output sorted by the schedule key and
+    * stream it in order.
+    */
+  def curriculumInterleave(docs: DataFrame, key: Column, source: Column,
+                           difficulty: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy(difficulty.asc, key.asc)
+    docs.withColumn("curriculum_rank", row_number().over(w))
+  }
 }

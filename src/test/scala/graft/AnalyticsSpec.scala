@@ -558,6 +558,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("giniImpurity: pure group 0, uniform k-way (k-1)/k, exact mixed case") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"),          // pure → 0
+      ("b", "x"), ("b", "y"),                                  // 2-way uniform → 1/2
+      ("c", "x"), ("c", "x"), ("c", "y"), ("c", "z"))          // (16-6)/16
+      .toDF("g", "l")
+    val got = Analytics.giniImpurity(df, col("g"), col("l"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 3L, 0.0), ("b", 2L, 0.5), ("c", 4L, 10.0 / 16.0)))
+  }
+
+  test("benfordAudit: planted digit distribution, exact shares, literal expectations") {
+    import spark.implicits._
+    // 30 values leading 1, 10 leading 2, 10 leading 9; zero/negative drop
+    val vals = (Seq.fill(30)(1234L) ++ Seq.fill(10)(27L) ++ Seq.fill(10)(900L) ++
+      Seq(0L, -5L)).toDF("v")
+    val got = Analytics.benfordAudit(vals, col("v"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1, 30L, 600000L), (2, 10L, 200000L), (9, 10L, 200000L)))
+    assert(got.forall(r => r._4 == Analytics.benfordExpectedMillionths(r._1)))
+    assert(got.forall(r => r._5 == math.abs(r._3 - r._4)))
+  }
+
+  test("weightedMedianQuantized: lower median by exact decimal cumsum; tie hits the boundary value") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 10.0), ("g", 2.0, 10.0), ("g", 3.0, 20.0),   // cum: 10,20,40; tot 40
+      ("h", 5.0, 1.0), ("h", 6.0, 1.0))                                   // exact tie: 2·1 >= 2 at v=5
+      .toDF("k", "v", "w")
+    val got = Analytics.weightedMedianQuantized(df, col("k"), col("v"), col("w"))
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("g", 2.0, 40.0), ("h", 5.0, 2.0)))
+  }
+
+  test("curriculumInterleave: per-source rank easy-first, deterministic ties, no global window") {
+    import spark.implicits._
+    val df = Seq((1L, "s1", 10), (2L, "s1", 5), (3L, "s1", 5),
+      (4L, "s2", 99), (5L, "s2", 1)).toDF("id", "src", "diff")
+    val got = graft.ops.Sampling.curriculumInterleave(df, col("id"), col("src"), col("diff"))
+      .select($"id", $"curriculum_rank").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
+  }
+
   test("skyline2D == quadratic NOT-EXISTS dominance; frontier ties all survive") {
     import spark.implicits._
     val rows = Seq(

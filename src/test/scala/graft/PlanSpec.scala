@@ -500,7 +500,11 @@ class PlanSpec extends SparkSpec {
           "op_table_diff" -> 2, "ann_recall_at_k" -> 5,
           // surprisal = bigram persist + census joins in one pass + range
           // sort; audio neardup = codec funnel + band join + sort
-          "txt_doc_surprisal" -> 3, "mm_audio_neardup" -> 4)) {
+          "txt_doc_surprisal" -> 3, "mm_audio_neardup" -> 4,
+          // single-agg census shapes (1-2); benford pays the scalar
+          // total broadcast; curriculum is one window + range sort
+          "op_gini_impurity" -> 2, "op_benford" -> 3,
+          "op_weighted_median" -> 2, "mix_curriculum" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
