@@ -6430,6 +6430,38 @@ object Queries {
           CAST(max(tot) AS DOUBLE) AS total_weight
         FROM c GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("op_mann_whitney",
+      // nonparametric two-sample test: does quantity distribute
+      // differently across linestatus F vs O? Exact doubled-midrank
+      // algebra over the bounded quantity domain; only z is float (one
+      // fixed IEEE expression sequence — see mannWhitney's scaladoc)
+      (s, d) => Analytics.mannWhitney(t(s, d, "lineitem"),
+        col("l_quantity"), col("l_linestatus") === "F"),
+      Some("""WITH cells AS (SELECT l_quantity AS v,
+            CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(count(*) AS BIGINT) AS ct
+          FROM lineitem GROUP BY 1),
+        ranked AS (SELECT ca, ct,
+            coalesce(CAST(sum(ct) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+          FROM cells),
+        m AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(ct) AS BIGINT) AS n,
+            sum(ca::HUGEINT * (below * 2 + ct + 1)) AS r1x2,
+            sum(ct::HUGEINT * ct * ct - ct) AS ties
+          FROM ranked),
+        s1 AS (SELECT n1, n - n1 AS n2, n, r1x2, ties FROM m),
+        s2 AS (SELECT n1, n2,
+            n1::HUGEINT * n2 * 2 + n1::HUGEINT * (n1 + 1) - r1x2 AS u1x2,
+            n1::HUGEINT * n2 * ((n + 1)::HUGEINT * n * (n - 1) - ties) AS v12,
+            n
+          FROM s1)
+        SELECT n1, n2, CAST(u1x2 AS DOUBLE) AS u1_x2,
+          CASE WHEN v12 > 0 AND n1 > 0 AND n2 > 0 THEN
+            (CAST(u1x2 - n1::HUGEINT * n2 AS DOUBLE) / 2) /
+              sqrt(CAST(v12 AS DOUBLE) / CAST(12::HUGEINT * n * (n - 1) AS DOUBLE))
+          END AS z
+        FROM s2""")),
+
     QueryDef("mix_curriculum",
       // curriculum interleave: per-source difficulty rank (easy first,
       // key ties) — sorting by (rank, source, key) is the round-robin

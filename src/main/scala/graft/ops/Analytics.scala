@@ -1251,6 +1251,51 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test over a QUANTIZED
+    * value domain — the nonparametric A/B readout for non-normal metrics
+    * (latencies, prices), exact where every engine's naive ranking
+    * flakes: ranks come from the bounded per-value census (the aucExact
+    * group-cumsum shape, ONE corpus shuffle), midrank ties are kept
+    * integral by working in DOUBLED ranks (2·midrank = 2·below + t + 1),
+    * and every moment (R₁, U₁, the tie-corrected variance numerator) is
+    * an exact DECIMAL(38,0) integer — BIGINT products overflow at corpus
+    * scale, and t³ terms stay in range to ~10¹² rows per value. Only the
+    * final z is floating point: the fixed expression sequence
+    * `((2U₁−n₁n₂)/2) / sqrt(V₁₂ / (12n(n−1)))` — each step a
+    * deterministic IEEE op on exactly-converted values, so
+    * engine-portable (the cosSql discipline). Degenerate inputs (empty
+    * group, all values tied) yield NULL z, never a division error.
+    * Output (one row): n1, n2, u1_x2 (doubled U₁, exact), z.
+    */
+  def mannWhitney(df: DataFrame, value: Column, isGroupA: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.groupBy(value.as("v"))
+      .agg(sum(when(isGroupA, 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("ct"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("below", coalesce(sum(col("ct")).over(w), lit(0L)))
+      .select(col("ca"), col("ct"),
+        (d(col("ca")) * (col("below") * 2 + col("ct") + 1)).as("r1x2_term"),
+        (d(col("ct")) * col("ct") * col("ct") - col("ct")).as("ties_term"))
+    val m = ranked.agg(sum(col("ca")).as("n1"), sum(col("ct")).as("n"),
+      sum(col("r1x2_term")).as("r1x2"), sum(col("ties_term")).as("ties"))
+    m.select(col("n1"), (col("n") - col("n1")).as("n2"), col("n"),
+        col("r1x2"), col("ties"))
+      .select(col("n1"), col("n2"),
+        (d(col("n1")) * col("n2") * 2 + d(col("n1")) * (col("n1") + 1) -
+          col("r1x2")).as("_u1x2"),
+        (d(col("n1")) * col("n2") *
+          (d(col("n") + 1) * col("n") * (col("n") - 1) - col("ties"))).as("_v12"),
+        col("n"))
+      .select(col("n1"), col("n2"), col("_u1x2").cast("double").as("u1_x2"),
+        when(col("_v12") > 0 && col("n1") > 0 && col("n2") > 0,
+          ((col("_u1x2") - d(col("n1")) * col("n2")).cast("double") / lit(2.0)) /
+            sqrt(col("_v12").cast("double") /
+              (d(lit(12)) * col("n") * (col("n") - 1)).cast("double")))
+          .as("z"))
+  }
+
   /** Per-group Gini impurity of a label distribution — the log-free
     * diversity/purity signal (the entropy stand-in that stays EXACT:
     * 1 − Σp² is pure rational arithmetic, while Shannon entropy's ln

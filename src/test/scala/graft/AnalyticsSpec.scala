@@ -558,6 +558,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("mannWhitney: hand-computed doubled midranks, tie correction, degenerate NULL z") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: R1 = 1 + 2.5 → doubled 7; U1 = 3.5 (u1_x2 = 7);
+    // ties t=2 at v=2 → V12 = 4·(5·4·3 − 6) = 216, var = 1.5, z = 1.5/√1.5
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false)).toDF("v", "a")
+    val r = Analytics.mannWhitney(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Double]("u1_x2") === 7.0)
+    assert(r.getAs[Double]("z") === 1.5 / math.sqrt(1.5))
+    // all values tied -> zero variance -> NULL z, exact U still emitted
+    val tied = Seq((5.0, true), (5.0, false), (5.0, true)).toDF("v", "a")
+    val rt = Analytics.mannWhitney(tied, col("v"), col("a")).head()
+    assert(rt.getAs[Double]("u1_x2") === 2.0 && rt.isNullAt(rt.fieldIndex("z")))
+    // one-sided input -> NULL z
+    val one = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    assert(Analytics.mannWhitney(one, col("v"), col("a")).head()
+      .isNullAt(3))
+  }
+
   test("giniImpurity: pure group 0, uniform k-way (k-1)/k, exact mixed case") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "x"), ("a", "x"),          // pure → 0

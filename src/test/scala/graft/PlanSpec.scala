@@ -504,7 +504,9 @@ class PlanSpec extends SparkSpec {
           // single-agg census shapes (1-2); benford pays the scalar
           // total broadcast; curriculum is one window + range sort
           "op_gini_impurity" -> 2, "op_benford" -> 3,
-          "op_weighted_median" -> 2, "mix_curriculum" -> 3)) {
+          "op_weighted_median" -> 2, "mix_curriculum" -> 3,
+          // one census agg + bounded window folds
+          "op_mann_whitney" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
