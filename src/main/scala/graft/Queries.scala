@@ -6430,6 +6430,48 @@ object Queries {
           CAST(max(tot) AS DOUBLE) AS total_weight
         FROM c GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("dedup_minhash_recall",
+      // the DEDUP evaluation harness (ann_recall_at_k's pattern for
+      // near-dup): over a BOUNDED doc sample (constant cardinality at any
+      // SF — the ground-truth side is |sample|²-bounded by construction,
+      // never corpus-quadratic), the exact shingle-sharing pair set
+      // (complete for jaccard > 0: any qualifying pair shares a shingle)
+      // vs the banded minhash pipeline's verified pairs. Verified found ⊆
+      // exact, so recall isolates exactly the banding misses — the number
+      // an LSH tuning loop (bands × rows trade) actually monitors.
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .where(col("doc_id") % 5 === 0 && col("doc_id") < 2048)
+          .select(col("doc_id"), col("text"))
+        // plant one near-dup per sampled doc (tail-perturbed copy) so the
+        // ground-truth pair set is non-vacuous at every SF — the corpus'
+        // natural word-salad rarely crosses the 0.1 jaccard bar
+        val sample = base.unionByName(base.select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" closing boilerplate line appended")).as("text")))
+        val sh = Dedup.shingleTable(sample, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+        val candAll = a.join(b.hint("merge"), Seq("shingle"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val exact = Dedup.jaccardVerify(candAll, sh, "doc_id", 0.1)
+          .select("doc_a", "doc_b")
+        val found = Dedup.minhashNearDupPairsFromShingles(sh, "doc_id",
+            numHashes = 8, rowsPerBand = 2, threshold = 0.1)
+          .select("doc_a", "doc_b")
+        val missed = exact.join(found, Seq("doc_a", "doc_b"), "left_anti")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+          .select(col("n_exact"), col("n_found"), col("n_missed"),
+            expr("CAST(CASE WHEN n_exact > 0 THEN 1000000 * n_found div n_exact END AS BIGINT)")
+              .as("recall_millionths"))
+      },
+      Some(minhashRecallOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.1))),
+
     QueryDef("op_mann_whitney",
       // nonparametric two-sample test: does quantity distribute
       // differently across linestatus F vs O? Exact doubled-midrank
@@ -6620,6 +6662,49 @@ object Queries {
       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.doc_id < b.doc_id),
     ${minhashVerifyTail("doc_a", "doc_b", threshold)}"""
+
+  /** [[minhashOracleSql]]'s machinery turned into an EVALUATION mirror:
+    * over a bounded doc sample, the exact shingle-sharing ground-truth
+    * pair set and the banded (LSH) pair set are both verified with the
+    * same exact-Jaccard tail, then reduced to the recall summary. Found ⊆
+    * exact holds by construction (verified candidates that share a band
+    * also share a shingle), so `n_missed` independently cross-checks
+    * `n_exact − n_found`.
+    */
+  def minhashRecallOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                             threshold: Double): String =
+    s"""${minhashCtePrefix(shingleN, numHashes, rowsPerBand,
+        """(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2048
+           UNION ALL SELECT doc_id + 1000000, text || ' closing boilerplate line appended'
+           FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2048) samp""")},
+    candb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    cands AS (SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    je AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    exact AS (SELECT doc_a, doc_b FROM je
+      JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold),
+    jf AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM candb c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2),
+    found AS (SELECT doc_a, doc_b FROM jf
+      JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= $threshold),
+    m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+      (SELECT CAST(count(*) AS BIGINT) FROM exact e WHERE NOT EXISTS
+        (SELECT 1 FROM found f WHERE f.doc_a = e.doc_a AND f.doc_b = e.doc_b)) AS n_missed)
+    SELECT n_exact, n_found, n_missed,
+      CAST(CASE WHEN n_exact > 0 THEN 1000000 * n_found // n_exact END AS BIGINT)
+        AS recall_millionths
+    FROM m"""
 
   def simhashOracleSql(maxHamming: Int): String = {
     // mirrors Dedup.simhash60 definitionally: same 15-hex-char (60-bit) md5

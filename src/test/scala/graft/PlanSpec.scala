@@ -506,7 +506,9 @@ class PlanSpec extends SparkSpec {
           "op_gini_impurity" -> 2, "op_benford" -> 3,
           "op_weighted_median" -> 2, "mix_curriculum" -> 3,
           // one census agg + bounded window folds
-          "op_mann_whitney" -> 2)) {
+          "op_mann_whitney" -> 2,
+          // sample shingle persist + exact/banded funnels + summary
+          "dedup_minhash_recall" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
