@@ -6430,6 +6430,47 @@ object Queries {
           CAST(max(tot) AS DOUBLE) AS total_weight
         FROM c GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("ann_index_persist",
+      // the STORED-index serving lifecycle (what a production vector store
+      // actually does between fit and query): Lloyd's fit → write the
+      // assignment table to parquet PARTITIONED BY CLUSTER + the centroid
+      // table beside it → reload both → route queries with the reloaded
+      // centroids → probe. Because the corpus is cluster-partitioned on
+      // disk, the probe join on the partition column lets Spark prune
+      // cells at scan time (dynamic partition pruning — the IVF payoff
+      // expressed in STORAGE layout, not just join shape). Results must
+      // equal the in-memory ann_ivf_fit exactly — same oracle — since
+      // lattice doubles/floats and centroid doubles roundtrip parquet
+      // bit-identically; a storage-layer type or partition bug breaks the
+      // hash.
+      (s, d) => {
+        import s.implicits._
+        val dir = scratchDir("ivfindex", d)
+        val e = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("embedding"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
+          k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
+        e.withColumn("cluster", Similarity.nearestCentroid(col("embedding"), cents))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/assign")
+        cents.zipWithIndex.toSeq.map { case (c, j) => (j, c) }.toDF("j", "c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+        val centsBack = s.read.parquet(s"$dir/cents").orderBy(col("j"))
+          .collect().map(_.getSeq[Double](1).toArray)
+        val corpus = s.read.parquet(s"$dir/assign")
+        Similarity.ivfTopKFitted(corpus.where(annQueryPred), corpus,
+            "vec_id", "embedding", "cluster", k = 5, nprobe = 4, centsBack)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      // identical math to ann_ivf_fit — the roundtrip must be invisible
+      Some(s"""WITH $latticeBaseCte,
+        ${kmeansCtesSql(k = 16, iters = 3)},
+        lab AS (SELECT vec_id, v, j AS lbl FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
+        cent AS (SELECT j AS lbl, c FROM c3),
+        ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
+
     QueryDef("dedup_minhash_recall",
       // the DEDUP evaluation harness (ann_recall_at_k's pattern for
       // near-dup): over a BOUNDED doc sample (constant cardinality at any

@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n---\n"))
   }
 
+  test("ann_index_persist: the probe scan prunes stored cluster partitions dynamically") {
+    // the storage-layout payoff the key exists for: the corpus is written
+    // partitioned by cluster, so the probe join on the partition column
+    // must plan a dynamic-partition-pruning subquery on the scan — a scan
+    // reading all cells would be the flat-file regression
+    val p = plan("ann_index_persist")
+    assert(p.contains("dynamicpruning"),
+      s"probe scan does not dynamically prune cluster partitions:\n${p.take(4000)}")
+  }
+
   test("r6-regressed bench queries: job counts stay at the floor (host-noise audit)") {
     // These three queries jumped 3-6x in the r6 driver bench while their
     // local timings and plans were unchanged. Per the driver-host cost
@@ -508,7 +518,10 @@ class PlanSpec extends SparkSpec {
           // one census agg + bounded window folds
           "op_mann_whitney" -> 2,
           // sample shingle persist + exact/banded funnels + summary
-          "dedup_minhash_recall" -> 4)) {
+          "dedup_minhash_recall" -> 4,
+          // index lifecycle: seed/fit collects (1 + 3 iter) + 2 writes +
+          // centroid reload + DPP subquery probe + result sort
+          "ann_index_persist" -> 14)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
