@@ -276,15 +276,15 @@ object Queries {
     * round = assign (argmax cosine, ties lowest centroid) + exact lattice
     * means with empty-cluster carryover. Produces CTEs c0..c`iters`.
     */
-  private def kmeansCtesSql(k: Int, iters: Int): String = {
+  private def kmeansCtesSql(k: Int, iters: Int, src: String = "base"): String = {
     val c0 = s"""c0 AS (SELECT j, v AS c FROM (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, v
-        FROM base) WHERE j < $k)"""
+        FROM $src) WHERE j < $k)"""
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, v, j FROM (
             SELECT b.vec_id, b.v, c.j,
               row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c${i - 1} c) WHERE rn = 1),
+            FROM $src b CROSS JOIN c${i - 1} c) WHERE rn = 1),
         ${meanCteSql(s"a$i", "j", s"m$i")},
         c$i AS (SELECT p.j, COALESCE(m.c, p.c) AS c FROM c${i - 1} p LEFT JOIN m$i m ON p.j = m.j)"""
     }
@@ -6464,6 +6464,43 @@ object Queries {
       // identical math to ann_ivf_fit — the roundtrip must be invisible
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},
+        lab AS (SELECT vec_id, v, j AS lbl FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
+        cent AS (SELECT j AS lbl, c FROM c3),
+        ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
+
+    QueryDef("ann_index_incremental",
+      // INCREMENTAL index maintenance (dedup_incremental's shape for
+      // vectors): fit centroids on the HISTORY half only, store its
+      // assignments; a new batch is assigned with the FROZEN centroids
+      // and APPENDED to the same cluster-partitioned table — no refit, no
+      // history rewrite (the production steady state: refits are rare
+      // compaction events, appends are the every-batch path). Queries
+      // then probe the combined index. The oracle fits over the history
+      // subset and assigns everything with those frozen centroids —
+      // bit-identical by the lattice contract.
+      (s, d) => {
+        val dir = scratchDir("ivfinc", d)
+        val e = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("embedding"))
+        val hist = e.where(col("vec_id") % 2 === 0)
+        val batch = e.where(col("vec_id") % 2 === 1)
+        val cents = Similarity.kmeansFit(hist, "vec_id", "embedding",
+          k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
+        hist.withColumn("cluster", Similarity.nearestCentroid(col("embedding"), cents))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/assign")
+        batch.withColumn("cluster", Similarity.nearestCentroid(col("embedding"), cents))
+          .write.mode("append").partitionBy("cluster").parquet(s"$dir/assign")
+        val corpus = s.read.parquet(s"$dir/assign")
+        Similarity.ivfTopKFitted(corpus.where(annQueryPred), corpus,
+            "vec_id", "embedding", "cluster", k = 5, nprobe = 4, cents)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        hist AS (SELECT vec_id, v FROM base WHERE vec_id % 2 = 0),
+        ${kmeansCtesSql(k = 16, iters = 3, src = "hist")},
         lab AS (SELECT vec_id, v, j AS lbl FROM (
             SELECT b.vec_id, b.v, c.j,
               row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn

@@ -521,7 +521,9 @@ class PlanSpec extends SparkSpec {
           "dedup_minhash_recall" -> 4,
           // index lifecycle: seed/fit collects (1 + 3 iter) + 2 writes +
           // centroid reload + DPP subquery probe + result sort
-          "ann_index_persist" -> 14)) {
+          "ann_index_persist" -> 14,
+          // fit on history + 2 generation writes + DPP probe + sort
+          "ann_index_incremental" -> 11)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
