@@ -135,6 +135,29 @@ object Streaming {
       ()
     }
 
+  /** Streaming ANN index ingest — the continuous form of the
+    * `ann_index_incremental` batch key: each micro-batch's vectors are
+    * assigned to the FROZEN centroids (no refit in the hot path — refits
+    * are offline compaction events) and idempotent-appended to the
+    * cluster-partitioned index store keyed on the vector id, so an
+    * at-least-once upstream can never duplicate an index row and a
+    * replayed micro-batch appends nothing. Serving reads the store and
+    * probes with the same frozen centroids ([[graft.ops.Similarity
+    * .ivfTopKFitted]]) — batch/stream parity is exact, and the
+    * cluster-partition layout gives readers the same dynamic-partition-
+    * pruned probe scans the batch lifecycle keys plan-assert.
+    */
+  def annIngestSink(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]], path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val assigned = batch.withColumn("cluster",
+        graft.ops.Similarity.nearestCentroid(col(vecCol), cents))
+      graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, assigned,
+        path, Seq(idCol), Seq("cluster"))
+      ()
+    }
+
   /** Stream → ACID table bridge: every micro-batch lands as one atomic
     * last-write-wins MERGE commit on a [[graft.ops.ManifestTable]]. Versus
     * [[idempotentStoreSink]] (insert-only idempotence on a plain path),

@@ -346,6 +346,46 @@ class StreamingSpec extends SparkSpec {
       s"short boilerplate must dedup against history, got $accepted")
   }
 
+  test("streaming ANN ingest: frozen-centroid assignment, redelivery appends nothing, batch/stream query parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ann-ingest")
+    val ckpt = Files.createTempDirectory("graft-ann-ingest-ckpt")
+    val path = dir.toString + "/index"
+    // tiny deterministic "lattice": vec(id) = [id%5+1, (id*3)%7-3]
+    def vec(id: Long): Array[Float] =
+      Array((id % 5 + 1).toFloat, ((id * 3) % 7 - 3).toFloat)
+    val cents = Array(Array(1.0, 2.0), Array(4.0, -2.0), Array(2.0, -1.0))
+    val input = MemoryStream[Long]
+    val q = Streaming.annIngestSink(
+        input.toDF().toDF("vec_id")
+          .withColumn("embedding", org.apache.spark.sql.functions.udf(vec _)
+            .apply($"vec_id")),
+        "vec_id", "embedding", cents, path)
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData(0L, 1L, 2L, 3L)
+    q.processAllAvailable()
+    // trigger 2: new ids + REDELIVERED 1 and 3 (at-least-once upstream)
+    input.addData(4L, 5L, 1L, 3L)
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(path)
+    assert(stored.count() === 6L, "redelivered ids must append nothing")
+    // assignment parity with the batch path (same frozen centroids)
+    val ids = (0L to 5L)
+    val batchCorpus = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("cluster", graft.ops.Similarity.nearestCentroid($"embedding", cents))
+    val want = batchCorpus.select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val got = stored.select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(got === want, "stream assignment must equal the batch frozen-centroid assignment")
+    // serving parity: probing the store == probing the batch corpus
+    def topk(c: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.ivfTopKFitted(c.where($"vec_id" < 2), c,
+          "vec_id", "embedding", "cluster", k = 2, nprobe = 2, cents)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(topk(stored) === topk(batchCorpus))
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
