@@ -291,6 +291,15 @@ object Queries {
     (c0 +: rounds).mkString(",\n        ")
   }
 
+  /** SQL mirror of [[graft.ops.Analytics.det3]] — the same 3×3 Cramer
+    * expression tree as text, so the ml_ols_multi oracle can never drift
+    * from the Spark evaluation order.
+    */
+  private def det3Sql(a: Seq[Seq[String]]): String =
+    s"(${a(0)(0)} * (${a(1)(1)} * ${a(2)(2)} - ${a(1)(2)} * ${a(2)(1)}) - " +
+      s"${a(0)(1)} * (${a(1)(0)} * ${a(2)(2)} - ${a(1)(2)} * ${a(2)(0)}) + " +
+      s"${a(0)(2)} * (${a(1)(0)} * ${a(2)(1)} - ${a(1)(1)} * ${a(2)(0)}))"
+
   /** Deterministic per-(kind, sfDir, PID) scratch directory for the
     * write→read-back roundtrip queries. The path is FIXED for a given
     * input dir WITHIN a JVM and overwritten in place on every
@@ -6470,6 +6479,42 @@ object Queries {
             FROM base b CROSS JOIN c3 c) WHERE rn = 1),
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
+
+    {
+      // closed-form MULTIVARIATE OLS (price ~ quantity + discount%) by
+      // Cramer's rule on exact decimal moments; determinant trees shared
+      // structurally between engines (det3 / det3Sql) so the float
+      // evaluation order cannot drift
+      val dA = det3Sql(Seq(Seq("n", "s1", "s2"), Seq("s1", "s11", "s12"), Seq("s2", "s12", "s22")))
+      val d0 = det3Sql(Seq(Seq("sy", "s1", "s2"), Seq("s1y", "s11", "s12"), Seq("s2y", "s12", "s22")))
+      val d1 = det3Sql(Seq(Seq("n", "sy", "s2"), Seq("s1", "s1y", "s12"), Seq("s2", "s2y", "s22")))
+      val d2 = det3Sql(Seq(Seq("n", "s1", "sy"), Seq("s1", "s11", "s1y"), Seq("s2", "s12", "s2y")))
+      QueryDef("ml_ols_multi",
+        (s, d) => Analytics.ols2(t(s, d, "lineitem"),
+          col("l_quantity"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS INT)"),
+          col("l_extendedprice"), yScale = 2),
+        Some(s"""WITH src AS (SELECT l_quantity AS x1,
+            CAST(floor(l_discount * 100 + 0.5) AS INTEGER) AS x2,
+            l_extendedprice AS yy FROM lineitem),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CAST(x1 AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(x2 AS DECIMAL(18,0))) AS DOUBLE) AS s2,
+            CAST(sum(CAST(x1 * x1 AS DECIMAL(20,0))) AS DOUBLE) AS s11,
+            CAST(sum(CAST(x1 * x2 AS DECIMAL(20,0))) AS DOUBLE) AS s12,
+            CAST(sum(CAST(x2 * x2 AS DECIMAL(20,0))) AS DOUBLE) AS s22,
+            CAST(sum(CAST(yy AS DECIMAL(24,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x1 * yy AS DECIMAL(28,2))) AS DOUBLE) AS s1y,
+            CAST(sum(CAST(x2 * yy AS DECIMAL(28,2))) AS DOUBLE) AS s2y
+          FROM src),
+          mv AS (SELECT n_rows, CAST(n_rows AS DOUBLE) AS n,
+            s1, s2, s11, s12, s22, sy, s1y, s2y FROM mm)
+        SELECT n_rows,
+          CASE WHEN $dA <> 0 THEN $d0 / $dA END AS b0,
+          CASE WHEN $dA <> 0 THEN $d1 / $dA END AS b1,
+          CASE WHEN $dA <> 0 THEN $d2 / $dA END AS b2
+        FROM mv"""))
+    },
 
     QueryDef("ann_index_incremental",
       // INCREMENTAL index maintenance (dedup_incremental's shape for

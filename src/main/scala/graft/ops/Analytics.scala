@@ -1251,6 +1251,55 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** 3×3 determinant as a FIXED expression tree — shared by [[ols2]] and
+    * its oracle mirror so the float evaluation order can never drift
+    * between engines (identical operands + identical shape = identical
+    * bits; the op_regression discipline applied to Cramer's rule).
+    */
+  def det3(a: Seq[Seq[Column]]): Column =
+    a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+      a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+      a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+
+  /** Closed-form multivariate OLS (two features + intercept) from EXACT
+    * moments — `y ~ b0 + b1·x1 + b2·x2` solved by Cramer's rule on the
+    * normal equations: ONE aggregation computes the 9 decimal moments
+    * (order-independent partial sums; x1/x2 must be integer-valued, y
+    * exact at `yScale` dp — the caller quantizes, e.g. `floor(v·100+½)`),
+    * then each determinant is the fixed [[det3]] double expression tree
+    * over exactly-converted moments and each coefficient ONE final
+    * division. The built-in `regr_*`/matrix solvers are float-
+    * accumulation order-dependent and engine-varying; this form is
+    * hash-portable. Singular designs (det = 0: constant or collinear
+    * features) yield NULL coefficients, never a division blowup.
+    * Output (one row): n_rows, b0, b1, b2.
+    */
+  def ols2(df: DataFrame, x1: Column, x2: Column, y: Column,
+           yScale: Int = 2): DataFrame = {
+    val m = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(x1.cast("decimal(18,0)")).cast("double").as("s1"),
+      sum(x2.cast("decimal(18,0)")).cast("double").as("s2"),
+      sum((x1 * x1).cast("decimal(20,0)")).cast("double").as("s11"),
+      sum((x1 * x2).cast("decimal(20,0)")).cast("double").as("s12"),
+      sum((x2 * x2).cast("decimal(20,0)")).cast("double").as("s22"),
+      sum(y.cast(s"decimal(24,$yScale)")).cast("double").as("sy"),
+      sum((x1 * y).cast(s"decimal(28,$yScale)")).cast("double").as("s1y"),
+      sum((x2 * y).cast(s"decimal(28,$yScale)")).cast("double").as("s2y"))
+    val n = col("n_rows").cast("double")
+    val (s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (col("s1"), col("s2"), col("s11"), col("s12"), col("s22"),
+        col("sy"), col("s1y"), col("s2y"))
+    val dA = det3(Seq(Seq(n, s1, s2), Seq(s1, s11, s12), Seq(s2, s12, s22)))
+    val d0 = det3(Seq(Seq(sy, s1, s2), Seq(s1y, s11, s12), Seq(s2y, s12, s22)))
+    val d1 = det3(Seq(Seq(n, sy, s2), Seq(s1, s1y, s12), Seq(s2, s2y, s22)))
+    val d2 = det3(Seq(Seq(n, s1, sy), Seq(s1, s11, s1y), Seq(s2, s12, s2y)))
+    m.select(col("n_rows"),
+      when(dA =!= 0.0, d0 / dA).as("b0"),
+      when(dA =!= 0.0, d1 / dA).as("b1"),
+      when(dA =!= 0.0, d2 / dA).as("b2"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test over a QUANTIZED
     * value domain — the nonparametric A/B readout for non-normal metrics
     * (latencies, prices), exact where every engine's naive ranking

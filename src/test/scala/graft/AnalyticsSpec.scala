@@ -558,6 +558,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("ols2: exact-fit plane recovered bit-exactly; collinear design yields NULL coefficients") {
+    import spark.implicits._
+    // y = 3 + 2·x1 − x2 exactly; small integers keep every Cramer
+    // intermediate inside 2^53, so the recovery is EXACT equality
+    val pts = Seq((1, 1), (2, 1), (3, 2), (4, 3), (5, 5), (6, 8))
+      .map { case (a, b) => (a, b, (3 + 2 * a - b).toDouble) }
+    val df = pts.toDF("x1", "x2", "y")
+    val r = Analytics.ols2(df, col("x1"), col("x2"), col("y"), yScale = 0).head()
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Double]("b0") === 3.0 && r.getAs[Double]("b1") === 2.0 &&
+      r.getAs[Double]("b2") === -1.0)
+    // collinear features (x2 = 2·x1): singular normal matrix -> NULLs
+    val bad = Seq((1, 2, 1.0), (2, 4, 2.0), (3, 6, 3.0)).toDF("x1", "x2", "y")
+    val rb = Analytics.ols2(bad, col("x1"), col("x2"), col("y"), yScale = 0).head()
+    assert(rb.isNullAt(rb.fieldIndex("b0")) && rb.isNullAt(rb.fieldIndex("b1")) &&
+      rb.isNullAt(rb.fieldIndex("b2")))
+  }
+
   test("mannWhitney: hand-computed doubled midranks, tie correction, degenerate NULL z") {
     import spark.implicits._
     // A = {1, 2}, B = {2, 3}: R1 = 1 + 2.5 → doubled 7; U1 = 3.5 (u1_x2 = 7);

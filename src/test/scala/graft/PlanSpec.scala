@@ -523,7 +523,9 @@ class PlanSpec extends SparkSpec {
           // centroid reload + DPP subquery probe + result sort
           "ann_index_persist" -> 14,
           // fit on history + 2 generation writes + DPP probe + sort
-          "ann_index_incremental" -> 11)) {
+          "ann_index_incremental" -> 11,
+          // one fused 9-moment agg
+          "ml_ols_multi" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
