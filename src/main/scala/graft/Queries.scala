@@ -6480,6 +6480,62 @@ object Queries {
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
+    QueryDef("op_mask_referential",
+      // referentially-consistent pseudonymization (the governance op that
+      // lets masked data still JOIN): name → 'C' + md5-prefix pseudonym,
+      // deterministic so every occurrence masks identically. The audit
+      // proves both properties the op exists for: per segment, distinct
+      // pseudonyms == distinct originals (injective on this corpus — a
+      // collision would break analysis joins) and an order-independent
+      // digest over the pseudonym set the oracle reproduces from the raw
+      // names. One aggregation; masking itself is a pure codegen
+      // projection at ANY scale.
+      (s, d) => {
+        val masked = t(s, d, "customer").select(col("c_mktsegment"),
+          col("c_custkey"), col("c_name"),
+          concat(lit("C"), substring(md5(col("c_name")), 1, 12)).as("pseudonym"))
+        masked.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("c_name")).as("n_names"),
+            countDistinct(col("pseudonym")).as("n_pseudonyms"),
+            sum(conv(substring(md5(col("pseudonym")), 1, 12), 16, 10).cast("long"))
+              .as("pseudonym_digest"))
+          .orderBySmall(col("c_mktsegment"))
+      },
+      Some("""WITH m AS (SELECT c_mktsegment, c_name,
+            'C' || substring(md5(c_name), 1, 12) AS pseudonym FROM customer)
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+          CAST(count(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+          CAST(sum(('0x' || substring(md5(pseudonym), 1, 12))::BIGINT) AS BIGINT)
+            AS pseudonym_digest
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op_column_encryption",
+      // column-level encryption lifecycle through Spark's REAL AES path
+      // (deterministic ECB + PKCS for oracle-ability; GCM's random IV is
+      // the production default but non-replayable): encrypt names,
+      // decrypt them back, and prove the roundtrip with an
+      // order-independent digest over the DECRYPTED values that the
+      // oracle computes from the raw names — a key, padding, or charset
+      // bug anywhere in the crypto path breaks the hash.
+      (s, d) => {
+        val key = "0123456789abcdef" // 16-byte demo key; prod: per-column KMS
+        val enc = t(s, d, "customer").select(col("c_mktsegment"),
+          expr(s"aes_encrypt(c_name, '$key', 'ECB', 'PKCS')").as("enc"))
+        val dec = enc.select(col("c_mktsegment"),
+          expr(s"CAST(aes_decrypt(enc, '$key', 'ECB', 'PKCS') AS STRING)").as("name_back"))
+        dec.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(col("name_back")), 1, 12), 16, 10).cast("long"))
+              .as("roundtrip_digest"))
+          .orderBySmall(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(('0x' || substring(md5(c_name), 1, 12))::BIGINT) AS BIGINT)
+            AS roundtrip_digest
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
     {
       // closed-form MULTIVARIATE OLS (price ~ quantity + discount%) by
       // Cramer's rule on exact decimal moments; determinant trees shared

@@ -525,7 +525,9 @@ class PlanSpec extends SparkSpec {
           // fit on history + 2 generation writes + DPP probe + sort
           "ann_index_incremental" -> 11,
           // one fused 9-moment agg
-          "ml_ols_multi" -> 2)) {
+          "ml_ols_multi" -> 2,
+          // pure projection + census agg each
+          "op_mask_referential" -> 2, "op_column_encryption" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
