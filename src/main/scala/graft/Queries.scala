@@ -6480,6 +6480,61 @@ object Queries {
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
+    QueryDef("op_autocorr",
+      // lag-1..3 autocorrelation of the event value series per type —
+      // exact decimal Pearson moments over lead pairs, corr as the
+      // op_regression double tree (see Analytics.autocorrelation)
+      (s, d) => Analytics.autocorrelation(eventsUs(s, d), col("event_type"),
+          Seq(col("ts_us"), col("event_id")),
+          expr("CAST(floor(value * 1000) AS BIGINT)"), maxLag = 3)
+        .withColumnRenamed("grp", "event_type")
+        .orderBySmall(col("event_type")),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+            CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        l AS (SELECT event_type, v,
+            lead(v, 1) OVER w AS l1, lead(v, 2) OVER w AS l2, lead(v, 3) OVER w AS l3
+          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        m AS (SELECT event_type,
+            CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            sum(CASE WHEN l1 IS NOT NULL THEN v::HUGEINT END) AS sx1,
+            sum(CASE WHEN l1 IS NOT NULL THEN l1::HUGEINT END) AS sy1,
+            sum(CASE WHEN l1 IS NOT NULL THEN v::HUGEINT * v END) AS sxx1,
+            sum(CASE WHEN l1 IS NOT NULL THEN l1::HUGEINT * l1 END) AS syy1,
+            sum(CASE WHEN l1 IS NOT NULL THEN v::HUGEINT * l1 END) AS sxy1,
+            CAST(sum(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            sum(CASE WHEN l2 IS NOT NULL THEN v::HUGEINT END) AS sx2,
+            sum(CASE WHEN l2 IS NOT NULL THEN l2::HUGEINT END) AS sy2,
+            sum(CASE WHEN l2 IS NOT NULL THEN v::HUGEINT * v END) AS sxx2,
+            sum(CASE WHEN l2 IS NOT NULL THEN l2::HUGEINT * l2 END) AS syy2,
+            sum(CASE WHEN l2 IS NOT NULL THEN v::HUGEINT * l2 END) AS sxy2,
+            CAST(sum(CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            sum(CASE WHEN l3 IS NOT NULL THEN v::HUGEINT END) AS sx3,
+            sum(CASE WHEN l3 IS NOT NULL THEN l3::HUGEINT END) AS sy3,
+            sum(CASE WHEN l3 IS NOT NULL THEN v::HUGEINT * v END) AS sxx3,
+            sum(CASE WHEN l3 IS NOT NULL THEN l3::HUGEINT * l3 END) AS syy3,
+            sum(CASE WHEN l3 IS NOT NULL THEN v::HUGEINT * l3 END) AS sxy3
+          FROM l GROUP BY 1)
+        SELECT event_type, n1 AS n_pairs_1, n2 AS n_pairs_2, n3 AS n_pairs_3,
+          CASE WHEN n1 > 0
+              AND CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) > 0
+              AND CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) > 0
+            THEN (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE)) /
+              sqrt((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) *
+                (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))) END AS acf_1,
+          CASE WHEN n2 > 0
+              AND CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) > 0
+              AND CAST(n2 AS DOUBLE) * CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) > 0
+            THEN (CAST(n2 AS DOUBLE) * CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)) /
+              sqrt((CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) *
+                (CAST(n2 AS DOUBLE) * CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))) END AS acf_2,
+          CASE WHEN n3 > 0
+              AND CAST(n3 AS DOUBLE) * CAST(sxx3 AS DOUBLE) - CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE) > 0
+              AND CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE) > 0
+            THEN (CAST(n3 AS DOUBLE) * CAST(sxy3 AS DOUBLE) - CAST(sx3 AS DOUBLE) * CAST(sy3 AS DOUBLE)) /
+              sqrt((CAST(n3 AS DOUBLE) * CAST(sxx3 AS DOUBLE) - CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE)) *
+                (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
+        FROM m ORDER BY 1""")),
+
     QueryDef("op_mask_referential",
       // referentially-consistent pseudonymization (the governance op that
       // lets masked data still JOIN): name → 'C' + md5-prefix pseudonym,

@@ -1251,6 +1251,52 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Per-key lag-k autocorrelation (ACF) of an integer-quantized series —
+    * the time-series memory diagnostic (seasonality/trend screening)
+    * computed the hash-portable way: ONE window pass materializes the k
+    * leads (shared frame sort), ONE aggregation computes, per lag, the
+    * exact decimal Pearson moments over the defined pairs (rows whose
+    * lead exists), and each ACF is the op_regression corr double tree —
+    * identical operands, identical shape, identical bits in any engine.
+    * Built-in `corr()` is accumulation-order dependent and would flake.
+    * `valueInt` must be integral (pre-scale with floor(v·1000)); moments
+    * are DECIMAL(38,0)-exact to ~10¹² rows at |v|≤10⁶. Degenerate lags
+    * (no pairs, zero variance) yield NULL, never a division error.
+    * Output: (key, n_pairs_1..maxLag, acf_1..maxLag).
+    */
+  def autocorrelation(df: DataFrame, key: Column, order: Seq[Column],
+                      valueInt: Column, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val base = df.select((key.as("grp") +: valueInt.as("_v") +:
+      (1 to maxLag).map(k => lead(valueInt, k).over(w).as(s"_l$k"))): _*)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val aggs = (1 to maxLag).flatMap { k =>
+      val lk = col(s"_l$k"); val v = col("_v")
+      val in = lk.isNotNull
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n$k"),
+        sum(when(in, d(v))).as(s"sx$k"),
+        sum(when(in, d(lk))).as(s"sy$k"),
+        sum(when(in, d(v) * v)).as(s"sxx$k"),
+        sum(when(in, d(lk) * lk)).as(s"syy$k"),
+        sum(when(in, d(v) * lk)).as(s"sxy$k"))
+    }
+    val m = base.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val outCols = col("grp") +:
+      ((1 to maxLag).map(k => col(s"n$k").as(s"n_pairs_$k")) ++
+        (1 to maxLag).map { k =>
+          def dd(n: String) = col(n).cast("double")
+          val n = dd(s"n$k"); val sx = dd(s"sx$k"); val sy = dd(s"sy$k")
+          val sxx = dd(s"sxx$k"); val syy = dd(s"syy$k"); val sxy = dd(s"sxy$k")
+          val varx = n * sxx - sx * sx
+          val vary = n * syy - sy * sy
+          when(col(s"n$k") > 0 && varx > 0.0 && vary > 0.0,
+            (n * sxy - sx * sy) / sqrt(varx * vary)).as(s"acf_$k")
+        })
+    m.select(outCols: _*)
+  }
+
   /** 3×3 determinant as a FIXED expression tree — shared by [[ols2]] and
     * its oracle mirror so the float evaluation order can never drift
     * between engines (identical operands + identical shape = identical

@@ -558,6 +558,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("autocorrelation: alternating series has exact ACF ±1; constant series yields NULL") {
+    import spark.implicits._
+    // key a: 1,-1,1,-1,1 → acf1 = −1, acf2 = +1, acf3 = −1 (all exact:
+    // every moment is a small integer and each sqrt argument a perfect
+    // square); key c: constant → zero variance → NULL at every lag
+    val df = (Seq.tabulate(5)(i => ("a", i.toLong, if (i % 2 == 0) 1L else -1L)) ++
+      Seq.tabulate(5)(i => ("c", i.toLong, 7L))).toDF("k", "t", "v")
+    val got = Analytics.autocorrelation(df, col("k"), Seq(col("t")), col("v"), maxLag = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_pairs_1") === 4L && a.getAs[Long]("n_pairs_3") === 2L)
+    assert(a.getAs[Double]("acf_1") === -1.0 && a.getAs[Double]("acf_2") === 1.0 &&
+      a.getAs[Double]("acf_3") === -1.0)
+    val c = got("c")
+    assert((1 to 3).forall(k => c.isNullAt(c.fieldIndex(s"acf_$k"))))
+  }
+
   test("ols2: exact-fit plane recovered bit-exactly; collinear design yields NULL coefficients") {
     import spark.implicits._
     // y = 3 + 2·x1 − x2 exactly; small integers keep every Cramer

@@ -527,7 +527,9 @@ class PlanSpec extends SparkSpec {
           // one fused 9-moment agg
           "ml_ols_multi" -> 2,
           // pure projection + census agg each
-          "op_mask_referential" -> 2, "op_column_encryption" -> 2)) {
+          "op_mask_referential" -> 2, "op_column_encryption" -> 2,
+          // one key-window pass + census agg
+          "op_autocorr" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
