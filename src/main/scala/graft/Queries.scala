@@ -6480,6 +6480,34 @@ object Queries {
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
+    QueryDef("op_graph_lcc",
+      // per-node local clustering coefficient on the bounded orders mod
+      // graph (97 nodes at any SF): the same degree-ordered triangle
+      // enumeration as op_triangles, credited to each corner; the oracle
+      // enumerates with id-ascending orientation — node counts are
+      // invariant to the orientation total order, which the hash checks
+      (s, d) => Analytics.localClustering(
+          t(s, d, "orders").select((col("o_custkey") % 97).as("src"),
+            (col("o_orderkey") % 97).as("dst")),
+          "src", "dst")
+        .orderBySmall(col("node")),
+      Some("""WITH e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM (SELECT o_custkey % 97 AS src, o_orderkey % 97 AS dst FROM orders)
+          WHERE src <> dst),
+        deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+          (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+          FROM e0 a JOIN e0 b ON b.u = a.v JOIN e0 c ON c.u = a.u AND c.v = b.v),
+        tn AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS n_tri FROM
+          (SELECT x FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+          GROUP BY 1)
+        SELECT deg.x AS node, deg.d AS degree,
+          CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+          CASE WHEN deg.d >= 2 THEN
+            CAST(coalesce(tn.n_tri, 0) * 2 AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+          ELSE 0.0 END AS lcc
+        FROM deg LEFT JOIN tn ON tn.node = deg.x ORDER BY node""")),
+
     QueryDef("op_autocorr",
       // lag-1..3 autocorrelation of the event value series per type —
       // exact decimal Pearson moments over lead pairs, corr as the

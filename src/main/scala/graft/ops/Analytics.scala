@@ -732,24 +732,8 @@ object Analytics {
     * clustering).
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-    val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val er = e0
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
-      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
-        when(uFirst, col("v")).otherwise(col("u")).as("b"))
-    val tri = er.as("x")
-      .join(er.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-      .join(er.select(col("a"), col("b").as("c")).as("z"), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val (e0, deg) = canonicalEdgesWithDegrees(edges, srcCol, dstCol)
+    val tri = orientedTriangleRows(e0, deg).agg(count(lit(1)).as("n_triangles"))
     val counts = deg.agg(
       count(lit(1)).as("n_vertices"),
       expr("sum(d) div 2").as("n_edges"),
@@ -759,6 +743,59 @@ object Analytics {
         when(col("n_wedges") > 0,
           (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  private def canonicalEdgesWithDegrees(edges: DataFrame, srcCol: String,
+                                        dstCol: String): (DataFrame, DataFrame) = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    (e0, deg)
+  }
+
+  /** One row per triangle as its degree-ordered ascending labeling
+    * (a, b, c) — the enumeration shared by [[triangleStats]] (global
+    * count) and [[localClustering]] (per-node counts).
+    */
+  private def orientedTriangleRows(e0: DataFrame, deg: DataFrame): DataFrame = {
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val er = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+    er.as("x")
+      .join(er.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      .join(er.select(col("a"), col("b").as("c")).as("z"), Seq("a", "c"))
+  }
+
+  /** Per-node triangle counts + LOCAL clustering coefficient
+    * `2·T(x) / (d(x)·(d(x)−1))` — the node-level "how clique-like is my
+    * neighborhood" signal ([[triangleStats]] gives the global
+    * transitivity). Same degree-ordered enumeration (each triangle
+    * appears once, then credits its three corners via one explode), so
+    * the scale argument is identical — Σ outdeg² ≈ E^1.5, no global
+    * sort anywhere. Degree-0/1 nodes have no wedge and report 0.0.
+    * Output: (node, degree, n_triangles, lcc).
+    */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (e0, deg) = canonicalEdgesWithDegrees(edges, srcCol, dstCol)
+    val perNode = orientedTriangleRows(e0, deg)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, col("x") === col("node"), "left")
+      .select(col("x").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
   }
 
   /** Dyadic EWMA — exponential smoothing with α = 1/2 and a `terms`-term

@@ -558,6 +558,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("localClustering: diamond graph exact coefficients; degree-1 nodes report 0") {
+    import spark.implicits._
+    // K4 minus (1,4): triangles {1,2,3}, {2,3,4}; plus pendant edge (5,6)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (4L, 3L), (5L, 6L))
+      .toDF("s", "t")
+    val got = Analytics.localClustering(edges, "s", "t")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 1.0), (2L, 3L, 2L, 2.0 / 3.0), (3L, 3L, 2L, 2.0 / 3.0),
+      (4L, 2L, 1L, 1.0), (5L, 1L, 0L, 0.0), (6L, 1L, 0L, 0.0)))
+  }
+
   test("autocorrelation: alternating series has exact ACF ±1; constant series yields NULL") {
     import spark.implicits._
     // key a: 1,-1,1,-1,1 → acf1 = −1, acf2 = +1, acf3 = −1 (all exact:

@@ -529,7 +529,9 @@ class PlanSpec extends SparkSpec {
           // pure projection + census agg each
           "op_mask_referential" -> 2, "op_column_encryption" -> 2,
           // one key-window pass + census agg
-          "op_autocorr" -> 2)) {
+          "op_autocorr" -> 2,
+          // canonicalize + degree + 2 lookup joins + corner census
+          "op_graph_lcc" -> 6)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
