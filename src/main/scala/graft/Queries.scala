@@ -6480,6 +6480,28 @@ object Queries {
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
+    QueryDef("op_interval_union",
+      // covered time per user: each event opens an interval of
+      // value-milliseconds; overlapping coverage must not double-count.
+      // One key-window sweep, exact integer µs
+      (s, d) => Analytics.intervalUnionLength(
+          eventsUs(s, d).withColumn("end_us",
+            col("ts_us") + expr("CAST(floor(value * 1000) AS BIGINT) * 1000")),
+          col("user_id"), Seq(col("ts_us"), col("event_id")),
+          col("ts_us"), col("end_us"))
+        .withColumnRenamed("grp", "user_id")
+        .orderBy(col("user_id")),
+      Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+            epoch_us(ts) + CAST(floor(value * 1000) AS BIGINT) * 1000 AS e
+          FROM events),
+        sw AS (SELECT user_id, e,
+            max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax, s
+          FROM iv)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+          CAST(sum(greatest(e - greatest(s, coalesce(pmax, s)), 0)) AS BIGINT) AS covered
+        FROM sw GROUP BY 1 ORDER BY user_id""")),
+
     QueryDef("op_graph_lcc",
       // per-node local clustering coefficient on the bounded orders mod
       // graph (97 nodes at any SF): the same degree-ordered triangle

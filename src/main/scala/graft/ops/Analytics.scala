@@ -1288,6 +1288,29 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Per-key UNION length of (possibly overlapping) intervals — the
+    * covered-time primitive (billing, uptime, sensor coverage): the
+    * classic sweep, expressed as ONE key-window pass. Each interval
+    * contributes `max(0, end − max(start, max-prior-end))` — overlap with
+    * anything earlier is clipped by the running maximum of previous ends,
+    * so overlaps never double-count and intervals CONTAINED in an earlier
+    * one contribute 0. All arithmetic exact integers (µs); per-key series
+    * must fit a task sort (the TWAP contract). Zero-/negative-length
+    * intervals contribute 0. Output: (key, n_intervals, covered).
+    */
+  def intervalUnionLength(df: DataFrame, key: Column, order: Seq[Column],
+                          startCol: Column, endCol: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(key.as("grp"), startCol.as("_s"), endCol.as("_e"),
+        max(endCol).over(w).as("_pmax"))
+      .select(col("grp"),
+        greatest(col("_e") - greatest(col("_s"), coalesce(col("_pmax"), col("_s"))),
+          lit(0L)).as("_contrib"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("_contrib")).as("covered"))
+  }
+
   /** Per-key lag-k autocorrelation (ACF) of an integer-quantized series —
     * the time-series memory diagnostic (seasonality/trend screening)
     * computed the hash-portable way: ONE window pass materializes the k

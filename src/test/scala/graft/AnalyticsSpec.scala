@@ -558,6 +558,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("intervalUnionLength: overlaps clip, containment contributes 0, gaps don't bridge") {
+    import spark.implicits._
+    // key a: [0,10] [5,20] (overlap → 20), [15,18] (contained → 0),
+    //        [30,40] (gap → +10) = 30; key b: zero/negative lengths → 0
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("a", 15L, 18L), ("a", 30L, 40L),
+      ("b", 5L, 5L), ("b", 9L, 7L)).toDF("k", "s", "e")
+    val got = Analytics.intervalUnionLength(df, col("k"), Seq(col("s"), col("e")),
+        col("s"), col("e"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 4L, 30L), ("b", 2L, 0L)))
+  }
+
   test("localClustering: diamond graph exact coefficients; degree-1 nodes report 0") {
     import spark.implicits._
     // K4 minus (1,4): triangles {1,2,3}, {2,3,4}; plus pendant edge (5,6)

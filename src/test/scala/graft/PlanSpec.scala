@@ -531,7 +531,9 @@ class PlanSpec extends SparkSpec {
           // one key-window pass + census agg
           "op_autocorr" -> 2,
           // canonicalize + degree + 2 lookup joins + corner census
-          "op_graph_lcc" -> 6)) {
+          "op_graph_lcc" -> 6,
+          // key-window sweep + per-key agg + range sort
+          "op_interval_union" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
