@@ -1302,7 +1302,8 @@ object Analytics {
                           startCol: Column, endCol: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(key.as("grp"), startCol.as("_s"), endCol.as("_e"),
+    df.where(startCol.isNotNull && endCol.isNotNull)
+      .select(key.as("grp"), startCol.as("_s"), endCol.as("_e"),
         max(endCol).over(w).as("_pmax"))
       .select(col("grp"),
         greatest(col("_e") - greatest(col("_s"), coalesce(col("_pmax"), col("_s"))),
@@ -1333,7 +1334,9 @@ object Analytics {
     def d(c: Column) = c.cast("decimal(38,0)")
     val aggs = (1 to maxLag).flatMap { k =>
       val lk = col(s"_l$k"); val v = col("_v")
-      val in = lk.isNotNull
+      // a pair exists only when BOTH ends are non-null — else n would
+      // count rows whose moments the null-skipping sums exclude
+      val in = lk.isNotNull && v.isNotNull
       Seq(
         sum(when(in, 1L).otherwise(0L)).as(s"n$k"),
         sum(when(in, d(v))).as(s"sx$k"),
@@ -1424,7 +1427,9 @@ object Analytics {
     */
   def mannWhitney(df: DataFrame, value: Column, isGroupA: Column): DataFrame = {
     def d(c: Column) = c.cast("decimal(38,0)")
-    val cells = df.groupBy(value.as("v"))
+    // null values carry no rank information — and unfiltered they would
+    // form a nulls-first cell that shifts every real `below` count
+    val cells = df.where(value.isNotNull).groupBy(value.as("v"))
       .agg(sum(when(isGroupA, 1L).otherwise(0L)).as("ca"),
         count(lit(1)).as("ct"))
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
@@ -1514,7 +1519,10 @@ object Analytics {
     */
   def weightedMedianQuantized(df: DataFrame, group: Column, value: Column,
                               weight: Column, scale: Int = 2): DataFrame = {
-    val wq = df.groupBy(group.as("grp"), value.as("v"))
+    // a NULL value cell would sort first and pollute every cumulative
+    // weight; a NULL weight contributes no mass — both drop
+    val wq = df.where(value.isNotNull && weight.isNotNull)
+      .groupBy(group.as("grp"), value.as("v"))
       .agg(sum(weight.cast(s"decimal(38,$scale)")).as("w"))
     val wc = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1548,7 +1556,11 @@ object Analytics {
     * all-pairs. Output: the input rows on the frontier.
     */
   def skyline2D(df: DataFrame, costCol: String, valueCol: String): DataFrame = {
-    val perCost = df.groupBy(col(costCol).as("_sk_cost"))
+    // null-cost rows can't be on (or dominate) the frontier, but without
+    // this filter the NULL group would sort FIRST (asc nulls-first) and
+    // its max value would pollute the running max for every real cost
+    val perCost = df.where(col(costCol).isNotNull)
+      .groupBy(col(costCol).as("_sk_cost"))
       .agg(max(col(valueCol)).as("_sk_vmax"))
     val w = Window.orderBy(col("_sk_cost"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -568,6 +568,14 @@ class AnalyticsSpec extends SparkSpec {
         col("s"), col("e"))
       .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq === Seq(("a", 4L, 30L), ("b", 2L, 0L)))
+    // null-endpoint intervals drop entirely (greatest(NULL,·) coercion
+    // differs across engines — they must never reach the sweep)
+    val dirty = df.unionByName(Seq(("a", Some(100L), None: Option[Long]),
+      ("a", None: Option[Long], Some(200L))).toDF("k", "s", "e"))
+    val got2 = Analytics.intervalUnionLength(dirty, col("k"), Seq(col("s"), col("e")),
+        col("s"), col("e"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got2.toSeq === got.toSeq)
   }
 
   test("localClustering: diamond graph exact coefficients; degree-1 nodes report 0") {
@@ -597,6 +605,13 @@ class AnalyticsSpec extends SparkSpec {
       a.getAs[Double]("acf_3") === -1.0)
     val c = got("c")
     assert((1 to 3).forall(k => c.isNullAt(c.fieldIndex(s"acf_$k"))))
+    // a trailing NULL observation defines no pair: counts stay consistent
+    // with the null-skipping moment sums
+    val dirty = (Seq.tabulate(5)(i => ("a", i.toLong, Some(if (i % 2 == 0) 1L else -1L))) :+
+      (("a", 5L, None: Option[Long]))).toDF("k", "t", "v")
+    val rd = Analytics.autocorrelation(dirty, col("k"), Seq(col("t")), col("v"), maxLag = 1)
+      .head()
+    assert(rd.getAs[Long]("n_pairs_1") === 4L && rd.getAs[Double]("acf_1") === -1.0)
   }
 
   test("ols2: exact-fit plane recovered bit-exactly; collinear design yields NULL coefficients") {
@@ -634,6 +649,11 @@ class AnalyticsSpec extends SparkSpec {
     val one = Seq((1.0, true), (2.0, true)).toDF("v", "a")
     assert(Analytics.mannWhitney(one, col("v"), col("a")).head()
       .isNullAt(3))
+    // a NULL value row must not shift the real ranks (nulls-first cell)
+    val withNull = Seq((Some(1.0), true), (Some(2.0), true), (Some(2.0), false),
+      (Some(3.0), false), (None: Option[Double], true)).toDF("v", "a")
+    val rn = Analytics.mannWhitney(withNull, col("v"), col("a")).head()
+    assert(rn.getAs[Long]("n1") === 2L && rn.getAs[Double]("u1_x2") === 7.0)
   }
 
   test("giniImpurity: pure group 0, uniform k-way (k-1)/k, exact mixed case") {
@@ -668,6 +688,13 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.weightedMedianQuantized(df, col("k"), col("v"), col("w"))
       .as[(String, Double, Double)].collect().sortBy(_._1)
     assert(got.toSeq === Seq(("g", 2.0, 40.0), ("h", 5.0, 2.0)))
+    // NULL value / NULL weight rows carry no mass and must not pollute
+    // the nulls-first cumulative sweep
+    val dirty = df.unionByName(Seq(("g", None: Option[Double], Some(99.0)),
+      ("g", Some(1.0), None: Option[Double])).toDF("k", "v", "w"))
+    val got2 = Analytics.weightedMedianQuantized(dirty, col("k"), col("v"), col("w"))
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(got2.toSeq === got.toSeq)
   }
 
   test("curriculumInterleave: per-source rank easy-first, deterministic ties, no global window") {
@@ -704,6 +731,14 @@ class AnalyticsSpec extends SparkSpec {
     val gotFlat = Analytics.skyline2D(flat, "cost", "value")
       .select($"cost").distinct().as[Int].collect().toSeq
     assert(gotFlat === Seq(0))
+    // a NULL-cost row with a huge value must neither join the frontier
+    // nor suppress real frontier points via the running max
+    val withNull = rows.unionByName(
+      Seq((99L, null.asInstanceOf[java.lang.Integer], 999.0))
+        .toDF("id", "cost", "value"))
+    val gotNull = Analytics.skyline2D(withNull, "cost", "value")
+      .select($"id").as[Long].collect().toSet
+    assert(gotNull === Set(1L, 2L, 4L, 7L))
   }
 
   test("sequencePatterns: contiguous k-grams per key, exact counts, short keys drop") {
