@@ -48,6 +48,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("C4 stats kernel == expression spec under adversarial random strings") {
+    // the fused character-scan kernel must replicate java.util.regex over
+    // ANY input — drive it with seeded random strings over an alphabet
+    // chosen to hit every corner at once: ASCII whitespace class members,
+    // the four $-matching final line terminators, ellipsis forms, bullet
+    // markers, punctuation, and a surrogate pair
+    val rnd = new scala.util.Random(1234)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "Z", "9", ".", "!", "?", "\"", "-", "*", "\u2022", "\u2026", " ",
+      "\t", "\n", "\u000B", "\f", "\r", "\u0085", "\u2028", "\u2029",
+      "\uD83D\uDE00", "\u00E9")
+    val docs = (0 until 300).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val spec = graft.ops.TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val fast = graft.ops.TextAnalysis.c4FiltersFast(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    fast.zip(spec).foreach { case (f, s) =>
+      assert(f == s, s"kernel/spec divergence:\nfast=$f\nspec=$s")
+    }
+  }
+
   test("grid radius join == brute force on random point clouds incl. high latitude and the seam") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
