@@ -275,6 +275,17 @@ class PlanSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n---\n"))
+    // teeth check: the same walk must actually FLAG a corpus-wide
+    // unpartitioned window, or a green sweep proves nothing
+    val bad = Tables.load(spark, sf0001, "customer")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(org.apache.spark.sql.functions.col("c_custkey"))))
+    val badHits = bad.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+    assert(badHits.nonEmpty,
+      "lint has no teeth: a corpus-wide unpartitioned window was not flagged")
   }
 
   test("ann_index_persist: the probe scan prunes stored cluster partitions dynamically") {
