@@ -6585,6 +6585,46 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_sql_surface",
+      // the engine's SQL-facing API end to end: temp views + PURE
+      // spark.sql text driving the registered graft_* scalar functions
+      // (cosine kernel, C4 stats kernel, haversine) — what a SQL-only
+      // user of the library runs. Every value is floored-integer or
+      // exactly-rounded, so the DuckDB mirror replays it bit for bit.
+      (s, d) => {
+        graft.plans.Graft.install(s)
+        t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("v"))
+          .where(col("vec_id") < 64).createOrReplaceTempView("g_emb")
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .where(col("doc_id") < 64).createOrReplaceTempView("g_docs")
+        s.sql("""
+          SELECT a.vec_id,
+            CAST(floor(graft_cosine_sim(a.v, b.v) * 1000000) AS BIGINT) AS cos_next_micro,
+            element_at(graft_c4_stats(d.text), 2) AS n_words,
+            CAST(floor(graft_haversine_km(
+              (a.vec_id * 7 % 1200) / 10.0 - 60.0, (a.vec_id * 13 % 3000) / 10.0 - 150.0,
+              (b.vec_id * 91 % 1200) / 10.0 - 60.0, (b.vec_id * 53 % 3000) / 10.0 - 150.0
+            ) * 1000) AS BIGINT) AS dist_milli
+          FROM g_emb a
+          JOIN g_emb b ON b.vec_id = a.vec_id + 1
+          JOIN g_docs d ON d.doc_id = a.vec_id
+          ORDER BY a.vec_id""")
+      },
+      Some(s"""WITH $latticeBaseCte,
+        e AS (SELECT vec_id, v FROM base WHERE vec_id < 64)
+        SELECT a.vec_id,
+          CAST(floor((${cosSql("a.v", "b.v")}) * 1000000) AS BIGINT) AS cos_next_micro,
+          CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> len(x) > 0)) AS BIGINT)
+            AS n_words,
+          CAST(floor(${havSql(
+            "((a.vec_id * 7 % 1200) / 10.0 - 60.0)", "((a.vec_id * 13 % 3000) / 10.0 - 150.0)",
+            "((b.vec_id * 91 % 1200) / 10.0 - 60.0)", "((b.vec_id * 53 % 3000) / 10.0 - 150.0)")} * 1000)
+            AS BIGINT) AS dist_milli
+        FROM e a
+        JOIN e b ON b.vec_id = a.vec_id + 1
+        JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 64) d ON d.doc_id = a.vec_id
+        ORDER BY a.vec_id""")),
+
     QueryDef("op_mask_referential",
       // referentially-consistent pseudonymization (the governance op that
       // lets masked data still JOIN): name → 'C' + md5-prefix pseudonym,

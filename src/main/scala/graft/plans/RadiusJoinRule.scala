@@ -267,7 +267,17 @@ object Graft {
       (es: Seq[Expression]) => GeoExprs.haversineKm(es(0), es(1), es(2), es(3))),
     ("graft_winnow", "graft.functions.WinnowExpr",
       (es: Seq[Expression]) => graft.functions.WinnowExpr(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("graft_ngrams", "graft.functions.NGramsExpr",
+      (es: Seq[Expression]) => graft.functions.NGramsExpr(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_normalize", "graft.functions.NormalizeExpr",
+      (es: Seq[Expression]) => graft.functions.NormalizeExpr(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_c4_stats", "graft.functions.C4StatsExpr",
+      (es: Seq[Expression]) => graft.functions.C4StatsExpr(es(0))),
+    ("graft_sorted_intersect_count", "graft.functions.SortedIntersectCountExpr",
+      (es: Seq[Expression]) => graft.functions.SortedIntersectCountExpr(es(0), es(1))))
 
   /** Expose the engine's scalar functions to `spark.sql` users. */
   def registerSqlFunctions(spark: SparkSession): Unit = {

@@ -544,7 +544,9 @@ class PlanSpec extends SparkSpec {
           // canonicalize + degree + 2 lookup joins + corner census
           "op_graph_lcc" -> 6,
           // key-window sweep + per-key agg + range sort
-          "op_interval_union" -> 3)) {
+          "op_interval_union" -> 3,
+          // two bounded-view broadcasts + join + range sort
+          "op_sql_surface" -> 5)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
