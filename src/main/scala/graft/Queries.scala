@@ -6585,6 +6585,30 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_hierarchy_flatten",
+      // WITH RECURSIVE, Spark-style: root + depth for every node of the
+      // binary-heap forest over customer keys (parent = (node−1) div 2;
+      // two roots: 0 and the planted second tree at the top key), via
+      // log-round pointer doubling. The oracle IS a recursive CTE —
+      // DuckDB walks per level, the engine doubles, results must agree.
+      (s, d) => {
+        val nodes = t(s, d, "customer").select(col("c_custkey").as("node"),
+          when(col("c_custkey") === 0, lit(null).cast("long"))
+            .otherwise(expr("(c_custkey - 1) div 2")).as("parent"))
+        Analytics.hierarchyFlatten(nodes, "node", "parent")
+          .select(col("node"), col("root"), col("depth"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE t AS (
+          SELECT c_custkey AS node,
+            CASE WHEN c_custkey = 0 THEN NULL ELSE (c_custkey - 1) // 2 END AS parent
+          FROM customer),
+        r AS (
+          SELECT node, node AS root, CAST(0 AS BIGINT) AS depth FROM t WHERE parent IS NULL
+          UNION ALL
+          SELECT t.node, r.root, r.depth + 1 FROM t JOIN r ON t.parent = r.node)
+        SELECT node, root, depth FROM r ORDER BY node""")),
+
     QueryDef("op_sql_surface",
       // the engine's SQL-facing API end to end: temp views + PURE
       // spark.sql text driving the registered graft_* scalar functions

@@ -1288,6 +1288,48 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Hierarchy flattening — every node's ROOT and DEPTH in a parent-
+    * pointer forest (org charts, category trees, reply threads): the
+    * engine's answer to `WITH RECURSIVE`, which Spark lacks. POINTER
+    * DOUBLING, not per-level walking: each round joins the current
+    * (node → known-ancestor, distance) table with itself, so the jump
+    * distance doubles and a depth-D forest settles in ⌈log₂ D⌉ rounds —
+    * per-level recursion would pay D shuffle rounds, fatal on deep
+    * chains. Rounds use the lazy-localCheckpoint + count() convergence
+    * probe (one job per round, the bfsHops/dedupClusters pattern); the
+    * count of unsettled nodes is the driver-side scalar. Roots have
+    * depth 0 and are their own root; a node whose chain exceeds
+    * `maxRounds` doublings (depth > 2^maxRounds — in practice a CYCLE,
+    * which a parent forest must not contain) is returned with its
+    * partial ancestor and `settled = false` rather than looping forever.
+    * Output: (node, root, depth, settled).
+    */
+  def hierarchyFlatten(nodes: DataFrame, nodeCol: String, parentCol: String,
+                       maxRounds: Int = 20): DataFrame = {
+    var cur = nodes.select(col(nodeCol).as("node"),
+        coalesce(col(parentCol), col(nodeCol)).as("anc"),
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"),
+        col(parentCol).isNull.as("settled"))
+      .localCheckpoint(eager = false)
+    var unsettled = cur.where(!col("settled")).count()
+    var round = 0
+    while (unsettled > 0 && round < maxRounds) {
+      round += 1
+      val b = cur.select(col("node").as("_bn"), col("anc").as("_banc"),
+        col("depth").as("_bd"), col("settled").as("_bs"))
+      // every anc is a node of the same forest, so the self-join is total
+      val next = cur.join(b.hint("merge"), col("anc") === col("_bn"))
+        .select(col("node"),
+          when(col("settled"), col("anc")).otherwise(col("_banc")).as("anc"),
+          when(col("settled"), col("depth")).otherwise(col("depth") + col("_bd")).as("depth"),
+          (col("settled") || col("_bs")).as("settled"))
+        .localCheckpoint(eager = false)
+      unsettled = next.where(!col("settled")).count()
+      cur = next
+    }
+    cur.select(col("node"), col("anc").as("root"), col("depth"), col("settled"))
+  }
+
   /** Per-key UNION length of (possibly overlapping) intervals — the
     * covered-time primitive (billing, uptime, sensor coverage): the
     * classic sweep, expressed as ONE key-window pass. Each interval

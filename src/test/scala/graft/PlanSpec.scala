@@ -546,7 +546,10 @@ class PlanSpec extends SparkSpec {
           // key-window sweep + per-key agg + range sort
           "op_interval_union" -> 3,
           // two bounded-view broadcasts + join + range sort
-          "op_sql_surface" -> 5)) {
+          "op_sql_surface" -> 5,
+          // pointer doubling: seed count + ~4 doubling rounds + sort
+          // (rounds grow with log2(depth) BY DESIGN; 1500-node heap = 4)
+          "op_hierarchy_flatten" -> 7)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
