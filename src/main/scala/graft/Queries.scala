@@ -317,13 +317,27 @@ object Queries {
     val tmp = sys.props("java.io.tmpdir")
     val prefix = s"graft_rt_${kind}_${h}_"
     val name = prefix + ProcessHandle.current().pid()
+    // reclaim ONLY dirs whose owning pid is dead: an mtime-age sweep can
+    // delete a LIVE sibling's scratch (Derby writes touch files nested
+    // under db/, so the TOP dir's mtime never refreshes — a >1h-old run
+    // looks stale while in active use). Dirs whose suffix doesn't parse
+    // as a pid (the legacy unsuffixed layout) fall back to the age rule.
+    // The recursive delete tolerates a concurrent sibling sweeping the
+    // same dead dir (walk/delete races surface as ignorable IO errors).
     val stale = new java.io.File(tmp).listFiles()
     if (stale != null) stale.iterator
       .filter(f => f.getName.startsWith(prefix) && f.getName != name)
-      .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+      .filter { f =>
+        f.getName.stripPrefix(prefix).toLongOption match {
+          case Some(pid) => ProcessHandle.of(pid).isEmpty
+          case None => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L
+        }
+      }
       .foreach { f =>
-        java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        try
+          java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     val p = java.nio.file.Paths.get(tmp, name)
     java.nio.file.Files.createDirectories(p)
@@ -6667,8 +6681,12 @@ object Queries {
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("c_name")).as("n_names"),
             countDistinct(col("pseudonym")).as("n_pseudonyms"),
-            sum(conv(substring(md5(col("pseudonym")), 1, 12), 16, 10).cast("long"))
-              .as("pseudonym_digest"))
+            // 48-bit terms summed in DECIMAL(38,0) (mirrors HUGEINT), emitted
+            // as a digit STRING: a BIGINT sum wraps near 32k rows/group on
+            // the Spark side while DuckDB's HUGEINT->BIGINT cast would
+            // throw — the tableChecksum dtype discipline
+            sum(conv(substring(md5(col("pseudonym")), 1, 12), 16, 10)
+              .cast("decimal(38,0)")).cast("string").as("pseudonym_digest"))
           .orderBySmall(col("c_mktsegment"))
       },
       Some("""WITH m AS (SELECT c_mktsegment, c_name,
@@ -6676,7 +6694,7 @@ object Queries {
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
           CAST(count(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
-          CAST(sum(('0x' || substring(md5(pseudonym), 1, 12))::BIGINT) AS BIGINT)
+          CAST(sum(('0x' || substring(md5(pseudonym), 1, 12))::BIGINT) AS VARCHAR)
             AS pseudonym_digest
         FROM m GROUP BY 1 ORDER BY 1""")),
 
@@ -6696,12 +6714,12 @@ object Queries {
           expr(s"CAST(aes_decrypt(enc, '$key', 'ECB', 'PKCS') AS STRING)").as("name_back"))
         dec.groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_rows"),
-            sum(conv(substring(md5(col("name_back")), 1, 12), 16, 10).cast("long"))
-              .as("roundtrip_digest"))
+            sum(conv(substring(md5(col("name_back")), 1, 12), 16, 10)
+              .cast("decimal(38,0)")).cast("string").as("roundtrip_digest"))
           .orderBySmall(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
-          CAST(sum(('0x' || substring(md5(c_name), 1, 12))::BIGINT) AS BIGINT)
+          CAST(sum(('0x' || substring(md5(c_name), 1, 12))::BIGINT) AS VARCHAR)
             AS roundtrip_digest
         FROM customer GROUP BY 1 ORDER BY 1""")),
 

@@ -978,8 +978,11 @@ object Analytics {
     // convention the DuckDB mirror uses (NULL cells still contribute to
     // chi2 above; they just don't add a level to (r−1)(c−1), matching
     // every SQL engine's DISTINCT semantics).
-    val dfDeg = (head.map(_.getString(0)).filter(_ != null).distinct.length - 1).toLong *
-      (head.map(_.getString(1)).filter(_ != null).distinct.length - 1).toLong
+    // clamp each factor at 0: an ALL-NULL variable has zero non-null
+    // levels and (0 − 1) would turn deg_free NEGATIVE instead of 0
+    val dfDeg = math.max(0L,
+        head.map(_.getString(0)).filter(_ != null).distinct.length - 1L) *
+      math.max(0L, head.map(_.getString(1)).filter(_ != null).distinct.length - 1L)
     cells.select(col("a"), col("b"), col("n_obs"), col("expected"),
       col("contrib"), lit(chi2).as("chi2"), lit(dfDeg).as("deg_free"))
   }
@@ -1298,10 +1301,13 @@ object Analytics {
     * chains. Rounds use the lazy-localCheckpoint + count() convergence
     * probe (one job per round, the bfsHops/dedupClusters pattern); the
     * count of unsettled nodes is the driver-side scalar. Roots have
-    * depth 0 and are their own root; a node whose chain exceeds
-    * `maxRounds` doublings (depth > 2^maxRounds — in practice a CYCLE,
-    * which a parent forest must not contain) is returned with its
-    * partial ancestor and `settled = false` rather than looping forever.
+    * depth 0 and are their own root. Defective forests degrade loudly,
+    * never silently: a node whose chain exceeds `maxRounds` doublings
+    * (depth > 2^maxRounds — in practice a CYCLE, which a parent forest
+    * must not contain) and a node whose chain hits a DANGLING parent id
+    * (a pointer to a node with no row — the deleted-manager defect) are
+    * both returned with their partial ancestor and `settled = false`;
+    * no input node is ever dropped from the output.
     * Output: (node, root, depth, settled).
     */
   def hierarchyFlatten(nodes: DataFrame, nodeCol: String, parentCol: String,
@@ -1309,22 +1315,27 @@ object Analytics {
     var cur = nodes.select(col(nodeCol).as("node"),
         coalesce(col(parentCol), col(nodeCol)).as("anc"),
         when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"),
-        col(parentCol).isNull.as("settled"))
+        col(parentCol).isNull.as("settled"),
+        lit(false).as("_dang"))
       .localCheckpoint(eager = false)
-    var unsettled = cur.where(!col("settled")).count()
+    var active = cur.where(!col("settled") && !col("_dang")).count()
     var round = 0
-    while (unsettled > 0 && round < maxRounds) {
+    while (active > 0 && round < maxRounds) {
       round += 1
       val b = cur.select(col("node").as("_bn"), col("anc").as("_banc"),
         col("depth").as("_bd"), col("settled").as("_bs"))
-      // every anc is a node of the same forest, so the self-join is total
-      val next = cur.join(b.hint("merge"), col("anc") === col("_bn"))
+      // LEFT join: a missing ancestor row is a dangling parent pointer —
+      // the node keeps its partial state and stops jumping (terminal,
+      // settled = false), instead of vanishing from an inner join
+      val frozen = col("settled") || col("_dang") || col("_bn").isNull
+      val next = cur.join(b.hint("merge"), col("anc") === col("_bn"), "left")
         .select(col("node"),
-          when(col("settled"), col("anc")).otherwise(col("_banc")).as("anc"),
-          when(col("settled"), col("depth")).otherwise(col("depth") + col("_bd")).as("depth"),
-          (col("settled") || col("_bs")).as("settled"))
+          when(frozen, col("anc")).otherwise(col("_banc")).as("anc"),
+          when(frozen, col("depth")).otherwise(col("depth") + col("_bd")).as("depth"),
+          (col("settled") || (col("_bn").isNotNull && col("_bs"))).as("settled"),
+          (col("_dang") || (!col("settled") && col("_bn").isNull)).as("_dang"))
         .localCheckpoint(eager = false)
-      unsettled = next.where(!col("settled")).count()
+      active = next.where(!col("settled") && !col("_dang")).count()
       cur = next
     }
     cur.select(col("node"), col("anc").as("root"), col("depth"), col("settled"))
@@ -1427,16 +1438,23 @@ object Analytics {
     */
   def ols2(df: DataFrame, x1: Column, x2: Column, y: Column,
            yScale: Int = 2): DataFrame = {
+    // cast to DECIMAL BEFORE multiplying (the repo-wide overflow
+    // discipline): x1*x1 in the INPUT type would silently wrap for
+    // IntegerType features >= 46341 and LongType past 2^31.5, then cast
+    // the wrapped value — exact-looking garbage. Decimal × input is
+    // exact and widens.
+    val x1d = x1.cast("decimal(18,0)")
+    val x2d = x2.cast("decimal(18,0)")
     val m = df.agg(
       count(lit(1)).as("n_rows"),
-      sum(x1.cast("decimal(18,0)")).cast("double").as("s1"),
-      sum(x2.cast("decimal(18,0)")).cast("double").as("s2"),
-      sum((x1 * x1).cast("decimal(20,0)")).cast("double").as("s11"),
-      sum((x1 * x2).cast("decimal(20,0)")).cast("double").as("s12"),
-      sum((x2 * x2).cast("decimal(20,0)")).cast("double").as("s22"),
+      sum(x1d).cast("double").as("s1"),
+      sum(x2d).cast("double").as("s2"),
+      sum((x1d * x1).cast("decimal(38,0)")).cast("double").as("s11"),
+      sum((x1d * x2).cast("decimal(38,0)")).cast("double").as("s12"),
+      sum((x2d * x2).cast("decimal(38,0)")).cast("double").as("s22"),
       sum(y.cast(s"decimal(24,$yScale)")).cast("double").as("sy"),
-      sum((x1 * y).cast(s"decimal(28,$yScale)")).cast("double").as("s1y"),
-      sum((x2 * y).cast(s"decimal(28,$yScale)")).cast("double").as("s2y"))
+      sum((x1d * y).cast(s"decimal(38,$yScale)")).cast("double").as("s1y"),
+      sum((x2d * y).cast(s"decimal(38,$yScale)")).cast("double").as("s2y"))
     val n = col("n_rows").cast("double")
     val (s1, s2, s11, s12, s22, sy, s1y, s2y) =
       (col("s1"), col("s2"), col("s11"), col("s12"), col("s22"),
@@ -1465,7 +1483,14 @@ object Analytics {
     * deterministic IEEE op on exactly-converted values, so
     * engine-portable (the cosSql discipline). Degenerate inputs (empty
     * group, all values tied) yield NULL z, never a division error.
-    * Output (one row): n1, n2, u1_x2 (doubled U₁, exact), z.
+    *
+    * CONVENTION: `u1_x2 / 2 = n₁n₂ + n₁(n₁+1)/2 − R₁` — twice the number
+    * of (a, b) pairs with a BELOW b (ties ½), i.e. n₁n₂ − U_scipy under
+    * scipy's R₁-based U₁. Consequently z is NEGATIVE when group A is
+    * stochastically LARGER; |z| and two-sided decisions match any
+    * implementation, but compare signed values only after aligning the
+    * convention.
+    * Output (one row): n1, n2, u1_x2 (doubled, exact), z.
     */
   def mannWhitney(df: DataFrame, value: Column, isGroupA: Column): DataFrame = {
     def d(c: Column) = c.cast("decimal(38,0)")

@@ -560,16 +560,23 @@ class AnalyticsSpec extends SparkSpec {
 
   test("hierarchyFlatten: chains and forests resolve in log rounds; cycles flag unsettled") {
     import spark.implicits._
-    // tree 1: chain 0←1←2←3←4; tree 2: 10←11; cycle: 20↔21 (no root)
+    // tree 1: chain 0←1←2←3←4; tree 2: 10←11; cycle: 20↔21 (no root);
+    // dangling: 30's parent 99 has no row, 31 hangs off 30
     val nodes = Seq((0L, None), (1L, Some(0L)), (2L, Some(1L)), (3L, Some(2L)),
-      (4L, Some(3L)), (10L, None), (11L, Some(10L)), (20L, Some(21L)), (21L, Some(20L)))
+      (4L, Some(3L)), (10L, None), (11L, Some(10L)), (20L, Some(21L)), (21L, Some(20L)),
+      (30L, Some(99L)), (31L, Some(30L)))
       .toDF("node", "parent")
     val got = graft.ops.Analytics.hierarchyFlatten(nodes, "node", "parent", maxRounds = 4)
       .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 11, "no input node may be dropped from the output")
     assert(got(0L) === ((0L, 0L, 0L, true)) && got(4L) === ((4L, 0L, 4L, true)))
     assert(got(2L) === ((2L, 0L, 2L, true)) && got(11L) === ((11L, 10L, 1L, true)))
     // depth-4 chain settles within ceil(log2(4)) = 2 doublings (4 allowed)
     assert(!got(20L)._4 && !got(21L)._4, "a parent cycle must flag settled=false")
+    // dangling parents: partial ancestor kept, settled=false, subtree too
+    assert(got(30L) === ((30L, 99L, 1L, false)),
+      "a dangling parent pointer must surface unsettled with its partial state")
+    assert(!got(31L)._4, "a subtree hanging off an orphan must also flag unsettled")
   }
 
   test("intervalUnionLength: overlaps clip, containment contributes 0, gaps don't bridge") {

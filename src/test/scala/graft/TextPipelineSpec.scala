@@ -485,16 +485,16 @@ class TextPipelineSpec extends SparkSpec {
     // matches BEFORE one final line terminator (\r, NEL, LS, PS), word
     // length is code points (surrogate pair = 1), \s is the ASCII class
     val edge = Seq(
-      (101L, "ends with dot.\r\nwindows line.\r"),        // CRLF: ".\r" lines still end-punct
-      (102L, "ellipsis then cr...\rplain..."),            // "...\r" and "..."
-      (103L, "a\u2026\u2028\nb\u2026\u2029\nc\u2026\u0085\nd.\u2028"), // \u2026 and . before LS/PS/NEL final terminators
-      (104L, "- bullet\n-nospace\n• dot bullet\n* star "),
-      (105L, "\ttab  split\u000bvtab\fformfeed one two three"),
-      (106L, "emoji 😀😀 counts two chars per word?"),
-      (107L, "\n\n\n"),                                   // empty lines only
-      (108L, ""), (109L, "…"), (110L, "."), (111L, ".\r"), (112L, "..\r"),
-      (113L, "a.. . "), (114L, "?\"!."), (115L, "x…\r"), (116L, "...\r"),
-      (117L, "word"), (118L, null.asInstanceOf[String])
+      (100101L, "ends with dot.\r\nwindows line.\r"),        // CRLF: ".\r" lines still end-punct
+      (100102L, "ellipsis then cr...\rplain..."),            // "...\r" and "..."
+      (100103L, "a\u2026\u2028\nb\u2026\u2029\nc\u2026\u0085\nd.\u2028"), // \u2026 and . before LS/PS/NEL final terminators
+      (100104L, "- bullet\n-nospace\n• dot bullet\n* star "),
+      (100105L, "\ttab  split\u000bvtab\fformfeed one two three"),
+      (100106L, "emoji 😀😀 counts two chars per word?"),
+      (100107L, "\n\n\n"),                                   // empty lines only
+      (100108L, ""), (100109L, "…"), (100110L, "."), (100111L, ".\r"), (100112L, "..\r"),
+      (100113L, "a.. . "), (100114L, "?\"!."), (100115L, "x…\r"), (100116L, "...\r"),
+      (100117L, "word"), (100118L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val real = Tables.load(spark, sf0001, "documents").limit(200)
       .select($"doc_id", $"text")
