@@ -6599,6 +6599,27 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_gzip_jsonl_source",
+      // compressed-text ingest, the web-corpus landing shape (Common
+      // Crawl WET/JSONL is gzip): write documents as gzip JSON-lines
+      // through the REAL codec, read back with an EXPLICIT schema (no
+      // inference pass — one scan job, exact types), aggregate; the
+      // oracle aggregates the original table, so a codec, escaping, or
+      // type-mapping bug anywhere in the roundtrip breaks the hash
+      (s, d) => {
+        val dir = scratchDir("gzjsonl", d)
+        t(s, d, "documents")
+          .select(to_json(struct(col("doc_id"), col("source"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").option("compression", "gzip").text(s"$dir/jl")
+        s.read.schema("doc_id LONG, source STRING, n_chars LONG")
+          .json(s"$dir/jl")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_hierarchy_flatten",
       // WITH RECURSIVE, Spark-style: root + depth for every node of the
       // binary-heap forest over customer keys (parent = (node−1) div 2;

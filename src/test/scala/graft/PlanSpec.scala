@@ -549,7 +549,9 @@ class PlanSpec extends SparkSpec {
           "op_sql_surface" -> 5,
           // pointer doubling: seed count + ~4 doubling rounds + sort
           // (rounds grow with log2(depth) BY DESIGN; 1500-node heap = 4)
-          "op_hierarchy_flatten" -> 7)) {
+          "op_hierarchy_flatten" -> 7,
+          // gzip write + schema-pinned scan/agg (no inference job)
+          "op_gzip_jsonl_source" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
