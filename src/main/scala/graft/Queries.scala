@@ -6599,6 +6599,62 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("ml_pr_curve",
+      // the full precision-recall curve at every distinct threshold
+      // (ml_auc's construct, curve instead of scalar): exact integer
+      // TP/FP/FN from one descending cumsum over the bounded score
+      // census, shares in millionths
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          ((col("doc_id") * 37) % 71 +
+            when(col("doc_id") % 3 === 0, 30).otherwise(0)).as("score"),
+          when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("y"))
+        MlEval.prCurve(f, col("score"), col("y"))
+          .orderBySmall(col("threshold").desc)
+      },
+      Some("""WITH f AS (SELECT (doc_id*37) % 71 + CASE WHEN doc_id%3=0 THEN 30 ELSE 0 END AS s,
+            CASE WHEN doc_id%3=0 THEN 1 ELSE 0 END AS y FROM documents),
+        c AS (SELECT s AS threshold, CAST(sum(y) AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n
+          FROM f GROUP BY 1),
+        m AS (SELECT threshold,
+            CAST(sum(pos) OVER (ORDER BY threshold DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+            CAST(sum(n) OVER (ORDER BY threshold DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
+            CAST(sum(pos) OVER () AS BIGINT) AS ptot
+          FROM c)
+        SELECT threshold, tp, pp - tp AS fp, ptot - tp AS fn,
+          CAST(1000000 * tp // pp AS BIGINT) AS precision_millionths,
+          CAST(CASE WHEN ptot > 0 THEN 1000000 * tp // ptot END AS BIGINT) AS recall_millionths
+        FROM m ORDER BY threshold DESC""")),
+
+    QueryDef("txt_mojibake",
+      // double-encoding (mojibake) detection — the web-corpus cleaning
+      // signal: UTF-8-read-as-latin1 plants 'Ã'/'â€' marker sequences.
+      // Markers are planted deterministically (%13 docs get a corrupted
+      // tail) and censused per source with pure string expressions
+      (s, d) => {
+        val planted = t(s, d, "documents").select(col("source"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" cafÃ© â€” naÃ¯ve")))
+            .otherwise(col("text")).as("text"))
+        planted.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(instr(col("text"), "Ã") > 0 || instr(col("text"), "â€") > 0, 1L)
+              .otherwise(0L)).as("n_mojibake_docs"),
+            sum((length(col("text")) -
+              length(expr("replace(text, 'Ã', '')"))).cast("long")).as("n_marker_chars"))
+          .orderBySmall(col("source"))
+      },
+      Some("""WITH p AS (SELECT source,
+            CASE WHEN doc_id % 13 = 0 THEN text || ' cafÃ© â€” naÃ¯ve' ELSE text END AS text
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN strpos(text, 'Ã') > 0 OR strpos(text, 'â€') > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_docs,
+          CAST(sum(length(text) - length(replace(text, 'Ã', ''))) AS BIGINT) AS n_marker_chars
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_gzip_jsonl_source",
       // compressed-text ingest, the web-corpus landing shape (Common
       // Crawl WET/JSONL is gzip): write documents as gzip JSON-lines

@@ -209,4 +209,34 @@ object MlEval {
             (col("n") * col("n") - col("sum_prod")).cast("double"))
           .as("kappa"))
   }
+
+  /** Full precision-recall CURVE at every distinct threshold of a
+    * QUANTIZED score — the threshold-picking readout [[aucExact]]'s
+    * scalar can't give: predict positive at score ≥ θ for each θ in the
+    * (bounded) score domain, with TP/FP from one descending cumulative
+    * window over the per-score census (the aucExact shape — the
+    * unpartitioned windows see ≤|domain| rows, never the corpus) and
+    * precision/recall as exact integer millionths. NULL scores carry no
+    * threshold information and drop. Output, one row per distinct score
+    * (descending): threshold, tp, fp, fn, precision/recall millionths.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val cells = df.where(score.isNotNull)
+      .select(score.cast("long").as("threshold"), label.cast("long").as("_y"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("_y")).as("_pos"), count(lit(1)).as("_n"))
+    val cum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("tp", sum(col("_pos")).over(cum))
+      .withColumn("_pp", sum(col("_n")).over(cum))
+      .withColumn("_ptot", sum(col("_pos")).over(all))
+      .select(col("threshold"), col("tp"),
+        (col("_pp") - col("tp")).as("fp"),
+        (col("_ptot") - col("tp")).as("fn"),
+        expr("1000000 * tp div _pp").as("precision_millionths"),
+        expr("CASE WHEN _ptot > 0 THEN 1000000 * tp div _ptot END").as("recall_millionths"))
+  }
 }

@@ -233,4 +233,17 @@ class MlEvalSpec extends SparkSpec {
       .collect().head
     assert(g2._9 === None)
   }
+
+  test("prCurve: exact TP/FP/FN at every threshold; NULL scores drop") {
+    import spark.implicits._
+    // y=1 at scores {3,3,2}; y=0 at {3,1}; NULL score ignored
+    val df = Seq((Some(3L), 1L), (Some(3L), 1L), (Some(3L), 0L), (Some(2L), 1L),
+      (Some(1L), 0L), (None: Option[Long], 1L)).toDF("s", "y")
+    val got = graft.ops.MlEval.prCurve(df, col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(-_._1)
+    assert(got.toSeq === Seq(
+      (3L, 2L, 1L, 1L, 666666L, 666666L),
+      (2L, 3L, 1L, 0L, 750000L, 1000000L),
+      (1L, 3L, 2L, 0L, 600000L, 1000000L)))
+  }
 }

@@ -551,7 +551,9 @@ class PlanSpec extends SparkSpec {
           // (rounds grow with log2(depth) BY DESIGN; 1500-node heap = 4)
           "op_hierarchy_flatten" -> 7,
           // gzip write + schema-pinned scan/agg (no inference job)
-          "op_gzip_jsonl_source" -> 3)) {
+          "op_gzip_jsonl_source" -> 3,
+          // one census agg each
+          "ml_pr_curve" -> 2, "txt_mojibake" -> 2)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
