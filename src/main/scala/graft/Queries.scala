@@ -6599,6 +6599,30 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("txt_kneser_ney",
+      // interpolated Kneser-Ney bigram LM over the corpus — exact with
+      // D = 3/4 (see TextAnalysis.knBigramProbs): integer numerator/
+      // denominator over a common base, one IEEE division per bigram
+      (s, d) => TextAnalysis.knBigramProbs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("x"), col("y")),
+      Some("""WITH tk AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+          FROM documents),
+        occ AS (SELECT split_part(gram, ' ', 1) AS x, split_part(gram, ' ', -1) AS y
+          FROM (SELECT unnest([toks[i] || ' ' || toks[i+1]
+              FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+            FROM tk WHERE len(toks) >= 2)),
+        cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM occ GROUP BY 1, 2),
+        cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x, CAST(count(*) AS BIGINT) AS n1_x
+          FROM cxy GROUP BY 1),
+        n1y AS (SELECT y, CAST(count(*) AS BIGINT) AS n1_y FROM cxy GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM cxy)
+        SELECT cxy.x, cxy.y, c_xy,
+          CAST(greatest(c_xy * 4 - 3, 0)::HUGEINT * ntot + (n1_x * 3)::HUGEINT * n1_y AS DOUBLE) /
+            CAST((c_x * 4)::HUGEINT * ntot AS DOUBLE) AS p_kn
+        FROM cxy JOIN cx USING (x) JOIN n1y USING (y) CROSS JOIN nt
+        ORDER BY cxy.x, cxy.y""")),
+
     QueryDef("ml_pr_curve",
       // the full precision-recall curve at every distinct threshold
       // (ml_auc's construct, curve instead of scalar): exact integer

@@ -748,6 +748,48 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities — THE industry-standard
+    * n-gram smoothing (Chen & Goodman 1999), exactly computable because
+    * the discount is fixed at D = ¾ (a RATIONAL, so every probability is
+    * a ratio of exact integers — no float accumulation anywhere):
+    *
+    *   P_KN(y|x) = max(c(xy) − D, 0)/c(x·) + D·N1+(x·)/c(x·) · N1+(·y)/N1+(··)
+    *
+    * over a common denominator `4·c(x·)·N1+(··)` with numerator
+    * `max(4c(xy)−3, 0)·N1+(··) + 3·N1+(x·)·N1+(·y)` — exact integer
+    * products in DECIMAL (overflow-safe past 2⁶³), ONE final IEEE
+    * division per bigram. Backbone of LM-based data scoring where
+    * [[docSurprisal]]'s raw inverse frequency is too crude: unseen-mass
+    * redistribution by CONTINUATION counts, the KN insight.
+    *
+    * Shapes: one bigram-occurrence explode (kernel grams, materialized
+    * tokens), then censuses of the bigram table — c(xy), c(x·)+N1+(x·),
+    * N1+(·y), the scalar type count. Vocabulary tables are unbounded →
+    * every join SORT-MERGE pinned; the scalar broadcasts. Output: one
+    * row per OBSERVED bigram (x, y, c_xy, p_kn).
+    */
+  def knBigramProbs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val occ = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= 2)
+      .select(explode(Dedup.gramsFromTokens(col("_toks"), 2)).as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("x"),
+        substring_index(col("gram"), " ", -1).as("y"))
+    val cxy = occ.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cx = cxy.groupBy(col("x"))
+      .agg(sum(col("c_xy")).as("c_x"), count(lit(1)).as("n1_x"))
+    val n1y = cxy.groupBy(col("y")).agg(count(lit(1)).as("n1_y"))
+    val ntot = cxy.agg(count(lit(1)).as("_ntot"))
+    cxy.join(cx.hint("merge"), Seq("x"))
+      .join(n1y.hint("merge"), Seq("y"))
+      .crossJoin(broadcast(ntot))
+      .select(col("x"), col("y"), col("c_xy"),
+        ((d(greatest(col("c_xy") * 4 - 3, lit(0L))) * col("_ntot") +
+          d(col("n1_x") * 3) * col("n1_y")).cast("double") /
+          (d(col("c_x") * 4) * col("_ntot")).cast("double")).as("p_kn"))
+  }
+
   /** Tiny per-language stopword marker sets used by the n-gram-heuristic
     * language scorer. Deterministic and oracle-expressible (IN-lists).
     */

@@ -553,7 +553,9 @@ class PlanSpec extends SparkSpec {
           // gzip write + schema-pinned scan/agg (no inference job)
           "op_gzip_jsonl_source" -> 3,
           // one census agg each
-          "ml_pr_curve" -> 2, "txt_mojibake" -> 2)) {
+          "ml_pr_curve" -> 2, "txt_mojibake" -> 2,
+          // bigram persist + census joins + range sort
+          "txt_kneser_ney" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }

@@ -510,6 +510,24 @@ class TextPipelineSpec extends SparkSpec {
       graft.ops.TextAnalysis.c4Filters(d, "doc_id", "text").schema)
   }
 
+  test("knBigramProbs: hand-computed Kneser-Ney with D=3/4; full-vocab mass sums to 1") {
+    import spark.implicits._
+    // "a b a b a c": c(ab)=2, c(ba)=2, c(ac)=1; c(a·)=3, N1+(a·)=2;
+    // c(b·)=2, N1+(b·)=1; N1+(·a)=N1+(·b)=N1+(·c)=1; N1+(··)=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.knBigramProbs(docs, "doc_id", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b")) === ((2L, 21.0 / 36.0)))
+    assert(got(("a", "c")) === ((1L, 9.0 / 36.0)))
+    assert(got(("b", "a")) === ((2L, 18.0 / 24.0)))
+    // interpolated KN sums to 1 over the FULL vocab per head: observed
+    // mass + lambda(x)*(unobserved continuation mass). For x=a the
+    // unobserved continuation is {a} with P_cont = 1/3, lambda(a) = 1/2:
+    // 21/36 + 9/36 + (1/2)(1/3) = 1
+    assert(math.abs(got(("a", "b"))._2 + got(("a", "c"))._2 + 0.5 / 3.0 - 1.0) < 1e-15)
+  }
+
   test("docSurprisal: hand-computed bigram head/transition counts; short docs drop") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"),
