@@ -6599,6 +6599,39 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_lpm_join",
+      // longest-prefix match: derived 32-bit keys against a 100-route
+      // CIDR table — equi-join on (len, bucket) with per-key argmax
+      // length (see Joins.longestPrefixMatch), per-route census out
+      (s, d) => {
+        val ips = t(s, d, "events")
+          .select((col("user_id") * 2654435761L % 4294967296L).as("ip")).distinct()
+        val routes = t(s, d, "customer").where(col("c_custkey") < 100)
+          .select(col("c_custkey").as("rid"),
+            (lit(8) + col("c_custkey") * 13 % 17).as("plen"),
+            expr("((c_custkey * 40503103) % 4294967296) div " +
+              "shiftleft(CAST(1 AS BIGINT), 32 - (8 + (c_custkey * 13) % 17))").as("network"))
+        Joins.longestPrefixMatch(ips, col("ip"), routes,
+            col("network"), col("plen"), col("rid"))
+          .groupBy(col("route_id"))
+          .agg(max(col("plen")).as("plen"), count(lit(1)).as("n_ips"))
+          .orderBySmall(col("route_id"))
+      },
+      Some("""WITH ips AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS key FROM events),
+        routes AS (SELECT c_custkey AS rid,
+            8 + (c_custkey * 13) % 17 AS plen,
+            ((c_custkey * 40503103) % 4294967296) //
+              (CAST(1 AS BIGINT) << (32 - (8 + (c_custkey * 13) % 17))) AS network
+          FROM customer WHERE c_custkey < 100),
+        cand AS (SELECT i.key, r.rid, r.plen FROM ips i JOIN routes r
+          ON i.key // (CAST(1 AS BIGINT) << (32 - r.plen)) = r.network),
+        best AS (SELECT key, rid, plen,
+            row_number() OVER (PARTITION BY key ORDER BY plen DESC, rid ASC) AS rn
+          FROM cand)
+        SELECT rid AS route_id, CAST(max(plen) AS INTEGER) AS plen,
+          CAST(count(*) AS BIGINT) AS n_ips
+        FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("txt_kneser_ney",
       // interpolated Kneser-Ney bigram LM over the corpus — exact with
       // D = 3/4 (see TextAnalysis.knBigramProbs): integer numerator/

@@ -241,4 +241,35 @@ object Joins {
       .where(col("edit_dist") <= maxDist)
       .drop("_graft_blk", "_graft_lk", "_graft_rk")
   }
+
+  /** Longest-prefix match — the routing-table lookup (IP → most specific
+    * CIDR), a join no equi-key expresses directly: each 32-bit key must
+    * match the route whose network covers it at the GREATEST prefix
+    * length. Classic scale-safe form: cross the keys with the DISTINCT
+    * prefix lengths present in the table (≤ 32 rows — broadcast), bucket
+    * both sides to `key div 2^(32−len)`, equi-join on (len, bucket), and
+    * keep the per-key argmax length (ties → smallest route id; one
+    * max(struct) agg). Fan-out is |keys|·|distinct lens| ≤ 32× — linear,
+    * never a theta-join. The route table broadcasts by the routing-table
+    * boundedness contract (a FIB is device-memory-sized at any corpus
+    * scale); the keys side streams. Unmatched keys drop (no default
+    * route unless the table carries len 0). Output: key, matched
+    * `route_id`, `plen`.
+    */
+  def longestPrefixMatch(keys: DataFrame, keyCol: Column,
+                         routes: DataFrame, networkCol: Column, plenCol: Column,
+                         routeIdCol: Column): DataFrame = {
+    val lens = routes.select(plenCol.cast("int").as("_plen")).distinct()
+    val r = routes.select(plenCol.cast("int").as("_plen"),
+      networkCol.cast("long").as("_bucket"), routeIdCol.as("_rid"))
+    keys.select(keyCol.cast("long").as("key"))
+      .crossJoin(broadcast(lens))
+      .withColumn("_bucket",
+        expr("key div shiftleft(CAST(1 AS BIGINT), 32 - _plen)"))
+      .join(broadcast(r), Seq("_plen", "_bucket"))
+      .groupBy(col("key"))
+      .agg(max(struct(col("_plen"), (-col("_rid")).as("_nrid"))).as("_best"))
+      .select(col("key"), (-col("_best._nrid")).as("route_id"),
+        col("_best._plen").as("plen"))
+  }
 }

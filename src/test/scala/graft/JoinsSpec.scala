@@ -163,4 +163,27 @@ class JoinsSpec extends SparkSpec {
       assert(got.toSet == brute, s"bucket $bucket: banded != brute")
     }
   }
+
+  test("longestPrefixMatch: most-specific route wins, ties take smallest id, unmatched drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10.0.0.0/8 (rid 1), 10.1.0.0/16 (rid 2), duplicate /16 (rid 3),
+    // 192.168.0.0/16 (rid 4)
+    def ip(a: Int, b: Int, c: Int, d: Int): Long =
+      (a.toLong << 24) | (b.toLong << 16) | (c.toLong << 8) | d.toLong
+    val routes = Seq(
+      (1L, 8, ip(10, 0, 0, 0) >> 24),
+      (2L, 16, ip(10, 1, 0, 0) >> 16),
+      (3L, 16, ip(10, 1, 0, 0) >> 16),
+      (4L, 16, ip(192, 168, 0, 0) >> 16)).toDF("rid", "plen", "network")
+    val keys = Seq(ip(10, 1, 2, 3), ip(10, 9, 9, 9), ip(192, 168, 1, 1), ip(8, 8, 8, 8))
+      .toDF("k")
+    val got = graft.ops.Joins.longestPrefixMatch(keys, col("k"), routes,
+        col("network"), col("plen"), col("rid"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(ip(10, 1, 2, 3)) === ((2L, 16)), "the /16 must beat the /8; rid tie -> smallest")
+    assert(got(ip(10, 9, 9, 9)) === ((1L, 8)))
+    assert(got(ip(192, 168, 1, 1)) === ((4L, 16)))
+    assert(!got.contains(ip(8, 8, 8, 8)), "a key covered by no route must drop")
+  }
 }

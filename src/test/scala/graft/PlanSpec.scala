@@ -555,7 +555,9 @@ class PlanSpec extends SparkSpec {
           // one census agg each
           "ml_pr_curve" -> 2, "txt_mojibake" -> 2,
           // bigram persist + census joins + range sort
-          "txt_kneser_ney" -> 4)) {
+          "txt_kneser_ney" -> 4,
+          // 2 route broadcasts + distinct/argmax aggs
+          "op_lpm_join" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
