@@ -6599,6 +6599,56 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_bitemporal",
+      // BITEMPORAL querying — the two time axes composed: TRANSACTION
+      // time from ManifestTable versions (what the store knew when) ×
+      // VALID time from SCD2 intervals (what was true when). Three
+      // as-of reads prove the distinction: at transaction v1 the store
+      // doesn't know the valid-time-100 change even when asked about
+      // t=150 (t1v150); at v2 asking about t=50 still sees the OLD
+      // attribute (the closed interval covers 50); only (v2, t=150)
+      // sees the change. The oracle replays all three states
+      // analytically from the construct.
+      (s, d) => {
+        val dir = scratchDir("bitemporal", d)
+        val table = ManifestTable(s, s"$dir/dim")
+        val dim0 = t(s, d, "customer").where(col("c_custkey") < 200)
+          .select(col("c_custkey").as("key"), col("c_mktsegment").as("attr"),
+            lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        table.merge(dim0, Seq("key", "valid_from"))
+        val v1 = table.latestVersion().get
+        val changed = dim0.where(col("key") % 3 === 0)
+        val delta = changed.select(col("key"), col("attr"), col("valid_from"),
+            lit(100L).as("valid_to"))
+          .unionByName(changed.select(col("key"), lit("MOVED").as("attr"),
+            lit(100L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+        table.merge(delta, Seq("key", "valid_from"))
+        val v2 = table.latestVersion().get
+        def asOf(v: Long, tq: Long, label: String) =
+          table.snapshotAt(v)
+            .where(col("valid_from") <= tq &&
+              (col("valid_to").isNull || col("valid_to") > tq))
+            .groupBy(col("attr"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(label).as("view"), col("attr"), col("n"))
+        asOf(v1, 150L, "t1v150")
+          .unionByName(asOf(v2, 50L, "t2v50"))
+          .unionByName(asOf(v2, 150L, "t2v150"))
+          .orderBySmall(col("view"), col("attr"))
+      },
+      Some("""WITH dim AS (SELECT c_custkey AS key, c_mktsegment AS attr
+            FROM customer WHERE c_custkey < 200)
+        SELECT * FROM (
+          SELECT 't1v150' AS view, attr, CAST(count(*) AS BIGINT) AS n
+            FROM dim GROUP BY 1, 2
+          UNION ALL
+          SELECT 't2v50', attr, CAST(count(*) AS BIGINT) FROM dim GROUP BY 1, 2
+          UNION ALL
+          SELECT 't2v150', CASE WHEN key % 3 = 0 THEN 'MOVED' ELSE attr END,
+            CAST(count(*) AS BIGINT)
+            FROM dim GROUP BY 1, 2)
+        ORDER BY view, attr""")),
+
     QueryDef("op_lpm_join",
       // longest-prefix match: derived 32-bit keys against a 100-route
       // CIDR table — equi-join on (len, bucket) with per-key argmax

@@ -557,7 +557,9 @@ class PlanSpec extends SparkSpec {
           // bigram persist + census joins + range sort
           "txt_kneser_ney" -> 4,
           // 2 route broadcasts + distinct/argmax aggs
-          "op_lpm_join" -> 4)) {
+          "op_lpm_join" -> 4,
+          // 2 merge commits + 3 snapshot reads folded into one union agg
+          "op_bitemporal" -> 6)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
