@@ -6599,6 +6599,47 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_peaks_runs",
+      // row-pattern census over the per-type event value series: local
+      // extrema + longest strictly-monotone runs (gaps-and-islands) —
+      // the MATCH_RECOGNIZE class, integer-exact
+      (s, d) => Analytics.peakRunStats(eventsUs(s, d), col("event_type"),
+          Seq(col("ts_us"), col("event_id")),
+          expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .withColumnRenamed("grp", "event_type")
+        .orderBySmall(col("event_type")),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+            CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        m AS (SELECT event_type, ts_us, event_id, v,
+            lag(v) OVER w AS prev, lead(v) OVER w AS nxt,
+            CASE WHEN lag(v) OVER w IS NULL THEN 0
+                 WHEN v > lag(v) OVER w THEN 1
+                 WHEN v < lag(v) OVER w THEN -1 ELSE 0 END AS dir
+          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        m2 AS (SELECT event_type, ts_us, event_id, v, prev, nxt, dir,
+            CASE WHEN lag(dir) OVER w2 IS NULL OR dir <> lag(dir) OVER w2
+              THEN 1 ELSE 0 END AS chg
+          FROM m WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        m3 AS (SELECT event_type, v, prev, nxt, dir,
+            sum(chg) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM m2),
+        runs AS (SELECT event_type,
+            CAST(max(CASE WHEN dir = 1 THEN len END) AS BIGINT) AS lu,
+            CAST(max(CASE WHEN dir = -1 THEN len END) AS BIGINT) AS ld
+          FROM (SELECT event_type, run, dir, count(*) AS len FROM m3
+            WHERE dir <> 0 GROUP BY 1, 2, 3) GROUP BY 1),
+        peaks AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+              AND v > prev AND v > nxt THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+            CAST(sum(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+              AND v < prev AND v < nxt THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
+          FROM m2 GROUP BY 1)
+        SELECT p.event_type, n_rows, n_peaks, n_valleys,
+          coalesce(lu, 0) AS longest_up, coalesce(ld, 0) AS longest_down
+        FROM peaks p LEFT JOIN runs USING (event_type)
+        ORDER BY p.event_type""")),
+
     QueryDef("op_bitemporal",
       // BITEMPORAL querying — the two time axes composed: TRANSACTION
       // time from ManifestTable versions (what the store knew when) ×

@@ -1291,6 +1291,58 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Row-pattern statistics per key — the MATCH_RECOGNIZE-lite census:
+    * local peaks/valleys (strictly greater/smaller than BOTH neighbors —
+    * ties break no pattern) and the longest strictly-monotone up/down
+    * runs via the gaps-and-islands trick (run id = running count of
+    * direction changes; islands grouped and measured). All integer-exact.
+    * One shuffle on the key (the three window passes share the partition
+    * sort), plus one bounded (key, island) aggregation. Endpoints have
+    * one neighbor and can't be peaks; a run of length n covers n+1 rows
+    * but is measured in STEPS (n) — the convention the oracle mirrors.
+    * Output: (key, n_rows, n_peaks, n_valleys, longest_up, longest_down).
+    */
+  def peakRunStats(df: DataFrame, key: Column, order: Seq[Column],
+                   valueInt: Column): DataFrame = {
+    // project FIRST, window over the projected names: the caller's key/
+    // order expressions may not survive the projection
+    val proj = df.select((key.as("grp") +: valueInt.as("_v") +:
+      order.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }): _*)
+    val ord = order.indices.map(i => col(s"_o$i"))
+    val w = Window.partitionBy(col("grp")).orderBy(ord: _*)
+    val marked = proj
+      .withColumn("_prev", lag(col("_v"), 1).over(w))
+      .withColumn("_next", lead(col("_v"), 1).over(w))
+      .withColumn("_dir",
+        when(col("_prev").isNull, lit(0))
+          .when(col("_v") > col("_prev"), lit(1))
+          .when(col("_v") < col("_prev"), lit(-1)).otherwise(lit(0)))
+      .withColumn("_chg",
+        when(lag(col("_dir"), 1).over(w).isNull ||
+          col("_dir") =!= lag(col("_dir"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        Window.partitionBy(col("grp")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = marked.where(col("_dir") =!= 0)
+      .groupBy(col("grp"), col("_run"), col("_dir"))
+      .agg(count(lit(1)).as("_len"))
+    val runAgg = runs.groupBy(col("grp"))
+      .agg(max(when(col("_dir") === 1, col("_len"))).as("_lu"),
+        max(when(col("_dir") === -1, col("_len"))).as("_ld"))
+    val peakAgg = marked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_prev").isNotNull && col("_next").isNotNull &&
+          col("_v") > col("_prev") && col("_v") > col("_next"), 1L)
+          .otherwise(0L)).as("n_peaks"),
+        sum(when(col("_prev").isNotNull && col("_next").isNotNull &&
+          col("_v") < col("_prev") && col("_v") < col("_next"), 1L)
+          .otherwise(0L)).as("n_valleys"))
+    peakAgg.join(runAgg, Seq("grp"), "left")
+      .select(col("grp"), col("n_rows"), col("n_peaks"), col("n_valleys"),
+        coalesce(col("_lu"), lit(0L)).as("longest_up"),
+        coalesce(col("_ld"), lit(0L)).as("longest_down"))
+  }
+
   /** Hierarchy flattening — every node's ROOT and DEPTH in a parent-
     * pointer forest (org charts, category trees, reply threads): the
     * engine's answer to `WITH RECURSIVE`, which Spark lacks. POINTER

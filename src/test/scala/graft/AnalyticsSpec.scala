@@ -558,6 +558,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("peakRunStats: exact extrema and monotone runs; ties break runs and patterns") {
+    import spark.implicits._
+    // a: 1,2,3,4,2,1 → peak at 4, no valley, up-run 3 steps, down-run 2
+    // b: 1,3,2,5,5,4 → peak 3, valley 2; the 5,5 tie breaks every run
+    val df = (Seq(1L, 2L, 3L, 4L, 2L, 1L).zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      Seq(1L, 3L, 2L, 5L, 5L, 4L).zipWithIndex.map { case (v, i) => ("b", i.toLong, v) })
+      .toDF("k", "t", "v")
+    val got = Analytics.peakRunStats(df, col("k"), Seq(col("t")), col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", 6L, 1L, 0L, 3L, 2L),
+      ("b", 6L, 1L, 1L, 1L, 1L)))
+  }
+
   test("hierarchyFlatten: chains and forests resolve in log rounds; cycles flag unsettled") {
     import spark.implicits._
     // tree 1: chain 0←1←2←3←4; tree 2: 10←11; cycle: 20↔21 (no root);

@@ -559,7 +559,9 @@ class PlanSpec extends SparkSpec {
           // 2 route broadcasts + distinct/argmax aggs
           "op_lpm_join" -> 4,
           // 2 merge commits + 3 snapshot reads folded into one union agg
-          "op_bitemporal" -> 6)) {
+          "op_bitemporal" -> 6,
+          // shared key-window pass + island agg
+          "op_peaks_runs" -> 3)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
