@@ -6599,6 +6599,34 @@ object Queries {
                 (CAST(n3 AS DOUBLE) * CAST(syy3 AS DOUBLE) - CAST(sy3 AS DOUBLE) * CAST(sy3 AS DOUBLE))) END AS acf_3
         FROM m ORDER BY 1""")),
 
+    QueryDef("op_assortativity",
+      // Newman's degree assortativity on the bounded orders mod graph —
+      // symmetrized endpoint-degree Pearson from exact decimal moments,
+      // one corr double tree (see Analytics.degreeAssortativity)
+      (s, d) => Analytics.degreeAssortativity(
+        t(s, d, "orders").select((col("o_custkey") % 97).as("src"),
+          (col("o_orderkey") % 97).as("dst")), "src", "dst"),
+      Some("""WITH e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM (SELECT o_custkey % 97 AS src, o_orderkey % 97 AS dst FROM orders)
+          WHERE src <> dst),
+        deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+          (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        j AS (SELECT a.d AS du, b.d AS dv
+          FROM e0 JOIN deg a ON a.x = e0.u JOIN deg b ON b.x = e0.v),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+            sum(du::HUGEINT + dv) AS sx,
+            sum(du::HUGEINT * du + dv::HUGEINT * dv) AS sxx,
+            sum(du::HUGEINT * dv * 2) AS sxy
+          FROM j)
+        SELECT n_edges,
+          CASE WHEN CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(n_edges * 2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+              (CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS r
+        FROM m""")),
+
     QueryDef("op_peaks_runs",
       // row-pattern census over the per-type event value series: local
       // extrema + longest strictly-monotone runs (gaps-and-islands) —

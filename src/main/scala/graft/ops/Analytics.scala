@@ -1291,6 +1291,38 @@ object Analytics {
       .drop(names ++ sNames: _*)
   }
 
+  /** Degree assortativity — Newman's r: the Pearson correlation of
+    * endpoint degrees over the undirected edge list (positive = hubs
+    * attach to hubs, negative = hub-and-spoke). Each canonical edge
+    * contributes BOTH orientations (the standard symmetrized estimator),
+    * so the moments are symmetric and only (Σx, Σx², Σxy, m) are needed
+    * — exact DECIMAL sums over the degree-lookup join, one corr double
+    * tree at the end (the op_regression discipline). Degenerate graphs
+    * (regular: zero degree variance) yield NULL r. Two bounded shuffles:
+    * the degree census + the two degree-lookup joins of
+    * [[canonicalEdgesWithDegrees]]'s tables. Output (one row):
+    * n_edges, r.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val (e0, deg) = canonicalEdgesWithDegrees(edges, srcCol, dstCol)
+    val joined = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val m = joined.agg(count(lit(1)).as("n_edges"),
+      sum(d(col("du")) + col("dv")).as("sx"),
+      sum(d(col("du")) * col("du") + d(col("dv")) * col("dv")).as("sxx"),
+      sum(d(col("du")) * col("dv") * 2).as("sxy"))
+    m.select(col("n_edges"),
+      {
+        val n = (col("n_edges") * 2).cast("double")
+        val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+        val sxy = col("sxy").cast("double")
+        val vx = n * sxx - sx * sx
+        when(vx > 0.0, (n * sxy - sx * sx) / vx).as("r")
+      })
+  }
+
   /** Row-pattern statistics per key — the MATCH_RECOGNIZE-lite census:
     * local peaks/valleys (strictly greater/smaller than BOTH neighbors —
     * ties break no pattern) and the longest strictly-monotone up/down

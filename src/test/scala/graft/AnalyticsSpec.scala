@@ -558,6 +558,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.filter(_._2.nonEmpty).forall(_._3))
   }
 
+  test("degreeAssortativity: star graph exactly -1; regular graph NULL (zero variance)") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
+    val rs = Analytics.degreeAssortativity(star, "s", "t").head()
+    assert(rs.getAs[Long]("n_edges") === 3L && rs.getAs[Double]("r") === -1.0)
+    val ring = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("s", "t")
+    val rr = Analytics.degreeAssortativity(ring, "s", "t").head()
+    assert(rr.getAs[Long]("n_edges") === 5L && rr.isNullAt(rr.fieldIndex("r")))
+  }
+
   test("peakRunStats: exact extrema and monotone runs; ties break runs and patterns") {
     import spark.implicits._
     // a: 1,2,3,4,2,1 → peak at 4, no valley, up-run 3 steps, down-run 2

@@ -561,7 +561,9 @@ class PlanSpec extends SparkSpec {
           // 2 merge commits + 3 snapshot reads folded into one union agg
           "op_bitemporal" -> 6,
           // shared key-window pass + island agg
-          "op_peaks_runs" -> 3)) {
+          "op_peaks_runs" -> 3,
+          // canonicalize + degree census + lookup-join moments
+          "op_assortativity" -> 4)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
