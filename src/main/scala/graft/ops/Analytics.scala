@@ -170,11 +170,16 @@ object Analytics {
   def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0)
-    val byG = Window.partitionBy(col("_g"))
+    // one ordered window spec for BOTH functions: row_number uses the running
+    // frame, count an unbounded one, but sharing (partition, order) lets Spark
+    // fuse them into a single WindowExec over a single spillable sort — the
+    // unordered-count variant forced a second full Window pass
+    val byGOrdered = Window.partitionBy(col("_g")).orderBy(col("_v"))
     val ranked = df.where(value.isNotNull)
       .select(group.as("_g"), value.cast("double").as("_v"))
-      .withColumn("_rn", row_number().over(byG.orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(byG))
+      .withColumn("_rn", row_number().over(byGOrdered))
+      .withColumn("_n", count(lit(1)).over(
+        byGOrdered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // 0-based fractional position p·(n−1); k1 = 1-based index of the lower
     // straddling row, f = the interpolation fraction — per-group constants
     def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
