@@ -307,9 +307,17 @@ object Queries {
     * for JDBC, one embedded Derby database booted once per JVM). The
     * PID suffix keeps two concurrent driver/bench processes on the same
     * host from clobbering each other's scratch mid-query (the
-    * op_merge_acid lesson); sibling PIDs' dirs older than 1h are swept
-    * so finished JVMs don't leak scratch forever.
+    * op_merge_acid lesson); sibling PIDs' dirs whose pid is dead are
+    * swept so finished JVMs don't leak scratch forever.
+    *
+    * The sweep is MEMOIZED per (kind, hash) per JVM: leaked dirs only
+    * appear when a JVM exits, so re-listing /tmp on every bench
+    * iteration of the same query is pure directory-scan overhead (and on
+    * a loaded host, measurable jitter in the hot loop). One sweep at
+    * first use per JVM reclaims everything a predecessor left.
     */
+  private val scratchSwept =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def scratchDir(kind: String, d: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -317,28 +325,36 @@ object Queries {
     val tmp = sys.props("java.io.tmpdir")
     val prefix = s"graft_rt_${kind}_${h}_"
     val name = prefix + ProcessHandle.current().pid()
-    // reclaim ONLY dirs whose owning pid is dead: an mtime-age sweep can
+    // reclaim dirs whose owning pid is dead: an mtime-age sweep can
     // delete a LIVE sibling's scratch (Derby writes touch files nested
     // under db/, so the TOP dir's mtime never refreshes — a >1h-old run
-    // looks stale while in active use). Dirs whose suffix doesn't parse
-    // as a pid (the legacy unsuffixed layout) fall back to the age rule.
-    // The recursive delete tolerates a concurrent sibling sweeping the
-    // same dead dir (walk/delete races surface as ignorable IO errors).
-    val stale = new java.io.File(tmp).listFiles()
-    if (stale != null) stale.iterator
-      .filter(f => f.getName.startsWith(prefix) && f.getName != name)
-      .filter { f =>
-        f.getName.stripPrefix(prefix).toLongOption match {
-          case Some(pid) => ProcessHandle.of(pid).isEmpty
-          case None => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L
+    // looks stale while in active use). Pid liveness alone, though,
+    // SURVIVES PID REUSE — an unrelated long-lived process recycling a
+    // dead JVM's pid would pin its dir forever — so a 7-day staleness
+    // FLOOR backstops it: no bench/driver JVM lives that long, and a
+    // same-pid live sibling is excluded by name. Dirs whose suffix
+    // doesn't parse as a pid (the legacy unsuffixed layout) use the
+    // floor alone. The recursive delete tolerates a concurrent sibling
+    // sweeping the same dead dir (walk/delete races surface as
+    // ignorable IO errors).
+    if (scratchSwept.add(prefix)) {
+      val floorMs = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+      val stale = new java.io.File(tmp).listFiles()
+      if (stale != null) stale.iterator
+        .filter(f => f.getName.startsWith(prefix) && f.getName != name)
+        .filter { f =>
+          f.getName.stripPrefix(prefix).toLongOption match {
+            case Some(pid) => ProcessHandle.of(pid).isEmpty || f.lastModified() < floorMs
+            case None => f.lastModified() < floorMs
+          }
         }
-      }
-      .foreach { f =>
-        try
-          java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+        .foreach { f =>
+          try
+            java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+    }
     val p = java.nio.file.Paths.get(tmp, name)
     java.nio.file.Files.createDirectories(p)
     p.toString
@@ -6507,7 +6523,7 @@ object Queries {
         .orderBy(col("user_id")),
       Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
             epoch_us(ts) + CAST(floor(value * 1000) AS BIGINT) * 1000 AS e
-          FROM events),
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         sw AS (SELECT user_id, e,
             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax, s
@@ -6725,11 +6741,12 @@ object Queries {
       (s, d) => {
         val ips = t(s, d, "events")
           .select((col("user_id") * 2654435761L % 4294967296L).as("ip")).distinct()
+        // network is the RAW 32-bit address — longestPrefixMatch masks the
+        // host bits itself (the route side shifts by 32 − plen in-op)
         val routes = t(s, d, "customer").where(col("c_custkey") < 100)
           .select(col("c_custkey").as("rid"),
             (lit(8) + col("c_custkey") * 13 % 17).as("plen"),
-            expr("((c_custkey * 40503103) % 4294967296) div " +
-              "shiftleft(CAST(1 AS BIGINT), 32 - (8 + (c_custkey * 13) % 17))").as("network"))
+            expr("(c_custkey * 40503103) % 4294967296").as("network"))
         Joins.longestPrefixMatch(ips, col("ip"), routes,
             col("network"), col("plen"), col("rid"))
           .groupBy(col("route_id"))
@@ -6739,11 +6756,11 @@ object Queries {
       Some("""WITH ips AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS key FROM events),
         routes AS (SELECT c_custkey AS rid,
             8 + (c_custkey * 13) % 17 AS plen,
-            ((c_custkey * 40503103) % 4294967296) //
-              (CAST(1 AS BIGINT) << (32 - (8 + (c_custkey * 13) % 17))) AS network
+            (c_custkey * 40503103) % 4294967296 AS network
           FROM customer WHERE c_custkey < 100),
         cand AS (SELECT i.key, r.rid, r.plen FROM ips i JOIN routes r
-          ON i.key // (CAST(1 AS BIGINT) << (32 - r.plen)) = r.network),
+          ON i.key // (CAST(1 AS BIGINT) << (32 - r.plen)) =
+             r.network // (CAST(1 AS BIGINT) << (32 - r.plen))),
         best AS (SELECT key, rid, plen,
             row_number() OVER (PARTITION BY key ORDER BY plen DESC, rid ASC) AS rn
           FROM cand)

@@ -253,7 +253,11 @@ object Joins {
     * never a theta-join. The route table broadcasts by the routing-table
     * boundedness contract (a FIB is device-memory-sized at any corpus
     * scale); the keys side streams. Unmatched keys drop (no default
-    * route unless the table carries len 0). Output: key, matched
+    * route unless the table carries len 0). `networkCol` is the route's
+    * 32-bit network ADDRESS (the CIDR base, e.g. 0x0A000000 for
+    * 10.0.0.0/8) — BOTH sides are shifted down by `32 − plen` inside the
+    * op, so any set low-order host bits in a sloppy route row are masked
+    * off rather than silently matching nothing. Output: key, matched
     * `route_id`, `plen`.
     */
   def longestPrefixMatch(keys: DataFrame, keyCol: Column,
@@ -261,7 +265,10 @@ object Joins {
                          routeIdCol: Column): DataFrame = {
     val lens = routes.select(plenCol.cast("int").as("_plen")).distinct()
     val r = routes.select(plenCol.cast("int").as("_plen"),
-      networkCol.cast("long").as("_bucket"), routeIdCol.as("_rid"))
+      networkCol.cast("long").as("_net"), routeIdCol.as("_rid"))
+      .withColumn("_bucket",
+        expr("_net div shiftleft(CAST(1 AS BIGINT), 32 - _plen)"))
+      .drop("_net")
     keys.select(keyCol.cast("long").as("key"))
       .crossJoin(broadcast(lens))
       .withColumn("_bucket",

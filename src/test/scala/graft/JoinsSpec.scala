@@ -171,11 +171,13 @@ class JoinsSpec extends SparkSpec {
     // 192.168.0.0/16 (rid 4)
     def ip(a: Int, b: Int, c: Int, d: Int): Long =
       (a.toLong << 24) | (b.toLong << 16) | (c.toLong << 8) | d.toLong
+    // networks are RAW 32-bit CIDR base addresses — the op masks the host
+    // bits itself; rid 4's deliberately-sloppy low bit must be masked off
     val routes = Seq(
-      (1L, 8, ip(10, 0, 0, 0) >> 24),
-      (2L, 16, ip(10, 1, 0, 0) >> 16),
-      (3L, 16, ip(10, 1, 0, 0) >> 16),
-      (4L, 16, ip(192, 168, 0, 0) >> 16)).toDF("rid", "plen", "network")
+      (1L, 8, ip(10, 0, 0, 0)),
+      (2L, 16, ip(10, 1, 0, 0)),
+      (3L, 16, ip(10, 1, 0, 0)),
+      (4L, 16, ip(192, 168, 0, 1))).toDF("rid", "plen", "network")
     val keys = Seq(ip(10, 1, 2, 3), ip(10, 9, 9, 9), ip(192, 168, 1, 1), ip(8, 8, 8, 8))
       .toDF("k")
     val got = graft.ops.Joins.longestPrefixMatch(keys, col("k"), routes,

@@ -254,17 +254,97 @@ class PlanSpec extends SparkSpec {
     // makes the physical tree awkward to walk, and the partition spec is
     // identical at both levels.)
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BinaryArithmetic,
+      CaseWhen, Cast, Coalesce, Expression, Greatest, If, Least, Literal, Pmod,
+      Remainder, UnaryMinus}
+    // An Aggregate/Distinct bounds its output ONLY when its grouping-key
+    // DOMAIN is bounded — groupBy(doc_id) has corpus cardinality and must
+    // NOT whitelist a window above it. Domain boundedness is decided
+    // statically per grouping expression: quantizers (x % literal, date
+    // part extraction), booleans, literals, and closures of those under
+    // arithmetic / case / coalesce are bounded; a bare column reference is
+    // bounded only if it RESOLVES (through Project/Aggregate aliases below)
+    // to a bounded expression, or is one of the physically-quantized
+    // domains listed in `quantizedByContract` (TPC-H columns whose value
+    // set is a fixed price-list/grade scale at any corpus size — the
+    // column-stats knowledge a static walk cannot derive).
+    val quantizedByContract = Set("l_quantity", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipmode",
+      // enum-valued order flags (5 priorities × 3 statuses at any SF) and
+      // the part size scale (fixed 1..50 integer domain)
+      "o_orderpriority", "o_orderstatus", "p_size")
+    // Query-level suppressions — windows over value-domain censuses whose
+    // boundedness is a DATA contract no static walk can derive. Each entry
+    // must carry its argument; an unlisted new query with an unpartitioned
+    // window still fails the sweep.
+    val censusBoundedQueries = Map(
+      "op_rfm" -> ("tiedQuartileMap cumsums run over per-metric DISTINCT-" +
+        "value tables: recency is calendar-bounded (days to horizon), " +
+        "freq/monk are heavy-tail count / 1000-quantized-spend domains — " +
+        "all sub-linear censuses, never the customer table"),
+      "op_quantile_grid" -> ("bucket = CASE WHEN x<lo THEN -1 WHEN x>=hi " +
+        "THEN nb ELSE least(floor((x-lo)/w), nb-1) END — a clamp into " +
+        "[-1, nb], 202 values total, but the lower bound comes from the " +
+        "WHEN conditions (ELSE implies x>=lo so floor>=0): proving it " +
+        "statically needs condition-propagating interval analysis, which " +
+        "the per-expression walk deliberately doesn't attempt"))
+    def resolve(a: Attribute, p: LogicalPlan, depth: Int): Option[Expression] =
+      if (depth > 20) None
+      else p match {
+        case Project(exprs, child) =>
+          exprs.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+            .orElse(resolve(a, child, depth + 1))
+        case ag: Aggregate =>
+          ag.aggregateExpressions
+            .collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+            .orElse(resolve(a, ag.child, depth + 1))
+        case Filter(_, child) => resolve(a, child, depth + 1)
+        case other =>
+          other.children.find(_.outputSet.contains(a))
+            .flatMap(c => resolve(a, c, depth + 1))
+      }
+    def boundedDomain(e: Expression, scope: LogicalPlan, depth: Int): Boolean =
+      if (depth > 24) false
+      else e match {
+        case _: Literal => true
+        case x if x.dataType == org.apache.spark.sql.types.BooleanType => true
+        case a: Attribute =>
+          quantizedByContract.contains(a.name) ||
+            resolve(a, scope, 0).exists(boundedDomain(_, scope, depth + 1))
+        case al: Alias => boundedDomain(al.child, scope, depth + 1)
+        case c: Cast => boundedDomain(c.child, scope, depth + 1)
+        case r @ (_: Remainder | _: Pmod) => r.children(1).isInstanceOf[Literal]
+        case cw: CaseWhen =>
+          (cw.branches.map(_._2) ++ cw.elseValue).forall(boundedDomain(_, scope, depth + 1))
+        case i: If =>
+          boundedDomain(i.trueValue, scope, depth + 1) &&
+            boundedDomain(i.falseValue, scope, depth + 1)
+        case c: Coalesce => c.children.forall(boundedDomain(_, scope, depth + 1))
+        case d if Seq("year", "quarter", "month", "dayofmonth", "dayofweek",
+            "weekofyear", "hour", "minute", "second", "trunc", "date_trunc")
+            .contains(d.prettyName) => true
+        case b: BinaryArithmetic =>
+          boundedDomain(b.left, scope, depth + 1) && boundedDomain(b.right, scope, depth + 1)
+        case u: UnaryMinus => boundedDomain(u.child, scope, depth + 1)
+        case g: Greatest => g.children.forall(boundedDomain(_, scope, depth + 1))
+        case l: Least => l.children.forall(boundedDomain(_, scope, depth + 1))
+        case _ => false
+      }
     def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: LocalRelation |
+      case _: GlobalLimit | _: LocalLimit | _: LocalRelation |
            _: OneRowRelation => true
-      case _: Distinct => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || bounded(a.child) ||
+          a.groupingExpressions.forall(boundedDomain(_, a.child, 0))
+      case d: Distinct =>
+        bounded(d.child) || d.output.forall(boundedDomain(_, d.child, 0))
       case j: Join => bounded(j.left) && bounded(j.right)
       case u: Union => u.children.forall(bounded)
       case other if other.children.isEmpty => false
       case other => other.children.forall(bounded)
     }
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    for (q <- Queries.all) {
+    for (q <- Queries.all if !censusBoundedQueries.contains(q.name)) {
       val plan = q.fn(spark, sf0001).queryExecution.optimizedPlan
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
@@ -286,6 +366,21 @@ class PlanSpec extends SparkSpec {
     }
     assert(badHits.nonEmpty,
       "lint has no teeth: a corpus-wide unpartitioned window was not flagged")
+    // teeth check #2 (the round-11 advisor's counterexample): an Aggregate
+    // does NOT launder cardinality — groupBy over a raw id column keeps
+    // corpus cardinality, and an unpartitioned window above it must flag
+    val bad2 = Tables.load(spark, sf0001, "customer")
+      .groupBy(org.apache.spark.sql.functions.col("c_custkey"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(org.apache.spark.sql.functions.col("c_custkey"))))
+    val bad2Hits = bad2.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+    assert(bad2Hits.nonEmpty,
+      "lint has no teeth: groupBy(raw id) under an unpartitioned window was not flagged")
   }
 
   test("ann_index_persist: the probe scan prunes stored cluster partitions dynamically") {
