@@ -7151,7 +7151,187 @@ object Queries {
       Some("""SELECT doc_id, source, n_chars,
           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INTEGER)
             AS curriculum_rank
-        FROM documents ORDER BY curriculum_rank, source, doc_id"""))
+        FROM documents ORDER BY curriculum_rank, source, doc_id""")),
+
+    QueryDef("op23_csv_roundtrip",
+      // CSV staging-sink interchange (§2 op 23 — the reference stages
+      // every extract as a CSV file, global_dag.py:57,67): write the
+      // projected documents table through Sinks.csvSink, read it back
+      // with an EXPLICIT schema (CSV is type-lossy; inference would
+      // round-trip doc_id as string and break the hash), aggregate. The
+      // oracle aggregates the ORIGINAL parquet, so a header, quoting, or
+      // type-mapping bug anywhere in the encode/decode path diverges.
+      (s, d) => {
+        val dir = scratchDir("csvsink", d)
+        Sinks.csvSink(t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")), dir)
+        s.read.option("header", "true")
+          .schema("doc_id LONG, source STRING, n_chars LONG").csv(dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBySmall(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("op25_ddl_create",
+      // first-write DDL (§2 op 25 — create_death_table.sql:4-10 is the
+      // reference's CREATE TABLE IF NOT EXISTS): the store is dropped up
+      // front so the FIRST idempotentJdbcAppend must derive the DDL from
+      // the batch schema and create the table; the SECOND append re-sends
+      // an OVERLAPPING batch (all rows, first sent only even doc_ids) and
+      // must insert exactly the unseen keys — ON CONFLICT DO NOTHING done
+      // relationally. The read-back aggregate equals the distinct union
+      // and the per-call insert counts are part of the hashed row, so a
+      // skipped creation, a doubled insert, or a DDL type-mapping bug all
+      // diverge from the oracle.
+      (s, d) => {
+        val dir = scratchDir("ddl", d)
+        val url = s"jdbc:derby:$dir/db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        org.apache.spark.sql.GraftBridge.jdbcDropIfExists(url, "ddl_docs", props)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val n1 = Sinks.idempotentJdbcAppend(s, docs.where(col("doc_id") % 2 === 0),
+          url, "ddl_docs", Seq("doc_id"), props)
+        val n2 = Sinks.idempotentJdbcAppend(s, docs, url, "ddl_docs",
+          Seq("doc_id"), props)
+        s.read.format("jdbc").option("url", url).option("dbtable", "ddl_docs")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+          .agg(count(lit(1)).as("n_total"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(n1).as("n_first"), lit(n2).as("n_second"),
+            col("n_total"), col("sum_chars"))
+      },
+      Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_first,
+          (SELECT count(*) FROM documents WHERE doc_id % 2 <> 0) AS n_second,
+          count(*) AS n_total, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents""")),
+
+    QueryDef("op21_branch_gate",
+      // non-empty branch gate (§2 op 21 — the reference's
+      // BranchPythonOperator skips the load when the extract came back
+      // empty, global_dag.py:151-159): writeIfNonEmpty on a vacuously
+      // empty filter must NOT write (the skip leg — asserted by probing
+      // the sink path, folded into the hashed row), and on a non-empty
+      // filter must write exactly the filtered rows; the read-back
+      // aggregate ties the gate to real data so both legs are
+      // oracle-checked in one key.
+      (s, d) => {
+        val dir = scratchDir("gate", d)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val skipped = dir + "/skipped"
+        val taken = dir + "/taken"
+        val wroteEmpty = Sinks.writeIfNonEmpty(docs.where(col("n_chars") < 0),
+          _.write.mode("overwrite").parquet(skipped))
+        val wroteTaken = Sinks.writeIfNonEmpty(docs.where(col("source") === "src0"),
+          _.write.mode("overwrite").parquet(taken))
+        val skipLegWrote = new java.io.File(skipped).exists()
+        s.read.parquet(taken)
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(wroteEmpty || skipLegWrote).as("empty_leg_wrote"),
+            lit(wroteTaken).as("nonempty_leg_wrote"),
+            col("n_rows"), col("sum_chars"))
+      },
+      Some("""SELECT false AS empty_leg_wrote, true AS nonempty_leg_wrote,
+          count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE source = 'src0'""")),
+
+    QueryDef("ann_ivf_bigk",
+      // the LARGE-CELL-COUNT IVF routing path (ivfTopKFittedBigK):
+      // centroids as a broadcast TABLE + bounded two-stage top-nprobe
+      // probe selection, instead of ann_ivf_fit's literal expression
+      // ranking — the plan that survives production cell counts
+      // (10⁴–10⁶ cells) where a literal tree explodes Catalyst. Same
+      // fit, same data, same (c_sim desc, cluster asc) probe order, SAME
+      // ORACLE as ann_ivf_fit: the two routing paths must be
+      // hash-identical, so a divergence in either is caught twice over.
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          latticeVec.as("embedding"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
+          k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
+        val labeled = e.withColumn("cluster",
+          Similarity.nearestCentroid(col("embedding"), cents))
+        Similarity.ivfTopKFittedBigK(labeled.where(annQueryPred), labeled,
+            "vec_id", "embedding", "cluster", k = 5, nprobe = 4, cents)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        ${kmeansCtesSql(k = 16, iters = 3)},
+        lab AS (SELECT vec_id, v, j AS lbl FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
+        cent AS (SELECT j AS lbl, c FROM c3),
+        ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
+
+    QueryDef("emb_srp_recall",
+      // SRP-LSH recall certification (the dedup_minhash_recall harness on
+      // the EMBEDDING side): over a bounded sample, plant one near-dup per
+      // vector (per-dim EXACT-arithmetic scale 1 + 0.02·((id+i)%7 − 3) —
+      // no transcendentals, so both engines build bit-identical vectors;
+      // the Kantorovich bound puts every planted cosine ≥ 0.998 while
+      // naturals top out at 0.479, so ground truth is analytically the
+      // planted pair set). Banding is DELIBERATELY weak — 2 tables, no
+      // multiprobe — so recall is genuinely < 1 and the key MEASURES the
+      // banding miss rate: the oracle replays the md5-derived ±1 planes
+      // and the kernel's left-to-right double accumulation in SQL, so a
+      // plane-derivation, bucketing, or verify bug shifts n_found and
+      // breaks the hash.
+      (s, d) => {
+        val sample = t(s, d, "embeddings")
+          .where(col("vec_id") % 5 === 0 && col("vec_id") < 2048)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        // the base id is renamed FIRST: in a single select, Spark's lateral
+        // column alias resolution binds the lambda's vec_id to the negated
+        // output alias, silently perturbing by the WRONG id (caught by this
+        // key's own oracle during development)
+        val pert = sample.select(col("vec_id").as("_bid"), col("embedding"))
+          .select((-col("_bid") - 1).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * (lit(1.0) + lit(0.02) * ((col("_bid") + i) % 7 - 3).cast("double")))
+              .as("embedding"))
+        val found = Similarity.embeddingNearDupPairs(sample.unionByName(pert),
+          "vec_id", "embedding", numTables = 2, planesPerTable = 20,
+          threshold = 0.9, probeRadius = 0)
+        sample.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_exact"), col("n_found"),
+            (col("n_exact") - col("n_found")).as("n_missed"),
+            expr("CAST(1000000 * n_found div n_exact AS BIGINT)").as("recall_millionths"))
+      },
+      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
+        vecs AS (SELECT vec_id AS id, v FROM s
+          UNION ALL SELECT -vec_id - 1,
+            list_transform(v, (x, i) ->
+              x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 7 - 3 AS DOUBLE)))
+          FROM s),
+        planes AS (SELECT t.t, p.p, d.d,
+            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
+                || CAST(d.d AS VARCHAR)), 1, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
+          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
+        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
+          FROM vecs vv CROSS JOIN planes pl),
+        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
+          FROM term GROUP BY id, t, p),
+        bk AS (SELECT id, t,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t),
+        hit AS (SELECT DISTINCT b.id
+          FROM bk b JOIN bk q ON q.id = -b.id - 1 AND q.t = b.t AND q.bucket = b.bucket
+          WHERE b.id >= 0),
+        tot AS (SELECT (SELECT count(*) FROM s) AS n_exact,
+            (SELECT count(*) FROM hit) AS n_found)
+        SELECT n_exact, n_found, n_exact - n_found AS n_missed,
+          CAST(1000000 * n_found // n_exact AS BIGINT) AS recall_millionths
+        FROM tot"""))
   )
 
   // ------------------------------------------------------------------

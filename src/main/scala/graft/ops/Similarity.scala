@@ -243,6 +243,8 @@ object Similarity {
                     clusterCol: String, k: Int, nprobe: Int,
                     cents: Array[Array[Double]]): DataFrame = {
     require(cents.nonEmpty)
+    if (cents.length > LiteralCentroidMax)
+      return ivfTopKFittedBigK(queries, corpus, idCol, vecCol, clusterCol, k, nprobe, cents)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // struct sort key (−sim, j): ascending struct order = sim desc, id asc
     val ranked = array_sort(array(cents.zipWithIndex.map { case (cvec, j) =>
@@ -252,6 +254,53 @@ object Similarity {
       .select(col("query_id"), col("q_vec"),
         explode(slice(ranked, 1, nprobe)).as("_p"))
       .select(col("query_id"), col("q_vec"), col("_p.j").as(clusterCol))
+    val c = corpus.select(col(clusterCol), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(probes), Seq(clusterCol))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Above this cell count [[ivfTopKFitted]] switches from the literal
+    * expression ranking (k fused cosines per plan — codegen-resident and
+    * jobless at cache-scale k) to the broadcast-table routing of
+    * [[ivfTopKFittedBigK]] (plan size O(1) in k). 64 keeps the literal
+    * plan under ~200 expression nodes at default dims.
+    */
+  val LiteralCentroidMax: Int = 64
+
+  /** [[ivfTopKFitted]] routing for LARGE cell counts. At production IVF
+    * scale (10⁴–10⁶ cells for a 10⁹–10¹¹-vector corpus) the literal
+    * expression ranking builds one struct node per centroid per plan —
+    * Catalyst/codegen explosion long before the FAISS-typical √N cell
+    * count. Here the fitted centroids become a BROADCAST TABLE instead:
+    * the (batch-bounded, see the broadcast contract on [[ivfTopKFitted]])
+    * query side cross-joins the centroid relation, and the top-nprobe
+    * cells per query are selected with the same bounded two-stage
+    * [[graft.functions.TopK]] aggregator the scoring path uses — map-side
+    * partials cap the exchange at |Q|·nprobe·partitions buffer rows, never
+    * a |Q|·k window sort. The probe list then joins the corpus on the
+    * cluster key exactly like [[ivfTopKFitted]]. Probe order is
+    * (c_sim desc, cluster asc) — the identical total order — so the two
+    * paths are result-identical on the same inputs (hash-asserted by the
+    * ann_ivf_bigk key against ann_ivf_fit's oracle, and property-tested
+    * in SimilaritySpec).
+    */
+  def ivfTopKFittedBigK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                        clusterCol: String, k: Int, nprobe: Int,
+                        cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.map { case (cvec, j) => (j.toLong, cvec) }.toSeq
+      .toDF("_cj", "_cvec")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val routed = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"),
+        cosine(col("q_vec"), col("_cvec")).as("sim"), col("_cj").as("neighbor_id"))
+    val probes = topKPerQuery(routed, nprobe)
+      .select(col("query_id"), col("neighbor_id").cast("int").as(clusterCol))
+      .join(q, Seq("query_id"))
     val c = corpus.select(col(clusterCol), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(probes), Seq(clusterCol))
       .where(col("query_id") =!= col("neighbor_id"))

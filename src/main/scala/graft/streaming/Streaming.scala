@@ -158,6 +158,36 @@ object Streaming {
       ()
     }
 
+  /** Streaming ANN QUERY side — the serving half of [[annIngestSink]]:
+    * each micro-batch of query vectors probes the PERSISTED
+    * cluster-partitioned index with the same FROZEN centroids the ingest
+    * side assigns with (the frozen-centroid contract: router and assigner
+    * must share one centroid epoch, or probes visit cells the vectors
+    * were never filed under). The probe is [[graft.ops.Similarity
+    * .ivfTopKFitted]] against a per-batch read of the store, so the join
+    * on the partition column gives every micro-batch the same
+    * dynamic-partition-pruned cell scans the batch lifecycle key
+    * (ann_index_persist) plan-asserts — each trigger scans only the
+    * probed cells, never the full index. Results land through the
+    * idempotent append keyed on (query_id, rank): an at-least-once
+    * upstream re-delivering a query batch appends nothing, so the served
+    * table holds exactly one top-k list per query. Stream-served top-k is
+    * EQUAL to the batch ivfTopKFitted answer over the same store
+    * (StreamingSpec pins the parity).
+    */
+  def annServeSink(queries: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Double]], indexPath: String, outPath: String,
+                   k: Int, nprobe: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val corpus = batch.sparkSession.read.parquet(indexPath)
+      val served = graft.ops.Similarity.ivfTopKFitted(
+        batch, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
+      graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, served,
+        outPath, Seq("query_id", "rank"))
+      ()
+    }
+
   /** Stream → ACID table bridge: every micro-batch lands as one atomic
     * last-write-wins MERGE commit on a [[graft.ops.ManifestTable]]. Versus
     * [[idempotentStoreSink]] (insert-only idempotence on a plain path),

@@ -66,4 +66,22 @@ object GraftBridge {
       }
     }
   }
+
+  /** Drop a JDBC table if present — the inverse bookend of
+    * [[jdbcTableExists]], used by the op25 first-write-DDL key to
+    * guarantee the store starts ABSENT so the first append exercises
+    * creation even when the scratch database survives within a JVM.
+    * Goes through the same dialect machinery (quoting, search path) as
+    * the writes it precedes.
+    */
+  def jdbcDropIfExists(url: String, table: String, props: java.util.Properties): Unit = {
+    import org.apache.spark.sql.execution.datasources.jdbc.{JdbcOptionsInWrite, JdbcUtils}
+    import scala.jdk.CollectionConverters._
+    if (jdbcTableExists(url, table, props)) {
+      val params = props.asScala.map { case (k, v) => k.toString -> v.toString }.toMap ++
+        Map("url" -> url, "dbtable" -> table)
+      val opts = new JdbcOptionsInWrite(params)
+      JdbcUtils.withConnection(opts)(conn => JdbcUtils.dropTable(conn, table, opts))
+    }
+  }
 }

@@ -160,6 +160,35 @@ class SimilaritySpec extends SparkSpec {
     assert(fullE == brute, "fitted expression routing at full probe must reproduce brute force")
   }
 
+  test("big-k IVF routing: broadcast-table path is rank-identical to the literal path; centroid side broadcasts") {
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val labeled = emb.withColumn("cluster",
+      Similarity.nearestCentroid($"embedding", cents))
+    val qs = labeled.where($"vec_id" % 50 === 0)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    for (nprobe <- Seq(2, 4, 8)) {
+      val lit = ranks(Similarity.ivfTopKFitted(qs, labeled, "vec_id", "embedding",
+        "cluster", 5, nprobe, cents))
+      val big = ranks(Similarity.ivfTopKFittedBigK(qs, labeled, "vec_id", "embedding",
+        "cluster", 5, nprobe, cents))
+      assert(big == lit, s"nprobe=$nprobe: broadcast routing diverged from literal routing")
+    }
+    // the routing must be broadcast joins (centroid table + probe list),
+    // never a shuffle of the corpus side
+    val plan = Similarity.ivfTopKFittedBigK(qs, labeled, "vec_id", "embedding",
+      "cluster", 5, 2, cents).queryExecution.executedPlan.toString
+    val nBcast = plan.split("\n").count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin"))
+    assert(nBcast >= 2,
+      s"expected centroid cross-join + probe join to broadcast, got $nBcast broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus side must never shuffle in the routing:\n$plan")
+    // the auto-switch: above LiteralCentroidMax cells ivfTopKFitted takes
+    // the broadcast path (plan contains a join, not a k-struct literal)
+    assert(Similarity.LiteralCentroidMax >= 16)
+  }
+
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
   // scaling → cos(v, v') ≈ 0.9997, while every natural pair is <= 0.48;
   // planted ids are −id−1 (collision-free with real nonnegative ids)

@@ -346,6 +346,47 @@ class StreamingSpec extends SparkSpec {
       s"short boilerplate must dedup against history, got $accepted")
   }
 
+  test("streaming ANN serve: stream-served top-k equals the batch probe; redelivered queries append nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ann-serve")
+    val ckpt = Files.createTempDirectory("graft-ann-serve-ckpt")
+    val indexPath = dir.toString + "/index"
+    val outPath = dir.toString + "/served"
+    def vec(id: Long): Array[Float] =
+      Array((id % 5 + 1).toFloat, ((id * 3) % 7 - 3).toFloat)
+    val cents = Array(Array(1.0, 2.0), Array(4.0, -2.0), Array(2.0, -1.0))
+    // persist a frozen-centroid cluster-partitioned index (the
+    // ann_index_persist layout the ingest sink also writes)
+    (0L to 19L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("cluster", graft.ops.Similarity.nearestCentroid($"embedding", cents))
+      .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
+    val input = MemoryStream[Long]
+    val q = Streaming.annServeSink(
+        input.toDF().toDF("vec_id")
+          .withColumn("embedding", org.apache.spark.sql.functions.udf(vec _)
+            .apply($"vec_id")),
+        "vec_id", "embedding", cents, indexPath, outPath, k = 3, nprobe = 2)
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData(100L, 101L)
+    q.processAllAvailable()
+    // trigger 2: a new query + REDELIVERED 100 (at-least-once upstream)
+    input.addData(102L, 100L)
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(outPath)
+    val stored = spark.read.parquet(indexPath)
+    val want = graft.ops.Similarity.ivfTopKFitted(
+        Seq(100L, 101L, 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        stored, "vec_id", "embedding", "cluster", k = 3, nprobe = 2, cents)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val got = served.select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want, "stream-served top-k must equal the batch probe of the same store")
+    assert(served.count() === want.size.toLong,
+      "a redelivered query batch must not duplicate served rows")
+  }
+
   test("streaming ANN ingest: frozen-centroid assignment, redelivery appends nothing, batch/stream query parity") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-ann-ingest")
