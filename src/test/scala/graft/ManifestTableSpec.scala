@@ -218,6 +218,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 2)
   }
 
+  test("commit retries THROUGH a transiently held lock and lands once it frees (no manual re-invocation)") {
+    // the conditional-PUT retry path as such: a contender holds the CAS
+    // slot (on an object store: its conditional PUT of vN.lock won), the
+    // writer's attempts keep losing, and when the slot frees the SAME
+    // append call lands on its own — distinct from the orphan-lock test,
+    // which exhausts retries and requires operator intervention
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0))
+    val lock = new java.io.File(s"$root/_log/v${"%020d".format(1)}.lock")
+    assert(lock.createNewFile())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val pending = Future(t.append(kv(2L -> 2.0), maxRetries = 50))
+    Thread.sleep(800) // the writer must now be inside its backoff loop
+    assert(!pending.isCompleted, "append must wait out the held lock, not fail")
+    assert(lock.delete())
+    assert(Await.result(pending, 60.seconds) == 1L,
+      "the blocked append must commit v1 itself once the lock frees")
+    assert(t.snapshot().count() == 2)
+  }
+
   test("stats-pruned merge rewrites only range-overlapping dirs") {
     val root = freshRoot()
     val t = ManifestTable(spark, root, statsCols = Seq("k"))

@@ -157,8 +157,17 @@ def main(sf, out):
 
     r = rng_for('embeddings')
     labels = r.integers(0, 10, n_vecs).astype(np.int32)
-    centroids = r.normal(0, 1, (10, 64)).astype(np.float32)
-    vecs = centroids[labels] + r.normal(0, 0.5, (n_vecs, 64)).astype(np.float32)
+    # the driver's embeddings are L2-normalized ISOTROPIC vectors with labels
+    # independent of geometry (measured: unit norms, element std 1/8, mean
+    # within-label cosine 0.0, max natural pairwise cosine ~0.6). The first
+    # cut of this generator drew 10 geometric clusters instead (mean
+    # within-label cos 0.80) — a fidelity bug the round-12 full-suite sf1
+    # sweep caught as a 15x superlinear emb_near_dup: at cos≈0.8 a large
+    # fraction of the corpus co-buckets under SRP-LSH without passing the
+    # 0.9 verify, so candidate volume goes quadratic on data the driver
+    # distribution never produces.
+    raw = r.normal(0, 1, (n_vecs, 64))
+    vecs = (raw / np.linalg.norm(raw, axis=1, keepdims=True)).astype(np.float32)
     write(out, 'embeddings', {
         'vec_id': np.arange(n_vecs, dtype=np.int64),
         'embedding': pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
