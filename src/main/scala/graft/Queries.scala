@@ -3267,6 +3267,53 @@ object Queries {
         WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    QueryDef("dedup_containment",
+      // EXACT n-gram CONTAINMENT dedup — the quote/boilerplate-inclusion
+      // duplication Jaccard structurally misses (a 12-token excerpt inside
+      // a 50-token host has jac ≈ 0.2 but containment 1.0). Corpus = the
+      // documents table PLUS one planted EXCERPT per seventh doc (its
+      // first 12 tokens — a deterministic string both engines rebuild
+      // identically), so the expected pair set is non-vacuous at every SF
+      // and grows linearly. Same df-capped inverted-index candidate
+      // machinery as dedup_ngram_jaccard (cap mirrored in the oracle);
+      // the verify computes exact containment n_inter/min(|A|,|B|) over
+      // FULL shingle sets.
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val planted = base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            array_join(slice(split(col("text"), "\\s+"), 1, 12), " ").as("text"))
+        Dedup.ngramContainmentPairs(base.unionByName(planted), "doc_id", "text",
+            shingleN = 3, threshold = 0.8, maxDf = 10)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            array_to_string(string_split_regex(text, '\s+')[1:12], ' ')
+          FROM documents WHERE doc_id % 7 = 0),
+        tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM docs),
+        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+        kept AS (SELECT doc_id, shingle FROM (
+          SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+          WHERE df <= 10),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS containment
+        FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     QueryDef("op_train_split",
       // deterministic 80/10/10 train/val/test assignment — a pure
       // projection over the hash bucket, identically replayable in SQL;

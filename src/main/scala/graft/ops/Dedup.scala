@@ -253,6 +253,77 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val (sh, cand) = ngramCandidateStats(docs, idCol, textCol, shingleN, maxDf)
+    // PPJoin-style EXACT upper-bound prefilter for the JACCARD metric:
+    // jac >= t ⟺ n_inter >= t/(1+t)·(na+nb); the ε only ADMITS borderline
+    // pairs — the exact verify decides
+    val bounded = cand
+      .where(col("_ub").cast("double") * lit(1.0 + threshold) >=
+        lit(threshold) * (col("_na") + col("_nb")).cast("double") - lit(1e-6))
+      .select("doc_a", "doc_b")
+    // verify via the generic explode→collect_set route for the same
+    // codegen reason as ngramCandidateStats's perDoc aggregation
+    jaccardVerify(bounded, sh, idCol, threshold)
+  }
+
+  /** EXACT n-gram CONTAINMENT pairs — the quote/boilerplate-inclusion
+    * duplication Jaccard structurally misses: a small document fully
+    * embedded in a large one has jac ≈ |A|/|B| (arbitrarily low as the
+    * host grows) but containment |A∩B|/min(|A|,|B|) = 1. The metric a
+    * training-data pipeline needs for "this doc is substantially a quote
+    * of that one" — the dedup decision is then one-sided (drop the
+    * contained doc, keep the host), unlike symmetric near-dup.
+    *
+    * Candidate generation, recall argument, and cost bound are
+    * [[ngramJaccardPairs]]'s, shared via [[ngramCandidateStats]]: a
+    * qualifying pair is missed only when EVERY common shingle is hotter
+    * than `maxDf`. The admit bound adapts to the containment metric
+    * (n_inter ≥ t·min(na, nb), with the same exact integer upper bound on
+    * n_inter), and the verify computes exact containment over the FULL
+    * shingle sets. Emits (doc_a, doc_b, containment ≥ threshold).
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val (sh, cand) = ngramCandidateStats(docs, idCol, textCol, shingleN, maxDf)
+    val bounded = cand
+      .where(col("_ub").cast("double") >=
+        lit(threshold) * least(col("_na"), col("_nb")).cast("double") - lit(1e-6))
+      .select("doc_a", "doc_b")
+    containmentVerify(bounded, sh, idCol, threshold)
+  }
+
+  /** Exact containment verify — [[jaccardVerifySets]]'s join/merge-walk
+    * shape (shuffled-hash, sorted zero-allocation intersection) with the
+    * containment metric n_inter / min(|A|, |B|).
+    */
+  def containmentVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String,
+                        threshold: Double): DataFrame = {
+    val sets = shingleTbl.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("_set"))
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"),
+        array_sort(col("_set")).as("_sa")).hint("shuffle_hash"), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"),
+        array_sort(col("_set")).as("_sb")).hint("shuffle_hash"), "doc_b")
+      .withColumn("n_inter",
+        graft.functions.SetOps.sortedIntersectCount(col("_sa"), col("_sb")).cast("long"))
+      .withColumn("containment", col("n_inter").cast("double") /
+        least(size(col("_sa")), size(col("_sb"))).cast("double"))
+      .where(col("containment") >= lit(threshold))
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  /** The shared df-capped inverted-index candidate core of the exact
+    * n-gram pair family ([[ngramJaccardPairs]], [[ngramContainmentPairs]]).
+    * Returns `(sh, cand)`: the exploded distinct (id, shingle) table, and
+    * per candidate pair the exact-integer bound inputs — `_shared_kept`
+    * (shingles shared among df ≤ maxDf postings), `_na`/`_nb` (full
+    * distinct-shingle sizes), `_ha`/`_hb` (per-doc hot-shingle counts) and
+    * `_ub` = `_shared_kept + least(_ha, _hb)`, a TRUE upper bound on the
+    * pair's intersection — so each caller's metric-specific admit filter
+    * can never lose a qualifying pair.
+    */
+  private def ngramCandidateStats(docs: DataFrame, idCol: String, textCol: String,
+                                  shingleN: Int, maxDf: Int): (DataFrame, DataFrame) = {
     // the exploded shingle table feeds ONLY the candidate chain (the
     // verify's per-doc sets derive straight from the token projection, no
     // explode→regroup round trip) and is deliberately NOT persisted:
@@ -314,18 +385,13 @@ object Dedup {
       .select(col(idCol), col("_n_sh"),
         (col("_n_sh") - coalesce(col("_n_kept"), lit(0L))).as("_n_hot"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounded = cand
+    val withBound = cand
       .join(stats.select(col(idCol).as("doc_a"), col("_n_sh").as("_na"),
         col("_n_hot").as("_ha")).hint("shuffle_hash"), "doc_a")
       .join(stats.select(col(idCol).as("doc_b"), col("_n_sh").as("_nb"),
         col("_n_hot").as("_hb")).hint("shuffle_hash"), "doc_b")
       .withColumn("_ub", col("_shared_kept") + least(col("_ha"), col("_hb")))
-      .where(col("_ub").cast("double") * lit(1.0 + threshold) >=
-        lit(threshold) * (col("_na") + col("_nb")).cast("double") - lit(1e-6))
-      .select("doc_a", "doc_b")
-    // verify via the generic explode→collect_set route for the same
-    // codegen reason as perDoc above
-    jaccardVerify(bounded, sh, idCol, threshold)
+    (sh, withBound)
   }
 
   /** Production-hash MinHash signatures via Kirsch-Mitzenmacher double

@@ -36,6 +36,38 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty && got == brute)
   }
 
+  test("ngramContainmentPairs: an embedded excerpt scores containment 1.0 where jaccard misses it") {
+    import org.apache.spark.sql.functions.{array_join, col, slice, split}
+    val host = Tables.load(spark, sf0001, "documents").limit(100)
+      .select(col("doc_id"), col("text"))
+    // plant the first 12 tokens of each 5th doc as its own document: every
+    // excerpt shingle is in the host, so containment is exactly 1.0, while
+    // jaccard ≈ |excerpt|/|host| sits far below any useful threshold
+    val excerpts = host.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        array_join(slice(split(col("text"), "\\s+"), 1, 12), " ").as("text"))
+    val corpus = host.unionByName(excerpts)
+    val got = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxDf = Int.MaxValue)
+      .select("doc_a", "doc_b", "containment").as[(Long, Long, Double)].collect()
+    val plantedPairs = got.filter { case (a, b, _) => b == a + 5000 }
+    assert(plantedPairs.length == excerpts.count(),
+      "every planted excerpt must pair with its host")
+    assert(plantedPairs.forall(_._3 == 1.0), "embedded excerpts must score exactly 1.0")
+    // the same pairs are invisible to jaccard at any comparable threshold
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxDf = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(!jac.exists { case (a, b) => b == a + 5000 },
+      "a 12-of-~50-token excerpt must NOT clear a 0.9 jaccard bar — that asymmetry is the point")
+    // the df-capped candidate path admits the same verified set
+    val capped = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxDf = 10)
+      .select("doc_a", "doc_b", "containment").as[(Long, Long, Double)].collect()
+    assert(capped.toSet.subsetOf(got.toSet),
+      "capping only removes candidates, never adds or changes verified values")
+  }
+
   test("ngramJaccardPairs df cap: pair missed only when EVERY common shingle is hot") {
     // 12 docs all sharing one hot boilerplate sentence (shingles with
     // df=12), plus docs 0/1 sharing a rare edit. At maxDf=4 the hot
