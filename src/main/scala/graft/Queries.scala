@@ -3314,6 +3314,39 @@ object Queries {
         WHERE CAST(n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.8
         ORDER BY doc_a, doc_b""")),
 
+    QueryDef("mix_cluster_balance",
+      // semantic topic balancing for a training mix: k-means clusters over
+      // the exact integer lattice (the ann_ivf_fit construct, so the
+      // ENTIRE iterative fit replays in SQL), then at most 20 picks per
+      // cluster by the deterministic (md5(id), id) draw — head clusters
+      // truncate to the cap, tail clusters survive whole, and the pick is
+      // reproducible at any partitioning. The window is PARTITIONED by
+      // cluster and WindowGroupLimit pre-truncates to the cap before the
+      // exchange, so the shuffle never carries the corpus order.
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("embedding"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
+          k = 8, iters = 2, seedKey = c => md5(c.cast("string")))
+        val labeled = e.withColumn("cluster",
+          Similarity.nearestCentroid(col("embedding"), cents))
+        Sampling.clusterBalancedSample(labeled, col("vec_id"), col("cluster"),
+            perCluster = 20)
+          .select(col("cluster"), col("pick_rank"), col("vec_id"))
+          .orderBy(col("cluster"), col("pick_rank"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        ${kmeansCtesSql(k = 8, iters = 2)},
+        lab AS (SELECT vec_id, cluster FROM (
+            SELECT b.vec_id, CAST(c.j AS INTEGER) AS cluster,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c2 c) WHERE rn = 1),
+        pick AS (SELECT cluster, vec_id,
+            CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS pick_rank
+          FROM lab)
+        SELECT cluster, pick_rank, vec_id FROM pick WHERE pick_rank <= 20
+        ORDER BY cluster, pick_rank""")),
+
     QueryDef("op_train_split",
       // deterministic 80/10/10 train/val/test assignment — a pure
       // projection over the hash bucket, identically replayable in SQL;

@@ -243,4 +243,26 @@ object Sampling {
       .partitionBy(source).orderBy(difficulty.asc, key.asc)
     docs.withColumn("curriculum_rank", row_number().over(w))
   }
+
+  /** Cluster-balanced subset: at most `perCluster` rows per semantic
+    * cluster, drawn by the deterministic pseudo-random order
+    * (md5(key), key) — the topic-balancing curation step that keeps a
+    * training mix from being dominated by its biggest semantic clusters
+    * (the head of a web crawl) while still covering every cluster found.
+    * The caller supplies the cluster column (k-means label, SRP bucket,
+    * source domain — any grouping); selection is one partitioned window
+    * with Spark 4's WindowGroupLimit pre-truncating to `perCluster` per
+    * partition BEFORE the exchange, so the shuffle carries O(k·perCluster)
+    * winners plus bounded per-partition prefixes, never the corpus order.
+    * Deterministic at any partitioning: the (hash, key) order is a total
+    * order computed per row.
+    */
+  def clusterBalancedSample(df: DataFrame, key: Column, cluster: Column,
+                            perCluster: Int): DataFrame = {
+    require(perCluster > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cluster).orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= perCluster)
+  }
 }

@@ -751,6 +751,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
   }
 
+  test("clusterBalancedSample: head clusters cap, tail clusters survive whole, pick is partition-invariant") {
+    import spark.implicits._
+    val df = ((0L to 99L).map(i => (i, "big")) ++ (100L to 102L).map(i => (i, "small")))
+      .toDF("id", "cl")
+    def pick(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.clusterBalancedSample(d, col("id"), col("cl"), perCluster = 10)
+        .select($"cl", $"pick_rank", $"id").as[(String, Int, Long)].collect().toSet
+    val got = pick(df)
+    assert(got.count(_._1 == "big") == 10, "the 100-row cluster must cap at 10")
+    assert(got.count(_._1 == "small") == 3, "the 3-row cluster must survive whole")
+    assert(got.filter(_._1 == "small").map(_._2) == Set(1, 2, 3))
+    // deterministic at any partitioning (the (md5, id) order is per-row)
+    assert(pick(df.repartition(13)) === got)
+  }
+
   test("skyline2D == quadratic NOT-EXISTS dominance; frontier ties all survive") {
     import spark.implicits._
     val rows = Seq(
