@@ -379,9 +379,40 @@ object Similarity {
     */
   def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                         numTables: Int, planesPerTable: Int,
-                        probeRadius: Int = 1, dims: Int = 64): DataFrame = {
+                        probeRadius: Int = 1, dims: Int = 64): DataFrame =
+    srpCandidatePairsCapped(corpus, idCol, vecCol, numTables, planesPerTable,
+      probeRadius, dims, Int.MaxValue)
+
+  /** [[srpCandidatePairs]] with a bucket-width cap — the 100-TB form, the
+    * SRP analog of [[graft.ops.Dedup.lshCandidatePairsCapped]]. The
+    * round-12 scale sweep demonstrated the failure mode on live data: a
+    * corpus with heavy SUB-threshold semantic clustering (mean
+    * within-cluster cos ≈ 0.8 against a 0.9 verify) co-buckets a large
+    * fraction of every cluster — candidates go quadratic in cluster size
+    * while the verify rejects them all, so the work is pure waste. Real
+    * web-embedding corpora have exactly such dense regions. Buckets wider
+    * than `maxBucketWidth` are DROPPED from pair generation on every
+    * table they overflow (true near-dups collide in SEVERAL independent
+    * tables, so narrower tables still recover them; exact dups share all
+    * tables and are only lost if every one overflows). The drop is
+    * observable via [[srpOversizedBuckets]] — run it alongside and alert,
+    * so the cap is an explicit, monitored recall trade instead of a
+    * silent quadratic cliff. The width count rides the same (tbl, bucket)
+    * partitioning the join needs — no extra shuffle of the bucket table.
+    */
+  def srpCandidatePairsCapped(corpus: DataFrame, idCol: String, vecCol: String,
+                              numTables: Int, planesPerTable: Int,
+                              probeRadius: Int, dims: Int,
+                              maxBucketWidth: Int): DataFrame = {
     require(probeRadius == 0 || probeRadius == 1, "only 0- or 1-bit multiprobe is supported")
-    val buckets = srpBuckets(corpus, idCol, vecCol, numTables, planesPerTable, dims)
+    val raw = srpBuckets(corpus, idCol, vecCol, numTables, planesPerTable, dims)
+    val buckets =
+      if (maxBucketWidth == Int.MaxValue) raw
+      else {
+        val w = Window.partitionBy(col("tbl"), col("bucket"))
+        raw.withColumn("_bn", count(lit(1)).over(w))
+          .where(col("_bn") <= maxBucketWidth).drop("_bn")
+      }
     val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val probes =
       if (probeRadius == 0) array(col("bucket"))
@@ -394,6 +425,19 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** The (tbl, bucket, width) rows [[srpCandidatePairsCapped]] drops at the
+    * given cap — the monitoring side-output for the recall trade (alert on
+    * its count; a sudden rise means the corpus grew a dense semantic
+    * region and the cap is now biting).
+    */
+  def srpOversizedBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                          numTables: Int, planesPerTable: Int, dims: Int,
+                          maxBucketWidth: Int): DataFrame =
+    srpBuckets(corpus, idCol, vecCol, numTables, planesPerTable, dims)
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("width"))
+      .where(col("width") > maxBucketWidth)
 
   /** Embedding near-dup pairs: multi-table SRP candidates (see
     * [[srpCandidatePairs]] for the banding/scale math) verified by exact
@@ -409,8 +453,10 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             numTables: Int = 8, planesPerTable: Int = 20,
                             threshold: Double = 0.9, probeRadius: Int = 1,
-                            dims: Int = 64): DataFrame = {
-    val cand = srpCandidatePairs(corpus, idCol, vecCol, numTables, planesPerTable, probeRadius, dims)
+                            dims: Int = 64,
+                            maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val cand = srpCandidatePairsCapped(corpus, idCol, vecCol, numTables,
+      planesPerTable, probeRadius, dims, maxBucketWidth)
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     // candidate pairs and the vector table are both corpus-sized

@@ -216,6 +216,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall of ${truth.size}")
   }
 
+  test("SRP bucket-width cap kills the dense-cluster quadratic corner; a true dup outside the cluster survives") {
+    // the round-12 sweep regime: one dense sub-threshold cluster (tight
+    // cone around a prototype — co-buckets heavily, fails the 0.9 verify)
+    // plus ONE planted exact-dup pair far from it
+    val dim = 16
+    def cone(id: Long): Array[Double] = {
+      val r = new scala.util.Random(id)
+      Array.tabulate(dim)(d => (if (d == 0) 10.0 else 0.0) + r.nextGaussian() * 0.4)
+    }
+    def far(id: Long): Array[Double] =
+      Array.tabulate(dim)(d => if (d == dim - 1) -7.0 + id else 0.5 * d)
+    val rows = (0L until 400L).map(i => (i, cone(i))) ++
+      Seq((1000L, far(0)), (1001L, far(0))) // exact dup pair, distinct ids
+    val df = rows.toDF("vec_id", "embedding")
+    def candCount(cap: Int) =
+      Similarity.srpCandidatePairsCapped(df, "vec_id", "embedding",
+        numTables = 4, planesPerTable = 12, probeRadius = 0, dims = dim,
+        maxBucketWidth = cap).count()
+    val uncapped = candCount(Int.MaxValue)
+    val capped = candCount(8)
+    assert(uncapped > 10000L, s"the dense cone must co-bucket quadratically (got $uncapped)")
+    assert(capped < uncapped / 10, s"the cap must collapse the mega-buckets ($uncapped -> $capped)")
+    // the exact-dup pair shares EVERY table; its narrow bucket is untouched
+    val found = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+        numTables = 4, planesPerTable = 12, threshold = 0.99, probeRadius = 0,
+        dims = dim, maxBucketWidth = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1000L, 1001L)), "the true dup outside the cluster must survive the cap")
+    // the monitor names exactly the overflowing (tbl, bucket) cells
+    val over = Similarity.srpOversizedBuckets(df, "vec_id", "embedding",
+      numTables = 4, planesPerTable = 12, dims = dim, maxBucketWidth = 8)
+    assert(over.count() > 0, "the dropped mega-buckets must be observable")
+  }
+
   test("SRP candidate volume grows ~linearly when the corpus doubles (not ~4x)") {
     // the round-1 design (8-bucket tables) was quadratic-in-fact: doubling
     // the corpus ~quadrupled candidates. With 20-bit tables the planted
