@@ -3347,6 +3347,49 @@ object Queries {
         SELECT cluster, pick_rank, vec_id FROM pick WHERE pick_rank <= 20
         ORDER BY cluster, pick_rank""")),
 
+    QueryDef("txt_ngram_novelty",
+      // per-doc n-gram novelty against the stream so far (first occurrence
+      // by ascending doc_id): the diminishing-returns curve a growing
+      // corpus is monitored by — "this crawl batch adds X% new trigrams".
+      // One linear explode → min-per-shingle → join-back census; exact
+      // integer-millionths ratio. The summary groups docs into 10 equal
+      // id-deciles so the DECAY CURVE itself is the hashed result (and the
+      // row count stays bounded at any SF).
+      (s, d) => {
+        val nov = TextAnalysis.ngramNovelty(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3)
+        val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
+        nov.withColumn("decile",
+            expr(s"CAST(least(doc_id * 10 div ${maxId + 1}, 9) AS INT)"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_shingles")).as("sum_shingles"),
+            sum(col("n_novel")).as("sum_novel"),
+            expr("CAST(1000000 * sum(n_novel) div sum(n_shingles) AS BIGINT)")
+              .as("novelty_millionths"))
+          .orderBySmall(col("decile"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
+          FROM tk WHERE len(toks) >= 3),
+        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+        fst AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY 1),
+        census AS (SELECT sh.doc_id, count(*) AS n_shingles,
+            sum(CASE WHEN fst.first_id = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+          FROM sh JOIN fst ON fst.shingle = sh.shingle GROUP BY 1),
+        per AS (SELECT d.doc_id,
+            coalesce(c.n_shingles, 0) AS n_shingles, coalesce(c.n_novel, 0) AS n_novel
+          FROM documents d LEFT JOIN census c ON c.doc_id = d.doc_id),
+        mx AS (SELECT max(doc_id) AS m FROM documents)
+        SELECT CAST(least(p.doc_id * 10 // (mx.m + 1), 9) AS INTEGER) AS decile,
+          count(*) AS n_docs,
+          CAST(sum(n_shingles) AS BIGINT) AS sum_shingles,
+          CAST(sum(n_novel) AS BIGINT) AS sum_novel,
+          CAST(1000000 * sum(n_novel) // sum(n_shingles) AS BIGINT) AS novelty_millionths
+        FROM per p, mx GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("op_train_split",
       // deterministic 80/10/10 train/val/test assignment — a pure
       // projection over the hash bucket, identically replayable in SQL;

@@ -569,6 +569,40 @@ object TextAnalysis {
                         windowTokens: Int = 8): DataFrame =
     substringDupStatsKeyed(docs, idCol, textCol, windowTokens, identity)
 
+  /** Per-document n-gram NOVELTY against the stream so far: the fraction
+    * of a doc's distinct shingles whose FIRST occurrence (by ascending
+    * `idCol` — ingestion order) is this doc. The diminishing-returns
+    * diagnostic a growing corpus needs: as a crawl saturates, per-batch
+    * novelty decays toward 0, and "stop paying for this source" is a
+    * threshold on exactly this number — corpus-redundancy growth measured
+    * where dedup only sees pairwise similarity.
+    *
+    * One linear pass: distinct (doc, shingle) explode → min(doc) per
+    * shingle (partial-aggregated — per-shingle state is one long) →
+    * join-back on the shingle key → per-doc census. Novelty is an integer
+    * millionths ratio (exact in any partition order). Docs shorter than
+    * the shingle width emit n_shingles = 0 with NULL novelty.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = Dedup.shingleTable(docs, idCol, textCol, shingleN)
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("_first"))
+    val census = sh.join(first.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    // two selects: the ratio must reference the COALESCED counts, and a
+    // same-select alias shadowing the joined column is exactly the lateral-
+    // column-alias ambiguity the emb_srp_recall debug run uncovered
+    docs.select(col(idCol))
+      .join(census, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_millionths",
+        expr("CAST(CASE WHEN n_shingles > 0 THEN 1000000 * n_novel div n_shingles END AS BIGINT)"))
+  }
+
   /** [[substringDupStats]] with windows keyed by `xxhash64(window)` instead
     * of the window string — the production form: the corpus-wide groupBy
     * and join-back shuffle 8-byte keys instead of multi-hundred-byte token

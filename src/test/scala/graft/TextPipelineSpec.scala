@@ -711,4 +711,21 @@ class TextPipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(_._1).toSet
     assert(runs === Set("p", "q"))
   }
+
+  test("ngramNovelty: first doc fully novel, exact copy 0, partial overlap exact fraction, short doc NULL") {
+    val docs = Seq(
+      (0L, "a b c d e"),        // 3 trigrams, all first-seen here
+      (1L, "a b c d e"),        // exact copy: 0 novel
+      (2L, "a b c x y z"),      // 'a b c' seen; 'b c x','c x y','x y z' novel -> 3/4
+      (3L, "w q")               // < 3 tokens: no shingles, NULL novelty
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.ngramNovelty(docs, "doc_id", "text", shingleN = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toList
+    assert(got === List(
+      (0L, 3L, 3L, Some(1000000L)),
+      (1L, 3L, 0L, Some(0L)),
+      (2L, 4L, 3L, Some(750000L)),
+      (3L, 0L, 0L, None)))
+  }
 }
