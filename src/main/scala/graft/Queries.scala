@@ -3390,6 +3390,33 @@ object Queries {
           CAST(1000000 * sum(n_novel) // sum(n_shingles) AS BIGINT) AS novelty_millionths
         FROM per p, mx GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("mix_source_overlap",
+      // cross-source exact-duplication matrix — which crawls duplicate
+      // each other (two snapshots of one crawl → drop one; independent
+      // sources sharing boilerplate → scrub it). The driver corpus has no
+      // natural exact dups, so every 9th doc is re-planted under a
+      // 'mix_'-prefixed source: the expected matrix is one row per
+      // original source with its mirror, counts = that source's planted
+      // share — non-vacuous and linear at any SF. Self-join on md5(text)
+      // (32-hex shuffle keys, never bodies), fanout bounded by source
+      // cardinality.
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"), col("source"))
+        val planted = base.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+            concat(lit("mix_"), col("source")).as("source"))
+        Dedup.crossSourceExactOverlap(base.unionByName(planted), "text", "source")
+          .orderBySmall(col("source_a"), col("source_b"))
+      },
+      Some("""WITH docs2 AS (
+          SELECT text, source FROM documents
+          UNION ALL
+          SELECT text, 'mix_' || source FROM documents WHERE doc_id % 9 = 0),
+        st AS (SELECT DISTINCT md5(text) AS h, source FROM docs2)
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_texts
+        FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("op_train_split",
       // deterministic 80/10/10 train/val/test assignment — a pure
       // projection over the hash bucket, identically replayable in SQL;

@@ -171,6 +171,27 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Cross-source exact-duplication census: for every source pair, how
+    * many DISTINCT texts appear in both — the "which crawls duplicate each
+    * other" matrix that drives mix dedup priorities (two snapshots of the
+    * same crawl → drop one; two independent sources sharing boilerplate →
+    * scrub it instead). Texts join by md5 so the corpus-sized self-join
+    * shuffles 32-hex keys, never document bodies; per-hash fanout is
+    * bounded by the SOURCE cardinality (metadata-sized at any corpus —
+    * hundreds of crawls, not billions), so pair volume is
+    * |distinct texts|·|sources sharing each|², never corpus². Output is at
+    * most |sources|² rows. Both self-join sides are corpus-sized →
+    * merge-hinted, never broadcast.
+    */
+  def crossSourceExactOverlap(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val st = docs.select(md5(col(textCol)).as("_h"), col(srcCol).as("_src")).distinct()
+    st.select(col("_h"), col("_src").as("source_a"))
+      .join(st.select(col("_h"), col("_src").as("source_b")).hint("merge"), Seq("_h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
+
   /** The (band, bucket, width) rows that [[lshCandidatePairsCapped]] drops
     * at the given cap — the monitoring side-output for the recall trade.
     */

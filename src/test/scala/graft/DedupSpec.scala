@@ -104,6 +104,19 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"))
   }
 
+  test("crossSourceExactOverlap: per-pair shared-text counts, distinct-within-source, no self pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "alpha", "s1"), // dup within s1: counts once
+      (4L, "alpha", "s2"), (5L, "beta", "s2"),                       // s1∩s2 = {alpha, beta}
+      (6L, "beta", "s3"),                                            // s1∩s3 = s2∩s3 = {beta}
+      (7L, "gamma", "s4")                                            // s4 shares nothing
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceExactOverlap(docs, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
   test("jaccard of the exact-dup pair is 1.0") {
     val jac = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .where($"doc_a" === 0 && $"doc_b" === 3).select("jac").as[Double].head()
