@@ -93,15 +93,20 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardPairs plans capped-postings + hash joins, never a cartesian/broadcast/corpus self-join") {
     val d = Tables.load(spark, sf0001, "documents").limit(100)
-    val plan = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, 10)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
-    // candidates come from ONE bounded-state aggregation over the exploded
-    // table (CappedIds postings), not a corpus self-join on the shingle
-    // string; the bound/verify joins are shuffled-hash (the pair stream is
-    // never sorted, and no side is ever broadcast)
-    assert(plan.contains("cappedids"))
-    assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"))
+    // both members of the exact n-gram family share the candidate core, so
+    // both get the same plan contract
+    for (df <- Seq(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5, 10),
+        Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.8, 10))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+      // candidates come from ONE bounded-state aggregation over the exploded
+      // table (CappedIds postings), not a corpus self-join on the shingle
+      // string; the bound/verify joins are shuffled-hash (the pair stream is
+      // never sorted, and no side is ever broadcast)
+      assert(plan.contains("cappedids"))
+      assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"))
+    }
   }
 
   test("crossSourceExactOverlap: per-pair shared-text counts, distinct-within-source, no self pairs") {
