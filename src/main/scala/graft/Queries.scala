@@ -328,15 +328,22 @@ object Queries {
     // reclaim dirs whose owning pid is dead: an mtime-age sweep can
     // delete a LIVE sibling's scratch (Derby writes touch files nested
     // under db/, so the TOP dir's mtime never refreshes — a >1h-old run
-    // looks stale while in active use). Pid liveness alone, though,
-    // SURVIVES PID REUSE — an unrelated long-lived process recycling a
-    // dead JVM's pid would pin its dir forever — so a 7-day staleness
-    // FLOOR backstops it: no bench/driver JVM lives that long, and a
-    // same-pid live sibling is excluded by name. Dirs whose suffix
-    // doesn't parse as a pid (the legacy unsuffixed layout) use the
-    // floor alone. The recursive delete tolerates a concurrent sibling
-    // sweeping the same dead dir (walk/delete races surface as
-    // ignorable IO errors).
+    // looks stale while in active use; that also means the top dir's
+    // mtime IS its creation time). Pid liveness alone SURVIVES PID REUSE
+    // — an unrelated process recycling a dead JVM's pid would pin its
+    // dir forever. The precise disambiguator is the holder's START TIME:
+    // a pid is held by one process at a time, so any live holder that
+    // started AFTER the dir appeared cannot be the JVM that created it
+    // (the creator died first and its pid was recycled) → sweep. A real
+    // live sibling started BEFORE it created its dir → keep, at ANY age
+    // (an age floor here would sweep a >floor-old live sibling — the
+    // exact deletion the pid rule exists to prevent). The 1-minute slack
+    // absorbs clock/fs skew on the creator's start≈mtime boundary; when
+    // the start time is unavailable, and for dirs whose suffix doesn't
+    // parse as a pid (the legacy unsuffixed layout), a 7-day floor is
+    // the conservative fallback. The recursive delete tolerates a
+    // concurrent sibling sweeping the same dead dir (walk/delete races
+    // surface as ignorable IO errors).
     if (scratchSwept.add(prefix)) {
       val floorMs = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
       val stale = new java.io.File(tmp).listFiles()
@@ -344,7 +351,15 @@ object Queries {
         .filter(f => f.getName.startsWith(prefix) && f.getName != name)
         .filter { f =>
           f.getName.stripPrefix(prefix).toLongOption match {
-            case Some(pid) => ProcessHandle.of(pid).isEmpty || f.lastModified() < floorMs
+            case Some(pid) =>
+              val holder = ProcessHandle.of(pid)
+              if (!holder.isPresent) true // owner dead
+              else {
+                val started = holder.get.info().startInstant()
+                if (started.isPresent)
+                  started.get.toEpochMilli > f.lastModified() + 60000L // pid reused
+                else f.lastModified() < floorMs
+              }
             case None => f.lastModified() < floorMs
           }
         }
@@ -3274,14 +3289,18 @@ object Queries {
       // documents table PLUS one planted EXCERPT per seventh doc (its
       // first 12 tokens — a deterministic string both engines rebuild
       // identically), so the expected pair set is non-vacuous at every SF
-      // and grows linearly. Same df-capped inverted-index candidate
-      // machinery as dedup_ngram_jaccard (cap mirrored in the oracle);
-      // the verify computes exact containment n_inter/min(|A|,|B|) over
-      // FULL shingle sets.
+      // and grows linearly. Planted ids are −id−1: collision-free with
+      // the nonnegative real ids at ANY scale factor (the emb_near_dup
+      // convention — a fixed +offset collides once the table outgrows it,
+      // and a collided id would make the per-row-distinct shingle table
+      // diverge from the oracle's global DISTINCT). Same df-capped
+      // inverted-index candidate machinery as dedup_ngram_jaccard (cap
+      // mirrored in the oracle); the verify computes exact containment
+      // n_inter/min(|A|,|B|) over FULL shingle sets.
       (s, d) => {
         val base = t(s, d, "documents").select(col("doc_id"), col("text"))
         val planted = base.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .select((-col("doc_id") - 1).as("doc_id"),
             array_join(slice(split(col("text"), "\\s+"), 1, 12), " ").as("text"))
         Dedup.ngramContainmentPairs(base.unionByName(planted), "doc_id", "text",
             shingleN = 3, threshold = 0.8, maxDf = 10)
@@ -3290,7 +3309,7 @@ object Queries {
       Some("""WITH docs AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000,
+          SELECT -doc_id - 1,
             array_to_string(string_split_regex(text, '\s+')[1:12], ' ')
           FROM documents WHERE doc_id % 7 = 0),
         tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

@@ -295,9 +295,18 @@ object Similarity {
     val centDf = cents.zipWithIndex.map { case (cvec, j) => (j.toLong, cvec) }.toSeq
       .toDF("_cj", "_cvec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // NaN centroid similarity (a zero/NaN centroid against a real query)
+    // must rank BELOW every real cell, matching the literal path's
+    // struct-sort (array_sort puts the NaN struct last); TopK's
+    // Double.compare order would rank NaN FIRST and probe the degenerate
+    // cell ahead of real ones — map it to -Inf so both paths agree
+    // (cosine is in [-1,1], so -Inf can never collide with a real sim;
+    // ties among degenerate cells break by cluster id in both paths)
     val routed = q.crossJoin(broadcast(centDf))
+      .withColumn("_cs", cosine(col("q_vec"), col("_cvec")))
       .select(col("query_id"),
-        cosine(col("q_vec"), col("_cvec")).as("sim"), col("_cj").as("neighbor_id"))
+        when(isnan(col("_cs")), lit(Double.NegativeInfinity)).otherwise(col("_cs")).as("sim"),
+        col("_cj").as("neighbor_id"))
     val probes = topKPerQuery(routed, nprobe)
       .select(col("query_id"), col("neighbor_id").cast("int").as(clusterCol))
       .join(q, Seq("query_id"))

@@ -184,9 +184,24 @@ class SimilaritySpec extends SparkSpec {
       s"expected centroid cross-join + probe join to broadcast, got $nBcast broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"the corpus side must never shuffle in the routing:\n$plan")
-    // the auto-switch: above LiteralCentroidMax cells ivfTopKFitted takes
-    // the broadcast path (plan contains a join, not a k-struct literal)
+    // the auto-switch ACTUALLY SWITCHES: with > LiteralCentroidMax cells,
+    // ivfTopKFitted must return the bigK result AND plan the broadcast
+    // routing (2 broadcast joins: centroid table + probe list) — a broken
+    // switch would only surface at production cell counts otherwise
     assert(Similarity.LiteralCentroidMax >= 16)
+    val manyCents = Array.tabulate(Similarity.LiteralCentroidMax + 6)(j =>
+      Array.tabulate(64)(d => if (d == j % 64) 4.0 else 0.05 * ((j + d) % 7)))
+    val labeledMany = emb.withColumn("cluster",
+      Similarity.nearestCentroid($"embedding", manyCents))
+    val qsMany = labeledMany.where($"vec_id" % 50 === 0)
+    val viaFitted = Similarity.ivfTopKFitted(qsMany, labeledMany, "vec_id", "embedding",
+      "cluster", 5, 3, manyCents)
+    val switchPlan = viaFitted.queryExecution.executedPlan.toString
+    assert(switchPlan.split("\n").count(l =>
+        l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin")) >= 2,
+      s"ivfTopKFitted above LiteralCentroidMax must take the broadcast routing:\n$switchPlan")
+    assert(ranks(viaFitted) == ranks(Similarity.ivfTopKFittedBigK(qsMany, labeledMany,
+      "vec_id", "embedding", "cluster", 5, 3, manyCents)))
   }
 
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
