@@ -310,14 +310,18 @@ object Queries {
     * op_merge_acid lesson); sibling PIDs' dirs whose pid is dead are
     * swept so finished JVMs don't leak scratch forever.
     *
-    * The sweep is MEMOIZED per (kind, hash) per JVM: leaked dirs only
-    * appear when a JVM exits, so re-listing /tmp on every bench
-    * iteration of the same query is pure directory-scan overhead (and on
-    * a loaded host, measurable jitter in the hot loop). One sweep at
-    * first use per JVM reclaims everything a predecessor left.
+    * The sweep is MEMOIZED per (kind, hash) with a 1-hour TTL: leaked
+    * dirs only appear when a sibling JVM exits, so re-listing /tmp on
+    * every bench iteration of the same query is pure directory-scan
+    * overhead (and on a loaded host, measurable jitter in the hot loop).
+    * The TTL (rather than once-per-JVM) bounds /tmp growth in a
+    * long-lived SERVICE posture: a sibling that dies after this JVM's
+    * first sweep of the prefix is reclaimed within the hour instead of
+    * never.
     */
   private val scratchSwept =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val ScratchSweepTtlMs = 3600L * 1000
   private def scratchDir(kind: String, d: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -344,7 +348,15 @@ object Queries {
     // the conservative fallback. The recursive delete tolerates a
     // concurrent sibling sweeping the same dead dir (walk/delete races
     // surface as ignorable IO errors).
-    if (scratchSwept.add(prefix)) {
+    val nowMs = System.currentTimeMillis()
+    val sweepDue = {
+      val prev = scratchSwept.get(prefix)
+      (prev == null || nowMs - prev > ScratchSweepTtlMs) &&
+        // one winner per expiry window even under concurrent callers
+        (if (prev == null) scratchSwept.putIfAbsent(prefix, nowMs) == null
+         else scratchSwept.replace(prefix, prev, java.lang.Long.valueOf(nowMs)))
+    }
+    if (sweepDue) {
       val floorMs = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
       val stale = new java.io.File(tmp).listFiles()
       if (stale != null) stale.iterator
@@ -3384,9 +3396,15 @@ object Queries {
       (s, d) => {
         val nov = TextAnalysis.ngramNovelty(t(s, d, "documents"), "doc_id", "text",
           shingleN = 3)
-        val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
-        nov.withColumn("decile",
-            expr(s"CAST(least(doc_id * 10 div ${maxId + 1}, 9) AS INT)"))
+        // max(doc_id) stays INSIDE the plan as a cross-joined 1-row scalar
+        // aggregate (the oracle's mx CTE shape): an eager .head() here
+        // would run a real scan job at DataFrame-CONSTRUCTION time (every
+        // plan-only consumer pays it, e.g. the PlanSpec lint walking
+        // Queries.all) and NPE on an empty documents table
+        val mx = t(s, d, "documents").agg(max(col("doc_id")).as("_mx"))
+        nov.crossJoin(mx)
+          .withColumn("decile",
+            expr("CAST(least(doc_id * 10 div (_mx + 1), 9) AS INT)"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_shingles")).as("sum_shingles"),
@@ -7479,7 +7497,12 @@ object Queries {
           .crossJoin(found.agg(count(lit(1)).as("n_found")))
           .select(col("n_exact"), col("n_found"),
             (col("n_exact") - col("n_found")).as("n_missed"),
-            expr("CAST(1000000 * n_found div n_exact AS BIGINT)").as("recall_millionths"))
+            // n_exact = 0 (empty bounded sample at a tiny SF) must yield
+            // NULL on BOTH engines: Spark's div would return NULL but
+            // DuckDB's // by zero ERRORS, so the guard keeps the failure
+            // modes aligned instead of diverging
+            expr("CASE WHEN n_exact > 0 THEN CAST(1000000 * n_found div n_exact AS BIGINT) END")
+              .as("recall_millionths"))
       },
       Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
@@ -7506,7 +7529,8 @@ object Queries {
         tot AS (SELECT (SELECT count(*) FROM s) AS n_exact,
             (SELECT count(*) FROM hit) AS n_found)
         SELECT n_exact, n_found, n_exact - n_found AS n_missed,
-          CAST(1000000 * n_found // n_exact AS BIGINT) AS recall_millionths
+          CASE WHEN n_exact > 0
+            THEN CAST(1000000 * n_found // n_exact AS BIGINT) END AS recall_millionths
         FROM tot"""))
   )
 

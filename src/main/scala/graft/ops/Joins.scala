@@ -259,6 +259,18 @@ object Joins {
     * op, so any set low-order host bits in a sloppy route row are masked
     * off rather than silently matching nothing. Output: key, matched
     * `route_id`, `plen`.
+    *
+    * CONTRACT CHANGE (round 12): `networkCol` was previously the
+    * PRE-SHIFTED bucket (`base div 2^(32−plen)`); it is now the RAW
+    * address and the shift happens in-op. A stale caller passing
+    * pre-shifted buckets would have them shifted AGAIN (collapsing to
+    * bucket 0) and silently match wrong or no routes — so the op raises
+    * at runtime on any network value outside [0, 2^32): a pre-shifted
+    * bucket of a non-trivial prefix is small and still passes, but the
+    * guard (evaluated once per ROUTE row, a device-memory-bounded
+    * table) converts the common stale-caller modes — negative or
+    * over-wide values — into a loud error instead of a silent
+    * wrong-match.
     */
   def longestPrefixMatch(keys: DataFrame, keyCol: Column,
                          routes: DataFrame, networkCol: Column, plenCol: Column,
@@ -267,7 +279,12 @@ object Joins {
     val r = routes.select(plenCol.cast("int").as("_plen"),
       networkCol.cast("long").as("_net"), routeIdCol.as("_rid"))
       .withColumn("_bucket",
-        expr("_net div shiftleft(CAST(1 AS BIGINT), 32 - _plen)"))
+        when(col("_net") < 0 || col("_net") >= lit(1L << 32),
+          raise_error(concat(
+            lit("longestPrefixMatch: networkCol must be a RAW 32-bit address in [0, 2^32) "
+              + "(the CIDR base, NOT a pre-shifted bucket); got "),
+            col("_net").cast("string"))).cast("long"))
+          .otherwise(expr("_net div shiftleft(CAST(1 AS BIGINT), 32 - _plen)")))
       .drop("_net")
     keys.select(keyCol.cast("long").as("key"))
       .crossJoin(broadcast(lens))

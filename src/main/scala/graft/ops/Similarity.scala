@@ -301,11 +301,17 @@ object Similarity {
     // Double.compare order would rank NaN FIRST and probe the degenerate
     // cell ahead of real ones — map it to -Inf so both paths agree
     // (cosine is in [-1,1], so -Inf can never collide with a real sim;
-    // ties among degenerate cells break by cluster id in both paths)
+    // ties among degenerate cells break by cluster id in both paths).
+    // A NULL cosine (a null vector ELEMENT, which passes isnan as NULL)
+    // coalesces to the same -Inf: the literal path's struct array_sort
+    // and TopK's comparator disagree on NULL ordering, so both kinds of
+    // degenerate cell must land on one value for path equality to hold
     val routed = q.crossJoin(broadcast(centDf))
       .withColumn("_cs", cosine(col("q_vec"), col("_cvec")))
       .select(col("query_id"),
-        when(isnan(col("_cs")), lit(Double.NegativeInfinity)).otherwise(col("_cs")).as("sim"),
+        coalesce(
+          when(isnan(col("_cs")), lit(Double.NegativeInfinity)).otherwise(col("_cs")),
+          lit(Double.NegativeInfinity)).as("sim"),
         col("_cj").as("neighbor_id"))
     val probes = topKPerQuery(routed, nprobe)
       .select(col("query_id"), col("neighbor_id").cast("int").as(clusterCol))
