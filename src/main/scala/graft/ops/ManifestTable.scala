@@ -71,28 +71,26 @@ import org.apache.spark.sql.types._
   *  - `vacuum(retainLast)` deletes data dirs unreferenced by the newest K
   *    manifests; time travel older than that stops working, like Delta's
   *    `VACUUM` past the retention window.
-  *  - Object stores without atomic exclusive-create (S3 pre-conditional-PUT)
-  *    need a coordinator; same caveat as every log-structured format.
+  *  - On an object store, build with [[ManifestTable.onObjectStore]]: the
+  *    CAS primitive becomes ONE conditional PUT of the manifest itself
+  *    ([[ObjectStoreLogStore]]), the orphan-lock mode disappears, and the
+  *    rest of the protocol is unchanged. Stores without any conditional
+  *    write (S3 pre-2024) need a coordinator; same caveat as every
+  *    log-structured format.
   */
 final class ManifestTable private (
-    spark: SparkSession, rootStr: String, statsCols: Seq[String]) {
+    spark: SparkSession, rootStr: String, statsCols: Seq[String],
+    log: ManifestLogStore) {
   import ManifestTable._
 
   private val root = new Path(rootStr)
   private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def logDir = new Path(root, "_log")
   private def dataDir = new Path(root, "data")
 
   // ---------------------------------------------------------------- reads
 
   /** Versions with a published manifest, ascending. */
-  def versions(): Seq[Long] = {
-    if (!fs.exists(logDir)) return Seq.empty
-    fs.listStatus(logDir).iterator
-      .map(_.getPath.getName)
-      .collect { case ManifestName(v) => v.toLong }
-      .toSeq.sorted
-  }
+  def versions(): Seq[Long] = log.listVersions()
 
   def latestVersion(): Option[Long] = versions().lastOption
 
@@ -508,7 +506,6 @@ final class ManifestTable private (
                          dirs: Option[Manifest] => Seq[String],
                          newStats: Map[String, ColStat],
                          parentGuard: Option[Option[Long]]): Option[Long] = {
-    fs.mkdirs(logDir)
     val prevV = latestVersion()
     if (parentGuard.exists(_ != prevV)) return None
     val prev = prevV.map(readManifest)
@@ -536,67 +533,27 @@ final class ManifestTable private (
       val mx = st.max.map(enc).getOrElse(NullMark)
       body.append(s"dirstat=$d|${enc(c)}|$mn|$mx|${st.hasNull}\n")
     }
-    if (!tryReserve(next)) {
-      // a reserved-but-never-published version means a writer died mid-commit
-      // (or is slow); the retry loop re-lands here until retries exhaust
+    if (!log.publishIfAbsent(next, body.toString.getBytes(UTF_8))) {
+      // lost the race (or, on the Hadoop store, a reserved-but-never-
+      // published lock is in the way); the retry loop re-lands here
+      // until retries exhaust
       return None
     }
-    // holding the lock now: any failure before the manifest publishes MUST
-    // release it, or this live writer's transient IO error (disk full,
-    // rename refusal) turns into a permanent outage for every writer
-    try {
-      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, /* overwrite = */ false)
-      try out.write(body.toString.getBytes(UTF_8)) finally out.close()
-      // no contention on the final name — the lock made us the sole writer of
-      // this version; the rename is only for atomic reader visibility
-      if (!fs.rename(tmp, manifestPath(next))) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(
-          s"ManifestTable $rootStr: rename to ${manifestPath(next)} failed while holding its lock")
-      }
-      Some(next)
-    } catch {
-      case e: Throwable =>
-        try fs.delete(lockPath(next), false)
-        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
-        throw e
-    }
-  }
-
-  /** The CAS primitive: create-if-absent of the version's lock file.
-    * `java.io.File.createNewFile` is atomic `O_CREAT|O_EXCL` for the local
-    * scheme (Hadoop's RawLocalFileSystem check-then-create is NOT atomic);
-    * HDFS `create(overwrite = false)` is an atomic namenode op.
-    */
-  private def tryReserve(version: Long): Boolean = {
-    val lock = lockPath(version)
-    if (fs.getScheme == "file")
-      new java.io.File(lock.toUri.getPath).createNewFile()
-    else
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
+    Some(next)
   }
 
   private def failRetries(maxRetries: Int): Nothing = {
     val orphan = latestVersion().getOrElse(-1L) + 1
     throw new java.io.IOException(
-      s"ManifestTable $rootStr: commit failed after $maxRetries retries; if no " +
-      s"writer is live, a crashed commit left an orphan lock — remove ${lockPath(orphan)}")
+      s"ManifestTable $rootStr: commit failed after $maxRetries retries; " +
+      log.contentionHint(orphan))
   }
 
-  private def manifestPath(v: Long) = new Path(logDir, f"v$v%020d.txt")
-  private def lockPath(v: Long) = new Path(logDir, f"v$v%020d.lock")
-
   private def readManifest(v: Long): Manifest = {
-    val in = fs.open(manifestPath(v))
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, UTF_8)
-    } finally in.close()
+    val bytes = log.read(v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"ManifestTable $rootStr: no manifest for version $v"))
+    val text = new String(bytes, UTF_8)
     val lines = text.split('\n')
     require(lines.headOption.contains(Magic),
       s"ManifestTable $rootStr: v$v is not a graft manifest")
@@ -627,7 +584,6 @@ object ManifestTable {
   private val DefaultRetries = 10
   private val RetrySleepMs = 50L
   private val DefaultVacuumGraceMs = 10 * 60 * 1000L
-  private val ManifestName = """v(\d{20})\.txt""".r
 
   /** Per-column bounds of one data dir (or of an update batch): string-cast
     * min/max of the NON-NULL values (absent ⇒ no non-null rows) plus
@@ -648,6 +604,28 @@ object ManifestTable {
     * Stats cost one small aggregation per commit and only numeric-family
     * columns participate (see [[ManifestTable.isPrunableType]]).
     */
-  def apply(spark: SparkSession, root: String, statsCols: Seq[String] = Nil): ManifestTable =
-    new ManifestTable(spark, root, statsCols)
+  def apply(spark: SparkSession, root: String, statsCols: Seq[String] = Nil): ManifestTable = {
+    val rootPath = new Path(root)
+    new ManifestTable(spark, root, statsCols,
+      new HadoopLogStore(
+        rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new Path(rootPath, "_log")))
+  }
+
+  /** The table with its commit log on an S3-class object store via the
+    * conditional-PUT primitive ([[ObjectStoreClient.putIfNoneMatch]]):
+    * version N's commit is ONE atomic request, the orphan-lock failure
+    * mode does not exist, and the retry/backoff/parent-guard protocol is
+    * byte-identical to the filesystem table's (see
+    * [[ObjectStoreLogStore]] and SCALE.md's conditional-PUT contract).
+    * DATA files still read/write through `root`'s Hadoop filesystem —
+    * on a real deployment that is the same store via its Hadoop
+    * connector (s3a/gs/abfs), whose data-path semantics (immutable dirs
+    * written before the commit attempt) the protocol already assumes;
+    * only the log's atomicity needs the native precondition this client
+    * provides.
+    */
+  def onObjectStore(spark: SparkSession, root: String, client: ObjectStoreClient,
+                    statsCols: Seq[String] = Nil): ManifestTable =
+    new ManifestTable(spark, root, statsCols, new ObjectStoreLogStore(client, root))
 }

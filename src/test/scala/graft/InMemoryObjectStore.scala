@@ -1,0 +1,57 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import graft.ops.ObjectStoreClient
+
+/** In-memory [[ObjectStoreClient]] double with S3-class semantics:
+  * per-key atomic conditional PUT (`If-None-Match: *` ⇒ putIfAbsent),
+  * strong read-after-write consistency, no rename, no locks. A
+  * failure-injection hook models the two transient-error shapes a real
+  * store exhibits on the SAME request:
+  *
+  *  - `FailBeforeCommit` — throttle/5xx rejected the PUT; nothing landed.
+  *  - `FailAfterCommit`  — the store committed the PUT but the RESPONSE
+  *    was lost (the ambiguous failure every object-store client must
+  *    tolerate; see [[graft.ops.ObjectStoreLogStore]]'s self-win check).
+  */
+final class InMemoryObjectStore extends ObjectStoreClient {
+  import InMemoryObjectStore._
+
+  private val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** (key, 1-based attempt number for that key) => fault to inject. */
+  @volatile var putFault: (String, Int) => Fault = (_, _) => Ok
+
+  /** Total conditional-PUT attempts observed (all keys). */
+  def putAttempts: Int = attempts.values().asScala.map(_.intValue).sum
+
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val n = attempts.merge(key, 1, (a, b) => a + b)
+    putFault(key, n) match {
+      case Ok =>
+        objects.putIfAbsent(key, bytes.clone()) == null
+      case FailBeforeCommit =>
+        throw new ObjectStoreClient.TransientStoreException(
+          s"injected 503 before commit: $key attempt $n")
+      case FailAfterCommit =>
+        objects.putIfAbsent(key, bytes.clone())
+        throw new ObjectStoreClient.TransientStoreException(
+          s"injected lost response after commit: $key attempt $n")
+    }
+  }
+
+  override def get(key: String): Option[Array[Byte]] =
+    Option(objects.get(key)).map(_.clone())
+
+  override def list(prefix: String): Seq[String] =
+    objects.keySet().asScala.iterator.filter(_.startsWith(prefix)).toSeq
+}
+
+object InMemoryObjectStore {
+  sealed trait Fault
+  case object Ok extends Fault
+  case object FailBeforeCommit extends Fault
+  case object FailAfterCommit extends Fault
+}

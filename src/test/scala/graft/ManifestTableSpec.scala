@@ -387,4 +387,103 @@ class ManifestTableSpec extends SparkSpec {
     t.deleteByKeys(Seq(1L, 2L, 101L, 200L).toDF("k"), Seq("k"))
     assert(t.snapshot().count() === 0L)
   }
+
+  // ------------------------------------------- conditional-PUT log store
+
+  private def objectStoreTable(): (ManifestTable, InMemoryObjectStore, String) = {
+    val root = freshRoot()
+    val client = new InMemoryObjectStore
+    (ManifestTable.onObjectStore(spark, root, client), client, root)
+  }
+
+  test("object-store log: full lifecycle equals the filesystem table's; no lock objects exist") {
+    val (t, client, root) = objectStoreTable()
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))
+    t.append(kv(3L -> 3.0))
+    t.merge(kv(2L -> 20.0, 4L -> 4.0), Seq("k"))
+    assert(t.versions() == Seq(0L, 1L, 2L))
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
+    // time travel pins history exactly like the FS table
+    assert(t.snapshotAt(1).orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // the log lives ONLY in the object store: one object per version and
+    // no .lock / .tmp artifacts anywhere (reserve+publish is one PUT)
+    val keys = client.list("")
+    assert(keys.size == 3 && keys.forall(_.matches(""".*/_log/v\d{20}\.txt""")), keys)
+    assert(!new java.io.File(s"$root/_log").exists(),
+      "no filesystem log directory may exist for an object-store table")
+  }
+
+  test("object-store log: If-None-Match race — concurrent appends all land, contiguous versions") {
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(0L -> 0.0))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() => {
+        try (1 to 3).foreach { i => t.append(kv((w * 100 + i).toLong -> i.toDouble)) }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent object-store append failed: ${errs.peek()}")
+    assert(t.versions() == (0L to 12L))
+    assert(t.snapshot().count() == 13)
+    // whether this run's thread interleaving produced real 412 losses is
+    // timing-dependent (each append's Spark write serializes most of the
+    // work); the DETERMINISTIC 412 exercise is below
+    assert(client.putAttempts >= 13)
+    // the precondition itself, deterministically: two writers PUT the same
+    // version — exactly one creates it, the loser's 412 maps to false, and
+    // the winner's body is what readers see (never the loser's)
+    val store = new graft.ops.ObjectStoreLogStore(client, "race-tbl")
+    val (a, b) = ("writer-a".getBytes("UTF-8"), "writer-b".getBytes("UTF-8"))
+    assert(store.publishIfAbsent(0L, a))
+    assert(!store.publishIfAbsent(0L, b), "second conditional PUT of v0 must 412")
+    assert(store.read(0L).exists(java.util.Arrays.equals(_, a)))
+    assert(store.listVersions() == Seq(0L))
+  }
+
+  test("object-store log: transient 503 before commit — the same append call retries and lands") {
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(1L -> 1.0))
+    // v1's first two PUT attempts are rejected before anything lands
+    client.putFault = (key, n) =>
+      if (key.endsWith("v00000000000000000001.txt") && n <= 2)
+        InMemoryObjectStore.FailBeforeCommit
+      else InMemoryObjectStore.Ok
+    assert(t.append(kv(2L -> 2.0)) == 1L)
+    assert(t.versions() == Seq(0L, 1L))
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("object-store log: ambiguous lost-response — self-win detected, no duplicate commit or rows") {
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(1L -> 1.0))
+    // v1's first PUT COMMITS but the response is lost; the publish must
+    // recognize its own body on re-read instead of re-deriving and
+    // appending the same dir again at v2 (silent row duplication)
+    client.putFault = (key, n) =>
+      if (key.endsWith("v00000000000000000001.txt") && n == 1)
+        InMemoryObjectStore.FailAfterCommit
+      else InMemoryObjectStore.Ok
+    assert(t.append(kv(2L -> 2.0)) == 1L)
+    assert(t.latestVersion().contains(1L), "exactly one commit may exist for the append")
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("object-store log: exhausted contention names the conditional-PUT mode, not a lock file") {
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(1L -> 1.0))
+    // every v1 attempt loses (a phantom contender owns the version and
+    // its body never matches ours)
+    client.putFault = (key, _) =>
+      if (key.endsWith("v00000000000000000001.txt")) InMemoryObjectStore.FailBeforeCommit
+      else InMemoryObjectStore.Ok
+    val e = intercept[java.io.IOException] { t.append(kv(2L -> 2.0), maxRetries = 1) }
+    assert(e.getMessage.contains("conditional-PUT"), e.getMessage)
+    assert(!e.getMessage.contains(".lock"), "object-store mode has no lock to name")
+  }
 }
