@@ -288,7 +288,8 @@ object Similarity {
     */
   def ivfTopKFittedBigK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                         clusterCol: String, k: Int, nprobe: Int,
-                        cents: Array[Array[Double]]): DataFrame = {
+                        cents: Array[Array[Double]],
+                        batchMode: QueryBatchMode = QueryBatchMode.AssertBounded): DataFrame = {
     require(cents.nonEmpty)
     val spark = queries.sparkSession
     import spark.implicits._
@@ -313,14 +314,68 @@ object Similarity {
           when(isnan(col("_cs")), lit(Double.NegativeInfinity)).otherwise(col("_cs")),
           lit(Double.NegativeInfinity)).as("sim"),
         col("_cj").as("neighbor_id"))
-    val probes = topKPerQuery(routed, nprobe)
+    // The probe broadcast carries |Q|·nprobe rows WITH query vectors through
+    // the driver — correct only under the batch-bounded-Q serving contract
+    // (see [[ivfTopKFitted]]'s broadcast contract). `batchMode` makes that
+    // contract enforceable instead of assumed: an unbounded-Q caller gets
+    // shuffle-hash joins (result-identical, spec'd in SimilaritySpec)
+    // rather than a driver OOM.
+    val broadcastProbes = batchMode match {
+      case QueryBatchMode.AssertBounded => true
+      case QueryBatchMode.Unbounded => false
+      case QueryBatchMode.Measured(max) =>
+        // early-terminating probe of |Q|: the scan stops at max+1 rows, so
+        // the cost is bounded by the threshold, not the query-set size.
+        // NOTE this is an EAGER job at plan-construction time — use
+        // AssertBounded/Unbounded when the caller already knows the regime
+        // (e.g. plan-only consumers).
+        val cap = math.min(max, Int.MaxValue - 1L).toInt
+        queries.select(col(idCol)).limit(cap + 1).count() <= max
+    }
+    val probeCells = topKPerQuery(routed, nprobe)
       .select(col("query_id"), col("neighbor_id").cast("int").as(clusterCol))
-      .join(q, Seq("query_id"))
+    // the join-back to the query VECTORS is also Q-scale on both sides —
+    // in the unbounded regime it must shuffle on query_id, not let the
+    // size estimator auto-broadcast either side
+    val probes =
+      if (broadcastProbes) probeCells.join(q, Seq("query_id"))
+      else probeCells.join(q.hint("shuffle_hash"), Seq("query_id"))
     val c = corpus.select(col(clusterCol), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.join(broadcast(probes), Seq(clusterCol))
+    val scored =
+      (if (broadcastProbes) c.join(broadcast(probes), Seq(clusterCol))
+       else c.join(probes.hint("shuffle_hash"), Seq(clusterCol)))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** How [[ivfTopKFittedBigK]] treats the QUERY side's size — the probe
+    * list (|Q|·nprobe rows with vectors) broadcasts only when Q is
+    * batch-bounded, and nothing about a DataFrame proves that statically.
+    */
+  sealed trait QueryBatchMode
+  object QueryBatchMode {
+    /** Caller asserts |Q| is micro-batch-bounded (the FAISS serving
+      * regime; the repo's own keys bound Q by construction via
+      * annQueryPred). Probe list broadcasts — the plan of rounds ≤ 12,
+      * byte-identical.
+      */
+    case object AssertBounded extends QueryBatchMode
+
+    /** Size-aware: count |Q| with an early-terminating limit+count job at
+      * plan-construction time and pick broadcast (≤ max) or shuffle (> max)
+      * automatically. Default threshold 2¹⁷ ≈ 131k queries ≈ low hundreds
+      * of MB of probe rows at embedding widths — inside a default 1 GiB
+      * driver result cap with headroom.
+      */
+    final case class Measured(maxBroadcastQueries: Long = 1L << 17) extends QueryBatchMode
+
+    /** Unbounded / corpus-scale Q: never broadcast; the probe list joins
+      * the corpus with a shuffle-hash join on the cluster key (both sides
+      * exchange once on the cluster id — the unavoidable shape when Q
+      * itself is data-scale).
+      */
+    case object Unbounded extends QueryBatchMode
   }
 
   private def ivfTopKRouted(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -204,6 +204,42 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", "cluster", 5, 3, manyCents)))
   }
 
+  test("big-k IVF probe-broadcast guard: unbounded-Q shuffle path is rank-identical; Measured picks the regime") {
+    import Similarity.QueryBatchMode
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val labeled = emb.withColumn("cluster",
+      Similarity.nearestCentroid($"embedding", cents))
+    val qs = labeled.where($"vec_id" % 10 === 0)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val viaBroadcast = Similarity.ivfTopKFittedBigK(qs, labeled, "vec_id", "embedding",
+      "cluster", 5, 3, cents) // AssertBounded default
+    val viaShuffle = Similarity.ivfTopKFittedBigK(qs, labeled, "vec_id", "embedding",
+      "cluster", 5, 3, cents, QueryBatchMode.Unbounded)
+    assert(ranks(viaShuffle) == ranks(viaBroadcast),
+      "unbounded-Q shuffle probe join must be result-identical to the broadcast path")
+    // the unbounded plan must NOT ship the probe list through the driver:
+    // the probe-corpus join is a shuffled hash join, and the only broadcast
+    // left is the (Q-independent) centroid table cross-join
+    val shufflePlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(shufflePlan.contains("ShuffledHashJoin"),
+      s"expected a shuffle-hash probe join:\n$shufflePlan")
+    assert(shufflePlan.split("\n").count(_.contains("BroadcastHashJoin")) == 0,
+      s"the probe list must not broadcast in Unbounded mode:\n$shufflePlan")
+    // Measured: a threshold below |Q| must take the shuffle plan, a
+    // threshold above it the broadcast plan — same results either way
+    val measuredSmall = Similarity.ivfTopKFittedBigK(qs, labeled, "vec_id", "embedding",
+      "cluster", 5, 3, cents, QueryBatchMode.Measured(maxBroadcastQueries = 2))
+    assert(measuredSmall.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "Measured below |Q| must fall back to the shuffle probe join")
+    assert(ranks(measuredSmall) == ranks(viaBroadcast))
+    val measuredBig = Similarity.ivfTopKFittedBigK(qs, labeled, "vec_id", "embedding",
+      "cluster", 5, 3, cents, QueryBatchMode.Measured(maxBroadcastQueries = 1L << 20))
+    assert(measuredBig.queryExecution.executedPlan.toString
+        .split("\n").exists(_.contains("BroadcastHashJoin")),
+      "Measured above |Q| must keep the broadcast probe join")
+  }
+
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
   // scaling → cos(v, v') ≈ 0.9997, while every natural pair is <= 0.48;
   // planted ids are −id−1 (collision-free with real nonnegative ids)
