@@ -7531,6 +7531,82 @@ object Queries {
         SELECT n_exact, n_found, n_exact - n_found AS n_missed,
           CASE WHEN n_exact > 0
             THEN CAST(1000000 * n_found // n_exact AS BIGINT) END AS recall_millionths
+        FROM tot""")),
+
+    QueryDef("emb_srp_recall_mp",
+      // Hamming-radius-1 MULTIPROBE recall certification — emb_srp_recall's
+      // harness (same planted pairs, same deliberately-weak 2-table
+      // banding) measuring BOTH probe radii in one hashed row, so the
+      // multiprobe recall lever is itself oracle-certified: probing each
+      // bucket's k 1-bit neighbors on one join side (srpCandidatePairs'
+      // probeRadius=1 path, the default in embeddingNearDupPairs) must
+      // recover strictly more planted pairs than exact-bucket banding at
+      // EQUAL table count — the cheaper alternative to adding tables
+      // (k extra probe rows per (doc, table) vs a whole extra hash pass +
+      // join leg per table). The oracle replays both regimes in SQL:
+      // exact bucket equality, and bit_count(xor(...)) <= 1 — a probe
+      // generation or band-join bug shifts n_found_r1 and breaks the hash.
+      (s, d) => {
+        val sample = t(s, d, "embeddings")
+          .where(col("vec_id") % 5 === 0 && col("vec_id") < 2048)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val pert = sample.select(col("vec_id").as("_bid"), col("embedding"))
+          .select((-col("_bid") - 1).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * (lit(1.0) + lit(0.02) * ((col("_bid") + i) % 7 - 3).cast("double")))
+              .as("embedding"))
+        val all = sample.unionByName(pert)
+        val found0 = Similarity.embeddingNearDupPairs(all,
+          "vec_id", "embedding", numTables = 2, planesPerTable = 20,
+          threshold = 0.9, probeRadius = 0)
+        val found1 = Similarity.embeddingNearDupPairs(all,
+          "vec_id", "embedding", numTables = 2, planesPerTable = 20,
+          threshold = 0.9, probeRadius = 1)
+        sample.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(found0.agg(count(lit(1)).as("n_found_r0")))
+          .crossJoin(found1.agg(count(lit(1)).as("n_found_r1")))
+          .select(col("n_exact"), col("n_found_r0"), col("n_found_r1"),
+            (col("n_found_r1") - col("n_found_r0")).as("n_probe_gain"),
+            expr("CASE WHEN n_exact > 0 THEN CAST(1000000 * n_found_r0 div n_exact AS BIGINT) END")
+              .as("recall_r0_millionths"),
+            expr("CASE WHEN n_exact > 0 THEN CAST(1000000 * n_found_r1 div n_exact AS BIGINT) END")
+              .as("recall_r1_millionths"))
+      },
+      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
+        vecs AS (SELECT vec_id AS id, v FROM s
+          UNION ALL SELECT -vec_id - 1,
+            list_transform(v, (x, i) ->
+              x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 7 - 3 AS DOUBLE)))
+          FROM s),
+        planes AS (SELECT t.t, p.p, d.d,
+            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
+                || CAST(d.d AS VARCHAR)), 1, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
+          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
+        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
+          FROM vecs vv CROSS JOIN planes pl),
+        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
+          FROM term GROUP BY id, t, p),
+        bk AS (SELECT id, t,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t),
+        hit0 AS (SELECT DISTINCT b.id
+          FROM bk b JOIN bk q ON q.id = -b.id - 1 AND q.t = b.t AND q.bucket = b.bucket
+          WHERE b.id >= 0),
+        hit1 AS (SELECT DISTINCT b.id
+          FROM bk b JOIN bk q ON q.id = -b.id - 1 AND q.t = b.t
+            AND bit_count(xor(b.bucket, q.bucket)) <= 1
+          WHERE b.id >= 0),
+        tot AS (SELECT (SELECT count(*) FROM s) AS n_exact,
+            (SELECT count(*) FROM hit0) AS n_found_r0,
+            (SELECT count(*) FROM hit1) AS n_found_r1)
+        SELECT n_exact, n_found_r0, n_found_r1,
+          n_found_r1 - n_found_r0 AS n_probe_gain,
+          CASE WHEN n_exact > 0
+            THEN CAST(1000000 * n_found_r0 // n_exact AS BIGINT) END AS recall_r0_millionths,
+          CASE WHEN n_exact > 0
+            THEN CAST(1000000 * n_found_r1 // n_exact AS BIGINT) END AS recall_r1_millionths
         FROM tot"""))
   )
 

@@ -267,6 +267,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall of ${truth.size}")
   }
 
+  test("SRP 1-bit multiprobe: candidate set IS the hamming<=1 definition; strict recall gain at equal tables") {
+    val corpus = planted(emb)
+    def cands(r: Int) = Similarity.srpCandidatePairs(corpus, "vec_id", "embedding",
+        numTables = 2, planesPerTable = 20, probeRadius = r)
+      .as[(Long, Long)].collect().toSet
+    val (c0, c1) = (cands(0), cands(1))
+    assert(c0.subsetOf(c1), "radius-1 probing must only ADD candidates")
+    // definitional: (a, b) is a radius-1 candidate iff SOME table's bucket
+    // ids differ in <= 1 bit — recomputed here from the bucket table itself
+    val buckets = Similarity.srpBuckets(corpus, "vec_id", "embedding",
+        numTables = 2, planesPerTable = 20)
+      .as[(Long, Int, Long)].collect().groupBy(_._2)
+    val expected = buckets.values.flatMap { rows =>
+      for {
+        x <- rows.iterator; y <- rows.iterator
+        if x._1 < y._1 && java.lang.Long.bitCount(x._3 ^ y._3) <= 1
+      } yield (x._1, y._1)
+    }.toSet
+    assert(c1 == expected, "probeRadius=1 must equal the hamming<=1 pair set exactly")
+    // the emb_srp_recall_mp claim at spec level: at EQUAL tables, radius-1
+    // recovers strictly more planted pairs than exact-bucket banding
+    // whenever exact banding missed any (it does at 2 weak tables here)
+    val plantedPairs = emb.select($"vec_id").as[Long].collect()
+      .map(id => (-id - 1L, id)).toSet
+    val (r0, r1) = (c0 & plantedPairs, c1 & plantedPairs)
+    assert(r0.size < plantedPairs.size, "harness check: weak banding must miss some pairs")
+    assert(r1.size > r0.size,
+      s"multiprobe must strictly beat exact banding: r0=${r0.size} r1=${r1.size} of ${plantedPairs.size}")
+  }
+
   test("SRP bucket-width cap kills the dense-cluster quadratic corner; a true dup outside the cluster survives") {
     // the round-12 sweep regime: one dense sub-threshold cluster (tight
     // cone around a prototype — co-buckets heavily, fails the 0.9 verify)
