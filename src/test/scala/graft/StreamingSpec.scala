@@ -514,6 +514,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, 1L), (1L, 2L)))
   }
 
+  test("streaming session windows over the events table: append-mode closed sessions == batch session_window") {
+    // the real events table through the session_window state machine in
+    // APPEND mode (sessions emit only once the watermark passes
+    // lastEvent + gap — the at-scale output mode; the synthetic test above
+    // uses complete mode, which keeps all state forever), asserted
+    // row-identical to the BATCH session_window aggregation of the same
+    // rows. A far-future sentinel per user pushes the final watermark past
+    // every real session so the closed prefix is the WHOLE table.
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select($"ts", $"user_id").where($"user_id" < 50)
+    val rows = events.as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val maxTs = rows.map(_._1.getTime).max
+    val sentinels = rows.map(_._2).distinct
+      .map(u => (new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000), u))
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val out = Streaming.sessionWindowCounts(df, "30 minutes", "1 minute")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_events_out").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    input.addData(sentinels: _*) // advances the watermark; own sessions stay open
+    q.processAllAvailable()
+    val streamed = spark.table("sess_events_out")
+      .select("user_id", "s_start", "s_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    q.stop()
+    val batch = events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.exists(_._4 > 1), "harness: need real multi-event sessions")
+    assert(streamed == batch,
+      s"append-mode closed sessions must equal the batch session_window result " +
+        s"(stream ${streamed.size} vs batch ${batch.size})")
+  }
+
   test("stream-static enrichment joins each micro-batch against the broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
