@@ -28,6 +28,13 @@ bench stdout line ({"metric":"total",..,"queries":{..}}), or a plain
 {name: seconds} map (e.g. captured from the bench stderr full-map line).
 `--no-rerun` skips step 3 (table shows candidates only) — useful when the
 tool runs on a machine without the repo/sbt.
+
+Keep --ratio at >= 2.0: an isolated run pays fresh-JVM/cold-cache costs a
+shared full-suite run amortizes (and conversely escapes the suite's
+cross-key GC pressure), so isolated-vs-trailing comparisons below ~1.5x
+are inside the measurement bias and would mislabel noise as regression.
+The historical swings this tool exists for (r11 op_regression 8.2x, r12
+pipeline_multimodal 3.8x) are far above that floor.
 """
 import argparse
 import glob
