@@ -1085,6 +1085,38 @@ private[graft] object QueriesFrontier {
         cent AS (SELECT j AS lbl, c FROM c3),
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
+    QueryDef("ann_ivf_unbounded",
+      // the UNBOUNDED-QUERY-SET big-k routing (round-13 probe-broadcast
+      // guard, QueryBatchMode.Unbounded): identical fit, data, and probe
+      // order as ann_ivf_bigk, but the probe list joins the corpus with
+      // shuffle-hash joins instead of broadcasting |Q|·nprobe rows with
+      // vectors through the driver — the plan a corpus-scale query batch
+      // needs. THIRD user of ann_ivf_fit's oracle: all three routing
+      // paths (literal expressions, broadcast table, shuffled probes)
+      // must hash-identically, so a divergence anywhere is caught three
+      // ways.
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          latticeVec.as("embedding"))
+        val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
+          k = 16, iters = 3, seedKey = c => md5(c.cast("string")))
+        val labeled = e.withColumn("cluster",
+          Similarity.nearestCentroid(col("embedding"), cents))
+        Similarity.ivfTopKFittedBigK(labeled.where(annQueryPred), labeled,
+            "vec_id", "embedding", "cluster", k = 5, nprobe = 4, cents,
+            Similarity.QueryBatchMode.Unbounded)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $latticeBaseCte,
+        ${kmeansCtesSql(k = 16, iters = 3)},
+        lab AS (SELECT vec_id, v, j AS lbl FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
+        cent AS (SELECT j AS lbl, c FROM c3),
+        ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
+
     QueryDef("emb_srp_recall",
       // SRP-LSH recall certification (the dedup_minhash_recall harness on
       // the EMBEDDING side): over a bounded sample, plant one near-dup per
