@@ -368,7 +368,11 @@ object Similarity {
       * of MB of probe rows at embedding widths — inside a default 1 GiB
       * driver result cap with headroom.
       */
-    final case class Measured(maxBroadcastQueries: Long = 1L << 17) extends QueryBatchMode
+    final case class Measured(maxBroadcastQueries: Long = 1L << 17) extends QueryBatchMode {
+      // a non-positive threshold would reach limit() as a negative row
+      // count (AnalysisException at plan time, far from the mistake)
+      require(maxBroadcastQueries > 0, s"maxBroadcastQueries must be positive, got $maxBroadcastQueries")
+    }
 
     /** Unbounded / corpus-scale Q: never broadcast; the probe list joins
       * the corpus with a shuffle-hash join on the cluster key (both sides
