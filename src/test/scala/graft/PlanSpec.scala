@@ -668,7 +668,14 @@ class PlanSpec extends SparkSpec {
           // shared key-window pass + island agg
           "op_peaks_runs" -> 3,
           // canonicalize + degree census + lookup-join moments
-          "op_assortativity" -> 4)) {
+          "op_assortativity" -> 4,
+          // round-13 additions (measured floors + 1 slack):
+          // emb_srp_recall_mp 3 = two banded SRP candidate funnels (r0+r1)
+          // folded into one crossJoined scalar row + bounded verify joins;
+          // ann_ivf_unbounded 7 = fit collects (1 + 3 iter) + two
+          // shuffle-hash probe exchanges + topk + sort — two fewer than
+          // ann_ivf_bigk's 9 (no probe-broadcast build jobs)
+          "emb_srp_recall_mp" -> 4, "ann_ivf_unbounded" -> 8)) {
         val n = jobsOf(name)
         assert(n <= bound, s"$name ran $n jobs (bound $bound)")
       }
