@@ -90,11 +90,9 @@ def load_current(path):
     maps = list(maps_from_artifact(path))
     if not maps:
         sys.exit(f"[triage] no per-query timings found in {path}")
-    # prefer the widest map (the tail fragment usually beats the top-20)
-    merged = {}
-    for m in sorted(maps, key=len):
-        merged.update(m)
-    return merged
+    # a list artifact holds MULTIPLE runs (e.g. BENCH_r13_local.json's quiet
+    # runs) — "current" means the LATEST one, not a blend of all of them
+    return maps[-1]
 
 
 def load_history(patterns, exclude):
