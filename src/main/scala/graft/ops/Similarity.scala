@@ -241,10 +241,16 @@ object Similarity {
     */
   def ivfTopKFitted(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, k: Int, nprobe: Int,
-                    cents: Array[Array[Double]]): DataFrame = {
+                    cents: Array[Array[Double]],
+                    batchMode: QueryBatchMode = QueryBatchMode.AssertBounded): DataFrame = {
     require(cents.nonEmpty)
-    if (cents.length > LiteralCentroidMax)
-      return ivfTopKFittedBigK(queries, corpus, idCol, vecCol, clusterCol, k, nprobe, cents)
+    // a non-default batchMode only changes the probe joins, which exist
+    // only on the big-k routing — so an unbounded-Q caller is routed there
+    // regardless of cell count (the literal path broadcasts the whole
+    // query side by construction and cannot honor Unbounded)
+    if (cents.length > LiteralCentroidMax || batchMode != QueryBatchMode.AssertBounded)
+      return ivfTopKFittedBigK(queries, corpus, idCol, vecCol, clusterCol, k, nprobe, cents,
+        batchMode)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // struct sort key (−sim, j): ascending struct order = sim desc, id asc
     val ranked = array_sort(array(cents.zipWithIndex.map { case (cvec, j) =>

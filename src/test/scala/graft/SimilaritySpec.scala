@@ -238,6 +238,15 @@ class SimilaritySpec extends SparkSpec {
     assert(measuredBig.queryExecution.executedPlan.toString
         .split("\n").exists(_.contains("BroadcastHashJoin")),
       "Measured above |Q| must keep the broadcast probe join")
+    // the front door honors the mode too: ivfTopKFitted with Unbounded must
+    // route to the shuffled-probe plan even BELOW LiteralCentroidMax (the
+    // literal path broadcasts the probe list by construction, so it cannot
+    // serve an unbounded query side) — and stay result-identical
+    val viaFront = Similarity.ivfTopKFitted(qs, labeled, "vec_id", "embedding",
+      "cluster", 5, 3, cents, QueryBatchMode.Unbounded)
+    assert(viaFront.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "ivfTopKFitted(Unbounded) must take the shuffled-probe routing")
+    assert(ranks(viaFront) == ranks(viaBroadcast))
   }
 
   // corpus with a planted near-dup of every vector: ±2% deterministic per-dim
