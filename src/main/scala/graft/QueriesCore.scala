@@ -179,6 +179,51 @@ private[graft] object QueriesCore {
         SELECT o_orderkey, o_totalprice FROM upd
         ORDER BY o_orderkey""")),
 
+    QueryDef("op_merge_acid_os",
+      // op_merge_acid executed through the CONDITIONAL-PUT commit log
+      // (ManifestTable.onObjectStore over the in-memory S3-semantics
+      // client; round-13 storage seam): same base/updates construct, same
+      // relational-MERGE oracle — the commit protocol, whichever log store
+      // carries it, must be invisible in the data. Data files land on the
+      // local scratch filesystem exactly as on a cloud deployment via the
+      // store's Hadoop connector; only the log's atomicity rides the
+      // conditional PUT. The log itself is a FRESH in-memory client per
+      // invocation, so bench/verify re-runs start at v0 with no sweep
+      // needed beyond the data-dir wipe.
+      (s, d) => {
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_acidos_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val updates = base.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+              lit(1.0).as("o_totalprice")))
+        val mt = ManifestTable.onObjectStore(s, root, new InMemoryObjectStore)
+        mt.overwrite(base)
+        mt.merge(updates, Seq("o_orderkey"))
+        mt.snapshot().orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)
+        SELECT b.o_orderkey, b.o_totalprice FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM upd
+        ORDER BY o_orderkey""")),
+
     QueryDef("q4_priority_check",
       // TPC-H Q4 shape (order priority checking): EXISTS-correlated
       // subquery planned as a LEFT SEMI hash join — the late-lineitem

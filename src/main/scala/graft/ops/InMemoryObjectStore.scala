@@ -1,10 +1,11 @@
-package graft
+package graft.ops
 
 import scala.jdk.CollectionConverters._
 
-import graft.ops.ObjectStoreClient
-
-/** In-memory [[ObjectStoreClient]] double with S3-class semantics:
+/** In-memory [[ObjectStoreClient]] with S3-class semantics — the reference
+  * implementation of the conditional-PUT primitive (the role Derby plays
+  * for the JDBC sink keys: a real in-process backend the driver gate and
+  * specs run against; a cloud deployment swaps in an SDK-backed client):
   * per-key atomic conditional PUT (`If-None-Match: *` ⇒ putIfAbsent),
   * strong read-after-write consistency, no rename, no locks. A
   * failure-injection hook models the two transient-error shapes a real
@@ -13,7 +14,7 @@ import graft.ops.ObjectStoreClient
   *  - `FailBeforeCommit` — throttle/5xx rejected the PUT; nothing landed.
   *  - `FailAfterCommit`  — the store committed the PUT but the RESPONSE
   *    was lost (the ambiguous failure every object-store client must
-  *    tolerate; see [[graft.ops.ObjectStoreLogStore]]'s self-win check).
+  *    tolerate; see [[ObjectStoreLogStore]]'s self-win check).
   */
 final class InMemoryObjectStore extends ObjectStoreClient {
   import InMemoryObjectStore._

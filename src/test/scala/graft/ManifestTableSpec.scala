@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Aggregates, ManifestTable}
+import graft.ops.{Aggregates, InMemoryObjectStore, ManifestTable}
 
 /** Commit-protocol contract of [[graft.ops.ManifestTable]]: atomic CAS
   * commits, snapshot isolation, time travel, serializable concurrent
