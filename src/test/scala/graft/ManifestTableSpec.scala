@@ -341,6 +341,17 @@ class ManifestTableSpec extends SparkSpec {
     val n = st.getJobIdsForGroup(null).length - before
     assert(n <= 9, s"op_merge_acid ran $n jobs (bound 9): overwrite write + merge " +
       "(broadcast + rewrite write) + snapshot read with sort-sample + noop")
+    // the conditional-PUT variant must cost the SAME cycle: the log store
+    // changes WHERE the manifest lands, never how many Spark jobs run
+    byName("op_merge_acid_os")(spark, sf0001)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    val before2 = st.getJobIdsForGroup(null).length
+    byName("op_merge_acid_os")(spark, sf0001)
+      .write.format("noop").mode("overwrite").save()
+    Thread.sleep(500)
+    val n2 = st.getJobIdsForGroup(null).length - before2
+    assert(n2 <= 9, s"op_merge_acid_os ran $n2 jobs (bound 9, same cycle as op_merge_acid)")
   }
 
   test("vacuum drops data outside the retained window; latest stays readable") {
