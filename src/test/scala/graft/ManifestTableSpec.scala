@@ -485,6 +485,38 @@ class ManifestTableSpec extends SparkSpec {
       List(1L -> 1.0, 2L -> 2.0))
   }
 
+  test("object-store log: N threads racing every version — exactly one winner each, log contiguous, bodies untorn") {
+    // the primitive under real thread contention, no Spark in the loop:
+    // 8 writers all race versions 0..19; publishIfAbsent must admit
+    // EXACTLY one body per version (the others observe false and move
+    // on), the version list must come out contiguous, and every read
+    // must return exactly the winner's bytes
+    val store = new graft.ops.ObjectStoreLogStore(new InMemoryObjectStore, "stress-tbl")
+    val wins = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { w =>
+      new Thread(() => {
+        try {
+          for (v <- 0L until 20L) {
+            val body = s"writer-$w-v$v".getBytes("UTF-8")
+            if (store.publishIfAbsent(v, body)) {
+              val prev = wins.putIfAbsent(v, s"writer-$w")
+              assert(prev == null, s"version $v claimed by $prev AND writer-$w")
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"stress failed: ${errs.peek()}")
+    assert(store.listVersions() == (0L until 20L), "log must be contiguous")
+    assert(wins.size == 20, s"every version needs exactly one winner, got ${wins.size}")
+    for (v <- 0L until 20L) {
+      val body = new String(store.read(v).get, "UTF-8")
+      assert(body == s"${wins.get(v)}-v$v", s"v$v body '$body' is not the winner's")
+    }
+  }
+
   test("object-store log: exhausted contention names the conditional-PUT mode, not a lock file") {
     val (t, client, _) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0))
