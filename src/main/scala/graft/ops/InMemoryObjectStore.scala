@@ -25,6 +25,14 @@ final class InMemoryObjectStore extends ObjectStoreClient {
   /** (key, 1-based attempt number for that key) => fault to inject. */
   @volatile var putFault: (String, Int) => Fault = (_, _) => Ok
 
+  /** (key, 1-based GET attempt number for that key) => fault; any non-Ok
+    * fault throws a transient error BEFORE the read (a throttled/5xx GET —
+    * the shape the self-win check must absorb as contention).
+    */
+  @volatile var getFault: (String, Int) => Fault = (_, _) => Ok
+
+  private val getAttemptsByKey = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Total conditional-PUT attempts observed (all keys). */
   def putAttempts: Int = attempts.values().asScala.map(_.intValue).sum
 
@@ -43,8 +51,13 @@ final class InMemoryObjectStore extends ObjectStoreClient {
     }
   }
 
-  override def get(key: String): Option[Array[Byte]] =
+  override def get(key: String): Option[Array[Byte]] = {
+    val n = getAttemptsByKey.merge(key, 1, (a, b) => a + b)
+    if (getFault(key, n) != Ok)
+      throw new ObjectStoreClient.TransientStoreException(
+        s"injected throttled GET: $key attempt $n")
     Option(objects.get(key)).map(_.clone())
+  }
 
   override def list(prefix: String): Seq[String] =
     objects.keySet().asScala.iterator.filter(_.startsWith(prefix)).toSeq

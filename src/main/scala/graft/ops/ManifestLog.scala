@@ -123,7 +123,13 @@ final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogS
       new java.io.File(lock.toUri.getPath).createNewFile()
     else
       try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        // only LOSING THE RACE is contention; a permissions/quota/IO
+        // failure must surface as itself, not as endlessly-retried
+        // "contention" ending in a misleading orphan-lock hint
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
   }
 
   private def manifestPath(v: Long) = new Path(logDir, f"v$v%020d.txt")
@@ -181,6 +187,9 @@ object ObjectStoreClient {
   * UUID), so byte-equality proves THIS writer's earlier request won, and
   * the publish reports success instead of letting the retry loop re-append
   * the same dir on top of its own commit (a silent row duplication).
+  * The self-win GET is resolved in-call (bounded retries, then throw):
+  * returning false on an unresolved read would hand the caller the same
+  * row-duplication hazard through its re-derive path.
   */
 final class ObjectStoreLogStore(client: ObjectStoreClient, prefix: String)
     extends ManifestLogStore {
@@ -207,8 +216,29 @@ final class ObjectStoreLogStore(client: ObjectStoreClient, prefix: String)
         // loop re-attempts this same version after backoff.
     }
     // 412 or ambiguous failure: did WE win earlier? (see class doc)
-    client.get(key(v)).exists(java.util.Arrays.equals(_, body))
+    // The self-win GET can itself be throttled — and "false" from this
+    // method means PROVEN lost: the caller re-derives from the NEW latest,
+    // so a false returned while our ambiguous PUT in fact landed would
+    // re-append the same dir on top of our own commit (silent row
+    // duplication — the exact hazard the self-win check exists to close).
+    // The ambiguity therefore must be resolved HERE: bounded GET retries
+    // with backoff, then fail loudly as a store error, never "lost".
+    var attempt = 0
+    while (attempt < SelfWinGetRetries) {
+      try {
+        return client.get(key(v)).exists(java.util.Arrays.equals(_, body))
+      } catch {
+        case e: ObjectStoreClient.TransientStoreException =>
+          attempt += 1
+          if (attempt >= SelfWinGetRetries) throw e
+          Thread.sleep(math.min(25L << attempt, 400L))
+      }
+    }
+    throw new IllegalStateException("unreachable: self-win retry loop")
   }
+
+  /** GET retries resolving the self-win check before the commit aborts. */
+  private val SelfWinGetRetries = 6
 
   override def contentionHint(v: Long): String =
     "conditional-PUT log has no orphan-lock mode — persistent contention means " +

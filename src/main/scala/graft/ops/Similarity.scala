@@ -373,6 +373,13 @@ object Similarity {
       * automatically. Default threshold 2¹⁷ ≈ 131k queries ≈ low hundreds
       * of MB of probe rows at embedding widths — inside a default 1 GiB
       * driver result cap with headroom.
+      *
+      * The measurement is an EAGER Spark job at plan-construction time and
+      * is NOT memoized: every call re-counts, so a caller constructing the
+      * same plan in a loop pays one bounded job per call. Plan-only
+      * consumers and repeated invocations should pass AssertBounded or
+      * Unbounded (the regime is almost always known statically); Measured
+      * is for one-shot entry points serving query sets of unknown origin.
       */
     final case class Measured(maxBroadcastQueries: Long = 1L << 17) extends QueryBatchMode {
       // a non-positive threshold would reach limit() as a negative row

@@ -517,6 +517,140 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("object-store log: throttled self-win GET resolves in-call — exactly one commit, never a dup append") {
+    // the PUT commits but its response is lost (ambiguous), AND the
+    // follow-up self-win GET is itself throttled. publishIfAbsent must
+    // resolve the read IN-CALL: reporting "lost" here would make the
+    // caller re-derive from the new latest — which contains OUR OWN
+    // commit — and re-append the same dir at v+1 (row duplication; this
+    // test caught exactly that against the treat-as-contention variant).
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(1L -> 1.0))
+    client.putFault = (key, n) =>
+      if (key.endsWith("v00000000000000000001.txt") && n == 1)
+        InMemoryObjectStore.FailAfterCommit
+      else InMemoryObjectStore.Ok
+    client.getFault = (key, n) =>
+      if (key.endsWith("v00000000000000000001.txt") && n == 1)
+        InMemoryObjectStore.FailBeforeCommit
+      else InMemoryObjectStore.Ok
+    assert(t.append(kv(2L -> 2.0)) == 1L)
+    assert(t.latestVersion().contains(1L), "exactly one commit may exist for the append")
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0))
+    // at the primitive: ambiguous PUT + one throttled GET => the in-call
+    // retry resolves the read and reports the self-win as TRUE
+    val c2 = new InMemoryObjectStore
+    val store = new graft.ops.ObjectStoreLogStore(c2, "throttle-tbl")
+    val body = "writer-a".getBytes("UTF-8")
+    c2.putFault = (_, n) => if (n == 1) InMemoryObjectStore.FailAfterCommit else InMemoryObjectStore.Ok
+    c2.getFault = (_, n) => if (n == 1) InMemoryObjectStore.FailBeforeCommit else InMemoryObjectStore.Ok
+    assert(store.publishIfAbsent(0L, body),
+      "the in-call GET retry must recognize this writer's committed body")
+    assert(store.listVersions() == Seq(0L))
+    // a PERSISTENTLY failing GET exhausts the bounded retries and throws
+    // (a store failure, loudly) — it must never resolve to "lost"
+    val c3 = new InMemoryObjectStore
+    val store3 = new graft.ops.ObjectStoreLogStore(c3, "dead-get-tbl")
+    c3.putFault = (_, _) => InMemoryObjectStore.FailAfterCommit
+    c3.getFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
+    intercept[graft.ops.ObjectStoreClient.TransientStoreException] {
+      store3.publishIfAbsent(0L, body)
+    }
+  }
+
+  test("hadoop log: losing the lock race is contention; an IO failure creating the lock surfaces as itself") {
+    // non-"file" schemes reserve via fs.create(lock, overwrite=false).
+    // ONLY FileAlreadyExists means "lost the race" (retry); a
+    // permissions/quota failure must propagate, not spin as phantom
+    // contention ending in a misleading orphan-lock hint.
+    import org.apache.hadoop.fs.{FSDataOutputStream, Path => HPath}
+    val dir = Files.createTempDirectory("graft-fakedfs").toString
+    class FakeDfs(lockFault: HPath => Option[java.io.IOException])
+        extends org.apache.hadoop.fs.RawLocalFileSystem {
+      initialize(new java.net.URI("file:///"), new org.apache.hadoop.conf.Configuration())
+      override def getScheme: String = "fakedfs" // force the fs.create reserve path
+      override def create(f: HPath, overwrite: Boolean): FSDataOutputStream = {
+        if (f.getName.endsWith(".lock")) lockFault(f).foreach(e => throw e)
+        super.create(f, overwrite)
+      }
+    }
+    // 1) permissions failure: propagates with ITS message
+    val denied = new FakeDfs(_ => Some(new java.io.IOException("Permission denied: fake quota")))
+    val deniedStore = new graft.ops.HadoopLogStore(denied, new HPath(dir, "denied/_log"))
+    val e = intercept[java.io.IOException] {
+      deniedStore.publishIfAbsent(0L, "b".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("Permission denied"), e.getMessage)
+    // 2) lock already exists: FileAlreadyExistsException reads as contention
+    val contended = new FakeDfs(
+      _ => Some(new org.apache.hadoop.fs.FileAlreadyExistsException("lock exists")))
+    val contendedStore = new graft.ops.HadoopLogStore(contended, new HPath(dir, "cont/_log"))
+    assert(!contendedStore.publishIfAbsent(0L, "b".getBytes("UTF-8")),
+      "a lost lock race must report contention, not throw")
+    // 3) healthy non-file scheme: the create-reserve path commits end to end
+    val ok = new FakeDfs(_ => None)
+    val okStore = new graft.ops.HadoopLogStore(ok, new HPath(dir, "ok/_log"))
+    val body = "winner".getBytes("UTF-8")
+    assert(okStore.publishIfAbsent(0L, body))
+    assert(!okStore.publishIfAbsent(0L, "loser".getBytes("UTF-8")),
+      "second reserve of a committed version must lose")
+    assert(okStore.read(0L).exists(java.util.Arrays.equals(_, body)))
+  }
+
+  test("object-store log: concurrent merge() transactions with ambiguous commits — serial-replay equality, zero dup rows") {
+    // VERDICT r13 item 2: f059434 raced the PRIMITIVE; this races whole
+    // merge() transactions through ObjectStoreLogStore while EVERY
+    // version's first PUT commits-but-loses-its-response (the self-win
+    // row-duplication hazard) and a second attempt is throttled outright.
+    // The final snapshot must equal a serial replay of the update batches
+    // in commit-log order (recovered via diff CDC), with zero duplicated
+    // keys and a contiguous log.
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(0L -> 0.0))
+    client.putFault = (_, n) =>
+      if (n == 1) InMemoryObjectStore.FailAfterCommit
+      else if (n == 2) InMemoryObjectStore.FailBeforeCommit
+      else InMemoryObjectStore.Ok
+    val writers = 4; val merges = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { w =>
+      new Thread(() => {
+        try (1 to merges).foreach { i =>
+          // each batch updates the SHARED key 0 (its final value reveals
+          // commit order) and inserts a batch-unique key
+          val tag = (w * 10 + i).toDouble
+          t.merge(kv(0L -> tag, (w * 100 + i).toLong -> tag), Seq("k"), maxRetries = 80)
+        }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"contended object-store merge failed: ${errs.peek()}")
+    val nVersions = writers * merges
+    assert(t.versions() == (0L to nVersions.toLong), "log must be contiguous, one version per merge")
+    val got = t.snapshot().as[(Long, Double)].collect()
+    assert(got.length == got.map(_._1).distinct.length,
+      s"duplicated keys in final snapshot: ${got.groupBy(_._1).filter(_._2.length > 1).keys}")
+    // serial replay in commit-log order: recover which batch landed at
+    // each version from its CDC inserts (the batch-unique key names it),
+    // apply the batches serially, require exact state equality
+    val replay = scala.collection.mutable.Map(0L -> 0.0)
+    for (v <- 1 to nVersions) {
+      val ins = t.diff(v - 1L, v.toLong).where(col("_change") === "insert")
+        .as[(Long, Double, String)].collect()
+      val uniq = ins.filter(_._1 >= 100L)
+      assert(uniq.length == 1, s"v$v must insert exactly one batch-unique key, got ${ins.toList}")
+      val tag = uniq.head._2
+      assert(ins.toSet == Set((0L, tag, "insert"), (uniq.head._1, tag, "insert")),
+        s"v$v CDC inserts must be exactly its batch: ${ins.toList}")
+      replay(0L) = tag; replay(uniq.head._1) = tag
+    }
+    assert(got.toMap == replay.toMap,
+      "final snapshot must equal the serial replay of batches in commit-log order")
+    assert(got.toMap.apply(0L) == replay(0L))
+  }
+
   test("object-store log: exhausted contention names the conditional-PUT mode, not a lock file") {
     val (t, client, _) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0))

@@ -45,8 +45,11 @@ import statistics
 import subprocess
 import sys
 
-PAIR_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)')
-NON_QUERY_KEYS = {"value", "r1_subset_sec", "total_sec", "sf"}
+PAIR_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)')
+# integer-valued artifact/bench metadata now matches PAIR_RE too (it accepts
+# integer seconds) — exclude it all so metadata never masquerades as a query
+NON_QUERY_KEYS = {"value", "r1_subset_sec", "total_sec", "sf",
+                  "n", "rc", "cpus", "failed", "n_queries"}
 
 
 def pairs_from_text(text):
