@@ -9,7 +9,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — round-10+ waves: graph frontier ops, sequence patterns, table diff, recall certifications, gzip ingest, SQL-surface end-to-end, and later additions.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 36 keys.
+  * byte-identical to its pre-split form. 37 keys.
   */
 private[graft] object QueriesFrontier {
   val defs: Seq[QueryDef] = Seq(
@@ -1260,6 +1260,99 @@ private[graft] object QueriesFrontier {
             THEN CAST(1000000 * n_found_r0 // n_exact AS BIGINT) END AS recall_r0_millionths,
           CASE WHEN n_exact > 0
             THEN CAST(1000000 * n_found_r1 // n_exact AS BIGINT) END AS recall_r1_millionths
+        FROM tot""")),
+
+    QueryDef("emb_srp_capped",
+      // Bucket-width-cap certification — the last candidate-generation
+      // surface without an oracle (VERDICT r13 item 3): srpCandidatePairsCapped
+      // drops buckets wider than the cap from pair generation (the 100-TB
+      // guard against sub-threshold semantic clustering going quadratic,
+      // see the r12 sweep's emb_near_dup incident), and srpOversizedBuckets
+      // is its monitoring side-output. This key PLANTS the dense regime:
+      // a 41-member near-identical cluster (clones of vec_id 0, exact
+      // 1 + 0.001·((j+i)%5 − 2) per-dim scaling) that co-buckets past the
+      // cap of 8 and must be dropped on every table it overflows, and a
+      // 6-member cluster (vec_id 5) under the cap that must survive. The
+      // hashed row carries the capped AND uncapped candidate counts plus
+      // the dropped-bucket audit (count + summed width); the oracle
+      // replays the md5 planes, the 1-bit multiprobe band join, and the
+      // width cutoff itself in SQL — a cap-placement bug (filtering after
+      // probe explosion, wrong side, off-by-one on the width) shifts a
+      // count and breaks the hash.
+      (s, d) => {
+        val sample = t(s, d, "embeddings")
+          .where(col("vec_id") % 5 === 0 && col("vec_id") < 2048)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        // base id renamed BEFORE the transform lambda for the same lateral
+        // column alias reason as emb_srp_recall
+        def clones(baseId: Int, n: Int, idBase: Int): DataFrame =
+          sample.where(col("vec_id") === baseId)
+            .select(col("embedding").as("_bv"))
+            .select(explode(sequence(lit(0), lit(n - 1))).as("_j"), col("_bv"))
+            .select((-col("_j") - idBase).cast("long").as("vec_id"),
+              transform(col("_bv"), (x, i) =>
+                x * (lit(1.0) + lit(0.001) * ((col("_j") + i) % 5 - 2).cast("double")))
+                .as("embedding"))
+        val all = sample
+          .unionByName(clones(0, 40, 1000))
+          .unionByName(clones(5, 5, 2000))
+        val capped = Similarity.srpCandidatePairsCapped(all, "vec_id", "embedding",
+          numTables = 2, planesPerTable = 20, probeRadius = 1, dims = 64,
+          maxBucketWidth = 8)
+        val uncapped = Similarity.srpCandidatePairs(all, "vec_id", "embedding",
+          numTables = 2, planesPerTable = 20, probeRadius = 1)
+        val dropped = Similarity.srpOversizedBuckets(all, "vec_id", "embedding",
+          numTables = 2, planesPerTable = 20, dims = 64, maxBucketWidth = 8)
+        capped.agg(count(lit(1)).as("n_cand_capped"))
+          .crossJoin(uncapped.agg(count(lit(1)).as("n_cand_uncapped")))
+          .crossJoin(dropped.agg(
+            count(lit(1)).as("n_dropped_buckets"),
+            coalesce(sum(col("width")), lit(0L)).as("dropped_width_sum")))
+          .select(col("n_cand_capped"), col("n_cand_uncapped"),
+            (col("n_cand_uncapped") - col("n_cand_capped")).as("n_cand_dropped"),
+            col("n_dropped_buckets"), col("dropped_width_sum"))
+      },
+      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
+        vecs AS (SELECT vec_id AS id, v FROM s
+          UNION ALL SELECT -j - 1000,
+            list_transform(v, (x, i) ->
+              x * (1.0 + 0.001 * CAST((j + (i - 1)) % 5 - 2 AS DOUBLE)))
+            FROM s, range(40) r(j) WHERE vec_id = 0
+          UNION ALL SELECT -j - 2000,
+            list_transform(v, (x, i) ->
+              x * (1.0 + 0.001 * CAST((j + (i - 1)) % 5 - 2 AS DOUBLE)))
+            FROM s, range(5) r(j) WHERE vec_id = 5),
+        planes AS (SELECT t.t, p.p, d.d,
+            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
+                || CAST(d.d AS VARCHAR)), 1, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
+          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
+        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
+          FROM vecs vv CROSS JOIN planes pl),
+        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
+          FROM term GROUP BY id, t, p),
+        bk AS (SELECT id, t,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t),
+        wid AS (SELECT t, bucket, count(*) AS width FROM bk GROUP BY t, bucket),
+        keep AS (SELECT b.id, b.t, b.bucket FROM bk b
+          JOIN wid w ON w.t = b.t AND w.bucket = b.bucket AND w.width <= 8),
+        cap_pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keep a JOIN keep b ON a.t = b.t
+            AND bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.id < b.id),
+        unc_pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bk a JOIN bk b ON a.t = b.t
+            AND bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.id < b.id),
+        tot AS (SELECT
+            (SELECT count(*) FROM cap_pairs) AS n_cand_capped,
+            (SELECT count(*) FROM unc_pairs) AS n_cand_uncapped,
+            (SELECT count(*) FROM wid WHERE width > 8) AS n_dropped_buckets,
+            (SELECT CAST(COALESCE(sum(width), 0) AS BIGINT) FROM wid WHERE width > 8)
+              AS dropped_width_sum)
+        SELECT n_cand_capped, n_cand_uncapped,
+          n_cand_uncapped - n_cand_capped AS n_cand_dropped,
+          n_dropped_buckets, dropped_width_sum
         FROM tot""")),
   )
 }
