@@ -178,6 +178,71 @@ final class ManifestTable private (
       }, stats)
   }
 
+  /** Exactly-once APPEND for a streaming sink: commit the batch atomically
+    * WITH its `(sinkId, batchId)` transaction token, or recognize that this
+    * token (or a later one) already committed and do nothing — the
+    * SetTransaction idempotence Delta gives `foreachBatch` writers. The
+    * token rides the manifest itself, so the dedup decision and the commit
+    * are ONE conditional PUT: a replayed micro-batch (restart after a
+    * crash between commit and checkpoint, or a zombie attempt racing its
+    * replacement) either loses the CAS and then observes its token on the
+    * new latest, or observes it up front — in both cases it deletes its
+    * orphan data dir and reports the already-committed version. Tokens are
+    * carried forward by every subsequent commit (any action, any writer),
+    * so the lookup is O(1) on the latest manifest rather than a log replay.
+    * `batchId` must be monotonically increasing per `sinkId` (Structured
+    * Streaming's epoch contract): "applied" means a token `>= batchId`
+    * exists. Returns the version at which the batch is visible.
+    */
+  def appendOnce(df: DataFrame, sinkId: String, batchId: Long,
+                 maxRetries: Int = DefaultRetries): Long = {
+    require(sinkId.nonEmpty, "appendOnce: sinkId must be non-empty")
+    def appliedAt(base: Option[Long]): Boolean =
+      base.exists(v => readManifest(v).txns.get(sinkId).exists(_ >= batchId))
+    // fast path BEFORE writing any data: a routine restart replay costs
+    // one manifest read, not a parquet write + orphan delete
+    val first = latestVersion()
+    if (appliedAt(first)) return first.get
+    val ddl = normDdl(df.schema)
+    val (dir, stats) = writeData(df)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion()
+      if (appliedAt(base)) {
+        // a racing attempt of the same batch won: our dir is an orphan
+        try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
+            s"duplicate-batch dir $dir failed (vacuum will collect it): ${e.getMessage}")
+        }
+        return base.get
+      }
+      // parentGuard pins the dedup decision to the exact manifest this
+      // commit publishes on top of — check and commit are atomic under
+      // the CAS (one conditional PUT on the object-store log)
+      commitOnce("append", ddl,
+          prev => {
+            prev.foreach(p => require(p.schemaDdl == ddl,
+              s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
+              s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
+            prev.map(_.dirs).getOrElse(Seq.empty) :+ dir
+          }, stats, parentGuard = Some(base), txn = Some(sinkId -> batchId)) match {
+        case Some(v) => return v
+        case None =>
+          attempt += 1
+          if (attempt > maxRetries) failRetries(maxRetries)
+          Thread.sleep(RetrySleepMs * attempt)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The newest committed `batchId` for `sinkId`, if any — the recovery
+    * question an exactly-once sink asks ([[appendOnce]]'s token store).
+    */
+  def txnVersion(sinkId: String): Option[Long] =
+    latestVersion().flatMap(v => readManifest(v).txns.get(sinkId))
+
   /** Copy-on-write MERGE: last-write-wins upsert of `updates` by `keys`
     * (exactly [[Aggregates.upsert]]'s semantics, including null-safe key
     * matching), committed atomically. With `statsCols` covering a key, only
@@ -505,7 +570,8 @@ final class ManifestTable private (
   private def commitOnce(action: String, schemaDdl: String,
                          dirs: Option[Manifest] => Seq[String],
                          newStats: Map[String, ColStat],
-                         parentGuard: Option[Option[Long]]): Option[Long] = {
+                         parentGuard: Option[Option[Long]],
+                         txn: Option[(String, Long)] = None): Option[Long] = {
     val prevV = latestVersion()
     if (parentGuard.exists(_ != prevV)) return None
     val prev = prevV.map(readManifest)
@@ -528,6 +594,14 @@ final class ManifestTable private (
       // which would otherwise corrupt the line-oriented manifest
       .append(s"schema=${enc(schemaDdl)}\n")
     allDirs.foreach(d => body.append(s"dir=$d\n"))
+    // transaction tokens survive every commit (any action, any writer):
+    // an exactly-once sink's dedup lookup is O(1) on the latest manifest.
+    // Sorted for a deterministic body; writer uniqueness for the
+    // object-store self-win check still comes from the fresh dir UUIDs.
+    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn
+    txns.toSeq.sortBy(_._1).foreach { case (sid, b) =>
+      body.append(s"txn=${enc(sid)}|$b\n")
+    }
     for ((d, cols) <- statsByDir; (c, st) <- cols) {
       val mn = st.min.map(enc).getOrElse(NullMark)
       val mx = st.max.map(enc).getOrElse(NullMark)
@@ -572,9 +646,15 @@ final class ManifestTable private (
     }.groupBy(_._1).map { case (d, rows) =>
       d -> rows.map(r => r._2 -> r._3).toMap
     }
+    val txns = lines.toSeq.collect {
+      case l if l.startsWith("txn=") => l.substring(4).split('|') match {
+        case Array(sid, b) => dec(sid) -> b.toLong
+        case other => sys.error(s"ManifestTable $rootStr: v$v bad txn line '$l'")
+      }
+    }.toMap
     Manifest(field("version").toLong, field("action"), dec(field("schema")),
       lines.toSeq.collect { case l if l.startsWith("dir=") => l.substring(4) },
-      stats)
+      stats, txns)
   }
 }
 
@@ -594,7 +674,8 @@ object ManifestTable {
 
   private final case class Manifest(
       version: Long, action: String, schemaDdl: String, dirs: Seq[String],
-      stats: Map[String, Map[String, ColStat]])
+      stats: Map[String, Map[String, ColStat]],
+      txns: Map[String, Long] = Map.empty)
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")

@@ -219,6 +219,32 @@ object Streaming {
       ()
     }
 
+  /** Exactly-once APPEND sink through [[graft.ops.ManifestTable.appendOnce]]
+    * — the ACID-grade fusion of the idempotent-insert + ledger-anti-join +
+    * checkpoint trio (reference: the Redis import ledger,
+    * dags/global_dag.py:83-91,106): each micro-batch commits atomically
+    * WITH its `(sinkId, batchId)` token in the manifest, so a batch
+    * replayed after a crash between commit and checkpoint — the window
+    * checkpointing alone cannot close for an APPEND (unlike
+    * [[acidMergeSink]], where last-write-wins absorbs the replay) — is
+    * recognized by its token and appends nothing. The dedup decision and
+    * the commit are one conditional PUT on the object-store log; zombie
+    * attempts racing their replacement lose the CAS, observe the token,
+    * and clean up their orphan dir.
+    *
+    * `sinkId` names THIS query's token stream in the table (Delta's
+    * `txnAppId`); two different queries appending to one table need two
+    * ids, and a query restarted from the same checkpoint must keep its id.
+    * Empty micro-batches spend no version and record no token — a replayed
+    * empty batch is naturally a no-op.
+    */
+  def exactlyOnceAppendSink(df: DataFrame, table: graft.ops.ManifestTable, sinkId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.Sinks.writeIfNonEmpty(batch, b => { table.appendOnce(b, sinkId, batchId); () })
+      ()
+    }
+
   /** Streaming near-dedup against HISTORY — "dedupe the firehose against
     * the corpus so far", the layout a continuously-ingesting training-data
     * pipeline needs. Each micro-batch's documents are MinHash-signed and

@@ -135,6 +135,76 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("exactly-once append sink: kill/restart replays the batch; the manifest token rejects it through the conditional-PUT log") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-eo-sink")
+    val ckpt = Files.createTempDirectory("graft-eo-ckpt")
+    val client = new graft.ops.InMemoryObjectStore
+    val table = graft.ops.ManifestTable.onObjectStore(
+      spark, dir.toString + "/tbl", client)
+    val input = MemoryStream[(Long, Double)]
+    def startQuery() = Streaming.exactlyOnceAppendSink(
+        input.toDF().toDF("k", "v"), table, sinkId = "sink-a")
+      .option("checkpointLocation", ckpt.toString).start()
+    val q = startQuery()
+    input.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+    input.addData((3L, 3.0)); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    assert(table.versions() == Seq(0L, 1L), "one atomic commit per non-empty batch")
+    assert(table.txnVersion("sink-a").contains(1L))
+    // KILL mid-stream: erase the checkpoint's last commit marker — the
+    // exact crash window where the sink committed but the checkpoint did
+    // not, so the restarted query MUST replay batch 1 with the same data
+    // deletion goes through Hadoop's LocalFileSystem so the .crc checksum
+    // shadow dies with the marker — a bare File.delete leaves .1.crc
+    // behind and the restarted query's atomic re-write of commits/1 fails
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val lastCommit = new org.apache.hadoop.fs.Path(ckpt.toString, "commits/1")
+    assert(hfs.exists(lastCommit) && hfs.delete(lastCommit, false),
+      "test setup: commit marker must exist")
+    val putsBefore = client.putAttempts
+    val q2 = startQuery()
+    q2.processAllAvailable() // replays batch 1
+    // the replayed batch appended NOTHING: same versions, same rows, and
+    // the fast-path token check never even attempted a conditional PUT
+    assert(table.versions() == Seq(0L, 1L), "replayed batch must not spend a version")
+    assert(client.putAttempts == putsBefore,
+      "a recognized replay must not reach the conditional-PUT log")
+    // the stream keeps flowing after the recovery: batch 2 commits once
+    input.addData((4L, 4.0)); q2.processAllAvailable()
+    q2.stop()
+    assert(table.versions() == Seq(0L, 1L, 2L))
+    assert(table.txnVersion("sink-a").contains(2L))
+    // final snapshot equals the batch result over everything delivered
+    assert(table.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    // tokens survive OTHER writers' commits: a batch append in between
+    // must not let an old batch sneak back in
+    table.append(Seq((100L, 100.0)).toDF("k", "v"))
+    val vAfter = table.latestVersion().get
+    assert(table.appendOnce(Seq((3L, 3.0)).toDF("k", "v"), "sink-a", batchId = 1L) == vAfter,
+      "a stale batch replay after an interleaved writer must still be rejected")
+    assert(table.snapshot().count() == 5)
+    // duplicate-batch RACE through the CAS itself: two attempts of the
+    // same (sinkId, batchId) — exactly one commits, the loser observes the
+    // token after losing the conditional PUT and cleans up its orphan dir
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val racers = (1 to 2).map { _ =>
+      new Thread(() => {
+        try table.appendOnce(Seq((5L, 5.0)).toDF("k", "v"), "sink-a", batchId = 9L)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(errs.isEmpty, s"racing duplicate batch failed: ${errs.peek()}")
+    assert(table.snapshot().where(col("k") === 5L).count() == 1,
+      "the duplicate batch must land exactly once")
+    assert(table.txnVersion("sink-a").contains(9L))
+    // no orphan dirs: whoever lost deleted its unreferenced rewrite dir
+    assert(table.vacuum(retainLast = table.versions().length, graceMs = 0).isEmpty,
+      "the losing duplicate attempt left an orphan data dir")
+  }
+
   test("stream -> ACID merge sink: late rows UPDATE their key; versions commit per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-acid-sink")
