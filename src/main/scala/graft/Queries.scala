@@ -481,6 +481,7 @@ object Queries {
   lazy val all: Seq[QueryDef] = QueriesCore.defs ++
     QueriesEvents.defs ++
     QueriesText.defs ++
+    QueriesText2.defs ++
     QueriesVector.defs ++
     QueriesMlEval.defs ++
     QueriesRelational.defs ++

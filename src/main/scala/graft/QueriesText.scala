@@ -6,10 +6,11 @@ import graft.ops._
 import graft.functions.Geo
 import graft.Queries._
 
-/** Registry chunk of [[Queries.all]] — text-analysis family (north star): quality, language, tokenization/BPE, fingerprinting, contamination, PII, LM scoring.
-  * Split from the Queries.scala monolith (round 13) purely for review and
-  * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 58 keys.
+/** Registry chunk of [[Queries.all]] — text-analysis family part 1: quality, language, tokenization/BPE, fingerprinting, contamination, PII, curation pipelines, mixing, web curation.
+  * Split from the Queries.scala monolith (round 13; re-split round 14 at
+  * the 1,600-line chunk ceiling) purely for review and merge cost; shared
+  * helpers stay in [[Queries]] and every entry is byte-identical to its
+  * pre-split form. 31 keys.
   */
 private[graft] object QueriesText {
   val defs: Seq[QueryDef] = Seq(
@@ -798,793 +799,5 @@ private[graft] object QueriesText {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc,
           CAST(sum(len(anchor)) AS BIGINT) AS anchor_chars
         FROM dm GROUP BY 1 ORDER BY 1""")),
-
-    QueryDef("op_record_linkage",
-      // blocked record linkage (entity resolution): a dirty copy of the
-      // customer table is constructed with four deterministic corruption
-      // classes (exact / '#'→'-' / 'Mr ' prefix / trailing char; every
-      // 11th record is scrambled beyond repair), candidates come from an
-      // EQUI-join on a corruption-stable blocking key (8 of the 9 name
-      // digits → blocks of ≤10 at ANY scale factor — candidate volume
-      // linear, never all-pairs), and block-mates verify by Levenshtein
-      // ≤ 3 with best-match-per-record resolution (min dist, min id).
-      // Output: per-distance match counts with the identity check
-      // (n_correct == n_pairs pins that every match found the TRUE
-      // entity) plus the dist=-1 unmatched row — exactly the scrambled
-      // records, the recall/cost trade made visible
-      (s, d) => {
-        val cust = t(s, d, "customer")
-        val clean = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
-          substring(col("c_name"), 10, 8).as("block"))
-        val dirty = cust.select(col("c_custkey").as("id"),
-          when(pmod(col("c_custkey"), lit(11L)) === 0,
-            concat(lit("zz"), reverse(col("c_name"))))
-            .when(pmod(col("c_custkey"), lit(4L)) === 1,
-              replace(col("c_name"), lit("#"), lit("-")))
-            .when(pmod(col("c_custkey"), lit(4L)) === 2,
-              concat(lit("Mr "), col("c_name")))
-            .when(pmod(col("c_custkey"), lit(4L)) === 3,
-              concat(col("c_name"), lit("x")))
-            .otherwise(col("c_name")).as("name"))
-          .withColumn("block",
-            substring(regexp_extract(col("name"), "[0-9]{5,}", 0), 1, 8))
-        val m = Linkage.bestMatch(clean, dirty, maxDist = 3)
-        val matched = m.groupBy(col("dist"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("clean_id") === col("dirty_id"), 1L).otherwise(0L)).as("n_correct"))
-        // the unmatched set is corpus-sized in the worst case — merge, not broadcast
-        val un = dirty
-          .join(m.select(col("dirty_id").as("id")).hint("merge"), Seq("id"), "left_anti")
-          .agg(count(lit(1)).as("n_pairs"))
-          .select(lit(-1).as("dist"), col("n_pairs"), lit(0L).as("n_correct"))
-        matched.unionByName(un).orderBySmall(col("dist"))
-      },
-      Some("""WITH clean AS (SELECT c_custkey AS id, c_name AS name,
-          substr(c_name, 10, 8) AS block FROM customer),
-        dirty AS (SELECT id, name, substr(regexp_extract(name, '[0-9]{5,}'), 1, 8) AS block
-          FROM (SELECT c_custkey AS id, CASE
-            WHEN c_custkey % 11 = 0 THEN 'zz' || reverse(c_name)
-            WHEN c_custkey % 4 = 1 THEN replace(c_name, '#', '-')
-            WHEN c_custkey % 4 = 2 THEN 'Mr ' || c_name
-            WHEN c_custkey % 4 = 3 THEN c_name || 'x'
-            ELSE c_name END AS name FROM customer)),
-        cand AS (SELECT d.id AS dirty_id, c.id AS clean_id,
-            levenshtein(d.name, c.name) AS dist
-          FROM dirty d JOIN clean c ON d.block = c.block
-          WHERE levenshtein(d.name, c.name) <= 3),
-        m AS (SELECT dirty_id, clean_id, dist FROM (SELECT dirty_id, clean_id, dist,
-            row_number() OVER (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn
-          FROM cand) WHERE rn = 1)
-        SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_pairs,
-          CAST(sum(CASE WHEN clean_id = dirty_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-        FROM m GROUP BY 1
-        UNION ALL
-        SELECT CAST(-1 AS INTEGER), count(*), CAST(0 AS BIGINT) FROM dirty d
-          WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.dirty_id = d.id)
-        ORDER BY dist""")),
-
-    QueryDef("op_bfs",
-      // multi-source BFS hop distance (graph family: CC, PageRank,
-      // triangles, now shortest hops): the undirected customer–supplier
-      // bipartite graph from orders⋈lineitem, seeded at every 100th
-      // supplier. Level-synchronous frontier expansion (Analytics.bfsHops
-      // — one equi-join per hop, anti-join against the settled set,
-      // rounds ≤ min(diameter, 6)); the oracle replays it as a bounded-
-      // depth recursive CTE with min-distance resolution. Output: node
-      // counts per hop level plus the dist=-1 unreachable row
-      (s, d) => {
-        val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-          .distinct()
-        val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        val seeds = t(s, d, "supplier").where(col("s_suppkey") % 100 === 0)
-          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
-        val dist = Analytics.bfsHops(e, seeds, maxHops = 6)
-        val nodes = e.select(col("src").as("node")).distinct()
-        val reached = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
-        val unreached = nodes
-          .join(dist.select(col("node")).hint("merge"), Seq("node"), "left_anti")
-          .agg(count(lit(1)).as("n_nodes"))
-          .select(lit(-1).as("dist"), col("n_nodes"))
-        reached.unionByName(unreached).orderBySmall(col("dist"))
-      },
-      Some("""WITH RECURSIVE e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-            's' || CAST(l_suppkey AS VARCHAR) AS dst
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        seeds AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
-          FROM supplier WHERE s_suppkey % 100 = 0),
-        r AS (SELECT node, 0 AS d FROM seeds
-          UNION
-          SELECT e.dst AS node, r.d + 1 AS d FROM r JOIN e ON e.src = r.node WHERE r.d < 6),
-        b AS (SELECT node, min(d) AS dist FROM r GROUP BY node),
-        nodes AS (SELECT DISTINCT src AS node FROM e)
-        SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_nodes FROM b GROUP BY 1
-        UNION ALL
-        SELECT CAST(-1 AS INTEGER), count(*) FROM nodes n
-          WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.node = n.node)
-        ORDER BY dist""")),
-
-    QueryDef("txt_vocab_coverage",
-      // tokenizer-vocab head curve: top-100 tokens with the cumulative
-      // share of all token occurrences they cover; integer counts, one
-      // exact double division at the end
-      (s, d) => TextAnalysis.vocabCoverage(t(s, d, "documents"), "text", k = 100)
-        .orderBySmall(col("rank")),
-      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
-          FROM documents),
-        c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
-        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
-        top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100)
-        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
-          token, CAST(cnt AS BIGINT) AS cnt,
-          CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.total AS cum_frac
-        FROM top, t ORDER BY rank""")),
-
-    QueryDef("txt_oov_frac",
-      // per-doc out-of-vocabulary fraction vs the corpus's own top-15
-      // vocab — the "gibberish/wrong-tokenizer" quality signal; integer
-      // counts, one exact double division
-      (s, d) => TextAnalysis.oovFraction(t(s, d, "documents"), "doc_id", "text", vocabK = 15)
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
-          FROM documents),
-        v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1
-          ORDER BY cnt DESC, token LIMIT 15) q),
-        j AS (SELECT tok.doc_id, v.token AS vt FROM tok LEFT JOIN v ON tok.token = v.token)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-          CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
-        FROM j GROUP BY doc_id ORDER BY doc_id""")),
-
-    QueryDef("txt_bigram_lm",
-      // bigram language-model corpus stats: how common are each doc's token
-      // TRANSITIONS corpus-wide (boilerplate detector), plus novel-bigram
-      // counts (memorization/uniqueness signal). Exact integer sums + one
-      // final double division — the unigramFreqScore discipline one n up
-      (s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (SELECT doc_id,
-          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t FROM documents),
-        bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
-          FROM tok WHERE len(t) >= 2),
-        c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1)
-        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cnt) AS BIGINT) AS sum_bigram_cnt,
-          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_bigrams,
-          CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bigram_freq
-        FROM bg JOIN c USING (bigram) GROUP BY 1 ORDER BY 1""")),
-
-    QueryDef("txt_collocations",
-      // collocation mining by lift (PMI sans the monotone log): exact
-      // integer supports, deterministic float ranking key (identical
-      // multiply/divide tree both sides), support cut + bounded top-200
-      // head — phrase extraction for tokenizer/vocab curation
-      (s, d) => TextAnalysis.collocationsByLift(t(s, d, "documents"), "text",
-        minSupport = 10L, topK = 200),
-      Some("""WITH tok AS (SELECT doc_id,
-            list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t FROM documents),
-          uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
-          n AS (SELECT sum(c) AS n FROM uc),
-          bc AS (SELECT bigram, count(*) AS c_ab FROM (
-              SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]) AS bigram
-              FROM tok WHERE len(t) >= 2) GROUP BY 1),
-          b AS (SELECT sum(c_ab) AS b FROM bc)
-        SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, CAST(ua.c AS BIGINT) AS c_a,
-          CAST(ub.c AS BIGINT) AS c_b,
-          CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) /
-            (CAST(b.b AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
-        FROM bc JOIN uc ua ON string_split(bigram, ' ')[1] = ua.w
-        JOIN uc ub ON string_split(bigram, ' ')[2] = ub.w
-        CROSS JOIN n CROSS JOIN b
-        WHERE c_ab >= 10
-        ORDER BY lift DESC, bigram LIMIT 200""")),
-
-    QueryDef("txt_c4_filters",
-      // C4/Gopher rule battery over a constructed multi-line corpus (the
-      // testdata is single-line, so line structure is planted: a 2-word
-      // line always, a bullet line on doc_id%4, an ellipsis line on
-      // doc_id%7, a closing line whose terminal '.' lands on doc_id%3 —
-      // every branch of every rule fires at any SF). All counts integer,
-      // flags integer-compared; one exact double division for the mean
-      (s, d) => {
-        val d2 = t(s, d, "documents").select(col("doc_id"), concat(
-          col("text"),
-          lit("\nShort line"),
-          when(pmod(col("doc_id"), lit(4L)) === 0,
-            concat(lit("\n- bullet item "), col("doc_id").cast("string"))).otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(7L)) === 0, lit("\nto be continued...")).otherwise(lit("")),
-          concat(lit("\nThis is the closing line"),
-            when(pmod(col("doc_id"), lit(3L)) === 0, lit(".")).otherwise(lit("")))).as("text2"))
-        // fused single-scan kernel form; bit-identical to the c4Filters
-        // expression spec (property-tested), ~6 interpreted regex passes
-        // cheaper per document
-        TextAnalysis.c4FiltersFast(d2, "doc_id", "text2").orderBy(col("doc_id"))
-      },
-      Some("""WITH d2 AS (SELECT doc_id,
-          text || chr(10) || 'Short line' ||
-          CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet item ' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-          CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' ELSE '' END ||
-          chr(10) || 'This is the closing line' || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS t
-        FROM documents),
-        m AS (SELECT doc_id, string_split(t, chr(10)) AS lines,
-            list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS toks FROM d2),
-        c AS (SELECT doc_id,
-            CAST(len(lines) AS INTEGER) AS n_lines,
-            CAST(len(toks) AS INTEGER) AS n_words,
-            CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS INTEGER) AS n_end_punct_lines,
-            CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) AS INTEGER) AS n_bullet_lines,
-            CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS INTEGER) AS n_ellipsis_lines,
-            CAST(len(list_filter(lines, l -> len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) < 3)) AS INTEGER) AS n_short_lines,
-            CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha_words,
-            CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS wc
-          FROM m)
-        SELECT doc_id, n_lines, n_words, n_end_punct_lines, n_bullet_lines, n_ellipsis_lines,
-          n_short_lines, n_alpha_words,
-          CASE WHEN n_words > 0 THEN CAST(wc AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
-          (n_words >= 50 AND wc >= n_words * 3 AND wc <= n_words * 10 AND n_bullet_lines * 10 <= n_lines * 9
-            AND n_ellipsis_lines * 10 <= n_lines * 3 AND n_alpha_words * 10 >= n_words * 8) AS gopher_pass,
-          (n_end_punct_lines * 2 >= n_lines) AS c4_terminal_punct_pass
-        FROM c ORDER BY doc_id""")),
-
-    QueryDef("op_json_flatten",
-      // deep nested-JSON flatten (op14_json covers the FLAT roundtrip;
-      // real feeds nest): construct a two-level document — a struct field
-      // plus a variable-length array of structs — then from_json with the
-      // full nested schema → dot-path projection + explode back to
-      // relational rows. The item count varies per doc (doc_id%3+1) so
-      // the explode cardinality is data-dependent, and every leaf value
-      // derives from ids — exact in both engines (DuckDB replays via
-      // json_extract paths over the identically-constructed string).
-      (s, d) => {
-        val n = pmod(col("doc_id"), lit(3L)).cast("int") + 1
-        val itemsJson = concat_ws(",", transform(sequence(lit(0), n - 1),
-          k => concat(lit("{\"k\":"), k.cast("string"), lit(",\"v\":"),
-            pmod(col("doc_id") + k, lit(5L)).cast("string"), lit("}"))))
-        val js = concat(lit("{\"user\":{\"id\":"), col("doc_id").cast("string"),
-          lit(",\"lang\":\""), col("lang"), lit("\"},\"items\":["), itemsJson, lit("]}"))
-        t(s, d, "documents").select(from_json(js,
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "user struct<id: bigint, lang: string>, items array<struct<k: int, v: bigint>>"))
-            .as("p"))
-          .select(col("p.user.id").as("user_id"), col("p.user.lang").as("lang"),
-            explode(col("p.items")).as("it"))
-          .select(col("user_id"), col("lang"),
-            col("it.k").as("item_k"), col("it.v").as("item_v"))
-          .orderBy(col("user_id"), col("item_k"))
-      },
-      Some("""WITH j AS (SELECT doc_id,
-          '{"user":{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"},"items":[' ||
-          array_to_string([('{"k":' || CAST(k AS VARCHAR) || ',"v":' || CAST((doc_id + k) % 5 AS VARCHAR) || '}')
-            FOR k IN generate_series(0, doc_id % 3)], ',') || ']}' AS js
-        FROM documents),
-        e AS (SELECT js, unnest(generate_series(0,
-            CAST(json_array_length(js, '$.items') AS INTEGER) - 1)) AS i FROM j)
-        SELECT CAST(json_extract(js, '$.user.id') AS BIGINT) AS user_id,
-          json_extract_string(js, '$.user.lang') AS lang,
-          CAST(json_extract(js, '$.items[' || CAST(i AS VARCHAR) || '].k') AS INTEGER) AS item_k,
-          CAST(json_extract(js, '$.items[' || CAST(i AS VARCHAR) || '].v') AS BIGINT) AS item_v
-        FROM e ORDER BY user_id, item_k""")),
-
-    QueryDef("pipeline_curation",
-      // the canonical training-data funnel as ONE lazy plan:
-      // quality score -> token floor -> language filter -> fingerprint dedup;
-      // output is the per-stage retention funnel (single row)
-      (s, d) => {
-        // tokenize ONCE; both the token floor and the language hits read the
-        // materialized token column
-        val toked = t(s, d, "documents")
-          .withColumn("_tk", TextAnalysis.tokens(col("text")))
-        val scored = TextAnalysis.languageGuessed(toked, "text", toksCol = Some("_tk"))
-          .withColumn("n_tokens", size(col("_tk")))
-        val quality = col("n_tokens") >= 20
-        val en = quality && col("guess") === "en"
-        scored
-          .withColumn("fp", when(en, TextAnalysis.fingerprint(col("text"))))
-          .agg(count(lit(1)).as("n_total"),
-            sum(when(quality, 1).otherwise(0)).cast("long").as("n_quality"),
-            sum(when(en, 1).otherwise(0)).cast("long").as("n_en"),
-            countDistinct(col("fp")).as("n_unique"))
-      },
-      Some {
-        def hits(words: Seq[String]) =
-          s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
-        val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(l => hits(TextAnalysis.stopwords(l)))
-        s"""WITH tk AS (SELECT doc_id, text,
-            list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
-          g AS (SELECT doc_id, text, len(toks) AS n_tokens, CASE
-            WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
-            WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
-            WHEN $fr >= $es AND $fr > 0 THEN 'fr'
-            WHEN $es > 0 THEN 'es'
-            ELSE 'unknown' END AS guess FROM tk),
-          m AS (SELECT *, n_tokens >= 20 AS q, n_tokens >= 20 AND guess = 'en' AS e FROM g)
-          SELECT count(*) AS n_total,
-            CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-            CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-            CAST(count(DISTINCT CASE WHEN e THEN
-              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
-              END) AS BIGINT) AS n_unique
-          FROM m"""
-      }),
-
-    QueryDef("dedup_exact",
-      (s, d) => t(s, d, "documents")
-        .agg(count(lit(1)).as("total"), countDistinct(col("text")).as("n_distinct")),
-      Some("""SELECT count(*) AS total, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
-        FROM documents""")),
-
-    QueryDef("dedup_minhash_jaccard",
-      (s, d) => Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(minhashOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1))),
-
-    QueryDef("dedup_simhash",
-      (s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(simhashOracleSql(maxHamming = 3))),
-
-    QueryDef("op_pagerank",
-      // iterative graph centrality (the cluster-representative picker that
-      // complements dedupClusters) on a deterministic 37-node multigraph
-      // derived from orders; 4 unrolled iterations replayed exactly in the
-      // oracle. The FIXED-POINT form is the oracled one: scaled-long
-      // arithmetic is bit-identical across engines and partition orders,
-      // where the float form's double→decimal contribution rounding
-      // diverges in the last ulp between Spark (exact HALF_UP) and DuckDB
-      // (cast via double multiply) — measured ~1e-17, enough to flip a
-      // hash. Float/fixed agreement is pinned in DedupSpec instead.
-      (s, d) => {
-        val edges = t(s, d, "orders")
-          .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
-        Dedup.pageRankFixedPoint(edges, "src", "dst", iters = 4)
-          .orderBySmall(col("v"))
-      },
-      Some(pageRankOracleSql(iters = 4, mod = 37))),
-
-    QueryDef("op_hits",
-      // HITS hubs & authorities on the op_pagerank 37-node multigraph —
-      // the second classic link-analysis fixed point (hub = endorses
-      // good authorities, authority = endorsed by good hubs), 3 unrolled
-      // double-rounds replayed exactly in integer CTEs
-      (s, d) => {
-        val edges = t(s, d, "orders")
-          .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
-        Analytics.hitsFixedPoint(edges, "src", "dst", iters = 3)
-          .orderBySmall(col("v"))
-      },
-      Some(hitsOracleSql(iters = 3, mod = 37))),
-
-    QueryDef("op_k_anonymity",
-      // k-anonymity / l-diversity audit (the release gate that pairs
-      // with op_acid_delete's GDPR path): QI = (nation, segment,
-      // balance band), sensitive = a derived category; census of
-      // group-size bands + groups failing 2-diversity
-      (s, d) => Analytics.kAnonymityAudit(
-          t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
-            floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
-            (col("c_custkey") % 7).as("sensitive")),
-          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")),
-          col("sensitive"), lMin = 2)
-        .orderBySmall(col("band")),
-      Some("""WITH qi AS (SELECT c_nationkey, c_mktsegment,
-            CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
-            c_custkey % 7 AS sensitive
-          FROM customer),
-        g AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz,
-            count(DISTINCT sensitive) AS ldiv FROM qi GROUP BY 1, 2, 3)
-        SELECT CASE WHEN sz = 1 THEN '1' WHEN sz < 5 THEN '2-4'
-            WHEN sz < 10 THEN '5-9' ELSE '10+' END AS band,
-          count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows,
-          CAST(sum(CASE WHEN sz >= 2 AND ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_low_diversity
-        FROM g GROUP BY 1 ORDER BY 1""")),
-
-    QueryDef("op_label_propagation",
-      // deterministic synchronous LPA communities on the op_pagerank
-      // 37-node multigraph (argmax votes, smallest-label ties — no
-      // randomized visit order), 3 unrolled rounds replayed in CTEs
-      (s, d) => {
-        val edges = t(s, d, "orders")
-          .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
-        Analytics.labelPropagation(edges, "src", "dst", rounds = 3)
-          .orderBySmall(col("v"))
-      },
-      Some(lpaOracleSql(rounds = 3, mod = 37))),
-
-    QueryDef("op_anonymize",
-      // k-suppression applied (the op_k_anonymity audit's enforcement
-      // half): rows in QI groups smaller than 5 are suppressed; the
-      // result pins the invariant directly — every surviving group ≥ 5
-      // (min_kept_group_size is IN the output)
-      (s, d) => {
-        val base = t(s, d, "customer").select(col("c_custkey"),
-          col("c_nationkey"), col("c_mktsegment"),
-          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
-        val sup = Analytics.kSuppress(base,
-          Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")), k = 5)
-        val keptGroups = sup.where(!col("_suppress"))
-          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
-          .agg(count(lit(1)).as("_sz"))
-          .agg(count(lit(1)).as("n_kept_groups"), min(col("_sz")).as("min_kept_group_size"))
-        sup.agg(count(lit(1)).as("n_total"),
-            sum(when(col("_suppress"), 1L).otherwise(0L)).as("n_suppressed"))
-          .crossJoin(broadcast(keptGroups))
-          .orderBySmall(col("n_total"))
-      },
-      Some("""WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
-            CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band FROM customer),
-          g AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
-            FROM qi GROUP BY 1, 2, 3),
-          tagged AS (SELECT qi.*, g.sz < 5 AS suppress FROM qi
-            JOIN g USING (c_nationkey, c_mktsegment, bal_band)),
-          kept AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
-            FROM tagged WHERE NOT suppress GROUP BY 1, 2, 3),
-          kg AS (SELECT count(*) AS n_kept_groups,
-            CAST(min(sz) AS BIGINT) AS min_kept_group_size FROM kept)
-        SELECT count(*) AS n_total,
-          CAST(sum(CASE WHEN suppress THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
-          (SELECT n_kept_groups FROM kg) AS n_kept_groups,
-          (SELECT min_kept_group_size FROM kg) AS min_kept_group_size
-        FROM tagged ORDER BY n_total""")),
-
-    QueryDef("dedup_ngram_jaccard",
-      // EXACT n-gram Jaccard near-dup: df-capped inverted-index candidate
-      // generation (shingles in > maxDf docs never generate candidates —
-      // the cap is mirrored in the oracle, so results match exactly), then
-      // exact Jaccard over the FULL shingle sets. The deterministic
-      // complement to the probabilistic MinHash family: any shared shingle
-      // with df <= maxDf guarantees the pair is found.
-      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.5, maxDf = 10)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some("""WITH tk AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-          FROM documents),
-        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
-          FROM tk WHERE len(toks) >= 3),
-        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
-        kept AS (SELECT doc_id, shingle FROM (
-          SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-          WHERE df <= 10),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-          CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) AS jac
-        FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
-        WHERE CAST(n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE) >= 0.5
-        ORDER BY doc_a, doc_b""")),
-
-    QueryDef("dedup_containment",
-      // EXACT n-gram CONTAINMENT dedup — the quote/boilerplate-inclusion
-      // duplication Jaccard structurally misses (a 12-token excerpt inside
-      // a 50-token host has jac ≈ 0.2 but containment 1.0). Corpus = the
-      // documents table PLUS one planted EXCERPT per seventh doc (its
-      // first 12 tokens — a deterministic string both engines rebuild
-      // identically), so the expected pair set is non-vacuous at every SF
-      // and grows linearly. Planted ids are −id−1: collision-free with
-      // the nonnegative real ids at ANY scale factor (the emb_near_dup
-      // convention — a fixed +offset collides once the table outgrows it,
-      // and a collided id would make the per-row-distinct shingle table
-      // diverge from the oracle's global DISTINCT). Same df-capped
-      // inverted-index candidate machinery as dedup_ngram_jaccard (cap
-      // mirrored in the oracle); the verify computes exact containment
-      // n_inter/min(|A|,|B|) over FULL shingle sets.
-      (s, d) => {
-        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val planted = base.where(col("doc_id") % 7 === 0)
-          .select((-col("doc_id") - 1).as("doc_id"),
-            array_join(slice(split(col("text"), "\\s+"), 1, 12), " ").as("text"))
-        Dedup.ngramContainmentPairs(base.unionByName(planted), "doc_id", "text",
-            shingleN = 3, threshold = 0.8, maxDf = 10)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some("""WITH docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT -doc_id - 1,
-            array_to_string(string_split_regex(text, '\s+')[1:12], ' ')
-          FROM documents WHERE doc_id % 7 = 0),
-        tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-          FROM docs),
-        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
-          FROM tk WHERE len(toks) >= 3),
-        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
-        kept AS (SELECT doc_id, shingle FROM (
-          SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-          WHERE df <= 10),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-          CAST(n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS containment
-        FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
-        WHERE CAST(n_inter AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) >= 0.8
-        ORDER BY doc_a, doc_b""")),
-
-    QueryDef("mix_cluster_balance",
-      // semantic topic balancing for a training mix: k-means clusters over
-      // the exact integer lattice (the ann_ivf_fit construct, so the
-      // ENTIRE iterative fit replays in SQL), then at most 20 picks per
-      // cluster by the deterministic (md5(id), id) draw — head clusters
-      // truncate to the cap, tail clusters survive whole, and the pick is
-      // reproducible at any partitioning. The window is PARTITIONED by
-      // cluster and WindowGroupLimit pre-truncates to the cap before the
-      // exchange, so the shuffle never carries the corpus order.
-      (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), latticeVec.as("embedding"))
-        val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
-          k = 8, iters = 2, seedKey = c => md5(c.cast("string")))
-        val labeled = e.withColumn("cluster",
-          Similarity.nearestCentroid(col("embedding"), cents))
-        Sampling.clusterBalancedSample(labeled, col("vec_id"), col("cluster"),
-            perCluster = 20)
-          .select(col("cluster"), col("pick_rank"), col("vec_id"))
-          .orderBy(col("cluster"), col("pick_rank"))
-      },
-      Some(s"""WITH $latticeBaseCte,
-        ${kmeansCtesSql(k = 8, iters = 2)},
-        lab AS (SELECT vec_id, cluster FROM (
-            SELECT b.vec_id, CAST(c.j AS INTEGER) AS cluster,
-              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c2 c) WHERE rn = 1),
-        pick AS (SELECT cluster, vec_id,
-            CAST(row_number() OVER (PARTITION BY cluster
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS pick_rank
-          FROM lab)
-        SELECT cluster, pick_rank, vec_id FROM pick WHERE pick_rank <= 20
-        ORDER BY cluster, pick_rank""")),
-
-    QueryDef("txt_ngram_novelty",
-      // per-doc n-gram novelty against the stream so far (first occurrence
-      // by ascending doc_id): the diminishing-returns curve a growing
-      // corpus is monitored by — "this crawl batch adds X% new trigrams".
-      // One linear explode → min-per-shingle → join-back census; exact
-      // integer-millionths ratio. The summary groups docs into 10 equal
-      // id-deciles so the DECAY CURVE itself is the hashed result (and the
-      // row count stays bounded at any SF).
-      (s, d) => {
-        val nov = TextAnalysis.ngramNovelty(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3)
-        // max(doc_id) stays INSIDE the plan as a cross-joined 1-row scalar
-        // aggregate (the oracle's mx CTE shape): an eager .head() here
-        // would run a real scan job at DataFrame-CONSTRUCTION time (every
-        // plan-only consumer pays it, e.g. the PlanSpec lint walking
-        // Queries.all) and NPE on an empty documents table
-        val mx = t(s, d, "documents").agg(max(col("doc_id")).as("_mx"))
-        nov.crossJoin(mx)
-          .withColumn("decile",
-            expr("CAST(least(doc_id * 10 div (_mx + 1), 9) AS INT)"))
-          .groupBy(col("decile"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_shingles")).as("sum_shingles"),
-            sum(col("n_novel")).as("sum_novel"),
-            expr("CAST(1000000 * sum(n_novel) div sum(n_shingles) AS BIGINT)")
-              .as("novelty_millionths"))
-          .orderBySmall(col("decile"))
-      },
-      Some("""WITH tk AS (
-          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-          FROM documents),
-        shl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN generate_series(1, len(toks) - 2)] AS shingles
-          FROM tk WHERE len(toks) >= 3),
-        sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
-        fst AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY 1),
-        census AS (SELECT sh.doc_id, count(*) AS n_shingles,
-            sum(CASE WHEN fst.first_id = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
-          FROM sh JOIN fst ON fst.shingle = sh.shingle GROUP BY 1),
-        per AS (SELECT d.doc_id,
-            coalesce(c.n_shingles, 0) AS n_shingles, coalesce(c.n_novel, 0) AS n_novel
-          FROM documents d LEFT JOIN census c ON c.doc_id = d.doc_id),
-        mx AS (SELECT max(doc_id) AS m FROM documents)
-        SELECT CAST(least(p.doc_id * 10 // (mx.m + 1), 9) AS INTEGER) AS decile,
-          count(*) AS n_docs,
-          CAST(sum(n_shingles) AS BIGINT) AS sum_shingles,
-          CAST(sum(n_novel) AS BIGINT) AS sum_novel,
-          CAST(1000000 * sum(n_novel) // sum(n_shingles) AS BIGINT) AS novelty_millionths
-        FROM per p, mx GROUP BY 1 ORDER BY 1""")),
-
-    QueryDef("mix_source_overlap",
-      // cross-source exact-duplication matrix — which crawls duplicate
-      // each other (two snapshots of one crawl → drop one; independent
-      // sources sharing boilerplate → scrub it). The driver corpus has no
-      // natural exact dups, so every 9th doc is re-planted under a
-      // 'mix_'-prefixed source: the expected matrix is one row per
-      // original source with its mirror, counts = that source's planted
-      // share — non-vacuous and linear at any SF. Self-join on md5(text)
-      // (32-hex shuffle keys, never bodies), fanout bounded by source
-      // cardinality.
-      (s, d) => {
-        val base = t(s, d, "documents").select(col("doc_id"), col("text"), col("source"))
-        val planted = base.where(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
-            concat(lit("mix_"), col("source")).as("source"))
-        Dedup.crossSourceExactOverlap(base.unionByName(planted), "text", "source")
-          .orderBySmall(col("source_a"), col("source_b"))
-      },
-      Some("""WITH docs2 AS (
-          SELECT text, source FROM documents
-          UNION ALL
-          SELECT text, 'mix_' || source FROM documents WHERE doc_id % 9 = 0),
-        st AS (SELECT DISTINCT md5(text) AS h, source FROM docs2)
-        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_texts
-        FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
-        GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    QueryDef("op_train_split",
-      // deterministic 80/10/10 train/val/test assignment — a pure
-      // projection over the hash bucket, identically replayable in SQL;
-      // the per-split counts and id ranges are the audit a corpus release
-      // ships with
-      (s, d) => t(s, d, "documents")
-        .withColumn("split", Sampling.assignSplit(col("doc_id"),
-          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
-          max(col("doc_id")).as("max_id"))
-        .orderBySmall(col("split")),
-      Some("""SELECT CASE
-          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-          ELSE 'test' END AS split,
-          count(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id
-        FROM documents GROUP BY 1 ORDER BY 1""")),
-
-    QueryDef("dedup_incremental",
-      // the daily-batch dedup shape: incoming (odd doc_ids) near-dup-paired
-      // against history (even doc_ids) via a cross-side LSH bucket join —
-      // history is NEVER self-paired, the per-batch cost the production
-      // ledger pays. Same minhash arithmetic as dedup_minhash_jaccard,
-      // mirrored cross-side in the oracle.
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        Dedup.incrementalNearDupPairs(
-            docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
-            "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
-          .orderBy(col("doc_new"), col("doc_old"))
-      },
-      Some(minhashIncrementalOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2,
-        threshold = 0.1))),
-
-    QueryDef("pipeline_daily_batch",
-      // the production daily-batch chain end to end: incoming batch (odd
-      // doc_ids) → near-dedup against history (even doc_ids, cross-side
-      // LSH — never self-paired) → drop matched → deterministic split
-      // assignment → per-split release counts. Every stage is the same
-      // definition its standalone key checks, so the whole chain is
-      // oracle-checkable as one SQL expression.
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val hist = docs.where(col("doc_id") % 2 === 0)
-        val inc = docs.where(col("doc_id") % 2 === 1)
-        val pairs = Dedup.incrementalNearDupPairs(hist, inc, "doc_id", "text",
-          shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)
-        Dedup.applyIncrementalDedup(inc, "doc_id", pairs)
-          .withColumn("split", Sampling.assignSplit(col("doc_id"),
-            Seq("train" -> 80, "val" -> 10, "test" -> 10)))
-          .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
-          .orderBySmall(col("split"))
-      },
-      Some(s"""WITH inc_pairs AS (
-          ${minhashIncrementalOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.1)})
-        SELECT CASE
-          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-          ELSE 'test' END AS split, count(*) AS cnt
-        FROM documents d WHERE doc_id % 2 = 1
-          AND NOT EXISTS (SELECT 1 FROM inc_pairs p WHERE p.doc_new = d.doc_id)
-        GROUP BY 1 ORDER BY 1""")),
-
-    QueryDef("pipeline_web_curation",
-      // RefinedWeb/CCNet-style WEB curation funnel as ONE oracled chain,
-      // composing this round's first-class ops end to end over the
-      // planted-URL corpus: domain blocklist (any blocked mention drops
-      // the doc) → word-count/alphabetic quality gate (the c4Filters
-      // columns) → bigram boilerplate cap (per-doc mean transition
-      // frequency ≤ 1.05× corpus mean) → canonical-URL inventory of the
-      // survivors. Output
-      // is the single-row retention funnel; every stage is the same
-      // definition its standalone key hash-checks.
-      (s, d) => {
-        import s.implicits._
-        val blocklist = Seq("src3.org", "src7.net", "src15.org").toDF("domain")
-        val docs = urlDocs(s, d)
-        val kept1 = Web.domainBlocklistFilter(docs, "doc_id", "text2", blocklist)
-        val c4ok = TextAnalysis.c4Filters(kept1, "doc_id", "text")
-          .where(col("n_words") >= 20 && col("n_alpha_words") * 10 >= col("n_words") * 8)
-          .select(col("doc_id"))
-        val kept2 = kept1.join(c4ok, Seq("doc_id"), "left_semi")
-        // boilerplate = unusually COMMON transitions relative to the corpus
-        // (scale-free: a fixed absolute threshold would stop firing as the
-        // corpus grows — mean bigram counts scale with it). Keep docs with
-        // per-doc mean bigram frequency ≤ 1.05× the corpus mean (this
-        // corpus is homogeneous — measured per-doc/corpus mean ratio spans
-        // 0.90..1.14 — so the cap sits inside the observed tail and
-        // provably fires at every SF). The cross-products are compared in
-        // DOUBLE with the identical association both sides — long
-        // cross-products would overflow int64 at web scale (per-doc sum ×
-        // corpus total ≈ 1e20+), and an identically-sequenced chain of
-        // exactly-rounded double multiplies is engine-deterministic.
-        val bs = TextAnalysis.bigramLmScore(kept2, "doc_id", "text")
-        val tot = bs.agg(sum(col("sum_bigram_cnt")).as("ts"), sum(col("n_bigrams")).as("tn"))
-        val bsOk = bs.crossJoin(tot)
-          .where(col("sum_bigram_cnt").cast("double") * col("tn").cast("double") * 100.0 <=
-            col("n_bigrams").cast("double") * col("ts").cast("double") * 105.0)
-          .select(col("doc_id"))
-        val kept3 = kept2.join(bsOk, Seq("doc_id"), "left_semi")
-        val canon = kept3.select(col("doc_id"), explode(
-            regexp_extract_all(col("text2"), lit("(?i)https?://[^\\s]+"), lit(0))).as("url"))
-          .select(Web.canonicalizeUrl(col("url")).as("cu"))
-        docs.agg(count(lit(1)).as("n_total"))
-          .crossJoin(kept1.agg(count(lit(1)).as("n_after_blocklist")))
-          .crossJoin(kept2.agg(count(lit(1)).as("n_after_quality")))
-          .crossJoin(kept3.agg(count(lit(1)).as("n_after_boilerplate")))
-          .crossJoin(canon.agg(count(lit(1)).as("n_urls"),
-            countDistinct(col("cu")).as("n_canonical_urls")))
-      },
-      Some(s"""WITH $urlDocsSql,
-        hit AS (SELECT DISTINCT doc_id FROM rd
-          WHERE domain IN ('src3.org', 'src7.net', 'src15.org')),
-        k1 AS (SELECT doc.doc_id, doc.text, d2.text2 FROM documents doc
-          JOIN d2 ON doc.doc_id = d2.doc_id
-          LEFT JOIN hit ON doc.doc_id = hit.doc_id WHERE hit.doc_id IS NULL),
-        kt AS (SELECT doc_id, text2,
-            list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM k1),
-        k2 AS (SELECT doc_id, text2, toks FROM kt
-          WHERE len(toks) >= 20
-            AND len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 10 >= len(toks) * 8),
-        bg AS (SELECT doc_id,
-            unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks) - 1)]) AS bigram
-          FROM k2),
-        bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
-        bs AS (SELECT doc_id, count(*) AS n_bigrams,
-            CAST(sum(cnt) AS BIGINT) AS sum_cnt
-          FROM bg JOIN bc USING (bigram) GROUP BY 1),
-        tot AS (SELECT CAST(sum(sum_cnt) AS BIGINT) AS ts,
-            CAST(sum(n_bigrams) AS BIGINT) AS tn FROM bs),
-        k3 AS (SELECT k2.doc_id, k2.text2 FROM k2 JOIN bs ON k2.doc_id = bs.doc_id
-          CROSS JOIN tot
-          WHERE CAST(bs.sum_cnt AS DOUBLE) * CAST(tot.tn AS DOUBLE) * 100.0 <=
-            CAST(bs.n_bigrams AS DOUBLE) * CAST(tot.ts AS DOUBLE) * 105.0),
-        u AS (SELECT doc_id, unnest(regexp_extract_all(text2, '(?i)https?://[^\\s]+', 0)) AS url
-          FROM k3),
-        ${canonicalCteSql("u")}
-        SELECT (SELECT count(*) FROM documents) AS n_total,
-          (SELECT count(*) FROM k1) AS n_after_blocklist,
-          (SELECT count(*) FROM k2) AS n_after_quality,
-          (SELECT count(*) FROM k3) AS n_after_boilerplate,
-          (SELECT count(*) FROM canon) AS n_urls,
-          (SELECT CAST(count(DISTINCT canonical_url) AS BIGINT) FROM canon) AS n_canonical_urls""")),
-
-    QueryDef("op_salted_join",
-      // explicit skew-salted shuffle join (Joins.skewSaltedJoin): the salt
-      // never changes the answer — the oracle is the PLAIN join — it only
-      // spreads each hot key over saltFactor reducers. The driver row
-      // proves result-invariance; the salting plan shape (probe-side
-      // deterministic salt, build-side saltFactor replication) is asserted
-      // in JoinsSpec.
-      (s, d) => Joins.skewSaltedJoin(
-          t(s, d, "lineitem").select(col("l_orderkey").as("okey"), col("l_quantity")),
-          t(s, d, "orders").select(col("o_orderkey").as("okey"), col("o_orderpriority")),
-          Seq("okey"), saltFactor = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 20, 2).as("qty"))
-        .orderBySmall(col("o_orderpriority")),
-      Some(s"""SELECT o_orderpriority, count(*) AS cnt, ${dsumSql("l_quantity", 20, 2)} AS qty
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1 ORDER BY 1""")),
   )
 }
