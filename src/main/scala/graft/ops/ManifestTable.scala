@@ -250,10 +250,38 @@ final class ManifestTable private (
     * whole table rewrites. On a CAS conflict the rewrite is recomputed
     * against the winner's snapshot. Returns the committed version.
     */
-  def merge(updates: DataFrame, keys: Seq[String], maxRetries: Int = DefaultRetries): Long = {
+  def merge(updates: DataFrame, keys: Seq[String], maxRetries: Int = DefaultRetries): Long =
+    mergeCore(updates, keys, maxRetries, txn = None)
+
+  /** Exactly-once MERGE: [[merge]] carrying the same `(sinkId, batchId)`
+    * token as [[appendOnce]]. Last-write-wins alone absorbs a replayed
+    * micro-batch only when NOTHING interleaved: if another writer updated
+    * one of the batch's keys between the crash and the replay, re-merging
+    * the stale batch would silently REVERT that writer's value. The token
+    * makes the replay a provable no-op instead — checked against the exact
+    * manifest the commit lands on (parentGuard), so the decision and the
+    * commit are one conditional PUT. Returns the version at which the
+    * batch is visible.
+    */
+  def mergeOnce(updates: DataFrame, keys: Seq[String], sinkId: String, batchId: Long,
+                maxRetries: Int = DefaultRetries): Long = {
+    require(sinkId.nonEmpty, "mergeOnce: sinkId must be non-empty")
+    mergeCore(updates, keys, maxRetries, txn = Some(sinkId -> batchId))
+  }
+
+  private def mergeCore(updates: DataFrame, keys: Seq[String], maxRetries: Int,
+                        txn: Option[(String, Long)]): Long = {
     var attempt = 0
     while (true) {
       val base = latestVersion()
+      // the dedup check runs against the SAME base the commit is pinned to
+      // (and re-runs after every lost CAS): a racing attempt of this batch
+      // — or its first run, crashed after commit — is recognized here
+      // before any rewrite work is spent
+      txn.foreach { case (sid, b) =>
+        if (base.exists(v => readManifest(v).txns.get(sid).exists(_ >= b)))
+          return base.get
+      }
       val (survivors, merged, scratch) = base match {
         case None => (Seq.empty[String], updates.dropDuplicates(keys), None)
         case Some(v) =>
@@ -293,7 +321,7 @@ final class ManifestTable private (
       // just re-CAS the same rewrite (that would silently drop the
       // conflicting winner's rows)
       commitOnce("merge", normDdl(merged.schema), prev => survivors :+ dir, stats,
-          parentGuard = Some(base)) match {
+          parentGuard = Some(base), txn = txn) match {
         case Some(v) => return v
         case None =>
           // the losing attempt's rewrite dir is referenced by no manifest —

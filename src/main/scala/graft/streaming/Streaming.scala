@@ -205,17 +205,33 @@ object Streaming {
     * within-batch duplicates resolve arbitrarily (partition-fetch order) —
     * only safe when the upstream guarantees at most one row per key per
     * trigger (e.g. a windowed aggregate in update mode).
+    *
+    * `sinkId` (optional) upgrades replay handling from at-rest idempotence
+    * to PROVABLE exactly-once via [[graft.ops.ManifestTable.mergeOnce]]'s
+    * batch token. The difference bites when writers interleave: a batch
+    * replayed after a crash re-merges STALE values, silently reverting any
+    * update another writer landed on the same keys in between —
+    * last-write-wins cannot tell a replay from fresh data, the token can.
+    * Same contract as [[exactlyOnceAppendSink]]: keep the id stable across
+    * restarts of the same checkpoint; never share it between queries.
     */
   def acidMergeSink(df: DataFrame, table: graft.ops.ManifestTable, keys: Seq[String],
-                    intraBatchOrder: Seq[Column] = Nil)
+                    intraBatchOrder: Seq[Column] = Nil,
+                    sinkId: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val resolved =
         if (intraBatchOrder.isEmpty) batch
         else graft.ops.Aggregates.dedupFirst(batch, keys, intraBatchOrder)
       // an empty micro-batch must not spend a version (and a fresh table
       // must not be created from a zero-row batch with no key coverage)
-      graft.ops.Sinks.writeIfNonEmpty(resolved, b => { table.merge(b, keys); () })
+      graft.ops.Sinks.writeIfNonEmpty(resolved, b => {
+        sinkId match {
+          case Some(sid) => table.mergeOnce(b, keys, sid, batchId)
+          case None => table.merge(b, keys)
+        }
+        ()
+      })
       ()
     }
 

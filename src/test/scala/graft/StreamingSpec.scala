@@ -205,6 +205,46 @@ class StreamingSpec extends SparkSpec {
       "the losing duplicate attempt left an orphan data dir")
   }
 
+  test("exactly-once merge: a replayed batch cannot revert an interleaved writer's update") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-eo-merge")
+    val client = new graft.ops.InMemoryObjectStore
+    val table = graft.ops.ManifestTable.onObjectStore(
+      spark, dir.toString + "/tbl", client)
+    // batch 1 (first run, crashed after commit): k=5 -> 1.0
+    table.overwrite(Seq((1L, 0.0)).toDF("k", "v"))
+    assert(table.mergeOnce(Seq((5L, 1.0)).toDF("k", "v"), Seq("k"), "sink-m", batchId = 1L) == 1L)
+    // another writer lands on the same key in between
+    table.merge(Seq((5L, 9.0)).toDF("k", "v"), Seq("k"))
+    // the REPLAY of batch 1: plain merge would revert k=5 to the stale 1.0
+    // (last-write-wins cannot tell a replay from fresh data); the token
+    // recognizes it and spends neither a version nor a PUT
+    val vBefore = table.latestVersion().get
+    val putsBefore = client.putAttempts
+    assert(table.mergeOnce(Seq((5L, 1.0)).toDF("k", "v"), Seq("k"), "sink-m", batchId = 1L) == vBefore)
+    assert(client.putAttempts == putsBefore, "a recognized replay must not reach the log")
+    assert(table.snapshot().where(col("k") === 5L).as[(Long, Double)].collect().toList ==
+      List(5L -> 9.0), "the interleaved writer's value must survive the replay")
+    // and through the sink end-to-end: kill/restart with the commit marker
+    // erased — the replayed micro-batch must not revert the side write
+    val ckpt = Files.createTempDirectory("graft-eo-merge-ckpt")
+    val input = MemoryStream[(Long, Double)]
+    def startQuery() = Streaming.acidMergeSink(
+        input.toDF().toDF("k", "v"), table, keys = Seq("k"), sinkId = Some("sink-m2"))
+      .option("checkpointLocation", ckpt.toString).start()
+    val q = startQuery()
+    input.addData((7L, 1.0)); q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(ckpt.toString, "commits/0"), false))
+    table.merge(Seq((7L, 42.0)).toDF("k", "v"), Seq("k")) // interleaved update
+    val q2 = startQuery()
+    q2.processAllAvailable() // replays batch 0
+    q2.stop()
+    assert(table.snapshot().where(col("k") === 7L).as[(Long, Double)].collect().toList ==
+      List(7L -> 42.0), "the replayed micro-batch reverted an interleaved update")
+  }
+
   test("stream -> ACID merge sink: late rows UPDATE their key; versions commit per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-acid-sink")
