@@ -9,7 +9,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — headline TPC-H-shaped aggregations, §2.1–2.4 driver operators (sources / transforms / joins / aggregates-dedup-set-ops) and the §3.3 production analytics.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 52 keys.
+  * byte-identical to its pre-split form. 53 keys.
   */
 private[graft] object QueriesCore {
   val defs: Seq[QueryDef] = Seq(

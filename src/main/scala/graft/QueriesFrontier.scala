@@ -9,7 +9,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — round-10+ waves: graph frontier ops, sequence patterns, table diff, recall certifications, gzip ingest, SQL-surface end-to-end, and later additions.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 37 keys.
+  * byte-identical to its pre-split form. 38 keys.
   */
 private[graft] object QueriesFrontier {
   val defs: Seq[QueryDef] = Seq(

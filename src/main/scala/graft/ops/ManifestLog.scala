@@ -126,9 +126,14 @@ final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogS
       catch {
         // only LOSING THE RACE is contention; a permissions/quota/IO
         // failure must surface as itself, not as endlessly-retried
-        // "contention" ending in a misleading orphan-lock hint
+        // "contention" ending in a misleading orphan-lock hint. HDFS
+        // signals the mid-create window of the race as a lease conflict
+        // (AlreadyBeingCreatedException — the other writer's create is
+        // registered at the namenode but not yet closed), which is as
+        // much "lost the race" as the typed already-exists cases.
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException => false
       }
   }
 

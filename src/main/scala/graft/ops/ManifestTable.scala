@@ -651,7 +651,29 @@ final class ManifestTable private (
       log.contentionHint(orphan))
   }
 
+  /** Published manifests are IMMUTABLE (the whole commit protocol rests on
+    * it: a version is one conditional PUT / exclusive create, never
+    * rewritten), so parsed manifests cache safely per table handle. This
+    * matters on the object-store path, where one mergeOnce attempt would
+    * otherwise GET the same latest manifest three times (token check,
+    * merge-input read, commitOnce's own read) per CAS attempt — each a
+    * real-latency, billed request. Bounded: a long-lived handle over many
+    * versions clears rather than grows.
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
+  private val ManifestCacheMax = 64
+
   private def readManifest(v: Long): Manifest = {
+    val hit = manifestCache.get(v)
+    if (hit != null) return hit
+    val m = readManifestUncached(v)
+    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(v, m)
+    m
+  }
+
+  private def readManifestUncached(v: Long): Manifest = {
     val bytes = log.read(v).getOrElse(
       throw new java.io.FileNotFoundException(
         s"ManifestTable $rootStr: no manifest for version $v"))

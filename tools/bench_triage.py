@@ -48,8 +48,8 @@ import sys
 PAIR_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)')
 # integer-valued artifact/bench metadata now matches PAIR_RE too (it accepts
 # integer seconds) — exclude it all so metadata never masquerades as a query
-NON_QUERY_KEYS = {"value", "r1_subset_sec", "total_sec", "sf",
-                  "n", "rc", "cpus", "failed", "n_queries"}
+NON_QUERY_KEYS = {"value", "r1_subset_sec", "r1_subset_n", "total_sec", "sf",
+                  "n", "rc", "cpus", "failed", "n_queries", "warmup_failed"}
 
 
 def pairs_from_text(text):
