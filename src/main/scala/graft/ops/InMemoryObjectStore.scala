@@ -36,6 +36,11 @@ final class InMemoryObjectStore extends ObjectStoreClient {
   /** Total conditional-PUT attempts observed (all keys). */
   def putAttempts: Int = attempts.values().asScala.map(_.intValue).sum
 
+  /** Total GET requests observed (all keys) — lets specs pin request
+    * economy (e.g. the manifest cache's one-GET-per-version contract).
+    */
+  def getAttempts: Int = getAttemptsByKey.values().asScala.map(_.intValue).sum
+
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
     val n = attempts.merge(key, 1, (a, b) => a + b)
     putFault(key, n) match {

@@ -635,12 +635,18 @@ final class ManifestTable private (
       val mx = st.max.map(enc).getOrElse(NullMark)
       body.append(s"dirstat=$d|${enc(c)}|$mn|$mx|${st.hasNull}\n")
     }
-    if (!log.publishIfAbsent(next, body.toString.getBytes(UTF_8))) {
+    val bodyBytes = body.toString.getBytes(UTF_8)
+    if (!log.publishIfAbsent(next, bodyBytes)) {
       // lost the race (or, on the Hadoop store, a reserved-but-never-
       // published lock is in the way); the retry loop re-lands here
       // until retries exhaust
       return None
     }
+    // warm the cache with the EXACT published bytes: the committer's own
+    // follow-up reads (a streaming sink's replay token check, the next
+    // merge's input) then cost zero GETs
+    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(next, parseManifest(next, bodyBytes))
     Some(next)
   }
 
@@ -677,6 +683,10 @@ final class ManifestTable private (
     val bytes = log.read(v).getOrElse(
       throw new java.io.FileNotFoundException(
         s"ManifestTable $rootStr: no manifest for version $v"))
+    parseManifest(v, bytes)
+  }
+
+  private def parseManifest(v: Long, bytes: Array[Byte]): Manifest = {
     val text = new String(bytes, UTF_8)
     val lines = text.split('\n')
     require(lines.headOption.contains(Magic),

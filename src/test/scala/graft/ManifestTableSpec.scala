@@ -651,6 +651,30 @@ class ManifestTableSpec extends SparkSpec {
     assert(got.toMap.apply(0L) == replay(0L))
   }
 
+  test("object-store log: a published manifest is GET exactly once per handle (immutable => cached)") {
+    // request economy on the billed path: one mergeOnce attempt reads the
+    // latest manifest for the token check, the merge input, and the
+    // commit's own re-read — without the cache that is 3 GETs of immutable
+    // bytes per attempt, times every retry
+    val (t, client, _) = objectStoreTable()
+    t.overwrite(kv(1L -> 1.0))
+    t.mergeOnce(kv(2L -> 2.0), Seq("k"), "sink-x", batchId = 0L)
+    val getsBefore = client.getAttempts
+    // replay: token check hits the cache for the already-read latest
+    t.mergeOnce(kv(2L -> 2.0), Seq("k"), "sink-x", batchId = 0L)
+    assert(client.getAttempts == getsBefore,
+      "a replay against an already-read manifest must cost zero GETs")
+    // repeated snapshot planning re-reads nothing either
+    t.snapshot(); t.snapshot()
+    assert(client.getAttempts == getsBefore)
+    // a NEW version is read once, then served from cache
+    t.append(kv(3L -> 3.0))
+    val v = t.latestVersion().get
+    t.snapshotAt(v); t.snapshotAt(v); t.diff(v - 1, v)
+    assert(client.getAttempts <= getsBefore + 1,
+      s"version $v must be GET at most once (got ${client.getAttempts - getsBefore})")
+  }
+
   test("object-store log: exhausted contention names the conditional-PUT mode, not a lock file") {
     val (t, client, _) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0))
