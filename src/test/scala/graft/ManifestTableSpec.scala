@@ -675,6 +675,28 @@ class ManifestTableSpec extends SparkSpec {
       s"version $v must be GET at most once (got ${client.getAttempts - getsBefore})")
   }
 
+  test("txn tokens: sink ids containing the manifest's own delimiters round-trip") {
+    // the txn line is 'txn=<enc(sinkId)>|<batchId>' in a line-oriented
+    // body — an id carrying '|', '=', newline, or unicode must neither
+    // corrupt the manifest nor collide with another id after encoding
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0))
+    val nasty = "query|7=prod\nrestart-β"
+    val v = t.appendOnce(kv(2L -> 2.0), nasty, batchId = 3L)
+    assert(t.txnVersion(nasty).contains(3L))
+    assert(t.txnVersion("query") == None && t.txnVersion("query|7") == None)
+    // replay rejected; a different id with the same raw prefix is NOT
+    assert(t.appendOnce(kv(2L -> 2.0), nasty, batchId = 3L) == v)
+    assert(t.snapshot().count() == 2)
+    val other = "query|7=prod\nrestart-γ"
+    t.appendOnce(kv(3L -> 3.0), other, batchId = 0L)
+    assert(t.snapshot().count() == 3)
+    assert(t.txnVersion(nasty).contains(3L) && t.txnVersion(other).contains(0L))
+    // subsequent plain commits keep carrying both tokens forward
+    t.append(kv(4L -> 4.0))
+    assert(t.txnVersion(nasty).contains(3L) && t.txnVersion(other).contains(0L))
+  }
+
   test("object-store log: exhausted contention names the conditional-PUT mode, not a lock file") {
     val (t, client, _) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0))
