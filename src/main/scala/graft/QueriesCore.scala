@@ -9,7 +9,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — headline TPC-H-shaped aggregations, §2.1–2.4 driver operators (sources / transforms / joins / aggregates-dedup-set-ops) and the §3.3 production analytics.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 53 keys.
+  * byte-identical to its pre-split form. 54 keys.
   */
 private[graft] object QueriesCore {
   val defs: Seq[QueryDef] = Seq(
@@ -222,6 +222,58 @@ private[graft] object QueriesCore {
           WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
         UNION ALL
         SELECT o_orderkey, o_totalprice FROM upd
+        ORDER BY o_orderkey""")),
+
+    QueryDef("op_exactly_once",
+      // The round-14 batch-token protocol under the driver oracle: a table
+      // is built through appendOnce/mergeOnce INCLUDING the two replay
+      // hazards the tokens exist to close — the appended batch is replayed
+      // (double-append would double its rows), and the token merge is
+      // replayed AFTER an interleaved plain merge touched its keys
+      // (last-write-wins would revert the interleaved value). The final
+      // snapshot hashes against the analytic end state, so either failure
+      // mode breaks the hash — exactly-once certified by the same gate as
+      // every data operator, not just by specs. Same fresh-per-invocation
+      // object-store log as op_merge_acid_os.
+      (s, d) => {
+        val tmpDir = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_eo_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stale = new java.io.File(tmpDir).listFiles()
+        if (stale != null) stale.iterator
+          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
+          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
+          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+        fs.delete(rp, true)
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        // late rows: %1000==1 keys shifted +10M (≡1 mod 10/50 — untouched
+        // by every merge below, so the replay hazards stay key-disjoint)
+        val lateRows = base.where(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"))
+        val tokenMerge = base.where(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+        val mt = ManifestTable.onObjectStore(s, root, new InMemoryObjectStore)
+        mt.appendOnce(base, "ingest", batchId = 0L)
+        mt.appendOnce(lateRows, "ingest", batchId = 1L)
+        mt.appendOnce(lateRows, "ingest", batchId = 1L)     // replayed append: no-op
+        mt.mergeOnce(tokenMerge, Seq("o_orderkey"), "upd", batchId = 0L)
+        mt.merge(base.where(col("o_orderkey") % 50 === 0)   // interleaved writer
+          .select(col("o_orderkey"), lit(-5.0).as("o_totalprice")), Seq("o_orderkey"))
+        mt.mergeOnce(tokenMerge, Seq("o_orderkey"), "upd", batchId = 0L) // stale replay: no revert
+        mt.snapshot().orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 50 = 0 THEN -5.0
+               WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM base
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1
         ORDER BY o_orderkey""")),
 
     QueryDef("q4_priority_check",
