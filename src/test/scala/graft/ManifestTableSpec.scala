@@ -354,6 +354,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(n2 <= 9, s"op_merge_acid_os ran $n2 jobs (bound 9, same cycle as op_merge_acid)")
   }
 
+  test("op_exactly_once job count stays bounded; both replays cost ZERO jobs") {
+    // same driver-gate cost model as op_merge_acid: Spark JOB submissions
+    // are what the loaded host amplifies. The cycle is 2 appends + 2
+    // merges + snapshot; the two REPLAYS inside it must not submit any
+    // job at all (the token fast path answers from one manifest read)
+    val byName = Queries.all.map(q => q.name -> q.fn).toMap
+    byName("op_exactly_once")(spark, sf0001)
+      .write.format("noop").mode("overwrite").save() // warm codec/codegen
+    spark.catalog.clearCache()
+    val st = spark.sparkContext.statusTracker
+    val before = st.getJobIdsForGroup(null).length
+    byName("op_exactly_once")(spark, sf0001)
+      .write.format("noop").mode("overwrite").save()
+    Thread.sleep(500)
+    val n = st.getJobIdsForGroup(null).length - before
+    assert(n <= 14, s"op_exactly_once ran $n jobs (bound 14): 2 append writes + " +
+      "2 merge cycles + snapshot sort-sample + noop — replays must add zero")
+    // and the replay claim directly: appendOnce/mergeOnce of an applied
+    // batch submit no job (no data write, no rewrite, no commit)
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.appendOnce(kv(1L -> 1.0), "s", 0L)
+    t.mergeOnce(kv(1L -> 2.0), Seq("k"), "m", 0L)
+    val before2 = st.getJobIdsForGroup(null).length
+    t.appendOnce(kv(1L -> 1.0), "s", 0L)
+    t.mergeOnce(kv(1L -> 2.0), Seq("k"), "m", 0L)
+    Thread.sleep(500)
+    assert(st.getJobIdsForGroup(null).length == before2,
+      "a recognized replay must submit ZERO Spark jobs")
+  }
+
   test("vacuum drops data outside the retained window; latest stays readable") {
     val root = freshRoot()
     val t = ManifestTable(spark, root)
