@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -121,20 +120,35 @@ final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogS
     val lock = lockPath(version)
     if (fs.getScheme == "file")
       new java.io.File(lock.toUri.getPath).createNewFile()
-    else
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
+    else {
+      val out =
+        try fs.create(lock, /* overwrite = */ false)
+        catch {
+          // only LOSING THE RACE is contention; a permissions/quota/IO
+          // failure must surface as itself, not as endlessly-retried
+          // "contention" ending in a misleading orphan-lock hint. HDFS
+          // signals the mid-create window of the race as a lease conflict
+          // (AlreadyBeingCreatedException — the other writer's create is
+          // registered at the namenode but not yet closed), which is as
+          // much "lost the race" as the typed already-exists cases.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case _: org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException => return false
+        }
+      // past this point the lock EXISTS at the namenode: a close() failure
+      // (datanode pipeline loss) is a failure of a LIVE writer and must
+      // release the reservation on the way out — leaving it would wedge
+      // every writer behind a phantom "orphan lock" while this one merely
+      // reports an IO error ("a live writer releases its own lock" is the
+      // documented invariant)
+      try { out.close(); true }
       catch {
-        // only LOSING THE RACE is contention; a permissions/quota/IO
-        // failure must surface as itself, not as endlessly-retried
-        // "contention" ending in a misleading orphan-lock hint. HDFS
-        // signals the mid-create window of the race as a lease conflict
-        // (AlreadyBeingCreatedException — the other writer's create is
-        // registered at the namenode but not yet closed), which is as
-        // much "lost the race" as the typed already-exists cases.
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException => false
+        case e: Throwable =>
+          try fs.delete(lock, false)
+          catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          throw e
       }
+    }
   }
 
   private def manifestPath(v: Long) = new Path(logDir, f"v$v%020d.txt")
@@ -185,16 +199,23 @@ object ObjectStoreClient {
   * store's own guarantee).
   *
   * One failure mode is NEW and handled here: an AMBIGUOUS transient error
-  * — the store may have committed the PUT before the response was lost.
-  * On any subsequent conflict at the same version, the store re-reads the
-  * published body and compares it to its own attempt: manifest bodies are
-  * globally unique per writer (each embeds the writer's fresh data-dir
-  * UUID), so byte-equality proves THIS writer's earlier request won, and
-  * the publish reports success instead of letting the retry loop re-append
-  * the same dir on top of its own commit (a silent row duplication).
-  * The self-win GET is resolved in-call (bounded retries, then throw):
-  * returning false on an unresolved read would hand the caller the same
-  * row-duplication hazard through its re-derive path.
+  * — the store may have committed the PUT before the response was lost,
+  * or the request may STILL BE IN FLIGHT server-side (a connection reset
+  * surfaces client-side while the store keeps processing). The resolution
+  * discipline: `false` from this method means PROVEN lost, because the
+  * caller reacts by deleting its rewrite dir and re-deriving — a false
+  * while our own request later lands would commit a manifest referencing
+  * a deleted dir (permanent corruption) or re-append the same dir (row
+  * duplication). Proof is only ever a committed body at this version:
+  * manifest bodies are globally unique per writer (each embeds the
+  * writer's fresh data-dir UUID), so byte-equality proves THIS writer's
+  * request won and inequality proves it lost FOREVER (once any body is
+  * committed, the store's precondition rejects every later PUT — a
+  * delayed duplicate of ours included). An ABSENT key after an ambiguous
+  * PUT proves nothing and is resolved by re-issuing the same idempotent
+  * conditional PUT until the version settles; if the store stays
+  * unreachable the publish throws (fail loudly — the caller leaves its
+  * dir for vacuum, never deletes it on an unproven loss).
   */
 final class ObjectStoreLogStore(client: ObjectStoreClient, prefix: String)
     extends ManifestLogStore {
@@ -204,46 +225,70 @@ final class ObjectStoreLogStore(client: ObjectStoreClient, prefix: String)
   private def key(v: Long) = f"${logPrefix}v$v%020d.txt"
 
   override def listVersions(): Seq[Long] =
-    client.list(logPrefix).iterator
-      .map(_.stripPrefix(logPrefix))
-      .collect { case ManifestName(v) => v.toLong }
-      .toSeq.sorted
+    withTransientRetry("list") {
+      client.list(logPrefix).iterator
+        .map(_.stripPrefix(logPrefix))
+        .collect { case ManifestName(v) => v.toLong }
+        .toSeq.sorted
+    }
 
-  override def read(v: Long): Option[Array[Byte]] = client.get(key(v))
+  override def read(v: Long): Option[Array[Byte]] =
+    withTransientRetry("get")(client.get(key(v)))
 
   override def publishIfAbsent(v: Long, body: Array[Byte]): Boolean = {
-    try {
-      if (client.putIfNoneMatch(key(v), body)) return true
-    } catch {
-      case _: ObjectStoreClient.TransientStoreException =>
-        // ambiguous: the PUT may have landed. Fall through to the
-        // self-win check; if the key is still absent the caller's retry
-        // loop re-attempts this same version after backoff.
-    }
-    // 412 or ambiguous failure: did WE win earlier? (see class doc)
-    // The self-win GET can itself be throttled — and "false" from this
-    // method means PROVEN lost: the caller re-derives from the NEW latest,
-    // so a false returned while our ambiguous PUT in fact landed would
-    // re-append the same dir on top of our own commit (silent row
-    // duplication — the exact hazard the self-win check exists to close).
-    // The ambiguity therefore must be resolved HERE: bounded GET retries
-    // with backoff, then fail loudly as a store error, never "lost".
+    // Resolution loop (see class doc): only a COMMITTED body at `v`
+    // settles the outcome. An absent key after an ambiguous PUT must NOT
+    // read as "lost" — the request may still be in flight server-side and
+    // land after we looked, so the only safe move is to re-issue the same
+    // idempotent conditional PUT until the version settles one way.
     var attempt = 0
-    while (attempt < SelfWinGetRetries) {
+    while (attempt < PublishRetries) {
       try {
-        return client.get(key(v)).exists(java.util.Arrays.equals(_, body))
+        if (client.putIfNoneMatch(key(v), body)) return true
+        // clean 412: a body is committed — won iff it is OURS (an earlier
+        // ambiguous attempt of this same call chain), lost-forever if not
       } catch {
+        case _: ObjectStoreClient.TransientStoreException =>
+          // ambiguous: fall through to inspect the version
+      }
+      withTransientRetry("self-win get")(client.get(key(v))) match {
+        case Some(committed) => return java.util.Arrays.equals(committed, body)
+        case None =>
+          // 412-then-absent cannot persist on a strongly consistent store;
+          // ambiguous-then-absent means our PUT may still land — retry the
+          // PUT itself (same key, same body: idempotent under the
+          // precondition) until the version settles
+          attempt += 1
+          if (attempt < PublishRetries) Thread.sleep(math.min(25L << attempt, 400L))
+      }
+    }
+    throw new ObjectStoreClient.TransientStoreException(
+      s"conditional-PUT of ${key(v)} unresolved after $PublishRetries attempts: the store " +
+        "kept failing transiently with the version unsettled; NOT reporting 'lost' — " +
+        "an in-flight request may still land (data dir is left for vacuum)")
+  }
+
+  /** Attempts resolving one publish before the commit aborts loudly. */
+  private val PublishRetries = 6
+
+  /** Reads are idempotent — absorb throttling/5xx with bounded backoff so
+    * one throttled GET/LIST cannot abort a whole commit that had retries
+    * left (the absorbed-into-the-retry-loop contract of
+    * [[ObjectStoreClient]]'s doc).
+    */
+  private def withTransientRetry[A](what: String)(op: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
         case e: ObjectStoreClient.TransientStoreException =>
           attempt += 1
-          if (attempt >= SelfWinGetRetries) throw e
+          if (attempt >= PublishRetries) throw e
           Thread.sleep(math.min(25L << attempt, 400L))
       }
     }
-    throw new IllegalStateException("unreachable: self-win retry loop")
+    throw new IllegalStateException(s"unreachable: $what retry loop")
   }
-
-  /** GET retries resolving the self-win check before the commit aborts. */
-  private val SelfWinGetRetries = 6
 
   override def contentionHint(v: Long): String =
     "conditional-PUT log has no orphan-lock mode — persistent contention means " +

@@ -168,6 +168,14 @@ final class ManifestTable private (
     */
   def append(df: DataFrame, maxRetries: Int = DefaultRetries): Long = {
     val ddl = normDdl(df.schema)
+    // fail-fast BEFORE materializing the batch: a drifted schema is fully
+    // predictable from one (cached) manifest read, and failing after
+    // writeData costs a complete data write plus an orphan dir for vacuum.
+    // The in-callback require below stays authoritative under races (an
+    // interleaved overwrite can change the schema after this check).
+    latestVersion().map(readManifest).foreach(p => require(p.schemaDdl == ddl,
+      s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
+      s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
     val (dir, stats) = writeData(df)
     commitWithRetry(maxRetries, "append", ddl,
       prev => {
@@ -204,6 +212,10 @@ final class ManifestTable private (
     val first = latestVersion()
     if (appliedAt(first)) return first.get
     val ddl = normDdl(df.schema)
+    // same fail-fast-before-write rationale as append's pre-check
+    first.map(readManifest).foreach(p => require(p.schemaDdl == ddl,
+      s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
+      s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
     val (dir, stats) = writeData(df)
     var attempt = 0
     while (true) {
@@ -271,6 +283,10 @@ final class ManifestTable private (
 
   private def mergeCore(updates: DataFrame, keys: Seq[String], maxRetries: Int,
                         txn: Option[(String, Long)]): Long = {
+    // empty keys would silently collapse a fresh table's first commit to
+    // ONE arbitrary row (dropDuplicates over no columns = global agg) or
+    // crash opaquely inside the upsert's keys.reduce on a non-empty one
+    require(keys.nonEmpty, "merge: at least one key column is required")
     var attempt = 0
     while (true) {
       val base = latestVersion()
@@ -364,7 +380,11 @@ final class ManifestTable private (
           val statKeys = keys.filter(c => m.stats.values.exists(_.contains(c)))
           // same single-execution discipline as merge: the prune hull and
           // the anti join must read the SAME materialized tombstone bytes
-          val tombDir = writeRaw(tombstones.selectExpr(keys: _*).dropDuplicates(keys))
+          // col with backticks, not selectExpr: a dotted/expression-like
+          // key name that merge accepts (Aggregates.upsert quotes exactly
+          // this way) must not be re-parsed as a nested-field path here
+          val tombDir = writeRaw(
+            tombstones.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates(keys))
           val tRead = spark.read.parquet(new Path(dataDir, tombDir).toString)
           val (keep, rewrite) =
             if (statKeys.isEmpty) (Seq.empty[String], m.dirs)
@@ -469,8 +489,19 @@ final class ManifestTable private (
       .flatMap(v => readManifest(v).dirs).toSet
     if (!fs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
+    // the grace decision uses the NEWEST timestamp inside the dir, not the
+    // directory entry's own: S3-class connectors report 0 (or a synthetic
+    // value) for directory prefixes, which would make every in-flight dir
+    // look ancient and defeat the guard on exactly the deployment
+    // onObjectStore targets — the files inside carry real object mtimes
+    def newestMTime(st: org.apache.hadoop.fs.FileStatus): Long = {
+      def walk(p: Path): Seq[Long] =
+        fs.listStatus(p).toSeq.flatMap(c =>
+          if (c.isDirectory) walk(c.getPath) else Seq(c.getModificationTime))
+      (st.getModificationTime +: walk(st.getPath)).max
+    }
     val dead = fs.listStatus(dataDir).iterator
-      .filter(st => !keep(st.getPath.getName) && st.getModificationTime < cutoff)
+      .filter(st => !keep(st.getPath.getName) && newestMTime(st) < cutoff)
       .map(_.getPath.getName).toSeq
     dead.foreach(d => fs.delete(new Path(dataDir, d), /* recursive = */ true))
     dead
@@ -545,11 +576,6 @@ final class ManifestTable private (
 
   // ------------------------------------------------------------ internals
 
-  /** Writes the batch to a fresh dir; when stats are enabled, reads the
-    * WRITTEN files back for min/max/has-null (immune to a nondeterministic
-    * input plan re-executing differently — the stats describe the bytes on
-    * disk, nothing else).
-    */
   /** Writes a batch to a fresh dir with NO stats pass (used for merge's
     * scratch materialization of the update batch).
     */
@@ -559,6 +585,11 @@ final class ManifestTable private (
     dir
   }
 
+  /** Writes the batch to a fresh dir; when stats are enabled, reads the
+    * WRITTEN files back for min/max/has-null (immune to a nondeterministic
+    * input plan re-executing differently — the stats describe the bytes on
+    * disk, nothing else).
+    */
   private def writeData(df: DataFrame): (String, Map[String, ColStat]) = {
     val dir = writeRaw(df)
     val prunable = statsCols.filter(c =>
@@ -600,8 +631,12 @@ final class ManifestTable private (
                          newStats: Map[String, ColStat],
                          parentGuard: Option[Option[Long]],
                          txn: Option[(String, Long)] = None): Option[Long] = {
-    val prevV = latestVersion()
-    if (parentGuard.exists(_ != prevV)) return None
+    // a guarded commit trusts the caller's just-read latest instead of
+    // re-LISTing (halving LIST traffic on the billed path): versions are
+    // DENSE (next = latest+1 always), so if the real latest has moved past
+    // the guard, guarded+1 already exists and the conditional PUT itself
+    // rejects the attempt — the CAS is the staleness check
+    val prevV = parentGuard.getOrElse(latestVersion())
     val prev = prevV.map(readManifest)
     val next = prevV.getOrElse(-1L) + 1
     // everything that can fail for non-race reasons (schema validation in

@@ -728,16 +728,45 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.txnVersion(nasty).contains(3L) && t.txnVersion(other).contains(0L))
   }
 
-  test("object-store log: exhausted contention names the conditional-PUT mode, not a lock file") {
+  test("object-store log: an unsettled version is never reported 'lost' — re-PUT until it settles, then fail loudly") {
+    // the in-flight hazard: a transiently-failed PUT may STILL LAND after
+    // the self-win GET saw the version absent. Reporting 'lost' there
+    // would let merge delete its rewrite dir and re-derive — if the
+    // delayed request then wins, the committed manifest references a
+    // deleted dir (permanent corruption). The resolution loop must
+    // re-issue the same idempotent conditional PUT instead:
+    // ambiguous-nothing-landed, then ambiguous-but-committed — the second
+    // round's self-win settles TRUE
+    val c = new InMemoryObjectStore
+    val store = new graft.ops.ObjectStoreLogStore(c, "inflight-tbl")
+    val body = "writer-a".getBytes("UTF-8")
+    c.putFault = (_, n) => n match {
+      case 1 => InMemoryObjectStore.FailBeforeCommit
+      case 2 => InMemoryObjectStore.FailAfterCommit
+      case _ => InMemoryObjectStore.Ok
+    }
+    assert(store.publishIfAbsent(0L, body),
+      "the resolution loop must re-PUT the absent version and detect its own win")
+    assert(store.listVersions() == Seq(0L))
+    // lost-FOREVER is provable: once any FOREIGN body commits, the store's
+    // precondition rejects every later request — false is safe even
+    // through ambiguity
+    val c2 = new InMemoryObjectStore
+    val store2 = new graft.ops.ObjectStoreLogStore(c2, "lost-tbl")
+    assert(store2.publishIfAbsent(0L, "winner".getBytes("UTF-8")))
+    c2.putFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
+    assert(!store2.publishIfAbsent(0L, "loser".getBytes("UTF-8")),
+      "a committed foreign body proves the loss even when the PUT keeps throwing")
+    // and a PERSISTENTLY unsettled store (every PUT ambiguous, nothing
+    // ever lands) aborts loudly as a store failure, never as 'lost'
     val (t, client, _) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0))
-    // every v1 attempt loses (a phantom contender owns the version and
-    // its body never matches ours)
     client.putFault = (key, _) =>
       if (key.endsWith("v00000000000000000001.txt")) InMemoryObjectStore.FailBeforeCommit
       else InMemoryObjectStore.Ok
     val e = intercept[java.io.IOException] { t.append(kv(2L -> 2.0), maxRetries = 1) }
     assert(e.getMessage.contains("conditional-PUT"), e.getMessage)
+    assert(e.getMessage.contains("unresolved"), e.getMessage)
     assert(!e.getMessage.contains(".lock"), "object-store mode has no lock to name")
   }
 }
