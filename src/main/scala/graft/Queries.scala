@@ -478,14 +478,25 @@ object Queries {
     * and order are unchanged). Lazy so the chunk objects initialize only
     * after this object's helper fields are all assigned.
     */
-  lazy val all: Seq[QueryDef] = QueriesCore.defs ++
-    QueriesEvents.defs ++
-    QueriesText.defs ++
-    QueriesText2.defs ++
-    QueriesVector.defs ++
-    QueriesMlEval.defs ++
-    QueriesRelational.defs ++
-    QueriesFrontier.defs
+  lazy val all: Seq[QueryDef] = {
+    val defs = QueriesCore.defs ++
+      QueriesEvents.defs ++
+      QueriesText.defs ++
+      QueriesText2.defs ++
+      QueriesVector.defs ++
+      QueriesMlEval.defs ++
+      QueriesRelational.defs ++
+      QueriesFrontier.defs
+    // Key names must be UNIQUE across chunks: SparkEntry builds
+    // name-keyed Maps, where a duplicate silently shadows the earlier
+    // QueryDef (last chunk wins) — the shadowed code ships dead while
+    // the driver gate reports the surviving twin green under the same
+    // name, so the mistake is invisible to every downstream check.
+    val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.sizeIs > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate query key name(s) across registry chunks: ${dup.toSeq.sorted.mkString(", ")}")
+    defs
+  }
 
   // ------------------------------------------------------------------
   // Programmatically generated oracle SQL for the hash-heavy dedup ops —

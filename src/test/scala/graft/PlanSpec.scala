@@ -11,6 +11,16 @@ class PlanSpec extends SparkSpec {
     Queries.all.find(_.name == name).get.fn(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  test("registry: key names are unique across chunks (a duplicate silently shadows its twin)") {
+    // Queries.all requires uniqueness at initialization (SparkEntry's
+    // name-keyed Maps would otherwise last-wins-shadow the earlier twin,
+    // shipping it as dead code while the driver gate reports the survivor
+    // green under the same name). The require fires on first registry
+    // access, so this test pins the contract under its own name.
+    val dup = Queries.all.groupBy(_.name).collect { case (n, ds) if ds.sizeIs > 1 => n }
+    assert(dup.isEmpty, s"duplicate query keys: ${dup.toSeq.sorted.mkString(", ")}")
+  }
+
   test("q5_volume: pushdown + pruning reach the orders scan; growing tables sort-merge, fixed dims broadcast") {
     val p = plan("q5_volume")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
