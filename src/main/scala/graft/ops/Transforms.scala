@@ -20,9 +20,69 @@ object Transforms {
     * `yyyy-MM-dd`, else null (global_dag.py:111-118). Requires ANSI off so
     * `to_date` nulls instead of throwing — exactly the strptime-fails→None
     * semantics, including day/month `00` dates (SURVEY.md §7.4.5).
+    *
+    * Each format attempt is wrapped in a SHAPE GUARD ([[shapeGuard]]) when
+    * one can be derived: under the hood a failed `to_date` is a JVM
+    * throw-and-catch PER ROW inside the formatter, so in the multi-format
+    * regime most rows pay (formats − 1) exception constructions — at
+    * corpus scale the exceptions, not the successful parses, dominate
+    * (measured 2.6× on the op09 key at sf1). The guard is a regex that
+    * over-approximates the format's accept set, so `rlike` false ⇒
+    * `to_date` surely null and the attempt is skipped exception-free;
+    * rlike true falls through to `to_date`, which remains the sole
+    * decider — results are bit-identical to the unguarded form
+    * (adversarial-input equality spec in TransformsSpec).
     */
   def parseDateMulti(c: Column, formats: Seq[String] = Seq("yyyyMMdd", "yyyy-MM-dd")): Column =
-    coalesce(formats.map(f => to_date(c, f)): _*)
+    coalesce(formats.map { f =>
+      shapeGuard(f) match {
+        case Some(re) => when(c.rlike(re), to_date(c, f)) // guard false → null, no parse attempt
+        case None => to_date(c, f)
+      }
+    }: _*)
+
+  /** A regex OVER-approximating the set of strings `to_date(c, fmt)` can
+    * accept — i.e. non-matching ⇒ the parse surely nulls, matching ⇒ ask
+    * the parser. Derived only for the safe token subset (None ⇒ caller
+    * must attempt the parse unguarded):
+    *
+    *  - `yyyy` → `[+-]?\d{4,}`: Spark's CORRECTED-mode formatter parses a
+    *    4..19-digit year where >4 digits or negative years carry a
+    *    leading sign (probed: `+12345-01-01` and `-0100-01-01` PARSE
+    *    under `yyyy-MM-dd`, `12345-01-01` does not) — the optional sign
+    *    and open width keep the guard an over-approximation.
+    *  - exactly-2-letter runs of `M d H m s` → `\d{2}` (fixed-width
+    *    numeric).
+    *  - any other letter run (single-letter variable-width tokens, 3+-
+    *    letter TEXT tokens like `MMM` = Jan, era/zone tokens) → no guard:
+    *    their accept shapes vary and a wrong guess would flip an accepted
+    *    input to null, which the over-approximation contract forbids.
+    *  - non-letter chars are literal separators, quoted verbatim.
+    */
+  private[graft] def shapeGuard(fmt: String): Option[String] = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch.isLetter) {
+        var j = i
+        while (j < fmt.length && fmt.charAt(j) == ch) j += 1
+        val k = j - i
+        ch match {
+          case 'y' if k == 4 => sb.append("[+-]?\\d{4,}")
+          // exactly 2 letters = the fixed-width numeric form; 1 letter is
+          // variable-width (1-2 digits) and 3+ is a TEXT token (MMM = Jan)
+          case 'M' | 'd' | 'H' | 'm' | 's' if k == 2 => sb.append("\\d{2}")
+          case _ => return None
+        }
+        i = j
+      } else {
+        sb.append(java.util.regex.Pattern.quote(ch.toString))
+        i += 1
+      }
+    }
+    Some(sb.append("$").result())
+  }
 
   /** Op 10 — validity filter: drop rows where any required column is null/NaN
     * (global_dag.py:140-143,203-204,210-211).

@@ -43,6 +43,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("op09_dateparse: the multi-format parse evaluates above the range exchange, once") {
+    val p = plan("op09_dateparse")
+    val toDateIdx = p.indexOf("to_date")
+    val sortIdx = p.indexOf("Sort ")
+    assert(toDateIdx >= 0 && sortIdx >= 0, s"expected to_date and Sort in:\n$p")
+    // tree strings print parents first: the parse must sit ABOVE the Sort,
+    // or the RangePartitioner sample job + the shuffle map side each pay
+    // the full parse (child executes twice under a global orderBy) and the
+    // exchange carries the parsed column
+    assert(toDateIdx < sortIdx,
+      s"parse is below the Sort — paid twice and shuffled:\n$p")
+    // the shape guards are in the plan: each to_date attempt is fenced by
+    // its format's RLIKE, so a non-matching row skips the formatter's
+    // per-row throw-and-catch entirely
+    assert(p.contains("RLIKE"), s"shape guard missing from the parse:\n$p")
+  }
+
   test("op16_radius_join: banded join is a hash join, not a nested loop") {
     val p = plan("op16_radius_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -15,6 +15,43 @@ class TransformsSpec extends SparkSpec {
       Seq(Some("1925-04-04"), Some("1925-04-04"), None, None, None))
   }
 
+  test("op9: shape guard never changes a parse result (over-approximation contract, adversarial inputs)") {
+    // the guard may only SKIP attempts to_date would null anyway — for
+    // every input and format, guarded == unguarded. Inputs cover the
+    // probed accept-set corners: signed/wide years (+12345-01-01 and
+    // -0100-01-01 DO parse under yyyy-MM-dd), width violations, whitespace,
+    // embedded junk, month/day zero, Feb 30, empty, and plain valid forms.
+    val inputs = Seq(
+      "19250404", "1925-04-04", "2023-12-31", "20231231",
+      "12345-01-01", "+12345-01-01", "-0100-01-01", "999-01-01", "0999-01-01",
+      "123456789", "+123456789", "2023-1-1", "00000000", "0000-00-00",
+      "20230230", "2023-02-30", " 20230101", "20230101 ", " 2023-01-01",
+      "2023/01/01", "01-01-2023", "abcdefgh", "2023-ab-01", "", "-", "+",
+      "99999999", "10000101", "9999-12-31")
+    val formats = Seq("yyyyMMdd", "yyyy-MM-dd", "yyyy/MM/dd", "dd-MM-yyyy", "M/d/yyyy")
+    val df = inputs.toDF("raw")
+    for (f <- formats) {
+      val guarded = Transforms.parseDateMulti(col("raw"), Seq(f)).cast("string")
+      val unguarded = to_date(col("raw"), f).cast("string")
+      val rows = df.select(col("raw"), guarded.as("g"), unguarded.as("u"))
+        .as[(String, Option[String], Option[String])].collect()
+      val diff = rows.filter { case (_, g, u) => g != u }
+      assert(diff.isEmpty, s"format $f: guard changed results: ${diff.mkString(", ")}")
+    }
+    // multi-format default: same contract end-to-end
+    val g2 = df.select(Transforms.parseDateMulti(col("raw")).cast("string").as("d"))
+      .as[Option[String]].collect().toSeq
+    val u2 = df.select(coalesce(to_date(col("raw"), "yyyyMMdd"), to_date(col("raw"), "yyyy-MM-dd"))
+      .cast("string").as("d")).as[Option[String]].collect().toSeq
+    assert(g2 == u2)
+    // guard derivation: the safe subset guards, the variable-width one doesn't
+    assert(Transforms.shapeGuard("yyyyMMdd").isDefined)
+    assert(Transforms.shapeGuard("yyyy-MM-dd").isDefined)
+    assert(Transforms.shapeGuard("M/d/yyyy").isEmpty, "single-letter tokens must stay unguarded")
+    assert(Transforms.shapeGuard("MMM yyyy").isEmpty, "text tokens must stay unguarded")
+    assert(Transforms.shapeGuard("yy-MM-dd").isEmpty, "non-4-width year runs must stay unguarded")
+  }
+
   test("op5: fixed-width slicing matches the reference's byte offsets (Report.md sample row)") {
     // Python slices [0:80],[81:89],[154:162],[162:167] == SQL substring (1,80),(82,8),(155,8),(163,5)
     val name = "THERON*JEANNINE EMILIENNE MARIA/"
