@@ -623,11 +623,16 @@ private[graft] object QueriesCore {
         GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("op14_json",
+      // json decode/encode ABOVE the sort (the op09 hoist): below it, the
+      // RangePartitioner sample + the shuffle map side each pay the parse,
+      // and both run at the SCAN's parallelism (a handful of row groups)
+      // instead of the post-exchange task count (measured 8.7 → 2.0 s sf1)
       (s, d) => t(s, d, "events")
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
-          to_json(struct(col("event_id"))).as("enc"))
-        .orderBy(col("event_id")),
+          to_json(struct(col("event_id"))).as("enc")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         '{"event_id":' || CAST(event_id AS VARCHAR) || '}' AS enc
         FROM events ORDER BY event_id""")),

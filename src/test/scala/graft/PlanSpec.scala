@@ -60,6 +60,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RLIKE"), s"shape guard missing from the parse:\n$p")
   }
 
+  test("op14_json / txt_pii_scrub: the expensive projection evaluates above the range exchange") {
+    // same double-eval hazard as op09: a global orderBy executes its child
+    // twice (range sample + shuffle map side) at the SCAN's parallelism
+    for ((name, marker) <- Seq("op14_json" -> "get_json_object",
+                               "txt_pii_scrub" -> "regexp_replace")) {
+      val p = plan(name)
+      val exprIdx = p.indexOf(marker)
+      val sortIdx = p.indexOf("Sort ")
+      assert(exprIdx >= 0 && sortIdx >= 0, s"$name: expected $marker and Sort in:\n$p")
+      assert(exprIdx < sortIdx, s"$name: $marker is below the Sort — paid twice:\n$p")
+    }
+  }
+
   test("op16_radius_join: banded join is a hash join, not a nested loop") {
     val p = plan("op16_radius_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
