@@ -71,8 +71,18 @@ object Transforms {
         ch match {
           case 'y' if k == 4 => sb.append("[+-]?\\d{4,}")
           // exactly 2 letters = the fixed-width numeric form; 1 letter is
-          // variable-width (1-2 digits) and 3+ is a TEXT token (MMM = Jan)
-          case 'M' | 'd' | 'H' | 'm' | 's' if k == 2 => sb.append("\\d{2}")
+          // variable-width (1-2 digits) and 3+ is a TEXT token (MMM = Jan).
+          // MM/dd additionally range-check (01-12 / 01-31): the formatter
+          // strictly rejects month/day 00 and 13+/32+ (probed in the spec),
+          // so the tighter class is still an over-approximation — it keeps
+          // the all-zero/range-junk rows exception-free too, while
+          // calendar-dependent invalids (Feb 30) still fall through to the
+          // parser. H/m/s stay \d{2}: their edge acceptance (leap-second
+          // style values) is unprobed, and a too-tight guard would break
+          // the over-approximation contract
+          case 'M' if k == 2 => sb.append("(?:0[1-9]|1[0-2])")
+          case 'd' if k == 2 => sb.append("(?:0[1-9]|[12][0-9]|3[01])")
+          case 'H' | 'm' | 's' if k == 2 => sb.append("\\d{2}")
           case _ => return None
         }
         i = j

@@ -27,7 +27,14 @@ class TransformsSpec extends SparkSpec {
       "123456789", "+123456789", "2023-1-1", "00000000", "0000-00-00",
       "20230230", "2023-02-30", " 20230101", "20230101 ", " 2023-01-01",
       "2023/01/01", "01-01-2023", "abcdefgh", "2023-ab-01", "", "-", "+",
-      "99999999", "10000101", "9999-12-31")
+      "99999999", "10000101", "9999-12-31",
+      // month/day range-class corners: the guard's 01-12 / 01-31 classes
+      // must reject ONLY what the formatter rejects (00, 13+, 32+), while
+      // calendar-dependent invalids (Feb 30, Apr 31) pass the guard and
+      // null in the parser
+      "20231301", "2023-13-01", "20230132", "2023-01-32", "20230100",
+      "2023-01-00", "20230001", "2023-00-01", "00010101", "0001-01-01",
+      "20230431", "2023-04-31", "20231231", "20230930")
     val formats = Seq("yyyyMMdd", "yyyy-MM-dd", "yyyy/MM/dd", "dd-MM-yyyy", "M/d/yyyy")
     val df = inputs.toDF("raw")
     for (f <- formats) {
