@@ -131,7 +131,7 @@ object Analytics {
     * input column "_G" must still force "_g" to be renamed.
     */
   private def freshNames(df: DataFrame, bases: String*): Seq[String] = {
-    val used = scala.collection.mutable.Set[String](df.columns.map(_.toLowerCase): _*)
+    val used = scala.collection.mutable.Set[String](df.columns.map(_.toLowerCase).toIndexedSeq: _*)
     bases.map { b =>
       var n = b
       while (used(n.toLowerCase)) n = "_" + n

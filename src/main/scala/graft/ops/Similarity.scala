@@ -188,7 +188,7 @@ object Similarity {
     val entries = cents.zipWithIndex.map { case (c, j) =>
       struct(cosine(vec, typedlit(c)).as("sim"), lit(-j).as("nj"))
     }
-    (-array_max(array(entries: _*)).getField("nj")).cast("int")
+    (-array_max(array(entries.toIndexedSeq: _*)).getField("nj")).cast("int")
   }
 
   /** [[kmeansFit]] + assignment in one call: the corpus with a `cluster`
@@ -253,7 +253,7 @@ object Similarity {
         batchMode)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // struct sort key (−sim, j): ascending struct order = sim desc, id asc
-    val ranked = array_sort(array(cents.zipWithIndex.map { case (cvec, j) =>
+    val ranked = array_sort(array(cents.zipWithIndex.toIndexedSeq.map { case (cvec, j) =>
       struct((-cosine(col("q_vec"), typedlit(cvec))).as("ns"), lit(j).as("j"))
     }: _*))
     val probes = q

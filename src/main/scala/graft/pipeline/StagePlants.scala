@@ -29,7 +29,7 @@ object StagePlants {
     // documented contract): every remaining column joins as a tiebreaker
     val tieBreak = staged.columns.filterNot(c => c == orderCol || c == "plant")
       .sorted.map(c => staged(c).asc)
-    val deduped = Aggregates.dedupFirst(staged, Seq("plant"), col(orderCol).asc +: tieBreak)
+    val deduped = Aggregates.dedupFirst(staged, Seq("plant"), col(orderCol).asc +: tieBreak.toIndexedSeq)
     val (lat, lon) = Transforms.splitPoint(col("position"))
     deduped
       .withColumn("creation_date", Transforms.parseDateMulti(col("start_date"), Seq("yyyy-MM-dd", "yyyyMMdd")))
