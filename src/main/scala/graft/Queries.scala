@@ -329,25 +329,56 @@ object Queries {
     val tmp = sys.props("java.io.tmpdir")
     val prefix = s"graft_rt_${kind}_${h}_"
     val name = prefix + ProcessHandle.current().pid()
-    // reclaim dirs whose owning pid is dead: an mtime-age sweep can
-    // delete a LIVE sibling's scratch (Derby writes touch files nested
-    // under db/, so the TOP dir's mtime never refreshes — a >1h-old run
-    // looks stale while in active use; that also means the top dir's
-    // mtime IS its creation time). Pid liveness alone SURVIVES PID REUSE
-    // — an unrelated process recycling a dead JVM's pid would pin its
-    // dir forever. The precise disambiguator is the holder's START TIME:
-    // a pid is held by one process at a time, so any live holder that
-    // started AFTER the dir appeared cannot be the JVM that created it
-    // (the creator died first and its pid was recycled) → sweep. A real
-    // live sibling started BEFORE it created its dir → keep, at ANY age
-    // (an age floor here would sweep a >floor-old live sibling — the
-    // exact deletion the pid rule exists to prevent). The 1-minute slack
-    // absorbs clock/fs skew on the creator's start≈mtime boundary; when
-    // the start time is unavailable, and for dirs whose suffix doesn't
-    // parse as a pid (the legacy unsuffixed layout), a 7-day floor is
-    // the conservative fallback. The recursive delete tolerates a
-    // concurrent sibling sweeping the same dead dir (walk/delete races
-    // surface as ignorable IO errors).
+    sweepStaleSiblings(tmp, prefix, name)
+    val p = java.nio.file.Paths.get(tmp, name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Fresh-per-invocation scratch ROOT for the ACID/object-store-log
+    * queries (op_merge_acid*, op_exactly_once, op_time_travel, …): same
+    * per-(kind, sfDir, PID) naming as [[scratchDir]], but the root is
+    * DELETED (not created) on every call — ManifestTable lays out its own
+    * log — so repeated invocations replay the full commit history from an
+    * empty log. The stale-sibling sweep is the shared memoized one: the
+    * previous inline per-invocation `/tmp` listing was harness
+    * housekeeping billed to the query's wall time on every bench
+    * iteration (VERDICT r14).
+    */
+  private[graft] def freshScratchRoot(spark: SparkSession, kind: String, d: String): String = {
+    val tmp = sys.props("java.io.tmpdir")
+    val prefix = s"graft_${kind}_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
+    val name = prefix + ProcessHandle.current().pid()
+    sweepStaleSiblings(tmp, prefix, name)
+    val rp = new org.apache.hadoop.fs.Path(tmp + "/" + name)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    tmp + "/" + name
+  }
+
+  /** The memoized dead-sibling sweep shared by [[scratchDir]] and
+    * [[freshScratchRoot]].
+    *
+    * Reclaims dirs whose owning pid is dead: an mtime-age sweep can
+    * delete a LIVE sibling's scratch (Derby writes touch files nested
+    * under db/, so the TOP dir's mtime never refreshes — a >1h-old run
+    * looks stale while in active use; that also means the top dir's
+    * mtime IS its creation time). Pid liveness alone SURVIVES PID REUSE
+    * — an unrelated process recycling a dead JVM's pid would pin its
+    * dir forever. The precise disambiguator is the holder's START TIME:
+    * a pid is held by one process at a time, so any live holder that
+    * started AFTER the dir appeared cannot be the JVM that created it
+    * (the creator died first and its pid was recycled) → sweep. A real
+    * live sibling started BEFORE it created its dir → keep, at ANY age
+    * (an age floor here would sweep a >floor-old live sibling — the
+    * exact deletion the pid rule exists to prevent). The 1-minute slack
+    * absorbs clock/fs skew on the creator's start≈mtime boundary; when
+    * the start time is unavailable, and for dirs whose suffix doesn't
+    * parse as a pid (the legacy unsuffixed layout), a 7-day floor is
+    * the conservative fallback. The recursive delete tolerates a
+    * concurrent sibling sweeping the same dead dir (walk/delete races
+    * surface as ignorable IO errors).
+    */
+  private def sweepStaleSiblings(tmp: String, prefix: String, name: String): Unit = {
     val nowMs = System.currentTimeMillis()
     val sweepDue = {
       val prev = scratchSwept.get(prefix)
@@ -382,9 +413,6 @@ object Queries {
           catch { case scala.util.control.NonFatal(_) => () }
         }
     }
-    val p = java.nio.file.Paths.get(tmp, name)
-    java.nio.file.Files.createDirectories(p)
-    p.toString
   }
 
   /** op_schema_drift oracle: per-column profile blocks are mechanical —

@@ -142,21 +142,9 @@ private[graft] object QueriesCore {
       // verify/bench runs never collide; wiped at entry so re-runs start
       // from a fresh log.
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_acid_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        // pid-suffixed roots from FINISHED JVMs never get re-entered, so
-        // without a sweep each verify/bench run would leak two orders-table
-        // copies in tmp forever; the 1h age guard keeps a concurrently
-        // LIVE run's table safe from the sweep
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        // dead siblings are reclaimed by the shared memoized sweep inside
+        // freshScratchRoot (Queries.sweepStaleSiblings) — not re-listed here
+        val root = freshScratchRoot(s, "acid", d)
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
         val updates = base.where(col("o_orderkey") % 10 === 0)
@@ -191,17 +179,7 @@ private[graft] object QueriesCore {
       // invocation, so bench/verify re-runs start at v0 with no sweep
       // needed beyond the data-dir wipe.
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_acidos_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        val root = freshScratchRoot(s, "acidos", d)
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
         val updates = base.where(col("o_orderkey") % 10 === 0)
@@ -236,17 +214,7 @@ private[graft] object QueriesCore {
       // every data operator, not just by specs. Same fresh-per-invocation
       // object-store log as op_merge_acid_os.
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_eo_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        val root = freshScratchRoot(s, "eo", d)
         val base = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
         // late rows: %1000==1 keys shifted +10M (≡1 mod 10/50 — untouched

@@ -171,17 +171,7 @@ private[graft] object QueriesEvents {
       // EXCEPT ALL diff must all be invisible in the data. Same
       // tmp-root + stale-sweep pattern as op_merge_acid.
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_tt_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        val root = freshScratchRoot(s, "tt", d)
         val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
         // brand-new keys are NEGATIVE (-k-1, the planted-pair convention):
         // an additive offset would collide with real orderkeys once the SF
@@ -261,17 +251,7 @@ private[graft] object QueriesEvents {
       // view maintenance. Groups are pmod(o_orderkey, 7) so the negative
       // planted keys land in well-defined buckets both engines agree on.
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_mv_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        val root = freshScratchRoot(s, "mv", d)
         val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
         val updates = base.where(col("o_orderkey") % 10 === 0)
           .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
@@ -496,20 +476,10 @@ private[graft] object QueriesEvents {
       // can't see the shuffle). Bucket files live under the JVM tmpdir,
       // keyed by SF dir AND pid (two concurrent harness processes on the
       // same SF must not overwrite each other's in-flight bucket files);
-      // dead pids' roots are swept after the same 1h age guard as
-      // op_merge_acid/op_time_travel.
+      // dead pids' roots are reclaimed by freshScratchRoot's shared
+      // memoized sweep, same as op_merge_acid/op_time_travel.
       (s, d) => {
-        val tmpDir = sys.props("java.io.tmpdir")
-        val prefix = "graft_bucketed_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getPath != root)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach { f =>
-            val p = new org.apache.hadoop.fs.Path(f.getPath)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-          }
+        val root = freshScratchRoot(s, "bucketed", d)
         Layout.writeBucketed(
           t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
           "graft_b_orders", s"$root/orders", numBuckets = 8, keys = Seq("o_custkey"))

@@ -290,17 +290,7 @@ private[graft] object QueriesRelational {
       // and after AND the full content (the oracle recomputes it
       // relationally — compaction must be invisible in the data)
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_compact_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        val root = freshScratchRoot(s, "compact", d)
         val mt = ManifestTable(s, root)
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
         for (i <- 0 until 5)
@@ -1502,17 +1492,7 @@ private[graft] object QueriesRelational {
       // oracle is the relational complement, so the protocol must be
       // invisible in the data
       (s, d) => {
-        val tmpDir = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_del_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_"
-        val root = tmpDir + "/" + prefix + ProcessHandle.current().pid()
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stale = new java.io.File(tmpDir).listFiles()
-        if (stale != null) stale.iterator
-          .filter(f => f.getName.startsWith(prefix) && f.getName != rp.getName)
-          .filter(f => f.lastModified() < System.currentTimeMillis() - 3600 * 1000L)
-          .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
-        fs.delete(rp, true)
+        val root = freshScratchRoot(s, "del", d)
         val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
         val mt = ManifestTable(s, root)
         mt.overwrite(base)

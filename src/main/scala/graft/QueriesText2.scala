@@ -343,6 +343,82 @@ private[graft] object QueriesText2 {
         .orderBy(col("doc_a"), col("doc_b")),
       Some(simhashOracleSql(maxHamming = 3))),
 
+    QueryDef("dedup_hamming_capped",
+      // Bucket-width-cap certification for the hamming/simhash band family
+      // (VERDICT r14 item 1) — the last candidate-generation path to get
+      // the cap minhash (lshCandidatePairsCapped) and SRP
+      // (srpCandidatePairsCapped, certified by emb_srp_capped) already
+      // carry: a width-B (k, chunk) bucket emits B² joined rows BEFORE the
+      // hamming filter, so a degenerate signature regime (near-constant
+      // images, boilerplate) goes quadratic without it. This key PLANTS
+      // the regime over an md5-derived 60-bit signature corpus: a
+      // 40-member identical-signature cluster and a 9-member one that must
+      // overflow the cap of 8 on every chunk, an exactly-8 cluster that
+      // must survive AT the cap (the off-by-one pin), and a 6-member one
+      // under it. All four planted signatures have pairwise-distinct
+      // chunks at every k, so no cross-cluster bucket merging. The hashed
+      // row carries capped AND uncapped pair counts plus the
+      // dropped-bucket audit (count + summed width); the oracle replays
+      // the signature derivation, the 4×16-bit chunk layout, the width
+      // cutoff, and the hamming verify in SQL — a cap-placement bug
+      // (filtering after the join, wrong width comparison) shifts a count
+      // and breaks the hash.
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .where(col("doc_id") < 2048)
+          .select(col("doc_id").cast("long").as("id"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        def planted(n: Int, idBase: Int, sig: Long): DataFrame =
+          s.range(n).select((-col("id") - idBase).as("id"), lit(sig).as("h"))
+        val all = base
+          .unionByName(planted(40, 1000, 0x0111222233334444L)) // > cap: dropped
+          .unionByName(planted(9, 2000, 0x0555666677778888L))  // cap + 1: dropped
+          .unionByName(planted(8, 3000, 0x0999aaaabbbbccccL))  // == cap: kept
+          .unionByName(planted(6, 4000, 0x0dddeeee01234567L))  // < cap: kept
+        val capped = Dedup.hammingNearDupPairs(all, "id", "h",
+          maxHamming = 3, maxBucketWidth = 8)
+        val uncapped = Dedup.hammingNearDupPairs(all, "id", "h", maxHamming = 3)
+        val dropped = Dedup.hammingOversizedBuckets(all, "id", "h", maxBucketWidth = 8)
+        capped.agg(count(lit(1)).as("n_pairs_capped"))
+          .crossJoin(uncapped.agg(count(lit(1)).as("n_pairs_uncapped")))
+          .crossJoin(dropped.agg(
+            count(lit(1)).as("n_dropped_buckets"),
+            coalesce(sum(col("width")), lit(0L)).as("dropped_width_sum")))
+          .select(col("n_pairs_capped"), col("n_pairs_uncapped"),
+            (col("n_pairs_uncapped") - col("n_pairs_capped")).as("n_pairs_dropped"),
+            col("n_dropped_buckets"), col("dropped_width_sum"))
+      },
+      Some(s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM documents WHERE doc_id < 2048),
+        vecs AS (SELECT id, h FROM base
+          UNION ALL SELECT -j - 1000, ${0x0111222233334444L} FROM range(40) r(j)
+          UNION ALL SELECT -j - 2000, ${0x0555666677778888L} FROM range(9) r(j)
+          UNION ALL SELECT -j - 3000, ${0x0999aaaabbbbccccL} FROM range(8) r(j)
+          UNION ALL SELECT -j - 4000, ${0x0dddeeee01234567L} FROM range(6) r(j)),
+        ch AS (SELECT id, h, k, (h >> (k * 16)) & 65535 AS chunk
+          FROM vecs, range(4) r(k)),
+        wid AS (SELECT k, chunk, count(*) AS width FROM ch GROUP BY 1, 2),
+        keep AS (SELECT c.id, c.h, c.k, c.chunk FROM ch c
+          JOIN wid w ON w.k = c.k AND w.chunk = c.chunk AND w.width <= 8),
+        cap_pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keep a JOIN keep b ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id
+          WHERE bit_count(xor(a.h, b.h)) <= 3),
+        unc_pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM ch a JOIN ch b ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id
+          WHERE bit_count(xor(a.h, b.h)) <= 3),
+        tot AS (SELECT
+            (SELECT count(*) FROM cap_pairs) AS n_pairs_capped,
+            (SELECT count(*) FROM unc_pairs) AS n_pairs_uncapped,
+            (SELECT count(*) FROM wid WHERE width > 8) AS n_dropped_buckets,
+            (SELECT CAST(COALESCE(sum(width), 0) AS BIGINT) FROM wid WHERE width > 8)
+              AS dropped_width_sum)
+        SELECT n_pairs_capped, n_pairs_uncapped,
+          n_pairs_uncapped - n_pairs_capped AS n_pairs_dropped,
+          n_dropped_buckets, dropped_width_sum
+        FROM tot""")),
+
     QueryDef("op_pagerank",
       // iterative graph centrality (the cluster-representative picker that
       // complements dedupClusters) on a deterministic 37-node multigraph

@@ -557,27 +557,63 @@ object Dedup {
     * equi-join is *exact* — identical result to the O(N²) scan the oracle
     * runs, at O(N·bucket) cost.
     */
-  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3,
+                          maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < SimhashChunks, s"$SimhashChunks-chunk pigeonhole only guarantees hamming <= ${SimhashChunks - 1}")
     simhashPairsByChunks(simhash60(docs, idCol, textCol), idCol,
-      SimhashChunks, SimhashChunkBits, maxHamming)
+      SimhashChunks, SimhashChunkBits, maxHamming, maxBucketWidth)
+  }
+
+  /** The per-signature (k, chunk) bucket rows both the pair generator and
+    * the oversized-bucket audit derive from — one definition so the two
+    * cannot drift on the chunk layout.
+    */
+  private def chunkBuckets(sh: DataFrame, idCol: String,
+                           numChunks: Int, chunkBits: Int): DataFrame = {
+    val chunkMask = (1L << chunkBits) - 1
+    sh.select(col(idCol), col("simhash"),
+      explode(array((0 until numChunks).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * chunkBits).bitwiseAND(lit(chunkMask)).as("chunk"))): _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
   }
 
   /** The shared chunk-bucket → hamming-verify half of both simhash forms,
     * over a (idCol, simhash) frame — parameterized by the chunk layout so
     * the md5/60-bit and xxhash64/64-bit variants cannot drift.
+    *
+    * `maxBucketWidth` is the 100-TB guard this family shares with
+    * [[lshCandidatePairsCapped]] and
+    * [[graft.ops.Similarity.srpCandidatePairsCapped]]: a degenerate corpus
+    * (near-constant perceptual hashes, boilerplate pages) puts B docs in
+    * one (k, chunk) bucket and the self-join emits B² rows BEFORE the
+    * hamming filter can reject them — the cheap per-candidate `bit_count`
+    * does not save a quadratic candidate count. Buckets wider than the cap
+    * are DROPPED from pair generation on every chunk they overflow (true
+    * near-dups at hamming ≤ 3 agree on ≥ numChunks − 3 chunks, so a pair
+    * survives unless ALL its agreeing chunks overflow; exact dups agree on
+    * all chunks and are the last to go). The drop is observable via the
+    * oversized-buckets audits — run one alongside and alert, so the cap is
+    * an explicit, monitored recall trade instead of a silent quadratic
+    * cliff. The width count rides the SAME (k, chunk) partitioning the
+    * join needs — no extra shuffle of the bucket table.
     */
   private def simhashPairsByChunks(sh: DataFrame, idCol: String,
                                    numChunks: Int, chunkBits: Int,
-                                   maxHamming: Int): DataFrame = {
-    val chunkMask = (1L << chunkBits) - 1
-    val chunks = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until numChunks).map(k =>
-        struct(lit(k).as("k"),
-          shiftright(col("simhash"), k * chunkBits).bitwiseAND(lit(chunkMask)).as("chunk"))): _*)).as("c"))
-      .select(col(idCol), col("simhash"), col("c.k"), col("c.chunk"))
-    val a = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
-    val b = chunks.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
+                                   maxHamming: Int,
+                                   maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val bucketed = chunkBuckets(sh, idCol, numChunks, chunkBits)
+    val kept =
+      if (maxBucketWidth == Int.MaxValue) bucketed
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"), col("chunk"))
+        bucketed.withColumn("_bn", count(lit(1)).over(w))
+          .where(col("_bn") <= maxBucketWidth).drop("_bn")
+      }
+    val a = kept.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
+    val b = kept.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
     // hamming-filter BEFORE the distinct: duplicate candidates (one per
     // shared chunk) only cost an integer bit_count each, while a distinct
     // over the raw candidate set shuffles millions of pairs when simhashes
@@ -617,10 +653,11 @@ object Dedup {
 
   /** [[simhashNearDupPairs]] over the 64-bit xxhash64 hash. */
   def simhashNearDupPairsFast(docs: DataFrame, idCol: String, textCol: String,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3,
+                              maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4x16-bit chunking only guarantees hamming <= 3")
     simhashPairsByChunks(simhash64Fast(docs, idCol, textCol), idCol,
-      numChunks = 4, chunkBits = 16, maxHamming)
+      numChunks = 4, chunkBits = 16, maxHamming, maxBucketWidth)
   }
 
   /** Near-dup pairs over an ARBITRARY 64-bit signature column (perceptual
@@ -631,11 +668,43 @@ object Dedup {
     * growing a second pair generator. Returns (doc_a, doc_b, hamming).
     */
   def hammingNearDupPairs(sig: DataFrame, idCol: String, hashCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4x16-bit chunking only guarantees hamming <= 3")
     simhashPairsByChunks(sig.select(col(idCol), col(hashCol).cast("long").as("simhash")),
-      idCol, numChunks = 4, chunkBits = 16, maxHamming)
+      idCol, numChunks = 4, chunkBits = 16, maxHamming, maxBucketWidth)
   }
+
+  /** The (k, chunk, width) buckets the capped hamming/simhash band family
+    * drops at the given cap — the monitoring side-output for the recall
+    * trade (alert on its count; a sudden rise means the corpus grew a
+    * degenerate signature regime — near-constant perceptual hashes,
+    * boilerplate — and the cap is now biting). This is the 4×16-bit
+    * arbitrary-signature layout shared by [[hammingNearDupPairs]] and
+    * [[simhashNearDupPairsFast]]; the md5 text form's audit is
+    * [[simhashOversizedBuckets]].
+    */
+  def hammingOversizedBuckets(sig: DataFrame, idCol: String, hashCol: String,
+                              maxBucketWidth: Int): DataFrame =
+    chunkOversizedBuckets(
+      sig.select(col(idCol), col(hashCol).cast("long").as("simhash")),
+      idCol, numChunks = 4, chunkBits = 16, maxBucketWidth)
+
+  /** [[hammingOversizedBuckets]] for the md5/60-bit text form
+    * ([[simhashNearDupPairs]]'s 4×15-bit chunk layout).
+    */
+  def simhashOversizedBuckets(docs: DataFrame, idCol: String, textCol: String,
+                              maxBucketWidth: Int): DataFrame =
+    chunkOversizedBuckets(simhash60(docs, idCol, textCol), idCol,
+      SimhashChunks, SimhashChunkBits, maxBucketWidth)
+
+  private def chunkOversizedBuckets(sh: DataFrame, idCol: String,
+                                    numChunks: Int, chunkBits: Int,
+                                    maxBucketWidth: Int): DataFrame =
+    chunkBuckets(sh, idCol, numChunks, chunkBits)
+      .groupBy(col("k"), col("chunk"))
+      .agg(count(lit(1)).as("width"))
+      .where(col("width") > maxBucketWidth)
 
   // ------------------------------------------------- cluster resolution
 

@@ -19,7 +19,12 @@ object Transforms {
   /** Op 9 — multi-format date parse with null fallback: try `yyyyMMdd`, then
     * `yyyy-MM-dd`, else null (global_dag.py:111-118). Requires ANSI off so
     * `to_date` nulls instead of throwing — exactly the strptime-fails→None
-    * semantics, including day/month `00` dates (SURVEY.md §7.4.5).
+    * semantics, including day/month `00` dates (SURVEY.md §7.4.5). Also
+    * requires `spark.sql.legacy.timeParserPolicy=CORRECTED` (pinned in
+    * [[graft.Prep]]): the guards below over-approximate the CORRECTED
+    * formatter; the LEGACY parser accepts non-ASCII digits and trailing
+    * junk the ASCII-anchored regexes reject, which would flip those
+    * parses to null.
     *
     * Each format attempt is wrapped in a SHAPE GUARD ([[shapeGuard]]) when
     * one can be derived: under the hood a failed `to_date` is a JVM

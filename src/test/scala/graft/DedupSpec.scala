@@ -170,6 +170,34 @@ class DedupSpec extends SparkSpec {
     assert(cappedE2e == all)
   }
 
+  test("hamming band cap: over-cap clusters dropped, at-cap survives, audit matches") {
+    // identical-signature clusters (the degenerate perceptual-hash regime):
+    // widths 12 (> cap 8, must drop on every chunk), 8 (== cap, must keep —
+    // the off-by-one pin), 3 (< cap). Signatures have pairwise-distinct
+    // 16-bit chunks at every k, so no cross-cluster bucket merging.
+    val sig = ((0L until 12L).map(i => (i, 0x0111222233334444L)) ++
+               (100L until 108L).map(i => (i, 0x0555666677778888L)) ++
+               (200L until 203L).map(i => (i, 0x0999aaaabbbbccccL))).toDF("id", "h")
+    val capped = Dedup.hammingNearDupPairs(sig, "id", "h", maxHamming = 3, maxBucketWidth = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expectKept =
+      (for (a <- 100L until 108L; b <- a + 1 until 108L) yield (a, b)).toSet ++
+      (for (a <- 200L until 203L; b <- a + 1 until 203L) yield (a, b)).toSet
+    assert(capped == expectKept)
+    assert(Dedup.hammingNearDupPairs(sig, "id", "h", maxHamming = 3).count() == 66 + 28 + 3)
+    // audit = exactly the wide cluster's 4 chunk buckets, width 12 each
+    val audit = Dedup.hammingOversizedBuckets(sig, "id", "h", maxBucketWidth = 8)
+      .as[(Int, Long, Long)].collect()
+    assert(audit.length == 4 && audit.forall(_._3 == 12L))
+    // md5 text form: the exact-dup pair (0, 3) co-buckets on all 4 chunks,
+    // so cap 1 drops it while the audit surfaces the overflow
+    def txtPairs(cap: Int) =
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, maxBucketWidth = cap)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(txtPairs(Int.MaxValue).contains((0L, 3L)) && !txtPairs(1).contains((0L, 3L)))
+    assert(Dedup.simhashOversizedBuckets(docs, "doc_id", "text", maxBucketWidth = 1).count() >= 4)
+  }
+
   test("xxhash64 minhash pipeline finds the same verified pair set as the md5 pipeline") {
     val d = Tables.load(spark, sf0001, "documents")
     def pairs(df: org.apache.spark.sql.DataFrame) =
