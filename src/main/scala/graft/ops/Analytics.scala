@@ -853,15 +853,21 @@ object Analytics {
     * Returns (node, dist) for reached nodes only; dist 0 = the seeds.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    // skip re-checkpointing an edge frame the CALLER already materialized
+    // (a second checkpoint copies every block — at edge-corpus scale a
+    // full extra pass); symmetrically, only free blocks this call created
+    val proj = edges.select(col("src"), col("dst"))
+    val eOwned = !org.apache.spark.sql.GraftBridge.isFlatRdd(edges) ||
+      !(edges.columns sameElements Array("src", "dst"))
+    val e = if (eOwned) proj.localCheckpoint(eager = false) else edges
     val seed0 = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(eager = false)
-    // per-hop frontiers are DISJOINT by construction (each is anti-joined
-    // against everything before it), so the settled set is kept as the
-    // lazy union of the checkpointed frontiers — re-materializing the
-    // whole union every round would write O(rounds · |reached|) instead
-    // of O(|reached|) total, and the union-of-checkpoints plan stays flat
-    // (one leaf per hop, rounds ≤ maxHops)
+    // per-hop frontiers are DISJOINT by construction (each is min-dist
+    // filtered against everything before it), so the settled set is kept
+    // as the lazy union of the checkpointed frontiers — re-materializing
+    // the whole union every round would write O(rounds · |reached|)
+    // instead of O(|reached|) total, and the union-of-checkpoints plan
+    // stays flat (one leaf per hop, rounds ≤ maxHops)
     var parts = List(seed0)
     var frontier = seed0
     // materializes the lazy seed checkpoint AND tests emptiness in 1 job
@@ -870,18 +876,24 @@ object Analytics {
     while (hop < maxHops && frontierRows > 0L) {
       hop += 1
       val settled = parts.reduce(_.unionByName(_))
+      // the candidate distinct + settled anti-join FUSE into one min-dist
+      // aggregation: a settled node's dist < hop wins the min and the
+      // filter drops it; a new node's min IS hop. One hash-agg shuffle
+      // over |candidates| + |settled| where the anti-join form paid a
+      // distinct shuffle AND a sort-merge of both sides.
       val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-        // settled grows toward graph size — the anti-join must sort-merge
-        .join(settled.select(col("node")).hint("merge"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(hop)).localCheckpoint(eager = false)
+        .select(e("dst").as("node"), lit(hop).as("dist"))
+        .unionByName(settled)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .where(col("dist") === lit(hop))
+        .localCheckpoint(eager = false)
       // one job: checkpoint-materialize the frontier (and, on hop 1, the
       // edge set it reads) + the convergence count
       frontierRows = next.count()
       parts = parts :+ next
       frontier = next
     }
-    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+    if (eOwned) org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
     parts.reduce(_.unionByName(_))
   }
 
@@ -1245,7 +1257,12 @@ object Analytics {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    var cur = canon.localCheckpoint(true)
+    // lazy checkpoint + count: ONE job per peel round materializes the
+    // round AND reads the convergence census (the bfsHops discipline —
+    // the eager-checkpoint + count form paid two). Superseded rounds'
+    // blocks are freed as the loop advances; the final round's blocks
+    // back the returned frame.
+    var cur = canon.localCheckpoint(eager = false)
     var nEdges = cur.count()
     var rounds = 0
     var stable = nEdges == 0L
@@ -1258,10 +1275,10 @@ object Analytics {
       val next = cur
         .join(keep.hint("merge"), cur("a") === keep("node"), "left_semi")
         .join(keep.hint("merge"), cur("b") === keep("node"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val m = next.count()
-      stable = m == nEdges
-      cur = next; nEdges = m
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
+      cur = next; stable = m == nEdges; nEdges = m
     }
     cur.select(col("a").as("node"))
       .unionAll(cur.select(col("b").as("node")))
@@ -1766,28 +1783,36 @@ object Analytics {
     * pageRank convention). Output: (v, community).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int = 3): DataFrame = {
-    require(rounds >= 1)
+                       rounds: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1 && checkpointEvery >= 1)
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint()
-    val nodes = sym.select(col("src").as("v")).distinct().localCheckpoint()
-    var lab = nodes.select(col("v"), col("v").as("label")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // the node census is referenced once (label init) — it folds into the
+    // lazy round chain, no scaffold checkpoint of its own
+    var lab = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    var lastEager: DataFrame = null
+    for (i <- 1 to rounds) {
       val votes = sym.join(lab.select(col("v").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("v"), col("label"))
         .agg(count(lit(1)).as("_cnt"))
-      val next = votes.groupBy(col("v"))
+      lab = votes.groupBy(col("v"))
         .agg(max(struct(col("_cnt").as("c"), (-col("label")).as("nl"),
           col("label").as("l"))).as("_w"))
         .select(col("v"), col("_w.l").as("label"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(lab)
-      lab = next
+      // rounds chain LAZILY (single-reference chain — nothing recomputes);
+      // an eager checkpoint every `checkpointEvery` rounds — and on the
+      // last — bounds plan depth at ⌈rounds/checkpointEvery⌉ jobs instead
+      // of one per round (the pageRank discipline)
+      if (i % checkpointEvery == 0 || i == rounds) {
+        lab = lab.localCheckpoint()
+        if (lastEager != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEager)
+        lastEager = lab
+      }
     }
     val out = lab.select(col("v"), col("label").as("community"))
     org.apache.spark.sql.GraftBridge.freeCheckpoint(sym)
-    org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
     out
   }
 
@@ -1860,18 +1885,28 @@ object Analytics {
     * sum to 0 — guarded in-plan (raise_error), never a silent NULL.
     *
     * Scale shape: per round, two edge-keyed aggregations (sort-merge,
-    * partial-combined), two 1-row scalar sums broadcast back, and a
-    * localCheckpoint to keep the plan flat (freed per round — the
-    * pageRank convention). Rounds are driver-controlled; no data ever
-    * collects to the driver.
+    * partial-combined) and two 1-row scalar sums broadcast back. Rounds
+    * chain LAZILY with per-half-round lazy checkpoints (each score frame
+    * is referenced twice — persisted on first compute, read on the
+    * second) and materialize in ONE job; an eager cut every
+    * `checkpointEvery` rounds bounds the pinned footprint for large
+    * iteration counts (the pageRank convention). No data ever collects
+    * to the driver.
     */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                     iters: Int = 3, scale: Long = 1000000L): DataFrame = {
-    require(iters >= 1 && scale > 0)
+                     iters: Int = 3, scale: Long = 1000000L,
+                     checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && scale > 0 && checkpointEvery >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     require(nodes.count() > 0, "hitsFixedPoint: empty edge set")
+    // every normalized score frame is referenced TWICE (the next half-round
+    // AND either the following round or the final join), so each carries a
+    // LAZY checkpoint: first computation during the consumer's job persists
+    // it, the second reference reads blocks — no per-round driver job, no
+    // double compute. Freed in one sweep after the final materialization.
+    val lazyCps = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def normalized(full: DataFrame, c: String, out: String): DataFrame = {
       val s = full.agg(sum(col(c)).as("_s"))
       // Σx can floor to 0 when node count exceeds `scale` with
@@ -1879,18 +1914,20 @@ object Analytics {
       // round, then this round's sum is 0 and `div` would yield NULL,
       // silently nulling every score). Fail loudly in-plan instead —
       // no extra driver job; the fix is a larger `scale` (> node count).
-      full.crossJoin(broadcast(s))
+      val norm = full.crossJoin(broadcast(s))
         .select(col("v"),
           when(col("_s") > 0, expr(s"$c * ${scale}L div _s"))
             .otherwise(raise_error(lit(
               "hitsFixedPoint: normalization sum collapsed to 0 — " +
                 "scale must exceed the node count for near-uniform graphs")))
             .as(out))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      lazyCps += norm
+      norm
     }
-    var hub = nodes.select(col("v"), lit(scale).as("h")).localCheckpoint()
+    var hub = nodes.select(col("v"), lit(scale).as("h"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val aRaw = e.join(hub.select(col("v").as("src"), col("h")), "src")
         .groupBy(col("dst")).agg(sum(col("h")).as("_a"))
       val aFull = nodes.join(aRaw.select(col("dst").as("v"), col("_a")), Seq("v"), "left")
@@ -1900,13 +1937,23 @@ object Analytics {
         .groupBy(col("src")).agg(sum(col("a")).as("_h"))
       val hFull = nodes.join(hRaw.select(col("src").as("v"), col("_h")), Seq("v"), "left")
         .select(col("v"), coalesce(col("_h"), lit(0L)).as("_h"))
-      val hNorm = normalized(hFull, "_h", "h")
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(hub)
-      if (auth != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(auth)
+      var hNorm = normalized(hFull, "_h", "h")
+      // bound the pinned lazy-block footprint for large iteration counts:
+      // an eager cut every `checkpointEvery` rounds materializes + frees
+      // everything accumulated so far (the pageRank discipline)
+      if (i % checkpointEvery == 0 && i < iters) {
+        hNorm = hNorm.localCheckpoint()
+        lazyCps.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
+        lazyCps.clear()
+      }
       hub = hNorm; auth = aNorm
     }
+    // ONE materialization job for the whole lazy chain, then free every
+    // intermediate round's blocks — the returned frame is flat
     val out = hub.join(auth, "v")
       .select(col("v"), col("h").as("hub"), col("a").as("authority"))
+      .localCheckpoint()
+    lazyCps.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
     out

@@ -896,38 +896,52 @@ object Dedup {
     * aggregation — the same double result whatever Spark's merge order —
     * then one double expression per round. Dangling-node mass is dropped
     * (the simplified variant; ranks still order correctly), documented.
-    * Per-round lineage is cut with `localCheckpoint` exactly like the
-    * label-propagation loop; the returned frame reads only the last
-    * round's blocks. Complements [[dedupClusters]]: components give the
+    * Rounds chain LAZILY — each round's frame is referenced exactly once
+    * by the next, so the whole loop materializes in the consumer's single
+    * job; an eager `localCheckpoint` every `checkpointEvery` rounds (and
+    * on the last) bounds unrolled plan depth and lineage for large
+    * iteration counts at ⌈iters/checkpointEvery⌉ driver jobs instead of
+    * one per round. Complements [[dedupClusters]]: components give the
     * keep/drop partition, PageRank gives a centrality WITHIN a component
     * (e.g. pick the most-linked representative instead of min-id).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    require(iters >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+               iters: Int = 10, damping: Double = 0.85,
+               checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    // widen the flat edge table with outdeg ONCE: the per-iteration plan
+    // then joins pr exactly once — no per-iteration outdeg join, no third
+    // checkpointed scaffold frame
+    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).hint("merge"),
+      "src").localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e0)
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
-    val n = nodes.count().toDouble
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    var pr = nodes.select(col("v"), lit(1.0 / n).as("pr")).localCheckpoint()
-    var prevCp = pr
-    for (_ <- 1 to iters) {
+      .distinct().localCheckpoint(eager = false)
+    val n = nodes.count().toDouble // materializes the lazy checkpoint too
+    var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
+    var lastEager: DataFrame = null
+    for (i <- 1 to iters) {
       val contribs = e.join(pr.select(col("v").as("src"), col("pr")), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("v"), (col("pr") / col("outdeg")).as("_c"))
         .groupBy(col("v"))
         .agg(sum(col("_c").cast("decimal(38,18)")).cast("double").as("_sum"))
-      val next = nodes.join(contribs, Seq("v"), "left")
+      pr = nodes.join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_sum"), lit(0.0))).as("pr"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(prevCp)
-      prevCp = next
-      pr = next
+      // iterations chain LAZILY (each round's frame is referenced exactly
+      // once by the next, so nothing recomputes); an EAGER checkpoint every
+      // `checkpointEvery` rounds — and always on the last — bounds the
+      // unrolled plan depth and lineage for large iteration counts while
+      // paying ⌈iters/checkpointEvery⌉ jobs instead of one per round. Only
+      // one eager round is ever pinned: each frees its predecessor.
+      if (i % checkpointEvery == 0 || i == iters) {
+        pr = pr.localCheckpoint()
+        if (lastEager != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEager)
+        lastEager = pr
+      }
     }
     org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
-    org.apache.spark.sql.GraftBridge.freeCheckpoint(outDeg)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
     pr
   }
@@ -949,34 +963,41 @@ object Dedup {
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int = 10, dampNum: Long = 17L, dampDen: Long = 20L,
-                         scale: Long = 1000000000000000L): DataFrame = {
-    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && scale > 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+                         scale: Long = 1000000000000000L,
+                         checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && scale > 0 &&
+      checkpointEvery >= 1)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    // outdeg rides on the flat edge table (see [[pageRank]]): one setup
+    // join instead of one join per iteration
+    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).hint("merge"),
+      "src").localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e0)
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
-    val n = nodes.count()
+      .distinct().localCheckpoint(eager = false)
+    val n = nodes.count() // materializes the lazy checkpoint too
     require(n > 0, "pageRankFixedPoint: empty edge set — no nodes to rank " +
       "(an upstream pair generator produced no pairs?)")
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val base = (scale - scale * dampNum / dampDen) / n
-    var pr = nodes.select(col("v"), lit(scale / n).as("pr")).localCheckpoint()
-    var prevCp = pr
-    for (_ <- 1 to iters) {
+    var pr = nodes.select(col("v"), lit(scale / n).as("pr"))
+    var lastEager: DataFrame = null
+    for (i <- 1 to iters) {
       val contribs = e.join(pr.select(col("v").as("src"), col("pr")), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("v"), expr("pr div outdeg").as("_c"))
         .groupBy(col("v"))
         .agg(sum(col("_c")).as("_sum"))
-      val next = nodes.join(contribs, Seq("v"), "left")
+      pr = nodes.join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit(base) + expr(s"coalesce(_sum, 0L) * ${dampNum}L div ${dampDen}L")).as("pr"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(prevCp)
-      prevCp = next
-      pr = next
+      // lazy chain + periodic eager checkpoint — the [[pageRank]] job
+      // discipline (⌈iters/checkpointEvery⌉ jobs, not one per round)
+      if (i % checkpointEvery == 0 || i == iters) {
+        pr = pr.localCheckpoint()
+        if (lastEager != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEager)
+        lastEager = pr
+      }
     }
     org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
-    org.apache.spark.sql.GraftBridge.freeCheckpoint(outDeg)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
     pr
   }

@@ -15,9 +15,30 @@ import scala.jdk.CollectionConverters._
   *  - `FailAfterCommit`  — the store committed the PUT but the RESPONSE
   *    was lost (the ambiguous failure every object-store client must
   *    tolerate; see [[ObjectStoreLogStore]]'s self-win check).
+  *
+  * Two REAL-STORE SEMANTICS knobs let the same contract suite certify
+  * client code under the behaviors an SDK-backed store adds on top:
+  *
+  *  - `listPageSize`: listing is paginated — each page is one billable
+  *    request (charged against the throttle window below), and the
+  *    combined result is returned in page-SCRAMBLED order so a caller
+  *    that silently relies on lexicographic listing fails here, not on
+  *    the first store whose pagination interleaves.
+  *  - `throttleEvery`: burst-throttling windows — every Nth request
+  *    across ALL operation types is rejected with a transient error
+  *    BEFORE any state change (the 503-burst shape). Retry loops must
+  *    absorb these without protocol drift.
   */
-final class InMemoryObjectStore extends ObjectStoreClient {
+final class InMemoryObjectStore(listPageSize: Int = Int.MaxValue,
+                                throttleEvery: Int = 0) extends ObjectStoreClient {
   import InMemoryObjectStore._
+  require(listPageSize >= 1 && throttleEvery >= 0)
+
+  private val requestCount = new java.util.concurrent.atomic.AtomicInteger()
+  private def maybeThrottle(what: String): Unit =
+    if (throttleEvery > 0 && requestCount.incrementAndGet() % throttleEvery == 0)
+      throw new ObjectStoreClient.TransientStoreException(
+        s"injected burst throttle: $what")
 
   private val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   private val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -42,6 +63,7 @@ final class InMemoryObjectStore extends ObjectStoreClient {
   def getAttempts: Int = getAttemptsByKey.values().asScala.map(_.intValue).sum
 
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    maybeThrottle(s"put $key")
     val n = attempts.merge(key, 1, (a, b) => a + b)
     putFault(key, n) match {
       case Ok =>
@@ -57,6 +79,7 @@ final class InMemoryObjectStore extends ObjectStoreClient {
   }
 
   override def get(key: String): Option[Array[Byte]] = {
+    maybeThrottle(s"get $key")
     val n = getAttemptsByKey.merge(key, 1, (a, b) => a + b)
     if (getFault(key, n) != Ok)
       throw new ObjectStoreClient.TransientStoreException(
@@ -64,8 +87,74 @@ final class InMemoryObjectStore extends ObjectStoreClient {
     Option(objects.get(key)).map(_.clone())
   }
 
-  override def list(prefix: String): Seq[String] =
-    objects.keySet().asScala.iterator.filter(_.startsWith(prefix)).toSeq
+  override def list(prefix: String): Seq[String] = {
+    val matched = objects.keySet().asScala.iterator.filter(_.startsWith(prefix)).toSeq
+    if (listPageSize == Int.MaxValue) { maybeThrottle(s"list $prefix"); matched }
+    else {
+      // paginated: one billable (throttle-countable) request per page. A
+      // throttle on the FIRST page rejects the whole call (the caller's
+      // idempotent whole-listing retry is the tested path); a throttle
+      // mid-pagination is modeled as absorbed by the SDK wrapper's
+      // continuation-token PAGE retry — every real SDK retries the page,
+      // not the listing, and without that a ≥(throttleEvery)-page listing
+      // would deterministically fail EVERY whole-listing attempt (each
+      // attempt's page window always contains a throttle slot). Pages
+      // come back in reverse order so no caller can lean on lexicographic
+      // listing surviving pagination.
+      val pages = matched.sorted.grouped(listPageSize).toSeq
+      pages.indices.foreach { i =>
+        try maybeThrottle(s"list $prefix page $i")
+        catch {
+          case e: ObjectStoreClient.TransientStoreException => if (i == 0) throw e
+        }
+      }
+      pages.reverse.flatten
+    }
+  }
+}
+
+/** Wraps ANY [[ObjectStoreClient]] with the same per-request fault hooks
+  * [[InMemoryObjectStore]] injects natively — so the contract suite's
+  * transient-503 / lost-response / throttled-GET scenarios run unchanged
+  * against a future SDK-backed client (wrap it, point the hooks at it,
+  * run the suite). `FailAfterCommit` forwards the PUT to the inner client
+  * FIRST (the commit may land) and then loses the response; if the inner
+  * client itself fails the forwarded request, the injected fault
+  * degenerates to nothing-landed — exactly the ambiguity the protocol
+  * must tolerate either way.
+  */
+final class FaultInjectingClient(inner: ObjectStoreClient) extends ObjectStoreClient {
+  import InMemoryObjectStore._
+
+  @volatile var putFault: (String, Int) => Fault = (_, _) => Ok
+  @volatile var getFault: (String, Int) => Fault = (_, _) => Ok
+
+  private val putN = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val getN = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val n = putN.merge(key, 1, (a, b) => a + b)
+    putFault(key, n) match {
+      case Ok => inner.putIfNoneMatch(key, bytes)
+      case FailBeforeCommit =>
+        throw new ObjectStoreClient.TransientStoreException(
+          s"injected 503 before commit: $key attempt $n")
+      case FailAfterCommit =>
+        inner.putIfNoneMatch(key, bytes)
+        throw new ObjectStoreClient.TransientStoreException(
+          s"injected lost response after commit: $key attempt $n")
+    }
+  }
+
+  override def get(key: String): Option[Array[Byte]] = {
+    val n = getN.merge(key, 1, (a, b) => a + b)
+    if (getFault(key, n) != Ok)
+      throw new ObjectStoreClient.TransientStoreException(
+        s"injected throttled GET: $key attempt $n")
+    inner.get(key)
+  }
+
+  override def list(prefix: String): Seq[String] = inner.list(prefix)
 }
 
 object InMemoryObjectStore {

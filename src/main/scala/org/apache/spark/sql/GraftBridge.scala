@@ -22,6 +22,16 @@ object GraftBridge {
       case r: execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** True when the Dataset is ALREADY a flat `LogicalRDD` leaf — i.e. the
+    * result of a previous `localCheckpoint`. Iterative operators use this
+    * to skip re-checkpointing an input a caller has already materialized
+    * (a second checkpoint would copy every block — at edge-corpus scale a
+    * full extra pass) and, symmetrically, to know the input's blocks are
+    * the CALLER's to free, not theirs.
+    */
+  def isFlatRdd(df: Dataset[_]): Boolean =
+    df.queryExecution.analyzed.isInstanceOf[execution.LogicalRDD]
+
   /** Table existence through Spark's own JDBC machinery — the connection
     * comes from the dialect's factory (which consults Spark's
     * DriverRegistry, so drivers shipped via `--jars` + the `driver`

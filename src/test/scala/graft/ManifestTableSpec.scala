@@ -473,17 +473,9 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 13)
     // whether this run's thread interleaving produced real 412 losses is
     // timing-dependent (each append's Spark write serializes most of the
-    // work); the DETERMINISTIC 412 exercise is below
+    // work); the DETERMINISTIC 412 exercise is ObjectStoreContractSuite's
+    // exactly-one-winner test
     assert(client.putAttempts >= 13)
-    // the precondition itself, deterministically: two writers PUT the same
-    // version — exactly one creates it, the loser's 412 maps to false, and
-    // the winner's body is what readers see (never the loser's)
-    val store = new graft.ops.ObjectStoreLogStore(client, "race-tbl")
-    val (a, b) = ("writer-a".getBytes("UTF-8"), "writer-b".getBytes("UTF-8"))
-    assert(store.publishIfAbsent(0L, a))
-    assert(!store.publishIfAbsent(0L, b), "second conditional PUT of v0 must 412")
-    assert(store.read(0L).exists(java.util.Arrays.equals(_, a)))
-    assert(store.listVersions() == Seq(0L))
   }
 
   test("object-store log: transient 503 before commit — the same append call retries and lands") {
@@ -516,37 +508,10 @@ class ManifestTableSpec extends SparkSpec {
       List(1L -> 1.0, 2L -> 2.0))
   }
 
-  test("object-store log: N threads racing every version — exactly one winner each, log contiguous, bodies untorn") {
-    // the primitive under real thread contention, no Spark in the loop:
-    // 8 writers all race versions 0..19; publishIfAbsent must admit
-    // EXACTLY one body per version (the others observe false and move
-    // on), the version list must come out contiguous, and every read
-    // must return exactly the winner's bytes
-    val store = new graft.ops.ObjectStoreLogStore(new InMemoryObjectStore, "stress-tbl")
-    val wins = new java.util.concurrent.ConcurrentHashMap[Long, String]()
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (1 to 8).map { w =>
-      new Thread(() => {
-        try {
-          for (v <- 0L until 20L) {
-            val body = s"writer-$w-v$v".getBytes("UTF-8")
-            if (store.publishIfAbsent(v, body)) {
-              val prev = wins.putIfAbsent(v, s"writer-$w")
-              assert(prev == null, s"version $v claimed by $prev AND writer-$w")
-            }
-          }
-        } catch { case e: Throwable => errs.add(e) }
-      })
-    }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(errs.isEmpty, s"stress failed: ${errs.peek()}")
-    assert(store.listVersions() == (0L until 20L), "log must be contiguous")
-    assert(wins.size == 20, s"every version needs exactly one winner, got ${wins.size}")
-    for (v <- 0L until 20L) {
-      val body = new String(store.read(v).get, "UTF-8")
-      assert(body == s"${wins.get(v)}-v$v", s"v$v body '$body' is not the winner's")
-    }
-  }
+  // the no-Spark primitive races (N threads × every version, winner-body
+  // integrity) moved to ObjectStoreContractSuite — they now certify ANY
+  // ObjectStoreClient, in-memory or SDK-backed, in plain AND
+  // paginated/bursty modes
 
   test("object-store log: throttled self-win GET resolves in-call — exactly one commit, never a dup append") {
     // the PUT commits but its response is lost (ambiguous), AND the
@@ -569,25 +534,9 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.latestVersion().contains(1L), "exactly one commit may exist for the append")
     assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
       List(1L -> 1.0, 2L -> 2.0))
-    // at the primitive: ambiguous PUT + one throttled GET => the in-call
-    // retry resolves the read and reports the self-win as TRUE
-    val c2 = new InMemoryObjectStore
-    val store = new graft.ops.ObjectStoreLogStore(c2, "throttle-tbl")
-    val body = "writer-a".getBytes("UTF-8")
-    c2.putFault = (_, n) => if (n == 1) InMemoryObjectStore.FailAfterCommit else InMemoryObjectStore.Ok
-    c2.getFault = (_, n) => if (n == 1) InMemoryObjectStore.FailBeforeCommit else InMemoryObjectStore.Ok
-    assert(store.publishIfAbsent(0L, body),
-      "the in-call GET retry must recognize this writer's committed body")
-    assert(store.listVersions() == Seq(0L))
-    // a PERSISTENTLY failing GET exhausts the bounded retries and throws
-    // (a store failure, loudly) — it must never resolve to "lost"
-    val c3 = new InMemoryObjectStore
-    val store3 = new graft.ops.ObjectStoreLogStore(c3, "dead-get-tbl")
-    c3.putFault = (_, _) => InMemoryObjectStore.FailAfterCommit
-    c3.getFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
-    intercept[graft.ops.ObjectStoreClient.TransientStoreException] {
-      store3.publishIfAbsent(0L, body)
-    }
+    // the primitive-level halves (in-call GET retry resolves the self-win;
+    // a persistently dead GET throws rather than resolving to "lost")
+    // are certified client-agnostically in ObjectStoreContractSuite
   }
 
   test("hadoop log: losing the lock race is contention; an IO failure creating the lock surfaces as itself") {
@@ -728,37 +677,12 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.txnVersion(nasty).contains(3L) && t.txnVersion(other).contains(0L))
   }
 
-  test("object-store log: an unsettled version is never reported 'lost' — re-PUT until it settles, then fail loudly") {
-    // the in-flight hazard: a transiently-failed PUT may STILL LAND after
-    // the self-win GET saw the version absent. Reporting 'lost' there
-    // would let merge delete its rewrite dir and re-derive — if the
-    // delayed request then wins, the committed manifest references a
-    // deleted dir (permanent corruption). The resolution loop must
-    // re-issue the same idempotent conditional PUT instead:
-    // ambiguous-nothing-landed, then ambiguous-but-committed — the second
-    // round's self-win settles TRUE
-    val c = new InMemoryObjectStore
-    val store = new graft.ops.ObjectStoreLogStore(c, "inflight-tbl")
-    val body = "writer-a".getBytes("UTF-8")
-    c.putFault = (_, n) => n match {
-      case 1 => InMemoryObjectStore.FailBeforeCommit
-      case 2 => InMemoryObjectStore.FailAfterCommit
-      case _ => InMemoryObjectStore.Ok
-    }
-    assert(store.publishIfAbsent(0L, body),
-      "the resolution loop must re-PUT the absent version and detect its own win")
-    assert(store.listVersions() == Seq(0L))
-    // lost-FOREVER is provable: once any FOREIGN body commits, the store's
-    // precondition rejects every later request — false is safe even
-    // through ambiguity
-    val c2 = new InMemoryObjectStore
-    val store2 = new graft.ops.ObjectStoreLogStore(c2, "lost-tbl")
-    assert(store2.publishIfAbsent(0L, "winner".getBytes("UTF-8")))
-    c2.putFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
-    assert(!store2.publishIfAbsent(0L, "loser".getBytes("UTF-8")),
-      "a committed foreign body proves the loss even when the PUT keeps throwing")
-    // and a PERSISTENTLY unsettled store (every PUT ambiguous, nothing
-    // ever lands) aborts loudly as a store failure, never as 'lost'
+  test("object-store log: an unsettled version is never reported 'lost' — the table aborts loudly") {
+    // the in-flight hazard's primitive halves (re-PUT-until-settled
+    // self-win; lost-forever provable through ambiguity) are certified in
+    // ObjectStoreContractSuite; here the TABLE-level contract: a
+    // persistently unsettled store (every PUT ambiguous, nothing ever
+    // lands) aborts the append loudly as a store failure, never as 'lost'
     val (t, client, _) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0))
     client.putFault = (key, _) =>

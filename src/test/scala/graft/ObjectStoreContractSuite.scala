@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FaultInjectingClient, InMemoryObjectStore, ObjectStoreClient, ObjectStoreLogStore}
+
+/** Client-agnostic certification of the conditional-PUT contract
+  * ([[graft.ops.ObjectStoreClient]]) and of [[graft.ops.ObjectStoreLogStore]]'s
+  * resolution protocol on top of it — extracted from ManifestTableSpec so a
+  * future SDK-backed S3/GCS wrapper (~50 lines) is certified by subclassing
+  * with its factory and running the SAME suite. Fault scenarios inject
+  * through [[graft.ops.FaultInjectingClient]], which wraps any client, so
+  * nothing here depends on the in-memory store's internals.
+  *
+  * No Spark in the loop: this is the primitive + log-store layer. The
+  * table-level races (whole merge() transactions, batch-token replays)
+  * stay in ManifestTableSpec — they compose THIS contract with the Spark
+  * write path.
+  */
+abstract class ObjectStoreContractSuite(clientName: String,
+                                        newClient: () => ObjectStoreClient)
+    extends AnyFunSuite {
+
+  private def bytes(s: String) = s.getBytes("UTF-8")
+  private def str(b: Array[Byte]) = new String(b, "UTF-8")
+
+  /** Raw-client calls retry transients like any real caller would (the
+    * log store's withTransientRetry discipline) — the contract under test
+    * is the store's STATE semantics, not whether a single unretried
+    * request can be throttled.
+    */
+  private def retrying[A](op: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: ObjectStoreClient.TransientStoreException =>
+          attempt += 1
+          if (attempt >= 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  test(s"[$clientName] conditional PUT: exactly one winner, loser's 412 is false, winner's body served") {
+    val c = newClient()
+    val store = new ObjectStoreLogStore(c, "contract-race")
+    assert(store.publishIfAbsent(0L, bytes("writer-a")))
+    assert(!store.publishIfAbsent(0L, bytes("writer-b")),
+      "second conditional PUT of a committed version must 412")
+    assert(store.read(0L).exists(java.util.Arrays.equals(_, bytes("writer-a"))))
+    assert(store.listVersions() == Seq(0L))
+  }
+
+  test(s"[$clientName] read-after-write + prefix isolation + absent-key None + body immutability") {
+    val c = newClient()
+    // strong read-after-write: a created key is immediately GET-able
+    assert(retrying(c.putIfNoneMatch("a/_log/k1", bytes("one"))))
+    assert(retrying(c.get("a/_log/k1")).exists(java.util.Arrays.equals(_, bytes("one"))))
+    assert(retrying(c.get("a/_log/absent")).isEmpty)
+    // prefix isolation: listings never leak a sibling table's log
+    assert(retrying(c.putIfNoneMatch("b/_log/k1", bytes("other"))))
+    assert(retrying(c.list("a/_log/")).toSet == Set("a/_log/k1"))
+    // the stored body is a COPY: mutating the caller's array afterwards
+    // must not alter what readers see (the clone contract)
+    val mutated = bytes("mutate-me")
+    assert(retrying(c.putIfNoneMatch("a/_log/k2", mutated)))
+    mutated(0) = 'X'
+    assert(retrying(c.get("a/_log/k2")).exists(b => str(b) == "mutate-me"))
+  }
+
+  test(s"[$clientName] listVersions: complete and sorted whatever order/pagination the store lists in") {
+    val c = newClient()
+    val store = new ObjectStoreLogStore(c, "contract-list")
+    // publish out of order so a lexicographic-listing assumption would
+    // *accidentally* pass only on a store that also sorts
+    for (v <- Seq(3L, 0L, 7L, 1L, 2L, 5L, 4L, 6L))
+      assert(store.publishIfAbsent(v, bytes(s"v$v")))
+    assert(store.listVersions() == (0L to 7L))
+    for (v <- 0L to 7L)
+      assert(store.read(v).exists(b => str(b) == s"v$v"))
+  }
+
+  test(s"[$clientName] N threads racing every version: one winner each, contiguous log, bodies untorn") {
+    val store = new ObjectStoreLogStore(newClient(), "contract-stress")
+    val wins = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { w =>
+      new Thread(() => {
+        try {
+          for (v <- 0L until 20L) {
+            val body = bytes(s"writer-$w-v$v")
+            if (store.publishIfAbsent(v, body)) {
+              val prev = wins.putIfAbsent(v, s"writer-$w")
+              assert(prev == null, s"version $v claimed by $prev AND writer-$w")
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"stress failed: ${errs.peek()}")
+    assert(store.listVersions() == (0L until 20L), "log must be contiguous")
+    assert(wins.size == 20, s"every version needs exactly one winner, got ${wins.size}")
+    for (v <- 0L until 20L)
+      assert(str(store.read(v).get) == s"${wins.get(v)}-v$v", s"v$v body is not the winner's")
+  }
+
+  test(s"[$clientName] transient 503 before commit: the publish retries in-call and lands") {
+    val fc = new FaultInjectingClient(newClient())
+    val store = new ObjectStoreLogStore(fc, "contract-503")
+    fc.putFault = (_, n) =>
+      if (n <= 2) InMemoryObjectStore.FailBeforeCommit else InMemoryObjectStore.Ok
+    assert(store.publishIfAbsent(0L, bytes("writer-a")))
+    assert(store.listVersions() == Seq(0L))
+  }
+
+  test(s"[$clientName] ambiguous lost-response: self-win detected, foreign body reads as lost-forever") {
+    val fc = new FaultInjectingClient(newClient())
+    val store = new ObjectStoreLogStore(fc, "contract-selfwin")
+    fc.putFault = (_, n) =>
+      if (n == 1) InMemoryObjectStore.FailAfterCommit else InMemoryObjectStore.Ok
+    assert(store.publishIfAbsent(0L, bytes("writer-a")),
+      "the committed-but-response-lost PUT must resolve to a win via the self-read")
+    assert(store.listVersions() == Seq(0L))
+    // lost-FOREVER is provable through ambiguity: once a FOREIGN body is
+    // committed, the precondition rejects every later request
+    val fc2 = new FaultInjectingClient(newClient())
+    val store2 = new ObjectStoreLogStore(fc2, "contract-lost")
+    assert(store2.publishIfAbsent(0L, bytes("winner")))
+    fc2.putFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
+    assert(!store2.publishIfAbsent(0L, bytes("loser")),
+      "a committed foreign body proves the loss even when the PUT keeps throwing")
+  }
+
+  test(s"[$clientName] throttled self-win GET resolves in-call; a dead GET path fails loudly, never 'lost'") {
+    val fc = new FaultInjectingClient(newClient())
+    val store = new ObjectStoreLogStore(fc, "contract-throttle")
+    fc.putFault = (_, n) =>
+      if (n == 1) InMemoryObjectStore.FailAfterCommit else InMemoryObjectStore.Ok
+    fc.getFault = (_, n) =>
+      if (n == 1) InMemoryObjectStore.FailBeforeCommit else InMemoryObjectStore.Ok
+    assert(store.publishIfAbsent(0L, bytes("writer-a")),
+      "the in-call GET retry must recognize this writer's committed body")
+    assert(store.listVersions() == Seq(0L))
+    // persistently failing GET exhausts the bounded retries and throws —
+    // reporting 'lost' would let the caller delete a dir its own commit
+    // references
+    val fc3 = new FaultInjectingClient(newClient())
+    val store3 = new ObjectStoreLogStore(fc3, "contract-deadget")
+    fc3.putFault = (_, _) => InMemoryObjectStore.FailAfterCommit
+    fc3.getFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
+    intercept[ObjectStoreClient.TransientStoreException] {
+      store3.publishIfAbsent(0L, bytes("writer-a"))
+    }
+  }
+
+  test(s"[$clientName] unsettled version is re-PUT until it settles; persistent ambiguity aborts loudly") {
+    // ambiguous-nothing-landed, then ambiguous-but-committed: the second
+    // round's self-win must settle TRUE (reporting 'lost' while our
+    // request may still land risks committing a manifest that references
+    // a deleted dir)
+    val fc = new FaultInjectingClient(newClient())
+    val store = new ObjectStoreLogStore(fc, "contract-inflight")
+    fc.putFault = (_, n) => n match {
+      case 1 => InMemoryObjectStore.FailBeforeCommit
+      case 2 => InMemoryObjectStore.FailAfterCommit
+      case _ => InMemoryObjectStore.Ok
+    }
+    assert(store.publishIfAbsent(0L, bytes("writer-a")),
+      "the resolution loop must re-PUT the absent version and detect its own win")
+    assert(store.listVersions() == Seq(0L))
+    // every PUT ambiguous with nothing ever landing: abort as a store
+    // failure (TransientStoreException naming the unresolved PUT)
+    val fc2 = new FaultInjectingClient(newClient())
+    val store2 = new ObjectStoreLogStore(fc2, "contract-unsettled")
+    fc2.putFault = (_, _) => InMemoryObjectStore.FailBeforeCommit
+    val e = intercept[ObjectStoreClient.TransientStoreException] {
+      store2.publishIfAbsent(0L, bytes("writer-a"))
+    }
+    assert(e.getMessage.contains("unresolved"), e.getMessage)
+  }
+}
+
+/** The reference in-memory client, plain S3-class semantics. */
+class InMemoryObjectStoreContract
+  extends ObjectStoreContractSuite("in-memory", () => new InMemoryObjectStore)
+
+/** The same client under REAL-STORE pressure: 2-key list pages returned in
+  * scrambled order (each page a billable request) and every 7th request
+  * across all types rejected by a burst-throttle window. The whole
+  * contract — including the thread race and the injected ambiguity
+  * scenarios — must hold unchanged; 7 is coprime to the retry budget so
+  * bursts land at arbitrary points in every retry loop.
+  */
+class PaginatedThrottledObjectStoreContract
+  extends ObjectStoreContractSuite("paginated+bursty",
+    () => new InMemoryObjectStore(listPageSize = 2, throttleEvery = 7))

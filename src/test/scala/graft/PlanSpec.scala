@@ -491,12 +491,12 @@ class PlanSpec extends SparkSpec {
       // txt_contamination_bloom 4 (benchmark count + bloom build + agg +
       // verify), op_approx_distinct 2 (two aggs + broadcast build),
       // op_approx_quantile 1 (one ObjectHashAggregate pass),
-      // op_pagerank 18 (iterative: setup checkpoints + 1 eager
-      // localCheckpoint job per iteration — jobs scale with iters by
-      // design, the pin catches a per-iteration job-count regression)
+      // op_pagerank 9 (iterative: 2 edge-scaffold checkpoints + node
+      // census + ONE final eager checkpoint — rounds chain lazily, so the
+      // pin catches any return of per-iteration driver jobs)
       for ((name, bound) <- Seq("dedup_ngram_jaccard" -> 3, "op_salted_join" -> 3,
           "txt_contamination_bloom" -> 5, "op_approx_distinct" -> 3,
-          "op_approx_quantile" -> 2, "op_pagerank" -> 20,
+          "op_approx_quantile" -> 2, "op_pagerank" -> 11,
           "dedup_incremental" -> 3, "op_train_split" -> 2,
           "pipeline_daily_batch" -> 3, "txt_heavy_hitters" -> 4,
           "op_corr_matrix" -> 2,
@@ -518,9 +518,10 @@ class PlanSpec extends SparkSpec {
           "ann_pq_topk" -> 4, "txt_bigram_lm" -> 4,
           "txt_c4_filters" -> 3, "web_url_dedup" -> 3,
           "op_bucketed_join" -> 5,
-          // the web-curation funnel: 5 crossJoined scalar aggs (each a
-          // broadcast build + its agg over a successively-filtered side)
-          "pipeline_web_curation" -> 11,
+          // the web-curation funnel: censuses fused into ONE stage-tagged
+          // union aggregation (6 measured: blocklist/tot broadcast builds
+          // + the single census job; was 10 as 5 crossJoined scalar aggs)
+          "pipeline_web_curation" -> 7,
           // SCD2 interval build: one window shuffle + bounded-group agg
           "op_scd2" -> 2,
           // co-occurrence: distinct + pair agg + two broadcast builds
@@ -560,7 +561,11 @@ class PlanSpec extends SparkSpec {
           "txt_inverted_index" -> 4, "mm_image_ahash" -> 3,
           // re-measured r10 after the lazy-checkpoint+count rewrite
           // (1 job/hop instead of eager-checkpoint + isEmpty = 2):
-          // 9 = seed count + ~5 hop counts + settled union + final sort
+          // 9 = seed count + ~5 hop counts + settled union + final sort.
+          // r15: still 9 after fusing the per-hop distinct+anti-join into
+          // one min-dist aggregation (same jobs, one shuffle per hop) and
+          // hoisting the edge checkpoint to the key (the unreached census
+          // reads blocks instead of rebuilding orders⋈lineitem)
           "op_bfs" -> 10,
           // the r8→r9 driver-bench 2.1× mover: a pure regex-chain
           // projection + the output range sort — 2 measured; the pin
@@ -573,16 +578,17 @@ class PlanSpec extends SparkSpec {
           // final; ml_pca_project 4 = count + moment agg + header union +
           // result; txt_sparse_cosine 6 = tf persist + df window + pair
           // agg + prefilter persist + hot completion + sort;
-          // op_kcore 7 = canon checkpoint + 2 peel rounds × (checkpoint +
-          // count probe) + final agg — a deeper planted graph adds
-          // rounds BY DESIGN, so the pin is for THIS construct;
+          // op_kcore 4 = lazy canon checkpoint+census + 2 peel rounds ×
+          // (lazy checkpoint + count, fused to 1 job — the bfsHops
+          // discipline) + final agg — a deeper planted graph adds rounds
+          // BY DESIGN, so the pin is for THIS construct;
           // roundtrips carry their write jobs
           "ml_auc" -> 2, "ml_confusion" -> 2, "ml_calibration" -> 2,
           "ml_lift" -> 2, "ml_feature_hash" -> 3, "ml_pca_project" -> 5,
           "op_attribution" -> 2, "op_markov" -> 2, "op_rfm" -> 7,
           "op_impute" -> 2, "op_orc_roundtrip" -> 3, "op_chi_square" -> 3,
           "op_schema_drift" -> 2, "op_partition_pruning" -> 4,
-          "txt_sparse_cosine" -> 7, "op_kcore" -> 8, "op_survivorship" -> 3,
+          "txt_sparse_cosine" -> 7, "op_kcore" -> 5, "op_survivorship" -> 3,
           "q7_nation_volume" -> 3, "q12_late_shipments" -> 2,
           "q16_supplier_reach" -> 2, "q22_dormant_value" -> 3,
           "op_jdbc_roundtrip" -> 4,
@@ -632,9 +638,10 @@ class PlanSpec extends SparkSpec {
           "op_point_in_polygon" -> 2,
           // word-score agg + phrase join + TakeOrdered head
           "txt_rake" -> 3,
-          // iterative (23 measured: setup + 3 rounds × 2 normalized
-          // checkpoints + final join) — the op_pagerank regime
-          "op_hits" -> 25,
+          // iterative (16 measured: setup + one materialization of the
+          // lazy round chain + 2 scalar-normalization broadcast builds
+          // per round) — the op_pagerank lazy-chain regime
+          "op_hits" -> 18,
           // clustered write (range sampling + write) + pruned read agg
           "op_zorder_pruned" -> 5,
           // one QI-group shuffle + bounded census fold
@@ -645,8 +652,9 @@ class PlanSpec extends SparkSpec {
           "op_twap" -> 2,
           // one posexplode cell agg + bounded folds
           "emb_centroid_drift" -> 3,
-          // iterative (10 measured: setup + 3 rounds × checkpoint)
-          "op_label_propagation" -> 12,
+          // iterative (6 measured: sym checkpoint + one lazy-chain
+          // materialization; rounds add no driver jobs)
+          "op_label_propagation" -> 8,
           // census + suppress-join fold
           "op_anonymize" -> 3,
           // builder mapPartitions + parse + sort
