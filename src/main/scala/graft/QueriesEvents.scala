@@ -598,5 +598,148 @@ private[graft] object QueriesEvents {
         SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
         FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bucket = c.bucket
         ORDER BY 1, 2""")),
+
+    QueryDef("op_stream_neardup",
+      // Streaming history-dedup under the driver oracle (VERDICT r14 item
+      // 6): the documents corpus (bounded to doc_id < 1200, collected to
+      // feed MemoryStream — ≤ 1200 rows, a protocol-certification key like
+      // the emb_ samples) is REPLAYED as three real micro-batches
+      // (doc_id % 3, in order) through Streaming.nearDupFilterSink — the
+      // full composed surface: per-batch MinHash signing, banded in-batch
+      // shield with min-id transitive cluster reps, the pair-level history
+      // probe against the ManifestTable state, the idempotent state
+      // append — with each batch's accepted rows landed through the
+      // BATCH-TOKEN log (appendOnce). After the stream, batch 0's token is
+      // REPLAYED with a poison row: a broken token protocol would admit it
+      // and break the hash. Output: per-batch (n_docs, n_accepted,
+      // n_dropped) + the state table's total row count (4 band rows per
+      // accepted doc); the oracle replays signing, banding, the ≥ 4-of-8
+      // agreement criterion, the recursive min-id cluster resolution, and
+      // both sequential history probes in SQL, so an accept/drop drift in
+      // ANY stage of ANY batch breaks the hash.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val root = freshScratchRoot(s, "snd", d)
+        val sigTable = ManifestTable(s, root + "/state")
+        val accTable = ManifestTable(s, root + "/accepted")
+        val sample = t(s, d, "documents").where(col("doc_id") < 1200)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .collect().sortBy(_._1)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val input = MemoryStream[(Long, String)]
+        val nextToken = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = graft.streaming.Streaming.nearDupFilterSink(
+            input.toDF().toDF("doc_id", "text"), "doc_id", "text", sigTable,
+            shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+            onAccepted = b => {
+              accTable.appendOnce(b.withColumn("batch", pmod(col("doc_id"), lit(3L))),
+                "acc", batchId = nextToken.getAndIncrement())
+              ()
+            })
+          .option("checkpointLocation", root + "/cp").start()
+        try (0 until 3).foreach { i =>
+          input.addData(sample.filter(_._1 % 3 == i).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        // replay hazard through the batch-token log: re-committing batch
+        // 0's (sinkId, batchId) with a poison row must be a no-op
+        accTable.appendOnce(Seq((-1L, "replayed", -1L)).toDF("doc_id", "text", "batch"),
+          "acc", batchId = 0L)
+        val nAcc = accTable.snapshot().groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_accepted"))
+        t(s, d, "documents").where(col("doc_id") < 1200)
+          .groupBy(pmod(col("doc_id"), lit(3L)).as("batch"))
+          .agg(count(lit(1)).as("n_docs"))
+          .join(nAcc, Seq("batch"), "left")
+          .select(col("batch"), col("n_docs"),
+            coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+            (col("n_docs") - coalesce(col("n_accepted"), lit(0L))).as("n_dropped"))
+          .crossJoin(sigTable.snapshot().agg(count(lit(1)).as("n_state_rows")))
+          .orderBySmall(col("batch"))
+      },
+      Some(streamNearDupOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2,
+        minAgree = 4, batches = 3, idBound = 1200))),
   )
+
+  /** DuckDB replay of [[graft.streaming.Streaming.nearDupFilterSink]]'s
+    * accept/drop protocol over `batches` sequential micro-batches
+    * (doc_id % batches): MinHash signing (with the sink's short-doc
+    * whole-text shingle rule), banded candidate generation, the
+    * signature-agreement criterion (≥ `minAgree` of `numHashes` slots —
+    * the sink's fraction-≥-threshold form in integer terms), recursive
+    * min-id cluster resolution for the in-batch shield, and each batch's
+    * history probe against the union of earlier batches' acceptances.
+    * Heavily-referenced CTEs are MATERIALIZED — inlined re-expansion of
+    * the signing pipeline measured >200× slower.
+    */
+  private def streamNearDupOracleSql(shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                                     minAgree: Int, batches: Int, idBound: Int): String = {
+    def agree(sa: String, sb: String) =
+      "(" + (0 until numHashes)
+        .map(i => s"(CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ") + s") >= $minAgree"
+    def histDup(b: Int, accUnion: String) =
+      s"""(SELECT DISTINCT x.doc_id FROM bk x
+        JOIN bk h ON x.band = h.band AND x.bucket = h.bucket AND x.doc_id <> h.doc_id
+        JOIN sig sa ON sa.doc_id = x.doc_id
+        JOIN sig sb ON sb.doc_id = h.doc_id
+        WHERE x.b = $b AND x.doc_id IN (SELECT doc_id FROM surv WHERE b = $b)
+          AND h.doc_id IN ($accUnion) AND ${agree("sa", "sb")})"""
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { k =>
+      val cc = (0 until rowsPerBand).map(r => s"mh${k * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, b, $k AS band, md5($cc) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val mh = (0 until numHashes)
+      .map(i => s"min(substring(md5(shingle), ${i * 4 + 1}, 4)) AS mh$i").mkString(", ")
+    val shingleExpr = (0 until shingleN).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    // sequential history probes, unrolled per batch
+    val accCtes = (0 until batches).map { b =>
+      if (b == 0) s"acc0 AS (SELECT doc_id FROM surv WHERE b = 0)"
+      else {
+        val accUnion = (0 until b).map(j => s"SELECT doc_id FROM acc$j").mkString(" UNION ALL ")
+        s"""hd$b AS ${histDup(b, accUnion)},
+        acc$b AS (SELECT doc_id FROM surv WHERE b = $b
+          AND doc_id NOT IN (SELECT doc_id FROM hd$b))"""
+      }
+    }.mkString(",\n    ")
+    val accCounts = (0 until batches)
+      .map(b => s"(SELECT count(*) FROM acc$b) AS a$b").mkString(", ")
+    val accCase = "CASE t.b " + (0 until batches - 1)
+      .map(b => s"WHEN $b THEN (SELECT a$b FROM tot)").mkString(" ") +
+      s" ELSE (SELECT a${batches - 1} FROM tot) END"
+    val accSum = (0 until batches).map(b => s"a$b").mkString(" + ")
+    s"""WITH RECURSIVE tk AS (
+      SELECT doc_id, doc_id % $batches AS b,
+        list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+      FROM documents WHERE doc_id < $idBound),
+    shl AS (SELECT doc_id, b, CASE WHEN len(toks) >= $shingleN
+        THEN list_distinct([$shingleExpr
+          FOR i IN generate_series(1, len(toks) - ${shingleN - 1})])
+        ELSE [array_to_string(toks, ' ')] END AS shingles FROM tk),
+    sh AS (SELECT doc_id, b, unnest(shingles) AS shingle FROM shl),
+    sig AS MATERIALIZED (SELECT doc_id, any_value(b) AS b, $mh FROM sh GROUP BY doc_id),
+    bk AS MATERIALIZED ($bands),
+    pin AS MATERIALIZED (SELECT DISTINCT x.b, x.doc_id AS da, y.doc_id AS db
+      FROM bk x JOIN bk y ON x.b = y.b AND x.band = y.band AND x.bucket = y.bucket
+        AND x.doc_id < y.doc_id
+      JOIN sig sa ON sa.doc_id = x.doc_id JOIN sig sb ON sb.doc_id = y.doc_id
+      WHERE ${agree("sa", "sb")}),
+    sym AS (SELECT b, da AS a, db AS r FROM pin UNION ALL SELECT b, db, da FROM pin),
+    reach AS (SELECT b, a, r FROM sym
+      UNION
+      SELECT r1.b, r1.a, s.r FROM reach r1 JOIN sym s ON s.b = r1.b AND s.a = r1.r),
+    rep AS (SELECT b, a AS doc_id, least(a, min(r)) AS rep FROM reach GROUP BY b, a),
+    dropsin AS (SELECT b, doc_id FROM rep WHERE rep < doc_id),
+    surv AS MATERIALIZED (SELECT doc_id, b FROM sig
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropsin)),
+    $accCtes,
+    tot AS (SELECT $accCounts)
+    SELECT t.b AS batch, count(*) AS n_docs,
+      $accCase AS n_accepted,
+      count(*) - ($accCase) AS n_dropped,
+      (SELECT CAST($numBands * ($accSum) AS BIGINT) FROM tot) AS n_state_rows
+    FROM tk t GROUP BY t.b ORDER BY batch"""
+  }
 }
