@@ -835,8 +835,12 @@ object Analytics {
     * round per hop — the Pregel iteration shape, same scale argument as
     * `Dedup.dedupClusters`' pointer-jumping branch). Rounds are bounded
     * by min(diameter, maxHops); each round is ONE equi-join on the edge
-    * key plus an anti-join against the settled set — never all-pairs, and
-    * the shuffle volume per round is |frontier adjacency|, not |graph|.
+    * key plus ONE min-dist aggregation over candidates ∪ settled (a
+    * settled node's smaller dist wins the min and the dist = hop filter
+    * drops it; a new node's min IS hop) — the aggregation replaces the
+    * previous candidate-distinct + settled anti-join, one hash shuffle
+    * where two-plus ran. Never all-pairs; the shuffle volume per round is
+    * |frontier adjacency| + |settled|, not |graph|.
     *
     * `edges` is directed (src, dst) — callers wanting undirected reach
     * union the reverse. Every round `localCheckpoint`s: the settled set
@@ -846,8 +850,10 @@ object Analytics {
     * also serves as the convergence probe — ONE job per hop (the
     * [[graft.ops.Dedup.dedupClusters]] pattern), where the eager-
     * checkpoint + `isEmpty` form paid two; on a loaded host scheduling
-    * latency per job dominates the per-round work. The edge checkpoint is
-    * freed when the loop exits — the result plan reads only the
+    * latency per job dominates the per-round work. A caller-materialized
+    * edge frame (flat LogicalRDD with columns (src, dst)) is used as-is —
+    * no second blocks copy — and only a checkpoint THIS call created is
+    * freed when the loop exits; the result plan reads only the
     * already-materialized frontiers, never the edges.
     *
     * Returns (node, dist) for reached nodes only; dist 0 = the seeds.
