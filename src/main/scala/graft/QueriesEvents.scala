@@ -479,7 +479,12 @@ private[graft] object QueriesEvents {
       // dead pids' roots are reclaimed by freshScratchRoot's shared
       // memoized sweep, same as op_merge_acid/op_time_travel.
       (s, d) => {
-        val root = freshScratchRoot(s, "bucketed", d)
+        // basename, not the full path: keeps the scratch prefix identical
+        // to the pre-r15 inline form (graft_bucketed_<basename>_<pid>) so
+        // dirs leaked by earlier builds still match the sweep and get
+        // reclaimed; the pid suffix + per-invocation wipe keep two
+        // processes on same-named SF dirs from colliding regardless
+        val root = freshScratchRoot(s, "bucketed", new java.io.File(d).getName)
         Layout.writeBucketed(
           t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
           "graft_b_orders", s"$root/orders", numBuckets = 8, keys = Seq("o_custkey"))
@@ -628,13 +633,15 @@ private[graft] object QueriesEvents {
           .collect().sortBy(_._1)
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val input = MemoryStream[(Long, String)]
-        val nextToken = new java.util.concurrent.atomic.AtomicLong(0)
+        // tokens key on the STREAM's micro-batch id (onAcceptedBatch), not
+        // a sink-side counter: a checkpoint-recovery replay re-presents
+        // the same id and the token no-ops — the identity being certified
         val q = graft.streaming.Streaming.nearDupFilterSink(
             input.toDF().toDF("doc_id", "text"), "doc_id", "text", sigTable,
             shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
-            onAccepted = b => {
+            onAcceptedBatch = (b, batchId) => {
               accTable.appendOnce(b.withColumn("batch", pmod(col("doc_id"), lit(3L))),
-                "acc", batchId = nextToken.getAndIncrement())
+                "acc", batchId = batchId)
               ()
             })
           .option("checkpointLocation", root + "/cp").start()
@@ -643,8 +650,12 @@ private[graft] object QueriesEvents {
           q.processAllAvailable()
         } finally q.stop()
         // replay hazard through the batch-token log: re-committing batch
-        // 0's (sinkId, batchId) with a poison row must be a no-op
-        accTable.appendOnce(Seq((-1L, "replayed", -1L)).toDF("doc_id", "text", "batch"),
+        // 0's (sinkId, batchId) must be a no-op. The poison row carries
+        // batch = 0 — INSIDE the hashed census — so a broken token
+        // protocol inflates batch 0's n_accepted and breaks the hash (a
+        // batch value outside 0..2 would vanish in the join below and
+        // certify nothing)
+        accTable.appendOnce(Seq((-1L, "replayed", 0L)).toDF("doc_id", "text", "batch"),
           "acc", batchId = 0L)
         val nAcc = accTable.snapshot().groupBy(col("batch"))
           .agg(count(lit(1)).as("n_accepted"))

@@ -109,7 +109,16 @@ private[graft] object QueriesText2 {
           .join(dist.select(col("node")).hint("merge"), Seq("node"), "left_anti")
           .agg(count(lit(1)).as("n_nodes"))
           .select(lit(-1).as("dist"), col("n_nodes"))
-        reached.unionByName(unreached).orderBySmall(col("dist"))
+        val census = reached.unionByName(unreached).orderBySmall(col("dist"))
+        // the census is ≤ maxHops + 2 rows: materialize it NOW so the
+        // edge and frontier checkpoint blocks this invocation pinned can
+        // be freed deterministically (bfsHops leaves a caller-owned edge
+        // checkpoint alone; without the free, every bench iteration would
+        // pin another 2|E| copy until the ContextCleaner happens to run)
+        val rows = census.collect()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(dist)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), census.schema)
       },
       Some("""WITH RECURSIVE e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
             's' || CAST(l_suppkey AS VARCHAR) AS dst

@@ -1933,6 +1933,7 @@ object Analytics {
     }
     var hub = nodes.select(col("v"), lit(scale).as("h"))
     var auth: DataFrame = null
+    var lastEagerCut: DataFrame = null
     for (i <- 1 to iters) {
       val aRaw = e.join(hub.select(col("v").as("src"), col("h")), "src")
         .groupBy(col("dst")).agg(sum(col("h")).as("_a"))
@@ -1946,11 +1947,16 @@ object Analytics {
       var hNorm = normalized(hFull, "_h", "h")
       // bound the pinned lazy-block footprint for large iteration counts:
       // an eager cut every `checkpointEvery` rounds materializes + frees
-      // everything accumulated so far (the pageRank discipline)
+      // everything accumulated so far, INCLUDING the previous cut's eager
+      // frame (its blocks rooted the chain this cut just materialized past)
+      // — pinned state stays O(|nodes|), never O(cuts·|nodes|)
       if (i % checkpointEvery == 0 && i < iters) {
         hNorm = hNorm.localCheckpoint()
         lazyCps.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
         lazyCps.clear()
+        if (lastEagerCut != null)
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEagerCut)
+        lastEagerCut = hNorm
       }
       hub = hNorm; auth = aNorm
     }
@@ -1960,6 +1966,8 @@ object Analytics {
       .select(col("v"), col("h").as("hub"), col("a").as("authority"))
       .localCheckpoint()
     lazyCps.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
+    if (lastEagerCut != null)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEagerCut)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
     org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
     out

@@ -325,15 +325,22 @@ object Streaming {
     * `onAccepted` receives each batch's surviving rows (original schema) —
     * route them to the corpus sink of your choice inside the same
     * foreachBatch for per-batch atomicity of "state + corpus".
+    * `onAcceptedBatch` additionally carries the STREAM's micro-batch id —
+    * the replay identity an exactly-once corpus sink must key its batch
+    * token on (`ManifestTable.appendOnce(_, sinkId, batchId)`): a
+    * checkpoint-recovery re-execution of the same micro-batch re-presents
+    * the same id, so the token no-ops, where any sink-side counter would
+    * draw a fresh token and double-append.
     */
   def nearDupFilterSink(docs: DataFrame, idCol: String, textCol: String,
                         sigTable: graft.ops.ManifestTable,
                         shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                         threshold: Double = 0.5,
                         onAccepted: DataFrame => Unit = _ => (),
-                        compactEvery: Int = 0)
+                        compactEvery: Int = 0,
+                        onAcceptedBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.ops.{Aggregates, Dedup}
       // short docs (< shingleN tokens, incl. empty text) sign their whole
       // text as one shingle instead of vanishing from the filter
@@ -441,6 +448,7 @@ object Streaming {
             sigTable.vacuum()
           }
           onAccepted(accepted)
+          onAcceptedBatch(accepted, batchId)
         } finally {
           histDups.unpersist(blocking = false)
           shielded.unpersist(blocking = false)

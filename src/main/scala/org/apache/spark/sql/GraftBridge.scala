@@ -22,15 +22,23 @@ object GraftBridge {
       case r: execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  /** True when the Dataset is ALREADY a flat `LogicalRDD` leaf — i.e. the
-    * result of a previous `localCheckpoint`. Iterative operators use this
-    * to skip re-checkpointing an input a caller has already materialized
-    * (a second checkpoint would copy every block — at edge-corpus scale a
-    * full extra pass) and, symmetrically, to know the input's blocks are
-    * the CALLER's to free, not theirs.
+  /** True when the Dataset is ALREADY a flat, PERSISTED `LogicalRDD` leaf —
+    * i.e. the result of a previous `localCheckpoint` whose blocks are still
+    * held. Iterative operators use this to skip re-checkpointing an input a
+    * caller has already materialized (a second checkpoint would copy every
+    * block — at edge-corpus scale a full extra pass) and, symmetrically, to
+    * know the input's blocks are the CALLER's to free, not theirs. The
+    * storage-level check matters: a bare `spark.createDataFrame(rdd)` is
+    * also a LogicalRDD leaf, but nothing is persisted, so skipping the
+    * checkpoint there would re-execute the upstream RDD lineage once per
+    * iteration — exactly the cost the checkpoint exists to avoid.
     */
   def isFlatRdd(df: Dataset[_]): Boolean =
-    df.queryExecution.analyzed.isInstanceOf[execution.LogicalRDD]
+    df.queryExecution.analyzed match {
+      case r: execution.LogicalRDD =>
+        r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
 
   /** Table existence through Spark's own JDBC machinery — the connection
     * comes from the dialect's factory (which consults Spark's

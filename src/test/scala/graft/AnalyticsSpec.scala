@@ -466,6 +466,14 @@ class AnalyticsSpec extends SparkSpec {
     val again = Analytics.hitsFixedPoint(e.repartition(5), "s", "t", iters = 3)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again === got)
+    // the periodic eager-cut path (iters > checkpointEvery — the lazy
+    // chain gets materialized + freed mid-loop, incl. the PREVIOUS cut's
+    // eager frame) is bit-identical to the uncut chain
+    val cut = Analytics.hitsFixedPoint(e, "s", "t", iters = 5, checkpointEvery = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val uncut = Analytics.hitsFixedPoint(e, "s", "t", iters = 5, checkpointEvery = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cut === uncut)
   }
 
   test("kAnonymityAudit: hand-built groups land in the right bands; l-diversity catches uniform-sensitive groups") {

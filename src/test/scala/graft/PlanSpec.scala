@@ -562,11 +562,13 @@ class PlanSpec extends SparkSpec {
           // re-measured r10 after the lazy-checkpoint+count rewrite
           // (1 job/hop instead of eager-checkpoint + isEmpty = 2):
           // 9 = seed count + ~5 hop counts + settled union + final sort.
-          // r15: still 9 after fusing the per-hop distinct+anti-join into
-          // one min-dist aggregation (same jobs, one shuffle per hop) and
-          // hoisting the edge checkpoint to the key (the unreached census
-          // reads blocks instead of rebuilding orders⋈lineitem)
-          "op_bfs" -> 10,
+          // r15: 10 after fusing the per-hop distinct+anti-join into one
+          // min-dist aggregation (one shuffle per hop), hoisting the edge
+          // checkpoint to the key (the unreached census reads blocks
+          // instead of rebuilding orders⋈lineitem), and materializing the
+          // ≤8-row census eagerly so the edge/frontier blocks free
+          // deterministically (+1 job: the local-relation write)
+          "op_bfs" -> 11,
           // the r8→r9 driver-bench 2.1× mover: a pure regex-chain
           // projection + the output range sort — 2 measured; the pin
           // settles future moves as host noise vs plan regression

@@ -278,12 +278,14 @@ class StreamingSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-neardup-ckpt")
     val table = graft.ops.ManifestTable(spark, dir.toString + "/sigs")
     val accepted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
     val input = MemoryStream[(Long, String)]
     val q = Streaming.nearDupFilterSink(
         input.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
         threshold = 0.5,
         onAccepted = b => accepted.synchronized {
-          accepted += b.select("doc_id").as[Long].collect().toSet })
+          accepted += b.select("doc_id").as[Long].collect().toSet },
+        onAcceptedBatch = (_, id) => batchIds.synchronized { batchIds += id })
       .option("checkpointLocation", ckpt.toString).start()
     val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
     val textB = "completely different words about spark query engines and parquet columnar formats"
@@ -298,6 +300,9 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(accepted.toList == List(Set(1L, 2L), Set(12L)),
       s"history dedup must drop 10 (exact) and 11 (near), got $accepted")
+    // onAcceptedBatch carries the STREAM's micro-batch ids (the replay
+    // identity an exactly-once corpus sink keys its tokens on)
+    assert(batchIds.toList == List(0L, 1L), s"expected stream batch ids 0,1 got $batchIds")
     // the signature table holds exactly the accepted docs' band rows
     val stateIds = table.snapshot().select("doc_id").as[Long].collect().toSet
     assert(stateIds == Set(1L, 2L, 12L))
