@@ -88,21 +88,27 @@ final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogS
     // holding the lock now: any failure before the manifest publishes MUST
     // release it, or this live writer's transient IO error (disk full,
     // rename refusal) turns into a permanent outage for every writer
+    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     try {
-      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, /* overwrite = */ false)
       try out.write(body) finally out.close()
       // no contention on the final name — the lock made us the sole writer
       // of this version; the rename is only for atomic reader visibility
       if (!fs.rename(tmp, manifestPath(v))) {
-        fs.delete(tmp, false)
         throw new java.io.IOException(
           s"ManifestTable log: rename to ${manifestPath(v)} failed while holding its lock")
       }
       true
     } catch {
       case e: Throwable =>
+        // release the lock AND collect the staged tmp file: nothing else
+        // ever cleans _log (vacuum sweeps data/ only, listVersions ignores
+        // dot-files), so a writer retrying through transient IO errors
+        // would otherwise leak one .tmp per failure into the directory
+        // every latestVersion() call lists
         try fs.delete(lockPath(v), false)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        try fs.delete(tmp, false)
         catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw e
     }

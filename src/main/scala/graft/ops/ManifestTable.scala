@@ -396,7 +396,16 @@ final class ManifestTable private (
             fs.delete(new Path(dataDir, tombDir), /* recursive = */ true)
             return v
           }
-          val remaining = readDirs(m, rewrite).join(tRead, keys, "left_anti")
+          // NULL-SAFE anti join (the Aggregates.upsert convention): with
+          // plain equality a null-key tombstone never matches a null-key
+          // row, so a delete that reported success would silently leave
+          // the null-key row behind — the exact right-to-be-forgotten
+          // violation merge's <=> matching exists to prevent
+          val src = readDirs(m, rewrite).alias("_del_b")
+          val tomb = tRead.alias("_del_t")
+          val cond = keys.map(k => col(s"_del_b.`$k`") <=> col(s"_del_t.`$k`"))
+            .reduce(_ && _)
+          val remaining = src.join(tomb, cond, "left_anti")
           val (dir, stats) = writeData(remaining)
           fs.delete(new Path(dataDir, tombDir), /* recursive = */ true)
           commitOnce("delete", m.schemaDdl, _ => keep :+ dir, stats,
@@ -518,10 +527,15 @@ final class ManifestTable private (
     val prunable = cols.filter(c =>
       updates.schema.fields.exists(f => f.name == c && isPrunableType(f.dataType)))
     if (prunable.isEmpty) return Map.empty
+    // backtick-quoted like every other key reference in this file: an
+    // unquoted dotted stats column ("a.b") would re-parse as a nested
+    // field path and fail (or silently aggregate a struct field) AFTER
+    // the parquet data already landed. The alias strings are matched
+    // verbatim by Row.getAs, never re-parsed, so they stay unquoted.
     val aggs = prunable.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c"),
-      count(when(col(c).isNull, lit(1))).as(s"nulls_$c")))
+      min(col(s"`$c`")).cast("string").as(s"min_$c"),
+      max(col(s"`$c`")).cast("string").as(s"max_$c"),
+      count(when(col(s"`$c`").isNull, lit(1))).as(s"nulls_$c")))
     val r = updates.agg(aggs.head, aggs.tail: _*).collect()(0)
     prunable.map { c =>
       c -> ColStat(

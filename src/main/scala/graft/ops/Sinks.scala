@@ -227,7 +227,7 @@ object Sinks {
     * must take the fresh-table branch — `spark.read.parquet` on it throws
     * (unable to infer schema) and the first real append could never proceed.
     */
-  private def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
+  private[graft] def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && hasVisibleFile(fs, p)

@@ -102,13 +102,20 @@ object Streaming {
                        leftTs: String, rightTs: String,
                        watermark: String, joinWindow: String): DataFrame = {
     require(leftTs != rightTs, "timestamp columns must have distinct names")
+    require(keyCol != leftTs && keyCol != rightTs,
+      "the join key must not be a timestamp column")
+    // collision-safe helper name: a hardcoded "_rkey" would duplicate (or
+    // mis-resolve against) a caller column of the same name
+    val rk = s"__ssj_${keyCol}_r"
+    require(!left.columns.contains(rk) && !right.columns.contains(rk),
+      s"column name $rk is reserved by streamStreamJoin")
     val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(keyCol, "_rkey")
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(keyCol, rk)
     l.join(r,
-        col(keyCol) === col("_rkey") &&
+        col(keyCol) === col(rk) &&
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"interval $joinWindow"))
-      .drop("_rkey")
+      .drop(rk)
   }
 
   /** Stream-static enrichment join: a streaming fact joined to a bounded
@@ -180,11 +187,19 @@ object Streaming {
                    k: Int, nprobe: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val corpus = batch.sparkSession.read.parquet(indexPath)
-      val served = graft.ops.Similarity.ivfTopKFitted(
-        batch, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
-      graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, served,
-        outPath, Seq("query_id", "rank"))
+      // a query batch arriving before the FIRST ingest commit (or against
+      // an index dir holding only write markers) serves the empty result
+      // set instead of crashing the stream on schema inference — the same
+      // fresh-table guard idempotentParquetAppend applies on its own path.
+      // Nothing is appended, so a later redelivery of the same queries
+      // (at-least-once upstream) serves them once the index exists.
+      if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, indexPath)) {
+        val corpus = batch.sparkSession.read.parquet(indexPath)
+        val served = graft.ops.Similarity.ivfTopKFitted(
+          batch, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
+        graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, served,
+          outPath, Seq("query_id", "rank"))
+      }
       ()
     }
 
@@ -434,6 +449,14 @@ object Streaming {
         try {
           graft.ops.Sinks.writeIfNonEmpty(newState,
             st => { sigTable.append(st); () })
+          // acceptance handlers run BEFORE maintenance: `accepted`'s lazy
+          // plan reads the PRE-append history snapshot through the
+          // persisted-but-EVICTABLE histDups — if vacuum below deleted the
+          // pre-compaction dirs first, a cache loss mid-handler would
+          // recompute the history bucket join against deleted paths and
+          // fail the corpus sink after state already committed
+          onAccepted(accepted)
+          onAcceptedBatch(accepted, batchId)
           // append-per-trigger accumulates one dir per micro-batch — the
           // small-file failure mode compact exists for. Opt-in maintenance
           // keyed on the LIVE DIR COUNT (not version parity: compact's own
@@ -447,8 +470,6 @@ object Streaming {
             sigTable.compact()
             sigTable.vacuum()
           }
-          onAccepted(accepted)
-          onAcceptedBatch(accepted, batchId)
         } finally {
           histDups.unpersist(blocking = false)
           shielded.unpersist(blocking = false)
@@ -551,9 +572,13 @@ object Streaming {
     *
     * Event times are integer microseconds (the repo's event-time
     * discipline). Batch events sort before merging, and a cross-batch
-    * out-of-order event within the gap MERGES into the open session
-    * (start/min, last/max) rather than spuriously closing it; an open
-    * session's tail rides in state until a later event closes it.
+    * out-of-order event within the gap of the open session's SPAN merges
+    * into it (start/min, last/max) rather than spuriously closing it. An
+    * event more than the gap EARLIER than the span either bridges into it
+    * (when a chain of same-batch events connects them) or is emitted
+    * immediately as its own closed late session — it is NEVER glued onto
+    * a session it is gap-separated from. An open session's tail rides in
+    * state until a later event closes it.
     */
   def closedSessionsStream(events: Dataset[(Long, Long)], gapUs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -565,21 +590,30 @@ object Streaming {
           val ts = batch.map(_._2).toArray.sorted
           if (ts.isEmpty) Iterator.empty
           else {
+            // interval gap-merge over the sorted union of {open session} ∪
+            // batch events, ordered by interval START. The naive fold on
+            // `t − last ≤ gap` merged ARBITRARILY-late events (negative
+            // LHS is always ≤ gap): an event more than gap before the open
+            // session's start glued onto it, corrupting start_us/n_events.
+            // Here such an event either closes immediately as its own late
+            // session, or BRIDGES into the open one when a chain of batch
+            // events connects them — the batch sessionizer's semantics on
+            // the same multiset. All but the last merged interval close;
+            // the last stays open (state remains ONE interval per key).
+            val intervals =
+              (state.getOption.map(o => (o.start_us, o.last_us, o.n_events)) ++
+                ts.iterator.map(t => (t, t, 1L))).toArray.sortBy(iv => (iv._1, iv._2))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(o) if t - o.last_us <= gapUs =>
-                  cur = Some(OpenSession(user, math.min(o.start_us, t),
-                    math.max(o.last_us, t), o.n_events + 1))
-                case Some(o) =>
-                  closed += ClosedSession(user, o.start_us, o.last_us, o.n_events)
-                  cur = Some(OpenSession(user, t, t, 1L))
-                case None =>
-                  cur = Some(OpenSession(user, t, t, 1L))
+            var cur = intervals.head
+            intervals.iterator.drop(1).foreach { iv =>
+              if (iv._1 - cur._2 <= gapUs)
+                cur = (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3)
+              else {
+                closed += ClosedSession(user, cur._1, cur._2, cur._3)
+                cur = iv
               }
             }
-            cur.foreach(state.update)
+            state.update(OpenSession(user, cur._1, cur._2, cur._3))
             closed.iterator
           }
       }

@@ -430,6 +430,18 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.snapshot().count() === 0L)
   }
 
+  test("deleteByKeys: a null-key tombstone deletes the null-key row (null-safe matching, like merge)") {
+    // merge matches keys with <=> (a null-key update replaces the
+    // null-key row), so the GDPR delete path must too — plain equality
+    // would silently leave the null-key row behind while reporting success
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(Seq((Some(1L), 1.0), (None, 99.0), (Some(2L), 2.0)).toDF("k", "v"))
+    t.deleteByKeys(Seq(Option.empty[Long]).toDF("k"), Seq("k"))
+    assert(t.snapshot().orderBy("k").as[(Option[Long], Double)].collect().toList ==
+      List(Some(1L) -> 1.0, Some(2L) -> 2.0),
+      "the null-key row must be gone and no other row touched")
+  }
+
   // ------------------------------------------- conditional-PUT log store
 
   private def objectStoreTable(): (ManifestTable, InMemoryObjectStore, String) = {

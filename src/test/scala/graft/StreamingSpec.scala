@@ -584,6 +584,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("closed_out").count() == 3)
   }
 
+  test("closedSessionsStream: an event gap-separated BEFORE the open session never glues onto it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.Streaming.closedSessionsStream(input.toDS(), gapUs = 10L)
+    val ck = java.nio.file.Files.createTempDirectory("graft-sess-late").toString
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_out").option("checkpointLocation", ck).start()
+    input.addData((1L, 1000L))
+    q.processAllAvailable()
+    // ts=0 is 990us before the open session's start (gap 10): it must be
+    // its own immediately-closed late session, NOT merged into [1000,1000]
+    input.addData((1L, 0L))
+    q.processAllAvailable()
+    val afterLate = spark.table("sess_late_out").as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterLate == Set((1L, 0L, 0L, 1L)),
+      s"a gap-separated earlier event must close alone, got $afterLate")
+    // BRIDGING: late events 980 and 990 connect to the open 1000 within
+    // the gap chain — all three merge; a later event then closes [980,1000]
+    input.addData((1L, 980L), (1L, 990L))
+    q.processAllAvailable()
+    input.addData((1L, 2000L))
+    q.processAllAvailable()
+    val fin = spark.table("sess_late_out").as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(fin == Set((1L, 0L, 0L, 1L), (1L, 980L, 1000L, 3L)), s"got $fin")
+  }
+
   test("closedSessionsStream matches the batch sessionizer on the closed prefix") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq((1L, 0L), (1L, 8L), (1L, 30L), (1L, 35L), (1L, 90L),
