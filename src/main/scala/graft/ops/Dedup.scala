@@ -98,16 +98,15 @@ object Dedup {
   def minhashAgg(seed: Int): Column =
     min(substring(col("_md5"), seed * 4 + 1, 4)).as(s"mh$seed")
 
-  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8),
-    * plus `n_sh` — the doc's distinct-shingle count, folded into the SAME
-    * aggregation so the Jaccard verify's size table costs no extra shuffle
-    * over the corpus-sized shingle table.
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8).
+    * No size column rides along: the Jaccard verify derives doc sizes from
+    * its own per-doc sets (`size(_set)` in [[jaccardVerifySets]]), so a
+    * signature-side count would be dead weight shuffled with every row.
     */
   def minhashSignatures(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes <= 8, "md5 yields 8 disjoint 4-hex-char slices")
     shingleTbl.withColumn("_md5", md5(col("shingle")))
-      .groupBy(col(idCol)).agg(minhashAgg(0),
-        (1 until numHashes).map(minhashAgg) :+ count(lit(1)).as("n_sh"): _*)
+      .groupBy(col(idCol)).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
   }
 
   /** LSH band buckets: band b hashes `rowsPerBand` consecutive signature
@@ -156,14 +155,7 @@ object Dedup {
     */
   def lshCandidatePairsCapped(buckets: DataFrame, idCol: String,
                               maxBucketSize: Int): DataFrame = {
-    val kept =
-      if (maxBucketSize == Int.MaxValue) buckets
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))
-        buckets.withColumn("_bn", count(lit(1)).over(w))
-          .where(col("_bn") <= maxBucketSize).drop("_bn")
-      }
+    val kept = capBuckets(buckets, Seq("band", "bucket"), maxBucketSize)
     val a = kept.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
     val b = kept.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
     a.join(b.hint("merge"), Seq("band", "bucket"))
@@ -191,6 +183,32 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_texts"))
   }
+
+  /** The ONE bucket-width-cap implementation every capped candidate
+    * generator shares (minhash bands, simhash/hamming chunks, SRP tables,
+    * the incremental cross-side join): rows in a `keys`-bucket wider than
+    * `maxWidth` are dropped. The width count rides the SAME hash
+    * partitioning the downstream join needs — no extra shuffle. One
+    * definition so the families' documented "same cap contract" cannot
+    * drift.
+    */
+  /** Long-encodable id check shared by the families whose kernels buffer
+    * ids as Long (CappedIds postings, TopK's Scored).
+    */
+  private[ops] def isIntegralIdType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxWidth: Int): DataFrame =
+    if (maxWidth == Int.MaxValue) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      df.withColumn("_bn", count(lit(1)).over(w))
+        .where(col("_bn") <= maxWidth).drop("_bn")
+    }
 
   /** The (band, bucket, width) rows that [[lshCandidatePairsCapped]] drops
     * at the given cap — the monitoring side-output for the recall trade.
@@ -227,20 +245,35 @@ object Dedup {
     * skipping the explode→regroup round trip entirely).
     */
   def jaccardVerifySets(pairs: DataFrame, sets: DataFrame, idCol: String,
-                        threshold: Double): DataFrame = {
-    // both join sides are corpus-sized (candidate pairs; one row per doc) —
-    // never broadcast (wrong at 100 TB, and each broadcast build is a
-    // scheduling-round job on the driver). SHUFFLED-HASH, not sort-merge:
-    // SMJ would sort the pair stream, and after the first join every pair
-    // row carries a document-sized set payload — sorting ~KB rows is the
-    // dominant cost (measured 12 s → 3 s on the sf0.1 ngram workload).
-    // The BUILD side is always the per-doc set table: its per-partition
-    // slice is |docs|/nPartitions rows — the same boundedness argument as
-    // [[graft.ops.Joins.skewSaltedJoin]]'s salted build side.
-    // sets are sorted ONCE per doc (array_sort = UTF8String binary order)
-    // so the per-pair intersection is a zero-allocation merge walk
-    // (SortedIntersectCountExpr) instead of array_intersect's per-row
-    // hash-set build — measured 13.5 s → ~1 s over 436k pairs
+                        threshold: Double): DataFrame =
+    pairSetIntersections(pairs, sets, idCol)
+      .withColumn("jac", col("n_inter").cast("double") /
+        (size(col("_sa")) + size(col("_sb")) - col("n_inter")).cast("double"))
+      .where(col("jac") >= lit(threshold))
+      .select("doc_a", "doc_b", "jac")
+
+  /** The ONE pairs ⋈ per-doc-set join/intersection shape the exact
+    * verifies (Jaccard, containment) compute their metrics over — the
+    * tuned physical decisions live here once so the variants cannot
+    * drift:
+    *
+    * Both join sides are corpus-sized (candidate pairs; one row per doc) —
+    * never broadcast (wrong at 100 TB, and each broadcast build is a
+    * scheduling-round job on the driver). SHUFFLED-HASH, not sort-merge:
+    * SMJ would sort the pair stream, and after the first join every pair
+    * row carries a document-sized set payload — sorting ~KB rows is the
+    * dominant cost (measured 12 s → 3 s on the sf0.1 ngram workload).
+    * The BUILD side is always the per-doc set table: its per-partition
+    * slice is |docs|/nPartitions rows — the same boundedness argument as
+    * [[graft.ops.Joins.skewSaltedJoin]]'s salted build side.
+    * Sets are sorted ONCE per doc (array_sort = UTF8String binary order)
+    * so the per-pair intersection is a zero-allocation merge walk
+    * (SortedIntersectCountExpr) instead of array_intersect's per-row
+    * hash-set build — measured 13.5 s → ~1 s over 436k pairs.
+    * Returns the pair rows with `_sa`, `_sb`, `n_inter` attached.
+    */
+  private def pairSetIntersections(pairs: DataFrame, sets: DataFrame,
+                                   idCol: String): DataFrame =
     pairs
       .join(sets.select(col(idCol).as("doc_a"),
         array_sort(col("_set")).as("_sa")).hint("shuffle_hash"), "doc_a")
@@ -248,11 +281,6 @@ object Dedup {
         array_sort(col("_set")).as("_sb")).hint("shuffle_hash"), "doc_b")
       .withColumn("n_inter",
         graft.functions.SetOps.sortedIntersectCount(col("_sa"), col("_sb")).cast("long"))
-      .withColumn("jac", col("n_inter").cast("double") /
-        (size(col("_sa")) + size(col("_sb")) - col("n_inter")).cast("double"))
-      .where(col("jac") >= lit(threshold))
-      .select("doc_a", "doc_b", "jac")
-  }
 
   /** EXACT n-gram Jaccard near-dup pairs — the deterministic member of the
     * dedup family (MinHash trades recall for cost probabilistically; this
@@ -320,13 +348,7 @@ object Dedup {
   def containmentVerify(pairs: DataFrame, shingleTbl: DataFrame, idCol: String,
                         threshold: Double): DataFrame = {
     val sets = shingleTbl.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("_set"))
-    pairs
-      .join(sets.select(col(idCol).as("doc_a"),
-        array_sort(col("_set")).as("_sa")).hint("shuffle_hash"), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"),
-        array_sort(col("_set")).as("_sb")).hint("shuffle_hash"), "doc_b")
-      .withColumn("n_inter",
-        graft.functions.SetOps.sortedIntersectCount(col("_sa"), col("_sb")).cast("long"))
+    pairSetIntersections(pairs, sets, idCol)
       .withColumn("containment", col("n_inter").cast("double") /
         least(size(col("_sa")), size(col("_sb"))).cast("double"))
       .where(col("containment") >= lit(threshold))
@@ -345,6 +367,15 @@ object Dedup {
     */
   private def ngramCandidateStats(docs: DataFrame, idCol: String, textCol: String,
                                   shingleN: Int, maxDf: Int): (DataFrame, DataFrame) = {
+    // ID TYPE CONTRACT (the whole exact n-gram pair family): ids must be
+    // INTEGRAL — CappedIds' postings buffer encodes them as Long (int ids
+    // widen to bigint in doc_a/doc_b). The hash families (minhash,
+    // simhash) take any id type; a string/UUID-keyed corpus maps ids
+    // through a lookup before using this family — checked loudly here
+    // instead of failing as an up-cast error inside the aggregation plan
+    require(isIntegralIdType(docs.schema(idCol).dataType),
+      s"ngram pair ids must be integral (got ${docs.schema(idCol).dataType.simpleString}: " +
+        "CappedIds encodes postings as Long — map string/UUID ids through a lookup first)")
     // the exploded shingle table feeds ONLY the candidate chain (the
     // verify's per-doc sets derive straight from the token projection, no
     // explode→regroup round trip) and is deliberately NOT persisted:
@@ -431,8 +462,7 @@ object Dedup {
       .withColumn("_h2", xxhash64(col("shingle"), lit(1)))
     hashed.groupBy(col(idCol)).agg(
       min(col("_h1")).as("mh0"),
-      (1 until numHashes).map(s => min(col("_h1") + lit(s.toLong) * col("_h2")).as(s"mh$s"))
-        :+ count(lit(1)).as("n_sh"): _*)
+      (1 until numHashes).map(s => min(col("_h1") + lit(s.toLong) * col("_h2")).as(s"mh$s")): _*)
   }
 
   /** Band buckets over integer signatures: bucket = xxhash64 of the band's
@@ -603,15 +633,8 @@ object Dedup {
                                    numChunks: Int, chunkBits: Int,
                                    maxHamming: Int,
                                    maxBucketWidth: Int = Int.MaxValue): DataFrame = {
-    val bucketed = chunkBuckets(sh, idCol, numChunks, chunkBits)
-    val kept =
-      if (maxBucketWidth == Int.MaxValue) bucketed
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("k"), col("chunk"))
-        bucketed.withColumn("_bn", count(lit(1)).over(w))
-          .where(col("_bn") <= maxBucketWidth).drop("_bn")
-      }
+    val kept = capBuckets(chunkBuckets(sh, idCol, numChunks, chunkBits),
+      Seq("k", "chunk"), maxBucketWidth)
     val a = kept.select(col("k"), col("chunk"), col(idCol).as("doc_a"), col("simhash").as("h_a"))
     val b = kept.select(col("k"), col("chunk"), col(idCol).as("doc_b"), col("simhash").as("h_b"))
     // hamming-filter BEFORE the distinct: duplicate candidates (one per
@@ -1112,9 +1135,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigOld = minhashSignatures(shOld, idCol, numHashes)
     val sigNew = minhashSignatures(shNew, idCol, numHashes)
-    val bOld = lshBuckets(sigOld, idCol, numHashes, rowsPerBand)
+    // the width cap applies PER SIDE before the cross-side join (a
+    // boilerplate bucket of width B_new × B_old explodes multiplicatively
+    // — the same quadratic corner as the self-join families, and this
+    // parameter used to be accepted but silently never applied)
+    val bOld = capBuckets(lshBuckets(sigOld, idCol, numHashes, rowsPerBand),
+        Seq("band", "bucket"), maxBucketSize)
       .select(col("band"), col("bucket"), col(idCol).as("doc_old"))
-    val bNew = lshBuckets(sigNew, idCol, numHashes, rowsPerBand)
+    val bNew = capBuckets(lshBuckets(sigNew, idCol, numHashes, rowsPerBand),
+        Seq("band", "bucket"), maxBucketSize)
       .select(col("band"), col("bucket"), col(idCol).as("doc_new"))
     // both bucket tables are corpus-sized derivations — merge-hinted for
     // the same reason as lshCandidatePairs (broadcast is wrong at scale)
@@ -1122,9 +1151,16 @@ object Dedup {
       .select("doc_new", "doc_old").distinct()
     // verify over both sides' shingles: rename to the jaccardVerify pair
     // contract (doc_a = new side, doc_b = old side); sizes ride inside the
-    // verify's per-doc sets
+    // verify's per-doc sets. Each side's shingle table is SEMI-JOIN PRUNED
+    // to its candidate ids FIRST — the docstring's contract: without it
+    // the verify's collect_set aggregates the FULL history shingle table
+    // every batch, the history-scale shuffle this operator exists to avoid
     val pairs = cand.select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-    jaccardVerify(pairs, shNew.union(shOld), idCol, threshold)
+    val shPruned = shNew.join(pairs.select(col("doc_a").as(idCol)).distinct().hint("merge"),
+        Seq(idCol), "left_semi")
+      .union(shOld.join(pairs.select(col("doc_b").as(idCol)).distinct().hint("merge"),
+        Seq(idCol), "left_semi"))
+    jaccardVerify(pairs, shPruned, idCol, threshold)
       .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jac"))
   }
 

@@ -187,8 +187,14 @@ object Sampling {
     val w = weights.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
       when(col("_mix_src") === lit(s), lit(p)).otherwise(acc)
     }
-    val rate = least(lit(1.0),
-      lit(tokenBudget).cast("double") * w / col("_src_tokens").cast("double"))
+    // guard the NULL/zero token total (the mixByTemperature stance): the
+    // raw division yields NULL there, and least() SKIPS a NULL operand —
+    // an unweighted source with missing token metadata would come out at
+    // keep-rate 1.0 (kept in full) instead of the documented drop
+    val rate = when(col("_src_tokens").isNotNull && col("_src_tokens") > 0L,
+      least(lit(1.0),
+        lit(tokenBudget).cast("double") * w / col("_src_tokens").cast("double")))
+      .otherwise(lit(0.0))
     docs.join(broadcast(totals.select(col("_mix_src"), rate.as("_keep_rate"))),
         source === col("_mix_src"))
       .where(hashUnit(key) < col("_keep_rate"))
@@ -221,8 +227,14 @@ object Sampling {
       .otherwise(array().cast("array<int>"))
     docs
       .withColumn("epoch", explode(idx))
+      // concat, not concat_ws: concat_ws SKIPS a NULL key, hashing just
+      // the epoch string — every NULL-keyed row would share ONE bucket
+      // and ride the partial epoch all-or-nothing. concat null-propagates,
+      // hashBucket(NULL) is NULL, and NULL < frac is false — NULL keys
+      // drop from the partial epoch like every sampler here (the
+      // object-level NULL contract); their FULL copies still emit.
       .where(col("epoch") < fullCopies ||
-        hashBucket(concat_ws("#", key.cast("string"), col("epoch").cast("string"))) < frac)
+        hashBucket(concat(key.cast("string"), lit("#"), col("epoch").cast("string"))) < frac)
   }
 
   /** Curriculum interleave — the training-data ORDERING op: rank each

@@ -33,13 +33,23 @@ object Similarity {
     * instead of every scored row — the `row_number()` window formulation
     * this replaces shuffled ALL |Q|·|C| scored ids. Rank semantics are
     * identical (strict (sim desc, id asc) total order).
+    *
+    * ID TYPE CONTRACT (whole ANN family — every entry funnels through
+    * here): ids must be INTEGRAL (TopK's buffer encodes them as Long;
+    * int ids widen to bigint in the output). A string/UUID-keyed corpus
+    * must map ids through a lookup first — checked loudly here instead
+    * of failing as an up-cast error deep inside the aggregation plan.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    require(graft.ops.Dedup.isIntegralIdType(scored.schema("neighbor_id").dataType),
+      s"ANN ids must be integral (got ${scored.schema("neighbor_id").dataType.simpleString}: " +
+        "TopK encodes ids as Long — map string/UUID ids through a lookup first)")
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK(k)(col("sim"), col("neighbor_id")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("_pos", "_s")))
       .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
         col("_s.id").as("neighbor_id"), col("_s.sim").as("sim"))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-match excluded), ranked by (similarity desc, id asc).
@@ -492,14 +502,9 @@ object Similarity {
                               probeRadius: Int, dims: Int,
                               maxBucketWidth: Int): DataFrame = {
     require(probeRadius == 0 || probeRadius == 1, "only 0- or 1-bit multiprobe is supported")
-    val raw = srpBuckets(corpus, idCol, vecCol, numTables, planesPerTable, dims)
-    val buckets =
-      if (maxBucketWidth == Int.MaxValue) raw
-      else {
-        val w = Window.partitionBy(col("tbl"), col("bucket"))
-        raw.withColumn("_bn", count(lit(1)).over(w))
-          .where(col("_bn") <= maxBucketWidth).drop("_bn")
-      }
+    val buckets = graft.ops.Dedup.capBuckets(
+      srpBuckets(corpus, idCol, vecCol, numTables, planesPerTable, dims),
+      Seq("tbl", "bucket"), maxBucketWidth)
     val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val probes =
       if (probeRadius == 0) array(col("bucket"))
@@ -689,10 +694,26 @@ object Similarity {
     * broadcasts through both vector-lookup joins: the corpus streams once
     * per lookup and never shuffles, and the final top-k is the same
     * bounded [[topKPerQuery]] aggregation as every other ANN tail.
+    *
+    * PRECONDITION: query vectors resolve FROM THE CORPUS, so `query_id`
+    * must be a corpus id — external query ids would match nothing and
+    * come back silently empty. Queries that are not corpus rows go
+    * through [[rerankExactQueries]].
     */
   def rerankExact(candidates: DataFrame, corpus: DataFrame,
-                  idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+                  idCol: String, vecCol: String, k: Int): DataFrame =
+    rerankExactQueries(candidates,
+      corpus.select(col(idCol), col(vecCol)), corpus, idCol, vecCol, k)
+
+  /** [[rerankExact]] with an EXPLICIT query-vector table — the form for a
+    * first stage fed by external queries (pqAdcTopK/ivfTopK over a
+    * separate query frame), whose ids the corpus-keyed lookup would
+    * silently drop. `queries` is |Q|-bounded like everywhere in this
+    * family, so it broadcasts.
+    */
+  def rerankExactQueries(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
     val withQ = q.join(broadcast(candidates.select(col("query_id"), col("neighbor_id"))),
       "query_id")
@@ -791,9 +812,13 @@ object Similarity {
       .groupBy(col("query_id"), col("_nlab"))
       .agg(count(lit(1)).as("_votes"))
       .groupBy(col("query_id"))
-      .agg(max(struct(col("_votes").as("v"), (-col("_nlab")).as("negl"),
-        col("_nlab").as("lab"))).as("_w"))
+      // min over (−votes, label): most votes first, then the SMALLEST
+      // label on ties — comparing the label NATIVELY, so string/UUID
+      // labels order correctly (the previous max-over-(votes, −label)
+      // form negated the label itself, which nulls out — or inverts the
+      // tie — for any non-numeric label type)
+      .agg(min(struct((-col("_votes")).as("nv"), col("_nlab").as("lab"))).as("_w"))
       .select(col("query_id"), col("_w.lab").as("pred_label"),
-        col("_w.v").as("votes"))
+        (-col("_w.nv")).as("votes"))
   }
 }

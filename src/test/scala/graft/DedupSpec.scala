@@ -276,6 +276,29 @@ class DedupSpec extends SparkSpec {
     assert(spr8 == spr)
   }
 
+  test("incrementalNearDupPairs: maxBucketSize caps each side's buckets (the knob was silently ignored)") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val unique = "statistical language modeling corpora require careful deduplication pipelines"
+    // history: 3 copies of the boilerplate (bucket width 3 per band on the
+    // old side) + 1 unique doc; incoming: 1 boilerplate copy + 1 near-dup
+    // of the unique doc
+    val hist = Seq((0L, boiler), (2L, boiler), (4L, boiler), (6L, unique))
+      .toDF("doc_id", "text")
+    val inc = Seq((1L, boiler), (3L, unique.replace("pipelines", "pipeline")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.incrementalNearDupPairs(hist, inc, "doc_id", "text", threshold = 0.5)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((1L, 0L), (1L, 2L), (1L, 4L), (3L, 6L)), s"got $uncapped")
+    // cap 2: the old side's width-3 boilerplate buckets drop from pair
+    // generation; the width-1 unique buckets survive
+    val capped = Dedup.incrementalNearDupPairs(hist, inc, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 2)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    assert(capped == Set((3L, 6L)),
+      s"the over-cap boilerplate bucket must drop, the narrow one survive — got $capped")
+  }
+
   test("incrementalNearDupPairs == cross-side slice of the full self-dedup; dedup drops exactly the matched") {
     val d = Tables.load(spark, sf0001, "documents").limit(400)
     val hist = d.where($"doc_id" % 2 === 0)

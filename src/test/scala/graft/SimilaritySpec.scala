@@ -500,6 +500,19 @@ class SimilaritySpec extends SparkSpec {
         corpus.where($"vec_id".isin(0L, 1L, 3L, 4L)), "vec_id", "embedding", "label", 4)
       .as[(Long, Int, Long)].collect()
     assert(tied.toSeq === Seq((100L, 3, 2L)), "2-2 tie breaks to the smallest label")
+    // STRING labels order natively: the old max-over-(votes, −label) form
+    // negated the label itself, which nulls/inverts for non-numeric types —
+    // a 2-2 "ham"/"spam" tie must pick "ham" (lexicographically smallest)
+    val strCorpus = Seq(
+      (0L, v(0, 0.01f), "spam"), (1L, v(0, 0.02f), "spam"),
+      (3L, v(1, 0.01f), "ham"), (4L, v(1, 0.02f), "ham"),
+      (100L, v(0, 0.0f), "spam")).toDF("vec_id", "embedding", "label")
+    val strTied = graft.ops.Similarity.knnClassify(
+        strCorpus.where($"vec_id" === 100),
+        strCorpus.where($"vec_id".isin(0L, 1L, 3L, 4L)), "vec_id", "embedding", "label", 4)
+      .as[(Long, String, Long)].collect()
+    assert(strTied.toSeq === Seq((100L, "ham", 2L)),
+      "a string-label vote tie must break to the lexicographically smallest label")
   }
 
   test("hardNegatives: positive is nearest same-label, negative nearest other-label; absent class -> NULL") {

@@ -108,6 +108,17 @@ class TextPipelineSpec extends SparkSpec {
     val ids2 = Sampling.mixByTokenBudget(docs, $"doc_id", $"source", $"n_tok", weights, 800L)
       .select("doc_id").as[Long].collect().toSet
     assert(ids1 == ids2)
+    // an unweighted source with NULL (or zero) token metadata must DROP:
+    // the raw budget·w/total division is NULL there and least() SKIPS a
+    // NULL operand, which used to keep the whole source at rate 1.0
+    val withNullTok = docs.unionByName(
+      Seq((900001L, "srcNULL", Option.empty[Long]), (900002L, "srcNULL", Option.empty[Long]))
+        .toDF("doc_id", "source", "n_tok"))
+    val keptNull = Sampling.mixByTokenBudget(withNullTok, $"doc_id", $"source", $"n_tok",
+        weights, 800L)
+      .where($"source" === "srcNULL")
+    assert(keptNull.count() == 0L,
+      "a NULL-token-total unweighted source must be dropped, not kept in full")
   }
 
   test("mixByTemperature: alpha flattens shares toward uniform; alpha=1 is natural; deterministic") {
@@ -639,6 +650,18 @@ class TextPipelineSpec extends SparkSpec {
     val slice2 = Sampling.mixByEpochs(docs, col("doc_id"), col("source"), Map("a" -> 250))
       .where(col("epoch") === 2).select(col("doc_id")).as[Long].collect().toSet
     assert(sliceDocs != slice2)
+    // the object-level NULL-key contract: NULL-keyed rows keep their FULL
+    // epochs but drop from the partial one (concat null-propagates where
+    // concat_ws silently skipped the key, sharing one all-or-nothing
+    // bucket among every NULL-keyed row)
+    val withNullKey = Seq((Option.empty[Long], "a"), (Option.empty[Long], "a"))
+      .toDF("doc_id", "source")
+    val nullOut = Sampling.mixByEpochs(withNullKey, col("doc_id"), col("source"),
+        Map("a" -> 250))
+      .groupBy(col("epoch")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(nullOut == Map(0 -> 2L, 1 -> 2L),
+      s"NULL keys: full epochs kept, partial epoch dropped — got $nullOut")
   }
 
   test("normalizeText: UAX#15 forms + accent strip — composition, compatibility, idempotence, nulls") {
