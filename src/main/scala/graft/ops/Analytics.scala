@@ -43,13 +43,14 @@ object Analytics {
     * one shuffle on the key.
     */
   def sessionizeNumeric(df: DataFrame, key: Column, tsNum: Column, gap: Long): DataFrame = {
+    val Seq(flagN) = freshNames(df, "_new_session")
     val wOrd = Window.partitionBy(key).orderBy(tsNum.asc)
     val prev = lag(tsNum, 1).over(wOrd)
     val isNew = when(prev.isNull || tsNum - prev > gap, 1).otherwise(0)
-    df.withColumn("_new_session", isNew)
-      .withColumn("session_id", sum(col("_new_session")).over(
+    df.withColumn(flagN, isNew)
+      .withColumn("session_id", sum(col(flagN)).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("_new_session")
+      .drop(flagN)
   }
 
   /** Single-pass numeric data profile in long format: one row per column
@@ -752,6 +753,15 @@ object Analytics {
 
   private def canonicalEdgesWithDegrees(edges: DataFrame, srcCol: String,
                                         dstCol: String): (DataFrame, DataFrame) = {
+    // the long cast below NULLs a non-numeric id and the u =!= v filter
+    // then silently DROPS the edge — a string-keyed graph would return
+    // zero triangles with no error, while the sibling graph ops (kCore,
+    // labelPropagation, hits) accept any id type. Fail loudly instead;
+    // string-keyed callers map ids through a lookup first.
+    for (c <- Seq(srcCol, dstCol))
+      require(graft.ops.Dedup.isIntegralIdType(edges.schema(c).dataType),
+        s"triangle-family node ids must be integral (got " +
+          s"$c: ${edges.schema(c).dataType.simpleString}; map string ids through a lookup)")
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
@@ -1062,10 +1072,19 @@ object Analytics {
     import java.math.BigInteger
     val proj = df.select(f1.cast("long").as("_f1"), f2.cast("long").as("_f2"),
       label.cast("int").as("_y"))
-    val rows1 = proj.groupBy(col("_f1"), col("_y")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val rows2 = proj.groupBy(col("_f2"), col("_y")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // BOUNDED collects (the chiSquare discipline): a continuous feature
+    // smuggled in as "categorical" must fail the maxCells require, not
+    // OOM the driver first — cap each pull at the cell budget + 1 so the
+    // overflow is detected from a bounded prefix
+    def boundedCells(c: Column): Map[(Long, Int), Long] = {
+      val rows = proj.groupBy(c.as("_v"), col("_y")).agg(count(lit(1)).as("_c"))
+        .limit(2 * maxCells + 1).collect()
+      require(rows.length <= 2 * maxCells,
+        s"naiveBayes2Fit: a feature exceeds $maxCells distinct values — not categorical input")
+      rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
+    val rows1 = boundedCells(col("_f1"))
+    val rows2 = boundedCells(col("_f2"))
     val v1s = rows1.keys.map(_._1).toSeq.distinct.sorted
     val v2s = rows2.keys.map(_._1).toSeq.distinct.sorted
     require(v1s.size.toLong * v2s.size <= maxCells,
@@ -1140,7 +1159,10 @@ object Analytics {
     }
     val rhs = lit(k.toLong * k) *
       (d38(col("_n")) * d38(col("_ss")) - d38(col("_s")) * d38(col("_s")))
-    proj.join(broadcast(m), col("season") === col("_ms"))
+    // NULL-SAFE join-back: groupBy created a NULL-season moments row, so
+    // plain === would silently drop every NULL-season input row here (the
+    // kSuppress hazard this file documents)
+    proj.join(broadcast(m), col("season") <=> col("_ms"))
       .groupBy(col("season"))
       .agg(count(lit(1)).as("n_rows"),
         max(col("_s").cast("double") / col("_n").cast("double")).as("season_mean"),
@@ -1286,6 +1308,15 @@ object Analytics {
       org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
       cur = next; stable = m == nEdges; nEdges = m
     }
+    // an unconverged peel is a WRONG subgraph (nodes below degree k still
+    // present), not a looser approximation — fail loudly like
+    // dedupClusters does, never degrade silently. Practically unreachable:
+    // each round removes ≥ 1 node or stabilizes, so 64 rounds cover every
+    // graph whose peeling depth is < 64 — raise maxRounds for deeper ones.
+    if (!stable)
+      throw new IllegalStateException(
+        s"kCore: not converged after $maxRounds rounds ($nEdges edges still peeling) — " +
+          "raise maxRounds")
     cur.select(col("a").as("node"))
       .unionAll(cur.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -1448,6 +1479,9 @@ object Analytics {
           (col("_dang") || (!col("settled") && col("_bn").isNull)).as("_dang"))
         .localCheckpoint(eager = false)
       active = next.where(!col("settled") && !col("_dang")).count()
+      // superseded doubling rounds' blocks free as the loop advances (the
+      // kCore discipline); the final round's blocks back the returned frame
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
       cur = next
     }
     cur.select(col("node"), col("anc").as("root"), col("depth"), col("settled"))
@@ -1628,10 +1662,18 @@ object Analytics {
           (d(col("n") + 1) * col("n") * (col("n") - 1) - col("ties"))).as("_v12"),
         col("n"))
       .select(col("n1"), col("n2"), col("_u1x2").cast("double").as("u1_x2"),
-        when(col("_v12") > 0 && col("n1") > 0 && col("n2") > 0,
-          ((col("_u1x2") - d(col("n1")) * col("n2")).cast("double") / lit(2.0)) /
-            sqrt(col("_v12").cast("double") /
-              (d(lit(12)) * col("n") * (col("n") - 1)).cast("double")))
+        // _v12 ≈ n⁵/4 overflows DECIMAL(38,0) (→ NULL under ANSI-off)
+        // around n ≈ 5·10⁷ total rows — fail loudly there instead of
+        // returning the same NULL z a degenerate all-tied input does
+        // (shard the test above that scale)
+        when(col("_v12").isNull && col("n") > 0,
+          raise_error(lit("mannWhitney: variance product overflowed DECIMAL(38,0) " +
+            "(n ≳ 5e7 rows) — shard the test, the NULL would read as 'degenerate input'")))
+          .otherwise(
+            when(col("_v12") > 0 && col("n1") > 0 && col("n2") > 0,
+              ((col("_u1x2") - d(col("n1")) * col("n2")).cast("double") / lit(2.0)) /
+                sqrt(col("_v12").cast("double") /
+                  (d(lit(12)) * col("n") * (col("n") - 1)).cast("double"))))
           .as("z"))
   }
 
@@ -1998,7 +2040,9 @@ object Analytics {
       .select(col("key").as("_tk"), expr("_sv div _n").as("target_milli"))
     val w = Window.partitionBy(col("key")).orderBy(col("_ts"), col("_rk"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val scored = base.join(broadcast(tgt), col("key") === col("_tk"))
+    // null-safe: a NULL-key group's target row must match back (see the
+    // seasonalAnomaly join-back note)
+    val scored = base.join(broadcast(tgt), col("key") <=> col("_tk"))
       .withColumn("_s", sum(col("_v") - col("target_milli") - lit(slackMilli)).over(w))
       // the empty prefix S_0 = 0 is a valid minimum candidate (s_1 =
       // max(0, dev_1), not dev_1 − dev_1): clamp the running min at 0

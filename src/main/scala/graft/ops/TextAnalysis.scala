@@ -33,7 +33,11 @@ object TextAnalysis {
 
   def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(bpeSplitPattern), lit(0))
 
-  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+  /** NULL text → NULL count, same guard as [[tokenCount]]: unguarded,
+    * `size(regexp_extract_all(NULL))` is the legacy −1 under ANSI-off and
+    * silently deflates token-budget sums.
+    */
+  def bpeTokenCount(text: Column): Column = when(text.isNotNull, size(bpeTokens(text)))
 
   /** Adjacent-token bigrams of a token array: size-1 entries joined with a
     * single space; empty for <2 tokens. Thin alias of the single shared
@@ -894,7 +898,14 @@ object TextAnalysis {
                             seed: Int = 42): DataFrame = {
     require(k > 0 && eps > 0 && confidence > 0 && confidence < 1)
     val spark = df.sparkSession
-    val items = df.select(col(itemCol).as("item")).where(col("item").isNotNull)
+    // item values go through the sketch AS STRINGS on both sides:
+    // CountMinSketch.estimateCount dispatches on the runtime type, so a
+    // long-typed column sketched as longs but probed through the String
+    // UDF below would hash DIFFERENT cells and falsely fail certification
+    // for every heavy hitter — casting at entry keys build and probe
+    // identically for any input type
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
     val cms = items.stat.countMinSketch("item", eps, confidence, seed)
     val bound = math.ceil(eps * cms.totalCount()).toLong
     val cmsB = spark.sparkContext.broadcast(cms)
@@ -969,9 +980,11 @@ object TextAnalysis {
     val feats =
       if (shingleN <= 1) col("_toks")
       else Dedup.gramsFromTokens(col("_toks"), shingleN)
+    // NOT persisted: tf's only consumer is the df-annotated tf2 below
+    // (which IS the persisted corpus-wide artifact) — a cache copy here
+    // would double the pipeline's footprint for a table read once
     val tf = toksed.select(col(idCol), explode(feats).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-token df decides kept (candidate-generating) vs hot tokens.
     // The df annotates tf via ONE token-partitioned window (constant
     // per-token state — a count), and the annotated table is the single
