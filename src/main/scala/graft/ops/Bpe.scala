@@ -163,7 +163,10 @@ object Bpe {
     enc(toks)
   }
 
-  /** Convenience: trained subword token count per text value. */
+  /** Convenience: trained subword token count per text value. NULL text →
+    * NULL count (unguarded, `size(null)` is the legacy −1 under the
+    * repo's ANSI-off config — the [[TextAnalysis.tokenCount]] hazard).
+    */
   def tokenCount(merges: Merges)(text: Column): Column =
-    size(encodeTokens(merges)(TextAnalysis.tokens(text)))
+    when(text.isNotNull, size(encodeTokens(merges)(TextAnalysis.tokens(text))))
 }

@@ -47,8 +47,13 @@ object MlEval {
     * Returns one row: n_pos, n_neg, u2 (= 2·U), auc.
     */
   def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    // NULL scores/labels drop EXPLICITLY (the prCurve stance): a NULL
+    // score group would otherwise rank below every real score, and a
+    // NULL label would count in _cnt while vanishing from _pos — both
+    // silently skew the rank statistic instead of erroring
     val proj = df.select(score.cast("long").as("_s"),
       label.cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
     val perScore = proj.groupBy(col("_s"))
       .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_pos"))
     // cumulative count of strictly-smaller scores; the window is over the

@@ -58,11 +58,16 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB decode: byte-value histogram over 4 buckets, L1-normalized.
-          val hist = new Array[Double](4)
-          bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
-          val n = math.max(bytes.length, 1).toDouble
-          MediaFeatures(id, bytes.length, hist.map(_ / n).toSeq)
+          // NULL payload → empty features, never an NPE: the module's
+          // quarantine contract (a bad row must not kill the stage)
+          if (bytes == null) MediaFeatures(id, 0, Seq(0.0, 0.0, 0.0, 0.0))
+          else {
+            // STUB decode: byte-value histogram over 4 buckets, L1-normalized.
+            val hist = new Array[Double](4)
+            bytes.foreach(b => hist((b & 0xff) / 64) += 1.0)
+            val n = math.max(bytes.length, 1).toDouble
+            MediaFeatures(id, bytes.length, hist.map(_ / n).toSeq)
+          }
         }
       }
       .toDF()
@@ -82,10 +87,14 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-        (id, out)
+        // NULL payload → empty output (quarantine, don't crash)
+        if (bytes == null) (id, Array.emptyByteArray)
+        else {
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, out)
+        }
       })
       .toDF(idCol, "payload_resampled")
   }
@@ -112,12 +121,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // NonFatal only: an OutOfMemoryError / InterruptedException here is
-          // an executor resource problem that must FAIL the task, not be
-          // silently reported as "undecodable payload" data
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
+          // NonFatal only (see decodeOrNull): an OutOfMemoryError /
+          // InterruptedException here is an executor resource problem that
+          // must FAIL the task, not be silently reported as "undecodable
+          // payload" data
+          val img = decodeOrNull(bytes)
           if (img == null) ImageFeatures(id, ok = false, 0, 0, 0.0, 0.0, 0.0, Seq(0.0, 0.0, 0.0, 0.0))
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -165,6 +173,49 @@ object Multimodal {
     * mirrors. Degenerate cells (image narrower than 8px) have zero area
     * and read 1 (0 ≥ 0). Undecodable payloads flag ok=false, hash "".
     */
+  /** ImageIO decode with the module's quarantine semantics: null on a
+    * NULL payload or any decode failure — one definition for every image
+    * kernel instead of four copies of the try/catch-null idiom.
+    */
+  private def decodeOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Shared 8×8 box-cell integer-luma accumulation (Rec.601 milli-weights)
+    * both perceptual hashes read — ONE definition so aHash and wHash can
+    * never diverge on the luma/cell mapping. Pixels fetch a ROW at a time:
+    * per-pixel `getRGB(x, y)` pays a ColorModel conversion + virtual
+    * dispatch per pixel, several times slower on large frames with
+    * identical ARGB results. Returns (cellSum, cellArea, totalSum).
+    */
+  private def cellLuma8x8(img: java.awt.image.BufferedImage): (Array[Long], Array[Long], Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellArea = new Array[Long](64)
+    var totalSum = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = cy * 8 + x * 8 / w
+        cellSum(c) += luma
+        cellArea(c) += 1
+        totalSum += luma
+        x += 1
+      }
+      y += 1
+    }
+    (cellSum, cellArea, totalSum)
+  }
+
   def imageAHash(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -172,32 +223,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
+          val img = decodeOrNull(bytes)
           if (img == null) ImageAHash(id, ok = false, "")
           else {
-            val w = img.getWidth; val h = img.getHeight
-            val cellSum = new Array[Long](64)
-            val cellArea = new Array[Long](64)
-            var totalSum = 0L
-            var y = 0
-            while (y < h) {
-              val cy = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                  (rgb & 0xff) * 114) / 1000
-                val c = cy * 8 + x * 8 / w
-                cellSum(c) += luma
-                cellArea(c) += 1
-                totalSum += luma
-                x += 1
-              }
-              y += 1
-            }
-            val totalArea = w.toLong * h
+            val (cellSum, cellArea, totalSum) = cellLuma8x8(img)
+            val totalArea = img.getWidth.toLong * img.getHeight
             var hash = 0L
             var c = 0
             while (c < 64) {
@@ -234,9 +264,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
+          val img = decodeOrNull(bytes)
           if (img == null) Iterator.empty
           else {
             val out = areaAverage(img, outW, outH)
@@ -421,6 +449,14 @@ object Multimodal {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = in.getFormat
+            // PCM only, like the decoders: the AudioFormat constructor
+            // below can only express PCM_(UN)SIGNED, so a ULAW/ALAW
+            // payload would have its companded bytes RE-LABELED as PCM —
+            // a syntactically valid, sonically garbage WAV. Quarantine it.
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+              throw new javax.sound.sampled.UnsupportedAudioFileException(
+                s"non-PCM encoding ${fmt.getEncoding}")
             val frameSz = fmt.getFrameSize
             val data = in.readAllBytes()
             val nFrames = data.length / frameSz
@@ -475,7 +511,13 @@ object Multimodal {
     * need a decoder; pixel work stays behind [[decodeFeatures]]'s stub.
     */
   def imageDims(df: DataFrame, payloadCol: String): DataFrame = {
-    val isPng = hex(substring(col(payloadCol), 1, 8)) === lit("89504E470D0A1A0A")
+    // length gate BEFORE the header parse: a payload truncated inside the
+    // IHDR would hand substring a SHORT byte run and conv would parse the
+    // partial hex into a bogus positive dimension — NULL, not a plausible
+    // number, is the truncated-header answer (24 = signature 8 + IHDR
+    // length/type 8 + width 4 + height 4)
+    val isPng = octet_length(col(payloadCol)) >= 24 &&
+      hex(substring(col(payloadCol), 1, 8)) === lit("89504E470D0A1A0A")
     def beInt(off: Int) =
       conv(hex(substring(col(payloadCol), off, 4)), 16, 10).cast("int")
     df.withColumn("width", when(isPng, beInt(17)))
@@ -530,7 +572,13 @@ object Multimodal {
           var ok = len >= 8
           var brand: String = ""
           var ts = 0L; var dur = 0L
+          // BOUNDED box inventory: an adversarial payload of millions of
+          // 8-byte boxes would otherwise grow this buffer to executor-OOM
+          // scale (an Error NonFatal can't quarantine). The census keeps
+          // the first MaxBoxTypes types plus the total count; n_boxes
+          // stays exact.
           val boxes = scala.collection.mutable.ArrayBuffer.empty[String]
+          var nBoxes = 0
           // returns (payloadStart, boxEnd) or null on malformed header
           def boxBounds(off: Long, end: Long): (Long, Long) = {
             if (off + 8 > end) return null
@@ -556,7 +604,8 @@ object Multimodal {
               case null => ok = false
               case (pStart, boxEnd) =>
                 val t = typ4(off + 4)
-                boxes += t
+                nBoxes += 1
+                if (boxes.length < MaxBoxTypes) boxes += t
                 if (t == "ftyp" && pStart + 4 <= boxEnd) brand = typ4(pStart)
                 if (t == "moov") {
                   var c = pStart
@@ -572,10 +621,15 @@ object Multimodal {
                 off = boxEnd
             }
           }
-      Mp4Meta(id, ok && boxes.nonEmpty, brand, boxes.length,
-        boxes.mkString(","), ts, dur)
+      Mp4Meta(id, ok && nBoxes > 0, brand, nBoxes,
+        boxes.mkString(",") + (if (nBoxes > MaxBoxTypes) ",…" else ""), ts, dur)
     }
   }
+
+  /** Cap on the top-level box-type census in [[mp4MetaOne]] — the count
+    * stays exact past it, the type list truncates with an ellipsis.
+    */
+  private val MaxBoxTypes = 64
 
   /** A minimal syntactically-valid MP4 (ftyp[isom] + moov[mvhd v0] + empty
     * mdat) carrying the given timescale/duration — the construct-and-check
@@ -610,6 +664,10 @@ object Multimodal {
     * correct unit).
     */
   def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int, everyNth: Int): DataFrame = {
+    // fail fast like the sibling reshapers: frameBytes/everyNth = 0 would
+    // NULL the division/modulo under ANSI-off and silently emit ZERO rows
+    require(frameBytes >= 1 && everyNth >= 1,
+      s"frameBytes ($frameBytes) and everyNth ($everyNth) must be >= 1")
     val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int")
     val frameIdx = when(nFrames >= 1, sequence(lit(0), nFrames - 1))
       .otherwise(array().cast("array<int>"))
@@ -642,30 +700,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
+          val img = decodeOrNull(bytes)
           if (img == null) ImageWHash(id, ok = false, "")
           else {
-            val w = img.getWidth; val h = img.getHeight
-            val cellSum = new Array[Long](64)
-            val cellArea = new Array[Long](64)
-            var y = 0
-            while (y < h) {
-              val cy = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                  (rgb & 0xff) * 114) / 1000
-                val c = cy * 8 + x * 8 / w
-                cellSum(c) += luma
-                cellArea(c) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val totalArea = w.toLong * h
+            val (cellSum, cellArea, _) = cellLuma8x8(img)
+            val totalArea = img.getWidth.toLong * img.getHeight
             val v = Array.tabulate(64)(c =>
               if (cellArea(c) == 0) 0L else cellSum(c) * totalArea / cellArea(c))
             // 2D Sylvester WHT: W[u][t] = Σ (−1)^popcount(u&r) (−1)^popcount(t&c) V[r][c]
@@ -791,8 +830,12 @@ object Multimodal {
             make = raw.takeWhile(_ != '\u0000')
           }
         case 0x0112 if typ == 3 => orientation = u16(e + 8)
-        case 0x0100 => width = shortOrLong
-        case 0x0101 => height = shortOrLong
+        // only SHORT/LONG dimension entries update the field: an
+        // unexpected TIFF type (some writers emit RATIONAL) must leave
+        // the 0 default, not leak shortOrLong's −1 sentinel into a
+        // "successfully parsed" row as a negative dimension
+        case 0x0100 if shortOrLong >= 0 => width = shortOrLong
+        case 0x0101 if shortOrLong >= 0 => height = shortOrLong
         case _ =>
       }
     }
