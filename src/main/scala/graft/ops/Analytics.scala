@@ -1077,8 +1077,11 @@ object Analytics {
     // OOM the driver first — cap each pull at the cell budget + 1 so the
     // overflow is detected from a bounded prefix
     def boundedCells(c: Column): Map[(Long, Int), Long] = {
+      // coalesce(1) before limit (the chiSquare form): CollectLimit over a
+      // multi-partition child probes partitions in EXTRA jobs; one
+      // partition of a bounded table is one job
       val rows = proj.groupBy(c.as("_v"), col("_y")).agg(count(lit(1)).as("_c"))
-        .limit(2 * maxCells + 1).collect()
+        .coalesce(1).limit(2 * maxCells + 1).collect()
       require(rows.length <= 2 * maxCells,
         s"naiveBayes2Fit: a feature exceeds $maxCells distinct values — not categorical input")
       rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
