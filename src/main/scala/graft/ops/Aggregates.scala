@@ -100,11 +100,20 @@ object Aggregates {
     val delta = cdc.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("_dn"),
         sum(valCol * sign).as("_dsum"))
+    // NULL-SAFE key join (the upsert convention): groupBy treats a NULL
+    // key as a real group, so the usingColumns EqualTo would never merge
+    // the null group's delta into its old row — two rows for one group
+    // where the full recompute has one. Key outputs coalesce across sides.
+    val o = oldAgg.alias("_msc_o")
+    val d2 = delta.alias("_msc_d")
+    val keyCond = keys.map(k => col(s"_msc_o.`$k`") <=> col(s"_msc_d.`$k`"))
+      .reduce(_ && _)
     // lit(0) coerces to the decimal type of each side's sum column
-    val outCols = keys.map(col) ++ Seq(
+    val outCols = keys.map(k =>
+      coalesce(col(s"_msc_o.`$k`"), col(s"_msc_d.`$k`")).as(k)) ++ Seq(
       (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("cnt"),
       (coalesce(col("sum_val"), lit(0)) + coalesce(col("_dsum"), lit(0))).as("sum_val"))
-    oldAgg.join(delta, keys, "full_outer")
+    o.join(d2, keyCond, "full_outer")
       .select(outCols: _*)
       .where(col("cnt") > 0)
   }
@@ -151,6 +160,11 @@ object Aggregates {
     */
   def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     require(cols.nonEmpty)
+    // the NUL-sentinel row canonicalization mirrors Transforms.hashId's
+    // (see its scaladoc for the separator-aliasing caveat); the two stay
+    // as SEPARATE literal forms on purpose -- each is pinned by its own
+    // oracle hash, so sharing one helper would couple two frozen byte
+    // formats that must each never change
     val canon = concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
     // the fold runs in DECIMAL(38,0): a 60-bit digest summed over even
     // 10^9 rows reaches ~10^27 -- far past int64 (which Spark would

@@ -114,6 +114,9 @@ object Joins {
       points: DataFrame, pointCol: Column,
       intervals: DataFrame, loCol: Column, hiCol: Column,
       bucketSize: Double): DataFrame = {
+    // same fail-fast as intervalOverlapJoin: /0 is ±Infinity under
+    // ANSI-off and the bucket exprs would silently emit garbage buckets
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
     val p = points.withColumn("_rb", floor(pointCol / bucketSize))
     val iv = intervals.withColumn("_rb",
       explode(sequence(floor(loCol / bucketSize), floor(hiCol / bucketSize))))
@@ -169,8 +172,15 @@ object Joins {
     }
     val saltCols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     require(saltCols.nonEmpty, "skewSaltedJoin: no hashable columns to derive a salt from")
+    // the salt mixes in a per-row ordinal: a row-content hash ALONE gives
+    // byte-identical hot-key rows (e.g. a frame pre-pruned to just the
+    // join columns) one constant salt — the entire hot key still lands on
+    // one reducer, the exact straggler this op exists to prevent. The
+    // ordinal affects DISTRIBUTION only, never the result (every salt
+    // value matches the replicated small side), so row-level lineage
+    // nondeterminism under task retry is harmless here.
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(saltCols.toIndexedSeq: _*), lit(saltFactor)))
+      pmod(hash(saltCols.toIndexedSeq :+ monotonically_increasing_id(): _*), lit(saltFactor)))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     // shuffled HASH join, not sort-merge: salting exists precisely because
@@ -227,6 +237,13 @@ object Joins {
   def fuzzyJoin(left: DataFrame, right: DataFrame, lKey: Column, rKey: Column,
                 maxDist: Int, blockLen: Int): DataFrame = {
     require(maxDist >= 0 && blockLen >= 1)
+    // helper/output names are reserved: withColumn REPLACES a same-named
+    // input column silently (a chained second fuzzy pass would lose its
+    // first edit_dist with no error) — fail loudly instead
+    for (n <- Seq("_graft_lk", "_graft_rk", "_graft_blk", "edit_dist");
+         side <- Seq(left, right))
+      require(!side.columns.contains(n),
+        s"fuzzyJoin: input column '$n' collides with a reserved helper/output name — rename it first")
     val l = left.withColumn("_graft_lk", lKey)
       .withColumn("_graft_blk", substring(lKey, 1, blockLen))
     val r = right.withColumn("_graft_rk", rKey)
@@ -286,7 +303,18 @@ object Joins {
             col("_net").cast("string"))).cast("long"))
           .otherwise(expr("_net div shiftleft(CAST(1 AS BIGINT), 32 - _plen)")))
       .drop("_net")
+    // the SAME range guard on the keys side: an IP stored as a SIGNED
+    // int32 (≥ 128.0.0.0 → negative after the long cast) would otherwise
+    // hit `div`'s truncation toward zero (-1 div 2^24 = 0) and silently
+    // land in bucket 0 — matching any 0.0.0.0/p route instead of erroring
     keys.select(keyCol.cast("long").as("key"))
+      .withColumn("key",
+        when(col("key") < 0 || col("key") >= lit(1L << 32),
+          raise_error(concat(
+            lit("longestPrefixMatch: keyCol must be an UNSIGNED 32-bit address in "
+              + "[0, 2^32) (signed-int32 IPs go through `& 0xFFFFFFFF` first); got "),
+            col("key").cast("string"))).cast("long"))
+          .otherwise(col("key")))
       .crossJoin(broadcast(lens))
       .withColumn("_bucket",
         expr("key div shiftleft(CAST(1 AS BIGINT), 32 - _plen)"))

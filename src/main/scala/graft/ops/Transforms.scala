@@ -65,6 +65,13 @@ object Transforms {
     *  - non-letter chars are literal separators, quoted verbatim.
     */
   private[graft] def shapeGuard(fmt: String): Option[String] = {
+    // formats containing DateTimeFormatter QUOTED literals get no guard:
+    // the quote chars are format syntax (the parser matches the QUOTED
+    // text, not apostrophes), but the loop below would Pattern.quote them
+    // as literal apostrophes — a guard that rejects strings the parser
+    // accepts, breaking the over-approximation contract (probed:
+    // to_date("20240101 ", "yyyyMMdd' '") parses; the naive guard says no)
+    if (fmt.contains('\'')) return None
     val sb = new StringBuilder("^")
     var i = 0
     while (i < fmt.length) {
@@ -160,9 +167,12 @@ object Transforms {
               nameCol: String = "measure", valueCol: String = "value"): DataFrame = {
     require(measures.nonEmpty)
     // names are interpolated into generated SQL — escape string-literal
-    // quotes and identifier backticks or a name containing either breaks
-    // (or worse, reshapes) the parse
-    def lt(s: String) = s.replace("'", "''")
+    // backslashes (escapedStringLiterals is off by default, so a bare
+    // backslash either escapes the closing quote → parse error, or maps
+    // an escape sequence → silently corrupted label), quotes, and
+    // identifier backticks, or a name containing any of them breaks (or
+    // worse, reshapes) the parse
+    def lt(s: String) = s.replace("\\", "\\\\").replace("'", "''")
     def id(s: String) = "`" + s.replace("`", "``") + "`"
     val stackArgs = measures.map(m => s"'${lt(m)}', ${id(m)}").mkString(", ")
     df.selectExpr(ids.map(id) :+
@@ -212,20 +222,27 @@ object Transforms {
       .select(col("key"), col("attr"), col("valid_from"), col("valid_to"),
         lit("history").as("_action"))
     val u = updates.select(col("key"), col("attr").as("_uattr"), col("ts").as("_uts"))
-    val j = cur.join(u, Seq("key"), "full_outer")
-    val noop = j.where(col("_uattr").isNull ||
-        (col("attr").isNotNull && col("attr") === col("_uattr")))
+    // row PRESENCE via literal markers, never attr nullness (the tableDiff
+    // convention): a current row whose attr is legitimately NULL must
+    // close when updated — attr-null presence flags would route it to no
+    // branch at all, silently destroying its interval — and an update
+    // SETTING attr to null must apply, not classify as noop. Value
+    // comparison is <=> for the same reason.
+    val j = cur.withColumn("_c_present", lit(1))
+      .join(u.withColumn("_u_present", lit(1)), Seq("key"), "full_outer")
+    val cPresent = col("_c_present").isNotNull
+    val uPresent = col("_u_present").isNotNull
+    val noop = j.where(cPresent && (!uPresent || col("attr") <=> col("_uattr")))
       .select(col("key"), col("attr"), col("valid_from"),
         lit(null).cast("long").as("valid_to"), lit("noop").as("_action"))
-    val closed = j.where(col("attr").isNotNull && col("_uattr").isNotNull &&
-        col("attr") =!= col("_uattr"))
+    val changedCond = cPresent && uPresent && !(col("attr") <=> col("_uattr"))
+    val closed = j.where(changedCond)
       .select(col("key"), col("attr"), col("valid_from"),
         col("_uts").as("valid_to"), lit("closed").as("_action"))
-    val opened = j.where(col("attr").isNotNull && col("_uattr").isNotNull &&
-        col("attr") =!= col("_uattr"))
+    val opened = j.where(changedCond)
       .select(col("key"), col("_uattr").as("attr"), col("_uts").as("valid_from"),
         lit(null).cast("long").as("valid_to"), lit("opened").as("_action"))
-    val inserted = j.where(col("attr").isNull && col("_uattr").isNotNull)
+    val inserted = j.where(!cPresent && uPresent)
       .select(col("key"), col("_uattr").as("attr"), col("_uts").as("valid_from"),
         lit(null).cast("long").as("valid_to"), lit("inserted").as("_action"))
     hist.unionByName(noop).unionByName(closed).unionByName(opened).unionByName(inserted)
@@ -256,11 +273,16 @@ object Transforms {
     // and value→null transitions classify as changed, not unchanged.
     val am = a.withColumn("_a_present", lit(1)).alias("a2")
     val bm = b.withColumn("_b_present", lit(1)).alias("b2")
-    val j2 = am.join(bm.hint("merge"), keys, "full_outer")
+    // NULL-SAFE key join (the upsert convention): a null-keyed row present
+    // in both versions must classify as changed/unchanged, not inflate the
+    // diff as one 'removed' plus one 'added' — usingColumns would EqualTo
+    // the keys. Key outputs coalesce across sides like usingColumns did.
+    val keyCond = keys.map(k => col(s"a2.`$k`") <=> col(s"b2.`$k`")).reduce(_ && _)
+    val j2 = am.join(bm.hint("merge"), keyCond, "full_outer")
     val changed = compare.map(c => !(col(s"a2.`$c`") <=> col(s"b2.`$c`")))
       .reduce(_ || _)
     j2.select(
-      keys.map(col) ++
+      keys.map(k => coalesce(col(s"a2.`$k`"), col(s"b2.`$k`")).as(k)) ++
         compare.flatMap(c => Seq(col(s"a2.`$c`").as(s"${c}_old"),
           col(s"b2.`$c`").as(s"${c}_new"))) :+
         when(col("_a_present").isNull, lit("added"))

@@ -284,6 +284,16 @@ class AggregatesSpec extends SparkSpec {
       .collect().toSet
     assert(got == want, s"incremental $got != full $want")
     assert(got.map(_._1) == Set("a", "d"), "b/c must drop at cnt 0; d must appear")
+    // the NULL group merges (null-safe key join — groupBy treats NULL as a
+    // real group, so plain equality would leave TWO rows for it)
+    val beforeN = Seq((Option.empty[String], 1.0), (Option.empty[String], 2.0)).toDF("g", "v")
+    val cdcN = Seq((Option.empty[String], 4.0, "insert")).toDF("g", "v", "_change")
+    val oldN = beforeN.groupBy($"g").agg(count(lit(1)).as("cnt"), sum(dec($"v")).as("sum_val"))
+    val gotN = Aggregates.maintainSumCount(oldN, cdcN, Seq("g"), dec($"v"))
+      .select($"g", $"cnt", $"sum_val".cast("double"))
+      .as[(Option[String], Long, Double)].collect().toList
+    assert(gotN === List((None, 3L, 7.0)),
+      s"the NULL group must maintain as ONE row, got $gotN")
   }
   // ---- goldenRecord ----
 

@@ -102,6 +102,13 @@ class JoinsSpec extends SparkSpec {
         .where($"tag" === "cold")
         .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
       assert(spread > 1, s"hot key stayed in $spread partition(s)")
+      // BYTE-IDENTICAL hot rows (a frame pre-pruned to just the join
+      // column) must still spread: a pure row-content salt hashes them
+      // all to ONE value, putting the whole hot key back on one reducer
+      val dupBig = spark.range(0, 4000).select(lit(1).as("k"))
+      val dupSpread = Joins.skewSaltedJoin(dupBig, small, Seq("k"), saltFactor = 8)
+        .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+      assert(dupSpread > 1, s"identical hot rows stayed in $dupSpread partition(s)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 

@@ -57,6 +57,11 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.shapeGuard("M/d/yyyy").isEmpty, "single-letter tokens must stay unguarded")
     assert(Transforms.shapeGuard("MMM yyyy").isEmpty, "text tokens must stay unguarded")
     assert(Transforms.shapeGuard("yy-MM-dd").isEmpty, "non-4-width year runs must stay unguarded")
+    // quoted literals are FORMAT SYNTAX the quoting loop can't see: the
+    // parser accepts "20240101 " under "yyyyMMdd' '" but a naive guard
+    // would reject it — such formats must bail to unguarded
+    assert(Transforms.shapeGuard("yyyyMMdd' '").isEmpty, "quoted-literal formats must stay unguarded")
+    assert(Transforms.shapeGuard("yyyy'T'MM").isEmpty, "quoted-letter formats must stay unguarded")
   }
 
   test("op5: fixed-width slicing matches the reference's byte offsets (Report.md sample row)") {
@@ -173,6 +178,26 @@ class TransformsSpec extends SparkSpec {
     // idempotency: re-applying the same batch to the merged dim is all noops
     val again = graft.ops.Transforms.scd2Apply(out.drop("_action"), upd)
     assert(again.where($"_action".isin("closed", "opened", "inserted")).count() === 0L)
+  }
+
+  test("scd2Apply: NULL attr values close and open like any other value (presence != attr nullness)") {
+    import spark.implicits._
+    // current row with attr = NULL updated to 'x' must CLOSE (the old
+    // attr-null presence flags destroyed its interval); an update SETTING
+    // attr to NULL must apply, not classify as noop
+    val dim = Seq((1L, Option.empty[String], 100L, Option.empty[Long]),
+        (2L, Some("y"), 50L, Option.empty[Long]))
+      .toDF("key", "attr", "valid_from", "valid_to")
+      .select($"key", $"attr", $"valid_from", $"valid_to".cast("long"))
+    val upd = Seq((1L, Some("x"), 200L), (2L, (Option.empty[String]), 300L))
+      .toDF("key", "attr", "ts")
+    val out = graft.ops.Transforms.scd2Apply(dim, upd)
+      .as[(Long, Option[String], Long, Option[Long], String)].collect().toSet
+    assert(out === Set(
+      (1L, None, 100L, Some(200L), "closed"),
+      (1L, Some("x"), 200L, None, "opened"),
+      (2L, Some("y"), 50L, Some(300L), "closed"),
+      (2L, None, 300L, None, "opened")), s"got $out")
   }
 
   test("tableDiff: added/removed/changed/unchanged classified; null transitions are changes") {
