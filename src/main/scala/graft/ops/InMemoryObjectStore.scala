@@ -62,6 +62,14 @@ final class InMemoryObjectStore(listPageSize: Int = Int.MaxValue,
     */
   def getAttempts: Int = getAttemptsByKey.values().asScala.map(_.intValue).sum
 
+  private val absorbedPageThrottleCount = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Mid-pagination throttles absorbed by the modeled SDK page-retry —
+    * observable fault pressure the contract suite can assert on (a
+    * swallowed throttle previously left no trace and charged no request).
+    */
+  def absorbedPageThrottles: Int = absorbedPageThrottleCount.get()
+
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
     maybeThrottle(s"put $key")
     val n = attempts.merge(key, 1, (a, b) => a + b)
@@ -98,14 +106,27 @@ final class InMemoryObjectStore(listPageSize: Int = Int.MaxValue,
       // continuation-token PAGE retry — every real SDK retries the page,
       // not the listing, and without that a ≥(throttleEvery)-page listing
       // would deterministically fail EVERY whole-listing attempt (each
-      // attempt's page window always contains a throttle slot). Pages
-      // come back in reverse order so no caller can lean on lexicographic
+      // attempt's page window always contains a throttle slot). Each
+      // absorbed throttle is counted ([[absorbedPageThrottles]]) and its
+      // page RETRY is itself a billable request charged against the same
+      // throttle window (so bursty-mode fault pressure is not understated
+      // vs a real store); the SDK model gives up after 3 page retries —
+      // a retry storm surfaces to the caller instead of looping forever
+      // (throttleEvery=1 would otherwise never terminate). Pages come
+      // back in reverse order so no caller can lean on lexicographic
       // listing surviving pagination.
       val pages = matched.sorted.grouped(listPageSize).toSeq
       pages.indices.foreach { i =>
-        try maybeThrottle(s"list $prefix page $i")
-        catch {
-          case e: ObjectStoreClient.TransientStoreException => if (i == 0) throw e
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { maybeThrottle(s"list $prefix page $i attempt $attempt"); done = true }
+          catch {
+            case e: ObjectStoreClient.TransientStoreException =>
+              if (i == 0 || attempt >= 3) throw e
+              absorbedPageThrottleCount.incrementAndGet()
+              attempt += 1
+          }
         }
       }
       pages.reverse.flatten

@@ -175,11 +175,28 @@ object Joins {
     // the salt mixes in a per-row ordinal: a row-content hash ALONE gives
     // byte-identical hot-key rows (e.g. a frame pre-pruned to just the
     // join columns) one constant salt — the entire hot key still lands on
-    // one reducer, the exact straggler this op exists to prevent. The
-    // ordinal affects DISTRIBUTION only, never the result (every salt
-    // value matches the replicated small side), so row-level lineage
-    // nondeterminism under task retry is harmless here.
-    val bigSalted = big.withColumn("_salt",
+    // one reducer, the exact straggler this op exists to prevent.
+    //
+    // Retry safety: the ordinal (monotonically_increasing_id) is a
+    // function of (partition index, row position). Partition CONTENTS are
+    // deterministic under recompute (file scans and hash-partitioned
+    // shuffles assign a fixed row SET per partition) but row ORDER is not
+    // — reduce-side fetch order varies across attempts, so after a
+    // shuffle-fetch failure a partially re-executed map task could salt
+    // rows differently than already-committed reducers consumed,
+    // duplicating/dropping rows. Guard: sort within partitions by the
+    // full row content FIRST (Spark applies the same sort-before-assign
+    // guard to round-robin repartition, SPARK-23207), making row order —
+    // and therefore every row's salt — a pure function of partition
+    // contents. Non-orderable (map-bearing) columns sort via their JSON
+    // form, which is deterministic per row, so even rows that differ only
+    // in a map column keep stable ordinals. No shuffle: the sort is
+    // in-partition and spillable, and it costs far less than the salted
+    // shuffle it stabilizes.
+    val sortKeys = big.schema.fields.map { f =>
+      if (hashable(f.dataType)) col(f.name) else to_json(col(f.name))
+    }
+    val bigSalted = big.sortWithinPartitions(sortKeys.toIndexedSeq: _*).withColumn("_salt",
       pmod(hash(saltCols.toIndexedSeq :+ monotonically_increasing_id(): _*), lit(saltFactor)))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
