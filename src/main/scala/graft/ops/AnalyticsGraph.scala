@@ -1,0 +1,479 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Lineage._
+
+/** Graph/topology operators of [[Analytics]] (triangles, clustering,
+  * BFS, k-core, assortativity, hierarchy flattening, label propagation,
+  * HITS). Split out of the single Analytics object for review-ceiling
+  * reasons only — pure code motion; call everything via `Analytics.`.
+  */
+trait AnalyticsGraphOps extends AnalyticsBase {
+  /** Distributed triangle count + global clustering coefficient over an
+    * undirected edge list (self-loops dropped, duplicates and reversed
+    * copies collapse). The classic two-join enumeration, made scale-safe
+    * by DEGREE-ORDERED orientation: each edge is oriented from its lower
+    * (degree, id) endpoint to its higher one — (degree, id) is already a
+    * total order, so NO global rank sort (and no single-partition window)
+    * exists anywhere in the plan; the orientation is decided edge-locally
+    * after two degree-lookup joins. Out-degree under this orientation is
+    * O(√E) even on power-law graphs — the candidate-path join is
+    * Σ outdeg² ≈ E^1.5 worst case instead of the hub-quadratic Σ deg² of
+    * naive id-ordering (Suri & Vassilvitskii's MR-friendly orientation).
+    * Each triangle has exactly one ascending labeling under the total
+    * order, so the path⋈edge join counts it exactly once.
+    *
+    * Shuffles: edge canonicalize+distinct (1), degree agg (1), two
+    * degree-lookup joins, then path⋈edge — every exchange
+    * hash-partitions; nothing is globally sorted or single-tasked.
+    * Wedges come from the undirected degrees (Σ d·(d−1) div 2 —
+    * INTEGRAL division: the double-valued `/` would round past 2⁵³ on
+    * power-law hub degrees); the clustering coefficient 3·T/W is the one
+    * double division.
+    *
+    * Output: one row (n_vertices, n_edges, n_wedges, n_triangles,
+    * clustering).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (e0, deg) = canonicalEdgesWithDegrees(edges, srcCol, dstCol)
+    val tri = orientedTriangleRows(e0, deg).agg(count(lit(1)).as("n_triangles"))
+    val counts = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      expr("sum(d) div 2").as("n_edges"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    counts.crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  private def canonicalEdgesWithDegrees(edges: DataFrame, srcCol: String,
+                                        dstCol: String): (DataFrame, DataFrame) = {
+    // the long cast below NULLs a non-numeric id and the u =!= v filter
+    // then silently DROPS the edge — a string-keyed graph would return
+    // zero triangles with no error, while the sibling graph ops (kCore,
+    // labelPropagation, hits) accept any id type. Fail loudly instead;
+    // string-keyed callers map ids through a lookup first.
+    for (c <- Seq(srcCol, dstCol))
+      require(graft.ops.Dedup.isIntegralIdType(edges.schema(c).dataType),
+        s"triangle-family node ids must be integral (got " +
+          s"$c: ${edges.schema(c).dataType.simpleString}; map string ids through a lookup)")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    (e0, deg)
+  }
+
+  /** One row per triangle as its degree-ordered ascending labeling
+    * (a, b, c) — the enumeration shared by [[triangleStats]] (global
+    * count) and [[localClustering]] (per-node counts).
+    */
+  private def orientedTriangleRows(e0: DataFrame, deg: DataFrame): DataFrame = {
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val er = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+    er.as("x")
+      .join(er.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      .join(er.select(col("a"), col("b").as("c")).as("z"), Seq("a", "c"))
+  }
+
+  /** Per-node triangle counts + LOCAL clustering coefficient
+    * `2·T(x) / (d(x)·(d(x)−1))` — the node-level "how clique-like is my
+    * neighborhood" signal ([[triangleStats]] gives the global
+    * transitivity). Same degree-ordered enumeration (each triangle
+    * appears once, then credits its three corners via one explode), so
+    * the scale argument is identical — Σ outdeg² ≈ E^1.5, no global
+    * sort anywhere. Degree-0/1 nodes have no wedge and report 0.0.
+    * Output: (node, degree, n_triangles, lcc).
+    */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (e0, deg) = canonicalEdgesWithDegrees(edges, srcCol, dstCol)
+    val perNode = orientedTriangleRows(e0, deg)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, col("x") === col("node"), "left")
+      .select(col("x").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Multi-source BFS hop distance: the minimum number of edges from any
+    * seed to each reachable node, level-synchronous (one frontier⋈edges
+    * round per hop — the Pregel iteration shape, same scale argument as
+    * `Dedup.dedupClusters`' pointer-jumping branch). Rounds are bounded
+    * by min(diameter, maxHops); each round is ONE equi-join on the edge
+    * key plus ONE min-dist aggregation over candidates ∪ settled (a
+    * settled node's smaller dist wins the min and the dist = hop filter
+    * drops it; a new node's min IS hop) — the aggregation replaces the
+    * previous candidate-distinct + settled anti-join, one hash shuffle
+    * where two-plus ran. Never all-pairs; the shuffle volume per round is
+    * |frontier adjacency| + |settled|, not |graph|.
+    *
+    * `edges` is directed (src, dst) — callers wanting undirected reach
+    * union the reverse. Every round `localCheckpoint`s: the settled set
+    * and frontier are re-read each iteration, and without truncation the
+    * lineage (and the replayed join DAG) would double per hop. The
+    * checkpoints are LAZY, materialized by the per-round `count()` that
+    * also serves as the convergence probe — ONE job per hop (the
+    * [[graft.ops.Dedup.dedupClusters]] pattern), where the eager-
+    * checkpoint + `isEmpty` form paid two; on a loaded host scheduling
+    * latency per job dominates the per-round work. A caller-materialized
+    * edge frame (flat LogicalRDD with columns (src, dst)) is used as-is —
+    * no second blocks copy — and only a checkpoint THIS call created is
+    * freed when the loop exits; the result plan reads only the
+    * already-materialized frontiers, never the edges.
+    *
+    * Returns (node, dist) for reached nodes only; dist 0 = the seeds.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // skip re-checkpointing an edge frame the CALLER already materialized
+    // (a second checkpoint copies every block — at edge-corpus scale a
+    // full extra pass); symmetrically, only free blocks this call created
+    val proj = edges.select(col("src"), col("dst"))
+    val eOwned = !org.apache.spark.sql.GraftBridge.isFlatRdd(edges) ||
+      !(edges.columns sameElements Array("src", "dst"))
+    val e = if (eOwned) proj.graftCheckpoint(eager = false) else edges
+    val seed0 = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).graftCheckpoint(eager = false)
+    // per-hop frontiers are DISJOINT by construction (each is min-dist
+    // filtered against everything before it), so the settled set is kept
+    // as the lazy union of the checkpointed frontiers — re-materializing
+    // the whole union every round would write O(rounds · |reached|)
+    // instead of O(|reached|) total, and the union-of-checkpoints plan
+    // stays flat (one leaf per hop, rounds ≤ maxHops)
+    var parts = List(seed0)
+    var frontier = seed0
+    // materializes the lazy seed checkpoint AND tests emptiness in 1 job
+    var frontierRows = seed0.count()
+    var hop = 0
+    while (hop < maxHops && frontierRows > 0L) {
+      hop += 1
+      val settled = parts.reduce(_.unionByName(_))
+      // the candidate distinct + settled anti-join FUSE into one min-dist
+      // aggregation: a settled node's dist < hop wins the min and the
+      // filter drops it; a new node's min IS hop. One hash-agg shuffle
+      // over |candidates| + |settled| where the anti-join form paid a
+      // distinct shuffle AND a sort-merge of both sides.
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(hop).as("dist"))
+        .unionByName(settled)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .where(col("dist") === lit(hop))
+        .graftCheckpoint(eager = false)
+      // one job: checkpoint-materialize the frontier (and, on hop 1, the
+      // edge set it reads) + the convergence count
+      frontierRows = next.count()
+      parts = parts :+ next
+      frontier = next
+    }
+    if (eOwned) org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k until stable; returns the surviving nodes with their degree
+    * WITHIN the core subgraph. Edges canonicalize first (undirected,
+    * self-loops dropped, duplicates/reverses collapse).
+    *
+    * Scale: each round is one degree aggregation + two sort-merge semi
+    * joins (the survivor set grows toward node count — never broadcast);
+    * rounds are bounded by the peeling depth (≤ maxRounds guard; a path
+    * graph peels from both ends, so depth can reach n/2 — that is the
+    * exact algorithm's frontier, not an implementation artifact).
+    * Per-round edge tables localCheckpoint so the plan stays flat (the
+    * [[bfsHops]] convention); the fixpoint test is the edge COUNT — a
+    * metadata-sized driver scalar per round.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    // lazy checkpoint + count: ONE job per peel round materializes the
+    // round AND reads the convergence census (the bfsHops discipline —
+    // the eager-checkpoint + count form paid two). Superseded rounds'
+    // blocks are freed as the loop advances; the final round's blocks
+    // back the returned frame.
+    var cur = canon.graftCheckpoint(eager = false)
+    var nEdges = cur.count()
+    var rounds = 0
+    var stable = nEdges == 0L
+    while (!stable && rounds < maxRounds) {
+      rounds += 1
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.hint("merge"), cur("a") === keep("node"), "left_semi")
+        .join(keep.hint("merge"), cur("b") === keep("node"), "left_semi")
+        .graftCheckpoint(eager = false)
+      val m = next.count()
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
+      cur = next; stable = m == nEdges; nEdges = m
+    }
+    // an unconverged peel is a WRONG subgraph (nodes below degree k still
+    // present), not a looser approximation — fail loudly like
+    // dedupClusters does, never degrade silently. Practically unreachable:
+    // each round removes ≥ 1 node or stabilizes, so 64 rounds cover every
+    // graph whose peeling depth is < 64 — raise maxRounds for deeper ones.
+    if (!stable)
+      throw new IllegalStateException(
+        s"kCore: not converged after $maxRounds rounds ($nEdges edges still peeling) — " +
+          "raise maxRounds")
+    cur.select(col("a").as("node"))
+      .unionAll(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Degree assortativity — Newman's r: the Pearson correlation of
+    * endpoint degrees over the undirected edge list (positive = hubs
+    * attach to hubs, negative = hub-and-spoke). Each canonical edge
+    * contributes BOTH orientations (the standard symmetrized estimator),
+    * so the moments are symmetric and only (Σx, Σx², Σxy, m) are needed
+    * — exact DECIMAL sums over the degree-lookup join, one corr double
+    * tree at the end (the op_regression discipline). Degenerate graphs
+    * (regular: zero degree variance) yield NULL r. Two bounded shuffles:
+    * the degree census + the two degree-lookup joins of
+    * [[canonicalEdgesWithDegrees]]'s tables. Output (one row):
+    * n_edges, r.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val (e0, deg) = canonicalEdgesWithDegrees(edges, srcCol, dstCol)
+    val joined = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val m = joined.agg(count(lit(1)).as("n_edges"),
+      sum(d(col("du")) + col("dv")).as("sx"),
+      sum(d(col("du")) * col("du") + d(col("dv")) * col("dv")).as("sxx"),
+      sum(d(col("du")) * col("dv") * 2).as("sxy"))
+    m.select(col("n_edges"),
+      {
+        val n = (col("n_edges") * 2).cast("double")
+        val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+        val sxy = col("sxy").cast("double")
+        val vx = n * sxx - sx * sx
+        when(vx > 0.0, (n * sxy - sx * sx) / vx).as("r")
+      })
+  }
+
+  /** Hierarchy flattening — every node's ROOT and DEPTH in a parent-
+    * pointer forest (org charts, category trees, reply threads): the
+    * engine's answer to `WITH RECURSIVE`, which Spark lacks. POINTER
+    * DOUBLING, not per-level walking: each round joins the current
+    * (node → known-ancestor, distance) table with itself, so the jump
+    * distance doubles and a depth-D forest settles in ⌈log₂ D⌉ rounds —
+    * per-level recursion would pay D shuffle rounds, fatal on deep
+    * chains. Rounds use the lazy-localCheckpoint + count() convergence
+    * probe (one job per round, the bfsHops/dedupClusters pattern); the
+    * count of unsettled nodes is the driver-side scalar. Roots have
+    * depth 0 and are their own root. Defective forests degrade loudly,
+    * never silently: a node whose chain exceeds `maxRounds` doublings
+    * (depth > 2^maxRounds — in practice a CYCLE, which a parent forest
+    * must not contain) and a node whose chain hits a DANGLING parent id
+    * (a pointer to a node with no row — the deleted-manager defect) are
+    * both returned with their partial ancestor and `settled = false`;
+    * no input node is ever dropped from the output.
+    * Output: (node, root, depth, settled).
+    */
+  def hierarchyFlatten(nodes: DataFrame, nodeCol: String, parentCol: String,
+                       maxRounds: Int = 20): DataFrame = {
+    var cur = nodes.select(col(nodeCol).as("node"),
+        coalesce(col(parentCol), col(nodeCol)).as("anc"),
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"),
+        col(parentCol).isNull.as("settled"),
+        lit(false).as("_dang"))
+      .graftCheckpoint(eager = false)
+    var active = cur.where(!col("settled") && !col("_dang")).count()
+    var round = 0
+    while (active > 0 && round < maxRounds) {
+      round += 1
+      val b = cur.select(col("node").as("_bn"), col("anc").as("_banc"),
+        col("depth").as("_bd"), col("settled").as("_bs"))
+      // LEFT join: a missing ancestor row is a dangling parent pointer —
+      // the node keeps its partial state and stops jumping (terminal,
+      // settled = false), instead of vanishing from an inner join
+      val frozen = col("settled") || col("_dang") || col("_bn").isNull
+      val next = cur.join(b.hint("merge"), col("anc") === col("_bn"), "left")
+        .select(col("node"),
+          when(frozen, col("anc")).otherwise(col("_banc")).as("anc"),
+          when(frozen, col("depth")).otherwise(col("depth") + col("_bd")).as("depth"),
+          (col("settled") || (col("_bn").isNotNull && col("_bs"))).as("settled"),
+          (col("_dang") || (!col("settled") && col("_bn").isNull)).as("_dang"))
+        .graftCheckpoint(eager = false)
+      active = next.where(!col("settled") && !col("_dang")).count()
+      // superseded doubling rounds' blocks free as the loop advances (the
+      // kCore discipline); the final round's blocks back the returned frame
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
+      cur = next
+    }
+    cur.select(col("node"), col("anc").as("root"), col("depth"), col("settled"))
+  }
+
+  /** Synchronous label-propagation community detection (LPA), made
+    * DETERMINISTIC: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors with ties broken
+    * by the SMALLEST label (one max(struct(cnt, −label)) per node — no
+    * randomized visit order, so the result is replayable in unrolled SQL
+    * and invariant to partitioning). Edges are treated as undirected;
+    * parallel edges weight the vote (multigraph semantics). Fixed round
+    * count — LPA oscillates on bipartite structures, so callers pick
+    * rounds (≈ diameter) rather than waiting on a fixpoint.
+    *
+    * Scale: per round one edge-keyed label join + one (node, label)
+    * count aggregation + the per-node argmax — all sort-merge/partial-
+    * aggregable; per-round localCheckpoint keeps the plan flat (the
+    * pageRank convention). Output: (v, community).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1 && checkpointEvery >= 1)
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .graftCheckpoint()
+    // the node census is referenced once (label init) — it folds into the
+    // lazy round chain, no scaffold checkpoint of its own
+    var lab = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    var lastEager: DataFrame = null
+    for (i <- 1 to rounds) {
+      val votes = sym.join(lab.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("_cnt"))
+      lab = votes.groupBy(col("v"))
+        .agg(max(struct(col("_cnt").as("c"), (-col("label")).as("nl"),
+          col("label").as("l"))).as("_w"))
+        .select(col("v"), col("_w.l").as("label"))
+      // rounds chain LAZILY (single-reference chain — nothing recomputes);
+      // an eager checkpoint every `checkpointEvery` rounds — and on the
+      // last — bounds plan depth at ⌈rounds/checkpointEvery⌉ jobs instead
+      // of one per round (the pageRank discipline)
+      if (i % checkpointEvery == 0 || i == rounds) {
+        lab = lab.graftCheckpoint()
+        if (lastEager != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEager)
+        lastEager = lab
+      }
+    }
+    val out = lab.select(col("v"), col("label").as("community"))
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(sym)
+    out
+  }
+
+  /** HITS (Kleinberg hubs & authorities) as a FIXED-POINT iteration —
+    * the [[graft.ops.Dedup.pageRankFixedPoint]] discipline applied to the
+    * two-score recurrence: every value is a scaled long, per-round
+    * sum-normalization is `x · scale div Σx` (integer floor), so hub and
+    * authority scores are BIT-IDENTICAL across engines, partition orders,
+    * and replays — replayable in unrolled SQL CTEs. Multigraph semantics:
+    * parallel edges contribute once each (the natural weight).
+    *
+    * Overflow contract: a raw authority sum is ≤ E·scale and the
+    * normalization multiplies by scale again, so E·scale² must stay
+    * < 2⁶³ — the default scale 10⁶ is safe to ~9·10⁶ edges; drop scale
+    * as E grows (precision 1/scale is a RANKING tolerance, not a sum).
+    * Lower bound: `scale` must also EXCEED the node count on
+    * near-uniform graphs, or per-node floors collapse the next round's
+    * sum to 0 — guarded in-plan (raise_error), never a silent NULL.
+    *
+    * Scale shape: per round, two edge-keyed aggregations (sort-merge,
+    * partial-combined) and two 1-row scalar sums broadcast back. Rounds
+    * chain LAZILY with per-half-round lazy checkpoints (each score frame
+    * is referenced twice — persisted on first compute, read on the
+    * second) and materialize in ONE job; an eager cut every
+    * `checkpointEvery` rounds bounds the pinned footprint for large
+    * iteration counts (the pageRank convention). No data ever collects
+    * to the driver.
+    */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int = 3, scale: Long = 1000000L,
+                     checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && scale > 0 && checkpointEvery >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).graftCheckpoint()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().graftCheckpoint(eager = false)
+    require(nodes.count() > 0, "hitsFixedPoint: empty edge set")
+    // every normalized score frame is referenced TWICE (the next half-round
+    // AND either the following round or the final join), so each carries a
+    // LAZY checkpoint: first computation during the consumer's job persists
+    // it, the second reference reads blocks — no per-round driver job, no
+    // double compute. Freed in one sweep after the final materialization.
+    val lazyCps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def normalized(full: DataFrame, c: String, out: String): DataFrame = {
+      val s = full.agg(sum(col(c)).as("_s"))
+      // Σx can floor to 0 when node count exceeds `scale` with
+      // near-uniform scores (each x·scale < Σx rounds to 0 the PREVIOUS
+      // round, then this round's sum is 0 and `div` would yield NULL,
+      // silently nulling every score). Fail loudly in-plan instead —
+      // no extra driver job; the fix is a larger `scale` (> node count).
+      val norm = full.crossJoin(broadcast(s))
+        .select(col("v"),
+          when(col("_s") > 0, expr(s"$c * ${scale}L div _s"))
+            .otherwise(raise_error(lit(
+              "hitsFixedPoint: normalization sum collapsed to 0 — " +
+                "scale must exceed the node count for near-uniform graphs")))
+            .as(out))
+        .graftCheckpoint(eager = false)
+      lazyCps += norm
+      norm
+    }
+    var hub = nodes.select(col("v"), lit(scale).as("h"))
+    var auth: DataFrame = null
+    var lastEagerCut: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = e.join(hub.select(col("v").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("_a"))
+      val aFull = nodes.join(aRaw.select(col("dst").as("v"), col("_a")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("_a"), lit(0L)).as("_a"))
+      val aNorm = normalized(aFull, "_a", "a")
+      val hRaw = e.join(aNorm.select(col("v").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("_h"))
+      val hFull = nodes.join(hRaw.select(col("src").as("v"), col("_h")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("_h"), lit(0L)).as("_h"))
+      var hNorm = normalized(hFull, "_h", "h")
+      // bound the pinned lazy-block footprint for large iteration counts:
+      // an eager cut every `checkpointEvery` rounds materializes + frees
+      // everything accumulated so far, INCLUDING the previous cut's eager
+      // frame (its blocks rooted the chain this cut just materialized past)
+      // — pinned state stays O(|nodes|), never O(cuts·|nodes|)
+      if (i % checkpointEvery == 0 && i < iters) {
+        hNorm = hNorm.graftCheckpoint()
+        lazyCps.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
+        lazyCps.clear()
+        if (lastEagerCut != null)
+          org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEagerCut)
+        lastEagerCut = hNorm
+      }
+      hub = hNorm; auth = aNorm
+    }
+    // ONE materialization job for the whole lazy chain, then free every
+    // intermediate round's blocks — the returned frame is flat
+    val out = hub.join(auth, "v")
+      .select(col("v"), col("h").as("hub"), col("a").as("authority"))
+      .graftCheckpoint()
+    lazyCps.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
+    if (lastEagerCut != null)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEagerCut)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(nodes)
+    out
+  }
+}
