@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.ops.Lineage._
 import graft.functions.Geo
 import graft.Queries._
 
@@ -99,7 +100,7 @@ private[graft] object QueriesText2 {
         // the same blocks instead of rebuilding orders⋈lineitem+distinct
         // inside the final job
         val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint()
+          .graftCheckpoint()
         val seeds = t(s, d, "supplier").where(col("s_suppkey") % 100 === 0)
           .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
         val dist = Analytics.bfsHops(e, seeds, maxHops = 6)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Lineage._
 
 /** Deduplication operators for LLM-data pipelines (north star): exact,
   * normalized-fingerprint, MinHash+LSH n-gram Jaccard, and SimHash.
@@ -184,14 +185,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_texts"))
   }
 
-  /** The ONE bucket-width-cap implementation every capped candidate
-    * generator shares (minhash bands, simhash/hamming chunks, SRP tables,
-    * the incremental cross-side join): rows in a `keys`-bucket wider than
-    * `maxWidth` are dropped. The width count rides the SAME hash
-    * partitioning the downstream join needs — no extra shuffle. One
-    * definition so the families' documented "same cap contract" cannot
-    * drift.
-    */
   /** Long-encodable id check shared by the families whose kernels buffer
     * ids as Long (CappedIds postings, TopK's Scored).
     */
@@ -202,6 +195,14 @@ object Dedup {
       case _ => false
     }
 
+  /** The ONE bucket-width-cap implementation every capped candidate
+    * generator shares (minhash bands, simhash/hamming chunks, SRP tables,
+    * the incremental cross-side join): rows in a `keys`-bucket wider than
+    * `maxWidth` are dropped. The width count rides the SAME hash
+    * partitioning the downstream join needs — no extra shuffle. One
+    * definition so the families' documented "same cap contract" cannot
+    * drift.
+    */
   private[ops] def capBuckets(df: DataFrame, keys: Seq[String], maxWidth: Int): DataFrame =
     if (maxWidth == Int.MaxValue) df
     else {
@@ -781,7 +782,7 @@ object Dedup {
     // adaptive switch)
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(eager = false)
+      .graftCheckpoint(eager = false)
     val small = p.count() <= smallGraphEdges
     // the single-task union-find needs runtime-Comparable ids (String,
     // numerics, date/timestamp map to Comparable JVM types) and BOTH
@@ -798,7 +799,7 @@ object Dedup {
       })
     }
     if (small && comparableKey) {
-      val out = clustersByUnionFind(p).localCheckpoint()
+      val out = clustersByUnionFind(p).graftCheckpoint()
       org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
       return out
     }
@@ -863,7 +864,7 @@ object Dedup {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // Checkpoint-storage hygiene: once round N is materialized, round N-1's
     // blocks are dead — free them, or block storage grows with rounds ×
     // calls for the session lifetime (clearCache never touches checkpoint
@@ -892,7 +893,7 @@ object Dedup {
         .select(col("v"),
           coalesce(col("_parent"), col("label")).as("label"),
           (coalesce(col("_parent"), col("label")) =!= col("_old")).as("_chg"))
-        .localCheckpoint(eager = false)
+        .graftCheckpoint(eager = false)
       changed = jumped.where(col("_chg")).count()
       org.apache.spark.sql.GraftBridge.freeCheckpoint(prevCp)
       prevCp = jumped
@@ -932,15 +933,15 @@ object Dedup {
                iters: Int = 10, damping: Double = 0.85,
                checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1 && checkpointEvery >= 1)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).graftCheckpoint()
     // widen the flat edge table with outdeg ONCE: the per-iteration plan
     // then joins pr exactly once — no per-iteration outdeg join, no third
     // checkpointed scaffold frame
     val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).hint("merge"),
-      "src").localCheckpoint()
+      "src").graftCheckpoint()
     org.apache.spark.sql.GraftBridge.freeCheckpoint(e0)
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().graftCheckpoint(eager = false)
     val n = nodes.count().toDouble // materializes the lazy checkpoint too
     var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
     var lastEager: DataFrame = null
@@ -959,7 +960,7 @@ object Dedup {
       // paying ⌈iters/checkpointEvery⌉ jobs instead of one per round. Only
       // one eager round is ever pinned: each frees its predecessor.
       if (i % checkpointEvery == 0 || i == iters) {
-        pr = pr.localCheckpoint()
+        pr = pr.graftCheckpoint()
         if (lastEager != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEager)
         lastEager = pr
       }
@@ -990,14 +991,14 @@ object Dedup {
                          checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum && scale > 0 &&
       checkpointEvery >= 1)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).graftCheckpoint()
     // outdeg rides on the flat edge table (see [[pageRank]]): one setup
     // join instead of one join per iteration
     val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).hint("merge"),
-      "src").localCheckpoint()
+      "src").graftCheckpoint()
     org.apache.spark.sql.GraftBridge.freeCheckpoint(e0)
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().graftCheckpoint(eager = false)
     val n = nodes.count() // materializes the lazy checkpoint too
     require(n > 0, "pageRankFixedPoint: empty edge set — no nodes to rank " +
       "(an upstream pair generator produced no pairs?)")
@@ -1015,7 +1016,7 @@ object Dedup {
       // lazy chain + periodic eager checkpoint — the [[pageRank]] job
       // discipline (⌈iters/checkpointEvery⌉ jobs, not one per round)
       if (i % checkpointEvery == 0 || i == iters) {
-        pr = pr.localCheckpoint()
+        pr = pr.graftCheckpoint()
         if (lastEager != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(lastEager)
         lastEager = pr
       }
