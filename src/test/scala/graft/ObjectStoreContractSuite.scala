@@ -196,3 +196,88 @@ class InMemoryObjectStoreContract
 class PaginatedThrottledObjectStoreContract
   extends ObjectStoreContractSuite("paginated+bursty",
     () => new InMemoryObjectStore(listPageSize = 2, throttleEvery = 7))
+
+/** VERDICT r16 item 5 — the TABLE-level multi-writer contract through the
+  * paginated+bursty store: two concurrent exactly-once sinks drive
+  * [[graft.ops.ManifestTable.appendOnce]]/[[graft.ops.ManifestTable.mergeOnce]]
+  * against ONE table whose log rides a 2-key-paged, every-7th-request-
+  * throttled [[InMemoryObjectStore]]. The earlier suites race the LOG
+  * primitive; this one races the full token protocol — interleaved
+  * writers, zombie replays racing their replacements, and a stale-batch
+  * replay after a foreign interleave. Token uniqueness is proven per
+  * (sinkId, batchId): every replayed batch lands exactly once whatever
+  * the interleaving.
+  */
+class MultiWriterSinkContractSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{InMemoryObjectStore, ManifestTable}
+
+  private def pagedThrottledTable(): ManifestTable = {
+    val root = java.nio.file.Files.createTempDirectory("graft-mw").toString
+    ManifestTable.onObjectStore(spark, root,
+      new InMemoryObjectStore(listPageSize = 2, throttleEvery = 7))
+  }
+
+  private def batchDf(sink: String, batch: Long) =
+    (0 until 3).map(i => (s"$sink-b$batch-r$i", sink, batch)).toDF("k", "sink", "batch")
+
+  test("two interleaved appendOnce sinks + zombie replays: every (sinkId,batchId) lands exactly once") {
+    val mt = pagedThrottledTable()
+    val nBatches = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // each sink runs in its own thread; every 2nd batch is immediately
+    // re-driven by a zombie thread racing the original (the
+    // crash-between-commit-and-checkpoint replay shape)
+    val writers = Seq("sink-a", "sink-b").map { sink =>
+      new Thread(() => {
+        try {
+          for (b <- 0L until nBatches) {
+            if (b % 2 == 0) {
+              val zombie = new Thread(() => {
+                try mt.appendOnce(batchDf(sink, b), sink, b)
+                catch { case e: Throwable => errs.add(e) }
+              })
+              zombie.start()
+              mt.appendOnce(batchDf(sink, b), sink, b)
+              zombie.join()
+            } else mt.appendOnce(batchDf(sink, b), sink, b)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // exactly-once: 2 sinks x 6 batches x 3 rows, no batch doubled/lost
+    val got = mt.snapshot().groupBy("sink", "batch").count()
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 2 * nBatches, s"(sink,batch) census wrong: ${got.mkString(",")}")
+    assert(got.forall(_._3 == 3), s"a replayed batch landed twice: ${got.mkString(",")}")
+    // token store: each sink's newest committed batchId is the last one
+    assert(mt.txnVersion("sink-a").contains(nBatches - 1L))
+    assert(mt.txnVersion("sink-b").contains(nBatches - 1L))
+    // replaying EVERY batch again after the fact is a provable no-op
+    for (sink <- Seq("sink-a", "sink-b"); b <- 0L until nBatches)
+      mt.appendOnce(batchDf(sink, b), sink, b)
+    assert(mt.snapshot().count() == 2L * nBatches * 3)
+  }
+
+  test("stale mergeOnce replay after a foreign interleave must not revert the interleaved write") {
+    val mt = pagedThrottledTable()
+    mt.overwrite(Seq(("k1", 1L, "init"), ("k2", 2L, "init")).toDF("k", "v", "who"))
+    // sink-a commits batch 10: k1 -> 100
+    val vA = mt.mergeOnce(Seq(("k1", 100L, "sink-a")).toDF("k", "v", "who"), Seq("k"), "sink-a", 10L)
+    // sink-b interleaves: k1 -> 200
+    mt.mergeOnce(Seq(("k1", 200L, "sink-b")).toDF("k", "v", "who"), Seq("k"), "sink-b", 5L)
+    // zombie replay of sink-a's batch 10 (stale content!): token makes it
+    // a no-op — re-merging would silently revert sink-b's value
+    val vReplay = mt.mergeOnce(Seq(("k1", 999L, "sink-a")).toDF("k", "v", "who"), Seq("k"), "sink-a", 10L)
+    val k1 = mt.snapshot().where($"k" === "k1").as[(String, Long, String)].collect()
+    assert(k1.sameElements(Array(("k1", 200L, "sink-b"))),
+      s"stale replay reverted the interleaved write: ${k1.mkString(",")}")
+    assert(vReplay >= vA, "replay must report an already-visible version")
+    // and an OLDER batchId than the committed one is equally inert
+    mt.mergeOnce(Seq(("k2", 777L, "sink-a")).toDF("k", "v", "who"), Seq("k"), "sink-a", 9L)
+    assert(mt.snapshot().where($"k" === "k2").as[(String, Long, String)].collect()
+      .sameElements(Array(("k2", 2L, "init"))))
+  }
+}
