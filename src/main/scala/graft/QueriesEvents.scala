@@ -657,16 +657,31 @@ private[graft] object QueriesEvents {
         // certify nothing)
         accTable.appendOnce(Seq((-1L, "replayed", 0L)).toDF("doc_id", "text", "batch"),
           "acc", batchId = 0L)
-        val nAcc = accTable.snapshot().groupBy(col("batch"))
-          .agg(count(lit(1)).as("n_accepted"))
-        t(s, d, "documents").where(col("doc_id") < 1200)
-          .groupBy(pmod(col("doc_id"), lit(3L)).as("batch"))
-          .agg(count(lit(1)).as("n_docs"))
-          .join(nAcc, Seq("batch"), "left")
-          .select(col("batch"), col("n_docs"),
-            coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
-            (col("n_docs") - coalesce(col("n_accepted"), lit(0L))).as("n_dropped"))
-          .crossJoin(sigTable.snapshot().agg(count(lit(1)).as("n_state_rows")))
+        // single-pass census: the previous docs⋈accepted left join +
+        // state-count crossJoin paid two broadcast/subquery driver jobs on
+        // top of the final save. One tagged UNION → one hash agg (≤4
+        // groups) → an all-rows window carrying the state total → the
+        // n_docs>0 filter reproduces the left join EXACTLY (an accepted
+        // batch value absent from documents — the out-of-range poison
+        // shape — still vanishes, certifying nothing by accident).
+        val tagged = t(s, d, "documents").where(col("doc_id") < 1200)
+          .select(pmod(col("doc_id"), lit(3L)).as("batch"),
+            lit(1L).as("_d"), lit(0L).as("_a"), lit(0L).as("_s"))
+          .unionAll(accTable.snapshot().select(col("batch"),
+            lit(0L).as("_d"), lit(1L).as("_a"), lit(0L).as("_s")))
+          .unionAll(sigTable.snapshot().select(lit(-1L).as("batch"),
+            lit(0L).as("_d"), lit(0L).as("_a"), lit(1L).as("_s")))
+        tagged.groupBy(col("batch"))
+          .agg(sum(col("_d")).as("n_docs"), sum(col("_a")).as("n_accepted"),
+            sum(col("_s")).as("_ns"))
+          .withColumn("n_state_rows",
+            sum(col("_ns")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy().rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .where(col("n_docs") > 0)
+          .select(col("batch"), col("n_docs"), col("n_accepted"),
+            (col("n_docs") - col("n_accepted")).as("n_dropped"), col("n_state_rows"))
           .orderBySmall(col("batch"))
       },
       Some(streamNearDupOracleSql(shingleN = 3, numHashes = 8, rowsPerBand = 2,

@@ -441,14 +441,22 @@ object Streaming {
         // state never pays a copy-on-write table rewrite (merge without
         // prunable stats rewrites the WHOLE table per trigger)
         val acceptedState = shielded.join(histDups, Seq(idCol), "left_anti")
-        val newState = histOpt match {
+        // persist + count ONCE, then gate the append on the count: the
+        // previous isEmpty-probe-then-write pair executed the anti-join
+        // plan twice, and each execution re-ran its broadcast builds as
+        // separate driver jobs (measured: 3 probe jobs + 3 write jobs per
+        // steady-state trigger) — plus take(1)'s partition escalation can
+        // multiply probe jobs on an all-dup batch. One count materializes
+        // the cache (broadcast builds included), and the write then scans
+        // cached rows: 2 scheduling rounds where there were ~6. Per-trigger
+        // driver rounds ARE the streaming fixed cost at any data size.
+        val newState = (histOpt match {
           case None => acceptedState
           case Some(hist) =>
             Aggregates.idempotentNewRows(acceptedState, hist, Seq(idCol, "band"))
-        }
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          graft.ops.Sinks.writeIfNonEmpty(newState,
-            st => { sigTable.append(st); () })
+          if (newState.count() > 0L) { sigTable.append(newState); () }
           // acceptance handlers run BEFORE maintenance: `accepted`'s lazy
           // plan reads the PRE-append history snapshot through the
           // persisted-but-EVICTABLE histDups — if vacuum below deleted the
@@ -471,6 +479,7 @@ object Streaming {
             sigTable.vacuum()
           }
         } finally {
+          newState.unpersist(blocking = false)
           histDups.unpersist(blocking = false)
           shielded.unpersist(blocking = false)
         }

@@ -1,11 +1,18 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 import graft.Queries
 
 /** Scratch harness: print Spark job counts per query under the bench
   * posture (AQE off) — the controlled regression metric the PlanSpec pins
-  * are measured with. Usage: runMain graft.tools.JobCount <sfDir> <q1,q2,…>
+  * are measured with. Counts via a listener on job START, so jobs
+  * submitted under ANY job group — including Structured Streaming's
+  * micro-batch execution threads, which statusTracker's null-group query
+  * misses — are all counted. Usage:
+  * runMain graft.tools.JobCount <sfDir> <q1,q2,…>
   */
 object JobCount {
   def main(args: Array[String]): Unit = {
@@ -19,17 +26,24 @@ object JobCount {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Prep.ensure(spark)
+    val jobs = new AtomicInteger()
+    val counter = new SparkListener {
+      override def onJobStart(start: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
     for (name <- names.split(",")) {
       val fn = Queries.all.find(_.name == name).get.fn
       def noop(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       noop()
       spark.catalog.clearCache()
-      val st = spark.sparkContext.statusTracker
-      val before = st.getJobIdsForGroup(null).length
+      // listener events are posted asynchronously — settle before sampling
+      Thread.sleep(500)
+      val before = jobs.get()
       noop()
       Thread.sleep(500)
-      println(s"JOBS $name ${st.getJobIdsForGroup(null).length - before}")
+      println(s"JOBS $name ${jobs.get() - before}")
     }
     spark.stop()
   }

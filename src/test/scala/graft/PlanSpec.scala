@@ -731,4 +731,42 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("op_stream_neardup driver-job bound (listener-counted): per-trigger fixed cost pinned") {
+    // Streaming jobs run under the micro-batch execution's job group, so
+    // statusTracker's null-group query (jobsOf above) cannot see them —
+    // count via a listener on job start instead. Measured 22 under the
+    // bench posture after the r16 trigger-cost cut (was 29): per
+    // steady-state trigger, pair-count + union-find checkpoint +
+    // newState persist-count (broadcast builds included) + ONE cached
+    // state-append write + the exactly-once corpus append — the
+    // isEmpty-probe-then-write double execution and the census's
+    // crossJoin/subquery jobs are gone. Bound 24 = measured + 2 (take /
+    // broadcast flutter at other partition layouts). The replayed batch-0
+    // token must stay driver-side (0 jobs) — a data write appearing there
+    // pushes the count over this bound.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val counter = new SparkListener {
+      override def onJobStart(start: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(counter)
+    def noop(): Unit = Queries.all.find(_.name == "op_stream_neardup").get
+      .fn(spark, sf0001).write.format("noop").mode("overwrite").save()
+    try {
+      noop() // warm codegen/footer paths
+      spark.catalog.clearCache()
+      Thread.sleep(500) // listener events post asynchronously
+      val before = jobs.get()
+      noop()
+      Thread.sleep(500)
+      val n = jobs.get() - before
+      assert(n <= 24, s"op_stream_neardup ran $n jobs (bound 24)")
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
 }
