@@ -188,13 +188,28 @@ object Joins {
     // full row content FIRST (Spark applies the same sort-before-assign
     // guard to round-robin repartition, SPARK-23207), making row order —
     // and therefore every row's salt — a pure function of partition
-    // contents. Non-orderable (map-bearing) columns sort via their JSON
-    // form, which is deterministic per row, so even rows that differ only
-    // in a map column keep stable ordinals. No shuffle: the sort is
-    // in-partition and spillable, and it costs far less than the salted
-    // shuffle it stabilizes.
+    // contents. Sort keys are chosen by ORDERABILITY, not hashability
+    // (the two differ: maps hash via to_json here but never order;
+    // calendar intervals hash natively but don't order): non-orderable
+    // columns sort via to_json when JSON supports them, else a string
+    // cast — both deterministic per row, so rows that differ only in
+    // such a column keep stable ordinals. Residual: rows whose ONLY
+    // difference is in values the sort treats as EQUAL (±0.0, NaN
+    // payload bits) can still swap ordinals across attempts — but a swap
+    // then exchanges rows that are value-equal under SQL semantics, so
+    // join results stay value-identical; no observable dup/drop. No
+    // shuffle: the sort is in-partition and spillable, and it costs far
+    // less than the salted shuffle it stabilizes.
+    def jsonable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType | _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType => true
+      case _ => false
+    }
     val sortKeys = big.schema.fields.map { f =>
-      if (hashable(f.dataType)) col(f.name) else to_json(col(f.name))
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        col(f.name)
+      else if (jsonable(f.dataType)) to_json(col(f.name))
+      else col(f.name).cast("string")
     }
     val bigSalted = big.sortWithinPartitions(sortKeys.toIndexedSeq: _*).withColumn("_salt",
       pmod(hash(saltCols.toIndexedSeq :+ monotonically_increasing_id(): _*), lit(saltFactor)))

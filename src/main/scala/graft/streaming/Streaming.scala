@@ -398,7 +398,13 @@ object Streaming {
           .distinct()
           .where(sigAgreement("_as", "_bs") >= threshold)
           .select("doc_a", "doc_b")
-        val inBatchDrops = Dedup.dedupClusters(inPairs, "doc_a", "doc_b")
+        // forceLocal: the in-batch cluster resolution is transient — its
+        // durability window is this trigger (a failed trigger re-runs
+        // whole), while a stream's LIFETIME is unbounded, so routing it
+        // through the durable-checkpoint knob would write per-trigger
+        // reliable files that nothing ever deletes
+        val inBatchDrops = graft.ops.Lineage.forceLocal(
+            Dedup.dedupClusters(inPairs, "doc_a", "doc_b"))
           .where(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").as(idCol))
         val shielded = state.join(inBatchDrops, Seq(idCol), "left_anti")

@@ -281,3 +281,37 @@ class MultiWriterSinkContractSpec extends SparkSpec {
       .sameElements(Array(("k2", 2L, "init"))))
   }
 }
+
+/** The paginated store's SDK page-retry accounting (ADVICE r15): absorbed
+  * mid-page throttles are observable through the gauge and charged as
+  * billable requests — asserted here against the concrete in-memory
+  * client (the gauge is not part of the client-agnostic contract).
+  */
+class PaginatedThrottleAccountingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("a multi-page listing under bursty throttling absorbs and COUNTS mid-page throttles") {
+    val c = new graft.ops.InMemoryObjectStore(listPageSize = 1, throttleEvery = 3)
+    def retrying[A](op: () => A): A = {
+      var attempt = 0
+      var out = Option.empty[A]
+      while (out.isEmpty) {
+        try out = Some(op())
+        catch {
+          case e: graft.ops.ObjectStoreClient.TransientStoreException =>
+            attempt += 1; if (attempt >= 16) throw e
+        }
+      }
+      out.get
+    }
+    for (i <- 0 until 9)
+      retrying(() => c.putIfNoneMatch(s"t/_log/k$i", Array[Byte](1)))
+    assert(c.absorbedPageThrottles == 0, "no listing yet, nothing absorbed")
+    val got = retrying(() => c.list("t/_log/"))
+    assert(got.toSet == (0 until 9).map(i => s"t/_log/k$i").toSet,
+      "the paginated listing must still be complete under throttling")
+    // 9 single-key pages with every-3rd-request bursts: some page beyond
+    // the first is throttled in ANY complete listing attempt, so the
+    // page-retry model must have absorbed (and counted) at least one
+    assert(c.absorbedPageThrottles > 0,
+      "absorbed mid-page throttles must surface in the gauge")
+  }
+}
