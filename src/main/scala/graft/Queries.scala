@@ -92,7 +92,7 @@ object Queries {
         text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/d/'
           || CAST(doc_id AS VARCHAR) || ' and http://Mirror.' || source || '.net/x' AS text2
       FROM documents),
-    h AS (SELECT doc_id, regexp_replace(lower(unnest(regexp_extract_all(text2, '(?i)https?://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9.-]+)', 1))), '[.-]+$', '') AS host
+    h AS (SELECT doc_id, regexp_replace(lower(unnest(regexp_extract_all(text2, '(?i)https?://(?:[A-Za-z0-9._%+:-]*@)?([A-Za-z0-9._-]+)', 1))), '[.-]+$', '') AS host
       FROM d2),
     rd AS (SELECT doc_id, CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)"""

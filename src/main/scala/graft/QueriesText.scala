@@ -789,9 +789,13 @@ private[graft] object QueriesText {
           generate_subscripts(regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>', 0), 1) - 1 AS pos
         FROM pg),
         lk AS (SELECT doc_id, doc_id * 1000 + pos AS link_id,
-          regexp_extract(elem, '(?i)href="([^"]*)"', 1) AS url,
+          CASE WHEN regexp_matches(elem, '(?i)href\\s*=\\s*"')
+                 THEN regexp_extract(elem, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+               WHEN regexp_matches(elem, '(?i)href\\s*=\\s*''')
+                 THEN regexp_extract(elem, '(?i)href\\s*=\\s*''([^'']*)''', 1)
+               ELSE regexp_extract(elem, '(?i)href\\s*=\\s*([^\\s>"'']+)', 1) END AS url,
           trim(regexp_replace(regexp_extract(elem, '(?is)^<a\\s[^>]*>(.*)</a>$$', 1), '\\s+', ' ', 'g')) AS anchor
-        FROM el),
+        FROM el WHERE pos < 1000),
         cu AS (SELECT link_id AS doc_id, url FROM lk),
         ${canonicalCteSql("cu")},
         dm0 AS (SELECT l.doc_id, l.anchor,

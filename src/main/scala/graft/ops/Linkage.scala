@@ -31,9 +31,14 @@ object Linkage {
       col("block"))
     val d = dirty.select(col("id").as("dirty_id"), col("name").as("dirty_name"),
       col("block"))
+    // threshold form: the DP short-circuits to -1 once the distance
+    // provably exceeds maxDist — O(maxDist·len) per pair instead of the
+    // full O(n·m) matrix for the vast majority of block-mates that are
+    // nowhere near a match. For surviving pairs (>= 0) the value IS the
+    // exact distance, so downstream semantics are unchanged.
     d.join(c, Seq("block"))
-      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name"), maxDist))
+      .where(col("dist") >= 0)
   }
 
   /** Best match per dirty record: minimum edit distance, ties broken by

@@ -49,9 +49,15 @@ object Sinks {
   def idempotentParquetAppend(
       spark: SparkSession, batch: DataFrame, path: String,
       keys: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    // read back under the BATCH's schema: inference would re-type
+    // partition directories (string "01" and "1" both infer to int 1), so
+    // with a key that is also a partition column, distinct string keys
+    // could conflate in the anti-join and silently drop new rows — the
+    // exact violation processNewPartitions' string-canonical ledger was
+    // built to prevent in its sibling path
     val newRows =
       (if (existsNonEmpty(spark, path))
-        Aggregates.idempotentNewRows(batch, spark.read.parquet(path), keys)
+        Aggregates.idempotentNewRows(batch, spark.read.schema(batch.schema).parquet(path), keys)
       else batch.dropDuplicates(keys))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -102,21 +108,35 @@ object Sinks {
     org.apache.spark.sql.GraftBridge.jdbcTableExists(url, table, props)
 
   /** Batch-incremental partition processing — the daily-batch form of the
-    * streaming file ledger (ops 20/26): transform and append ONLY the
-    * source partitions whose partition value is absent from the
+    * streaming file ledger (ops 20/26): transform and land ONLY the
+    * source partitions whose partition value is not yet committed at the
     * destination. Returns the number of newly processed partition values;
     * re-running is a no-op.
     *
-    * The "done" ledger is the destination's partition DIRECTORY names — a
+    * The "done" ledger is an explicit `_graft_done` MARKER inside each
+    * partition directory, created only AFTER the write job commits — a
     * pure filesystem listing (reading the partition column through the
     * parquet reader would open every data file's footer, defeating the
-    * point at a 100-TB store). Values compare in canonical string form on
+    * point at a 100-TB store). A data file alone is NOT proof of a
+    * completed write: both committer algorithms can leave partially
+    * written partitions with VISIBLE files (v2 moves task output into
+    * the destination at task commit; v1's job commit moves per-task dirs
+    * non-atomically), and counting those "done" would skip their missing
+    * rows forever. Selected partitions are therefore written with
+    * DYNAMIC PARTITION OVERWRITE, so reprocessing a half-written
+    * partition replaces it instead of duplicating the surviving rows —
+    * crash anywhere (mid-write, or between commit and markers) and the
+    * re-run converges. Marker values compare in canonical string form on
     * BOTH sides, exactly as Spark writes directory names, so type
     * inference on read-back can never conflate distinct source values
     * (e.g. string "01" vs "1"); a NULL partition value maps to Hive's
     * default-partition directory and round-trips like any other value.
     * Partition values are metadata-cardinality by contract (see
-    * [[idempotentParquetAppend]]), so the driver-side value sets are small.
+    * [[idempotentParquetAppend]]), so the driver-side value sets are
+    * small. Migration note: a destination written before the marker
+    * ledger re-processes every partition once (dynamic overwrite from
+    * the current source — idempotent under this operator's contract that
+    * `src` is the source of truth for a partition's rows).
     */
   def processNewPartitions(
       spark: SparkSession, src: DataFrame, destPath: String, partitionBy: String,
@@ -128,40 +148,31 @@ object Sinks {
       "%([0-9A-Fa-f]{2})".r.replaceAllIn(s, m =>
         java.util.regex.Matcher.quoteReplacement(
           Integer.parseInt(m.group(1), 16).toChar.toString))
-    val done: Set[Option[String]] = {
-      val p0 = new org.apache.hadoop.fs.Path(destPath)
-      val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // qualify BEFORE comparing against listed paths: fs.listFiles returns
-      // fully-qualified paths (scheme + working dir), so an unqualified
-      // relative destPath would never equal any listed parent — the done
-      // ledger would silently come back empty and every partition would
-      // re-append on every run
-      val p = fs.makeQualified(p0)
+    val p0 = new org.apache.hadoop.fs.Path(destPath)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE comparing against listed paths: fs.listFiles returns
+    // fully-qualified paths (scheme + working dir), so an unqualified
+    // relative destPath would never equal any listed parent — the done
+    // ledger would silently come back empty and every partition would
+    // re-process on every run
+    val p = fs.makeQualified(p0)
+    val done: Set[Option[String]] =
       if (!fs.exists(p)) Set.empty
       else {
-        // A directory alone is NOT proof of a completed write: a crashed
-        // run (or committer v2 partial output) can leave a partition dir
-        // with no visible data file, and counting it "done" would skip it
-        // forever. Require at least one non-hidden data file inside — found
-        // via ONE recursive listing from the table root (a listing per
-        // partition directory is O(#partitions) round trips on an object
-        // store; a single LIST stream is one).
-        val base = p.toUri.getPath
+        // a partition is done iff its dir holds the post-commit marker —
+        // found via ONE recursive listing from the table root (a listing
+        // per partition directory is O(#partitions) round trips on an
+        // object store; a single LIST stream is one)
         val it = fs.listFiles(p, /* recursive = */ true)
         val names = scala.collection.mutable.Set.empty[String]
         while (it.hasNext) {
-          val f = it.next().getPath
-          // components strictly below the root, file included, top-down
-          val comps = Iterator.iterate(f)(_.getParent)
-            .takeWhile(q => q != null && q.toUri.getPath != base)
-            .map(_.getName).toList.reverse
-          val hidden = comps.exists(n => n.startsWith("_") || n.startsWith("."))
-          if (!hidden && comps.nonEmpty && comps.head.startsWith(s"$partitionBy="))
+          val comps = belowRootComponents(p, it.next().getPath)
+          if (comps.length == 2 && comps(1) == DoneMarker &&
+              comps.head.startsWith(s"$partitionBy="))
             names += comps.head.substring(partitionBy.length + 1)
         }
         names.map(v => if (v == HiveDefaultPartition) None else Some(unescapePath(v))).toSet
       }
-    }
     // The distinct partition values land on the driver BY DESIGN (they are
     // metadata-cardinality: dates, sources, shards) — but a mis-keyed call
     // (partitioning by an id column) would try to collect the whole key
@@ -193,11 +204,37 @@ object Sinks {
         (if (newVals.contains(None))
           col(partitionBy).isNull || col(partitionBy).cast("string") === ""
         else lit(false))
+      // DYNAMIC overwrite: only the partitions present in the written
+      // frame are replaced — a half-written partition from a crashed run
+      // is cleared instead of double-appended, and committed partitions
+      // not selected this run are untouched
       transform(src.where(keep))
-        .write.mode(SaveMode.Append).partitionBy(partitionBy).parquet(destPath)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionBy).parquet(destPath)
+      // markers land only AFTER the job commit: a crash before this loop
+      // (or mid-loop) leaves the affected partitions unmarked, and the
+      // next run's dynamic overwrite re-lands them idempotently. A
+      // partition whose transform produced no rows still gets its marker
+      // (processed-and-empty, not pending). Partition dir names use
+      // Spark's own escaping so the marker lands exactly where the
+      // written data did.
+      for (v <- newVals) {
+        val dirName = s"$partitionBy=" + v
+          .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+          .getOrElse(HiveDefaultPartition)
+        val dir = new org.apache.hadoop.fs.Path(p, dirName)
+        fs.mkdirs(dir)
+        fs.create(new org.apache.hadoop.fs.Path(dir, DoneMarker), /* overwrite = */ true).close()
+      }
     }
     newVals.size.toLong
   }
+
+  /** The post-commit per-partition marker [[processNewPartitions]] keys its
+    * ledger on. Leading '_' keeps it invisible to parquet readers.
+    */
+  private[graft] val DoneMarker = "_graft_done"
 
   /** Bucketed table sink: pre-shuffles once at write time so every later
     * equi-join or aggregation on `keys` between co-bucketed tables runs with
@@ -214,7 +251,11 @@ object Sinks {
   def bucketedTable(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
                     path: Option[String] = None): Unit = {
     require(keys.nonEmpty)
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    // quote PER PART: backticking the whole name would treat "db.t" as one
+    // identifier in the current database — the drop would no-op while
+    // saveAsTable resolves the qualified name, voiding the stale-path guard
+    val quoted = table.split('.').map(part => s"`$part`").mkString(".")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $quoted")
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -239,15 +280,25 @@ object Sinks {
     */
   private def hasVisibleFile(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Boolean = {
-    val base = root.toUri.getPath
     val it = fs.listFiles(root, /* recursive = */ true)
     while (it.hasNext) {
-      val f = it.next().getPath
-      val anyHidden = Iterator.iterate(f)(_.getParent)
-        .takeWhile(q => q != null && q.toUri.getPath != base)
-        .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
-      if (!anyHidden) return true
+      val comps = belowRootComponents(root, it.next().getPath)
+      if (!comps.exists(n => n.startsWith("_") || n.startsWith(".")))
+        return true
     }
     false
+  }
+
+  /** Path components strictly below `root` (file included), top-down —
+    * the ONE walk the visible-file probe and the partition-marker ledger
+    * share (two hand-rolled copies of the hidden-component rule could
+    * silently diverge).
+    */
+  private def belowRootComponents(
+      root: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.Path): List[String] = {
+    val base = root.toUri.getPath
+    Iterator.iterate(f)(_.getParent)
+      .takeWhile(q => q != null && q.toUri.getPath != base)
+      .map(_.getName).toList.reverse
   }
 }

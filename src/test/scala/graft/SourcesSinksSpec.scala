@@ -314,6 +314,44 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dest).select("v").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("processNewPartitions: a PARTIALLY written partition (visible files, no marker) re-lands without duplicates") {
+    // both committer algorithms can leave visible data files from a
+    // crashed job (v2 moves task output at task commit; v1's job commit
+    // is non-atomic across tasks) — a data file is NOT proof of
+    // completion. The marker ledger must re-select the partition and the
+    // dynamic overwrite must REPLACE the partial rows, not append to them.
+    val dest = Files.createTempDirectory("graft-incr5").toString + "/t"
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    val src = Seq((2020, 1L), (2021, 2L)).toDF("year", "v")
+    assert(graft.ops.Sinks.processNewPartitions(spark, src, dest, "year")(id) == 2)
+    // simulate the crash: a visible data file lands in year=2022 with no
+    // post-commit marker (a plain append writes exactly that shape)
+    Seq((2022, 99L)).toDF("year", "v")
+      .write.mode("append").partitionBy("year").parquet(dest)
+    val src2 = src.unionByName(Seq((2022, 3L)).toDF("year", "v"))
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(id) == 1,
+      "the unmarked partition must re-run")
+    val back = spark.read.parquet(dest)
+    assert(back.select("v").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "the partial row must be replaced, not duplicated alongside")
+    assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(id) == 0)
+  }
+
+  test("bucketedTable: database-qualified names drop the real table (stale-path guard)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bt_db")
+    val p1 = Files.createTempDirectory("graft-bt1").toString
+    val p2 = Files.createTempDirectory("graft-bt2").toString
+    try {
+      Sinks.bucketedTable(Seq((1L, "a")).toDF("k", "s"), "graft_bt_db.t", 2, Seq("k"), Some(p1))
+      // re-run against a DIFFERENT path: the whole-name-backticked DROP
+      // used to no-op (looking up a table literally named "graft_bt_db.t"
+      // in the current database), voiding the stale-location guarantee
+      Sinks.bucketedTable(Seq((2L, "b")).toDF("k", "s"), "graft_bt_db.t", 2, Seq("k"), Some(p2))
+      val got = spark.table("graft_bt_db.t").as[(Long, String)].collect().toSeq
+      assert(got == Seq((2L, "b")), s"stale location read back: $got")
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_bt_db CASCADE")
+  }
+
   test("processNewPartitions fails loudly on a key-cardinality partition column") {
     val dest = Files.createTempDirectory("graft-incr4").toString + "/t"
     val id = (df: org.apache.spark.sql.DataFrame) => df

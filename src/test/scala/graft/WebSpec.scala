@@ -186,4 +186,45 @@ class WebSpec extends SparkSpec {
       .select(col("href"), col("anchor")).as[(String, String)].collect().toMap
     assert(got == Map("" -> "no target", "https://y.org" -> "y"))
   }
+
+  test("htmlLinks: single-quoted, unquoted, and spaced href forms all extract; empty dq href stays empty") {
+    val pages = Seq((2L,
+      "<a href='https://sq.org/p'>sq</a>" +
+        "<a href=https://uq.org/q>uq</a>" +
+        "<a href = \"https://sp.org/r\">sp</a>" +
+        "<a href=\"\" data-href='https://decoy.org'>empty</a>"))
+      .toDF("doc_id", "html")
+    val got = Web.htmlLinks(pages, "doc_id", "html")
+      .select(col("href"), col("anchor")).as[(String, String)].collect().toMap
+    assert(got == Map(
+      "https://sq.org/p" -> "sq",
+      "https://uq.org/q" -> "uq",
+      "https://sp.org/r" -> "sp",
+      // href="" must stay "" — the decoy data-href must never be read
+      "" -> "empty"))
+  }
+
+  test("htmlLinks: the 1000-anchor link_id contract is enforced, not assumed") {
+    val spam = (0 until 1005).map(i => s"<a href=\"https://x.org/$i\">a$i</a>").mkString
+    val pages = Seq((5L, spam), (6L, "<a href=\"https://y.org/0\">b</a>")).toDF("doc_id", "html")
+    val got = Web.htmlLinks(pages, "doc_id", "html")
+      .select(col("doc_id"), col("link_id")).as[(Long, Long)].collect()
+    // doc 5 keeps exactly 1000 anchors; none of its ids reaches doc 6's range
+    assert(got.count(_._1 == 5L) == 1000)
+    assert(got.filter(_._1 == 5L).map(_._2).max == 5999L)
+    assert(got.filter(_._1 == 6L).map(_._2).toSeq == Seq(6000L))
+    // uniqueness across the corpus — the collision the cap exists to prevent
+    assert(got.map(_._2).distinct.length == got.length)
+  }
+
+  test("urlHosts: underscored DNS labels capture the full host (blocklist bypass regression)") {
+    val docs = Seq((1L, "see https://x_y.blocked.com/page today")).toDF("doc_id", "text")
+    val hosts = docs.select(Web.urlHosts(col("text")).as("h"))
+      .selectExpr("explode(h) AS host").as[String].collect().toSeq
+    assert(hosts == Seq("x_y.blocked.com"),
+      s"host must not truncate at '_': $hosts")
+    val kept = Web.domainBlocklistFilter(docs, "doc_id", "text",
+      Seq("blocked.com").toDF("domain"))
+    assert(kept.count() == 0, "the underscored-subdomain mention must hit the blocklist")
+  }
 }
