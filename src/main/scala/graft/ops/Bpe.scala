@@ -154,12 +154,16 @@ object Bpe {
 
   /** Column encoder over a token-array column: each word splits into its
     * BPE subword tokens; the flattened subword sequence preserves word
-    * order. Null-safe (null array → null).
+    * order. Null-safe at BOTH levels (null array → null; null ELEMENTS
+    * inside the array are skipped — they carry no subwords, and the
+    * general array<string> column contract this public signature offers
+    * admits them even though TextAnalysis.tokens never emits one).
     */
   def encodeTokens(merges: Merges)(toks: Column): Column = {
     val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val enc = udf((ws: Seq[String]) =>
-      if (ws == null) null else ws.flatMap(w => encodeWord(w, rank)))
+      if (ws == null) null
+      else ws.iterator.filter(_ != null).flatMap(w => encodeWord(w, rank)).toSeq)
     enc(toks)
   }
 

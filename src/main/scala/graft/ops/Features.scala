@@ -74,12 +74,27 @@ object Features {
     * is assembled on the driver in exact integer-decimal arithmetic
     * (covᵢⱼ = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n², one terminal division at scale 30),
     * and a cyclic Jacobi eigensolver diagonalizes the d×d result.
-    * Features must fit the decimal windows: |x| ≲ 10⁹ at 10¹² rows.
+    *
+    * Feature-domain contract (enforced, not assumed): rows with a NULL,
+    * NaN, or infinite feature DROP before the moments — under ANSI-off
+    * their decimal cast is NULL, which would silently vanish from the
+    * sums while count() still booked the row in n (a mis-weighted mean
+    * and covariance with no error; an all-invalid column would NPE on
+    * the driver). The magnitude bound is what the accumulators actually
+    * hold, not folklore: the cross-moment sum widens to decimal(38,2·s),
+    * so with the default scale 6 the sum capacity is 10²⁶ — i.e.
+    * Σx² ≤ 10²⁶, |x| ≲ 3·10⁶ at 10¹² rows (|x| ≲ 10⁹ only up to ~10⁸
+    * rows). Overflow raises with the rescale hint instead of NPEing.
     */
   def pcaFit(df: DataFrame, features: Seq[Column], scale: Int = 6): PcaModel = {
     require(features.nonEmpty)
     val d = features.length
-    val proj = df.select(features.zipWithIndex.map { case (c, i) =>
+    val valid = features.map { c =>
+      val x = c.cast("double")
+      x.isNotNull && !isnan(x) && x =!= Double.PositiveInfinity &&
+        x =!= Double.NegativeInfinity
+    }.reduce(_ && _)
+    val proj = df.where(valid).select(features.zipWithIndex.map { case (c, i) =>
       c.cast("double").as(s"_x$i") }: _*)
     val aggs =
       Seq(count(lit(1)).as("_n")) ++
@@ -91,11 +106,19 @@ object Features {
     val n = row.getLong(0)
     require(n > 0, "pcaFit over an empty input")
     val nBd = JBigDecimal.valueOf(n)
-    val s: Array[JBigDecimal] = Array.tabulate(d)(i => row.getDecimal(1 + i))
+    def moment(idx: Int, what: String): JBigDecimal = {
+      val v = row.getDecimal(idx)
+      require(v != null,
+        s"pcaFit: $what sum overflowed its decimal window (or the column " +
+          "is empty after the validity filter) — rescale the features or " +
+          "raise `scale`")
+      v
+    }
+    val s: Array[JBigDecimal] = Array.tabulate(d)(i => moment(1 + i, s"feature ${i}"))
     var k = 1 + d
     val cov = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
-      val p = row.getDecimal(k); k += 1
+      val p = moment(k, s"cross-moment ($i,$j)"); k += 1
       // (n·p − sᵢ·sⱼ) / n² — numerator exact; one divide, fixed scale
       val num = nBd.multiply(p).subtract(s(i).multiply(s(j)))
       val c = num.divide(nBd.multiply(nBd), 30, RoundingMode.HALF_EVEN).doubleValue()

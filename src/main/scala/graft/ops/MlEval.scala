@@ -113,8 +113,14 @@ object MlEval {
                       nBins: Int = 10): DataFrame = {
     require(nBins > 0 && 100 % nBins == 0, "nBins must divide 100")
     val width = 100 / nBins
-    df.select((pCenti.cast("long") / lit(width)).cast("long").as("bin"),
-        pCenti.cast("long").as("_p"), label.cast("long").as("_y"))
+    // enforce the 0..100 domain instead of assuming it: 100 (exact
+    // certainty) folds into the TOP bin rather than minting an
+    // out-of-range nBins+1-th row, and negative/over-100 garbage drops
+    // rather than dragging bin 0's mean_pred below zero
+    df.select(pCenti.cast("long").as("_p"), label.cast("long").as("_y"))
+      .where(col("_p").between(0L, 100L))
+      .select(least((col("_p") / lit(width)).cast("long"), lit(nBins - 1L)).as("bin"),
+        col("_p"), col("_y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("_p").cast("decimal(20,0)")).as("_sp"),
@@ -135,8 +141,13 @@ object MlEval {
     */
   def liftDeciles(df: DataFrame, stratum: Column, score: Column, id: Column,
                   label: Column): DataFrame = {
+    // the aucExact stance, applied file-wide: a NULL label would count in
+    // n but not n_pos (deflating every rate non-uniformly when NULLs
+    // concentrate by score), and a NULL score would silently fill the
+    // bottom decile instead of carrying rank information
     val proj = df.select(stratum.as("seg"), score.cast("long").as("_s"),
       id.as("_id"), label.cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
     val w = Window.partitionBy(col("seg"))
       .orderBy(col("_s").desc, col("_id"))
     val deciled = proj.withColumn("decile", ntile(10).over(w))
@@ -205,13 +216,19 @@ object MlEval {
       sum(when(col("_a") === col("_b"), col("_c")).otherwise(lit(0L))).as("n_agree"))
     val prod = na.join(nb, col("_ka") === col("_kb"))
       .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("sum_prod"))
+    // n² and n·n_agree in DECIMAL(38,0): at the 100-TB posture n can
+    // exceed 3·10⁹, where long n*n wraps silently (ANSI off) — a wrong
+    // pe/kappa and possibly a wrong degeneracy decision. sum_prod itself
+    // is bounded by n² so it gets the same treatment.
+    def d38(c: Column) = c.cast("decimal(38,0)")
     tot.crossJoin(prod)
       .select(col("n"), col("n_agree"), col("sum_prod"),
         (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
-        (col("sum_prod").cast("double") / (col("n") * col("n")).cast("double")).as("pe"),
-        when(col("n") * col("n") =!= col("sum_prod"),
-          (col("n") * col("n_agree") - col("sum_prod")).cast("double") /
-            (col("n") * col("n") - col("sum_prod")).cast("double"))
+        (d38(col("sum_prod")).cast("double") /
+          (d38(col("n")) * col("n")).cast("double")).as("pe"),
+        when(d38(col("n")) * col("n") =!= d38(col("sum_prod")),
+          (d38(col("n")) * col("n_agree") - col("sum_prod")).cast("double") /
+            (d38(col("n")) * col("n") - col("sum_prod")).cast("double"))
           .as("kappa"))
   }
 
@@ -222,12 +239,16 @@ object MlEval {
     * window over the per-score census (the aucExact shape — the
     * unpartitioned windows see ≤|domain| rows, never the corpus) and
     * precision/recall as exact integer millionths. NULL scores carry no
-    * threshold information and drop. Output, one row per distinct score
-    * (descending): threshold, tp, fp, fn, precision/recall millionths.
+    * threshold information and drop; NULL LABELS drop too (the aucExact
+    * stance) — counting an unlabeled row in _n while omitting it from
+    * _pos would book it as a confirmed negative and deflate precision.
+    * Output, one row per distinct score (descending): threshold, tp, fp,
+    * fn, precision/recall millionths.
     */
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val cells = df.where(score.isNotNull)
+    val cells = df
       .select(score.cast("long").as("threshold"), label.cast("long").as("_y"))
+      .where(col("threshold").isNotNull && col("_y").isNotNull)
       .groupBy(col("threshold"))
       .agg(sum(col("_y")).as("_pos"), count(lit(1)).as("_n"))
     val cum = Window.orderBy(col("threshold").desc)

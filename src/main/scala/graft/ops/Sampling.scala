@@ -251,8 +251,11 @@ object Sampling {
     */
   def curriculumInterleave(docs: DataFrame, key: Column, source: Column,
                            difficulty: Column): DataFrame = {
+    // nulls LAST: a NULL difficulty (scorer miss) must not rank as "the
+    // easiest" and front-load every source's schedule — unknown hardness
+    // trains last, after everything the scorer could actually order
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(source).orderBy(difficulty.asc, key.asc)
+      .partitionBy(source).orderBy(difficulty.asc_nulls_last, key.asc_nulls_last)
     docs.withColumn("curriculum_rank", row_number().over(w))
   }
 
@@ -272,8 +275,12 @@ object Sampling {
   def clusterBalancedSample(df: DataFrame, key: Column, cluster: Column,
                             perCluster: Int): DataFrame = {
     require(perCluster > 0)
+    // nulls LAST (matching groupSample's documented NULL contract):
+    // md5(NULL) is NULL and plain .asc is NULLS FIRST, which would hand
+    // every per-cluster slot to NULL-keyed rows and silently drop the
+    // cluster's real documents
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(cluster).orderBy(md5(key.cast("string")).asc, key.asc)
+      .partitionBy(cluster).orderBy(md5(key.cast("string")).asc_nulls_last, key.asc_nulls_last)
     df.withColumn("pick_rank", row_number().over(w))
       .where(col("pick_rank") <= perCluster)
   }

@@ -774,6 +774,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(pick(df.repartition(13)) === got)
   }
 
+  test("clusterBalancedSample: NULL keys rank LAST — a cluster's real documents win the slots") {
+    import spark.implicits._
+    val df = (Seq.fill(5)((None: Option[Long], "c")) ++
+      Seq((Some(1L), "c"), (Some(2L), "c"))).toDF("id", "cl")
+    val got = graft.ops.Sampling.clusterBalancedSample(df, col("id"), col("cl"), perCluster = 2)
+      .select($"id").as[Option[Long]].collect().toSet
+    // md5(NULL) is NULL; plain .asc (NULLS FIRST) would hand both slots
+    // to null-keyed rows and silently drop every real document
+    assert(got === Set(Some(1L), Some(2L)), s"null-keyed rows took the slots: $got")
+  }
+
+  test("curriculumInterleave: NULL difficulty trains LAST, never front-loads the schedule") {
+    import spark.implicits._
+    val df = Seq((1L, "s", Some(7)), (2L, "s", None: Option[Int]), (3L, "s", Some(3)))
+      .toDF("id", "src", "diff")
+    val got = graft.ops.Sampling.curriculumInterleave(df, col("id"), col("src"), col("diff"))
+      .select($"id", $"curriculum_rank").as[(Long, Int)].collect().toMap
+    assert(got === Map(3L -> 1, 1L -> 2, 2L -> 3),
+      s"unknown difficulty must rank after everything the scorer ordered: $got")
+  }
+
   test("skyline2D == quadratic NOT-EXISTS dominance; frontier ties all survive") {
     import spark.implicits._
     val rows = Seq(

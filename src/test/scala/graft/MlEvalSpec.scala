@@ -148,6 +148,20 @@ class MlEvalSpec extends SparkSpec {
     assert(math.abs(m2.components(0)(0) + m2.components(0)(1)) < 1e-12)
   }
 
+  test("pcaFit: NULL/NaN/Infinity feature rows DROP — the moments never mis-weight against count") {
+    import spark.implicits._
+    val clean = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    val dirty = clean.unionByName(Seq(
+      (Double.NaN, 1.0), (1.0, Double.PositiveInfinity),
+      (Double.NegativeInfinity, 1.0)).toDF("x", "y"))
+      .unionByName(Seq((None: Option[Double], Some(1.0))).toDF("x", "y"))
+    val a = Features.pcaFit(clean, Seq(col("x"), col("y")))
+    val b = Features.pcaFit(dirty, Seq(col("x"), col("y")))
+    assert(b.n == a.n, "invalid rows must not count into n")
+    assert(b.mean.toSeq == a.mean.toSeq)
+    assert(b.eigenvalues.toSeq == a.eigenvalues.toSeq)
+  }
+
   test("pcaFit eigenpairs reconstruct the covariance (V·diag(λ)·Vᵀ ≈ C) on a dense matrix") {
     // deterministic correlated features
     val df = spark.range(0, 500).select(
@@ -245,5 +259,39 @@ class MlEvalSpec extends SparkSpec {
       (3L, 2L, 1L, 1L, 666666L, 666666L),
       (2L, 3L, 1L, 0L, 750000L, 1000000L),
       (1L, 3L, 2L, 0L, 600000L, 1000000L)))
+  }
+
+  test("prCurve: NULL labels drop instead of counting as confirmed negatives") {
+    import spark.implicits._
+    val labeled = Seq((5L, Some(1L)), (5L, Some(0L)), (4L, Some(1L))).toDF("s", "y")
+    val withNulls = labeled.unionByName(
+      Seq((5L, None: Option[Long]), (4L, None: Option[Long])).toDF("s", "y"))
+    val a = graft.ops.MlEval.prCurve(labeled, col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(-_._1).toSeq
+    val b = graft.ops.MlEval.prCurve(withNulls, col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(-_._1).toSeq
+    assert(a === b, "an unlabeled row must not inflate fp / deflate precision")
+  }
+
+  test("liftDeciles: NULL scores and labels drop (no phantom bottom-decile, undistorted rates)") {
+    import spark.implicits._
+    val clean = (1 to 20).map(i => ("s", Some(i.toLong), i.toLong, Some((i % 2).toLong)))
+      .toDF("seg", "sc", "id", "y")
+    val noisy = clean.unionByName(Seq(
+      ("s", None: Option[Long], 100L, Some(1L)),
+      ("s", Some(10L), 101L, None: Option[Long])).toDF("seg", "sc", "id", "y"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.MlEval.liftDeciles(df, col("seg"), col("sc"), col("id"), col("y"))
+        .select("decile", "n", "n_pos").as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(clean) === run(noisy))
+  }
+
+  test("calibrationBins: pCenti=100 folds into the top bin; out-of-domain values drop") {
+    import spark.implicits._
+    val df = Seq((100L, 1L), (95L, 1L), (-5L, 0L), (101L, 0L), (5L, 0L)).toDF("p", "y")
+    val got = graft.ops.MlEval.calibrationBins(df, col("p"), col("y"))
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(got === Map(9L -> 2L, 0L -> 1L),
+      s"100 joins bin 9, -5/101 drop, 5 is bin 0's only row: $got")
   }
 }

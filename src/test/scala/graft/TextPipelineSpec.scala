@@ -412,6 +412,12 @@ class TextPipelineSpec extends SparkSpec {
     // trainer stops gracefully when pairs are exhausted (single-char words)
     val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, "text", numMerges = 10).isEmpty)
+    // null ELEMENTS inside the token array are skipped, not NPE'd — the
+    // public array<string> contract admits them even though
+    // TextAnalysis.tokens never emits one
+    val nullToks = Seq(Tuple1(Seq[String]("low", null, "low"))).toDF("toks")
+    val encNull = nullToks.select(Bpe.encodeTokens(full)(col("toks"))).as[Seq[String]].head()
+    assert(encNull == Seq("low", "low"))
   }
 
   test("BPE trainer driver collect is bounded: minFreq/maxWords prune the heavy tail") {
