@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Death
-import graft.ops.{Sources, Transforms, Joins}
+import graft.ops.{Aggregates, Sources, Transforms, Joins}
 
 /** The reference's death staging pipeline as ONE lazy DataFrame expression
   * (SURVEY.md §3.2; /root/reference/dags/global_dag.py:94-148).
@@ -39,12 +39,21 @@ object StageDeaths {
     // definition, no drift
     val geo = Transforms.filterValid(cityGeo(spark, cityGeoPath),
       Seq("latitude", "longitude"))
-    Transforms.filterValid(
-        Joins.broadcastLookup(parsed, geo, parsed("insee") === geo("insee")),
-        Seq("date_of_birth", "date_of_death"))
-      .select(parsed("id"), col("date_of_birth"), col("date_of_death"),
-        col("latitude"), col("longitude"))
-      .dropDuplicates("id")
+    // first-wins dedup under a TOTAL order (the StagePlants.stageOne
+    // discipline): two records sharing an 80-byte name field (id =
+    // sha1(name_raw)) but differing in dates/coords must yield the SAME
+    // survivor on every run — a bare dropDuplicates keeps whichever row
+    // the shuffle happens to deliver first, violating the repo's
+    // determinism contract one package over from where it is documented
+    Aggregates.dedupFirst(
+      Transforms.filterValid(
+          Joins.broadcastLookup(parsed, geo, parsed("insee") === geo("insee")),
+          Seq("date_of_birth", "date_of_death"))
+        .select(parsed("id"), col("date_of_birth"), col("date_of_death"),
+          col("latitude"), col("longitude")),
+      Seq("id"),
+      Seq(col("date_of_birth").asc_nulls_last, col("date_of_death").asc_nulls_last,
+        col("latitude").asc_nulls_last, col("longitude").asc_nulls_last))
   }
 
   /** Typed serve-layer view (SURVEY.md §1.4). */

@@ -54,6 +54,11 @@ object StagePlants {
   val commonRenames: Map[String, String] = Map(
     "centrale" -> "plant", "point_gps_wsg84" -> "position", "commune" -> "city",
     "date_de_mise_en_service_industrielle" -> "start_date", "puissance_installee" -> "power (MW)")
+  // NOTE drop-then-rename order (stageOne) mirrors the reference exactly:
+  // nuclearDrops' "sub_sector" targets a pre-existing raw column of that
+  // name (global_dag.py:63 drops it BEFORE renaming), and the rename below
+  // then re-mints sub_sector from the surviving sous_filiere — so nuclear
+  // output DOES carry sub_sector; only thermal drops sous_filiere outright.
   val nuclearRenames: Map[String, String] =
     commonRenames ++ Map("sous_filiere" -> "sub_sector", "contrat_programme" -> "contract")
 

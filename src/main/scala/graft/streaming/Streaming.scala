@@ -77,8 +77,12 @@ object Streaming {
     * lateness bound; state is pruned by the watermark, so memory is bounded
     * regardless of stream length (the 100-TB-stream concern).
     */
-  def dedupByIdWithWatermark(df: DataFrame, tsCol: String, watermark: String, idCols: String*): DataFrame =
+  def dedupByIdWithWatermark(df: DataFrame, tsCol: String, watermark: String, idCols: String*): DataFrame = {
+    // loud contract error, not a bare NoSuchElementException from .head
+    // (the ManifestTable.mergeCore empty-keys discipline)
+    require(idCols.nonEmpty, "dedupByIdWithWatermark: at least one id column is required")
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+  }
 
   /** Session windows (gap-based) on a stream — the streaming form of
     * Analytics.sessionizeNumeric, using the built-in session_window state
@@ -175,12 +179,26 @@ object Streaming {
     * on the partition column gives every micro-batch the same
     * dynamic-partition-pruned cell scans the batch lifecycle key
     * (ann_index_persist) plan-asserts — each trigger scans only the
-    * probed cells, never the full index. Results land through the
-    * idempotent append keyed on (query_id, rank): an at-least-once
-    * upstream re-delivering a query batch appends nothing, so the served
-    * table holds exactly one top-k list per query. Stream-served top-k is
-    * EQUAL to the batch ivfTopKFitted answer over the same store
-    * (StreamingSpec pins the parity).
+    * probed cells, never the full index. Idempotence is PER QUERY, not
+    * per (query, rank): a query's whole top-k list commits atomically in
+    * one batch, and any later redelivery of that query appends NOTHING —
+    * rank-level anti-joining would merge rankings computed against
+    * different index states (ingest between delivery and redelivery can
+    * reshuffle ranks, and a rank-keyed merge could store one neighbor at
+    * two ranks: a list that is the top-k of no index version). The
+    * served table therefore always holds ONE internally-consistent list
+    * per query — the list as of that query's first successful serve.
+    * Stream-served top-k is EQUAL to the batch ivfTopKFitted answer over
+    * the same store (StreamingSpec pins the parity).
+    *
+    * Snapshot limit (documented, by design of the plain-parquet tier):
+    * the index read has no commit protocol, so a serve trigger racing a
+    * CONCURRENT ingest job's in-progress append can list a torn subset
+    * of that batch's files (idempotentParquetAppend's documented
+    * single-writer contract, extended to this reader). Alternate the
+    * sinks (ingest, then serve) or back the index with a
+    * [[graft.ops.ManifestTable]]/[[acidMergeSink]]-style snapshot store
+    * when both sides must run concurrently.
     */
   def annServeSink(queries: DataFrame, idCol: String, vecCol: String,
                    cents: Array[Array[Double]], indexPath: String, outPath: String,
@@ -195,8 +213,18 @@ object Streaming {
       // (at-least-once upstream) serves them once the index exists.
       if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, indexPath)) {
         val corpus = batch.sparkSession.read.parquet(indexPath)
+        // per-QUERY idempotence: only queries with no served list yet are
+        // scored and appended, each with its complete top-k in one write —
+        // the (query_id, rank)-keyed form could interleave two index
+        // versions' rankings for one query (see scaladoc)
+        val pending =
+          if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath))
+            batch.join(
+              batch.sparkSession.read.parquet(outPath).select(col("query_id")).distinct(),
+              batch(idCol) === col("query_id"), "left_anti")
+          else batch
         val served = graft.ops.Similarity.ivfTopKFitted(
-          batch, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
+          pending, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
         graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, served,
           outPath, Seq("query_id", "rank"))
       }
@@ -390,14 +418,20 @@ object Streaming {
               when(element_at(col(a), i + 1) === element_at(col(b), i + 1), 1)
                 .otherwise(0))
             .reduce(_ + _).cast("double") / numHashes
+        // agreement-filter BEFORE the distinct, ids-only distinct AFTER
+        // (the Dedup.simhashPairsByChunks trade): a pair surfacing from
+        // several bands carries identical signatures in every copy, so
+        // filtering first changes nothing — while distinct-ing the raw
+        // candidate rows would shuffle two array<string>(8) payloads per
+        // pair instead of two ids
         val inPairs = state.alias("x").join(state.alias("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
               col(s"x.`$idCol`") < col(s"y.`$idCol`"))
           .select(col(s"x.`$idCol`").as("doc_a"), col("x.sig").as("_as"),
             col(s"y.`$idCol`").as("doc_b"), col("y.sig").as("_bs"))
-          .distinct()
           .where(sigAgreement("_as", "_bs") >= threshold)
           .select("doc_a", "doc_b")
+          .distinct()
         // forceLocal: the in-batch cluster resolution is transient — its
         // durability window is this trigger (a failed trigger re-runs
         // whole), while a stream's LIFETIME is unbounded, so routing it
@@ -434,9 +468,13 @@ object Streaming {
             shielded.alias("b").join(hist.alias("h"),
                 col("b.band") === col("h.band") && col("b.bucket") === col("h.bucket") &&
                   col(s"b.`$idCol`") =!= col(s"h.`$idCol`"))
+              // same trade as the in-batch shield: filter on the cheap
+              // per-row agreement first, then distinct ONLY the surviving
+              // ids — the previous pre-filter distinct shuffled every
+              // candidate (probe, history) row with both signature arrays,
+              // and was fully redundant with this ids-only distinct
               .select(col(s"b.`$idCol`").as("_bid"), col("b.sig").as("_bs"),
-                col(s"h.`$idCol`").as("_hid"), col("h.sig").as("_hs"))
-              .distinct()
+                col("h.sig").as("_hs"))
               .where(sigAgreement("_bs", "_hs") >= threshold)
               .select(col("_bid").as(idCol)).distinct()
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -594,6 +632,15 @@ object Streaming {
     * immediately as its own closed late session — it is NEVER glued onto
     * a session it is gap-separated from. An open session's tail rides in
     * state until a later event closes it.
+    *
+    * Delivery contract (the caller's half): events must arrive
+    * exactly-once PER (user, ts) — an at-least-once upstream that
+    * redelivers an event already merged into the open session increments
+    * `n_events` again (and can stretch the span), over-counting the
+    * eventually-emitted session. Put [[dedupByIdWithWatermark]] (keyed on
+    * user_id + ts) in front of this sink when the source redelivers;
+    * [[funnelDepthStream]]'s ratchet is redelivery-proof on its own, this
+    * counter is not.
     */
   def closedSessionsStream(events: Dataset[(Long, Long)], gapUs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
