@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.functions.Geo
 import graft.Queries._
 
 /** Registry chunk of [[Queries.all]] — event-stream batch forms: sessionization, windows, funnels, as-of alignment (§2.6 batch analogs).
@@ -427,8 +426,8 @@ private[graft] object QueriesEvents {
       },
       Some(s"""WITH p AS ($custPointsSql),
         g AS (SELECT c_custkey,
-          CAST(floor((lat - -60.0) / 120.0 * 255.0) AS BIGINT) AS gx,
-          CAST(floor((lon - -150.0) / 300.0 * 255.0) AS BIGINT) AS gy
+          ${Layout.scaleToGridSql("lat", -60.0, 60.0, bits = 8)} AS gx,
+          ${Layout.scaleToGridSql("lon", -150.0, 150.0, bits = 8)} AS gy
         FROM p)
         SELECT c_custkey, gx, gy, ${Layout.zValueSql("gx", "gy", bits = 8)} AS zval
         FROM g ORDER BY c_custkey""")),
@@ -458,8 +457,8 @@ private[graft] object QueriesEvents {
       },
       Some(s"""WITH p AS ($custPointsSql),
           g AS (SELECT c_custkey,
-            CAST(floor((lat - -60.0) / 120.0 * 255.0) AS BIGINT) AS gx,
-            CAST(floor((lon - -150.0) / 300.0 * 255.0) AS BIGINT) AS gy
+            ${Layout.scaleToGridSql("lat", -60.0, 60.0, bits = 8)} AS gx,
+            ${Layout.scaleToGridSql("lon", -150.0, 150.0, bits = 8)} AS gy
           FROM p)
         SELECT count(*) AS n_inside, CAST(sum(c_custkey) AS BIGINT) AS sum_key,
           min(gx) AS min_gx, max(gy) AS max_gy

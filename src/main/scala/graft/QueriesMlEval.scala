@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.functions.Geo
 import graft.Queries._
 
 /** Registry chunk of [[Queries.all]] — model-evaluation family: AUC, confusion, calibration, lift, exact trainable models.
@@ -239,8 +238,14 @@ private[graft] object QueriesMlEval {
             col("freq"),
             floor(col("_mon") / lit(1000.0)).cast("long").as("monk"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // every quartile map derives from the CACHED `per`, never from the
+        // progressively joined frame: the attach joins are 1:1 (each map
+        // covers every distinct value), so the value distributions are
+        // identical on `per` — while building f_q/m_q from the widened
+        // frame re-executed the prior broadcast joins inside each map job
+        // (the exact per-row work the persist comment above avoids)
         def attach(df: DataFrame, c: String, q: String): DataFrame = {
-          val m = Analytics.tiedQuartileMap(df, col(c))
+          val m = Analytics.tiedQuartileMap(per, col(c))
             .select(col("v").as(s"_v_$q"), col("quartile").as(q))
           df.join(broadcast(m), col(c) === col(s"_v_$q")).drop(s"_v_$q")
         }

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.functions.Geo
 import graft.Queries._
 
 /** Registry chunk of [[Queries.all]] — similarity search + multimodal plumbing (north star): ANN brute/IVF/PQ, SRP banding, codecs, perceptual hashes.
@@ -538,13 +537,22 @@ private[graft] object QueriesVector {
         ORDER BY doc_id""")),
 
     QueryDef("mm_frame_sample",
+      // frames compare as HEX OF THE BYTES, not decoded strings: the
+      // operator frames the payload in BYTE units (a boundary can split a
+      // multi-byte character — sampleFrames' documented semantics), so a
+      // character-sliced oracle only agreed on an all-ASCII corpus, and a
+      // string-cast engine frame would hold replacement chars where a
+      // split char's decode failed. Hex-of-bytes is byte-exact on BOTH
+      // sides for ANY corpus (100 payload bytes = 200 hex chars).
       (s, d) => Multimodal.sampleFrames(
           Multimodal.attachPayload(t(s, d, "documents"), "text", "text/plain"),
           "doc_id", frameBytes = 100, everyNth = 2)
-        .select(col("doc_id"), col("frame_no"), col("frame").cast("string").as("frame"))
+        .select(col("doc_id"), col("frame_no"), hex(col("frame")).as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_no")),
-      Some("""SELECT doc_id, CAST(fn AS INTEGER) AS frame_no, substring(text, CAST(fn AS INTEGER) * 100 + 1, 100) AS frame
-        FROM documents, unnest(generate_series(0, CAST(ceil(len(text) / 100.0) AS INTEGER) - 1)) AS t(fn)
+      Some("""SELECT doc_id, CAST(fn AS INTEGER) AS frame_no,
+          substring(hex(encode(text)), CAST(fn AS INTEGER) * 200 + 1, 200) AS frame_hex
+        FROM documents,
+          unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 100.0) AS INTEGER) - 1)) AS t(fn)
         WHERE fn % 2 = 0 ORDER BY doc_id, frame_no""")),
 
     QueryDef("mm_video_meta",

@@ -43,6 +43,15 @@ object Layout {
     floor((v - lit(min)) / lit(max - min) * lit((1L << bits) - 1).cast("double")).cast("long")
   }
 
+  /** The SQL mirror of [[scaleToGrid]] — paired like [[zValue]]/
+    * [[zValueSql]] so the affine formula can never drift between engine
+    * and oracle (it was previously hand-inlined at each oracle site).
+    */
+  def scaleToGridSql(v: String, min: Double, max: Double, bits: Int = 16): String = {
+    require(max > min)
+    s"CAST(floor(($v - $min) / ${max - min} * ${(1L << bits) - 1}.0) AS BIGINT)"
+  }
+
   /** Write `df` parquet clustered by the Z-order of two pre-scaled integer
     * dimensions. `repartitionByRange` on the z-key puts disjoint z-ranges
     * in separate files AND sorts within each — so both file-level and

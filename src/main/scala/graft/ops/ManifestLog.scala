@@ -53,8 +53,14 @@ trait ManifestLogStore {
   * ([[contentionHint]] names it). The conditional-PUT store has no such
   * window — reserve and publish are one atomic request.
   */
-final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogStore {
+final class HadoopLogStore(fsThunk: => FileSystem, logDir: Path) extends ManifestLogStore {
   import ManifestLogStore._
+
+  // capture ONCE: the previous by-name parameter re-evaluated the caller's
+  // thunk on every reference (~6 FileSystem.get lookups per publish — and a
+  // fresh FileSystem instantiation per call for callers whose expression
+  // constructs one); lazy keeps the deferred-initialization intent
+  private lazy val fs: FileSystem = fsThunk
 
   override def listVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Seq.empty
@@ -91,7 +97,16 @@ final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogS
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     try {
       val out = fs.create(tmp, /* overwrite = */ false)
-      try out.write(body) finally out.close()
+      // suppressed-exception pattern, not try/finally: a close() failure
+      // in a finally would REPLACE the informative write exception (disk
+      // full) with the secondary flush error
+      try out.write(body)
+      catch {
+        case e: Throwable =>
+          try out.close() catch { case c: Throwable => e.addSuppressed(c) }
+          throw e
+      }
+      out.close()
       // no contention on the final name — the lock made us the sole writer
       // of this version; the rename is only for atomic reader visibility
       if (!fs.rename(tmp, manifestPath(v))) {
@@ -101,16 +116,32 @@ final class HadoopLogStore(fs: => FileSystem, logDir: Path) extends ManifestLogS
       true
     } catch {
       case e: Throwable =>
-        // release the lock AND collect the staged tmp file: nothing else
-        // ever cleans _log (vacuum sweeps data/ only, listVersions ignores
-        // dot-files), so a writer retrying through transient IO errors
-        // would otherwise leak one .tmp per failure into the directory
-        // every latestVersion() call lists
-        try fs.delete(lockPath(v), false)
-        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
-        try fs.delete(tmp, false)
-        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
-        throw e
+        // AMBIGUOUS failure first: the rename can APPLY and still throw —
+        // ChecksumFileSystem renames the data file then fails on the .crc
+        // step; an HDFS RPC retry can land server-side after a client-side
+        // error. If the manifest EXISTS, this commit SUCCEEDED: releasing
+        // the lock here would let a racing writer re-reserve the version
+        // and rename over the committed body (POSIX rename silently
+        // overwrites) — two different bodies for one committed version.
+        val published =
+          try fs.exists(manifestPath(v))
+          catch { case probe: Throwable => e.addSuppressed(probe); false }
+        if (published) {
+          try fs.delete(tmp, false)
+          catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          true
+        } else {
+          // release the lock AND collect the staged tmp file: nothing else
+          // ever cleans _log (vacuum sweeps data/ only, listVersions
+          // ignores dot-files), so a writer retrying through transient IO
+          // errors would otherwise leak one .tmp per failure into the
+          // directory every latestVersion() call lists
+          try fs.delete(lockPath(v), false)
+          catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          try fs.delete(tmp, false)
+          catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          throw e
+        }
     }
   }
 

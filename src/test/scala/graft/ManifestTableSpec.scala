@@ -590,6 +590,44 @@ class ManifestTableSpec extends SparkSpec {
     assert(okStore.read(0L).exists(java.util.Arrays.equals(_, body)))
   }
 
+  test("HadoopLogStore: rename that APPLIES then throws must keep the lock and report the commit (overwrite-window regression)") {
+    // ChecksumFileSystem can rename the data file then fail on the .crc
+    // step; an HDFS RPC retry can land server-side after a client error.
+    // The old catch released the lock unconditionally — a racing writer
+    // could then re-reserve the version and rename OVER the committed
+    // manifest (POSIX rename silently overwrites): two bodies for one
+    // committed version.
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = Files.createTempDirectory("graft-ambirename").toString
+    class AmbiguousRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      initialize(new java.net.URI("file:///"), new org.apache.hadoop.conf.Configuration())
+      override def getScheme: String = "file" // RawLocalFileSystem leaves it unimplemented
+      @volatile var armRenameFault = false
+      override def rename(src: HPath, dst: HPath): Boolean = {
+        val applied = super.rename(src, dst)
+        if (armRenameFault && dst.getName.endsWith(".txt")) {
+          armRenameFault = false
+          throw new java.io.IOException("injected: crc step failed AFTER the rename applied")
+        }
+        applied
+      }
+    }
+    val fs = new AmbiguousRenameFs
+    val store = new graft.ops.HadoopLogStore(fs, new HPath(dir, "_log"))
+    val body = "winner".getBytes("UTF-8")
+    fs.armRenameFault = true
+    assert(store.publishIfAbsent(0L, body),
+      "an applied-then-thrown rename IS a successful commit")
+    assert(store.read(0L).exists(java.util.Arrays.equals(_, body)))
+    assert(store.listVersions() == Seq(0L))
+    // the lock must still be held: a racing writer can neither re-reserve
+    // nor overwrite the committed body
+    assert(!store.publishIfAbsent(0L, "usurper".getBytes("UTF-8")),
+      "version 0 must stay contended — its lock was never released")
+    assert(store.read(0L).exists(java.util.Arrays.equals(_, body)),
+      "the committed body must be untouched")
+  }
+
   test("object-store log: concurrent merge() transactions with ambiguous commits — serial-replay equality, zero dup rows") {
     // VERDICT r13 item 2: f059434 raced the PRIMITIVE; this races whole
     // merge() transactions through ObjectStoreLogStore while EVERY
