@@ -87,6 +87,33 @@ object Queries {
         lit("."), col("source"), lit(".org/d/"), col("doc_id").cast("string"),
         lit(" and http://Mirror."), col("source"), lit(".net/x")))
 
+  /** The shared MERGE fixture behind op_upsert / op_merge_acid /
+    * op_merge_acid_os / op_exactly_once: base = the (key, price)
+    * projection of orders; re-priced updates at key%10==0; inserted keys
+    * at %1000==1 shifted +10M (disjoint from every real key). ONE Spark
+    * builder + ONE SQL CTE (the custPoints/urlDocs pattern) — the fixture
+    * was previously copy-pasted four times on each side, so a modulus or
+    * offset change needed eight synchronized edits.
+    */
+  private[graft] def mergeFixtureBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+  private[graft] def mergeFixtureRepriced(base: DataFrame): DataFrame =
+    base.where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+  private[graft] def mergeFixtureInserts(base: DataFrame): DataFrame =
+    base.where(col("o_orderkey") % 1000 === 1)
+      .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+        lit(1.0).as("o_totalprice"))
+  private[graft] def mergeFixtureUpdates(base: DataFrame): DataFrame =
+    mergeFixtureRepriced(base).unionByName(mergeFixtureInserts(base))
+  private[graft] val mergeFixtureBaseSql: String =
+    "base AS (SELECT o_orderkey, o_totalprice FROM orders)"
+  private[graft] val mergeFixtureSql: String =
+    s"""$mergeFixtureBaseSql,
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)"""
+
   private[graft] val urlDocsSql: String =
     """d2 AS (SELECT doc_id, source,
         text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/d/'

@@ -112,20 +112,12 @@ private[graft] object QueriesCore {
       // result must contain exactly the updated, inserted, and untouched
       // rows. anti-join + union — one shuffle each side.
       (s, d) => {
-        val base = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val updates = base.where(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
-          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
-            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
-              lit(1.0).as("o_totalprice")))
+        val base = mergeFixtureBase(s, d)
+        val updates = mergeFixtureUpdates(base)
         Aggregates.upsert(base, updates, Seq("o_orderkey"))
           .orderBy(col("o_orderkey"))
       },
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
-          UNION ALL
-          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)
+      Some(s"""WITH $mergeFixtureSql
         SELECT b.o_orderkey, b.o_totalprice FROM base b
           WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
         UNION ALL
@@ -145,22 +137,14 @@ private[graft] object QueriesCore {
         // dead siblings are reclaimed by the shared memoized sweep inside
         // freshScratchRoot (Queries.sweepStaleSiblings) — not re-listed here
         val root = freshScratchRoot(s, "acid", d)
-        val base = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val updates = base.where(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
-          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
-            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
-              lit(1.0).as("o_totalprice")))
+        val base = mergeFixtureBase(s, d)
+        val updates = mergeFixtureUpdates(base)
         val mt = ManifestTable(s, root)
         mt.overwrite(base)
         mt.merge(updates, Seq("o_orderkey"))
         mt.snapshot().orderBy(col("o_orderkey"))
       },
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
-          UNION ALL
-          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)
+      Some(s"""WITH $mergeFixtureSql
         SELECT b.o_orderkey, b.o_totalprice FROM base b
           WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
         UNION ALL
@@ -180,22 +164,14 @@ private[graft] object QueriesCore {
       // needed beyond the data-dir wipe.
       (s, d) => {
         val root = freshScratchRoot(s, "acidos", d)
-        val base = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        val updates = base.where(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
-          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
-            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
-              lit(1.0).as("o_totalprice")))
+        val base = mergeFixtureBase(s, d)
+        val updates = mergeFixtureUpdates(base)
         val mt = ManifestTable.onObjectStore(s, root, new InMemoryObjectStore)
         mt.overwrite(base)
         mt.merge(updates, Seq("o_orderkey"))
         mt.snapshot().orderBy(col("o_orderkey"))
       },
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
-          UNION ALL
-          SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)
+      Some(s"""WITH $mergeFixtureSql
         SELECT b.o_orderkey, b.o_totalprice FROM base b
           WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
         UNION ALL
@@ -215,15 +191,12 @@ private[graft] object QueriesCore {
       // object-store log as op_merge_acid_os.
       (s, d) => {
         val root = freshScratchRoot(s, "eo", d)
-        val base = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        // late rows: %1000==1 keys shifted +10M (≡1 mod 10/50 — untouched
-        // by every merge below, so the replay hazards stay key-disjoint)
-        val lateRows = base.where(col("o_orderkey") % 1000 === 1)
-          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
-            lit(1.0).as("o_totalprice"))
-        val tokenMerge = base.where(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+        val base = mergeFixtureBase(s, d)
+        // late rows: the fixture's %1000==1 inserts (keys ≡1 mod 10/50 —
+        // untouched by every merge below, so replay hazards stay
+        // key-disjoint); token merge = the fixture's re-priced updates
+        val lateRows = mergeFixtureInserts(base)
+        val tokenMerge = mergeFixtureRepriced(base)
         val mt = ManifestTable.onObjectStore(s, root, new InMemoryObjectStore)
         mt.appendOnce(base, "ingest", batchId = 0L)
         mt.appendOnce(lateRows, "ingest", batchId = 1L)
@@ -234,7 +207,7 @@ private[graft] object QueriesCore {
         mt.mergeOnce(tokenMerge, Seq("o_orderkey"), "upd", batchId = 0L) // stale replay: no revert
         mt.snapshot().orderBy(col("o_orderkey"))
       },
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+      Some(s"""WITH $mergeFixtureBaseSql
         SELECT o_orderkey,
           CASE WHEN o_orderkey % 50 = 0 THEN -5.0
                WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
@@ -444,9 +417,12 @@ private[graft] object QueriesCore {
       // recover each row's provenance from the discovered path. The oracle
       // is the region projection the files were derived from.
       (s, d) => {
-        val dir = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_op06_${d.hashCode.toHexString}")
-        dir.mkdirs()
+        // per-(kind, sfDir, PID) scratch with the shared dead-sibling
+        // sweep: the previous bare per-dataset dir had no process
+        // isolation, so two concurrent driver/bench JVMs could glob-read
+        // files the other was truncating mid-rewrite (the op_merge_acid
+        // lesson, applied to the one query that still side-stepped it)
+        val dir = new java.io.File(scratchDir("op06", d))
         t(s, d, "region").select(col("r_regionkey"), col("r_name")).collect()
           .foreach { r =>
             val f = new java.io.File(dir, s"region_${r.get(0)}.txt")

@@ -158,11 +158,19 @@ private[graft] object QueriesRelational {
         props.setProperty("driver", driver)
         sys.env.get("SPARK_GRAFT_JDBC_USER").foreach(props.setProperty("user", _))
         sys.env.get("SPARK_GRAFT_JDBC_PASSWORD").foreach(props.setProperty("password", _))
+        // per-process table name on an EXTERNAL server: the Derby default
+        // is already PID-isolated via scratchDir, but a shared postgres
+        // endpoint is not — two concurrent runs overwrite-racing one fixed
+        // "docs" table would read each other's partial writes
+        val table =
+          if (sys.env.contains("SPARK_GRAFT_JDBC_URL"))
+            s"docs_${ProcessHandle.current().pid()}"
+          else "docs"
         t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
-          .write.mode("overwrite").jdbc(url, "docs", props)
+          .write.mode("overwrite").jdbc(url, table, props)
         val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
         val reader = s.read.format("jdbc")
-          .option("url", url).option("dbtable", "docs")
+          .option("url", url).option("dbtable", table)
           .option("driver", driver)
         sys.env.get("SPARK_GRAFT_JDBC_USER")
           .foreach(u => reader.option("user", u))
@@ -320,16 +328,21 @@ private[graft] object QueriesRelational {
         .agg(count(lit(1)).as("n_users"))
         .orderBySmall(col("depth")),
       Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        x AS (SELECT user_id, event_type, ts_us,
+        x AS (SELECT user_id, event_id, event_type, ts_us,
             last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vbest
           FROM e),
-        y AS (SELECT user_id, event_type, ts_us,
+        y AS (SELECT user_id, event_id, event_type, ts_us,
             CASE WHEN event_type = 'click' AND vbest >= ts_us - 86400000000 THEN vbest END AS vok
           FROM x),
         z AS (SELECT user_id, event_type, ts_us, vok,
-            max(vok) OVER (PARTITION BY user_id ORDER BY ts_us
+            -- the event_id tiebreak MUST match the Spark side's stable-id
+            -- order: with ts ties the ROWS frame is otherwise
+            -- nondeterministic in DuckDB (latent today — the testdata has
+            -- no (user_id, ts) duplicates — but one regenerated corpus
+            -- away from a false red)
+            max(vok) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
           FROM y),
         per AS (SELECT user_id,
