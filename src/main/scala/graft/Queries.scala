@@ -114,6 +114,57 @@ object Queries {
           UNION ALL
           SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)"""
 
+  /** DuckDB mirror of the SRP kernel's md5-plane derivation + bucket fold
+    * (planes → term → dots → bk over a caller-provided `vecs(id, v)` CTE)
+    * — ONE source of the md5-slice sign arithmetic (it was inlined
+    * verbatim in the three emb_srp_* oracles; a plane tweak needed three
+    * synchronized edits, the minhashCtePrefix lesson).
+    */
+  private[graft] val srpBucketCtesSql: String =
+    """planes AS (SELECT t.t, p.p, d.d,
+            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
+                || CAST(d.d AS VARCHAR)), 1, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
+          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
+        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
+          FROM vecs vv CROSS JOIN planes pl),
+        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
+          FROM term GROUP BY id, t, p),
+        bk AS (SELECT id, t,
+            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t)"""
+
+  /** DuckDB mirror of the fitted-IVF labeling pair (`lab` = nearest-of-k3
+    * centroid per vector by the shared cosine tie-break, `cent` = the
+    * centroid table) over kmeansCtesSql's `base`/`c3` — ONE copy (it was
+    * inlined verbatim in five ann_* oracles across two registry chunks).
+    */
+  private[graft] def labCteSql: String =
+    s"""lab AS (SELECT vec_id, v, j AS lbl FROM (
+            SELECT b.vec_id, b.v, c.j,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
+            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
+        cent AS (SELECT j AS lbl, c FROM c3),"""
+
+  /** DuckDB mirror of [[graft.ops.TextAnalysis.languageGuessed]]'s
+    * stopword-hit CASE chain over a token-list column named `toks` — ONE
+    * copy of the tie-break order and the stopword lists (it was built
+    * independently in the txt_language_guess and pipeline_curation
+    * oracles across two registry chunks).
+    */
+  private[graft] def languageGuessCaseSql: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
+    val Seq(en, de, fr, es) =
+      Seq("en", "de", "fr", "es").map(l => hits(TextAnalysis.stopwords(l)))
+    s"""CASE
+            WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+            WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+            WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+            WHEN $es > 0 THEN 'es'
+            ELSE 'unknown' END"""
+  }
+
   private[graft] val urlDocsSql: String =
     """d2 AS (SELECT doc_id, source,
         text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.org/d/'

@@ -318,11 +318,7 @@ private[graft] object QueriesFrontier {
       // identical math to ann_ivf_fit — the roundtrip must be invisible
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},
-        lab AS (SELECT vec_id, v, j AS lbl FROM (
-            SELECT b.vec_id, b.v, c.j,
-              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
-        cent AS (SELECT j AS lbl, c FROM c3),
+        ${labCteSql}
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("op_interval_union",
@@ -874,11 +870,7 @@ private[graft] object QueriesFrontier {
       Some(s"""WITH $latticeBaseCte,
         hist AS (SELECT vec_id, v FROM base WHERE vec_id % 2 = 0),
         ${kmeansCtesSql(k = 16, iters = 3, src = "hist")},
-        lab AS (SELECT vec_id, v, j AS lbl FROM (
-            SELECT b.vec_id, b.v, c.j,
-              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
-        cent AS (SELECT j AS lbl, c FROM c3),
+        ${labCteSql}
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("dedup_minhash_recall",
@@ -1044,7 +1036,13 @@ private[graft] object QueriesFrontier {
           _.write.mode("overwrite").parquet(skipped))
         val wroteTaken = Sinks.writeIfNonEmpty(docs.where(col("source") === "src0"),
           _.write.mode("overwrite").parquet(taken))
-        val skipLegWrote = new java.io.File(skipped).exists()
+        // probe through the path's HADOOP filesystem, not java.io.File:
+        // the write resolves against the default FS, so on a cluster
+        // posture a local-disk probe would return false even if the empty
+        // leg HAD written — silently un-asserting the skip check
+        val skipPath = new org.apache.hadoop.fs.Path(skipped)
+        val skipLegWrote = skipPath
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(skipPath)
         s.read.parquet(taken)
           .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
           .select(lit(wroteEmpty || skipLegWrote).as("empty_leg_wrote"),
@@ -1078,11 +1076,7 @@ private[graft] object QueriesFrontier {
       },
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},
-        lab AS (SELECT vec_id, v, j AS lbl FROM (
-            SELECT b.vec_id, b.v, c.j,
-              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
-        cent AS (SELECT j AS lbl, c FROM c3),
+        ${labCteSql}
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("ann_ivf_unbounded",
@@ -1110,11 +1104,7 @@ private[graft] object QueriesFrontier {
       },
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},
-        lab AS (SELECT vec_id, v, j AS lbl FROM (
-            SELECT b.vec_id, b.v, c.j,
-              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
-        cent AS (SELECT j AS lbl, c FROM c3),
+        ${labCteSql}
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("emb_srp_recall",
@@ -1157,25 +1147,14 @@ private[graft] object QueriesFrontier {
             expr("CASE WHEN n_exact > 0 THEN CAST(1000000 * n_found div n_exact AS BIGINT) END")
               .as("recall_millionths"))
       },
-      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      Some(s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
         vecs AS (SELECT vec_id AS id, v FROM s
           UNION ALL SELECT -vec_id - 1,
             list_transform(v, (x, i) ->
               x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 7 - 3 AS DOUBLE)))
           FROM s),
-        planes AS (SELECT t.t, p.p, d.d,
-            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
-                || CAST(d.d AS VARCHAR)), 1, 1)
-              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
-          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
-        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
-          FROM vecs vv CROSS JOIN planes pl),
-        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
-          FROM term GROUP BY id, t, p),
-        bk AS (SELECT id, t,
-            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY id, t),
+        ${srpBucketCtesSql},
         hit AS (SELECT DISTINCT b.id
           FROM bk b JOIN bk q ON q.id = -b.id - 1 AND q.t = b.t AND q.bucket = b.bucket
           WHERE b.id >= 0),
@@ -1225,25 +1204,14 @@ private[graft] object QueriesFrontier {
             expr("CASE WHEN n_exact > 0 THEN CAST(1000000 * n_found_r1 div n_exact AS BIGINT) END")
               .as("recall_r1_millionths"))
       },
-      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      Some(s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
         vecs AS (SELECT vec_id AS id, v FROM s
           UNION ALL SELECT -vec_id - 1,
             list_transform(v, (x, i) ->
               x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 7 - 3 AS DOUBLE)))
           FROM s),
-        planes AS (SELECT t.t, p.p, d.d,
-            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
-                || CAST(d.d AS VARCHAR)), 1, 1)
-              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
-          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
-        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
-          FROM vecs vv CROSS JOIN planes pl),
-        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
-          FROM term GROUP BY id, t, p),
-        bk AS (SELECT id, t,
-            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY id, t),
+        ${srpBucketCtesSql},
         hit0 AS (SELECT DISTINCT b.id
           FROM bk b JOIN bk q ON q.id = -b.id - 1 AND q.t = b.t AND q.bucket = b.bucket
           WHERE b.id >= 0),
@@ -1312,7 +1280,7 @@ private[graft] object QueriesFrontier {
             (col("n_cand_uncapped") - col("n_cand_capped")).as("n_cand_dropped"),
             col("n_dropped_buckets"), col("dropped_width_sum"))
       },
-      Some("""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      Some(s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 2048),
         vecs AS (SELECT vec_id AS id, v FROM s
           UNION ALL SELECT -j - 1000,
@@ -1323,18 +1291,7 @@ private[graft] object QueriesFrontier {
             list_transform(v, (x, i) ->
               x * (1.0 + 0.001 * CAST((j + (i - 1)) % 5 - 2 AS DOUBLE)))
             FROM s, range(5) r(j) WHERE vec_id = 5),
-        planes AS (SELECT t.t, p.p, d.d,
-            CASE WHEN substr(md5(CAST(t.t * 1000 + p.p AS VARCHAR) || '_'
-                || CAST(d.d AS VARCHAR)), 1, 1)
-              IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END AS sgn
-          FROM range(2) t(t), range(20) p(p), range(64) d(d)),
-        term AS (SELECT vv.id, pl.t, pl.p, pl.d, vv.v[pl.d + 1] * pl.sgn AS x
-          FROM vecs vv CROSS JOIN planes pl),
-        dots AS (SELECT id, t, p, list_reduce(list(x ORDER BY d), (a, b) -> a + b) AS dot
-          FROM term GROUP BY id, t, p),
-        bk AS (SELECT id, t,
-            CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY id, t),
+        ${srpBucketCtesSql},
         wid AS (SELECT t, bucket, count(*) AS width FROM bk GROUP BY t, bucket),
         keep AS (SELECT b.id, b.t, b.bucket FROM bk b
           JOIN wid w ON w.t = b.t AND w.bucket = b.bucket AND w.width <= 8),

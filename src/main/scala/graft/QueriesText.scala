@@ -29,21 +29,11 @@ private[graft] object QueriesText {
       (s, d) => TextAnalysis.languageGuessed(t(s, d, "documents"), "text")
         .groupBy(col("guess"), col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBySmall(col("guess"), col("lang")),
-      Some {
-        def hits(words: Seq[String]) =
-          s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
-        val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(l => hits(TextAnalysis.stopwords(l)))
-        s"""SELECT guess, lang, count(*) AS cnt FROM (
-          SELECT CASE
-            WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
-            WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
-            WHEN $fr >= $es AND $fr > 0 THEN 'fr'
-            WHEN $es > 0 THEN 'es'
-            ELSE 'unknown' END AS guess, lang
+      Some(s"""SELECT guess, lang, count(*) AS cnt FROM (
+          SELECT $languageGuessCaseSql AS guess, lang
           FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks, lang
             FROM documents))
-          GROUP BY 1, 2 ORDER BY 1, 2"""
-      }),
+          GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QueryDef("txt_quality",
       // one definition: the library's qualityScored IS the query (the oracle

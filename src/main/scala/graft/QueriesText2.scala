@@ -319,17 +319,10 @@ private[graft] object QueriesText2 {
             countDistinct(col("fp")).as("n_unique"))
       },
       Some {
-        def hits(words: Seq[String]) =
-          s"len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(", ")})))"
-        val Seq(en, de, fr, es) = Seq("en", "de", "fr", "es").map(l => hits(TextAnalysis.stopwords(l)))
         s"""WITH tk AS (SELECT doc_id, text,
             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
-          g AS (SELECT doc_id, text, len(toks) AS n_tokens, CASE
-            WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
-            WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
-            WHEN $fr >= $es AND $fr > 0 THEN 'fr'
-            WHEN $es > 0 THEN 'es'
-            ELSE 'unknown' END AS guess FROM tk),
+          g AS (SELECT doc_id, text, len(toks) AS n_tokens,
+            $languageGuessCaseSql AS guess FROM tk),
           m AS (SELECT *, n_tokens >= 20 AS q, n_tokens >= 20 AND guess = 'en' AS e FROM g)
           SELECT count(*) AS n_total,
             CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -715,8 +708,14 @@ private[graft] object QueriesText2 {
       // cardinality.
       (s, d) => {
         val base = t(s, d, "documents").select(col("doc_id"), col("text"), col("source"))
+        // planted ids use the file's collision-free (-doc_id - 1)
+        // convention (the dedup_containment rule): a fixed +offset
+        // collides with real ids once the table outgrows it (~sf4 at the
+        // old +2000000). The id never reaches the output today (the op
+        // keys on (text, source)), but a carried-and-colliding column is
+        // a trap for the next column added to this key.
         val planted = base.where(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"),
             concat(lit("mix_"), col("source")).as("source"))
         Dedup.crossSourceExactOverlap(base.unionByName(planted), "text", "source")
           .orderBySmall(col("source_a"), col("source_b"))

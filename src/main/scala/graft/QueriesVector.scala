@@ -124,11 +124,7 @@ private[graft] object QueriesVector {
       },
       Some(s"""WITH $latticeBaseCte,
         ${kmeansCtesSql(k = 16, iters = 3)},
-        lab AS (SELECT vec_id, v, j AS lbl FROM (
-            SELECT b.vec_id, b.v, c.j,
-              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.v", "c.c")} DESC, c.j ASC) AS rn
-            FROM base b CROSS JOIN c3 c) WHERE rn = 1),
-        cent AS (SELECT j AS lbl, c FROM c3),
+        ${labCteSql}
         ${ivfTailSql("lab", "lbl", nprobe = 4)}""")),
 
     QueryDef("ann_pq_topk",
