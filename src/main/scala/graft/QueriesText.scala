@@ -381,9 +381,11 @@ private[graft] object QueriesText {
           (SELECT count(*) FROM ch) AS n_chunks""")),
 
     QueryDef("txt_tfidf_topk",
-      // per-doc top-3 terms by a TF-IDF-monotone integer ranking
-      // (tf desc, df asc, token asc) — float idf scores would hash-flake on
-      // libm last-ulp differences; the integer keys order identically
+      // per-doc top-3 terms by the exact ratio-idf rank tf/(df+1) desc —
+      // ONE IEEE division of exact integers, identical in both engines
+      // (a log-idf float score would hash-flake on libm last-ulp
+      // differences; the previous (tf desc, df asc) lexicographic rank
+      // ignored df except on tf ties, crowning boilerplate terms)
       (s, d) => TextAnalysis.topTermsByTfidf(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank")),
       Some("""WITH tok AS (
@@ -392,7 +394,8 @@ private[graft] object QueriesText {
         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         r AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df,
-            row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, idf.df ASC, tf.token ASC) AS rank
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) / (idf.df + 1) DESC, tf.token ASC) AS rank
           FROM tf JOIN idf USING (token))
         SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),

@@ -1196,11 +1196,16 @@ object Dedup {
                                        expectedShingles: Long = -1L,
                                        fpp: Double = 0.001): DataFrame = {
     val spark = corpus.sparkSession
+    // persisted in BOTH sizing modes: the bloomFilter build scans it AND
+    // the returned plan's verify join re-reads it per action — with an
+    // explicit size the previous code never persisted at all, so the
+    // benchmark shingle table recomputed on every downstream action
     val benchSh = shingleTable(benchmark, idCol, textCol, shingleN)
       .select(col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized =
       if (expectedShingles > 0) expectedShingles
-      else { benchSh.persist(); math.max(1L, benchSh.count()) }
+      else math.max(1L, benchSh.count())
     val bf = benchSh.stat.bloomFilter("shingle", sized, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
@@ -1220,8 +1225,12 @@ object Dedup {
       .select(col(idCol), col("n_shingles"), col("n_contaminated"), col("contamination"))
     // benchSh stays persisted: the RETURNED plan's verify join reads it, so
     // an eager unpersist here would recompute the benchmark shingle table
-    // on every downstream action. Freed when the session drops the
-    // reference (same lifetime note as the Bloom broadcast above).
+    // on every downstream action. NOTE the cache entry outlives the
+    // returned frame's use — persist() holds CacheManager state until an
+    // explicit unpersist/clearCache, NOT until the reference drops; the
+    // bench harness clearCache()s per query, and a long-lived service
+    // calling this per batch must clear likewise or the per-call caches
+    // accumulate for the session lifetime.
     verified
   }
 

@@ -410,7 +410,13 @@ object Similarity {
                             cents: DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val routed = q.crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosine(col("q_vec"), col("centroid")))
+      // NaN → -Inf BEFORE the rank (the ivfTopKFittedBigK guard, applied
+      // to this routing path too): Spark sorts NaN as the LARGEST double,
+      // so a degenerate cell (zero centroid from failed/empty embeddings
+      // → cosine NaN) would otherwise win probe slot 1 for EVERY query —
+      // at nprobe=1 every query probes ONLY the junk cell
+      .withColumn("c_sim", nanvl(cosine(col("q_vec"), col("centroid")),
+        lit(Double.NegativeInfinity)))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col(clusterCol).asc)
     val probes = routed.withColumn("_pr", row_number().over(wr)).where(col("_pr") <= nprobe)
       .select(col("query_id"), col("q_vec"), col(clusterCol))
@@ -575,9 +581,15 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, numTables: Int = 8,
-                    planesPerTable: Int = 20, dims: Int = 64): DataFrame = {
+                    planesPerTable: Int = 20, dims: Int = 64,
+                    maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    // maxBucketWidth threads through to the SRP bucket cap — the
+    // dense-sub-threshold-cluster guard (a mean-cos ≈ 0.8 semantic
+    // cluster co-buckets quadratically while failing the 0.9 verify) was
+    // otherwise unreachable from this flagship entry point
     val pairs = embeddingNearDupPairs(
-      corpus, idCol, vecCol, numTables, planesPerTable, threshold, probeRadius = 1, dims)
+      corpus, idCol, vecCol, numTables, planesPerTable, threshold,
+      probeRadius = 1, dims, maxBucketWidth)
     Dedup.applyClusterDedup(corpus, idCol, Dedup.dedupClusters(pairs, "id_a", "id_b"))
   }
 

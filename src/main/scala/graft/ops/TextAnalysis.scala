@@ -63,8 +63,13 @@ object TextAnalysis {
     * bigrams and no output row, mirroring the SQL GROUP BY.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted: bg feeds BOTH the corpus-wide counts and the join-back
+    // probe side — unpersisted, the tokenize+explode of the whole corpus
+    // (the heaviest stage) would run twice per action (the docSurprisal
+    // discipline; freed by the harness clearCache / caller unpersist)
     val bg = docs.select(col(idCol),
       explode(bigrams(tokens(col(textCol)))).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
     bg.join(counts, "bigram")
       .groupBy(col(idCol))
@@ -372,12 +377,18 @@ object TextAnalysis {
     */
   def invertedIndexHead(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, postingN: Int): DataFrame = {
+    // persisted: td feeds the head selection AND the postings join, and
+    // `top` itself is consumed twice (postings filter + final join) — the
+    // corpus would otherwise tokenize three times per action (the
+    // docSurprisal discipline; freed by harness clearCache / caller)
     val td = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = td.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .orderBy(col("df").desc, col("token")).limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token")).orderBy(col("doc_id"))
     val postings = td.join(broadcast(top.select(col("token"))), Seq("token"))
@@ -486,18 +497,27 @@ object TextAnalysis {
         emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
-  /** Per-kind PII hit counts over the ORIGINAL text (counts may overlap). */
+  /** Per-kind PII hit counts over the ORIGINAL text (counts may overlap).
+    * NULL text → NULL counts (the tokenCount discipline: under ANSI-off
+    * `size(null)` is the legacy -1, which would silently deflate every
+    * downstream sum and pass "pii > 0" filters backwards).
+    */
   def piiCounts(text: Column): (Column, Column, Column) = (
-    size(regexp_extract_all(text, lit(emailPattern), lit(0))),
-    size(regexp_extract_all(text, lit(urlPattern), lit(0))),
-    size(regexp_extract_all(text, lit(phonePattern), lit(0))))
+    when(text.isNotNull, size(regexp_extract_all(text, lit(emailPattern), lit(0)))),
+    when(text.isNotNull, size(regexp_extract_all(text, lit(urlPattern), lit(0)))),
+    when(text.isNotNull, size(regexp_extract_all(text, lit(phonePattern), lit(0)))))
 
-  /** Per-doc top-k terms by a TF-IDF-monotone INTEGER ranking
-    * (tf desc, df asc, token asc): exact across engines — a float
-    * `tf·ln((N+1)/(df+1))` score would hash-flake on libm last-ulp
-    * differences, while the integer keys order identically wherever the
-    * float score orders strictly. [[tfidfScore]] provides the float score
-    * for in-engine use.
+  /** Per-doc top-k terms by the EXACT ratio-idf ranking tf/(df+1)
+    * (descending, token asc ties): one IEEE division of exact integers,
+    * so both engines round it identically — a float `tf·ln((N+1)/(df+1))`
+    * score would hash-flake on libm last-ulp differences. The ratio IS
+    * monotone in the tf·idf TRADE-OFF (idf strictly decreasing in df):
+    * the previous (tf desc, df asc) lexicographic rank only consulted df
+    * on tf ties, so a tf=3 boilerplate term (df ≈ N) outranked a tf=2
+    * rare term — the opposite of what "top TF-IDF terms" promises.
+    * Log-idf reranking (which compresses the df axis but orders the same
+    * way for fixed tf) is the documented float-discipline trade;
+    * [[tfidfScore]] provides the float score for in-engine use.
     *
     * Shuffle shape at scale: explode → (doc,term) count (map-side partial),
     * term df (partial agg, auto-broadcast when vocab is small), one window
@@ -508,7 +528,7 @@ object TextAnalysis {
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+      .orderBy((col("tf").cast("double") / (col("df") + 1)).desc, col("token").asc)
     // df is vocabulary-sized — unbounded at corpus scale, so sort-merge
     // (see unigramFreqScore for the static-estimator/broadcast-job trap)
     tf.join(df.hint("merge"), "token")
@@ -925,7 +945,11 @@ object TextAnalysis {
     */
   def qualityScored(df: DataFrame, text: Column): DataFrame = {
     val withToks = df.withColumn("_toks", tokens(text))
-    val nToks = size(col("_toks"))
+    // tokenCount discipline: NULL text → NULL n_tokens (ANSI-off
+    // size(null) is -1, which would skew sums negative and flip
+    // n_tokens >= k filters); the ratio guards below then take their
+    // 0.0 branch, matching the SQL oracle's CASE semantics exactly
+    val nToks = when(text.isNotNull, size(col("_toks")))
     val nChars = length(text)
     val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
     val swHits = size(filter(col("_toks"), t => t.isin(stopwords("en").map(lit(_): Any): _*)))
@@ -986,17 +1010,20 @@ object TextAnalysis {
     val tf = toksed.select(col(idCol), explode(feats).as("_tok"))
       .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
     // per-token df decides kept (candidate-generating) vs hot tokens.
-    // The df annotates tf via ONE token-partitioned window (constant
-    // per-token state — a count), and the annotated table is the single
-    // persisted corpus-wide artifact: kept slice, hot slice, and norms
-    // all derive from it by pure filters, and its hash(_tok)
-    // partitioning is exactly what the kept self-join needs, so that
-    // join adds NO further exchange. The first formulation built a
-    // separate df table and re-joined it three times (three string-keyed
-    // corpus SMJs): 9.5 s at sf0.1 vs ~4 s for this plan.
-    val tf2 = tf
-      .withColumn("_dfc", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_tok"))))
+    // df is a map-side-combined aggregate joined back ONCE, and the
+    // annotated table is the single persisted corpus-wide artifact: kept
+    // slice, hot slice, and norms all derive from it by pure filters,
+    // and its _tok shuffle is what the kept self-join needs. Two prior
+    // formulations are both rejected: a separate df table re-joined
+    // THREE times (9.5 s at sf0.1 — three string-keyed corpus SMJs), and
+    // a token-partitioned window count (fast at bench SF, but WindowExec
+    // BUFFERS each partition, so ONE task holds a hot token's entire
+    // (doc, tf) row set — at unigram scale a stopword's partition is
+    // corpus-sized, the exact straggler/spill cliff the documented
+    // "per-token state bounded" contract promises to avoid; the join
+    // streams per key instead).
+    val dfc = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_dfc"))
+    val tf2 = tf.join(dfc.hint("merge"), "_tok")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptTf = tf2.where(col("_dfc") <= maxDf)
     // ONE self-join over the kept slice generates candidates AND their

@@ -52,7 +52,35 @@ class TextPipelineSpec extends SparkSpec {
       (3L, "the a of and to")).toDF("doc_id", "text")
     val top = TextAnalysis.topTermsByTfidf(docs, "doc_id", "text", k = 1)
       .select("doc_id", "token").as[(Long, String)].collect().toMap
-    assert(top(1L) == "zebra") // tf 3 and df 1 beats the stopwords
+    assert(top(1L) == "zebra") // tf 3/df 2 (1.0) beats the stopwords
+  }
+
+  test("topTermsByTfidf: the tf/df TRADE-OFF ranks a rarer tf=2 term over a tf=3 boilerplate term") {
+    // the old (tf desc, df asc) lexicographic rank consulted df only on
+    // tf ties, so the corpus-wide boilerplate term won — the opposite of
+    // what a TF-IDF ranking promises. ratio rank: bbb 3/(3+1)=0.75 <
+    // rare 2/(1+1)=1.0.
+    val docs = Seq(
+      (1L, "bbb bbb bbb rare rare"),
+      (2L, "bbb x"),
+      (3L, "bbb y")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsByTfidf(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top(1L) == "rare", s"ratio-idf must beat raw tf: $top")
+  }
+
+  test("piiCounts and qualityScored: NULL text yields NULL counts, never ANSI-off size(null) = -1") {
+    val docs = Seq((1L, Option("a b c the a of and to x y")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val (em, ur, ph) = TextAnalysis.piiCounts(col("text"))
+    val pii = docs.select(col("doc_id"), em.as("e"), ur.as("u"), ph.as("p"))
+      .as[(Long, Option[Int], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(pii(2L) == ((None, None, None)), s"null text must not count -1: ${pii(2L)}")
+    val q = TextAnalysis.qualityScored(docs, col("text"))
+      .select("doc_id", "n_tokens").as[(Long, Option[Int])].collect().toMap
+    assert(q(2L).isEmpty, s"n_tokens must be NULL for null text: ${q(2L)}")
+    assert(q(1L).contains(10))
   }
 
   test("repetitionSignals: dup and top-gram fractions on a constructed repeater") {
