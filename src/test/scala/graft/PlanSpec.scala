@@ -519,9 +519,11 @@ class PlanSpec extends SparkSpec {
           "txt_c4_filters" -> 3, "web_url_dedup" -> 3,
           "op_bucketed_join" -> 5,
           // the web-curation funnel: censuses fused into ONE stage-tagged
-          // union aggregation (6 measured: blocklist/tot broadcast builds
-          // + the single census job; was 10 as 5 crossJoined scalar aggs)
-          "pipeline_web_curation" -> 7,
+          // union aggregation (was 10 as 5 crossJoined scalar aggs; 6
+          // measured r9; 8 measured r16 — bigramLmScore's multi-consumer
+          // explode is now persisted, which trades +1 broadcast-build
+          // scheduling round for NOT re-tokenizing the corpus per action)
+          "pipeline_web_curation" -> 9,
           // SCD2 interval build: one window shuffle + bounded-group agg
           "op_scd2" -> 2,
           // co-occurrence: distinct + pair agg + two broadcast builds
