@@ -25,11 +25,6 @@ object Aggregates {
   /** Op 17, pandas-faithful variant: any-wins (no ordering guarantee). */
   def dedupAny(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
 
-  /** Op 18 — idempotent append: `INSERT ... ON CONFLICT DO NOTHING`
-    * (global_dag.py:144, PK at create_death_table.sql:5). Returns only the
-    * batch rows whose keys are absent from the existing sink, deduplicated
-    * within the batch; appending the result is a no-op on re-run.
-    */
   /** MERGE/upsert semantics relationally: rows of `updates` replace
     * same-key rows of `base`; unmatched update rows insert. One anti-join
     * + one union — the last-write-wins half of a MERGE statement (the
@@ -67,8 +62,23 @@ object Aggregates {
       .unionByName(u)
   }
 
-  def idempotentNewRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
-    batch.dropDuplicates(keys).join(existing.select(keys.map(col): _*), keys, "left_anti")
+  /** Op 18 — idempotent append: `INSERT ... ON CONFLICT DO NOTHING`
+    * (global_dag.py:144, PK at create_death_table.sql:5). Returns only the
+    * batch rows whose keys are absent from the existing sink, deduplicated
+    * within the batch; appending the result is a no-op on re-run. The
+    * anti-join is NULL-SAFE (the upsert convention): a plain-equality
+    * anti-join never matches a null-keyed batch row against an existing
+    * null-keyed sink row, so every re-run would re-emit — and the sinks
+    * built on this would re-append — the null-key row, breaking the
+    * documented no-op contract.
+    */
+  def idempotentNewRows(batch: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame = {
+    val b = batch.dropDuplicates(keys).alias("_inr_b")
+    val e = existing.select(keys.map(k => col(s"`$k`")): _*).alias("_inr_e")
+    val cond = keys.map(k => col(s"_inr_b.`$k`") <=> col(s"_inr_e.`$k`"))
+      .reduce(_ && _)
+    b.join(e, cond, "left_anti")
+  }
 
   /** Op 19 — schema-aligning UNION ALL (global_dag.py:199-213). */
   def unionAligned(dfs: Seq[DataFrame]): DataFrame = {
@@ -96,7 +106,15 @@ object Aggregates {
     */
   def maintainSumCount(oldAgg: DataFrame, cdc: DataFrame,
                        keys: Seq[String], valCol: Column): DataFrame = {
-    val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
+    // fail-fast on out-of-contract _change values (the hashId posture): a
+    // CDC feed emitting e.g. 'update_preimage'/'update_postimage' would
+    // otherwise have BOTH rows silently subtracted, drifting the
+    // maintained aggregate with no error
+    val sign = when(col("_change") === "insert", 1L)
+      .when(col("_change") === "delete", -1L)
+      .otherwise(raise_error(concat(
+        lit("maintainSumCount: unknown _change value '"), col("_change"),
+        lit("' — this operator consumes tableDiff/cdcBetween output (insert/delete only)"))))
     val delta = cdc.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("_dn"),
         sum(valCol * sign).as("_dsum"))

@@ -131,11 +131,16 @@ object Multimodal {
             val (w, h) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0L, 0L, 0L)
             val hist = new Array[Long](4)
+            // row-at-a-time getRGB (the cellLuma8x8 discipline): the
+            // per-pixel form pays a ColorModel conversion + virtual
+            // dispatch PER PIXEL — several times slower, bit-identical
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
                 sr += r; sg += g; sb += b
                 // integer Rec.601-ish luma; bucket by top 2 bits
@@ -298,12 +303,19 @@ object Multimodal {
         val sxEnd = math.min(math.ceil(x1).toInt, sw)
         var sr = 0.0; var sg = 0.0; var sb = 0.0; var area = 0.0
         var sy = math.floor(y0).toInt
+        val sxStart = math.floor(x0).toInt
+        // per-scanline getRGB segment (the cellLuma8x8 discipline) — the
+        // source window per output pixel is a few pixels wide, but the
+        // per-pixel form still paid the ColorModel conversion per call
+        val rowLen = math.max(1, sxEnd - sxStart)
+        val rowBuf = new Array[Int](rowLen)
         while (sy < syEnd) {
           val wy = math.min(y1, sy + 1.0) - math.max(y0, sy.toDouble)
-          var sx = math.floor(x0).toInt
+          src.getRGB(sxStart, sy, rowLen, 1, rowBuf, 0, rowLen)
+          var sx = sxStart
           while (sx < sxEnd) {
             val wx = math.min(x1, sx + 1.0) - math.max(x0, sx.toDouble)
-            val rgb = src.getRGB(sx, sy)
+            val rgb = rowBuf(sx - sxStart)
             val w = wx * wy
             sr += ((rgb >> 16) & 0xff) * w
             sg += ((rgb >> 8) & 0xff) * w
@@ -787,15 +799,24 @@ object Multimodal {
     var tiffEnd = -1
     while (tiff < 0 && off + 4 <= bytes.length && u8(off) == 0xff) {
       val marker = u8(off + 1)
-      if (marker == 0xd9 || marker == 0xda) return bad // EOI/SOS before APP1
-      val segLen = (u8(off + 2) << 8) | u8(off + 3)
-      if (segLen < 2 || off + 2 + segLen > bytes.length) return bad
-      if (marker == 0xe1 && segLen >= 8 &&
-          new String(bytes, off + 4, 6, java.nio.charset.StandardCharsets.ISO_8859_1) == "Exif\u0000\u0000") {
-        tiff = off + 10
-        tiffEnd = off + 2 + segLen
+      if (marker == 0xff) {
+        // JPEG B.1.1.2: any number of 0xFF FILL bytes may pad before a
+        // marker. Treating the padding 0xFF as the segment start reads
+        // the REAL marker byte as the length's high byte — quarantining
+        // a well-formed camera file (bounds check fails) or walking past
+        // its APP1. Fill bytes skip one at a time instead.
+        off += 1
+      } else {
+        if (marker == 0xd9 || marker == 0xda) return bad // EOI/SOS before APP1
+        val segLen = (u8(off + 2) << 8) | u8(off + 3)
+        if (segLen < 2 || off + 2 + segLen > bytes.length) return bad
+        if (marker == 0xe1 && segLen >= 8 &&
+            new String(bytes, off + 4, 6, java.nio.charset.StandardCharsets.ISO_8859_1) == "Exif\u0000\u0000") {
+          tiff = off + 10
+          tiffEnd = off + 2 + segLen
+        }
+        off += 2 + segLen
       }
-      off += 2 + segLen
     }
     if (tiff < 0 || tiff + 8 > tiffEnd) return bad
     val endian = new String(bytes, tiff, 2, java.nio.charset.StandardCharsets.ISO_8859_1)

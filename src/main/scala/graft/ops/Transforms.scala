@@ -190,17 +190,28 @@ object Transforms {
     * bounded by |groups|.
     */
   def meanImputeReport(df: DataFrame, group: Column, value: Column,
-                       scale: Int = 6): DataFrame =
+                       scale: Int = 6): DataFrame = {
+    // numerator and denominator must agree on what counts as a value
+    // (probed on 4.1.2): the decimal cast NULLs NaN/±Inf/out-of-window
+    // doubles out of the SUM while count(value) still counted them — a
+    // [2.0, NaN, null] group reported mean 1.0 instead of excluding (or
+    // propagating) the NaN. Both now see the same validity-filtered value
+    // — NaN/Inf rows count into n_rows but join the MISSING population
+    // (they carry no usable magnitude, exactly like null).
+    val v = value.cast("double")
+    val valid = when(v.isNotNull && !isnan(v) &&
+      v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity, v)
     df.groupBy(group.as("grp"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(when(value.isNull, 1L).otherwise(0L)).as("n_missing"),
-        count(value).as("_nv"),
-        sum(value.cast(s"decimal(28,$scale)")).as("_s"))
+        sum(when(valid.isNull, 1L).otherwise(0L)).as("n_missing"),
+        count(valid).as("_nv"),
+        sum(valid.cast(s"decimal(28,$scale)")).as("_s"))
       .select(col("grp"), col("n_rows"), col("n_missing"),
         (col("_s").cast("double") / col("_nv").cast("double")).as("mean_used"),
         (col("_s").cast("double") +
           (col("_s").cast("double") / col("_nv").cast("double")) *
             col("n_missing").cast("double")).as("total_after"))
+  }
 
   /** SCD2 MERGE-apply — the write half of the dimension-versioning
     * family (op_scd2 BUILDS intervals from history, op_scd2_lookup reads
@@ -228,8 +239,17 @@ object Transforms {
     // branch at all, silently destroying its interval — and an update
     // SETTING attr to null must apply, not classify as noop. Value
     // comparison is <=> for the same reason.
-    val j = cur.withColumn("_c_present", lit(1))
-      .join(u.withColumn("_u_present", lit(1)), Seq("key"), "full_outer")
+    // NULL-SAFE key join (the upsert convention, probed on 4.1.2): with
+    // usingColumns EqualTo, a null-keyed current row never matches a
+    // null-keyed update — the old interval stays open AND a second open
+    // row inserts: two simultaneously-current rows for one key
+    val j0 = cur.withColumn("_c_present", lit(1)).alias("_scd_c")
+      .join(u.withColumn("_u_present", lit(1)).alias("_scd_u"),
+        col("_scd_c.key") <=> col("_scd_u.key"), "full_outer")
+    val j = j0.select(
+      coalesce(col("_scd_c.key"), col("_scd_u.key")).as("key"),
+      col("_scd_c.attr").as("attr"), col("valid_from"),
+      col("_uattr"), col("_uts"), col("_c_present"), col("_u_present"))
     val cPresent = col("_c_present").isNotNull
     val uPresent = col("_u_present").isNotNull
     val noop = j.where(cPresent && (!uPresent || col("attr") <=> col("_uattr")))
@@ -271,8 +291,15 @@ object Transforms {
     // a literal marker column, not value nullness (a present row may have
     // all-null compared values). Value comparison is <=> so null→value
     // and value→null transitions classify as changed, not unchanged.
-    val am = a.withColumn("_a_present", lit(1)).alias("a2")
-    val bm = b.withColumn("_b_present", lit(1)).alias("b2")
+    // collision-safe marker names (the dedupFirst pattern): withColumn
+    // REPLACES an existing column, so a user key/compare column literally
+    // named "_a_present" would be overwritten by the marker and the
+    // added/removed classification could never fire for that side
+    val taken = (keys ++ compare).toSet
+    val aFlag = Iterator.from(0).map(i => s"_a_present$i").filterNot(taken).next()
+    val bFlag = Iterator.from(0).map(i => s"_b_present$i").filterNot(taken).next()
+    val am = a.withColumn(aFlag, lit(1)).alias("a2")
+    val bm = b.withColumn(bFlag, lit(1)).alias("b2")
     // NULL-SAFE key join (the upsert convention): a null-keyed row present
     // in both versions must classify as changed/unchanged, not inflate the
     // diff as one 'removed' plus one 'added' — usingColumns would EqualTo
@@ -285,8 +312,8 @@ object Transforms {
       keys.map(k => coalesce(col(s"a2.`$k`"), col(s"b2.`$k`")).as(k)) ++
         compare.flatMap(c => Seq(col(s"a2.`$c`").as(s"${c}_old"),
           col(s"b2.`$c`").as(s"${c}_new"))) :+
-        when(col("_a_present").isNull, lit("added"))
-          .when(col("_b_present").isNull, lit("removed"))
+        when(col(aFlag).isNull, lit("added"))
+          .when(col(bFlag).isNull, lit("removed"))
           .when(changed, lit("changed"))
           .otherwise(lit("unchanged")).as("diff_status"): _*)
   }

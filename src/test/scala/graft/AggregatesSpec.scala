@@ -265,6 +265,31 @@ class AggregatesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("idempotentNewRows: NULL-keyed rows honor the no-op-on-rerun contract (null-safe anti-join regression)") {
+    import spark.implicits._
+    // probed regression: the plain-equality anti-join never matched a
+    // null-keyed batch row against the existing null-keyed sink row, so
+    // every re-run re-emitted (and the sinks re-appended) it
+    val batch = Seq(Some(1L), None: Option[Long]).toDF("k")
+    val existing = Seq(Some(2L), None: Option[Long]).toDF("k")
+    val got = graft.ops.Aggregates.idempotentNewRows(batch, existing, Seq("k"))
+      .as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(1L)), s"the null key already exists: $got")
+  }
+
+  test("maintainSumCount: an out-of-contract _change value raises instead of silently subtracting") {
+    import spark.implicits._
+    val oldAgg = Seq(("g", 1L, BigDecimal(10))).toDF("k", "cnt", "sum_val")
+    val cdc = Seq(("g", "update_postimage", BigDecimal(5))).toDF("k", "_change", "v")
+    val e = intercept[Exception] {
+      graft.ops.Aggregates.maintainSumCount(oldAgg, cdc, Seq("k"), col("v")).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("maintainSumCount") ||
+      Option(e.getCause).exists(_.getMessage.contains("maintainSumCount")) ||
+      e.getMessage.contains("USER_RAISED_EXCEPTION") || e.getMessage.contains("unknown _change"),
+      s"must fail loudly naming the operator: ${e.getMessage}")
+  }
+
   test("maintainSumCount: delta-maintained aggregate == full recompute; groups appear and disappear") {
     import org.apache.spark.sql.functions._
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,2)")

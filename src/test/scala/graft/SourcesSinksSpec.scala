@@ -527,6 +527,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(!got(4L)._1 && !got(5L)._1 && !got(6L)._1)
   }
 
+  test("exifMeta: 0xFF fill bytes before a marker (JPEG B.1.1.2) are skipped, not misparsed as a segment") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // inject two legal fill bytes between SOI and APP1: the old walk read
+    // the real marker byte (0xE1) as the length's high byte and
+    // quarantined the well-formed file
+    val base = Multimodal.exifSampleBytes("NIKON", 6, 640, 480L, little = true)
+    val padded = base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
+    val got = Multimodal.exifMeta(Seq((1L, padded)).toDF("id", "payload"), "id").head()
+    assert(got.getBoolean(1), "fill-padded JPEG must parse")
+    assert(got.getString(4) == "NIKON" && got.getLong(6) == 640L)
+  }
+
   test("exifMeta: a JPEG with no APP1 before image data is ok=false, not a scan past SOS") {
     import spark.implicits._
     // SOI + SOS marker immediately

@@ -159,6 +159,41 @@ class TransformsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("mean_used")) && r.isNullAt(r.fieldIndex("total_after")))
   }
 
+  test("meanImputeReport: NaN/Infinity values join the missing population — numerator and denominator agree") {
+    // probed regression: the decimal cast NULLed NaN out of the SUM while
+    // count(value) still counted it — a [2.0, NaN, null] group reported
+    // mean 1.0 instead of 2.0
+    val df = Seq(("g", Some(2.0)), ("g", Some(Double.NaN)), ("g", None: Option[Double]),
+      ("g", Some(Double.PositiveInfinity))).toDF("grp", "v")
+    val r = graft.ops.Transforms.meanImputeReport(df, col("grp"), col("v")).head()
+    assert(r.getLong(1) == 4L, "n_rows counts every row")
+    assert(r.getLong(2) == 3L, s"NaN/Inf/null are all missing: ${r.getLong(2)}")
+    assert(r.getDouble(3) == 2.0, s"mean over the one valid value: ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 8.0, s"2.0 + 3 imputed * 2.0: ${r.getDouble(4)}")
+  }
+
+  test("scd2Apply: a NULL natural key versions like any other key (null-safe join regression)") {
+    // probed regression: the usingColumns EqualTo never matched a
+    // null-keyed current row to its null-keyed update — the old interval
+    // stayed open AND a second open row inserted
+    val dim = Seq((Option.empty[String], "a", 1L, Option.empty[Long])).toDF("key", "attr", "valid_from", "valid_to")
+    val upd = Seq((Option.empty[String], "b", 5L)).toDF("key", "attr", "ts")
+    val got = graft.ops.Transforms.scd2Apply(dim, upd)
+      .select("key", "attr", "valid_from", "valid_to", "_action")
+      .as[(Option[String], String, Long, Option[Long], String)].collect().sortBy(_._5)
+    assert(got.toSeq == Seq(
+      (None, "a", 1L, Some(5L), "closed"),
+      (None, "b", 5L, None, "opened")), s"got: ${got.mkString(",")}")
+  }
+
+  test("tableDiff: a compared column literally named _a_present does not collide with the presence markers") {
+    val v0 = Seq((1L, "x")).toDF("k", "_a_present")
+    val v1 = Seq((1L, "y"), (2L, "z")).toDF("k", "_a_present")
+    val got = graft.ops.Transforms.tableDiff(v0, v1, Seq("k"), Seq("_a_present"))
+      .select("k", "diff_status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "added"), s"got: $got")
+  }
+
   test("scd2Apply: change closes+opens, same attr noops, new key inserts, history untouched; idempotent on re-apply") {
     import spark.implicits._
     val dim = Seq(
