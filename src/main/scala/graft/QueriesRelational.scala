@@ -176,7 +176,7 @@ private[graft] object QueriesRelational {
           .foreach(u => reader.option("user", u))
         sys.env.get("SPARK_GRAFT_JDBC_PASSWORD")
           .foreach(pw => reader.option("password", pw))
-        reader
+        val out = reader
           .option("partitionColumn", "doc_id")
           .option("lowerBound", 0L).option("upperBound", math.max(maxId, 1L))
           .option("numPartitions", 4)
@@ -184,6 +184,18 @@ private[graft] object QueriesRelational {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
           .orderBySmall(col("source"))
+        // external endpoint: the per-PID table fixed the concurrent-run
+        // race but must not leak one table per run on a SHARED server —
+        // materialize the (few-row) aggregate eagerly, then drop. The
+        // default embedded-Derby path keeps the lazy plan: its scratch
+        // dir is PID-scoped and vanishes with the run, and skipping the
+        // extra localCheckpoint job keeps the bench posture unchanged.
+        if (sys.env.contains("SPARK_GRAFT_JDBC_URL")) {
+          val materialized =
+            try out.localCheckpoint()
+            finally org.apache.spark.sql.GraftBridge.jdbcDropIfExists(url, table, props)
+          materialized
+        } else out
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1 ORDER BY 1""")),

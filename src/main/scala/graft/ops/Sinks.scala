@@ -72,6 +72,51 @@ object Sinks {
     } finally newRows.unpersist()
   }
 
+  /** Group-atomic parquet append: append `df` to `path` so that every
+    * distinct value of `groupCol` becomes visible ATOMICALLY — at any
+    * point (including mid-crash) a reader of `path` sees either ALL of a
+    * group's rows or NONE of them. Three steps make that true:
+    * (1) repartition on `groupCol`, so one data file holds each group's
+    * rows entirely; (2) stage the write in a sibling directory (readers
+    * of `path` never list it); (3) publish each finished data file into
+    * the table with a single `FileSystem.rename` — atomic per file on
+    * local/HDFS rename semantics. A crash mid-publish exposes only whole
+    * groups; the rest are absent entirely, so a consumer that keys its
+    * redelivery idempotence on "any visible row for this group"
+    * ([[graft.streaming.Streaming.annServeSink]]'s per-query contract) can
+    * never be tricked by a torn batch into skipping a half-written group
+    * forever. Orphaned staging directories from a crash sit OUTSIDE the
+    * table path and are invisible to readers; re-runs use fresh UUIDs, so
+    * they are inert garbage (cleaned by any later successful call against
+    * the same table, which best-effort sweeps its siblings' leftovers is
+    * intentionally NOT done — a concurrent writer's live staging dir is
+    * indistinguishable from an orphan; single-writer callers may sweep).
+    *
+    * At 100 TB the repartition is one shuffle of the BATCH (not the
+    * table), and the publish is O(#files) metadata renames — the same
+    * cost class as a commit-protocol job commit.
+    */
+  def groupAtomicAppend(
+      spark: SparkSession, df: DataFrame, path: String, groupCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val uuid = java.util.UUID.randomUUID().toString
+    val stagePath = s"$path-stage-$uuid"
+    df.repartition(col(groupCol)).write.mode(SaveMode.Overwrite).parquet(stagePath)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dest)
+    val stage = new org.apache.hadoop.fs.Path(stagePath)
+    // publish only finished DATA files (skip _SUCCESS/.crc markers); the
+    // uuid prefix keeps names unique across batches sharing one table
+    for (st <- fs.listStatus(stage) if st.isFile) {
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dest, s"$uuid-$name"))
+    }
+    fs.delete(stage, /* recursive = */ true)
+    ()
+  }
+
   /** Op 24 passthrough — the reference's relational store as a REAL JDBC
     * write (global_dag.py:381-397 replays INSERTs against Postgres; here the
     * batch lands in one distributed `df.write.jdbc`).
@@ -196,6 +241,20 @@ object Sinks {
     val srcVals = collected.map(r => Option(r.getString(0)).filter(_.nonEmpty)).toSet
     val newVals = srcVals -- done
     if (newVals.nonEmpty) {
+      // clear UNMARKED pre-existing partition dirs among the selected
+      // values BEFORE the write: dynamic overwrite only replaces
+      // partitions present in the written frame, so a selected partition
+      // whose transform yields ZERO rows this run would keep a crashed
+      // prior run's partial data files — yet gain a done marker below,
+      // permanently exposing the stale rows. An unmarked dir is by
+      // definition not committed (src is the source of truth for its
+      // rows per this operator's contract), so deleting it is safe; a
+      // crash between this delete and the write leaves the partition
+      // unmarked and the next run re-lands it.
+      for (v <- newVals) {
+        val dir = new org.apache.hadoop.fs.Path(p, partitionDirName(partitionBy, v))
+        if (fs.exists(dir)) fs.delete(dir, /* recursive = */ true)
+      }
       val nonNull = newVals.flatten.toSeq
       val inNonNull =
         if (nonNull.isEmpty) lit(false)
@@ -220,10 +279,7 @@ object Sinks {
       // Spark's own escaping so the marker lands exactly where the
       // written data did.
       for (v <- newVals) {
-        val dirName = s"$partitionBy=" + v
-          .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
-          .getOrElse(HiveDefaultPartition)
-        val dir = new org.apache.hadoop.fs.Path(p, dirName)
+        val dir = new org.apache.hadoop.fs.Path(p, partitionDirName(partitionBy, v))
         fs.mkdirs(dir)
         fs.create(new org.apache.hadoop.fs.Path(dir, DoneMarker), /* overwrite = */ true).close()
       }
@@ -235,6 +291,16 @@ object Sinks {
     * ledger on. Leading '_' keeps it invisible to parquet readers.
     */
   private[graft] val DoneMarker = "_graft_done"
+
+  /** Spark's own directory name for a partition value (path escaping +
+    * the null/empty → default-partition mapping) — ONE definition shared
+    * by the pre-write stale-dir sweep and the post-commit marker loop,
+    * so the dir the sweep clears is exactly the dir the marker lands in.
+    */
+  private def partitionDirName(partitionBy: String, v: Option[String]): String =
+    s"$partitionBy=" + v
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+      .getOrElse("__HIVE_DEFAULT_PARTITION__")
 
   /** Bucketed table sink: pre-shuffles once at write time so every later
     * equi-join or aggregation on `keys` between co-bucketed tables runs with

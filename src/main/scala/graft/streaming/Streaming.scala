@@ -188,6 +188,16 @@ object Streaming {
     * two ranks: a list that is the top-k of no index version). The
     * served table therefore always holds ONE internally-consistent list
     * per query — the list as of that query's first successful serve.
+    * The per-query contract is made CRASH-SAFE by the publish protocol:
+    * lists land via [[graft.ops.Sinks.groupAtomicAppend]] (one data file
+    * per query group, staged then renamed in), so a serve batch that
+    * dies mid-commit can never leave a PARTIAL list visible — any
+    * visible row for a query_id really does mean its whole list landed,
+    * which is exactly the signal the redelivery anti-join keys on. (A
+    * plain committer write would break this: its task/job commits move
+    * files non-atomically, so a crash could expose some of a query's
+    * rows, and the redelivered query would anti-join away forever with
+    * a permanently incomplete list.)
     * Stream-served top-k is EQUAL to the batch ivfTopKFitted answer over
     * the same store (StreamingSpec pins the parity).
     *
@@ -214,19 +224,24 @@ object Streaming {
       if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, indexPath)) {
         val corpus = batch.sparkSession.read.parquet(indexPath)
         // per-QUERY idempotence: only queries with no served list yet are
-        // scored and appended, each with its complete top-k in one write —
-        // the (query_id, rank)-keyed form could interleave two index
-        // versions' rankings for one query (see scaladoc)
+        // scored and appended, each with its complete top-k landing
+        // group-atomically — the (query_id, rank)-keyed form could
+        // interleave two index versions' rankings for one query (see
+        // scaladoc). The served side is ALIASED before the anti-join: a
+        // caller whose idCol is literally "query_id" would otherwise put
+        // that name on both join sides and fail ambiguous at runtime.
+        val deduped = batch.dropDuplicates(idCol)
         val pending =
-          if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath))
-            batch.join(
-              batch.sparkSession.read.parquet(outPath).select(col("query_id")).distinct(),
-              batch(idCol) === col("query_id"), "left_anti")
-          else batch
+          if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath)) {
+            val servedIds = batch.sparkSession.read.parquet(outPath)
+              .select(col("query_id").as("_graft_served_qid")).distinct()
+            deduped.join(servedIds,
+              deduped(idCol) === servedIds("_graft_served_qid"), "left_anti")
+          } else deduped
         val served = graft.ops.Similarity.ivfTopKFitted(
           pending, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
-        graft.ops.Sinks.idempotentParquetAppend(batch.sparkSession, served,
-          outPath, Seq("query_id", "rank"))
+        graft.ops.Sinks.groupAtomicAppend(batch.sparkSession, served,
+          outPath, "query_id")
       }
       ()
     }

@@ -38,11 +38,13 @@ object JobCount {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       noop()
       spark.catalog.clearCache()
-      // listener events are posted asynchronously — settle before sampling
-      Thread.sleep(500)
+      // listener events post asynchronously — drain the bus
+      // deterministically before each sample (a fixed sleep can under-
+      // or over-count when the bus is loaded)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       val before = jobs.get()
       noop()
-      Thread.sleep(500)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       println(s"JOBS $name ${jobs.get() - before}")
     }
     spark.stop()

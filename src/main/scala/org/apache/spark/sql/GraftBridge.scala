@@ -102,4 +102,15 @@ object GraftBridge {
       JdbcUtils.withConnection(opts)(conn => JdbcUtils.dropTable(conn, table, opts))
     }
   }
+
+  /** Deterministically drain the async listener bus: returns only once
+    * every event posted so far has been delivered to every listener.
+    * Job-count pins (PlanSpec, the JobCount tool) sample counters fed by
+    * `SparkListener.onJobStart`; a fixed `Thread.sleep` leaves a loaded
+    * bus still posting after the sample, skewing before/after counts in
+    * either direction. `listenerBus` is `private[spark]` — hence this
+    * bridge.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

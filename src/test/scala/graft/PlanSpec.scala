@@ -463,7 +463,10 @@ class PlanSpec extends SparkSpec {
       val st = spark.sparkContext.statusTracker
       val before = st.getJobIdsForGroup(null).length
       noop()
-      Thread.sleep(500) // status store updates asynchronously
+      // the status store is fed by the listener bus — drain it instead of
+      // sleeping a fixed interval (under load events can post after the
+      // sample, skewing the count in either direction)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       st.getJobIdsForGroup(null).length - before
     }
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
@@ -760,10 +763,13 @@ class PlanSpec extends SparkSpec {
     try {
       noop() // warm codegen/footer paths
       spark.catalog.clearCache()
-      Thread.sleep(500) // listener events post asynchronously
+      // drain the async listener bus DETERMINISTICALLY before sampling:
+      // a fixed sleep lets a loaded bus post events after the sample,
+      // skewing before/after in either direction
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       val before = jobs.get()
       noop()
-      Thread.sleep(500)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       val n = jobs.get() - before
       assert(n <= 24, s"op_stream_neardup ran $n jobs (bound 24)")
     } finally {

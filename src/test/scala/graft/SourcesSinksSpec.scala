@@ -337,6 +337,54 @@ class SourcesSinksSpec extends SparkSpec {
     assert(graft.ops.Sinks.processNewPartitions(spark, src2, dest, "year")(id) == 0)
   }
 
+  test("processNewPartitions: a selected partition whose transform yields ZERO rows clears stale partials before its marker lands") {
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // frame — a zero-row partition is absent from it, so a crashed prior
+    // run's partial files used to survive under a fresh done marker,
+    // permanently exposing the stale rows
+    val dest = Files.createTempDirectory("graft-incr6").toString + "/t"
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    assert(graft.ops.Sinks.processNewPartitions(
+      spark, Seq((2020, 1L)).toDF("year", "v"), dest, "year")(id) == 1)
+    // crashed prior run: visible partial data in year=2022, no marker
+    Seq((2022, 99L)).toDF("year", "v")
+      .write.mode("append").partitionBy("year").parquet(dest)
+    val src = Seq((2020, 1L), (2022, 3L)).toDF("year", "v")
+    // the transform drops every 2022 row — the partition is selected
+    // (unmarked) but lands nothing in the overwrite frame
+    assert(graft.ops.Sinks.processNewPartitions(spark, src, dest, "year")(
+      _.where($"v" =!= 3L)) == 1)
+    val back = spark.read.parquet(dest)
+    assert(back.select("v").as[Long].collect().toSet == Set(1L),
+      "the stale partial row must be cleared, not exposed under the marker")
+    // the marker DID land (processed-and-empty, not pending): a re-run
+    // selects nothing
+    assert(graft.ops.Sinks.processNewPartitions(spark, src, dest, "year")(
+      _.where($"v" =!= 3L)) == 0)
+  }
+
+  test("groupAtomicAppend: every group's rows land in exactly ONE data file; appends accumulate") {
+    // the file-per-group layout is the whole protocol: per-file renames
+    // are atomic, so a crash mid-publish can expose only WHOLE groups —
+    // a group split across two files could become half-visible
+    val dest = Files.createTempDirectory("graft-gaa").toString + "/t"
+    val b1 = Seq((1L, 0, 10L), (1L, 1, 11L), (2L, 0, 20L)).toDF("qid", "rank", "n")
+    graft.ops.Sinks.groupAtomicAppend(spark, b1, dest, "qid")
+    val b2 = Seq((3L, 0, 30L), (3L, 1, 31L)).toDF("qid", "rank", "n")
+    graft.ops.Sinks.groupAtomicAppend(spark, b2, dest, "qid")
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 5)
+    val filesPerGroup = back
+      .select($"qid", org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy($"qid").agg(countDistinct($"f").as("nf"))
+      .as[(Long, Long)].collect().toMap
+    assert(filesPerGroup.values.forall(_ == 1L),
+      s"a group spans multiple files (not crash-atomic): $filesPerGroup")
+    // no staging directory survives a successful publish
+    val parent = new java.io.File(dest).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("-stage-")), s"staging leftover: ${parent.mkString(",")}")
+  }
+
   test("bucketedTable: database-qualified names drop the real table (stale-path guard)") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_bt_db")
     val p1 = Files.createTempDirectory("graft-bt1").toString

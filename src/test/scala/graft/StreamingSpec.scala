@@ -502,6 +502,40 @@ class StreamingSpec extends SparkSpec {
       "a redelivered query batch must not duplicate served rows")
   }
 
+  test("streaming ANN serve: a caller whose idCol is literally query_id joins unambiguously") {
+    // the served-side anti-join used to reference a bare col("query_id"),
+    // which is ambiguous at runtime when the caller's id column carries
+    // that exact name — the served frame is aliased now
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ann-serve-qid")
+    val ckpt = Files.createTempDirectory("graft-ann-serve-qid-ckpt")
+    val indexPath = dir.toString + "/index"
+    val outPath = dir.toString + "/served"
+    def vec(id: Long): Array[Float] =
+      Array((id % 5 + 1).toFloat, ((id * 3) % 7 - 3).toFloat)
+    val cents = Array(Array(1.0, 2.0), Array(4.0, -2.0), Array(2.0, -1.0))
+    // idCol names the id column on BOTH sides (query batch and index), so
+    // the clashing name must appear on the corpus too
+    (0L to 9L).map(i => (i, vec(i))).toDF("query_id", "embedding")
+      .withColumn("cluster", graft.ops.Similarity.nearestCentroid($"embedding", cents))
+      .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
+    val input = MemoryStream[Long]
+    val q = Streaming.annServeSink(
+        input.toDF().toDF("query_id")
+          .withColumn("embedding", org.apache.spark.sql.functions.udf(vec _)
+            .apply($"query_id")),
+        "query_id", "embedding", cents, indexPath, outPath, k = 2, nprobe = 2)
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData(100L)
+    q.processAllAvailable()
+    input.addData(101L, 100L) // redelivery exercises the anti-join path
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(outPath)
+    assert(served.select($"query_id").distinct().count() === 2L)
+    assert(served.count() === 4L, "redelivered query must append nothing")
+  }
+
   test("streaming ANN ingest: frozen-centroid assignment, redelivery appends nothing, batch/stream query parity") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-ann-ingest")
