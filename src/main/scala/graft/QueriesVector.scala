@@ -570,6 +570,87 @@ private[graft] object QueriesVector {
           CAST(doc_id * 37 % 86400000 AS BIGINT) AS duration
         FROM documents ORDER BY doc_id""")),
 
+    QueryDef("mm_video_frames",
+      // REAL video pixel decode, oracle-checked (retires the r16 video
+      // stub): an ANIMATED GIF per row — 2..4 solid-color frames through
+      // the JDK's sequence writer with a pinned 2-entry palette (GIF is
+      // lossless at ≤256 colors) — then videoFrameFeatures samples every
+      // 2nd frame and decodes its pixels back. Solid frames make each
+      // sampled frame's channel means equal the constructed palette
+      // values EXACTLY, so the whole multi-frame codec path (container
+      // walk + LZW + palette + pixel reduce) is verified arithmetically
+      // by SQL, the mm_decode_real pattern extended to motion
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 31 === 0).as[Long]
+        val gifs = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 13 + 3).toInt; val h = (id % 7 + 2).toInt
+            val frames = (0 until (id % 3 + 2).toInt).map { f =>
+              val cm = new java.awt.image.IndexColorModel(8, 2,
+                Array(((id * 5 + f * 31) % 256).toByte, 0.toByte),
+                Array(((id * 7 + f * 13) % 256).toByte, 0.toByte),
+                Array(((id * 11 + f * 3) % 256).toByte, 0.toByte))
+              // raster defaults to index 0 = the frame's color
+              new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            }
+            (id, Multimodal.gifAnimatedBytes(frames))
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.videoFrameFeatures(gifs, "vec_id", everyNth = 2)
+          .select(col("id").as("vec_id"), col("frame_no"), col("ok"),
+            col("width"), col("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+          .orderBy(col("vec_id"), col("frame_no"))
+      },
+      Some("""SELECT vec_id, CAST(f AS INTEGER) AS frame_no, TRUE AS ok,
+          CAST(vec_id % 13 + 3 AS INTEGER) AS width,
+          CAST(vec_id % 7 + 2 AS INTEGER) AS height,
+          CAST((vec_id * 5 + f * 31) % 256 AS DOUBLE) AS mean_r,
+          CAST((vec_id * 7 + f * 13) % 256 AS DOUBLE) AS mean_g,
+          CAST((vec_id * 11 + f * 3) % 256 AS DOUBLE) AS mean_b
+        FROM embeddings, unnest(generate_series(0, CAST(vec_id % 3 + 1 AS BIGINT))) AS t(f)
+        WHERE vec_id % 31 = 0 AND f % 2 = 0 ORDER BY vec_id, frame_no""")),
+
+    QueryDef("mm_mjpeg_frames",
+      // the MJPEG half of videoFrameFeatures under the oracle: per row a
+      // concatenated-JPEG stream whose frame DIMENSIONS vary analytically
+      // per frame (JPEG is lossy, so pixel means are spec-tested for
+      // closeness instead — dims and frame inventory are exact whatever
+      // the quantizer does). The entropy-safe FFD9 split plus per-frame
+      // ImageIO decode must recover every frame's own geometry
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 37 === 0).as[Long]
+        val streams = ids.mapPartitions { it =>
+          it.map { id =>
+            val bos = new java.io.ByteArrayOutputStream()
+            for (f <- 0 until (id % 3 + 1).toInt) {
+              val w = (id % 9 + 8 + f).toInt; val h = (id % 5 + 6 + f).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              g.setColor(new java.awt.Color(128, 128, 128)); g.fillRect(0, 0, w, h)
+              g.dispose()
+              javax.imageio.ImageIO.write(img, "jpg", bos)
+            }
+            (id, bos.toByteArray)
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.videoFrameFeatures(streams, "vec_id", everyNth = 1)
+          .select(col("id").as("vec_id"), col("frame_no"), col("ok"),
+            col("width"), col("height"))
+          .orderBy(col("vec_id"), col("frame_no"))
+      },
+      Some("""SELECT vec_id, CAST(f AS INTEGER) AS frame_no, TRUE AS ok,
+          CAST(vec_id % 9 + 8 + f AS INTEGER) AS width,
+          CAST(vec_id % 5 + 6 + f AS INTEGER) AS height
+        FROM embeddings, unnest(generate_series(0, CAST(vec_id % 3 AS BIGINT))) AS t(f)
+        WHERE vec_id % 37 = 0 ORDER BY vec_id, frame_no""")),
+
     QueryDef("op_histogram",
       // fixed-bound equi-width histogram: one map-side-combined agg, ≤24
       // output rows at any SF; bucket index is exactly-rounded IEEE floor

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/BMP/GIF) ships with the JDK, so [[decodeImageFeatures]] and
   * [[resizeImages]] run actual codecs inside typed `Dataset.mapPartitions`
   * — one iterator per partition, no driver involvement, the Scala analogue
-  * of `mapInPandas`. VIDEO remains the one stubbed modality (no video
-  * codec exists in the JDK or this container): [[decodeFeatures]] keeps a
-  * deterministic byte-histogram body with the same partition-parallel
-  * plumbing, and [[sampleFrames]]/[[resampleStub]] model the reshape
-  * without decoding. Swapping a video codec in changes one function body,
-  * not the plan.
+  * of `mapInPandas`. VIDEO pixel decode is REAL too (round 17):
+  * [[videoFrameFeatures]] decodes every sampled frame of animated-GIF and
+  * MJPEG containers through the same JDK codecs — the two motion formats
+  * expressible pure-JVM; an H.264-class codec would slot into the same
+  * sniff-and-decode seam. [[decodeFeatures]] remains as the byte-level
+  * FALLBACK for formats with no available codec (proprietary containers),
+  * and [[sampleFrames]]/[[resampleStub]] model the reshape without
+  * decoding.
   */
 object Multimodal {
 
@@ -981,11 +983,141 @@ object Multimodal {
     GifMeta(id, ok = ok && done, version, w, h, gct, frames)
   }
 
+  /** One sampled video frame's decoded-pixel features. `frame_no` is the
+    * index within the CONTAINER (pre-sampling); `ok = false` rows carry
+    * frame_no -1 and zero stats (payload did not parse as a video).
+    */
+  final case class VideoFrameFeatures(id: Long, frame_no: Int, ok: Boolean,
+                                      width: Int, height: Int,
+                                      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video-frame pixel decode, partition-parallel: every `everyNth`-th
+    * frame of each payload is decoded to pixels and reduced to per-frame
+    * dims + channel means (integer sums ÷ n — deterministic). Two pure-JVM
+    * container formats, sniffed per row:
+    *
+    *  - **animated GIF** (`GIF87a`/`GIF89a`): the JDK's multi-image GIF
+    *    reader — `getNumImages(true)` then per-index reads. Frames are
+    *    decoded AS STORED (each image descriptor's own rect); no disposal
+    *    compositing, matching MJPEG's independent-frame semantics.
+    *  - **MJPEG** (leading SOI `FFD8`): the stream is split at entropy-safe
+    *    `FFD9` end-of-image markers (baseline JPEG byte-stuffs `FF` as
+    *    `FF00` inside entropy data, so a raw `FFD9` is a real frame
+    *    boundary) and each part runs the same ImageIO JPEG decoder the
+    *    image path uses.
+    *
+    * Anything else — or a frame that fails its codec — quarantines as one
+    * `ok = false` row, never a task failure. At 100 TB this is the same
+    * shape as [[decodeImageFeatures]]: typed `mapPartitions`, one decoder
+    * pass per executor, sampled frames only (a 1/everyNth read-amplification
+    * cut — the reason sampling lives INSIDE the decode loop, not as a
+    * filter after exploding all frames).
+    */
+  def videoFrameFeatures(df: DataFrame, idCol: String, everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1, s"everyNth ($everyNth) must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        try videoFramesOne(id, bytes, everyNth)
+        catch { case scala.util.control.NonFatal(_) => Seq(badVideoRow(id)) }
+      })
+      .toDF()
+  }
+
+  private def badVideoRow(id: Long) =
+    VideoFrameFeatures(id, -1, ok = false, 0, 0, 0.0, 0.0, 0.0)
+
+  private def videoFramesOne(id: Long, bytes: Array[Byte],
+                             everyNth: Int): Seq[VideoFrameFeatures] = {
+    if (bytes == null || bytes.length < 4) return Seq(badVideoRow(id))
+    val isGif = bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+    val isMjpeg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    if (isGif) {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) { in.close(); return Seq(badVideoRow(id)) }
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(/* allowSearch = */ true)
+        if (n <= 0) return Seq(badVideoRow(id))
+        (0 until n by everyNth).map(f => frameStats(id, f, reader.read(f)))
+      } finally { reader.dispose(); in.close() }
+    } else if (isMjpeg) {
+      // split at real EOI markers: inside entropy-coded data every FF is
+      // stuffed (FF00) or a restart marker (FFD0-D7), so a raw FFD9 ends a
+      // frame; the next frame starts at the following SOI
+      val bounds = Seq.newBuilder[(Int, Int)]
+      var start = 0
+      var i = 0
+      while (i < bytes.length - 1) {
+        if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd9) {
+          bounds += ((start, i + 2))
+          start = i + 2
+          i += 2
+        } else i += 1
+      }
+      val parts = bounds.result()
+      if (parts.isEmpty) return Seq(badVideoRow(id))
+      parts.zipWithIndex.collect { case ((s, e), f) if f % everyNth == 0 =>
+        val img = decodeOrNull(java.util.Arrays.copyOfRange(bytes, s, e))
+        if (img == null) VideoFrameFeatures(id, f, ok = false, 0, 0, 0.0, 0.0, 0.0)
+        else frameStats(id, f, img)
+      }
+    } else Seq(badVideoRow(id))
+  }
+
+  /** Per-frame dims + channel means via integer channel sums (the
+    * [[decodeImageFeatures]] arithmetic, scoped to one frame).
+    */
+  private def frameStats(id: Long, frameNo: Int,
+                         img: java.awt.image.BufferedImage): VideoFrameFeatures = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(w * h, 1).toDouble
+    VideoFrameFeatures(id, frameNo, ok = true, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** Encode frames as one animated GIF with the JDK's sequence writer —
+    * the construct side of [[videoFrameFeatures]]'s oracle keys. GIF
+    * palettes are lossless for low-color frames (≤256 distinct colors per
+    * frame), so solid-color frames round-trip their channel values
+    * EXACTLY; pass TYPE_BYTE_INDEXED images to pin the palette bytes.
+    */
+  def gifAnimatedBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Minimal VALID GIF builder for construct-and-check oracles (the
     * [[exifSampleBytes]] pattern): logical screen + optional global
     * color table + `frames` image descriptors (each one pixel of LZW-ish
     * filler in a single sub-block — enough for the block WALK; decoding
-    * pixels is out of scope) + trailer.
+    * pixels is out of scope — [[videoFrameFeatures]] +
+    * [[gifAnimatedBytes]] cover real multi-frame pixel decode) + trailer.
     */
   def gifSampleBytes(width: Int, height: Int, frames: Int, gctBits: Int,
                      v89: Boolean = true): Array[Byte] = {

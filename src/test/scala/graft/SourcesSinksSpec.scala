@@ -257,6 +257,44 @@ class SourcesSinksSpec extends SparkSpec {
     assert(!got(4L)._1, "junk bytes must flag ok=false")
   }
 
+  test("videoFrameFeatures: GIF sampling hits the right indices, MJPEG pixels decode close, junk quarantines") {
+    import java.awt.image.BufferedImage
+    // 5-frame animated GIF, everyNth=2 -> container frames 0,2,4 exactly
+    def gray(v: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val gif = graft.ops.Multimodal.gifAnimatedBytes((0 until 5).map(f => gray(f * 50, 6, 4)))
+    val jpegs = {
+      val bos = new java.io.ByteArrayOutputStream()
+      for (f <- 0 until 3) javax.imageio.ImageIO.write(gray(100 + f * 40, 8 + f, 5), "jpg", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, gif), (2L, jpegs), (3L, "not a video".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = graft.ops.Multimodal.videoFrameFeatures(df, "id", everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getBoolean(2), r.getInt(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(1L -> 0, 1L -> 2, 1L -> 4, 2L -> 0, 2L -> 2, 3L -> -1),
+      s"wrong frame inventory: ${got.keySet}")
+    assert(!got(3L -> -1)._1, "junk payload must quarantine as ok=false")
+    for (f <- Seq(0, 2, 4)) {
+      val (ok, w, h, mr) = got(1L -> f)
+      assert(ok && w == 6 && h == 4, s"GIF frame $f geometry wrong: ($w,$h)")
+      assert(mr == f * 50.0, s"GIF is lossless: frame $f mean_r $mr != ${f * 50}")
+    }
+    // MJPEG: geometry exact per frame, pixels lossy-close (solid gray
+    // quantizes within a few levels)
+    val (ok0, w0, h0, mr0) = got(2L -> 0)
+    assert(ok0 && w0 == 8 && h0 == 5 && math.abs(mr0 - 100.0) < 4.0,
+      s"MJPEG frame 0 wrong: ($w0,$h0,$mr0)")
+    val (ok2, w2, h2, mr2) = got(2L -> 2)
+    assert(ok2 && w2 == 10 && h2 == 5 && math.abs(mr2 - 180.0) < 4.0,
+      s"MJPEG frame 2 wrong: ($w2,$h2,$mr2)")
+  }
+
   test("processNewPartitions honors the ledger for a RELATIVE dest path (qualified-path regression)") {
     // fs.listFiles returns qualified paths; an unqualified relative root
     // used to never match them, emptying the ledger and re-appending every
