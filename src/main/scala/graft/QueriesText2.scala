@@ -823,7 +823,14 @@ private[graft] object QueriesText2 {
         // cross-products would overflow int64 at web scale (per-doc sum ×
         // corpus total ≈ 1e20+), and an identically-sequenced chain of
         // exactly-rounded double multiplies is engine-deterministic.
+        // persisted: bs feeds BOTH the corpus-total broadcast subplan and
+        // the per-doc filter — unpersisted, the bigram join + per-doc
+        // aggregation over the (internally cached) bigram table would
+        // execute twice, once per consumer. persist (not localCheckpoint):
+        // the harness's clearCache reclaims it; checkpoint blocks it
+        // cannot. bs is per-doc-sized, never corpus-bigram-sized.
         val bs = TextAnalysis.bigramLmScore(kept2, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = bs.agg(sum(col("sum_bigram_cnt")).as("ts"), sum(col("n_bigrams")).as("tn"))
         val bsOk = bs.crossJoin(tot)
           .where(col("sum_bigram_cnt").cast("double") * col("tn").cast("double") * 100.0 <=

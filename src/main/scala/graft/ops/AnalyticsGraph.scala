@@ -129,10 +129,11 @@ trait AnalyticsGraphOps extends AnalyticsBase {
     * and frontier are re-read each iteration, and without truncation the
     * lineage (and the replayed join DAG) would double per hop. The
     * checkpoints are LAZY, materialized by the per-round `count()` that
-    * also serves as the convergence probe — ONE job per hop (the
-    * [[graft.ops.Dedup.dedupClusters]] pattern), where the eager-
-    * checkpoint + `isEmpty` form paid two; on a loaded host scheduling
-    * latency per job dominates the per-round work. A caller-materialized
+    * also serves as the convergence probe — and rounds UNROLL TWO HOPS
+    * into one plan, so the steady state is ONE driver job per TWO hops
+    * (the eager-checkpoint + `isEmpty` form paid two per hop); on a
+    * loaded host scheduling latency per job dominates the per-round
+    * work. A caller-materialized
     * edge frame (flat LogicalRDD with columns (src, dst)) is used as-is —
     * no second blocks copy — and only a checkpoint THIS call created is
     * freed when the loop exits; the result plan reads only the
@@ -161,25 +162,43 @@ trait AnalyticsGraphOps extends AnalyticsBase {
     // materializes the lazy seed checkpoint AND tests emptiness in 1 job
     var frontierRows = seed0.count()
     var hop = 0
-    while (hop < maxHops && frontierRows > 0L) {
-      hop += 1
-      val settled = parts.reduce(_.unionByName(_))
-      // the candidate distinct + settled anti-join FUSE into one min-dist
-      // aggregation: a settled node's dist < hop wins the min and the
-      // filter drops it; a new node's min IS hop. One hash-agg shuffle
-      // over |candidates| + |settled| where the anti-join form paid a
-      // distinct shuffle AND a sort-merge of both sides.
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), lit(hop).as("dist"))
+    // the candidate distinct + settled anti-join FUSE into one min-dist
+    // aggregation: a settled node's dist < hop wins the min and the
+    // filter drops it; a new node's min IS hop. One hash-agg shuffle
+    // over |candidates| + |settled| where the anti-join form paid a
+    // distinct shuffle AND a sort-merge of both sides.
+    def expand(from: DataFrame, settled: DataFrame, h: Int): DataFrame =
+      from.join(e, from("node") === e("src"))
+        .select(e("dst").as("node"), lit(h).as("dist"))
         .unionByName(settled)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .where(col("dist") === lit(hop))
+        .where(col("dist") === lit(h))
         .graftCheckpoint(eager = false)
-      // one job: checkpoint-materialize the frontier (and, on hop 1, the
-      // edge set it reads) + the convergence count
-      frontierRows = next.count()
-      parts = parts :+ next
-      frontier = next
+    while (hop < maxHops && frontierRows > 0L) {
+      // TWO-HOP UNROLLING (r16 verdict item): both expansions chain
+      // lazily into ONE plan whose single convergence count materializes
+      // both frontiers' checkpoints — the per-hop driver job (the
+      // dominant cost on a loaded host: scheduling latency, not work)
+      // halves, ~1 job per two hops. An empty f1 makes f2's join
+      // trivially empty inside the same job, so the early-out test on
+      // the ROUND's last frontier is exact; rounds and results are
+      // byte-identical to the per-hop form.
+      val settled = parts.reduce(_.unionByName(_))
+      val f1 = expand(frontier, settled, hop + 1)
+      if (hop + 1 == maxHops) {
+        frontierRows = f1.count()
+        parts = parts :+ f1
+        frontier = f1
+        hop += 1
+      } else {
+        val f2 = expand(f1, settled.unionByName(f1), hop + 2)
+        // one job: materializes f1's lazy checkpoint (it is f2's lineage
+        // prefix), f2's own, and the convergence count
+        frontierRows = f2.count()
+        parts = parts :+ f1 :+ f2
+        frontier = f2
+        hop += 2
+      }
     }
     if (eOwned) org.apache.spark.sql.GraftBridge.freeCheckpoint(e)
     parts.reduce(_.unionByName(_))
@@ -207,27 +226,41 @@ trait AnalyticsGraphOps extends AnalyticsBase {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    // lazy checkpoint + count: ONE job per peel round materializes the
-    // round AND reads the convergence census (the bfsHops discipline —
-    // the eager-checkpoint + count form paid two). Superseded rounds'
-    // blocks are freed as the loop advances; the final round's blocks
-    // back the returned frame.
+    // lazy checkpoint + count: ONE job per TWO peel rounds (two-peel
+    // unrolling below) materializes the rounds AND reads the convergence
+    // census (the bfsHops discipline — the eager-checkpoint + count form
+    // paid two per round). Superseded rounds' blocks are freed as the
+    // loop advances; the final round's blocks back the returned frame.
     var cur = canon.graftCheckpoint(eager = false)
     var nEdges = cur.count()
     var rounds = 0
     var stable = nEdges == 0L
-    while (!stable && rounds < maxRounds) {
-      rounds += 1
-      val deg = cur.select(col("a").as("node"))
-        .unionAll(cur.select(col("b").as("node")))
+    def peel(from: DataFrame): DataFrame = {
+      val deg = from.select(col("a").as("node"))
+        .unionAll(from.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select(col("node"))
-      val next = cur
-        .join(keep.hint("merge"), cur("a") === keep("node"), "left_semi")
-        .join(keep.hint("merge"), cur("b") === keep("node"), "left_semi")
+      from
+        .join(keep.hint("merge"), from("a") === keep("node"), "left_semi")
+        .join(keep.hint("merge"), from("b") === keep("node"), "left_semi")
         .graftCheckpoint(eager = false)
+    }
+    while (!stable && rounds < maxRounds) {
+      // TWO-PEEL UNROLLING (the bfsHops r17 trick): both peels chain
+      // lazily and ONE count materializes them — half the driver jobs.
+      // Peeling is idempotent at the fixpoint, so the count-unchanged
+      // test on the second peel is exact: m2 == nEdges iff NEITHER peel
+      // removed an edge (a removal in peel 1 strictly shrinks the count,
+      // and peel 2 never adds), and the converged edge set is identical
+      // to the per-round form's.
+      rounds += 2
+      val mid = peel(cur)
+      val next = peel(mid)
       val m = next.count()
+      // the count materialized mid (it is next's lineage prefix) and next;
+      // mid's blocks are superseded the moment next exists
       org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(mid)
       cur = next; stable = m == nEdges; nEdges = m
     }
     // an unconverged peel is a WRONG subgraph (nodes below degree k still
@@ -284,8 +317,9 @@ trait AnalyticsGraphOps extends AnalyticsBase {
     * distance doubles and a depth-D forest settles in ⌈log₂ D⌉ rounds —
     * per-level recursion would pay D shuffle rounds, fatal on deep
     * chains. Rounds use the lazy-localCheckpoint + count() convergence
-    * probe (one job per round, the bfsHops/dedupClusters pattern); the
-    * count of unsettled nodes is the driver-side scalar. Roots have
+    * probe with TWO doublings unrolled per plan (one driver job per two
+    * rounds — jump distance QUADRUPLES per job, the bfsHops pattern);
+    * the count of unsettled nodes is the driver-side scalar. Roots have
     * depth 0 and are their own root. Defective forests degrade loudly,
     * never silently: a node whose chain exceeds `maxRounds` doublings
     * (depth > 2^maxRounds — in practice a CYCLE, which a parent forest
@@ -305,25 +339,37 @@ trait AnalyticsGraphOps extends AnalyticsBase {
       .graftCheckpoint(eager = false)
     var active = cur.where(!col("settled") && !col("_dang")).count()
     var round = 0
-    while (active > 0 && round < maxRounds) {
-      round += 1
-      val b = cur.select(col("node").as("_bn"), col("anc").as("_banc"),
+    // one pointer-doubling jump; LEFT join: a missing ancestor row is a
+    // dangling parent pointer — the node keeps its partial state and
+    // stops jumping (terminal, settled = false), instead of vanishing
+    // from an inner join
+    def jump(from: DataFrame): DataFrame = {
+      val b = from.select(col("node").as("_bn"), col("anc").as("_banc"),
         col("depth").as("_bd"), col("settled").as("_bs"))
-      // LEFT join: a missing ancestor row is a dangling parent pointer —
-      // the node keeps its partial state and stops jumping (terminal,
-      // settled = false), instead of vanishing from an inner join
       val frozen = col("settled") || col("_dang") || col("_bn").isNull
-      val next = cur.join(b.hint("merge"), col("anc") === col("_bn"), "left")
+      from.join(b.hint("merge"), col("anc") === col("_bn"), "left")
         .select(col("node"),
           when(frozen, col("anc")).otherwise(col("_banc")).as("anc"),
           when(frozen, col("depth")).otherwise(col("depth") + col("_bd")).as("depth"),
           (col("settled") || (col("_bn").isNotNull && col("_bs"))).as("settled"),
           (col("_dang") || (!col("settled") && col("_bn").isNull)).as("_dang"))
         .graftCheckpoint(eager = false)
+    }
+    while (active > 0 && round < maxRounds) {
+      // TWO-JUMP UNROLLING (the bfsHops r17 trick): two doublings chain
+      // lazily into one plan, ONE count materializes both — jump distance
+      // QUADRUPLES per driver job. A jump at the fixpoint is the identity
+      // (settled/dangling rows are frozen), so unrolling past convergence
+      // changes nothing; round still counts DOUBLINGS (the documented
+      // depth > 2^maxRounds defect bound is unchanged).
+      round += 2
+      val mid = jump(cur)
+      val next = jump(mid)
       active = next.where(!col("settled") && !col("_dang")).count()
       // superseded doubling rounds' blocks free as the loop advances (the
       // kCore discipline); the final round's blocks back the returned frame
       org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(mid)
       cur = next
     }
     cur.select(col("node"), col("anc").as("root"), col("depth"), col("settled"))
@@ -417,7 +463,14 @@ trait AnalyticsGraphOps extends AnalyticsBase {
     // it, the second reference reads blocks — no per-round driver job, no
     // double compute. Freed in one sweep after the final materialization.
     val lazyCps = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    def normalized(full: DataFrame, c: String, out: String): DataFrame = {
+    def normalized(full0: DataFrame, c: String, out: String): DataFrame = {
+      // the raw-score frame is referenced TWICE (the broadcast-sum
+      // subplan and the normalization it feeds) — without a lazy
+      // checkpoint the half-round's edge join + aggregation would
+      // execute in BOTH, doubling every round's compute (the broadcast
+      // build materializes the blocks; the main plan then reads them)
+      val full = full0.graftCheckpoint(eager = false)
+      lazyCps += full
       val s = full.agg(sum(col(c)).as("_s"))
       // Σx can floor to 0 when node count exceeds `scale` with
       // near-uniform scores (each x·scale < Σx rounds to 0 the PREVIOUS

@@ -499,7 +499,7 @@ class PlanSpec extends SparkSpec {
       // pin catches any return of per-iteration driver jobs)
       for ((name, bound) <- Seq("dedup_ngram_jaccard" -> 3, "op_salted_join" -> 3,
           "txt_contamination_bloom" -> 5, "op_approx_distinct" -> 3,
-          "op_approx_quantile" -> 2, "op_pagerank" -> 11,
+          "op_approx_quantile" -> 2, "op_pagerank" -> 10,
           "dedup_incremental" -> 3, "op_train_split" -> 2,
           "pipeline_daily_batch" -> 3, "txt_heavy_hitters" -> 4,
           "op_corr_matrix" -> 2,
@@ -572,8 +572,11 @@ class PlanSpec extends SparkSpec {
           // checkpoint to the key (the unreached census reads blocks
           // instead of rebuilding orders⋈lineitem), and materializing the
           // ≤8-row census eagerly so the edge/frontier blocks free
-          // deterministically (+1 job: the local-relation write)
-          "op_bfs" -> 11,
+          // deterministically (+1 job: the local-relation write).
+          // r17: TWO-HOP UNROLLING — both expansions of a round chain
+          // lazily and one count materializes them, so the 6 hop jobs
+          // became 3 round jobs (8 measured; bound 9 = +1 slack)
+          "op_bfs" -> 9,
           // the r8→r9 driver-bench 2.1× mover: a pure regex-chain
           // projection + the output range sort — 2 measured; the pin
           // settles future moves as host noise vs plan regression
@@ -647,8 +650,12 @@ class PlanSpec extends SparkSpec {
           "txt_rake" -> 3,
           // iterative (16 measured: setup + one materialization of the
           // lazy round chain + 2 scalar-normalization broadcast builds
-          // per round) — the op_pagerank lazy-chain regime
-          "op_hits" -> 18,
+          // per round) — the op_pagerank lazy-chain regime. r17: the
+          // raw-score frames are lazy-checkpointed (each was computed
+          // TWICE — once in the broadcast-sum subplan, once in the
+          // normalization it feeds), halving per-round compute at the
+          // same job count; bound 17 = measured 16 + 1
+          "op_hits" -> 17,
           // clustered write (range sampling + write) + pruned read agg
           "op_zorder_pruned" -> 5,
           // one QI-group shuffle + bounded census fold
@@ -707,9 +714,11 @@ class PlanSpec extends SparkSpec {
           "op_interval_union" -> 3,
           // two bounded-view broadcasts + join + range sort
           "op_sql_surface" -> 5,
-          // pointer doubling: seed count + ~4 doubling rounds + sort
-          // (rounds grow with log2(depth) BY DESIGN; 1500-node heap = 4)
-          "op_hierarchy_flatten" -> 7,
+          // pointer doubling with TWO jumps unrolled per plan (r17 —
+          // jump distance quadruples per job): seed count + 2 unrolled
+          // rounds + sort (5 measured on the 1500-node heap; round count
+          // grows with log4(depth) BY DESIGN)
+          "op_hierarchy_flatten" -> 6,
           // gzip write + schema-pinned scan/agg (no inference job)
           "op_gzip_jsonl_source" -> 3,
           // one census agg each
