@@ -39,6 +39,11 @@ object Bench {
     if (countJobs) builder.config("spark.ui.retainedJobs", "1000000")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // durable-iteration cost runs (SCALE.md "durable-mode cost" table):
+    // route every iterative truncation through reliable checkpoints so
+    // the knob's price is measurable under the exact bench posture
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.ops.Lineage.CheckpointDirKey, d))
     val selected = Queries.all.filter(q => only.forall(_.contains(q.name)))
     // a typo'd allowlist would otherwise emit a healthy-looking
     // {"total":0,"failed":0} — indistinguishable from a perfect run

@@ -746,6 +746,59 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("durable-mode cost pin: the iterative family adds ONLY checkpoint-write jobs, results unchanged") {
+    // VERDICT r16 item 4 — pin the COST of spark.graft.checkpoint.dir
+    // (LineageSpec proves recovery; nothing pinned the price). Durable
+    // mode must change NOTHING about the loop structure: the only extra
+    // driver jobs are Spark's own reliable-checkpoint writes (one per
+    // materialized truncation — the persist-before-checkpoint caveat,
+    // documented in ops/Lineage.scala), and the rows are identical.
+    def run(name: String): (Long, Array[String], Int) = {
+      val fn = Queries.all.find(_.name == name).get.fn
+      def rows() = fn(spark, sf0001).collect().map(_.toString).sorted
+      rows() // warm
+      spark.catalog.clearCache()
+      val st = spark.sparkContext.statusTracker
+      val before = st.getJobIdsForGroup(null).length
+      val r = rows()
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val jobs = st.getJobIdsForGroup(null).length - before
+      spark.catalog.clearCache()
+      (r.length.toLong, r, jobs)
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-pin")
+    try {
+      for (name <- Seq("op_bfs", "op_pagerank", "op_hierarchy_flatten")) {
+        spark.conf.unset(graft.ops.Lineage.CheckpointDirKey)
+        val (_, defRows, defJobs) = run(name)
+        spark.conf.set(graft.ops.Lineage.CheckpointDirKey, dir.toString)
+        val (_, durRows, durJobs) = run(name)
+        assert(durRows.sameElements(defRows),
+          s"$name: durable mode changed the RESULT — lineage seam is not transparent")
+        // each graftCheckpoint materialization may add exactly one
+        // reliable-write job; the loop itself must not restructure.
+        // Bound: default + the family's max truncations per run
+        // (op_bfs ≤ 1 seed + 3 unrolled rounds × 2 + edges = 8;
+        // pagerank ≤ 4 scaffold/final; hierarchy ≤ 2 rounds × 2 + 1) +
+        // 2 slack — a durable run that multiplies jobs per ROUND (the
+        // regression this pins against) lands far above it.
+        val extraAllowed = name match {
+          case "op_bfs" => 10
+          case "op_pagerank" => 6
+          case _ => 7
+        }
+        assert(durJobs <= defJobs + extraAllowed,
+          s"$name: durable mode ran $durJobs jobs vs $defJobs default — " +
+            "more than the per-truncation checkpoint writes")
+      }
+    } finally {
+      spark.conf.unset(graft.ops.Lineage.CheckpointDirKey)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   test("op_stream_neardup driver-job bound (listener-counted): per-trigger fixed cost pinned") {
     // Streaming jobs run under the micro-batch execution's job group, so
     // statusTracker's null-group query (jobsOf above) cannot see them —
