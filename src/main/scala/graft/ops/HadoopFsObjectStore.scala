@@ -76,7 +76,16 @@ final class HadoopFsObjectStore(root: String, conf: Configuration) extends Objec
         try fs.delete(tmp, false) catch { case c: Throwable => e.addSuppressed(c) }
         throw e
     }
-    out.close()
+    // a buffered stream can surface disk-full/quota at close(), after
+    // every write() succeeded — collect the staged file on that path too
+    // (nothing else ever sweeps the staging dir, so a leaked uuid file
+    // would accumulate per retry forever)
+    try out.close()
+    catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    }
     fs.mkdirs(dest.getParent)
     try {
       // getUri, not getScheme: RawLocalFileSystem never implemented the latter
@@ -94,10 +103,20 @@ final class HadoopFsObjectStore(root: String, conf: Configuration) extends Objec
           case e: java.io.IOException =>
             // the rename can APPLY and still throw (HadoopLogStore's
             // probe discipline): a committed body settles the outcome —
-            // ours = win, foreign = loss; still absent = real IO failure
+            // ours = win, foreign = loss. Still-absent is AMBIGUOUS (an
+            // RPC retry of the rename may land server-side after this
+            // probe), so it surfaces as the contract's transient type:
+            // ObjectStoreLogStore's resolution loop re-issues the same
+            // idempotent conditional PUT until the version settles — a
+            // raw IOException would abort the whole commit on the first
+            // hiccup, bypassing that loop.
             get(key) match {
               case Some(committed) => java.util.Arrays.equals(committed, bytes)
-              case None => throw e
+              case None =>
+                val t = new ObjectStoreClient.TransientStoreException(
+                  s"ambiguous rename publish of $key (still absent after probe): $e")
+                t.addSuppressed(e)
+                throw t
             }
         }
       }

@@ -1004,7 +1004,11 @@ object Multimodal {
     *    `FFD9` end-of-image markers (baseline JPEG byte-stuffs `FF` as
     *    `FF00` inside entropy data, so a raw `FFD9` is a real frame
     *    boundary) and each part runs the same ImageIO JPEG decoder the
-    *    image path uses.
+    *    image path uses. Caveat: a frame embedding a thumbnail JPEG in
+    *    an APPn segment carries that thumbnail's own `FFD9` — such a
+    *    frame splits early and quarantines (`ok = false`) rather than
+    *    crash; camera-style MJPEG (no per-frame thumbnails) splits
+    *    exactly.
     *
     * Anything else — or a frame that fails its codec — quarantines as one
     * `ok = false` row, never a task failure. At 100 TB this is the same

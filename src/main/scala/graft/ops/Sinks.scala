@@ -101,17 +101,30 @@ object Sinks {
     import org.apache.spark.sql.functions.col
     val uuid = java.util.UUID.randomUUID().toString
     val stagePath = s"$path-stage-$uuid"
-    df.repartition(col(groupCol)).write.mode(SaveMode.Overwrite).parquet(stagePath)
+    // maxRecordsPerFile = 0 per-write: a session-level cap would split a
+    // large group across files, voiding the one-file-per-group invariant
+    // the whole publish protocol rests on
+    df.repartition(col(groupCol)).write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 0).parquet(stagePath)
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dest)
     val stage = new org.apache.hadoop.fs.Path(stagePath)
     // publish only finished DATA files (skip _SUCCESS/.crc markers); the
-    // uuid prefix keeps names unique across batches sharing one table
+    // uuid prefix keeps names unique across batches sharing one table.
+    // rename reports most failures by RETURNING FALSE (quota, permission),
+    // not throwing — a dropped return value here would silently discard
+    // the group's rows when the stage dir is deleted below. Fail loudly
+    // instead: the staged file survives (delete is skipped by the throw)
+    // and the caller's redelivery re-serves the unpublished groups.
     for (st <- fs.listStatus(stage) if st.isFile) {
       val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dest, s"$uuid-$name"))
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val target = new org.apache.hadoop.fs.Path(dest, s"$uuid-$name")
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"groupAtomicAppend: publish rename ${st.getPath} -> $target failed")
+      }
     }
     fs.delete(stage, /* recursive = */ true)
     ()

@@ -238,10 +238,15 @@ object Streaming {
             deduped.join(servedIds,
               deduped(idCol) === servedIds("_graft_served_qid"), "left_anti")
           } else deduped
-        val served = graft.ops.Similarity.ivfTopKFitted(
-          pending, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
-        graft.ops.Sinks.groupAtomicAppend(batch.sparkSession, served,
-          outPath, "query_id")
+        // all-redelivered triggers are routine under at-least-once
+        // upstreams: gate on pending (one limit-1 probe) so a zero-query
+        // trigger never pays the probe + repartition + staged write
+        if (!pending.isEmpty) {
+          val served = graft.ops.Similarity.ivfTopKFitted(
+            pending, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
+          graft.ops.Sinks.groupAtomicAppend(batch.sparkSession, served,
+            outPath, "query_id")
+        }
       }
       ()
     }

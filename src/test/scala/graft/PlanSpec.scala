@@ -461,6 +461,9 @@ class PlanSpec extends SparkSpec {
       noop() // warm codegen/parquet-footer paths
       spark.catalog.clearCache()
       val st = spark.sparkContext.statusTracker
+      // drain BEFORE the before-sample too: the warm run's in-flight
+      // job-start events would otherwise land inside the measured window
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       val before = st.getJobIdsForGroup(null).length
       noop()
       // the status store is fed by the listener bus — drain it instead of
@@ -759,6 +762,9 @@ class PlanSpec extends SparkSpec {
       rows() // warm
       spark.catalog.clearCache()
       val st = spark.sparkContext.statusTracker
+      // drain before AND after the measured run (the warm run's events
+      // must not leak into the window)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       val before = st.getJobIdsForGroup(null).length
       val r = rows()
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)

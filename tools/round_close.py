@@ -73,17 +73,28 @@ def triage(rnd, sf_dir):
 
 
 def cpus5_verify(sf_dir_verify):
+    import shutil
     outdir = "/tmp/round_close_verify"
+    # a stale outdir from a prior round would let a now-crashing key
+    # re-pass on its old output — always start clean
+    shutil.rmtree(outdir, ignore_errors=True)
     p = run(["sbt", "-batch", f"runMain graft.Verify {sf_dir_verify} {outdir}"],
             env={"SPARK_GRAFT_CPUS": "5"})
     if p.returncode != 0:
         return {"error": (p.stderr or "")[-500:]}
+    # Verify catches per-query exceptions and exits 0; a crashed key
+    # writes NO output dir, so check.py (which walks existing dirs) would
+    # count it neither pass nor fail — scrape the failure lines so a
+    # crashing key can never read green
+    crashed = sorted(set(re.findall(r"\[verify\] (\w+) failed:",
+                                    (p.stdout or "") + (p.stderr or ""))))
     c = run([sys.executable, os.path.join(REPO, "tools", "check.py"),
              sf_dir_verify, outdir])
     m = re.search(r"(\d+) pass, (\d+) fail", c.stdout or "")
     if not m:
-        return {"error": (c.stderr or c.stdout or "")[-500:]}
-    return {"pass": int(m.group(1)), "fail": int(m.group(2))}
+        return {"error": (c.stderr or c.stdout or "")[-500:], "crashed": crashed}
+    return {"pass": int(m.group(1)), "fail": int(m.group(2)) + len(crashed),
+            "crashed": crashed}
 
 
 def main():
@@ -103,7 +114,9 @@ def main():
     if not args.skip_cpus5:
         print("[round_close] CPUS=5 partition-order verify ...", file=sys.stderr)
         summary["cpus5_verify"] = cpus5_verify(args.sf_dir_verify)
-        if summary["cpus5_verify"].get("fail") not in (0, None):
+        # abort-on-ANY-failure means the gate must fail CLOSED: an error
+        # dict (no "fail" key) is a failure, not a pass-through
+        if summary["cpus5_verify"].get("fail") != 0:
             print(json.dumps(summary))
             sys.exit(1)
     if not args.skip_quiet:
