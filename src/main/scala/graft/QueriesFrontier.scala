@@ -45,7 +45,7 @@ private[graft] object QueriesFrontier {
           FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         SELECT s0, s1, s2, CAST(count(*) AS BIGINT) AS n FROM g
-        WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1, 2, 3
+        WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1, 2, 3
         ORDER BY n DESC, s0, s1, s2""")),
 
     QueryDef("op_table_diff",

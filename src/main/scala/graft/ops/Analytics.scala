@@ -55,4 +55,26 @@ trait AnalyticsBase {
       n
     }
   }
+
+  /** Overflow-safe product for the exact-moment aggregates: when BOTH
+    * operands resolve to integral types against `df`, the left one widens
+    * to DECIMAL first — long·long silently WRAPS past 2⁶³ and the later
+    * decimal cast then blesses the wrapped garbage (the ols2 discipline:
+    * cast BEFORE multiplying), while decimal·integral widens exactly.
+    * Floating operands keep the plain product: an IEEE multiply cannot
+    * wrap, and widening would ROUND fractional values (xScale = 0 callers
+    * pass integer-valued doubles) — so the double path stays bit-identical
+    * to its history and to the DuckDB oracle mirrors.
+    */
+  private[ops] def mulNoWrap(df: DataFrame, a: Column, b: Column): Column = {
+    import org.apache.spark.sql.types._
+    // IntegralType itself is private[sql] — enumerate the concrete types
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val dts = df.select(a, b).schema.fields.map(_.dataType)
+    if (dts.forall(integral)) a.cast("decimal(20,0)") * b
+    else a * b
+  }
 }

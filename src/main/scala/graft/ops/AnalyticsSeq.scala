@@ -64,6 +64,11 @@ trait AnalyticsSeqOps extends AnalyticsBase {
     */
   def cohortRetention(df: DataFrame, entity: Column, tsNum: Column,
                       periodLen: Long): DataFrame = {
+    // NULL-entity rows are DROPPED by the plain equality join back (and
+    // by the oracle's plain SQL JOIN — both engines agree): a NULL
+    // entity identifies no one, so it belongs to no cohort. This is the
+    // one deliberate exception to the file's null-safe join-back
+    // convention; route NULL entities explicitly upstream if they matter.
     require(periodLen > 0)
     val ev = df.select(entity.as("entity"), tsNum.as("_ts"))
     val firsts = ev.groupBy(col("entity"))
@@ -163,7 +168,10 @@ trait AnalyticsSeqOps extends AnalyticsBase {
     val moments = proj.groupBy(col("season"))
       .agg(count(col("_v")).as("_n"),
         sum(col("_v").cast("decimal(28,0)")).as("_s"),
-        sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_ss"))
+        // cast BEFORE squaring: long v·v wraps past |v| ~ 3.04e9 while
+        // the documented contract (n·|v|max < 10^18) admits such values;
+        // decimal·long widens exactly and agrees with long below 2^63
+        sum((col("_v").cast("decimal(19,0)") * col("_v")).cast("decimal(38,0)")).as("_ss"))
     val m = moments.select(col("season").as("_ms"), col("_n"), col("_s"), col("_ss"))
     // every product casts to decimal BEFORE multiplying — a long n·v
     // would wrap silently near the contract edge. CONTRACT: n·|v|max
@@ -295,7 +303,12 @@ trait AnalyticsSeqOps extends AnalyticsBase {
     */
   def intervalUnionLength(df: DataFrame, key: Column, order: Seq[Column],
                           startCol: Column, endCol: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(order: _*)
+    // the sweep's max-prior-end clipping is only correct when intervals
+    // arrive START-ASCENDING (an out-of-order earlier interval would be
+    // clipped by a LATER start and silently undercount) — enforce it by
+    // sorting on startCol first; `order` remains the deterministic
+    // tiebreak within equal starts
+    val w = Window.partitionBy(key).orderBy(startCol +: order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.where(startCol.isNotNull && endCol.isNotNull)
       .select(key.as("grp"), startCol.as("_s"), endCol.as("_e"),
@@ -371,7 +384,11 @@ trait AnalyticsSeqOps extends AnalyticsBase {
     val cols = (0 until k).map(i =>
       (if (i == 0) state else lead(state, i).over(w)).as(s"s$i"))
     df.select(cols: _*)
-      .where((1 until k).map(i => col(s"s$i").isNotNull).reduce(_ && _))
+      // s0 needs the guard too: a NULL state LEADING a gram would count
+      // as a pattern element while the same NULL at any later position
+      // drops the gram (indistinguishable from end-of-sequence) — counts
+      // must not depend on WHERE a NULL sits. Oracle mirrors the filter.
+      .where((0 until k).map(i => col(s"s$i").isNotNull).reduce(_ && _))
       .groupBy((0 until k).map(i => col(s"s$i")): _*)
       .agg(count(lit(1)).as("n"))
   }

@@ -242,7 +242,11 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     val products = for { i <- inputs.indices; j <- inputs.indices if i <= j } yield {
       val (ci, si) = inputs(i); val (cj, sj) = inputs(j)
       val sc = productScaleOverride.getOrElse((ci, cj), si + sj)
-      sum((col(ci) * col(cj)).cast(s"decimal(30,$sc)")).cast("double").as(s"_p${i}_$j")
+      // mulNoWrap: integral·integral would wrap in the input type before
+      // the decimal cast (the ols2 discipline); double inputs keep the
+      // historical bit-identical product
+      sum(mulNoWrap(df, col(ci), col(cj)).cast(s"decimal(30,$sc)"))
+        .cast("double").as(s"_p${i}_$j")
     }
     val m = df.agg(n, singles ++ products: _*)
     val rows = for { i <- inputs.indices; j <- inputs.indices if i < j } yield
@@ -284,9 +288,12 @@ trait AnalyticsStatsOps extends AnalyticsBase {
         count(lit(1)).cast("double").as("n"),
         sum(x.cast(s"decimal(20,$xScale)")).cast("double").as("sx"),
         sum(y.cast(s"decimal(22,$yScale)")).cast("double").as("sy"),
-        sum((x * y).cast(s"decimal(24,${xScale + yScale})")).cast("double").as("sxy"),
-        sum((x * x).cast(s"decimal(24,${2 * xScale})")).cast("double").as("sxx"),
-        sum((y * y).cast(s"decimal(26,$yySc)")).cast("double").as("syy"))
+        // mulNoWrap: an IntegerType x wraps at x*x >= 2^31 (LongType past
+        // 2^63) BEFORE the decimal cast — the exact hazard ols2's comment
+        // documents; double inputs keep the historical product
+        sum(mulNoWrap(df, x, y).cast(s"decimal(24,${xScale + yScale})")).cast("double").as("sxy"),
+        sum(mulNoWrap(df, x, x).cast(s"decimal(24,${2 * xScale})")).cast("double").as("sxx"),
+        sum(mulNoWrap(df, y, y).cast(s"decimal(26,$yySc)")).cast("double").as("syy"))
     m.select(col("grp"), col("n"), col("sx"), col("sy"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
@@ -416,10 +423,16 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     * expression shape at p = 0.5 (so f is 0.0 or 0.5 exactly).
     */
   private def rankMedian(pairs: DataFrame): DataFrame = {
-    val byG = Window.partitionBy(col("_g"))
+    // ONE ordered window spec for both functions: count gets an explicit
+    // full frame on the SAME (partition, order), so Spark fuses the two
+    // into a single WindowExec — an unordered count spec forced a second
+    // full window pass over the sorted data (the winsorize lesson), paid
+    // twice per madStats call
+    val byGOrdered = Window.partitionBy(col("_g")).orderBy(col("_v"))
     val ranked = pairs
-      .withColumn("_rn", row_number().over(byG.orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(byG))
+      .withColumn("_rn", row_number().over(byGOrdered))
+      .withColumn("_n", count(lit(1)).over(byGOrdered
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val pos = lit(0.5) * (col("_n") - 1).cast("double")
     val k1 = floor(pos).cast("long") + 1
     val frac = pos - floor(pos)
@@ -499,8 +512,14 @@ trait AnalyticsStatsOps extends AnalyticsBase {
       .withColumn("expected",
         (col("r") * col("c")).cast("double") / col("n").cast("double"))
       .withColumn("contrib", {
-        val num = (col("n_obs") * col("n") - col("r") * col("c")).cast("double")
-        num * num / (col("n") * col("r") * col("c")).cast("double")
+        // widen to DECIMAL before multiplying: the cubic denominator
+        // n·r·c reaches ~n³ (2.7e28 at the documented 3e9-row contract),
+        // far past 2⁶³ — a long product wraps silently and the double
+        // cast blesses the garbage. Below 2⁶³ the decimal and long paths
+        // convert to the same double, so existing oracles are unchanged.
+        def d(c: Column) = c.cast("decimal(20,0)")
+        val num = (d(col("n_obs")) * col("n") - d(col("r")) * col("c")).cast("double")
+        num * num / (d(col("n")) * col("r") * col("c")).cast("double")
       })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = cells.select(col("a").cast("string"), col("b").cast("string"),

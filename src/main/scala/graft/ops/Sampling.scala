@@ -76,7 +76,11 @@ object Sampling {
     require(k > 0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
       .orderBy(md5(key.cast("string")).asc_nulls_last, key.asc_nulls_last)
-    df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
+    // fresh helper name: a hardcoded "_rk" would OVERWRITE a user column
+    // of that name and then drop it — silent data loss (the freshNames
+    // convention the other window helpers follow)
+    val Seq(rk) = graft.ops.Analytics.freshNames(df, "_rk")
+    df.withColumn(rk, row_number().over(w)).where(col(rk) <= k).drop(rk)
   }
 
   /** Deterministic train/val/test assignment: named splits with integer
@@ -182,10 +186,14 @@ object Sampling {
   def mixByTokenBudget(docs: DataFrame, key: Column, source: Column, tokensCol: Column,
                        weights: Map[String, Double], tokenBudget: Long): DataFrame = {
     require(weights.values.forall(_ >= 0), "mixture weights must be nonnegative")
-    val totals = docs.groupBy(source.as("_mix_src"))
+    // fresh helper names: a docs column literally named "_mix_src" would
+    // make the join condition ambiguous at runtime, and one named
+    // "_keep_rate" would be silently dropped below
+    val Seq(srcCol, rateCol) = graft.ops.Analytics.freshNames(docs, "_mix_src", "_keep_rate")
+    val totals = docs.groupBy(source.as(srcCol))
       .agg(sum(tokensCol.cast("long")).as("_src_tokens"))
     val w = weights.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
-      when(col("_mix_src") === lit(s), lit(p)).otherwise(acc)
+      when(col(srcCol) === lit(s), lit(p)).otherwise(acc)
     }
     // guard the NULL/zero token total (the mixByTemperature stance): the
     // raw division yields NULL there, and least() SKIPS a NULL operand —
@@ -195,10 +203,10 @@ object Sampling {
       least(lit(1.0),
         lit(tokenBudget).cast("double") * w / col("_src_tokens").cast("double")))
       .otherwise(lit(0.0))
-    docs.join(broadcast(totals.select(col("_mix_src"), rate.as("_keep_rate"))),
-        source === col("_mix_src"))
-      .where(hashUnit(key) < col("_keep_rate"))
-      .drop("_mix_src", "_keep_rate")
+    docs.join(broadcast(totals.select(col(srcCol), rate.as(rateCol))),
+        source === col(srcCol))
+      .where(hashUnit(key) < col(rateCol))
+      .drop(srcCol, rateCol)
   }
 
   /** Fractional-epoch mixing (the Llama/GPT data-recipe schedule): each

@@ -841,4 +841,81 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, String, String, Long)].collect().toSet
     assert(got === Set(("a", "b", "c", 2L), ("b", "c", "b", 1L), ("c", "b", "c", 1L)))
   }
+
+  test("sequencePatterns: a NULL state never leads a counted gram (position-independent NULL semantics)") {
+    val ev = Seq((1L, 1L, null.asInstanceOf[String]), (1L, 2L, "a"),
+        (1L, 3L, "b"), (1L, 4L, "c"))
+      .toDF("u", "t", "s")
+    val got = Analytics.sequencePatterns(ev, col("u"), Seq(col("t")), col("s"), k = 2)
+      .as[(String, String, Long)].collect().toSet
+    // (NULL, a) used to be counted while (x, NULL) grams dropped — counts
+    // depended on WHERE the NULL sat, not whether it existed
+    assert(got === Set(("a", "b", 1L), ("b", "c", 1L)),
+      s"NULL-led gram must drop like any other NULL gram, got $got")
+  }
+
+  test("regressionByGroup / correlationMatrix: LONG inputs past 2^31.5 do not wrap (decimal-before-multiply)") {
+    // x ~ 4e9: x*x = 1.6e19 > Long.MaxValue — the input-type product
+    // wrapped before the decimal cast and blessed the garbage
+    val base = 4000000000L
+    val df = (0 until 50).map(i => ("g", base + i * 1000L, 2L * (base + i * 1000L)))
+      .toDF("g", "x", "y")
+    val r = Analytics.regressionByGroup(df, col("g"), col("x"), col("y"),
+        xScale = 0, yScale = 0)
+      .select("slope", "corr").as[(Double, Double)].head()
+    assert(math.abs(r._1 - 2.0) < 1e-6, s"slope wrapped: ${r._1}")
+    assert(math.abs(r._2 - 1.0) < 1e-9, s"corr wrapped: ${r._2}")
+    val c = Analytics.correlationMatrix(df.select(col("x"), col("y")),
+        Seq("x" -> 0, "y" -> 0))
+      .select("corr").as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-9, s"matrix corr wrapped: $c")
+  }
+
+  test("seasonalAnomaly: |v| past 3.04e9 does not wrap the squared moment — constant season flags nothing") {
+    val v = 4000000000L // v*v = 1.6e19 wraps long; decimal path is exact
+    val df = Seq(("s", v), ("s", v), ("s", v)).toDF("season", "v")
+    val got = Analytics.seasonalAnomaly(df, col("season"), col("v"), k = 2)
+      .select("n_anomalies").as[Long].head()
+    // pre-fix the wrapped variance went NEGATIVE and every row flagged
+    assert(got == 0L, s"constant season must flag nothing, got $got anomalies")
+  }
+
+  test("chiSquare: the cubic n*r*c denominator survives past 2^63 (matches exact BigDecimal arithmetic)") {
+    // 6e6 rows with a DEPENDENT b (all odd ids are false): the cubic
+    // n*r*c = 6e6 * 3e6 * 1.5e6 = 2.7e19 > Long.MaxValue wrapped pre-fix
+    val df = spark.range(6000000L)
+      .select((col("id") % 2).as("a"), (col("id") % 4 < 1).as("b"))
+    val cells = Analytics.chiSquare(df, col("a"), col("b"))
+      .select(col("a").cast("long"), col("b").cast("string"), col("n_obs"), col("chi2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val chi2 = cells.head._4
+    // recompute χ² from the integer cells in exact BigDecimal (marginals
+    // rebuilt from the cells themselves)
+    val n = BigDecimal(cells.map(_._3).sum)
+    val rowT = cells.groupBy(_._1).map { case (k, v) => k -> BigDecimal(v.map(_._3).sum) }
+    val colT = cells.groupBy(_._2).map { case (k, v) => k -> BigDecimal(v.map(_._3).sum) }
+    val want = cells.map { case (a, b, o, _) =>
+      val num = BigDecimal(o) * n - rowT(a) * colT(b)
+      (num * num / (n * rowT(a) * colT(b))).toDouble
+    }.sum
+    assert(want > 0.0, "construct must be dependent (nonzero chi2)")
+    assert(chi2 >= 0.0 && math.abs(chi2 - want) / want < 1e-9,
+      s"chi2 $chi2 != exact $want (wrapped denominator?)")
+  }
+
+  test("groupSample / mixByTokenBudget: helper names yield to user columns named _rk / _mix_src") {
+    val df = Seq(("a", 1L, 99L), ("a", 2L, 98L), ("b", 3L, 97L))
+      .toDF("src", "id", "_rk")
+    val out = Sampling.groupSample(df, col("src"), col("id"), 1)
+    assert(out.columns.contains("_rk"), "user _rk column was destroyed")
+    assert(out.select("_rk").as[Long].collect().toSet.subsetOf(Set(99L, 98L, 97L)),
+      "user _rk values must survive the sample")
+    val docs = Seq(("d1", "s1", 10L, "x"), ("d2", "s2", 10L, "y"))
+      .toDF("doc_id", "source", "n_tok", "_mix_src")
+    // pre-fix: AMBIGUOUS_REFERENCE on the join condition
+    val kept = Sampling.mixByTokenBudget(docs, col("doc_id"), col("source"),
+      col("n_tok"), Map("s1" -> 1.0, "s2" -> 1.0), tokenBudget = 100L)
+    assert(kept.columns.contains("_mix_src"), "user _mix_src column was dropped")
+    assert(kept.count() == 2L)
+  }
 }
