@@ -120,12 +120,11 @@ private[graft] object QueriesMlEval {
           t(s, d, "documents").where(col("doc_id") % 20 === 0),
           col("doc_id"), col("text"), dim = 32)
         .orderBy(col("id"), col("bucket")),
-      Some("""WITH tok AS (SELECT doc_id AS id,
-            unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+      Some(s"""WITH tok AS (SELECT doc_id AS id,
+            unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
           FROM documents WHERE doc_id % 20 = 0)
-        SELECT id, ('0x' || substring(md5(tok), 1, 8))::BIGINT % 32 AS bucket,
-          CAST(sum(CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
-            THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        SELECT id, ${Features.hashFeatureBucketSql("tok", 32)} AS bucket,
+          CAST(sum(${Features.hashFeatureSignSql("tok")}) AS BIGINT) AS weight
         FROM tok GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QueryDef("ml_pca_project",

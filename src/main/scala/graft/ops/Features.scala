@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -22,20 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
-  /** Engine-portable token → bucket in [0, dim): first 8 md5 hex chars —
-    * delegates to the single md5/conv recipe ([[Sampling.hashBucketMod]];
-    * xxhash64 is the faster production form, md5 the one every external
-    * engine can replay).
+  /** SQL mirror of [[featureHash]]'s bucket recipe (first 8 md5 hex
+    * chars mod dim) — paired like `Layout.zValue`/`zValueSql` so the
+    * hashing-trick formula can never drift between engine and oracle
+    * (it was previously hand-inlined at the oracle site).
     */
-  def hashFeatureBucket(token: Column, dim: Int): Column =
-    Sampling.hashBucketMod(token, dim.toLong)
+  def hashFeatureBucketSql(tok: String, dim: Int): String =
+    s"('0x' || substring(md5($tok), 1, 8))::BIGINT % $dim"
 
-  /** ±1 from the 9th md5 hex char — the signed hashing trick: an
-    * independent hash bit decides each token's sign so colliding tokens
-    * cancel in expectation instead of accumulating upward bias.
+  /** SQL mirror of the ±1 sign bit (9th md5 hex char — an independent
+    * hash bit, so colliding tokens cancel in expectation instead of
+    * accumulating upward bias).
     */
-  def hashFeatureSign(token: Column): Column =
-    signFromHash(md5(token.cast("string")))
+  def hashFeatureSignSql(tok: String): String =
+    s"CASE WHEN ('0x' || substring(md5($tok), 9, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END"
 
   private def bucketFromHash(h: Column, dim: Int): Column =
     Sampling.bucketFromMd5(h, dim.toLong)
@@ -94,8 +94,20 @@ object Features {
       x.isNotNull && !isnan(x) && x =!= Double.PositiveInfinity &&
         x =!= Double.NegativeInfinity
     }.reduce(_ && _)
+    // per-VALUE overflow guard: one oversized row's x² overflows its own
+    // decimal(32,2s) cast to NULL under ANSI-off, which sum() silently
+    // SKIPS while count() still books the row in n — a mis-weighted
+    // covariance with no error (the whole-sum require below only catches
+    // total overflow). |x| < 10^(16−s) keeps every per-value product
+    // inside decimal(32,2s); violations raise in-plan with the hint.
+    val lim = math.pow(10.0, 16.0 - scale)
     val proj = df.where(valid).select(features.zipWithIndex.map { case (c, i) =>
-      c.cast("double").as(s"_x$i") }: _*)
+      val x = c.cast("double")
+      when(abs(x) < lit(lim), x)
+        .otherwise(raise_error(lit(
+          s"pcaFit: |feature| >= 1e${16 - scale} overflows its per-value " +
+            "decimal(32," + (2 * scale) + ") product — rescale the features or raise `scale`")))
+        .as(s"_x$i") }: _*)
     val aggs =
       Seq(count(lit(1)).as("_n")) ++
       (0 until d).map(i => sum(col(s"_x$i").cast(s"decimal(28,$scale)")).as(s"_s$i")) ++
@@ -205,6 +217,12 @@ object Features {
     */
   def pcaProject(features: Seq[Column], model: PcaModel, k: Int): Seq[Column] = {
     require(k > 0 && k <= model.components.length)
+    // dimension check: a SHORTER feature list would silently truncate the
+    // projection (missing terms, wrong coordinates, no error); a longer
+    // one would AIOOBE deep in the expression build
+    require(features.length == model.mean.length,
+      s"pcaProject: ${features.length} feature columns for a model fit on " +
+        s"${model.mean.length}")
     (0 until k).map { j =>
       val comp = model.components(j)
       val terms = features.zipWithIndex.collect {

@@ -40,7 +40,13 @@ object Layout {
     */
   def scaleToGrid(v: Column, min: Double, max: Double, bits: Int = 16): Column = {
     require(max > min)
-    floor((v - lit(min)) / lit(max - min) * lit((1L << bits) - 1).cast("double")).cast("long")
+    // clamp the affine ratio to [0,1]: an out-of-range input would yield
+    // a NEGATIVE (or overlarge) grid coordinate, whose sign-extended bits
+    // zValue reads as garbage — and on which the engine (shiftright/AND)
+    // and the SQL mirror (//, %, dividend-signed) DISAGREE. In-range
+    // values are untouched (the ratio is already inside [0,1]).
+    val ratio = least(greatest((v - lit(min)) / lit(max - min), lit(0.0)), lit(1.0))
+    floor(ratio * lit((1L << bits) - 1).cast("double")).cast("long")
   }
 
   /** The SQL mirror of [[scaleToGrid]] — paired like [[zValue]]/
@@ -49,7 +55,7 @@ object Layout {
     */
   def scaleToGridSql(v: String, min: Double, max: Double, bits: Int = 16): String = {
     require(max > min)
-    s"CAST(floor(($v - $min) / ${max - min} * ${(1L << bits) - 1}.0) AS BIGINT)"
+    s"CAST(floor(least(greatest(($v - $min) / ${max - min}, 0.0), 1.0) * ${(1L << bits) - 1}.0) AS BIGINT)"
   }
 
   /** Write `df` parquet clustered by the Z-order of two pre-scaled integer
@@ -58,12 +64,16 @@ object Layout {
     * row-group-level min/max stats become selective for 2-D box reads.
     */
   def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
-                    bits: Int = 16, numFiles: Int = 8): Unit =
-    df.withColumn("_z", zValue(x, y, bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+                    bits: Int = 16, numFiles: Int = 8): Unit = {
+    // fresh helper name: a hardcoded "_z" would overwrite-then-drop a
+    // user column of that name (silent data loss in the written table)
+    val Seq(z) = Analytics.freshNames(df, "_z")
+    df.withColumn(z, zValue(x, y, bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Write `df` as a bucketed+sorted external parquet table at `path`:
     * rows hash-distribute into `numBuckets` files by `keys`, sorted by

@@ -756,25 +756,35 @@ class PlanSpec extends SparkSpec {
     // driver jobs are Spark's own reliable-checkpoint writes (one per
     // materialized truncation — the persist-before-checkpoint caveat,
     // documented in ops/Lineage.scala), and the rows are identical.
+    // LISTENER-counted (the op_stream_neardup pin's technique), not
+    // statusTracker: the status store evicts past spark.ui.retainedJobs
+    // (1000), so by this point in the suite before/after deltas there can
+    // go NEGATIVE as old entries age out
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new SparkListener {
+      override def onJobStart(start: SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    }
     def run(name: String): (Long, Array[String], Int) = {
       val fn = Queries.all.find(_.name == name).get.fn
       def rows() = fn(spark, sf0001).collect().map(_.toString).sorted
       rows() // warm
       spark.catalog.clearCache()
-      val st = spark.sparkContext.statusTracker
       // drain before AND after the measured run (the warm run's events
       // must not leak into the window)
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-      val before = st.getJobIdsForGroup(null).length
+      val before = jobCounter.get()
       val r = rows()
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-      val jobs = st.getJobIdsForGroup(null).length - before
+      val jobs = jobCounter.get() - before
       spark.catalog.clearCache()
       (r.length.toLong, r, jobs)
     }
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val dir = java.nio.file.Files.createTempDirectory("graft-durable-pin")
+    spark.sparkContext.addSparkListener(listener)
     try {
       for (name <- Seq("op_bfs", "op_pagerank", "op_hierarchy_flatten")) {
         spark.conf.unset(graft.ops.Lineage.CheckpointDirKey)
@@ -800,6 +810,7 @@ class PlanSpec extends SparkSpec {
             "more than the per-truncation checkpoint writes")
       }
     } finally {
+      spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset(graft.ops.Lineage.CheckpointDirKey)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     }
