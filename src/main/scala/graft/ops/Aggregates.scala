@@ -86,9 +86,6 @@ object Aggregates {
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Top-k by an explicit total order — Spark plans this as
-    * TakeOrderedAndProject (no full sort, no full shuffle of the data).
-    */
   /** Incremental materialized-view maintenance for a per-group
     * (count, sum) aggregate: apply a full-row CDC diff ([[ManifestTable.diff]]
     * shape — `_change` ∈ insert|delete, updates arrive as delete+insert)
@@ -136,6 +133,9 @@ object Aggregates {
       .where(col("cnt") > 0)
   }
 
+  /** Top-k by an explicit total order — Spark plans this as
+    * TakeOrderedAndProject (no full sort, no full shuffle of the data).
+    */
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 

@@ -61,7 +61,11 @@ trait AnalyticsModelOps extends AnalyticsBase {
     val margin = features.zipWithIndex
       .map { case (f, i) => f.cast("long") * lit(w(i)) }
       .reduce(_ + _) + lit(w.last)
-    when(margin > 0, lit(1)).otherwise(lit(-1))
+    // a NULL feature makes the margin NULL: surface the NULL (the
+    // naiveBayes2Classify contract) instead of booking the unevaluable
+    // row as a confident −1 via the otherwise branch — perceptronFit
+    // already skips such rows in training for the same reason
+    when(margin > 0, lit(1)).when(margin <= 0, lit(-1))
   }
 
   /** Exact 2-feature categorical Naive Bayes (Laplace α=1), binary
@@ -81,6 +85,10 @@ trait AnalyticsModelOps extends AnalyticsBase {
     import java.math.BigInteger
     val proj = df.select(f1.cast("long").as("_f1"), f2.cast("long").as("_f2"),
       label.cast("int").as("_y"))
+      // the NULL-drop stance (aucExact): a NULL feature/label would form
+      // a null-keyed cell whose driver-side getLong NPEs with no hint —
+      // and NULL is not a category
+      .where(col("_f1").isNotNull && col("_f2").isNotNull && col("_y").isNotNull)
     // BOUNDED collects (the chiSquare discipline): a continuous feature
     // smuggled in as "categorical" must fail the maxCells require, not
     // OOM the driver first — cap each pull at the cell budget + 1 so the
@@ -155,15 +163,21 @@ trait AnalyticsModelOps extends AnalyticsBase {
                        label: Column): DataFrame = {
     require(features.nonEmpty)
     val errTables = features.map { case (name, f) =>
+      // the NULL-drop stance (aucExact): a NULL label was silently booked
+      // as a confirmed NEGATIVE in every threshold's error count (_cnt
+      // books it, sum(y) skips it), and a NULL feature value minted a
+      // v=NULL group that sorts first and could win the argmin with a
+      // threshold whose predicate is NULL for every row at predict time
       val per = df.select(f.cast("long").as("v"), label.cast("long").as("y"))
+        .where(col("v").isNotNull && col("y").isNotNull)
         .groupBy(col("v"))
         .agg(count(lit(1)).as("_cnt"), sum(col("y")).as("_pos"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val tot = org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = Window
         .partitionBy().rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+          Window.unboundedPreceding,
+          Window.unboundedFollowing)
       per
         .withColumn("_posBelow", coalesce(sum(col("_pos")).over(w), lit(0L)))
         .withColumn("_cntBelow", coalesce(sum(col("_cnt")).over(w), lit(0L)))
@@ -221,12 +235,18 @@ trait AnalyticsModelOps extends AnalyticsBase {
     */
   def expectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)
+    // duplicate names would alias-collide and ambiguate the col() reads
+    require(checks.map(_._1).distinct.size == checks.size,
+      "expectations: duplicate check names")
     val aggs = checks.map { case (nm, bad) =>
       sum(when(bad, 1L).otherwise(0L)).as(s"_c_$nm")
     } :+ count(lit(1)).as("_n")
     val wide = df.groupBy().agg(aggs.head, aggs.tail: _*)
     val stacked = checks.map { case (nm, _) =>
-      struct(lit(nm).as("check_name"), col(s"_c_$nm").as("n_violations"))
+      // backtick-quoted read: a check name containing '.' would otherwise
+      // parse as a nested-field path and fail analysis (the
+      // Aggregates.upsert quoting hazard)
+      struct(lit(nm).as("check_name"), col(s"`_c_$nm`").as("n_violations"))
     }
     wide.select(explode(array(stacked: _*)).as("_e"), col("_n"))
       .select(col("_e.check_name").as("check_name"), col("_e.n_violations").as("n_violations"),
@@ -275,18 +295,30 @@ trait AnalyticsModelOps extends AnalyticsBase {
     */
   def kSuppress(df: DataFrame, qiCols: Seq[Column], k: Int): DataFrame = {
     require(qiCols.nonEmpty && k >= 2)
-    val names = qiCols.indices.map(i => s"_qi$i")
-    val sNames = qiCols.indices.map(i => s"_sqi$i")
+    // collision-safe helper names (the dedupFirst convention): re-running
+    // kSuppress on its own output — a documented flow, the result carries
+    // _suppress — would otherwise make the final coalesce ambiguous, and
+    // an input _qi0 column would ambiguate the census groupBy
+    val fresh = Analytics.freshNames(df,
+      (qiCols.indices.map(i => s"_qi$i") ++
+        qiCols.indices.map(i => s"_sqi$i") :+ "_suppress"): _*)
+    val names = fresh.take(qiCols.size)
+    val sNames = fresh.slice(qiCols.size, 2 * qiCols.size)
+    val supCol = fresh.last
     val tagged = df.select(col("*") +: qiCols.zip(names).map { case (c, n) => c.as(n) }: _*)
     val small = tagged.groupBy(names.map(col): _*).agg(count(lit(1)).as("_sz"))
       .where(col("_sz") < k)
       .select(names.zip(sNames).map { case (n, sn) => col(n).as(sn) } :+
-        lit(true).as("_suppress"): _*)
+        lit(true).as(supCol): _*)
     val cond = names.zip(sNames).map { case (n, sn) => col(n) <=> col(sn) }
       .reduce(_ && _)
-    tagged.join(small.hint("merge"), cond, "left")
-      .withColumn("_suppress", coalesce(col("_suppress"), lit(false)))
+    val out = tagged.join(small.hint("merge"), cond, "left")
+      .withColumn(supCol, coalesce(col(supCol), lit(false)))
       .drop(names ++ sNames: _*)
+    // re-running on own output REPLACES the stale flag (the fresh name
+    // carried the new one through the join; the input's column drops)
+    if (supCol == "_suppress") out
+    else out.drop("_suppress").withColumnRenamed(supCol, "_suppress")
   }
 
   /** k-anonymity / l-diversity audit — the privacy gate before a dataset

@@ -70,8 +70,12 @@ object MlEval {
       .select(col("n_pos"), col("n_neg"),
         (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).as("u2"))
       .withColumn("auc",
-        col("u2").cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+        // single-class input: NULL rather than the 0/0 NaN (the
+        // abTest/cohenKappa degenerate-case convention — NaN-vs-NULL is
+        // a representation divergence risk under the hash gate)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
   }
 
   /** Confusion matrix + operating-point metrics at an integer score
@@ -117,8 +121,11 @@ object MlEval {
     // certainty) folds into the TOP bin rather than minting an
     // out-of-range nBins+1-th row, and negative/over-100 garbage drops
     // rather than dragging bin 0's mean_pred below zero
+    // the aucExact NULL-drop stance: a NULL label counted in n but
+    // vanished from _pos, deflating pos_rate (and mean_pred averaged
+    // over unlabeled rows)
     df.select(pCenti.cast("long").as("_p"), label.cast("long").as("_y"))
-      .where(col("_p").between(0L, 100L))
+      .where(col("_p").between(0L, 100L) && col("_y").isNotNull)
       .select(least((col("_p") / lit(width)).cast("long"), lit(nBins - 1L)).as("bin"),
         col("_p"), col("_y"))
       .groupBy(col("bin"))
@@ -158,8 +165,10 @@ object MlEval {
       .withColumn("_segpos", sum(col("n_pos")).over(base))
       .select(col("seg"), col("decile"), col("n"), col("n_pos"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
-        ((col("n_pos").cast("double") / col("n").cast("double")) /
-          (col("_segpos").cast("double") / col("_segn").cast("double")))
+        // zero-positive stratum: NULL, not the 0/0 NaN (aucExact stance)
+        when(col("_segpos") > 0,
+          (col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("_segpos").cast("double") / col("_segn").cast("double")))
           .as("lift"))
   }
 
@@ -174,7 +183,12 @@ object MlEval {
     * assignment scheme (hash split, holdout flag) plugs in.
     */
   def abTest(df: DataFrame, group: Column, isB: Column, converted: Column): DataFrame = {
+    // the aucExact NULL-drop stance: a NULL conversion flag counted as a
+    // non-converted EXPOSURE (in n_* but never conv_*), silently
+    // deflating both rates; a NULL variant row half-vanished. Unlogged
+    // outcomes drop explicitly instead.
     val cells = df.select(group.as("grp"), isB.as("_b"), converted.as("_c"))
+      .where(col("_b").isNotNull && col("_c").isNotNull)
       .groupBy(col("grp"))
       .agg(
         sum(when(!col("_b"), 1L).otherwise(0L)).as("n_a"),
