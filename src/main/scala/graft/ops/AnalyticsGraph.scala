@@ -226,11 +226,11 @@ trait AnalyticsGraphOps extends AnalyticsBase {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    // lazy checkpoint + count: ONE job per TWO peel rounds (two-peel
-    // unrolling below) materializes the rounds AND reads the convergence
-    // census (the bfsHops discipline — the eager-checkpoint + count form
-    // paid two per round). Superseded rounds' blocks are freed as the
-    // loop advances; the final round's blocks back the returned frame.
+    // lazy checkpoint + count: ONE job per peel round materializes the
+    // round AND reads the convergence census (the bfsHops discipline —
+    // the eager-checkpoint + count form paid two). Superseded rounds'
+    // blocks are freed as the loop advances; the final round's blocks
+    // back the returned frame.
     var cur = canon.graftCheckpoint(eager = false)
     var nEdges = cur.count()
     var rounds = 0
@@ -245,22 +245,18 @@ trait AnalyticsGraphOps extends AnalyticsBase {
         .join(keep.hint("merge"), from("b") === keep("node"), "left_semi")
         .graftCheckpoint(eager = false)
     }
+    // NOT two-peel-unrolled (unlike bfsHops/hierarchyFlatten, measured
+    // r17): k-core's convergence probe is count-UNCHANGED, so the final
+    // round is always all-waste — and unrolling doubles that waste (two
+    // no-op degree-join passes per probe round). Shallow peels (1-2
+    // rounds, the common case: quiet bench read 0.88 s per-round vs
+    // 1.22 s unrolled) lose more compute than the saved scheduling
+    // round is worth; the unroll only pays at peel depths ≥ ~4.
     while (!stable && rounds < maxRounds) {
-      // TWO-PEEL UNROLLING (the bfsHops r17 trick): both peels chain
-      // lazily and ONE count materializes them — half the driver jobs.
-      // Peeling is idempotent at the fixpoint, so the count-unchanged
-      // test on the second peel is exact: m2 == nEdges iff NEITHER peel
-      // removed an edge (a removal in peel 1 strictly shrinks the count,
-      // and peel 2 never adds), and the converged edge set is identical
-      // to the per-round form's.
-      rounds += 2
-      val mid = peel(cur)
-      val next = peel(mid)
+      rounds += 1
+      val next = peel(cur)
       val m = next.count()
-      // the count materialized mid (it is next's lineage prefix) and next;
-      // mid's blocks are superseded the moment next exists
       org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(mid)
       cur = next; stable = m == nEdges; nEdges = m
     }
     // an unconverged peel is a WRONG subgraph (nodes below degree k still

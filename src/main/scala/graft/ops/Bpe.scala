@@ -58,7 +58,7 @@ object Bpe {
       .where(col("n") >= minFreq)
       .orderBy(col("n").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val words: Array[Array[String]] = wf.map(_._1.map(_.toString).toArray)
+    val words: Array[Array[String]] = wf.map(w => splitSymbols(w._1))
     val freqs: Array[Long] = wf.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occurs = scala.collection.mutable.HashMap
@@ -88,6 +88,7 @@ object Bpe {
     }
     words.indices.foreach(contribute(_, 1L))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val learned = scala.collection.mutable.Set.empty[(String, String)]
     var i = 0
     while (i < numMerges && counts.nonEmpty) {
       // deterministic: max count, ties to the lexicographically least pair
@@ -97,18 +98,49 @@ object Bpe {
           (e._2 == acc._2 && Ordering[(String, String)].lt(e._1, acc._1))) e
         else acc
       }._1
-      merges += best
-      occurs.remove(best).getOrElse(scala.collection.mutable.Set.empty[Int])
-        .foreach { wi =>
-          if (containsPair(words(wi), best)) {
-            contribute(wi, -1L)
-            words(wi) = applyMerge(words(wi), best)
-            contribute(wi, 1L)
+      def applyBest(): Unit =
+        occurs.remove(best).getOrElse(scala.collection.mutable.Set.empty[Int])
+          .foreach { wi =>
+            if (containsPair(words(wi), best)) {
+              contribute(wi, -1L)
+              words(wi) = applyMerge(words(wi), best)
+              contribute(wi, 1L)
+            }
           }
-        }
-      i += 1
+      if (learned(best)) {
+        // an ALREADY-LEARNED pair can re-enter the counts when later
+        // merges recreate its two symbols adjacently via a different
+        // decomposition. encodeWord would merge it again at its ORIGINAL
+        // rank, so training re-applies the existing rule — appending a
+        // duplicate would waste a numMerges slot and collapse the encode
+        // rank map (zipWithIndex.toMap keeps the LATER rank), diverging
+        // encode from the trained segmentation. No slot is consumed.
+        applyBest()
+      } else {
+        learned += best
+        merges += best
+        applyBest()
+        i += 1
+      }
     }
     merges.toSeq
+  }
+
+  /** Initial symbol split by Unicode CODE POINT, not UTF-16 unit: unit
+    * splitting breaks a non-BMP character (emoji, rare CJK) into two lone
+    * surrogate halves, which UTF-8 re-encoding on the Spark side turns
+    * into replacement bytes — distinct characters would collapse into
+    * identical '?' tokens and token text could not round-trip.
+    */
+  private def splitSymbols(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
   }
 
   /** Merge every adjacent occurrence of the pair, left to right — the same
@@ -132,7 +164,7 @@ object Bpe {
     * segmentation).
     */
   private[ops] def encodeWord(word: String, rank: Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = splitSymbols(word)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

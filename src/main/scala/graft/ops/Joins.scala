@@ -10,6 +10,17 @@ import graft.functions.Geo
   */
 object Joins {
 
+  /** Fail loudly when an input carries a column matching a reserved
+    * helper name: withColumn REPLACES same-named columns silently and the
+    * trailing drop then deletes the user's data — the fuzzyJoin guard,
+    * shared by every helper-column join in this file.
+    */
+  private def requireFreshNames(op: String, names: Seq[String],
+                                sides: DataFrame*): Unit =
+    for (df <- sides; n <- names)
+      require(!df.columns.contains(n),
+        s"$op: input column '$n' collides with a reserved helper name — rename it first")
+
   /** Op 15 — broadcast hash lookup join. The reference builds an in-memory
     * dict `INSEE → (lat, lon)` and probes it per row (global_dag.py:129-134);
     * the scalable equivalent is an explicit broadcast of the small side so no
@@ -73,7 +84,16 @@ object Joins {
     require(lonCellDeg >= minLonCell,
       s"lonCellDeg $lonCellDeg too small for radius $radiusKm km at latitude ±$maxAbsLatDeg°" +
         s" (need >= $minLonCell)")
+    requireFreshNames("radiusJoin", Seq("_cell_lat", "_cell_lon", "_d_lat", "_d_lon"),
+      left, right)
     val nLonCells = math.round(360.0 / lonCellDeg)
+    // with 1 or 2 longitude cells the wrapped -1/+1 deltas COLLIDE in the
+    // same cell, replicating each right row 2-3x into one join key and
+    // emitting every qualifying pair 2-3 times — require enough cells
+    // that the three deltas stay distinct
+    require(nLonCells >= 3,
+      s"lonCellDeg $lonCellDeg gives only $nLonCells longitude cells — the ±1 " +
+        "wrap deltas collide and duplicate pairs; use lonCellDeg <= 120")
     // pmod wraps the longitude band so pairs straddling lon=±180 still meet
     def lonCell(lon: Column, delta: Column): Column =
       pmod(floor(lon / lonCellDeg) + delta, lit(nLonCells))
@@ -117,6 +137,7 @@ object Joins {
     // same fail-fast as intervalOverlapJoin: /0 is ±Infinity under
     // ANSI-off and the bucket exprs would silently emit garbage buckets
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    requireFreshNames("rangeJoin", Seq("_rb"), points, intervals)
     val p = points.withColumn("_rb", floor(pointCol / bucketSize))
     val iv = intervals.withColumn("_rb",
       explode(sequence(floor(loCol / bucketSize), floor(hiCol / bucketSize))))
@@ -140,6 +161,7 @@ object Joins {
       b: DataFrame, bStart: Column, bEnd: Column,
       bucketSize: Double): DataFrame = {
     require(bucketSize > 0)
+    requireFreshNames("intervalOverlapJoin", Seq("_ib"), a, b)
     val av = a.withColumn("_ib",
       explode(sequence(floor(aStart / bucketSize), floor(aEnd / bucketSize))))
     val bv = b.withColumn("_ib",
@@ -161,6 +183,7 @@ object Joins {
     */
   def skewSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
+    requireFreshNames("skewSaltedJoin", Seq("_salt"), big, small)
     // salt only over hash()-supported columns: Spark's hash() rejects
     // MapType inputs (analysis error), and an irrelevant map column must
     // not break the salting of a join that never touches it
@@ -238,9 +261,17 @@ object Joins {
       key: String,
       ts: String,
       asofCol: String): DataFrame = {
+    requireFreshNames("asofLastPrior", Seq("_side", "_asof_ts", asofCol), probe)
+    requireFreshNames("asofLastPrior", Seq("_side", "_asof_ts"), build)
     val tsType = build.schema(ts).dataType
+    // NULL-key build rows are dropped: JOIN equality (and DuckDB's ASOF
+    // JOIN, the oracle) never matches NULL = NULL, but the window
+    // partition groups both sides' NULL keys into ONE partition — a
+    // NULL-key probe row would silently inherit a NULL-key build row's
+    // timestamp instead of the NULL asof join semantics give it
     val b = build
       .select(col(key), col(ts))
+      .where(col(key).isNotNull)
       .withColumn("_side", lit(0))
       .withColumn("_asof_ts", col(ts))
     val p = probe
@@ -325,7 +356,16 @@ object Joins {
                          routes: DataFrame, networkCol: Column, plenCol: Column,
                          routeIdCol: Column): DataFrame = {
     val lens = routes.select(plenCol.cast("int").as("_plen")).distinct()
-    val r = routes.select(plenCol.cast("int").as("_plen"),
+    // plen outside [0,32] is guarded like the other two inputs: Spark's
+    // shiftleft MASKS the shift amount (32-33 = -1 shifts by 63), so an
+    // out-of-range plen would silently bucket every key to this route
+    // AND win the argmax over all legitimate routes
+    val r = routes.select(
+        when(plenCol.cast("int").between(0, 32), plenCol.cast("int"))
+          .otherwise(raise_error(concat(
+            lit("longestPrefixMatch: plenCol must be a prefix length in [0, 32]; got "),
+            plenCol.cast("string"))).cast("int"))
+          .as("_plen"),
       networkCol.cast("long").as("_net"), routeIdCol.as("_rid"))
       .withColumn("_bucket",
         when(col("_net") < 0 || col("_net") >= lit(1L << 32),

@@ -79,9 +79,18 @@ object Sources {
     * (global_dag.py:171-185, 236-255).
     */
   def selectResources(catalog: DataFrame, format: String, maxResources: Int): DataFrame =
+    // ORDERED take, not a bare limit: GlobalLimit pulls rows from
+    // whichever partitions respond first, so a multi-file (or splittable)
+    // catalog would select a run-dependent subset — the reference takes
+    // the FIRST n in document order (global_dag.py:171-185), reproduced
+    // here as (source file, position-in-array); plans as TakeOrdered
     catalog
-      .select(explode(col("resources")).as("r"))
-      .select(col("r.format").as("format"), col("r.latest").as("url"), col("r.title").as("title"))
+      .select(input_file_name().as("_src"),
+        posexplode(col("resources")).as(Seq("_pos", "r")))
+      .select(col("_src"), col("_pos"),
+        col("r.format").as("format"), col("r.latest").as("url"), col("r.title").as("title"))
       .filter(col("format") === format)
+      .orderBy(col("_src"), col("_pos"))
       .limit(maxResources)
+      .drop("_src", "_pos")
 }

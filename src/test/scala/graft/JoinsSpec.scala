@@ -64,6 +64,28 @@ class JoinsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(100L), 2L -> Some(40L), 3L -> Some(40L), 4L -> None))
   }
 
+  test("asof join: NULL keys never match (join semantics) — a NULL-key probe gets NULL asof") {
+    // the window partition groups both sides' NULL keys together; the
+    // build side's NULL-key rows are dropped so probe rows keep the NULL
+    // asof that JOIN equality (and DuckDB ASOF JOIN) gives them
+    val probe = Seq((1L, Option.empty[Long], 200L), (2L, Option(10L), 200L))
+      .toDF("event_id", "user_id", "ts_us")
+    val build = Seq((Option.empty[Long], 100L), (Option(10L), 90L)).toDF("user_id", "ts_us")
+    val got = Joins.asofLastPrior(probe, build, "user_id", "ts_us", "asof")
+      .select("event_id", "asof").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(90L)),
+      s"NULL-key probe must not inherit a NULL-key build row's ts, got $got")
+  }
+
+  test("helper-name guards: reserved join helper columns fail loudly instead of clobbering user data") {
+    val df = Seq((1L, 2.0)).toDF("id", "_rb")
+    val iv = Seq((0.0, 5.0)).toDF("lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(df, col("id"), iv, col("lo"), col("hi"), 1.0)
+    }
+    assert(e.getMessage.contains("_rb"))
+  }
+
   test("op20: anti-join ledger = discovered minus imported") {
     val discovered = Seq("a", "b", "c").toDF("path")
     val imported = Seq("b").toDF("path")

@@ -433,6 +433,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(encFew.mkString("") == words.mkString(""))
     // determinism: identical data → identical merges
     assert(Bpe.train(docs, "text", numMerges = 4) == merges)
+    // non-BMP characters split by CODE POINT: a UTF-16-unit split would
+    // leave lone surrogate halves that collapse to replacement bytes
+    val emoji = Seq((1L, "x\uD83D\uDE00y x\uD83D\uDE01y")).toDF("doc_id", "text")
+    val etoks = emoji.select(Bpe.encodeTokens(Seq.empty)(TextAnalysis.tokens(col("text"))))
+      .as[Seq[String]].head()
+    assert(etoks.toSet == Set("x", "y", "\uD83D\uDE00", "\uD83D\uDE01"),
+      s"surrogate pairs must stay whole code points, got $etoks")
+    // learned merges are UNIQUE whatever re-forms during training
+    assert(full.distinct == full, "duplicate merge learned")
     // more merges never increase token count (compression monotonicity)
     val n2 = docs.select(Bpe.tokenCount(few)(col("text"))).as[Int].head()
     val n50 = docs.select(Bpe.tokenCount(full)(col("text"))).as[Int].head()
