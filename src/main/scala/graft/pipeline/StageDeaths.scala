@@ -28,13 +28,22 @@ object StageDeaths {
         col("latitude").cast("double"),
         col("longitude").cast("double"))
 
-  def apply(spark: SparkSession, deathGlob: String, cityGeoPath: String): DataFrame = {
-    graft.Prep.ensure(spark)
-    val raw = Sources.fixedWidth(spark.read.text(deathGlob), "value", Sources.deathRecordFields)
-    val parsed = raw
+  /** Fixed-width death lines → sliced fields + privacy id + parsed dates —
+    * THE one parse definition, shared with the streaming ingest
+    * ([[graft.streaming.Streaming.deathFileStream]]): a format added (or an
+    * id derivation changed) in one hand-maintained copy would silently
+    * stop the streaming ids/dates matching the batch table they feed
+    * through the idempotent append, landing duplicates at rest.
+    */
+  def parsedRecords(lines: DataFrame): DataFrame =
+    Sources.fixedWidth(lines, "value", Sources.deathRecordFields)
       .withColumn("id", sha1(col("name_raw")))
       .withColumn("date_of_birth", Transforms.parseDateMulti(col("birth_raw")))
       .withColumn("date_of_death", Transforms.parseDateMulti(col("death_raw")))
+
+  def apply(spark: SparkSession, deathGlob: String, cityGeoPath: String): DataFrame = {
+    graft.Prep.ensure(spark)
+    val parsed = parsedRecords(spark.read.text(deathGlob))
     // the op-10 helper IS this filter (null + NaN per dtype) — one
     // definition, no drift
     val geo = Transforms.filterValid(cityGeo(spark, cityGeoPath),

@@ -57,8 +57,12 @@ object StagePlants {
   // NOTE drop-then-rename order (stageOne) mirrors the reference exactly:
   // nuclearDrops' "sub_sector" targets a pre-existing raw column of that
   // name (global_dag.py:63 drops it BEFORE renaming), and the rename below
-  // then re-mints sub_sector from the surviving sous_filiere — so nuclear
-  // output DOES carry sub_sector; only thermal drops sous_filiere outright.
+  // re-mints sub_sector from the surviving sous_filiere — in the
+  // INTERMEDIATE frame only (reference parity of that shape, and the
+  // renamed name participates in dedupFirst's sorted-column tiebreak, so
+  // removing the entry would change which duplicate survives); stageOne's
+  // final target projection then drops it, as it does city/contract —
+  // neither stage's OUTPUT carries sub_sector.
   val nuclearRenames: Map[String, String] =
     commonRenames ++ Map("sous_filiere" -> "sub_sector", "contrat_programme" -> "contract")
 

@@ -48,10 +48,9 @@ object Streaming {
       .option("pathGlobFilter", "death_*")
       .option("maxFilesPerTrigger", 16)
       .load(dir)
-    Sources.fixedWidth(lines, "value", Sources.deathRecordFields)
-      .withColumn("id", sha1(col("name_raw")))
-      .withColumn("date_of_birth", graft.ops.Transforms.parseDateMulti(col("birth_raw")))
-      .withColumn("date_of_death", graft.ops.Transforms.parseDateMulti(col("death_raw")))
+    // the ONE parse definition, shared with the batch stage — a drifted
+    // copy here would mint ids/dates that stop matching the at-rest table
+    graft.pipeline.StageDeaths.parsedRecords(lines)
       .where(col("date_of_birth").isNotNull && col("date_of_death").isNotNull)
       .withColumn("arrival_ts", current_timestamp())
       .withWatermark("arrival_ts", lateness)
@@ -66,11 +65,12 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      // decimal sum, exactly like the batch twin: double addition is not
-      // associative, so a raw double sum varies with partial-agg order —
-      // across triggers AND versus the batch result for the same data
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      // THE batch twin's decimal sum (graft.Queries.dsum, same 18,2
+      // widths): double addition is not associative, so a raw double sum
+      // varies with partial-agg order — across triggers AND versus the
+      // batch result; calling the shared definition keeps the two from
+      // ever drifting
+      .agg(count(lit(1)).as("n"), graft.Queries.dsum(col("value"), 18, 2).as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Watermarked streaming dedup by id — exactly-once-per-id within the
@@ -201,6 +201,18 @@ object Streaming {
     * Stream-served top-k is EQUAL to the batch ivfTopKFitted answer over
     * the same store (StreamingSpec pins the parity).
     *
+    * Contracts of the serve surface: (1) query ids share the CORPUS id
+    * space — ivfTopKFitted's self-match exclusion means a query whose id
+    * equals an UNRELATED corpus vector's id loses that one neighbor, so
+    * request-id-style query spaces must be made disjoint (prefix/offset)
+    * before this sink. (2) A query whose probed cells hold no vectors
+    * serves the EMPTY list: no row persists, and since its offsets
+    * commit, absence-after-serve IS the result — consumers read "no rows
+    * for a served query id" as "no neighbors found", not "pending".
+    * (3) A batch arriving before the first ingest commit fails the
+    * trigger (offsets uncommitted → replayed once ingest exists); see
+    * the body comment.
+    *
     * Snapshot limit (documented, by design of the plain-parquet tier):
     * the index read has no commit protocol, so a serve trigger racing a
     * CONCURRENT ingest job's in-progress append can list a torn subset
@@ -215,13 +227,21 @@ object Streaming {
                    k: Int, nprobe: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      // a query batch arriving before the FIRST ingest commit (or against
-      // an index dir holding only write markers) serves the empty result
-      // set instead of crashing the stream on schema inference — the same
-      // fresh-table guard idempotentParquetAppend applies on its own path.
-      // Nothing is appended, so a later redelivery of the same queries
-      // (at-least-once upstream) serves them once the index exists.
-      if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, indexPath)) {
+      // a query batch arriving before the FIRST ingest commit FAILS THE
+      // TRIGGER: a committed micro-batch's offsets are never re-presented
+      // by a structured-streaming source, so the previous silently-skip
+      // behavior dropped those queries FOREVER (no redelivery exists for
+      // committed offsets). Failing leaves the offsets uncommitted — the
+      // stream (or its restart) re-presents the batch once ingest has
+      // committed, which is the documented alternate-the-sinks contract.
+      if (!graft.ops.Sinks.existsNonEmpty(batch.sparkSession, indexPath))
+        throw new IllegalStateException(
+          s"annServeSink: no committed index at $indexPath — failing the " +
+            "trigger so these queries replay once ingest commits (a skipped " +
+            "batch would commit its offsets and drop them forever)")
+      // (no bare block after the throw: `new X(...) { ... }` would parse
+      // as an anonymous subclass body and swallow the whole serve path)
+      locally {
         val corpus = batch.sparkSession.read.parquet(indexPath)
         // per-QUERY idempotence: only queries with no served list yet are
         // scored and appended, each with its complete top-k landing
@@ -230,7 +250,12 @@ object Streaming {
         // scaladoc). The served side is ALIASED before the anti-join: a
         // caller whose idCol is literally "query_id" would otherwise put
         // that name on both join sides and fail ambiguous at runtime.
-        val deduped = batch.dropDuplicates(idCol)
+        // Within-trigger duplicate ids resolve DETERMINISTICALLY by the
+        // vector's total order (dedupFirst) — a bare dropDuplicates kept
+        // whichever copy the shuffle delivered first, so a crash replay
+        // could persist a different list for the same query.
+        val deduped = graft.ops.Aggregates.dedupFirst(
+          batch, Seq(idCol), Seq(col(vecCol).asc))
         val pending =
           if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath)) {
             val servedIds = batch.sparkSession.read.parquet(outPath)
@@ -264,7 +289,12 @@ object Streaming {
     * `intraBatchOrder` resolves duplicate keys WITHIN one micro-batch: pass
     * the event-time (or sequence) column descending and the surviving row
     * is the latest — true last-write-wins even when one trigger carries
-    * several updates to a key, and deterministic under replay. Left empty,
+    * several updates to a key, and deterministic under replay PROVIDED the
+    * order is TOTAL within a key: order-TIED rows (two updates with equal
+    * event time but different payloads) survive by partition-fetch order,
+    * so a crash replay can merge a different one — pad the order with a
+    * unique column (sequence id, content hash) when ties are possible,
+    * the StageDeaths/StagePlants discipline. Left empty,
     * within-batch duplicates resolve arbitrarily (partition-fetch order) —
     * only safe when the upstream guarantees at most one row per key per
     * trigger (e.g. a windowed aggregate in update mode).
@@ -283,15 +313,20 @@ object Streaming {
                     sinkId: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val resolved =
-        if (intraBatchOrder.isEmpty) batch
-        else graft.ops.Aggregates.dedupFirst(batch, keys, intraBatchOrder)
       // an empty micro-batch must not spend a version (and a fresh table
-      // must not be created from a zero-row batch with no key coverage)
-      graft.ops.Sinks.writeIfNonEmpty(resolved, b => {
+      // must not be created from a zero-row batch with no key coverage).
+      // Probe the RAW batch: the previous isEmpty over the dedupFirst
+      // window plan paid the full hash-partition exchange for a limit-1
+      // probe and then re-executed the same unpersisted window for the
+      // merge — dedupFirst never empties a non-empty input, so the cheap
+      // frame is an equivalent gate
+      graft.ops.Sinks.writeIfNonEmpty(batch, b => {
+        val resolved =
+          if (intraBatchOrder.isEmpty) b
+          else graft.ops.Aggregates.dedupFirst(b, keys, intraBatchOrder)
         sinkId match {
-          case Some(sid) => table.mergeOnce(b, keys, sid, batchId)
-          case None => table.merge(b, keys)
+          case Some(sid) => table.mergeOnce(resolved, keys, sid, batchId)
+          case None => table.merge(resolved, keys)
         }
         ()
       })
