@@ -356,16 +356,21 @@ trait AnalyticsGraphOps extends AnalyticsBase {
       // lazily into one plan, ONE count materializes both — jump distance
       // QUADRUPLES per driver job. A jump at the fixpoint is the identity
       // (settled/dangling rows are frozen), so unrolling past convergence
-      // changes nothing; round still counts DOUBLINGS (the documented
-      // depth > 2^maxRounds defect bound is unchanged).
-      round += 2
-      val mid = jump(cur)
-      val next = jump(mid)
+      // changes nothing; round still counts DOUBLINGS — the parity branch
+      // below (bfsHops' `hop + 1 == maxHops` case) does a SINGLE jump when
+      // only one doubling remains, so an odd maxRounds performs exactly
+      // maxRounds doublings and the documented depth > 2^maxRounds defect
+      // bound holds for every parity (a blind += 2 under `round < maxRounds`
+      // would do maxRounds + 1 doublings on odd values).
+      val single = round + 1 == maxRounds
+      round += (if (single) 1 else 2)
+      val mid = if (single) null else jump(cur)
+      val next = jump(if (single) cur else mid)
       active = next.where(!col("settled") && !col("_dang")).count()
       // superseded doubling rounds' blocks free as the loop advances (the
       // kCore discipline); the final round's blocks back the returned frame
+      if (mid != null) org.apache.spark.sql.GraftBridge.freeCheckpoint(mid)
       org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
-      org.apache.spark.sql.GraftBridge.freeCheckpoint(mid)
       cur = next
     }
     cur.select(col("node"), col("anc").as("root"), col("depth"), col("settled"))

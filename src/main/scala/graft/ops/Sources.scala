@@ -83,14 +83,19 @@ object Sources {
     // whichever partitions respond first, so a multi-file (or splittable)
     // catalog would select a run-dependent subset — the reference takes
     // the FIRST n in document order (global_dag.py:171-185), reproduced
-    // here as (source file, position-in-array); plans as TakeOrdered
+    // here as (source file, position-in-array); plans as TakeOrdered.
+    // (url, title) break the remaining ties into a TOTAL order: several
+    // catalog records in ONE file (JSONL-style catalogs) — or a
+    // non-file-backed frame, where input_file_name() is '' — all tie on
+    // (_src, _pos), and a partial order under limit() is the same
+    // run-dependent cutoff the ordering exists to prevent
     catalog
       .select(input_file_name().as("_src"),
         posexplode(col("resources")).as(Seq("_pos", "r")))
       .select(col("_src"), col("_pos"),
         col("r.format").as("format"), col("r.latest").as("url"), col("r.title").as("title"))
       .filter(col("format") === format)
-      .orderBy(col("_src"), col("_pos"))
+      .orderBy(col("_src"), col("_pos"), col("url"), col("title"))
       .limit(maxResources)
       .drop("_src", "_pos")
 }

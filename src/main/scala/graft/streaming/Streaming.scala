@@ -253,9 +253,14 @@ object Streaming {
         // Within-trigger duplicate ids resolve DETERMINISTICALLY by the
         // vector's total order (dedupFirst) — a bare dropDuplicates kept
         // whichever copy the shuffle delivered first, so a crash replay
-        // could persist a different list for the same query.
+        // could persist a different list for the same query. NULL ids are
+        // dropped FIRST: the served-ids anti-join is plain equality, so a
+        // NULL id never matches its own served row and would be re-scored
+        // and re-appended on EVERY redelivery, accumulating duplicate
+        // lists forever — and a NULL key is outside the corpus-id-space
+        // contract anyway (corpus ids are non-null by construction).
         val deduped = graft.ops.Aggregates.dedupFirst(
-          batch, Seq(idCol), Seq(col(vecCol).asc))
+          batch.filter(col(idCol).isNotNull), Seq(idCol), Seq(col(vecCol).asc))
         val pending =
           if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath)) {
             val servedIds = batch.sparkSession.read.parquet(outPath)

@@ -611,6 +611,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got(31L)._4, "a subtree hanging off an orphan must also flag unsettled")
   }
 
+  test("hierarchyFlatten: odd maxRounds performs exactly maxRounds doublings") {
+    import spark.implicits._
+    // chain 0←1←2: depth-2 node needs TWO doublings to learn its ancestor
+    // is a root. maxRounds = 1 must stop after ONE doubling (partial anc
+    // surfaced unsettled) — a blind two-jump unroll would do a second
+    // doubling and settle it, overshooting the documented 2^maxRounds bound
+    val nodes = Seq((0L, None), (1L, Some(0L)), (2L, Some(1L))).toDF("node", "parent")
+    val got = graft.ops.Analytics.hierarchyFlatten(nodes, "node", "parent", maxRounds = 1)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 0L, 1L, true)))
+    assert(got(2L) === ((2L, 0L, 2L, false)),
+      "one doubling reaches the root id but cannot yet observe it settled")
+    // and an odd bound > 1 still settles everything a power-of-two bound would
+    val got3 = graft.ops.Analytics.hierarchyFlatten(nodes, "node", "parent", maxRounds = 3)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got3(2L) === ((2L, 0L, 2L, true)))
+  }
+
   test("intervalUnionLength: overlaps clip, containment contributes 0, gaps don't bridge") {
     import spark.implicits._
     // key a: [0,10] [5,20] (overlap → 20), [15,18] (contained → 0),

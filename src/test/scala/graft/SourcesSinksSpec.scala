@@ -31,6 +31,23 @@ class SourcesSinksSpec extends SparkSpec {
     assert(picked.length == 2 && picked.forall(_.endsWith(".csv")))
   }
 
+  test("op2: (_src, _pos)-tied records break deterministically by (url, title)") {
+    // a non-file-backed catalog has input_file_name() = '' and per-record
+    // _pos restarting at 0, so every first resource ties on (_src, _pos);
+    // the limit cutoff must still be a total order, not partition luck
+    val catalog = Seq(("recA", "http://x/z.csv", "z"), ("recB", "http://x/a.csv", "a"))
+      .toDF("title", "u", "t")
+      .select(col("title"), array(struct(lit("csv").as("format"),
+        col("u").as("latest"), col("t").as("title"))).as("resources"))
+      .repartition(2)
+    (1 to 3).foreach { _ =>
+      val got = Sources.selectResources(catalog, "csv", maxResources = 1)
+        .select("url").as[String].collect().toSeq
+      assert(got == Seq("http://x/a.csv"),
+        "tied (_src,_pos) must fall through to the url tiebreak")
+    }
+  }
+
   test("op4: permissive ;-CSV scan drops malformed lines (pandas error_bad_lines=False)") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.writeString(dir.resolve("x.csv"),
