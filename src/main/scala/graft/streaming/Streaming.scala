@@ -169,6 +169,56 @@ object Streaming {
       ()
     }
 
+  /** [[annIngestSink]] on a [[graft.ops.ManifestTable]] — the
+    * snapshot-isolated tier for when ingest and serve must run
+    * CONCURRENTLY: every micro-batch's surviving vectors land as ONE
+    * atomic versioned commit, so a serve trigger pinning a committed
+    * snapshot can never list a torn subset of an in-progress append (the
+    * plain-parquet tier's documented limit). Idempotence is the same
+    * double layer as the plain tier: new ids are anti-joined against the
+    * committed snapshot (an at-least-once upstream re-delivering a vector
+    * in a LATER batch appends nothing), and the batch itself commits via
+    * `appendOnce`'s (sinkId, batchId) transaction token (a replay of the
+    * SAME batch after a crash between commit and checkpoint is recognized
+    * on the manifest and skipped without re-reading the corpus). Vector-id
+    * uniqueness still assumes one ingest writer per table — two ingest
+    * streams racing the same id can both pass the anti-join (their commits
+    * serialize, their snapshots don't); the CAS protects serve readers and
+    * heterogeneous writers (compaction, vacuum), not duplicate-id intent.
+    */
+  def annIngestSink(vecs: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]], index: graft.ops.ManifestTable,
+                    sinkId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // WITHIN-batch dedup mirrors idempotentParquetAppend's first layer: a
+      // coalesced trigger can carry one id twice (two source blocks drained
+      // in one batch), and the snapshot anti-join below only sees PRIOR
+      // commits — without this, both copies would land in one append.
+      // Deterministic by the vector's total order (the serve-side
+      // discipline); NULL ids are outside the corpus-id-space contract and
+      // would defeat the plain-equality anti-join on every redelivery.
+      val assigned = graft.ops.Aggregates.dedupFirst(
+          batch.filter(col(idCol).isNotNull), Seq(idCol), Seq(col(vecCol).asc))
+        .withColumn("cluster",
+          graft.ops.Similarity.nearestCentroid(col(vecCol), cents))
+      val fresh = index.latestVersion() match {
+        case Some(v) =>
+          val existing = index.snapshotAt(v)
+            .select(col(idCol).as("_graft_indexed_id")).distinct()
+          assigned.join(existing,
+            assigned(idCol) === existing("_graft_indexed_id"), "left_anti")
+        case None => assigned
+      }
+      // an all-duplicates batch appends nothing AND spends no version —
+      // a replay anti-joins to empty again, so skipping the token commit
+      // here cannot double-append (the ids are already the dedup key)
+      graft.ops.Sinks.writeIfNonEmpty(fresh, f => {
+        index.appendOnce(f, sinkId, batchId); ()
+      })
+      ()
+    }
+
   /** Streaming ANN QUERY side — the serving half of [[annIngestSink]]:
     * each micro-batch of query vectors probes the PERSISTED
     * cluster-partitioned index with the same FROZEN centroids the ingest
@@ -218,9 +268,9 @@ object Streaming {
     * CONCURRENT ingest job's in-progress append can list a torn subset
     * of that batch's files (idempotentParquetAppend's documented
     * single-writer contract, extended to this reader). Alternate the
-    * sinks (ingest, then serve) or back the index with a
-    * [[graft.ops.ManifestTable]]/[[acidMergeSink]]-style snapshot store
-    * when both sides must run concurrently.
+    * sinks (ingest, then serve) — or use the [[graft.ops.ManifestTable]]
+    * overloads of both sinks, which pin every serve trigger to a
+    * committed index version and close this window entirely.
     */
   def annServeSink(queries: DataFrame, idCol: String, vecCol: String,
                    cents: Array[Array[Double]], indexPath: String, outPath: String,
@@ -242,44 +292,82 @@ object Streaming {
       // (no bare block after the throw: `new X(...) { ... }` would parse
       // as an anonymous subclass body and swallow the whole serve path)
       locally {
-        val corpus = batch.sparkSession.read.parquet(indexPath)
-        // per-QUERY idempotence: only queries with no served list yet are
-        // scored and appended, each with its complete top-k landing
-        // group-atomically — the (query_id, rank)-keyed form could
-        // interleave two index versions' rankings for one query (see
-        // scaladoc). The served side is ALIASED before the anti-join: a
-        // caller whose idCol is literally "query_id" would otherwise put
-        // that name on both join sides and fail ambiguous at runtime.
-        // Within-trigger duplicate ids resolve DETERMINISTICALLY by the
-        // vector's total order (dedupFirst) — a bare dropDuplicates kept
-        // whichever copy the shuffle delivered first, so a crash replay
-        // could persist a different list for the same query. NULL ids are
-        // dropped FIRST: the served-ids anti-join is plain equality, so a
-        // NULL id never matches its own served row and would be re-scored
-        // and re-appended on EVERY redelivery, accumulating duplicate
-        // lists forever — and a NULL key is outside the corpus-id-space
-        // contract anyway (corpus ids are non-null by construction).
-        val deduped = graft.ops.Aggregates.dedupFirst(
-          batch.filter(col(idCol).isNotNull), Seq(idCol), Seq(col(vecCol).asc))
-        val pending =
-          if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath)) {
-            val servedIds = batch.sparkSession.read.parquet(outPath)
-              .select(col("query_id").as("_graft_served_qid")).distinct()
-            deduped.join(servedIds,
-              deduped(idCol) === servedIds("_graft_served_qid"), "left_anti")
-          } else deduped
-        // all-redelivered triggers are routine under at-least-once
-        // upstreams: gate on pending (one limit-1 probe) so a zero-query
-        // trigger never pays the probe + repartition + staged write
-        if (!pending.isEmpty) {
-          val served = graft.ops.Similarity.ivfTopKFitted(
-            pending, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
-          graft.ops.Sinks.groupAtomicAppend(batch.sparkSession, served,
-            outPath, "query_id")
-        }
+        serveTopKCore(batch, batch.sparkSession.read.parquet(indexPath),
+          idCol, vecCol, cents, outPath, k, nprobe)
       }
       ()
     }
+
+  /** [[annServeSink]] against a [[graft.ops.ManifestTable]]-backed index —
+    * the snapshot-isolated tier closing the plain-parquet tier's documented
+    * torn-read window: each serve trigger pins ONE committed manifest
+    * version up front and probes exactly that version's immutable file set,
+    * so a CONCURRENT ingest commit ([[annIngestSink]]'s ManifestTable
+    * overload) can never expose a torn subset of its in-progress append —
+    * every served list is the exact batch `ivfTopKFitted` answer over some
+    * committed index version. All other contracts (per-query idempotence,
+    * group-atomic publish, fail-closed serve-before-ingest, NULL-id drop,
+    * deterministic within-trigger dedup) are identical to the plain tier.
+    */
+  def annServeSink(queries: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Double]], index: graft.ops.ManifestTable,
+                   outPath: String, k: Int, nprobe: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // same fail-closed stance as the plain tier: committing a skipped
+      // batch's offsets would drop its queries forever
+      val version = index.latestVersion().getOrElse(
+        throw new IllegalStateException(
+          "annServeSink: no committed index version yet — failing the " +
+            "trigger so these queries replay once ingest commits"))
+      serveTopKCore(batch, index.snapshotAt(version),
+        idCol, vecCol, cents, outPath, k, nprobe)
+      ()
+    }
+
+  /** The shared serve-trigger body of both [[annServeSink]] tiers: score the
+    * not-yet-served queries of one micro-batch against `corpus` and publish
+    * each query's complete top-k group-atomically.
+    *
+    * Per-QUERY idempotence: only queries with no served list yet are scored
+    * and appended, each with its complete top-k landing group-atomically —
+    * the (query_id, rank)-keyed form could interleave two index versions'
+    * rankings for one query (see [[annServeSink]]'s scaladoc). The served
+    * side is ALIASED before the anti-join: a caller whose idCol is
+    * literally "query_id" would otherwise put that name on both join sides
+    * and fail ambiguous at runtime. Within-trigger duplicate ids resolve
+    * DETERMINISTICALLY by the vector's total order (dedupFirst) — a bare
+    * dropDuplicates kept whichever copy the shuffle delivered first, so a
+    * crash replay could persist a different list for the same query. NULL
+    * ids are dropped FIRST: the served-ids anti-join is plain equality, so
+    * a NULL id never matches its own served row and would be re-scored and
+    * re-appended on EVERY redelivery, accumulating duplicate lists forever
+    * — and a NULL key is outside the corpus-id-space contract anyway
+    * (corpus ids are non-null by construction).
+    */
+  private def serveTopKCore(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            cents: Array[Array[Double]], outPath: String,
+                            k: Int, nprobe: Int): Unit = {
+    val deduped = graft.ops.Aggregates.dedupFirst(
+      batch.filter(col(idCol).isNotNull), Seq(idCol), Seq(col(vecCol).asc))
+    val pending =
+      if (graft.ops.Sinks.existsNonEmpty(batch.sparkSession, outPath)) {
+        val servedIds = batch.sparkSession.read.parquet(outPath)
+          .select(col("query_id").as("_graft_served_qid")).distinct()
+        deduped.join(servedIds,
+          deduped(idCol) === servedIds("_graft_served_qid"), "left_anti")
+      } else deduped
+    // all-redelivered triggers are routine under at-least-once
+    // upstreams: gate on pending (one limit-1 probe) so a zero-query
+    // trigger never pays the probe + repartition + staged write
+    if (!pending.isEmpty) {
+      val served = graft.ops.Similarity.ivfTopKFitted(
+        pending, corpus, idCol, vecCol, "cluster", k, nprobe, cents)
+      graft.ops.Sinks.groupAtomicAppend(batch.sparkSession, served,
+        outPath, "query_id")
+    }
+  }
 
   /** Stream → ACID table bridge: every micro-batch lands as one atomic
     * last-write-wins MERGE commit on a [[graft.ops.ManifestTable]]. Versus

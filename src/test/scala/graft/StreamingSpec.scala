@@ -581,6 +581,39 @@ class StreamingSpec extends SparkSpec {
     assert(served.count() === 4L, "redelivered query must append nothing")
   }
 
+  test("streaming ANN serve: NULL-id queries are dropped, not re-served on every redelivery") {
+    // the served-ids anti-join is plain equality — NULL never matches its
+    // own served row, so before the isNotNull filter a NULL-id query was
+    // re-scored and re-appended on EVERY redelivery, growing forever
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ann-serve-nullid")
+    val ckpt = Files.createTempDirectory("graft-ann-serve-nullid-ckpt")
+    val indexPath = dir.toString + "/index"
+    val outPath = dir.toString + "/served"
+    def vec(id: Long): Array[Float] =
+      Array((id % 5 + 1).toFloat, ((id * 3) % 7 - 3).toFloat)
+    val cents = Array(Array(1.0, 2.0), Array(4.0, -2.0), Array(2.0, -1.0))
+    (0L to 9L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("cluster", graft.ops.Similarity.nearestCentroid($"embedding", cents))
+      .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
+    val input = MemoryStream[(Long, Boolean)]
+    val q = Streaming.annServeSink(
+        input.toDF().toDF("raw_id", "valid")
+          .select(org.apache.spark.sql.functions.when($"valid", $"raw_id").as("vec_id"),
+            org.apache.spark.sql.functions.udf(vec _).apply($"raw_id").as("embedding")),
+        "vec_id", "embedding", cents, indexPath, outPath, k = 2, nprobe = 2)
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData((100L, true), (7L, false))
+    q.processAllAvailable()
+    input.addData((7L, false)) // redelivered NULL-id query
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(outPath)
+    assert(served.where($"query_id".isNull).isEmpty, "NULL-id queries must never serve")
+    assert(served.select($"query_id").distinct().as[Long].collect().toSeq == Seq(100L))
+    assert(served.count() === 2L, "k=2 rows for the one valid query, nothing else")
+  }
+
   test("streaming ANN ingest: frozen-centroid assignment, redelivery appends nothing, batch/stream query parity") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-ann-ingest")
@@ -619,6 +652,112 @@ class StreamingSpec extends SparkSpec {
         .select("query_id", "rank", "neighbor_id")
         .as[(Long, Int, Long)].collect().toSet
     assert(topk(stored) === topk(batchCorpus))
+  }
+
+  test("streaming ANN serve (ManifestTable): an uncommitted in-flight append is invisible to serve") {
+    // the deterministic form of the torn-read race: a plain-parquet reader
+    // lists whatever files exist, so an in-progress ingest append (data
+    // written, commit not yet published) could leak a torn subset into a
+    // serve trigger. The manifest tier pins a committed version — the
+    // planted uncommitted vector is EXACTLY the query, so a torn reader
+    // would rank it #1 and this assertion would catch it.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ann-acid-torn")
+    val ckpt = Files.createTempDirectory("graft-ann-acid-torn-ckpt")
+    val outPath = dir.toString + "/served"
+    def vec(id: Long): Array[Float] =
+      Array((id % 5 + 1).toFloat, ((id * 3) % 7 - 3).toFloat)
+    val cents = Array(Array(1.0, 2.0), Array(4.0, -2.0), Array(2.0, -1.0))
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/index")
+    val committed = (0L to 9L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("cluster", graft.ops.Similarity.nearestCentroid($"embedding", cents))
+    table.append(committed)
+    // in-flight append: data lands under data/<dir> with NO manifest commit
+    Seq((999L, vec(100L))).toDF("vec_id", "embedding")
+      .withColumn("cluster", graft.ops.Similarity.nearestCentroid($"embedding", cents))
+      .write.parquet(dir.toString + "/index/data/uncommitted-in-flight")
+    val input = MemoryStream[Long]
+    val q = Streaming.annServeSink(
+        input.toDF().toDF("vec_id")
+          .withColumn("embedding", org.apache.spark.sql.functions.udf(vec _)
+            .apply($"vec_id")),
+        "vec_id", "embedding", cents, table, outPath, k = 3, nprobe = 2)
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData(100L)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outPath)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val want = graft.ops.Similarity.ivfTopKFitted(
+        Seq((100L, vec(100L))).toDF("vec_id", "embedding"), table.snapshot(),
+        "vec_id", "embedding", "cluster", k = 3, nprobe = 2, cents)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(!got.exists(_._3 == 999L),
+      "an uncommitted in-flight append must be invisible to a serve trigger")
+    assert(got === want, "serve must equal the batch probe of the COMMITTED snapshot")
+  }
+
+  test("streaming ANN (ManifestTable): concurrent ingest + serve — every served list is some committed version's top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ann-acid-race")
+    val ckptI = Files.createTempDirectory("graft-ann-acid-race-cki")
+    val ckptS = Files.createTempDirectory("graft-ann-acid-race-cks")
+    val outPath = dir.toString + "/served"
+    def vec(id: Long): Array[Float] =
+      Array((id % 5 + 1).toFloat, ((id * 3) % 7 - 3).toFloat)
+    val cents = Array(Array(1.0, 2.0), Array(4.0, -2.0), Array(2.0, -1.0))
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/index")
+    val ingestIn = MemoryStream[Long]
+    val qIngest = Streaming.annIngestSink(
+        ingestIn.toDF().toDF("vec_id")
+          .withColumn("embedding", org.apache.spark.sql.functions.udf(vec _)
+            .apply($"vec_id")),
+        "vec_id", "embedding", cents, table, sinkId = "race-ingest")
+      .option("checkpointLocation", ckptI.toString).start()
+    ingestIn.addData(0L, 1L, 2L, 3L)
+    qIngest.processAllAvailable() // first committed version exists before serve starts
+    val serveIn = MemoryStream[Long]
+    val qServe = Streaming.annServeSink(
+        serveIn.toDF().toDF("vec_id")
+          .withColumn("embedding", org.apache.spark.sql.functions.udf(vec _)
+            .apply($"vec_id")),
+        "vec_id", "embedding", cents, table, outPath, k = 3, nprobe = 2)
+      .option("checkpointLocation", ckptS.toString).start()
+    // CONCURRENT phase: both streams live, data offered to both with no
+    // barrier between the sinks — ingest commits race serve snapshots
+    serveIn.addData(100L)
+    ingestIn.addData(4L, 5L, 1L) // 1 redelivered in a later batch
+    serveIn.addData(101L, 100L) // 100 redelivered
+    ingestIn.addData(6L, 7L)
+    serveIn.addData(102L)
+    ingestIn.addData(6L, 7L) // all-duplicate trigger: must spend no version
+    qIngest.processAllAvailable()
+    qServe.processAllAvailable()
+    qIngest.stop(); qServe.stop()
+    // ingest idempotence on the ACID tier: one row per distinct id
+    val storedIds = table.snapshot().select($"vec_id").as[Long].collect().toSeq
+    assert(storedIds.sorted == (0L to 7L).toSeq,
+      s"redelivered ids must append nothing, got $storedIds")
+    // NO TORN TOP-K: each served query's complete list equals the batch
+    // ivfTopKFitted answer over SOME committed version — a torn read
+    // (partial file set of an in-progress append) matches no version
+    val served = spark.read.parquet(outPath)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (qid, rows) => qid -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(served.keySet == Set(100L, 101L, 102L))
+    assert(spark.read.parquet(outPath).count() ===
+      served.values.map(_.size.toLong).sum, "redelivered queries must append nothing")
+    val versionAnswers = table.versions().map { v =>
+      v -> graft.ops.Similarity.ivfTopKFitted(
+          Seq(100L, 101L, 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+          table.snapshotAt(v), "vec_id", "embedding", "cluster", k = 3, nprobe = 2, cents)
+        .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (qid, rows) => qid -> rows.sortBy(_._2).map(_._3).toSeq }
+    }.toMap
+    served.foreach { case (qid, list) =>
+      assert(versionAnswers.values.exists(_.get(qid).contains(list)),
+        s"query $qid's served list $list is the top-k of NO committed version — torn read")
+    }
   }
 
   test("mapGroupsWithState running stats accumulate across micro-batches") {
