@@ -690,29 +690,56 @@ object Streaming {
     * "last element seen" would vary run to run — breaking the repo's
     * determinism contract. Sources with real event time should carry it in
     * the value and max-by it instead.
+    *
+    * `idleTimeoutMs` (opt-in; 0 = never, the default and the historical
+    * behavior) bounds state on churn-heavy key spaces: a key quiet for at
+    * least that long (processing time) is flushed at a subsequent trigger —
+    * its final snapshot is emitted once more and its state row FREED, so
+    * total state tracks the ACTIVE key set instead of every key ever seen
+    * (the 100-TB churn story: user-id spaces grow without bound; their
+    * active window doesn't). A later event for a flushed key restarts its
+    * count from zero — callers needing lifetime totals keep the default or
+    * fold flushed snapshots downstream.
+    *
+    * Engine note (applies to every opt-in timeout here): a processing-time
+    * timeout makes Spark construct micro-batches CONTINUOUSLY (timeouts
+    * must fire with no data arriving, so `shouldRunAnotherBatch` is
+    * always true) — run the query with a real ProcessingTime trigger
+    * interval, and don't wait on `processAllAvailable` (with batches
+    * always pending it can block forever); await the sink's contents.
     */
-  def runningUserStats(events: Dataset[(Long, Double)]): Dataset[UserStats] = {
+  def runningUserStats(events: Dataset[(Long, Double)],
+                       idleTimeoutMs: Long = 0L): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val timeoutConf = if (idleTimeoutMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
         (user: Long, batch: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
           val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
-          var n = prev.n_events
-          // an explicit seen flag, NOT a NaN sentinel: a batch of all-NaN
-          // values must surface as NaN (math.max propagates it, matching
-          // Spark's max-treats-NaN-as-greatest), not silently keep the
-          // previous batch's value
-          var seen = false
-          var batchMax = Double.NegativeInfinity
-          batch.foreach { case (_, v) =>
-            n += 1
-            seen = true
-            batchMax = math.max(batchMax, v)
+          if (state.hasTimedOut) {
+            // quiet key: emit the final snapshot once more and free the row
+            state.remove()
+            prev
+          } else {
+            var n = prev.n_events
+            // an explicit seen flag, NOT a NaN sentinel: a batch of all-NaN
+            // values must surface as NaN (math.max propagates it, matching
+            // Spark's max-treats-NaN-as-greatest), not silently keep the
+            // previous batch's value
+            var seen = false
+            var batchMax = Double.NegativeInfinity
+            batch.foreach { case (_, v) =>
+              n += 1
+              seen = true
+              batchMax = math.max(batchMax, v)
+            }
+            val next = UserStats(user, n, if (seen) batchMax else prev.last_value)
+            state.update(next)
+            if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
+            next
           }
-          val next = UserStats(user, n, if (seen) batchMax else prev.last_value)
-          state.update(next)
-          next
       }
   }
 
@@ -730,35 +757,52 @@ object Streaming {
     * trade [[nearDupFilterSink]] documents — an upstream watermark sort
     * removes it). Emits the key's current progress once per batch it
     * appears in (update semantics, the [[runningUserStats]] shape).
+    *
+    * `idleTimeoutMs` (opt-in; 0 = never) frees a quiet key's state after
+    * that much processing time, emitting its final progress once more —
+    * the [[runningUserStats]] contract, including its engine note (use a
+    * real trigger interval; don't wait on `processAllAvailable`). A later
+    * event restarts the key at depth 0; pick an idle timeout comfortably
+    * ≥ the funnel `windowUs` (in wall terms) so only chains that could no
+    * longer advance are dropped.
     */
   def funnelDepthStream(events: Dataset[(Long, Long, Long, String)],
-                        windowUs: Long): Dataset[FunnelProgress] = {
+                        windowUs: Long, idleTimeoutMs: Long = 0L): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val None_ = Long.MinValue
+    val timeoutConf = if (idleTimeoutMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
-      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](timeoutConf) {
         (user: Long, batch: Iterator[(Long, Long, Long, String)],
          state: GroupState[FunnelProgress]) =>
           var st = state.getOption.getOrElse(FunnelProgress(user, None_, None_, 0))
-          batch.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, et) =>
-            et match {
-              case "view" =>
-                st = st.copy(last_view_us = math.max(st.last_view_us, ts),
-                  depth = math.max(st.depth, 1))
-              case "click" =>
-                if (st.last_view_us != None_ && st.last_view_us >= ts - windowUs) {
-                  st = st.copy(best_anchor_us = math.max(st.best_anchor_us, st.last_view_us),
-                    depth = math.max(st.depth, 2))
-                }
-              case "purchase" =>
-                if (st.best_anchor_us != None_ && st.best_anchor_us >= ts - windowUs)
-                  st = st.copy(depth = 3)
-              case _ =>
+          if (state.hasTimedOut) {
+            // quiet key: emit the final progress once more and free the row
+            state.remove()
+            st
+          } else {
+            batch.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, et) =>
+              et match {
+                case "view" =>
+                  st = st.copy(last_view_us = math.max(st.last_view_us, ts),
+                    depth = math.max(st.depth, 1))
+                case "click" =>
+                  if (st.last_view_us != None_ && st.last_view_us >= ts - windowUs) {
+                    st = st.copy(best_anchor_us = math.max(st.best_anchor_us, st.last_view_us),
+                      depth = math.max(st.depth, 2))
+                  }
+                case "purchase" =>
+                  if (st.best_anchor_us != None_ && st.best_anchor_us >= ts - windowUs)
+                    st = st.copy(depth = 3)
+                case _ =>
+              }
             }
+            state.update(st)
+            if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
+            st
           }
-          state.update(st)
-          st
       }
   }
 
@@ -789,14 +833,36 @@ object Streaming {
     * user_id + ts) in front of this sink when the source redelivers;
     * [[funnelDepthStream]]'s ratchet is redelivery-proof on its own, this
     * counter is not.
+    *
+    * `idleTimeoutMs` (opt-in; 0 = never, the historical behavior) closes
+    * the TAIL sessions: without it, every key's last session rides in
+    * state forever — unbounded state on churn-heavy key spaces. With it, a
+    * key quiet for at least that long (processing time) has its open
+    * session EMITTED as closed and its state row freed at a subsequent
+    * trigger. Semantics caveat the caller accepts by opting in: the flush
+    * is by PROCESSING time, so an event-time-late event arriving after the
+    * flush starts a NEW session instead of merging — pick an idle timeout
+    * comfortably above the worst expected arrival lag (≫ gapUs in wall
+    * terms) to make that window negligible. [[runningUserStats]]'s engine
+    * note applies: run with a real trigger interval and await the sink,
+    * not `processAllAvailable`.
     */
-  def closedSessionsStream(events: Dataset[(Long, Long)], gapUs: Long): Dataset[ClosedSession] = {
+  def closedSessionsStream(events: Dataset[(Long, Long)], gapUs: Long,
+                           idleTimeoutMs: Long = 0L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = if (idleTimeoutMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, batch: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // quiet key: the open tail closes by timeout and the row frees
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, o.start_us, o.last_us, o.n_events))
+          } else {
           val ts = batch.map(_._2).toArray.sorted
           if (ts.isEmpty) Iterator.empty
           else {
@@ -824,7 +890,9 @@ object Streaming {
               }
             }
             state.update(OpenSession(user, cur._1, cur._2, cur._3))
+            if (idleTimeoutMs > 0L) state.setTimeoutDuration(idleTimeoutMs)
             closed.iterator
+          }
           }
       }
   }

@@ -1061,4 +1061,93 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap.map { case (k, v) => k -> v.toInt }
     assert(got === want, s"stream $got != batch $want")
   }
+
+  // Processing-time timeouts make the engine construct batches continuously
+  // (timeouts must fire with no data), so processAllAvailable can block
+  // forever on these queries — the scaladoc'd contract. Await the SINK.
+  private def awaitSink(label: String)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + 30000L
+    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(cond, s"$label not observed within 30s")
+  }
+
+  test("closedSessionsStream: opt-in idle timeout flushes quiet tails and frees state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.streaming.Streaming.closedSessionsStream(
+      input.toDS(), gapUs = 10L, idleTimeoutMs = 2000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("closed_timeout_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rows() = spark.table("closed_timeout_out")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    input.addData((1L, 0L), (1L, 5L), (2L, 100L))
+    Thread.sleep(800) // well under the 2 s timeout: data processed, no flush
+    assert(rows().isEmpty, "nothing may close before the idle timeout expires")
+    // with NO further data, the quiet keys must flush by timeout alone
+    awaitSink("timeout flush of both open tails") {
+      rows().toSet == Set((1L, 0L, 5L, 2L), (2L, 100L, 100L, 1L))
+    }
+    // freed state: a later event for key 1 starts a FRESH session — had the
+    // row survived, the 1000-µs event would gap-close the old [0,5] span a
+    // SECOND time (duplicate emission) instead of opening anew
+    input.addData((1L, 1000L))
+    awaitSink("timeout flush of the fresh session") {
+      rows().contains((1L, 1000L, 1000L, 1L))
+    }
+    val all = rows()
+    assert(all.count(_ == ((1L, 0L, 5L, 2L))) == 1,
+      "a timeout-flushed session must never re-emit")
+    assert(all.count(_ == ((1L, 1000L, 1000L, 1L))) == 1,
+      "a post-flush event must open (and here timeout-close) a fresh session")
+    // state size DROPS: three sessions were ever open, all rows now freed
+    awaitSink("state rows freed") {
+      Option(q.lastProgress).exists(_.stateOperators.head.numRowsTotal == 0L)
+    }
+    q.stop()
+  }
+
+  test("runningUserStats: opt-in idle timeout frees a quiet key's row (count restarts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val out = graft.streaming.Streaming.runningUserStats(input.toDS(), idleTimeoutMs = 1000L)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("stats_timeout_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def user1() = spark.table("stats_timeout_out")
+      .as[graft.streaming.UserStats].collect().filter(_.user_id == 1L).toSeq
+    input.addData((1L, 10.0), (1L, 20.0))
+    // the flush re-emits the final snapshot once more: two identical rows
+    awaitSink("snapshot + timeout flush")(user1().count(_.n_events == 2L) == 2)
+    input.addData((1L, 99.0)) // key 1 returns AFTER its flush
+    awaitSink("restarted count")(user1().exists(s => s.n_events == 1L && s.last_value == 99.0))
+    assert(!user1().exists(_.n_events == 3L),
+      s"the freed row must not keep accumulating, got ${user1()}")
+    q.stop()
+  }
+
+  test("funnelDepthStream: opt-in idle timeout frees a quiet key's chain state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val out = graft.streaming.Streaming.funnelDepthStream(
+      input.toDS(), windowUs = 1000000L, idleTimeoutMs = 1000L)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("funnel_timeout_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def depths() = spark.table("funnel_timeout_out")
+      .where(col("user") === 1L).select("depth").as[Int].collect().toSeq
+    input.addData((1L, 10L, 1L, "view"))
+    // depth-1 progress, then the same row once more as the timeout flush
+    awaitSink("view + timeout flush")(depths().count(_ == 1) == 2)
+    // key 1's view state was flushed: this click has no anchor, so even
+    // though 50 − 10 is well inside the window the chain must NOT advance
+    input.addData((1L, 50L, 2L, "click"))
+    awaitSink("restarted chain reports depth 0")(depths().contains(0))
+    assert(!depths().contains(2),
+      s"a flushed view must not anchor a later click, got depths ${depths()}")
+    q.stop()
+  }
 }
