@@ -997,18 +997,26 @@ object Multimodal {
     * container formats, sniffed per row:
     *
     *  - **animated GIF** (`GIF87a`/`GIF89a`): the JDK's multi-image GIF
-    *    reader — `getNumImages(true)` then per-index reads. Frames are
-    *    decoded AS STORED (each image descriptor's own rect); no disposal
-    *    compositing, matching MJPEG's independent-frame semantics.
-    *  - **MJPEG** (leading SOI `FFD8`): the stream is split at entropy-safe
-    *    `FFD9` end-of-image markers (baseline JPEG byte-stuffs `FF` as
-    *    `FF00` inside entropy data, so a raw `FFD9` is a real frame
-    *    boundary) and each part runs the same ImageIO JPEG decoder the
-    *    image path uses. Caveat: a frame embedding a thumbnail JPEG in
-    *    an APPn segment carries that thumbnail's own `FFD9` — such a
-    *    frame splits early and quarantines (`ok = false`) rather than
-    *    crash; camera-style MJPEG (no per-frame thumbnails) splits
-    *    exactly.
+    *    reader — `getNumImages(true)` then per-index reads. By default
+    *    frames are decoded AS STORED (each image descriptor's own rect),
+    *    matching MJPEG's independent-frame semantics. With
+    *    `composite = true` frames are RENDERED: each stored rect is drawn
+    *    at its (left, top) offset onto the logical screen with GIF89a
+    *    disposal applied between frames (doNotDispose keeps the canvas,
+    *    restoreToBackgroundColor clears the frame's rect to transparent,
+    *    restoreToPrevious reverts the draw), so partial-rect animations
+    *    report what a viewer shows — dims become the LOGICAL SCREEN's and
+    *    means are over the canvas (undrawn pixels count as transparent
+    *    black). Full-rect frames are byte-identical either way. Every
+    *    frame composites (state is cumulative); `everyNth` still bounds
+    *    which canvases pay the stats pass.
+    *  - **MJPEG** (leading SOI `FFD8`): frame boundaries come from a
+    *    marker-segment walk ([[jpegFrameEnd]]) — length-prefixed segments
+    *    (APPn/DQT/DHT/SOF/COM/…) skip wholesale, so a camera frame whose
+    *    APPn embeds a thumbnail JPEG (with its own `FFD9`) splits at its
+    *    REAL end-of-image, and only entropy data is byte-scanned. Each
+    *    frame runs the same ImageIO JPEG decoder the image path uses; a
+    *    malformed or truncated tail quarantines as one `ok = false` row.
     *
     * Anything else — or a frame that fails its codec — quarantines as one
     * `ok = false` row, never a task failure. At 100 TB this is the same
@@ -1017,14 +1025,15 @@ object Multimodal {
     * cut — the reason sampling lives INSIDE the decode loop, not as a
     * filter after exploding all frames).
     */
-  def videoFrameFeatures(df: DataFrame, idCol: String, everyNth: Int = 1): DataFrame = {
+  def videoFrameFeatures(df: DataFrame, idCol: String, everyNth: Int = 1,
+                         composite: Boolean = false): DataFrame = {
     require(everyNth >= 1, s"everyNth ($everyNth) must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        try videoFramesOne(id, bytes, everyNth)
+        try videoFramesOne(id, bytes, everyNth, composite)
         catch { case scala.util.control.NonFatal(_) => Seq(badVideoRow(id)) }
       })
       .toDF()
@@ -1034,7 +1043,7 @@ object Multimodal {
     VideoFrameFeatures(id, -1, ok = false, 0, 0, 0.0, 0.0, 0.0)
 
   private def videoFramesOne(id: Long, bytes: Array[Byte],
-                             everyNth: Int): Seq[VideoFrameFeatures] = {
+                             everyNth: Int, composite: Boolean): Seq[VideoFrameFeatures] = {
     if (bytes == null || bytes.length < 4) return Seq(badVideoRow(id))
     val isGif = bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
     val isMjpeg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
@@ -1048,30 +1057,153 @@ object Multimodal {
         reader.setInput(in)
         val n = reader.getNumImages(/* allowSearch = */ true)
         if (n <= 0) return Seq(badVideoRow(id))
-        (0 until n by everyNth).map(f => frameStats(id, f, reader.read(f)))
+        if (!composite) (0 until n by everyNth).map(f => frameStats(id, f, reader.read(f)))
+        else gifComposited(id, reader, n, everyNth)
       } finally { reader.dispose(); in.close() }
     } else if (isMjpeg) {
-      // split at real EOI markers: inside entropy-coded data every FF is
-      // stuffed (FF00) or a restart marker (FFD0-D7), so a raw FFD9 ends a
-      // frame; the next frame starts at the following SOI
+      // frame boundaries come from a MARKER-SEGMENT WALK, not a raw FFD9
+      // scan: length-prefixed segments (APPn/DQT/DHT/SOF/COM/…) are
+      // skipped by their length field, so a thumbnail JPEG embedded in an
+      // APPn segment — whose own FFD9 a raw scan split on — stays inside
+      // its frame; only ENTROPY data (where every FF is stuffed FF00, a
+      // fill FF, or a restart FFD0-D7) is byte-scanned for the next
+      // marker. Frames chain SOI to SOI; inter-frame padding skips.
       val bounds = Seq.newBuilder[(Int, Int)]
-      var start = 0
-      var i = 0
-      while (i < bytes.length - 1) {
-        if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd9) {
-          bounds += ((start, i + 2))
-          start = i + 2
-          i += 2
-        } else i += 1
+      var pos = 0
+      var truncated = false
+      while (!truncated && pos + 1 < bytes.length) {
+        // skip padding to the next SOI
+        while (pos + 1 < bytes.length &&
+          !((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xd8)) pos += 1
+        if (pos + 1 < bytes.length) {
+          val end = jpegFrameEnd(bytes, pos)
+          if (end < 0) truncated = true
+          else { bounds += ((pos, end)); pos = end }
+        }
       }
       val parts = bounds.result()
       if (parts.isEmpty) return Seq(badVideoRow(id))
-      parts.zipWithIndex.collect { case ((s, e), f) if f % everyNth == 0 =>
+      val decoded = parts.zipWithIndex.collect { case ((s, e), f) if f % everyNth == 0 =>
         val img = decodeOrNull(java.util.Arrays.copyOfRange(bytes, s, e))
         if (img == null) VideoFrameFeatures(id, f, ok = false, 0, 0, 0.0, 0.0, 0.0)
         else frameStats(id, f, img)
       }
+      // a malformed/truncated tail degrades LOUDLY as its own quarantined
+      // frame row (the raw-FFD9 form silently dropped those bytes)
+      if (truncated)
+        decoded :+ VideoFrameFeatures(id, parts.length, ok = false, 0, 0, 0.0, 0.0, 0.0)
+      else decoded
     } else Seq(badVideoRow(id))
+  }
+
+  /** End offset (exclusive) of the JPEG frame starting at `off` (which must
+    * point at SOI), found by walking marker segments: every marker except
+    * TEM/RST/SOI/EOI carries a 2-byte big-endian length that skips its
+    * payload wholesale — including APPn segments embedding thumbnail JPEGs
+    * with their own EOI. After an SOS header, entropy-coded data is scanned
+    * byte-wise (FF00 stuffing, FF fill, FFD0-D7 restarts stay inside) until
+    * the next true marker, which re-enters the segment walk (progressive
+    * JPEGs interleave DHT/SOS/DNL between scans). Returns -1 on a
+    * truncated or malformed stream.
+    */
+  private def jpegFrameEnd(bytes: Array[Byte], off: Int): Int = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val n = bytes.length
+    var i = off + 2
+    while (i + 1 < n) {
+      if (u8(i) != 0xff) return -1
+      var j = i // fill bytes: any run of FFs before the marker id
+      while (j + 1 < n && u8(j + 1) == 0xff) j += 1
+      if (j + 1 >= n) return -1
+      val m = u8(j + 1)
+      i = j + 2
+      if (m == 0xd9) return i // EOI
+      else if (m == 0x01 || m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) {
+        // TEM / stray SOI / bare RST: standalone, no length
+      } else {
+        if (i + 1 >= n) return -1
+        val len = (u8(i) << 8) | u8(i + 1)
+        if (len < 2 || i + len > n) return -1
+        i += len
+        if (m == 0xda) {
+          // SOS: entropy data follows the header
+          var done = false
+          while (!done) {
+            if (i + 1 >= n) return -1
+            if (u8(i) == 0xff) {
+              val x = u8(i + 1)
+              if (x == 0x00 || (x >= 0xd0 && x <= 0xd7)) i += 2
+              else if (x == 0xff) i += 1
+              else done = true // a true marker: re-enter the segment walk
+            } else i += 1
+          }
+        }
+      }
+    }
+    -1
+  }
+
+  /** GIF89a disposal compositing: render every frame onto the logical
+    * screen in order (state is cumulative — unsampled frames still
+    * composite), emitting stats for each sampled CANVAS. Frame offsets and
+    * disposal methods come from the per-image ImageIO metadata tree;
+    * logical-screen dims from the stream metadata, falling back to the
+    * first frame's extent when absent.
+    */
+  private def gifComposited(id: Long, reader: javax.imageio.ImageReader,
+                            n: Int, everyNth: Int): Seq[VideoFrameFeatures] = {
+    import java.awt.image.BufferedImage
+    def attr(node: org.w3c.dom.Node, name: String): Option[String] = {
+      val a = node.getAttributes
+      Option(if (a == null) null else a.getNamedItem(name)).map(_.getNodeValue)
+    }
+    def child(node: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+      var c = node.getFirstChild
+      while (c != null && c.getNodeName != name) c = c.getNextSibling
+      Option(c)
+    }
+    val (lw, lh) = {
+      val dims = for {
+        sm <- Option(reader.getStreamMetadata)
+        lsd <- child(sm.getAsTree("javax_imageio_gif_stream_1.0"), "LogicalScreenDescriptor")
+        w <- attr(lsd, "logicalScreenWidth").map(_.toInt) if w > 0
+        h <- attr(lsd, "logicalScreenHeight").map(_.toInt) if h > 0
+      } yield (w, h)
+      dims.getOrElse { val f0 = reader.read(0); (f0.getWidth, f0.getHeight) }
+    }
+    var canvas = new BufferedImage(lw, lh, BufferedImage.TYPE_INT_ARGB)
+    val out = Seq.newBuilder[VideoFrameFeatures]
+    for (f <- 0 until n) {
+      val img = reader.read(f)
+      val tree = reader.getImageMetadata(f).getAsTree("javax_imageio_gif_image_1.0")
+      val desc = child(tree, "ImageDescriptor")
+      val left = desc.flatMap(attr(_, "imageLeftPosition")).map(_.toInt).getOrElse(0)
+      val top = desc.flatMap(attr(_, "imageTopPosition")).map(_.toInt).getOrElse(0)
+      val disposal = child(tree, "GraphicControlExtension")
+        .flatMap(attr(_, "disposalMethod")).getOrElse("none")
+      val before =
+        if (disposal == "restoreToPrevious") {
+          val c = new BufferedImage(lw, lh, BufferedImage.TYPE_INT_ARGB)
+          val g = c.createGraphics(); g.drawImage(canvas, 0, 0, null); g.dispose()
+          c
+        } else null
+      val g = canvas.createGraphics()
+      g.drawImage(img, left, top, null) // SRC_OVER: transparent pixels keep the canvas
+      g.dispose()
+      if (f % everyNth == 0) out += frameStats(id, f, canvas)
+      disposal match {
+        case "restoreToBackgroundColor" =>
+          // GIF viewers render the disposed rect as transparent (the
+          // background color index is honored by almost nothing real)
+          val g2 = canvas.createGraphics()
+          g2.setComposite(java.awt.AlphaComposite.Clear)
+          g2.fillRect(left, top, img.getWidth, img.getHeight)
+          g2.dispose()
+        case "restoreToPrevious" => canvas = before
+        case _ => () // none / doNotDispose: the canvas carries forward
+      }
+    }
+    out.result()
   }
 
   /** Per-frame dims + channel means via integer channel sums (the
@@ -1111,6 +1243,51 @@ object Multimodal {
       writer.prepareWriteSequence(null)
       frames.foreach(img =>
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** [[gifAnimatedBytes]] with explicit per-frame placement and GIF89a
+    * disposal — the construct side of [[videoFrameFeatures]]'s
+    * `composite = true` path. Each element is (image, left, top,
+    * disposalMethod) with disposalMethod one of the ImageIO metadata
+    * names: "none", "doNotDispose", "restoreToBackgroundColor",
+    * "restoreToPrevious".
+    */
+  def gifAnimatedBytesPlaced(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+    require(frames.nonEmpty)
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, left, top, disposal) =>
+        val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val md = writer.getDefaultImageMetadata(spec, null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def node(name: String): IIOMetadataNode = {
+          var c = tree.getFirstChild
+          while (c != null && c.getNodeName != name) c = c.getNextSibling
+          if (c != null) c.asInstanceOf[IIOMetadataNode]
+          else { val fresh = new IIOMetadataNode(name); tree.appendChild(fresh); fresh }
+        }
+        val d = node("ImageDescriptor")
+        d.setAttribute("imageLeftPosition", left.toString)
+        d.setAttribute("imageTopPosition", top.toString)
+        val g = node("GraphicControlExtension")
+        g.setAttribute("disposalMethod", disposal)
+        g.setAttribute("userInputFlag", "FALSE")
+        g.setAttribute("transparentColorFlag", "FALSE")
+        g.setAttribute("delayTime", "0")
+        g.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      }
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray

@@ -312,6 +312,88 @@ class SourcesSinksSpec extends SparkSpec {
       s"MJPEG frame 2 wrong: ($w2,$h2,$mr2)")
   }
 
+  test("videoFrameFeatures: an APPn-embedded thumbnail JPEG no longer splits its MJPEG frame early") {
+    import java.awt.image.BufferedImage
+    def solid(r: Int, g: Int, b: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h); gr.dispose()
+      img
+    }
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // camera-style frame: an APP1 segment right after SOI embedding a
+    // COMPLETE thumbnail JPEG — its inner FFD9 made the raw-scan splitter
+    // end the frame early and quarantine it
+    def withThumbnail(outer: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
+      val payload = "GRFT ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ thumb
+      val len = payload.length + 2
+      require(len <= 0xffff, "thumbnail too large for one APP1 segment")
+      outer.take(2) ++
+        Array(0xff.toByte, 0xe1.toByte, ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+        payload ++ outer.drop(2)
+    }
+    val frame0 = withThumbnail(jpeg(solid(120, 120, 120, 8, 6)), jpeg(solid(10, 10, 10, 2, 2)))
+    val frame1 = jpeg(solid(200, 200, 200, 9, 5))
+    val df = Seq((1L, frame0 ++ frame1)).toDF("id", "payload")
+    val got = graft.ops.Multimodal.videoFrameFeatures(df, "id")
+      .collect().map(r => r.getInt(1) ->
+        (r.getBoolean(2), r.getInt(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(0, 1), s"wrong frame inventory: ${got.keySet}")
+    val (ok0, w0, h0, mr0) = got(0)
+    assert(ok0 && w0 == 8 && h0 == 6, s"thumbnail-bearing frame must keep OUTER dims: ($w0,$h0)")
+    assert(math.abs(mr0 - 120.0) < 4.0, s"outer pixels, not the thumbnail's: $mr0")
+    val (ok1, w1, h1, _) = got(1)
+    assert(ok1 && w1 == 9 && h1 == 5, "the frame after the thumbnail-bearer must still split")
+    // a truncated tail degrades loudly as one quarantined row
+    val cut = (frame0 ++ frame1).dropRight(4)
+    val gotCut = graft.ops.Multimodal.videoFrameFeatures(
+        Seq((2L, cut)).toDF("id", "payload"), "id")
+      .collect().map(r => r.getInt(1) -> r.getBoolean(2)).toMap
+    assert(gotCut == Map(0 -> true, 1 -> false),
+      s"truncated tail must quarantine as its own row, got $gotCut")
+  }
+
+  test("videoFrameFeatures: composite=true applies GIF89a disposal; full-rect frames identical either way") {
+    import java.awt.image.BufferedImage
+    def solid(r: Int, g: Int, b: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h); gr.dispose()
+      img
+    }
+    // logical screen 4×4: f0 full red (then clears to transparent), f1 2×2
+    // blue at (1,1) kept, f2 1×1 white at (0,0) reverting after display
+    val gif = graft.ops.Multimodal.gifAnimatedBytesPlaced(Seq(
+      (solid(255, 0, 0, 4, 4), 0, 0, "restoreToBackgroundColor"),
+      (solid(0, 0, 255, 2, 2), 1, 1, "doNotDispose"),
+      (solid(255, 255, 255, 1, 1), 0, 0, "restoreToPrevious")))
+    val df = Seq((1L, gif)).toDF("id", "payload")
+    val got = graft.ops.Multimodal.videoFrameFeatures(df, "id", composite = true)
+      .collect().map(r => r.getInt(1) ->
+        (r.getBoolean(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    // hand-computed composited means over the 16-pixel logical screen
+    assert(got(0) === ((true, 4, 4, 255.0, 0.0, 0.0)), s"f0: ${got(0)}")
+    assert(got(1) === ((true, 4, 4, 0.0, 0.0, 4 * 255.0 / 16)),
+      s"f1 (blue rect on the CLEARED canvas): ${got(1)}")
+    assert(got(2) === ((true, 4, 4, 255.0 / 16, 255.0 / 16, 5 * 255.0 / 16)),
+      s"f2 (white pixel over the kept blue rect): ${got(2)}")
+    // full-rect animation: composite and as-stored agree byte-for-byte
+    val full = graft.ops.Multimodal.gifAnimatedBytes(
+      (0 until 3).map(f => solid(f * 80, 10, 10, 6, 4)))
+    val fdf = Seq((1L, full)).toDF("id", "payload")
+    def rows(composite: Boolean) =
+      graft.ops.Multimodal.videoFrameFeatures(fdf, "id", composite = composite)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(composite = true) == rows(composite = false),
+      "full-rect frames must be identical under both modes")
+  }
+
   test("processNewPartitions honors the ledger for a RELATIVE dest path (qualified-path regression)") {
     // fs.listFiles returns qualified paths; an unqualified relative root
     // used to never match them, emptying the ledger and re-appending every
