@@ -45,7 +45,7 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, 
   * themselves read/write through the table root's own filesystem exactly
   * as with every other log store.
   */
-final class HadoopFsObjectStore(root: String, conf: Configuration) extends ObjectStoreClient {
+class HadoopFsObjectStore(root: String, conf: Configuration) extends ObjectStoreClient {
 
   private lazy val fs: FileSystem = new Path(root).getFileSystem(conf) match {
     // raw local: skip ChecksumFileSystem's .crc sidecars (a hard link of
@@ -88,8 +88,7 @@ final class HadoopFsObjectStore(root: String, conf: Configuration) extends Objec
     }
     fs.mkdirs(dest.getParent)
     try {
-      // getUri, not getScheme: RawLocalFileSystem never implemented the latter
-      if (fs.getUri.getScheme == "file") {
+      if (publishViaHardLink) {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dest.toUri.getPath),
@@ -97,7 +96,7 @@ final class HadoopFsObjectStore(root: String, conf: Configuration) extends Objec
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
-        try { FileContext.getFileContext(dest.toUri, conf).rename(tmp, dest, Options.Rename.NONE); true }
+        try { renameNoOverwrite(tmp, dest); true }
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case e: java.io.IOException =>
@@ -126,6 +125,23 @@ final class HadoopFsObjectStore(root: String, conf: Configuration) extends Objec
       try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Branch selector between the two publish primitives — overridable so
+    * the contract suite can force the HDFS-class rename branch onto local
+    * disk (no HDFS in the sandbox) and fault-inject it.
+    * getUri, not getScheme: RawLocalFileSystem never implemented the latter.
+    */
+  protected def publishViaHardLink: Boolean = fs.getUri.getScheme == "file"
+
+  /** The HDFS-class publish primitive, isolated as the fault-injection
+    * seam: one atomic no-overwrite rename that must throw
+    * `FileAlreadyExistsException` on an existing destination. The contract
+    * suite wraps it to simulate the ambiguous modes the probe in
+    * [[putIfNoneMatch]] resolves (rename APPLIED then threw; rename threw
+    * with nothing landed; a foreign body landed first).
+    */
+  protected def renameNoOverwrite(tmp: Path, dest: Path): Unit =
+    FileContext.getFileContext(dest.toUri, conf).rename(tmp, dest, Options.Rename.NONE)
 
   override def get(key: String): Option[Array[Byte]] = {
     // open-then-catch, not exists-then-open: the TOCTOU window of a

@@ -199,6 +199,116 @@ class HadoopFsObjectStoreContract
       java.nio.file.Files.createTempDirectory("graft-fsos").toString,
       new org.apache.hadoop.conf.Configuration()))
 
+/** VERDICT r17 item 6 (half 1) — the HDFS-CLASS publish branch under the
+  * identical certification: `publishViaHardLink` is forced off, so every
+  * conditional PUT (including the 8-thread every-version race) publishes
+  * through the real `FileContext.rename(…, Rename.NONE)` primitive — on
+  * local disk, since the sandbox has no namenode, but exercising the exact
+  * branch, ambiguity probe included, that HDFS deployments take.
+  *
+  * One honesty note, discovered BY this suite's race test: the local
+  * FileContext EMULATES the namenode's atomic no-overwrite rename as a
+  * non-atomic check-then-act (POSIX rename(2) overwrites silently), so two
+  * racing threads can both "win" a version on local disk — which is
+  * precisely why production `file://` deployments take the hard-link
+  * branch instead. The harness therefore serializes the primitive with one
+  * JVM lock: the atomicity is HDFS's server-side guarantee (a single
+  * namenode op), and what this suite certifies is the PROTOCOL around it.
+  */
+class HadoopFsRenameBranchContract
+  extends ObjectStoreContractSuite("hadoop-fs-rename",
+    () => new graft.ops.HadoopFsObjectStore(
+        java.nio.file.Files.createTempDirectory("graft-fsos-rn").toString,
+        new org.apache.hadoop.conf.Configuration()) {
+      override protected def publishViaHardLink: Boolean = false
+      override protected def renameNoOverwrite(tmp: org.apache.hadoop.fs.Path,
+                                               dest: org.apache.hadoop.fs.Path): Unit =
+        HadoopFsRenameBranchContract.namenodeLock.synchronized {
+          super.renameNoOverwrite(tmp, dest)
+        }
+    })
+
+object HadoopFsRenameBranchContract {
+  /** Stand-in for the namenode's per-op serialization (see class doc). */
+  val namenodeLock = new Object
+}
+
+/** VERDICT r17 item 6 (half 2) — fault injection for the rename branch's
+  * ambiguity probe, which no real local rename can reach (POSIX rename
+  * either applies or throws truthfully): the `renameNoOverwrite` seam is
+  * wrapped to simulate the three HDFS-RPC lost-response outcomes the probe
+  * in `putIfNoneMatch` adjudicates.
+  */
+class HadoopFsRenamePublishFaultSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.hadoop.fs.Path
+
+  /** A store whose rename branch behaves per `mode` (mutable so one test
+    * can follow an injected failure with a real retry).
+    */
+  private final class Harness {
+    var mode: String = "real"
+    val root: String = java.nio.file.Files.createTempDirectory("graft-fsos-fault").toString
+    val store: graft.ops.HadoopFsObjectStore = new graft.ops.HadoopFsObjectStore(
+        root, new org.apache.hadoop.conf.Configuration()) {
+      override protected def publishViaHardLink: Boolean = false
+      override protected def renameNoOverwrite(tmp: Path, dest: Path): Unit = mode match {
+        case "real" => super.renameNoOverwrite(tmp, dest)
+        case "apply-then-throw" =>
+          // the RPC landed server-side; the client saw a connection error
+          super.renameNoOverwrite(tmp, dest)
+          throw new java.io.IOException("injected: response lost after apply")
+        case "foreign-then-throw" =>
+          // a racing writer's body landed; our own rename never applied
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dest.toUri.getPath), "foreign".getBytes("UTF-8"))
+          throw new java.io.IOException("injected: lost response; foreign winner")
+        case "nothing-landed" =>
+          throw new java.io.IOException("injected: nothing landed")
+      }
+    }
+  }
+
+  test("rename applied but threw: the probe finds our body — win, staged file collected") {
+    val h = new Harness
+    h.mode = "apply-then-throw"
+    val body = "v0 manifest".getBytes("UTF-8")
+    assert(h.store.putIfNoneMatch("t/_log/v0.json", body),
+      "a committed own body must adjudicate as a win")
+    assert(h.store.get("t/_log/v0.json").exists(java.util.Arrays.equals(_, body)))
+    val staging = java.nio.file.Paths.get(h.root, ".graft-put-stage")
+    assert(!java.nio.file.Files.exists(staging) ||
+      !java.nio.file.Files.list(staging).findAny().isPresent,
+      "the staged uuid file must not leak on the win path")
+  }
+
+  test("rename threw with a foreign body landed: the probe adjudicates a loss (412)") {
+    val h = new Harness
+    h.mode = "foreign-then-throw"
+    assert(!h.store.putIfNoneMatch("t/_log/v0.json", "ours".getBytes("UTF-8")),
+      "a foreign committed body must adjudicate as a loss")
+    assert(h.store.get("t/_log/v0.json")
+      .exists(b => new String(b, "UTF-8") == "foreign"),
+      "the foreign winner's body must be what the key serves")
+  }
+
+  test("rename threw with nothing landed: TransientStoreException, then a retry settles it") {
+    val h = new Harness
+    h.mode = "nothing-landed"
+    val body = "v0 manifest".getBytes("UTF-8")
+    val e = intercept[graft.ops.ObjectStoreClient.TransientStoreException] {
+      h.store.putIfNoneMatch("t/_log/v0.json", body)
+    }
+    assert(e.getMessage.contains("still absent"),
+      s"the ambiguity must be named, got: ${e.getMessage}")
+    assert(h.store.get("t/_log/v0.json").isEmpty, "nothing may be visible after the abort")
+    // the contract's resolution loop re-issues the same idempotent PUT:
+    // once the fault clears, the publish lands
+    h.mode = "real"
+    assert(h.store.putIfNoneMatch("t/_log/v0.json", body))
+    assert(h.store.get("t/_log/v0.json").exists(java.util.Arrays.equals(_, body)))
+  }
+}
+
 /** The same client under REAL-STORE pressure: 2-key list pages returned in
   * scrambled order (each page a billable request) and every 7th request
   * across all types rejected by a burst-throttle window. The whole
