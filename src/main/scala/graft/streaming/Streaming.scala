@@ -482,6 +482,10 @@ object Streaming {
     * tokens sign their whole text as a single shingle (the batch operators
     * exclude them, but in a firehose short boilerplate is precisely the
     * highest-frequency duplicate class — it must not bypass the filter).
+    * `skipEmptyTriggers = true` (opt-in, for SPARSE sources) fast-exits
+    * an all-empty trigger for one isEmpty probe job instead of running
+    * the full pipeline; off by default because the probe taxes every
+    * non-empty trigger (see the body comment).
     *
     * Exactly-once: accepted state rows land via idempotent-insert + APPEND
     * — a replayed micro-batch finds its rows already present and appends
@@ -529,10 +533,21 @@ object Streaming {
                         threshold: Double = 0.5,
                         onAccepted: DataFrame => Unit = _ => (),
                         compactEvery: Int = 0,
-                        onAcceptedBatch: (DataFrame, Long) => Unit = (_, _) => ())
+                        onAcceptedBatch: (DataFrame, Long) => Unit = (_, _) => (),
+                        skipEmptyTriggers: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.ops.{Aggregates, Dedup}
+      // sparse-source gating (opt-in): an all-empty trigger skips the
+      // whole sign/probe/append pipeline (and both acceptance handlers)
+      // for one isEmpty probe job. OFF by default BY CHOICE: the probe
+      // costs +1 job on every NON-empty trigger — a steady-state tax to
+      // save a rare case, and it would break the suite's per-trigger job
+      // pin — so only sources where empty triggers dominate (sparse
+      // upstreams, long trigger intervals) should opt in. Committing the
+      // skipped trigger's offsets is safe: emptiness IS the result,
+      // there is nothing to redeliver.
+      if (!(skipEmptyTriggers && batch.isEmpty)) {
       // short docs (< shingleN tokens, incl. empty text) sign their whole
       // text as one shingle instead of vanishing from the filter
       val toks = batch.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
@@ -676,6 +691,7 @@ object Streaming {
           shielded.unpersist(blocking = false)
         }
       } finally state.unpersist(blocking = false)
+      }
       ()
     }
 

@@ -506,6 +506,37 @@ class StreamingSpec extends SparkSpec {
       s"short boilerplate must dedup against history, got $accepted")
   }
 
+  test("nearDupFilterSink: skipEmptyTriggers fast-exits empty triggers; dedup and handlers unchanged otherwise") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup-sparse")
+    val ckpt = Files.createTempDirectory("graft-neardup-sparse-ckpt")
+    val table = graft.ops.ManifestTable(spark, dir.toString + "/sigs")
+    val accepted = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupFilterSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", table,
+        threshold = 0.5,
+        onAccepted = b => accepted.synchronized {
+          accepted += b.select("doc_id").as[Long].collect().toSet },
+        skipEmptyTriggers = true)
+      .option("checkpointLocation", ckpt.toString).start()
+    input.addData((1L, "the quick brown fox jumps over a lazy dog"))
+    q.processAllAvailable()
+    val versionsAfterFirst = table.versions().length
+    input.addData() // an all-EMPTY trigger: the sparse-source fast exit
+    q.processAllAvailable()
+    assert(table.versions().length == versionsAfterFirst,
+      "an empty trigger must spend no table version")
+    // a redelivered near-dup (new id, same text) + a genuinely new doc:
+    // the gated sink must still dedup and fire handlers exactly as before
+    input.addData((2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "completely different text about ships and harbors tonight"))
+    q.processAllAvailable()
+    q.stop()
+    assert(accepted.toList == List(Set(1L), Set(3L)),
+      s"handlers must skip the empty trigger only, got $accepted")
+  }
+
   test("streaming ANN serve: stream-served top-k equals the batch probe; redelivered queries append nothing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-ann-serve")
