@@ -215,8 +215,22 @@ trait AnalyticsGraphOps extends AnalyticsBase {
     * graph peels from both ends, so depth can reach n/2 — that is the
     * exact algorithm's frontier, not an implementation artifact).
     * Per-round edge tables localCheckpoint so the plan stays flat (the
-    * [[bfsHops]] convention); the fixpoint test is the edge COUNT — a
-    * metadata-sized driver scalar per round.
+    * [[bfsHops]] convention).
+    *
+    * The convergence probe is FOLDED into the peel job (VERDICT r17
+    * item 7): each round's job materializes the peeled edges AND their
+    * degree census (checkpointed, metadata-sized), and the driver scalar
+    * it returns is the census's sub-k node count — zero means the NEXT
+    * peel would be the identity, so the loop stops without ever running
+    * the all-waste terminal round the count-unchanged probe needed. The
+    * census is not extra work: the next round's keep-set IS that census,
+    * reused from its checkpoint instead of recomputed inside the peel —
+    * per productive round the work is identical, and the terminal round's
+    * census + two sort-merge joins disappear. (Two-peel UNROLLING stays
+    * rejected — measured r17: at the common 1-2-round depth it doubles
+    * the probe waste this fold removes for free.) A converged depth-R
+    * graph now needs maxRounds ≥ R, not R+1: stability is observed in
+    * round R's own job.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 64): DataFrame = {
@@ -226,51 +240,41 @@ trait AnalyticsGraphOps extends AnalyticsBase {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    // lazy checkpoint + count: ONE job per peel round materializes the
-    // round AND reads the convergence census (the bfsHops discipline —
-    // the eager-checkpoint + count form paid two). Superseded rounds'
-    // blocks are freed as the loop advances; the final round's blocks
-    // back the returned frame.
+    def census(e: DataFrame): DataFrame = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // lazy checkpoint + the sub-k count: ONE job materializes the edge
+    // table AND its census AND reads the convergence scalar. Superseded
+    // rounds' blocks are freed as the loop advances; the final round's
+    // census blocks back the returned frame.
     var cur = canon.graftCheckpoint(eager = false)
-    var nEdges = cur.count()
+    var deg = census(cur).graftCheckpoint(eager = false)
+    var subK = deg.where(col("deg") < k).count()
     var rounds = 0
-    var stable = nEdges == 0L
-    def peel(from: DataFrame): DataFrame = {
-      val deg = from.select(col("a").as("node"))
-        .unionAll(from.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val keep = deg.where(col("deg") >= k).select(col("node"))
-      from
-        .join(keep.hint("merge"), from("a") === keep("node"), "left_semi")
-        .join(keep.hint("merge"), from("b") === keep("node"), "left_semi")
-        .graftCheckpoint(eager = false)
-    }
-    // NOT two-peel-unrolled (unlike bfsHops/hierarchyFlatten, measured
-    // r17): k-core's convergence probe is count-UNCHANGED, so the final
-    // round is always all-waste — and unrolling doubles that waste (two
-    // no-op degree-join passes per probe round). Shallow peels (1-2
-    // rounds, the common case: quiet bench read 0.88 s per-round vs
-    // 1.22 s unrolled) lose more compute than the saved scheduling
-    // round is worth; the unroll only pays at peel depths ≥ ~4.
-    while (!stable && rounds < maxRounds) {
+    while (subK > 0L && rounds < maxRounds) {
       rounds += 1
-      val next = peel(cur)
-      val m = next.count()
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.hint("merge"), cur("a") === keep("node"), "left_semi")
+        .join(keep.hint("merge"), cur("b") === keep("node"), "left_semi")
+        .graftCheckpoint(eager = false)
+      val nextDeg = census(next).graftCheckpoint(eager = false)
+      subK = nextDeg.where(col("deg") < k).count()
       org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
-      cur = next; stable = m == nEdges; nEdges = m
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(deg)
+      cur = next; deg = nextDeg
     }
     // an unconverged peel is a WRONG subgraph (nodes below degree k still
     // present), not a looser approximation — fail loudly like
     // dedupClusters does, never degrade silently. Practically unreachable:
     // each round removes ≥ 1 node or stabilizes, so 64 rounds cover every
-    // graph whose peeling depth is < 64 — raise maxRounds for deeper ones.
-    if (!stable)
+    // graph whose peeling depth is ≤ 64 — raise maxRounds for deeper ones.
+    if (subK > 0L)
       throw new IllegalStateException(
-        s"kCore: not converged after $maxRounds rounds ($nEdges edges still peeling) — " +
-          "raise maxRounds")
-    cur.select(col("a").as("node"))
-      .unionAll(cur.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        s"kCore: not converged after $maxRounds rounds ($subK sub-$k nodes still " +
+          "peeling) — raise maxRounds")
+    // the final census IS the answer — its checkpoint blocks back the frame
+    deg.select(col("node"), col("deg").as("degree"))
   }
 
   /** Degree assortativity — Newman's r: the Pearson correlation of

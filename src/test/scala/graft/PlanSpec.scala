@@ -591,17 +591,18 @@ class PlanSpec extends SparkSpec {
           // final; ml_pca_project 4 = count + moment agg + header union +
           // result; txt_sparse_cosine 6 = tf persist + df window + pair
           // agg + prefilter persist + hot completion + sort;
-          // op_kcore 4 = lazy canon checkpoint+census + 2 peel rounds ×
-          // (lazy checkpoint + count, fused to 1 job — the bfsHops
-          // discipline) + final agg — a deeper planted graph adds rounds
-          // BY DESIGN, so the pin is for THIS construct;
+          // op_kcore 3 (r18, probe folded into the peel job: each round
+          // materializes edges + census + sub-k scalar in ONE job, so the
+          // terminal count-unchanged round is gone) = canon+census job +
+          // 1 productive peel round + final sort — a deeper planted graph
+          // adds rounds BY DESIGN, so the pin is for THIS construct;
           // roundtrips carry their write jobs
           "ml_auc" -> 2, "ml_confusion" -> 2, "ml_calibration" -> 2,
           "ml_lift" -> 2, "ml_feature_hash" -> 3, "ml_pca_project" -> 5,
           "op_attribution" -> 2, "op_markov" -> 2, "op_rfm" -> 7,
           "op_impute" -> 2, "op_orc_roundtrip" -> 3, "op_chi_square" -> 3,
           "op_schema_drift" -> 2, "op_partition_pruning" -> 4,
-          "txt_sparse_cosine" -> 7, "op_kcore" -> 5, "op_survivorship" -> 3,
+          "txt_sparse_cosine" -> 7, "op_kcore" -> 4, "op_survivorship" -> 3,
           "q7_nation_volume" -> 3, "q12_late_shipments" -> 2,
           "q16_supplier_reach" -> 2, "q22_dormant_value" -> 3,
           "op_jdbc_roundtrip" -> 4,
