@@ -50,13 +50,26 @@ object Lineage {
   private def reliableDir(spark: SparkSession): Option[String] =
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty)
 
-  // The knob value LAST APPLIED per context. sc.getCheckpointDir cannot
-  // serve as the guard: setCheckpointDir stores the fully-QUALIFIED URI of
-  // the UUID subdir it mints ("file:/knob/<uuid>"), so a startsWith check
-  // against a plain "/knob" path never matches and every round would mint
-  // a fresh UUID dir (one mkdirs RPC per round + scattered dirs).
-  private val appliedDir =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+  // Guard on the LIVE context state, not a private shadow map: a shadow
+  // recording "we applied the knob once" goes stale the moment user code
+  // (or another library) calls sc.setCheckpointDir for its own RDD work —
+  // every later "durable" graftCheckpoint would then silently land in the
+  // foreign directory, voiding the durability the knob promises if that
+  // dir is ephemeral. setCheckpointDir stores the fully-QUALIFIED URI of
+  // the UUID subdir it mints ("file:/knob/<uuid>"), so the check compares
+  // that subdir's PARENT against the knob dir qualified through the same
+  // filesystem (a plain startsWith against "/knob" never matches). A
+  // detected redirect re-applies the knob — a fresh UUID subdir, one
+  // mkdirs RPC, durability restored.
+  private def knobApplied(sc: org.apache.spark.SparkContext, dir: String): Boolean =
+    sc.getCheckpointDir.exists { q =>
+      val parent = new org.apache.hadoop.fs.Path(q).getParent
+      parent != null && {
+        val knob = new org.apache.hadoop.fs.Path(dir)
+        val fs = knob.getFileSystem(sc.hadoopConfiguration)
+        parent == fs.makeQualified(knob)
+      }
+    }
 
   // Per-trigger/transient loops opt OUT of durable mode ([[forceLocal]]):
   // a streaming sink's in-batch cluster resolution re-runs wholly with its
@@ -91,11 +104,9 @@ object Lineage {
         case None => ds.localCheckpoint(eager)
         case Some(dir) =>
           val sc = ds.sparkSession.sparkContext
-          // one UUID dir per (context, knob value), not one per call
-          if (appliedDir.get(sc) != dir) {
-            sc.setCheckpointDir(dir)
-            appliedDir.put(sc, dir)
-          }
+          // one UUID dir per (context, knob value) in the steady state;
+          // re-applied if anything redirected the context's checkpoint dir
+          if (!knobApplied(sc, dir)) sc.setCheckpointDir(dir)
           ds.checkpoint(eager)
       }
   }

@@ -123,13 +123,27 @@ final class HadoopLogStore(fsThunk: => FileSystem, logDir: Path) extends Manifes
         // the lock here would let a racing writer re-reserve the version
         // and rename over the committed body (POSIX rename silently
         // overwrites) — two different bodies for one committed version.
-        val published =
-          try fs.exists(manifestPath(v))
-          catch { case probe: Throwable => e.addSuppressed(probe); false }
-        if (published) {
+        // three-way, not boolean: a probe that ITSELF fails proves nothing
+        // — defaulting it to "not published" released the lock inside the
+        // double-failure window (rename applied server-side, probe hit the
+        // same transient blip), letting a racing writer re-reserve the
+        // version and rename over the COMMITTED body. Unverifiable ⇒ keep
+        // the lock: a wedged version is recoverable (contentionHint names
+        // the lock to remove; a retry probes again), an overwritten
+        // committed manifest is not.
+        val published: Option[Boolean] =
+          try Some(fs.exists(manifestPath(v)))
+          catch { case probe: Throwable => e.addSuppressed(probe); None }
+        if (published.contains(true)) {
           try fs.delete(tmp, false)
           catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
           true
+        } else if (published.isEmpty) {
+          // tmp is safe to collect either way: if the rename applied it is
+          // already gone; if not, nothing references the staged file
+          try fs.delete(tmp, false)
+          catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          throw e
         } else {
           // release the lock AND collect the staged tmp file: nothing else
           // ever cleans _log (vacuum sweeps data/ only, listVersions

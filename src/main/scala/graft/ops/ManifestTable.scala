@@ -71,6 +71,16 @@ import org.apache.spark.sql.types._
   *  - `vacuum(retainLast)` deletes data dirs unreferenced by the newest K
   *    manifests; time travel older than that stops working, like Delta's
   *    `VACUUM` past the retention window.
+  *  - The `_log` itself is append-only and never pruned: every commit adds
+  *    one manifest (plus one lock file on the Hadoop store), and
+  *    `latestVersion()` — on the hot path of every commit — is a full
+  *    directory LIST over all of them, so per-commit cost grows O(commits)
+  *    on long-lived streaming tables (a million triggers = a million-entry
+  *    listing, paginated and billed on S3). The production cure is a log
+  *    checkpoint / latest-version hint (Delta's `_last_checkpoint`), which
+  *    needs a list-from(startAfter) primitive this client API deliberately
+  *    doesn't carry yet — a documented scale trade, not an oversight;
+  *    within one job/bench lifetime the listing stays small.
   *  - On an object store, build with [[ManifestTable.onObjectStore]]: the
   *    CAS primitive becomes ONE conditional PUT of the manifest itself
   *    ([[ObjectStoreLogStore]]), the orphan-lock mode disappears, and the
@@ -173,15 +183,11 @@ final class ManifestTable private (
     // writeData costs a complete data write plus an orphan dir for vacuum.
     // The in-callback require below stays authoritative under races (an
     // interleaved overwrite can change the schema after this check).
-    latestVersion().map(readManifest).foreach(p => require(p.schemaDdl == ddl,
-      s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
-      s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
+    latestVersion().map(readManifest).foreach(requireSameSchema(_, ddl))
     val (dir, stats) = writeData(df)
     commitWithRetry(maxRetries, "append", ddl,
       prev => {
-        prev.foreach(p => require(p.schemaDdl == ddl,
-          s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
-          s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
+        prev.foreach(requireSameSchema(_, ddl))
         prev.map(_.dirs).getOrElse(Seq.empty) :+ dir
       }, stats)
   }
@@ -213,20 +219,14 @@ final class ManifestTable private (
     if (appliedAt(first)) return first.get
     val ddl = normDdl(df.schema)
     // same fail-fast-before-write rationale as append's pre-check
-    first.map(readManifest).foreach(p => require(p.schemaDdl == ddl,
-      s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
-      s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
+    first.map(readManifest).foreach(requireSameSchema(_, ddl))
     val (dir, stats) = writeData(df)
     var attempt = 0
     while (true) {
       val base = latestVersion()
       if (appliedAt(base)) {
         // a racing attempt of the same batch won: our dir is an orphan
-        try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
-            s"duplicate-batch dir $dir failed (vacuum will collect it): ${e.getMessage}")
-        }
+        bestEffortDelete(dir, "duplicate-batch dir")
         return base.get
       }
       // parentGuard pins the dedup decision to the exact manifest this
@@ -234,9 +234,7 @@ final class ManifestTable private (
       // the CAS (one conditional PUT on the object-store log)
       commitOnce("append", ddl,
           prev => {
-            prev.foreach(p => require(p.schemaDdl == ddl,
-              s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
-              s"schema [${p.schemaDdl}] — schema evolution is not supported; use overwrite"))
+            prev.foreach(requireSameSchema(_, ddl))
             prev.map(_.dirs).getOrElse(Seq.empty) :+ dir
           }, stats, parentGuard = Some(base), txn = Some(sinkId -> batchId)) match {
         case Some(v) => return v
@@ -313,7 +311,7 @@ final class ManifestTable private (
             // So the batch is materialized to a scratch dir first and both
             // the hull and the upsert read those bytes. The scratch dir is
             // never referenced by a manifest; it is deleted after commit.
-            val updDir = writeRaw(updates)
+            val updDir = writeRaw(updates, ScratchPrefix)
             val updRead = spark.read.schema(updates.schema)
               .parquet(new Path(dataDir, updDir).toString)
             val hull = updatesHull(updRead, statKeys)
@@ -332,7 +330,7 @@ final class ManifestTable private (
           }
       }
       val (dir, stats) = writeData(merged)
-      scratch.foreach(d => fs.delete(new Path(dataDir, d), /* recursive = */ true))
+      scratch.foreach(bestEffortDelete(_, "merge scratch dir"))
       // single-shot commit: a conflict must re-derive the merge input, not
       // just re-CAS the same rewrite (that would silently drop the
       // conflicting winner's rows)
@@ -342,14 +340,8 @@ final class ManifestTable private (
         case None =>
           // the losing attempt's rewrite dir is referenced by no manifest —
           // delete it now rather than leaving a table-sized orphan per
-          // retry for vacuum to find. Cleanup is best-effort: a transient
-          // FS error here must not abort a merge the retry loop would
-          // complete (the orphan is still vacuum's to collect, as before)
-          try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
-              s"conflict-losing dir $dir failed (vacuum will collect it): ${e.getMessage}")
-          }
+          // retry for vacuum to find
+          bestEffortDelete(dir, "conflict-losing dir")
           attempt += 1
           if (attempt > maxRetries) failRetries(maxRetries)
           Thread.sleep(RetrySleepMs * attempt)
@@ -383,9 +375,25 @@ final class ManifestTable private (
           // col with backticks, not selectExpr: a dotted/expression-like
           // key name that merge accepts (Aggregates.upsert quotes exactly
           // this way) must not be re-parsed as a nested-field path here
-          val tombDir = writeRaw(
-            tombstones.select(keys.map(k => col(s"`$k`")): _*).dropDuplicates(keys))
-          val tRead = spark.read.parquet(new Path(dataDir, tombDir).toString)
+          val tombSel = tombstones.select(keys.map(k => col(s"`$k`")): _*)
+            .dropDuplicates(keys)
+          val tombDir = writeRaw(tombSel, ScratchPrefix)
+          // schema pinned like merge's scratch read: an EMPTY tombstone
+          // batch can land zero data files, and a bare read would die on
+          // footer inference before the no-op early return below — plus
+          // the pin keeps the key types the anti-join condition was
+          // planned against (and skips a footer-inference round trip)
+          val tRead = spark.read.schema(tombSel.schema)
+            .parquet(new Path(dataDir, tombDir).toString)
+          // a delete with nothing to delete must be the advertised no-op —
+          // without this, empty tombstones rewrite the WHOLE table (no
+          // stats ⇒ every dir is "affected"; with stats, an empty hull has
+          // no provable bounds so nothing prunes either). One limit-1
+          // probe over the just-written scratch bytes.
+          if (tRead.isEmpty) {
+            bestEffortDelete(tombDir, "tombstone scratch dir")
+            return v
+          }
           val (keep, rewrite) =
             if (statKeys.isEmpty) (Seq.empty[String], m.dirs)
             else {
@@ -393,7 +401,7 @@ final class ManifestTable private (
               m.dirs.partition(d => provablyDisjoint(m.stats.getOrElse(d, Map.empty), hull))
             }
           if (rewrite.isEmpty) {
-            fs.delete(new Path(dataDir, tombDir), /* recursive = */ true)
+            bestEffortDelete(tombDir, "tombstone scratch dir")
             return v
           }
           // NULL-SAFE anti join (the Aggregates.upsert convention): with
@@ -407,16 +415,12 @@ final class ManifestTable private (
             .reduce(_ && _)
           val remaining = src.join(tomb, cond, "left_anti")
           val (dir, stats) = writeData(remaining)
-          fs.delete(new Path(dataDir, tombDir), /* recursive = */ true)
+          bestEffortDelete(tombDir, "tombstone scratch dir")
           commitOnce("delete", m.schemaDdl, _ => keep :+ dir, stats,
               parentGuard = Some(base)) match {
             case Some(nv) => return nv
             case None =>
-              try fs.delete(new Path(dataDir, dir), /* recursive = */ true)
-              catch { case scala.util.control.NonFatal(e) =>
-                System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
-                  s"conflict-losing delete dir $dir failed (vacuum will collect it): ${e.getMessage}")
-              }
+              bestEffortDelete(dir, "conflict-losing delete dir")
               attempt += 1
               if (attempt > maxRetries) failRetries(maxRetries)
               Thread.sleep(RetrySleepMs * attempt)
@@ -497,20 +501,37 @@ final class ManifestTable private (
     val keep = versions().takeRight(retainLast)
       .flatMap(v => readManifest(v).dirs).toSet
     if (!fs.exists(dataDir)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
     // the grace decision uses the NEWEST timestamp inside the dir, not the
     // directory entry's own: S3-class connectors report 0 (or a synthetic
     // value) for directory prefixes, which would make every in-flight dir
     // look ancient and defeat the guard on exactly the deployment
     // onObjectStore targets — the files inside carry real object mtimes
     def newestMTime(st: org.apache.hadoop.fs.FileStatus): Long = {
-      def walk(p: Path): Seq[Long] =
-        fs.listStatus(p).toSeq.flatMap(c =>
+      def walk(p: Path): Seq[Long] = {
+        // a concurrent best-effort cleanup (conflict loser, duplicate
+        // batch, scratch collection) can delete a candidate mid-walk —
+        // a vanished subtree reads as "hot" so THIS pass skips it (it is
+        // already being collected) instead of aborting the whole vacuum
+        val children =
+          try fs.listStatus(p).toSeq
+          catch { case _: java.io.FileNotFoundException => return Seq(Long.MaxValue) }
+        children.flatMap(c =>
           if (c.isDirectory) walk(c.getPath) else Seq(c.getModificationTime))
+      }
       (st.getModificationTime +: walk(st.getPath)).max
     }
+    // scratch staging dirs get a longer grace: their mtime marks WRITE
+    // completion, but a merge/delete READS them until its commit — the
+    // regular grace would let a vacuum racing a long merge delete the
+    // staging mid-read (crashed operations' scratch still collects, after
+    // ScratchVacuumGraceMs)
+    def cutoffFor(name: String): Long =
+      now - (if (name.startsWith(ScratchPrefix)) math.max(graceMs, ScratchVacuumGraceMs)
+             else graceMs)
     val dead = fs.listStatus(dataDir).iterator
-      .filter(st => !keep(st.getPath.getName) && newestMTime(st) < cutoff)
+      .filter(st => !keep(st.getPath.getName) &&
+        newestMTime(st) < cutoffFor(st.getPath.getName))
       .map(_.getPath.getName).toSeq
     dead.foreach(d => fs.delete(new Path(dataDir, d), /* recursive = */ true))
     dead
@@ -593,8 +614,32 @@ final class ManifestTable private (
   /** Writes a batch to a fresh dir with NO stats pass (used for merge's
     * scratch materialization of the update batch).
     */
-  private def writeRaw(df: DataFrame): String = {
-    val dir = java.util.UUID.randomUUID().toString
+  /** Best-effort delete of a data-dir that NO manifest references: a
+    * transient FS error collecting an orphan must never abort an operation
+    * whose real work already succeeded — the orphan stays vacuum's to
+    * collect, exactly as if the delete had not been attempted.
+    */
+  private def bestEffortDelete(dir: String, what: String): Unit =
+    try { fs.delete(new Path(dataDir, dir), /* recursive = */ true); () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"ManifestTable $rootStr: best-effort cleanup of " +
+        s"$what $dir failed (vacuum will collect it): ${e.getMessage}")
+    }
+
+  /** The one schema-evolution guard, shared by every append path. */
+  private def requireSameSchema(prev: Manifest, ddl: String): Unit =
+    require(prev.schemaDdl == ddl,
+      s"ManifestTable $rootStr: append schema [$ddl] does not match table " +
+        s"schema [${prev.schemaDdl}] — schema evolution is not supported; use overwrite")
+
+  /** `prefix` distinguishes SCRATCH dirs (merge/delete single-execution
+    * staging — consumed by the same operation, never referenced by a
+    * manifest) from committed data dirs: [[vacuum]] grants scratch dirs a
+    * longer grace so a long-running merge cannot have its staging deleted
+    * mid-read (see [[ScratchVacuumGraceMs]]).
+    */
+  private def writeRaw(df: DataFrame, prefix: String = ""): String = {
+    val dir = prefix + java.util.UUID.randomUUID().toString
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dataDir, dir).toString)
     dir
   }
@@ -773,6 +818,15 @@ object ManifestTable {
   private val DefaultRetries = 10
   private val RetrySleepMs = 50L
   private val DefaultVacuumGraceMs = 10 * 60 * 1000L
+  // scratch staging dirs (merge/delete single-execution discipline) are
+  // written at the START of an operation and READ until its commit — their
+  // newest mtime is the write-completion time, so the regular grace only
+  // covers the write window, not the consumption window. A 100-TB merge's
+  // hull + upsert + rewrite phase can easily outlive 10 minutes; give
+  // scratch a day (a crashed operation's leaked scratch still collects,
+  // just later).
+  private val ScratchPrefix = "scratch-"
+  private val ScratchVacuumGraceMs = 24 * 60 * 60 * 1000L
 
   /** Per-column bounds of one data dir (or of an update batch): string-cast
     * min/max of the NON-NULL values (absent ⇒ no non-null rows) plus

@@ -52,6 +52,40 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("graftCheckpoint re-applies the knob after an external setCheckpointDir redirect") {
+    // the guard reads the LIVE context state: a shadow "applied once" map
+    // goes stale when user code redirects the context's checkpoint dir for
+    // its own RDD work, silently landing every later 'durable' checkpoint
+    // in the foreign (possibly ephemeral) directory
+    withCheckpointDir { dir =>
+      val sc = spark.sparkContext
+      Seq(1, 2).toDF("x").graftCheckpoint().collect()
+      val applied = sc.getCheckpointDir.get
+      assert(new org.apache.hadoop.fs.Path(applied).getParent.toUri.getPath ==
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath, s"knob not applied: $applied")
+      // a foreign component redirects the context for its own checkpoints
+      val foreign = java.nio.file.Files.createTempDirectory("graft-foreign-ckpt").toString
+      sc.setCheckpointDir(foreign)
+      try {
+        val durable = Seq(3, 4).toDF("x").graftCheckpoint()
+        assert(durable.collect().map(_.getInt(0)).sorted.sameElements(Array(3, 4)))
+        val after = sc.getCheckpointDir.get
+        assert(new org.apache.hadoop.fs.Path(after).getParent.toUri.getPath ==
+          new org.apache.hadoop.fs.Path(dir).toUri.getPath,
+          s"the knob must be re-applied after a redirect, got $after")
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(java.nio.file.Files.isRegularFile(_)).count()
+        assert(files > 0, "the durable files must land under the KNOB dir, not the foreign one")
+      } finally {
+        try {
+          java.nio.file.Files.walk(java.nio.file.Paths.get(foreign))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
   test("durable checkpoint survives total block loss; local mode provably cannot") {
     // local mode first: kill the blocks behind a localCheckpoint and the
     // frame is unrecoverable (lineage truncated) — the exact 100-TB

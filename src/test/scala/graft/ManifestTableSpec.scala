@@ -628,6 +628,81 @@ class ManifestTableSpec extends SparkSpec {
       "the committed body must be untouched")
   }
 
+  test("HadoopLogStore: rename applied AND probe failed keeps the lock (ambiguity wedges, never fails open)") {
+    // the double-failure window: the rename lands server-side but throws
+    // client-side, and the exists() probe hits the same transient blip.
+    // The old boolean probe defaulted that to "not published" and RELEASED
+    // the lock — a racing writer could then re-reserve the version and
+    // rename over the COMMITTED manifest. Unverifiable must wedge: keep
+    // the lock (recoverable orphan), rethrow.
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = Files.createTempDirectory("graft-doublefault").toString
+    class DoubleFaultFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      initialize(new java.net.URI("file:///"), new org.apache.hadoop.conf.Configuration())
+      override def getScheme: String = "file"
+      @volatile var armed = false
+      override def rename(src: HPath, dst: HPath): Boolean = {
+        val applied = super.rename(src, dst)
+        if (armed && dst.getName.endsWith(".txt"))
+          throw new java.io.IOException("injected: rename response lost")
+        applied
+      }
+      override def exists(p: HPath): Boolean = {
+        if (armed && p.getName.endsWith(".txt")) {
+          armed = false
+          throw new java.io.IOException("injected: probe hit the same blip")
+        }
+        super.exists(p)
+      }
+    }
+    val fs = new DoubleFaultFs
+    val store = new graft.ops.HadoopLogStore(fs, new HPath(dir, "_log"))
+    val body = "winner".getBytes("UTF-8")
+    fs.armed = true
+    val e = intercept[java.io.IOException] { store.publishIfAbsent(0L, body) }
+    assert(e.getMessage.contains("rename response lost"), e.getMessage)
+    assert(e.getSuppressed.exists(_.getMessage.contains("probe hit the same blip")),
+      "the probe failure must ride as a suppressed exception")
+    // the commit actually landed; the lock must still be held so nobody
+    // can overwrite it
+    assert(store.read(0L).exists(java.util.Arrays.equals(_, body)),
+      "the rename had applied — the body is committed")
+    assert(!store.publishIfAbsent(0L, "usurper".getBytes("UTF-8")),
+      "version 0 must stay contended — the lock was never released")
+    assert(store.read(0L).exists(java.util.Arrays.equals(_, body)),
+      "the committed body must be untouched")
+  }
+
+  test("deleteByKeys: EMPTY tombstones are the advertised no-op — no rewrite, no version spent") {
+    val t = ManifestTable(spark, freshRoot()) // no stats: every dir would be 'affected'
+    t.overwrite(kv(1L -> 1.0, 2L -> 2.0))
+    t.append(kv(3L -> 3.0))
+    val vBefore = t.versions().length
+    val dirsBefore = t.dirCount()
+    val v = t.deleteByKeys(Seq.empty[Long].toDF("k"), Seq("k"))
+    assert(v === t.versions().last, "the current version must be returned")
+    assert(t.versions().length === vBefore, "no version may be spent")
+    assert(t.dirCount() === dirsBefore, "no rewrite may replace the live dirs")
+    assert(t.snapshot().count() === 3L)
+  }
+
+  test("vacuum: scratch staging dirs get the long grace; committed orphans collect on the regular one") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0))
+    // plant both orphan shapes, unreferenced by any manifest: a plain
+    // (conflict-loser-style) dir and a scratch-prefixed staging dir that a
+    // still-running merge could be reading
+    kv(9L -> 9.0).write.parquet(root + "/data/deadbeef-orphan")
+    kv(8L -> 8.0).write.parquet(root + "/data/scratch-in-flight")
+    val dead = t.vacuum(retainLast = 1, graceMs = 0)
+    assert(dead.contains("deadbeef-orphan"),
+      s"a plain orphan past grace must collect, got $dead")
+    assert(!dead.exists(_.startsWith("scratch-")),
+      s"a scratch dir inside its long grace must survive, got $dead")
+    assert(new java.io.File(root + "/data/scratch-in-flight").exists())
+  }
+
   test("object-store log: concurrent merge() transactions with ambiguous commits — serial-replay equality, zero dup rows") {
     // VERDICT r13 item 2: f059434 raced the PRIMITIVE; this races whole
     // merge() transactions through ObjectStoreLogStore while EVERY
