@@ -506,7 +506,13 @@ private[graft] object QueriesFrontier {
       // sees the change. The oracle replays all three states
       // analytically from the construct.
       (s, d) => {
-        val dir = scratchDir("bitemporal", d)
+        // fresh-per-invocation root (the op_merge_acid discipline), NOT the
+        // persistent scratchDir: this table is STATEFUL, and a second
+        // same-JVM invocation (bench warmup + measured run) merging dim0
+        // over the previous run's v2 would re-OPEN the closed (key, 0)
+        // intervals last-write-wins — t1v150 would then count keys under
+        // both attr and MOVED, silently diverging from the oracle
+        val dir = freshScratchRoot(s, "bitemporal", d)
         val table = ManifestTable(s, s"$dir/dim")
         val dim0 = t(s, d, "customer").where(col("c_custkey") < 200)
           .select(col("c_custkey").as("key"), col("c_mktsegment").as("attr"),

@@ -166,36 +166,47 @@ private[graft] object QueriesRelational {
           if (sys.env.contains("SPARK_GRAFT_JDBC_URL"))
             s"docs_${ProcessHandle.current().pid()}"
           else "docs"
-        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
-          .write.mode("overwrite").jdbc(url, table, props)
-        val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
-        val reader = s.read.format("jdbc")
-          .option("url", url).option("dbtable", table)
-          .option("driver", driver)
-        sys.env.get("SPARK_GRAFT_JDBC_USER")
-          .foreach(u => reader.option("user", u))
-        sys.env.get("SPARK_GRAFT_JDBC_PASSWORD")
-          .foreach(pw => reader.option("password", pw))
-        val out = reader
-          .option("partitionColumn", "doc_id")
-          .option("lowerBound", 0L).option("upperBound", math.max(maxId, 1L))
-          .option("numPartitions", 4)
-          .load()
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-          .orderBySmall(col("source"))
+        def writeTable(): Unit =
+          t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+            .write.mode("overwrite").jdbc(url, table, props)
+        def readBack(): org.apache.spark.sql.DataFrame = {
+          val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head().getLong(0)
+          val reader = s.read.format("jdbc")
+            .option("url", url).option("dbtable", table)
+            .option("driver", driver)
+          sys.env.get("SPARK_GRAFT_JDBC_USER")
+            .foreach(u => reader.option("user", u))
+          sys.env.get("SPARK_GRAFT_JDBC_PASSWORD")
+            .foreach(pw => reader.option("password", pw))
+          reader
+            .option("partitionColumn", "doc_id")
+            .option("lowerBound", 0L).option("upperBound", math.max(maxId, 1L))
+            .option("numPartitions", 4)
+            .load()
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+            .orderBySmall(col("source"))
+        }
         // external endpoint: the per-PID table fixed the concurrent-run
         // race but must not leak one table per run on a SHARED server —
         // materialize the (few-row) aggregate eagerly, then drop. The
-        // default embedded-Derby path keeps the lazy plan: its scratch
-        // dir is PID-scoped and vanishes with the run, and skipping the
-        // extra localCheckpoint job keeps the bench posture unchanged.
+        // finally covers EVERYTHING from the write on (the write can fail
+        // mid-table; the maxId job and the reader's analysis are separate
+        // Spark actions): PIDs don't recur, so a table leaked by any
+        // failure after a successful CREATE would never be overwritten or
+        // dropped again. The default embedded-Derby path keeps the lazy
+        // plan: its scratch dir is PID-scoped and vanishes with the run,
+        // and skipping the extra localCheckpoint job keeps the bench
+        // posture unchanged.
         if (sys.env.contains("SPARK_GRAFT_JDBC_URL")) {
-          val materialized =
-            try out.localCheckpoint()
-            finally org.apache.spark.sql.GraftBridge.jdbcDropIfExists(url, table, props)
-          materialized
-        } else out
+          try {
+            writeTable()
+            readBack().localCheckpoint()
+          } finally org.apache.spark.sql.GraftBridge.jdbcDropIfExists(url, table, props)
+        } else {
+          writeTable()
+          readBack()
+        }
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1 ORDER BY 1""")),
@@ -225,13 +236,18 @@ private[graft] object QueriesRelational {
           .where(col("_n") > 0)
           .withColumn("_base", expr("1000000 div _n"))
           .withColumn("_rem", expr("1000000 % _n"))
-        val credits = Seq("view" -> "_tv", "click" -> "_tc", "signup" -> "_ts")
-          .map { case (ch, cnt) =>
-            purchases.select(lit(ch).as("channel"),
-              (col(cnt) * col("_base") +
-                when(col("_last") === ch, col("_rem")).otherwise(0L))
-                .as("_credit"))
-          }.reduce(_.unionByName(_))
+        // one explode, not a 3-branch union: Spark does no cross-branch
+        // common-subplan elimination, so the union form re-ran the full
+        // events scan + 4-function window pass once PER channel — the
+        // struct array emits all three credit rows from a single pass
+        def credit(ch: String, cnt: String) =
+          struct(lit(ch).as("channel"),
+            (col(cnt) * col("_base") +
+              when(col("_last") === ch, col("_rem")).otherwise(0L)).as("_credit"))
+        val credits = purchases
+          .select(explode(array(credit("view", "_tv"), credit("click", "_tc"),
+            credit("signup", "_ts"))).as("_kv"))
+          .select(col("_kv.channel").as("channel"), col("_kv._credit").as("_credit"))
         credits.groupBy(col("channel"))
           .agg(sum(col("_credit")).as("credit_millionths"))
           .orderBySmall(col("channel"))

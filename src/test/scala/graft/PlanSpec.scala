@@ -433,6 +433,19 @@ class PlanSpec extends SparkSpec {
       "lint has no teeth: groupBy(raw id) under an unpartitioned window was not flagged")
   }
 
+  test("op_bitemporal is invocation-idempotent: twice in one JVM, identical rows") {
+    // the bench path runs every query twice per JVM (warmup + measured);
+    // a STATEFUL scratch table on the persistent scratchDir made run 2
+    // merge dim0 over run 1's v2, re-opening closed intervals last-write-
+    // wins so t1v150 silently counted keys under both attr and MOVED —
+    // freshScratchRoot (the op_merge_acid discipline) replays from empty
+    val fn = Queries.all.find(_.name == "op_bitemporal").get.fn
+    val r1 = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
+    val r2 = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2, "the second same-JVM invocation must replay from a fresh log")
+    assert(r1.nonEmpty && r1.exists(_.contains("MOVED")))
+  }
+
   test("ann_index_persist: the probe scan prunes stored cluster partitions dynamically") {
     // the storage-layout payoff the key exists for: the corpus is written
     // partitioned by cluster, so the probe join on the partition column

@@ -329,7 +329,7 @@ class SourcesSinksSpec extends SparkSpec {
     // COMPLETE thumbnail JPEG — its inner FFD9 made the raw-scan splitter
     // end the frame early and quarantine it
     def withThumbnail(outer: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
-      val payload = "GRFT ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ thumb
+      val payload = "GRFT0".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ thumb
       val len = payload.length + 2
       require(len <= 0xffff, "thumbnail too large for one APP1 segment")
       outer.take(2) ++
