@@ -114,6 +114,31 @@ object Queries {
           UNION ALL
           SELECT o_orderkey + 10000000, 1.0 FROM base WHERE o_orderkey % 1000 = 1)"""
 
+  /** The NEGATIVE-key CDC variant of the merge fixture, shared by
+    * op_time_travel / op_view_maintenance: same %10 re-pricing, but
+    * brand-new keys are -k-1 (the planted-pair convention) — an additive
+    * offset would collide with real orderkeys once the SF grows past it
+    * (TPC-H keys are 1..6M·SF), silently breaking the analytic
+    * cdc_delete counts. ONE Spark builder + ONE SQL CTE block
+    * (base/upd/v1), the mergeFixture discipline: it was copy-pasted
+    * twice on each side, so a modulus or key-convention change needed
+    * four synchronized edits.
+    */
+  private[graft] def cdcFixtureUpdates(base: DataFrame): DataFrame =
+    base.where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      .unionByName(base.where(col("o_orderkey") % 1000 === 1)
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
+          lit(1.0).as("o_totalprice")))
+  private[graft] val cdcFixtureSql: String =
+    s"""$mergeFixtureBaseSql,
+        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT -o_orderkey - 1, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
+        v1 AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+          UNION ALL SELECT o_orderkey, o_totalprice FROM upd)"""
+
   /** DuckDB mirror of the SRP kernel's md5-plane derivation + bucket fold
     * (planes → term → dots → bk over a caller-provided `vecs(id, v)` CTE)
     * — ONE source of the md5-slice sign arithmetic (it was inlined

@@ -8,7 +8,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — event-stream batch forms: sessionization, windows, funnels, as-of alignment (§2.6 batch analogs).
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 22 keys.
+  * byte-identical to its pre-split form. 23 keys (22 at the split; op_stream_neardup added r15).
   */
 private[graft] object QueriesEvents {
   val defs: Seq[QueryDef] = Seq(
@@ -171,16 +171,8 @@ private[graft] object QueriesEvents {
       // tmp-root + stale-sweep pattern as op_merge_acid.
       (s, d) => {
         val root = freshScratchRoot(s, "tt", d)
-        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
-        // brand-new keys are NEGATIVE (-k-1, the planted-pair convention):
-        // an additive offset would collide with real orderkeys once the SF
-        // grows past the offset (TPC-H keys are 1..6M·SF), silently
-        // breaking the analytic cdc_delete count below
-        val updates = base.where(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
-          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
-            .select((-col("o_orderkey") - 1).as("o_orderkey"),
-              lit(1.0).as("o_totalprice")))
+        val base = mergeFixtureBase(s, d)
+        val updates = cdcFixtureUpdates(base) // negative -k-1 insert keys, see Queries
         val mt = ManifestTable(s, root)
         val v0 = mt.overwrite(base)
         val v1 = mt.merge(updates, Seq("o_orderkey"))
@@ -195,13 +187,7 @@ private[graft] object QueriesEvents {
               col("n_rows"), col("sum_price")))
           .orderBySmall(col("stage"))
       },
-      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
-          UNION ALL
-          SELECT -o_orderkey - 1, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
-        v1 AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
-            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
-          UNION ALL SELECT o_orderkey, o_totalprice FROM upd)
+      Some(s"""WITH $cdcFixtureSql
         SELECT 'v0' AS stage, count(*) AS n_rows, ${dsumSql("o_totalprice", 20, 2)} AS sum_price FROM base
         UNION ALL
         SELECT 'v1', count(*), ${dsumSql("o_totalprice", 20, 2)} FROM v1
@@ -251,12 +237,8 @@ private[graft] object QueriesEvents {
       // planted keys land in well-defined buckets both engines agree on.
       (s, d) => {
         val root = freshScratchRoot(s, "mv", d)
-        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
-        val updates = base.where(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
-          .unionByName(base.where(col("o_orderkey") % 1000 === 1)
-            .select((-col("o_orderkey") - 1).as("o_orderkey"),
-              lit(1.0).as("o_totalprice")))
+        val base = mergeFixtureBase(s, d)
+        val updates = cdcFixtureUpdates(base) // negative -k-1 insert keys, see Queries
         val mt = ManifestTable(s, root)
         val v0 = mt.overwrite(base)
         val v1 = mt.merge(updates, Seq("o_orderkey"))
@@ -269,13 +251,7 @@ private[graft] object QueriesEvents {
           .select(col("g"), col("cnt"), col("sum_val").cast("double").as("sum_price"))
           .orderBySmall(col("g"))
       },
-      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-        upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base WHERE o_orderkey % 10 = 0
-          UNION ALL
-          SELECT -o_orderkey - 1, 1.0 FROM base WHERE o_orderkey % 1000 = 1),
-        v1 AS (SELECT b.o_orderkey, b.o_totalprice FROM base b
-            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
-          UNION ALL SELECT o_orderkey, o_totalprice FROM upd)
+      Some(s"""WITH $cdcFixtureSql
         SELECT ((o_orderkey % 7) + 7) % 7 AS g, count(*) AS cnt,
           ${dsumSql("o_totalprice", 20, 2)} AS sum_price
         FROM v1 GROUP BY 1 ORDER BY 1""")),

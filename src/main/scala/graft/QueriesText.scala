@@ -495,7 +495,10 @@ private[graft] object QueriesText {
       // token-budget corpus mixture: per-source keep rates derived from
       // mixture weights and the measured per-source token mass, then a
       // deterministic hash-unit filter — the whole mix decision is
-      // engine-portable (exact md5 bits / 2^60, IEEE-identical rate math)
+      // engine-portable (exact md5 bits / 2^52, IEEE-identical rate math:
+      // Sampling.hashUnit deliberately stops at 52 bits — the double
+      // mantissa — because a 60-bit int-to-double cast would round and
+      // diverge between engines; the oracle divides by 4503599627370496)
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))

@@ -11,7 +11,7 @@ import graft.Queries._
   * Split out of QueriesText.scala (round 14, at the 1,600-line chunk
   * ceiling) purely for review and merge cost; concatenated DIRECTLY after
   * part 1 in [[Queries.all]], so the key order is byte-identical to the
-  * pre-split registry. 27 keys.
+  * pre-split registry. 28 keys (27 at the split; dedup_hamming_capped added r15).
   */
 private[graft] object QueriesText2 {
   val defs: Seq[QueryDef] = Seq(

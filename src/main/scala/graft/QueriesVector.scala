@@ -8,7 +8,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — similarity search + multimodal plumbing (north star): ANN brute/IVF/PQ, SRP banding, codecs, perceptual hashes.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 31 keys.
+  * byte-identical to its pre-split form. 33 keys (31 at the split; mm_video_frames + mm_mjpeg_frames added r17).
   */
 private[graft] object QueriesVector {
   val defs: Seq[QueryDef] = Seq(
