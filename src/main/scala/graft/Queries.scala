@@ -125,8 +125,7 @@ object Queries {
     * four synchronized edits.
     */
   private[graft] def cdcFixtureUpdates(base: DataFrame): DataFrame =
-    base.where(col("o_orderkey") % 10 === 0)
-      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    mergeFixtureRepriced(base) // ONE copy of the %10 re-pricing arm
       .unionByName(base.where(col("o_orderkey") % 1000 === 1)
         .select((-col("o_orderkey") - 1).as("o_orderkey"),
           lit(1.0).as("o_totalprice")))

@@ -273,7 +273,12 @@ trait AnalyticsGraphOps extends AnalyticsBase {
       throw new IllegalStateException(
         s"kCore: not converged after $maxRounds rounds ($subK sub-$k nodes still " +
           "peeling) — raise maxRounds")
-    // the final census IS the answer — its checkpoint blocks back the frame
+    // the final census IS the answer — its checkpoint blocks back the
+    // frame; the terminal EDGE table's blocks back nothing anymore (the
+    // pre-fold code returned a census recomputed from them) and would pin
+    // an edge-set-sized cache per invocation, so free them here like every
+    // superseded round's
+    org.apache.spark.sql.GraftBridge.freeCheckpoint(cur)
     deg.select(col("node"), col("deg").as("degree"))
   }
 

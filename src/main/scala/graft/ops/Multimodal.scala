@@ -1162,6 +1162,9 @@ object Multimodal {
       while (c != null && c.getNodeName != name) c = c.getNextSibling
       Option(c)
     }
+    // the fallback decodes frame 0 for its extent — keep it so the loop's
+    // first iteration does not pay the same LZW decode twice
+    var frame0: BufferedImage = null
     val (lw, lh) = {
       val dims = for {
         sm <- Option(reader.getStreamMetadata)
@@ -1169,12 +1172,12 @@ object Multimodal {
         w <- attr(lsd, "logicalScreenWidth").map(_.toInt) if w > 0
         h <- attr(lsd, "logicalScreenHeight").map(_.toInt) if h > 0
       } yield (w, h)
-      dims.getOrElse { val f0 = reader.read(0); (f0.getWidth, f0.getHeight) }
+      dims.getOrElse { frame0 = reader.read(0); (frame0.getWidth, frame0.getHeight) }
     }
     var canvas = new BufferedImage(lw, lh, BufferedImage.TYPE_INT_ARGB)
     val out = Seq.newBuilder[VideoFrameFeatures]
     for (f <- 0 until n) {
-      val img = reader.read(f)
+      val img = if (f == 0 && frame0 != null) frame0 else reader.read(f)
       val tree = reader.getImageMetadata(f).getAsTree("javax_imageio_gif_image_1.0")
       val desc = child(tree, "ImageDescriptor")
       val left = desc.flatMap(attr(_, "imageLeftPosition")).map(_.toInt).getOrElse(0)

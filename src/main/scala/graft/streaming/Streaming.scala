@@ -191,31 +191,38 @@ object Streaming {
                     sinkId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // WITHIN-batch dedup mirrors idempotentParquetAppend's first layer: a
-      // coalesced trigger can carry one id twice (two source blocks drained
-      // in one batch), and the snapshot anti-join below only sees PRIOR
-      // commits — without this, both copies would land in one append.
-      // Deterministic by the vector's total order (the serve-side
-      // discipline); NULL ids are outside the corpus-id-space contract and
-      // would defeat the plain-equality anti-join on every redelivery.
-      val assigned = graft.ops.Aggregates.dedupFirst(
-          batch.filter(col(idCol).isNotNull), Seq(idCol), Seq(col(vecCol).asc))
-        .withColumn("cluster",
-          graft.ops.Similarity.nearestCentroid(col(vecCol), cents))
-      val fresh = index.latestVersion() match {
-        case Some(v) =>
-          val existing = index.snapshotAt(v)
-            .select(col(idCol).as("_graft_indexed_id")).distinct()
-          assigned.join(existing,
-            assigned(idCol) === existing("_graft_indexed_id"), "left_anti")
-        case None => assigned
+      // token FAST PATH first — the scaladoc's cheap-replay contract: a
+      // crash-replayed batch whose token already rides the manifest costs
+      // ONE manifest read here, never the corpus-sized snapshot anti-join
+      // below (which would also recognize it, a full scan later)
+      if (!index.txnVersion(sinkId).exists(_ >= batchId)) {
+        // WITHIN-batch dedup mirrors idempotentParquetAppend's first layer:
+        // a coalesced trigger can carry one id twice (two source blocks
+        // drained in one batch), and the snapshot anti-join below only sees
+        // PRIOR commits — without this, both copies would land in one
+        // append. Deterministic by the vector's total order (the serve-side
+        // discipline); NULL ids are outside the corpus-id-space contract
+        // and would defeat the plain-equality anti-join on every
+        // redelivery.
+        val assigned = graft.ops.Aggregates.dedupFirst(
+            batch.filter(col(idCol).isNotNull), Seq(idCol), Seq(col(vecCol).asc))
+          .withColumn("cluster",
+            graft.ops.Similarity.nearestCentroid(col(vecCol), cents))
+        val fresh = index.latestVersion() match {
+          case Some(v) =>
+            val existing = index.snapshotAt(v)
+              .select(col(idCol).as("_graft_indexed_id")).distinct()
+            assigned.join(existing,
+              assigned(idCol) === existing("_graft_indexed_id"), "left_anti")
+          case None => assigned
+        }
+        // an all-duplicates batch appends nothing AND spends no version —
+        // a replay anti-joins to empty again, so skipping the token commit
+        // here cannot double-append (the ids are already the dedup key)
+        graft.ops.Sinks.writeIfNonEmpty(fresh, f => {
+          index.appendOnce(f, sinkId, batchId); ()
+        })
       }
-      // an all-duplicates batch appends nothing AND spends no version —
-      // a replay anti-joins to empty again, so skipping the token commit
-      // here cannot double-append (the ids are already the dedup key)
-      graft.ops.Sinks.writeIfNonEmpty(fresh, f => {
-        index.appendOnce(f, sinkId, batchId); ()
-      })
       ()
     }
 

@@ -1113,9 +1113,14 @@ class StreamingSpec extends SparkSpec {
       .start()
     def rows() = spark.table("closed_timeout_out")
       .as[(Long, Long, Long, Long)].collect().toSeq
+    val t0 = System.currentTimeMillis
     input.addData((1L, 0L), (1L, 5L), (2L, 100L))
     Thread.sleep(800) // well under the 2 s timeout: data processed, no flush
-    assert(rows().isEmpty, "nothing may close before the idle timeout expires")
+    // the negative check is gated on wall time: on a stalled host (GC,
+    // CI contention) more than 2 s can elapse before the probe, at which
+    // point a flush is CORRECT behavior — skip rather than false-fail
+    if (System.currentTimeMillis - t0 < 1500)
+      assert(rows().isEmpty, "nothing may close before the idle timeout expires")
     // with NO further data, the quiet keys must flush by timeout alone
     awaitSink("timeout flush of both open tails") {
       rows().toSet == Set((1L, 0L, 5L, 2L), (2L, 100L, 100L, 1L))
