@@ -415,9 +415,17 @@ trait AnalyticsGraphOps extends AnalyticsBase {
       val votes = sym.join(lab.select(col("v").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("v"), col("label"))
         .agg(count(lit(1)).as("_cnt"))
+      // min(struct(−cnt, label)), not max(struct(cnt, −label, label)):
+      // negating the COUNT (a positive long — never overflows) keeps the
+      // smallest-label tie-break correct for ANY orderable id type. The
+      // max form negated the LABEL, which casts a string id to double —
+      // NULL under this repo's ANSI-off posture — so equal-count ties
+      // fell through to the raw label and max silently picked the
+      // LARGEST, inverting the documented rule exactly for the string-
+      // keyed graphs this op is the designated home for (and wrapping at
+      // Long.MinValue for long ids).
       lab = votes.groupBy(col("v"))
-        .agg(max(struct(col("_cnt").as("c"), (-col("label")).as("nl"),
-          col("label").as("l"))).as("_w"))
+        .agg(min(struct((-col("_cnt")).as("nc"), col("label").as("l"))).as("_w"))
         .select(col("v"), col("_w.l").as("label"))
       // rounds chain LAZILY (single-reference chain — nothing recomputes);
       // an eager checkpoint every `checkpointEvery` rounds — and on the
@@ -487,9 +495,20 @@ trait AnalyticsGraphOps extends AnalyticsBase {
       // round, then this round's sum is 0 and `div` would yield NULL,
       // silently nulling every score). Fail loudly in-plan instead —
       // no extra driver job; the fix is a larger `scale` (> node count).
+      // the UPPER bound gets the same in-plan fail-loudly treatment as the
+      // Σx = 0 lower bound: x·scale wraps silently under ANSI-off once a
+      // raw score exceeds Long.MaxValue/scale (a hub with in-degree
+      // ~Long.MaxValue/scale² at the default scale), which would propagate
+      // garbage (possibly negative) scores through every later round. Pure
+      // expression — no extra driver job, job pins unchanged.
       val norm = full.crossJoin(broadcast(s))
         .select(col("v"),
-          when(col("_s") > 0, expr(s"$c * ${scale}L div _s"))
+          when(col("_s") > 0,
+            when(col(c) <= lit(Long.MaxValue / scale), expr(s"$c * ${scale}L div _s"))
+              .otherwise(raise_error(lit(
+                "hitsFixedPoint: score * scale would overflow 64-bit — " +
+                  "lower `scale` (or split the hottest hubs) so raw scores stay " +
+                  s"<= ${Long.MaxValue / scale}"))))
             .otherwise(raise_error(lit(
               "hitsFixedPoint: normalization sum collapsed to 0 — " +
                 "scale must exceed the node count for near-uniform graphs")))

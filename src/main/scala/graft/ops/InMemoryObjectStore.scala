@@ -115,7 +115,13 @@ final class InMemoryObjectStore(listPageSize: Int = Int.MaxValue,
       // (throttleEvery=1 would otherwise never terminate). Pages come
       // back in reverse order so no caller can lean on lexicographic
       // listing surviving pagination.
-      val pages = matched.sorted.grouped(listPageSize).toSeq
+      // an EMPTY result is still one billed request (a real store returns
+      // one empty page); grouped() on Nil yields zero groups, which would
+      // make empty-prefix polls free and unthrottleable — fault pressure a
+      // contract test could never apply
+      val pages =
+        if (matched.isEmpty) Seq(Seq.empty[String])
+        else matched.sorted.grouped(listPageSize).toSeq
       pages.indices.foreach { i =>
         var attempt = 0
         var done = false

@@ -348,8 +348,16 @@ object Sinks {
     * (unable to infer schema) and the first real append could never proceed.
     */
   private[graft] def existsNonEmpty(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE walking (the processNewPartitions rule): listFiles
+    // returns fully-qualified paths, so an unqualified RELATIVE root never
+    // matches them and belowRootComponents would include every filesystem
+    // ancestor — one dot/underscore ancestor dir (a CI workspace under
+    // ~/.cache, a _work checkout) then makes every data file look hidden
+    // and a non-empty table is misread as fresh, skipping the idempotence
+    // anti-join entirely
+    val p = fs.makeQualified(raw)
     fs.exists(p) && hasVisibleFile(fs, p)
   }
 

@@ -116,6 +116,15 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             lat1.references.subsetOf(left.outputSet) && lon1.references.subsetOf(left.outputSet) &&
             lat2.references.subsetOf(right.outputSet) && lon2.references.subsetOf(right.outputSet) =>
           (lat1, lon1, lat2, lon2, r, twoR)
+        // the SYMMETRIC orientation — haversine(r.lat, r.lon, l.lat, l.lon)
+        // — is the same predicate (great-circle distance is symmetric in
+        // its two points); without this case the rewrite silently declined
+        // and the query ran as the full Cartesian product it was written
+        // naively against
+        case p @ HaversinePredicate(lat1, lon1, lat2, lon2, r, twoR) if r > 0 && twoR > 0 &&
+            lat1.references.subsetOf(right.outputSet) && lon1.references.subsetOf(right.outputSet) &&
+            lat2.references.subsetOf(left.outputSet) && lon2.references.subsetOf(left.outputSet) =>
+          (lat2, lon2, lat1, lon1, r, twoR)
       }
       hit match {
         case Some((lat1, lon1, lat2, lon2, r, twoR)) =>
@@ -150,14 +159,15 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   Literal(1.001)))),
               Literal(360.0))
           }
+          // cells must be EVENLY sized: floor (not ceil) picks the cell
+          // count so every cell is 360/ring >= w wide — a ceil'd count
+          // leaves a truncated final cell narrower than w, and a pair
+          // straddling the lon=0 seam through that sliver lands 2 cells
+          // apart, invisible to the ±1 probe (silently dropped rows)
+          def ringCountOf(band: Expression): Expression =
+            Greatest(Seq(Floor(Divide(Literal(360.0), ringWidthOf(band))), Literal(1L)))
           def ringCellOf(lon: Expression, band: Expression, dRing: Expression): Expression = {
-            val w = ringWidthOf(band)
-            // cells must be EVENLY sized: floor (not ceil) picks the cell
-            // count so every cell is 360/ring >= w wide — a ceil'd count
-            // leaves a truncated final cell narrower than w, and a pair
-            // straddling the lon=0 seam through that sliver lands 2 cells
-            // apart, invisible to the ±1 probe (silently dropped rows)
-            val ring = Greatest(Seq(Floor(Divide(Literal(360.0), w)), Literal(1L)))
+            val ring = ringCountOf(band)
             val idx = Floor(Divide(
               Multiply(Pmod(dbl(lon), Literal(360.0)), Cast(ring, DoubleType)),
               Literal(360.0)))
@@ -180,7 +190,23 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val rBandExpr = Add(latBandOf(lat2), dLat)
           val rBand = Alias(rBandExpr, "_graft_band_r")()
           val rRing = Alias(ringCellOf(lon2, rBandExpr, dRing), "_graft_ring_r")()
-          val newRight = Project(right.output ++ Seq(rBand, rRing), genRing)
+          // a 1- or 2-cell ring (near-pole band) COLLAPSES the ±1 deltas
+          // modulo ring — the same pair would match the banded equi-join
+          // 2-3 times and the exact filter above keeps every copy
+          // (duplicated output rows). Joins.radiusJoin fails loudly on
+          // this (its cell count is a static parameter); the rule's ring
+          // is per-band dynamic and the rewrite must stay EXACT for any
+          // input, so DEDUPE the replicas instead: ring 1 keeps only
+          // dRing 0, ring 2 keeps {0, 1} (−1 ≡ +1 mod 2 — and +1 still
+          // reaches the one neighbor cell), ring ≥ 3 keeps all three.
+          val rRingCount = ringCountOf(rBandExpr)
+          val replicaKeep = Or(
+            GreaterThanOrEqual(rRingCount, Literal(3L)),
+            Or(And(EqualTo(rRingCount, Literal(2L)),
+                GreaterThanOrEqual(dRing, Literal(0L))),
+              EqualTo(dRing, Literal(0L))))
+          val newRight = Project(right.output ++ Seq(rBand, rRing),
+            Filter(replicaKeep, genRing))
 
           val banded = Join(newLeft, newRight, Inner,
             Some(And(

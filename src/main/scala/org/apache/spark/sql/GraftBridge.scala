@@ -76,9 +76,24 @@ object GraftBridge {
         val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty).getOrElse("\\")
         def literal(s: String): String =
           s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+        // scope an UNQUALIFIED probe to the connection's current
+        // catalog/schema: getTables(null, null, name) matches a same-named
+        // table in ANY schema — including ones off the search path that
+        // the subsequent read cannot resolve — so "exists" would point at
+        // a table the caller can never use and the legitimate first write
+        // could never create its own. Drivers without the accessors (or
+        // with no current schema) fall back to null = the old any-schema
+        // match.
+        def safe(get: => String): String =
+          try get catch { case _: java.sql.SQLException => null }
+        val (catScope, schemaScope) =
+          if (schemaPat != null) (null: String, null: String)
+          else (safe(conn.getCatalog), safe(conn.getSchema))
         Seq[String => String](identity, _.toUpperCase, _.toLowerCase).exists { f =>
-          val rs = md.getTables(null,
-            Option(schemaPat).map(f andThen literal).orNull, literal(f(namePat)), Array("TABLE"))
+          val rs = md.getTables(catScope,
+            Option(schemaPat).map(f andThen literal)
+              .getOrElse(Option(schemaScope).map(literal).orNull),
+            literal(f(namePat)), Array("TABLE"))
           try rs.next() finally rs.close()
         }
       }

@@ -514,6 +514,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.timeWeightedAvg(single, col("et"), col("ts"), col("id"), col("v")).count() === 0L)
   }
 
+  test("labelPropagation: STRING ids keep the smallest-label tie-break") {
+    import spark.implicits._
+    // a 2-path b—a—c: node a's neighbors vote 'b' and 'c' once each — the
+    // documented tie-break is the SMALLEST label. The old
+    // max(struct(cnt, -label, label)) negated the LABEL, which casts a
+    // string to double (NULL under ANSI-off), so ties fell through to the
+    // raw label and max picked the LARGEST — silently inverting the rule
+    // for exactly the string-keyed graphs this op is the designated home
+    // for (canonicalEdgesWithDegrees routes them here)
+    val e = Seq(("b", "a"), ("a", "c")).toDF("s", "t")
+    val got = graft.ops.Analytics.labelPropagation(e, "s", "t", rounds = 1)
+      .as[(String, String)].collect().toMap
+    assert(got("a") == "b", s"equal-count ties must break to the SMALLEST label, got ${got("a")}")
+  }
+
   test("labelPropagation: two cliques joined by a bridge resolve to min-id communities; deterministic across layouts") {
     import spark.implicits._
     // two DISCONNECTED K4s: no cross-community influence, so each clique

@@ -67,6 +67,58 @@ class RadiusRuleSpec extends SparkSpec {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("regression: a 1-2-cell polar ring must not DUPLICATE pairs (multiset, not set, equality)") {
+    Graft.install(spark)
+    // all points inside lat 88-89.9: the band's ±1 reach touches the pole,
+    // so ringWidthOf returns up to 360° and ring collapses to 1 (or 2) —
+    // the ±1 dRing replicas collide modulo ring and, before the replica
+    // dedup, every qualifying pair joined 2-3× (the exact filter keeps all
+    // copies; the earlier pole test compared toSet, which masked this)
+    val l = spark.range(0, 60).select($"id".as("lid"),
+      (lit(88.0) + ($"id" * 7 % 19) / 10.0).as("llat"),
+      (($"id" * 53 % 3599) / 10.0 - 179.9).as("llon"))
+    val r = spark.range(0, 30).select($"id".as("rid"),
+      (lit(88.0) + ($"id" * 11 % 19) / 10.0).as("rlat"),
+      (($"id" * 13 % 3599) / 10.0 - 179.9).as("rlon"))
+    def q = l.crossJoin(r)
+      .where(Geo.haversineKm($"llat", $"llon", $"rlat", $"rlon") <= lit(500.0))
+      .select("lid", "rid")
+    assert(!q.queryExecution.executedPlan.toString.contains("NestedLoopJoin"))
+    val got = q.as[(Long, Long)].collect().toSeq.sorted
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val brute = l.crossJoin(r)
+      .where(Geo.haversineKm($"llat", $"llon", $"rlat", $"rlon") <= lit(500.0))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    spark.experimental.extraOptimizations = prev
+    assert(brute.nonEmpty && brute.distinct == brute)
+    assert(got == brute,
+      s"multiset mismatch: got ${got.size} rows (${got.distinct.size} distinct), " +
+        s"brute ${brute.size}")
+  }
+
+  test("symmetric orientation — haversine(right, left) — rewrites too, identical results") {
+    Graft.install(spark)
+    val l = points(150, 7, 13).withColumnsRenamed(Map("id" -> "lid", "lat" -> "llat", "lon" -> "llon"))
+    val r = points(10, 91, 53).withColumnsRenamed(Map("id" -> "rid", "lat" -> "rlat", "lon" -> "rlon"))
+    // the RIGHT side's coordinates as the FIRST point pair: great-circle
+    // distance is symmetric, so this must rewrite exactly like the
+    // canonical orientation instead of silently staying a Cartesian
+    val naive = l.crossJoin(r)
+      .where(Geo.haversineKm($"rlat", $"rlon", $"llat", $"llon") <= lit(300.0))
+      .select("lid", "rid")
+    val physical = naive.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") && !physical.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire on the symmetric orientation:\n$physical")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val brute = l.crossJoin(r)
+      .where(Geo.haversineKm($"rlat", $"rlon", $"llat", $"llon") <= lit(300.0))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    spark.experimental.extraOptimizations = prev
+    assert(naive.as[(Long, Long)].collect().toSeq.sorted == brute && brute.nonEmpty)
+  }
+
   test("regression: in-radius pair through the narrow lon-seam sliver is not dropped") {
     // with ceil-based ring sizing the final cell was narrower than the ring
     // width; this exact pair (10.78 km apart at r=11) straddled it and
