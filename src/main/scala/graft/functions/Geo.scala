@@ -54,13 +54,36 @@ object Geo {
     * Vertices must be CCW and convex; both are the caller's contract
     * (assert offline — a convexity check per row would be waste).
     * Codegen-friendly composition of built-ins; O(|vertices|) per row.
+    *
+    * The INTEGER contract is ENFORCED, not assumed: a fractional
+    * coordinate used to truncate through cast("long") — classifying via
+    * a point the caller never supplied while the SQL mirror evaluated
+    * the fraction in doubles (oracle divergence) — and coordinates past
+    * 2^30 could wrap the 64-bit cross products silently under ANSI-off,
+    * breaking the "EXACT, no epsilon" guarantee. Both now fail loudly
+    * in-plan (vertices at require-time); |coord| ≤ 2^30 keeps every
+    * cross product within 2^63. NULL coordinates keep their original
+    * semantics (NULL predicate → row filtered).
     */
   def pointInConvexPolygon(px: Column, py: Column, vertices: Seq[(Long, Long)]): Column = {
     require(vertices.length >= 3, "a polygon needs at least 3 vertices")
+    val bound = 1L << 30
+    require(vertices.forall { case (x, y) => math.abs(x) <= bound && math.abs(y) <= bound },
+      s"polygon vertices must satisfy |coord| <= 2^30 so edge cross products stay in 63 bits")
+    def checked(c: Column, name: String): Column = {
+      val l = c.cast("long")
+      when(c.isNull, lit(null).cast("long"))
+        .when(c.cast("double") === l.cast("double") && abs(l) <= lit(bound), l)
+        .otherwise(raise_error(concat(
+          lit(s"pointInConvexPolygon: $name = "), c.cast("string"),
+          lit(" violates the integer-coordinate contract (must be integral with |v| <= 2^30)"))))
+    }
+    val pxl = checked(px, "px")
+    val pyl = checked(py, "py")
     val edges = vertices.zip(vertices.tail :+ vertices.head)
     edges.map { case ((x1, y1), (x2, y2)) =>
-      (lit(x2 - x1) * (py.cast("long") - lit(y1)) -
-        lit(y2 - y1) * (px.cast("long") - lit(x1))) >= 0
+      (lit(x2 - x1) * (pyl - lit(y1)) -
+        lit(y2 - y1) * (pxl - lit(x1))) >= 0
     }.reduce(_ && _)
   }
 

@@ -46,12 +46,30 @@ object NormalizeKernel {
       if (java.text.Normalizer.isNormalized(str, form(mode))) s
       else UTF8String.fromString(java.text.Normalizer.normalize(str, form(mode)))
     } else {
+      // all-ASCII fast path: ASCII is invariant under NFD and contains no
+      // combining marks, so strip == identity — one byte scan, zero
+      // allocation (the overwhelmingly-common corpus case; without it
+      // every row paid a full NFD copy + NFC re-check)
+      var ascii = true
+      var b = 0
+      val n = s.numBytes()
+      while (ascii && b < n) {
+        if ((s.getByte(b) & 0x80) != 0) ascii = false
+        b += 1
+      }
+      if (ascii) return s
       val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+      // CODE-POINT iteration, not chars: Character.getType(char) on a
+      // surrogate returns SURROGATE, never NON_SPACING_MARK, so astral Mn
+      // marks (e.g. U+1E944) were neither detected nor stripped — the
+      // documented "NFD → drop Mn → NFC" contract missed the whole
+      // supplementary plane
       var hasMark = false
       var i = 0
       while (!hasMark && i < nfd.length) {
-        if (Character.getType(nfd.charAt(i)) == Character.NON_SPACING_MARK) hasMark = true
-        i += 1
+        val cp = nfd.codePointAt(i)
+        if (Character.getType(cp) == Character.NON_SPACING_MARK) hasMark = true
+        i += Character.charCount(cp)
       }
       if (!hasMark) {
         // no marks anywhere: strip == plain NFC
@@ -62,9 +80,9 @@ object NormalizeKernel {
         val sb = new java.lang.StringBuilder(nfd.length)
         i = 0
         while (i < nfd.length) {
-          val c = nfd.charAt(i)
-          if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-          i += 1
+          val cp = nfd.codePointAt(i)
+          if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
         }
         UTF8String.fromString(
           java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))

@@ -34,6 +34,25 @@ object SetKernels {
       else if (cmp < 0) i += 1
       else j += 1
     }
+    // the in-walk guard only sees elements the merge VISITS, but
+    // array_sort places nulls LAST — exactly where the walk terminates
+    // once the shorter side is exhausted — so the corrupt-set case it
+    // exists for used to pass silently (under-counting the union-side
+    // cardinality the caller derives). Sweep the unvisited tails.
+    var t = i
+    while (t < na) {
+      if (a.isNullAt(t))
+        throw new IllegalArgumentException(
+          "null shingle element — a corrupt set must fail, not silently under-count")
+      t += 1
+    }
+    t = j
+    while (t < nb) {
+      if (b.isNullAt(t))
+        throw new IllegalArgumentException(
+          "null shingle element — a corrupt set must fail, not silently under-count")
+      t += 1
+    }
     c
   }
 }

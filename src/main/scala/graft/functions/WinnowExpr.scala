@@ -40,7 +40,12 @@ object WinnowKernel {
       hashes(i) = XXH64.hashUnsafeBytes(base, off + i, k, Seed)
       i += 1
     }
-    // monotone deque of candidate-minimum indices for the sliding window
+    // monotone deque of candidate-minimum indices for the sliding window.
+    // MIRROR CONTRACT: this control flow is intentionally duplicated in
+    // WinnowMd5Kernel below (primitive-long vs String element types keep
+    // both hot loops monomorphic; a shared comparator-indirected routine
+    // would box or megamorph) — any fix to the eviction/window logic MUST
+    // be applied to both copies.
     val deque = new Array[Int](numGrams)
     var head = 0
     var tail = 0 // deque is [head, tail)
@@ -111,11 +116,28 @@ object WinnowMd5Kernel {
 
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = "0123456789abcdef".toCharArray
+    // one O(n) pass builds the code-point → byte-offset table, then every
+    // gram is a direct byte slice: UTF8String.substring(i, i+k) re-walks
+    // the bytes from position 0 on EVERY call, which made this loop O(n²)
+    // per document — on a 100 KB doc the quadratic walk dominated the md5
+    // work the kernel exists to expose. The slice is byte-identical to
+    // substring(i, i+k).getBytes (both count CODE POINTS; a 4-byte UTF-8
+    // sequence is one step either way).
+    val all = s.getBytes
+    val offs = new Array[Int](n + 1)
+    var cp = 0
+    var bo = 0
+    while (cp < n) {
+      offs(cp) = bo
+      bo += UTF8String.numBytesForFirstByte(all(bo))
+      cp += 1
+    }
+    offs(n) = bo
     val hashes = new Array[String](numGrams)
     var i = 0
     while (i < numGrams) {
       // code-point substring == Spark's substr / DuckDB's substring
-      val digest = md.digest(s.substring(i, i + k).getBytes)
+      val digest = md.digest(java.util.Arrays.copyOfRange(all, offs(i), offs(i + k)))
       val cs = new Array[Char](8)
       var b = 0
       while (b < 4) {
@@ -127,7 +149,10 @@ object WinnowMd5Kernel {
       i += 1
     }
     // monotone deque sliding minimum; lexicographic String order == the
-    // UTF8String binary order array_min/min use on lowercase hex
+    // UTF8String binary order array_min/min use on lowercase hex.
+    // MIRROR CONTRACT: same control flow as WinnowKernel above — fixes to
+    // the eviction/window logic must land in both copies (see the note
+    // there for why they are not unified).
     val deque = new Array[Int](numGrams)
     var head = 0
     var tail = 0

@@ -717,7 +717,12 @@ class TextPipelineSpec extends SparkSpec {
       (4L, "\u1100\u1161"),         // Hangul jamo pair -> composes to U+AC00
       (5L, "plain ascii"),
       (6L, ""),
-      (7L, null.asInstanceOf[String])).toDF("id", "s")
+      (7L, null.asInstanceOf[String]),
+      // supplementary-plane combining mark (U+1E944 Adlam alif lengthener,
+      // category Mn, surrogate-encoded): the char-wise Character.getType
+      // scan saw two SURROGATEs and stripped nothing \u2014 the documented
+      // "NFD -> drop Mn -> NFC" contract must cover astral marks too
+      (8L, "a\ud83a\udd44b")).toDF("id", "s")
     val got = rows.select(col("id"), NormalizeOps.nfc(col("s")).as("nfc"),
         NormalizeOps.nfkc(col("s")).as("nfkc"),
         NormalizeOps.stripAccents(col("s")).as("strip"))
@@ -729,6 +734,8 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(4L)._2 == "\uac00", "jamo compose under NFC")
     assert(got(5L)._2 == "plain ascii" && got(5L)._4 == "plain ascii")
     assert(got(6L)._2 == "" && got(7L)._2 == null, "empty identity, null propagates")
+    assert(got(8L)._4 == "ab",
+      s"an astral Mn mark must strip like a BMP one, got '${got(8L)._4}'")
     // idempotence: normalize twice == once (NFC over already-NFC output)
     val twice = rows.where(col("s").isNotNull)
       .select(NormalizeOps.nfc(NormalizeOps.nfc(col("s"))).as("a"),
