@@ -45,8 +45,16 @@ object Bench {
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
       .foreach(d => spark.conf.set(graft.ops.Lineage.CheckpointDirKey, d))
     val selected = Queries.all.filter(q => only.forall(_.contains(q.name)))
-    // a typo'd allowlist would otherwise emit a healthy-looking
-    // {"total":0,"failed":0} — indistinguishable from a perfect run
+    // PER-ENTRY unknown-name check (the Verify guard): the all-or-nothing
+    // form only warned when NOTHING matched, so one typo in a multi-name
+    // allowlist silently dropped that query from the run while the JSON
+    // looked healthy
+    only.foreach { o =>
+      val unknown = o -- Queries.all.map(_.name).toSet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY entries match no query: " +
+          unknown.mkString(", "))
+    }
     if (only.nonEmpty && selected.isEmpty)
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY=${only.get.mkString(",")} " +
         "matches NO query — the totals below cover zero queries")
@@ -100,10 +108,14 @@ object Bench {
     val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     // Profiling mode: per-query Spark JOB counts (the driver-host cost model
     // is scheduling rounds, not row work — see AQE comment above). The
-    // status store is fed asynchronously, so each sample needs a settle
-    // sleep; gated off in timed runs.
+    // status store is fed asynchronously: drain the listener bus before
+    // each sample (the JobCount/PlanSpec technique) instead of a fixed
+    // sleep — under load the bus can still be posting >300 ms after a
+    // query finishes, misattributing its tail jobs to the NEXT query's
+    // delta (drainListenerBus's own doc calls the fixed sleep out).
+    // Gated off in timed runs.
     def jobsSoFar(): Int = {
-      if (countJobs) Thread.sleep(300)
+      if (countJobs) org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     }
     val results = selected.map { q =>
@@ -173,7 +185,16 @@ object Bench {
     // catastrophic all-fail run cannot push the total out of the window
     val failedJson = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]") +
       (if (failedNames.size > 8) s",\"failed_more\":${failedNames.size - 8}" else "")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(top20)},"sf":"$sfDir","n_queries":${results.size},"r1_subset_sec":${f3(r1Hits.map(_._2).sum)},"r1_subset_n":${r1Hits.size},"failed":$failed,"failed_names":$failedJson,"warmup_failed":$warmupFailed,"total_sec":${f3(total)}}""")
+    // sfDir is env-controlled: a quote/backslash in the path would make
+    // the one artifact line unparseable (the exact "parsed": null failure
+    // the comments above defend against) — escape it like Verify does
+    val sfJson = "\"" + sfDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(top20)},"sf":$sfJson,"n_queries":${results.size},"r1_subset_sec":${f3(r1Hits.map(_._2).sum)},"r1_subset_n":${r1Hits.size},"failed":$failed,"failed_names":$failedJson,"warmup_failed":$warmupFailed,"total_sec":${f3(total)}}""")
     System.out.flush()
   }
 }

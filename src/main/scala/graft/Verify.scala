@@ -28,12 +28,28 @@ object Verify {
         System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY entries match no query: " +
           unknown.mkString(", "))
     }
+    val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failedNames += name
+        // FAIL CLOSED: a failure thrown during ANALYSIS never reaches the
+        // overwrite, so a reused outDir still holds the PREVIOUS run's
+        // dump for this key — the oracle compare would silently pass on
+        // stale rows. Delete any existing dump so the failure is visible
+        // to the compare, and record the name for the checker.
+        val stale = Paths.get(outDir, name)
+        if (Files.exists(stale)) {
+          try {
+            Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { Files.deleteIfExists(p); () })
+          } catch { case de: Throwable =>
+            System.err.println(s"[verify] could not delete stale dump for $name: ${de.getMessage}")
+          }
+        }
       }
       // queries that persist intermediates (curation funnels) must not hold
       // their blocks across the remaining ~100 queries of the dump
@@ -54,6 +70,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the checker reads this and counts each entry as a FAILURE: without
+    // it, a query that crashed before dumping simply had no dir to compare
+    // and the run could still report "N pass, 0 fail"
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failedNames.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -33,7 +33,8 @@ object JobCount {
     }
     spark.sparkContext.addSparkListener(counter)
     for (name <- names.split(",")) {
-      val fn = Queries.all.find(_.name == name).get.fn
+      val fn = Queries.all.find(_.name == name).getOrElse(
+        sys.error(s"JobCount: unknown query '$name' — check the comma-separated list")).fn
       def noop(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       noop()

@@ -13,9 +13,17 @@ object ProfileCuration {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // match the BENCH posture exactly (AQE off): this profiler exists to
+      // optimize the benched hot path, and AQE-on re-plans exchanges into
+      // a different job/stage shape than the one being tuned
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the kernels assume ANSI-off legacy semantics (Prep's contract:
+    // every entry point applies these defensively) — without it, Spark 4
+    // defaults ANSI on and the profiled plans can throw or diverge
+    graft.Prep.ensure(spark)
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

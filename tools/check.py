@@ -26,6 +26,14 @@ def main(sf_dir, out_dir):
         con.sql(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # fail CLOSED on queries the dump itself reported as crashed: such a
+    # query has no dir to compare (Verify deletes any stale one), so
+    # without this the run could still print "N pass, 0 fail"
+    failed_path = os.path.join(out_dir, "failed.json")
+    if os.path.exists(failed_path):
+        for name in json.load(open(failed_path)):
+            print(f"✗ {name}: DUMP FAILED (query crashed in Verify)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
