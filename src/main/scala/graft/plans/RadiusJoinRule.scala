@@ -166,12 +166,32 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           // apart, invisible to the ±1 probe (silently dropped rows)
           def ringCountOf(band: Expression): Expression =
             Greatest(Seq(Floor(Divide(Literal(360.0), ringWidthOf(band))), Literal(1L)))
+          // a 1- or 2-cell ring (near-pole band) COLLAPSES the ±1 deltas
+          // modulo ring — the same pair would match the banded equi-join
+          // 2-3 times and the exact filter above keeps every copy
+          // (duplicated output rows). Joins.radiusJoin fails loudly on
+          // this (its cell count is a static parameter); the rule's ring
+          // is per-band dynamic and the rewrite must stay EXACT for any
+          // input, so collapsed replicas emit a NULL cell INSIDE this one
+          // expression (an inner equi-join never matches NULL, so the
+          // replica drops) — ring 1 keeps only dRing 0, ring 2 keeps
+          // {0, 1} (−1 ≡ +1 mod 2, and +1 still reaches the one neighbor
+          // cell), ring ≥ 3 keeps all three. In-expression (not a
+          // separate Filter) so the trig-heavy ring width is computed
+          // once per row via codegen subexpression elimination; on the
+          // LEFT side dRing is literal 0 and the guard constant-folds
+          // away entirely.
           def ringCellOf(lon: Expression, band: Expression, dRing: Expression): Expression = {
             val ring = ringCountOf(band)
             val idx = Floor(Divide(
               Multiply(Pmod(dbl(lon), Literal(360.0)), Cast(ring, DoubleType)),
               Literal(360.0)))
-            Pmod(Add(idx, dRing), ring) // pmod wraps the seam at the antimeridian
+            val keep = Or(
+              GreaterThanOrEqual(ring, Literal(3L)),
+              Or(And(EqualTo(ring, Literal(2L)), GreaterThanOrEqual(dRing, Literal(0L))),
+                EqualTo(dRing, Literal(0L))))
+            // pmod wraps the seam at the antimeridian
+            If(keep, Pmod(Add(idx, dRing), ring), Literal(null, LongType))
           }
 
           val lBand = Alias(latBandOf(lat1), "_graft_band")()
@@ -189,24 +209,9 @@ object RadiusJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           // identical keys for the band they actually meet in
           val rBandExpr = Add(latBandOf(lat2), dLat)
           val rBand = Alias(rBandExpr, "_graft_band_r")()
+          // collapsed-replica dedup lives inside ringCellOf (NULL cell)
           val rRing = Alias(ringCellOf(lon2, rBandExpr, dRing), "_graft_ring_r")()
-          // a 1- or 2-cell ring (near-pole band) COLLAPSES the ±1 deltas
-          // modulo ring — the same pair would match the banded equi-join
-          // 2-3 times and the exact filter above keeps every copy
-          // (duplicated output rows). Joins.radiusJoin fails loudly on
-          // this (its cell count is a static parameter); the rule's ring
-          // is per-band dynamic and the rewrite must stay EXACT for any
-          // input, so DEDUPE the replicas instead: ring 1 keeps only
-          // dRing 0, ring 2 keeps {0, 1} (−1 ≡ +1 mod 2 — and +1 still
-          // reaches the one neighbor cell), ring ≥ 3 keeps all three.
-          val rRingCount = ringCountOf(rBandExpr)
-          val replicaKeep = Or(
-            GreaterThanOrEqual(rRingCount, Literal(3L)),
-            Or(And(EqualTo(rRingCount, Literal(2L)),
-                GreaterThanOrEqual(dRing, Literal(0L))),
-              EqualTo(dRing, Literal(0L))))
-          val newRight = Project(right.output ++ Seq(rBand, rRing),
-            Filter(replicaKeep, genRing))
+          val newRight = Project(right.output ++ Seq(rBand, rRing), genRing)
 
           val banded = Join(newLeft, newRight, Inner,
             Some(And(
