@@ -143,6 +143,11 @@ class HadoopFsObjectStore(root: String, conf: Configuration) extends ObjectStore
   protected def renameNoOverwrite(tmp: Path, dest: Path): Unit =
     FileContext.getFileContext(dest.toUri, conf).rename(tmp, dest, Options.Rename.NONE)
 
+  /** Body-free existence probe (the HeadObject analog): one metadata RPC,
+    * not a full read — latestVersion's forward walk calls this per probe.
+    */
+  override def head(key: String): Boolean = fs.exists(pathOf(key))
+
   override def get(key: String): Option[Array[Byte]] = {
     // open-then-catch, not exists-then-open: the TOCTOU window of a
     // pre-check would misreport a concurrent publish

@@ -86,6 +86,17 @@ final class InMemoryObjectStore(listPageSize: Int = Int.MaxValue,
     }
   }
 
+  /** HEAD is its own billed request class (metadata, no body) — counted
+    * separately from GETs so request-economy tests can distinguish the
+    * probe traffic of the forward-walking latestVersion from data reads.
+    */
+  val headAttempts = new java.util.concurrent.atomic.AtomicInteger()
+  override def head(key: String): Boolean = {
+    maybeThrottle(s"head $key")
+    headAttempts.incrementAndGet()
+    objects.containsKey(key)
+  }
+
   override def get(key: String): Option[Array[Byte]] = {
     maybeThrottle(s"get $key")
     val n = getAttemptsByKey.merge(key, 1, (a, b) => a + b)

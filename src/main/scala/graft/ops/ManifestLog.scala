@@ -22,6 +22,12 @@ trait ManifestLogStore {
     */
   def read(v: Long): Option[Array[Byte]]
 
+  /** True iff version `v` has a published manifest — the body-free probe
+    * behind [[ManifestTable]]'s forward-walking `latestVersion()`. Stores
+    * override with their cheap form (filesystem exists / object HEAD).
+    */
+  def exists(v: Long): Boolean = read(v).isDefined
+
   /** Atomically publish version `v`. True = THIS call committed it; false
     * = retryable contention (another writer holds/won `v`) — the caller
     * re-derives from the new latest and retries. Non-contention store
@@ -69,6 +75,8 @@ final class HadoopLogStore(fsThunk: => FileSystem, logDir: Path) extends Manifes
       .collect { case ManifestName(v) => v.toLong }
       .toSeq.sorted
   }
+
+  override def exists(v: Long): Boolean = fs.exists(manifestPath(v))
 
   override def read(v: Long): Option[Array[Byte]] = {
     val p = manifestPath(v)
@@ -224,6 +232,15 @@ trait ObjectStoreClient {
 
   def get(key: String): Option[Array[Byte]]
 
+  /** Existence probe WITHOUT the body — S3 `HeadObject`, GCS/Azure
+    * metadata GET: the primitive behind [[ManifestTable]]'s forward-
+    * probing `latestVersion()` (a dense-version walk wants "is v+1
+    * there?", not v+1's bytes). Default = a full GET for clients that
+    * predate it; real SDK adapters should override with the metadata
+    * request.
+    */
+  def head(key: String): Boolean = get(key).isDefined
+
   /** Keys under `prefix` (object stores list lexicographically; order here
     * is unspecified and the caller sorts).
     */
@@ -285,6 +302,9 @@ final class ObjectStoreLogStore(client: ObjectStoreClient, prefix: String)
 
   override def read(v: Long): Option[Array[Byte]] =
     withTransientRetry("get")(client.get(key(v)))
+
+  override def exists(v: Long): Boolean =
+    withTransientRetry("head")(client.head(key(v)))
 
   override def publishIfAbsent(v: Long, body: Array[Byte]): Boolean = {
     // Resolution loop (see class doc): only a COMMITTED body at `v`

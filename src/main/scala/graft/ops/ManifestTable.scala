@@ -72,15 +72,14 @@ import org.apache.spark.sql.types._
   *    manifests; time travel older than that stops working, like Delta's
   *    `VACUUM` past the retention window.
   *  - The `_log` itself is append-only and never pruned: every commit adds
-  *    one manifest (plus one lock file on the Hadoop store), and
-  *    `latestVersion()` — on the hot path of every commit — is a full
-  *    directory LIST over all of them, so per-commit cost grows O(commits)
-  *    on long-lived streaming tables (a million triggers = a million-entry
-  *    listing, paginated and billed on S3). The production cure is a log
-  *    checkpoint / latest-version hint (Delta's `_last_checkpoint`), which
-  *    needs a list-from(startAfter) primitive this client API deliberately
-  *    doesn't carry yet — a documented scale trade, not an oversight;
-  *    within one job/bench lifetime the listing stays small.
+  *    one manifest (plus one lock file on the Hadoop store). The hot path
+  *    no longer pays for that growth: `latestVersion()` keeps a per-handle
+  *    lower bound and probes FORWARD (versions are dense), so a steady-
+  *    state commit costs one miss-probe instead of an O(commits) LIST —
+  *    only a handle's FIRST read (and explicit `versions()` calls: time
+  *    travel, vacuum) still lists the full log. Storage itself still
+  *    accumulates one small object per commit; pruning it would be a log
+  *    checkpoint (Delta's `_last_checkpoint`), deliberately out of scope.
   *  - On an object store, build with [[ManifestTable.onObjectStore]]: the
   *    CAS primitive becomes ONE conditional PUT of the manifest itself
   *    ([[ObjectStoreLogStore]]), the orphan-lock mode disappears, and the
@@ -102,7 +101,41 @@ final class ManifestTable private (
   /** Versions with a published manifest, ascending. */
   def versions(): Seq[Long] = log.listVersions()
 
-  def latestVersion(): Option[Long] = versions().lastOption
+  // A LOWER BOUND on the latest committed version, per table handle —
+  // the cure for the documented _log scale trade (see the class doc's
+  // failure notes): latestVersion() sits on the hot path of EVERY commit
+  // and snapshot, and a full `_log` LIST there grows O(commits) on
+  // long-lived streaming tables (a million triggers = a million-entry
+  // listing, paginated and billed on S3). Versions are DENSE
+  // (commitOnce: next = latest + 1 always) and manifests immutable, so
+  // once any version is known, the true latest is found by probing
+  // FORWARD one version at a time — in the steady state that is ONE
+  // cached-manifest hit per foreign commit plus ONE miss, independent of
+  // history length. Data races on the @volatile are benign (the bound
+  // only ever advances; a lost write costs an extra probe, never a wrong
+  // answer); a stale bound from another process's commits is caught up
+  // by the same probe walk. Cold handles (bound unset) pay one full LIST
+  // and then never again.
+  @volatile private var latestSeen: Long = -1L
+  private def advanceSeen(v: Long): Unit = { if (v > latestSeen) latestSeen = v }
+
+  def latestVersion(): Option[Long] = {
+    val base = latestSeen
+    if (base < 0L) {
+      val v = versions().lastOption
+      v.foreach(advanceSeen)
+      v
+    } else {
+      // body-free probes (filesystem exists / object HEAD): a fallen-
+      // behind handle pays one HEAD per foreign commit plus one miss;
+      // manifests the caller actually reads still land in the cache via
+      // readManifest as before
+      var v = base
+      while (log.exists(v + 1)) v += 1
+      advanceSeen(v)
+      Some(v)
+    }
+  }
 
   /** The table as of its newest commit. Fails on a never-committed table. */
   def snapshot(): DataFrame =
@@ -741,6 +774,7 @@ final class ManifestTable private (
     // merge's input) then cost zero GETs
     if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
     manifestCache.put(next, parseManifest(next, bodyBytes))
+    advanceSeen(next) // the committer KNOWS the new latest — no probe needed
     Some(next)
   }
 

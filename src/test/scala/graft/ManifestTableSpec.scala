@@ -450,6 +450,43 @@ class ManifestTableSpec extends SparkSpec {
     (ManifestTable.onObjectStore(spark, root, client), client, root)
   }
 
+  test("latestVersion forward-probe: cross-handle visibility and O(1) hot-path LIST economy") {
+    // the documented _log scale trade's cure: after a handle's first read,
+    // latestVersion probes FORWARD from a per-handle lower bound (versions
+    // are dense) instead of LISTing the whole log per commit
+    val root = freshRoot()
+    val lists = new java.util.concurrent.atomic.AtomicInteger()
+    val inner = new InMemoryObjectStore
+    val counting = new graft.ops.ObjectStoreClient {
+      override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean =
+        inner.putIfNoneMatch(key, bytes)
+      override def get(key: String): Option[Array[Byte]] = inner.get(key)
+      override def list(prefix: String): Seq[String] = {
+        lists.incrementAndGet(); inner.list(prefix)
+      }
+    }
+    val t1 = ManifestTable.onObjectStore(spark, root, counting)
+    t1.overwrite(kv(1L -> 1.0))
+    t1.append(kv(2L -> 2.0))
+    t1.append(kv(3L -> 3.0))
+    // a SECOND handle (cold: one full list) must see t1's commits...
+    val t2 = ManifestTable.onObjectStore(spark, root, counting)
+    assert(t2.latestVersion().contains(2L))
+    // ...and commits made AFTER its first read, via the probe walk
+    t1.append(kv(4L -> 4.0))
+    t1.append(kv(5L -> 5.0))
+    assert(t2.latestVersion().contains(4L),
+      "a stale handle must catch up to foreign commits by probing forward")
+    assert(t2.snapshot().count() === 5L)
+    // hot-path economy: the warm handle's appends must not LIST per commit
+    val before = lists.get()
+    (6L to 15L).foreach(k => t1.append(kv(k -> k.toDouble)))
+    val grew = lists.get() - before
+    assert(grew == 0,
+      s"a warm handle's commits must probe, never LIST — saw $grew lists over 10 appends")
+    assert(t1.latestVersion().contains(14L) && t1.snapshot().count() === 15L)
+  }
+
   test("object-store log: full lifecycle equals the filesystem table's; no lock objects exist") {
     val (t, client, root) = objectStoreTable()
     t.overwrite(kv(1L -> 1.0, 2L -> 2.0))
