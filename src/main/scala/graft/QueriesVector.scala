@@ -8,7 +8,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — similarity search + multimodal plumbing (north star): ANN brute/IVF/PQ, SRP banding, codecs, perceptual hashes.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 33 keys (31 at the split; mm_video_frames + mm_mjpeg_frames added r17).
+  * byte-identical to its pre-split form. 34 keys (31 at the split; mm_video_frames + mm_mjpeg_frames added r17, mm_video_composited r18).
   */
 private[graft] object QueriesVector {
   val defs: Seq[QueryDef] = Seq(
@@ -650,6 +650,68 @@ private[graft] object QueriesVector {
           CAST(vec_id % 5 + 6 + f AS INTEGER) AS height
         FROM embeddings, unnest(generate_series(0, CAST(vec_id % 3 AS BIGINT))) AS t(f)
         WHERE vec_id % 37 = 0 ORDER BY vec_id, frame_no""")),
+
+    QueryDef("mm_video_composited",
+      // GIF89a disposal COMPOSITING under the oracle (the r17 watch item's
+      // semantics, not just its spec): per row a 2-frame animated GIF —
+      // frame 0 a full-rect solid color on the logical screen, frame 1 a
+      // PARTIAL rect at an (x, y) offset, both doNotDispose — decoded with
+      // composite = true. The rendered frame-1 canvas is frame 1's color
+      // over its rect and frame 0's everywhere else, so its channel means
+      // are the exact integer blend (a·(WH − wh) + b·wh) / WH, which SQL
+      // replays arithmetically (palette GIFs are lossless; both engines
+      // divide the same exact integers as doubles). Frame 1 decoded
+      // AS-STORED would report its own rect's dims and pure color — this
+      // key fails if offsets, canvas persistence, or logical-screen dims
+      // regress. (restoreToBackgroundColor / restoreToPrevious stay
+      // spec-tested: their transparent-pixel means are viewer-defined.)
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 41 === 0).as[Long]
+        val gifs = ids.mapPartitions { it =>
+          it.map { id =>
+            def solid(r: Long, g: Long, b: Long, w: Int, h: Int) = {
+              val cm = new java.awt.image.IndexColorModel(8, 2,
+                Array((r % 256).toByte, 0.toByte),
+                Array((g % 256).toByte, 0.toByte),
+                Array((b % 256).toByte, 0.toByte))
+              // raster defaults to index 0 = the frame's color
+              new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            }
+            val w = (id % 11 + 4).toInt; val h = (id % 5 + 3).toInt
+            val w2 = (id % 3 + 1).toInt; val h2 = (id % 2 + 1).toInt
+            val off = (id % 2).toInt
+            (id, Multimodal.gifAnimatedBytesPlaced(Seq(
+              (solid(id * 3, id * 5, id * 7, w, h), 0, 0, "doNotDispose"),
+              (solid(id * 13, id * 17, id * 19, w2, h2), off, off, "doNotDispose"))))
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.videoFrameFeatures(gifs, "vec_id", everyNth = 1, composite = true)
+          .select(col("id").as("vec_id"), col("frame_no"), col("ok"),
+            col("width"), col("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
+          .orderBy(col("vec_id"), col("frame_no"))
+      },
+      Some("""WITH par AS (SELECT vec_id,
+            vec_id % 11 + 4 AS w, vec_id % 5 + 3 AS h,
+            vec_id % 3 + 1 AS w2, vec_id % 2 + 1 AS h2,
+            (vec_id * 3) % 256 AS ar, (vec_id * 5) % 256 AS ag, (vec_id * 7) % 256 AS ab,
+            (vec_id * 13) % 256 AS br, (vec_id * 17) % 256 AS bg, (vec_id * 19) % 256 AS bb
+          FROM embeddings WHERE vec_id % 41 = 0)
+        SELECT vec_id, 0 AS frame_no, TRUE AS ok,
+            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+            CAST(ar AS DOUBLE) AS mean_r, CAST(ag AS DOUBLE) AS mean_g,
+            CAST(ab AS DOUBLE) AS mean_b
+          FROM par
+        UNION ALL
+        SELECT vec_id, 1, TRUE, CAST(w AS INTEGER), CAST(h AS INTEGER),
+            CAST(ar * (w * h - w2 * h2) + br * w2 * h2 AS DOUBLE) / (w * h),
+            CAST(ag * (w * h - w2 * h2) + bg * w2 * h2 AS DOUBLE) / (w * h),
+            CAST(ab * (w * h - w2 * h2) + bb * w2 * h2 AS DOUBLE) / (w * h)
+          FROM par
+        ORDER BY vec_id, frame_no""")),
 
     QueryDef("op_histogram",
       // fixed-bound equi-width histogram: one map-side-combined agg, ≤24

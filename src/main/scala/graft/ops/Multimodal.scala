@@ -1288,6 +1288,35 @@ object Multimodal {
         g.setAttribute("transparentColorFlag", "FALSE")
         g.setAttribute("delayTime", "0")
         g.setAttribute("transparentColorIndex", "0")
+        // the DEFAULT metadata ships a generic 216-color web-palette
+        // LocalColorTable — the writer then keeps the raster's indices
+        // but serves them from THAT table (index 0 = black), silently
+        // discarding the image's own palette. Indexed sources get their
+        // real palette written; non-indexed sources drop the node so the
+        // writer derives one from the pixels (the null-metadata path's
+        // behavior, which also only round-trips web-safe colors exactly).
+        img.getColorModel match {
+          case icm: java.awt.image.IndexColorModel =>
+            val lct = node("LocalColorTable")
+            while (lct.getFirstChild != null) lct.removeChild(lct.getFirstChild)
+            lct.setAttribute("sizeOfLocalColorTable", icm.getMapSize.toString)
+            lct.setAttribute("sortFlag", "FALSE")
+            for (i <- 0 until icm.getMapSize) {
+              val e = new IIOMetadataNode("ColorTableEntry")
+              e.setAttribute("index", i.toString)
+              e.setAttribute("red", icm.getRed(i).toString)
+              e.setAttribute("green", icm.getGreen(i).toString)
+              e.setAttribute("blue", icm.getBlue(i).toString)
+              lct.appendChild(e)
+            }
+          case _ =>
+            var c = tree.getFirstChild
+            while (c != null) {
+              val nxt = c.getNextSibling
+              if (c.getNodeName == "LocalColorTable") tree.removeChild(c)
+              c = nxt
+            }
+        }
         md.setFromTree(fmt, tree)
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
       }

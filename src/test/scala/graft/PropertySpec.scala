@@ -93,13 +93,58 @@ class PropertySpec extends SparkSpec {
       val l = pts(120, "l")
       val r = pts(25, "r")
       val radius = 60.0
+      // MULTISET equality (sorted Seq, not toSet): a replication bug that
+      // emits a qualifying pair twice would be invisible to a set compare
       val banded = Joins.radiusJoin(l, r, $"l_lat", $"l_lon", $"r_lat", $"r_lon",
           radiusKm = radius, latCellDeg = 1.0, lonCellDeg = 20.0, maxAbsLatDeg = maxLat)
-        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
       val brute = l.crossJoin(r)
         .where(Geo.haversineKm($"l_lat", $"l_lon", $"r_lat", $"r_lon") <= radius)
-        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
       assert(banded == brute, s"trial $trial: banded ${banded.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("RadiusJoinRule rewrite == brute force MULTISET on random clouds over the FULL ±89.9° range") {
+    // the Catalyst rule (unlike Joins.radiusJoin) carries no latitude
+    // contract — its per-band dynamic rings must stay EXACT everywhere,
+    // including the collapsed 1-2-cell polar rings whose ±1 replicas used
+    // to duplicate pairs (invisible to a set compare, hence multiset)
+    graft.plans.Graft.install(spark)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      def pts(n: Int, tag: String) = (0 until n).map { i =>
+        val lon = rnd.nextInt(3) match {
+          case 0 => 179.0 + rnd.nextDouble() * 2.0 - 1.0
+          case 1 => rnd.nextDouble() * 0.2 - 0.1
+          case _ => rnd.nextDouble() * 360.0 - 180.0
+        }
+        // full range INCLUDING the polar caps the grid join excludes
+        val lat = rnd.nextInt(3) match {
+          case 0 => 89.9 - rnd.nextDouble() * 3.0
+          case 1 => -89.9 + rnd.nextDouble() * 3.0
+          case _ => rnd.nextDouble() * 179.8 - 89.9
+        }
+        (i.toLong, lat, (lon + 180.0) % 360.0 - 180.0)
+      }.toDF(s"${tag}_id", s"${tag}_lat", s"${tag}_lon")
+      val l = pts(120, "l")
+      val r = pts(25, "r")
+      val radius = 100.0 + rnd.nextInt(6) * 100.0
+      def q = l.crossJoin(r)
+        .where(Geo.haversineKm($"l_lat", $"l_lon", $"r_lat", $"r_lon") <= lit(radius))
+        .select("l_id", "r_id")
+      assert(!q.queryExecution.executedPlan.toString.contains("NestedLoopJoin"),
+        s"trial $trial: the rule must fire")
+      val got = q.as[(Long, Long)].collect().toSeq.sorted
+      val prev = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations = Nil
+      val brute = l.crossJoin(r)
+        .where(Geo.haversineKm($"l_lat", $"l_lon", $"r_lat", $"r_lon") <= lit(radius))
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+      spark.experimental.extraOptimizations = prev
+      assert(got == brute,
+        s"trial $trial (r=$radius km): rewrite ${got.size} rows " +
+          s"(${got.distinct.size} distinct) vs brute ${brute.size}")
     }
   }
 
