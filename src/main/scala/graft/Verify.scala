@@ -44,8 +44,12 @@ object Verify {
         val stale = Paths.get(outDir, name)
         if (Files.exists(stale)) {
           try {
-            Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            // walk() holds a directory handle until closed — one leak per
+            // failed query adds up over a full fail-closed sweep
+            val st = Files.walk(stale)
+            try st.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => { Files.deleteIfExists(p); () })
+            finally st.close()
           } catch { case de: Throwable =>
             System.err.println(s"[verify] could not delete stale dump for $name: ${de.getMessage}")
           }

@@ -73,7 +73,10 @@ object Geo {
     def checked(c: Column, name: String): Column = {
       val l = c.cast("long")
       when(c.isNull, lit(null).cast("long"))
-        .when(c.cast("double") === l.cast("double") && abs(l) <= lit(bound), l)
+        // range check, not abs(): abs(Long.MinValue) wraps NEGATIVE, so a
+        // coordinate saturating to -2^63 under the ANSI-off cast would slip
+        // through an abs-based guard and overflow the cross products silently
+        .when(c.cast("double") === l.cast("double") && l >= lit(-bound) && l <= lit(bound), l)
         .otherwise(raise_error(concat(
           lit(s"pointInConvexPolygon: $name = "), c.cast("string"),
           lit(" violates the integer-coordinate contract (must be integral with |v| <= 2^30)"))))

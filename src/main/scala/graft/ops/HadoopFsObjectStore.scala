@@ -148,6 +148,34 @@ class HadoopFsObjectStore(root: String, conf: Configuration) extends ObjectStore
     */
   override def head(key: String): Boolean = fs.exists(pathOf(key))
 
+  /** Unconditional last-writer-wins PUT (checkpoint hints only — commits
+    * stay conditional): staged body + delete + rename. Hadoop `rename`
+    * refuses an existing destination on HDFS, hence the delete; the tiny
+    * absence window (and a torn read under a non-atomic local rename) is
+    * acceptable for the ADVISORY object this primitive serves — readers
+    * validate the content and fall back to a LIST.
+    */
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    val dest = pathOf(key)
+    val tmp = new Path(new Path(rootPath, StagingDir), java.util.UUID.randomUUID().toString)
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(bytes)
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case c: Throwable => e.addSuppressed(c) }
+        try fs.delete(tmp, false) catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    }
+    out.close()
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      // a concurrent unconditional writer won — last-writer-wins either way
+      fs.delete(tmp, false); ()
+    }
+  }
+
   override def get(key: String): Option[Array[Byte]] = {
     // open-then-catch, not exists-then-open: the TOCTOU window of a
     // pre-check would misreport a concurrent publish

@@ -86,6 +86,14 @@ final class InMemoryObjectStore(listPageSize: Int = Int.MaxValue,
     }
   }
 
+  /** Unconditional last-writer-wins PUT (the checkpoint-hint primitive):
+    * one billable request, body cloned like the conditional path.
+    */
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    maybeThrottle(s"put-unconditional $key")
+    objects.put(key, bytes.clone()); ()
+  }
+
   /** HEAD is its own billed request class (metadata, no body) — counted
     * separately from GETs so request-economy tests can distinguish the
     * probe traffic of the forward-walking latestVersion from data reads.
@@ -193,6 +201,10 @@ final class FaultInjectingClient(inner: ObjectStoreClient) extends ObjectStoreCl
   }
 
   override def list(prefix: String): Seq[String] = inner.list(prefix)
+
+  override def put(key: String, bytes: Array[Byte]): Unit = inner.put(key, bytes)
+
+  override def head(key: String): Boolean = inner.head(key)
 }
 
 object InMemoryObjectStore {

@@ -39,6 +39,38 @@ trait ManifestLogStore {
     * the failure modes differ by store (orphan lock vs pure contention).
     */
   def contentionHint(v: Long): String
+
+  /** Best-effort mutable CHECKPOINT HINT (Delta's `_last_checkpoint`
+    * analog): one small overwritable object naming a known-committed
+    * version so a cold handle starts its forward probe there instead of
+    * LISTing the O(commits) log. Semantics are last-writer-wins and
+    * PURELY advisory — a stale, torn, or absent checkpoint only costs
+    * extra reads (the caller validates the content and falls back to the
+    * full LIST), never a wrong answer. Defaults: no checkpoint support
+    * (reads absent; writes throw `UnsupportedOperationException`, which
+    * the caller treats as "checkpointing disabled for this store").
+    */
+  def readCheckpoint(): Option[Array[Byte]] = None
+
+  /** See [[readCheckpoint]]. Must overwrite any previous checkpoint. */
+  def writeCheckpoint(bytes: Array[Byte]): Unit =
+    throw new UnsupportedOperationException(
+      "this log store does not support checkpoint hints")
+
+  /** ADMIN-ONLY: remove version `v`'s orphaned lock object so writers can
+    * proceed after a writer PROCESS died between reserving the lock and
+    * publishing the manifest. Fenced: refuses (throws
+    * `IllegalStateException`) when `v` has a PUBLISHED manifest — the
+    * "orphan" diagnosis is then wrong (the writer committed), and
+    * removing a committed version's reservation would let a racing writer
+    * re-reserve it and rename over the committed body. The CALLER asserts
+    * no writer is live: breaking a live writer's reservation mid-publish
+    * can lose its commit. Stores without lock objects throw
+    * `UnsupportedOperationException` (there is nothing to break).
+    */
+  def breakLock(v: Long): Unit =
+    throw new UnsupportedOperationException(
+      "this log store has no lock objects to break")
 }
 
 /** Real-filesystem log store — the STRICTER protocol, synthesizing the
@@ -78,8 +110,9 @@ final class HadoopLogStore(fsThunk: => FileSystem, logDir: Path) extends Manifes
 
   override def exists(v: Long): Boolean = fs.exists(manifestPath(v))
 
-  override def read(v: Long): Option[Array[Byte]] = {
-    val p = manifestPath(v)
+  override def read(v: Long): Option[Array[Byte]] = readFully(manifestPath(v))
+
+  private def readFully(p: Path): Option[Array[Byte]] = {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try {
@@ -89,6 +122,56 @@ final class HadoopLogStore(fsThunk: => FileSystem, logDir: Path) extends Manifes
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       Some(buf.toByteArray)
     } finally in.close()
+  }
+
+  // ------------------------------------------------------ checkpoint hint
+
+  // `_ckpt` is invisible to listVersions (the ManifestName regex matches
+  // only v*.txt), so the hint never masquerades as a version
+  private def ckptPath = new Path(logDir, "_ckpt")
+
+  /** Advisory read: any failure (missing, torn mid-swap, IO blip) reads as
+    * "no checkpoint" — the caller falls back to the full LIST.
+    */
+  override def readCheckpoint(): Option[Array[Byte]] =
+    try readFully(ckptPath)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Last-writer-wins overwrite via stage + delete + rename. Hadoop's
+    * `rename` refuses an existing destination on HDFS, so the previous
+    * checkpoint is deleted first — the tiny absence window is fine for a
+    * HINT (a reader landing in it LISTs once). A concurrent checkpointer
+    * winning the rename is equally fine: its hint is at least as fresh.
+    */
+  override def writeCheckpoint(bytes: Array[Byte]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-ckpt-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(bytes)
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case c: Throwable => e.addSuppressed(c) }
+        try fs.delete(tmp, false) catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    }
+    out.close()
+    fs.delete(ckptPath, false)
+    if (!fs.rename(tmp, ckptPath)) {
+      // lost a checkpoint race — collect the staged file, keep the winner
+      fs.delete(tmp, false); ()
+    }
+  }
+
+  /** The orphan-lock breaker (see the trait doc for the fencing contract):
+    * refuses when `v` is PUBLISHED, removes the lock otherwise (absent
+    * lock = idempotent no-op).
+    */
+  override def breakLock(v: Long): Unit = {
+    if (fs.exists(manifestPath(v)))
+      throw new IllegalStateException(
+        s"refusing to break ${lockPath(v)}: version $v has a published manifest — " +
+          "the writer committed, this lock is not an orphan")
+    fs.delete(lockPath(v), false); ()
   }
 
   override def publishIfAbsent(v: Long, body: Array[Byte]): Boolean = {
@@ -168,7 +251,8 @@ final class HadoopLogStore(fsThunk: => FileSystem, logDir: Path) extends Manifes
   }
 
   override def contentionHint(v: Long): String =
-    s"if no writer is live, a crashed commit left an orphan lock — remove ${lockPath(v)}"
+    s"if no writer is live, a crashed commit left an orphan lock — remove ${lockPath(v)} " +
+      s"(ManifestTable.breakOrphanLock($v) is the fenced admin op)"
 
   /** The CAS primitive: create-if-absent of the version's lock file.
     * `java.io.File.createNewFile` is atomic `O_CREAT|O_EXCL` for the local
@@ -245,6 +329,15 @@ trait ObjectStoreClient {
     * is unspecified and the caller sorts).
     */
   def list(prefix: String): Seq[String]
+
+  /** UNCONDITIONAL last-writer-wins PUT — plain S3 `PutObject` with no
+    * precondition. Used ONLY for the advisory checkpoint hint, never for
+    * commits (those stay conditional). Default: unsupported — clients
+    * that predate it simply run with checkpointing disabled.
+    */
+  def put(key: String, bytes: Array[Byte]): Unit =
+    throw new UnsupportedOperationException(
+      "unconditional PUT not implemented by this client")
 }
 
 object ObjectStoreClient {
@@ -364,6 +457,20 @@ final class ObjectStoreLogStore(client: ObjectStoreClient, prefix: String)
   override def contentionHint(v: Long): String =
     "conditional-PUT log has no orphan-lock mode — persistent contention means " +
       "live writers keep winning this version; raise maxRetries or shard writers"
+
+  // checkpoint hint: one small object beside the versions; its key never
+  // matches ManifestName, so listVersions cannot mistake it for a commit
+  private val ckptKey = logPrefix + "_ckpt"
+
+  /** Advisory: a persistently throttled read degrades to "no checkpoint"
+    * (the caller LISTs) rather than failing the whole cold start.
+    */
+  override def readCheckpoint(): Option[Array[Byte]] =
+    try withTransientRetry("ckpt get")(client.get(ckptKey))
+    catch { case _: ObjectStoreClient.TransientStoreException => None }
+
+  override def writeCheckpoint(bytes: Array[Byte]): Unit =
+    withTransientRetry("ckpt put")(client.put(ckptKey, bytes))
 }
 
 object ManifestLogStore {

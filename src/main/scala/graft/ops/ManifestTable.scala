@@ -65,21 +65,28 @@ import org.apache.spark.sql.types._
   *  - A writer whose PROCESS dies between reserving `vN.lock` and
   *    publishing `vN.txt` leaves an orphan lock; later writers exhaust
   *    retries and fail loudly naming the lock to remove. (A live writer
-  *    hitting an IO failure releases its own lock on the way out.) Delta
-  *    has the same class of issue with orphaned staging state; a TTL-based
-  *    breaker needs a clock authority this build doesn't assume.
+  *    hitting an IO failure releases its own lock on the way out.)
+  *    [[breakOrphanLock]] is the fenced admin unblock: it refuses when the
+  *    version is actually published, and the caller asserts no writer is
+  *    live (a TTL-based AUTOMATIC breaker would need a clock authority
+  *    this build doesn't assume — Delta has the same stance on orphaned
+  *    staging state).
   *  - `vacuum(retainLast)` deletes data dirs unreferenced by the newest K
   *    manifests; time travel older than that stops working, like Delta's
   *    `VACUUM` past the retention window.
   *  - The `_log` itself is append-only and never pruned: every commit adds
-  *    one manifest (plus one lock file on the Hadoop store). The hot path
-  *    no longer pays for that growth: `latestVersion()` keeps a per-handle
+  *    one manifest (plus one lock file on the Hadoop store). NO read path
+  *    pays for that growth anymore: `latestVersion()` keeps a per-handle
   *    lower bound and probes FORWARD (versions are dense), so a steady-
-  *    state commit costs one miss-probe instead of an O(commits) LIST —
-  *    only a handle's FIRST read (and explicit `versions()` calls: time
-  *    travel, vacuum) still lists the full log. Storage itself still
-  *    accumulates one small object per commit; pruning it would be a log
-  *    checkpoint (Delta's `_last_checkpoint`), deliberately out of scope.
+  *    state commit costs one miss-probe, and every Kth commit writes the
+  *    advisory `_ckpt` hint (Delta's `_last_checkpoint` analog — version +
+  *    manifest body, last-writer-wins, validated on read) so a COLD
+  *    handle's first resolve is one read + <K probes, and `versions()`
+  *    (time travel, vacuum) derives `0..latest` from version density
+  *    instead of LISTing. The full LIST remains only as the fallback for
+  *    absent/invalid hints. Storage still accumulates one small object per
+  *    commit — pruning published manifests would break time travel, which
+  *    is vacuum's documented contract to bound, not the log's.
   *  - On an object store, build with [[ManifestTable.onObjectStore]]: the
   *    CAS primitive becomes ONE conditional PUT of the manifest itself
   *    ([[ObjectStoreLogStore]]), the orphan-lock mode disappears, and the
@@ -89,7 +96,7 @@ import org.apache.spark.sql.types._
   */
 final class ManifestTable private (
     spark: SparkSession, rootStr: String, statsCols: Seq[String],
-    log: ManifestLogStore) {
+    log: ManifestLogStore, checkpointInterval: Int) {
   import ManifestTable._
 
   private val root = new Path(rootStr)
@@ -98,8 +105,17 @@ final class ManifestTable private (
 
   // ---------------------------------------------------------------- reads
 
-  /** Versions with a published manifest, ascending. */
-  def versions(): Seq[Long] = log.listVersions()
+  /** Versions with a published manifest, ascending. Versions are DENSE by
+    * the commit protocol (commitOnce: next = latest + 1 always, first
+    * commit = 0), so the list is `0..latest` — derived from
+    * [[latestVersion]] (checkpoint hint + forward probes) rather than the
+    * O(commits) `_log` LIST the pre-checkpoint form paid on every vacuum
+    * and time-travel listing.
+    */
+  def versions(): Seq[Long] = latestVersion() match {
+    case None => Seq.empty
+    case Some(v) => 0L to v
+  }
 
   // A LOWER BOUND on the latest committed version, per table handle —
   // the cure for the documented _log scale trade (see the class doc's
@@ -122,9 +138,21 @@ final class ManifestTable private (
   def latestVersion(): Option[Long] = {
     val base = latestSeen
     if (base < 0L) {
-      val v = versions().lastOption
-      v.foreach(advanceSeen)
-      v
+      // COLD handle: the checkpoint hint (when the store has one) names a
+      // known-committed version to probe forward from — one read + ≤K
+      // probes instead of the full O(commits) LIST; absent/invalid hints
+      // fall back to the LIST exactly as before
+      checkpointBase() match {
+        case Some(cv) =>
+          var v = cv
+          while (log.exists(v + 1)) v += 1
+          advanceSeen(v)
+          Some(v)
+        case None =>
+          val v = log.listVersions().lastOption
+          v.foreach(advanceSeen)
+          v
+      }
     } else {
       // body-free probes (filesystem exists / object HEAD): a fallen-
       // behind handle pays one HEAD per foreign commit plus one miss;
@@ -137,10 +165,52 @@ final class ManifestTable private (
     }
   }
 
+  /** Validated checkpoint hint: the checkpointed version, provided its
+    * manifest actually EXISTS in the log (the guard against a stale
+    * pointer over an externally deleted-and-recreated root — advisory
+    * data never produces a phantom version). The embedded manifest body
+    * warms the cache, so a cold start that trusts the hint costs zero
+    * extra manifest GETs. Any parse/IO failure reads as "no hint".
+    */
+  private def checkpointBase(): Option[Long] =
+    try {
+      log.readCheckpoint().flatMap(parseCheckpoint).flatMap { case (v, body) =>
+        if (!log.exists(v)) None
+        else {
+          if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+          manifestCache.put(v, parseManifest(v, body))
+          Some(v)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseCheckpoint(bytes: Array[Byte]): Option[(Long, Array[Byte])] = {
+    val lines = new String(bytes, UTF_8).split('\n')
+    if (!lines.headOption.contains(CkptMagic)) return None
+    def field(k: String): Option[String] = lines.collectFirst {
+      case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
+    }
+    for {
+      v <- field("version").flatMap(_.toLongOption)
+      m <- field("manifest")
+    } yield (v, dec(m).getBytes(UTF_8))
+  }
+
   /** The table as of its newest commit. Fails on a never-committed table. */
-  def snapshot(): DataFrame =
-    snapshotAt(latestVersion().getOrElse(
-      throw new IllegalStateException(s"ManifestTable $rootStr: no commits yet")))
+  def snapshot(): DataFrame = {
+    def latest = latestVersion().getOrElse(
+      throw new IllegalStateException(s"ManifestTable $rootStr: no commits yet"))
+    try snapshotAt(latest)
+    catch {
+      case _: java.io.FileNotFoundException if latestSeen < 0L =>
+        // the append-only-contract guard fired (readManifest missed a
+        // version at or below the handle's lower bound: the root was
+        // externally deleted and recreated) — the bound and cache were
+        // reset, so ONE re-resolve now reflects the new log instead of
+        // failing confusingly on the phantom version
+        snapshotAt(latest)
+    }
+  }
 
   /** Time travel: the table exactly as committed at `version`. The file set
     * is pinned from that one manifest, so later commits (or concurrent
@@ -775,8 +845,32 @@ final class ManifestTable private (
     if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
     manifestCache.put(next, parseManifest(next, bodyBytes))
     advanceSeen(next) // the committer KNOWS the new latest — no probe needed
+    // periodic checkpoint hint (best-effort, never fails the commit): cold
+    // handles start their probe here instead of LISTing the whole _log
+    if (checkpointInterval > 0 && next > 0 && next % checkpointInterval == 0)
+      writeCheckpointHint(next, bodyBytes)
     Some(next)
   }
+
+  /** Writes the advisory checkpoint (version + its manifest body). A store
+    * without an overwrite primitive disables checkpointing silently; any
+    * other failure only costs future cold starts their LIST, so it logs
+    * and moves on — the commit it rides on has already succeeded.
+    */
+  private def writeCheckpointHint(v: Long, manifestBody: Array[Byte]): Unit =
+    try {
+      val body = new StringBuilder()
+        .append(CkptMagic).append('\n')
+        .append(s"version=$v\n")
+        .append(s"manifest=${enc(new String(manifestBody, UTF_8))}\n")
+        .toString.getBytes(UTF_8)
+      log.writeCheckpoint(body)
+    } catch {
+      case _: UnsupportedOperationException => () // store has no checkpoint support
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"ManifestTable $rootStr: best-effort checkpoint at v$v " +
+          s"failed (cold starts keep LISTing until the next one lands): ${e.getMessage}")
+    }
 
   private def failRetries(maxRetries: Int): Nothing = {
     val orphan = latestVersion().getOrElse(-1L) + 1
@@ -808,11 +902,31 @@ final class ManifestTable private (
   }
 
   private def readManifestUncached(v: Long): Manifest = {
-    val bytes = log.read(v).getOrElse(
+    val bytes = log.read(v).getOrElse {
+      // a miss AT OR BELOW the handle's lower bound means the append-only
+      // _log contract was violated externally (root deleted + recreated
+      // while this handle lived): reset the bound and the cache so the
+      // next resolve LISTs the NEW log instead of serving phantom
+      // versions forever (snapshot() retries once on exactly this signal)
+      if (v <= latestSeen) { latestSeen = -1L; manifestCache.clear() }
       throw new java.io.FileNotFoundException(
-        s"ManifestTable $rootStr: no manifest for version $v"))
+        s"ManifestTable $rootStr: no manifest for version $v")
+    }
     parseManifest(v, bytes)
   }
+
+  /** ADMIN-ONLY unblock for the Hadoop store's documented orphan-lock
+    * failure mode: a writer PROCESS that died between reserving `vN.lock`
+    * and publishing `vN.txt` wedges all later writers (they exhaust
+    * retries naming the lock). This removes the orphan with a fencing
+    * check — it REFUSES when version `version`'s manifest is published
+    * (the writer actually committed; the diagnosis is wrong). The caller
+    * asserts no writer is live: breaking a LIVE writer's reservation
+    * mid-publish can lose its commit (POSIX rename overwrites). The
+    * conditional-PUT store has no locks and throws
+    * `UnsupportedOperationException`.
+    */
+  def breakOrphanLock(version: Long): Unit = log.breakLock(version)
 
   private def parseManifest(v: Long, bytes: Array[Byte]): Manifest = {
     val text = new String(bytes, UTF_8)
@@ -848,6 +962,8 @@ final class ManifestTable private (
 
 object ManifestTable {
   private val Magic = "graft-manifest-v1"
+  private val CkptMagic = "graft-ckpt-v1"
+  private val DefaultCheckpointInterval = 10
   private val NullMark = " null"
   private val DefaultRetries = 10
   private val RetrySleepMs = 50L
@@ -882,12 +998,17 @@ object ManifestTable {
     * Stats cost one small aggregation per commit and only numeric-family
     * columns participate (see [[ManifestTable.isPrunableType]]).
     */
-  def apply(spark: SparkSession, root: String, statsCols: Seq[String] = Nil): ManifestTable = {
+  /** `checkpointInterval`: every Nth commit writes the advisory `_ckpt`
+    * hint (0 disables). The default keeps cold starts at one read + <N
+    * probes on long-lived tables.
+    */
+  def apply(spark: SparkSession, root: String, statsCols: Seq[String] = Nil,
+            checkpointInterval: Int = DefaultCheckpointInterval): ManifestTable = {
     val rootPath = new Path(root)
     new ManifestTable(spark, root, statsCols,
       new HadoopLogStore(
         rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        new Path(rootPath, "_log")))
+        new Path(rootPath, "_log")), checkpointInterval)
   }
 
   /** The table with its commit log on an S3-class object store via the
@@ -904,6 +1025,8 @@ object ManifestTable {
     * provides.
     */
   def onObjectStore(spark: SparkSession, root: String, client: ObjectStoreClient,
-                    statsCols: Seq[String] = Nil): ManifestTable =
-    new ManifestTable(spark, root, statsCols, new ObjectStoreLogStore(client, root))
+                    statsCols: Seq[String] = Nil,
+                    checkpointInterval: Int = DefaultCheckpointInterval): ManifestTable =
+    new ManifestTable(spark, root, statsCols, new ObjectStoreLogStore(client, root),
+      checkpointInterval)
 }

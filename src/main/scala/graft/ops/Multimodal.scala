@@ -1016,7 +1016,9 @@ object Multimodal {
     *    APPn embeds a thumbnail JPEG (with its own `FFD9`) splits at its
     *    REAL end-of-image, and only entropy data is byte-scanned. Each
     *    frame runs the same ImageIO JPEG decoder the image path uses; a
-    *    malformed or truncated tail quarantines as one `ok = false` row.
+    *    malformed or truncated tail — or trailing non-padding bytes after
+    *    the last complete frame (0x00/0xFF fill runs are legitimate
+    *    padding) — quarantines as one `ok = false` row.
     *
     * Anything else — or a frame that fails its codec — quarantines as one
     * `ok = false` row, never a task failure. At 100 TB this is the same
@@ -1088,9 +1090,17 @@ object Multimodal {
         if (img == null) VideoFrameFeatures(id, f, ok = false, 0, 0, 0.0, 0.0, 0.0)
         else frameStats(id, f, img)
       }
-      // a malformed/truncated tail degrades LOUDLY as its own quarantined
-      // frame row (the raw-FFD9 form silently dropped those bytes)
-      if (truncated)
+      // degrade LOUDLY at both tail shapes (the raw-FFD9 form silently
+      // dropped these bytes): a frame whose marker walk ran off the buffer
+      // mid-frame (truncated), OR trailing NON-PADDING bytes after the last
+      // complete EOI — 0x00/0xFF runs are legitimate inter/post-frame fill,
+      // anything else is content the split did not account for. Either way
+      // one quarantined row with the next frame number.
+      val trailingGarbage = !truncated && {
+        val tail = parts.last._2
+        (tail until bytes.length).exists(i => bytes(i) != 0 && (bytes(i) & 0xff) != 0xff)
+      }
+      if (truncated || trailingGarbage)
         decoded :+ VideoFrameFeatures(id, parts.length, ok = false, 0, 0, 0.0, 0.0, 0.0)
       else decoded
     } else Seq(badVideoRow(id))

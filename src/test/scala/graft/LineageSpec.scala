@@ -18,6 +18,22 @@ import graft.ops.Lineage._
 class LineageSpec extends SparkSpec {
   import spark.implicits._
 
+  // both walk() helpers close the stream: Files.walk holds a directory
+  // handle until closed, and a suite-long leak per call adds up
+  private def scrub(dir: String): Unit =
+    try {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def fileCount(dir: String): Long = {
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try st.filter(java.nio.file.Files.isRegularFile(_)).count()
+    finally st.close()
+  }
+
   private def withCheckpointDir[A](f: String => A): A = {
     val dir = java.nio.file.Files.createTempDirectory("graft-lineage-ckpt").toString
     spark.conf.set(Lineage.CheckpointDirKey, dir)
@@ -25,11 +41,7 @@ class LineageSpec extends SparkSpec {
     finally {
       spark.conf.unset(Lineage.CheckpointDirKey)
       // scrub the dir so suites stay hermetic
-      try {
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case scala.util.control.NonFatal(_) => () }
+      scrub(dir)
     }
   }
 
@@ -46,9 +58,7 @@ class LineageSpec extends SparkSpec {
     withCheckpointDir { dir =>
       val durable = df.graftCheckpoint()
       assert(durable.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
-      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(files > 0, "durable mode must write checkpoint files into the knob's dir")
+      assert(fileCount(dir) > 0, "durable mode must write checkpoint files into the knob's dir")
     }
   }
 
@@ -73,16 +83,9 @@ class LineageSpec extends SparkSpec {
         assert(new org.apache.hadoop.fs.Path(after).getParent.toUri.getPath ==
           new org.apache.hadoop.fs.Path(dir).toUri.getPath,
           s"the knob must be re-applied after a redirect, got $after")
-        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .filter(java.nio.file.Files.isRegularFile(_)).count()
-        assert(files > 0, "the durable files must land under the KNOB dir, not the foreign one")
-      } finally {
-        try {
-          java.nio.file.Files.walk(java.nio.file.Paths.get(foreign))
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
+        assert(fileCount(dir) > 0,
+          "the durable files must land under the KNOB dir, not the foreign one")
+      } finally scrub(foreign)
     }
   }
 

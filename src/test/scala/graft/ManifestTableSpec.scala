@@ -839,6 +839,133 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.txnVersion(nasty).contains(3L) && t.txnVersion(other).contains(0L))
   }
 
+  test("checkpoint hint (object store): a cold handle on a many-commit table never LISTs") {
+    // VERDICT r18 item 1: the _last_checkpoint analog. A counting client
+    // proves the cold-start path is one checkpoint GET + forward probes —
+    // the O(commits) LIST fires only as the no-hint fallback.
+    val root = freshRoot()
+    val inner = new InMemoryObjectStore
+    val lists = new java.util.concurrent.atomic.AtomicInteger()
+    val counting = new graft.ops.ObjectStoreClient {
+      override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean =
+        inner.putIfNoneMatch(key, bytes)
+      override def get(key: String): Option[Array[Byte]] = inner.get(key)
+      override def head(key: String): Boolean = inner.head(key)
+      override def put(key: String, bytes: Array[Byte]): Unit = inner.put(key, bytes)
+      override def list(prefix: String): Seq[String] = {
+        lists.incrementAndGet(); inner.list(prefix)
+      }
+    }
+    val t1 = ManifestTable.onObjectStore(spark, root, counting, checkpointInterval = 3)
+    t1.overwrite(kv(0L -> 0.0))
+    (1L to 7L).foreach(k => t1.append(kv(k -> k.toDouble))) // v0..v7; _ckpt at v3, v6
+    val before = lists.get()
+    val t2 = ManifestTable.onObjectStore(spark, root, counting, checkpointInterval = 3)
+    assert(t2.latestVersion().contains(7L))
+    assert(t2.versions() == (0L to 7L),
+      "versions() must derive from density + the hint, not a LIST")
+    assert(t2.snapshot().count() === 8L)
+    assert(t2.snapshotAt(2L).count() === 3L, "time travel reads stay pinned")
+    assert(lists.get() == before,
+      s"cold start through the checkpoint must not LIST (saw ${lists.get() - before})")
+  }
+
+  test("checkpoint hint (filesystem store): written at the interval; corrupt or stale hints fall back") {
+    val root = freshRoot()
+    val t = ManifestTable(spark, root, checkpointInterval = 4)
+    t.overwrite(kv(0L -> 0.0))
+    (1L to 5L).foreach(k => t.append(kv(k -> k.toDouble))) // v0..v5, _ckpt at v4
+    val ckpt = new java.io.File(s"$root/_log/_ckpt")
+    assert(ckpt.exists(), "the _ckpt hint must land at the interval")
+    // a fresh handle resolves through the hint (and the hint is invisible
+    // to the version log itself)
+    val t2 = ManifestTable(spark, root)
+    assert(t2.latestVersion().contains(5L) && t2.snapshot().count() === 6L)
+    assert(t2.versions() == (0L to 5L))
+    // CORRUPT hint: validation rejects it, the full-LIST fallback resolves
+    java.nio.file.Files.write(ckpt.toPath, "not a checkpoint".getBytes("UTF-8"))
+    val t3 = ManifestTable(spark, root)
+    assert(t3.latestVersion().contains(5L) && t3.snapshot().count() === 6L)
+    // STALE hint naming a version the log does not have (the recreated-
+    // root shape): the exists() validation rejects it — never a phantom
+    java.nio.file.Files.write(ckpt.toPath,
+      "graft-ckpt-v1\nversion=99\nmanifest=bogus".getBytes("UTF-8"))
+    val t4 = ManifestTable(spark, root)
+    assert(t4.latestVersion().contains(5L), "a stale hint must not produce a phantom version")
+    assert(t4.snapshot().count() === 6L)
+  }
+
+  test("breakOrphanLock: orphan blocks -> break -> next commit succeeds; refuses on a published version") {
+    // VERDICT r18 item 3: the fenced admin unblock for the Hadoop store's
+    // documented orphan-lock mode
+    val root = freshRoot()
+    val t = ManifestTable(spark, root)
+    t.overwrite(kv(1L -> 1.0))
+    val lock = new java.io.File(s"$root/_log/v${"%020d".format(1)}.lock")
+    assert(lock.createNewFile())
+    intercept[java.io.IOException] { t.append(kv(2L -> 2.0), maxRetries = 1) }
+    // fencing: v0 is PUBLISHED — its (retained) reservation is not an
+    // orphan, and breaking it could let a racer overwrite a committed body
+    val e = intercept[IllegalStateException] { t.breakOrphanLock(0L) }
+    assert(e.getMessage.contains("published"), e.getMessage)
+    // the real orphan breaks; the SAME log position then commits cleanly
+    t.breakOrphanLock(1L)
+    assert(!lock.exists(), "the orphan lock must be gone")
+    assert(t.append(kv(2L -> 2.0)) == 1L)
+    assert(t.snapshot().count() === 2L)
+    t.breakOrphanLock(5L) // absent lock: idempotent no-op
+    // the conditional-PUT store has no lock objects to break
+    val (os, _, _) = objectStoreTable()
+    os.overwrite(kv(1L -> 1.0))
+    intercept[UnsupportedOperationException] { os.breakOrphanLock(1L) }
+  }
+
+  test("latestVersion probe economy pinned: catch-up <= foreign-commits + 1 HEADs (plain and bursty store)") {
+    // VERDICT r18 item 7: the forward-probe claim under instrumentation —
+    // guards refactors from silently restoring the O(commits) LIST. HEADs
+    // are counted on SUCCESS only, so the bursty store's injected
+    // throttles (absorbed by the retry loop) cannot inflate the pin.
+    for (client <- Seq(new InMemoryObjectStore,
+                       new InMemoryObjectStore(listPageSize = 2, throttleEvery = 7))) {
+      val root = freshRoot()
+      val t1 = ManifestTable.onObjectStore(spark, root, client)
+      t1.overwrite(kv(0L -> 0.0))
+      val t2 = ManifestTable.onObjectStore(spark, root, client)
+      assert(t2.latestVersion().contains(0L)) // cold read, before the foreign burst
+      (1L to 4L).foreach(k => t1.append(kv(k -> k.toDouble))) // 4 foreign commits
+      val before = client.headAttempts.get()
+      assert(t2.latestVersion().contains(4L))
+      val used = client.headAttempts.get() - before
+      assert(used <= 5, s"catch-up must cost <= foreign-commits + 1 HEADs, got $used")
+      // steady state: exactly one miss-probe per call, whatever the history
+      val b2 = client.headAttempts.get()
+      assert(t2.latestVersion().contains(4L))
+      val steady = client.headAttempts.get() - b2
+      assert(steady == 1, s"steady-state latestVersion must cost exactly 1 HEAD, got $steady")
+    }
+  }
+
+  test("externally deleted+recreated root: the handle resets instead of serving phantom versions") {
+    // ADVICE r18: the per-handle lower bound never reset, so a handle
+    // outliving a root swap returned phantom versions and every
+    // readManifest/snapshot failed confusingly forever
+    val root = freshRoot()
+    val t1 = ManifestTable(spark, root)
+    t1.overwrite(kv(1L -> 1.0))
+    t1.append(kv(2L -> 2.0))
+    // a second handle learns the latest WITHOUT caching any manifest
+    val t2 = ManifestTable(spark, root)
+    assert(t2.latestVersion().contains(1L))
+    // an external actor deletes the root and a new table is created at it
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ManifestTable(spark, root).overwrite(kv(9L -> 9.0))
+    // t2's bound (1) is now phantom: snapshot() must reflect the NEW log
+    assert(t2.snapshot().as[(Long, Double)].collect().toList == List(9L -> 9.0),
+      "the reset guard must re-resolve against the recreated log")
+    assert(t2.latestVersion().contains(0L))
+  }
+
   test("object-store log: an unsettled version is never reported 'lost' — the table aborts loudly") {
     // the in-flight hazard's primitive halves (re-PUT-until-settled
     // self-win; lost-forever provable through ambiguity) are certified in

@@ -355,6 +355,18 @@ class SourcesSinksSpec extends SparkSpec {
       .collect().map(r => r.getInt(1) -> r.getBoolean(2)).toMap
     assert(gotCut == Map(0 -> true, 1 -> false),
       s"truncated tail must quarantine as its own row, got $gotCut")
+    // trailing NON-PADDING garbage after the last complete EOI also
+    // quarantines (it is content the split did not account for), while
+    // 0x00/0xFF fill runs are legitimate padding and stay silent
+    def inventory(bytes: Array[Byte]) = graft.ops.Multimodal.videoFrameFeatures(
+        Seq((3L, bytes)).toDF("id", "payload"), "id")
+      .collect().map(r => r.getInt(1) -> r.getBoolean(2)).toMap
+    val garbage = frame0 ++ frame1 ++ "leftover".getBytes("UTF-8")
+    assert(inventory(garbage) == Map(0 -> true, 1 -> true, 2 -> false),
+      "trailing non-padding bytes must quarantine as one row")
+    val padded = frame0 ++ frame1 ++ Array.fill(6)(0.toByte) ++ Array.fill(3)(0xff.toByte)
+    assert(inventory(padded) == Map(0 -> true, 1 -> true),
+      "trailing 0x00/0xFF fill is padding, not garbage")
   }
 
   test("videoFrameFeatures: composite=true applies GIF89a disposal; full-rect frames identical either way") {
