@@ -919,4 +919,196 @@ object Streaming {
           }
       }
   }
+
+  // ------------------------------------------- event-time (watermark) idle
+
+  /** The event-time timeout plumbing the three `*EventTime` variants
+    * share: a watermark on the µs event-time column (delayed by
+    * `watermarkDelayUs`), kept IN the row so the engine's late-data
+    * filter applies (an event older than the watermark is dropped
+    * deterministically — the data-driven analog of the processing-time
+    * variant's wall-clock race), and the per-key timeout timestamp
+    * `lastEventUs + idleUs` ceil'd to ms and clamped one past the
+    * current watermark (Spark rejects a timeout at or below it; the
+    * clamp only fires for a key whose state predates a big watermark
+    * jump, where "already expired, flush at the very next trigger" is
+    * exactly the intended semantics).
+    */
+  private def watermarked(df: DataFrame, tsCol: String, watermarkDelayUs: Long): DataFrame =
+    df.withColumn("_wm", timestamp_micros(col(tsCol)))
+      .withWatermark("_wm", s"$watermarkDelayUs microseconds")
+
+  private def setEventTimeIdle(
+      state: org.apache.spark.sql.streaming.GroupState[_],
+      lastEventUs: Long, idleUs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(
+      (lastEventUs + idleUs) / 1000L + 1L,
+      state.getCurrentWatermarkMs() + 1L))
+
+  /** [[runningUserStats]] with the idle flush driven by EVENT time: the
+    * input carries an event-time column (integer µs — the repo's
+    * event-time discipline) that defines a watermark delayed by
+    * `watermarkDelayUs`, and a key is flushed (final snapshot emitted
+    * once more, state row FREED) when the watermark passes its last
+    * event time + `idleUs`. Because the watermark is persisted per batch
+    * in the checkpoint's offset log, a kill-and-restart replays flushes
+    * at the SAME batch boundaries with the same contents — the
+    * processing-time variant's flush points depend on the wall clock, so
+    * a recovery replay may flush at different boundaries (allowed by the
+    * sink contract, but replay-nondeterministic). Aggregation semantics
+    * are [[runningUserStats]]'s exactly (count + max-of-latest-batch);
+    * events older than the watermark are dropped, and with no new data
+    * the watermark does not advance, so a fully idle stream holds its
+    * state (flushing needs data — by design: data-determinism is the
+    * point). `processAllAvailable` is safe here (batches are not
+    * constructed continuously; timeouts fire only when data moves the
+    * watermark).
+    */
+  def runningUserStatsEventTime(events: Dataset[(Long, Long, Double)],
+                                idleUs: Long,
+                                watermarkDelayUs: Long = 0L): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(idleUs > 0L, s"idleUs ($idleUs) must be positive")
+    watermarked(events.toDF("u", "ts", "v"), "ts", watermarkDelayUs)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+          if (state.hasTimedOut) {
+            state.remove()
+            prev
+          } else {
+            var n = prev.n_events
+            var seen = false
+            var batchMax = Double.NegativeInfinity
+            var lastTs = Long.MinValue
+            batch.foreach { case (_, ts, v, _) =>
+              n += 1
+              seen = true
+              batchMax = math.max(batchMax, v)
+              lastTs = math.max(lastTs, ts)
+            }
+            val next = UserStats(user, n, if (seen) batchMax else prev.last_value)
+            state.update(next)
+            setEventTimeIdle(state, lastTs, idleUs)
+            next
+          }
+      }
+  }
+
+  /** [[funnelDepthStream]] with the idle flush driven by EVENT time (the
+    * watermark) — see [[runningUserStatsEventTime]] for the shared
+    * contract (replay-deterministic flush boundaries, late events
+    * dropped at the watermark, flushing needs data). Pick `idleUs`
+    * comfortably ≥ `windowUs` so only chains that could no longer
+    * advance are dropped — here the comparison is apples-to-apples,
+    * both in event time.
+    */
+  def funnelDepthStreamEventTime(events: Dataset[(Long, Long, Long, String)],
+                                 windowUs: Long, idleUs: Long,
+                                 watermarkDelayUs: Long = 0L): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(idleUs > 0L, s"idleUs ($idleUs) must be positive")
+    val None_ = Long.MinValue
+    watermarked(events.toDF("u", "ts", "rk", "et"), "ts", watermarkDelayUs)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(user, None_, None_, 0))
+          if (state.hasTimedOut) {
+            state.remove()
+            st
+          } else {
+            var lastTs = Long.MinValue
+            batch.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, et, _) =>
+              lastTs = math.max(lastTs, ts)
+              et match {
+                case "view" =>
+                  st = st.copy(last_view_us = math.max(st.last_view_us, ts),
+                    depth = math.max(st.depth, 1))
+                case "click" =>
+                  if (st.last_view_us != None_ && st.last_view_us >= ts - windowUs) {
+                    st = st.copy(best_anchor_us = math.max(st.best_anchor_us, st.last_view_us),
+                      depth = math.max(st.depth, 2))
+                  }
+                case "purchase" =>
+                  if (st.best_anchor_us != None_ && st.best_anchor_us >= ts - windowUs)
+                    st = st.copy(depth = 3)
+                case _ =>
+              }
+            }
+            state.update(st)
+            setEventTimeIdle(state, lastTs, idleUs)
+            st
+          }
+      }
+  }
+
+  /** [[closedSessionsStream]] with the tail flush driven by EVENT time:
+    * a key whose open tail has seen no event newer than
+    * `watermark − idleUs` is flushed (tail EMITTED as closed, state row
+    * freed) at the next trigger after the watermark passes
+    * `last_us + idleUs`. See [[runningUserStatsEventTime]] for the
+    * shared contract; two session-specific consequences of the
+    * watermark:
+    *  - the processing-time variant's documented caveat — a late event
+    *    arriving after a wall-clock flush spuriously opens a new
+    *    session — becomes a DETERMINISTIC rule: an event older than the
+    *    watermark is dropped, one inside it merges, and which of the
+    *    two happens is a pure function of the data, so a checkpoint
+    *    replay makes identical decisions;
+    *  - choose `idleUs > gapUs` (both are µs of event time) so a tail
+    *    is only flushed once no in-watermark event could still merge
+    *    into it.
+    */
+  def closedSessionsStreamEventTime(events: Dataset[(Long, Long)], gapUs: Long,
+                                    idleUs: Long,
+                                    watermarkDelayUs: Long = 0L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(idleUs > 0L, s"idleUs ($idleUs) must be positive")
+    watermarked(events.toDF("u", "ts"), "ts", watermarkDelayUs)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, o.start_us, o.last_us, o.n_events))
+          } else {
+          val ts = batch.map(_._2).toArray.sorted
+          if (ts.isEmpty) Iterator.empty
+          else {
+            // identical interval gap-merge as the processing-time form
+            // (see closedSessionsStream for the bridging rationale)
+            val intervals =
+              (state.getOption.map(o => (o.start_us, o.last_us, o.n_events)) ++
+                ts.iterator.map(t => (t, t, 1L))).toArray.sortBy(iv => (iv._1, iv._2))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = intervals.head
+            intervals.iterator.drop(1).foreach { iv =>
+              if (iv._1 - cur._2 <= gapUs)
+                cur = (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3)
+              else {
+                closed += ClosedSession(user, cur._1, cur._2, cur._3)
+                cur = iv
+              }
+            }
+            state.update(OpenSession(user, cur._1, cur._2, cur._3))
+            setEventTimeIdle(state, cur._2, idleUs)
+            closed.iterator
+          }
+          }
+      }
+  }
 }

@@ -1164,6 +1164,116 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  // The event-time variants flush on the WATERMARK, which only moves with
+  // data — so batches are not constructed continuously and
+  // processAllAvailable is safe again (unlike the processing-time trio).
+
+  test("closedSessionsStreamEventTime: flushes follow the watermark, not the wall clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.Streaming.closedSessionsStreamEventTime(
+        input.toDS(), gapUs = 10000L, idleUs = 100000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_et_wm").start()
+    def rows() = spark.table("sess_et_wm").as[(Long, Long, Long, Long)].collect().toSeq
+    input.addData((1L, 1000L), (1L, 2000L))
+    q.processAllAvailable()
+    Thread.sleep(1500) // wall time passes; the watermark does not
+    q.processAllAvailable()
+    // a DETERMINISTIC negative (the processing-time variant had to gate
+    // its equivalent on host wall time): no data, no watermark, no flush
+    assert(rows().isEmpty, s"no flush may happen without the watermark moving, got ${rows()}")
+    // one event advances the watermark past 2000 + idle -> the tail flushes
+    input.addData((9L, 10000000L))
+    q.processAllAvailable()
+    assert(rows().contains((1L, 1000L, 2000L, 2L)),
+      s"the quiet tail must flush once the watermark passes it, got ${rows()}")
+    q.stop()
+  }
+
+  test("closedSessionsStreamEventTime: flush contents identical across a kill+restart (replay determinism)") {
+    // VERDICT r18 item 4's Done criterion: processing-time flushes can land
+    // at different batch boundaries on a checkpoint-recovery replay; the
+    // watermark is persisted per batch in the offset log, so the
+    // event-time variant's flush decisions are a pure function of the data
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, 1000L), (1L, 2000L), (2L, 1000000L))
+    val b2 = Seq((2L, 50000000L))
+    val b3 = Seq((3L, 200000000L))
+    val b4 = Seq((3L, 400000000L))
+    def run(kill: Boolean): Seq[(Long, Long, Long, Long)] = {
+      val out = Files.createTempDirectory("graft-et-sess-out").toString
+      val ckpt = Files.createTempDirectory("graft-et-sess-ckpt").toString
+      val input = MemoryStream[(Long, Long)]
+      def start() = graft.streaming.Streaming.closedSessionsStreamEventTime(
+          input.toDS(), gapUs = 10000L, idleUs = 100000L)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      var q = start()
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      if (kill) { q.stop(); q = start() } // kill between triggers, resume from ckpt
+      input.addData(b3: _*); q.processAllAvailable()
+      input.addData(b4: _*); q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(out).as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    }
+    val ref = run(kill = false)
+    val killed = run(kill = true)
+    // both timeout flushes and both gap closes, nothing else
+    assert(ref == Seq(
+      (1L, 1000L, 2000L, 2L), (2L, 1000000L, 1000000L, 1L),
+      (2L, 50000000L, 50000000L, 1L), (3L, 200000000L, 200000000L, 1L)).sorted,
+      s"reference run emitted $ref")
+    assert(killed == ref,
+      s"a restarted query must flush the SAME sessions at the same boundaries:\n$killed\nvs\n$ref")
+  }
+
+  test("runningUserStatsEventTime: watermark-driven flush frees the row; count restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.Streaming.runningUserStatsEventTime(input.toDS(), idleUs = 100000L)
+      .writeStream.outputMode("update").format("memory").queryName("stats_et_out").start()
+    def user1() = spark.table("stats_et_out")
+      .as[graft.streaming.UserStats].collect().filter(_.user_id == 1L).toSeq
+    input.addData((1L, 1000L, 10.0), (1L, 2000L, 20.0))
+    q.processAllAvailable()
+    assert(user1().count(_.n_events == 2L) == 1, "snapshot before any flush")
+    input.addData((2L, 10000000L, 1.0)) // advances the watermark past 2000 + idle
+    q.processAllAvailable()
+    assert(user1().count(_.n_events == 2L) == 2,
+      s"the flush must re-emit the final snapshot once more, got ${user1()}")
+    input.addData((1L, 20000000L, 99.0)) // key 1 returns AFTER its flush
+    q.processAllAvailable()
+    assert(user1().exists(s => s.n_events == 1L && s.last_value == 99.0),
+      s"a flushed key must restart from zero, got ${user1()}")
+    assert(!user1().exists(_.n_events == 3L),
+      s"the freed row must not keep accumulating, got ${user1()}")
+    q.stop()
+  }
+
+  test("funnelDepthStreamEventTime: watermark-driven flush frees a chain that could still advance by window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    // window huge on purpose: the later click is INSIDE the view's window,
+    // so only the idle flush can explain depth staying at 0
+    val q = graft.streaming.Streaming.funnelDepthStreamEventTime(
+        input.toDS(), windowUs = 1000000000L, idleUs = 100000L)
+      .writeStream.outputMode("update").format("memory").queryName("funnel_et_out").start()
+    def depths() = spark.table("funnel_et_out")
+      .where(col("user") === 1L).select("depth").as[Int].collect().toSeq
+    input.addData((1L, 1000L, 1L, "view"))
+    q.processAllAvailable()
+    input.addData((2L, 10000000L, 1L, "view")) // watermark past 1000 + idle
+    q.processAllAvailable()
+    assert(depths().count(_ == 1) == 2,
+      s"view progress + its flush re-emission expected, got ${depths()}")
+    input.addData((1L, 20000000L, 2L, "click")) // in-window, but the anchor was flushed
+    q.processAllAvailable()
+    assert(depths().contains(0) && !depths().contains(2),
+      s"a flushed view must not anchor a later click, got ${depths()}")
+    q.stop()
+  }
+
   test("funnelDepthStream: opt-in idle timeout frees a quiet key's chain state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, String)]
