@@ -652,19 +652,24 @@ private[graft] object QueriesVector {
         WHERE vec_id % 37 = 0 ORDER BY vec_id, frame_no""")),
 
     QueryDef("mm_video_composited",
-      // GIF89a disposal COMPOSITING under the oracle (the r17 watch item's
-      // semantics, not just its spec): per row a 2-frame animated GIF —
-      // frame 0 a full-rect solid color on the logical screen, frame 1 a
-      // PARTIAL rect at an (x, y) offset, both doNotDispose — decoded with
-      // composite = true. The rendered frame-1 canvas is frame 1's color
-      // over its rect and frame 0's everywhere else, so its channel means
-      // are the exact integer blend (a·(WH − wh) + b·wh) / WH, which SQL
-      // replays arithmetically (palette GIFs are lossless; both engines
-      // divide the same exact integers as doubles). Frame 1 decoded
-      // AS-STORED would report its own rect's dims and pure color — this
-      // key fails if offsets, canvas persistence, or logical-screen dims
-      // regress. (restoreToBackgroundColor / restoreToPrevious stay
-      // spec-tested: their transparent-pixel means are viewer-defined.)
+      // GIF89a disposal COMPOSITING under the oracle: per row a 3-frame
+      // animated GIF on a W×H logical screen —
+      //   f0 full-rect color A (doNotDispose), whose palette carries the
+      //      BACKGROUND color Z at index 0 (the writer derives the global
+      //      color table + backgroundColorIndex=0 from frame 0's palette);
+      //   f1 a PARTIAL rect of color B at an (x, y) offset, disposal
+      //      restoreToBackgroundColor — the r18-item-5 contract: its rect
+      //      restores to Z, NOT to transparent;
+      //   f2 a 1×1 rect of color C at (W−1, 0), provably disjoint from
+      //      f1's rect (f1 spans x<4, y<3 while W≥4 forces x=W−1≥3 to pair
+      //      with y=0 only when off=1 keeps y≥1).
+      // Canvas means are exact integer blends SQL replays arithmetically
+      // (palette GIFs are lossless; both engines divide the same integers
+      // as doubles): f1 = (A·(WH−wh) + B·wh)/WH on the kept canvas, f2 =
+      // (A·(WH−wh−1) + Z·wh + C)/WH on the background-restored one. The
+      // key fails if offsets, canvas persistence, logical-screen dims, or
+      // the background-fill disposal regress. (restoreToPrevious stays
+      // spec-tested.)
       (s, d) => {
         import s.implicits._
         val ids = t(s, d, "embeddings").select(col("vec_id"))
@@ -680,12 +685,31 @@ private[graft] object QueriesVector {
               new java.awt.image.BufferedImage(w, h,
                 java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
             }
+            // frame 0: palette [background Z, own color A], raster filled
+            // with A (exact palette match -> index 1); the global table the
+            // writer derives from THIS palette is what the decoder's
+            // background fill reads
+            def solidOnBg(zr: Long, zg: Long, zb: Long,
+                          r: Long, g: Long, b: Long, w: Int, h: Int) = {
+              val cm = new java.awt.image.IndexColorModel(8, 2,
+                Array((zr % 256).toByte, (r % 256).toByte),
+                Array((zg % 256).toByte, (g % 256).toByte),
+                Array((zb % 256).toByte, (b % 256).toByte))
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val gr = img.createGraphics()
+              gr.setColor(new java.awt.Color((r % 256).toInt, (g % 256).toInt, (b % 256).toInt))
+              gr.fillRect(0, 0, w, h); gr.dispose()
+              img
+            }
             val w = (id % 11 + 4).toInt; val h = (id % 5 + 3).toInt
             val w2 = (id % 3 + 1).toInt; val h2 = (id % 2 + 1).toInt
             val off = (id % 2).toInt
             (id, Multimodal.gifAnimatedBytesPlaced(Seq(
-              (solid(id * 3, id * 5, id * 7, w, h), 0, 0, "doNotDispose"),
-              (solid(id * 13, id * 17, id * 19, w2, h2), off, off, "doNotDispose"))))
+              (solidOnBg(id * 23, id * 29, id * 31,
+                id * 3, id * 5, id * 7, w, h), 0, 0, "doNotDispose"),
+              (solid(id * 13, id * 17, id * 19, w2, h2), off, off, "restoreToBackgroundColor"),
+              (solid(id * 37, id * 43, id * 47, 1, 1), w - 1, 0, "doNotDispose"))))
           }
         }.toDF("vec_id", "payload")
         Multimodal.videoFrameFeatures(gifs, "vec_id", everyNth = 1, composite = true)
@@ -698,7 +722,9 @@ private[graft] object QueriesVector {
             vec_id % 11 + 4 AS w, vec_id % 5 + 3 AS h,
             vec_id % 3 + 1 AS w2, vec_id % 2 + 1 AS h2,
             (vec_id * 3) % 256 AS ar, (vec_id * 5) % 256 AS ag, (vec_id * 7) % 256 AS ab,
-            (vec_id * 13) % 256 AS br, (vec_id * 17) % 256 AS bg, (vec_id * 19) % 256 AS bb
+            (vec_id * 13) % 256 AS br, (vec_id * 17) % 256 AS bg, (vec_id * 19) % 256 AS bb,
+            (vec_id * 23) % 256 AS zr, (vec_id * 29) % 256 AS zg, (vec_id * 31) % 256 AS zb,
+            (vec_id * 37) % 256 AS cr, (vec_id * 43) % 256 AS cg, (vec_id * 47) % 256 AS cb
           FROM embeddings WHERE vec_id % 41 = 0)
         SELECT vec_id, 0 AS frame_no, TRUE AS ok,
             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -710,6 +736,12 @@ private[graft] object QueriesVector {
             CAST(ar * (w * h - w2 * h2) + br * w2 * h2 AS DOUBLE) / (w * h),
             CAST(ag * (w * h - w2 * h2) + bg * w2 * h2 AS DOUBLE) / (w * h),
             CAST(ab * (w * h - w2 * h2) + bb * w2 * h2 AS DOUBLE) / (w * h)
+          FROM par
+        UNION ALL
+        SELECT vec_id, 2, TRUE, CAST(w AS INTEGER), CAST(h AS INTEGER),
+            CAST(ar * (w * h - w2 * h2 - 1) + zr * w2 * h2 + cr AS DOUBLE) / (w * h),
+            CAST(ag * (w * h - w2 * h2 - 1) + zg * w2 * h2 + cg AS DOUBLE) / (w * h),
+            CAST(ab * (w * h - w2 * h2 - 1) + zb * w2 * h2 + cb AS DOUBLE) / (w * h)
           FROM par
         ORDER BY vec_id, frame_no""")),
 

@@ -1003,8 +1003,11 @@ object Multimodal {
     *    `composite = true` frames are RENDERED: each stored rect is drawn
     *    at its (left, top) offset onto the logical screen with GIF89a
     *    disposal applied between frames (doNotDispose keeps the canvas,
-    *    restoreToBackgroundColor clears the frame's rect to transparent,
-    *    restoreToPrevious reverts the draw), so partial-rect animations
+    *    restoreToBackgroundColor fills the frame's rect with the logical
+    *    screen's background color — global table entry at
+    *    backgroundColorIndex; transparent only when no global table
+    *    exists — restoreToPrevious reverts the draw), so partial-rect
+    *    animations
     *    report what a viewer shows — dims become the LOGICAL SCREEN's and
     *    means are over the canvas (undrawn pixels count as transparent
     *    black). Full-rect frames are byte-identical either way. Every
@@ -1157,8 +1160,19 @@ object Multimodal {
     * screen in order (state is cumulative — unsampled frames still
     * composite), emitting stats for each sampled CANVAS. Frame offsets and
     * disposal methods come from the per-image ImageIO metadata tree;
-    * logical-screen dims from the stream metadata, falling back to the
-    * first frame's extent when absent.
+    * logical-screen dims AND the background color from the stream
+    * metadata, falling back to the first frame's extent when absent.
+    *
+    * ENGINE CONTRACT for `restoreToBackgroundColor` (pinned by the
+    * `mm_video_composited` oracle key): the disposed rect is filled with
+    * the logical screen descriptor's background color — the global color
+    * table entry at `backgroundColorIndex` — whenever the stream HAS a
+    * global color table (the JDK writer always emits one). Real viewers
+    * disagree here (most render the rect transparent); an analytics
+    * engine needs ONE arithmetic answer, and the spec'd LSD semantics is
+    * the defensible one. A stream with no global table (exotic: the JDK
+    * writer cannot produce one) falls back to a transparent clear, which
+    * `frameStats` counts as black.
     */
   private def gifComposited(id: Long, reader: javax.imageio.ImageReader,
                             n: Int, everyNth: Int): Seq[VideoFrameFeatures] = {
@@ -1175,15 +1189,37 @@ object Multimodal {
     // the fallback decodes frame 0 for its extent — keep it so the loop's
     // first iteration does not pay the same LZW decode twice
     var frame0: BufferedImage = null
+    val streamTree = Option(reader.getStreamMetadata)
+      .map(_.getAsTree("javax_imageio_gif_stream_1.0"))
     val (lw, lh) = {
       val dims = for {
-        sm <- Option(reader.getStreamMetadata)
-        lsd <- child(sm.getAsTree("javax_imageio_gif_stream_1.0"), "LogicalScreenDescriptor")
+        tree <- streamTree
+        lsd <- child(tree, "LogicalScreenDescriptor")
         w <- attr(lsd, "logicalScreenWidth").map(_.toInt) if w > 0
         h <- attr(lsd, "logicalScreenHeight").map(_.toInt) if h > 0
       } yield (w, h)
       dims.getOrElse { frame0 = reader.read(0); (frame0.getWidth, frame0.getHeight) }
     }
+    // background color = GlobalColorTable[backgroundColorIndex] (see the
+    // contract above); absent table or out-of-range index => None
+    val bgColor: Option[java.awt.Color] = for {
+      tree <- streamTree
+      gct <- child(tree, "GlobalColorTable")
+      idx <- attr(gct, "backgroundColorIndex").flatMap(_.toIntOption)
+      entry <- {
+        var c = gct.getFirstChild
+        var found: Option[org.w3c.dom.Node] = None
+        while (c != null && found.isEmpty) {
+          if (c.getNodeName == "ColorTableEntry" &&
+            attr(c, "index").flatMap(_.toIntOption).contains(idx)) found = Some(c)
+          c = c.getNextSibling
+        }
+        found
+      }
+      r <- attr(entry, "red").flatMap(_.toIntOption)
+      g <- attr(entry, "green").flatMap(_.toIntOption)
+      b <- attr(entry, "blue").flatMap(_.toIntOption)
+    } yield new java.awt.Color(r, g, b)
     var canvas = new BufferedImage(lw, lh, BufferedImage.TYPE_INT_ARGB)
     val out = Seq.newBuilder[VideoFrameFeatures]
     for (f <- 0 until n) {
@@ -1206,10 +1242,17 @@ object Multimodal {
       if (f % everyNth == 0) out += frameStats(id, f, canvas)
       disposal match {
         case "restoreToBackgroundColor" =>
-          // GIF viewers render the disposed rect as transparent (the
-          // background color index is honored by almost nothing real)
+          // LSD semantics (the class-doc contract): fill with the global
+          // table's background entry; transparent-clear only when the
+          // stream genuinely has no global color table
           val g2 = canvas.createGraphics()
-          g2.setComposite(java.awt.AlphaComposite.Clear)
+          bgColor match {
+            case Some(c) =>
+              g2.setComposite(java.awt.AlphaComposite.Src)
+              g2.setColor(c)
+            case None =>
+              g2.setComposite(java.awt.AlphaComposite.Clear)
+          }
           g2.fillRect(left, top, img.getWidth, img.getHeight)
           g2.dispose()
         case "restoreToPrevious" => canvas = before
@@ -1292,6 +1335,11 @@ object Multimodal {
         val d = node("ImageDescriptor")
         d.setAttribute("imageLeftPosition", left.toString)
         d.setAttribute("imageTopPosition", top.toString)
+        // the JDK writer DEFAULTS to interlaced output, and its interlace
+        // for small frames is lossy (observed: the last row of a 4×4
+        // frame reads back as index 0 — invisible on all-zero rasters,
+        // corrupting as soon as a raster carries nonzero indices)
+        d.setAttribute("interlaceFlag", "FALSE")
         val g = node("GraphicControlExtension")
         g.setAttribute("disposalMethod", disposal)
         g.setAttribute("userInputFlag", "FALSE")

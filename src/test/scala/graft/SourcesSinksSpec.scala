@@ -370,19 +370,30 @@ class SourcesSinksSpec extends SparkSpec {
   }
 
   test("videoFrameFeatures: composite=true applies GIF89a disposal; full-rect frames identical either way") {
-    import java.awt.image.BufferedImage
-    def solid(r: Int, g: Int, b: Int, w: Int, h: Int): BufferedImage = {
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    // indexed frames pin the palettes (and therefore the GLOBAL color
+    // table the writer derives from frame 0): index 0 = the background
+    // green, index 1 = the frame's own red — so the engine contract's
+    // background fill (GCT[backgroundColorIndex=0]) is exactly green
+    def solidIdx(p0: (Int, Int, Int), p1: (Int, Int, Int), fill: (Int, Int, Int),
+                 w: Int, h: Int): BufferedImage = {
+      val cm = new IndexColorModel(8, 2,
+        Array(p0._1.toByte, p1._1.toByte), Array(p0._2.toByte, p1._2.toByte),
+        Array(p0._3.toByte, p1._3.toByte))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
       val gr = img.createGraphics()
-      gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h); gr.dispose()
+      gr.setColor(new java.awt.Color(fill._1, fill._2, fill._3))
+      gr.fillRect(0, 0, w, h); gr.dispose()
       img
     }
-    // logical screen 4×4: f0 full red (then clears to transparent), f1 2×2
-    // blue at (1,1) kept, f2 1×1 white at (0,0) reverting after display
+    val red = (255, 0, 0); val green = (0, 255, 0)
+    val blue = (0, 0, 255); val white = (255, 255, 255); val black = (0, 0, 0)
+    // logical screen 4×4: f0 full red (then restores to the BACKGROUND
+    // green), f1 2×2 blue at (1,1) kept, f2 1×1 white at (0,0) reverting
     val gif = graft.ops.Multimodal.gifAnimatedBytesPlaced(Seq(
-      (solid(255, 0, 0, 4, 4), 0, 0, "restoreToBackgroundColor"),
-      (solid(0, 0, 255, 2, 2), 1, 1, "doNotDispose"),
-      (solid(255, 255, 255, 1, 1), 0, 0, "restoreToPrevious")))
+      (solidIdx(green, red, fill = red, 4, 4), 0, 0, "restoreToBackgroundColor"),
+      (solidIdx(blue, black, fill = blue, 2, 2), 1, 1, "doNotDispose"),
+      (solidIdx(white, black, fill = white, 1, 1), 0, 0, "restoreToPrevious")))
     val df = Seq((1L, gif)).toDF("id", "payload")
     val got = graft.ops.Multimodal.videoFrameFeatures(df, "id", composite = true)
       .collect().map(r => r.getInt(1) ->
@@ -391,13 +402,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(got.keySet == Set(0, 1, 2))
     // hand-computed composited means over the 16-pixel logical screen
     assert(got(0) === ((true, 4, 4, 255.0, 0.0, 0.0)), s"f0: ${got(0)}")
-    assert(got(1) === ((true, 4, 4, 0.0, 0.0, 4 * 255.0 / 16)),
-      s"f1 (blue rect on the CLEARED canvas): ${got(1)}")
-    assert(got(2) === ((true, 4, 4, 255.0 / 16, 255.0 / 16, 5 * 255.0 / 16)),
-      s"f2 (white pixel over the kept blue rect): ${got(2)}")
+    assert(got(1) === ((true, 4, 4, 0.0, 12 * 255.0 / 16, 4 * 255.0 / 16)),
+      s"f1 (blue rect on the BACKGROUND-green restored canvas): ${got(1)}")
+    assert(got(2) === ((true, 4, 4, 255.0 / 16, 12 * 255.0 / 16, 5 * 255.0 / 16)),
+      s"f2 (white pixel over green canvas + kept blue rect): ${got(2)}")
     // full-rect animation: composite and as-stored agree byte-for-byte
+    def solidRgb(r: Int, g: Int, b: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h); gr.dispose()
+      img
+    }
     val full = graft.ops.Multimodal.gifAnimatedBytes(
-      (0 until 3).map(f => solid(f * 80, 10, 10, 6, 4)))
+      (0 until 3).map(f => solidRgb(f * 80, 10, 10, 6, 4)))
     val fdf = Seq((1L, full)).toDF("id", "payload")
     def rows(composite: Boolean) =
       graft.ops.Multimodal.videoFrameFeatures(fdf, "id", composite = composite)
