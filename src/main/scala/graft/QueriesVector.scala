@@ -8,7 +8,7 @@ import graft.Queries._
 /** Registry chunk of [[Queries.all]] — similarity search + multimodal plumbing (north star): ANN brute/IVF/PQ, SRP banding, codecs, perceptual hashes.
   * Split from the Queries.scala monolith (round 13) purely for review and
   * merge cost; shared helpers stay in [[Queries]] and every entry is
-  * byte-identical to its pre-split form. 34 keys (31 at the split; mm_video_frames + mm_mjpeg_frames added r17, mm_video_composited r18).
+  * byte-identical to its pre-split form. 35 keys (31 at the split; mm_video_frames + mm_mjpeg_frames added r17, mm_video_composited r18, mm_decode_stats r19).
   */
 private[graft] object QueriesVector {
   val defs: Seq[QueryDef] = Seq(
@@ -744,6 +744,54 @@ private[graft] object QueriesVector {
             CAST(ab * (w * h - w2 * h2 - 1) + zb * w2 * h2 + cb AS DOUBLE) / (w * h)
           FROM par
         ORDER BY vec_id, frame_no""")),
+
+    QueryDef("mm_decode_stats",
+      // the quarantine-observability summary under the oracle: a corpus
+      // whose codec and validity are chosen per row by id arithmetic
+      // (valid GIF / valid + corrupt ISO-BMFF / unknown magic / NULL /
+      // valid JPEG), reduced by decodeStats to per-codec ok/quarantine
+      // counts plus the DETERMINISTIC min-id error sample — all of which
+      // SQL replays as CASE arithmetic. sample_err (the message text) is
+      // deliberately excluded: decoder wording is JDK-owned, the
+      // counts/sample-id contract is ours.
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "embeddings").select(col("vec_id"))
+          .where(col("vec_id") % 101 === 0).as[Long]
+        val payloads = ids.mapPartitions { it =>
+          it.map { id =>
+            val bytes: Array[Byte] = (id % 6) match {
+              case 0 => Multimodal.gifAnimatedBytes(Seq(new java.awt.image.BufferedImage(
+                2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)))
+              case 1 => Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p',
+                'i', 's', 'o', 'm', 0, 0, 0, 1)
+              case 2 => Array[Byte](0, 0, 0, 99, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
+              case 3 => s"junk-$id".getBytes("UTF-8")
+              case 4 => null
+              case _ =>
+                val img = new java.awt.image.BufferedImage(
+                  3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "jpg", bos)
+                bos.toByteArray
+            }
+            (id, bytes)
+          }
+        }.toDF("vec_id", "payload")
+        Multimodal.decodeStats(payloads, "vec_id")
+          .select(col("codec"), col("n_ok"), col("n_quarantined"), col("sample_err_id"))
+          .orderBy(col("codec"))
+      },
+      Some("""WITH par AS (SELECT vec_id, vec_id % 6 AS m
+            FROM embeddings WHERE vec_id % 101 = 0),
+          c AS (SELECT vec_id,
+            CASE m WHEN 0 THEN 'gif' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mp4'
+                   WHEN 3 THEN 'unknown' WHEN 4 THEN 'none' ELSE 'jpeg' END AS codec,
+            CASE WHEN m IN (0, 1, 5) THEN 1 ELSE 0 END AS ok FROM par)
+        SELECT codec, CAST(sum(ok) AS BIGINT) AS n_ok,
+            CAST(sum(1 - ok) AS BIGINT) AS n_quarantined,
+            min(CASE WHEN ok = 0 THEN vec_id END) AS sample_err_id
+        FROM c GROUP BY codec ORDER BY codec""")),
 
     QueryDef("op_histogram",
       // fixed-bound equi-width histogram: one map-side-combined agg, ≤24

@@ -1283,6 +1283,89 @@ object Multimodal {
     VideoFrameFeatures(id, frameNo, ok = true, w, h, sr / n, sg / n, sb / n)
   }
 
+  /** Quarantine OBSERVABILITY for a multimodal corpus: `ok = false` rows
+    * are the designed per-row failure path of every decoder here, but at
+    * 100 TB nobody re-scans a decode OUTPUT to learn the quarantine
+    * rate. This is the aggregate surface: ONE partition-parallel pass
+    * over `(idCol, payload)` that sniffs each row's container from its
+    * magic bytes and attempts the family's canonical validity check
+    * (ImageIO decode for JPEG/PNG/GIF/BMP, the top-level box walk for
+    * ISO-BMFF, the RIFF/WAVE form check for audio), aggregated to a
+    * per-codec summary:
+    *
+    *   codec | n_ok | n_quarantined | sample_err_id | sample_err
+    *
+    * The error sample is DETERMINISTIC — the failing row with the
+    * smallest id (min over a (id, err) struct) — so the summary
+    * hash-checks run to run. Unrecognized magic and NULL/short payloads
+    * count as quarantined under the `unknown` / `none` codecs. Scale:
+    * the shuffle carries one row per (partition × codec); output is
+    * ≤ #codecs rows. Monitoring loops alert on `n_quarantined` growth
+    * the same way they watch [[graft.ops.Dedup.lshOversizedBuckets]].
+    */
+  def decodeStats(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAttempt(id, bytes) })
+      .toDF("codec", "id", "ok", "err")
+      .groupBy("codec")
+      .agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+        min(when(!col("ok"), struct(col("id"), col("err")))).as("_sample"))
+      .select(col("codec"), col("n_ok"), col("n_quarantined"),
+        col("_sample.id").as("sample_err_id"), col("_sample.err").as("sample_err"))
+      .orderBy(col("codec"))
+  }
+
+  private def decodeAttempt(id: Long, bytes: Array[Byte]): (String, Long, Boolean, String) = {
+    if (bytes == null) return ("none", id, false, "null payload")
+    if (bytes.length < 4) return ("none", id, false, s"payload too short (${bytes.length} bytes)")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val codec =
+      if (u8(0) == 0xff && u8(1) == 0xd8) "jpeg"
+      else if (u8(0) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+      else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+      else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p') "mp4"
+      else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
+      else return ("unknown", id, false, "unrecognized magic bytes")
+    codec match {
+      case "jpeg" | "png" | "gif" | "bmp" =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) (codec, id, false, "no decodable image (corrupt or unsupported variant)")
+          else (codec, id, true, null)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (codec, id, false, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      case "mp4" =>
+        // top-level box walk (the mp4Meta discipline): each size >= 8,
+        // boxes tile the payload exactly
+        var pos = 0L
+        var err: String = null
+        while (err == null && pos < bytes.length) {
+          if (pos + 8 > bytes.length) err = s"truncated box header at offset $pos"
+          else {
+            val p = pos.toInt
+            val size = (u8(p).toLong << 24) | (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+            if (size < 8) err = s"box size $size < 8 at offset $pos"
+            else if (pos + size > bytes.length) err = s"box at offset $pos overruns the payload"
+            else pos += size
+          }
+        }
+        ("mp4", id, err == null, err)
+      case "wav" =>
+        if (bytes.length >= 12 && bytes(8) == 'W' && bytes(9) == 'A' &&
+          bytes(10) == 'V' && bytes(11) == 'E') ("wav", id, true, null)
+        else ("wav", id, false, "RIFF container without a WAVE form")
+    }
+  }
+
   /** Encode frames as one animated GIF with the JDK's sequence writer —
     * the construct side of [[videoFrameFeatures]]'s oracle keys. GIF
     * palettes are lossless for low-color frames (≤256 distinct colors per

@@ -423,6 +423,46 @@ class SourcesSinksSpec extends SparkSpec {
       "full-rect frames must be identical under both modes")
   }
 
+  test("decodeStats: per-codec ok/quarantine counts with a deterministic error sample") {
+    import java.awt.image.BufferedImage
+    def jpeg(v: Int): Array[Byte] = {
+      val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, 6, 4); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val goodJpeg = jpeg(100)
+    val cutJpeg = jpeg(50).dropRight(jpeg(50).length / 2) // truncated mid-stream
+    val gif = graft.ops.Multimodal.gifAnimatedBytes(Seq(
+      new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)))
+    // a minimal valid ISO-BMFF: one ftyp box tiling the payload exactly,
+    // and a corrupt sibling whose box size overruns
+    val ftyp = Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p',
+      'i', 's', 'o', 'm', 0, 0, 0, 1)
+    val badMp4 = Array[Byte](0, 0, 0, 99, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
+    val rows = Seq(
+      (1L, goodJpeg), (2L, cutJpeg), (3L, gif), (4L, ftyp), (5L, badMp4),
+      (6L, "not media at all".getBytes("UTF-8")), (7L, null.asInstanceOf[Array[Byte]]),
+      (8L, cutJpeg) // second jpeg failure: the SAMPLE must pick id 2 (min)
+    ).toDF("doc_id", "payload")
+    val got = graft.ops.Multimodal.decodeStats(rows, "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet == Set("jpeg", "gif", "mp4", "unknown", "none"), s"codecs: ${got.keySet}")
+    assert(got("jpeg") == ((1L, 2L, Some(2L))),
+      s"jpeg: 1 ok, 2 quarantined, sample = min failing id, got ${got("jpeg")}")
+    assert(got("gif") == ((1L, 0L, None)), s"gif: ${got("gif")}")
+    assert(got("mp4") == ((1L, 1L, Some(5L))), s"mp4: ${got("mp4")}")
+    assert(got("unknown") == ((0L, 1L, Some(6L))), s"unknown: ${got("unknown")}")
+    assert(got("none") == ((0L, 1L, Some(7L))), s"none (null payload): ${got("none")}")
+    // the sample carries a human-readable error string
+    val errs = graft.ops.Multimodal.decodeStats(rows, "doc_id")
+      .where(col("codec") === "mp4").select("sample_err").as[String].collect()
+    assert(errs.length == 1 && errs.head.contains("overruns"), errs.mkString)
+  }
+
   test("processNewPartitions honors the ledger for a RELATIVE dest path (qualified-path regression)") {
     // fs.listFiles returns qualified paths; an unqualified relative root
     // used to never match them, emptying the ledger and re-appending every
