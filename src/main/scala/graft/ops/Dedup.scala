@@ -764,6 +764,29 @@ object Dedup {
     * cluster-scale; the threshold (default 4M edges ≈ a few hundred MB of
     * union-find state in one task) is where that trade flips.
     */
+  /** [[dedupClusters]] for pair sets the CALLER already knows are bounded
+    * (a streaming trigger's in-batch candidate pairs, a test fixture):
+    * straight to the single-task union-find with NO strategy-count job and
+    * NO checkpoint — the result is a lazy plan that rides its consumer's
+    * job (persist it when there are several consumers; lineage stays
+    * intact, so cache eviction recomputes instead of failing). The caller
+    * owns the boundedness claim: pair sets that can exceed
+    * [[dedupClusters]]'s `smallGraphEdges` (~4M edges of union-find state
+    * in one task) must use the adaptive entry instead.
+    */
+  def dedupClustersBounded(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    // the single-task union-find compares ids via Comparable (same
+    // restriction dedupClusters' small path checks before CHOOSING it);
+    // here there is no label-propagation fallback, so reject exotic key
+    // types loudly instead of throwing ClassCastException mid-task
+    require(comparableKeyType(p),
+      "dedupClustersBounded: id columns must be the same Comparable type " +
+        "(numeric/string/boolean/date/timestamp) — use dedupClusters for other key types")
+    clustersByUnionFind(p)
+  }
+
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
                     maxRounds: Int = 30,
                     smallGraphEdges: Long = 4L * 1000 * 1000): DataFrame = {
@@ -783,27 +806,46 @@ object Dedup {
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .graftCheckpoint(eager = false)
-    val small = p.count() <= smallGraphEdges
-    // the single-task union-find needs runtime-Comparable ids (String,
-    // numerics, date/timestamp map to Comparable JVM types) and BOTH
-    // columns of the same type (Integer.compareTo(Long) throws); exotic
-    // or mixed key types fall back to the shuffle-based path, which
-    // orders via Spark's own `least` semantics instead
-    val comparableKey = {
-      import org.apache.spark.sql.types._
-      val srcDt = p.schema("src").dataType
-      srcDt == p.schema("dst").dataType && (srcDt match {
-        case _: NumericType => true
-        case StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
-        case _ => false
-      })
+    val edgeCount = p.count()
+    // ZERO edges = zero clusters, decidable right here from the count the
+    // strategy switch already paid for: return an empty LOCAL relation
+    // instead of running the union-find task + checkpoint job over nothing.
+    // Downstream, the optimizer's PropagateEmptyRelation then collapses
+    // anti-joins/unions against this result outright (the streaming
+    // near-dup sink's steady-state trigger carries no in-batch pairs, so
+    // this removes whole per-trigger scheduling rounds, not just one).
+    if (edgeCount == 0L) {
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
+      val dt = p.schema("src").dataType
+      return p.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", dt, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_rep", dt, nullable = false))))
     }
+    val small = edgeCount <= smallGraphEdges
+    val comparableKey = comparableKeyType(p)
     if (small && comparableKey) {
       val out = clustersByUnionFind(p).graftCheckpoint()
       org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
       return out
     }
     clustersByLabelPropagation(p, maxRounds)
+  }
+
+  // the single-task union-find needs runtime-Comparable ids (String,
+  // numerics, date/timestamp map to Comparable JVM types) and BOTH
+  // columns of the same type (Integer.compareTo(Long) throws); exotic
+  // or mixed key types fall back to the shuffle-based path, which
+  // orders via Spark's own `least` semantics instead
+  private def comparableKeyType(p: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    val srcDt = p.schema("src").dataType
+    srcDt == p.schema("dst").dataType && (srcDt match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
   }
 
   /** Small-graph strategy: union-find by min id, one executor task.

@@ -295,6 +295,31 @@ final class ManifestTable private (
       }, stats)
   }
 
+  /** [[append]], except an EMPTY batch commits nothing (no version, no
+    * empty dir) and returns None — the gate a per-trigger streaming sink
+    * needs, WITHOUT the separate pre-count job the caller-side
+    * `if (df.count() > 0) append(df)` idiom pays: the row count rides the
+    * write itself as an observed metric (`Dataset.observe` /
+    * CollectMetrics — collected by the write's own tasks, zero extra
+    * scheduling rounds), and on zero rows the freshly written dir is
+    * deleted best-effort instead of committed. Versioning is identical to
+    * the caller-side gate: empty triggers leave the log untouched.
+    */
+  def appendNonEmpty(df: DataFrame, maxRetries: Int = DefaultRetries): Option[Long] = {
+    val ddl = normDdl(df.schema)
+    latestVersion().map(readManifest).foreach(requireSameSchema(_, ddl))
+    val obs = org.apache.spark.sql.Observation()
+    val (dir, stats) = writeData(df.observe(obs, count(lit(1)).as("rows")))
+    if (obs.get("rows").asInstanceOf[Long] == 0L) {
+      bestEffortDelete(dir, "empty-batch dir")
+      None
+    } else Some(commitWithRetry(maxRetries, "append", ddl,
+      prev => {
+        prev.foreach(requireSameSchema(_, ddl))
+        prev.map(_.dirs).getOrElse(Seq.empty) :+ dir
+      }, stats))
+  }
+
   /** Exactly-once APPEND for a streaming sink: commit the batch atomically
     * WITH its `(sinkId, batchId)` transaction token, or recognize that this
     * token (or a later one) already committed and do nothing — the

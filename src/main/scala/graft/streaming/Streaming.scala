@@ -602,15 +602,19 @@ object Streaming {
           .where(sigAgreement("_as", "_bs") >= threshold)
           .select("doc_a", "doc_b")
           .distinct()
-        // forceLocal: the in-batch cluster resolution is transient — its
-        // durability window is this trigger (a failed trigger re-runs
-        // whole), while a stream's LIFETIME is unbounded, so routing it
-        // through the durable-checkpoint knob would write per-trigger
-        // reliable files that nothing ever deletes
-        val inBatchDrops = graft.ops.Lineage.forceLocal(
-            Dedup.dedupClusters(inPairs, "doc_a", "doc_b"))
+        // dedupClustersBounded, not the adaptive dedupClusters: a trigger's
+        // in-batch candidate pairs are batch-bounded (the caller's trigger
+        // policy bounds the batch; LSH pairs are a sliver of it), so the
+        // adaptive entry's strategy-count job + eager checkpoint job are
+        // pure per-trigger scheduling tax. The bounded form is a LAZY
+        // single-task union-find that rides its first consumer's job;
+        // persist (not checkpoint) keeps lineage intact — transient
+        // per-trigger state, recomputed (not failed) on cache eviction,
+        // and nothing durable to leak over an unbounded stream lifetime.
+        val inBatchDrops = Dedup.dedupClustersBounded(inPairs, "doc_a", "doc_b")
           .where(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").as(idCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val shielded = state.join(inBatchDrops, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val histOpt = sigTable.latestVersion().map(_ => sigTable.snapshot())
@@ -655,22 +659,20 @@ object Streaming {
         // state never pays a copy-on-write table rewrite (merge without
         // prunable stats rewrites the WHOLE table per trigger)
         val acceptedState = shielded.join(histDups, Seq(idCol), "left_anti")
-        // persist + count ONCE, then gate the append on the count: the
-        // previous isEmpty-probe-then-write pair executed the anti-join
-        // plan twice, and each execution re-ran its broadcast builds as
-        // separate driver jobs (measured: 3 probe jobs + 3 write jobs per
-        // steady-state trigger) — plus take(1)'s partition escalation can
-        // multiply probe jobs on an all-dup batch. One count materializes
-        // the cache (broadcast builds included), and the write then scans
-        // cached rows: 2 scheduling rounds where there were ~6. Per-trigger
-        // driver rounds ARE the streaming fixed cost at any data size.
-        val newState = (histOpt match {
+        // appendNonEmpty gates the commit on a row count OBSERVED by the
+        // write itself (CollectMetrics): ONE scheduling round where the
+        // r16 persist-count-then-append pair paid two (and the original
+        // isEmpty-probe-then-write pair ~6 — see the git history). The
+        // anti-join plan executes exactly once (the write), so newState no
+        // longer needs a persist at all. Per-trigger driver rounds ARE the
+        // streaming fixed cost at any data size.
+        val newState = histOpt match {
           case None => acceptedState
           case Some(hist) =>
             Aggregates.idempotentNewRows(acceptedState, hist, Seq(idCol, "band"))
-        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         try {
-          if (newState.count() > 0L) { sigTable.append(newState); () }
+          sigTable.appendNonEmpty(newState)
           // acceptance handlers run BEFORE maintenance: `accepted`'s lazy
           // plan reads the PRE-append history snapshot through the
           // persisted-but-EVICTABLE histDups — if vacuum below deleted the
@@ -693,9 +695,9 @@ object Streaming {
             sigTable.vacuum()
           }
         } finally {
-          newState.unpersist(blocking = false)
           histDups.unpersist(blocking = false)
           shielded.unpersist(blocking = false)
+          inBatchDrops.unpersist(blocking = false)
         }
       } finally state.unpersist(blocking = false)
       }

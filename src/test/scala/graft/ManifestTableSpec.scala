@@ -296,6 +296,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 3)
   }
 
+  test("appendNonEmpty: empty batch commits nothing and leaves no dir; non-empty commits like append") {
+    val t = ManifestTable(spark, freshRoot())
+    t.overwrite(kv(1L -> 1.0))
+    // empty batch: no version minted, no data dir left behind (the
+    // observed-metric gate — the point is ONE job instead of the caller's
+    // count-then-append pair, with identical versioning)
+    assert(t.appendNonEmpty(kv().where(lit(false))).isEmpty)
+    assert(t.versions() == Seq(0L))
+    assert(t.dirCount() == 1, "empty batch must not leave a committed dir")
+    // non-empty batch: commits exactly like append
+    assert(t.appendNonEmpty(kv(2L -> 2.0)).contains(1L))
+    assert(t.snapshot().orderBy("k").as[(Long, Double)].collect().toList ==
+      List(1L -> 1.0, 2L -> 2.0))
+    // schema drift still rejected before any commit
+    intercept[IllegalArgumentException] {
+      t.appendNonEmpty(Seq((3L, "x")).toDF("k", "v"))
+    }
+    assert(t.versions() == Seq(0L, 1L))
+  }
+
   test("append rejects a schema-drifting batch instead of corrupting reads") {
     val t = ManifestTable(spark, freshRoot())
     t.overwrite(kv(1L -> 1.0))

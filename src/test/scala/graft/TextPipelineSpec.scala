@@ -268,6 +268,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedupClusters on an empty pair set returns an empty result without a cluster job") {
+    // the r19 shortcut: zero edges short-circuits to a LOCAL empty relation
+    // after the strategy-count job — schema and rows identical to what the
+    // union-find would have produced over nothing
+    val pairs = Seq((5L, 3L)).toDF("doc_a", "doc_b").where(lit(false))
+    val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+    assert(got.columns.toList == List("doc_id", "cluster_rep"))
+    assert(got.isEmpty)
+    // and the empty result is a local relation, so downstream anti-joins
+    // can be collapsed by PropagateEmptyRelation instead of planning a
+    // broadcast build over nothing
+    assert(got.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+  }
+
+  test("dedupClustersBounded matches dedupClusters (same min-id components, lazy plan)") {
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+        (5L, 3L), (3L, 9L), (20L, 21L), (null, 7L))
+      .toDF("doc_a", "doc_b")
+    val bounded = Dedup.dedupClustersBounded(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val adaptive = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(bounded == adaptive)
+    assert(bounded == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    // exotic key types have no label-propagation fallback here: fail loudly
+    val mixed = Seq((Array(1.toByte), Array(2.toByte))).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupClustersBounded(mixed, "doc_a", "doc_b"))
+    assert(e.getMessage.contains("Comparable"))
+  }
+
   test("applyClusterDedup keeps one representative per cluster plus all singletons") {
     val docs = Seq((1L, "a"), (3L, "b"), (5L, "c"), (9L, "d"), (20L, "e"), (21L, "f"))
       .toDF("doc_id", "text")
