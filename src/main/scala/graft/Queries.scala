@@ -576,8 +576,16 @@ object Queries {
     Geo.haversineKmSql(a1, o1, a2, o2)
 
   /** sum(DECIMAL(p,s))::DOUBLE both sides — see numeric discipline above. */
+  // exact quantized sum as double — since r19 via the momentSum long
+  // fast path (per-row long rounding instead of a BigDecimal cast, one
+  // exact decimal rescale per group; bit-identical inside |Σ·10^sc| < 2⁶³).
+  // Contract: every call site feeds a FLOATING measure (all 31 do) — an
+  // integral column past 2⁵³ would round in the double widening; route
+  // such inputs through Analytics.momentSum's type dispatch instead.
+  // `p` is kept for the SQL mirror's signature symmetry (the long path
+  // has no precision knob; sums are exact to 2⁶³ regardless).
   private[graft] def dsum(c: Column, p: Int = 24, sc: Int = 6): Column =
-    sum(c.cast(s"decimal($p,$sc)")).cast("double")
+    graft.ops.Analytics.momentSumFloating(c, sc)
   private[graft] def dsumSql(e: String, p: Int = 24, s: Int = 6): String =
     s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)"
 

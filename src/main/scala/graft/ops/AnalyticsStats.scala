@@ -211,15 +211,16 @@ trait AnalyticsStatsOps extends AnalyticsBase {
   /** The exact quantized moment Σ round_sc(e) as a DOUBLE, on the fast path
     * when `e` is floating-typed: round each value to `scale` decimal places
     * in LONG space (HALF_UP away from zero, matching the decimal cast),
-    * sum exact longs, divide the exact sum back by 10^scale in one
-    * correctly-rounded double division. Bit-identical to
-    * `sum(e.cast(decimal(p,scale))).cast(double)` inside the operators'
-    * documented validity window — both paths produce the correctly-rounded
-    * double of the same exact rational Σ/10^scale, and that window already
-    * requires the scaled sum < 2⁵³ (past it the decimal→double conversion
-    * itself goes engine-divergent, see correlationMatrix's
-    * productScaleOverride note), so long capacity (2⁶³) is never the
-    * binding limit. The win is PER-ROW: the double→decimal cast goes
+    * sum exact longs, and rescale the ONE aggregated value back by
+    * 10^-scale exactly in decimal space. Bit-identical to
+    * `sum(e.cast(decimal(p,scale))).cast(double)` — both paths produce the
+    * correctly-rounded double of the same exact rational Σ/10^scale — for
+    * any scaled sum |Σ| < 2⁶³ (the long-sum capacity; the per-group
+    * decimal rescale avoids the double-rounding a plain long→double→divide
+    * would hit past 2⁵³). That window is strictly wider than the
+    * operators' documented 2⁵³ engine-portability window (see
+    * correlationMatrix's productScaleOverride note). The win is PER-ROW:
+    * the double→decimal cast goes
     * through BigDecimal/Double.toString (~µs/row·moment, measured 11×
     * slower end-to-end on a 15-moment pass), while this path is one
     * multiply + floor + long add in fused codegen.
@@ -242,19 +243,38 @@ trait AnalyticsStatsOps extends AnalyticsBase {
       case _ => false
     }
     if (!floating) decimalForm(e).as(out)
-    else {
-      require(scale >= 0 && scale <= 15, s"momentSum: scale $scale outside exact-power window")
-      val s10 = math.pow(10, scale) // exact double for scale <= 15
-      val scaled0 = if (scale == 0) e else e * lit(s10)
-      // NaN/±Inf must stay NULL like the decimal cast nulls them (ANSI
-      // off) — floor(NaN).toLong is 0 and floor(±Inf) clamps, which would
-      // silently poison the sum instead of skipping the row
-      val scaled = when(isnan(scaled0) || abs(scaled0) === lit(Double.PositiveInfinity),
-        lit(null).cast("double")).otherwise(scaled0)
-      val rounded = when(scaled >= 0, floor(scaled + lit(0.5)))
-        .otherwise(-floor(-scaled + lit(0.5)))
-      (sum(rounded).cast("double") / lit(s10)).as(out)
-    }
+    else momentSumFloating(e, scale).as(out)
+  }
+
+  /** The [[momentSum]] fast path itself, for callers that KNOW the input
+    * is floating-typed (e.g. the query layer's `dsum`, whose 31 call sites
+    * all feed double measures) — no DataFrame needed for dispatch. Inputs
+    * that are integral past 2⁵³ must not come here (the double widening
+    * would round them; use [[momentSum]], whose type dispatch keeps
+    * integrals on the exact decimal path).
+    */
+  private[graft] def momentSumFloating(e0: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 15, s"momentSum: scale $scale outside exact-power window")
+    val e = e0.cast("double")
+    val s10 = math.pow(10, scale) // exact double for scale <= 15
+    val scaled0 = if (scale == 0) e else e * lit(s10)
+    // NaN/±Inf must stay NULL like the decimal cast nulls them (ANSI
+    // off) — floor(NaN).toLong is 0 and floor(±Inf) clamps, which would
+    // silently poison the sum instead of skipping the row
+    val scaled = when(isnan(scaled0) || abs(scaled0) === lit(Double.PositiveInfinity),
+      lit(null).cast("double")).otherwise(scaled0)
+    val rounded = when(scaled >= 0, floor(scaled + lit(0.5)))
+      .otherwise(-floor(-scaled + lit(0.5)))
+    // final conversion: NOT sum/10^sc in doubles — a scaled sum past 2⁵³
+    // would round once at the long→double cast and AGAIN at the division
+    // (double rounding, 1-ulp splits vs the decimal path). One exact
+    // decimal rescale of the single aggregated value gives the correctly
+    // rounded double of the exact rational Σ·10⁻ˢᶜ, identical to the
+    // decimal path, for any |Σ| < 2⁶³ — per GROUP, not per row, so the
+    // fast path keeps its whole win.
+    if (scale == 0) sum(rounded).cast("double")
+    else (sum(rounded).cast("decimal(38,0)") *
+      lit(java.math.BigDecimal.ONE.movePointLeft(scale))).cast("double")
   }
 
   /** Pairwise Pearson correlation matrix over k numeric columns in ONE
