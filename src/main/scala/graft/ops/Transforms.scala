@@ -205,7 +205,9 @@ object Transforms {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(valid.isNull, 1L).otherwise(0L)).as("n_missing"),
         count(valid).as("_nv"),
-        sum(valid.cast(s"decimal(28,$scale)")).as("_s"))
+        // momentSum fast path: `valid` is double with NaN/Inf already
+        // nulled, so the long rounding sees only finite magnitudes
+        Analytics.momentSumFloating(valid, scale).as("_s"))
       .select(col("grp"), col("n_rows"), col("n_missing"),
         (col("_s").cast("double") / col("_nv").cast("double")).as("mean_used"),
         (col("_s").cast("double") +
