@@ -88,31 +88,41 @@ object Dedup {
   def shingleTableFromTokens(df: DataFrame, idCol: String, toksCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(shinglesFromTokens(col(toksCol), n)).as("shingle"))
 
-  /** One MinHash value: the lexicographic min over a doc's shingles of the
-    * s-th 4-hex-char slice of md5(shingle). One digest per shingle serves
-    * all (up to 8) hash functions — md5 bits are independent, so disjoint
-    * slices act as independent hashes; a hex-string min is engine-portable
-    * (no 64-bit unsigned arithmetic needed). 16-bit slices collide for
-    * unrelated docs with probability ~n/2·2⁻¹⁶ per hash, which the exact
-    * Jaccard verify absorbs.
+  /** One MinHash value: the min over a doc's shingles of the s-th 16-bit
+    * slice of md5(shingle), as an INT. One digest per shingle serves all
+    * (up to 8) hash functions — md5 bits are independent, so disjoint
+    * slices act as independent hashes. Definitionally equal to the oracle's
+    * lexicographic `min(substring(md5hex, 4s+1, 4))`: fixed-width lowercase
+    * hex orders exactly like the 16-bit value it spells (see
+    * [[graft.functions.Md5SlicesKernel]]), so the primitive int min-agg
+    * replaces the per-row hex materialization + 8 substring allocations +
+    * string-buffer mins the r20 profile measured at ~60% of the signature
+    * pass; [[lshBuckets]] reconstructs the identical hex strings once per
+    * aggregated signature. 16-bit slices collide for unrelated docs with
+    * probability ~n/2·2⁻¹⁶ per hash, which the exact Jaccard verify absorbs.
     */
   def minhashAgg(seed: Int): Column =
-    min(substring(col("_md5"), seed * 4 + 1, 4)).as(s"mh$seed")
+    min(col("_mh").getItem(seed)).as(s"mh$seed")
 
-  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8).
-    * No size column rides along: the Jaccard verify derives doc sizes from
-    * its own per-doc sets (`size(_set)` in [[jaccardVerifySets]]), so a
-    * signature-side count would be dead weight shuffled with every row.
+  /** MinHash signatures: one row per doc, columns mh0..mh{k-1} (k <= 8),
+    * each the INT image of the oracle's 4-hex-char slice (equal order, equal
+    * equality — see [[minhashAgg]]). No size column rides along: the Jaccard
+    * verify derives doc sizes from its own per-doc sets (`size(_set)` in
+    * [[jaccardVerifySets]]), so a signature-side count would be dead weight
+    * shuffled with every row.
     */
   def minhashSignatures(shingleTbl: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    require(numHashes <= 8, "md5 yields 8 disjoint 4-hex-char slices")
-    shingleTbl.withColumn("_md5", md5(col("shingle")))
+    require(numHashes <= 8, "md5 yields 8 disjoint 16-bit slices")
+    shingleTbl.withColumn("_mh", graft.functions.Md5SlicesOps.md5Slices16(col("shingle")))
       .groupBy(col(idCol)).agg(minhashAgg(0), (1 until numHashes).map(minhashAgg): _*)
   }
 
   /** LSH band buckets: band b hashes `rowsPerBand` consecutive signature
     * entries into one bucket id. Docs sharing any (band, bucket) are
-    * candidates. Output: (id, band, bucket).
+    * candidates. Output: (id, band, bucket). The bucket md5 runs over the
+    * 4-hex-char images of the int signature slices — byte-identical input
+    * to the oracle's `md5(concat(substring-slices))`, reconstructed ONCE per
+    * aggregated signature row (signature-table-sized, not shingle-sized).
     */
   def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
@@ -121,7 +131,8 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("bucket"))
+        md5(concat((0 until rowsPerBand).map(r =>
+          graft.functions.Md5SlicesOps.md5Hex4(col(s"mh${b * rowsPerBand + r}"))): _*)).as("bucket"))
     }
     sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))

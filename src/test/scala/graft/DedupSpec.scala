@@ -210,6 +210,37 @@ class DedupSpec extends SparkSpec {
     assert(md5Pairs.nonEmpty)
   }
 
+  test("int-slice minhash signatures and buckets == hex-substring definition") {
+    // the r20 signature fast path: mh values are the INT images of the
+    // oracle's 4-hex-char md5 slices — min-agg equality and the band
+    // bucket md5 must hold byte-for-byte against the definitional
+    // string form (incl. non-ASCII shingles: md5 runs over UTF-8 bytes)
+    val d = Tables.load(spark, sf0001, "documents").limit(200)
+      .select(col("doc_id"), concat(col("text"), lit(" žluťoučký 日本語")).as("text"))
+    val sh = Dedup.shingleTable(d, "doc_id", "text", 3)
+    val got = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+    // definitional string form (the pre-r20 implementation, verbatim)
+    val want = sh.withColumn("_md5", md5(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(min(substring(col("_md5"), 1, 4)).as("mh0"),
+        (1 until 8).map(s => min(substring(col("_md5"), s * 4 + 1, 4)).as(s"mh$s")): _*)
+    val gotHex = got.select(col("doc_id") +: (0 until 8).map(s =>
+      graft.functions.Md5SlicesOps.md5Hex4(col(s"mh$s")).as(s"mh$s")): _*)
+    assert(gotHex.exceptAll(want).isEmpty && want.exceptAll(gotHex).isEmpty)
+    // band buckets: md5 over the reconstructed hex equals md5 over the
+    // original substrings
+    val gotB = Dedup.lshBuckets(got, "doc_id", numHashes = 8, rowsPerBand = 2)
+    val wantB = {
+      val bands = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket"))
+      }
+      want.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    }
+    assert(gotB.exceptAll(wantB).isEmpty && wantB.exceptAll(gotB).isEmpty)
+  }
+
   test("winnow md5 kernel == expression-form specification, including non-ASCII") {
     import graft.ops.TextAnalysis
     val d = Tables.load(spark, sf0001, "documents").limit(100)
