@@ -242,7 +242,11 @@ trait AnalyticsStatsOps extends AnalyticsBase {
       case DoubleType | FloatType => true
       case _ => false
     }
-    if (!floating) decimalForm(e).as(out)
+    // floating inputs at scales past the exact-power-of-ten window (> 15)
+    // route to the DECIMAL path instead of throwing at plan time — e.g.
+    // regressionByGroup with floating x, y and xScale + yScale > 15 was
+    // accepted by the decimal(24,16) cast before the fast path existed
+    if (!floating || scale > 15) decimalForm(e).as(out)
     else momentSumFloating(e, scale).as(out)
   }
 
@@ -260,8 +264,14 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     val scaled0 = if (scale == 0) e else e * lit(s10)
     // NaN/±Inf must stay NULL like the decimal cast nulls them (ANSI
     // off) — floor(NaN).toLong is 0 and floor(±Inf) clamps, which would
-    // silently poison the sum instead of skipping the row
-    val scaled = when(isnan(scaled0) || abs(scaled0) === lit(Double.PositiveInfinity),
+    // silently poison the sum instead of skipping the row. Per-row values
+    // whose SCALED image reaches 2⁶³ get the same NULL: floor→long would
+    // clamp them at Long.MaxValue (plausible-looking garbage), and a
+    // value that far past the documented ulp-vs-half-step window (2⁵²)
+    // has no meaningful quantized image anyway — a detectable NULL beats
+    // a silent clamp (the decimal path's own per-value overflow is a NULL
+    // for the same reason).
+    val scaled = when(isnan(scaled0) || abs(scaled0) >= lit(9.223372036854776e18),
       lit(null).cast("double")).otherwise(scaled0)
     val rounded = when(scaled >= 0, floor(scaled + lit(0.5)))
       .otherwise(-floor(-scaled + lit(0.5)))
@@ -272,9 +282,29 @@ trait AnalyticsStatsOps extends AnalyticsBase {
     // rounded double of the exact rational Σ·10⁻ˢᶜ, identical to the
     // decimal path, for any |Σ| < 2⁶³ — per GROUP, not per row, so the
     // fast path keeps its whole win.
-    if (scale == 0) sum(rounded).cast("double")
-    else (sum(rounded).cast("decimal(38,0)") *
-      lit(java.math.BigDecimal.ONE.movePointLeft(scale))).cast("double")
+    //
+    // Σ-overflow guard: sum(LongType) under ANSI-off wraps silently past
+    // 2⁶³ where the decimal path returned the exact value — at a 100-TB
+    // revenue shape (scale 6, ~10¹¹ rows) the scaled sum genuinely crosses
+    // 2⁶³, so an unguarded fast path would return plausible-looking wrong
+    // numbers exactly where it matters. A companion sum over the SAME
+    // rounded values in DOUBLE space witnesses the true Σ's magnitude
+    // (two's-complement long addition is associative, so the long sum is
+    // exact mod 2⁶⁴ regardless of intermediate wraps — only the final
+    // magnitude needs certifying; the witness's relative error is ≤
+    // n·2⁻⁵², ≪ the 2⁻¹⁰ guard band for any realistic n). |witness| past
+    // (1 − 2⁻¹⁰)·2⁶³ → NULL: out-of-window sums become detectable NULLs
+    // (the decimal path's failure mode) instead of silent wraps; sums
+    // below the band — the entire documented |Σ| < 2⁶³ window less a
+    // 0.1% boundary sliver — are untouched and bit-identical.
+    val witness = sum(rounded.cast("double"))
+    val guardBound = 9.223372036854776e18 * (1.0 - 1.0 / 1024)
+    val conv =
+      if (scale == 0) sum(rounded).cast("double")
+      else (sum(rounded).cast("decimal(38,0)") *
+        lit(java.math.BigDecimal.ONE.movePointLeft(scale))).cast("double")
+    when(abs(witness) < lit(guardBound), conv)
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Pairwise Pearson correlation matrix over k numeric columns in ONE

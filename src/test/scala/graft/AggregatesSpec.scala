@@ -130,6 +130,40 @@ class AggregatesSpec extends SparkSpec {
     assert(viaInt == 6.0)
   }
 
+  test("momentSum overflow guard: out-of-window sums are NULL, not wrapped longs") {
+    import graft.ops.Analytics
+    // scaled Σ past 2^63 (three rows of 5e18 at scale 0): the pre-guard
+    // fast path wrapped the long sum into plausible-looking garbage; the
+    // witnessed form must return NULL (detectable, the decimal path's
+    // failure mode)
+    val big = Seq(5.0e18, 5.0e18, 5.0e18).toDF("x")
+    val overG = big.agg(Analytics.momentSum(big, col("x"), 0, "m",
+      _ => fail("floating input must take the long path"))).as[Option[Double]].head()
+    assert(overG.isEmpty, s"Σ past 2^63 must null, got $overG")
+    // per-row scaled image at/past 2^63: the row nulls out (the decimal
+    // cast's per-value overflow behavior) instead of clamping at
+    // Long.MaxValue — the remaining rows still sum exactly
+    val mixed = Seq(1.0e19, 2.0, 3.0).toDF("x")
+    val perRow = mixed.agg(Analytics.momentSum(mixed, col("x"), 0, "m",
+      _ => fail("floating input must take the long path"))).as[Option[Double]].head()
+    assert(perRow.contains(5.0), s"huge row must null out, rest sum: $perRow")
+    // well inside the window the guard is invisible: bit-identical to the
+    // decimal path (the r19 equivalence, re-pinned under the witness)
+    val ok = Seq(1.25, -2.5e12, 3.75e12).toDF("x")
+    val viaDecimal = ok.agg(
+      sum(col("x").cast("decimal(30,2)")).cast("double").as("m")).as[Double].head()
+    val viaLong = ok.agg(Analytics.momentSum(ok, col("x"), 2, "m",
+      _ => fail("floating input must take the long path"))).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(viaDecimal) ==
+      java.lang.Double.doubleToLongBits(viaLong))
+    // scale > 15 floating inputs route to the decimal form instead of
+    // throwing at plan time (the pre-r19 decimal(24,16) acceptance)
+    val wide = Seq(0.5, 0.25).toDF("x")
+    val viaWide = wide.agg(Analytics.momentSum(wide, col("x"), 16, "m",
+      e => sum(e.cast("decimal(24,16)")).cast("double"))).as[Double].head()
+    assert(viaWide == 0.75)
+  }
+
   test("funnelStages: strict first-occurrence ordering gates each stage") {
     val ev = Seq(
       (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),  // full funnel
