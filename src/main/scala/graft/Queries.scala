@@ -578,13 +578,17 @@ object Queries {
   /** sum(DECIMAL(p,s))::DOUBLE both sides — see numeric discipline above. */
   // exact quantized sum as double — since r19 via the momentSum long
   // fast path (per-row long rounding instead of a BigDecimal cast, one
-  // exact decimal rescale per group; bit-identical inside |Σ·10^sc| < 2⁶³).
+  // exact decimal rescale per group; bit-identical inside |Σ·10^sc| < 2⁶³,
+  // NULL past it since r20's overflow witness — the decimal path's
+  // detectable failure mode, never a silent long wrap).
   // Contract: every call site feeds a FLOATING measure (all 31 do) — an
   // integral column past 2⁵³ would round in the double widening; route
   // such inputs through Analytics.momentSum's type dispatch instead.
-  // `p` is kept for the SQL mirror's signature symmetry (the long path
-  // has no precision knob; sums are exact to 2⁶³ regardless).
-  private[graft] def dsum(c: Column, p: Int = 24, sc: Int = 6): Column =
+  // No precision knob: the long path's capacity is |Σ·10^sc| < 2⁶³
+  // regardless — the old `p` parameter implied capacity control that no
+  // longer existed (r19 ADVICE), so it is gone; only the SQL mirror keeps
+  // one (the oracle still runs the genuine decimal cast).
+  private[graft] def dsum(c: Column, sc: Int = 6): Column =
     graft.ops.Analytics.momentSumFloating(c, sc)
   private[graft] def dsumSql(e: String, p: Int = 24, s: Int = 6): String =
     s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)"

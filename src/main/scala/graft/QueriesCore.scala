@@ -19,7 +19,7 @@ private[graft] object QueriesCore {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice"), 20, 2).as("sum_base"),
+          dsum(col("l_extendedprice"), 2).as("sum_base"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("n_rows"))
@@ -564,7 +564,7 @@ private[graft] object QueriesCore {
         val done = Transforms.tag(o.where(col("o_orderstatus") === "F"), "tag", "DONE")
         Aggregates.unionAligned(Seq(open, done))
           .groupBy(col("tag"))
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 20, 2).as("total"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
           .orderBySmall(col("tag"))
       },
       Some(s"""SELECT tag, count(*) AS n, ${dsumSql("o_totalprice", 20, 2)} AS total FROM (
@@ -598,7 +598,7 @@ private[graft] object QueriesCore {
             Joins.broadcastLookup(c, n, col("c_nationkey") === col("n_nationkey")),
             r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
-          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 20, 2).as("total_bal"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("total_bal"))
           .orderBySmall(col("r_name"))
       },
       Some(s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal", 20, 2)} AS total_bal
@@ -787,7 +787,7 @@ private[graft] object QueriesCore {
     QueryDef("op_cube",
       (s, d) => t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 20, 2).as("qty"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 2).as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("cnt"), col("qty"))
         .orderBySmall(col("flag"), col("status")),

@@ -35,7 +35,7 @@ private[graft] object QueriesEvents {
       // bounded output, single-partition sort (see orderBySmall)
       (s, d) => eventsUs(s, d)
         .groupBy(expr("ts_us div 3600000000").as("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value"), 18, 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total_value"))
         .orderBySmall(col("bucket"), col("event_type")),
       Some(s"""SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
         count(*) AS n, ${dsumSql("value", 18, 2)} AS total_value
@@ -177,12 +177,12 @@ private[graft] object QueriesEvents {
         val v0 = mt.overwrite(base)
         val v1 = mt.merge(updates, Seq("o_orderkey"))
         def stageAgg(df: DataFrame, stage: Column) = df.agg(
-          count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+          count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("sum_price"))
           .select(stage.as("stage"), col("n_rows"), col("sum_price"))
         stageAgg(mt.snapshotAt(v0), lit("v0"))
           .unionByName(stageAgg(mt.snapshotAt(v1), lit("v1")))
           .unionByName(mt.diff(v0, v1).groupBy(col("_change"))
-            .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+            .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("sum_price"))
             .select(concat(lit("cdc_"), col("_change")).as("stage"),
               col("n_rows"), col("sum_price")))
           .orderBySmall(col("stage"))
@@ -358,8 +358,8 @@ private[graft] object QueriesEvents {
           col("l_returnflag"), col("l_extendedprice"), pLo = 0.05, pHi = 0.95)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          dsum(col("l_extendedprice"), 20, 2).as("sum_raw"),
-          dsum(col("_wins"), 24, 6).as("sum_winsorized"))
+          dsum(col("l_extendedprice"), 2).as("sum_raw"),
+          dsum(col("_wins"), 6).as("sum_winsorized"))
         .orderBySmall(col("l_returnflag")),
       Some(s"""WITH b AS (SELECT l_returnflag AS g,
           quantile_cont(l_extendedprice, 0.05) AS lo,
@@ -469,7 +469,7 @@ private[graft] object QueriesEvents {
         s.table("graft_b_orders")
           .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_price"))
           .orderBySmall(col("c_mktsegment"))
       },
       Some(s"""SELECT c_mktsegment, count(*) AS n_orders,

@@ -230,7 +230,7 @@ private[graft] object QueriesMlEval {
         val per = t(s, d, "orders").groupBy(col("o_custkey"))
           .agg(max(col("o_orderdate")).as("_last"),
             count(lit(1)).as("freq"),
-            dsum(col("o_totalprice"), 20, 2).as("_mon"))
+            dsum(col("o_totalprice"), 2).as("_mon"))
           .select(col("o_custkey"),
             datediff(lit("2001-12-31").cast("date"), col("_last").cast("date"))
               .cast("long").as("rec"),

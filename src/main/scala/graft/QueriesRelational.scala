@@ -110,7 +110,7 @@ private[graft] object QueriesRelational {
       (s, d) => {
         val c = t(s, d, "customer")
         val avgBal = c.where(col("c_acctbal") > 0)
-          .agg((dsum(col("c_acctbal"), 20, 2).cast("double") /
+          .agg((dsum(col("c_acctbal"), 2).cast("double") /
             count(lit(1)).cast("double")).as("_avg"))
         // dormant = no orders in the trailing window (every synthetic
         // customer has SOME order, so the classic no-orders-ever form
@@ -122,7 +122,7 @@ private[graft] object QueriesRelational {
           .where(col("c_acctbal") > col("_avg"))
           .join(o.hint("merge"), col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy((col("c_nationkey") % 10).as("nation_band"))
-          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 20, 2).as("totacctbal"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
           .orderBySmall(col("nation_band"))
       },
       Some(s"""WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal
@@ -1198,7 +1198,7 @@ private[graft] object QueriesRelational {
         s.read.option("mergeSchema", "true").parquet(dir + "/gen=1", dir + "/gen=2")
           .groupBy(col("o_channel"))
           .agg(count(lit(1)).as("n_orders"),
-            dsum(col("o_totalprice"), 20, 2).as("sum_price"))
+            dsum(col("o_totalprice"), 2).as("sum_price"))
           .orderBySmall(col("o_channel"))
       },
       Some(s"""WITH u AS (

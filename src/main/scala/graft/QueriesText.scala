@@ -483,7 +483,7 @@ private[graft] object QueriesText {
           col("l_returnflag"), concat_ws("-", col("l_orderkey"), col("l_linenumber")),
           Map("A" -> 10, "N" -> 2, "R" -> 50))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_kept"), dsum(col("l_quantity"), 20, 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n_kept"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBySmall(col("l_returnflag")),
       Some(s"""SELECT l_returnflag, count(*) AS n_kept, ${dsumSql("l_quantity", 20, 2)} AS sum_qty
         FROM lineitem

@@ -907,7 +907,7 @@ private[graft] object QueriesText2 {
           t(s, d, "orders").select(col("o_orderkey").as("okey"), col("o_orderpriority")),
           Seq("okey"), saltFactor = 8)
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 20, 2).as("qty"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity"), 2).as("qty"))
         .orderBySmall(col("o_orderpriority")),
       Some(s"""SELECT o_orderpriority, count(*) AS cnt, ${dsumSql("l_quantity", 20, 2)} AS qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey

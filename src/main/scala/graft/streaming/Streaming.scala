@@ -70,7 +70,7 @@ object Streaming {
       // varies with partial-agg order — across triggers AND versus the
       // batch result; calling the shared definition keeps the two from
       // ever drifting
-      .agg(count(lit(1)).as("n"), graft.Queries.dsum(col("value"), 18, 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.Queries.dsum(col("value"), 2).as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Watermarked streaming dedup by id — exactly-once-per-id within the
