@@ -89,11 +89,19 @@ private[graft] object QueriesText2 {
       // depth recursive CTE with min-distance resolution. Output: node
       // counts per hop level plus the dist=-1 unreachable row
       (s, d) => {
+        // node encoding: LONGS, not the oracle's 'c'/'s'-prefixed strings —
+        // customer c ↦ 2c, supplier s ↦ 2s+1 is a bijection onto disjoint
+        // ranges (keys are nonnegative and ≪ 2⁶²), and the output census is
+        // encoding-invariant (counts per hop level only — no node id ever
+        // reaches the output), so the oracle hash is unchanged while the
+        // edge distinct, six frontier equi-joins, and the settled min-aggs
+        // all shuffle/compare 8-byte longs instead of 6-12-char strings
+        // (r20 isolated A/B: 5.9 s → ~2.6 s median)
         val e0 = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         // checkpoint the symmetric edge table HERE: bfsHops detects the
         // flat frame and reuses it, and the unreached census below reads
@@ -102,7 +110,7 @@ private[graft] object QueriesText2 {
         val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
           .graftCheckpoint()
         val seeds = t(s, d, "supplier").where(col("s_suppkey") % 100 === 0)
-          .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+          .select((col("s_suppkey") * 2 + 1).as("node"))
         val dist = Analytics.bfsHops(e, seeds, maxHops = 6)
         val nodes = e.select(col("src").as("node")).distinct()
         val reached = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
