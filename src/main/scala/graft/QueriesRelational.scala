@@ -25,13 +25,21 @@ private[graft] object QueriesRelational {
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         val su = t(s, d, "supplier")
+        // the symmetric pair predicate implies supp_nation ∈ {N1,N2} and
+        // cust_nation ∈ {N1,N2} — push each IN into its dim BEFORE the
+        // fact joins (2 of 25 nations survive → supplier/customer shrink
+        // ~12.5× ahead of the growing-table sort-merges; the exact pair
+        // condition still applies below). The optimizer cannot split the
+        // cross-side OR itself; r20 A/B: 0.83 → 0.53 s warm.
         val n1 = t(s, d, "nation").select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+          .where(col("supp_nation").isin("NATION_1", "NATION_2"))
         val n2 = t(s, d, "nation").select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"))
-        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
-          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n1), col("s_nationkey") === col("_snk"))
-          .join(broadcast(n2), col("c_nationkey") === col("_cnk"))
+          .where(col("cust_nation").isin("NATION_1", "NATION_2"))
+        val sf = su.join(broadcast(n1), col("s_nationkey") === col("_snk"))
+        val cf = c.join(broadcast(n2), col("c_nationkey") === col("_cnk"))
+        l.join(sf.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(cf.hint("merge"), col("o_custkey") === col("c_custkey"))
           .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .groupBy(col("supp_nation"), col("cust_nation"),
@@ -596,15 +604,21 @@ private[graft] object QueriesRelational {
         val n = t(s, d, "nation")
         val r = t(s, d, "region")
         val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
-          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n.select(col("n_nationkey").as("_snk"), col("n_name").as("_sn"))),
-            col("s_nationkey") === col("_snk"))
+        // the ASIA predicate names the CUSTOMER's region only — push it
+        // into the customer dim BEFORE the fact joins (1 of 5 regions
+        // survives → customers shrink 5× ahead of the growing-table
+        // sort-merges; the q7 pre-filter discipline). The supplier-nation
+        // broadcast only labels the aggregation and stays where it was.
+        val cf = c
           .join(broadcast(n.select(col("n_nationkey").as("_cnk"), col("n_regionkey").as("_crk"))),
             col("c_nationkey") === col("_cnk"))
           .join(broadcast(r), col("_crk") === col("r_regionkey"))
           .where(col("r_name") === "ASIA")
+        l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(su.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+          .join(cf.hint("merge"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("_snk"), col("n_name").as("_sn"))),
+            col("s_nationkey") === col("_snk"))
           .groupBy(year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
           .agg(dsum(when(col("_sn") === "NATION_1", rev).otherwise(lit(0.0))).as("nation_rev"),
             dsum(rev).as("total_rev"))
