@@ -827,7 +827,15 @@ object Dedup {
     // this removes whole per-trigger scheduling rounds, not just one).
     if (edgeCount == 0L) {
       org.apache.spark.sql.GraftBridge.freeCheckpoint(p)
-      val dt = p.schema("src").dataType
+      // output type = what the NON-EMPTY paths would produce, derived from
+      // the same src∪dst union both strategies key on (label propagation
+      // promotes mixed src/dst types through union/least; union-find
+      // requires them equal, where the union is the identity) — the result
+      // schema must not depend on whether the input happened to be empty,
+      // or downstream unions across calls/triggers break on the first
+      // empty batch (r19 ADVICE)
+      val dt = p.select(col("src")).union(p.select(col("dst")))
+        .schema.fields.head.dataType
       return p.sparkSession.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(

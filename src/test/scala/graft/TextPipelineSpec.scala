@@ -281,6 +281,17 @@ class TextPipelineSpec extends SparkSpec {
     // broadcast build over nothing
     assert(got.queryExecution.optimizedPlan.collectLeaves().forall(
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    // mixed-type pair sets (int src, long dst — the label-propagation
+    // path's territory) must get the PROMOTED key type even when empty,
+    // or the result schema depends on whether the batch happened to be
+    // empty and downstream unions across triggers break (r19 ADVICE)
+    val mixed = Seq((5, 3L)).toDF("doc_a", "doc_b").where(lit(false))
+    val gotMixed = Dedup.dedupClusters(mixed, "doc_a", "doc_b")
+    val nonEmptyMixed = Dedup.dedupClusters(Seq((5, 3L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+    assert(gotMixed.schema("doc_id").dataType == nonEmptyMixed.schema("doc_id").dataType &&
+      gotMixed.schema("cluster_rep").dataType == nonEmptyMixed.schema("cluster_rep").dataType,
+      s"empty-input schema ${gotMixed.schema} != non-empty ${nonEmptyMixed.schema}")
   }
 
   test("dedupClustersBounded matches dedupClusters (same min-id components, lazy plan)") {
