@@ -45,6 +45,20 @@ object Md5SlicesKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** First 60 md5 bits as a nonnegative long — the first 8 digest bytes
+    * big-endian, logically shifted right one nibble (= parsing the first
+    * 15 hex chars base-16).
+    */
+  def bits60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** The 4-char lowercase hex image of one 16-bit slice — the exact string
     * `substring(md5(s), 4k+1, 4)` would have produced. Signature-level (one
     * call per aggregated value, never per shingle row).
@@ -106,9 +120,40 @@ case class Md5Hex4Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `md5Bits60(s)` → the first 60 bits of md5(s) as a nonnegative long —
+  * definitionally `conv(substring(md5hex, 1, 15), 16, 10)`: the first 15
+  * hex chars are the digest's first 7.5 bytes big-endian, i.e. the first
+  * 8 bytes logically-shifted right by one nibble. Skips the 32-char hex
+  * materialization + substring + string-parse per token that the simhash
+  * signature pass otherwise pays.
+  */
+case class Md5Bits60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5Bits60 expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5SlicesKernel.bits60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5SlicesKernel.bits60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5SlicesOps {
   def md5Slices16(s: Column): Column =
     GraftBridge.column(Md5Slices16Expr(GraftBridge.expr(s)))
   def md5Hex4(v: Column): Column =
     GraftBridge.column(Md5Hex4Expr(GraftBridge.expr(v)))
+  def md5Bits60(s: Column): Column =
+    GraftBridge.column(Md5Bits60Expr(GraftBridge.expr(s)))
 }

@@ -580,8 +580,13 @@ object Dedup {
     * One explode + one groupBy(doc) — single shuffle, linear.
     */
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // md5Bits60 = conv(substring(md5hex, 1, 15), 16, 10) without the per-
+    // token 32-char hex materialization + substring + string parse (r20
+    // probe: 0.65 → 0.38 s on the signature pass, 0 differing hashes over
+    // the full token stream; kernel-vs-definition equality is also a
+    // DedupSpec property)
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, SimhashHexChars), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.Md5SlicesOps.md5Bits60(col("tok")))
     val contribs = (0 until SimhashBits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
     }

@@ -155,6 +155,27 @@ object ProbeR20 {
       spark.catalog.clearCache()
     }
 
+    // ---- simhash60 signature A/B ----
+    locally {
+      val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
+      def sig(h: org.apache.spark.sql.Column): DataFrame = {
+        val withH = tok.withColumn("h", h)
+        val contribs = (0 until 60).map { i =>
+          sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+        }
+        withH.groupBy(col("doc_id")).agg(contribs.head, contribs.tail: _*)
+      }
+      val hOld = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+      val hNew = graft.functions.Md5SlicesOps.md5Bits60(col("tok"))
+      time("simhash_sig_conv")(noop(sig(hOld)))
+      time("simhash_sig_kernel")(noop(sig(hNew)))
+      val dd = tok.withColumn("a", hOld).withColumn("b", hNew)
+        .where(col("a") =!= col("b")).count()
+      println(s"PROBE simhash_bits60_diff_rows: $dd")
+      time("simhash_full")(noop(graft.ops.Dedup.simhashNearDupPairs(
+        docs, "doc_id", "text", maxHamming = 3)))
+    }
+
     time("bfs_full") {
       val e = edgeBuild().graftCheckpoint()
       val seeds = sup.where(col("s_suppkey") % 100 === 0)

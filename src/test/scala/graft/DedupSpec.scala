@@ -241,6 +241,17 @@ class DedupSpec extends SparkSpec {
     assert(gotB.exceptAll(wantB).isEmpty && wantB.exceptAll(gotB).isEmpty)
   }
 
+  test("md5Bits60 kernel == conv(substring(md5hex,1,15),16,10), including non-ASCII") {
+    val d = Tables.load(spark, sf0001, "documents").limit(200)
+      .select(col("doc_id"), concat(col("text"), lit(" žluťoučký 日本語")).as("text"))
+    val tok = d.select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+    val diff = tok
+      .withColumn("a", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("b", graft.functions.Md5SlicesOps.md5Bits60(col("tok")))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
   test("winnow md5 kernel == expression-form specification, including non-ASCII") {
     import graft.ops.TextAnalysis
     val d = Tables.load(spark, sf0001, "documents").limit(100)
